@@ -1,0 +1,321 @@
+package graft.checks
+
+import graft.core._
+import graft.operators._
+
+sealed trait CheckLevel
+object CheckLevel {
+  case object Error extends CheckLevel
+  case object Warning extends CheckLevel
+}
+
+sealed trait CheckStatus
+object CheckStatus {
+  case object Success extends CheckStatus
+  case object Warning extends CheckStatus
+  case object Error extends CheckStatus
+
+  def max(a: CheckStatus, b: CheckStatus): CheckStatus = (a, b) match {
+    case (Error, _) | (_, Error) => Error
+    case (Warning, _) | (_, Warning) => Warning
+    case _ => Success
+  }
+}
+
+case class CheckResult(
+    check: Check,
+    status: CheckStatus,
+    constraintResults: Seq[ConstraintResult])
+
+/** Immutable builder over constraints — the engine's "query language"
+  * (reference capability: checks/Check.scala:79-116 and the ~45 builder
+  * methods at checks/Check.scala:1059-1454).
+  */
+case class Check(
+    level: CheckLevel,
+    description: String,
+    constraints: Seq[Constraint] = Seq.empty) {
+
+  private def addConstraint(c: Constraint): Check = copy(constraints = constraints :+ c)
+
+  private val isOne: Double => Boolean = _ == 1.0
+
+  // -- size / counts --------------------------------------------------------
+
+  def hasSize(assertion: Long => Boolean, hint: Option[String] = None): Check =
+    addConstraint(Constraint("SizeConstraint", Size(), d => assertion(d.toLong), hint = hint))
+
+  def hasColumnCount(assertion: Long => Boolean, hint: Option[String] = None): Check =
+    addConstraint(Constraint("ColumnCountConstraint", ColumnCount(),
+      d => assertion(d.toLong), hint = hint))
+
+  def hasZerosCount(column: String, assertion: Long => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("ZerosCountConstraint", ZerosCount(column),
+      d => assertion(d.toLong), hint = hint))
+
+  def hasDuplicateRowCount(assertion: Long => Boolean, columns: Seq[String] = Seq.empty,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("DuplicateRowCountConstraint", DuplicateRowCount(columns),
+      d => assertion(d.toLong), hint = hint))
+
+  // -- completeness ---------------------------------------------------------
+
+  def isComplete(column: String, hint: Option[String] = None): Check =
+    addConstraint(Constraint("CompletenessConstraint", Completeness(column), isOne, hint = hint))
+
+  def hasCompleteness(column: String, assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("CompletenessConstraint", Completeness(column), assertion, hint = hint))
+
+  def hasColumn(column: String): Check =
+    addConstraint(Constraint("ColumnExistsConstraint", ColumnExists(column), isOne))
+
+  def areComplete(columns: Seq[String], hint: Option[String] = None): Check =
+    haveCompleteness(columns, isOne, hint)
+
+  /** AND semantics: every listed column must be non-null in a row. */
+  def haveCompleteness(columns: Seq[String], assertion: Double => Boolean,
+      hint: Option[String] = None): Check = {
+    val predicate = columns.map(c => s"($c IS NOT NULL)").mkString(" AND ")
+    addConstraint(Constraint("CompletenessConstraint",
+      Compliance(columns.mkString(","), predicate), assertion, hint = hint))
+  }
+
+  def areAnyComplete(columns: Seq[String], hint: Option[String] = None): Check =
+    haveAnyCompleteness(columns, isOne, hint)
+
+  /** OR semantics: at least one listed column non-null per row. */
+  def haveAnyCompleteness(columns: Seq[String], assertion: Double => Boolean,
+      hint: Option[String] = None): Check = {
+    val predicate = columns.map(c => s"($c IS NOT NULL)").mkString(" OR ")
+    addConstraint(Constraint("AnyCompletenessConstraint",
+      Compliance(columns.mkString(","), predicate), assertion, hint = hint))
+  }
+
+  // -- uniqueness -----------------------------------------------------------
+
+  def isUnique(column: String, hint: Option[String] = None): Check =
+    addConstraint(Constraint("UniquenessConstraint", Uniqueness(Seq(column)), isOne, hint = hint))
+
+  def areUnique(columns: Seq[String], hint: Option[String] = None): Check =
+    addConstraint(Constraint("UniquenessConstraint", Uniqueness(columns), isOne, hint = hint))
+
+  def isPrimaryKey(column: String, columns: String*): Check = {
+    val all = column +: columns
+    all.foldLeft(areUnique(all)) { case (check, c) => check.isComplete(c) }
+  }
+
+  def hasUniqueness(columns: Seq[String], assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("UniquenessConstraint", Uniqueness(columns), assertion, hint = hint))
+
+  def hasUniqueness(column: String, assertion: Double => Boolean): Check =
+    hasUniqueness(Seq(column), assertion)
+
+  def hasDistinctness(columns: Seq[String], assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("DistinctnessConstraint", Distinctness(columns), assertion, hint = hint))
+
+  def hasUniqueValueRatio(columns: Seq[String], assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("UniqueValueRatioConstraint", UniqueValueRatio(columns),
+      assertion, hint = hint))
+
+  def hasNumberOfDistinctValues(column: String, assertion: Long => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("NumberOfDistinctValuesConstraint", CountDistinct(Seq(column)),
+      d => assertion(d.toLong), hint = hint))
+
+  // -- distribution ---------------------------------------------------------
+
+  def hasHistogramValues(column: String, assertion: Distribution => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("HistogramConstraint", Histogram(column),
+      _ => true,
+      picker = {
+        case HistogramMetric(_, value) => value.map(d => if (assertion(d)) 1.0 else 0.0)
+        case m => scala.util.Failure(new MetricCalculationException(s"${m.name} is not a histogram"))
+      },
+      hint = hint).copy(assertion = isOne))
+
+  def hasEntropy(column: String, assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("EntropyConstraint", Entropy(column), assertion, hint = hint))
+
+  def hasMutualInformation(columnA: String, columnB: String, assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("MutualInformationConstraint",
+      MutualInformation(Seq(columnA, columnB)), assertion, hint = hint))
+
+  // -- quantiles ------------------------------------------------------------
+
+  def hasApproxQuantile(column: String, quantile: Double, assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("ApproxQuantileConstraint", ApproxQuantile(column, quantile),
+      assertion, hint = hint))
+
+  def hasExactQuantile(column: String, quantile: Double, assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("ExactQuantileConstraint", ExactQuantile(column, quantile),
+      assertion, hint = hint))
+
+  def hasInterquartileRange(column: String, assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("InterquartileRangeConstraint", InterquartileRange(column),
+      assertion, hint = hint))
+
+  // -- lengths --------------------------------------------------------------
+
+  def hasMinLength(column: String, assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("MinLengthConstraint", MinLength(column), assertion, hint = hint))
+
+  def hasMaxLength(column: String, assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("MaxLengthConstraint", MaxLength(column), assertion, hint = hint))
+
+  // -- numeric stats --------------------------------------------------------
+
+  def hasMin(column: String, assertion: Double => Boolean, hint: Option[String] = None): Check =
+    addConstraint(Constraint("MinimumConstraint", Minimum(column), assertion, hint = hint))
+
+  def hasMax(column: String, assertion: Double => Boolean, hint: Option[String] = None): Check =
+    addConstraint(Constraint("MaximumConstraint", Maximum(column), assertion, hint = hint))
+
+  def hasRange(column: String, assertion: Double => Boolean, hint: Option[String] = None): Check =
+    addConstraint(Constraint("RangeConstraint", ValueRange(column), assertion, hint = hint))
+
+  def hasMean(column: String, assertion: Double => Boolean, hint: Option[String] = None): Check =
+    addConstraint(Constraint("MeanConstraint", Mean(column), assertion, hint = hint))
+
+  def hasSum(column: String, assertion: Double => Boolean, hint: Option[String] = None): Check =
+    addConstraint(Constraint("SumConstraint", Sum(column), assertion, hint = hint))
+
+  def hasRatioOfSums(numerator: String, denominator: String, assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("RatioOfSumsConstraint", RatioOfSums(numerator, denominator),
+      assertion, hint = hint))
+
+  def hasStandardDeviation(column: String, assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("StandardDeviationConstraint", StandardDeviation(column),
+      assertion, hint = hint))
+
+  def hasVariance(column: String, assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("VarianceConstraint", Variance(column), assertion, hint = hint))
+
+  def hasSkewness(column: String, assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("SkewnessConstraint", Skewness(column), assertion, hint = hint))
+
+  def hasKurtosis(column: String, assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("KurtosisConstraint", Kurtosis(column), assertion, hint = hint))
+
+  def hasApproxCountDistinct(column: String, assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("ApproxCountDistinctConstraint", ApproxCountDistinct(column),
+      assertion, hint = hint))
+
+  def hasCorrelation(columnA: String, columnB: String, assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("CorrelationConstraint", Correlation(columnA, columnB),
+      assertion, hint = hint))
+
+  // -- compliance -----------------------------------------------------------
+
+  def satisfies(columnCondition: String, constraintName: String,
+      assertion: Double => Boolean = isOne, hint: Option[String] = None): Check =
+    addConstraint(Constraint("ComplianceConstraint",
+      Compliance(constraintName, columnCondition), assertion, hint = hint))
+
+  def hasPattern(column: String, pattern: String, assertion: Double => Boolean = isOne,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("PatternMatchConstraint", PatternMatch(column, pattern),
+      assertion, hint = hint))
+
+  def containsCreditCardNumber(column: String, assertion: Double => Boolean = isOne): Check =
+    hasPattern(column, Patterns.CREDITCARD)
+
+  def containsEmail(column: String, assertion: Double => Boolean = isOne): Check =
+    hasPattern(column, Patterns.EMAIL, assertion)
+
+  def containsURL(column: String, assertion: Double => Boolean = isOne): Check =
+    hasPattern(column, Patterns.URL, assertion)
+
+  def containsSocialSecurityNumber(column: String, assertion: Double => Boolean = isOne): Check =
+    hasPattern(column, Patterns.SOCIAL_SECURITY_NUMBER_US, assertion)
+
+  def hasDataType(column: String, dataType: String, assertion: Double => Boolean = isOne,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("DataTypeConstraint", DataTypeAnalyzer(column),
+      _ => true,
+      picker = Constraint.distributionPicker { dist =>
+        dist.values.get(dataType).map(_.ratio).getOrElse(0.0)
+      }, hint = hint).copy(assertion = assertion))
+
+  def isNonNegative(column: String, assertion: Double => Boolean = isOne,
+      hint: Option[String] = None): Check =
+    satisfies(s"COALESCE($column, 0.0) >= 0", s"$column is non-negative", assertion, hint)
+
+  def isPositive(column: String, assertion: Double => Boolean = isOne,
+      hint: Option[String] = None): Check =
+    satisfies(s"COALESCE($column, 1.0) > 0", s"$column is positive", assertion, hint)
+
+  def isLessThan(columnA: String, columnB: String, assertion: Double => Boolean = isOne,
+      hint: Option[String] = None): Check =
+    satisfies(s"$columnA < $columnB", s"$columnA is less than $columnB", assertion, hint)
+
+  def isLessThanOrEqualTo(columnA: String, columnB: String,
+      assertion: Double => Boolean = isOne, hint: Option[String] = None): Check =
+    satisfies(s"$columnA <= $columnB", s"$columnA is less than or equal to $columnB",
+      assertion, hint)
+
+  def isGreaterThan(columnA: String, columnB: String, assertion: Double => Boolean = isOne,
+      hint: Option[String] = None): Check =
+    satisfies(s"$columnA > $columnB", s"$columnA is greater than $columnB", assertion, hint)
+
+  def isGreaterThanOrEqualTo(columnA: String, columnB: String,
+      assertion: Double => Boolean = isOne, hint: Option[String] = None): Check =
+    satisfies(s"$columnA >= $columnB", s"$columnA is greater than or equal to $columnB",
+      assertion, hint)
+
+  def isContainedIn(column: String, allowedValues: Array[String]): Check =
+    isContainedIn(column, allowedValues, isOne, None)
+
+  def isContainedIn(column: String, allowedValues: Array[String],
+      assertion: Double => Boolean, hint: Option[String]): Check = {
+    val valueList = allowedValues.map(v => "'" + v.replace("'", "''") + "'").mkString(",")
+    satisfies(s"$column IS NULL OR $column IN ($valueList)",
+      s"$column contained in ${allowedValues.mkString(",")}", assertion, hint)
+  }
+
+  def isContainedIn(column: String, lowerBound: Double, upperBound: Double,
+      includeLowerBound: Boolean = true, includeUpperBound: Boolean = true): Check = {
+    val lowOp = if (includeLowerBound) ">=" else ">"
+    val upOp = if (includeUpperBound) "<=" else "<"
+    satisfies(s"$column IS NULL OR ($column $lowOp $lowerBound AND $column $upOp $upperBound)",
+      s"$column between $lowerBound and $upperBound", isOne, None)
+  }
+
+  def customSql(expression: String, assertion: Double => Boolean,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("CustomSqlConstraint", CustomSql(expression), assertion, hint = hint))
+
+  // -- evaluation -----------------------------------------------------------
+
+  def requiredAnalyzers(): Seq[AnyAnalyzer] =
+    constraints.map(_.analyzer)
+
+  def evaluate(context: graft.runners.AnalyzerContext): CheckResult = {
+    val results = constraints.map(_.evaluate(context.metricMap))
+    val anyFailed = results.exists(_.status == ConstraintStatus.Failure)
+    val status =
+      if (!anyFailed) CheckStatus.Success
+      else if (level == CheckLevel.Error) CheckStatus.Error
+      else CheckStatus.Warning
+    CheckResult(this, status, results)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.checks
+
+import scala.util.{Failure, Success, Try}
+
+import graft.core._
+
+sealed trait ConstraintStatus
+object ConstraintStatus {
+  case object Success extends ConstraintStatus
+  case object Failure extends ConstraintStatus
+}
+
+case class ConstraintResult(
+    constraint: Constraint,
+    status: ConstraintStatus,
+    message: Option[String] = None,
+    metric: Option[Metric[_]] = None)
+
+/** A constraint is an assertion over a metric produced by one analyzer
+  * (reference capability: constraints/Constraint.scala,
+  * constraints/AnalysisBasedConstraint.scala:26-120).
+  *
+  * `picker` projects the metric value into the Double the assertion sees
+  * (e.g. a histogram's bin count); the default picks a DoubleMetric value.
+  */
+case class Constraint(
+    name: String,
+    analyzer: AnyAnalyzer,
+    assertion: Double => Boolean,
+    picker: Metric[_] => Try[Double] = Constraint.defaultPicker,
+    hint: Option[String] = None) {
+
+  def evaluate(metrics: Map[AnyAnalyzer, Metric[_]]): ConstraintResult = {
+    metrics.get(analyzer) match {
+      case Some(metric) =>
+        picker(metric) match {
+          case Success(value) =>
+            val holds = Try(assertion(value))
+            holds match {
+              case Success(true) =>
+                ConstraintResult(this, ConstraintStatus.Success, None, Some(metric))
+              case Success(false) =>
+                ConstraintResult(this, ConstraintStatus.Failure,
+                  Some(s"Value: $value does not meet the constraint requirement!" +
+                    hint.map(h => s" $h").getOrElse("")),
+                  Some(metric))
+              case Failure(e) =>
+                ConstraintResult(this, ConstraintStatus.Failure,
+                  Some(s"Can't execute the assertion: ${e.getMessage}!"), Some(metric))
+            }
+          case Failure(e) =>
+            ConstraintResult(this, ConstraintStatus.Failure,
+              Some(Option(e.getMessage).getOrElse(e.toString)), Some(metric))
+        }
+      case None =>
+        ConstraintResult(this, ConstraintStatus.Failure,
+          Some(s"Missing Analysis, can't run the constraint!"), None)
+    }
+  }
+
+  override def toString: String = s"$name(${analyzer.name}(${analyzer.instance}))"
+}
+
+object Constraint {
+
+  val defaultPicker: Metric[_] => Try[Double] = {
+    case DoubleMetric(_, _, _, value, _) => value
+    case other => other.value.flatMap {
+      case d: Double => Success(d)
+      case v => Failure(new MetricCalculationException(
+        s"Metric value $v of ${other.name} is not a Double"))
+    }
+  }
+
+  /** Picks from a HistogramMetric's distribution. */
+  def distributionPicker(f: Distribution => Double): Metric[_] => Try[Double] = {
+    case HistogramMetric(_, value) => value.map(f)
+    case other => Failure(new MetricCalculationException(
+      s"Metric ${other.name} is not a histogram"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.checks
+
+import scala.util.{Failure, Success}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.core._
+import graft.runners.{AnalysisRunner, AnalyzerContext}
+
+/** Outcome of a verification run
+  * (reference capability: VerificationResult.scala / VerificationSuite.scala:107-144).
+  */
+case class VerificationResult(
+    status: CheckStatus,
+    checkResults: Map[Check, CheckResult],
+    metrics: Map[AnyAnalyzer, Metric[_]]) {
+
+  def hasPassed: Boolean = status == CheckStatus.Success
+}
+
+object VerificationResult {
+
+  /** One row per constraint, as a DataFrame
+    * (reference capability: VerificationResult.scala:55-124).
+    */
+  def checkResultsAsDataFrame(spark: SparkSession, result: VerificationResult): DataFrame = {
+    val rows = result.checkResults.toSeq.flatMap { case (check, checkResult) =>
+      checkResult.constraintResults.map { cr =>
+        Row(
+          check.description,
+          check.level.toString,
+          checkResult.status.toString,
+          cr.constraint.toString,
+          cr.status.toString,
+          cr.message.getOrElse(""))
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("check", StringType, nullable = false),
+      StructField("check_level", StringType, nullable = false),
+      StructField("check_status", StringType, nullable = false),
+      StructField("constraint", StringType, nullable = false),
+      StructField("constraint_status", StringType, nullable = false),
+      StructField("constraint_message", StringType, nullable = true)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** One row per successfully computed metric. */
+  def successMetricsAsDataFrame(spark: SparkSession, result: VerificationResult): DataFrame = {
+    val rows = result.metrics.toSeq.collect {
+      case (_, DoubleMetric(entity, name, instance, Success(value), _)) =>
+        Row(entity.repr, instance, name, value)
+    }
+    val schema = StructType(Seq(
+      StructField("entity", StringType, nullable = false),
+      StructField("instance", StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}
+
+/** Entry point: checks in, verified result out
+  * (reference capability: VerificationSuite.scala:107-144).
+  */
+class VerificationSuite {
+
+  def onData(data: DataFrame): VerificationRunBuilder = new VerificationRunBuilder(data)
+
+  def doVerificationRun(
+      data: DataFrame,
+      checks: Seq[Check],
+      requiredAnalyzers: Seq[AnyAnalyzer] = Seq.empty)
+    : VerificationResult = {
+
+    val analyzers = (requiredAnalyzers ++ checks.flatMap(_.requiredAnalyzers())).distinct
+    val context = AnalysisRunner.run(data, analyzers)
+    evaluate(checks, context)
+  }
+
+  private def evaluate(checks: Seq[Check], context: AnalyzerContext): VerificationResult = {
+    val checkResults = checks.map(c => c -> c.evaluate(context)).toMap
+    val status = checkResults.values
+      .map(_.status)
+      .foldLeft(CheckStatus.Success: CheckStatus)(CheckStatus.max)
+    VerificationResult(status, checkResults, context.metricMap)
+  }
+}
+
+object VerificationSuite {
+  def apply(): VerificationSuite = new VerificationSuite()
+}
+
+class VerificationRunBuilder(data: DataFrame) {
+  private var checks: Seq[Check] = Seq.empty
+  private var requiredAnalyzers: Seq[AnyAnalyzer] = Seq.empty
+
+  def addCheck(check: Check): VerificationRunBuilder = {
+    checks = checks :+ check
+    this
+  }
+
+  def addChecks(more: Seq[Check]): VerificationRunBuilder = {
+    checks = checks ++ more
+    this
+  }
+
+  def addRequiredAnalyzer(analyzer: AnyAnalyzer): VerificationRunBuilder = {
+    requiredAnalyzers = requiredAnalyzers :+ analyzer
+    this
+  }
+
+  def run(): VerificationResult =
+    VerificationSuite().doVerificationRun(data, checks, requiredAnalyzers)
+}

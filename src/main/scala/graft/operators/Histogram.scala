@@ -1,0 +1,194 @@
+package graft.operators
+
+import scala.util.{Failure, Success}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core._
+import graft.core.Preconditions._
+
+/** Aggregate applied per value group (reference capability:
+  * analyzers/Histogram.scala:162-203).
+  */
+sealed trait HistogramAggregate {
+  def aggregation: Column
+}
+object HistogramAggregate {
+  case object CountAggregate extends HistogramAggregate {
+    val aggregation: Column = count(lit(1))
+  }
+  case class SumAggregate(aggColumn: String) extends HistogramAggregate {
+    val aggregation: Column = sum(col(aggColumn)).cast(LongType)
+  }
+}
+
+/** Top-N value distribution of a column: own groupBy + TakeOrdered, which
+  * Spark executes as partial-agg + top-K without a global sort
+  * (reference capability: analyzers/Histogram.scala:54).
+  */
+case class Histogram(
+    column: String,
+    binningFunc: Option[Column => Column] = None,
+    maxDetailBins: Int = Histogram.MaximumAllowedDetailBins,
+    where: Option[String] = None,
+    computeFrequenciesAsRatio: Boolean = true,
+    aggregateFunction: HistogramAggregate = HistogramAggregate.CountAggregate
+) extends Analyzer[FrequenciesAndNumRows, HistogramMetric] {
+
+  val name = "Histogram"
+  val entity: Entity = Entity.Column
+  val instance: String = column
+
+  override def preconditions: Seq[StructType => Unit] =
+    hasColumn(column) :: isNotNested(column) :: Nil
+
+  override def computeStateFrom(data: DataFrame): Option[FrequenciesAndNumRows] = {
+    if (maxDetailBins > Histogram.MaximumAllowedDetailBins) {
+      throw new IllegalArgumentException(
+        s"Cannot return histogram values for more than ${Histogram.MaximumAllowedDetailBins} bins")
+    }
+    val filtered = where.map(w => data.filter(expr(w))).getOrElse(data)
+    val binned = binningFunc
+      .map(f => filtered.withColumn(Histogram.BIN_COL, f(col(column))))
+      .getOrElse(filtered.withColumn(Histogram.BIN_COL, col(column)))
+    // NULLs become an explicit bucket, as in the reference
+    val withNullBucket = binned.withColumn(Histogram.BIN_COL,
+      coalesce(col(Histogram.BIN_COL).cast(StringType), lit(Histogram.NullFieldReplacement)))
+    val freq = withNullBucket
+      .groupBy(Histogram.BIN_COL)
+      .agg(aggregateFunction.aggregation.as(FrequenciesAndNumRows.COUNT_COL))
+    val numRows = aggregateFunction match {
+      case HistogramAggregate.CountAggregate => filtered.count()
+      case HistogramAggregate.SumAggregate(c) =>
+        filtered.agg(coalesce(sum(col(c)).cast(LongType), lit(0L))).collect().head.getLong(0)
+    }
+    Some(FrequenciesAndNumRows(freq, numRows))
+  }
+
+  override def computeMetricFrom(state: Option[FrequenciesAndNumRows]): HistogramMetric =
+    state match {
+      case Some(FrequenciesAndNumRows(freq, numRows)) =>
+        import FrequenciesAndNumRows.COUNT_COL
+        val totalBins = freq.count()
+        val topBins = freq
+          .orderBy(col(COUNT_COL).desc, col(Histogram.BIN_COL).asc)
+          .limit(maxDetailBins)
+          .collect()
+        val denom = math.max(numRows, 1L)
+        val values = topBins.map { row =>
+          val value = row.getString(row.fieldIndex(Histogram.BIN_COL))
+          val absolute = row.getLong(row.fieldIndex(COUNT_COL))
+          val ratio = if (computeFrequenciesAsRatio) absolute.toDouble / denom else absolute.toDouble
+          value -> DistributionValue(absolute, ratio)
+        }.toMap
+        HistogramMetric(column, Success(Distribution(values, totalBins)))
+      case None =>
+        HistogramMetric(column, Failure(new EmptyStateException(s"Empty state for Histogram $column")))
+    }
+
+  override def toFailureMetric(failure: Throwable): HistogramMetric =
+    HistogramMetric(column, Failure(MetricCalculationException.wrap(failure)))
+}
+
+object Histogram {
+  val MaximumAllowedDetailBins = 1000
+  val NullFieldReplacement = "NullValue"
+  private[operators] val BIN_COL = "graft_histogram_bin"
+}
+
+/** Equal-width (or custom-edge) numeric histogram: one min/max pass, then a
+  * single groupBy on the computed bin index via `width_bucket`
+  * (reference capability: analyzers/HistogramBinned.scala:62).
+  */
+case class HistogramBinned(
+    column: String,
+    binCount: Option[Int] = Some(10),
+    customEdges: Option[Seq[Double]] = None,
+    where: Option[String] = None
+) extends Analyzer[FrequenciesAndNumRows, HistogramMetric] {
+
+  val name = "HistogramBinned"
+  val entity: Entity = Entity.Column
+  val instance: String = column
+
+  override def preconditions: Seq[StructType => Unit] =
+    hasColumn(column) :: isNumeric(column) :: Nil
+
+  /** Resolved (inclusive lower) edges; last edge is the max. */
+  private def resolveEdges(data: DataFrame): Array[Double] = customEdges match {
+    case Some(edges) => edges.toArray.sorted
+    case None =>
+      val n = binCount.getOrElse(10)
+      val filtered = where.map(w => data.filter(expr(w))).getOrElse(data)
+      val row = filtered.agg(
+        min(col(column)).cast(DoubleType), max(col(column)).cast(DoubleType)).collect().head
+      if (row.isNullAt(0)) Array.empty
+      else {
+        val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+        val width = if (hi == lo) 1.0 else (hi - lo) / n
+        (0 to n).map(i => lo + i * width).toArray
+      }
+  }
+
+  override def computeStateFrom(data: DataFrame): Option[FrequenciesAndNumRows] = {
+    val edges = resolveEdges(data)
+    if (edges.isEmpty) return None
+    val filtered = where.map(w => data.filter(expr(w))).getOrElse(data)
+    val nBins = edges.length - 1
+    // width_bucket is 1-based and gives nBins+1 for the exact max — clamp into the last bin
+    val bucket = least(
+      width_bucket(col(column).cast(DoubleType), lit(edges.head), lit(edges.last), lit(nBins)),
+      lit(nBins.toLong))
+    val freq = filtered
+      .filter(col(column).isNotNull)
+      .groupBy(bucket.as(Histogram.BIN_COL))
+      .agg(count(lit(1)).as(FrequenciesAndNumRows.COUNT_COL))
+    val numRows = filtered.filter(col(column).isNotNull).count()
+    // stash the edges in the DataFrame metadata-free way: attach via state wrapper below
+    Some(FrequenciesAndNumRows(freq, numRows))
+  }
+
+  override def calculate(data: DataFrame): HistogramMetric = {
+    try {
+      preconditions.foreach(_(data.schema))
+      val edges = resolveEdges(data)
+      if (edges.isEmpty) {
+        return HistogramMetric(column,
+          Failure(new EmptyStateException(s"Empty state for HistogramBinned $column")))
+      }
+      val state = computeStateFrom(data)
+      metricWithEdges(state, edges)
+    } catch {
+      case e: Throwable => toFailureMetric(e)
+    }
+  }
+
+  private def metricWithEdges(state: Option[FrequenciesAndNumRows],
+      edges: Array[Double]): HistogramMetric = state match {
+    case Some(FrequenciesAndNumRows(freq, numRows)) =>
+      import FrequenciesAndNumRows.COUNT_COL
+      val counts = freq.collect().map { r =>
+        r.getLong(r.fieldIndex(Histogram.BIN_COL)).toInt -> r.getLong(r.fieldIndex(COUNT_COL))
+      }.toMap
+      val denom = math.max(numRows, 1L)
+      val nBins = edges.length - 1
+      val values = (1 to nBins).map { b =>
+        val c = counts.getOrElse(b, 0L)
+        val label = s"[${edges(b - 1)}, ${edges(b)}${if (b == nBins) "]" else ")"}"
+        label -> DistributionValue(c, c.toDouble / denom)
+      }.toMap
+      HistogramMetric(column, Success(Distribution(values, nBins.toLong)))
+    case None =>
+      HistogramMetric(column,
+        Failure(new EmptyStateException(s"Empty state for HistogramBinned $column")))
+  }
+
+  override def computeMetricFrom(state: Option[FrequenciesAndNumRows]): HistogramMetric =
+    HistogramMetric(column, Failure(new MetricCalculationException(
+      "HistogramBinned requires edge context; use calculate()")))
+
+  override def toFailureMetric(failure: Throwable): HistogramMetric =
+    HistogramMetric(column, Failure(MetricCalculationException.wrap(failure)))
+}

@@ -1,0 +1,222 @@
+package graft.operators
+
+import scala.util.Success
+
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core._
+import graft.core.Analyzers._
+import graft.core.Preconditions._
+
+/** Base for the moment family. The fused scan uses Spark's built-in
+  * central-moment aggregates (stable, codegen'd, single pass); the decoded
+  * values are re-expressed as a mergeable [[MomentsState]] so incremental
+  * state persistence works without a custom UDAF (replaces the reference's
+  * catalyst/StatefulStdDevPop.scala:24 etc. with built-ins — SURVEY §7.3).
+  */
+abstract class MomentAnalyzer(metricName: String, column: String, where: Option[String])
+    extends DoubleResultScanAnalyzer[MomentsState](metricName, column) {
+
+  override def preconditions: Seq[StructType => Unit] =
+    hasColumn(column) :: isNumeric(column) :: Nil
+
+  protected def selection: Column = conditionalSelection(col(column), where).cast(DoubleType)
+
+  override def aggregationFunctions(): Seq[Column] = Seq(
+    count(selection).cast(DoubleType),
+    avg(selection),
+    var_pop(selection),
+    skewness(selection),
+    kurtosis(selection))
+
+  override def fromAggregationResult(result: Row, offset: Int): Option[MomentsState] = {
+    val n = doubleAt(result, offset).getOrElse(0.0)
+    if (n == 0.0) return None
+    val mean = doubleAt(result, offset + 1).getOrElse(return None)
+    val m2 = doubleAt(result, offset + 2).map(_ * n).getOrElse(0.0)
+    // invert Spark's g1 / excess-kurtosis formulas to recover raw moments
+    val m3 = doubleAt(result, offset + 3)
+      .filterNot(_.isNaN)
+      .map(sk => sk * math.sqrt(m2 * m2 * m2) / math.sqrt(n))
+      .getOrElse(0.0)
+    val m4 = doubleAt(result, offset + 4)
+      .filterNot(_.isNaN)
+      .map(k => (k + 3.0) * m2 * m2 / n)
+      .getOrElse(0.0)
+    Some(MomentsState(n, mean, m2, m3, m4))
+  }
+
+  protected def metricFromMoments(m: MomentsState): Double
+
+  override protected def valueFromState(state: MomentsState): Double =
+    metricFromMoments(state)
+}
+
+/** Population standard deviation (reference capability:
+  * analyzers/StandardDeviation.scala:47). */
+case class StandardDeviation(column: String, where: Option[String] = None)
+    extends MomentAnalyzer("StandardDeviation", column, where) {
+  override protected def metricFromMoments(m: MomentsState): Double = m.stdDevPop
+}
+
+/** Population variance (reference capability: analyzers/Variance.scala:47). */
+case class Variance(column: String, where: Option[String] = None)
+    extends MomentAnalyzer("Variance", column, where) {
+  override protected def metricFromMoments(m: MomentsState): Double = m.variancePop
+}
+
+/** Skewness (reference capability: analyzers/Skewness.scala:62). */
+case class Skewness(column: String, where: Option[String] = None)
+    extends MomentAnalyzer("Skewness", column, where) {
+  override protected def metricFromMoments(m: MomentsState): Double = m.skewness
+}
+
+/** Excess kurtosis (reference capability: analyzers/Kurtosis.scala:68). */
+case class Kurtosis(column: String, where: Option[String] = None)
+    extends MomentAnalyzer("Kurtosis", column, where) {
+  override protected def metricFromMoments(m: MomentsState): Double = m.kurtosis
+}
+
+/** Pearson correlation of two columns with mergeable co-moment state
+  * (reference capability: analyzers/Correlation.scala:65).
+  */
+case class Correlation(firstColumn: String, secondColumn: String, where: Option[String] = None)
+    extends StandardScanShareableAnalyzer[CorrelationState]("Correlation",
+      s"$firstColumn,$secondColumn", Entity.Multicolumn) {
+
+  override def preconditions: Seq[StructType => Unit] = Seq(
+    hasColumn(firstColumn), isNumeric(firstColumn),
+    hasColumn(secondColumn), isNumeric(secondColumn))
+
+  // pairwise-complete selection: a value only counts when BOTH are non-null
+  private def sel(c: String, other: String): Column =
+    conditionalSelection(when(col(other).isNotNull, col(c)), where).cast(DoubleType)
+
+  override def aggregationFunctions(): Seq[Column] = {
+    val x = sel(firstColumn, secondColumn)
+    val y = sel(secondColumn, firstColumn)
+    Seq(count(x).cast(DoubleType), avg(x), avg(y), covar_pop(x, y), var_pop(x), var_pop(y))
+  }
+
+  override def fromAggregationResult(result: Row, offset: Int): Option[CorrelationState] = {
+    val n = doubleAt(result, offset).getOrElse(0.0)
+    if (n == 0.0) return None
+    for {
+      xAvg <- doubleAt(result, offset + 1)
+      yAvg <- doubleAt(result, offset + 2)
+      ck <- doubleAt(result, offset + 3)
+      xMk <- doubleAt(result, offset + 4)
+      yMk <- doubleAt(result, offset + 5)
+    } yield CorrelationState(n, xAvg, yAvg, ck * n, xMk * n, yMk * n)
+  }
+}
+
+/** Exact percentile via Spark's built-in `percentile`; state is
+  * intentionally non-mergeable (reference capability:
+  * analyzers/ExactQuantile.scala:42).
+  */
+case class ExactQuantile(column: String, quantile: Double, where: Option[String] = None)
+    extends DoubleResultScanAnalyzer[ExactQuantileState]("ExactQuantile", column) {
+
+  require(quantile >= 0.0 && quantile <= 1.0, "quantile must be in [0, 1]")
+
+  override def preconditions: Seq[StructType => Unit] =
+    hasColumn(column) :: isNumeric(column) :: Nil
+
+  override def aggregationFunctions(): Seq[Column] =
+    percentile(conditionalSelection(col(column), where), lit(quantile)) :: Nil
+
+  override def fromAggregationResult(result: Row, offset: Int): Option[ExactQuantileState] =
+    doubleAt(result, offset).map(v => ExactQuantileState(Seq(v), name))
+
+  override protected def valueFromState(state: ExactQuantileState): Double =
+    state.values.head
+}
+
+/** Approximate quantile via `percentile_approx`
+  * (reference capability: analyzers/ApproxQuantile.scala:50).
+  */
+case class ApproxQuantile(column: String, quantile: Double,
+    relativeError: Double = 0.01, where: Option[String] = None)
+    extends DoubleResultScanAnalyzer[ExactQuantileState]("ApproxQuantile", column) {
+
+  require(quantile >= 0.0 && quantile <= 1.0, "quantile must be in [0, 1]")
+
+  override def preconditions: Seq[StructType => Unit] =
+    hasColumn(column) :: isNumeric(column) :: Nil
+
+  private def accuracy: Int = math.max(100, math.ceil(1.0 / relativeError).toInt)
+
+  override def aggregationFunctions(): Seq[Column] =
+    percentile_approx(conditionalSelection(col(column), where), lit(quantile), lit(accuracy))
+      .cast(DoubleType) :: Nil
+
+  override def fromAggregationResult(result: Row, offset: Int): Option[ExactQuantileState] =
+    doubleAt(result, offset).map(v => ExactQuantileState(Seq(v), name))
+
+  override protected def valueFromState(state: ExactQuantileState): Double =
+    state.values.head
+}
+
+/** Many approximate quantiles from one digest, keyed metric output
+  * (reference capability: analyzers/ApproxQuantiles.scala:39).
+  */
+case class ApproxQuantiles(column: String, quantiles: Seq[Double],
+    relativeError: Double = 0.01, where: Option[String] = None)
+    extends ScanShareableAnalyzer[ExactQuantileState, KeyedDoubleMetric] {
+
+  val name = "ApproxQuantiles"
+  val entity: Entity = Entity.Column
+  val instance: String = column
+
+  override def preconditions: Seq[StructType => Unit] =
+    hasColumn(column) :: isNumeric(column) :: Nil
+
+  private def accuracy: Int = math.max(100, math.ceil(1.0 / relativeError).toInt)
+
+  override def aggregationFunctions(): Seq[Column] =
+    percentile_approx(
+      conditionalSelection(col(column), where),
+      array(quantiles.map(lit): _*), lit(accuracy)).cast(ArrayType(DoubleType)) :: Nil
+
+  override def fromAggregationResult(result: Row, offset: Int): Option[ExactQuantileState] =
+    if (result.isNullAt(offset)) None
+    else Some(ExactQuantileState(result.getSeq[Double](offset), name))
+
+  override def computeMetricFrom(state: Option[ExactQuantileState]): KeyedDoubleMetric =
+    state match {
+      case Some(s) =>
+        val kv = quantiles.map(_.toString).zip(s.values).toMap
+        KeyedDoubleMetric(entity, name, instance, Success(kv))
+      case None =>
+        KeyedDoubleMetric(entity, name, instance,
+          scala.util.Failure(new EmptyStateException(s"Empty state for $name $instance")))
+    }
+
+  override def toFailureMetric(failure: Throwable): KeyedDoubleMetric =
+    KeyedDoubleMetric(entity, name, instance,
+      scala.util.Failure(MetricCalculationException.wrap(failure)))
+}
+
+/** Q3 - Q1 (reference capability: analyzers/InterquartileRange.scala:53). */
+case class InterquartileRange(column: String, where: Option[String] = None)
+    extends DoubleResultScanAnalyzer[ExactQuantileState]("InterquartileRange", column) {
+
+  override def preconditions: Seq[StructType => Unit] =
+    hasColumn(column) :: isNumeric(column) :: Nil
+
+  override def aggregationFunctions(): Seq[Column] = Seq(
+    percentile(conditionalSelection(col(column), where), lit(0.25)),
+    percentile(conditionalSelection(col(column), where), lit(0.75)))
+
+  override def fromAggregationResult(result: Row, offset: Int): Option[ExactQuantileState] =
+    for {
+      q1 <- doubleAt(result, offset)
+      q3 <- doubleAt(result, offset + 1)
+    } yield ExactQuantileState(Seq(q1, q3), name)
+
+  override protected def valueFromState(state: ExactQuantileState): Double =
+    state.values(1) - state.values(0)
+}

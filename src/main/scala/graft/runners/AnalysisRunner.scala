@@ -1,0 +1,218 @@
+package graft.runners
+
+import scala.util.Failure
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.storage.StorageLevel
+
+import graft.core._
+import graft.operators._
+
+/** Computed metrics keyed by analyzer
+  * (reference capability: runners/AnalyzerContext.scala:29-43).
+  */
+case class AnalyzerContext(metricMap: Map[AnyAnalyzer, Metric[_]]) {
+
+  def metric(analyzer: AnyAnalyzer): Option[Metric[_]] = metricMap.get(analyzer)
+
+  def ++(other: AnalyzerContext): AnalyzerContext =
+    AnalyzerContext(metricMap ++ other.metricMap)
+
+  def allMetrics: Seq[Metric[_]] = metricMap.values.toSeq
+}
+
+object AnalyzerContext {
+  def empty: AnalyzerContext = AnalyzerContext(Map.empty)
+}
+
+/** The engine's "optimizer": fuses all scan-shareable analyzers into ONE
+  * wide aggregation (one pass over the data, partial + final hash-agg by
+  * Catalyst) and shares one frequency table per (groupingColumns, where)
+  * across all grouping analyzers
+  * (reference capability: runners/AnalysisRunner.scala:101-247,350-380).
+  *
+  * Scale design: for N analyzers over 100 TB this issues exactly
+  *   1 scan (all fused aggregates, map-side partial aggregation)
+  * + 1 shuffle per distinct grouping column-set (hash aggregation)
+  * + 1 tiny aggregation per frequency table (over distinct groups only).
+  * Nothing else touches the data; everything downstream is driver-side.
+  */
+object AnalysisRunner {
+
+  def onData(data: DataFrame): AnalysisRunBuilder = new AnalysisRunBuilder(data)
+
+  def run(data: DataFrame, analyzers: Seq[AnyAnalyzer]): AnalyzerContext =
+    doAnalysisRun(data, analyzers.distinct)
+
+  private[graft] def doAnalysisRun(
+      data: DataFrame,
+      analyzers: Seq[AnyAnalyzer]): AnalyzerContext = {
+
+    if (analyzers.isEmpty) return AnalyzerContext.empty
+
+    val schema = data.schema
+
+    // 1. precondition short-circuit: failing analyzers become failure
+    //    metrics without running any job
+    //    (reference capability: runners/AnalysisRunner.scala:143-152)
+    val (passed, failedWithReason) = {
+      val checked = analyzers.map { a =>
+        a -> scala.util.Try(a.preconditions.foreach(_(schema)))
+      }
+      (checked.collect { case (a, scala.util.Success(_)) => a },
+        checked.collect { case (a, Failure(e)) => a -> e })
+    }
+
+    val failureMetrics: Map[AnyAnalyzer, Metric[_]] =
+      failedWithReason.map { case (a, e) =>
+        (a: AnyAnalyzer) -> a.toFailureMetric(e)
+      }.toMap
+
+    // 2. partition the surviving analyzers by execution strategy
+    val grouping = passed.collect { case g: GroupingAnalyzer[_] => g }
+    val scanShareable = passed.collect {
+      case s: AnyScanAnalyzer if !s.isInstanceOf[GroupingAnalyzer[_]] => s
+    }
+    val others = passed.filterNot(a =>
+      grouping.contains(a) || scanShareable.contains(a))
+
+    // 3. ONE fused scan for all scan-shareable analyzers; inject the row
+    //    counts the grouping analyzers need for the same scan
+    //    (reference capability: runners/AnalysisRunner.scala:169-213,350-380)
+    val groupingWheres = grouping.map(_.where).distinct
+    val injectedSizes = groupingWheres.map(w => Size(w))
+    val sizesNeeded = injectedSizes.filterNot(s => scanShareable.contains(s))
+
+    val allScan = scanShareable ++ sizesNeeded
+    val scanMetrics: Map[AnyAnalyzer, Metric[_]] =
+      if (allScan.isEmpty) Map.empty
+      else runScanShareable(data, allScan)
+
+    // row count per distinct where, reused by every grouping analyzer
+    val numRowsByWhere: Map[Option[String], Long] = groupingWheres.map { w =>
+      val sizeAnalyzer = Size(w)
+      val n = scanMetrics.get(sizeAnalyzer) match {
+        case Some(DoubleMetric(_, _, _, scala.util.Success(v), _)) => v.toLong
+        case _ => data.count()
+      }
+      w -> n
+    }.toMap
+
+    // 4. one frequency table per (groupingColumns.sorted, where), shared
+    //    (reference capability: runners/AnalysisRunner.scala:218-234)
+    val groupingMetrics: Map[AnyAnalyzer, Metric[_]] =
+      grouping
+        .groupBy(_.groupingKey)
+        .flatMap { case ((_, where), analyzersForKey) =>
+          runGroupingFamily(data, analyzersForKey, numRowsByWhere(where))
+        }
+
+    // 5. everything else (Histogram, HistogramBinned, MutualInformation via
+    //    its own plan, CustomSql, driver-side analyzers) runs standalone
+    val otherMetrics: Map[AnyAnalyzer, Metric[_]] =
+      others.map(a => (a: AnyAnalyzer) -> a.calculate(data)).toMap
+
+    AnalyzerContext(failureMetrics ++ scanMetrics ++ groupingMetrics ++ otherMetrics)
+  }
+
+  /** All scan-shareable analyzers → one `df.agg(...)`; each analyzer
+    * decodes its slice of the single result row via offsets.
+    */
+  private def runScanShareable(
+      data: DataFrame,
+      analyzers: Seq[AnyScanAnalyzer])
+    : Map[AnyAnalyzer, Metric[_]] = {
+
+    try {
+      val aggregations = analyzers.flatMap(_.aggregationFunctions())
+      val offsets = analyzers.map(_.aggregationFunctions().length)
+        .scanLeft(0)(_ + _)
+      val row: Row = data.agg(aggregations.head, aggregations.tail: _*).collect().head
+      analyzers.zip(offsets).map { case (a, offset) =>
+        val metric: Metric[_] =
+          try a.metricFromAggregationResult(row, offset)
+          catch { case e: Throwable => a.toFailureMetric(e) }
+        (a: AnyAnalyzer) -> metric
+      }.toMap
+    } catch {
+      case e: Throwable =>
+        analyzers.map(a => (a: AnyAnalyzer) -> a.toFailureMetric(e)).toMap
+    }
+  }
+
+  /** One frequency table for the whole family; frequency-based aggregations
+    * are fused into one agg over it. The table is persisted only when a
+    * second pass over it is needed
+    * (reference capability: runners/AnalysisRunner.scala:574-578).
+    */
+  private def runGroupingFamily(
+      data: DataFrame,
+      analyzers: Seq[GroupingAnalyzer[_ <: Metric[_]]],
+      numRows: Long): Map[AnyAnalyzer, Metric[_]] = {
+
+    val head = analyzers.head
+    try {
+      val frequencies = FrequenciesAndNumRows.computeFrequenciesOnly(
+        data, head.groupingColumns, head.where)
+      val state = FrequenciesAndNumRows(frequencies, numRows)
+
+      val freqBased = analyzers.collect { case f: FrequencyBasedAnalyzer => f }
+      val nonShareable = analyzers.filterNot(freqBased.contains(_))
+
+      val needsPersist = nonShareable.nonEmpty || freqBased.size > 1
+      if (needsPersist) frequencies.persist(StorageLevel.MEMORY_AND_DISK)
+
+      // fuse all frequency-based aggregations into one agg over the table
+      val fused: Map[AnyAnalyzer, Metric[_]] =
+        if (freqBased.isEmpty) Map.empty
+        else {
+          try {
+            val aggs = freqBased.flatMap(_.aggregationFunctionsOverFrequencies(numRows))
+            val offsets = freqBased.map(_.aggregationFunctionsOverFrequencies(numRows).length)
+              .scanLeft(0)(_ + _)
+            val row = frequencies.agg(aggs.head, aggs.tail: _*).collect().head
+            freqBased.zip(offsets).map { case (a, offset) =>
+              val metric: Metric[_] =
+                try a.metricFromRow(row, offset, numRows)
+                catch { case e: Throwable => a.toFailureMetric(e) }
+              (a: AnyAnalyzer) -> metric
+            }.toMap
+          } catch {
+            case e: Throwable =>
+              freqBased.map(a => (a: AnyAnalyzer) -> a.toFailureMetric(e)).toMap
+          }
+        }
+
+      val standalone: Map[AnyAnalyzer, Metric[_]] = nonShareable.map { a =>
+        val metric: Metric[_] =
+          try a.asInstanceOf[Analyzer[FrequenciesAndNumRows, Metric[_]]]
+            .computeMetricFrom(Some(state))
+          catch { case e: Throwable => a.toFailureMetric(e) }
+        (a: AnyAnalyzer) -> metric
+      }.toMap
+
+      if (needsPersist) frequencies.unpersist()
+      fused ++ standalone
+    } catch {
+      case e: Throwable =>
+        analyzers.map(a => (a: AnyAnalyzer) -> a.toFailureMetric(e)).toMap
+    }
+  }
+}
+
+/** Fluent builder (reference capability: runners/AnalysisRunBuilder.scala). */
+class AnalysisRunBuilder(data: DataFrame) {
+  private var analyzers: Seq[AnyAnalyzer] = Seq.empty
+
+  def addAnalyzer(analyzer: AnyAnalyzer): AnalysisRunBuilder = {
+    analyzers = analyzers :+ analyzer
+    this
+  }
+
+  def addAnalyzers(more: Seq[AnyAnalyzer]): AnalysisRunBuilder = {
+    analyzers = analyzers ++ more
+    this
+  }
+
+  def run(): AnalyzerContext = AnalysisRunner.run(data, analyzers)
+}

@@ -1,0 +1,204 @@
+package graft
+
+import scala.util.Success
+
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.wordspec.AnyWordSpec
+
+import graft.core._
+import graft.operators._
+import graft.runners.AnalysisRunner
+
+class AnalyzerSpec extends AnyWordSpec with Matchers with SparkSpec {
+
+  private lazy val df = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("a", Some(1.0), "x", 1),
+      ("b", Some(2.0), "x", 2),
+      ("c", None, "y", 3),
+      ("d", Some(4.0), "y", 4),
+      ("d", Some(5.0), null, 5),
+      ("f", Some(6.0), "x", 6)
+    ).toDF("name", "value", "group", "id")
+  }
+
+  private def metricValue(m: Metric[_]): Double =
+    m.asInstanceOf[DoubleMetric].value.get
+
+  "scan-shareable analyzers" should {
+
+    "compute size" in {
+      Size().calculate(df).value shouldBe Success(6.0)
+      Size(Some("id <= 3")).calculate(df).value shouldBe Success(3.0)
+    }
+
+    "compute completeness" in {
+      Completeness("value").calculate(df).value shouldBe Success(5.0 / 6.0)
+      Completeness("group").calculate(df).value shouldBe Success(5.0 / 6.0)
+      Completeness("name").calculate(df).value shouldBe Success(1.0)
+      Completeness("value", Some("id <= 3")).calculate(df).value shouldBe Success(2.0 / 3.0)
+    }
+
+    "compute compliance" in {
+      Compliance("positive", "value > 3").calculate(df).value shouldBe Success(3.0 / 6.0)
+    }
+
+    "compute min/max/mean/sum/range" in {
+      Minimum("value").calculate(df).value shouldBe Success(1.0)
+      Maximum("value").calculate(df).value shouldBe Success(6.0)
+      Mean("value").calculate(df).value shouldBe Success(18.0 / 5.0)
+      Sum("value").calculate(df).value shouldBe Success(18.0)
+      ValueRange("value").calculate(df).value shouldBe Success(5.0)
+    }
+
+    "compute moments" in {
+      val values = Seq(1.0, 2.0, 4.0, 5.0, 6.0)
+      val mean = values.sum / values.size
+      val m2 = values.map(v => math.pow(v - mean, 2)).sum
+      val m3 = values.map(v => math.pow(v - mean, 3)).sum
+      val m4 = values.map(v => math.pow(v - mean, 4)).sum
+      val n = values.size.toDouble
+
+      StandardDeviation("value").calculate(df).value.get shouldBe
+        math.sqrt(m2 / n) +- 1e-9
+      Variance("value").calculate(df).value.get shouldBe (m2 / n) +- 1e-9
+      Skewness("value").calculate(df).value.get shouldBe
+        (math.sqrt(n) * m3 / math.pow(m2, 1.5)) +- 1e-9
+      Kurtosis("value").calculate(df).value.get shouldBe
+        (n * m4 / (m2 * m2) - 3.0) +- 1e-9
+    }
+
+    "compute correlation" in {
+      Correlation("id", "id").calculate(df).value.get shouldBe 1.0 +- 1e-9
+    }
+
+    "compute quantiles" in {
+      ExactQuantile("id", 0.5).calculate(df).value.get shouldBe 3.5 +- 1e-9
+      InterquartileRange("id").calculate(df).value.get shouldBe 2.5 +- 1e-9
+      ApproxQuantile("id", 0.5).calculate(df).value.get should be >= 3.0
+    }
+
+    "compute approx count distinct" in {
+      ApproxCountDistinct("name").calculate(df).value.get shouldBe 5.0 +- 0.5
+    }
+
+    "compute zeros count and lengths" in {
+      ZerosCount("id").calculate(df).value shouldBe Success(0.0)
+      MinLength("group").calculate(df).value shouldBe Success(1.0)
+      MaxLength("name").calculate(df).value shouldBe Success(1.0)
+    }
+
+    "compute pattern match" in {
+      PatternMatch("name", "^[a-c]$").calculate(df).value shouldBe Success(3.0 / 6.0)
+    }
+
+    "infer data types" in {
+      val s = spark
+      import s.implicits._
+      val typed = Seq("1", "2.5", "true", "hello", "42").toDF("c")
+      val metric = DataTypeAnalyzer("c").calculate(typed)
+      val dist = metric.value.get
+      dist("Integral").absolute shouldBe 2
+      dist("Fractional").absolute shouldBe 1
+      dist("Boolean").absolute shouldBe 1
+      dist("String").absolute shouldBe 1
+    }
+
+    "fail preconditions on missing column" in {
+      val metric = Completeness("nope").calculate(df)
+      metric.value.isFailure shouldBe true
+    }
+  }
+
+  "grouping analyzers" should {
+
+    "compute uniqueness" in {
+      Uniqueness(Seq("name")).calculate(df).value shouldBe Success(4.0 / 6.0)
+      Uniqueness(Seq("id")).calculate(df).value shouldBe Success(1.0)
+    }
+
+    "compute distinctness and UVR and count distinct" in {
+      Distinctness(Seq("name")).calculate(df).value shouldBe Success(5.0 / 6.0)
+      UniqueValueRatio(Seq("name")).calculate(df).value shouldBe Success(4.0 / 5.0)
+      CountDistinct(Seq("name")).calculate(df).value shouldBe Success(5.0)
+    }
+
+    "compute entropy" in {
+      // group: x=3, y=2, null excluded; numRows=6
+      val expected = -(3.0 / 6 * math.log(3.0 / 6) + 2.0 / 6 * math.log(2.0 / 6))
+      Entropy("group").calculate(df).value.get shouldBe expected +- 1e-9
+    }
+
+    "compute duplicate row count" in {
+      DuplicateRowCount(Seq("name")).calculate(df).value shouldBe Success(2.0)
+    }
+
+    "compute mutual information" in {
+      val mi = MutualInformation(Seq("name", "name")).calculate(df)
+      // MI(X, X) == H(X); here computed over non-null pairs with numRows=6
+      mi.value.isSuccess shouldBe true
+    }
+
+    "merge frequency states via null-safe outer join" in {
+      val s1 = FrequenciesAndNumRows.compute(df.filter("id <= 3"), Seq("group"), None)
+      val s2 = FrequenciesAndNumRows.compute(df.filter("id > 3"), Seq("group"), None)
+      val full = FrequenciesAndNumRows.compute(df, Seq("group"), None)
+      val merged = s1.merge(s2)
+      merged.numRows shouldBe full.numRows
+      val m = merged.frequencies.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      val f = full.frequencies.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      m shouldBe f
+    }
+  }
+
+  "histograms" should {
+    "compute top-k histogram" in {
+      val metric = Histogram("group").calculate(df)
+      val dist = metric.value.get
+      dist("x").absolute shouldBe 3
+      dist("y").absolute shouldBe 2
+      dist(Histogram.NullFieldReplacement).absolute shouldBe 1
+    }
+
+    "compute binned histogram" in {
+      val metric = HistogramBinned("id", binCount = Some(3)).calculate(df)
+      val dist = metric.value.get
+      dist.values.values.map(_.absolute).sum shouldBe 6
+    }
+  }
+
+  "the analysis runner" should {
+    "fuse scan-shareable analyzers into one job and share frequency tables" in {
+      val analyzers: Seq[AnyAnalyzer] = Seq(
+        Size(), Completeness("value"), Minimum("value"), Maximum("value"),
+        Mean("value"), Sum("value"), StandardDeviation("value"),
+        Uniqueness(Seq("name")), Distinctness(Seq("name")), Entropy("group"))
+
+      val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val ctx = AnalysisRunner.run(df, analyzers)
+      analyzers.foreach { a =>
+        withClue(s"analyzer $a: ") {
+          ctx.metric(a).get.value.isSuccess shouldBe true
+        }
+      }
+      metricValue(ctx.metric(Size()).get) shouldBe 6.0
+      metricValue(ctx.metric(Uniqueness(Seq("name"))).get) shouldBe 4.0 / 6.0
+    }
+
+    "merge mergeable states correctly (partition + merge == full)" in {
+      val left = df.filter("id <= 3")
+      val right = df.filter("id > 3")
+
+      def stateOf(d: org.apache.spark.sql.DataFrame): MomentsState =
+        StandardDeviation("value").computeStateFrom(d).get
+
+      val merged = stateOf(left).merge(stateOf(right))
+      val full = stateOf(df)
+      merged.n shouldBe full.n
+      merged.mean shouldBe full.mean +- 1e-9
+      merged.m2 shouldBe full.m2 +- 1e-9
+    }
+  }
+}
