@@ -1,10 +1,64 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, countDistinct, expr, lit}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
+import graft.comparison._
+import graft.core._
+import graft.operators._
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.runners.AnalysisRunner
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` exercises engine operators (analyzers through
+  * AnalysisRunner, comparison ops, pipeline ops) and returns a DataFrame
+  * whose values are designed to be EXACTLY reproducible by the DuckDB
+  * oracle in `oracleSql`:
+  *   - counts and ratios of counts: exact integers / identical double division
+  *   - float aggregates (moments, entropy, quantile interpolation): rounded
+  *     to 6 decimals on both sides, far above cross-engine float noise
+  *   - hash/sketch-valued ops (HLL, MinHash, SimHash, ANN): no oracle entry,
+  *     the driver records a rows-only check.
+  */
 object SparkEntry {
+
+  // -------------------------------------------------------------------------
+  // helpers
+  // -------------------------------------------------------------------------
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Single-row DataFrame of named double values. */
+  private def metricRow(s: SparkSession, cols: Seq[(String, Double)]): DataFrame = {
+    val schema = StructType(cols.map { case (n, _) => StructField(n, DoubleType, nullable = false) })
+    s.createDataFrame(
+      java.util.Arrays.asList(Row(cols.map(_._2.asInstanceOf[Any]): _*)),
+      schema)
+  }
+
+  private def r6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Runs analyzers through the fused-scan runner and returns name->value. */
+  private def runAnalyzers(df: DataFrame, analyzers: Seq[(String, AnyAnalyzer)])
+    : Seq[(String, Double)] = {
+    val ctx = AnalysisRunner.run(df, analyzers.map(_._2))
+    analyzers.map { case (name, a) =>
+      val v = ctx.metric(a).get match {
+        case DoubleMetric(_, _, _, value, _) => value.get
+        case other => other.value.get.asInstanceOf[Double]
+      }
+      name -> v
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // flagship
+  // -------------------------------------------------------------------------
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the full VerificationSuite pipeline (fused scan + grouping
@@ -25,9 +79,448 @@ object SparkEntry {
     val result = VerificationSuite().onData(lineitem).addCheck(check).run()
     VerificationResult.checkResultsAsDataFrame(spark, result)
   }
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // -------------------------------------------------------------------------
+  // correctness queries (one per operator family) + DuckDB oracles
+  // -------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q01_size" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      metricRow(s, runAnalyzers(li, Seq[(String, AnyAnalyzer)](
+        "size_all" -> Size(),
+        "size_filtered" -> Size(Some("l_quantity > 25")))))
+    }),
+
+    "q02_completeness" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      metricRow(s, runAnalyzers(li, Seq[(String, AnyAnalyzer)](
+        "completeness_orderkey" -> Completeness("l_orderkey"),
+        "completeness_qty_filtered" -> Completeness("l_quantity", Some("l_quantity > 25")))))
+    }),
+
+    "q03_compliance" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      metricRow(s, runAnalyzers(li, Seq[(String, AnyAnalyzer)](
+        "qty_in_range" -> Compliance("qty range", "l_quantity BETWEEN 1 AND 50"),
+        "low_discount" -> Compliance("low discount", "l_discount <= 0.06"),
+        "tax_lt_discount" -> Compliance("tax lt discount", "l_tax < l_discount"))))
+    }),
+
+    "q04_minmax" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      metricRow(s, runAnalyzers(li, Seq[(String, AnyAnalyzer)](
+        "min_price" -> Minimum("l_extendedprice"),
+        "max_price" -> Maximum("l_extendedprice"),
+        "range_price" -> ValueRange("l_extendedprice"),
+        "min_qty_filtered" -> Minimum("l_quantity", Some("l_discount > 0.05")))))
+    }),
+
+    "q05_sum_mean" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      metricRow(s, runAnalyzers(li, Seq[(String, AnyAnalyzer)](
+        "sum_qty" -> Sum("l_quantity"),
+        "mean_qty" -> Mean("l_quantity"),
+        "ratio_qty_linenumber" -> RatioOfSums("l_quantity", "l_linenumber"))))
+    }),
+
+    "q06_moments" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      metricRow(s, runAnalyzers(li, Seq[(String, AnyAnalyzer)](
+        "stddev_qty" -> StandardDeviation("l_quantity"),
+        "var_qty" -> Variance("l_quantity"),
+        "skew_qty" -> Skewness("l_quantity"),
+        "kurt_qty" -> Kurtosis("l_quantity"))).map { case (n, v) => n -> r6(v) })
+    }),
+
+    "q07_corr" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      metricRow(s, runAnalyzers(li, Seq[(String, AnyAnalyzer)](
+        "corr_qty_price" -> Correlation("l_quantity", "l_extendedprice")))
+        .map { case (n, v) => n -> r6(v) })
+    }),
+
+    "q08_quantiles" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      metricRow(s, runAnalyzers(li, Seq[(String, AnyAnalyzer)](
+        "median_qty" -> ExactQuantile("l_quantity", 0.5),
+        "p90_price" -> ExactQuantile("l_extendedprice", 0.9),
+        "iqr_qty" -> InterquartileRange("l_quantity")))
+        .map { case (n, v) => n -> r6(v) })
+    }),
+
+    // approximate sketches: rows-only check (no DuckDB-reproducible oracle)
+    "q09_approx" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      metricRow(s, runAnalyzers(li, Seq[(String, AnyAnalyzer)](
+        "approx_distinct_partkey" -> ApproxCountDistinct("l_partkey"),
+        "approx_median_qty" -> ApproxQuantile("l_quantity", 0.5))))
+    }),
+
+    "q10_zeros_lengths" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val part = table(s, dir, "part")
+      metricRow(s,
+        runAnalyzers(li, Seq[(String, AnyAnalyzer)]("zeros_discount" -> ZerosCount("l_discount"))) ++
+        runAnalyzers(part, Seq[(String, AnyAnalyzer)](
+          "min_name_len" -> MinLength("p_name"),
+          "max_name_len" -> MaxLength("p_name"))))
+    }),
+
+    "q11_pattern" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+      val part = table(s, dir, "part")
+      metricRow(s,
+        runAnalyzers(cust, Seq[(String, AnyAnalyzer)](
+          "customer_name_pattern" -> PatternMatch("c_name", "^Customer#[0-9]+$"))) ++
+        runAnalyzers(part, Seq[(String, AnyAnalyzer)](
+          "part_type_pattern" -> PatternMatch("p_type", "^(ECONOMY|SMALL)$"))))
+    }),
+
+    "q12_datatype" -> ((s, dir) => {
+      val part = table(s, dir, "part")
+      val ctxSize = DataTypeAnalyzer("p_size").calculate(part).value.get
+      val ctxBrand = DataTypeAnalyzer("p_brand").calculate(part).value.get
+      metricRow(s, Seq(
+        "size_integral" -> ctxSize("Integral").absolute.toDouble,
+        "size_string" -> ctxSize.values.get("String").map(_.absolute.toDouble).getOrElse(0.0),
+        "brand_string" -> ctxBrand("String").absolute.toDouble,
+        "brand_integral" -> ctxBrand.values.get("Integral").map(_.absolute.toDouble).getOrElse(0.0)))
+    }),
+
+    "q13_uniqueness" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      metricRow(s, runAnalyzers(li, Seq[(String, AnyAnalyzer)](
+        "uniq_pair" -> Uniqueness(Seq("l_orderkey", "l_linenumber")),
+        "distinctness_pair" -> Distinctness(Seq("l_orderkey", "l_linenumber")),
+        "uvr_pair" -> UniqueValueRatio(Seq("l_orderkey", "l_linenumber")),
+        "distinct_partkeys" -> CountDistinct(Seq("l_partkey")))))
+    }),
+
+    "q14_entropy_mi" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      metricRow(s, runAnalyzers(li, Seq[(String, AnyAnalyzer)](
+        "entropy_returnflag" -> Entropy("l_returnflag"),
+        "mi_flag_status" -> MutualInformation(Seq("l_returnflag", "l_linestatus"))))
+        .map { case (n, v) => n -> r6(v) })
+    }),
+
+    "q15_duprows" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      metricRow(s, runAnalyzers(li, Seq[(String, AnyAnalyzer)](
+        "dup_rows_pair" -> DuplicateRowCount(Seq("l_orderkey", "l_linenumber")))))
+    }),
+
+    "q16_histogram" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val dist = Histogram("o_orderpriority", maxDetailBins = 5)
+        .calculate(orders).value.get
+      val rows = dist.values.toSeq
+        .sortBy { case (v, dv) => (-dv.absolute, v) }
+        .map { case (v, dv) => Row(v, dv.absolute, dv.ratio) }
+      val schema = StructType(Seq(
+        StructField("value", StringType, nullable = false),
+        StructField("absolute", LongType, nullable = false),
+        StructField("ratio", DoubleType, nullable = false)))
+      s.createDataFrame(new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    }),
+
+    "q17_referential_integrity" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val part = table(s, dir, "part")
+      val orders = table(s, dir, "orders")
+      val cust = table(s, dir, "customer")
+      metricRow(s, Seq(
+        "parts_referenced" -> ReferentialIntegrity.subsetCheck(part, "p_partkey", li, "l_partkey"),
+        "orders_have_customers" ->
+          ReferentialIntegrity.subsetCheck(orders, "o_custkey", cust, "c_custkey")))
+    }),
+
+    "q18_rowcount_match" -> ((s, dir) => {
+      metricRow(s, Seq(
+        "orders_vs_lineitem" ->
+          RowCountMatch.ratio(table(s, dir, "orders"), table(s, dir, "lineitem"))))
+    }),
+
+    "q19_dataset_match" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val bigOrders = table(s, dir, "orders").filter(col("o_totalprice") > 30000.0)
+      metricRow(s, Seq(
+        "lineitem_in_big_orders" ->
+          DatasetMatch.matchRatio(li, bigOrders,
+            Map("l_orderkey" -> "o_orderkey")).get))
+    }),
+
+    "q20_text_stats" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val t = col("text")
+      val agg = docs.agg(
+        org.apache.spark.sql.functions.sum(TextAnalysis.tokenCount(t)).cast(DoubleType),
+        org.apache.spark.sql.functions.max(TextAnalysis.tokenCount(t)).cast(DoubleType),
+        org.apache.spark.sql.functions.sum(TextAnalysis.charCount(t)).cast(DoubleType),
+        org.apache.spark.sql.functions.sum(TextAnalysis.alphaRatio(t)),
+        org.apache.spark.sql.functions.sum(TextAnalysis.whitespaceRatio(t)),
+        org.apache.spark.sql.functions.sum(TextAnalysis.meanTokenLength(t))
+      ).collect().head
+      metricRow(s, Seq(
+        "total_tokens" -> agg.getDouble(0),
+        "max_tokens" -> agg.getDouble(1),
+        "total_chars" -> agg.getDouble(2),
+        "sum_alpha_ratio" -> r6(agg.getDouble(3)),
+        "sum_ws_ratio" -> r6(agg.getDouble(4)),
+        "sum_mean_token_len" -> r6(agg.getDouble(5))))
+    }),
+
+    "q21_dedup_exact" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val (kept, dropped) = Dedup.exactCounts(li, Seq("l_orderkey", "l_linenumber"))
+      // also drive the materializing variant to count surviving rows
+      val survivors = Dedup.exact(li, Seq("l_orderkey", "l_linenumber"), "l_partkey").count()
+      metricRow(s, Seq(
+        "rows_kept" -> kept.toDouble,
+        "rows_dropped" -> dropped.toDouble,
+        "survivors" -> survivors.toDouble))
+    }),
+
+    "q22_lang_id" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val counted = docs
+        .groupBy(TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .count()
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      metricRow(s, Seq("de", "en", "es", "fr", "und", "zh").map(l =>
+        s"pred_$l" -> counted.getOrElse(l, 0L).toDouble))
+    }),
+
+    "q23_fingerprint" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val distinctFp = docs
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(countDistinct(col("fp"))).collect().head.getLong(0)
+      metricRow(s, Seq("fp_distinct" -> distinctFp.toDouble))
+    }),
+
+    // near-dup + ANN: deterministic engine outputs; no SQL oracle (hashes)
+    "q24_near_dup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val minhashPairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        threshold = 0.5, numHashes = 64, bands = 16).count()
+      val simhashPairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 8).count()
+      metricRow(s, Seq(
+        "minhash_pairs" -> minhashPairs.toDouble,
+        "simhash_pairs" -> simhashPairs.toDouble))
+    }),
+
+    "q25_ann" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 4)
+        .filter(col("rank") > 1) // rank 1 is the query itself
+        .select(col("query_id"), col("neighbor_id"), (col("rank") - 1).as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    })
+  )
+
+  // -------------------------------------------------------------------------
+  // DuckDB oracles (ANSI SQL on the same parquet tables)
+  // -------------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_size" ->
+      """SELECT count(*)::DOUBLE AS size_all,
+        |       sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)::DOUBLE AS size_filtered
+        |FROM lineitem""".stripMargin,
+
+    "q02_completeness" ->
+      """SELECT count(l_orderkey)::DOUBLE / count(*) AS completeness_orderkey,
+        |       sum(CASE WHEN l_quantity > 25 AND l_quantity IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |         / sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS completeness_qty_filtered
+        |FROM lineitem""".stripMargin,
+
+    "q03_compliance" ->
+      """SELECT sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS qty_in_range,
+        |       sum(CASE WHEN l_discount <= 0.06 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS low_discount,
+        |       sum(CASE WHEN l_tax < l_discount THEN 1 ELSE 0 END)::DOUBLE / count(*) AS tax_lt_discount
+        |FROM lineitem""".stripMargin,
+
+    "q04_minmax" ->
+      """SELECT min(l_extendedprice)::DOUBLE AS min_price,
+        |       max(l_extendedprice)::DOUBLE AS max_price,
+        |       (max(l_extendedprice) - min(l_extendedprice))::DOUBLE AS range_price,
+        |       min(CASE WHEN l_discount > 0.05 THEN l_quantity END)::DOUBLE AS min_qty_filtered
+        |FROM lineitem""".stripMargin,
+
+    "q05_sum_mean" ->
+      """SELECT sum(l_quantity)::DOUBLE AS sum_qty,
+        |       sum(l_quantity)::DOUBLE / count(l_quantity) AS mean_qty,
+        |       sum(l_quantity)::DOUBLE / sum(l_linenumber)::DOUBLE AS ratio_qty_linenumber
+        |FROM lineitem""".stripMargin,
+
+    "q06_moments" ->
+      """WITH m AS (SELECT avg(l_quantity) AS mu FROM lineitem),
+        |     t AS (SELECT count(*)::DOUBLE AS n,
+        |                  sum(pow(l_quantity - m.mu, 2)) AS m2,
+        |                  sum(pow(l_quantity - m.mu, 3)) AS m3,
+        |                  sum(pow(l_quantity - m.mu, 4)) AS m4
+        |           FROM lineitem, m)
+        |SELECT round(sqrt(m2 / n), 6) AS stddev_qty,
+        |       round(m2 / n, 6) AS var_qty,
+        |       round(sqrt(n) * m3 / pow(m2, 1.5), 6) AS skew_qty,
+        |       round(n * m4 / (m2 * m2) - 3.0, 6) AS kurt_qty
+        |FROM t""".stripMargin,
+
+    "q07_corr" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        |FROM lineitem""".stripMargin,
+
+    "q08_quantiles" ->
+      """SELECT round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        |       round(quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25), 6) AS iqr_qty
+        |FROM lineitem""".stripMargin,
+
+    "q10_zeros_lengths" ->
+      """SELECT (SELECT sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END)::DOUBLE FROM lineitem) AS zeros_discount,
+        |       (SELECT min(length(p_name))::DOUBLE FROM part) AS min_name_len,
+        |       (SELECT max(length(p_name))::DOUBLE FROM part) AS max_name_len""".stripMargin,
+
+    "q11_pattern" ->
+      """SELECT (SELECT sum(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$') THEN 1 ELSE 0 END)::DOUBLE
+        |          / count(*) FROM customer) AS customer_name_pattern,
+        |       (SELECT sum(CASE WHEN regexp_matches(p_type, '^(ECONOMY|SMALL)$') THEN 1 ELSE 0 END)::DOUBLE
+        |          / count(*) FROM part) AS part_type_pattern""".stripMargin,
+
+    "q12_datatype" ->
+      """SELECT (SELECT sum(CASE WHEN regexp_matches(CAST(p_size AS VARCHAR), '^(-|\+)?[0-9]+$') THEN 1 ELSE 0 END)::DOUBLE FROM part) AS size_integral,
+        |       (SELECT sum(CASE WHEN NOT regexp_matches(CAST(p_size AS VARCHAR), '^(-|\+)?[0-9]+$') THEN 1 ELSE 0 END)::DOUBLE FROM part) AS size_string,
+        |       (SELECT sum(CASE WHEN NOT (regexp_matches(p_brand, '^(true|false)$') OR regexp_matches(p_brand, '^(-|\+)?[0-9]+$') OR regexp_matches(p_brand, '^(-|\+)?([0-9]+(\.[0-9]*)?|\.[0-9]+)$')) THEN 1 ELSE 0 END)::DOUBLE FROM part) AS brand_string,
+        |       (SELECT sum(CASE WHEN regexp_matches(p_brand, '^(-|\+)?[0-9]+$') THEN 1 ELSE 0 END)::DOUBLE FROM part) AS brand_integral""".stripMargin,
+
+    "q13_uniqueness" ->
+      """WITH f AS (SELECT l_orderkey, l_linenumber, count(*) AS c
+        |           FROM lineitem GROUP BY 1, 2),
+        |     n AS (SELECT count(*)::DOUBLE AS numrows FROM lineitem)
+        |SELECT (SELECT sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE FROM f) / n.numrows AS uniq_pair,
+        |       (SELECT count(*)::DOUBLE FROM f) / n.numrows AS distinctness_pair,
+        |       (SELECT sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE FROM f)
+        |         / (SELECT count(*)::DOUBLE FROM f) AS uvr_pair,
+        |       (SELECT count(DISTINCT l_partkey)::DOUBLE FROM lineitem) AS distinct_partkeys
+        |FROM n""".stripMargin,
+
+    "q14_entropy_mi" ->
+      """WITH n AS (SELECT count(*)::DOUBLE AS nr FROM lineitem),
+        |     e AS (SELECT sum(-(c / n.nr) * ln(c / n.nr)) AS entropy
+        |           FROM (SELECT count(*)::DOUBLE AS c FROM lineitem GROUP BY l_returnflag), n),
+        |     joint AS (SELECT l_returnflag AS a, l_linestatus AS b, count(*)::DOUBLE AS c
+        |               FROM lineitem GROUP BY 1, 2),
+        |     ma AS (SELECT a, sum(c) AS ca FROM joint GROUP BY a),
+        |     mb AS (SELECT b, sum(c) AS cb FROM joint GROUP BY b),
+        |     mi AS (SELECT sum((j.c / n.nr) * ln((j.c / n.nr) / ((ma.ca / n.nr) * (mb.cb / n.nr)))) AS mi
+        |            FROM joint j JOIN ma ON j.a = ma.a JOIN mb ON j.b = mb.b, n)
+        |SELECT round(e.entropy, 6) AS entropy_returnflag,
+        |       round(mi.mi, 6) AS mi_flag_status
+        |FROM e, mi""".stripMargin,
+
+    "q15_duprows" ->
+      """SELECT sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE AS dup_rows_pair
+        |FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)""".stripMargin,
+
+    "q16_histogram" ->
+      """SELECT o_orderpriority AS value,
+        |       count(*) AS absolute,
+        |       count(*)::DOUBLE / (SELECT count(*) FROM orders) AS ratio
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY absolute DESC, value ASC
+        |LIMIT 5""".stripMargin,
+
+    "q17_referential_integrity" ->
+      """SELECT (SELECT count(*)::DOUBLE FROM part
+        |          WHERE p_partkey IN (SELECT l_partkey FROM lineitem))
+        |         / (SELECT count(*) FROM part) AS parts_referenced,
+        |       (SELECT count(*)::DOUBLE FROM orders
+        |          WHERE o_custkey IN (SELECT c_custkey FROM customer))
+        |         / (SELECT count(*) FROM orders) AS orders_have_customers""".stripMargin,
+
+    "q18_rowcount_match" ->
+      """SELECT (SELECT count(*) FROM orders)::DOUBLE
+        |         / (SELECT count(*) FROM lineitem) AS orders_vs_lineitem""".stripMargin,
+
+    "q19_dataset_match" ->
+      """SELECT sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)
+        |         AS lineitem_in_big_orders
+        |FROM lineitem l
+        |LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 30000.0) o
+        |  ON l.l_orderkey = o.o_orderkey""".stripMargin,
+
+    "q20_text_stats" ->
+      """WITH t AS (
+        |  SELECT len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ntok,
+        |         length(text) AS nchars,
+        |         length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+        |           / greatest(length(text), 1) AS alpha_ratio,
+        |         (length(text) - length(regexp_replace(text, '[\s]', '', 'g')))::DOUBLE
+        |           / greatest(length(text), 1) AS ws_ratio,
+        |         CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) > 0
+        |              THEN list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), x -> length(x)))::DOUBLE
+        |                / len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |              ELSE 0.0 END AS mean_tok_len
+        |  FROM documents)
+        |SELECT sum(ntok)::DOUBLE AS total_tokens,
+        |       max(ntok)::DOUBLE AS max_tokens,
+        |       sum(nchars)::DOUBLE AS total_chars,
+        |       round(sum(alpha_ratio), 6) AS sum_alpha_ratio,
+        |       round(sum(ws_ratio), 6) AS sum_ws_ratio,
+        |       round(sum(mean_tok_len), 6) AS sum_mean_token_len
+        |FROM t""".stripMargin,
+
+    "q21_dedup_exact" ->
+      """WITH k AS (SELECT count(DISTINCT (l_orderkey, l_linenumber)) AS kept,
+        |                  count(*) AS total
+        |           FROM lineitem)
+        |SELECT kept::DOUBLE AS rows_kept,
+        |       (total - kept)::DOUBLE AS rows_dropped,
+        |       kept::DOUBLE AS survivors
+        |FROM k""".stripMargin,
+
+    "q22_lang_id" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts,
+        |         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+        |  FROM documents),
+        |scored AS (
+        |  SELECT cjk,
+        |    len(list_filter(ts, x -> x IN ('der','die','das','und','ist','von','ein','eine','mit','zu'))) AS c_de,
+        |    len(list_filter(ts, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS c_en,
+        |    len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','un','una','los','las'))) AS c_es,
+        |    len(list_filter(ts, x -> x IN ('le','la','les','des','et','est','une','dans','pour','que'))) AS c_fr,
+        |    len(list_filter(ts, x -> x IN ('的','是','在','了','和','有','我','不','这','他'))) AS c_zh
+        |  FROM toks),
+        |pred AS (
+        |  SELECT CASE
+        |    WHEN cjk > 0 THEN 'zh'
+        |    WHEN greatest(c_de, c_en, c_es, c_fr, c_zh) = 0 THEN 'und'
+        |    WHEN c_de = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'de'
+        |    WHEN c_en = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'en'
+        |    WHEN c_es = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'es'
+        |    WHEN c_fr = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'fr'
+        |    ELSE 'zh' END AS lang_pred
+        |  FROM scored)
+        |SELECT sum(CASE WHEN lang_pred = 'de' THEN 1 ELSE 0 END)::DOUBLE AS pred_de,
+        |       sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)::DOUBLE AS pred_en,
+        |       sum(CASE WHEN lang_pred = 'es' THEN 1 ELSE 0 END)::DOUBLE AS pred_es,
+        |       sum(CASE WHEN lang_pred = 'fr' THEN 1 ELSE 0 END)::DOUBLE AS pred_fr,
+        |       sum(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END)::DOUBLE AS pred_und,
+        |       sum(CASE WHEN lang_pred = 'zh' THEN 1 ELSE 0 END)::DOUBLE AS pred_zh
+        |FROM pred""".stripMargin,
+
+    "q23_fingerprint" ->
+      """SELECT count(DISTINCT regexp_replace(lower(text), '\s+', ' ', 'g'))::DOUBLE AS fp_distinct
+        |FROM documents""".stripMargin
+  )
 }

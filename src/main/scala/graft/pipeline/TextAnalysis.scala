@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis for large-scale training-data pipelines: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  *
+  * Everything is pure `org.apache.spark.sql.functions` column expressions —
+  * fully codegen'd inside whole-stage codegen, no UDFs, no shuffles; these
+  * scale linearly with the scan and pipeline with any downstream groupBy.
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace-separated tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Number of whitespace tokens. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Lowercased tokens for language / dedup work. */
+  def normalizedTokens(text: Column): Column = tokens(lower(text))
+
+  /** Crude BPE-ish subword count: whitespace tokens plus intra-token
+    * transitions (case changes, digit/letter boundaries) — a deterministic
+    * stand-in for a real tokenizer's token count.
+    */
+  def subwordCount(text: Column): Column = {
+    val boundaries = size(filter(
+      split(regexp_replace(text, "([a-z])([A-Z])|([a-zA-Z])([0-9])|([0-9])([a-zA-Z])", "$1$3$5 $2$4$6"),
+      "\\s+"), t => length(t) > 0))
+    boundaries
+  }
+
+  /** Character-class counts used by quality scoring. */
+  def charCount(text: Column): Column = length(text)
+
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^a-zA-Z]", "")).cast(DoubleType) /
+      greatest(length(text), lit(1)).cast(DoubleType)
+
+  def digitRatio(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast(DoubleType) /
+      greatest(length(text), lit(1)).cast(DoubleType)
+
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast(DoubleType) /
+      greatest(length(text), lit(1)).cast(DoubleType)
+
+  def whitespaceRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "\\s", ""))).cast(DoubleType) /
+      greatest(length(text), lit(1)).cast(DoubleType)
+
+  def meanTokenLength(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
+        size(ts).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** Small multilingual stopword marker sets for heuristic language ID. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "eine", "mit", "zu"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est", "une", "dans", "pour", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他"))
+
+  /** Fraction of tokens that are stopwords of `lang`. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val set = stopwords(lang)
+    val ts = normalizedTokens(text)
+    when(size(ts) > 0,
+      size(filter(ts, t => t.isInCollection(set))).cast(DoubleType) /
+        size(ts).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** Marker-token count for one language (used by languageId and by the
+    * DuckDB oracle, which mirrors the exact same counting).
+    */
+  def markerCount(text: Column, lang: String): Column =
+    size(filter(normalizedTokens(text), t => t.isInCollection(stopwords(lang))))
+
+  /** Heuristic language ID: argmax of marker counts with a CJK-character
+    * override; ties break alphabetically; no markers => "und".
+    */
+  def languageId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    // argmax by (count, earlier-alphabetical wins ties): maximize the struct
+    // (count, -alphabetical_index), then read the language back out
+    val scores = langs.zipWithIndex.map { case (l, idx) =>
+      struct(markerCount(text, l).as("c"), lit(-idx).as("nidx"), lit(l).as("l"))
+    }
+    val best = array_max(array(scores: _*))
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    when(cjk > lit(0), lit("zh"))
+      .when(best.getField("c") > lit(0), best.getField("l"))
+      .otherwise(lit("und"))
+  }
+
+  /** 64-bit document fingerprint over normalized text: whitespace-collapsed,
+    * lowercased, xxhash64 — deterministic and distributed.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Composite quality score in [0, 1]: length, alpha share, stopword
+    * presence, token-length sanity — the standard pre-training heuristics.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast(DoubleType) / lit(200.0), lit(1.0))
+    val alpha = alphaRatio(text)
+    val stop = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val tokLen = meanTokenLength(text)
+    val tokScore = when(tokLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.3))
+    (lenScore * lit(0.3)) + (alpha * lit(0.3)) + (stop * lit(0.2)) + (tokScore * lit(0.2))
+  }
+
+  /** All features as a select-ready list (single scan, codegen'd). */
+  def featureColumns(text: Column): Seq[Column] = Seq(
+    charCount(text).as("n_chars"),
+    tokenCount(text).as("n_tokens"),
+    alphaRatio(text).as("alpha_ratio"),
+    digitRatio(text).as("digit_ratio"),
+    punctRatio(text).as("punct_ratio"),
+    whitespaceRatio(text).as("whitespace_ratio"),
+    meanTokenLength(text).as("mean_token_len"),
+    stopwordRatio(text).as("stopword_ratio"),
+    languageId(text).as("lang_id"),
+    fingerprint(text).as("fingerprint"),
+    qualityScore(text).as("quality_score"))
+
+  def withFeatures(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("*") +: featureColumns(col(textCol)): _*)
+}
