@@ -93,8 +93,13 @@ object VerificationSuite {
 }
 
 class VerificationRunBuilder(data: DataFrame) {
+  import graft.anomaly.AnomalyDetectionStrategy
+  import graft.repository.{MetricsRepository, ResultKey}
+
   private var checks: Seq[Check] = Seq.empty
   private var requiredAnalyzers: Seq[AnyAnalyzer] = Seq.empty
+  private var repository: Option[MetricsRepository] = None
+  private var saveKey: Option[ResultKey] = None
 
   def addCheck(check: Check): VerificationRunBuilder = {
     checks = checks :+ check
@@ -111,6 +116,50 @@ class VerificationRunBuilder(data: DataFrame) {
     this
   }
 
-  def run(): VerificationResult =
-    VerificationSuite().doVerificationRun(data, checks, requiredAnalyzers)
+  def useRepository(repo: MetricsRepository): VerificationRunBuilder = {
+    repository = Some(repo)
+    this
+  }
+
+  def saveOrAppendResult(key: ResultKey): VerificationRunBuilder = {
+    saveKey = Some(key)
+    this
+  }
+
+  /** Verifies that the analyzer's newest metric value is not anomalous
+    * given its history in the repository
+    * (reference capability: VerificationRunBuilder.scala:226-241,
+    * checks/Check.scala:1511-1569 isNewestPointNonAnomalous).
+    */
+  def addAnomalyCheck(
+      strategy: AnomalyDetectionStrategy,
+      analyzer: AnyAnalyzer,
+      description: String = "Anomaly check",
+      withTagValues: Map[String, String] = Map.empty,
+      afterDate: Option[Long] = None,
+      beforeDate: Option[Long] = None): VerificationRunBuilder = {
+    val repo = repository.getOrElse(
+      throw new IllegalStateException("useRepository() must be called before addAnomalyCheck"))
+    val assertion: Double => Boolean = { currentValue =>
+      var loader = repo.load()
+      if (withTagValues.nonEmpty) loader = loader.withTagValues(withTagValues)
+      afterDate.foreach(d => loader = loader.after(d))
+      beforeDate.foreach(d => loader = loader.before(d))
+      val history = loader.forAnalyzers(Seq(analyzer)).timeSeriesOf(analyzer).map(_._2)
+      val series = (history :+ currentValue).toVector
+      strategy.detect(series, (series.length - 1, series.length)).isEmpty
+    }
+    checks = checks :+ Check(CheckLevel.Warning, description,
+      Seq(Constraint("AnomalyConstraint", analyzer, assertion)))
+    this
+  }
+
+  def run(): VerificationResult = {
+    val result = VerificationSuite().doVerificationRun(data, checks, requiredAnalyzers)
+    for {
+      repo <- repository
+      key <- saveKey
+    } repo.save(key, graft.runners.AnalyzerContext(result.metrics))
+    result
+  }
 }

@@ -1,0 +1,147 @@
+package graft.core
+
+import java.io.{DataInputStream, DataOutputStream}
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{DataTypeState, FrequenciesAndNumRows}
+
+/** Load/persist analyzer states — the substrate of incremental computation:
+  * compute per-partition/per-day states once, merge algebraically later,
+  * never rescan (reference capability: analyzers/StateProvider.scala:35-41).
+  */
+trait StateLoader {
+  def load[S <: State[_]](analyzer: Analyzer[S, _]): Option[S]
+}
+
+trait StatePersister {
+  def persist[S <: State[_]](analyzer: Analyzer[S, _], state: S): Unit
+}
+
+/** In-memory provider (reference capability: InMemoryStateProvider). */
+class InMemoryStateProvider extends StateLoader with StatePersister {
+  private val store = new TrieMap[AnyAnalyzer, State[_]]
+
+  override def load[S <: State[_]](analyzer: Analyzer[S, _]): Option[S] =
+    store.get(analyzer.asInstanceOf[AnyAnalyzer]).map(_.asInstanceOf[S])
+
+  override def persist[S <: State[_]](analyzer: Analyzer[S, _], state: S): Unit =
+    store.put(analyzer.asInstanceOf[AnyAnalyzer], state)
+}
+
+/** Hadoop-filesystem provider with compact binary serde per state type;
+  * frequency tables go to parquet
+  * (reference capability: analyzers/StateProvider.scala:71-435).
+  */
+class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
+    extends StateLoader with StatePersister {
+
+  private def conf: Configuration = spark.sparkContext.hadoopConfiguration
+
+  private def identifier(analyzer: Analyzer[_, _]): String = {
+    // stable, filesystem-safe key per analyzer instance
+    val raw = analyzer.toString
+    java.lang.Long.toHexString(
+      raw.getBytes("UTF-8").foldLeft(1125899906842597L)((h, b) => 31 * h + b))
+  }
+
+  private def withOutput[T](path: String)(f: DataOutputStream => T): T = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val out = new DataOutputStream(fs.create(p, true))
+    try f(out) finally out.close()
+  }
+
+  private def withInput[T](path: String)(f: DataInputStream => T): Option[T] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = new DataInputStream(fs.open(p))
+    try Some(f(in)) finally in.close()
+  }
+
+  override def persist[S <: State[_]](analyzer: Analyzer[S, _], state: S): Unit = {
+    val base = s"$locationPrefix-${identifier(analyzer)}"
+    state match {
+      case NumMatches(n) => withOutput(s"$base.bin")(_.writeLong(n))
+      case NumMatchesAndCount(n, c) =>
+        withOutput(s"$base.bin") { o => o.writeLong(n); o.writeLong(c) }
+      case MinState(v) => withOutput(s"$base.bin")(_.writeDouble(v))
+      case MaxState(v) => withOutput(s"$base.bin")(_.writeDouble(v))
+      case SumState(v) => withOutput(s"$base.bin")(_.writeDouble(v))
+      case MeanState(sum, c) =>
+        withOutput(s"$base.bin") { o => o.writeDouble(sum); o.writeLong(c) }
+      case MinMaxState(mn, mx) =>
+        withOutput(s"$base.bin") { o => o.writeDouble(mn); o.writeDouble(mx) }
+      case SumPairState(a, b) =>
+        withOutput(s"$base.bin") { o => o.writeDouble(a); o.writeDouble(b) }
+      case MomentsState(n, mean, m2, m3, m4) =>
+        withOutput(s"$base.bin") { o =>
+          o.writeDouble(n); o.writeDouble(mean); o.writeDouble(m2)
+          o.writeDouble(m3); o.writeDouble(m4)
+        }
+      case CorrelationState(n, xa, ya, ck, xm, ym) =>
+        withOutput(s"$base.bin") { o =>
+          o.writeDouble(n); o.writeDouble(xa); o.writeDouble(ya)
+          o.writeDouble(ck); o.writeDouble(xm); o.writeDouble(ym)
+        }
+      case HllState(bytes) =>
+        withOutput(s"$base.bin") { o => o.writeInt(bytes.length); o.write(bytes) }
+      case DataTypeState(a, b, c, d, e) =>
+        withOutput(s"$base.bin") { o =>
+          o.writeLong(a); o.writeLong(b); o.writeLong(c); o.writeLong(d); o.writeLong(e)
+        }
+      case FrequenciesAndNumRows(freq, numRows) =>
+        freq.write.mode("overwrite").parquet(s"$base-frequencies.parquet")
+        withOutput(s"$base-numrows.bin")(_.writeLong(numRows))
+      case other =>
+        throw new IllegalArgumentException(
+          s"Unable to persist state of type ${other.getClass.getSimpleName}")
+    }
+  }
+
+  override def load[S <: State[_]](analyzer: Analyzer[S, _]): Option[S] = {
+    val base = s"$locationPrefix-${identifier(analyzer)}"
+    import graft.operators._
+    val loaded: Option[Any] = analyzer match {
+      case _: Size => withInput(s"$base.bin")(i => NumMatches(i.readLong()))
+      case _: ZerosCount => withInput(s"$base.bin")(i => NumMatches(i.readLong()))
+      case _: Completeness | _: Compliance | _: PatternMatch =>
+        withInput(s"$base.bin")(i => NumMatchesAndCount(i.readLong(), i.readLong()))
+      case _: Minimum | _: MinLength => withInput(s"$base.bin")(i => MinState(i.readDouble()))
+      case _: Maximum | _: MaxLength => withInput(s"$base.bin")(i => MaxState(i.readDouble()))
+      case _: Sum => withInput(s"$base.bin")(i => SumState(i.readDouble()))
+      case _: Mean => withInput(s"$base.bin")(i => MeanState(i.readDouble(), i.readLong()))
+      case _: ValueRange =>
+        withInput(s"$base.bin")(i => MinMaxState(i.readDouble(), i.readDouble()))
+      case _: RatioOfSums =>
+        withInput(s"$base.bin")(i => SumPairState(i.readDouble(), i.readDouble()))
+      case _: StandardDeviation | _: Variance | _: Skewness | _: Kurtosis =>
+        withInput(s"$base.bin")(i => MomentsState(
+          i.readDouble(), i.readDouble(), i.readDouble(), i.readDouble(), i.readDouble()))
+      case _: Correlation =>
+        withInput(s"$base.bin")(i => CorrelationState(
+          i.readDouble(), i.readDouble(), i.readDouble(),
+          i.readDouble(), i.readDouble(), i.readDouble()))
+      case _: ApproxCountDistinct =>
+        withInput(s"$base.bin") { i =>
+          val len = i.readInt(); val bytes = new Array[Byte](len); i.readFully(bytes)
+          HllState(bytes)
+        }
+      case _: DataTypeAnalyzer =>
+        withInput(s"$base.bin")(i => DataTypeState(
+          i.readLong(), i.readLong(), i.readLong(), i.readLong(), i.readLong()))
+      case g: GroupingAnalyzer[_] =>
+        val numRows = withInput(s"$base-numrows.bin")(_.readLong())
+        numRows.map { n =>
+          FrequenciesAndNumRows(spark.read.parquet(s"$base-frequencies.parquet"), n)
+        }
+      case _ => None
+    }
+    loaded.map(_.asInstanceOf[S])
+  }
+}

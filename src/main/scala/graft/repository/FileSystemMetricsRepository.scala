@@ -1,0 +1,88 @@
+package graft.repository
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import graft.runners.AnalyzerContext
+
+/** JSON-file repository on any Hadoop-compatible filesystem (local, HDFS,
+  * S3A…) — the same file works from a laptop and a 1000-executor cluster
+  * (reference capability: repository/fs/FileSystemMetricsRepository.scala:39-91).
+  */
+class FileSystemMetricsRepository(spark: SparkSession, path: String) extends MetricsRepository {
+
+  private def hadoopConf: Configuration = spark.sparkContext.hadoopConfiguration
+
+  private def readAll(): Seq[AnalysisResult] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    try {
+      val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      val content = Iterator.continually(reader.readLine()).takeWhile(_ != null).mkString("\n")
+      AnalysisResultSerde.deserialize(content)
+    } finally in.close()
+  }
+
+  private def writeAll(results: Seq[AnalysisResult]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val tmp = new Path(path + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(AnalysisResultSerde.serialize(results).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  override def save(resultKey: ResultKey, analyzerContext: AnalyzerContext): Unit = {
+    val successful = AnalyzerContext(
+      analyzerContext.metricMap.filter { case (_, m) => m.value.isSuccess })
+    val existing = readAll().filterNot(_.resultKey == resultKey)
+    writeAll(existing :+ AnalysisResult(resultKey, successful))
+  }
+
+  override def loadByKey(resultKey: ResultKey): Option[AnalyzerContext] =
+    readAll().find(_.resultKey == resultKey).map(_.analyzerContext)
+
+  override def load(): MetricsRepositoryMultipleResultsLoader =
+    LoaderImpl(() => readAll())
+}
+
+/** Spark-table repository: metrics appended as rows of a saved table
+  * (reference capability: repository/sparktable/SparkMetricsRepository.scala:25-62).
+  */
+class SparkTableMetricsRepository(spark: SparkSession, tableName: String)
+    extends MetricsRepository {
+
+  import spark.implicits._
+
+  override def save(resultKey: ResultKey, analyzerContext: AnalyzerContext): Unit = {
+    val serialized = AnalysisResultSerde.serialize(
+      Seq(AnalysisResult(resultKey, analyzerContext)))
+    val df = Seq((resultKey.dataSetDate, resultKey.tags.map { case (k, v) => s"$k=$v" }
+      .mkString(","), serialized))
+      .toDF("dataset_date", "tags", "serialized_result")
+    df.write.mode("append").saveAsTable(tableName)
+  }
+
+  private def readAll(): Seq[AnalysisResult] = {
+    if (!spark.catalog.tableExists(tableName)) return Seq.empty
+    spark.table(tableName)
+      .select("serialized_result")
+      .collect()
+      .toSeq
+      .flatMap(r => AnalysisResultSerde.deserialize(r.getString(0)))
+  }
+
+  override def loadByKey(resultKey: ResultKey): Option[AnalyzerContext] =
+    readAll().find(_.resultKey == resultKey).map(_.analyzerContext)
+
+  override def load(): MetricsRepositoryMultipleResultsLoader =
+    LoaderImpl(() => readAll())
+}

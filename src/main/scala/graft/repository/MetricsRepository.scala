@@ -1,0 +1,99 @@
+package graft.repository
+
+import scala.collection.concurrent.TrieMap
+import scala.util.{Success, Try}
+
+import graft.core._
+import graft.runners.AnalyzerContext
+
+/** Identifies one metrics snapshot: a timestamp plus free-form tags
+  * (reference capability: repository/MetricsRepository.scala:25-51).
+  */
+case class ResultKey(dataSetDate: Long, tags: Map[String, String] = Map.empty)
+
+case class AnalysisResult(resultKey: ResultKey, analyzerContext: AnalyzerContext)
+
+/** Store + query interface for computed metrics over time — the substrate
+  * for anomaly detection and metric reuse
+  * (reference capability: repository/MetricsRepository.scala).
+  */
+trait MetricsRepository {
+  def save(resultKey: ResultKey, analyzerContext: AnalyzerContext): Unit
+  def loadByKey(resultKey: ResultKey): Option[AnalyzerContext]
+  def load(): MetricsRepositoryMultipleResultsLoader
+}
+
+/** Fluent query over the stored results. */
+trait MetricsRepositoryMultipleResultsLoader {
+  def withTagValues(tagValues: Map[String, String]): MetricsRepositoryMultipleResultsLoader
+  def forAnalyzers(analyzers: Seq[AnyAnalyzer]): MetricsRepositoryMultipleResultsLoader
+  def after(dateTime: Long): MetricsRepositoryMultipleResultsLoader
+  def before(dateTime: Long): MetricsRepositoryMultipleResultsLoader
+  def get(): Seq[AnalysisResult]
+
+  /** Time series of successful values for one analyzer, oldest first. */
+  def timeSeriesOf(analyzer: AnyAnalyzer): Seq[(Long, Double)] =
+    get()
+      .sortBy(_.resultKey.dataSetDate)
+      .flatMap { r =>
+        r.analyzerContext.metric(analyzer).flatMap {
+          case DoubleMetric(_, _, _, Success(v), _) => Some(r.resultKey.dataSetDate -> v)
+          case _ => None
+        }
+      }
+}
+
+private[repository] case class LoaderImpl(
+    results: () => Seq[AnalysisResult],
+    tagFilter: Option[Map[String, String]] = None,
+    analyzerFilter: Option[Seq[AnyAnalyzer]] = None,
+    afterTime: Option[Long] = None,
+    beforeTime: Option[Long] = None
+) extends MetricsRepositoryMultipleResultsLoader {
+
+  override def withTagValues(tagValues: Map[String, String]): MetricsRepositoryMultipleResultsLoader =
+    copy(tagFilter = Some(tagValues))
+
+  override def forAnalyzers(analyzers: Seq[AnyAnalyzer]): MetricsRepositoryMultipleResultsLoader =
+    copy(analyzerFilter = Some(analyzers))
+
+  override def after(dateTime: Long): MetricsRepositoryMultipleResultsLoader =
+    copy(afterTime = Some(dateTime))
+
+  override def before(dateTime: Long): MetricsRepositoryMultipleResultsLoader =
+    copy(beforeTime = Some(dateTime))
+
+  override def get(): Seq[AnalysisResult] = {
+    results()
+      .filter(r => afterTime.forall(r.resultKey.dataSetDate >= _))
+      .filter(r => beforeTime.forall(r.resultKey.dataSetDate <= _))
+      .filter(r => tagFilter.forall(t => t.toSet.subsetOf(r.resultKey.tags.toSet)))
+      .map { r =>
+        analyzerFilter match {
+          case Some(as) =>
+            AnalysisResult(r.resultKey,
+              AnalyzerContext(r.analyzerContext.metricMap.filter { case (a, _) => as.contains(a) }))
+          case None => r
+        }
+      }
+  }
+}
+
+/** Thread-safe in-memory repository
+  * (reference capability: repository/memory/InMemoryMetricsRepository.scala:28).
+  */
+class InMemoryMetricsRepository extends MetricsRepository {
+
+  private val store = new TrieMap[ResultKey, AnalyzerContext]
+
+  override def save(resultKey: ResultKey, analyzerContext: AnalyzerContext): Unit = {
+    // only successful metrics are persisted, as in the reference
+    val successful = analyzerContext.metricMap.filter { case (_, m) => m.value.isSuccess }
+    store.put(resultKey, AnalyzerContext(successful))
+  }
+
+  override def loadByKey(resultKey: ResultKey): Option[AnalyzerContext] = store.get(resultKey)
+
+  override def load(): MetricsRepositoryMultipleResultsLoader =
+    LoaderImpl(() => store.toSeq.map { case (k, v) => AnalysisResult(k, v) })
+}

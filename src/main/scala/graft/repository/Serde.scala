@@ -1,0 +1,190 @@
+package graft.repository
+
+import scala.util.{Failure, Success, Try}
+
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+import graft.core._
+import graft.operators._
+import graft.runners.AnalyzerContext
+
+/** JSON round-trip for analysis results
+  * (reference capability: repository/AnalysisResultSerde.scala).
+  *
+  * Analyzers serialize to a typed parameter object so a repository written
+  * by one run can be queried by analyzer instance in a later run.
+  */
+object AnalysisResultSerde {
+
+  // -- analyzer <-> json ------------------------------------------------------
+
+  private def whereJson(where: Option[String]): JValue =
+    where.map(JString).getOrElse(JNull)
+
+  def analyzerToJson(a: AnyAnalyzer): JValue = a match {
+    case Size(w) => ("type" -> "Size") ~ ("where" -> w)
+    case Completeness(c, w) => ("type" -> "Completeness") ~ ("column" -> c) ~ ("where" -> w)
+    case Compliance(i, p, w) =>
+      ("type" -> "Compliance") ~ ("instance" -> i) ~ ("predicate" -> p) ~ ("where" -> w)
+    case PatternMatch(c, p, w) =>
+      ("type" -> "PatternMatch") ~ ("column" -> c) ~ ("pattern" -> p) ~ ("where" -> w)
+    case Minimum(c, w) => ("type" -> "Minimum") ~ ("column" -> c) ~ ("where" -> w)
+    case Maximum(c, w) => ("type" -> "Maximum") ~ ("column" -> c) ~ ("where" -> w)
+    case Mean(c, w) => ("type" -> "Mean") ~ ("column" -> c) ~ ("where" -> w)
+    case Sum(c, w) => ("type" -> "Sum") ~ ("column" -> c) ~ ("where" -> w)
+    case ValueRange(c, w) => ("type" -> "Range") ~ ("column" -> c) ~ ("where" -> w)
+    case RatioOfSums(n, d, w) =>
+      ("type" -> "RatioOfSums") ~ ("numerator" -> n) ~ ("denominator" -> d) ~ ("where" -> w)
+    case ZerosCount(c, w) => ("type" -> "ZerosCount") ~ ("column" -> c) ~ ("where" -> w)
+    case MinLength(c, w, _) => ("type" -> "MinLength") ~ ("column" -> c) ~ ("where" -> w)
+    case MaxLength(c, w, _) => ("type" -> "MaxLength") ~ ("column" -> c) ~ ("where" -> w)
+    case StandardDeviation(c, w) =>
+      ("type" -> "StandardDeviation") ~ ("column" -> c) ~ ("where" -> w)
+    case Variance(c, w) => ("type" -> "Variance") ~ ("column" -> c) ~ ("where" -> w)
+    case Skewness(c, w) => ("type" -> "Skewness") ~ ("column" -> c) ~ ("where" -> w)
+    case Kurtosis(c, w) => ("type" -> "Kurtosis") ~ ("column" -> c) ~ ("where" -> w)
+    case Correlation(a1, a2, w) =>
+      ("type" -> "Correlation") ~ ("first" -> a1) ~ ("second" -> a2) ~ ("where" -> w)
+    case ApproxCountDistinct(c, w) =>
+      ("type" -> "ApproxCountDistinct") ~ ("column" -> c) ~ ("where" -> w)
+    case ExactQuantile(c, q, w) =>
+      ("type" -> "ExactQuantile") ~ ("column" -> c) ~ ("quantile" -> q) ~ ("where" -> w)
+    case ApproxQuantile(c, q, e, w) =>
+      ("type" -> "ApproxQuantile") ~ ("column" -> c) ~ ("quantile" -> q) ~
+        ("relativeError" -> e) ~ ("where" -> w)
+    case InterquartileRange(c, w) =>
+      ("type" -> "InterquartileRange") ~ ("column" -> c) ~ ("where" -> w)
+    case Uniqueness(cols, w) =>
+      ("type" -> "Uniqueness") ~ ("columns" -> cols) ~ ("where" -> w)
+    case UniqueValueRatio(cols, w) =>
+      ("type" -> "UniqueValueRatio") ~ ("columns" -> cols) ~ ("where" -> w)
+    case Distinctness(cols, w) =>
+      ("type" -> "Distinctness") ~ ("columns" -> cols) ~ ("where" -> w)
+    case CountDistinct(cols) => ("type" -> "CountDistinct") ~ ("columns" -> cols)
+    case Entropy(c, w) => ("type" -> "Entropy") ~ ("column" -> c) ~ ("where" -> w)
+    case DuplicateRowCount(cols, w) =>
+      ("type" -> "DuplicateRowCount") ~ ("columns" -> cols) ~ ("where" -> w)
+    case MutualInformation(cols, w) =>
+      ("type" -> "MutualInformation") ~ ("columns" -> cols) ~ ("where" -> w)
+    case DataTypeAnalyzer(c, w) => ("type" -> "DataType") ~ ("column" -> c) ~ ("where" -> w)
+    case ColumnCount() => JObject("type" -> JString("ColumnCount"))
+    case ColumnExists(c) => ("type" -> "ColumnExists") ~ ("column" -> c)
+    case CustomSql(e) => ("type" -> "CustomSql") ~ ("expression" -> e)
+    case other =>
+      ("type" -> "Opaque") ~ ("descriptor" -> other.toString)
+  }
+
+  private def str(j: JValue, field: String): String =
+    (j \ field) match { case JString(s) => s; case _ => throw new IllegalArgumentException(field) }
+
+  private def strOpt(j: JValue, field: String): Option[String] =
+    (j \ field) match { case JString(s) => Some(s); case _ => None }
+
+  private def dbl(j: JValue, field: String): Double =
+    (j \ field) match {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case _ => throw new IllegalArgumentException(field)
+    }
+
+  private def strSeq(j: JValue, field: String): Seq[String] =
+    (j \ field) match {
+      case JArray(vs) => vs.collect { case JString(s) => s }
+      case _ => Seq.empty
+    }
+
+  def analyzerFromJson(j: JValue): Option[AnyAnalyzer] = Try[AnyAnalyzer] {
+    str(j, "type") match {
+      case "Size" => Size(strOpt(j, "where"))
+      case "Completeness" => Completeness(str(j, "column"), strOpt(j, "where"))
+      case "Compliance" => Compliance(str(j, "instance"), str(j, "predicate"), strOpt(j, "where"))
+      case "PatternMatch" => PatternMatch(str(j, "column"), str(j, "pattern"), strOpt(j, "where"))
+      case "Minimum" => Minimum(str(j, "column"), strOpt(j, "where"))
+      case "Maximum" => Maximum(str(j, "column"), strOpt(j, "where"))
+      case "Mean" => Mean(str(j, "column"), strOpt(j, "where"))
+      case "Sum" => Sum(str(j, "column"), strOpt(j, "where"))
+      case "Range" => ValueRange(str(j, "column"), strOpt(j, "where"))
+      case "RatioOfSums" =>
+        RatioOfSums(str(j, "numerator"), str(j, "denominator"), strOpt(j, "where"))
+      case "ZerosCount" => ZerosCount(str(j, "column"), strOpt(j, "where"))
+      case "MinLength" => MinLength(str(j, "column"), strOpt(j, "where"))
+      case "MaxLength" => MaxLength(str(j, "column"), strOpt(j, "where"))
+      case "StandardDeviation" => StandardDeviation(str(j, "column"), strOpt(j, "where"))
+      case "Variance" => Variance(str(j, "column"), strOpt(j, "where"))
+      case "Skewness" => Skewness(str(j, "column"), strOpt(j, "where"))
+      case "Kurtosis" => Kurtosis(str(j, "column"), strOpt(j, "where"))
+      case "Correlation" => Correlation(str(j, "first"), str(j, "second"), strOpt(j, "where"))
+      case "ApproxCountDistinct" => ApproxCountDistinct(str(j, "column"), strOpt(j, "where"))
+      case "ExactQuantile" =>
+        ExactQuantile(str(j, "column"), dbl(j, "quantile"), strOpt(j, "where"))
+      case "ApproxQuantile" =>
+        ApproxQuantile(str(j, "column"), dbl(j, "quantile"), dbl(j, "relativeError"),
+          strOpt(j, "where"))
+      case "InterquartileRange" => InterquartileRange(str(j, "column"), strOpt(j, "where"))
+      case "Uniqueness" => Uniqueness(strSeq(j, "columns"), strOpt(j, "where"))
+      case "UniqueValueRatio" => UniqueValueRatio(strSeq(j, "columns"), strOpt(j, "where"))
+      case "Distinctness" => Distinctness(strSeq(j, "columns"), strOpt(j, "where"))
+      case "CountDistinct" => CountDistinct(strSeq(j, "columns"))
+      case "Entropy" => Entropy(str(j, "column"), strOpt(j, "where"))
+      case "DuplicateRowCount" => DuplicateRowCount(strSeq(j, "columns"), strOpt(j, "where"))
+      case "MutualInformation" => MutualInformation(strSeq(j, "columns"), strOpt(j, "where"))
+      case "DataType" => DataTypeAnalyzer(str(j, "column"), strOpt(j, "where"))
+      case "ColumnCount" => ColumnCount()
+      case "ColumnExists" => ColumnExists(str(j, "column"))
+      case "CustomSql" => CustomSql(str(j, "expression"))
+      case other => throw new IllegalArgumentException(s"Unknown analyzer type $other")
+    }
+  }.toOption
+
+  // -- results <-> json -------------------------------------------------------
+
+  def serialize(results: Seq[AnalysisResult]): String = {
+    val json = JArray(results.toList.map { r =>
+      val metrics = r.analyzerContext.metricMap.toList.collect {
+        case (a, DoubleMetric(entity, name, instance, Success(v), _)) =>
+          ("analyzer" -> analyzerToJson(a)) ~
+            ("entity" -> entity.repr) ~ ("name" -> name) ~
+            ("instance" -> instance) ~ ("value" -> v)
+      }
+      ("resultKey" ->
+        (("dataSetDate" -> r.resultKey.dataSetDate) ~ ("tags" -> r.resultKey.tags))) ~
+        ("metrics" -> JArray(metrics))
+    })
+    JsonMethods.pretty(JsonMethods.render(json))
+  }
+
+  def deserialize(jsonStr: String): Seq[AnalysisResult] = {
+    val json = JsonMethods.parse(jsonStr)
+    json match {
+      case JArray(entries) => entries.flatMap { e =>
+        Try {
+          val dataSetDate = (e \ "resultKey" \ "dataSetDate") match {
+            case JInt(i) => i.toLong
+            case JLong(l) => l
+            case _ => 0L
+          }
+          val tags = (e \ "resultKey" \ "tags") match {
+            case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+            case _ => Map.empty[String, String]
+          }
+          val metrics: Seq[(AnyAnalyzer, Metric[_])] = (e \ "metrics") match {
+            case JArray(ms) => ms.flatMap { m =>
+              analyzerFromJson(m \ "analyzer").map { a =>
+                val metric: Metric[_] = DoubleMetric(
+                  Entity.fromString(str(m, "entity")), str(m, "name"),
+                  str(m, "instance"), Success(dbl(m, "value")))
+                a -> metric
+              }
+            }
+            case _ => Seq.empty
+          }
+          AnalysisResult(ResultKey(dataSetDate, tags), AnalyzerContext(metrics.toMap))
+        }.toOption
+      }
+      case _ => Seq.empty
+    }
+  }
+}

@@ -115,6 +115,72 @@ object AnalysisRunner {
     AnalyzerContext(failureMetrics ++ scanMetrics ++ groupingMetrics ++ otherMetrics)
   }
 
+  /** Incremental run: computes states from `data`, merges each with the
+    * state loaded from `aggregateWith` (if any), optionally persists the
+    * merged state, and renders metrics from the MERGED state — the
+    * partition-and-merge algebra that avoids rescanning historic data
+    * (reference capability: analyzers/Analyzer.scala:126-166).
+    */
+  def runStateful(
+      data: DataFrame,
+      analyzers: Seq[AnyAnalyzer],
+      aggregateWith: Option[StateLoader] = None,
+      saveStatesWith: Option[StatePersister] = None): AnalyzerContext = {
+
+    val metrics = analyzers.distinct.map { a =>
+      val metric: Metric[_] =
+        try {
+          a.preconditions.foreach(_(data.schema))
+          statefulMetric(a.asInstanceOf[Analyzer[State[_], Metric[_]]],
+            data, aggregateWith, saveStatesWith)
+        } catch {
+          case e: Throwable => a.toFailureMetric(e)
+        }
+      (a: AnyAnalyzer) -> metric
+    }.toMap
+    AnalyzerContext(metrics)
+  }
+
+  /** No scan at all: load states from N providers, merge pairwise, render
+    * metrics (reference capability: runners/AnalysisRunner.scala:466-541).
+    */
+  def runOnAggregatedStates(
+      analyzers: Seq[AnyAnalyzer],
+      stateLoaders: Seq[StateLoader],
+      saveStatesWith: Option[StatePersister] = None): AnalyzerContext = {
+
+    val metrics = analyzers.distinct.map { a =>
+      val typed = a.asInstanceOf[Analyzer[State[_], Metric[_]]]
+      val metric: Metric[_] =
+        try {
+          val states: Seq[State[_]] = stateLoaders.flatMap(_.load(typed))
+          val merged: Option[State[_]] =
+            states.reduceOption((s1, s2) => s1.mergeUntyped(s2).asInstanceOf[State[_]])
+          merged.foreach(m => saveStatesWith.foreach(_.persist[State[_]](typed, m)))
+          typed.computeMetricFrom(merged)
+        } catch {
+          case e: Throwable => a.toFailureMetric(e)
+        }
+      (a: AnyAnalyzer) -> metric
+    }.toMap
+    AnalyzerContext(metrics)
+  }
+
+  private def statefulMetric(
+      analyzer: Analyzer[State[_], Metric[_]],
+      data: DataFrame,
+      aggregateWith: Option[StateLoader],
+      saveStatesWith: Option[StatePersister]): Metric[_] = {
+    val fresh: Option[State[_]] = analyzer.computeStateFrom(data)
+    val loaded: Option[State[_]] = aggregateWith.flatMap(_.load(analyzer))
+    val merged: Option[State[_]] = (fresh, loaded) match {
+      case (Some(f), Some(l)) => Some(f.mergeUntyped(l).asInstanceOf[State[_]])
+      case (f, l) => f.orElse(l)
+    }
+    merged.foreach(m => saveStatesWith.foreach(_.persist[State[_]](analyzer, m)))
+    analyzer.computeMetricFrom(merged)
+  }
+
   /** All scan-shareable analyzers → one `df.agg(...)`; each analyzer
     * decodes its slice of the single result row via offsets.
     */

@@ -19,6 +19,46 @@ object Demo {
     val results = graft.SparkEntry.entry(spark)
     results.show(100, truncate = false)
     println(s"rows=${results.count()}")
+
+    // incremental + repository + anomaly-detection flow
+    import graft.anomaly.RelativeRateOfChangeStrategy
+    import graft.checks.VerificationSuite
+    import graft.core.{AnyAnalyzer, InMemoryStateProvider}
+    import graft.operators.{Mean, Size, Uniqueness}
+    import graft.repository.{FileSystemMetricsRepository, ResultKey}
+    import graft.runners.AnalysisRunner
+
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val repoPath = java.nio.file.Files.createTempDirectory("graft-demo").toString
+    val repo = new FileSystemMetricsRepository(spark, s"$repoPath/metrics.json")
+    (1 to 3).foreach { day =>
+      VerificationSuite().onData(df)
+        .useRepository(repo)
+        .saveOrAppendResult(ResultKey(day.toLong))
+        .addRequiredAnalyzer(Size())
+        .run()
+    }
+    val anomalyRun = VerificationSuite().onData(df)
+      .useRepository(repo)
+      .addAnomalyCheck(RelativeRateOfChangeStrategy(Some(0.5), Some(2.0)), Size())
+      .run()
+    println(s"anomalyCheckStatus=${anomalyRun.status}")
+
+    // split-compute-merge == full compute
+    val analyzers: Seq[AnyAnalyzer] =
+      Seq(Size(), Mean("l_quantity"), Uniqueness(Seq("l_orderkey")))
+    val pLeft = new InMemoryStateProvider
+    val pRight = new InMemoryStateProvider
+    AnalysisRunner.runStateful(df.filter("l_quantity <= 25"), analyzers,
+      saveStatesWith = Some(pLeft))
+    AnalysisRunner.runStateful(df.filter("l_quantity > 25"), analyzers,
+      saveStatesWith = Some(pRight))
+    val mergedCtx = AnalysisRunner.runOnAggregatedStates(analyzers, Seq(pLeft, pRight))
+    val fullCtx = AnalysisRunner.run(df, analyzers)
+    analyzers.foreach { a =>
+      println(s"incremental ${a.name}: merged=${mergedCtx.metric(a).get.value.get} " +
+        s"full=${fullCtx.metric(a).get.value.get}")
+    }
     spark.stop()
   }
 }

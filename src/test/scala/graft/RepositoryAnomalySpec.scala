@@ -1,0 +1,168 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.wordspec.AnyWordSpec
+
+import graft.anomaly._
+import graft.checks._
+import graft.core._
+import graft.operators._
+import graft.repository._
+import graft.runners.{AnalysisRunner, AnalyzerContext}
+
+class RepositoryAnomalySpec extends AnyWordSpec with Matchers with SparkSpec {
+
+  private def ctxWith(value: Double): AnalyzerContext =
+    AnalyzerContext(Map[AnyAnalyzer, Metric[_]](
+      Size() -> DoubleMetric(Entity.Dataset, "Size", "*", scala.util.Success(value))))
+
+  "InMemoryMetricsRepository" should {
+    "save and load by key, filter by tags and time" in {
+      val repo = new InMemoryMetricsRepository
+      repo.save(ResultKey(1000, Map("env" -> "dev")), ctxWith(10))
+      repo.save(ResultKey(2000, Map("env" -> "prod")), ctxWith(20))
+      repo.save(ResultKey(3000, Map("env" -> "prod")), ctxWith(30))
+
+      repo.loadByKey(ResultKey(1000, Map("env" -> "dev"))).isDefined shouldBe true
+      repo.load().withTagValues(Map("env" -> "prod")).get() should have size 2
+      repo.load().after(2000).get() should have size 2
+      repo.load().before(1500).get() should have size 1
+
+      val series = repo.load().forAnalyzers(Seq(Size())).timeSeriesOf(Size())
+      series shouldBe Seq(1000L -> 10.0, 2000L -> 20.0, 3000L -> 30.0)
+    }
+  }
+
+  "FileSystemMetricsRepository" should {
+    "round-trip metrics as JSON" in {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-repo").toString
+      val repo = new FileSystemMetricsRepository(spark, s"$tmp/metrics.json")
+      val ctx = AnalysisRunner.run(
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+        Seq(Size(), Completeness("l_orderkey"), Mean("l_quantity")))
+      repo.save(ResultKey(1234, Map("run" -> "r1")), ctx)
+      repo.save(ResultKey(5678, Map("run" -> "r2")), ctx)
+
+      val loaded = repo.load().get()
+      loaded should have size 2
+      val reloaded = repo.loadByKey(ResultKey(1234, Map("run" -> "r1"))).get
+      reloaded.metric(Size()).get.value.get shouldBe 6000.0
+      reloaded.metric(Mean("l_quantity")).get.value.isSuccess shouldBe true
+    }
+  }
+
+  "anomaly strategies" should {
+    "flag threshold violations" in {
+      val anomalies = SimpleThresholdStrategy(lowerBound = 0, upperBound = 1.0)
+        .detect(Vector(0.5, 0.9, 1.2, 0.3, -0.1))
+      anomalies.map(_._1) shouldBe Seq(2, 4)
+    }
+
+    "flag absolute changes" in {
+      val anomalies = AbsoluteChangeStrategy(Some(-2.0), Some(2.0))
+        .detect(Vector(1.0, 2.0, 3.0, 10.0, 11.0))
+      anomalies.map(_._1) shouldBe Seq(3)
+    }
+
+    "flag relative changes" in {
+      val anomalies = RelativeRateOfChangeStrategy(Some(0.5), Some(2.0))
+        .detect(Vector(100.0, 110.0, 120.0, 400.0, 420.0))
+      anomalies.map(_._1) shouldBe Seq(3)
+    }
+
+    "flag online-normal deviations" in {
+      val base = Vector.tabulate(30)(i => 10.0 + (i % 3) * 0.1)
+      val anomalies = OnlineNormalStrategy(Some(3.0), Some(3.0))
+        .detect(base :+ 50.0)
+      anomalies.map(_._1) should contain(30)
+    }
+
+    "flag batch-normal deviations within the search interval" in {
+      val base = Vector.tabulate(30)(i => 10.0 + (i % 3) * 0.1)
+      val anomalies = BatchNormalStrategy(Some(3.0), Some(3.0))
+        .detect(base :+ 99.0, (30, 31))
+      anomalies.map(_._1) shouldBe Seq(30)
+    }
+
+    "detect seasonal breaks with HoltWinters" in {
+      // two clean weekly seasons then a corrupted point
+      val season = Vector(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0)
+      val series = season ++ season ++ Vector(1.0, 2.0, 30.0)
+      val anomalies = HoltWinters(HoltWinters.SeriesSeasonality.Daily)
+        .detect(series, (14, 17))
+      anomalies.map(_._1) should contain(16)
+    }
+  }
+
+  "anomaly verification" should {
+    "pass a normal value and fail an anomalous one" in {
+      val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val repo = new InMemoryMetricsRepository
+      // seed history: sizes around 6000
+      Seq(1L, 2L, 3L, 4L).foreach { t =>
+        repo.save(ResultKey(t), ctxWith(6000.0 + t))
+      }
+      val ok = VerificationSuite().onData(df)
+        .useRepository(repo)
+        .addAnomalyCheck(
+          RelativeRateOfChangeStrategy(Some(0.5), Some(2.0)), Size(), "size anomaly")
+        .run()
+      ok.status shouldBe CheckStatus.Success
+
+      val repo2 = new InMemoryMetricsRepository
+      Seq(1L, 2L, 3L, 4L).foreach { t => repo2.save(ResultKey(t), ctxWith(100.0)) }
+      val bad = VerificationSuite().onData(df)
+        .useRepository(repo2)
+        .addAnomalyCheck(
+          RelativeRateOfChangeStrategy(Some(0.5), Some(2.0)), Size(), "size anomaly")
+        .run()
+      bad.status shouldBe CheckStatus.Warning
+    }
+  }
+
+  "state providers" should {
+    "persist and merge states incrementally" in {
+      val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val left = df.filter("l_quantity <= 25")
+      val right = df.filter("l_quantity > 25")
+      val analyzers: Seq[AnyAnalyzer] = Seq(
+        Size(), Mean("l_quantity"), StandardDeviation("l_quantity"),
+        ApproxCountDistinct("l_partkey"), Uniqueness(Seq("l_orderkey", "l_linenumber")))
+
+      val p1 = new InMemoryStateProvider
+      val p2 = new InMemoryStateProvider
+      AnalysisRunner.runStateful(left, analyzers, saveStatesWith = Some(p1))
+      AnalysisRunner.runStateful(right, analyzers, saveStatesWith = Some(p2))
+
+      val merged = AnalysisRunner.runOnAggregatedStates(analyzers, Seq(p1, p2))
+      val full = AnalysisRunner.run(df, analyzers)
+
+      analyzers.foreach { a =>
+        withClue(s"analyzer $a: ") {
+          val m = merged.metric(a).get.value.get.asInstanceOf[Double]
+          val f = full.metric(a).get.value.get.asInstanceOf[Double]
+          m shouldBe f +- math.max(1e-9, math.abs(f) * 1e-9)
+        }
+      }
+    }
+
+    "persist states to the filesystem and reload them" in {
+      val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-states").toString
+      val provider = new HdfsStateProvider(spark, s"$tmp/state")
+      val analyzers: Seq[AnyAnalyzer] = Seq(
+        Size(), Mean("l_quantity"), ApproxCountDistinct("l_partkey"),
+        Uniqueness(Seq("l_orderkey")))
+
+      AnalysisRunner.runStateful(df, analyzers, saveStatesWith = Some(provider))
+      val restored = AnalysisRunner.runOnAggregatedStates(analyzers, Seq(provider))
+      val direct = AnalysisRunner.run(df, analyzers)
+
+      analyzers.foreach { a =>
+        withClue(s"analyzer $a: ") {
+          restored.metric(a).get.value.get shouldBe direct.metric(a).get.value.get
+        }
+      }
+    }
+  }
+}
