@@ -139,6 +139,22 @@ case class Check(
       },
       hint = hint).copy(assertion = isOne))
 
+  def kllSketchSatisfies(column: String,
+      assertion: graft.sketch.BucketDistribution => Boolean,
+      kllParameters: Option[graft.sketch.KLLParameters] = None,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("KLLSketchConstraint",
+      graft.sketch.KLLSketchAnalyzer(column,
+        kllParameters.getOrElse(graft.sketch.KLLParameters())),
+      _ == 1.0,
+      picker = {
+        case graft.sketch.KLLMetric(_, value) =>
+          value.map(d => if (assertion(d)) 1.0 else 0.0)
+        case m => scala.util.Failure(
+          new MetricCalculationException(s"${m.name} is not a KLL metric"))
+      },
+      hint = hint))
+
   def hasEntropy(column: String, assertion: Double => Boolean,
       hint: Option[String] = None): Check =
     addConstraint(Constraint("EntropyConstraint", Entropy(column), assertion, hint = hint))

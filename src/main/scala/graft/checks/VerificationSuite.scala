@@ -46,6 +46,35 @@ object VerificationResult {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Original rows plus one boolean outcome column per check: the AND of
+    * every row-level-capable constraint's per-row outcome. Rows filtered
+    * out by a constraint's WHERE evaluate to null and count as pass
+    * (reference capability: VerificationResult.scala:94-162).
+    */
+  def rowLevelResultsAsDataFrame(
+      spark: SparkSession,
+      result: VerificationResult,
+      data: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit, col}
+    import graft.operators.FrequencyBasedAnalyzer
+
+    val outcomeColumns = result.checkResults.toSeq.flatMap { case (check, _) =>
+      val perConstraint = check.constraints.flatMap { c =>
+        c.analyzer match {
+          case a: DoubleResultScanAnalyzer[_] => a.fullColumn
+          case g: FrequencyBasedAnalyzer => g.rowLevelColumn
+          case _ => None
+        }
+      }
+      if (perConstraint.isEmpty) None
+      else Some(perConstraint
+        .map(c => coalesce(c.cast("boolean"), lit(true)))
+        .reduce(_ && _)
+        .as(check.description))
+    }
+    data.select(col("*") +: outcomeColumns: _*)
+  }
+
   /** One row per successfully computed metric. */
   def successMetricsAsDataFrame(spark: SparkSession, result: VerificationResult): DataFrame = {
     val rows = result.metrics.toSeq.collect {

@@ -122,6 +122,13 @@ abstract class FrequencyBasedAnalyzer(
   override def toFailureMetric(failure: Throwable): DoubleMetric =
     Metric.failed(entity, name, instance, failure)
 
+  /** Per-row outcome against the ORIGINAL data (not the frequency table):
+    * a window count over the grouping columns, evaluated lazily when
+    * row-level results are requested
+    * (reference capability: analyzers/GroupingAnalyzers.scala:100-106).
+    */
+  def rowLevelColumn: Option[Column] = None
+
   protected def cnt: Column = col(FrequenciesAndNumRows.COUNT_COL)
 }
 
@@ -134,6 +141,12 @@ case class Uniqueness(override val groupingColumns: Seq[String],
 
   override def aggregationFunctionsOverFrequencies(numRows: Long): Seq[Column] =
     coalesce(sum((cnt === lit(1L)).cast(DoubleType)), lit(0.0)) :: Nil
+
+  override def rowLevelColumn: Option[Column] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupingColumns.map(col): _*)
+    Some(count(lit(1)).over(w) === lit(1L))
+  }
 
   override def fromFrequencyAggregate(result: Row, offset: Int, numRows: Long): Option[Double] =
     if (numRows == 0L) None else Some(result.getDouble(offset) / numRows)

@@ -270,8 +270,14 @@ case class ApproxCountDistinct(column: String, where: Option[String] = None)
 
   override def preconditions: Seq[StructType => Unit] = hasColumn(column) :: Nil
 
+  // xxhash64 first: makes the sketch type-agnostic (hll_sketch_agg only
+  // accepts int/long/string/binary) and cheap for wide types; collisions
+  // are far below the sketch's own error at HLL precision
   override def aggregationFunctions(): Seq[Column] =
-    hll_sketch_agg(conditionalSelection(col(column), where), lit(HllState.LG_K)) :: Nil
+    hll_sketch_agg(
+      when(conditionalSelection(col(column), where).isNotNull,
+        xxhash64(conditionalSelection(col(column), where))),
+      lit(HllState.LG_K)) :: Nil
 
   override def fromAggregationResult(result: Row, offset: Int): Option[HllState] =
     if (result.isNullAt(offset)) None

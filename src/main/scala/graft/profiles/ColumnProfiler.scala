@@ -1,0 +1,163 @@
+package graft.profiles
+
+import scala.util.Success
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.core._
+import graft.operators._
+import graft.runners.AnalysisRunner
+
+/** Per-column profile (reference capability: profiles/ColumnProfile.scala). */
+sealed trait ColumnProfile {
+  def column: String
+  def completeness: Double
+  def approximateNumDistinctValues: Long
+  def dataType: String
+  def isDataTypeInferred: Boolean
+  def typeCounts: Map[String, Long]
+  def histogram: Option[Distribution]
+}
+
+case class StandardColumnProfile(
+    column: String,
+    completeness: Double,
+    approximateNumDistinctValues: Long,
+    dataType: String,
+    isDataTypeInferred: Boolean,
+    typeCounts: Map[String, Long],
+    histogram: Option[Distribution]) extends ColumnProfile
+
+case class NumericColumnProfile(
+    column: String,
+    completeness: Double,
+    approximateNumDistinctValues: Long,
+    dataType: String,
+    isDataTypeInferred: Boolean,
+    typeCounts: Map[String, Long],
+    histogram: Option[Distribution],
+    mean: Option[Double],
+    maximum: Option[Double],
+    minimum: Option[Double],
+    sum: Option[Double],
+    stdDev: Option[Double],
+    approxPercentiles: Option[Seq[Double]]) extends ColumnProfile
+
+case class ColumnProfiles(profiles: Map[String, ColumnProfile], numRecords: Long)
+
+/** Three-pass profiler, each pass one fused Spark job
+  * (reference capability: profiles/ColumnProfiler.scala:101,124-245):
+  * pass 1 generic stats for every column, pass 2 numeric stats for numeric
+  * columns, pass 3 full histograms only for low-cardinality columns.
+  * At 100 TB this is exactly 2 scans + one scan feeding K small groupBys.
+  */
+object ColumnProfiler {
+
+  val DefaultLowCardinalityThreshold = 120L
+
+  def profile(
+      data: DataFrame,
+      restrictToColumns: Option[Seq[String]] = None,
+      lowCardinalityHistogramThreshold: Long = DefaultLowCardinalityThreshold): ColumnProfiles = {
+
+    val columns = restrictToColumns.getOrElse(data.columns.toSeq)
+      .filter(c => data.columns.contains(c))
+
+    // ---- pass 1: size + per-column completeness, approx distinct, type inference
+    val pass1: Seq[AnyAnalyzer] = Size() +: columns.flatMap { c =>
+      Seq[AnyAnalyzer](Completeness(c), ApproxCountDistinct(c), DataTypeAnalyzer(c))
+    }
+    val ctx1 = AnalysisRunner.run(data, pass1)
+
+    val numRecords = ctx1.metric(Size()).flatMap(_.value.toOption)
+      .map(_.asInstanceOf[Double].toLong).getOrElse(0L)
+
+    def completenessOf(c: String): Double =
+      ctx1.metric(Completeness(c)).flatMap(_.value.toOption)
+        .map(_.asInstanceOf[Double]).getOrElse(0.0)
+
+    def approxDistinctOf(c: String): Long =
+      ctx1.metric(ApproxCountDistinct(c)).flatMap(_.value.toOption)
+        .map(_.asInstanceOf[Double].toLong).getOrElse(0L)
+
+    def typeCountsOf(c: String): Map[String, Long] =
+      ctx1.metric(DataTypeAnalyzer(c)) match {
+        case Some(HistogramMetric(_, Success(dist))) =>
+          dist.values.map { case (k, v) => k -> v.absolute }
+        case _ => Map.empty
+      }
+
+    def declaredType(c: String): Option[DataType] =
+      data.schema.fields.find(_.name == c).map(_.dataType)
+
+    def isNumericDeclared(c: String): Boolean = declaredType(c).exists {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+
+    /** Inferred semantic type for string columns, by majority of non-null counts. */
+    def inferredType(c: String): String = {
+      val counts = typeCountsOf(c) - DataTypeInstances.Null
+      val nonZero = counts.filter(_._2 > 0)
+      if (nonZero.isEmpty) DataTypeInstances.String
+      else if (nonZero.keySet == Set(DataTypeInstances.Integral)) DataTypeInstances.Integral
+      else if (nonZero.keySet.subsetOf(Set(DataTypeInstances.Integral, DataTypeInstances.Fractional)))
+        DataTypeInstances.Fractional
+      else if (nonZero.keySet == Set(DataTypeInstances.Boolean)) DataTypeInstances.Boolean
+      else DataTypeInstances.String
+    }
+
+    // ---- pass 2: numeric statistics for (declared- or inferred-) numeric columns
+    val numericColumns = columns.filter(isNumericDeclared)
+    val pass2: Seq[AnyAnalyzer] = numericColumns.flatMap { c =>
+      Seq[AnyAnalyzer](Minimum(c), Maximum(c), Mean(c), Sum(c), StandardDeviation(c),
+        ApproxQuantiles(c, Seq(0.25, 0.5, 0.75)))
+    }
+    val ctx2 = if (pass2.nonEmpty) AnalysisRunner.run(data, pass2) else ctx1
+
+    def num(a: AnyAnalyzer): Option[Double] =
+      ctx2.metric(a).flatMap(_.value.toOption).collect { case d: Double => d }
+
+    // ---- pass 3: full histograms for low-cardinality columns
+    val histogramColumns = columns.filter { c =>
+      approxDistinctOf(c) <= lowCardinalityHistogramThreshold &&
+        declaredType(c).forall {
+          case _: StructType | _: ArrayType | _: MapType | _: BinaryType => false
+          case _ => true
+        }
+    }
+    val histograms: Map[String, Distribution] = histogramColumns.flatMap { c =>
+      Histogram(c).calculate(data).value.toOption.map(c -> _)
+    }.toMap
+
+    val profiles = columns.map { c =>
+      val base = (completenessOf(c), approxDistinctOf(c), typeCountsOf(c), histograms.get(c))
+      val profile: ColumnProfile =
+        if (isNumericDeclared(c)) {
+          val quantiles = ctx2.metric(ApproxQuantiles(c, Seq(0.25, 0.5, 0.75)))
+            .flatMap(_.value.toOption)
+            .map(_.asInstanceOf[Map[String, Double]])
+            .map(m => Seq(m("0.25"), m("0.5"), m("0.75")))
+          NumericColumnProfile(c, base._1, base._2,
+            declaredType(c).map(_.simpleString).getOrElse("unknown"),
+            isDataTypeInferred = false, base._3, base._4,
+            mean = num(Mean(c)), maximum = num(Maximum(c)), minimum = num(Minimum(c)),
+            sum = num(Sum(c)), stdDev = num(StandardDeviation(c)),
+            approxPercentiles = quantiles)
+        } else if (declaredType(c).contains(StringType)) {
+          StandardColumnProfile(c, base._1, base._2, inferredType(c),
+            isDataTypeInferred = true, base._3, base._4)
+        } else {
+          StandardColumnProfile(c, base._1, base._2,
+            declaredType(c).map(_.simpleString).getOrElse("unknown"),
+            isDataTypeInferred = false, base._3, base._4)
+        }
+      c -> profile
+    }.toMap
+
+    ColumnProfiles(profiles, numRecords)
+  }
+}

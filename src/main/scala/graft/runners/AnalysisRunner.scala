@@ -201,8 +201,10 @@ object AnalysisRunner {
         (a: AnyAnalyzer) -> metric
       }.toMap
     } catch {
-      case e: Throwable =>
-        analyzers.map(a => (a: AnyAnalyzer) -> a.toFailureMetric(e)).toMap
+      case _: Throwable =>
+        // one malformed aggregation must not poison the whole fused scan:
+        // degrade to per-analyzer execution so only the offender fails
+        analyzers.map(a => (a: AnyAnalyzer) -> (a.calculate(data): Metric[_])).toMap
     }
   }
 

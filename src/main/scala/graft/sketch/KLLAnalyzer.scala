@@ -1,0 +1,139 @@
+package graft.sketch
+
+import scala.util.{Failure, Success}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DoubleType, StructType}
+
+import graft.core._
+import graft.core.Preconditions._
+
+case class KLLParameters(
+    sketchSize: Int = KLLSketch.DefaultSketchSize,
+    shrinkingFactor: Double = KLLSketch.DefaultShrinkingFactor,
+    numberOfBuckets: Int = 10)
+
+/** Mergeable KLL state. */
+case class KLLState(sketch: KLLSketch) extends State[KLLState] {
+  override def merge(other: KLLState): KLLState = KLLState(sketch.merge(other.sketch))
+}
+
+case class KLLMetric(column: String, value: scala.util.Try[BucketDistribution])
+    extends Metric[BucketDistribution] {
+  val entity: Entity = Entity.Column
+  val name: String = "KLL"
+  val instance: String = column
+}
+
+/** KLL sketch over a numeric column. Physical path: per-partition sketches
+  * merged with `treeReduce` — one pass, no shuffle, log-depth driver merge;
+  * the same plan the reference uses for scale (reference capability:
+  * analyzers/KLLSketch.scala:90, runners/KLLRunner.scala:89-177).
+  */
+case class KLLSketchAnalyzer(
+    column: String,
+    parameters: KLLParameters = KLLParameters(),
+    where: Option[String] = None)
+    extends Analyzer[KLLState, KLLMetric] {
+
+  val name = "KLL"
+  val entity: Entity = Entity.Column
+  val instance: String = column
+
+  override def preconditions: Seq[StructType => Unit] =
+    hasColumn(column) :: isNumeric(column) :: Nil
+
+  override def computeStateFrom(data: DataFrame): Option[KLLState] = {
+    val filtered = where.map(w => data.filter(org.apache.spark.sql.functions.expr(w)))
+      .getOrElse(data)
+    val values = filtered
+      .select(col(column).cast(DoubleType))
+      .na.drop()
+    if (values.isEmpty) return None
+    val sketch = values.rdd
+      .map(_.getDouble(0))
+      .mapPartitions { iter =>
+        val s = new KLLSketch(parameters.sketchSize, parameters.shrinkingFactor)
+        iter.foreach(s.update)
+        Iterator.single(s)
+      }
+      .treeReduce((a, b) => a.merge(b), depth = 2)
+    Some(KLLState(sketch))
+  }
+
+  override def computeMetricFrom(state: Option[KLLState]): KLLMetric = state match {
+    case Some(KLLState(sketch)) =>
+      KLLMetric(column, Success(BucketDistribution(
+        sketch.buckets(parameters.numberOfBuckets),
+        Seq(parameters.shrinkingFactor, parameters.sketchSize.toDouble),
+        sketch)))
+    case None =>
+      KLLMetric(column, Failure(new EmptyStateException(s"Empty state for KLL $column")))
+  }
+
+  override def toFailureMetric(failure: Throwable): KLLMetric =
+    KLLMetric(column, Failure(MetricCalculationException.wrap(failure)))
+}
+
+/** Distribution distance measures — driver-side over sketches/histograms
+  * (reference capability: analyzers/Distance.scala:56,96-251,329).
+  */
+object Distance {
+
+  /** Two-sample Kolmogorov-Smirnov statistic from two KLL sketches:
+    * max |cdf1 - cdf2| over the union of sketch quantile grids.
+    */
+  def numericalDistance(s1: KLLSketch, s2: KLLSketch, gridSize: Int = 200): Double = {
+    if (s1.count == 0 || s2.count == 0) return 0.0
+    val points = (s1.quantiles(gridSize) ++ s2.quantiles(gridSize)).distinct.sorted
+    points.map { p =>
+      val c1 = s1.rank(p).toDouble / s1.count
+      val c2 = s2.rank(p).toDouble / s2.count
+      math.abs(c1 - c2)
+    }.max
+  }
+
+  /** L-infinity distance between two categorical distributions. */
+  def categoricalDistance(d1: Distribution, d2: Distribution): Double = {
+    val keys = d1.values.keySet ++ d2.values.keySet
+    if (keys.isEmpty) return 0.0
+    keys.map { k =>
+      val r1 = d1.values.get(k).map(_.ratio).getOrElse(0.0)
+      val r2 = d2.values.get(k).map(_.ratio).getOrElse(0.0)
+      math.abs(r1 - r2)
+    }.max
+  }
+
+  /** Chi-square statistic of observed (d1) vs expected (d2) counts, with
+    * Yates continuity correction for 2-category tables.
+    */
+  def chiSquare(d1: Distribution, d2: Distribution): Double = {
+    val keys = (d1.values.keySet ++ d2.values.keySet).toSeq
+    val n1 = d1.values.values.map(_.absolute).sum.toDouble
+    val n2 = d2.values.values.map(_.absolute).sum.toDouble
+    if (n1 == 0 || n2 == 0) return 0.0
+    val yates = keys.size == 2
+    keys.map { k =>
+      val obs = d1.values.get(k).map(_.absolute.toDouble).getOrElse(0.0)
+      val expRatio = d2.values.get(k).map(_.ratio).getOrElse(0.0)
+      val expected = expRatio * n1
+      if (expected == 0.0) 0.0
+      else {
+        val diff = math.abs(obs - expected) - (if (yates) 0.5 else 0.0)
+        diff * diff / expected
+      }
+    }.sum
+  }
+
+  /** Population stability index between two categorical distributions. */
+  def populationStabilityIndex(d1: Distribution, d2: Distribution,
+      epsilon: Double = 1e-4): Double = {
+    val keys = d1.values.keySet ++ d2.values.keySet
+    keys.map { k =>
+      val a = math.max(d1.values.get(k).map(_.ratio).getOrElse(0.0), epsilon)
+      val b = math.max(d2.values.get(k).map(_.ratio).getOrElse(0.0), epsilon)
+      (a - b) * math.log(a / b)
+    }.sum
+  }
+}

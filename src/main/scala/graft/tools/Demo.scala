@@ -59,6 +59,28 @@ object Demo {
       println(s"incremental ${a.name}: merged=${mergedCtx.metric(a).get.value.get} " +
         s"full=${fullCtx.metric(a).get.value.get}")
     }
+    // profiling + suggestion + KLL flow
+    import graft.checks.{Check, CheckLevel}
+    import graft.suggestions.ConstraintSuggestionRunner
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val suggested = ConstraintSuggestionRunner.run(orders)
+    println(s"profiledColumns=${suggested.columnProfiles.profiles.size}")
+    suggested.suggestions.toSeq.sortBy(_._1).foreach { case (c, ss) =>
+      ss.foreach(sg => println(s"suggestion $c: ${sg.codeForConstraint}"))
+    }
+    val kllResult = VerificationSuite().onData(df)
+      .addCheck(Check(CheckLevel.Error, "kll check")
+        .kllSketchSatisfies("l_extendedprice", d => d.sketch.quantile(0.5) > 0))
+      .run()
+    println(s"kllCheckStatus=${kllResult.status}")
+
+    // row-level results
+    val rowCheck = Check(CheckLevel.Error, "row_ok")
+      .isNonNegative("l_quantity").satisfies("l_discount <= 0.1", "disc", _ >= 0.9)
+    val rowResult = VerificationSuite().onData(df).addCheck(rowCheck).run()
+    val rowDf = graft.checks.VerificationResult.rowLevelResultsAsDataFrame(spark, rowResult, df)
+    println(s"rowLevelTrue=${rowDf.filter(org.apache.spark.sql.functions.col("row_ok")).count()} of ${rowDf.count()}")
+
     spark.stop()
   }
 }

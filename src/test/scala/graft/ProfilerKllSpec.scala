@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.wordspec.AnyWordSpec
+
+import graft.checks._
+import graft.profiles._
+import graft.sketch._
+import graft.suggestions._
+
+class ProfilerKllSpec extends AnyWordSpec with Matchers with SparkSpec {
+
+  private lazy val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  "ColumnProfiler" should {
+    "profile every column in three passes" in {
+      val profiles = ColumnProfiler.profile(orders)
+      profiles.numRecords shouldBe 1500
+
+      val keyProfile = profiles.profiles("o_orderkey").asInstanceOf[NumericColumnProfile]
+      keyProfile.completeness shouldBe 1.0
+      keyProfile.approximateNumDistinctValues.toDouble shouldBe 1500.0 +- 100.0
+      keyProfile.minimum.get shouldBe 0.0 +- 10.0
+
+      val statusProfile = profiles.profiles("o_orderstatus")
+      statusProfile.dataType shouldBe "String"
+      statusProfile.histogram.isDefined shouldBe true
+      statusProfile.histogram.get.values.keySet should contain("O")
+
+      val priceProfile = profiles.profiles("o_totalprice").asInstanceOf[NumericColumnProfile]
+      priceProfile.mean.isDefined shouldBe true
+      priceProfile.approxPercentiles.get should have size 3
+    }
+  }
+
+  "ConstraintSuggestionRunner" should {
+    "suggest sensible constraints" in {
+      val result = ConstraintSuggestionRunner.run(orders)
+      val all = result.suggestions.values.flatten.toSeq
+      all.map(_.codeForConstraint) should contain(""".isComplete("o_orderkey")""")
+      all.map(_.codeForConstraint) should contain(""".isUnique("o_orderkey")""")
+      // o_orderstatus is low-cardinality => categorical range suggestion
+      all.filter(_.columnName == "o_orderstatus")
+        .map(_.constraintName) should contain("CategoricalRangeConstraint")
+      // numeric keys are non-negative
+      all.filter(_.columnName == "o_totalprice")
+        .map(_.constraintName) should contain("NonNegativeConstraint")
+    }
+  }
+
+  "KLLSketch" should {
+    "approximate quantiles and merge correctly" in {
+      val s1 = new KLLSketch(256)
+      val s2 = new KLLSketch(256)
+      (1 to 5000).foreach(i => s1.update(i.toDouble))
+      (5001 to 10000).foreach(i => s2.update(i.toDouble))
+      val merged = s1.merge(s2)
+      merged.count shouldBe 10000
+      merged.quantile(0.5) shouldBe 5000.0 +- 500.0
+      merged.quantile(0.1) shouldBe 1000.0 +- 300.0
+      merged.min shouldBe 1.0
+      merged.max shouldBe 10000.0
+    }
+
+    "round-trip serialization" in {
+      val s = new KLLSketch(128)
+      (1 to 1000).foreach(i => s.update(i.toDouble))
+      val restored = KLLSketch.deserialize(s.serialize())
+      restored.count shouldBe s.count
+      restored.quantile(0.5) shouldBe s.quantile(0.5)
+    }
+
+    "back kllSketchSatisfies" in {
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val check = Check(CheckLevel.Error, "kll")
+        .kllSketchSatisfies("l_quantity", { dist =>
+          dist.sketch.quantile(0.5) >= 20 && dist.sketch.quantile(0.5) <= 30 &&
+            dist.buckets.map(_.count).sum == 6000
+        })
+      val result = VerificationSuite().onData(li).addCheck(check).run()
+      result.status shouldBe CheckStatus.Success
+    }
+  }
+
+  "Distance" should {
+    "measure numerical and categorical drift" in {
+      val s1 = new KLLSketch(256)
+      val s2 = new KLLSketch(256)
+      (1 to 1000).foreach(i => s1.update(i.toDouble))
+      (1 to 1000).foreach(i => s2.update(i.toDouble + 500))
+      Distance.numericalDistance(s1, s2) should be > 0.3
+
+      val s3 = new KLLSketch(256)
+      (1 to 1000).foreach(i => s3.update(i.toDouble))
+      Distance.numericalDistance(s1, s3) should be < 0.05
+
+      import graft.core.{Distribution, DistributionValue}
+      val d1 = Distribution(Map(
+        "a" -> DistributionValue(50, 0.5), "b" -> DistributionValue(50, 0.5)), 2)
+      val d2 = Distribution(Map(
+        "a" -> DistributionValue(90, 0.9), "b" -> DistributionValue(10, 0.1)), 2)
+      Distance.categoricalDistance(d1, d2) shouldBe 0.4 +- 1e-9
+      Distance.populationStabilityIndex(d1, d2) should be > 0.5
+      Distance.chiSquare(d1, d2) should be > 10.0
+    }
+  }
+
+  "row-level results" should {
+    "produce per-row outcomes for scan and grouping constraints" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        (1, Some(10.0), "a"),
+        (2, None, "b"),
+        (3, Some(-5.0), "b"),
+        (4, Some(7.0), "c")
+      ).toDF("id", "value", "tag")
+
+      val check = Check(CheckLevel.Error, "row_outcomes")
+        .isComplete("value")
+        .isNonNegative("value")
+        .isUnique("tag")
+      val result = VerificationSuite().onData(df).addCheck(check).run()
+      val withOutcomes = VerificationResult.rowLevelResultsAsDataFrame(spark, result, df)
+
+      val rows = withOutcomes.orderBy("id")
+        .select("id", "row_outcomes").collect()
+        .map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+      rows(1) shouldBe true    // complete, non-negative, unique tag
+      rows(2) shouldBe false   // null value
+      rows(3) shouldBe false   // negative + duplicate tag
+      rows(4) shouldBe true
+    }
+  }
+}
