@@ -1,0 +1,139 @@
+package graft.schema
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Declared column definitions for row-level schema validation
+  * (reference capability: schema/RowLevelSchemaValidator.scala:73-230).
+  */
+sealed trait ColumnDefinition {
+  def name: String
+  def isNullable: Boolean
+
+  /** Predicate: does the raw (string) value conform? */
+  private[schema] def conforms: Column
+
+  /** Typed output column. */
+  private[schema] def converted: Column
+}
+
+case class StringColumnDefinition(
+    name: String,
+    isNullable: Boolean = true,
+    minLength: Option[Int] = None,
+    maxLength: Option[Int] = None,
+    matches: Option[String] = None) extends ColumnDefinition {
+
+  private[schema] def conforms: Column = {
+    val c = col(name)
+    val checks = Seq(
+      if (!isNullable) Some(c.isNotNull) else None,
+      minLength.map(m => c.isNull || length(c) >= m),
+      maxLength.map(m => c.isNull || length(c) <= m),
+      matches.map(re => c.isNull || regexp_extract(c, re, 0) =!= lit(""))
+    ).flatten
+    checks.reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  private[schema] def converted: Column = col(name).cast(StringType).as(name)
+}
+
+case class IntColumnDefinition(
+    name: String,
+    isNullable: Boolean = true,
+    minValue: Option[Int] = None,
+    maxValue: Option[Int] = None) extends ColumnDefinition {
+
+  private[schema] def conforms: Column = {
+    val c = col(name)
+    // try_cast: null on non-conforming input even under ANSI mode
+    val casted = c.try_cast(IntegerType)
+    val checks = Seq(
+      Some(c.isNull || casted.isNotNull), // castable
+      if (!isNullable) Some(c.isNotNull) else None,
+      minValue.map(m => c.isNull || casted >= m),
+      maxValue.map(m => c.isNull || casted <= m)
+    ).flatten
+    checks.reduce(_ && _)
+  }
+
+  private[schema] def converted: Column = col(name).try_cast(IntegerType).as(name)
+}
+
+case class DecimalColumnDefinition(
+    name: String,
+    precision: Int,
+    scale: Int,
+    isNullable: Boolean = true) extends ColumnDefinition {
+
+  private[schema] def conforms: Column = {
+    val c = col(name)
+    val casted = c.try_cast(DecimalType(precision, scale))
+    if (isNullable) c.isNull || casted.isNotNull
+    else c.isNotNull && casted.isNotNull
+  }
+
+  private[schema] def converted: Column =
+    col(name).try_cast(DecimalType(precision, scale)).as(name)
+}
+
+case class TimestampColumnDefinition(
+    name: String,
+    mask: String,
+    isNullable: Boolean = true) extends ColumnDefinition {
+
+  private[schema] def conforms: Column = {
+    val c = col(name)
+    val casted = try_to_timestamp(c, lit(mask))
+    if (isNullable) c.isNull || casted.isNotNull
+    else c.isNotNull && casted.isNotNull
+  }
+
+  private[schema] def converted: Column = try_to_timestamp(col(name), lit(mask)).as(name)
+}
+
+/** Declared row-level schema: ordered column definitions. */
+case class RowLevelSchema(columnDefinitions: Seq[ColumnDefinition] = Seq.empty) {
+
+  def withStringColumn(name: String, isNullable: Boolean = true,
+      minLength: Option[Int] = None, maxLength: Option[Int] = None,
+      matches: Option[String] = None): RowLevelSchema =
+    RowLevelSchema(columnDefinitions :+
+      StringColumnDefinition(name, isNullable, minLength, maxLength, matches))
+
+  def withIntColumn(name: String, isNullable: Boolean = true,
+      minValue: Option[Int] = None, maxValue: Option[Int] = None): RowLevelSchema =
+    RowLevelSchema(columnDefinitions :+ IntColumnDefinition(name, isNullable, minValue, maxValue))
+
+  def withDecimalColumn(name: String, precision: Int, scale: Int,
+      isNullable: Boolean = true): RowLevelSchema =
+    RowLevelSchema(columnDefinitions :+ DecimalColumnDefinition(name, precision, scale, isNullable))
+
+  def withTimestampColumn(name: String, mask: String, isNullable: Boolean = true): RowLevelSchema =
+    RowLevelSchema(columnDefinitions :+ TimestampColumnDefinition(name, mask, isNullable))
+}
+
+case class RowLevelSchemaValidationResult(
+    validRows: DataFrame,
+    numValidRows: Long,
+    invalidRows: DataFrame,
+    numInvalidRows: Long)
+
+/** Splits data into conforming rows (typed per the declared schema) and
+  * non-conforming raw rows — one cast-and-filter pass each, no UDFs
+  * (reference capability: schema/RowLevelSchemaValidator.scala:47-68).
+  */
+object RowLevelSchemaValidator {
+
+  def validate(data: DataFrame, schema: RowLevelSchema): RowLevelSchemaValidationResult = {
+    val conformance = schema.columnDefinitions.map(_.conforms).reduce(_ && _)
+
+    val valid = data
+      .filter(conformance)
+      .select(schema.columnDefinitions.map(_.converted): _*)
+    val invalid = data.filter(!coalesce(conformance, lit(false)))
+
+    RowLevelSchemaValidationResult(valid, valid.count(), invalid, invalid.count())
+  }
+}

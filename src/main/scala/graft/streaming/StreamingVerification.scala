@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.checks.{Check, CheckStatus, VerificationResult}
+import graft.core._
+import graft.runners.AnalysisRunner
+
+/** Streaming data quality: incremental verification over micro-batches.
+  *
+  * The reference has no Structured Streaming surface; its mergeable-state
+  * algebra makes one almost free (SURVEY §1, §2.5): each micro-batch's
+  * analyzer states merge into a running provider, and checks evaluate on
+  * the CUMULATIVE state after every batch — exactly the semantics of its
+  * batch-incremental examples, attached to `foreachBatch`.
+  */
+class StreamingVerifier(
+    analyzers: Seq[AnyAnalyzer],
+    checks: Seq[Check] = Seq.empty) {
+
+  private val provider = new InMemoryStateProvider
+  @volatile private var lastResult: Option[VerificationResult] = None
+
+  /** Processes one micro-batch; returns the cumulative verification result. */
+  def processBatch(batch: DataFrame): VerificationResult = {
+    val all = (analyzers ++ checks.flatMap(_.requiredAnalyzers())).distinct
+    val ctx = AnalysisRunner.runStateful(
+      batch, all, aggregateWith = Some(provider), saveStatesWith = Some(provider))
+    val checkResults = checks.map(c => c -> c.evaluate(ctx)).toMap
+    val status = checkResults.values.map(_.status)
+      .foldLeft(CheckStatus.Success: CheckStatus)(CheckStatus.max)
+    val result = VerificationResult(status, checkResults, ctx.metricMap)
+    lastResult = Some(result)
+    result
+  }
+
+  def latestResult: Option[VerificationResult] = lastResult
+
+  /** foreachBatch hook: `stream.writeStream.foreachBatch(verifier.asForeachBatch(cb))`. */
+  def asForeachBatch(onResult: (VerificationResult, Long) => Unit = (_, _) => ())
+    : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => onResult(processBatch(batch), batchId)
+}
+
+/** Event-time windowed metrics for streams (and batch backfills of the
+  * same query — identical code path, Spark-native).
+  */
+object StreamingOps {
+
+  /** Tumbling/sliding windowed aggregation with a watermark. Works on a
+    * streaming OR batch DataFrame: `window()` + aggregation is the same
+    * logical plan either way.
+    */
+  def windowedAgg(
+      data: DataFrame,
+      timestampColumn: String,
+      windowDuration: String,
+      aggregations: Seq[Column],
+      slideDuration: Option[String] = None,
+      watermarkDelay: Option[String] = None,
+      groupingColumns: Seq[String] = Seq.empty): DataFrame = {
+    val withWatermark = (data.isStreaming, watermarkDelay) match {
+      case (true, Some(delay)) => data.withWatermark(timestampColumn, delay)
+      case _ => data
+    }
+    val win = slideDuration match {
+      case Some(slide) => window(col(timestampColumn), windowDuration, slide)
+      case None => window(col(timestampColumn), windowDuration)
+    }
+    withWatermark
+      .groupBy(win +: groupingColumns.map(col): _*)
+      .agg(aggregations.head, aggregations.tail: _*)
+  }
+
+  /** Session windows keyed by `keyColumns` with a gap duration. */
+  def sessionized(
+      data: DataFrame,
+      timestampColumn: String,
+      gapDuration: String,
+      keyColumns: Seq[String],
+      aggregations: Seq[Column],
+      watermarkDelay: Option[String] = None): DataFrame = {
+    val withWatermark = (data.isStreaming, watermarkDelay) match {
+      case (true, Some(delay)) => data.withWatermark(timestampColumn, delay)
+      case _ => data
+    }
+    withWatermark
+      .groupBy(session_window(col(timestampColumn), gapDuration) +: keyColumns.map(col): _*)
+      .agg(aggregations.head, aggregations.tail: _*)
+  }
+
+  /** Data freshness: fraction of rows within `maxAgeSeconds` of `nowEpoch`
+    * (batch analog of the reference's DataFreshness DQDL rule,
+    * dqdl/execution/executors/DataFreshnessExecutor.scala:27).
+    */
+  def freshnessRatio(data: DataFrame, timestampColumn: String,
+      maxAgeSeconds: Long, nowEpoch: Long): Double = {
+    val row = data.agg(
+      coalesce(sum(
+        (unix_timestamp(col(timestampColumn)) >= lit(nowEpoch - maxAgeSeconds))
+          .cast("long")), lit(0L)),
+      count(lit(1))).collect().head
+    if (row.getLong(1) == 0L) 1.0 else row.getLong(0).toDouble / row.getLong(1)
+  }
+}

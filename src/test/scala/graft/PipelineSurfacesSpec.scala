@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.wordspec.AnyWordSpec
+
+import graft.applicability.Applicability
+import graft.checks.{Check, CheckLevel, CheckStatus}
+import graft.core._
+import graft.pipeline.Multimodal
+import graft.schema._
+import graft.streaming.{StreamingOps, StreamingVerifier}
+
+/** Specs for the round-1 tail surfaces: row-level schema validation,
+  * applicability dry-runs, streaming incremental verification, and
+  * multimodal binary-column plumbing.
+  */
+class PipelineSurfacesSpec extends AnyWordSpec with Matchers with SparkSpec {
+
+  "RowLevelSchemaValidator" should {
+    "split valid and invalid rows with typed output" in {
+      val s = spark
+      import s.implicits._
+      val raw = Seq(
+        ("1", "alice", "12.50", "2024-01-01 10:00:00"),
+        ("x", "bob", "3.00", "2024-01-02 11:00:00"),   // bad int
+        ("3", null, "9.99", "2024-01-03 12:00:00"),    // null name (not nullable)
+        ("4", "carol", "notanum", "2024-01-04 13:00:00"), // bad decimal
+        ("5", "dave", "1.25", "bad-ts")                // bad timestamp
+      ).toDF("id", "name", "amount", "ts")
+
+      val schema = RowLevelSchema()
+        .withIntColumn("id", isNullable = false, minValue = Some(0))
+        .withStringColumn("name", isNullable = false, minLength = Some(1))
+        .withDecimalColumn("amount", precision = 10, scale = 2, isNullable = false)
+        .withTimestampColumn("ts", mask = "yyyy-MM-dd HH:mm:ss", isNullable = false)
+
+      val result = RowLevelSchemaValidator.validate(raw, schema)
+      result.numValidRows shouldBe 1L
+      result.numInvalidRows shouldBe 4L
+      val validRow = result.validRows.collect().head
+      result.validRows.schema("id").dataType shouldBe IntegerType
+      result.validRows.schema("amount").dataType shouldBe DecimalType(10, 2)
+      result.validRows.schema("ts").dataType shouldBe TimestampType
+      validRow.getInt(0) shouldBe 1
+    }
+
+    "enforce string constraints (length, regex)" in {
+      val s = spark
+      import s.implicits._
+      val raw = Seq("a@x.com", "bad", "cc@y.org").toDF("email")
+      val schema = RowLevelSchema()
+        .withStringColumn("email", isNullable = false,
+          matches = Some("^[^@]+@[^@]+\\.[a-z]+$"))
+      val result = RowLevelSchemaValidator.validate(raw, schema)
+      result.numValidRows shouldBe 2L
+      result.numInvalidRows shouldBe 1L
+    }
+  }
+
+  "Applicability" should {
+    "accept a check that matches the schema" in {
+      val schema = StructType(Seq(
+        StructField("item", StringType, nullable = true),
+        StructField("price", DoubleType, nullable = true)))
+      val check = Check(CheckLevel.Error, "applicability")
+        .isComplete("item")
+        .hasMin("price", _ => true)
+      val report = new Applicability(spark).isApplicable(check, schema)
+      report.isApplicable shouldBe true
+    }
+
+    "reject analyzers referencing missing or non-numeric columns" in {
+      val schema = StructType(Seq(
+        StructField("item", StringType, nullable = true)))
+      val report = new Applicability(spark).isApplicable(
+        Seq[AnyAnalyzer](operators.Minimum("nope"), operators.Mean("item")), schema)
+      report.isApplicable shouldBe false
+      report.failures.size shouldBe 2
+    }
+  }
+
+  "StreamingVerifier" should {
+    "accumulate state across micro-batches (cumulative metrics)" in {
+      val s = spark
+      import s.implicits._
+      val check = Check(CheckLevel.Error, "stream")
+        .hasSize(_ == 6)
+        .isComplete("v")
+      val verifier = new StreamingVerifier(
+        Seq[AnyAnalyzer](operators.Mean("v")), Seq(check))
+
+      val b1 = Seq(1.0, 2.0, 3.0).toDF("v")
+      val b2 = Seq(4.0, 5.0, 6.0).toDF("v")
+
+      val r1 = verifier.processBatch(b1)
+      r1.status shouldBe CheckStatus.Error // size 3 != 6 yet
+
+      val r2 = verifier.processBatch(b2)
+      r2.status shouldBe CheckStatus.Success // cumulative size 6
+      val mean = r2.metrics.collectFirst {
+        case (a: operators.Mean, m) if a.column == "v" => m.value.get.asInstanceOf[Double]
+      }
+      mean shouldBe Some(3.5)
+    }
+
+    "compute windowed and session aggregations on batch data" in {
+      val s = spark
+      import s.implicits._
+      val events = Seq(
+        ("2024-01-01 00:00:10", "a", 1.0),
+        ("2024-01-01 00:00:50", "a", 2.0),
+        ("2024-01-01 00:01:10", "b", 3.0),
+        ("2024-01-01 00:05:00", "a", 4.0)
+      ).toDF("ts_raw", "key", "value")
+        .withColumn("ts", to_timestamp(col("ts_raw")))
+
+      val windowed = StreamingOps.windowedAgg(
+        events, "ts", "1 minute",
+        aggregations = Seq(sum(col("value")).as("total")))
+      windowed.count() shouldBe 3L
+      windowed.agg(sum("total")).collect().head.getDouble(0) shouldBe 10.0
+
+      val sessions = StreamingOps.sessionized(
+        events, "ts", "2 minutes", Seq("key"),
+        aggregations = Seq(count(lit(1)).as("n")))
+      // key a: rows at 0:10/0:50 chain into one session; 5:00 a second one; key b: one
+      sessions.count() shouldBe 3L
+    }
+
+    "compute freshness ratio" in {
+      val s = spark
+      import s.implicits._
+      val now = 1700000000L
+      val df = Seq(now - 10, now - 100, now - 10000).map { epoch =>
+        new java.sql.Timestamp(epoch * 1000L)
+      }.toDF("ts")
+      StreamingOps.freshnessRatio(df, "ts", maxAgeSeconds = 300, nowEpoch = now) shouldBe (2.0 / 3.0)
+    }
+  }
+
+  "Multimodal" should {
+    val payloadSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+
+    def mediaDf = {
+      val rows = Seq(
+        Row(1L, Array.fill[Byte](2048)(7)),
+        Row(2L, Array.fill[Byte](4096)(9)),
+        Row(3L, null)
+      )
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        payloadSchema)
+    }
+
+    "attach deterministic features with the declared schema" in {
+      val out = Multimodal.withMediaFeatures(mediaDf, "payload", dim = 8)
+      out.schema.fieldNames should contain allOf ("feature_vec", "width", "height", "format", "n_bytes")
+      val rows = out.orderBy("media_id").collect()
+      rows.length shouldBe 3
+      rows(0).getAs[scala.collection.Seq[Float]]("feature_vec").length shouldBe 8
+      rows(0).getAs[Long]("n_bytes") shouldBe 2048L
+      rows(2).getAs[Long]("n_bytes") shouldBe 0L
+      // determinism: same payload -> same features
+      val again = Multimodal.withMediaFeatures(mediaDf, "payload", dim = 8)
+        .orderBy("media_id").collect()
+      again(1).getAs[scala.collection.Seq[Float]]("feature_vec") shouldBe
+        rows(1).getAs[scala.collection.Seq[Float]]("feature_vec")
+    }
+
+    "sample frames deterministically" in {
+      val sampled = Multimodal.sampleFrames(mediaDf.filter(col("payload").isNotNull),
+        "payload", everyNth = 1, maxFrames = 4)
+      // 2048B -> 2 "frames", 4096B -> 4 "frames"
+      sampled.count() shouldBe 6L
+      sampled.schema.fieldNames should contain allOf ("graft_frame_idx", "graft_frame_ref")
+    }
+
+    "record resize plan columns" in {
+      val df = Multimodal.withMediaFeatures(mediaDf, "payload")
+      val planned = Multimodal.withResizePlan(df, "width", "height", 224, 224)
+      val r = planned.filter(col("media_id") === 1L).collect().head
+      r.getAs[Int]("target_width") shouldBe 224
+      r.getAs[Double]("scale_x") shouldBe (224.0 / r.getAs[Int]("width"))
+    }
+  }
+}
