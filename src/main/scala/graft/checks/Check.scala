@@ -320,6 +320,54 @@ case class Check(
       hint: Option[String] = None): Check =
     addConstraint(Constraint("CustomSqlConstraint", CustomSql(expression), assertion, hint = hint))
 
+  // -- dataset comparison ----------------------------------------------------
+
+  /** Ratio of rows with a matching row in `otherDataset` under the key
+    * mapping (reference capability: checks/Check.scala:542 doesDatasetMatch).
+    */
+  def doesDatasetMatch(otherDataset: org.apache.spark.sql.DataFrame,
+      keyColumnMappings: Map[String, String],
+      assertion: Double => Boolean,
+      matchColumnMappings: Map[String, String] = Map.empty,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("DatasetMatchConstraint",
+      DatasetMatchAnalyzer(otherDataset, keyColumnMappings, matchColumnMappings),
+      assertion, hint = hint))
+
+  // -- binned histograms -----------------------------------------------------
+
+  def hasHistogramBinnedValues(column: String, assertion: Distribution => Boolean,
+      binCount: Option[Int] = Some(10), customEdges: Option[Seq[Double]] = None,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("HistogramBinnedConstraint",
+      HistogramBinned(column, binCount, customEdges),
+      _ == 1.0,
+      picker = Constraint.distributionPicker(d => if (assertion(d)) 1.0 else 0.0),
+      hint = hint))
+
+  def hasHistogramBinnedBins(column: String, assertion: Long => Boolean,
+      binCount: Option[Int] = Some(10), customEdges: Option[Seq[Double]] = None,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("HistogramBinnedConstraint",
+      HistogramBinned(column, binCount, customEdges),
+      _ => true,
+      picker = Constraint.distributionPicker(_.numberOfBins.toDouble),
+      hint = hint).copy(assertion = d => assertion(d.toLong)))
+
+  // -- retro-filtering -------------------------------------------------------
+
+  /** Applies a WHERE filter to the most recently added constraint
+    * (reference capability: checks/CheckWithLastConstraintFilterable.scala:1-54).
+    * The filter is folded into the analyzer's aggregation expressions, so
+    * differently-filtered constraints still share one scan.
+    */
+  def where(filter: String): Check = {
+    require(constraints.nonEmpty, ".where() requires a preceding constraint")
+    val last = constraints.last
+    val filtered = last.copy(analyzer = Check.withFilter(last.analyzer, filter))
+    copy(constraints = constraints.init :+ filtered)
+  }
+
   // -- evaluation -----------------------------------------------------------
 
   def requiredAnalyzers(): Seq[AnyAnalyzer] =
@@ -334,4 +382,52 @@ case class Check(
       else CheckStatus.Warning
     CheckResult(this, status, results)
   }
+}
+
+object Check {
+
+  private def and(existing: Option[String], filter: String): Option[String] =
+    Some(existing.map(w => s"($w) AND ($filter)").getOrElse(filter))
+
+  /** Rebuilds an analyzer with `filter` ANDed into its WHERE clause.
+    * Analyzers without a WHERE surface throw — same contract as the
+    * reference, where only filterable constraints expose `.where`.
+    */
+  private[checks] def withFilter(analyzer: AnyAnalyzer, filter: String): AnyAnalyzer =
+    analyzer match {
+      case a: Size => a.copy(where = and(a.where, filter))
+      case a: Completeness => a.copy(where = and(a.where, filter))
+      case a: Compliance => a.copy(where = and(a.where, filter))
+      case a: PatternMatch => a.copy(where = and(a.where, filter))
+      case a: Minimum => a.copy(where = and(a.where, filter))
+      case a: Maximum => a.copy(where = and(a.where, filter))
+      case a: ValueRange => a.copy(where = and(a.where, filter))
+      case a: Mean => a.copy(where = and(a.where, filter))
+      case a: Sum => a.copy(where = and(a.where, filter))
+      case a: RatioOfSums => a.copy(where = and(a.where, filter))
+      case a: ZerosCount => a.copy(where = and(a.where, filter))
+      case a: MinLength => a.copy(where = and(a.where, filter))
+      case a: MaxLength => a.copy(where = and(a.where, filter))
+      case a: ApproxCountDistinct => a.copy(where = and(a.where, filter))
+      case a: StandardDeviation => a.copy(where = and(a.where, filter))
+      case a: Variance => a.copy(where = and(a.where, filter))
+      case a: Skewness => a.copy(where = and(a.where, filter))
+      case a: Kurtosis => a.copy(where = and(a.where, filter))
+      case a: Correlation => a.copy(where = and(a.where, filter))
+      case a: ApproxQuantile => a.copy(where = and(a.where, filter))
+      case a: ApproxQuantiles => a.copy(where = and(a.where, filter))
+      case a: ExactQuantile => a.copy(where = and(a.where, filter))
+      case a: InterquartileRange => a.copy(where = and(a.where, filter))
+      case a: DataTypeAnalyzer => a.copy(where = and(a.where, filter))
+      case a: Uniqueness => a.copy(where = and(a.where, filter))
+      case a: UniqueValueRatio => a.copy(where = and(a.where, filter))
+      case a: Distinctness => a.copy(where = and(a.where, filter))
+      case a: Entropy => a.copy(where = and(a.where, filter))
+      case a: DuplicateRowCount => a.copy(where = and(a.where, filter))
+      case a: MutualInformation => a.copy(where = and(a.where, filter))
+      case a: Histogram => a.copy(where = and(a.where, filter))
+      case a: HistogramBinned => a.copy(where = and(a.where, filter))
+      case other => throw new IllegalArgumentException(
+        s"Constraint over ${other.name} does not support .where() filtering")
+    }
 }
