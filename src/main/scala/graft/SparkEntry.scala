@@ -314,6 +314,24 @@ object SparkEntry {
         "simhash_pairs" -> simhashPairs.toDouble))
     }),
 
+    "q26_dqdl" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val outcome = graft.dqdl.EvaluateDataQuality.process(orders,
+        """Rules = [
+          |  RowCount > 100,
+          |  IsComplete "o_orderkey",
+          |  ColumnValues "o_orderstatus" in ["F", "O", "P"],
+          |  ColumnValues "o_totalprice" between 0 and 1000000,
+          |  Mean "o_totalprice" between 1000 and 500000,
+          |  Uniqueness "o_orderkey" = 1.0,
+          |  ZerosCount "o_totalprice" = 0,
+          |  DistinctValuesCount "o_orderpriority" = 5
+          |]""".stripMargin)
+      val flags = outcome.collect().map(r => if (r.getString(1) == "Passed") 1.0 else 0.0)
+      metricRow(s, Seq("rowcount", "iscomplete", "in_set", "between", "mean",
+        "uniqueness", "zeros", "distinct_count").zip(flags))
+    }),
+
     "q25_ann" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
@@ -521,6 +539,19 @@ object SparkEntry {
 
     "q23_fingerprint" ->
       """SELECT count(DISTINCT regexp_replace(lower(text), '\s+', ' ', 'g'))::DOUBLE AS fp_distinct
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q26_dqdl" ->
+      """WITH u AS (SELECT count(*) AS groups,
+        |                  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS singles
+        |           FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey))
+        |SELECT (SELECT CASE WHEN count(*) > 100 THEN 1 ELSE 0 END::DOUBLE FROM orders) AS rowcount,
+        |       (SELECT CASE WHEN count(o_orderkey) = count(*) THEN 1 ELSE 0 END::DOUBLE FROM orders) AS iscomplete,
+        |       (SELECT CASE WHEN sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) = count(*) THEN 1 ELSE 0 END::DOUBLE FROM orders) AS in_set,
+        |       (SELECT CASE WHEN sum(CASE WHEN o_totalprice > 0 AND o_totalprice < 1000000 THEN 1 ELSE 0 END) = count(*) THEN 1 ELSE 0 END::DOUBLE FROM orders) AS between,
+        |       (SELECT CASE WHEN avg(o_totalprice) > 1000 AND avg(o_totalprice) < 500000 THEN 1 ELSE 0 END::DOUBLE FROM orders) AS mean,
+        |       (SELECT CASE WHEN u.singles::DOUBLE / (SELECT count(*) FROM orders) = 1.0 THEN 1 ELSE 0 END::DOUBLE FROM u) AS uniqueness,
+        |       (SELECT CASE WHEN sum(CASE WHEN o_totalprice = 0 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END::DOUBLE FROM orders) AS zeros,
+        |       (SELECT CASE WHEN count(DISTINCT o_orderpriority) = 5 THEN 1 ELSE 0 END::DOUBLE FROM orders) AS distinct_count""".stripMargin
   )
 }

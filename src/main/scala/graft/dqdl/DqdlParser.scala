@@ -1,0 +1,301 @@
+package graft.dqdl
+
+/** Minimal DQDL-style ruleset parser.
+  *
+  * The reference delegates parsing to an external library
+  * (`software.amazon.glue:dqdl`, see reference dqdl/util/DefaultDQDLParser.scala)
+  * that is unavailable offline, so this is an independent, from-scratch
+  * grammar covering the reference's 24 translated rule types plus composite
+  * rules (reference dqdl/translation/DQDLRuleTranslator.scala:69-95,
+  * dqdl/model/ExecutableRule.scala:120):
+  *
+  * {{{
+  * Rules = [
+  *   RowCount > 100,
+  *   IsComplete "colA",
+  *   Completeness "colA" >= 0.95,
+  *   ColumnValues "status" in ["F", "O", "P"],
+  *   ColumnValues "qty" between 0 and 51,
+  *   ColumnValues "email" matches "[a-z]+@[a-z.]+",
+  *   Mean "price" between 10.0 and 1000.0 where "qty > 0",
+  *   ColumnCorrelation "a" "b" > 0.5,
+  *   CustomSql "SELECT count(*) FROM primary" > 0,
+  *   (RowCount > 10) and (IsComplete "colA"),
+  *   ReferentialIntegrity "l_partkey" "part.p_partkey" >= 0.99
+  * ]
+  * }}}
+  */
+object DqdlParser {
+
+  // -- AST -------------------------------------------------------------------
+
+  sealed trait DqCondition
+  /** op ∈ {>, >=, <, <=, =, !=} against a numeric threshold. */
+  case class NumericCondition(op: String, value: Double) extends DqCondition
+  case class BetweenCondition(lower: Double, upper: Double) extends DqCondition
+  /** String or numeric literal set. */
+  case class InCondition(values: Seq[String], quoted: Boolean) extends DqCondition
+  case class MatchesCondition(regex: String) extends DqCondition
+  /** = "StringValue" (e.g. ColumnDataType "c" = "Integer"). */
+  case class EqualsStringCondition(value: String) extends DqCondition
+
+  sealed trait DqRule
+  case class LeafRule(
+      ruleType: String,
+      parameters: Seq[String],
+      condition: Option[DqCondition],
+      threshold: Option[NumericCondition],
+      whereClause: Option[String]) extends DqRule {
+    def render: String = {
+      val ps = parameters.map(p => "\"" + p + "\"").mkString(" ")
+      val c = condition.map(DqdlParser.render).getOrElse("")
+      val t = threshold.map(t => s" with threshold ${t.op} ${t.value}").getOrElse("")
+      val w = whereClause.map(w => s""" where "$w"""").getOrElse("")
+      (Seq(ruleType) ++ (if (ps.nonEmpty) Seq(ps) else Nil) ++
+        (if (c.nonEmpty) Seq(c) else Nil)).mkString(" ") + t + w
+    }
+  }
+  case class CompositeRule(op: String, left: DqRule, right: DqRule) extends DqRule
+
+  def render(c: DqCondition): String = c match {
+    case NumericCondition(op, v) => s"$op $v"
+    case BetweenCondition(lo, hi) => s"between $lo and $hi"
+    case InCondition(vs, quoted) =>
+      if (quoted) vs.map(v => "\"" + v + "\"").mkString("in [", ", ", "]")
+      else vs.mkString("in [", ", ", "]")
+    case MatchesCondition(re) => "matches \"" + re + "\""
+    case EqualsStringCondition(v) => "= \"" + v + "\""
+  }
+
+  def renderRule(r: DqRule): String = r match {
+    case l: LeafRule => l.render
+    case CompositeRule(op, l, rr) => s"(${renderRule(l)}) $op (${renderRule(rr)})"
+  }
+
+  // -- Tokenizer ---------------------------------------------------------------
+
+  private sealed trait Token
+  private case class Ident(value: String) extends Token
+  private case class Str(value: String) extends Token
+  private case class Num(value: Double) extends Token
+  private case class Sym(value: String) extends Token
+
+  private def tokenize(input: String): List[Token] = {
+    val tokens = scala.collection.mutable.ListBuffer.empty[Token]
+    var i = 0
+    val n = input.length
+    while (i < n) {
+      val ch = input(i)
+      if (ch.isWhitespace) i += 1
+      else if (ch == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && input(i) != '"') {
+          if (input(i) == '\\' && i + 1 < n) { sb.append(input(i + 1)); i += 2 }
+          else { sb.append(input(i)); i += 1 }
+        }
+        if (i >= n) throw new DqdlParseException(s"Unterminated string literal at end of input")
+        i += 1
+        tokens += Str(sb.toString)
+      } else if (ch.isDigit || (ch == '-' && i + 1 < n && input(i + 1).isDigit) ||
+                 (ch == '.' && i + 1 < n && input(i + 1).isDigit)) {
+        val start = i
+        i += 1
+        while (i < n && (input(i).isDigit || input(i) == '.' || input(i) == 'e' ||
+               input(i) == 'E' || ((input(i) == '-' || input(i) == '+') &&
+                 (input(i - 1) == 'e' || input(i - 1) == 'E')))) i += 1
+        tokens += Num(input.substring(start, i).toDouble)
+      } else if (ch.isLetter || ch == '_') {
+        val start = i
+        while (i < n && (input(i).isLetterOrDigit || input(i) == '_')) i += 1
+        tokens += Ident(input.substring(start, i))
+      } else {
+        val two = if (i + 1 < n) input.substring(i, i + 2) else ""
+        if (two == ">=" || two == "<=" || two == "!=" || two == "==") {
+          tokens += Sym(if (two == "==") "=" else two); i += 2
+        } else if ("[](),=<>".indexOf(ch) >= 0) {
+          tokens += Sym(ch.toString); i += 1
+        } else {
+          throw new DqdlParseException(s"Unexpected character '$ch' at position $i")
+        }
+      }
+    }
+    tokens.toList
+  }
+
+  // -- Parser ------------------------------------------------------------------
+
+  class DqdlParseException(message: String) extends IllegalArgumentException(message)
+
+  private class Cursor(var tokens: List[Token]) {
+    def peek: Option[Token] = tokens.headOption
+    def next(): Token = tokens match {
+      case h :: t => tokens = t; h
+      case Nil => throw new DqdlParseException("Unexpected end of ruleset")
+    }
+    def expectSym(s: String): Unit = next() match {
+      case Sym(`s`) => ()
+      case other => throw new DqdlParseException(s"Expected '$s' but found $other")
+    }
+    def expectIdent(s: String): Unit = next() match {
+      case Ident(v) if v.equalsIgnoreCase(s) => ()
+      case other => throw new DqdlParseException(s"Expected '$s' but found $other")
+    }
+  }
+
+  /** Parses a full `Rules = [ ... ]` document (or a bare comma-separated
+    * rule list) into rules.
+    */
+  def parse(ruleset: String): Seq[DqRule] = {
+    val cur = new Cursor(tokenize(ruleset))
+    cur.peek match {
+      case Some(Ident(k)) if k.equalsIgnoreCase("Rules") =>
+        cur.next(); cur.expectSym("="); cur.expectSym("[")
+        val rules = parseRuleList(cur)
+        cur.expectSym("]")
+        if (cur.peek.nonEmpty) {
+          throw new DqdlParseException(s"Trailing tokens after ']': ${cur.tokens}")
+        }
+        rules
+      case _ =>
+        val rules = parseRuleList(cur)
+        if (cur.peek.nonEmpty) {
+          throw new DqdlParseException(s"Trailing tokens: ${cur.tokens}")
+        }
+        rules
+    }
+  }
+
+  private def parseRuleList(cur: Cursor): Seq[DqRule] = {
+    val rules = scala.collection.mutable.ListBuffer.empty[DqRule]
+    var done = false
+    while (!done) {
+      cur.peek match {
+        case None | Some(Sym("]")) => done = true
+        case Some(Sym(",")) => cur.next()
+        case _ => rules += parseRule(cur)
+      }
+    }
+    rules.toList
+  }
+
+  private def parseRule(cur: Cursor): DqRule = {
+    var left: DqRule = parseAtom(cur)
+    var chaining = true
+    while (chaining) {
+      cur.peek match {
+        case Some(Ident(op)) if op.equalsIgnoreCase("and") || op.equalsIgnoreCase("or") =>
+          cur.next()
+          val right = parseAtom(cur)
+          left = CompositeRule(op.toLowerCase, left, right)
+        case _ => chaining = false
+      }
+    }
+    left
+  }
+
+  private def parseAtom(cur: Cursor): DqRule = cur.next() match {
+    case Sym("(") =>
+      val inner = parseRule(cur)
+      cur.expectSym(")")
+      inner
+    case Ident(ruleType) =>
+      // parameters: consecutive string literals
+      val params = scala.collection.mutable.ListBuffer.empty[String]
+      var collecting = true
+      while (collecting) {
+        cur.peek match {
+          case Some(Str(v)) => cur.next(); params += v
+          case _ => collecting = false
+        }
+      }
+      val condition = parseCondition(cur)
+      val threshold = parseThreshold(cur)
+      val whereClause = parseWhere(cur)
+      LeafRule(ruleType, params.toList, condition, threshold, whereClause)
+    case other => throw new DqdlParseException(s"Expected a rule but found $other")
+  }
+
+  private def parseCondition(cur: Cursor): Option[DqCondition] = cur.peek match {
+    case Some(Sym(op)) if Seq(">", ">=", "<", "<=", "=", "!=").contains(op) =>
+      cur.next()
+      cur.next() match {
+        case Num(v) => Some(NumericCondition(op, v))
+        case Str(v) if op == "=" => Some(EqualsStringCondition(v))
+        case other => throw new DqdlParseException(s"Expected number after '$op' but found $other")
+      }
+    case Some(Ident(k)) if k.equalsIgnoreCase("between") =>
+      cur.next()
+      val lo = cur.next() match {
+        case Num(v) => v
+        case other => throw new DqdlParseException(s"Expected number in between, found $other")
+      }
+      cur.expectIdent("and")
+      val hi = cur.next() match {
+        case Num(v) => v
+        case other => throw new DqdlParseException(s"Expected number in between, found $other")
+      }
+      Some(BetweenCondition(lo, hi))
+    case Some(Ident(k)) if k.equalsIgnoreCase("in") =>
+      cur.next()
+      cur.expectSym("[")
+      val values = scala.collection.mutable.ListBuffer.empty[String]
+      var quoted = false
+      var done = false
+      while (!done) {
+        cur.next() match {
+          case Str(v) => values += v; quoted = true
+          case Num(v) =>
+            values += (if (v == v.floor && !v.isInfinite) v.toLong.toString else v.toString)
+          case Sym(",") => ()
+          case Sym("]") => done = true
+          case other => throw new DqdlParseException(s"Unexpected token in 'in' list: $other")
+        }
+      }
+      Some(InCondition(values.toList, quoted))
+    case Some(Ident(k)) if k.equalsIgnoreCase("matches") =>
+      cur.next()
+      cur.next() match {
+        case Str(re) => Some(MatchesCondition(re))
+        case other => throw new DqdlParseException(s"Expected regex string, found $other")
+      }
+    case _ => None
+  }
+
+  private def parseThreshold(cur: Cursor): Option[NumericCondition] = cur.peek match {
+    case Some(Ident(k)) if k.equalsIgnoreCase("with") =>
+      cur.next()
+      cur.expectIdent("threshold")
+      cur.next() match {
+        case Sym(op) if Seq(">", ">=", "<", "<=", "=", "!=").contains(op) =>
+          cur.next() match {
+            case Num(v) => Some(NumericCondition(op, v))
+            case other => throw new DqdlParseException(s"Expected threshold value, found $other")
+          }
+        case other => throw new DqdlParseException(s"Expected threshold operator, found $other")
+      }
+    case _ => None
+  }
+
+  private def parseWhere(cur: Cursor): Option[String] = cur.peek match {
+    case Some(Ident(k)) if k.equalsIgnoreCase("where") =>
+      cur.next()
+      cur.next() match {
+        case Str(filter) => Some(filter)
+        case other => throw new DqdlParseException(s"Expected quoted filter, found $other")
+      }
+    case _ => None
+  }
+
+  /** Turns a numeric condition into a Double assertion. */
+  def assertion(c: DqCondition): Double => Boolean = c match {
+    case NumericCondition(">", v) => _ > v
+    case NumericCondition(">=", v) => _ >= v
+    case NumericCondition("<", v) => _ < v
+    case NumericCondition("<=", v) => _ <= v
+    case NumericCondition("=", v) => _ == v
+    case NumericCondition("!=", v) => _ != v
+    case BetweenCondition(lo, hi) => d => d > lo && d < hi
+    case other => throw new DqdlParseException(s"Condition $other is not numeric")
+  }
+}

@@ -1,0 +1,378 @@
+package graft.dqdl
+
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+
+import graft.checks._
+import graft.comparison.{DatasetMatch, ReferentialIntegrity, RowCountMatch, SchemaMatch}
+import graft.core._
+import graft.operators._
+import graft.runners.AnalysisRunner
+import DqdlParser._
+
+/** DQDL-style ruleset execution: string ruleset in, outcome DataFrame out
+  * (reference capability: dqdl/EvaluateDataQuality.scala:48-96,
+  * dqdl/translation/DQDLRuleTranslator.scala:69-95).
+  *
+  * All constraint-backed rules across ALL rules in the ruleset share one
+  * fused analysis run (scan sharing + grouping fusion), exactly like
+  * checks do — a ruleset of 20 rules is still one pass over the data.
+  */
+object EvaluateDataQuality {
+
+  case class RuleOutcome(
+      rule: String,
+      passed: Boolean,
+      failureReason: Option[String],
+      evaluatedValue: Option[Double])
+
+  /** One evaluated leaf: constraints to check (all must pass) and/or an
+    * eagerly computed outcome for rules that need a second dataset or
+    * driver-side logic.
+    */
+  private sealed trait CompiledRule
+  private case class ConstraintRule(rendered: String, constraints: Seq[Constraint])
+      extends CompiledRule
+  private case class ImmediateRule(rendered: String, outcome: () => RuleOutcome)
+      extends CompiledRule
+  private case class CompositeCompiled(op: String, left: CompiledRule, right: CompiledRule)
+      extends CompiledRule
+
+  private class DqdlTranslationException(message: String)
+      extends IllegalArgumentException(message)
+
+  // -------------------------------------------------------------------------
+  // public API
+  // -------------------------------------------------------------------------
+
+  /** Evaluates the ruleset; returns one row per rule:
+    * (rule, outcome, failure_reason, evaluated_value).
+    */
+  def process(
+      data: DataFrame,
+      ruleset: String,
+      additionalSources: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val spark = data.sparkSession
+    data.createOrReplaceTempView("primary") // CustomSql rules refer to `primary`
+    additionalSources.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+
+    val compiled = parse(ruleset).map(r => compile(r, data, additionalSources))
+
+    // one fused run over every constraint-backed analyzer in the ruleset
+    val analyzers = collectAnalyzers(compiled).distinct
+    val ctx = AnalysisRunner.run(data, analyzers)
+
+    val outcomes = compiled.map(evaluate(_, ctx))
+    val rows = outcomes.map { o =>
+      Row(o.rule, if (o.passed) "Passed" else "Failed",
+        o.failureReason.orNull, o.evaluatedValue.map(Double.box).orNull)
+    }
+    val schema = StructType(Seq(
+      StructField("rule", StringType, nullable = false),
+      StructField("outcome", StringType, nullable = false),
+      StructField("failure_reason", StringType, nullable = true),
+      StructField("evaluated_value", DoubleType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+  }
+
+  /** Row-level flavor: the input data plus one boolean outcome column per
+    * row-level-able rule (reference dqdl/EvaluateDataQuality.scala:80-96).
+    */
+  def processRows(
+      data: DataFrame,
+      ruleset: String,
+      additionalSources: Map[String, DataFrame] = Map.empty): DataFrame = {
+    data.createOrReplaceTempView("primary")
+    additionalSources.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    val rules = parse(ruleset)
+    val checks = rules.zipWithIndex.flatMap { case (rule, i) =>
+      compile(rule, data, additionalSources) match {
+        case ConstraintRule(rendered, cs) =>
+          Some(Check(CheckLevel.Error, rendered, cs))
+        case _ => None // two-source / driver-side rules have no row-level form
+      }
+    }
+    val result = VerificationSuite().onData(data).addChecks(checks).run()
+    VerificationResult.rowLevelResultsAsDataFrame(data.sparkSession, result, data)
+  }
+
+  // -------------------------------------------------------------------------
+  // compilation: DqRule -> constraints or immediate evaluation
+  // -------------------------------------------------------------------------
+
+  private def collectAnalyzers(compiled: Seq[CompiledRule]): Seq[AnyAnalyzer] =
+    compiled.flatMap {
+      case ConstraintRule(_, cs) => cs.map(_.analyzer)
+      case CompositeCompiled(_, l, r) => collectAnalyzers(Seq(l, r))
+      case _: ImmediateRule => Nil
+    }
+
+  private def evaluate(compiled: CompiledRule,
+      ctx: graft.runners.AnalyzerContext): RuleOutcome = compiled match {
+    case ConstraintRule(rendered, constraints) =>
+      val results = constraints.map(_.evaluate(ctx.metricMap))
+      val failed = results.filter(_.status == ConstraintStatus.Failure)
+      val value = results.headOption.flatMap(_.metric).flatMap {
+        case DoubleMetric(_, _, _, Success(v), _) => Some(v)
+        case _ => None
+      }
+      RuleOutcome(rendered, failed.isEmpty,
+        if (failed.isEmpty) None else Some(failed.flatMap(_.message).mkString("; ")),
+        value)
+    case ImmediateRule(_, outcome) => outcome()
+    case CompositeCompiled(op, l, r) =>
+      val lo = evaluate(l, ctx)
+      val ro = evaluate(r, ctx)
+      val passed = if (op == "and") lo.passed && ro.passed else lo.passed || ro.passed
+      RuleOutcome(s"(${lo.rule}) $op (${ro.rule})", passed,
+        if (passed) None
+        else Some(Seq(lo, ro).filter(!_.passed).flatMap(_.failureReason).mkString("; ")),
+        None)
+  }
+
+  private def compile(rule: DqRule, data: DataFrame,
+      sources: Map[String, DataFrame]): CompiledRule = rule match {
+    case CompositeRule(op, l, r) =>
+      CompositeCompiled(op, compile(l, data, sources), compile(r, data, sources))
+    case leaf: LeafRule => compileLeaf(leaf, data, sources)
+  }
+
+  private def source(sources: Map[String, DataFrame], name: String): DataFrame =
+    sources.getOrElse(name, throw new DqdlTranslationException(
+      s"Rule references unknown data source '$name'; pass it in additionalSources"))
+
+  private def compileLeaf(rule: LeafRule, data: DataFrame,
+      sources: Map[String, DataFrame]): CompiledRule = {
+    val rendered = rule.render
+    val where = rule.whereClause
+
+    def numeric: Double => Boolean = rule.condition match {
+      case Some(c) => DqdlParser.assertion(c)
+      case None => throw new DqdlTranslationException(
+        s"Rule ${rule.ruleType} requires a numeric condition")
+    }
+    def param(i: Int): String =
+      if (rule.parameters.length > i) rule.parameters(i)
+      else throw new DqdlTranslationException(
+        s"Rule ${rule.ruleType} requires at least ${i + 1} parameter(s)")
+    def thresholdAssertion: Double => Boolean = rule.threshold match {
+      case Some(t) => DqdlParser.assertion(t)
+      case None => (d: Double) => d == 1.0
+    }
+    def constraint(name: String, analyzer: AnyAnalyzer,
+        asrt: Double => Boolean): CompiledRule =
+      ConstraintRule(rendered, Seq(Constraint(name, analyzer, asrt)))
+    def immediate(f: => (Boolean, Option[Double])): CompiledRule =
+      ImmediateRule(rendered, () => Try(f) match {
+        case Success((passed, value)) =>
+          RuleOutcome(rendered, passed,
+            if (passed) None else Some(s"Value ${value.getOrElse("")} does not satisfy the rule"),
+            value)
+        case Failure(e) =>
+          RuleOutcome(rendered, passed = false, Some(Option(e.getMessage).getOrElse(e.toString)), None)
+      })
+
+    rule.ruleType.toLowerCase match {
+      // -- single-source, constraint-backed ---------------------------------
+      case "rowcount" => constraint("RowCount", Size(where), numeric)
+      case "columncount" => constraint("ColumnCount", ColumnCount(), numeric)
+      case "completeness" => constraint("Completeness", Completeness(param(0), where), numeric)
+      case "iscomplete" => constraint("IsComplete", Completeness(param(0), where), _ == 1.0)
+      case "uniqueness" => constraint("Uniqueness",
+        Uniqueness(rule.parameters, where), numeric)
+      case "isunique" => constraint("IsUnique", Uniqueness(rule.parameters, where), _ == 1.0)
+      case "uniquevalueratio" => constraint("UniqueValueRatio",
+        UniqueValueRatio(rule.parameters, where), numeric)
+      case "distinctvaluescount" => constraint("DistinctValuesCount",
+        CountDistinct(rule.parameters), numeric)
+      case "entropy" => constraint("Entropy", Entropy(param(0), where), numeric)
+      case "mean" => constraint("Mean", Mean(param(0), where), numeric)
+      case "sum" => constraint("Sum", Sum(param(0), where), numeric)
+      case "standarddeviation" => constraint("StandardDeviation",
+        StandardDeviation(param(0), where), numeric)
+      case "variance" => constraint("Variance", Variance(param(0), where), numeric)
+      case "skewness" => constraint("Skewness", Skewness(param(0), where), numeric)
+      case "kurtosis" => constraint("Kurtosis", Kurtosis(param(0), where), numeric)
+      case "interquartilerange" => constraint("InterquartileRange",
+        InterquartileRange(param(0), where), numeric)
+      case "zeroscount" => constraint("ZerosCount", ZerosCount(param(0), where), numeric)
+      case "duplicaterowcount" => constraint("DuplicateRowCount",
+        DuplicateRowCount(rule.parameters, where), numeric)
+      case "columncorrelation" => constraint("ColumnCorrelation",
+        Correlation(param(0), param(1), where), numeric)
+      case "customsql" => constraint("CustomSql", CustomSql(param(0)), numeric)
+      case "columnexists" => constraint("ColumnExists", ColumnExists(param(0)), _ == 1.0)
+
+      case "isprimarykey" =>
+        val cols = rule.parameters
+        ConstraintRule(rendered,
+          Constraint("PrimaryKeyUniqueness", Uniqueness(cols, where), (d: Double) => d == 1.0) +:
+          cols.map(c => Constraint("PrimaryKeyCompleteness",
+            Completeness(c, where), (d: Double) => d == 1.0)))
+
+      case "range" =>
+        rule.condition match {
+          case Some(BetweenCondition(lo, hi)) =>
+            ConstraintRule(rendered, Seq(
+              Constraint("RangeMin", Minimum(param(0), where), (d: Double) => d > lo),
+              Constraint("RangeMax", Maximum(param(0), where), (d: Double) => d < hi)))
+          case _ => throw new DqdlTranslationException("Range requires 'between a and b'")
+        }
+
+      case "columnvalues" =>
+        val c = param(0)
+        rule.condition match {
+          case Some(InCondition(values, quoted)) =>
+            val list =
+              if (quoted) values.map(v => "'" + v.replace("'", "''") + "'").mkString(",")
+              else values.mkString(",")
+            constraint("ColumnValuesIn",
+              Compliance(s"$c in set", s"$c IN ($list)", where), thresholdAssertion)
+          case Some(BetweenCondition(lo, hi)) =>
+            constraint("ColumnValuesBetween",
+              Compliance(s"$c between", s"$c > $lo AND $c < $hi", where), thresholdAssertion)
+          case Some(MatchesCondition(re)) =>
+            constraint("ColumnValuesMatch",
+              PatternMatch(c, re, where), thresholdAssertion)
+          case Some(NumericCondition(op, v)) =>
+            constraint("ColumnValuesCompare",
+              Compliance(s"$c $op $v", s"$c $op $v", where), thresholdAssertion)
+          case other => throw new DqdlTranslationException(
+            s"ColumnValues does not support condition $other")
+        }
+
+      case "columnlength" =>
+        val c = param(0)
+        val predicate = rule.condition match {
+          case Some(NumericCondition(op, v)) => s"length($c) $op ${v.toLong}"
+          case Some(BetweenCondition(lo, hi)) =>
+            s"length($c) > ${lo.toLong} AND length($c) < ${hi.toLong}"
+          case other => throw new DqdlTranslationException(
+            s"ColumnLength does not support condition $other")
+        }
+        constraint("ColumnLength", Compliance(s"length($c)", predicate, where),
+          thresholdAssertion)
+
+      case "columndatatype" =>
+        val c = param(0)
+        val expected = rule.condition match {
+          case Some(EqualsStringCondition(v)) => v.toLowerCase match {
+            case "integer" | "long" | "integral" => DataTypeInstances.Integral
+            case "double" | "float" | "fractional" => DataTypeInstances.Fractional
+            case "boolean" => DataTypeInstances.Boolean
+            case "string" => DataTypeInstances.String
+            case other => throw new DqdlTranslationException(s"Unknown data type '$other'")
+          }
+          case other => throw new DqdlTranslationException(
+            s"ColumnDataType requires = \"Type\", found $other")
+        }
+        ConstraintRule(rendered, Seq(
+          Constraint("ColumnDataType", DataTypeAnalyzer(c, where),
+            thresholdAssertion,
+            picker = Constraint.distributionPicker(
+              _.values.get(expected).map(_.ratio).getOrElse(0.0)))))
+
+      // -- driver-side -------------------------------------------------------
+      case "columnnamesmatchpattern" =>
+        val re = param(0).r
+        immediate {
+          val cols = data.columns
+          val matched = cols.count(n => re.pattern.matcher(n).matches())
+          val ratio = if (cols.isEmpty) 1.0 else matched.toDouble / cols.length
+          (ratio == 1.0, Some(ratio))
+        }
+
+      case "datafreshness" =>
+        val c = param(0)
+        val maxAgeHours = rule.condition match {
+          case Some(NumericCondition("<=", v)) => v
+          case Some(NumericCondition("<", v)) => v
+          case other => throw new DqdlTranslationException(
+            s"DataFreshness requires '<= hours', found $other")
+        }
+        immediate {
+          import org.apache.spark.sql.functions._
+          val row = data.agg(
+            coalesce(sum((col(c) >= (current_timestamp() -
+              expr(s"INTERVAL ${maxAgeHours} HOURS"))).cast("long")), lit(0L)),
+            count(lit(1))).collect().head
+          val ratio = if (row.getLong(1) == 0L) 1.0
+            else row.getLong(0).toDouble / row.getLong(1)
+          (ratio == 1.0, Some(ratio))
+        }
+
+      // -- two-source --------------------------------------------------------
+      case "rowcountmatch" =>
+        val ref = source(sources, param(0))
+        immediate {
+          val ratio = RowCountMatch.ratio(data, ref)
+          (numeric(ratio), Some(ratio))
+        }
+
+      case "schemamatch" =>
+        val ref = source(sources, param(0))
+        immediate {
+          val ok = SchemaMatch.matches(data, ref)
+          (ok, Some(if (ok) 1.0 else 0.0))
+        }
+
+      case "referentialintegrity" =>
+        val cols = param(0)
+        val refSpec = param(1) // "refname.refcol"
+        val dot = refSpec.lastIndexOf('.')
+        if (dot < 0) throw new DqdlTranslationException(
+          s"ReferentialIntegrity reference must be 'source.column', got '$refSpec'")
+        val ref = source(sources, refSpec.substring(0, dot))
+        val refCol = refSpec.substring(dot + 1)
+        immediate {
+          val ratio = ReferentialIntegrity.subsetCheck(data, cols, ref, refCol)
+          (rule.condition.map(c => DqdlParser.assertion(c)(ratio)).getOrElse(ratio == 1.0),
+            Some(ratio))
+        }
+
+      case "datasetmatch" =>
+        val ref = source(sources, param(0))
+        // "k1->r1,k2->r2" key mapping
+        val keyMap = param(1).split(',').map { pair =>
+          val parts = pair.split("->").map(_.trim)
+          if (parts.length != 2) throw new DqdlTranslationException(
+            s"DatasetMatch key mapping must be 'k->r', got '$pair'")
+          parts(0) -> parts(1)
+        }.toMap
+        immediate {
+          DatasetMatch.matchRatio(data, ref, keyMap) match {
+            case Success(ratio) => (numeric(ratio), Some(ratio))
+            case Failure(e) => throw e
+          }
+        }
+
+      case "aggregatematch" =>
+        // AggregateMatch "sum(colA)" "ref.sum(colB)" >= 0.9 : ratio of the
+        // two aggregates (reference dqdl/execution/executors/AggregateMatchExecutor.scala:32)
+        val primaryAgg = param(0)
+        val refSpec = param(1)
+        val dot = refSpec.indexOf('.')
+        if (dot < 0) throw new DqdlTranslationException(
+          s"AggregateMatch reference must be 'source.agg(col)', got '$refSpec'")
+        val refName = refSpec.substring(0, dot)
+        val refAgg = refSpec.substring(dot + 1)
+        source(sources, refName) // fail fast if missing
+        val spark = data.sparkSession
+        immediate {
+          val a = spark.sql(s"SELECT $primaryAgg FROM primary").collect().head
+          val b = spark.sql(s"SELECT $refAgg FROM $refName").collect().head
+          val av = Analyzers.doubleAt(a, 0).getOrElse(Double.NaN)
+          val bv = Analyzers.doubleAt(b, 0).getOrElse(Double.NaN)
+          val ratio = if (bv == 0.0) Double.NaN else av / bv
+          (numeric(ratio), Some(ratio))
+        }
+
+      case other =>
+        throw new DqdlTranslationException(s"Unknown DQDL rule type '$other'")
+    }
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.wordspec.AnyWordSpec
+
+import graft.dqdl.DqdlParser
+import graft.dqdl.DqdlParser._
+import graft.dqdl.EvaluateDataQuality
+
+class DqdlSpec extends AnyWordSpec with Matchers with SparkSpec {
+
+  private def orders = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1, "F", 100.0, "1-URGENT"),
+      (2, "O", 250.0, "2-HIGH"),
+      (3, "F", 75.5, "1-URGENT"),
+      (4, "P", 310.0, "3-MEDIUM"),
+      (5, "O", 42.0, "2-HIGH"),
+      (6, "F", 99.0, "5-LOW")
+    ).toDF("o_id", "o_status", "o_total", "o_priority")
+  }
+
+  "DqdlParser" should {
+    "parse a full ruleset with every condition shape" in {
+      val rules = DqdlParser.parse(
+        """Rules = [
+          |  RowCount > 100,
+          |  IsComplete "colA",
+          |  Completeness "colA" >= 0.95,
+          |  ColumnValues "status" in ["F", "O", "P"],
+          |  ColumnValues "qty" between 0 and 51,
+          |  ColumnValues "email" matches "[a-z]+@[a-z.]+" with threshold > 0.8,
+          |  Mean "price" between 10.0 and 1000.0 where "qty > 0",
+          |  ColumnCorrelation "a" "b" > 0.5,
+          |  ColumnDataType "c" = "Integer",
+          |  (RowCount > 10) and (IsComplete "colA")
+          |]""".stripMargin)
+      rules.length shouldBe 10
+
+      rules.head shouldBe LeafRule("RowCount", Nil,
+        Some(NumericCondition(">", 100.0)), None, None)
+      rules(3) shouldBe LeafRule("ColumnValues", Seq("status"),
+        Some(InCondition(Seq("F", "O", "P"), quoted = true)), None, None)
+      rules(5).asInstanceOf[LeafRule].threshold shouldBe Some(NumericCondition(">", 0.8))
+      rules(6).asInstanceOf[LeafRule].whereClause shouldBe Some("qty > 0")
+      rules(9) shouldBe a[CompositeRule]
+    }
+
+    "reject malformed input with a useful error" in {
+      a[DqdlParser.DqdlParseException] should be thrownBy
+        DqdlParser.parse("""Rules = [ RowCount > ]""")
+      a[DqdlParser.DqdlParseException] should be thrownBy
+        DqdlParser.parse("""Rules = [ Completeness "unterminated ]""".stripMargin)
+    }
+  }
+
+  "EvaluateDataQuality.process" should {
+    "evaluate a mixed ruleset in one shared analysis pass" in {
+      val outcome = EvaluateDataQuality.process(orders,
+        """Rules = [
+          |  RowCount = 6,
+          |  IsComplete "o_status",
+          |  Completeness "o_total" >= 0.99,
+          |  ColumnValues "o_status" in ["F", "O", "P"],
+          |  ColumnValues "o_total" between 0 and 1000,
+          |  Mean "o_total" between 100 and 200,
+          |  Uniqueness "o_id" >= 1.0,
+          |  IsPrimaryKey "o_id",
+          |  DistinctValuesCount "o_status" = 3,
+          |  ZerosCount "o_total" = 0,
+          |  ColumnExists "o_priority",
+          |  ColumnCount = 4,
+          |  CustomSql "SELECT count(*) FROM primary WHERE o_total > 50" = 5,
+          |  ColumnNamesMatchPattern "o_.*",
+          |  (RowCount > 100) or (RowCount = 6),
+          |  ColumnLength "o_status" = 1
+          |]""".stripMargin)
+
+      val rows = outcome.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      outcome.count() shouldBe 16
+      all(rows.values) shouldBe "Passed"
+    }
+
+    "fail rules that do not hold and report the value" in {
+      val outcome = EvaluateDataQuality.process(orders,
+        """Rules = [ RowCount > 100, Mean "o_total" < 50 ]""")
+      val rows = outcome.collect()
+      rows.foreach { r => r.getString(1) shouldBe "Failed" }
+      rows.find(_.getString(0).startsWith("RowCount")).get.getDouble(3) shouldBe 6.0
+    }
+
+    "support two-source rules via additionalSources" in {
+      val s = spark
+      import s.implicits._
+      val reference = Seq((1, "F"), (2, "O"), (3, "F")).toDF("r_id", "r_status")
+      val outcome = EvaluateDataQuality.process(orders,
+        """Rules = [
+          |  RowCountMatch "reference" = 2.0,
+          |  ReferentialIntegrity "o_id" "reference.r_id" = 0.5,
+          |  DatasetMatch "reference" "o_id->r_id" = 0.5,
+          |  AggregateMatch "sum(o_id)" "reference.sum(r_id)" = 3.5
+          |]""".stripMargin,
+        additionalSources = Map("reference" -> reference))
+      val rows = outcome.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      all(rows.values) shouldBe "Passed"
+    }
+
+    "flag unknown sources and unknown rules as failures at compile time" in {
+      an[IllegalArgumentException] should be thrownBy
+        EvaluateDataQuality.process(orders, """Rules = [ RowCountMatch "nope" > 0 ]""")
+      an[IllegalArgumentException] should be thrownBy
+        EvaluateDataQuality.process(orders, """Rules = [ NotARule "x" > 0 ]""")
+    }
+  }
+
+  "EvaluateDataQuality.processRows" should {
+    "emit per-row outcome columns for row-level rules" in {
+      val out = EvaluateDataQuality.processRows(orders,
+        """Rules = [
+          |  ColumnValues "o_total" between 0 and 300,
+          |  IsComplete "o_status"
+          |]""".stripMargin)
+      out.count() shouldBe 6
+      val outcomeCols = out.columns.filterNot(orders.columns.contains)
+      outcomeCols.length shouldBe 2
+      // o_total = 310.0 violates the between rule for exactly one row
+      val betweenCol = outcomeCols.find(_.contains("between")).get
+      out.filter(org.apache.spark.sql.functions.col(s"`$betweenCol`") === false)
+        .count() shouldBe 1
+    }
+  }
+}
