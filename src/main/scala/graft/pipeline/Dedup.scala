@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication for large-scale training-data pipelines: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard.
@@ -55,19 +56,50 @@ object Dedup {
       .otherwise(when(size(toks) > 0, array(concat_ws(" ", toks))).otherwise(array()))
   }
 
-  /** MinHash signature from an ALREADY MATERIALIZED shingle-array column.
-    * Materializing first matters: higher-order functions inline their
-    * argument subtree, so passing the raw shingle expression would
-    * re-tokenize the text once per hash seed (64x). With a bound column the
-    * per-seed work is one xxhash64 pass over the array.
+  /** 64-bit hashes of a shingle-array column — hash each shingle STRING
+    * exactly once; every downstream per-seed pass then works on fixed-width
+    * longs instead of re-hashing variable-length strings.
     */
-  def minHashSignatureFromShingles(shinglesCol: Column, numHashes: Int = 64): Column =
+  def shingleHashes(shinglesCol: Column): Column =
+    transform(shinglesCol, s => xxhash64(s))
+
+  /** Per-token 64-bit hashes. */
+  def tokenHashes(text: Column): Column =
+    transform(TextAnalysis.normalizedTokens(text), t => xxhash64(t))
+
+  /** Shingle-set hashes straight from token hashes: the hash of an n-gram
+    * is the hash of its n consecutive token hashes — no n-gram STRING is
+    * ever built (no slice/concat/string alloc), and set identity is
+    * preserved with 64-bit collision probability.
+    */
+  def shingleHashesFromTokenHashes(tokenHashesCol: Column, n: Int = 3): Column = {
+    val ngram = when(size(tokenHashesCol) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(tokenHashesCol) - lit(n)),
+        i => xxhash64((1 to n).map(k => element_at(tokenHashesCol, i + lit(k))): _*))))
+    // short docs: one shingle = hash of the whole token-hash array
+    ngram.otherwise(
+      when(size(tokenHashesCol) > 0, array(xxhash64(tokenHashesCol)))
+        .otherwise(array().cast(ArrayType(LongType))))
+  }
+
+  /** MinHash signature from an ALREADY MATERIALIZED shingle-HASH column.
+    * Materializing first matters twice over: (a) higher-order functions
+    * inline their argument subtree, so passing the raw shingle expression
+    * would re-tokenize the text once per hash seed (64x); (b) hashing the
+    * string per seed makes each seed O(shingle length) — re-hashing the
+    * 8-byte long is O(1) per seed.
+    */
+  def minHashSignatureFromHashes(hashesCol: Column, numHashes: Int = 64): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
       seed =>
-        when(size(shinglesCol) > 0,
-          array_min(transform(shinglesCol, s => xxhash64(s, seed))))
+        when(size(hashesCol) > 0,
+          array_min(transform(hashesCol, h => xxhash64(h, seed))))
           .otherwise(lit(Long.MaxValue)))
+
+  def minHashSignatureFromShingles(shinglesCol: Column, numHashes: Int = 64): Column =
+    minHashSignatureFromHashes(shingleHashes(shinglesCol), numHashes)
 
   /** Convenience: signature straight from text (materializes internally
     * when used via minHashCandidatePairs).
@@ -93,30 +125,39 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
 
-    // two-step projection: shingles once per row, THEN the signature —
-    // keeps the tokenize/shingle work out of the per-seed loop
+    // staged projection: EACH stage binds its result as a column before the
+    // next references it. shingleHashesFromTokenHashes reads its input via
+    // element_at once per shingle element — if the token-hash expression
+    // were inlined there, every element access would re-tokenize the text
+    // (quadratic). A bound multi-referenced alias is a projection barrier
+    // (CollapseProject keeps non-cheap aliases referenced more than once).
     val sigs = df
-      .select(col(idCol).as("graft_id"),
-        shingles(col(textCol), shingleSize).as("graft_sh"))
+      .select(col(idCol).as("graft_id"), tokenHashes(col(textCol)).as("graft_th"))
       .select(col("graft_id"),
-        minHashSignatureFromShingles(col("graft_sh"), numHashes).as("graft_sig"))
+        shingleHashesFromTokenHashes(col("graft_th"), shingleSize).as("graft_hs"))
+      .select(col("graft_id"),
+        minHashSignatureFromHashes(col("graft_hs"), numHashes).as("graft_sig"))
 
-    // explode to (band, hash(band slice)) — one row per band per doc
+    // explode to (band, hash(band slice)) — one row per band per doc;
+    // xxhash64 hashes the long-array slice directly (no string building)
     val banded = sigs.select(
       col("graft_id"), col("graft_sig"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("graft_sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))), b))))
+        b => xxhash64(slice(col("graft_sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "graft_band")
       .withColumnRenamed("col", "graft_bucket")
 
     // cap skewed buckets
     val wBucket = Window.partitionBy(col("graft_band"), col("graft_bucket"))
       .orderBy(col("graft_id"))
+    // persist before the self-join: signatures are ~64 longs/doc (orders of
+    // magnitude smaller than the text) — without this, both join sides
+    // recompute the whole tokenize→shingle→hash→minhash pipeline
     val capped = banded
       .withColumn("graft_bn", row_number().over(wBucket))
       .filter(col("graft_bn") <= maxBucketSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val a = capped.select(col("graft_band"), col("graft_bucket"),
       col("graft_id").as("id_a"), col("graft_sig").as("sig_a"))
@@ -143,8 +184,14 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
     val candidates = minHashCandidatePairs(df, idCol, textCol, numHashes, bands, shingleSize)
-    val docs = df.select(col(idCol).as("graft_doc_id"),
-      shingles(col(textCol), shingleSize).as("graft_shingles"))
+    // verify on 64-bit shingle hashes: set ops over longs, not strings
+    // (collision probability at 64 bits is negligible for dedup purposes);
+    // persisted because the pair join probes it once per pair side
+    val docs = df
+      .select(col(idCol).as("graft_doc_id"), tokenHashes(col(textCol)).as("graft_th"))
+      .select(col("graft_doc_id"),
+        shingleHashesFromTokenHashes(col("graft_th"), shingleSize).as("graft_shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(docs.withColumnRenamed("graft_doc_id", "id_a")
         .withColumnRenamed("graft_shingles", "sh_a"), Seq("id_a"))
@@ -198,10 +245,12 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // persist the 8-byte signatures before the self-join (see minhash note)
     val sigs = df
       .select(col(idCol).as("graft_id"),
         transform(TextAnalysis.normalizedTokens(col(textCol)), t => xxhash64(t)).as("graft_th"))
       .select(col("graft_id"), simHashFromHashes(col("graft_th")).as("graft_sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(
       col("graft_id"), col("graft_sim"),
       explode(array((0 until 4).map(c => struct(
