@@ -287,7 +287,11 @@ object SparkEntry {
     "q22_lang_id" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val counted = docs
-        .groupBy(TextAnalysis.languageId(col("text")).as("lang_pred"))
+        // bind tokens first: languageId counts markers for 5 languages and
+        // an inlined tokenize subtree would re-run once per language
+        .select(col("text"), TextAnalysis.normalizedTokens(col("text")).as("graft_toks"))
+        .groupBy(TextAnalysis.languageIdFromTokens(col("graft_toks"), col("text"))
+          .as("lang_pred"))
         .count()
         .collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap

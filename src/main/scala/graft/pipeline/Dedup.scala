@@ -35,11 +35,16 @@ object Dedup {
       .drop("graft_rn")
   }
 
-  /** (rows kept, duplicate rows dropped) without materializing the result. */
+  /** (rows kept, duplicate rows dropped) without materializing the result.
+    * One groupBy job computes both: distinct keys AND total rows come out
+    * of the same frequency aggregation.
+    */
   def exactCounts(df: DataFrame, keys: Seq[String]): (Long, Long) = {
-    val total = df.count()
-    val kept = df.select(keys.map(col): _*).distinct().count()
-    (kept, total - kept)
+    val row = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("graft_c"))
+      .agg(count(lit(1)), coalesce(sum(col("graft_c")), lit(0L)))
+      .collect().head
+    val kept = row.getLong(0)
+    (kept, row.getLong(1) - kept)
   }
 
   // -------------------------------------------------------------------------

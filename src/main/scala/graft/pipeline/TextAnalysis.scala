@@ -83,17 +83,31 @@ object TextAnalysis {
     * DuckDB oracle, which mirrors the exact same counting).
     */
   def markerCount(text: Column, lang: String): Column =
-    size(filter(normalizedTokens(text), t => t.isInCollection(stopwords(lang))))
+    markerCountFromTokens(normalizedTokens(text), lang)
+
+  /** Marker count over an ALREADY BOUND token-array column — pass a
+    * materialized column when counting several languages, or the tokenize
+    * subtree is re-evaluated once per language (HOF bodies get no
+    * common-subexpression elimination).
+    */
+  def markerCountFromTokens(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(stopwords(lang))))
 
   /** Heuristic language ID: argmax of marker counts with a CJK-character
     * override; ties break alphabetically; no markers => "und".
+    *
+    * Prefer [[languageIdFromTokens]] with a bound tokens column in hot
+    * paths: this convenience form re-tokenizes once per language.
     */
-  def languageId(text: Column): Column = {
+  def languageId(text: Column): Column =
+    languageIdFromTokens(normalizedTokens(text), text)
+
+  def languageIdFromTokens(toks: Column, text: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
     // argmax by (count, earlier-alphabetical wins ties): maximize the struct
     // (count, -alphabetical_index), then read the language back out
     val scores = langs.zipWithIndex.map { case (l, idx) =>
-      struct(markerCount(text, l).as("c"), lit(-idx).as("nidx"), lit(l).as("l"))
+      struct(markerCountFromTokens(toks, l).as("c"), lit(-idx).as("nidx"), lit(l).as("l"))
     }
     val best = array_max(array(scores: _*))
     val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))

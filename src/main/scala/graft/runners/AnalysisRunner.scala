@@ -227,7 +227,10 @@ object AnalysisRunner {
       val freqBased = analyzers.collect { case f: FrequencyBasedAnalyzer => f }
       val nonShareable = analyzers.filterNot(freqBased.contains(_))
 
-      val needsPersist = nonShareable.nonEmpty || freqBased.size > 1
+      // all freq-based analyzers fuse into ONE agg job over the table, so
+      // persistence only pays when a non-shareable analyzer forces a
+      // genuine second pass (reference: runners/AnalysisRunner.scala:574-578)
+      val needsPersist = nonShareable.nonEmpty
       if (needsPersist) frequencies.persist(StorageLevel.MEMORY_AND_DISK)
 
       // fuse all frequency-based aggregations into one agg over the table
