@@ -344,6 +344,17 @@ object SparkEntry {
         .filter(col("rank") > 1) // rank 1 is the query itself
         .select(col("query_id"), col("neighbor_id"), (col("rank") - 1).as("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF scale path: rows-only (centroid training is engine-internal)
+    "q27_ann_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 4, nlist = 16, nprobe = 4)
+        .filter(col("rank") > 1)
+        .select(col("query_id"), col("neighbor_id"), (col("rank") - 1).as("rank"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 

@@ -90,6 +90,34 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
       pairs should contain((1L, 2L))       // cosine ≈ 0.994
       pairs should not contain ((1L, 4L))  // opposite vectors
     }
+
+    "reach high recall vs brute force with the IVF index" in {
+      val s = spark
+      import s.implicits._
+      // deterministic synthetic corpus: 8 clusters of 25 vectors in R^16
+      val rng = new scala.util.Random(7)
+      val centers = (0 until 8).map(_ => Array.fill(16)(rng.nextGaussian().toFloat))
+      val corpus = (0 until 200).map { i =>
+        val c = centers(i % 8)
+        (i.toLong, c.map(x => x + 0.05f * rng.nextGaussian().toFloat))
+      }.toDF("vec_id", "embedding")
+      val queries = corpus.filter(col("vec_id") < 8L)
+
+      def topSets(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+
+      val exact = topSets(Similarity.bruteForceTopK(
+        corpus, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10))
+      val ivf = topSets(Similarity.ivfTopK(
+        corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 2, sampleSize = 200, iterations = 5))
+
+      val recall = exact.keys.toSeq.map { q =>
+        ivf.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / exact(q).size
+      }.sum / exact.size
+      recall should be >= 0.9
+    }
   }
 
   "TextAnalysis primitives" should {
