@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.wordspec.AnyWordSpec
+
+import graft.checks.{Check, CheckLevel, CheckStatus}
+import graft.core._
+import graft.operators.{Completeness, Mean, Size}
+import graft.streaming.{StreamingOps, StreamingVerifier}
+
+/** End-to-end Structured Streaming integration: a real MemoryStream source
+  * driving foreachBatch incremental verification and a windowed aggregation
+  * with a watermark.
+  */
+class StreamingIntegrationSpec extends AnyWordSpec with Matchers with SparkSpec {
+
+  "StreamingVerifier over a real stream" should {
+    "verify cumulatively via foreachBatch" in {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val input = MemoryStream[Double]
+      val verifier = new StreamingVerifier(
+        Seq[AnyAnalyzer](Size(), Mean("value")),
+        Seq(Check(CheckLevel.Error, "stream check").isComplete("value")))
+
+      val query = input.toDF().select(col("value"))
+        .writeStream
+        .outputMode("append")
+        .foreachBatch(verifier.asForeachBatch())
+        .start()
+      try {
+        input.addData(1.0, 2.0, 3.0)
+        query.processAllAvailable()
+        input.addData(4.0, 5.0, 6.0)
+        query.processAllAvailable()
+      } finally query.stop()
+
+      val result = verifier.latestResult.get
+      result.status shouldBe CheckStatus.Success
+      val size = result.metrics.collectFirst {
+        case (a: Size, m) => m.value.get.asInstanceOf[Double]
+      }
+      val mean = result.metrics.collectFirst {
+        case (a: Mean, m) => m.value.get.asInstanceOf[Double]
+      }
+      size shouldBe Some(6.0)
+      mean shouldBe Some(3.5)
+    }
+  }
+
+  "windowed aggregation with watermark on a real stream" should {
+    "produce closed windows downstream" in {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val input = MemoryStream[(java.sql.Timestamp, Double)]
+      val windowed = StreamingOps.windowedAgg(
+        input.toDF().toDF("ts", "value"),
+        timestampColumn = "ts",
+        windowDuration = "1 minute",
+        aggregations = Seq(sum(col("value")).as("total"), count(lit(1)).as("n")),
+        watermarkDelay = Some("30 seconds"))
+
+      val query = windowed.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName("graft_windows")
+        .start()
+      try {
+        def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+        input.addData((ts(10), 1.0), (ts(20), 2.0), (ts(70), 10.0))
+        query.processAllAvailable()
+        input.addData((ts(80), 5.0))
+        query.processAllAvailable()
+      } finally query.stop()
+
+      val out = spark.sql(
+        "SELECT window.start, total, n FROM graft_windows ORDER BY window.start, total")
+        .collect()
+      // window [.:00, +1:00) holds 1+2; window [+1:00, +2:00) ends at 10 then 15
+      out.map(_.getDouble(1)).toSet should contain(3.0)
+      out.map(_.getDouble(1)).max shouldBe 15.0
+    }
+  }
+}
