@@ -346,6 +346,56 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q28_histogram_binned" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val dist = HistogramBinned("l_quantity",
+        customEdges = Some(Seq(0.0, 10.0, 20.0, 30.0, 40.0, 50.0)))
+        .calculate(li).value.get
+      // order bins by lower edge parsed from the label; emit ordinals
+      val rows = dist.values.toSeq
+        .sortBy { case (label, _) => label.drop(1).takeWhile(_ != ',').toDouble }
+        .zipWithIndex
+        .map { case ((_, dv), i) => Row((i + 1).toDouble, dv.absolute.toDouble, r6(dv.ratio)) }
+      val schema = StructType(Seq(
+        StructField("bin", DoubleType, nullable = false),
+        StructField("absolute", DoubleType, nullable = false),
+        StructField("ratio", DoubleType, nullable = false)))
+      s.createDataFrame(new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    }),
+
+    "q29_rowlevel" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val check = Check(CheckLevel.Error, "rowlevel")
+        .satisfies("l_quantity <= 30", "qty le 30", _ >= 0.0)
+        .isComplete("l_orderkey")
+        .hasUniqueness(Seq("l_orderkey", "l_linenumber"), _ >= 0.0)
+      val result = VerificationSuite().onData(li).addCheck(check).run()
+      val rl = VerificationResult.rowLevelResultsAsDataFrame(s, result, li)
+      val agg = rl.agg(
+        org.apache.spark.sql.functions.sum(col("rowlevel").cast(LongType)).cast(DoubleType),
+        org.apache.spark.sql.functions.count(lit(1)).cast(DoubleType)).collect().head
+      metricRow(s, Seq(
+        "rows_passing" -> agg.getDouble(0),
+        "rows_total" -> agg.getDouble(1)))
+    }),
+
+    "q30_schema_validation" -> ((s, dir) => {
+      import graft.schema._
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id").cast(StringType).as("doc_id"),
+          col("lang").cast(StringType).as("lang"),
+          col("n_chars").cast(StringType).as("n_chars"))
+      val schema = RowLevelSchema()
+        .withIntColumn("doc_id", isNullable = false, minValue = Some(0))
+        .withStringColumn("lang", isNullable = false, maxLength = Some(2))
+        .withIntColumn("n_chars", isNullable = false, minValue = Some(1))
+      val result = RowLevelSchemaValidator.validate(docs, schema)
+      metricRow(s, Seq(
+        "valid_rows" -> result.numValidRows.toDouble,
+        "invalid_rows" -> result.numInvalidRows.toDouble))
+    }),
+
     // IVF scale path: rows-only (centroid training is engine-internal)
     "q27_ann_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -567,6 +617,39 @@ object SparkEntry {
         |       (SELECT CASE WHEN avg(o_totalprice) > 1000 AND avg(o_totalprice) < 500000 THEN 1 ELSE 0 END::DOUBLE FROM orders) AS mean,
         |       (SELECT CASE WHEN u.singles::DOUBLE / (SELECT count(*) FROM orders) = 1.0 THEN 1 ELSE 0 END::DOUBLE FROM u) AS uniqueness,
         |       (SELECT CASE WHEN sum(CASE WHEN o_totalprice = 0 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END::DOUBLE FROM orders) AS zeros,
-        |       (SELECT CASE WHEN count(DISTINCT o_orderpriority) = 5 THEN 1 ELSE 0 END::DOUBLE FROM orders) AS distinct_count""".stripMargin
+        |       (SELECT CASE WHEN count(DISTINCT o_orderpriority) = 5 THEN 1 ELSE 0 END::DOUBLE FROM orders) AS distinct_count""".stripMargin,
+
+    "q28_histogram_binned" ->
+      """WITH b AS (SELECT least(greatest(floor(l_quantity / 10)::INT + 1, 1), 5) AS bin
+        |           FROM lineitem WHERE l_quantity IS NOT NULL),
+        |     n AS (SELECT count(*)::DOUBLE AS total FROM b),
+        |     bins AS (SELECT unnest([1,2,3,4,5]) AS bin)
+        |SELECT bins.bin::DOUBLE AS bin,
+        |       coalesce(cnt, 0)::DOUBLE AS absolute,
+        |       round(coalesce(cnt, 0)::DOUBLE / n.total, 6) AS ratio
+        |FROM bins
+        |LEFT JOIN (SELECT bin, count(*) AS cnt FROM b GROUP BY bin) g ON bins.bin = g.bin, n
+        |ORDER BY bin""".stripMargin,
+
+    "q29_rowlevel" ->
+      """WITH r AS (
+        |  SELECT coalesce(l_quantity <= 30, TRUE)
+        |         AND coalesce(l_orderkey IS NOT NULL, TRUE)
+        |         AND coalesce(count(*) OVER (PARTITION BY l_orderkey, l_linenumber) = 1, TRUE)
+        |           AS ok
+        |  FROM lineitem)
+        |SELECT sum(CASE WHEN ok THEN 1 ELSE 0 END)::DOUBLE AS rows_passing,
+        |       count(*)::DOUBLE AS rows_total
+        |FROM r""".stripMargin,
+
+    "q30_schema_validation" ->
+      """WITH v AS (
+        |  SELECT (doc_id IS NOT NULL AND doc_id >= 0)
+        |         AND (lang IS NOT NULL AND length(lang) <= 2)
+        |         AND (n_chars IS NOT NULL AND n_chars >= 1) AS ok
+        |  FROM documents)
+        |SELECT sum(CASE WHEN ok THEN 1 ELSE 0 END)::DOUBLE AS valid_rows,
+        |       sum(CASE WHEN ok THEN 0 ELSE 1 END)::DOUBLE AS invalid_rows
+        |FROM v""".stripMargin
   )
 }
