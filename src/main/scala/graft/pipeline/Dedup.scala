@@ -72,6 +72,93 @@ object Dedup {
   def tokenHashes(text: Column): Column =
     transform(TextAnalysis.normalizedTokens(text), t => xxhash64(t))
 
+  // -- fast per-partition signature computation ------------------------------
+  //
+  // Signature building (tokenize -> shingle hash -> per-seed min) is per-row
+  // imperative work with no relational structure; the equivalent
+  // higher-order-function column expressions run interpreted (HOFs are
+  // outside whole-stage codegen) and were the near-dup hot spot. This is the
+  // one place the engine drops to mapPartitions — everything downstream
+  // (banding, bucket join, verification join) stays declarative.
+
+  /** splitmix64 — deterministic 64-bit mixer (public-domain constant set). */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def scalaTokenHashes(text: String): Array[Long] = {
+    if (text == null) return Array.empty
+    val toks = text.toLowerCase.split("\\s+")
+    val out = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) out += mix64(scala.util.hashing.MurmurHash3.stringHash(toks(i)).toLong)
+      i += 1
+    }
+    out.toArray
+  }
+
+  private def scalaShingleHashes(th: Array[Long], n: Int): Array[Long] = {
+    if (th.length == 0) return Array.empty
+    if (th.length < n) {
+      var acc = 0L
+      var i = 0
+      while (i < th.length) { acc = mix64(acc ^ th(i)); i += 1 }
+      return Array(acc)
+    }
+    val set = new java.util.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](th.length - n + 1)
+    var i = 0
+    while (i <= th.length - n) {
+      var acc = 0L
+      var k = 0
+      while (k < n) { acc = mix64(acc ^ th(i + k)); k += 1 }
+      if (set.add(acc)) out += acc
+      i += 1
+    }
+    out.toArray
+  }
+
+  private def scalaMinHash(hs: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var s = 0
+      while (s < numHashes) {
+        val v = mix64(h ^ (s.toLong * 0xD6E8FEB86659FD93L))
+        if (v < sig(s)) sig(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** (id, shingle-hash set, minhash signature) computed in one tight
+    * per-partition pass. Deterministic; no shuffle.
+    */
+  private def signatureFrame(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleSize: Int): DataFrame = {
+    val idField = df.schema(df.schema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(
+      idField.copy(name = "graft_id"),
+      StructField("graft_hs", ArrayType(LongType), nullable = false),
+      StructField("graft_sig", ArrayType(LongType), nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+    df.select(col(idCol), col(textCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val hs = scalaShingleHashes(
+          scalaTokenHashes(if (r.isNullAt(1)) null else r.getString(1)), shingleSize)
+        org.apache.spark.sql.Row(r.get(0), hs.toSeq, scalaMinHash(hs, numHashes).toSeq)
+      }
+    }
+  }
+
   /** Shingle-set hashes straight from token hashes: the hash of an n-gram
     * is the hash of its n consecutive token hashes — no n-gram STRING is
     * ever built (no slice/concat/string alloc), and set identity is
@@ -128,20 +215,18 @@ object Dedup {
       shingleSize: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rowsPerBand = numHashes / bands
+    val sigs = signatureFrame(df, idCol, textCol, numHashes, shingleSize)
+      .select("graft_id", "graft_sig")
+    candidatesFromSignatures(sigs, numHashes, bands, maxBucketSize)
+  }
 
-    // staged projection: EACH stage binds its result as a column before the
-    // next references it. shingleHashesFromTokenHashes reads its input via
-    // element_at once per shingle element — if the token-hash expression
-    // were inlined there, every element access would re-tokenize the text
-    // (quadratic). A bound multi-referenced alias is a projection barrier
-    // (CollapseProject keeps non-cheap aliases referenced more than once).
-    val sigs = df
-      .select(col(idCol).as("graft_id"), tokenHashes(col(textCol)).as("graft_th"))
-      .select(col("graft_id"),
-        shingleHashesFromTokenHashes(col("graft_th"), shingleSize).as("graft_hs"))
-      .select(col("graft_id"),
-        minHashSignatureFromHashes(col("graft_hs"), numHashes).as("graft_sig"))
+  /** LSH banding + bucket self-join over a (graft_id, graft_sig) frame. */
+  private def candidatesFromSignatures(
+      sigs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      maxBucketSize: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
 
     // explode to (band, hash(band slice)) — one row per band per doc;
     // xxhash64 hashes the long-array slice directly (no string building)
@@ -188,15 +273,16 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
-    val candidates = minHashCandidatePairs(df, idCol, textCol, numHashes, bands, shingleSize)
-    // verify on 64-bit shingle hashes: set ops over longs, not strings
-    // (collision probability at 64 bits is negligible for dedup purposes);
-    // persisted because the pair join probes it once per pair side
-    val docs = df
-      .select(col(idCol).as("graft_doc_id"), tokenHashes(col(textCol)).as("graft_th"))
-      .select(col("graft_doc_id"),
-        shingleHashesFromTokenHashes(col("graft_th"), shingleSize).as("graft_shingles"))
+    // ONE per-partition pass produces both the minhash signature (for LSH
+    // candidate generation) and the shingle-hash set (for exact-jaccard
+    // verification); persisted because banding + both pair-join sides
+    // probe it (collision probability at 64 bits is negligible for dedup)
+    val sf = signatureFrame(df, idCol, textCol, numHashes, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = candidatesFromSignatures(
+      sf.select("graft_id", "graft_sig"), numHashes, bands, maxBucketSize = 1000)
+    val docs = sf.select(col("graft_id").as("graft_doc_id"),
+      col("graft_hs").as("graft_shingles"))
     candidates
       .join(docs.withColumnRenamed("graft_doc_id", "id_a")
         .withColumnRenamed("graft_shingles", "sh_a"), Seq("id_a"))
@@ -245,17 +331,43 @@ object Dedup {
     * four 16-bit chunks (pigeonhole: Hamming ≤ 3 guarantees a match),
     * verified by exact Hamming distance.
     */
+  private def scalaSimHash(th: Array[Long]): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < th.length) {
+      val h = th(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   def simHashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // persist the 8-byte signatures before the self-join (see minhash note)
-    val sigs = df
-      .select(col(idCol).as("graft_id"),
-        transform(TextAnalysis.normalizedTokens(col(textCol)), t => xxhash64(t)).as("graft_th"))
-      .select(col("graft_id"), simHashFromHashes(col("graft_th")).as("graft_sim"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-partition signature pass (same rationale as signatureFrame),
+    // persisted before the self-join
+    val idField = df.schema(df.schema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(
+      idField.copy(name = "graft_id"),
+      StructField("graft_sim", LongType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+    val sigs = df.select(col(idCol), col(textCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val th = scalaTokenHashes(if (r.isNullAt(1)) null else r.getString(1))
+        org.apache.spark.sql.Row(r.get(0), scalaSimHash(th))
+      }
+    }.persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(
       col("graft_id"), col("graft_sim"),
       explode(array((0 until 4).map(c => struct(
