@@ -46,6 +46,26 @@ class ProfilerKllSpec extends AnyWordSpec with Matchers with SparkSpec {
       all.filter(_.columnName == "o_totalprice")
         .map(_.constraintName) should contain("NonNegativeConstraint")
     }
+
+    "add bounds rules in the EXTENDED set and validate on a holdout split" in {
+      val result = ConstraintSuggestionRunner.run(orders,
+        rules = graft.suggestions.Rules.EXTENDED,
+        testsetRatio = Some(0.25))
+      val priceRules = result.suggestions("o_totalprice").map(_.constraintName)
+      priceRules should contain allOf ("MinimumConstraint", "MaximumConstraint",
+        "MeanConstraint", "StandardDeviationConstraint")
+
+      result.testEvaluation should not be empty
+      // stable properties must hold on the held-out quarter
+      val statusFor = result.testEvaluation
+      statusFor(""".isComplete("o_orderkey")""") shouldBe
+        graft.checks.ConstraintStatus.Success
+      // most suggestions should validate (min/max CAN fail on a holdout,
+      // that is the point of the split — but not the bulk)
+      val successRatio = statusFor.values.count(_ ==
+        graft.checks.ConstraintStatus.Success).toDouble / statusFor.size
+      successRatio should be >= 0.7
+    }
   }
 
   "KLLSketch" should {
