@@ -117,13 +117,39 @@ case class Correlation(firstColumn: String, secondColumn: String, where: Option[
   * intentionally non-mergeable (reference capability:
   * analyzers/ExactQuantile.scala:42).
   */
+/** Analyzers whose aggregation is exact percentiles over one column: the
+  * runner unions all requested quantiles per (column, where) into ONE
+  * `percentile(col, array(qs))` and each analyzer reads its values via
+  * `element_at`. Every exact-percentile aggregate buffers the whole
+  * column's value counts — sharing the buffer across N quantile analyzers
+  * divides that memory and update cost by N. Catalyst deduplicates the
+  * semantically-equal aggregate functions into a single buffer.
+  */
+trait SharedPercentiles { self: ScanShareableAnalyzer[_, _] =>
+  def column: String
+  def where: Option[String]
+  def requestedQuantiles: Seq[Double]
+
+  /** Aggregation slots given the fused quantile list for this (col, where). */
+  def aggregationFunctionsFused(allQs: Seq[Double]): Seq[Column] = {
+    val combined = percentile(
+      conditionalSelection(col(column), where), array(allQs.map(lit): _*))
+    requestedQuantiles.map(q => element_at(combined, allQs.indexOf(q) + 1))
+  }
+
+  final def percentileKey: (String, Option[String]) = (column, where)
+}
+
 case class ExactQuantile(column: String, quantile: Double, where: Option[String] = None)
-    extends DoubleResultScanAnalyzer[ExactQuantileState]("ExactQuantile", column) {
+    extends DoubleResultScanAnalyzer[ExactQuantileState]("ExactQuantile", column)
+    with SharedPercentiles {
 
   require(quantile >= 0.0 && quantile <= 1.0, "quantile must be in [0, 1]")
 
   override def preconditions: Seq[StructType => Unit] =
     hasColumn(column) :: isNumeric(column) :: Nil
+
+  override def requestedQuantiles: Seq[Double] = Seq(quantile)
 
   override def aggregationFunctions(): Seq[Column] =
     percentile(conditionalSelection(col(column), where), lit(quantile)) :: Nil
@@ -202,10 +228,13 @@ case class ApproxQuantiles(column: String, quantiles: Seq[Double],
 
 /** Q3 - Q1 (reference capability: analyzers/InterquartileRange.scala:53). */
 case class InterquartileRange(column: String, where: Option[String] = None)
-    extends DoubleResultScanAnalyzer[ExactQuantileState]("InterquartileRange", column) {
+    extends DoubleResultScanAnalyzer[ExactQuantileState]("InterquartileRange", column)
+    with SharedPercentiles {
 
   override def preconditions: Seq[StructType => Unit] =
     hasColumn(column) :: isNumeric(column) :: Nil
+
+  override def requestedQuantiles: Seq[Double] = Seq(0.25, 0.75)
 
   override def aggregationFunctions(): Seq[Column] = Seq(
     percentile(conditionalSelection(col(column), where), lit(0.25)),

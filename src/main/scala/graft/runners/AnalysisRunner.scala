@@ -190,8 +190,22 @@ object AnalysisRunner {
     : Map[AnyAnalyzer, Metric[_]] = {
 
     try {
-      val aggregations = analyzers.flatMap(_.aggregationFunctions())
-      val offsets = analyzers.map(_.aggregationFunctions().length)
+      // fuse exact-percentile requests per (column, where): all quantiles
+      // on a column share ONE percentile buffer (Catalyst dedups the
+      // identical aggregate), instead of one full value buffer per quantile
+      val quantilesByKey: Map[(String, Option[String]), Seq[Double]] = analyzers
+        .collect { case s: graft.operators.SharedPercentiles => s }
+        .groupBy(_.percentileKey)
+        .map { case (k, ss) =>
+          k -> ss.flatMap(_.requestedQuantiles).distinct.sorted
+        }
+      def aggsFor(a: AnyScanAnalyzer): Seq[org.apache.spark.sql.Column] = a match {
+        case s: graft.operators.SharedPercentiles =>
+          s.aggregationFunctionsFused(quantilesByKey(s.percentileKey))
+        case other => other.aggregationFunctions()
+      }
+      val aggregations = analyzers.flatMap(aggsFor)
+      val offsets = analyzers.map(aggsFor(_).length)
         .scanLeft(0)(_ + _)
       val row: Row = data.agg(aggregations.head, aggregations.tail: _*).collect().head
       analyzers.zip(offsets).map { case (a, offset) =>

@@ -32,6 +32,11 @@ object ExplainCheck {
     AnalysisRunner.run(li, Seq[AnyAnalyzer](
       Size(), Completeness("l_orderkey"), Mean("l_quantity", Some("l_discount > 0.02")),
       Minimum("l_extendedprice"), Uniqueness(Seq("l_orderkey", "l_linenumber"))))
+    // percentile sharing: 3 quantile analyzers on one column -> ONE
+    // percentile aggregate in the plan
+    AnalysisRunner.run(li, Seq[AnyAnalyzer](
+      ExactQuantile("l_quantity", 0.5), InterquartileRange("l_quantity"),
+      ExactQuantile("l_quantity", 0.9)))
     Thread.sleep(2000)
     plans.forEach { p =>
       println("=" * 100)
