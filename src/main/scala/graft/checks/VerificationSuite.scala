@@ -88,6 +88,50 @@ object VerificationResult {
       StructField("value", DoubleType, nullable = false)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  /** JSON report of every constraint result
+    * (reference capability: VerificationResult.checkResultsAsJson).
+    */
+  def checkResultsAsJson(result: VerificationResult): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val entries = result.checkResults.toSeq.flatMap { case (check, checkResult) =>
+      checkResult.constraintResults.map { cr =>
+        ("check" -> check.description) ~
+          ("check_level" -> check.level.toString) ~
+          ("check_status" -> checkResult.status.toString) ~
+          ("constraint" -> cr.constraint.toString) ~
+          ("constraint_status" -> cr.status.toString) ~
+          ("constraint_message" -> cr.message.getOrElse(""))
+      }
+    }
+    JsonMethods.compact(JsonMethods.render(entries))
+  }
+
+  /** JSON report of every successful metric
+    * (reference capability: VerificationResult.successMetricsAsJson).
+    */
+  def successMetricsAsJson(result: VerificationResult): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val entries = result.metrics.toSeq.collect {
+      case (_, DoubleMetric(entity, name, instance, Success(value), _)) =>
+        ("entity" -> entity.repr) ~ ("instance" -> instance) ~
+          ("name" -> name) ~ ("value" -> value)
+    }
+    JsonMethods.compact(JsonMethods.render(entries))
+  }
+
+  /** Writes a JSON report through the Hadoop filesystem of the session —
+    * works for local paths, HDFS, or any object store the cluster mounts
+    * (reference capability: VerificationSuite.scala:146-172, io/DfsUtils.scala).
+    */
+  def saveJsonToPath(spark: SparkSession, path: String, json: String): Unit = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(fsPath, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
 }
 
 /** Entry point: checks in, verified result out
