@@ -107,12 +107,22 @@ object AnalysisRunner {
           runGroupingFamily(data, analyzersForKey, numRowsByWhere(where))
         }
 
-    // 5. everything else (Histogram, HistogramBinned, MutualInformation via
+    // 5. all KLL sketches with the same WHERE share ONE RDD pass with
+    //    per-column updaters (reference capability: runners/KLLRunner.scala:89-177)
+    val kllAnalyzers = others.collect { case k: graft.sketch.KLLSketchAnalyzer => k }
+    val kllMetrics: Map[AnyAnalyzer, Metric[_]] =
+      kllAnalyzers.groupBy(_.where).flatMap { case (_, group) =>
+        graft.sketch.KLLSketchAnalyzer.calculateBatch(data, group)
+      }
+
+    // 6. everything else (Histogram, HistogramBinned, MutualInformation via
     //    its own plan, CustomSql, driver-side analyzers) runs standalone
     val otherMetrics: Map[AnyAnalyzer, Metric[_]] =
-      others.map(a => (a: AnyAnalyzer) -> a.calculate(data)).toMap
+      others.filterNot(kllAnalyzers.contains(_))
+        .map(a => (a: AnyAnalyzer) -> a.calculate(data)).toMap
 
-    AnalyzerContext(failureMetrics ++ scanMetrics ++ groupingMetrics ++ otherMetrics)
+    AnalyzerContext(failureMetrics ++ scanMetrics ++ groupingMetrics ++
+      kllMetrics ++ otherMetrics)
   }
 
   /** Incremental run: computes states from `data`, merges each with the

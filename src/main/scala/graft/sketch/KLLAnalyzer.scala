@@ -44,23 +44,8 @@ case class KLLSketchAnalyzer(
   override def preconditions: Seq[StructType => Unit] =
     hasColumn(column) :: isNumeric(column) :: Nil
 
-  override def computeStateFrom(data: DataFrame): Option[KLLState] = {
-    val filtered = where.map(w => data.filter(org.apache.spark.sql.functions.expr(w)))
-      .getOrElse(data)
-    val values = filtered
-      .select(col(column).cast(DoubleType))
-      .na.drop()
-    if (values.isEmpty) return None
-    val sketch = values.rdd
-      .map(_.getDouble(0))
-      .mapPartitions { iter =>
-        val s = new KLLSketch(parameters.sketchSize, parameters.shrinkingFactor)
-        iter.foreach(s.update)
-        Iterator.single(s)
-      }
-      .treeReduce((a, b) => a.merge(b), depth = 2)
-    Some(KLLState(sketch))
-  }
+  override def computeStateFrom(data: DataFrame): Option[KLLState] =
+    KLLSketchAnalyzer.computeSketches(data, Seq(this)).head
 
   override def computeMetricFrom(state: Option[KLLState]): KLLMetric = state match {
     case Some(KLLState(sketch)) =>
@@ -74,6 +59,59 @@ case class KLLSketchAnalyzer(
 
   override def toFailureMetric(failure: Throwable): KLLMetric =
     KLLMetric(column, Failure(MetricCalculationException.wrap(failure)))
+}
+
+object KLLSketchAnalyzer {
+
+  /** ONE RDD pass computing every requested sketch: per-partition, one
+    * updater per column, merged with treeReduce — N KLL analyzers cost one
+    * scan, not N (reference capability: runners/KLLRunner.scala:89-177,
+    * which batches per-column updaters the same way). All analyzers must
+    * share the same WHERE (the runner groups by it).
+    */
+  private[graft] def computeSketches(
+      data: DataFrame,
+      group: Seq[KLLSketchAnalyzer]): Seq[Option[KLLState]] = {
+    require(group.nonEmpty)
+    val filtered = group.head.where
+      .map(w => data.filter(org.apache.spark.sql.functions.expr(w)))
+      .getOrElse(data)
+    val n = group.length
+    val params = group.map(_.parameters)
+    val projected = filtered.select(group.map(a => col(a.column).cast(DoubleType)): _*)
+    val sketches = projected.rdd
+      .mapPartitions { iter =>
+        val ss = Array.tabulate(n)(i =>
+          new KLLSketch(params(i).sketchSize, params(i).shrinkingFactor))
+        iter.foreach { row =>
+          var i = 0
+          while (i < n) {
+            if (!row.isNullAt(i)) ss(i).update(row.getDouble(i))
+            i += 1
+          }
+        }
+        Iterator.single(ss)
+      }
+      .treeReduce((a, b) => Array.tabulate(n)(i => a(i).merge(b(i))), depth = 2)
+    sketches.toSeq.map(s => if (s.count == 0L) None else Some(KLLState(s)))
+  }
+
+  /** Batch entry used by the AnalysisRunner: metrics for a same-WHERE group. */
+  private[graft] def calculateBatch(
+      data: DataFrame,
+      group: Seq[KLLSketchAnalyzer]): Map[AnyAnalyzer, Metric[_]] = {
+    try {
+      group.foreach(a => a.preconditions.foreach(_(data.schema)))
+      val states = computeSketches(data, group)
+      group.zip(states).map { case (a, st) =>
+        (a: AnyAnalyzer) -> (a.computeMetricFrom(st): Metric[_])
+      }.toMap
+    } catch {
+      case e: Throwable =>
+        // fall back to per-analyzer so one bad column doesn't fail the batch
+        group.map(a => (a: AnyAnalyzer) -> (a.calculate(data): Metric[_])).toMap
+    }
+  }
 }
 
 /** Distribution distance measures — driver-side over sketches/histograms

@@ -74,6 +74,21 @@ class FusionJobCountSpec extends AnyWordSpec with Matchers with SparkSpec {
       jobs should be <= 2
     }
 
+    "compute N KLL sketches in the same number of jobs as one" in {
+      val df = data
+      df.count()
+      import graft.sketch.KLLSketchAnalyzer
+      val one = countJobs {
+        AnalysisRunner.run(df, Seq[AnyAnalyzer](KLLSketchAnalyzer("value")))
+      }
+      val three = countJobs {
+        AnalysisRunner.run(df, Seq[AnyAnalyzer](
+          KLLSketchAnalyzer("value"), KLLSketchAnalyzer("id"),
+          KLLSketchAnalyzer("grp")))
+      }
+      three shouldBe one
+    }
+
     "not rescan for size when scan analyzers are present" in {
       val df = data
       df.count()
