@@ -48,6 +48,14 @@ case class Constraint(
                 ConstraintResult(this, ConstraintStatus.Failure,
                   Some(s"Can't execute the assertion: ${e.getMessage}!"), Some(metric))
             }
+          case Failure(e: EmptyStateException)
+              if Constraint.whereOf(analyzer).isDefined =>
+            // reference semantics: a WHERE that filters out every row makes
+            // the constraint trivially satisfied
+            // (constraints/AnalysisBasedConstraint.scala:78-120)
+            ConstraintResult(this, ConstraintStatus.Success,
+              Some("All rows were filtered out; constraint trivially holds"),
+              Some(metric))
           case Failure(e) =>
             ConstraintResult(this, ConstraintStatus.Failure,
               Some(Option(e.getMessage).getOrElse(e.toString)), Some(metric))
@@ -62,6 +70,41 @@ case class Constraint(
 }
 
 object Constraint {
+
+  /** The analyzer's WHERE filter, if it has one. */
+  def whereOf(analyzer: AnyAnalyzer): Option[String] = {
+    import graft.operators._
+    analyzer match {
+      case a: Size => a.where
+      case a: Completeness => a.where
+      case a: Compliance => a.where
+      case a: PatternMatch => a.where
+      case a: Minimum => a.where
+      case a: Maximum => a.where
+      case a: ValueRange => a.where
+      case a: Mean => a.where
+      case a: Sum => a.where
+      case a: RatioOfSums => a.where
+      case a: ZerosCount => a.where
+      case a: MinLength => a.where
+      case a: MaxLength => a.where
+      case a: ApproxCountDistinct => a.where
+      case a: StandardDeviation => a.where
+      case a: Variance => a.where
+      case a: Skewness => a.where
+      case a: Kurtosis => a.where
+      case a: Correlation => a.where
+      case a: ApproxQuantile => a.where
+      case a: ApproxQuantiles => a.where
+      case a: ExactQuantile => a.where
+      case a: InterquartileRange => a.where
+      case a: DataTypeAnalyzer => a.where
+      case a: GroupingAnalyzer[_] => a.where
+      case a: Histogram => a.where
+      case a: HistogramBinned => a.where
+      case _ => None
+    }
+  }
 
   val defaultPicker: Metric[_] => Try[Double] = {
     case DoubleMetric(_, _, _, value, _) => value

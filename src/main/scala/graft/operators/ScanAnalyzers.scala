@@ -45,8 +45,12 @@ case class Completeness(column: String, where: Option[String] = None)
     coalesce(sum(conditionalSelection(col(column), where).isNotNull.cast(LongType)), lit(0L)),
     conditionalCount(where))
 
-  override def fromAggregationResult(result: Row, offset: Int): Option[NumMatchesAndCount] =
-    Some(NumMatchesAndCount(longAt(result, offset), longAt(result, offset + 1)))
+  override def fromAggregationResult(result: Row, offset: Int): Option[NumMatchesAndCount] = {
+    // count == 0 means no rows survived the WHERE: empty state, so the
+    // constraint layer can apply its all-rows-filtered => Success rule
+    val count = longAt(result, offset + 1)
+    if (count == 0L) None else Some(NumMatchesAndCount(longAt(result, offset), count))
+  }
 
   override def fullColumn: Option[Column] = Some(
     where.map(w => when(expr(w), col(column).isNotNull)).getOrElse(col(column).isNotNull))
@@ -65,8 +69,12 @@ case class Compliance(override val instance: String, predicate: String,
     coalesce(sum(conditionalSelection(expr(predicate).cast(LongType), where)), lit(0L)),
     conditionalCount(where))
 
-  override def fromAggregationResult(result: Row, offset: Int): Option[NumMatchesAndCount] =
-    Some(NumMatchesAndCount(longAt(result, offset), longAt(result, offset + 1)))
+  override def fromAggregationResult(result: Row, offset: Int): Option[NumMatchesAndCount] = {
+    // count == 0 means no rows survived the WHERE: empty state, so the
+    // constraint layer can apply its all-rows-filtered => Success rule
+    val count = longAt(result, offset + 1)
+    if (count == 0L) None else Some(NumMatchesAndCount(longAt(result, offset), count))
+  }
 
   override def fullColumn: Option[Column] = Some(
     where.map(w => when(expr(w), expr(predicate))).getOrElse(expr(predicate)))
@@ -88,8 +96,12 @@ case class PatternMatch(column: String, pattern: String, where: Option[String] =
     coalesce(sum(conditionalSelection(matches, where)), lit(0L)),
     conditionalCount(where))
 
-  override def fromAggregationResult(result: Row, offset: Int): Option[NumMatchesAndCount] =
-    Some(NumMatchesAndCount(longAt(result, offset), longAt(result, offset + 1)))
+  override def fromAggregationResult(result: Row, offset: Int): Option[NumMatchesAndCount] = {
+    // count == 0 means no rows survived the WHERE: empty state, so the
+    // constraint layer can apply its all-rows-filtered => Success rule
+    val count = longAt(result, offset + 1)
+    if (count == 0L) None else Some(NumMatchesAndCount(longAt(result, offset), count))
+  }
 
   override def fullColumn: Option[Column] = Some(
     where.map(w => when(expr(w), matches === lit(1L))).getOrElse(matches === lit(1L)))
