@@ -17,37 +17,50 @@ class Applicability(spark: SparkSession) {
 
   private val rng = new scala.util.Random(42)
 
-  private def randomValue(dataType: DataType): Any = dataType match {
-    case StringType => rng.alphanumeric.take(8).mkString
-    case IntegerType => rng.nextInt(1000)
-    case LongType => rng.nextLong() % 100000L
-    case ShortType => rng.nextInt(Short.MaxValue).toShort
-    case ByteType => rng.nextInt(Byte.MaxValue).toByte
-    case FloatType => rng.nextFloat() * 100
-    case DoubleType => rng.nextDouble() * 100
-    case BooleanType => rng.nextBoolean()
+  private def randomValue(dataType: DataType): Option[Any] = dataType match {
+    case StringType => Some(rng.alphanumeric.take(8).mkString)
+    case IntegerType => Some(rng.nextInt(1000))
+    case LongType => Some(rng.nextLong() % 100000L)
+    case ShortType => Some(rng.nextInt(Short.MaxValue).toShort)
+    case ByteType => Some(rng.nextInt(Byte.MaxValue).toByte)
+    case FloatType => Some(rng.nextFloat() * 100)
+    case DoubleType => Some(rng.nextDouble() * 100)
+    case BooleanType => Some(rng.nextBoolean())
     case d: DecimalType =>
-      new java.math.BigDecimal(rng.nextInt(1000)).setScale(d.scale)
-    case TimestampType => new java.sql.Timestamp(1700000000000L + rng.nextInt(1000000))
-    case DateType => new java.sql.Date(1700000000000L + rng.nextInt(1000000))
-    case other => throw new IllegalArgumentException(s"Cannot generate data for $other")
+      // integral part bounded by precision - scale so the value always
+      // fits DecimalType(p, s) without overflow
+      val intDigits = math.max(d.precision - d.scale, 0)
+      val bound = math.min(math.pow(10, intDigits.toDouble), 1000.0).toInt
+      Some(new java.math.BigDecimal(if (bound == 0) 0 else rng.nextInt(bound))
+        .setScale(d.scale))
+    case TimestampType => Some(new java.sql.Timestamp(1700000000000L + rng.nextInt(1000000)))
+    case DateType => Some(new java.sql.Date(1700000000000L + rng.nextInt(1000000)))
+    // unsupported (binary/array/struct/map...): generate null rather than
+    // fail the whole dry-run — checks not referencing the column are
+    // unaffected, ones that do surface a per-analyzer failure
+    case _ => None
   }
 
   private def generate(schema: StructType, numRows: Int = 100) = {
+    // columns we cannot generate become all-null and must read as nullable
+    val genSchema = StructType(schema.fields.map { f =>
+      if (randomValue(f.dataType).isEmpty) f.copy(nullable = true) else f
+    })
     val rows = (0 until numRows).map { _ =>
-      Row(schema.fields.map { f =>
-        if (f.nullable && rng.nextDouble() < 0.1) null else randomValue(f.dataType)
+      Row(genSchema.fields.map { f =>
+        if (f.nullable && rng.nextDouble() < 0.1) null
+        else randomValue(f.dataType).orNull
       }.toSeq: _*)
     }
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      schema)
+      genSchema)
   }
 
   case class CheckApplicability(
       isApplicable: Boolean,
       failures: Seq[(String, Option[Throwable])],
-      constraintApplicabilities: Map[String, Boolean])
+      constraintApplicabilities: Seq[(String, Boolean)])
 
   case class AnalyzersApplicability(
       isApplicable: Boolean,
@@ -57,10 +70,12 @@ class Applicability(spark: SparkSession) {
   def isApplicable(check: Check, schema: StructType): CheckApplicability = {
     val data = generate(schema)
     val ctx = AnalysisRunner.run(data, check.requiredAnalyzers())
+    // Seq, not Map: distinct constraints can share a toString (same
+    // analyzer name + instance) and must not collapse into one entry
     val perConstraint = check.constraints.map { c =>
       val ok = ctx.metric(c.analyzer).exists(_.value.isSuccess)
       c.toString -> ok
-    }.toMap
+    }
     val failures = check.requiredAnalyzers().flatMap { a =>
       ctx.metric(a).map(_.value) match {
         case Some(scala.util.Failure(e)) => Some(a.toString -> Option(e))

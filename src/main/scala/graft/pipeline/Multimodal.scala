@@ -54,17 +54,16 @@ object Multimodal {
     val binIdx = inputSchema.fieldIndex(binaryColumn)
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
     df.mapPartitions { rows =>
-      // batched iteration: decode in groups to amortize codec setup
-      rows.grouped(64).flatMap { batch =>
-        batch.map { row =>
-          val payload = row.get(binIdx) match {
-            case b: Array[Byte] => b
-            case null => Array.empty[Byte]
-            case other => other.toString.getBytes("UTF-8")
-          }
-          val (vec, w, h, fmt) = decodeStub(payload, dim)
-          Row.fromSeq(row.toSeq ++ Seq(vec.toSeq, w, h, fmt, payload.length.toLong))
+      // per-partition pass: a real codec initializes once here, before the
+      // row loop, and decodes row payloads with that shared context
+      rows.map { row =>
+        val payload = row.get(binIdx) match {
+          case b: Array[Byte] => b
+          case null => Array.empty[Byte]
+          case other => other.toString.getBytes("UTF-8")
         }
+        val (vec, w, h, fmt) = decodeStub(payload, dim)
+        Row.fromSeq(row.toSeq ++ Seq(vec.toSeq, w, h, fmt, payload.length.toLong))
       }
     }(enc)
   }
@@ -79,9 +78,13 @@ object Multimodal {
     val frameCount = greatest(
       least((length(col(binaryColumn)) / lit(1024)).cast(IntegerType), lit(maxFrames * everyNth)),
       lit(1))
+    // null payloads yield NO frames: least/greatest SKIP nulls (they do not
+    // propagate), so without the guard a null video would explode into the
+    // maximum frame count
+    val indices = when(col(binaryColumn).isNull, array().cast(ArrayType(IntegerType)))
+      .otherwise(sequence(lit(0), frameCount - 1, lit(everyNth)))
     df
-      .withColumn("graft_frame_idx",
-        explode(sequence(lit(0), frameCount - 1, lit(everyNth))))
+      .withColumn("graft_frame_idx", explode(indices))
       .withColumn("graft_frame_ref",
         xxhash64(col(binaryColumn), col("graft_frame_idx")))
   }

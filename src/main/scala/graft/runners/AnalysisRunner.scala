@@ -137,18 +137,51 @@ object AnalysisRunner {
       aggregateWith: Option[StateLoader] = None,
       saveStatesWith: Option[StatePersister] = None): AnalyzerContext = {
 
-    val metrics = analyzers.distinct.map { a =>
+    val distinct = analyzers.distinct
+
+    // one fused agg computes the FRESH state of every scan-shareable
+    // analyzer — the streaming/incremental hot path must not pay one scan
+    // per analyzer when batch mode pays one scan total
+    val scanShareable = distinct.collect {
+      case s: AnyScanAnalyzer
+          if !s.isInstanceOf[graft.operators.GroupingAnalyzer[_]] &&
+            scala.util.Try(s.preconditions.foreach(_(data.schema))).isSuccess => s
+    }
+    val fusedFresh: Map[AnyAnalyzer, Option[State[_]]] =
+      if (scanShareable.isEmpty) Map.empty
+      else fusedScanStates(data, scanShareable)
+
+    val metrics = distinct.map { a =>
       val metric: Metric[_] =
         try {
           a.preconditions.foreach(_(data.schema))
-          statefulMetric(a.asInstanceOf[Analyzer[State[_], Metric[_]]],
-            data, aggregateWith, saveStatesWith)
+          val typed = a.asInstanceOf[Analyzer[State[_], Metric[_]]]
+          val fresh = fusedFresh.getOrElse(a, typed.computeStateFrom(data))
+          statefulMetric(typed, fresh, aggregateWith, saveStatesWith)
         } catch {
           case e: Throwable => a.toFailureMetric(e)
         }
       (a: AnyAnalyzer) -> metric
     }.toMap
     AnalyzerContext(metrics)
+  }
+
+  /** Fresh states for scan-shareable analyzers from ONE fused aggregation. */
+  private def fusedScanStates(
+      data: DataFrame,
+      analyzers: Seq[AnyScanAnalyzer]): Map[AnyAnalyzer, Option[State[_]]] = {
+    try {
+      val aggregations = analyzers.flatMap(_.aggregationFunctions())
+      val offsets = analyzers.map(_.aggregationFunctions().length).scanLeft(0)(_ + _)
+      val row: Row = data.agg(aggregations.head, aggregations.tail: _*).collect().head
+      analyzers.zip(offsets).map { case (a, offset) =>
+        (a: AnyAnalyzer) ->
+          a.fromAggregationResult(row, offset).asInstanceOf[Option[State[_]]]
+      }.toMap
+    } catch {
+      // degrade to per-analyzer (a malformed aggregation must not poison all)
+      case _: Throwable => Map.empty
+    }
   }
 
   /** No scan at all: load states from N providers, merge pairwise, render
@@ -178,10 +211,9 @@ object AnalysisRunner {
 
   private def statefulMetric(
       analyzer: Analyzer[State[_], Metric[_]],
-      data: DataFrame,
+      fresh: Option[State[_]],
       aggregateWith: Option[StateLoader],
       saveStatesWith: Option[StatePersister]): Metric[_] = {
-    val fresh: Option[State[_]] = analyzer.computeStateFrom(data)
     val loaded: Option[State[_]] = aggregateWith.flatMap(_.load(analyzer))
     val merged: Option[State[_]] = (fresh, loaded) match {
       case (Some(f), Some(l)) => Some(f.mergeUntyped(l).asInstanceOf[State[_]])

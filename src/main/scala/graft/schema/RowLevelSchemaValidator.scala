@@ -31,7 +31,9 @@ case class StringColumnDefinition(
       if (!isNullable) Some(c.isNotNull) else None,
       minLength.map(m => c.isNull || length(c) >= m),
       maxLength.map(m => c.isNull || length(c) <= m),
-      matches.map(re => c.isNull || regexp_extract(c, re, 0) =!= lit(""))
+      // rlike, not regexp_extract =!= "": a legitimate empty-string match
+      // (e.g. pattern ^[a-z]*$ on "") must count as conforming
+      matches.map(re => c.isNull || c.rlike(re))
     ).flatten
     checks.reduceOption(_ && _).getOrElse(lit(true))
   }
@@ -127,13 +129,27 @@ case class RowLevelSchemaValidationResult(
 object RowLevelSchemaValidator {
 
   def validate(data: DataFrame, schema: RowLevelSchema): RowLevelSchemaValidationResult = {
+    require(schema.columnDefinitions.nonEmpty,
+      "RowLevelSchema must declare at least one column definition")
     val conformance = schema.columnDefinitions.map(_.conforms).reduce(_ && _)
 
-    val valid = data
-      .filter(conformance)
-      .select(schema.columnDefinitions.map(_.converted): _*)
-    val invalid = data.filter(!coalesce(conformance, lit(false)))
+    // evaluate the conformance predicate ONCE: mark + persist, then both
+    // counts come from one aggregation and the returned frames are cheap
+    // filters over the marked data instead of re-running every cast/regex
+    val marked = data
+      .withColumn("graft_conforms", coalesce(conformance, lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val countsRow = marked.agg(
+      coalesce(sum(col("graft_conforms").cast("long")), lit(0L)),
+      count(lit(1))).collect().head
+    val numValid = countsRow.getLong(0)
+    val numTotal = countsRow.getLong(1)
 
-    RowLevelSchemaValidationResult(valid, valid.count(), invalid, invalid.count())
+    val valid = marked
+      .filter(col("graft_conforms"))
+      .select(schema.columnDefinitions.map(_.converted): _*)
+    val invalid = marked.filter(!col("graft_conforms")).drop("graft_conforms")
+
+    RowLevelSchemaValidationResult(valid, numValid, invalid, numTotal - numValid)
   }
 }

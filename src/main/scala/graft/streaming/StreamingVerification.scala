@@ -22,12 +22,14 @@ class StreamingVerifier(
 
   private val provider = new InMemoryStateProvider
   @volatile private var lastResult: Option[VerificationResult] = None
+  @volatile private var lastBatchId: Long = -1L
 
   /** Processes one micro-batch; returns the cumulative verification result. */
   def processBatch(batch: DataFrame): VerificationResult = {
     val all = (analyzers ++ checks.flatMap(_.requiredAnalyzers())).distinct
     val ctx = AnalysisRunner.runStateful(
       batch, all, aggregateWith = Some(provider), saveStatesWith = Some(provider))
+    truncateGroupingLineage(all)
     val checkResults = checks.map(c => c -> c.evaluate(ctx)).toMap
     val status = checkResults.values.map(_.status)
       .foldLeft(CheckStatus.Success: CheckStatus)(CheckStatus.max)
@@ -36,12 +38,44 @@ class StreamingVerifier(
     result
   }
 
+  /** Idempotent flavor for foreachBatch's at-least-once contract: a
+    * replayed batchId is NOT merged twice into the cumulative state.
+    */
+  def processBatch(batch: DataFrame, batchId: Long): VerificationResult = synchronized {
+    if (batchId <= lastBatchId && lastResult.isDefined) lastResult.get
+    else {
+      val r = processBatch(batch)
+      lastBatchId = batchId
+      r
+    }
+  }
+
+  /** Cumulative frequency-table states merge via outer joins; after each
+    * batch the merged plan is cut with a local checkpoint so batch N does
+    * not re-execute N stacked joins over every earlier micro-batch's
+    * (possibly no-longer-readable) DataFrame.
+    */
+  private def truncateGroupingLineage(all: Seq[AnyAnalyzer]): Unit = {
+    all.foreach {
+      case g: graft.operators.GroupingAnalyzer[_] =>
+        val typed = g.asInstanceOf[graft.core.Analyzer[
+          graft.core.State[_], graft.core.Metric[_]]]
+        provider.load(typed).foreach {
+          case f: graft.operators.FrequenciesAndNumRows =>
+            provider.persist(typed, f.copy(
+              frequencies = f.frequencies.localCheckpoint(true)))
+          case _ => ()
+        }
+      case _ => ()
+    }
+  }
+
   def latestResult: Option[VerificationResult] = lastResult
 
   /** foreachBatch hook: `stream.writeStream.foreachBatch(verifier.asForeachBatch(cb))`. */
   def asForeachBatch(onResult: (VerificationResult, Long) => Unit = (_, _) => ())
     : (DataFrame, Long) => Unit =
-    (batch: DataFrame, batchId: Long) => onResult(processBatch(batch), batchId)
+    (batch: DataFrame, batchId: Long) => onResult(processBatch(batch, batchId), batchId)
 }
 
 /** Event-time windowed metrics for streams (and batch backfills of the

@@ -106,6 +106,35 @@ class PipelineSurfacesSpec extends AnyWordSpec with Matchers with SparkSpec {
       mean shouldBe Some(3.5)
     }
 
+    "not double-merge a replayed batchId (at-least-once foreachBatch)" in {
+      val s = spark
+      import s.implicits._
+      val verifier = new StreamingVerifier(Seq[AnyAnalyzer](operators.Size()))
+      val b = Seq(1.0, 2.0).toDF("v")
+      verifier.processBatch(b, batchId = 0L)
+      verifier.processBatch(b, batchId = 0L) // replay must be a no-op
+      val size = verifier.latestResult.get.metrics.collectFirst {
+        case (_: operators.Size, m) => m.value.get.asInstanceOf[Double]
+      }
+      size shouldBe Some(2.0)
+    }
+
+    "accumulate grouping states across many batches with bounded lineage" in {
+      val s = spark
+      import s.implicits._
+      val verifier = new StreamingVerifier(Seq[AnyAnalyzer](
+        operators.Uniqueness(Seq("k"))))
+      // 6 batches; key 0 repeats across all, others unique
+      (0 until 6).foreach { i =>
+        verifier.processBatch(Seq(0, 100 + i).toDF("k"), batchId = i.toLong)
+      }
+      val uniq = verifier.latestResult.get.metrics.collectFirst {
+        case (_: operators.Uniqueness, m) => m.value.get.asInstanceOf[Double]
+      }
+      // 12 rows, 6 unique singletons (100..105); key 0 appears 6 times
+      uniq shouldBe Some(6.0 / 12.0)
+    }
+
     "compute windowed and session aggregations on batch data" in {
       val s = spark
       import s.implicits._
