@@ -253,7 +253,7 @@ case class Check(
       assertion, hint = hint))
 
   def containsCreditCardNumber(column: String, assertion: Double => Boolean = isOne): Check =
-    hasPattern(column, Patterns.CREDITCARD)
+    hasPattern(column, Patterns.CREDITCARD, assertion)
 
   def containsEmail(column: String, assertion: Double => Boolean = isOne): Check =
     hasPattern(column, Patterns.EMAIL, assertion)
@@ -427,6 +427,7 @@ object Check {
       case a: MutualInformation => a.copy(where = and(a.where, filter))
       case a: Histogram => a.copy(where = and(a.where, filter))
       case a: HistogramBinned => a.copy(where = and(a.where, filter))
+      case a: graft.sketch.KLLSketchAnalyzer => a.copy(where = and(a.where, filter))
       case other => throw new IllegalArgumentException(
         s"Constraint over ${other.name} does not support .where() filtering")
     }

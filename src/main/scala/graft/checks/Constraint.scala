@@ -102,6 +102,7 @@ object Constraint {
       case a: GroupingAnalyzer[_] => a.where
       case a: Histogram => a.where
       case a: HistogramBinned => a.where
+      case a: graft.sketch.KLLSketchAnalyzer => a.where
       case _ => None
     }
   }

@@ -176,10 +176,16 @@ object EvaluateDataQuality {
           RuleOutcome(rendered, passed = false, Some(Option(e.getMessage).getOrElse(e.toString)), None)
       })
 
+    def rejectWhere(): Unit =
+      if (where.isDefined) throw new DqdlTranslationException(
+        s"${rule.ruleType} does not support a where clause")
+
     rule.ruleType.toLowerCase match {
       // -- single-source, constraint-backed ---------------------------------
       case "rowcount" => constraint("RowCount", Size(where), numeric)
-      case "columncount" => constraint("ColumnCount", ColumnCount(), numeric)
+      case "columncount" =>
+        rejectWhere()
+        constraint("ColumnCount", ColumnCount(), numeric)
       case "completeness" => constraint("Completeness", Completeness(param(0), where), numeric)
       case "iscomplete" => constraint("IsComplete", Completeness(param(0), where), _ == 1.0)
       case "uniqueness" => constraint("Uniqueness",
@@ -187,8 +193,12 @@ object EvaluateDataQuality {
       case "isunique" => constraint("IsUnique", Uniqueness(rule.parameters, where), _ == 1.0)
       case "uniquevalueratio" => constraint("UniqueValueRatio",
         UniqueValueRatio(rule.parameters, where), numeric)
-      case "distinctvaluescount" => constraint("DistinctValuesCount",
-        CountDistinct(rule.parameters), numeric)
+      case "distinctvaluescount" =>
+        // CountDistinct has no WHERE surface (same as the reference);
+        // silently ignoring a parsed filter would report wrong outcomes
+        if (where.isDefined) throw new DqdlTranslationException(
+          "DistinctValuesCount does not support a where clause")
+        constraint("DistinctValuesCount", CountDistinct(rule.parameters), numeric)
       case "entropy" => constraint("Entropy", Entropy(param(0), where), numeric)
       case "mean" => constraint("Mean", Mean(param(0), where), numeric)
       case "sum" => constraint("Sum", Sum(param(0), where), numeric)
@@ -204,8 +214,12 @@ object EvaluateDataQuality {
         DuplicateRowCount(rule.parameters, where), numeric)
       case "columncorrelation" => constraint("ColumnCorrelation",
         Correlation(param(0), param(1), where), numeric)
-      case "customsql" => constraint("CustomSql", CustomSql(param(0)), numeric)
-      case "columnexists" => constraint("ColumnExists", ColumnExists(param(0)), _ == 1.0)
+      case "customsql" =>
+        rejectWhere() // filters belong inside the SQL itself
+        constraint("CustomSql", CustomSql(param(0)), numeric)
+      case "columnexists" =>
+        rejectWhere()
+        constraint("ColumnExists", ColumnExists(param(0)), _ == 1.0)
 
       case "isprimarykey" =>
         val cols = rule.parameters

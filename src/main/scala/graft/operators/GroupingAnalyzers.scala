@@ -55,11 +55,14 @@ object FrequenciesAndNumRows {
 
   def computeFrequenciesOnly(data: DataFrame, groupingColumns: Seq[String],
       where: Option[String]): DataFrame = {
-    val atLeastOneNotNull = groupingColumns.map(col(_).isNotNull).reduce(_ || _)
+    // empty column list means "all columns" (DuplicateRowCount's default;
+    // reference: analyzers/GroupingAnalyzers.scala:70-77)
+    val cols = if (groupingColumns.isEmpty) data.columns.toSeq else groupingColumns
+    val atLeastOneNotNull = cols.map(col(_).isNotNull).reduce(_ || _)
     data
       .filter(atLeastOneNotNull)
       .filter(where.map(expr).getOrElse(lit(true)))
-      .groupBy(groupingColumns.map(col): _*)
+      .groupBy(cols.map(col): _*)
       .agg(count(lit(1)).as(COUNT_COL))
   }
 }
@@ -145,7 +148,14 @@ case class Uniqueness(override val groupingColumns: Seq[String],
   override def rowLevelColumn: Option[Column] = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupingColumns.map(col): _*)
-    Some(count(lit(1)).over(w) === lit(1L))
+    where match {
+      // WHERE-filtered rows evaluate null (pass) and are excluded from the
+      // per-group count, matching the metric's filtered semantics
+      case Some(f) =>
+        Some(when(expr(f), count(when(expr(f), lit(1))).over(w) === lit(1L)))
+      case None =>
+        Some(count(lit(1)).over(w) === lit(1L))
+    }
   }
 
   override def fromFrequencyAggregate(result: Row, offset: Int, numRows: Long): Option[Double] =

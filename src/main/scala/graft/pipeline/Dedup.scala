@@ -353,7 +353,8 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
     // per-partition signature pass (same rationale as signatureFrame),
     // persisted before the self-join
     val idField = df.schema(df.schema.fieldIndex(idCol))
@@ -377,9 +378,17 @@ object Dedup {
       .select(col("graft_id"), col("graft_sim"),
         col("col.chunk").as("graft_chunk"), col("col.v").as("graft_chunk_val"))
 
-    val a = chunked.select(col("graft_chunk"), col("graft_chunk_val"),
+    // cap skewed buckets (e.g. every empty doc hashes to signature 0):
+    // without this the chunk self-join is quadratic in the bucket size
+    val wBucket = Window.partitionBy(col("graft_chunk"), col("graft_chunk_val"))
+      .orderBy(col("graft_id"))
+    val capped = chunked
+      .withColumn("graft_bn", row_number().over(wBucket))
+      .filter(col("graft_bn") <= maxBucketSize)
+
+    val a = capped.select(col("graft_chunk"), col("graft_chunk_val"),
       col("graft_id").as("id_a"), col("graft_sim").as("sim_a"))
-    val b = chunked.select(col("graft_chunk"), col("graft_chunk_val"),
+    val b = capped.select(col("graft_chunk"), col("graft_chunk_val"),
       col("graft_id").as("id_b"), col("graft_sim").as("sim_b"))
 
     a.join(b, Seq("graft_chunk", "graft_chunk_val"))

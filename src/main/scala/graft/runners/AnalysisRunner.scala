@@ -88,12 +88,14 @@ object AnalysisRunner {
       if (allScan.isEmpty) Map.empty
       else runScanShareable(data, allScan)
 
-    // row count per distinct where, reused by every grouping analyzer
+    // row count per distinct where, reused by every grouping analyzer;
+    // the fallback count MUST honor the same where filter
     val numRowsByWhere: Map[Option[String], Long] = groupingWheres.map { w =>
       val sizeAnalyzer = Size(w)
       val n = scanMetrics.get(sizeAnalyzer) match {
         case Some(DoubleMetric(_, _, _, scala.util.Success(v), _)) => v.toLong
-        case _ => data.count()
+        case _ => w.map(f => data.filter(org.apache.spark.sql.functions.expr(f)).count())
+          .getOrElse(data.count())
       }
       w -> n
     }.toMap
@@ -121,8 +123,12 @@ object AnalysisRunner {
       others.filterNot(kllAnalyzers.contains(_))
         .map(a => (a: AnyAnalyzer) -> a.calculate(data)).toMap
 
-    AnalyzerContext(failureMetrics ++ scanMetrics ++ groupingMetrics ++
-      kllMetrics ++ otherMetrics)
+    // injected Size analyzers served the grouping row counts only — they
+    // must not surface as metrics the caller never requested
+    val injectedOnly: Set[AnyAnalyzer] = sizesNeeded.toSet[AnyAnalyzer]
+
+    AnalyzerContext((failureMetrics ++ scanMetrics ++ groupingMetrics ++
+      kllMetrics ++ otherMetrics) -- injectedOnly)
   }
 
   /** Incremental run: computes states from `data`, merges each with the
