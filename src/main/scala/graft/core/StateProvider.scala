@@ -66,7 +66,18 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
 
   override def persist[S <: State[_]](analyzer: Analyzer[S, _], state: S): Unit = {
     val base = s"$locationPrefix-${identifier(analyzer)}"
+    // non-mergeable states fail LOUDLY here (SURVEY §7.4): silently
+    // persisting something load() cannot reconstruct corrupts incremental runs
+    analyzer match {
+      case _: graft.operators.HistogramBinned =>
+        throw new IllegalArgumentException(
+          "HistogramBinned state is not mergeable across runs (bin edges are data-dependent)")
+      case _ => ()
+    }
     state match {
+      case graft.sketch.KLLState(sketch) =>
+        val bytes = sketch.serialize()
+        withOutput(s"$base.bin") { o => o.writeInt(bytes.length); o.write(bytes) }
       case NumMatches(n) => withOutput(s"$base.bin")(_.writeLong(n))
       case NumMatchesAndCount(n, c) =>
         withOutput(s"$base.bin") { o => o.writeLong(n); o.writeLong(c) }
@@ -135,7 +146,14 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
       case _: DataTypeAnalyzer =>
         withInput(s"$base.bin")(i => DataTypeState(
           i.readLong(), i.readLong(), i.readLong(), i.readLong(), i.readLong()))
-      case g: GroupingAnalyzer[_] =>
+      case _: graft.sketch.KLLSketchAnalyzer =>
+        withInput(s"$base.bin") { i =>
+          val len = i.readInt(); val bytes = new Array[Byte](len); i.readFully(bytes)
+          graft.sketch.KLLState(graft.sketch.KLLSketch.deserialize(bytes))
+        }
+      case _: DatasetMatchAnalyzer =>
+        withInput(s"$base.bin")(i => NumMatchesAndCount(i.readLong(), i.readLong()))
+      case _: GroupingAnalyzer[_] | _: Histogram =>
         val numRows = withInput(s"$base-numrows.bin")(_.readLong())
         numRows.map { n =>
           FrequenciesAndNumRows(spark.read.parquet(s"$base-frequencies.parquet"), n)

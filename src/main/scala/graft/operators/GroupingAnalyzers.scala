@@ -49,7 +49,11 @@ object FrequenciesAndNumRows {
   def compute(data: DataFrame, groupingColumns: Seq[String],
       where: Option[String]): FrequenciesAndNumRows = {
     val frequencies = computeFrequenciesOnly(data, groupingColumns, where)
-    val numRows = where.map(w => data.filter(expr(w))).getOrElse(data).count()
+    // numRows applies the SAME filters as the frequency table (any grouping
+    // key non-null + where) — reference GroupingAnalyzers numRows semantics;
+    // sum of frequencies equals that count without a second scan
+    val numRows = frequencies
+      .agg(coalesce(sum(col(COUNT_COL)), lit(0L))).collect().head.getLong(0)
     FrequenciesAndNumRows(frequencies, numRows)
   }
 
@@ -223,13 +227,15 @@ object CountDistinct {
 case class Entropy(column: String, override val where: Option[String] = None)
     extends FrequencyBasedAnalyzer("Entropy", Seq(column), where) {
 
-  override def aggregationFunctionsOverFrequencies(numRows: Long): Seq[Column] = {
-    val p = cnt.cast(DoubleType) / lit(numRows.toDouble)
-    coalesce(sum(when(cnt === lit(0L), lit(0.0)).otherwise(-p * log(p))), lit(0.0)) :: Nil
-  }
+  // numRows-independent aggregation so it can fuse with the sum(count)
+  // that DERIVES numRows: entropy = ln N - (SUM c*ln c) / N  with N = SUM c
+  override def aggregationFunctionsOverFrequencies(numRows: Long): Seq[Column] =
+    coalesce(sum(when(cnt <= lit(0L), lit(0.0))
+      .otherwise(cnt.cast(DoubleType) * log(cnt.cast(DoubleType)))), lit(0.0)) :: Nil
 
   override def fromFrequencyAggregate(result: Row, offset: Int, numRows: Long): Option[Double] =
-    if (numRows == 0L) None else Some(result.getDouble(offset))
+    if (numRows == 0L) None
+    else Some(math.log(numRows.toDouble) - result.getDouble(offset) / numRows.toDouble)
 }
 
 /** Sum of counts of groups occurring more than once; empty columns means
@@ -288,9 +294,17 @@ case class MutualInformation(columns: Seq[String], override val where: Option[St
         import FrequenciesAndNumRows.COUNT_COL
         val Seq(c1, c2) = columns
         val n = lit(numRows.toDouble)
-        val m1 = freq.groupBy(c1).agg(sum(COUNT_COL).as("graft_c1")) // marginal of c1
-        val m2 = freq.groupBy(c2).agg(sum(COUNT_COL).as("graft_c2")) // marginal of c2
-        val joint = freq.join(m1, c1).join(m2, c2)
+        // null-safe joins: frequency rows may carry a null in ONE of the two
+        // columns (they pass the any-key-non-null filter); a plain equi-join
+        // would drop them from the joint sum while the marginals and n still
+        // count them, denormalizing the distribution
+        val m1 = freq.groupBy(c1).agg(sum(COUNT_COL).as("graft_c1"))
+          .withColumnRenamed(c1, "graft_k1")
+        val m2 = freq.groupBy(c2).agg(sum(COUNT_COL).as("graft_c2"))
+          .withColumnRenamed(c2, "graft_k2")
+        val joint = freq
+          .join(m1, col(c1) <=> col("graft_k1"))
+          .join(m2, col(c2) <=> col("graft_k2"))
         val pxy = col(COUNT_COL).cast(DoubleType) / n
         val px = col("graft_c1").cast(DoubleType) / n
         val py = col("graft_c2").cast(DoubleType) / n

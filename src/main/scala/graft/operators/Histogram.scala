@@ -79,7 +79,9 @@ case class Histogram(
         val denom = math.max(numRows, 1L)
         val values = topBins.map { row =>
           val value = row.getString(row.fieldIndex(Histogram.BIN_COL))
-          val absolute = row.getLong(row.fieldIndex(COUNT_COL))
+          val countIdx = row.fieldIndex(COUNT_COL)
+          // SumAggregate over an all-null aggregation column yields NULL
+          val absolute = if (row.isNullAt(countIdx)) 0L else row.getLong(countIdx)
           val ratio = if (computeFrequenciesAsRatio) absolute.toDouble / denom else absolute.toDouble
           value -> DistributionValue(absolute, ratio)
         }.toMap
@@ -132,33 +134,51 @@ case class HistogramBinned(
       }
   }
 
-  override def computeStateFrom(data: DataFrame): Option[FrequenciesAndNumRows] = {
-    val edges = resolveEdges(data)
+  override def computeStateFrom(data: DataFrame): Option[FrequenciesAndNumRows] =
+    computeStateWithEdges(data, resolveEdges(data))
+
+  private def computeStateWithEdges(data: DataFrame,
+      edges: Array[Double]): Option[FrequenciesAndNumRows] = {
     if (edges.isEmpty) return None
     val filtered = where.map(w => data.filter(expr(w))).getOrElse(data)
     val nBins = edges.length - 1
-    // width_bucket is 1-based and gives nBins+1 for the exact max — clamp into the last bin
-    val bucket = least(
-      width_bucket(col(column).cast(DoubleType), lit(edges.head), lit(edges.last), lit(nBins)),
-      lit(nBins.toLong))
+    val isUniform = {
+      val w0 = (edges.last - edges.head) / nBins
+      edges.sliding(2).forall { case Array(a, b) => math.abs((b - a) - w0) < 1e-9 * math.max(math.abs(w0), 1.0) }
+    }
+    val x = col(column).cast(DoubleType)
+    val bucket =
+      if (isUniform) {
+        // width_bucket is 1-based and gives nBins+1 for the exact max —
+        // clamp into the last bin
+        least(width_bucket(x, lit(edges.head), lit(edges.last), lit(nBins)), lit(nBins.toLong))
+      } else {
+        // width_bucket assumes EQUAL widths; non-uniform custom edges need
+        // an explicit bin index: 1 + number of interior edges <= x
+        val interior = edges.slice(1, nBins) // edges 1..nBins-1
+        least(interior.foldLeft(lit(1L)) { (acc, e) =>
+          acc + when(x >= lit(e), lit(1L)).otherwise(lit(0L))
+        }, lit(nBins.toLong))
+      }
+    val inRange = x >= lit(edges.head) && x <= lit(edges.last)
     val freq = filtered
-      .filter(col(column).isNotNull)
+      .filter(col(column).isNotNull && inRange)
       .groupBy(bucket.as(Histogram.BIN_COL))
       .agg(count(lit(1)).as(FrequenciesAndNumRows.COUNT_COL))
-    val numRows = filtered.filter(col(column).isNotNull).count()
-    // stash the edges in the DataFrame metadata-free way: attach via state wrapper below
+    val numRows = filtered.filter(col(column).isNotNull && inRange).count()
     Some(FrequenciesAndNumRows(freq, numRows))
   }
 
   override def calculate(data: DataFrame): HistogramMetric = {
     try {
       preconditions.foreach(_(data.schema))
+      // resolve edges ONCE: computed edges cost a min/max job
       val edges = resolveEdges(data)
       if (edges.isEmpty) {
         return HistogramMetric(column,
           Failure(new EmptyStateException(s"Empty state for HistogramBinned $column")))
       }
-      val state = computeStateFrom(data)
+      val state = computeStateWithEdges(data, edges)
       metricWithEdges(state, edges)
     } catch {
       case e: Throwable => toFailureMetric(e)

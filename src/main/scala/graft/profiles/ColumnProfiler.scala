@@ -111,12 +111,23 @@ object ColumnProfiler {
     }
 
     // ---- pass 2: numeric statistics for (declared- or inferred-) numeric columns
-    val numericColumns = columns.filter(isNumericDeclared)
+    val declaredNumeric = columns.filter(isNumericDeclared)
+    // string columns whose values are all integral/fractional get cast and
+    // profiled numerically too (reference: profiles/ColumnProfiler.scala
+    // pass 2 casts inferred-numeric columns)
+    val inferredNumeric = columns.filter { c =>
+      !isNumericDeclared(c) && declaredType(c).contains(StringType) &&
+        Set(DataTypeInstances.Integral, DataTypeInstances.Fractional).contains(inferredType(c))
+    }
+    val numericColumns = declaredNumeric ++ inferredNumeric
+    val pass2Data = inferredNumeric.foldLeft(data) { (d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(DoubleType))
+    }
     val pass2: Seq[AnyAnalyzer] = numericColumns.flatMap { c =>
       Seq[AnyAnalyzer](Minimum(c), Maximum(c), Mean(c), Sum(c), StandardDeviation(c),
         ApproxQuantiles(c, Seq(0.25, 0.5, 0.75)))
     }
-    val ctx2 = if (pass2.nonEmpty) AnalysisRunner.run(data, pass2) else ctx1
+    val ctx2 = if (pass2.nonEmpty) AnalysisRunner.run(pass2Data, pass2) else ctx1
 
     def num(a: AnyAnalyzer): Option[Double] =
       ctx2.metric(a).flatMap(_.value.toOption).collect { case d: Double => d }
@@ -136,14 +147,16 @@ object ColumnProfiler {
     val profiles = columns.map { c =>
       val base = (completenessOf(c), approxDistinctOf(c), typeCountsOf(c), histograms.get(c))
       val profile: ColumnProfile =
-        if (isNumericDeclared(c)) {
+        if (numericColumns.contains(c)) {
+          val inferred = !isNumericDeclared(c)
           val quantiles = ctx2.metric(ApproxQuantiles(c, Seq(0.25, 0.5, 0.75)))
             .flatMap(_.value.toOption)
             .map(_.asInstanceOf[Map[String, Double]])
             .map(m => Seq(m("0.25"), m("0.5"), m("0.75")))
           NumericColumnProfile(c, base._1, base._2,
-            declaredType(c).map(_.simpleString).getOrElse("unknown"),
-            isDataTypeInferred = false, base._3, base._4,
+            if (inferred) inferredType(c)
+            else declaredType(c).map(_.simpleString).getOrElse("unknown"),
+            isDataTypeInferred = inferred, base._3, base._4,
             mean = num(Mean(c)), maximum = num(Maximum(c)), minimum = num(Minimum(c)),
             sum = num(Sum(c)), stdDev = num(StandardDeviation(c)),
             approxPercentiles = quantiles)

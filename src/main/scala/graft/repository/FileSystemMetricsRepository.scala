@@ -48,10 +48,14 @@ class FileSystemMetricsRepository(spark: SparkSession, path: String) extends Met
   }
 
   override def loadByKey(resultKey: ResultKey): Option[AnalyzerContext] =
-    readAll().find(_.resultKey == resultKey).map(_.analyzerContext)
+    // append-style stores keep every save; the LAST entry for a key wins
+    readAll().filter(_.resultKey == resultKey).lastOption.map(_.analyzerContext)
 
   override def load(): MetricsRepositoryMultipleResultsLoader =
-    LoaderImpl(() => readAll())
+    // dedupe re-saved keys to their latest append (matching loadByKey),
+    // in time order for the anomaly-detection series consumers
+    LoaderImpl(() => readAll().groupBy(_.resultKey).map(_._2.last).toSeq
+      .sortBy(_.resultKey.dataSetDate))
 }
 
 /** Spark-table repository: metrics appended as rows of a saved table
@@ -81,8 +85,12 @@ class SparkTableMetricsRepository(spark: SparkSession, tableName: String)
   }
 
   override def loadByKey(resultKey: ResultKey): Option[AnalyzerContext] =
-    readAll().find(_.resultKey == resultKey).map(_.analyzerContext)
+    // append-style stores keep every save; the LAST entry for a key wins
+    readAll().filter(_.resultKey == resultKey).lastOption.map(_.analyzerContext)
 
   override def load(): MetricsRepositoryMultipleResultsLoader =
-    LoaderImpl(() => readAll())
+    // dedupe re-saved keys to their latest append (matching loadByKey),
+    // in time order for the anomaly-detection series consumers
+    LoaderImpl(() => readAll().groupBy(_.resultKey).map(_._2.last).toSeq
+      .sortBy(_.resultKey.dataSetDate))
 }

@@ -38,8 +38,10 @@ object AnalysisResultSerde {
     case RatioOfSums(n, d, w) =>
       ("type" -> "RatioOfSums") ~ ("numerator" -> n) ~ ("denominator" -> d) ~ ("where" -> w)
     case ZerosCount(c, w) => ("type" -> "ZerosCount") ~ ("column" -> c) ~ ("where" -> w)
-    case MinLength(c, w, _) => ("type" -> "MinLength") ~ ("column" -> c) ~ ("where" -> w)
-    case MaxLength(c, w, _) => ("type" -> "MaxLength") ~ ("column" -> c) ~ ("where" -> w)
+    case MinLength(c, w, nb) => ("type" -> "MinLength") ~ ("column" -> c) ~
+      ("where" -> w) ~ ("nullBehavior" -> nb.toString)
+    case MaxLength(c, w, nb) => ("type" -> "MaxLength") ~ ("column" -> c) ~
+      ("where" -> w) ~ ("nullBehavior" -> nb.toString)
     case StandardDeviation(c, w) =>
       ("type" -> "StandardDeviation") ~ ("column" -> c) ~ ("where" -> w)
     case Variance(c, w) => ("type" -> "Variance") ~ ("column" -> c) ~ ("where" -> w)
@@ -79,6 +81,13 @@ object AnalysisResultSerde {
   private def str(j: JValue, field: String): String =
     (j \ field) match { case JString(s) => s; case _ => throw new IllegalArgumentException(field) }
 
+  private def nullBehavior(j: JValue): NullBehavior =
+    strOpt(j, "nullBehavior") match {
+      case Some("EmptyString") => NullBehavior.EmptyString
+      case Some("Fail") => NullBehavior.Fail
+      case _ => NullBehavior.Ignore
+    }
+
   private def strOpt(j: JValue, field: String): Option[String] =
     (j \ field) match { case JString(s) => Some(s); case _ => None }
 
@@ -110,8 +119,10 @@ object AnalysisResultSerde {
       case "RatioOfSums" =>
         RatioOfSums(str(j, "numerator"), str(j, "denominator"), strOpt(j, "where"))
       case "ZerosCount" => ZerosCount(str(j, "column"), strOpt(j, "where"))
-      case "MinLength" => MinLength(str(j, "column"), strOpt(j, "where"))
-      case "MaxLength" => MaxLength(str(j, "column"), strOpt(j, "where"))
+      case "MinLength" =>
+        MinLength(str(j, "column"), strOpt(j, "where"), nullBehavior(j))
+      case "MaxLength" =>
+        MaxLength(str(j, "column"), strOpt(j, "where"), nullBehavior(j))
       case "StandardDeviation" => StandardDeviation(str(j, "column"), strOpt(j, "where"))
       case "Variance" => Variance(str(j, "column"), strOpt(j, "where"))
       case "Skewness" => Skewness(str(j, "column"), strOpt(j, "where"))

@@ -76,37 +76,21 @@ object AnalysisRunner {
     val others = passed.filterNot(a =>
       grouping.contains(a) || scanShareable.contains(a))
 
-    // 3. ONE fused scan for all scan-shareable analyzers; inject the row
-    //    counts the grouping analyzers need for the same scan
-    //    (reference capability: runners/AnalysisRunner.scala:169-213,350-380)
-    val groupingWheres = grouping.map(_.where).distinct
-    val injectedSizes = groupingWheres.map(w => Size(w))
-    val sizesNeeded = injectedSizes.filterNot(s => scanShareable.contains(s))
-
-    val allScan = scanShareable ++ sizesNeeded
+    // 3. ONE fused scan for all scan-shareable analyzers
+    //    (reference capability: runners/AnalysisRunner.scala:350-380)
     val scanMetrics: Map[AnyAnalyzer, Metric[_]] =
-      if (allScan.isEmpty) Map.empty
-      else runScanShareable(data, allScan)
+      if (scanShareable.isEmpty) Map.empty
+      else runScanShareable(data, scanShareable)
 
-    // row count per distinct where, reused by every grouping analyzer;
-    // the fallback count MUST honor the same where filter
-    val numRowsByWhere: Map[Option[String], Long] = groupingWheres.map { w =>
-      val sizeAnalyzer = Size(w)
-      val n = scanMetrics.get(sizeAnalyzer) match {
-        case Some(DoubleMetric(_, _, _, scala.util.Success(v), _)) => v.toLong
-        case _ => w.map(f => data.filter(org.apache.spark.sql.functions.expr(f)).count())
-          .getOrElse(data.count())
-      }
-      w -> n
-    }.toMap
-
-    // 4. one frequency table per (groupingColumns.sorted, where), shared
+    // 4. one frequency table per (groupingColumns.sorted, where), shared;
+    //    the family's row count (same filters as the frequencies) comes out
+    //    of the SAME fused aggregation over the table — no extra scan
     //    (reference capability: runners/AnalysisRunner.scala:218-234)
     val groupingMetrics: Map[AnyAnalyzer, Metric[_]] =
       grouping
         .groupBy(_.groupingKey)
-        .flatMap { case ((_, where), analyzersForKey) =>
-          runGroupingFamily(data, analyzersForKey, numRowsByWhere(where))
+        .flatMap { case (_, analyzersForKey) =>
+          runGroupingFamily(data, analyzersForKey)
         }
 
     // 5. all KLL sketches with the same WHERE share ONE RDD pass with
@@ -123,12 +107,8 @@ object AnalysisRunner {
       others.filterNot(kllAnalyzers.contains(_))
         .map(a => (a: AnyAnalyzer) -> a.calculate(data)).toMap
 
-    // injected Size analyzers served the grouping row counts only — they
-    // must not surface as metrics the caller never requested
-    val injectedOnly: Set[AnyAnalyzer] = sizesNeeded.toSet[AnyAnalyzer]
-
-    AnalyzerContext((failureMetrics ++ scanMetrics ++ groupingMetrics ++
-      kllMetrics ++ otherMetrics) -- injectedOnly)
+    AnalyzerContext(failureMetrics ++ scanMetrics ++ groupingMetrics ++
+      kllMetrics ++ otherMetrics)
   }
 
   /** Incremental run: computes states from `data`, merges each with the
@@ -277,14 +257,12 @@ object AnalysisRunner {
     */
   private def runGroupingFamily(
       data: DataFrame,
-      analyzers: Seq[GroupingAnalyzer[_ <: Metric[_]]],
-      numRows: Long): Map[AnyAnalyzer, Metric[_]] = {
+      analyzers: Seq[GroupingAnalyzer[_ <: Metric[_]]]): Map[AnyAnalyzer, Metric[_]] = {
 
     val head = analyzers.head
     try {
       val frequencies = FrequenciesAndNumRows.computeFrequenciesOnly(
         data, head.groupingColumns, head.where)
-      val state = FrequenciesAndNumRows(frequencies, numRows)
 
       val freqBased = analyzers.collect { case f: FrequencyBasedAnalyzer => f }
       val nonShareable = analyzers.filterNot(freqBased.contains(_))
@@ -295,27 +273,29 @@ object AnalysisRunner {
       val needsPersist = nonShareable.nonEmpty
       if (needsPersist) frequencies.persist(StorageLevel.MEMORY_AND_DISK)
 
-      // fuse all frequency-based aggregations into one agg over the table
-      val fused: Map[AnyAnalyzer, Metric[_]] =
-        if (freqBased.isEmpty) Map.empty
-        else {
-          try {
-            val aggs = freqBased.flatMap(_.aggregationFunctionsOverFrequencies(numRows))
-            val offsets = freqBased.map(_.aggregationFunctionsOverFrequencies(numRows).length)
-              .scanLeft(0)(_ + _)
-            val row = frequencies.agg(aggs.head, aggs.tail: _*).collect().head
-            freqBased.zip(offsets).map { case (a, offset) =>
-              val metric: Metric[_] =
-                try a.metricFromRow(row, offset, numRows)
-                catch { case e: Throwable => a.toFailureMetric(e) }
-              (a: AnyAnalyzer) -> metric
-            }.toMap
-          } catch {
-            case e: Throwable =>
-              freqBased.map(a => (a: AnyAnalyzer) -> a.toFailureMetric(e)).toMap
-          }
-        }
+      // slot 0 of the fused agg derives numRows = SUM(count): the family's
+      // row count under the same (non-null keys AND where) filters as the
+      // frequencies themselves — reference numRows semantics, no extra scan
+      import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+      val numRowsAgg =
+        coalesce(sum(col(FrequenciesAndNumRows.COUNT_COL)), lit(0L)) :: Nil
+      // aggregation expressions are numRows-independent (numRows only feeds
+      // the decode step), so 0 is a safe placeholder while building them
+      val aggs = numRowsAgg ++ freqBased.flatMap(_.aggregationFunctionsOverFrequencies(0L))
+      val offsets = freqBased.map(_.aggregationFunctionsOverFrequencies(0L).length)
+        .scanLeft(numRowsAgg.length)(_ + _)
+      val row = frequencies.agg(aggs.head, aggs.tail: _*).collect().head
+      val numRows = row.getLong(0)
 
+      val fused: Map[AnyAnalyzer, Metric[_]] =
+        freqBased.zip(offsets).map { case (a, offset) =>
+          val metric: Metric[_] =
+            try a.metricFromRow(row, offset, numRows)
+            catch { case e: Throwable => a.toFailureMetric(e) }
+          (a: AnyAnalyzer) -> metric
+        }.toMap
+
+      val state = FrequenciesAndNumRows(frequencies, numRows)
       val standalone: Map[AnyAnalyzer, Metric[_]] = nonShareable.map { a =>
         val metric: Metric[_] =
           try a.asInstanceOf[Analyzer[FrequenciesAndNumRows, Metric[_]]]

@@ -156,10 +156,15 @@ object Distance {
       val obs = d1.values.get(k).map(_.absolute.toDouble).getOrElse(0.0)
       val expRatio = d2.values.get(k).map(_.ratio).getOrElse(0.0)
       val expected = expRatio * n1
-      if (expected == 0.0) 0.0
+      if (expected == 0.0 && obs == 0.0) 0.0
       else {
-        val diff = math.abs(obs - expected) - (if (yates) 0.5 else 0.0)
-        diff * diff / expected
+        // a category observed but absent from the expected distribution is
+        // maximal divergence, not zero: floor the expected count at 0.5
+        // (continuity value) so the statistic reflects the shift instead
+        // of silently skipping the strongest evidence
+        val exp = math.max(expected, 0.5)
+        val diff = math.abs(obs - exp) - (if (yates) 0.5 else 0.0)
+        diff * diff / exp
       }
     }.sum
   }

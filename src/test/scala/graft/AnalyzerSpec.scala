@@ -126,8 +126,10 @@ class AnalyzerSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
 
     "compute entropy" in {
-      // group: x=3, y=2, null excluded; numRows=6
-      val expected = -(3.0 / 6 * math.log(3.0 / 6) + 2.0 / 6 * math.log(2.0 / 6))
+      // group: x=3, y=2; the null row is excluded from BOTH the frequencies
+      // and numRows (reference GroupingAnalyzers numRows semantics), so the
+      // distribution normalizes: N=5
+      val expected = -(3.0 / 5 * math.log(3.0 / 5) + 2.0 / 5 * math.log(2.0 / 5))
       Entropy("group").calculate(df).value.get shouldBe expected +- 1e-9
     }
 
