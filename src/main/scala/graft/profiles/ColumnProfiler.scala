@@ -57,19 +57,34 @@ object ColumnProfiler {
 
   val DefaultLowCardinalityThreshold = 120L
 
+  /** Cap on columns fused into one aggregation pass. A 1000-column table
+    * would otherwise build a single agg with ~9000 expressions — far past
+    * whole-stage codegen's method/constant-pool limits, degrading the whole
+    * pass to interpreted mode (or failing planning). Chunking keeps every
+    * pass codegen'd; wide tables cost ceil(W / cap) scans instead of one
+    * giant interpreted scan.
+    */
+  val DefaultMaxColumnsPerPass = 100
+
   def profile(
       data: DataFrame,
       restrictToColumns: Option[Seq[String]] = None,
-      lowCardinalityHistogramThreshold: Long = DefaultLowCardinalityThreshold): ColumnProfiles = {
+      lowCardinalityHistogramThreshold: Long = DefaultLowCardinalityThreshold,
+      maxColumnsPerPass: Int = DefaultMaxColumnsPerPass): ColumnProfiles = {
 
     val columns = restrictToColumns.getOrElse(data.columns.toSeq)
       .filter(c => data.columns.contains(c))
 
     // ---- pass 1: size + per-column completeness, approx distinct, type inference
-    val pass1: Seq[AnyAnalyzer] = Size() +: columns.flatMap { c =>
-      Seq[AnyAnalyzer](Completeness(c), ApproxCountDistinct(c), DataTypeAnalyzer(c))
-    }
-    val ctx1 = AnalysisRunner.run(data, pass1)
+    val ctx1 = columns.grouped(math.max(maxColumnsPerPass, 1)).zipWithIndex
+      .map { case (chunk, i) =>
+        val analyzers: Seq[AnyAnalyzer] =
+          (if (i == 0) Seq[AnyAnalyzer](Size()) else Seq.empty) ++ chunk.flatMap { c =>
+            Seq[AnyAnalyzer](Completeness(c), ApproxCountDistinct(c), DataTypeAnalyzer(c))
+          }
+        AnalysisRunner.run(data, analyzers)
+      }
+      .reduce((a, b) => graft.runners.AnalyzerContext(a.metricMap ++ b.metricMap))
 
     val numRecords = ctx1.metric(Size()).flatMap(_.value.toOption)
       .map(_.asInstanceOf[Double].toLong).getOrElse(0L)
@@ -123,11 +138,16 @@ object ColumnProfiler {
     val pass2Data = inferredNumeric.foldLeft(data) { (d, c) =>
       d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(DoubleType))
     }
-    val pass2: Seq[AnyAnalyzer] = numericColumns.flatMap { c =>
-      Seq[AnyAnalyzer](Minimum(c), Maximum(c), Mean(c), Sum(c), StandardDeviation(c),
-        ApproxQuantiles(c, Seq(0.25, 0.5, 0.75)))
-    }
-    val ctx2 = if (pass2.nonEmpty) AnalysisRunner.run(pass2Data, pass2) else ctx1
+    val ctx2 =
+      if (numericColumns.isEmpty) ctx1
+      else numericColumns.grouped(math.max(maxColumnsPerPass, 1))
+        .map { chunk =>
+          AnalysisRunner.run(pass2Data, chunk.flatMap { c =>
+            Seq[AnyAnalyzer](Minimum(c), Maximum(c), Mean(c), Sum(c), StandardDeviation(c),
+              ApproxQuantiles(c, Seq(0.25, 0.5, 0.75)))
+          })
+        }
+        .reduce((a, b) => graft.runners.AnalyzerContext(a.metricMap ++ b.metricMap))
 
     def num(a: AnyAnalyzer): Option[Double] =
       ctx2.metric(a).flatMap(_.value.toOption).collect { case d: Double => d }

@@ -33,6 +33,23 @@ class ProfilerKllSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "ColumnProfiler on a wide table" should {
+    "profile every column across chunked passes" in {
+      val s = spark
+      import org.apache.spark.sql.functions.{col, lit}
+      val wide = (0 until 120).foldLeft(
+        s.range(50).toDF("base")) { (d, i) => d.withColumn(s"c$i", col("base") * lit(i)) }
+      val profiles = graft.profiles.ColumnProfiler.profile(
+        wide, maxColumnsPerPass = 25)
+      profiles.numRecords shouldBe 50L
+      profiles.profiles.size shouldBe 121
+      // chunked passes must not lose per-column metrics
+      val p = profiles.profiles("c7").asInstanceOf[graft.profiles.NumericColumnProfile]
+      p.completeness shouldBe 1.0
+      p.maximum shouldBe Some(49.0 * 7)
+    }
+  }
+
   "ConstraintSuggestionRunner" should {
     "suggest sensible constraints" in {
       val result = ConstraintSuggestionRunner.run(orders)
