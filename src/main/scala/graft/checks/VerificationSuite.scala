@@ -173,6 +173,10 @@ class VerificationRunBuilder(data: DataFrame) {
   private var requiredAnalyzers: Seq[AnyAnalyzer] = Seq.empty
   private var repository: Option[MetricsRepository] = None
   private var saveKey: Option[ResultKey] = None
+  private var reuseKey: Option[ResultKey] = None
+  private var failIfResultsMissing: Boolean = false
+  private var stateLoader: Option[graft.core.StateLoader] = None
+  private var statePersister: Option[graft.core.StatePersister] = None
 
   def addCheck(check: Check): VerificationRunBuilder = {
     checks = checks :+ check
@@ -196,6 +200,31 @@ class VerificationRunBuilder(data: DataFrame) {
 
   def saveOrAppendResult(key: ResultKey): VerificationRunBuilder = {
     saveKey = Some(key)
+    this
+  }
+
+  /** Metrics already stored under `key` are reused instead of recomputed —
+    * analyzers with a cached metric never touch the data (reference
+    * capability: runners/AnalysisRunner.scala:122-141).
+    */
+  def reuseExistingResultsForKey(key: ResultKey,
+      failIfResultsMissing: Boolean = false): VerificationRunBuilder = {
+    reuseKey = Some(key)
+    this.failIfResultsMissing = failIfResultsMissing
+    this
+  }
+
+  /** Merge freshly computed states with states loaded from this provider
+    * (incremental verification over growing data).
+    */
+  def aggregateWith(loader: graft.core.StateLoader): VerificationRunBuilder = {
+    stateLoader = Some(loader)
+    this
+  }
+
+  /** Persist the (merged) states for future incremental runs. */
+  def saveStatesWith(persister: graft.core.StatePersister): VerificationRunBuilder = {
+    statePersister = Some(persister)
     this
   }
 
@@ -228,11 +257,46 @@ class VerificationRunBuilder(data: DataFrame) {
   }
 
   def run(): VerificationResult = {
-    val result = VerificationSuite().doVerificationRun(data, checks, requiredAnalyzers)
+    val allAnalyzers =
+      (requiredAnalyzers ++ checks.flatMap(_.requiredAnalyzers())).distinct
+
+    // metric reuse: skip analyzers whose metrics are already stored
+    val cached: Map[AnyAnalyzer, Metric[_]] = (repository, reuseKey) match {
+      case (Some(repo), Some(key)) =>
+        val loaded = repo.loadByKey(key).map(_.metricMap).getOrElse {
+          if (failIfResultsMissing) {
+            throw new IllegalStateException(s"No stored results for $key")
+          }
+          Map.empty[AnyAnalyzer, Metric[_]]
+        }
+        loaded.filter { case (a, _) => allAnalyzers.contains(a) }
+      case _ =>
+        if (reuseKey.isDefined) {
+          throw new IllegalStateException(
+            "useRepository() must be called before reuseExistingResultsForKey")
+        }
+        Map.empty
+    }
+
+    val toCompute = allAnalyzers.filterNot(cached.contains)
+    val computed: graft.runners.AnalyzerContext =
+      if (stateLoader.isDefined || statePersister.isDefined) {
+        AnalysisRunner.runStateful(data, toCompute,
+          aggregateWith = stateLoader, saveStatesWith = statePersister)
+      } else {
+        AnalysisRunner.run(data, toCompute)
+      }
+    val context = graft.runners.AnalyzerContext(cached ++ computed.metricMap)
+
+    val checkResults = checks.map(c => c -> c.evaluate(context)).toMap
+    val status = checkResults.values.map(_.status)
+      .foldLeft(CheckStatus.Success: CheckStatus)(CheckStatus.max)
+    val result = VerificationResult(status, checkResults, context.metricMap)
+
     for {
       repo <- repository
       key <- saveKey
-    } repo.save(key, graft.runners.AnalyzerContext(result.metrics))
+    } repo.save(key, context)
     result
   }
 }

@@ -89,6 +89,28 @@ class FusionJobCountSpec extends AnyWordSpec with Matchers with SparkSpec {
       three shouldBe one
     }
 
+    "skip the scan entirely when all metrics are cached in a repository" in {
+      import graft.checks._
+      import graft.repository.{InMemoryMetricsRepository, ResultKey}
+      val df = data
+      df.count()
+      val repo = new InMemoryMetricsRepository
+      val key = ResultKey(1L)
+      val check = Check(CheckLevel.Error, "cached")
+        .hasSize(_ == 1000).hasMean("value", _ > 0)
+
+      VerificationSuite().onData(df).addCheck(check)
+        .useRepository(repo).saveOrAppendResult(key).run()
+        .status shouldBe CheckStatus.Success
+
+      val jobs = countJobs {
+        val rerun = VerificationSuite().onData(df).addCheck(check)
+          .useRepository(repo).reuseExistingResultsForKey(key).run()
+        rerun.status shouldBe CheckStatus.Success
+      }
+      jobs shouldBe 0
+    }
+
     "not rescan for size when scan analyzers are present" in {
       val df = data
       df.count()
