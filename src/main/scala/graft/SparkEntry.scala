@@ -396,6 +396,26 @@ object SparkEntry {
         "invalid_rows" -> result.numInvalidRows.toDouble))
     }),
 
+    "q31_quality_score" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val agg = docs.agg(
+        org.apache.spark.sql.functions.sum(TextAnalysis.qualityScore(col("text"))),
+        org.apache.spark.sql.functions.sum(
+          (TextAnalysis.qualityScore(col("text")) >= 0.5).cast(DoubleType)))
+        .collect().head
+      metricRow(s, Seq(
+        "sum_quality" -> r6(agg.getDouble(0)),
+        "docs_above_half" -> agg.getDouble(1)))
+    }),
+
+    // embedding near-dup: rows-only (LSH bucketing is engine-internal)
+    "q32_embedding_neardup" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val pairs = Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding",
+        threshold = 0.95, planes = 12)
+      metricRow(s, Seq("near_dup_pairs" -> pairs.count().toDouble))
+    }),
+
     // IVF scale path: rows-only (centroid training is engine-internal)
     "q27_ann_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -641,6 +661,30 @@ object SparkEntry {
         |SELECT sum(CASE WHEN ok THEN 1 ELSE 0 END)::DOUBLE AS rows_passing,
         |       count(*)::DOUBLE AS rows_total
         |FROM r""".stripMargin,
+
+    "q31_quality_score" ->
+      """WITH t AS (
+        |  SELECT text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS lts,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |s AS (
+        |  SELECT least(length(text) / 200.0, 1.0) AS len_score,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+        |      / greatest(length(text), 1) AS alpha,
+        |    least(CASE WHEN len(lts) > 0
+        |          THEN len(list_filter(lts, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len(lts)
+        |          ELSE 0.0 END * 5.0, 1.0) AS stop_score,
+        |    CASE WHEN len(ts) > 0
+        |         THEN list_sum(list_transform(ts, x -> length(x)))::DOUBLE / len(ts)
+        |         ELSE 0.0 END AS tok_len
+        |  FROM t),
+        |q AS (SELECT len_score * 0.3 + alpha * 0.3 + stop_score * 0.2 +
+        |             (CASE WHEN tok_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+        |        AS quality FROM s)
+        |SELECT round(sum(quality), 6) AS sum_quality,
+        |       sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)::DOUBLE AS docs_above_half
+        |FROM q""".stripMargin,
 
     "q30_schema_validation" ->
       """WITH v AS (
