@@ -26,13 +26,15 @@ object Dedup {
   // -------------------------------------------------------------------------
 
   /** Keep exactly one row per distinct key, deterministically (smallest
-    * `tieBreaker`). One shuffle on the key columns.
+    * `tieBreaker`). One hash-aggregation shuffle on the key columns —
+    * min_by keeps the winning row without the per-key SORT a row_number
+    * window would pay (hash agg with map-side partials, spill-aware).
     */
   def exact(df: DataFrame, keys: Seq[String], tieBreaker: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreaker).asc)
-    df.withColumn("graft_rn", row_number().over(w))
-      .filter(col("graft_rn") === 1)
-      .drop("graft_rn")
+    val allCols = df.columns.toSeq
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(allCols.map(col): _*), col(tieBreaker)).as("graft_row"))
+      .select(col("graft_row.*"))
   }
 
   /** (rows kept, duplicate rows dropped) without materializing the result.
