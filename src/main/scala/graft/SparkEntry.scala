@@ -396,6 +396,24 @@ object SparkEntry {
         "invalid_rows" -> result.numInvalidRows.toDouble))
     }),
 
+    // exact n-gram Jaccard, value-checked: string 3-gram sets (not hashes)
+    // so DuckDB can mirror the set algebra verbatim
+    "q33_ngram_jaccard" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.array_distinct(
+            Dedup.shingles(col("text"), 3)).as("graft_sh"))
+      val a = docs.select(col("doc_id").as("id_a"), col("graft_sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("graft_sh").as("sh_b"))
+      import org.apache.spark.sql.functions.{array_intersect, array_union, greatest, round, size => asize}
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"),
+          round(asize(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+            greatest(asize(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast(DoubleType), 6)
+            .as("jaccard"))
+        .orderBy(col("id_a"))
+    }),
+
     "q31_quality_score" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val agg = docs.agg(
@@ -661,6 +679,25 @@ object SparkEntry {
         |SELECT sum(CASE WHEN ok THEN 1 ELSE 0 END)::DOUBLE AS rows_passing,
         |       count(*)::DOUBLE AS rows_total
         |FROM r""".stripMargin,
+
+    "q33_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents WHERE doc_id < 20),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3 THEN
+        |      list_distinct(list_transform(range(len(ts) - 2),
+        |        i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))
+        |    WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+        |    ELSE []::VARCHAR[] END AS sh
+        |  FROM d)
+        |SELECT a.doc_id AS id_a,
+        |       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |         / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
 
     "q31_quality_score" ->
       """WITH t AS (
