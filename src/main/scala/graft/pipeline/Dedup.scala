@@ -219,15 +219,18 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val sigs = signatureFrame(df, idCol, textCol, numHashes, shingleSize)
       .select("graft_id", "graft_sig")
-    candidatesFromSignatures(sigs, numHashes, bands, maxBucketSize)
+    val (pairs, caches) = candidatesFromSignatures(sigs, numHashes, bands, maxBucketSize)
+    CacheLifecycle.releaseOnConsume(pairs, caches)
   }
 
-  /** LSH banding + bucket self-join over a (graft_id, graft_sig) frame. */
+  /** LSH banding + bucket self-join over a (graft_id, graft_sig) frame.
+    * Returns (pairs, persisted frames to release once pairs are consumed).
+    */
   private def candidatesFromSignatures(
       sigs: DataFrame,
       numHashes: Int,
       bands: Int,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int): (DataFrame, Seq[DataFrame]) = {
     val rowsPerBand = numHashes / bands
 
     // explode to (band, hash(band slice)) — one row per band per doc;
@@ -256,12 +259,13 @@ object Dedup {
     val b = capped.select(col("graft_band"), col("graft_bucket"),
       col("graft_id").as("id_b"), col("graft_sig").as("sig_b"))
 
-    a.join(b, Seq("graft_band", "graft_bucket"))
+    val pairs = a.join(b, Seq("graft_band", "graft_bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast(IntegerType)),
           v => v === 1)).cast(DoubleType) / lit(numHashes.toDouble)).as("jaccard_est"))
       .dropDuplicates("id_a", "id_b")
+    (pairs, Seq(capped))
   }
 
   /** Near-duplicate pairs with an exact n-gram Jaccard verification pass on
@@ -281,11 +285,11 @@ object Dedup {
     // probe it (collision probability at 64 bits is negligible for dedup)
     val sf = signatureFrame(df, idCol, textCol, numHashes, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val candidates = candidatesFromSignatures(
+    val (candidates, candCaches) = candidatesFromSignatures(
       sf.select("graft_id", "graft_sig"), numHashes, bands, maxBucketSize = 1000)
     val docs = sf.select(col("graft_id").as("graft_doc_id"),
       col("graft_hs").as("graft_shingles"))
-    candidates
+    val verified = candidates
       .join(docs.withColumnRenamed("graft_doc_id", "id_a")
         .withColumnRenamed("graft_shingles", "sh_a"), Seq("id_a"))
       .join(docs.withColumnRenamed("graft_doc_id", "id_b")
@@ -295,6 +299,7 @@ object Dedup {
           greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    CacheLifecycle.releaseOnConsume(verified, sf +: candCaches)
   }
 
   // -------------------------------------------------------------------------
@@ -329,10 +334,6 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** Near-duplicate pairs by SimHash: candidates agree on at least one of
-    * four 16-bit chunks (pigeonhole: Hamming ≤ 3 guarantees a match),
-    * verified by exact Hamming distance.
-    */
   private def scalaSimHash(th: Array[Long]): Long = {
     val votes = new Array[Int](64)
     var i = 0
@@ -351,32 +352,60 @@ object Dedup {
     sig
   }
 
-  def simHashPairs(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      maxHamming: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
-    // per-partition signature pass (same rationale as signatureFrame),
-    // persisted before the self-join
+  /** (graft_id, graft_sim) SimHash signature frame — one tight
+    * per-partition pass, no shuffle. Public so callers can compute exact
+    * Hamming ground truth (recall audits) from the same signatures the
+    * banded pair search uses.
+    */
+  def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val idField = df.schema(df.schema.fieldIndex(idCol))
     val outSchema = StructType(Seq(
       idField.copy(name = "graft_id"),
       StructField("graft_sim", LongType, nullable = false)))
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
-    val sigs = df.select(col(idCol), col(textCol)).mapPartitions { rows =>
+    df.select(col(idCol), col(textCol)).mapPartitions { rows =>
       rows.map { r =>
         val th = scalaTokenHashes(if (r.isNullAt(1)) null else r.getString(1))
         org.apache.spark.sql.Row(r.get(0), scalaSimHash(th))
       }
-    }.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+  }
+
+  /** Near-duplicate pairs by SimHash: the 64-bit signature is split into
+    * `maxHamming + 1` contiguous chunks, so by pigeonhole ANY pair within
+    * `maxHamming` differing bits agrees on at least one whole chunk —
+    * candidate generation by chunk equi-join is therefore exhaustive
+    * (up to `maxBucketSize` capping), and candidates are verified by exact
+    * Hamming distance.
+    */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    // pigeonhole: maxHamming differing bits cannot touch all chunks
+    val chunks = maxHamming + 1
+    // contiguous chunk boundaries covering all 64 bits (widths differ by <=1)
+    val bounds = (0 to chunks).map(c => c * 64 / chunks)
+    // per-partition signature pass (same rationale as signatureFrame),
+    // persisted before the self-join
+    val sigs = simHashSignatures(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(
       col("graft_id"), col("graft_sim"),
-      explode(array((0 until 4).map(c => struct(
-        lit(c).as("chunk"),
-        shiftrightunsigned(col("graft_sim"), c * 16)
-          .bitwiseAND(lit(0xFFFFL)).as("v"))): _*)))
+      explode(array((0 until chunks).map { c =>
+        val lo = bounds(c)
+        val width = bounds(c + 1) - lo
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        struct(
+          lit(c).as("chunk"),
+          shiftrightunsigned(col("graft_sim"), lo)
+            .bitwiseAND(lit(mask)).as("v"))
+      }: _*)))
       .select(col("graft_id"), col("graft_sim"),
         col("col.chunk").as("graft_chunk"), col("col.v").as("graft_chunk_val"))
 
@@ -393,12 +422,13 @@ object Dedup {
     val b = capped.select(col("graft_chunk"), col("graft_chunk_val"),
       col("graft_id").as("id_b"), col("graft_sim").as("sim_b"))
 
-    a.join(b, Seq("graft_chunk", "graft_chunk_val"))
+    val pairs = a.join(b, Seq("graft_chunk", "graft_chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", hammingDistance(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
+    CacheLifecycle.releaseOnConsume(pairs, Seq(sigs))
   }
 
   // -------------------------------------------------------------------------

@@ -63,6 +63,37 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
       exact.map(_._3) shouldBe Some(0) // identical => hamming 0
       pairs.exists(p => p._1 == 1L && p._2 == 2L) shouldBe true
     }
+
+    "find EVERY pair within maxHamming (pigeonhole completeness)" in {
+      // 60 synthetic docs; banding must equal brute-force over the very
+      // signatures it banded — for a maxHamming (8) that the old fixed
+      // 4x16-bit chunking could NOT guarantee (it only covered hamming<=3)
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(13)
+      val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+        "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+      val corpus = (0 until 60).map { i =>
+        val base = Seq.fill(12)(words(rng.nextInt(words.size)))
+        // half the docs are light mutations of the previous doc -> mid-range hamming
+        (i.toLong, base.mkString(" "))
+      } ++ (0 until 60 by 2).map { i =>
+        (1000L + i, (Seq.fill(11)(words(rng.nextInt(words.size))) :+ words(i % words.size)).mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+
+      for (maxHamming <- Seq(3, 8, 12)) {
+        val sigs = Dedup.simHashSignatures(df, "doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val exactPairs = (for {
+          (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+          if java.lang.Long.bitCount(sa ^ sb) <= maxHamming
+        } yield (ia, ib)).toSet
+        val banded = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = maxHamming)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        banded shouldBe exactPairs
+      }
+    }
   }
 
   "Similarity" should {
@@ -117,6 +148,77 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
         ivf.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / exact(q).size
       }.sum / exact.size
       recall should be >= 0.9
+    }
+  }
+
+  "IVF centroid training" should {
+    "stay representative on cluster-SORTED input (seeded sample, not limit)" in {
+      val s = spark
+      import s.implicits._
+      // 8 clusters laid out CONTIGUOUSLY: a limit(sample) would only ever
+      // see the first clusters and recall for the rest would collapse
+      val rng = new scala.util.Random(7)
+      val centers = (0 until 8).map(_ => Array.fill(16)(rng.nextGaussian().toFloat))
+      val corpus = (0 until 8).flatMap { cl =>
+        (0 until 50).map { j =>
+          ((cl * 50 + j).toLong, centers(cl).map(x => x + 0.05f * rng.nextGaussian().toFloat))
+        }
+      }.toDF("vec_id", "embedding").repartition(1).sortWithinPartitions("vec_id")
+      // queries: one per cluster, including the LAST clusters
+      val queries = corpus.filter(col("vec_id") % 50 === 0L)
+
+      def topSets(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+
+      val exact = topSets(Similarity.bruteForceTopK(
+        corpus, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10))
+      val ivf = topSets(Similarity.ivfTopK(
+        corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 2, sampleSize = 100, iterations = 5))
+      val recall = exact.keys.toSeq.map { q =>
+        ivf.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / exact(q).size
+      }.sum / exact.size
+      recall should be >= 0.9
+    }
+  }
+
+  "lshTopK" should {
+    "return exactly k results per query even when probed buckets are empty" in {
+      val s = spark
+      import s.implicits._
+      // adversarial: corpus clustered in one orthant, queries in the
+      // opposite one — single-bit multi-probe cannot reach the corpus bucket
+      val corpus = (0 until 40).map { i =>
+        (i.toLong, Array(1.0f + i * 0.01f, 1.0f, 1.0f, 1.0f))
+      }.toDF("vec_id", "embedding")
+      val queries = Seq(
+        (100L, Array(-1.0f, -1.0f, -1.0f, -1.0f)),
+        (101L, Array(-1.0f, -0.9f, -1.0f, -1.0f))
+      ).toDF("vec_id", "embedding")
+      val res = Similarity.lshTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, planes = 12)
+        .collect().map(r => (r.getLong(0), r.getInt(3))).groupBy(_._1)
+      res.keySet shouldBe Set(100L, 101L)
+      res(100L).map(_._2).sorted.toSeq shouldBe Seq(1, 2, 3, 4, 5)
+      res(101L).map(_._2).sorted.toSeq shouldBe Seq(1, 2, 3, 4, 5)
+    }
+  }
+
+  "internal caches" should {
+    "be released after the returned pairs are consumed" in {
+      val sc = spark.sparkContext
+      // delta-based: other suites share this session and may hold caches
+      val before = sc.getPersistentRDDs.keySet
+      Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5).count()
+      Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 4).count()
+      Dedup.minHashCandidatePairs(docs, "doc_id", "text").count()
+      // the release listener fires asynchronously on the listener bus
+      def leaked = sc.getPersistentRDDs.keySet -- before
+      val deadline = System.currentTimeMillis() + 15000
+      while (leaked.nonEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      leaked shouldBe empty
     }
   }
 
