@@ -20,8 +20,12 @@ import graft.runners.AnalysisRunner
   *   - counts and ratios of counts: exact integers / identical double division
   *   - float aggregates (moments, entropy, quantile interpolation): rounded
   *     to 6 decimals on both sides, far above cross-engine float noise
-  *   - hash/sketch-valued ops (HLL, MinHash, SimHash, ANN): no oracle entry,
-  *     the driver records a rows-only check.
+  *   - hash/sketch-valued ops (HLL, MinHash, SimHash, LSH, IVF): the exact
+  *     ground truth (distinct counts, all-pairs Jaccard/cosine on a bounded
+  *     id-subset, brute-force rankings) is emitted as DuckDB-reproducible
+  *     columns, and the sketch outputs are asserted against it via 0/1
+  *     tolerance/recall flags that the oracle expects to be 1.0 — so a
+  *     sketch regression flips a value the hash compare catches.
   */
 object SparkEntry {
 
@@ -42,6 +46,25 @@ object SparkEntry {
 
   private def r6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def flag(b: Boolean): Double = if (b) 1.0 else 0.0
+
+  /** Post-process a top-k=5 ANN result (which includes the query row itself
+    * at cosine 1.0) into the 4 nearest OTHER vectors, re-ranked 1..4.
+    * Robust to identical-vector ties: whether or not the self row survived
+    * the k=5 cut, dropping self rows and taking the first 4 by original
+    * rank yields the same neighbor set DuckDB computes by excluding self.
+    */
+  private def annTop4(topk: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rank"))
+    topk.filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("graft_rnk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("graft_rnk") <= 4)
+      .select(col("query_id"), col("neighbor_id"),
+        col("graft_rnk").cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** Runs analyzers through the fused-scan runner and returns name->value. */
   private def runAnalyzers(df: DataFrame, analyzers: Seq[(String, AnyAnalyzer)])
@@ -150,12 +173,25 @@ object SparkEntry {
         .map { case (n, v) => n -> r6(v) })
     }),
 
-    // approximate sketches: rows-only check (no DuckDB-reproducible oracle)
+    // approximate sketches, value-checked as tolerance FLAGS: the exact
+    // values are DuckDB-reproducible; the 0/1 flags assert the sketch
+    // estimates land within their published error bounds, so the oracle
+    // catches a broken sketch without needing to reproduce its hashes.
     "q09_approx" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
-      metricRow(s, runAnalyzers(li, Seq[(String, AnyAnalyzer)](
-        "approx_distinct_partkey" -> ApproxCountDistinct("l_partkey"),
-        "approx_median_qty" -> ApproxQuantile("l_quantity", 0.5))))
+      val m = runAnalyzers(li, Seq[(String, AnyAnalyzer)](
+        "approx_distinct" -> ApproxCountDistinct("l_partkey"),
+        "approx_median" -> ApproxQuantile("l_quantity", 0.5),
+        "exact_distinct" -> CountDistinct(Seq("l_partkey")),
+        "exact_median" -> ExactQuantile("l_quantity", 0.5))).toMap
+      metricRow(s, Seq(
+        "exact_distinct_partkey" -> m("exact_distinct"),
+        "exact_median_qty" -> r6(m("exact_median")),
+        "approx_distinct_ok" ->
+          flag(math.abs(m("approx_distinct") - m("exact_distinct")) / m("exact_distinct") < 0.05),
+        "approx_median_ok" ->
+          flag(math.abs(m("approx_median") - m("exact_median")) <=
+            math.max(1.0, 0.02 * math.abs(m("exact_median"))))))
     }),
 
     "q10_zeros_lengths" -> ((s, dir) => {
@@ -307,15 +343,42 @@ object SparkEntry {
       metricRow(s, Seq("fp_distinct" -> distinctFp.toDouble))
     }),
 
-    // near-dup + ANN: deterministic engine outputs; no SQL oracle (hashes)
+    // near-dup, value-checked: exact ground-truth pair count on a bounded
+    // id-subset (= the WHOLE table at sf<=0.01, so the oracle is complete
+    // there) + recall flags for the MinHash-LSH and SimHash candidate paths
+    // measured against that ground truth. The engine passes still run on
+    // the FULL table (the bench workload), only the audit is subset-scoped.
     "q24_near_dup" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val minhashPairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
-        threshold = 0.5, numHashes = 64, bands = 16).count()
-      val simhashPairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 8).count()
+      val subN = 1000L
+      val sub = docs.filter(col("doc_id") < subN)
+      val inSub = col("id_a") < subN && col("id_b") < subN
+
+      val exact = Dedup.exactJaccardPairs(sub, "doc_id", "text", threshold = 0.5)
+        .select("id_a", "id_b").persist()
+      val nExact = exact.count()
+      val mh = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        threshold = 0.5, numHashes = 64, bands = 16).filter(inSub).select("id_a", "id_b")
+      val mhFound = exact.join(mh, Seq("id_a", "id_b"), "left_semi").count()
+
+      val sim = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 8)
+        .filter(inSub).select("id_a", "id_b")
+      val sigs = Dedup.simHashSignatures(sub, "doc_id", "text")
+      val exactHam = sigs.select(col("graft_id").as("id_a"), col("graft_sim").as("graft_sa"))
+        .crossJoin(sigs.select(col("graft_id").as("id_b"), col("graft_sim").as("graft_sb")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(Dedup.hammingDistance(col("graft_sa"), col("graft_sb")) <= 8)
+        .select("id_a", "id_b").persist()
+      val nHam = exactHam.count()
+      val simFound = exactHam.join(sim, Seq("id_a", "id_b"), "left_semi").count()
+      exact.unpersist(blocking = false)
+      exactHam.unpersist(blocking = false)
       metricRow(s, Seq(
-        "minhash_pairs" -> minhashPairs.toDouble,
-        "simhash_pairs" -> simhashPairs.toDouble))
+        "exact_jaccard_pairs" -> nExact.toDouble,
+        "minhash_recall_ok" -> flag(nExact == 0 || mhFound.toDouble / nExact >= 0.9),
+        // chunked candidate generation is pigeonhole-COMPLETE, so SimHash
+        // recall must be exactly 1 (modulo bucket capping, absent here)
+        "simhash_recall_ok" -> flag(simFound == nHam)))
     }),
 
     "q26_dqdl" -> ((s, dir) => {
@@ -336,14 +399,14 @@ object SparkEntry {
         "uniqueness", "zeros", "distinct_count").zip(flags))
     }),
 
+    // brute-force ANN: exact, fully value-checked — DuckDB reproduces the
+    // same cosine ranking from the raw embeddings (rank gaps in the data
+    // are >=0.007, far above cross-engine float noise)
     "q25_ann" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
-      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-          queries, "vec_id", "embedding", k = 4)
-        .filter(col("rank") > 1) // rank 1 is the query itself
-        .select(col("query_id"), col("neighbor_id"), (col("rank") - 1).as("rank"))
-        .orderBy(col("query_id"), col("rank"))
+      annTop4(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5))
     }),
 
     "q28_histogram_binned" -> ((s, dir) => {
@@ -426,23 +489,57 @@ object SparkEntry {
         "docs_above_half" -> agg.getDouble(1)))
     }),
 
-    // embedding near-dup: rows-only (LSH bucketing is engine-internal)
+    // embedding near-dup, value-checked: exact cosine-pair count on a
+    // bounded id-subset (whole table at sf<=0.01) + a recall flag for the
+    // multi-table LSH path. Threshold 0.42 sits inside the data's cosine
+    // range (max pair ~0.51; nothing near 0.95, which made the old query
+    // vacuous). 4 planes x 24 tables: P(candidate) at cos 0.42 ~ 0.99.
     "q32_embedding_neardup" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      val pairs = Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding",
-        threshold = 0.95, planes = 12)
-      metricRow(s, Seq("near_dup_pairs" -> pairs.count().toDouble))
+      val subN = 1000L
+      val thr = 0.42
+      val engine = Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding",
+          threshold = thr, planes = 4, numTables = 24)
+        .filter(col("id_a") < subN && col("id_b") < subN)
+        .select("id_a", "id_b")
+      val sub = emb.filter(col("vec_id") < subN)
+      val exact = sub.select(col("vec_id").as("id_a"), col("embedding").as("graft_va"))
+        .crossJoin(sub.select(col("vec_id").as("id_b"), col("embedding").as("graft_vb")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(Similarity.cosine(col("graft_va"), col("graft_vb")) >= thr)
+        .select("id_a", "id_b").persist()
+      val nExact = exact.count()
+      val nFound = exact.join(engine, Seq("id_a", "id_b"), "left_semi").count()
+      exact.unpersist(blocking = false)
+      metricRow(s, Seq(
+        "exact_cos_pairs" -> nExact.toDouble,
+        "lsh_recall_ok" -> flag(nExact == 0 || nFound.toDouble / nExact >= 0.9)))
     }),
 
-    // IVF scale path: rows-only (centroid training is engine-internal)
+    // IVF scale path, value-checked: exact query count + recall/completeness
+    // flags vs the (itself DuckDB-verified, q25) brute-force ranking
     "q27_ann_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
-      Similarity.ivfTopK(emb, "vec_id", "embedding",
-          queries, "vec_id", "embedding", k = 4, nlist = 16, nprobe = 4)
-        .filter(col("rank") > 1)
-        .select(col("query_id"), col("neighbor_id"), (col("rank") - 1).as("rank"))
-        .orderBy(col("query_id"), col("rank"))
+      val nQueries = queries.count()
+      // this data is weakly clustered (top neighbors at cos ~0.3-0.4), so
+      // recall needs a generous probe budget: measured 0.7 at nlist=16/
+      // nprobe=4, 1.0 at nlist=8/nprobe=6
+      val ivf = annTop4(Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 6))
+        .select("query_id", "neighbor_id").persist()
+      val bf = annTop4(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5))
+        .select("query_id", "neighbor_id").persist()
+      val nBf = bf.count()
+      val matched = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val nIvf = ivf.count()
+      ivf.unpersist(blocking = false)
+      bf.unpersist(blocking = false)
+      metricRow(s, Seq(
+        "n_queries" -> nQueries.toDouble,
+        "ivf_complete_ok" -> flag(nIvf == nBf),
+        "ivf_recall_ok" -> flag(nBf == 0 || matched.toDouble / nBf >= 0.8)))
     })
   )
 
@@ -503,6 +600,16 @@ object SparkEntry {
       """SELECT round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
         |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
         |       round(quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25), 6) AS iqr_qty
+        |FROM lineitem""".stripMargin,
+
+    // q09: exact values reproduced by DuckDB; the sketch-tolerance flags are
+    // asserted true — a sketch drifting outside its error bound turns the
+    // Spark-side flag to 0.0 and the hash compare catches it
+    "q09_approx" ->
+      """SELECT count(DISTINCT l_partkey)::DOUBLE AS exact_distinct_partkey,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS exact_median_qty,
+        |       1.0::DOUBLE AS approx_distinct_ok,
+        |       1.0::DOUBLE AS approx_median_ok
         |FROM lineitem""".stripMargin,
 
     "q10_zeros_lengths" ->
@@ -643,6 +750,73 @@ object SparkEntry {
     "q23_fingerprint" ->
       """SELECT count(DISTINCT regexp_replace(lower(text), '\s+', ' ', 'g'))::DOUBLE AS fp_distinct
         |FROM documents""".stripMargin,
+
+    // q24: DuckDB reproduces the exact all-pairs Jaccard ground truth with
+    // string shingles (same tokenization; the engine's 64-bit shingle hashes
+    // preserve set identity) on doc_id < 1000 — the COMPLETE table at
+    // sf0.01. Recall flags asserted true.
+    "q24_near_dup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents WHERE doc_id < 1000),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3 THEN
+        |      list_distinct(list_transform(range(len(ts) - 2),
+        |        i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))
+        |    WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+        |    ELSE []::VARCHAR[] END AS sh
+        |  FROM d),
+        |p AS (
+        |  SELECT len(list_intersect(a.sh, b.sh))::DOUBLE
+        |           / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT (SELECT count(*) FROM p WHERE j >= 0.5)::DOUBLE AS exact_jaccard_pairs,
+        |       1.0::DOUBLE AS minhash_recall_ok,
+        |       1.0::DOUBLE AS simhash_recall_ok""".stripMargin,
+
+    // q25: fully exact — cosine ranking recomputed from the raw embeddings
+    "q25_ann" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |p AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))) = 0
+        |           OR sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) = 0
+        |         THEN 0.0
+        |         ELSE list_sum(list_transform(range(len(q.qv)),
+        |                i -> q.qv[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE))
+        |           / (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))
+        |              * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))))
+        |    END AS cos
+        |  FROM q CROSS JOIN embeddings e
+        |  WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM p)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 4
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // q27: exact query count; IVF completeness/recall flags asserted true
+    "q27_ann_ivf" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 5)::DOUBLE AS n_queries,
+        |       1.0::DOUBLE AS ivf_complete_ok,
+        |       1.0::DOUBLE AS ivf_recall_ok""".stripMargin,
+
+    // q32: exact cosine pair count at threshold 0.42 on vec_id < 1000
+    // (complete table at sf0.01); LSH recall flag asserted true
+    "q32_embedding_neardup" ->
+      """WITH p AS (
+        |  SELECT list_sum(list_transform(range(len(a.embedding)),
+        |           i -> a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+        |         / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |            * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 1000 AND b.vec_id < 1000)
+        |SELECT (SELECT count(*) FROM p WHERE cos >= 0.42)::DOUBLE AS exact_cos_pairs,
+        |       1.0::DOUBLE AS lsh_recall_ok""".stripMargin,
 
     "q26_dqdl" ->
       """WITH u AS (SELECT count(*) AS groups,

@@ -302,6 +302,44 @@ object Dedup {
     CacheLifecycle.releaseOnConsume(verified, sf +: candCaches)
   }
 
+  /** EXACT all-pairs n-gram Jaccard >= threshold via an inverted shingle
+    * index — the scalable ground truth for MinHash recall audits.
+    *
+    * Each (doc, shingle-hash) is exploded once; the self-join on the hash
+    * generates a pair once per SHARED shingle, so the groupBy count IS the
+    * intersection size and |A∪B| = |A|+|B|−|A∩B| follows from per-doc set
+    * sizes. No crossJoin anywhere: cost is Σ_h df(h)² over shingle document
+    * frequencies, not N² — pairs sharing zero shingles (Jaccard 0) are never
+    * generated. Shingle identity is the same 64-bit hash the MinHash path
+    * uses, so Jaccard values agree exactly (collision probability ~2⁻⁶⁴).
+    */
+  def exactJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3): DataFrame = {
+    val hs = signatureFrame(df, idCol, textCol, numHashes = 0, shingleSize)
+      .select(col("graft_id"), col("graft_hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = hs.select(col("graft_id"), size(col("graft_hs")).as("graft_n"))
+    val inv = hs.select(col("graft_id"), explode(col("graft_hs")).as("graft_h"))
+    val a = inv.select(col("graft_h"), col("graft_id").as("id_a"))
+    val b = inv.select(col("graft_h"), col("graft_id").as("id_b"))
+    val co = a.join(b, Seq("graft_h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("graft_c"))
+    val pairs = co
+      .join(sizes.select(col("graft_id").as("id_a"), col("graft_n").as("graft_na")), Seq("id_a"))
+      .join(sizes.select(col("graft_id").as("id_b"), col("graft_n").as("graft_nb")), Seq("id_b"))
+      .withColumn("jaccard", col("graft_c").cast(DoubleType) /
+        greatest(col("graft_na") + col("graft_nb") - col("graft_c"), lit(1L)).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    CacheLifecycle.releaseOnConsume(pairs, Seq(hs))
+  }
+
   // -------------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------------
@@ -436,13 +474,15 @@ object Dedup {
   // -------------------------------------------------------------------------
 
   /** Pairs of embeddings with cosine similarity above `threshold`, using
-    * the LSH-bucketed path from [[Similarity]].
+    * the multi-table LSH path from [[Similarity]]. Lower thresholds need
+    * fewer planes / more tables for recall (see cosinePairsLsh scaladoc).
     */
   def embeddingNearDuplicates(
       df: DataFrame,
       idCol: String,
       embeddingCol: String,
       threshold: Double = 0.95,
-      planes: Int = 16): DataFrame =
-    Similarity.cosinePairsLsh(df, idCol, embeddingCol, threshold, planes)
+      planes: Int = 16,
+      numTables: Int = 1): DataFrame =
+    Similarity.cosinePairsLsh(df, idCol, embeddingCol, threshold, planes, numTables)
 }

@@ -55,6 +55,24 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "Exact Jaccard pairs (inverted index)" should {
+    "match brute-force set Jaccard exactly, without a crossJoin" in {
+      val out = Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      out.keySet shouldBe Set((1L, 4L), (1L, 2L), (2L, 4L))
+      out((1L, 4L)) shouldBe 1.0
+      // docs 1/2 differ only in the last token, so exactly one of their 7
+      // 3-gram shingles differs: j = 6 / (7 + 7 - 6) = 0.75
+      out((1L, 2L)) shouldBe (0.75 +- 1e-12)
+    }
+
+    "generate nothing for docs sharing no shingles" in {
+      Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.0)
+        .filter((col("id_a") === 3L) || (col("id_b") === 3L))
+        .count() shouldBe 0L
+    }
+  }
+
   "SimHash" should {
     "give identical signatures to identical docs and near ones to near-dups" in {
       val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 8)
@@ -115,11 +133,41 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
 
     "find high-cosine pairs via LSH buckets" in {
+      // multi-table OR-amplification: P(miss) = (1 - p^planes)^numTables,
+      // ~4e-3 here for cosine 0.994 — and fully deterministic hashing
       val pairs = Similarity.cosinePairsLsh(vecs, "vec_id", "embedding",
-        threshold = 0.9, planes = 8)
+        threshold = 0.9, planes = 8, numTables = 4)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       pairs should contain((1L, 2L))       // cosine ≈ 0.994
       pairs should not contain ((1L, 4L))  // opposite vectors
+    }
+
+    "reach >=0.9 recall vs exact pairs with multi-table LSH at a LOW threshold" in {
+      val s = spark
+      import s.implicits._
+      // weakly similar pairs (cos ~0.45-0.6) — a single table has near-zero
+      // recall here; 4 planes x 24 tables is the q32 configuration
+      val rng = new scala.util.Random(11)
+      val base = (0 until 120).map(_ => Array.fill(16)(rng.nextGaussian().toFloat))
+      val corpus = base.zipWithIndex.flatMap { case (v, i) =>
+        // every even id gets a weakly-correlated partner
+        if (i % 2 == 0)
+          Seq((i * 2L, v),
+            (i * 2L + 1, v.map(x => (0.7f * x + 0.7f * rng.nextGaussian().toFloat))))
+        else Seq((i * 2L, v))
+      }.toDF("vec_id", "embedding")
+      val thr = 0.42
+      val exact = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        .crossJoin(corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(Similarity.cosine(col("va"), col("vb")) >= thr)
+        .select("id_a", "id_b")
+      val lsh = Similarity.cosinePairsLsh(corpus, "vec_id", "embedding",
+        thr, planes = 4, numTables = 24).select("id_a", "id_b")
+      val nExact = exact.count()
+      val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi").count()
+      nExact should be > 10L
+      found.toDouble / nExact should be >= 0.9
     }
 
     "reach high recall vs brute force with the IVF index" in {
