@@ -516,6 +516,96 @@ object SparkEntry {
         "lsh_recall_ok" -> flag(nExact == 0 || nFound.toDouble / nExact >= 0.9)))
     }),
 
+    // KLL sketch + keyed approx quantiles, value-checked: min/max/count of
+    // the sketch are EXACT (tracked alongside the compactors) and the exact
+    // quantiles are DuckDB-reproducible; bucket-count and quantile accuracy
+    // are asserted as tolerance flags
+    "q34_kll" -> ((s, dir) => {
+      import graft.sketch.{KLLMetric, KLLParameters, KLLSketchAnalyzer}
+      val li = table(s, dir, "lineitem")
+      val kll = KLLSketchAnalyzer("l_quantity", KLLParameters(numberOfBuckets = 10))
+      val aq = ApproxQuantiles("l_quantity", Seq(0.25, 0.5, 0.75), relativeError = 0.001)
+      val e25 = ExactQuantile("l_quantity", 0.25)
+      val e50 = ExactQuantile("l_quantity", 0.5)
+      val e75 = ExactQuantile("l_quantity", 0.75)
+      val ctx = AnalysisRunner.run(li, Seq(kll, aq, e25, e50, e75))
+      val dist = ctx.metric(kll).get.asInstanceOf[KLLMetric].value.get
+      val sketch = dist.sketch
+      val approx = ctx.metric(aq).get.value.get.asInstanceOf[Map[String, Double]]
+      val exact = Seq(e25, e50, e75).map(a =>
+        a.quantile -> ctx.metric(a).get.value.get.asInstanceOf[Double]).toMap
+      // exact per-bucket counts with the sketch's own (exact) min/max edges
+      val width = (sketch.max - sketch.min) / 10.0
+      val bucketExprs = (0 until 10).map { b =>
+        val lo = sketch.min + b * width
+        val hi = if (b == 9) sketch.max else sketch.min + (b + 1) * width
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(
+            col("l_quantity") >= lo && col("l_quantity") <= hi, 1L)
+            .otherwise(0L)).as(s"graft_b$b")
+      }
+      val exactBuckets = li.select(bucketExprs: _*).collect().head
+      val absErr = (0 until 10).map(b =>
+        math.abs(dist.buckets(b).count - exactBuckets.getLong(b))).sum
+      def qOk(q: Double): Double =
+        flag(math.abs(approx(q.toString) - exact(q)) <= math.max(1.0, 0.02 * math.abs(exact(q))))
+      metricRow(s, Seq(
+        "kll_min" -> sketch.min,
+        "kll_max" -> sketch.max,
+        "kll_n" -> sketch.count.toDouble,
+        "kll_buckets_ok" -> flag(absErr.toDouble / sketch.count <= 0.1),
+        "exact_p25" -> r6(exact(0.25)),
+        "exact_p50" -> r6(exact(0.5)),
+        "exact_p75" -> r6(exact(0.75)),
+        "approx_p25_ok" -> qOk(0.25),
+        "approx_p50_ok" -> qOk(0.5),
+        "approx_p75_ok" -> qOk(0.75)))
+    }),
+
+    // metadata + user-extension analyzers: all exactly value-checked
+    "q35_custom" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val orders = table(s, dir, "orders")
+      orders.createOrReplaceTempView("graft_orders_v")
+      val colCount = ColumnCount().calculate(li).value.get
+      val colExists = ColumnExists("l_quantity").calculate(li).value.get
+      val customSql = CustomSql("SELECT avg(o_totalprice) FROM graft_orders_v")
+        .calculate(orders).value.get
+      val shares = CustomAggregator(df => {
+        val counts = df.groupBy("o_orderstatus").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        AggregatedMetricState(counts, counts.values.sum)
+      }, "OrderStatusShare").calculate(orders).value.get
+      metricRow(s, Seq(
+        "column_count_lineitem" -> colCount,
+        "column_exists_qty" -> colExists,
+        "custom_sql_avg_price" -> r6(customSql),
+        "share_f" -> r6(shares("F")),
+        "share_o" -> r6(shares("O"))))
+    }),
+
+    // schema match + row-level dataset match (hash trick), value-checked:
+    // ds2 perturbs o_custkey on odd order keys, so the per-row match
+    // outcome is exactly "o_orderkey is even" — DuckDB-reproducible
+    "q36_match_rowlevel" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val orders = table(s, dir, "orders")
+      val ds1 = orders.select(col("o_orderkey"), col("o_custkey"))
+      val ds2 = orders.select(col("o_orderkey"),
+        (col("o_custkey") + col("o_orderkey") % 2).as("o_custkey"))
+      val rl = DatasetMatch.matchRowLevel(ds1, ds2,
+        Map("o_orderkey" -> "o_orderkey"), Map("o_custkey" -> "o_custkey"))
+      val agg = rl.agg(
+        org.apache.spark.sql.functions.sum(col("graft_match_outcome").cast(LongType))
+          .cast(DoubleType),
+        org.apache.spark.sql.functions.count(lit(1)).cast(DoubleType)).collect().head
+      metricRow(s, Seq(
+        "schema_match_self" -> flag(SchemaMatch.matches(li, table(s, dir, "lineitem"))),
+        "schema_cross_differs" -> flag(!SchemaMatch.matches(li, orders)),
+        "rows_matched" -> agg.getDouble(0),
+        "rows_total" -> agg.getDouble(1)))
+    }),
+
     // IVF scale path, value-checked: exact query count + recall/completeness
     // flags vs the (itself DuckDB-verified, q25) brute-force ranking
     "q27_ann_ivf" -> ((s, dir) => {
@@ -798,6 +888,39 @@ object SparkEntry {
         |      FROM p)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 4
         |ORDER BY query_id, rank""".stripMargin,
+
+    // q34: exact min/max/count/quantiles reproduced by DuckDB; KLL bucket
+    // and percentile_approx accuracy asserted as flags
+    "q34_kll" ->
+      """SELECT min(l_quantity)::DOUBLE AS kll_min,
+        |       max(l_quantity)::DOUBLE AS kll_max,
+        |       count(l_quantity)::DOUBLE AS kll_n,
+        |       1.0::DOUBLE AS kll_buckets_ok,
+        |       round(quantile_cont(l_quantity, 0.25), 6) AS exact_p25,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS exact_p50,
+        |       round(quantile_cont(l_quantity, 0.75), 6) AS exact_p75,
+        |       1.0::DOUBLE AS approx_p25_ok,
+        |       1.0::DOUBLE AS approx_p50_ok,
+        |       1.0::DOUBLE AS approx_p75_ok
+        |FROM lineitem""".stripMargin,
+
+    // q35: metadata + custom-SQL/custom-aggregator analyzers, all exact
+    "q35_custom" ->
+      """SELECT (SELECT count(*)::DOUBLE FROM (DESCRIBE lineitem)) AS column_count_lineitem,
+        |       1.0::DOUBLE AS column_exists_qty,
+        |       (SELECT round(avg(o_totalprice), 6) FROM orders) AS custom_sql_avg_price,
+        |       (SELECT round(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::DOUBLE
+        |          / count(*), 6) FROM orders) AS share_f,
+        |       (SELECT round(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::DOUBLE
+        |          / count(*), 6) FROM orders) AS share_o""".stripMargin,
+
+    // q36: row-level match outcome is exactly "o_orderkey is even"
+    "q36_match_rowlevel" ->
+      """SELECT 1.0::DOUBLE AS schema_match_self,
+        |       1.0::DOUBLE AS schema_cross_differs,
+        |       sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::DOUBLE AS rows_matched,
+        |       count(*)::DOUBLE AS rows_total
+        |FROM orders""".stripMargin,
 
     // q27: exact query count; IVF completeness/recall flags asserted true
     "q27_ann_ivf" ->
