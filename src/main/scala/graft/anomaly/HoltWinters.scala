@@ -20,15 +20,23 @@ object HoltWinters {
   }
 }
 
+/** @param nWithheld number of trailing points excluded from training.
+  *   0 (the default) derives it from the search interval, so the judged
+  *   points are always forecast OUT-OF-SAMPLE — the smoothing state never
+  *   absorbs the very points being tested.
+  */
 case class HoltWinters(
     seasonality: HoltWinters.SeriesSeasonality,
     nWithheld: Int = 0) extends AnomalyDetectionStrategy {
 
   private val period = seasonality.periodicity
 
-  /** One Holt-Winters pass; returns one-step-ahead forecasts per index. */
-  private def forecasts(series: Vector[Double], alpha: Double, beta: Double,
-      gamma: Double): Vector[Double] = {
+  /** One Holt-Winters pass over `series`; returns the one-step-ahead
+    * forecasts per index plus the final (level, trend, seasonals) state,
+    * from which out-of-sample forecasts extend without further updates.
+    */
+  private def smooth(series: Vector[Double], alpha: Double, beta: Double,
+      gamma: Double): (Vector[Double], Double, Double, Array[Double]) = {
     val n = series.length
     // init: level = mean of first season, trend = average first-vs-second
     // season difference, seasonals = first-season deviations
@@ -49,11 +57,11 @@ case class HoltWinters(
       trend = beta * (level - lastLevel) + (1 - beta) * trend
       seasonals(s) = gamma * (v - level) + (1 - gamma) * seasonals(s)
     }
-    out.result()
+    (out.result(), level, trend, seasonals)
   }
 
   private def sse(series: Vector[Double], params: Array[Double]): Double = {
-    val f = forecasts(series, params(0), params(1), params(2))
+    val f = smooth(series, params(0), params(1), params(2))._1
     series.zip(f).map { case (v, p) => (v - p) * (v - p) }.sum
   }
 
@@ -81,23 +89,43 @@ case class HoltWinters(
       s"Need at least ${2 * period} points for seasonality $period")
     val (from, to) = searchInterval
     val hi = math.min(to, dataSeries.length)
+    val lo = math.max(from, 0)
 
-    val params = fit(dataSeries)
-    val f = forecasts(dataSeries, params(0), params(1), params(2))
-    val residuals = dataSeries.zip(f).map { case (v, p) => v - p }
-    val trainResiduals = residuals.dropRight(math.max(nWithheld, 0))
+    // train/test split: fit on the prefix BEFORE the withheld tail (by
+    // default everything from the search start), judge the interval against
+    // out-of-sample forecasts. Falls back to whole-series in-sample fitting
+    // only when the prefix is too short for the seasonal init (< 2 periods).
+    val withheld = if (nWithheld > 0) nWithheld else dataSeries.length - lo
+    val trainEnd = dataSeries.length - math.max(withheld, 0)
+    val train = if (trainEnd >= 2 * period) dataSeries.take(trainEnd) else dataSeries
+
+    val params = fit(train)
+    val (trainF, level, trend, seasonals) = smooth(train, params(0), params(1), params(2))
+    // residual spread from TRAINING residuals only
+    val trainResiduals = train.zip(trainF).map { case (v, p) => v - p }
     val meanR = trainResiduals.sum / trainResiduals.length
     val sdR = math.sqrt(
       trainResiduals.map(r => (r - meanR) * (r - meanR)).sum / trainResiduals.length)
-    val bound = 1.96 * sdR
+    // a perfectly-predictable training series (sd 0) means ANY deviation is
+    // anomalous — use a float-noise-sized bound instead of flagging nothing
+    val bound =
+      if (sdR > 0) 1.96 * sdR
+      else 1e-9 * math.max(1.0, train.iterator.map(math.abs).max)
+
+    // h-step-ahead forecast from the frozen end-of-training state; the
+    // seasonal index stays aligned because smoothing indexed by absolute t
+    def forecastAt(i: Int): Double =
+      if (i < train.length) trainF(i)
+      else level + (i - train.length + 1) * trend + seasonals(i % period)
 
     dataSeries.indices
-      .filter(i => i >= from && i < hi)
+      .filter(i => i >= lo && i < hi)
       .flatMap { i =>
-        val resid = residuals(i) - meanR
-        if (math.abs(resid) > bound && sdR > 0) {
+        val f = forecastAt(i)
+        val resid = dataSeries(i) - f - meanR
+        if (math.abs(resid) > bound) {
           Some((i, Anomaly(Some(dataSeries(i)), 1.0,
-            Some(f"[HoltWinters]: Forecast ${f(i)}%.3f for observed value " +
+            Some(f"[HoltWinters]: Forecast $f%.3f for observed value " +
               f"${dataSeries(i)}%.3f exceeds residual bound ±$bound%.3f"))))
         } else None
       }

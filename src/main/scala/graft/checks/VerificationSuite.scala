@@ -13,10 +13,16 @@ import graft.runners.{AnalysisRunner, AnalyzerContext}
   */
 case class VerificationResult(
     status: CheckStatus,
-    checkResults: Map[Check, CheckResult],
+    checkResultPairs: Seq[(Check, CheckResult)],
     metrics: Map[AnyAnalyzer, Metric[_]]) {
 
   def hasPassed: Boolean = status == CheckStatus.Success
+
+  /** Map view of the results. Two checks that are EQUAL case-class values
+    * collapse to one entry here — iterate [[checkResultPairs]] when a suite
+    * may contain duplicate checks.
+    */
+  def checkResults: Map[Check, CheckResult] = checkResultPairs.toMap
 }
 
 object VerificationResult {
@@ -25,7 +31,7 @@ object VerificationResult {
     * (reference capability: VerificationResult.scala:55-124).
     */
   def checkResultsAsDataFrame(spark: SparkSession, result: VerificationResult): DataFrame = {
-    val rows = result.checkResults.toSeq.flatMap { case (check, checkResult) =>
+    val rows = result.checkResultPairs.flatMap { case (check, checkResult) =>
       checkResult.constraintResults.map { cr =>
         Row(
           check.description,
@@ -58,7 +64,7 @@ object VerificationResult {
     import org.apache.spark.sql.functions.{coalesce, lit, col}
     import graft.operators.FrequencyBasedAnalyzer
 
-    val outcomeColumns = result.checkResults.toSeq.flatMap { case (check, _) =>
+    val raw = result.checkResultPairs.flatMap { case (check, _) =>
       val perConstraint = check.constraints.flatMap { c =>
         c.analyzer match {
           case a: DoubleResultScanAnalyzer[_] => a.fullColumn
@@ -67,10 +73,18 @@ object VerificationResult {
         }
       }
       if (perConstraint.isEmpty) None
-      else Some(perConstraint
+      else Some(check.description -> perConstraint
         .map(c => coalesce(c.cast("boolean"), lit(true)))
-        .reduce(_ && _)
-        .as(check.description))
+        .reduce(_ && _))
+    }
+    // checks sharing a description get ordinal-suffixed outcome columns
+    // instead of colliding into duplicate/ambiguous names
+    val dupes = raw.groupBy(_._1).collect { case (d, vs) if vs.size > 1 => d }.toSet
+    var seen = Map.empty[String, Int]
+    val outcomeColumns = raw.map { case (desc, c) =>
+      val n = seen.getOrElse(desc, 0) + 1
+      seen += desc -> n
+      c.as(if (dupes(desc)) s"${desc}_$n" else desc)
     }
     data.select(col("*") +: outcomeColumns: _*)
   }
@@ -95,7 +109,7 @@ object VerificationResult {
   def checkResultsAsJson(result: VerificationResult): String = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    val entries = result.checkResults.toSeq.flatMap { case (check, checkResult) =>
+    val entries = result.checkResultPairs.flatMap { case (check, checkResult) =>
       checkResult.constraintResults.map { cr =>
         ("check" -> check.description) ~
           ("check_level" -> check.level.toString) ~
@@ -153,9 +167,9 @@ class VerificationSuite {
   }
 
   private def evaluate(checks: Seq[Check], context: AnalyzerContext): VerificationResult = {
-    val checkResults = checks.map(c => c -> c.evaluate(context)).toMap
-    val status = checkResults.values
-      .map(_.status)
+    val checkResults = checks.map(c => c -> c.evaluate(context))
+    val status = checkResults
+      .map(_._2.status)
       .foldLeft(CheckStatus.Success: CheckStatus)(CheckStatus.max)
     VerificationResult(status, checkResults, context.metricMap)
   }
@@ -288,8 +302,8 @@ class VerificationRunBuilder(data: DataFrame) {
       }
     val context = graft.runners.AnalyzerContext(cached ++ computed.metricMap)
 
-    val checkResults = checks.map(c => c -> c.evaluate(context)).toMap
-    val status = checkResults.values.map(_.status)
+    val checkResults = checks.map(c => c -> c.evaluate(context))
+    val status = checkResults.map(_._2.status)
       .foldLeft(CheckStatus.Success: CheckStatus)(CheckStatus.max)
     val result = VerificationResult(status, checkResults, context.metricMap)
 

@@ -58,39 +58,3 @@ class FileSystemMetricsRepository(spark: SparkSession, path: String) extends Met
       .sortBy(_.resultKey.dataSetDate))
 }
 
-/** Spark-table repository: metrics appended as rows of a saved table
-  * (reference capability: repository/sparktable/SparkMetricsRepository.scala:25-62).
-  */
-class SparkTableMetricsRepository(spark: SparkSession, tableName: String)
-    extends MetricsRepository {
-
-  import spark.implicits._
-
-  override def save(resultKey: ResultKey, analyzerContext: AnalyzerContext): Unit = {
-    val serialized = AnalysisResultSerde.serialize(
-      Seq(AnalysisResult(resultKey, analyzerContext)))
-    val df = Seq((resultKey.dataSetDate, resultKey.tags.map { case (k, v) => s"$k=$v" }
-      .mkString(","), serialized))
-      .toDF("dataset_date", "tags", "serialized_result")
-    df.write.mode("append").saveAsTable(tableName)
-  }
-
-  private def readAll(): Seq[AnalysisResult] = {
-    if (!spark.catalog.tableExists(tableName)) return Seq.empty
-    spark.table(tableName)
-      .select("serialized_result")
-      .collect()
-      .toSeq
-      .flatMap(r => AnalysisResultSerde.deserialize(r.getString(0)))
-  }
-
-  override def loadByKey(resultKey: ResultKey): Option[AnalyzerContext] =
-    // append-style stores keep every save; the LAST entry for a key wins
-    readAll().filter(_.resultKey == resultKey).lastOption.map(_.analyzerContext)
-
-  override def load(): MetricsRepositoryMultipleResultsLoader =
-    // dedupe re-saved keys to their latest append (matching loadByKey),
-    // in time order for the anomaly-detection series consumers
-    LoaderImpl(() => readAll().groupBy(_.resultKey).map(_._2.last).toSeq
-      .sortBy(_.resultKey.dataSetDate))
-}

@@ -74,6 +74,26 @@ object AnalysisResultSerde {
     case ColumnCount() => JObject("type" -> JString("ColumnCount"))
     case ColumnExists(c) => ("type" -> "ColumnExists") ~ ("column" -> c)
     case CustomSql(e) => ("type" -> "CustomSql") ~ ("expression" -> e)
+    case Histogram(c, None, bins, w, ratio, agg) =>
+      ("type" -> "Histogram") ~ ("column" -> c) ~ ("maxDetailBins" -> bins) ~
+        ("where" -> w) ~ ("computeFrequenciesAsRatio" -> ratio) ~
+        ("aggColumn" -> (agg match {
+          case HistogramAggregate.SumAggregate(ac) => Some(ac)
+          case _ => None
+        }))
+    case HistogramBinned(c, binCount, edges, w) =>
+      ("type" -> "HistogramBinned") ~ ("column" -> c) ~ ("binCount" -> binCount) ~
+        ("customEdges" -> edges) ~ ("where" -> w)
+    case ApproxQuantiles(c, qs, e, w) =>
+      ("type" -> "ApproxQuantiles") ~ ("column" -> c) ~ ("quantiles" -> qs.toList) ~
+        ("relativeError" -> e) ~ ("where" -> w)
+    case k: graft.sketch.KLLSketchAnalyzer =>
+      ("type" -> "KLL") ~ ("column" -> k.column) ~
+        ("sketchSize" -> k.parameters.sketchSize) ~
+        ("shrinkingFactor" -> k.parameters.shrinkingFactor) ~
+        ("numberOfBuckets" -> k.parameters.numberOfBuckets) ~ ("where" -> k.where)
+    // function-valued analyzers (custom aggregators, binning lambdas,
+    // dataset-holding comparisons) have no faithful JSON form
     case other =>
       ("type" -> "Opaque") ~ ("descriptor" -> other.toString)
   }
@@ -146,19 +166,108 @@ object AnalysisResultSerde {
       case "ColumnCount" => ColumnCount()
       case "ColumnExists" => ColumnExists(str(j, "column"))
       case "CustomSql" => CustomSql(str(j, "expression"))
+      case "Histogram" =>
+        Histogram(str(j, "column"), None,
+          int(j, "maxDetailBins"), strOpt(j, "where"),
+          bool(j, "computeFrequenciesAsRatio", default = true),
+          strOpt(j, "aggColumn")
+            .map(HistogramAggregate.SumAggregate(_): HistogramAggregate)
+            .getOrElse(HistogramAggregate.CountAggregate))
+      case "HistogramBinned" =>
+        HistogramBinned(str(j, "column"), intOpt(j, "binCount"),
+          dblSeqOpt(j, "customEdges"), strOpt(j, "where"))
+      case "ApproxQuantiles" =>
+        ApproxQuantiles(str(j, "column"), dblSeq(j, "quantiles"),
+          dbl(j, "relativeError"), strOpt(j, "where"))
+      case "KLL" =>
+        graft.sketch.KLLSketchAnalyzer(str(j, "column"),
+          graft.sketch.KLLParameters(int(j, "sketchSize"), dbl(j, "shrinkingFactor"),
+            int(j, "numberOfBuckets")), strOpt(j, "where"))
       case other => throw new IllegalArgumentException(s"Unknown analyzer type $other")
     }
   }.toOption
 
+  private def int(j: JValue, field: String): Int =
+    (j \ field) match {
+      case JInt(i) => i.toInt
+      case JLong(l) => l.toInt
+      case JDouble(d) => d.toInt
+      case _ => throw new IllegalArgumentException(field)
+    }
+
+  private def intOpt(j: JValue, field: String): Option[Int] =
+    Try(int(j, field)).toOption
+
+  private def bool(j: JValue, field: String, default: Boolean): Boolean =
+    (j \ field) match { case JBool(b) => b; case _ => default }
+
+  private def dblSeq(j: JValue, field: String): Seq[Double] =
+    (j \ field) match {
+      case JArray(vs) => vs.collect {
+        case JDouble(d) => d
+        case JInt(i) => i.toDouble
+        case JLong(l) => l.toDouble
+      }
+      case _ => Seq.empty
+    }
+
+  private def dblSeqOpt(j: JValue, field: String): Option[Seq[Double]] =
+    (j \ field) match {
+      case JArray(_) => Some(dblSeq(j, field))
+      case _ => None
+    }
+
   // -- results <-> json -------------------------------------------------------
 
-  def serialize(results: Seq[AnalysisResult]): String = {
+  /** Serialize successful metrics of every typed kind: double, keyed,
+    * attribute, histogram and KLL (sketch embedded as base64, so the
+    * round-tripped metric remains mergeable/queryable). Failed metrics are
+    * never persisted (as in the reference). With `failOnUnsupported`,
+    * successful metrics that have no JSON form (e.g. function-valued
+    * custom aggregators under an Opaque analyzer) raise instead of being
+    * silently dropped.
+    */
+  def serialize(results: Seq[AnalysisResult], failOnUnsupported: Boolean = false): String = {
+    def metricJson(a: AnyAnalyzer, m: Metric[_]): Option[JValue] = m match {
+      case DoubleMetric(entity, name, instance, Success(v), _) =>
+        Some(("analyzer" -> analyzerToJson(a)) ~ ("kind" -> "double") ~
+          ("entity" -> entity.repr) ~ ("name" -> name) ~
+          ("instance" -> instance) ~ ("value" -> v))
+      case KeyedDoubleMetric(entity, name, instance, Success(kv)) =>
+        Some(("analyzer" -> analyzerToJson(a)) ~ ("kind" -> "keyed") ~
+          ("entity" -> entity.repr) ~ ("name" -> name) ~
+          ("instance" -> instance) ~ ("values" -> kv))
+      case AttributeDoubleMetric(entity, name, instance, Success(kv)) =>
+        Some(("analyzer" -> analyzerToJson(a)) ~ ("kind" -> "attribute") ~
+          ("entity" -> entity.repr) ~ ("name" -> name) ~
+          ("instance" -> instance) ~ ("values" -> kv))
+      case HistogramMetric(column, Success(dist)) =>
+        Some(("analyzer" -> analyzerToJson(a)) ~ ("kind" -> "histogram") ~
+          ("instance" -> column) ~ ("numberOfBins" -> dist.numberOfBins) ~
+          ("values" -> JObject(dist.values.toList.map { case (k, dv) =>
+            k -> (("absolute" -> dv.absolute) ~ ("ratio" -> dv.ratio)): JField
+          })))
+      case km: graft.sketch.KLLMetric if km.value.isSuccess =>
+        val d = km.value.get
+        Some(("analyzer" -> analyzerToJson(a)) ~ ("kind" -> "kll") ~
+          ("instance" -> km.instance) ~
+          ("buckets" -> JArray(d.buckets.toList.map(b =>
+            ("low" -> b.lowValue) ~ ("high" -> b.highValue) ~ ("count" -> b.count)))) ~
+          ("parameters" -> d.parameters.toList) ~
+          ("sketch" -> java.util.Base64.getEncoder.encodeToString(d.sketch.serialize())))
+      case _ => None
+    }
     val json = JArray(results.toList.map { r =>
-      val metrics = r.analyzerContext.metricMap.toList.collect {
-        case (a, DoubleMetric(entity, name, instance, Success(v), _)) =>
-          ("analyzer" -> analyzerToJson(a)) ~
-            ("entity" -> entity.repr) ~ ("name" -> name) ~
-            ("instance" -> instance) ~ ("value" -> v)
+      val entries = r.analyzerContext.metricMap.toList
+      val metrics = entries.flatMap { case (a, m) => metricJson(a, m) }
+      if (failOnUnsupported) {
+        val dropped = entries.filter { case (a, m) =>
+          m.value.isSuccess && metricJson(a, m).isEmpty
+        }
+        if (dropped.nonEmpty) {
+          throw new MetricCalculationException(
+            "Metrics without a JSON form: " + dropped.map(_._2.name).mkString(", "))
+        }
       }
       ("resultKey" ->
         (("dataSetDate" -> r.resultKey.dataSetDate) ~ ("tags" -> r.resultKey.tags))) ~
@@ -184,10 +293,7 @@ object AnalysisResultSerde {
           val metrics: Seq[(AnyAnalyzer, Metric[_])] = (e \ "metrics") match {
             case JArray(ms) => ms.flatMap { m =>
               analyzerFromJson(m \ "analyzer").map { a =>
-                val metric: Metric[_] = DoubleMetric(
-                  Entity.fromString(str(m, "entity")), str(m, "name"),
-                  str(m, "instance"), Success(dbl(m, "value")))
-                a -> metric
+                a -> metricFromJson(m)
               }
             }
             case _ => Seq.empty
@@ -198,4 +304,57 @@ object AnalysisResultSerde {
       case _ => Seq.empty
     }
   }
+
+  private def dblMap(j: JValue, field: String): Map[String, Double] =
+    (j \ field) match {
+      case JObject(fields) => fields.collect {
+        case (k, JDouble(d)) => k -> d
+        case (k, JInt(i)) => k -> i.toDouble
+        case (k, JLong(l)) => k -> l.toDouble
+      }.toMap
+      case _ => Map.empty
+    }
+
+  private def metricFromJson(m: JValue): Metric[_] =
+    strOpt(m, "kind").getOrElse("double") match {
+      case "keyed" =>
+        KeyedDoubleMetric(Entity.fromString(str(m, "entity")), str(m, "name"),
+          str(m, "instance"), Success(dblMap(m, "values")))
+      case "attribute" =>
+        AttributeDoubleMetric(Entity.fromString(str(m, "entity")), str(m, "name"),
+          str(m, "instance"), Success(dblMap(m, "values")))
+      case "histogram" =>
+        val values = (m \ "values") match {
+          case JObject(fields) => fields.map { case (k, v) =>
+            k -> DistributionValue(
+              (v \ "absolute") match {
+                case JInt(i) => i.toLong; case JLong(l) => l
+                case JDouble(d) => d.toLong; case _ => 0L
+              },
+              dbl(v, "ratio"))
+          }.toMap
+          case _ => Map.empty[String, DistributionValue]
+        }
+        HistogramMetric(str(m, "instance"),
+          Success(Distribution(values, (m \ "numberOfBins") match {
+            case JInt(i) => i.toLong; case JLong(l) => l; case _ => values.size.toLong
+          })))
+      case "kll" =>
+        val buckets = (m \ "buckets") match {
+          case JArray(bs) => bs.map(b => graft.sketch.BucketValue(
+            dbl(b, "low"), dbl(b, "high"),
+            (b \ "count") match {
+              case JInt(i) => i.toLong; case JLong(l) => l
+              case JDouble(d) => d.toLong; case _ => 0L
+            }))
+          case _ => Seq.empty
+        }
+        val sketch = graft.sketch.KLLSketch.deserialize(
+          java.util.Base64.getDecoder.decode(str(m, "sketch")))
+        graft.sketch.KLLMetric(str(m, "instance"),
+          Success(graft.sketch.BucketDistribution(buckets, dblSeq(m, "parameters"), sketch)))
+      case _ =>
+        DoubleMetric(Entity.fromString(str(m, "entity")), str(m, "name"),
+          str(m, "instance"), Success(dbl(m, "value")))
+    }
 }

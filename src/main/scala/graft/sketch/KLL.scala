@@ -14,10 +14,15 @@ import scala.util.Random
   */
 class KLLSketch(
     val sketchSize: Int = KLLSketch.DefaultSketchSize,
-    val shrinkingFactor: Double = KLLSketch.DefaultShrinkingFactor) extends Serializable {
+    val shrinkingFactor: Double = KLLSketch.DefaultShrinkingFactor,
+    val seed: Long = KLLSketch.DefaultSeed) extends Serializable {
 
   private var compactors: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty)
-  private val rng = new Random(42)
+  // KLL's error bound assumes independent compaction coin flips across
+  // sketches; per-sketch seeds (partition-derived in the distributed path)
+  // keep determinism WITHOUT correlating the keep-odd/keep-even decisions
+  // of every per-partition sketch
+  private val rng = new Random(seed)
 
   var count: Long = 0L
   var min: Double = Double.PositiveInfinity
@@ -56,7 +61,8 @@ class KLLSketch(
   }
 
   def merge(other: KLLSketch): KLLSketch = {
-    val result = new KLLSketch(sketchSize, shrinkingFactor)
+    // deterministic combined seed, still distinct from both inputs
+    val result = new KLLSketch(sketchSize, shrinkingFactor, seed * 31 ^ other.seed)
     while (result.numLevels < math.max(numLevels, other.numLevels)) {
       result.compactors += ArrayBuffer.empty
     }
@@ -152,6 +158,7 @@ case class BucketDistribution(
 object KLLSketch {
   val DefaultSketchSize = 2048
   val DefaultShrinkingFactor = 0.64
+  val DefaultSeed = 42L
 
   def deserialize(bytes: Array[Byte]): KLLSketch = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))

@@ -81,8 +81,13 @@ object KLLSketchAnalyzer {
     val projected = filtered.select(group.map(a => col(a.column).cast(DoubleType)): _*)
     val sketches = projected.rdd
       .mapPartitions { iter =>
+        // partition-derived seeds: deterministic for a fixed partitioning,
+        // independent across the per-partition sketches (KLL's error bound
+        // assumes uncorrelated compaction coin flips)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
         val ss = Array.tabulate(n)(i =>
-          new KLLSketch(params(i).sketchSize, params(i).shrinkingFactor))
+          new KLLSketch(params(i).sketchSize, params(i).shrinkingFactor,
+            seed = (pid.toLong << 20) + i))
         iter.foreach { row =>
           var i = 0
           while (i < n) {

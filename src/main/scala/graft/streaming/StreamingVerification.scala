@@ -30,8 +30,8 @@ class StreamingVerifier(
     val ctx = AnalysisRunner.runStateful(
       batch, all, aggregateWith = Some(provider), saveStatesWith = Some(provider))
     truncateGroupingLineage(all)
-    val checkResults = checks.map(c => c -> c.evaluate(ctx)).toMap
-    val status = checkResults.values.map(_.status)
+    val checkResults = checks.map(c => c -> c.evaluate(ctx))
+    val status = checkResults.map(_._2.status)
       .foldLeft(CheckStatus.Success: CheckStatus)(CheckStatus.max)
     val result = VerificationResult(status, checkResults, ctx.metricMap)
     lastResult = Some(result)

@@ -51,6 +51,83 @@ class RepositoryAnomalySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "SparkTableMetricsRepository" should {
+    "round-trip metrics through a catalog table with tag and time filters" in {
+      val tableName = "graft_metrics_test"
+      spark.sql(s"DROP TABLE IF EXISTS $tableName")
+      try {
+        val repo = new SparkTableMetricsRepository(spark, tableName)
+        repo.save(ResultKey(1000, Map("env" -> "dev")), ctxWith(10))
+        repo.save(ResultKey(2000, Map("env" -> "prod")), ctxWith(20))
+        repo.save(ResultKey(3000, Map("env" -> "prod")), ctxWith(30))
+
+        repo.loadByKey(ResultKey(1000, Map("env" -> "dev")))
+          .get.metric(Size()).get.value.get shouldBe 10.0
+        repo.load().withTagValues(Map("env" -> "prod")).get() should have size 2
+        repo.load().after(2000).get() should have size 2
+        repo.load().before(1500).get() should have size 1
+        repo.load().timeSeriesOf(Size()) shouldBe
+          Seq(1000L -> 10.0, 2000L -> 20.0, 3000L -> 30.0)
+
+        // re-saving a key appends; the latest write wins on read
+        repo.save(ResultKey(2000, Map("env" -> "prod")), ctxWith(25))
+        repo.loadByKey(ResultKey(2000, Map("env" -> "prod")))
+          .get.metric(Size()).get.value.get shouldBe 25.0
+        repo.load().get() should have size 3
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    }
+  }
+
+  "AnalysisResultSerde" should {
+    "round-trip histogram, keyed, attribute and KLL metrics" in {
+      import graft.sketch._
+      val hist = Histogram("col")
+      val aq = ApproxQuantiles("q", Seq(0.25, 0.75))
+      val kll = KLLSketchAnalyzer("k", KLLParameters(sketchSize = 256, numberOfBuckets = 4))
+      val sketch = new KLLSketch(256)
+      (1 to 100).foreach(i => sketch.update(i.toDouble))
+      val ctx = AnalyzerContext(Map[AnyAnalyzer, Metric[_]](
+        hist -> HistogramMetric("col", scala.util.Success(Distribution(
+          Map("a" -> DistributionValue(3, 0.75), "b" -> DistributionValue(1, 0.25)), 2))),
+        aq -> KeyedDoubleMetric(Entity.Column, "ApproxQuantiles", "q",
+          scala.util.Success(Map("0.25" -> 12.0, "0.75" -> 37.0))),
+        kll -> KLLMetric("k", scala.util.Success(
+          BucketDistribution(sketch.buckets(4), Seq(0.64, 256.0), sketch)))))
+      val back = AnalysisResultSerde.deserialize(
+        AnalysisResultSerde.serialize(Seq(AnalysisResult(ResultKey(7, Map("t" -> "v")), ctx))))
+      back should have size 1
+      val c = back.head.analyzerContext
+      c.metric(hist).get.value.get.asInstanceOf[Distribution]("a") shouldBe
+        DistributionValue(3, 0.75)
+      c.metric(aq).get.value.get shouldBe Map("0.25" -> 12.0, "0.75" -> 37.0)
+      val dist = c.metric(kll).get.value.get.asInstanceOf[BucketDistribution]
+      dist.buckets shouldBe sketch.buckets(4)
+      dist.sketch.count shouldBe 100L
+      dist.sketch.quantile(0.5) shouldBe sketch.quantile(0.5)
+    }
+
+    "fail loudly on unsupported metrics when asked" in {
+      val opaque = graft.operators.CustomAggregator(
+        df => graft.operators.AggregatedMetricState(Map("x" -> 1L), 1L), "Custom")
+      val ctx = AnalyzerContext(Map[AnyAnalyzer, Metric[_]](
+        opaque -> KeyedDoubleMetric(Entity.Dataset, "Custom", "*",
+          scala.util.Success(Map("x" -> 1.0)))))
+      // keyed metric serializes fine even under an opaque analyzer...
+      noException should be thrownBy AnalysisResultSerde.serialize(
+        Seq(AnalysisResult(ResultKey(1), ctx)), failOnUnsupported = true)
+      // ...but a metric kind with no JSON form raises in strict mode
+      val unsupported = AnalyzerContext(Map[AnyAnalyzer, Metric[_]](
+        Size() -> new Metric[Unit] {
+          val entity: Entity = Entity.Dataset
+          val name = "Ghost"
+          val instance = "*"
+          val value: scala.util.Try[Unit] = scala.util.Success(())
+        }))
+      an[MetricCalculationException] should be thrownBy AnalysisResultSerde.serialize(
+        Seq(AnalysisResult(ResultKey(2), unsupported)), failOnUnsupported = true)
+    }
+  }
+
   "anomaly strategies" should {
     "flag threshold violations" in {
       val anomalies = SimpleThresholdStrategy(lowerBound = 0, upperBound = 1.0)
@@ -91,6 +168,17 @@ class RepositoryAnomalySpec extends AnyWordSpec with Matchers with SparkSpec {
       val anomalies = HoltWinters(HoltWinters.SeriesSeasonality.Daily)
         .detect(series, (14, 17))
       anomalies.map(_._1) should contain(16)
+    }
+
+    "judge the search interval out-of-sample so level shifts stay visible" in {
+      // two clean seasons, then an entire season shifted by +20: training
+      // in-sample would absorb the shift into the level state and inflate
+      // the residual SD; the out-of-sample split must flag every point
+      val season = Vector(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0)
+      val series = season ++ season ++ season.map(_ + 20.0)
+      val anomalies = HoltWinters(HoltWinters.SeriesSeasonality.Daily)
+        .detect(series, (14, 21))
+      anomalies.map(_._1) shouldBe (14 until 21)
     }
   }
 

@@ -12,6 +12,17 @@ class VerificationSuiteSpec extends AnyWordSpec with Matchers with SparkSpec {
 
   "VerificationSuite" should {
 
+    "keep duplicate-description checks distinct in results and row-level columns" in {
+      val c1 = Check(CheckLevel.Error, "dup").isComplete("l_orderkey")
+      val c2 = Check(CheckLevel.Warning, "dup")
+        .satisfies("l_quantity > 0", "qty pos", _ >= 0.0)
+      val result = VerificationSuite().onData(lineitem)
+        .addCheck(c1).addCheck(c2).run()
+      result.checkResultPairs should have size 2
+      val rl = VerificationResult.rowLevelResultsAsDataFrame(spark, result, lineitem)
+      rl.columns.filter(_.startsWith("dup")).toSeq shouldBe Seq("dup_1", "dup_2")
+    }
+
     "run the flagship check end-to-end" in {
       val check = Check(CheckLevel.Error, "lineitem integrity")
         .hasSize(_ > 0)
