@@ -9,12 +9,12 @@ import org.apache.spark.sql.types._
   * pipelines: opaque `binary` payloads + typed metadata, processed in
   * per-partition batches.
   *
-  * The Spark-side machinery (schema contracts, batched partition
-  * processing, deterministic partitioning, feature schema) is real and
-  * tested; the actual media DECODING is stubbed behind `decodeStub` —
-  * the image/audio codecs are not available in this environment, and a
-  * production deployment swaps `decodeStub` for a real decoder with the
-  * SAME signature (bytes => features), leaving every plan unchanged.
+  * IMAGE payloads (PNG/JPEG/GIF/BMP — whatever the JDK's `javax.imageio`
+  * registry reads) are decoded for REAL: true dimensions, format name, and
+  * a grayscale-thumbnail feature vector. Audio/video payloads fall back to
+  * `decodeStub` — those codecs are not in-JDK; a production deployment
+  * swaps the stub for a real decoder with the SAME signature
+  * (bytes => features), leaving every plan unchanged.
   */
 object Multimodal {
 
@@ -44,9 +44,53 @@ object Multimodal {
     (vec, width, height, "stub")
   }
 
+  /** REAL image decode via the JDK's ImageIO registry: true width/height,
+    * the reader's format name, and a `dim`-point grayscale thumbnail
+    * (row-major over a ~square grid) as the feature vector. Returns None
+    * for payloads no registered reader accepts (audio, video, garbage).
+    */
+  private[pipeline] def decodeImage(bytes: Array[Byte], dim: Int = 16)
+    : Option[(Array[Float], Int, Int, String)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val fmt = reader.getFormatName.toLowerCase
+          val img = reader.read(0)
+          val w = img.getWidth
+          val h = img.getHeight
+          val gw = math.max(math.sqrt(dim.toDouble).toInt, 1)
+          val gh = math.max((dim + gw - 1) / gw, 1)
+          val vec = new Array[Float](dim)
+          var i = 0
+          while (i < dim) {
+            val gx = i % gw
+            val gy = i / gw
+            val px = gx * (w - 1) / math.max(gw - 1, 1)
+            val py = math.min(gy, gh - 1) * (h - 1) / math.max(gh - 1, 1)
+            val rgb = img.getRGB(math.min(px, w - 1), math.min(py, h - 1))
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            vec(i) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+            i += 1
+          }
+          Some((vec, w, h, fmt))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Adds decoded features for a binary media column. Processing happens
     * per partition in batches (the same shape a vectorized/Arrow UDF would
-    * see), so swapping in a real batched decoder keeps the plan identical.
+    * see). Image payloads decode for real through [[decodeImage]];
+    * everything else falls back to the deterministic stub.
     */
   def withMediaFeatures(df: DataFrame, binaryColumn: String, dim: Int = 16): DataFrame = {
     val inputSchema = df.schema
@@ -54,15 +98,16 @@ object Multimodal {
     val binIdx = inputSchema.fieldIndex(binaryColumn)
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
     df.mapPartitions { rows =>
-      // per-partition pass: a real codec initializes once here, before the
-      // row loop, and decodes row payloads with that shared context
+      // per-partition pass: codec state (the ImageIO registry) initializes
+      // once per JVM; rows decode with that shared context
       rows.map { row =>
         val payload = row.get(binIdx) match {
           case b: Array[Byte] => b
           case null => Array.empty[Byte]
           case other => other.toString.getBytes("UTF-8")
         }
-        val (vec, w, h, fmt) = decodeStub(payload, dim)
+        val (vec, w, h, fmt) =
+          decodeImage(payload, dim).getOrElse(decodeStub(payload, dim))
         Row.fromSeq(row.toSeq ++ Seq(vec.toSeq, w, h, fmt, payload.length.toLong))
       }
     }(enc)

@@ -201,6 +201,38 @@ class PipelineSurfacesSpec extends AnyWordSpec with Matchers with SparkSpec {
         rows(1).getAs[scala.collection.Seq[Float]]("feature_vec")
     }
 
+    "decode REAL PNG and JPEG payloads to true dimensions via ImageIO" in {
+      import java.awt.image.BufferedImage
+      def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        (0 until w).foreach(x => (0 until h).foreach { y =>
+          img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8))
+        })
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, format, out)
+        out.toByteArray
+      }
+      val rows = Seq(
+        Row(1L, imageBytes(37, 21, "png")),
+        Row(2L, imageBytes(64, 48, "jpg")),
+        Row(3L, "not an image".getBytes("UTF-8")))
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        payloadSchema)
+      val out = Multimodal.withMediaFeatures(df, "payload").orderBy("media_id").collect()
+      out(0).getAs[Int]("width") shouldBe 37
+      out(0).getAs[Int]("height") shouldBe 21
+      out(0).getAs[String]("format") shouldBe "png"
+      val vec = out(0).getAs[scala.collection.Seq[Float]]("feature_vec")
+      vec.length shouldBe 16
+      all(vec) should (be >= 0.0f and be <= 1.0f)
+      out(1).getAs[Int]("width") shouldBe 64
+      out(1).getAs[Int]("height") shouldBe 48
+      out(1).getAs[String]("format") should include("jpeg")
+      // non-image payloads keep the deterministic stub path
+      out(2).getAs[String]("format") shouldBe "stub"
+    }
+
     "sample frames deterministically" in {
       val sampled = Multimodal.sampleFrames(mediaDf.filter(col("payload").isNotNull),
         "payload", everyNth = 1, maxFrames = 4)
