@@ -383,6 +383,12 @@ object SparkEntry {
 
     "q26_dqdl" -> ((s, dir) => {
       val orders = table(s, dir, "orders")
+      // seed one historical run so the dynamic rules below have history
+      val repo = new graft.repository.InMemoryMetricsRepository
+      graft.dqdl.EvaluateDataQuality.process(orders,
+        """Rules = [ RowCount > 0, Mean "o_totalprice" > 0 ]""",
+        repository = Some(repo),
+        saveResultsKey = Some(graft.repository.ResultKey(1L)))
       val outcome = graft.dqdl.EvaluateDataQuality.process(orders,
         """Rules = [
           |  RowCount > 100,
@@ -392,11 +398,16 @@ object SparkEntry {
           |  Mean "o_totalprice" between 1000 and 500000,
           |  Uniqueness "o_orderkey" = 1.0,
           |  ZerosCount "o_totalprice" = 0,
-          |  DistinctValuesCount "o_orderpriority" = 5
-          |]""".stripMargin)
+          |  DistinctValuesCount "o_orderpriority" = 5,
+          |  RowCount between min(last(1)) * 0.9 and max(last(1)) * 1.1,
+          |  Mean "o_totalprice" <= avg(last(1)) * 1.5
+          |],
+          |Analyzers = [ Mean "o_totalprice", Completeness "o_orderkey" ]""".stripMargin,
+        repository = Some(repo))
       val flags = outcome.collect().map(r => if (r.getString(1) == "Passed") 1.0 else 0.0)
       metricRow(s, Seq("rowcount", "iscomplete", "in_set", "between", "mean",
-        "uniqueness", "zeros", "distinct_count").zip(flags))
+        "uniqueness", "zeros", "distinct_count",
+        "dynamic_rowcount", "dynamic_mean").zip(flags))
     }),
 
     // brute-force ANN: exact, fully value-checked — DuckDB reproduces the
@@ -952,7 +963,9 @@ object SparkEntry {
         |       (SELECT CASE WHEN avg(o_totalprice) > 1000 AND avg(o_totalprice) < 500000 THEN 1 ELSE 0 END::DOUBLE FROM orders) AS mean,
         |       (SELECT CASE WHEN u.singles::DOUBLE / (SELECT count(*) FROM orders) = 1.0 THEN 1 ELSE 0 END::DOUBLE FROM u) AS uniqueness,
         |       (SELECT CASE WHEN sum(CASE WHEN o_totalprice = 0 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END::DOUBLE FROM orders) AS zeros,
-        |       (SELECT CASE WHEN count(DISTINCT o_orderpriority) = 5 THEN 1 ELSE 0 END::DOUBLE FROM orders) AS distinct_count""".stripMargin,
+        |       (SELECT CASE WHEN count(DISTINCT o_orderpriority) = 5 THEN 1 ELSE 0 END::DOUBLE FROM orders) AS distinct_count,
+        |       (SELECT CASE WHEN count(*) > 0.9 * count(*) AND count(*) < 1.1 * count(*) THEN 1 ELSE 0 END::DOUBLE FROM orders) AS dynamic_rowcount,
+        |       (SELECT CASE WHEN avg(o_totalprice) <= 1.5 * avg(o_totalprice) THEN 1 ELSE 0 END::DOUBLE FROM orders) AS dynamic_mean""".stripMargin,
 
     "q28_histogram_binned" ->
       """WITH b AS (SELECT least(greatest(floor(l_quantity / 10)::INT + 1, 1), 5) AS bin

@@ -39,6 +39,24 @@ object DqdlParser {
   /** = "StringValue" (e.g. ColumnDataType "c" = "Integer"). */
   case class EqualsStringCondition(value: String) extends DqCondition
 
+  /** Dynamic-threshold operand: a numeric expression over the rule metric's
+    * HISTORY (from a metrics repository), e.g. `avg(last(10)) * 0.9`.
+    * `last(k)` yields the most recent k historical values; avg/min/max/
+    * sum/std/count reduce a series to a scalar; * + / scale by literals.
+    */
+  sealed trait NumExpr
+  case class Lit(value: Double) extends NumExpr
+  case class Call(fn: String, args: Seq[NumExpr]) extends NumExpr
+  case class BinOp(op: String, left: NumExpr, right: NumExpr) extends NumExpr
+
+  /** Conditions whose thresholds are dynamic expressions; resolved against
+    * metric history to plain conditions before constraint evaluation
+    * (reference capability: dynamic rules in dqdl/translation/
+    * DQDLRuleTranslator.scala — `RowCount between min(last(10)) and ...`).
+    */
+  case class DynamicNumericCondition(op: String, expr: NumExpr) extends DqCondition
+  case class DynamicBetweenCondition(lower: NumExpr, upper: NumExpr) extends DqCondition
+
   sealed trait DqRule
   case class LeafRule(
       ruleType: String,
@@ -65,6 +83,15 @@ object DqdlParser {
       else vs.mkString("in [", ", ", "]")
     case MatchesCondition(re) => "matches \"" + re + "\""
     case EqualsStringCondition(v) => "= \"" + v + "\""
+    case DynamicNumericCondition(op, e) => s"$op ${renderExpr(e)}"
+    case DynamicBetweenCondition(lo, hi) =>
+      s"between ${renderExpr(lo)} and ${renderExpr(hi)}"
+  }
+
+  def renderExpr(e: NumExpr): String = e match {
+    case Lit(v) => v.toString
+    case Call(fn, args) => s"$fn(${args.map(renderExpr).mkString(", ")})"
+    case BinOp(op, l, r) => s"${renderExpr(l)} $op ${renderExpr(r)}"
   }
 
   def renderRule(r: DqRule): String = r match {
@@ -113,7 +140,7 @@ object DqdlParser {
         val two = if (i + 1 < n) input.substring(i, i + 2) else ""
         if (two == ">=" || two == "<=" || two == "!=" || two == "==") {
           tokens += Sym(if (two == "==") "=" else two); i += 2
-        } else if ("[](),=<>".indexOf(ch) >= 0) {
+        } else if ("[](),=<>*+/".indexOf(ch) >= 0) {
           tokens += Sym(ch.toString); i += 1
         } else {
           throw new DqdlParseException(s"Unexpected character '$ch' at position $i")
@@ -143,27 +170,56 @@ object DqdlParser {
     }
   }
 
-  /** Parses a full `Rules = [ ... ]` document (or a bare comma-separated
-    * rule list) into rules.
+  /** A parsed document: the `Rules = [...]` section plus the (optional)
+    * `Analyzers = [...]` section of unasserted metric declarations
+    * (reference capability: dqdl analyzers — compute-only entries sharing
+    * the rules' fused scan).
     */
-  def parse(ruleset: String): Seq[DqRule] = {
+  case class DqdlDocument(rules: Seq[DqRule], analyzers: Seq[LeafRule])
+
+  /** Parses a full `Rules = [ ... ]` document (or a bare comma-separated
+    * rule list) into rules. An `Analyzers` section, if present, is parsed
+    * and exposed via [[parseDocument]].
+    */
+  def parse(ruleset: String): Seq[DqRule] = parseDocument(ruleset).rules
+
+  /** Parses `Rules = [...]` and/or `Analyzers = [...]` sections (either
+    * order), or a bare comma-separated rule list.
+    */
+  def parseDocument(ruleset: String): DqdlDocument = {
     val cur = new Cursor(tokenize(ruleset))
+    var rules = Seq.empty[DqRule]
+    var analyzers = Seq.empty[LeafRule]
     cur.peek match {
-      case Some(Ident(k)) if k.equalsIgnoreCase("Rules") =>
-        cur.next(); cur.expectSym("="); cur.expectSym("[")
-        val rules = parseRuleList(cur)
-        cur.expectSym("]")
-        if (cur.peek.nonEmpty) {
-          throw new DqdlParseException(s"Trailing tokens after ']': ${cur.tokens}")
+      case Some(Ident(k)) if k.equalsIgnoreCase("Rules") || k.equalsIgnoreCase("Analyzers") =>
+        var more = true
+        while (more) {
+          cur.peek match {
+            case Some(Sym(",")) => cur.next() // optional separator between sections
+            case Some(Ident(s)) if s.equalsIgnoreCase("Rules") =>
+              cur.next(); cur.expectSym("="); cur.expectSym("[")
+              rules = rules ++ parseRuleList(cur)
+              cur.expectSym("]")
+            case Some(Ident(s)) if s.equalsIgnoreCase("Analyzers") =>
+              cur.next(); cur.expectSym("="); cur.expectSym("[")
+              analyzers = analyzers ++ parseRuleList(cur).map {
+                case l: LeafRule => l
+                case other => throw new DqdlParseException(
+                  s"Analyzers section entries must be simple declarations, got $other")
+              }
+              cur.expectSym("]")
+            case None => more = false
+            case other =>
+              throw new DqdlParseException(s"Trailing tokens after ']': ${cur.tokens}")
+          }
         }
-        rules
       case _ =>
-        val rules = parseRuleList(cur)
+        rules = parseRuleList(cur)
         if (cur.peek.nonEmpty) {
           throw new DqdlParseException(s"Trailing tokens: ${cur.tokens}")
         }
-        rules
     }
+    DqdlDocument(rules, analyzers)
   }
 
   private def parseRuleList(cur: Cursor): Seq[DqRule] = {
@@ -216,26 +272,56 @@ object DqdlParser {
     case other => throw new DqdlParseException(s"Expected a rule but found $other")
   }
 
+  /** Numeric operand: a literal, or a dynamic expression like
+    * `avg(last(10)) * 0.9`. Scaling binds right-to-left (sufficient for
+    * the literal-scale idiom).
+    */
+  private def parseOperand(cur: Cursor): NumExpr = {
+    val base = cur.next() match {
+      case Num(v) => Lit(v)
+      case Ident(fn) =>
+        cur.expectSym("(")
+        val args = scala.collection.mutable.ListBuffer.empty[NumExpr]
+        var done = false
+        while (!done) {
+          cur.peek match {
+            case Some(Sym(")")) => cur.next(); done = true
+            case Some(Sym(",")) => cur.next()
+            case _ => args += parseOperand(cur)
+          }
+        }
+        Call(fn.toLowerCase, args.toList)
+      case other => throw new DqdlParseException(s"Expected numeric operand, found $other")
+    }
+    cur.peek match {
+      case Some(Sym(op)) if op == "*" || op == "+" || op == "/" =>
+        cur.next()
+        BinOp(op, base, parseOperand(cur))
+      case _ => base
+    }
+  }
+
+  private def conditionFrom(op: String, e: NumExpr): DqCondition = e match {
+    case Lit(v) => NumericCondition(op, v)
+    case dyn => DynamicNumericCondition(op, dyn)
+  }
+
   private def parseCondition(cur: Cursor): Option[DqCondition] = cur.peek match {
     case Some(Sym(op)) if Seq(">", ">=", "<", "<=", "=", "!=").contains(op) =>
       cur.next()
-      cur.next() match {
-        case Num(v) => Some(NumericCondition(op, v))
-        case Str(v) if op == "=" => Some(EqualsStringCondition(v))
-        case other => throw new DqdlParseException(s"Expected number after '$op' but found $other")
+      cur.peek match {
+        case Some(Str(v)) if op == "=" => cur.next(); Some(EqualsStringCondition(v))
+        case _ => Some(conditionFrom(op, parseOperand(cur)))
       }
     case Some(Ident(k)) if k.equalsIgnoreCase("between") =>
       cur.next()
-      val lo = cur.next() match {
-        case Num(v) => v
-        case other => throw new DqdlParseException(s"Expected number in between, found $other")
-      }
+      val lo = parseOperand(cur)
       cur.expectIdent("and")
-      val hi = cur.next() match {
-        case Num(v) => v
-        case other => throw new DqdlParseException(s"Expected number in between, found $other")
+      val hi = parseOperand(cur)
+      (lo, hi) match {
+        case (Lit(l), Lit(h)) => Some(BetweenCondition(l, h))
+        case _ => Some(DynamicBetweenCondition(lo, hi))
       }
-      Some(BetweenCondition(lo, hi))
     case Some(Ident(k)) if k.equalsIgnoreCase("in") =>
       cur.next()
       cur.expectSym("[")
@@ -287,7 +373,9 @@ object DqdlParser {
     case _ => None
   }
 
-  /** Turns a numeric condition into a Double assertion. */
+  /** Turns a numeric condition into a Double assertion. Dynamic conditions
+    * must be resolved against metric history first (see [[resolveDynamic]]).
+    */
   def assertion(c: DqCondition): Double => Boolean = c match {
     case NumericCondition(">", v) => _ > v
     case NumericCondition(">=", v) => _ >= v
@@ -296,6 +384,64 @@ object DqdlParser {
     case NumericCondition("=", v) => _ == v
     case NumericCondition("!=", v) => _ != v
     case BetweenCondition(lo, hi) => d => d > lo && d < hi
+    case _: DynamicNumericCondition | _: DynamicBetweenCondition =>
+      throw new DqdlParseException(
+        s"Dynamic condition ${render(c)} must be resolved against metric history " +
+          "(pass a MetricsRepository)")
     case other => throw new DqdlParseException(s"Condition $other is not numeric")
+  }
+
+  /** Evaluates a dynamic operand against the metric's historical values
+    * (oldest first). `last(k)` selects the most recent k; avg/min/max/sum/
+    * std/count reduce a series; * + / combine scalars.
+    */
+  def evalExpr(e: NumExpr, history: Seq[Double]): Seq[Double] = e match {
+    case Lit(v) => Seq(v)
+    case Call("last", Seq(Lit(k))) =>
+      if (history.isEmpty) throw new DqdlParseException(
+        "Dynamic rule needs metric history but the repository returned none")
+      history.takeRight(math.max(k.toInt, 1))
+    case Call(fn, args) =>
+      val series = args.flatMap(evalExpr(_, history))
+      if (series.isEmpty) throw new DqdlParseException(s"$fn() over an empty series")
+      val v = fn match {
+        case "avg" => series.sum / series.length
+        case "min" => series.min
+        case "max" => series.max
+        case "sum" => series.sum
+        case "count" => series.length.toDouble
+        case "std" =>
+          val m = series.sum / series.length
+          math.sqrt(series.map(x => (x - m) * (x - m)).sum / series.length)
+        case other => throw new DqdlParseException(s"Unknown dynamic function '$other'")
+      }
+      Seq(v)
+    case BinOp(op, l, r) =>
+      val lv = scalar(l, history)
+      val rv = scalar(r, history)
+      Seq(op match {
+        case "*" => lv * rv
+        case "+" => lv + rv
+        case "/" => lv / rv
+        case other => throw new DqdlParseException(s"Unknown operator '$other'")
+      })
+  }
+
+  private def scalar(e: NumExpr, history: Seq[Double]): Double =
+    evalExpr(e, history) match {
+      case Seq(v) => v
+      case s => throw new DqdlParseException(
+        s"Expression ${renderExpr(e)} yields a series of ${s.length} values " +
+          "where a scalar is required (wrap last(k) in avg/min/max/...)")
+    }
+
+  /** Resolves dynamic thresholds to concrete numeric conditions using the
+    * metric's history; plain conditions pass through unchanged.
+    */
+  def resolveDynamic(c: DqCondition, history: => Seq[Double]): DqCondition = c match {
+    case DynamicNumericCondition(op, e) => NumericCondition(op, scalar(e, history))
+    case DynamicBetweenCondition(lo, hi) =>
+      BetweenCondition(scalar(lo, history), scalar(hi, history))
+    case other => other
   }
 }

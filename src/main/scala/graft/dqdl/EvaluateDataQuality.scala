@@ -49,20 +49,31 @@ object EvaluateDataQuality {
 
   /** Evaluates the ruleset; returns one row per rule:
     * (rule, outcome, failure_reason, evaluated_value).
+    *
+    * `repository` feeds dynamic thresholds (`avg(last(10)) * 0.9`-style)
+    * with per-analyzer metric history; `saveResultsKey` appends this run's
+    * metrics back to the repository afterwards, so consecutive runs build
+    * the history the dynamic rules consume.
     */
   def process(
       data: DataFrame,
       ruleset: String,
-      additionalSources: Map[String, DataFrame] = Map.empty): DataFrame = {
+      additionalSources: Map[String, DataFrame] = Map.empty,
+      repository: Option[graft.repository.MetricsRepository] = None,
+      saveResultsKey: Option[graft.repository.ResultKey] = None): DataFrame = {
     val spark = data.sparkSession
     data.createOrReplaceTempView("primary") // CustomSql rules refer to `primary`
     additionalSources.foreach { case (name, df) => df.createOrReplaceTempView(name) }
 
-    val compiled = parse(ruleset).map(r => compile(r, data, additionalSources))
+    val doc = DqdlParser.parseDocument(ruleset)
+    val compiled = doc.rules.map(r => compile(r, data, additionalSources, repository))
 
-    // one fused run over every constraint-backed analyzer in the ruleset
-    val analyzers = collectAnalyzers(compiled).distinct
+    // one fused run over every constraint-backed analyzer in the ruleset,
+    // including the compute-only Analyzers section (shared scan)
+    val analyzers =
+      (collectAnalyzers(compiled) ++ doc.analyzers.map(analyzerFor)).distinct
     val ctx = AnalysisRunner.run(data, analyzers)
+    for (repo <- repository; key <- saveResultsKey) repo.save(key, ctx)
 
     val outcomes = compiled.map(evaluate(_, ctx))
     val rows = outcomes.map { o =>
@@ -90,7 +101,7 @@ object EvaluateDataQuality {
     additionalSources.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     val rules = parse(ruleset)
     val checks = rules.zipWithIndex.flatMap { case (rule, i) =>
-      compile(rule, data, additionalSources) match {
+      compile(rule, data, additionalSources, None) match {
         case ConstraintRule(rendered, cs) =>
           Some(Check(CheckLevel.Error, rendered, cs))
         case _ => None // two-source / driver-side rules have no row-level form
@@ -135,10 +146,68 @@ object EvaluateDataQuality {
   }
 
   private def compile(rule: DqRule, data: DataFrame,
-      sources: Map[String, DataFrame]): CompiledRule = rule match {
+      sources: Map[String, DataFrame],
+      repository: Option[graft.repository.MetricsRepository]): CompiledRule = rule match {
     case CompositeRule(op, l, r) =>
-      CompositeCompiled(op, compile(l, data, sources), compile(r, data, sources))
-    case leaf: LeafRule => compileLeaf(leaf, data, sources)
+      CompositeCompiled(op,
+        compile(l, data, sources, repository), compile(r, data, sources, repository))
+    case leaf: LeafRule => compileLeaf(leaf, data, sources, repository)
+  }
+
+  /** Metrics for the compute-only `Analyzers = [...]` section: one row per
+    * successful metric (name, instance, value), computed in the same fused
+    * scan style as rules.
+    */
+  def analyzerMetrics(
+      data: DataFrame,
+      ruleset: String,
+      additionalSources: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val spark = data.sparkSession
+    data.createOrReplaceTempView("primary")
+    additionalSources.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    val doc = DqdlParser.parseDocument(ruleset)
+    val analyzers = doc.analyzers.map(analyzerFor).distinct
+    val ctx = AnalysisRunner.run(data, analyzers)
+    val rows = ctx.metricMap.toSeq.collect {
+      case (_, DoubleMetric(_, name, instance, Success(v), _)) => Row(name, instance, v)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("instance", StringType, nullable = false),
+        StructField("value", DoubleType, nullable = false))))
+  }
+
+  /** Analyzer for a compute-only declaration (no condition). */
+  private def analyzerFor(leaf: LeafRule): AnyAnalyzer = {
+    def param(i: Int): String =
+      if (leaf.parameters.length > i) leaf.parameters(i)
+      else throw new DqdlTranslationException(
+        s"Analyzer ${leaf.ruleType} requires at least ${i + 1} parameter(s)")
+    val where = leaf.whereClause
+    leaf.ruleType.toLowerCase match {
+      case "rowcount" => Size(where)
+      case "completeness" => Completeness(param(0), where)
+      case "uniqueness" => Uniqueness(leaf.parameters, where)
+      case "uniquevalueratio" => UniqueValueRatio(leaf.parameters, where)
+      case "distinctvaluescount" => CountDistinct(leaf.parameters)
+      case "entropy" => Entropy(param(0), where)
+      case "mean" => Mean(param(0), where)
+      case "sum" => Sum(param(0), where)
+      case "standarddeviation" => StandardDeviation(param(0), where)
+      case "variance" => Variance(param(0), where)
+      case "skewness" => Skewness(param(0), where)
+      case "kurtosis" => Kurtosis(param(0), where)
+      case "interquartilerange" => InterquartileRange(param(0), where)
+      case "zeroscount" => ZerosCount(param(0), where)
+      case "duplicaterowcount" => DuplicateRowCount(leaf.parameters, where)
+      case "columncorrelation" => Correlation(param(0), param(1), where)
+      case "columncount" => ColumnCount()
+      case "customsql" => CustomSql(param(0))
+      case other =>
+        throw new DqdlTranslationException(s"Unknown analyzer type '$other'")
+    }
   }
 
   private def source(sources: Map[String, DataFrame], name: String): DataFrame =
@@ -146,9 +215,28 @@ object EvaluateDataQuality {
       s"Rule references unknown data source '$name'; pass it in additionalSources"))
 
   private def compileLeaf(rule: LeafRule, data: DataFrame,
-      sources: Map[String, DataFrame]): CompiledRule = {
+      sources: Map[String, DataFrame],
+      repository: Option[graft.repository.MetricsRepository]): CompiledRule = {
     val rendered = rule.render
     val where = rule.whereClause
+
+    // dynamic thresholds resolve against THIS analyzer's metric history
+    // (oldest first) from the repository, at compile time — before the
+    // fused run, exactly like the reference's dynamic-rule translation
+    def resolvedCondition(a: AnyAnalyzer): Option[DqCondition] = rule.condition.map {
+      case d @ (_: DynamicNumericCondition | _: DynamicBetweenCondition) =>
+        val repo = repository.getOrElse(throw new DqdlTranslationException(
+          s"Rule '$rendered' uses a dynamic threshold; pass a MetricsRepository"))
+        DqdlParser.resolveDynamic(d,
+          repo.load().forAnalyzers(Seq(a)).timeSeriesOf(a).map(_._2))
+      case c => c
+    }
+
+    def numericFor(a: AnyAnalyzer): Double => Boolean = resolvedCondition(a) match {
+      case Some(c) => DqdlParser.assertion(c)
+      case None => throw new DqdlTranslationException(
+        s"Rule ${rule.ruleType} requires a numeric condition")
+    }
 
     def numeric: Double => Boolean = rule.condition match {
       case Some(c) => DqdlParser.assertion(c)
@@ -166,6 +254,9 @@ object EvaluateDataQuality {
     def constraint(name: String, analyzer: AnyAnalyzer,
         asrt: Double => Boolean): CompiledRule =
       ConstraintRule(rendered, Seq(Constraint(name, analyzer, asrt)))
+    // numeric-condition rule with dynamic-threshold support
+    def constraintN(name: String, analyzer: AnyAnalyzer): CompiledRule =
+      constraint(name, analyzer, numericFor(analyzer))
     def immediate(f: => (Boolean, Option[Double])): CompiledRule =
       ImmediateRule(rendered, () => Try(f) match {
         case Success((passed, value)) =>
@@ -182,41 +273,41 @@ object EvaluateDataQuality {
 
     rule.ruleType.toLowerCase match {
       // -- single-source, constraint-backed ---------------------------------
-      case "rowcount" => constraint("RowCount", Size(where), numeric)
+      case "rowcount" => constraintN("RowCount", Size(where))
       case "columncount" =>
         rejectWhere()
-        constraint("ColumnCount", ColumnCount(), numeric)
-      case "completeness" => constraint("Completeness", Completeness(param(0), where), numeric)
+        constraintN("ColumnCount", ColumnCount())
+      case "completeness" => constraintN("Completeness", Completeness(param(0), where))
       case "iscomplete" => constraint("IsComplete", Completeness(param(0), where), _ == 1.0)
-      case "uniqueness" => constraint("Uniqueness",
-        Uniqueness(rule.parameters, where), numeric)
+      case "uniqueness" => constraintN("Uniqueness",
+        Uniqueness(rule.parameters, where))
       case "isunique" => constraint("IsUnique", Uniqueness(rule.parameters, where), _ == 1.0)
-      case "uniquevalueratio" => constraint("UniqueValueRatio",
-        UniqueValueRatio(rule.parameters, where), numeric)
+      case "uniquevalueratio" => constraintN("UniqueValueRatio",
+        UniqueValueRatio(rule.parameters, where))
       case "distinctvaluescount" =>
         // CountDistinct has no WHERE surface (same as the reference);
         // silently ignoring a parsed filter would report wrong outcomes
         if (where.isDefined) throw new DqdlTranslationException(
           "DistinctValuesCount does not support a where clause")
-        constraint("DistinctValuesCount", CountDistinct(rule.parameters), numeric)
-      case "entropy" => constraint("Entropy", Entropy(param(0), where), numeric)
-      case "mean" => constraint("Mean", Mean(param(0), where), numeric)
-      case "sum" => constraint("Sum", Sum(param(0), where), numeric)
-      case "standarddeviation" => constraint("StandardDeviation",
-        StandardDeviation(param(0), where), numeric)
-      case "variance" => constraint("Variance", Variance(param(0), where), numeric)
-      case "skewness" => constraint("Skewness", Skewness(param(0), where), numeric)
-      case "kurtosis" => constraint("Kurtosis", Kurtosis(param(0), where), numeric)
-      case "interquartilerange" => constraint("InterquartileRange",
-        InterquartileRange(param(0), where), numeric)
-      case "zeroscount" => constraint("ZerosCount", ZerosCount(param(0), where), numeric)
-      case "duplicaterowcount" => constraint("DuplicateRowCount",
-        DuplicateRowCount(rule.parameters, where), numeric)
-      case "columncorrelation" => constraint("ColumnCorrelation",
-        Correlation(param(0), param(1), where), numeric)
+        constraintN("DistinctValuesCount", CountDistinct(rule.parameters))
+      case "entropy" => constraintN("Entropy", Entropy(param(0), where))
+      case "mean" => constraintN("Mean", Mean(param(0), where))
+      case "sum" => constraintN("Sum", Sum(param(0), where))
+      case "standarddeviation" => constraintN("StandardDeviation",
+        StandardDeviation(param(0), where))
+      case "variance" => constraintN("Variance", Variance(param(0), where))
+      case "skewness" => constraintN("Skewness", Skewness(param(0), where))
+      case "kurtosis" => constraintN("Kurtosis", Kurtosis(param(0), where))
+      case "interquartilerange" => constraintN("InterquartileRange",
+        InterquartileRange(param(0), where))
+      case "zeroscount" => constraintN("ZerosCount", ZerosCount(param(0), where))
+      case "duplicaterowcount" => constraintN("DuplicateRowCount",
+        DuplicateRowCount(rule.parameters, where))
+      case "columncorrelation" => constraintN("ColumnCorrelation",
+        Correlation(param(0), param(1), where))
       case "customsql" =>
         rejectWhere() // filters belong inside the SQL itself
-        constraint("CustomSql", CustomSql(param(0)), numeric)
+        constraintN("CustomSql", CustomSql(param(0)))
       case "columnexists" =>
         rejectWhere()
         constraint("ColumnExists", ColumnExists(param(0)), _ == 1.0)

@@ -48,6 +48,35 @@ class DqdlSpec extends AnyWordSpec with Matchers with SparkSpec {
       rules(9) shouldBe a[CompositeRule]
     }
 
+    "parse dynamic thresholds and an Analyzers section" in {
+      val doc = DqdlParser.parseDocument(
+        """Rules = [
+          |  RowCount between min(last(3)) * 0.9 and max(last(3)) * 1.1,
+          |  Mean "o_total" > avg(last(5))
+          |],
+          |Analyzers = [
+          |  Completeness "o_status",
+          |  Mean "o_total",
+          |  RowCount
+          |]""".stripMargin)
+      doc.rules.length shouldBe 2
+      doc.analyzers.map(_.ruleType) shouldBe Seq("Completeness", "Mean", "RowCount")
+      doc.rules.head.asInstanceOf[LeafRule].condition.get shouldBe a[DynamicBetweenCondition]
+      doc.rules(1).asInstanceOf[LeafRule].condition.get shouldBe a[DynamicNumericCondition]
+    }
+
+    "evaluate dynamic expressions against metric history" in {
+      val hist = Seq(90.0, 100.0, 110.0, 120.0)
+      DqdlParser.evalExpr(Call("min", Seq(Call("last", Seq(Lit(3))))), hist) shouldBe Seq(100.0)
+      DqdlParser.evalExpr(
+        BinOp("*", Call("avg", Seq(Call("last", Seq(Lit(2))))), Lit(0.5)), hist) shouldBe Seq(57.5)
+      DqdlParser.resolveDynamic(
+        DynamicBetweenCondition(
+          BinOp("*", Call("min", Seq(Call("last", Seq(Lit(4))))), Lit(0.9)),
+          BinOp("*", Call("max", Seq(Call("last", Seq(Lit(4))))), Lit(1.1))),
+        hist) shouldBe BetweenCondition(81.0, 132.0)
+    }
+
     "reject malformed input with a useful error" in {
       a[DqdlParser.DqdlParseException] should be thrownBy
         DqdlParser.parse("""Rules = [ RowCount > ]""")
@@ -116,6 +145,43 @@ class DqdlSpec extends AnyWordSpec with Matchers with SparkSpec {
   }
 
   "EvaluateDataQuality.processRows" should {
+    "resolve dynamic thresholds from repository history and save runs back" in {
+      import graft.repository.{InMemoryMetricsRepository, ResultKey}
+      val repo = new InMemoryMetricsRepository
+      // seed two historical runs via process itself (saveResultsKey)
+      Seq(1L, 2L).foreach { t =>
+        EvaluateDataQuality.process(orders,
+          """Rules = [ RowCount > 0, Mean "o_total" > 0 ]""",
+          repository = Some(repo), saveResultsKey = Some(ResultKey(t)))
+      }
+      // history now holds RowCount=6 twice; 6 is within [0.9*6, 1.1*6]
+      val out = EvaluateDataQuality.process(orders,
+        """Rules = [
+          |  RowCount between min(last(2)) * 0.9 and max(last(2)) * 1.1,
+          |  Mean "o_total" > avg(last(2)) * 2.0
+          |]""".stripMargin,
+        repository = Some(repo)).collect()
+      out(0).getString(1) shouldBe "Passed"
+      // mean history equals the current mean, so "mean > 2x history" fails
+      out(1).getString(1) shouldBe "Failed"
+    }
+
+    "fail a dynamic rule when no repository is supplied" in {
+      an[IllegalArgumentException] should be thrownBy
+        EvaluateDataQuality.process(orders,
+          """Rules = [ RowCount > avg(last(3)) ]""")
+    }
+
+    "compute the Analyzers section as metrics sharing the rules' scan" in {
+      val metrics = EvaluateDataQuality.analyzerMetrics(orders,
+        """Rules = [ RowCount > 0 ],
+          |Analyzers = [ Completeness "o_status", Mean "o_total", RowCount ]""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      metrics(("Size", "*")) shouldBe 6.0
+      metrics(("Completeness", "o_status")) shouldBe 1.0
+      metrics(("Mean", "o_total")) shouldBe ((100.0 + 250.0 + 75.5 + 310.0 + 42.0 + 99.0) / 6)
+    }
+
     "emit per-row outcome columns for row-level rules" in {
       val out = EvaluateDataQuality.processRows(orders,
         """Rules = [
