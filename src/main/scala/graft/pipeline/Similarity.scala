@@ -33,6 +33,56 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     nanvl(dot(a, b) / (norm(a) * norm(b)), lit(0.0))
 
+  /** Exact-cosine verify over a joined pair frame
+    * (id_a, id_b, vec_a, vec_b) as ONE tight per-partition pass. The
+    * zip_with/aggregate expression form runs interpreted (HOFs sit outside
+    * whole-stage codegen) and dominates wall time at millions of candidate
+    * pairs; this is the same double-precision math at memory bandwidth.
+    * Keeps only pairs with cosine >= threshold.
+    */
+  private[pipeline] def cosineVerify(pairs: DataFrame, threshold: Double): DataFrame = {
+    val schema = pairs.schema
+    val outSchema = StructType(Seq(
+      schema("id_a"), schema("id_b"),
+      StructField("similarity", DoubleType, nullable = false)))
+    val (ia, ib) = (schema.fieldIndex("id_a"), schema.fieldIndex("id_b"))
+    val (va, vb) = (schema.fieldIndex("vec_a"), schema.fieldIndex("vec_b"))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+    pairs.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val a = r.getSeq[Float](va)
+        val b = r.getSeq[Float](vb)
+        var dotp = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dotp += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        val sim = if (denom == 0.0) 0.0 else dotp / denom
+        if (sim >= threshold) Some(org.apache.spark.sql.Row(r.get(ia), r.get(ib), sim))
+        else None
+      }
+    }
+  }
+
+  /** EXACT all-pairs cosine >= threshold by brute force — the small-scale
+    * ground truth for LSH recall audits. O(n²) by construction; bound the
+    * input (the recall audits use a fixed id-subset).
+    */
+  def cosinePairsBrute(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    cosineVerify(a.crossJoin(b).filter(col("id_a") < col("id_b")), threshold)
+  }
+
   /** Brute-force cosine top-k: every query row against every corpus row.
     * Use when `queries` is small (it is broadcast). Returns
     * (queryId, neighborId, similarity, rank).
@@ -118,14 +168,15 @@ object Similarity {
       col("graft_id").as("id_a"), col("graft_vec").as("vec_a"))
     val b = capped.select(col("graft_table"), col("graft_bucket"),
       col("graft_id").as("id_b"), col("graft_vec").as("vec_b"))
-    val pairs = a.join(b, Seq("graft_table", "graft_bucket"))
+    val candidates = a.join(b, Seq("graft_table", "graft_bucket"))
       .filter(col("id_a") < col("id_b"))
-      // dedup across tables BEFORE the exact verify — each surviving pair
-      // pays the cosine exactly once regardless of numTables
+      .select("id_a", "id_b", "vec_a", "vec_b")
+    // verify BEFORE deduplicating across tables: the tight-loop cosine is
+    // cheaper per candidate than shuffling vector payloads through a
+    // dropDuplicates exchange, and the join pipelines straight into it —
+    // the only shuffle of pair rows happens on the (small) verified set
+    val pairs = cosineVerify(candidates, threshold)
       .dropDuplicates("id_a", "id_b")
-      .withColumn("similarity", cosine(col("vec_a"), col("vec_b")))
-      .filter(col("similarity") >= threshold)
-      .select("id_a", "id_b", "similarity")
     CacheLifecycle.releaseOnConsume(pairs, Seq(capped))
   }
 

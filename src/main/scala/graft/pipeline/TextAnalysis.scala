@@ -116,6 +116,73 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  /** Language-ID counts over a whole table: (lang_pred, cnt) with EXACTLY
+    * the [[languageIdFromTokens]] semantics (CJK override, marker argmax
+    * with alphabetical tie-break, "und" fallback), computed as one tight
+    * per-partition pass with per-partition partial counts — the five
+    * interpreted HOF `filter` passes per row made the expression form the
+    * slowest per-byte query in the suite. Output is at most 6 rows per
+    * partition, so the final aggregation is negligible.
+    */
+  def languageIdCounts(df: DataFrame, textCol: String): DataFrame = {
+    val langs = stopwords.keys.toSeq.sorted // tie-break: earlier alphabetical wins
+    val nLangs = langs.length
+    // token -> indexes of every language claiming it (markers overlap:
+    // "la" is both es and fr, "que" both es and fr, ...)
+    val markerLangs: Map[String, Array[Int]] = langs.zipWithIndex
+      .flatMap { case (l, i) => stopwords(l).map(_ -> i) }
+      .groupBy(_._1).map { case (t, ls) => t -> ls.map(_._2).toArray }
+    val outSchema = StructType(Seq(
+      StructField("lang_pred", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+    df.select(col(textCol)).mapPartitions { rows =>
+      val partial = new java.util.HashMap[String, Long]()
+      val counts = new Array[Int](nLangs)
+      rows.foreach { row =>
+        val text = if (row.isNullAt(0)) null else row.getString(0)
+        var pred = "und"
+        if (text != null) {
+          // CJK override first, identical to the expression form
+          var cjk = false
+          var ci = 0
+          while (!cjk && ci < text.length) {
+            val c = text.charAt(ci)
+            if (c >= 0x4E00 && c <= 0x9FFF) cjk = true
+            ci += 1
+          }
+          if (cjk) pred = "zh"
+          else {
+            java.util.Arrays.fill(counts, 0)
+            val toks = text.toLowerCase.split("\\s+")
+            var ti = 0
+            while (ti < toks.length) {
+              if (toks(ti).nonEmpty) {
+                val ls = markerLangs.getOrElse(toks(ti), null)
+                if (ls != null) {
+                  var li = 0
+                  while (li < ls.length) { counts(ls(li)) += 1; li += 1 }
+                }
+              }
+              ti += 1
+            }
+            var best = 0
+            var bi = 1
+            while (bi < nLangs) {
+              if (counts(bi) > counts(best)) best = bi // ties keep earlier lang
+              bi += 1
+            }
+            if (counts(best) > 0) pred = langs(best)
+          }
+        }
+        partial.merge(pred, 1L, (a, b) => a + b)
+      }
+      scala.jdk.CollectionConverters.MapHasAsScala(partial).asScala.iterator
+        .map { case (l, c) => org.apache.spark.sql.Row(l, c) }
+    }.groupBy("lang_pred").agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** 64-bit document fingerprint over normalized text: whitespace-collapsed,
     * lowercased, xxhash64 — deterministic and distributed.
     */

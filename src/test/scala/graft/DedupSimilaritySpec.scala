@@ -270,6 +270,35 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "languageIdCounts" should {
+    "agree exactly with the expression-form languageId grouping" in {
+      val s = spark
+      import s.implicits._
+      val texts = Seq(
+        "the quick brown fox is on the hill and it is fine",
+        "el perro y la casa en un lugar de los campos",
+        "der hund und die katze ist mit einem ball von zu hause",
+        "le chat est dans la maison pour les amis et des autres",
+        "这是一个中文文档 with some latin",
+        "xyzzy plugh qwerty",
+        "",
+        "la que", // es/fr marker tie -> alphabetical winner (es)
+        null
+      ).toDF("text")
+      val fast = graft.pipeline.TextAnalysis.languageIdCounts(texts, "text")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val slow = texts
+        .select(col("text"),
+          graft.pipeline.TextAnalysis.normalizedTokens(col("text")).as("toks"))
+        .groupBy(graft.pipeline.TextAnalysis
+          .languageIdFromTokens(col("toks"), col("text")).as("p"))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      fast shouldBe slow
+      fast("es") shouldBe 2L // includes the tie-break doc
+      fast("zh") shouldBe 1L
+    }
+  }
+
   "TextAnalysis primitives" should {
     "tokenize, count and score deterministically" in {
       val s = spark
