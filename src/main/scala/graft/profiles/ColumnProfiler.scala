@@ -45,6 +45,21 @@ case class NumericColumnProfile(
     stdDev: Option[Double],
     approxPercentiles: Option[Seq[Double]]) extends ColumnProfile
 
+/** String-typed (non-numeric-inferred) columns additionally carry observed
+  * value-length bounds (reference capability: profiles/StringColumnProfile,
+  * consumed by the HasMinLength/HasMaxLength suggestion rules).
+  */
+case class StringColumnProfile(
+    column: String,
+    completeness: Double,
+    approximateNumDistinctValues: Long,
+    dataType: String,
+    isDataTypeInferred: Boolean,
+    typeCounts: Map[String, Long],
+    histogram: Option[Distribution],
+    minLength: Option[Double],
+    maxLength: Option[Double]) extends ColumnProfile
+
 case class ColumnProfiles(profiles: Map[String, ColumnProfile], numRecords: Long)
 
 /** Three-pass profiler, each pass one fused Spark job
@@ -138,16 +153,22 @@ object ColumnProfiler {
     val pass2Data = inferredNumeric.foldLeft(data) { (d, c) =>
       d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(DoubleType))
     }
-    val ctx2 =
-      if (numericColumns.isEmpty) ctx1
-      else numericColumns.grouped(math.max(maxColumnsPerPass, 1))
-        .map { chunk =>
-          AnalysisRunner.run(pass2Data, chunk.flatMap { c =>
-            Seq[AnyAnalyzer](Minimum(c), Maximum(c), Mean(c), Sum(c), StandardDeviation(c),
-              ApproxQuantiles(c, Seq(0.25, 0.5, 0.75)))
-          })
+    // string (non-numeric) columns ride the same pass with length bounds
+    val stringColumns = columns.filter(c =>
+      declaredType(c).contains(StringType) && !numericColumns.contains(c))
+    val pass2Chunks =
+      numericColumns.grouped(math.max(maxColumnsPerPass, 1)).map { chunk =>
+        chunk.flatMap { c =>
+          Seq[AnyAnalyzer](Minimum(c), Maximum(c), Mean(c), Sum(c), StandardDeviation(c),
+            ApproxQuantiles(c, Seq(0.25, 0.5, 0.75)))
         }
-        .reduce((a, b) => graft.runners.AnalyzerContext(a.metricMap ++ b.metricMap))
+      } ++ stringColumns.grouped(math.max(maxColumnsPerPass, 1)).map { chunk =>
+        chunk.flatMap(c => Seq[AnyAnalyzer](graft.operators.MinLength(c), graft.operators.MaxLength(c)))
+      }
+    val ctx2 = pass2Chunks
+      .map(analyzers => AnalysisRunner.run(pass2Data, analyzers))
+      .foldLeft(graft.runners.AnalyzerContext(Map.empty))(
+        (a, b) => graft.runners.AnalyzerContext(a.metricMap ++ b.metricMap))
 
     def num(a: AnyAnalyzer): Option[Double] =
       ctx2.metric(a).flatMap(_.value.toOption).collect { case d: Double => d }
@@ -181,8 +202,9 @@ object ColumnProfiler {
             sum = num(Sum(c)), stdDev = num(StandardDeviation(c)),
             approxPercentiles = quantiles)
         } else if (declaredType(c).contains(StringType)) {
-          StandardColumnProfile(c, base._1, base._2, inferredType(c),
-            isDataTypeInferred = true, base._3, base._4)
+          StringColumnProfile(c, base._1, base._2, inferredType(c),
+            isDataTypeInferred = true, base._3, base._4,
+            minLength = num(graft.operators.MinLength(c)), maxLength = num(graft.operators.MaxLength(c)))
         } else {
           StandardColumnProfile(c, base._1, base._2,
             declaredType(c).map(_.simpleString).getOrElse("unknown"),

@@ -261,6 +261,44 @@ case class HasStandardDeviationRule() extends ConstraintRule {
   }
 }
 
+/** String columns keep their observed minimum value length
+  * (reference capability: suggestions/rules/HasMinLength.scala). */
+case class HasMinLengthRule() extends ConstraintRule {
+  override def shouldBeApplied(profile: ColumnProfile, numRecords: Long): Boolean =
+    profile match {
+      case s: graft.profiles.StringColumnProfile => s.minLength.isDefined
+      case _ => false
+    }
+
+  override def candidate(profile: ColumnProfile, numRecords: Long): ConstraintSuggestion = {
+    val m = profile.asInstanceOf[graft.profiles.StringColumnProfile].minLength.get
+    ConstraintSuggestion("MinLengthConstraint", profile.column,
+      s"'${profile.column}' has value length >= ${m.toLong}",
+      s""".hasMinLength("${profile.column}", _ >= $m)""",
+      Some(Constraint("MinLengthConstraint",
+        graft.operators.MinLength(profile.column), _ >= m)))
+  }
+}
+
+/** String columns keep their observed maximum value length
+  * (reference capability: suggestions/rules/HasMaxLength.scala). */
+case class HasMaxLengthRule() extends ConstraintRule {
+  override def shouldBeApplied(profile: ColumnProfile, numRecords: Long): Boolean =
+    profile match {
+      case s: graft.profiles.StringColumnProfile => s.maxLength.isDefined
+      case _ => false
+    }
+
+  override def candidate(profile: ColumnProfile, numRecords: Long): ConstraintSuggestion = {
+    val m = profile.asInstanceOf[graft.profiles.StringColumnProfile].maxLength.get
+    ConstraintSuggestion("MaxLengthConstraint", profile.column,
+      s"'${profile.column}' has value length <= ${m.toLong}",
+      s""".hasMaxLength("${profile.column}", _ <= $m)""",
+      Some(Constraint("MaxLengthConstraint",
+        graft.operators.MaxLength(profile.column), _ <= m)))
+  }
+}
+
 /** Rule sets mirroring the reference groupings (reference capability:
   * suggestions/ConstraintSuggestionRunner.scala:31-45).
   */
@@ -272,7 +310,8 @@ object Rules {
   val NUMERICAL: Seq[ConstraintRule] = Seq(NonNegativeNumbersRule())
   val DEFAULT: Seq[ConstraintRule] = COMMON ++ STRING ++ NUMERICAL
   val EXTENDED: Seq[ConstraintRule] = DEFAULT ++ Seq(
-    HasMinRule(), HasMaxRule(), HasMeanRule(), HasStandardDeviationRule())
+    HasMinRule(), HasMaxRule(), HasMeanRule(), HasStandardDeviationRule(),
+    HasMinLengthRule(), HasMaxLengthRule())
 }
 
 /** Profile-then-suggest entry point

@@ -30,6 +30,11 @@ class ProfilerKllSpec extends AnyWordSpec with Matchers with SparkSpec {
       val priceProfile = profiles.profiles("o_totalprice").asInstanceOf[NumericColumnProfile]
       priceProfile.mean.isDefined shouldBe true
       priceProfile.approxPercentiles.get should have size 3
+      // string columns carry observed length bounds for the length rules
+      val statusLengths = profiles.profiles("o_orderstatus")
+        .asInstanceOf[graft.profiles.StringColumnProfile]
+      statusLengths.minLength shouldBe Some(1.0)
+      statusLengths.maxLength shouldBe Some(1.0)
     }
   }
 
@@ -71,6 +76,9 @@ class ProfilerKllSpec extends AnyWordSpec with Matchers with SparkSpec {
       val priceRules = result.suggestions("o_totalprice").map(_.constraintName)
       priceRules should contain allOf ("MinimumConstraint", "MaximumConstraint",
         "MeanConstraint", "StandardDeviationConstraint")
+      // string columns get observed value-length bounds
+      val statusRules = result.suggestions("o_orderstatus").map(_.constraintName)
+      statusRules should contain allOf ("MinLengthConstraint", "MaxLengthConstraint")
 
       result.testEvaluation should not be empty
       // stable properties must hold on the held-out quarter
