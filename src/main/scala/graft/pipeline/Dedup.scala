@@ -268,6 +268,40 @@ object Dedup {
     (pairs, Seq(capped))
   }
 
+  /** Exact-Jaccard verify over a joined candidate frame
+    * (id_a, id_b, sh_a, sh_b of 64-bit shingle hashes) as one tight
+    * per-partition pass — the array_intersect/array_union expression form
+    * allocates per-pair array copies and runs outside whole-stage codegen,
+    * and was the post-join hot spot. Keeps pairs with jaccard >= threshold.
+    */
+  private def jaccardVerify(pairs: DataFrame, threshold: Double): DataFrame = {
+    val schema = pairs.schema
+    val outSchema = StructType(Seq(
+      schema("id_a"), schema("id_b"),
+      StructField("jaccard", DoubleType, nullable = false)))
+    val (ia, ib) = (schema.fieldIndex("id_a"), schema.fieldIndex("id_b"))
+    val (sa, sb) = (schema.fieldIndex("sh_a"), schema.fieldIndex("sh_b"))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+    pairs.mapPartitions { rows =>
+      val set = new java.util.HashSet[Long]()
+      rows.flatMap { r =>
+        val a = r.getSeq[Long](sa)
+        val b = r.getSeq[Long](sb)
+        set.clear()
+        var i = 0
+        while (i < a.length) { set.add(a(i)); i += 1 }
+        var inter = 0
+        var j = 0
+        while (j < b.length) { if (set.contains(b(j))) inter += 1; j += 1 }
+        val union = math.max(a.length + b.length - inter, 1)
+        val jac = inter.toDouble / union
+        if (jac >= threshold) Some(org.apache.spark.sql.Row(r.get(ia), r.get(ib), jac))
+        else None
+      }
+    }
+  }
+
   /** Near-duplicate pairs with an exact n-gram Jaccard verification pass on
     * the LSH candidates only.
     */
@@ -289,16 +323,13 @@ object Dedup {
       sf.select("graft_id", "graft_sig"), numHashes, bands, maxBucketSize = 1000)
     val docs = sf.select(col("graft_id").as("graft_doc_id"),
       col("graft_hs").as("graft_shingles"))
-    val verified = candidates
+    val joined = candidates
       .join(docs.withColumnRenamed("graft_doc_id", "id_a")
         .withColumnRenamed("graft_shingles", "sh_a"), Seq("id_a"))
       .join(docs.withColumnRenamed("graft_doc_id", "id_b")
         .withColumnRenamed("graft_shingles", "sh_b"), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast(DoubleType))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "sh_a", "sh_b")
+    val verified = jaccardVerify(joined, threshold)
     CacheLifecycle.releaseOnConsume(verified, sf +: candCaches)
   }
 
