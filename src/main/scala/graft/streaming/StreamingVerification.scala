@@ -125,6 +125,48 @@ object StreamingOps {
       .agg(aggregations.head, aggregations.tail: _*)
   }
 
+  /** Streaming exact deduplication on `keys` with BOUNDED state: with an
+    * event-time watermark, Spark's stateful dedup expires seen keys once
+    * they fall behind the watermark, so state size tracks the watermark
+    * window instead of the whole stream — the only shape that survives an
+    * unbounded 100-TB-scale ingest. On a batch DataFrame the same call
+    * degrades to a plain dropDuplicates (identical semantics, no state).
+    *
+    * `withinWatermark = true` uses dropDuplicatesWithinWatermark (dedup
+    * among events whose times are within the delay of each other — the
+    * at-least-once-ingest idiom); `false` uses event-time-keyed
+    * dropDuplicates (a late replay past the watermark may re-emit).
+    */
+  def dedupStream(
+      data: DataFrame,
+      timestampColumn: String,
+      watermarkDelay: String,
+      keys: Seq[String],
+      withinWatermark: Boolean = true): DataFrame = {
+    if (!data.isStreaming) data.dropDuplicates(keys)
+    else {
+      val wm = data.withWatermark(timestampColumn, watermarkDelay)
+      if (withinWatermark) wm.dropDuplicatesWithinWatermark(keys)
+      else wm.dropDuplicates(keys :+ timestampColumn)
+    }
+  }
+
+  /** Streaming near-duplicate suppression for text: exact dedup on the
+    * 64-bit normalized-text fingerprint (whitespace/case-insensitive),
+    * bounded by the watermark like [[dedupStream]]. Map-side fingerprint +
+    * stateful dedup — no shuffle beyond the dedup state exchange.
+    */
+  def dedupStreamByFingerprint(
+      data: DataFrame,
+      timestampColumn: String,
+      watermarkDelay: String,
+      textColumn: String): DataFrame = {
+    val withFp = data.withColumn("graft_fp",
+      graft.pipeline.TextAnalysis.fingerprint(col(textColumn)))
+    dedupStream(withFp, timestampColumn, watermarkDelay, Seq("graft_fp"))
+      .drop("graft_fp")
+  }
+
   /** Data freshness: fraction of rows within `maxAgeSeconds` of `nowEpoch`
     * (batch analog of the reference's DataFreshness DQDL rule,
     * dqdl/execution/executors/DataFreshnessExecutor.scala:27).

@@ -52,6 +52,61 @@ class StreamingIntegrationSpec extends AnyWordSpec with Matchers with SparkSpec 
     }
   }
 
+  "streaming dedup with bounded state" should {
+    "drop duplicate keys across micro-batches and keep state watermark-bounded" in {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+      def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$sec%02d")
+      val deduped = StreamingOps.dedupStream(
+        input.toDF().toDF("doc_id", "text", "event_time"),
+        "event_time", "10 seconds", Seq("doc_id"))
+      val query = deduped.writeStream
+        .format("memory").queryName("graft_dedup_out")
+        .outputMode("append").start()
+      try {
+        input.addData((1L, "a", ts(1)), (2L, "b", ts(2)), (1L, "a-dup", ts(3)))
+        query.processAllAvailable()
+        // cross-batch duplicate of key 2 within the watermark window
+        input.addData((2L, "b-dup", ts(4)), (3L, "c", ts(5)))
+        query.processAllAvailable()
+      } finally query.stop()
+      val out = s.table("graft_dedup_out").collect()
+      out.map(_.getLong(0)).sorted shouldBe Seq(1L, 2L, 3L)
+
+      // batch degradation: same call, plain dropDuplicates
+      val batchDf = Seq((1L, "x", ts(1)), (1L, "y", ts(2))).toDF("doc_id", "text", "event_time")
+      StreamingOps.dedupStream(batchDf, "event_time", "10 seconds", Seq("doc_id"))
+        .count() shouldBe 1L
+    }
+
+    "suppress near-duplicate text by fingerprint across batches" in {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+      def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$sec%02d")
+      val deduped = StreamingOps.dedupStreamByFingerprint(
+        input.toDF().toDF("doc_id", "text", "event_time"),
+        "event_time", "10 seconds", "text")
+      val query = deduped.writeStream
+        .format("memory").queryName("graft_fp_dedup_out")
+        .outputMode("append").start()
+      try {
+        input.addData((1L, "Hello  World", ts(1)), (2L, "other doc", ts(2)))
+        query.processAllAvailable()
+        // same fingerprint (case/whitespace-insensitive), different id
+        input.addData((3L, "hello world", ts(3)))
+        query.processAllAvailable()
+      } finally query.stop()
+      val out = s.table("graft_fp_dedup_out").collect()
+      out.map(_.getLong(0)).sorted shouldBe Seq(1L, 2L)
+    }
+  }
+
   "windowed aggregation with watermark on a real stream" should {
     "produce closed windows downstream" in {
       val s = spark
