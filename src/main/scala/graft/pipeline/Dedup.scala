@@ -26,9 +26,13 @@ object Dedup {
   // -------------------------------------------------------------------------
 
   /** Keep exactly one row per distinct key, deterministically (smallest
-    * `tieBreaker`). One hash-aggregation shuffle on the key columns —
-    * min_by keeps the winning row without the per-key SORT a row_number
-    * window would pay (hash agg with map-side partials, spill-aware).
+    * `tieBreaker`). ONE exchange on the key columns with map-side PARTIAL
+    * aggregation: duplicates collapse before the shuffle, so shuffle volume
+    * tracks distinct keys, not input rows — the win over a row_number
+    * window, which ships every row. (Physically Spark picks SortAggregate
+    * here — struct-typed min_by buffers are not hash-aggregable — but the
+    * per-partition sort feeds the combiner; there is no global sort and no
+    * Window. Asserted in PlanAuditSpec.)
     */
   def exact(df: DataFrame, keys: Seq[String], tieBreaker: String): DataFrame = {
     val allCols = df.columns.toSeq

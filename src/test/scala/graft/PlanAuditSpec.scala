@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.wordspec.AnyWordSpec
+
+import graft.core._
+import graft.operators._
+import graft.runners.AnalysisRunner
+
+/** Asserts PLAN SHAPE, not just results: column pruning reaching the
+  * parquet scan, broadcastable joins broadcasting, no accidental
+  * sorts/windows in hash-aggregation paths. At 100 TB a scan that reads
+  * 11 columns for a 2-column aggregation, or a sort-merge join against a
+  * KB-sized dimension, is the difference between minutes and hours —
+  * these tests pin the plans the engine is designed to produce.
+  */
+class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
+
+  private lazy val lineitem =
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+  private lazy val part =
+    spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+
+  /** Runs `f` and returns the executed plans of every action it took. */
+  private def capturePlans(f: => Unit): Seq[String] = {
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString())
+      override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      f
+      // the execution-listener bus drains asynchronously; the actions in
+      // `f` are blocking, so a short quiesce is enough (same idiom as
+      // FusionJobCountSpec)
+      Thread.sleep(1500)
+    } finally spark.listenerManager.unregister(listener)
+    scala.jdk.CollectionConverters.ListHasAsScala(plans).asScala.toSeq
+  }
+
+  "the fused analyzer scan" should {
+    "prune the parquet read down to the referenced columns" in {
+      val plans = capturePlans {
+        AnalysisRunner.run(lineitem, Seq[AnyAnalyzer](
+          Completeness("l_orderkey"), Mean("l_quantity"), Size()))
+      }
+      val scan = plans.find(_.contains("ReadSchema"))
+      scan should not be empty
+      val readSchema = scan.get.linesIterator
+        .find(_.contains("ReadSchema")).get
+      // exactly the two referenced columns — not the 11-column row
+      readSchema should include("l_orderkey")
+      readSchema should include("l_quantity")
+      readSchema should not include "l_extendedprice"
+      readSchema should not include "l_shipdate"
+    }
+
+    "aggregate without any sort or window" in {
+      val plans = capturePlans {
+        AnalysisRunner.run(lineitem, Seq[AnyAnalyzer](
+          Minimum("l_quantity"), Maximum("l_quantity"), Sum("l_quantity")))
+      }
+      val agg = plans.filter(_.contains("HashAggregate"))
+      agg should not be empty
+      agg.foreach { p =>
+        p should not include "Sort "
+        p should not include "Window"
+      }
+    }
+  }
+
+  "exact dedup" should {
+    "collapse duplicates map-side before ONE exchange, with no window" in {
+      val deduped = graft.pipeline.Dedup.exact(
+        lineitem, Seq("l_orderkey", "l_linenumber"), "l_partkey")
+      deduped.count()
+      val plan = deduped.queryExecution.executedPlan.toString()
+      // partial aggregation BEFORE the exchange: shuffle volume tracks
+      // distinct keys, not input rows (the point vs a row_number window)
+      plan should include("partial_min_by")
+      plan.linesIterator.count(_.contains("Exchange")) shouldBe 1
+      plan should not include "Window"
+    }
+  }
+
+  "two-table comparisons" should {
+    "broadcast the small dimension side" in {
+      val rl = graft.comparison.DatasetMatch.matchRowLevel(
+        lineitem.select("l_orderkey", "l_partkey"),
+        part.select(col("p_partkey"), col("p_size")),
+        Map("l_partkey" -> "p_partkey"),
+        Map("l_partkey" -> "p_partkey"))
+      rl.count()
+      // AQE finalizes the join strategy at runtime; the executed plan must
+      // have picked broadcast for the KB-sized reduced dimension
+      rl.queryExecution.executedPlan.toString() should include("BroadcastHashJoin")
+    }
+  }
+
+  "row-level results" should {
+    "evaluate scan constraints as map-side expressions without extra scans" in {
+      import graft.checks._
+      val check = Check(CheckLevel.Error, "plan audit")
+        .satisfies("l_quantity > 0", "qty pos", _ >= 0.0)
+        .isComplete("l_orderkey")
+      val result = VerificationSuite().onData(lineitem).addCheck(check).run()
+      val rl = VerificationResult.rowLevelResultsAsDataFrame(spark, result, lineitem)
+      rl.count()
+      val plan = rl.queryExecution.executedPlan.toString()
+      // purely scan-level constraints: project over the scan, no join/agg
+      plan should not include "Join"
+      plan should not include "HashAggregate"
+    }
+  }
+}
