@@ -36,6 +36,18 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which the
+    * Spark reader rejects by default; read it as raw nanos and truncate to
+    * microseconds — exactly what DuckDB's microsecond TIMESTAMP does on
+    * the same file, so event-time boundaries agree between both engines.
+    */
+  private def eventsTable(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Single-row DataFrame of named double values. */
   private def metricRow(s: SparkSession, cols: Seq[(String, Double)]): DataFrame = {
     val schema = StructType(cols.map { case (n, _) => StructField(n, DoubleType, nullable = false) })
@@ -610,6 +622,40 @@ object SparkEntry {
         "rows_total" -> agg.getDouble(1)))
     }),
 
+    // event-time tumbling-window aggregation over the events table —
+    // StreamingOps.windowedAgg is the SAME logical plan for batch and
+    // streaming inputs, so the batch oracle validates the streaming path
+    "q37_windowed_events" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{count => fcount, date_format, round, sum => fsum}
+      val events = eventsTable(s, dir)
+      graft.streaming.StreamingOps.windowedAgg(
+          events, "ts", "1 hour",
+          Seq(fcount(lit(1)).as("n_events"),
+            round(fsum(col("value")), 6).as("sum_value")))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("win_start")
+    }),
+
+    // gap-based session windows per user; DuckDB mirrors the semantics
+    // with lag + cumulative-sum sessionization
+    "q38_sessionized_events" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{count => fcount, max => fmax, sum => fsum}
+      val events = eventsTable(s, dir)
+      val sessions = graft.streaming.StreamingOps.sessionized(
+        events, "ts", "10 minutes", Seq("user_id"),
+        Seq(fcount(lit(1)).as("graft_n")))
+      val agg = sessions.agg(
+        fcount(lit(1)).cast(DoubleType),
+        fmax(col("graft_n")).cast(DoubleType),
+        fsum(col("graft_n")).cast(DoubleType)).collect().head
+      metricRow(s, Seq(
+        "n_sessions" -> agg.getDouble(0),
+        "max_session_events" -> agg.getDouble(1),
+        "total_events" -> agg.getDouble(2)))
+    }),
+
     // IVF scale path, value-checked: exact query count + recall/completeness
     // flags vs the (itself DuckDB-verified, q25) brute-force ranking
     "q27_ann_ivf" -> ((s, dir) => {
@@ -925,6 +971,37 @@ object SparkEntry {
         |       sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::DOUBLE AS rows_matched,
         |       count(*)::DOUBLE AS rows_total
         |FROM orders""".stripMargin,
+
+    // q37: hourly tumbling windows align to the epoch in both engines
+    "q37_windowed_events" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       count(*) AS n_events,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY win_start""".stripMargin,
+
+    // q38: Spark session_window semantics — a new session starts when the
+    // gap from the previous event is >= the gap duration (session extends
+    // to last_event + gap, exclusive)
+    "q38_sessionized_events" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL '10 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT count(*)::DOUBLE AS n_sessions,
+        |       max(n)::DOUBLE AS max_session_events,
+        |       sum(n)::DOUBLE AS total_events
+        |FROM g""".stripMargin,
 
     // q27: exact query count; IVF completeness/recall flags asserted true
     "q27_ann_ivf" ->
