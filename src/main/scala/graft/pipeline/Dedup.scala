@@ -221,14 +221,30 @@ object Dedup {
       shingleSize: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // persisted: banding plus BOTH estimate-join sides probe it
     val sigs = signatureFrame(df, idCol, textCol, numHashes, shingleSize)
       .select("graft_id", "graft_sig")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val (pairs, caches) = candidatesFromSignatures(sigs, numHashes, bands, maxBucketSize)
-    CacheLifecycle.releaseOnConsume(pairs, caches)
+    // signature-agreement estimate computed once per UNIQUE pair (the
+    // candidate self-join emits a pair once per matching band; estimating
+    // before deduplication would pay the interpreted zip_with per instance)
+    val withEst = pairs
+      .join(sigs.select(col("graft_id").as("id_a"), col("graft_sig").as("graft_sa")), Seq("id_a"))
+      .join(sigs.select(col("graft_id").as("id_b"), col("graft_sig").as("graft_sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("graft_sa"), col("graft_sb"),
+          (x, y) => (x === y).cast(IntegerType)), v => v === 1)).cast(DoubleType) /
+          lit(numHashes.toDouble)).as("jaccard_est"))
+    CacheLifecycle.releaseOnConsume(withEst, sigs +: caches)
   }
 
   /** LSH banding + bucket self-join over a (graft_id, graft_sig) frame.
-    * Returns (pairs, persisted frames to release once pairs are consumed).
+    * Returns UNIQUE bare (id_a, id_b) candidate pairs — the self-join
+    * emits a pair once per agreeing band, and deduplicating 16-byte id
+    * rows is far cheaper than carrying signature payloads (or computing
+    * per-instance estimates) through the exchange. Callers join
+    * signatures/shingles back per unique pair as needed.
     */
   private def candidatesFromSignatures(
       sigs: DataFrame,
@@ -240,7 +256,7 @@ object Dedup {
     // explode to (band, hash(band slice)) — one row per band per doc;
     // xxhash64 hashes the long-array slice directly (no string building)
     val banded = sigs.select(
-      col("graft_id"), col("graft_sig"),
+      col("graft_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("graft_sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b))))
@@ -250,24 +266,20 @@ object Dedup {
     // cap skewed buckets
     val wBucket = Window.partitionBy(col("graft_band"), col("graft_bucket"))
       .orderBy(col("graft_id"))
-    // persist before the self-join: signatures are ~64 longs/doc (orders of
-    // magnitude smaller than the text) — without this, both join sides
-    // recompute the whole tokenize→shingle→hash→minhash pipeline
+    // persist before the self-join: banded rows are (id, band, bucket)
+    // triples (orders of magnitude smaller than the text) — without this,
+    // both join sides recompute the whole tokenize→shingle→minhash pipeline
     val capped = banded
       .withColumn("graft_bn", row_number().over(wBucket))
       .filter(col("graft_bn") <= maxBucketSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val a = capped.select(col("graft_band"), col("graft_bucket"),
-      col("graft_id").as("id_a"), col("graft_sig").as("sig_a"))
-    val b = capped.select(col("graft_band"), col("graft_bucket"),
-      col("graft_id").as("id_b"), col("graft_sig").as("sig_b"))
+    val a = capped.select(col("graft_band"), col("graft_bucket"), col("graft_id").as("id_a"))
+    val b = capped.select(col("graft_band"), col("graft_bucket"), col("graft_id").as("id_b"))
 
     val pairs = a.join(b, Seq("graft_band", "graft_bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast(IntegerType)),
-          v => v === 1)).cast(DoubleType) / lit(numHashes.toDouble)).as("jaccard_est"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     (pairs, Seq(capped))
   }
