@@ -893,7 +893,7 @@ object SparkEntry {
 
     // q24: DuckDB reproduces the exact all-pairs Jaccard ground truth with
     // string shingles (same tokenization; the engine's 64-bit shingle hashes
-    // preserve set identity) on doc_id < 1000 — the COMPLETE table at
+    // preserve set identity) on doc_id < 500 — the COMPLETE table at
     // sf0.01. Recall flags asserted true.
     "q24_near_dup" ->
       """WITH d AS (
@@ -1009,7 +1009,7 @@ object SparkEntry {
         |       1.0::DOUBLE AS ivf_complete_ok,
         |       1.0::DOUBLE AS ivf_recall_ok""".stripMargin,
 
-    // q32: exact cosine pair count at threshold 0.42 on vec_id < 1000
+    // q32: exact cosine pair count at threshold 0.42 on vec_id < 500
     // (complete table at sf0.01); LSH recall flag asserted true
     "q32_embedding_neardup" ->
       """WITH p AS (

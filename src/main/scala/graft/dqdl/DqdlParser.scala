@@ -273,11 +273,12 @@ object DqdlParser {
   }
 
   /** Numeric operand: a literal, or a dynamic expression like
-    * `avg(last(10)) * 0.9`. Scaling binds right-to-left (sufficient for
-    * the literal-scale idiom).
+    * `avg(last(10)) * 0.9`. Standard precedence: * and / bind tighter
+    * than +, all left-associative — `avg(last(5)) * 2 + 10` is
+    * (avg*2)+10, and `x / 2 / 2` is (x/2)/2.
     */
   private def parseOperand(cur: Cursor): NumExpr = {
-    val base = cur.next() match {
+    def atom(): NumExpr = cur.next() match {
       case Num(v) => Lit(v)
       case Ident(fn) =>
         cur.expectSym("(")
@@ -293,12 +294,27 @@ object DqdlParser {
         Call(fn.toLowerCase, args.toList)
       case other => throw new DqdlParseException(s"Expected numeric operand, found $other")
     }
-    cur.peek match {
-      case Some(Sym(op)) if op == "*" || op == "+" || op == "/" =>
-        cur.next()
-        BinOp(op, base, parseOperand(cur))
-      case _ => base
+    def mul(): NumExpr = {
+      var left = atom()
+      var more = true
+      while (more) {
+        cur.peek match {
+          case Some(Sym(op)) if op == "*" || op == "/" =>
+            cur.next(); left = BinOp(op, left, atom())
+          case _ => more = false
+        }
+      }
+      left
     }
+    var left = mul()
+    var more = true
+    while (more) {
+      cur.peek match {
+        case Some(Sym("+")) => cur.next(); left = BinOp("+", left, mul())
+        case _ => more = false
+      }
+    }
+    left
   }
 
   private def conditionFrom(op: String, e: NumExpr): DqCondition = e match {

@@ -186,12 +186,17 @@ object EvaluateDataQuality {
       else throw new DqdlTranslationException(
         s"Analyzer ${leaf.ruleType} requires at least ${i + 1} parameter(s)")
     val where = leaf.whereClause
+    // same invariant as the rules path: silently ignoring a parsed filter
+    // on a WHERE-less analyzer would report wrong metrics
+    def rejectWhere(): Unit =
+      if (where.isDefined) throw new DqdlTranslationException(
+        s"Analyzer ${leaf.ruleType} does not support a where clause")
     leaf.ruleType.toLowerCase match {
       case "rowcount" => Size(where)
       case "completeness" => Completeness(param(0), where)
       case "uniqueness" => Uniqueness(leaf.parameters, where)
       case "uniquevalueratio" => UniqueValueRatio(leaf.parameters, where)
-      case "distinctvaluescount" => CountDistinct(leaf.parameters)
+      case "distinctvaluescount" => rejectWhere(); CountDistinct(leaf.parameters)
       case "entropy" => Entropy(param(0), where)
       case "mean" => Mean(param(0), where)
       case "sum" => Sum(param(0), where)
@@ -203,8 +208,8 @@ object EvaluateDataQuality {
       case "zeroscount" => ZerosCount(param(0), where)
       case "duplicaterowcount" => DuplicateRowCount(leaf.parameters, where)
       case "columncorrelation" => Correlation(param(0), param(1), where)
-      case "columncount" => ColumnCount()
-      case "customsql" => CustomSql(param(0))
+      case "columncount" => rejectWhere(); ColumnCount()
+      case "customsql" => rejectWhere(); CustomSql(param(0))
       case other =>
         throw new DqdlTranslationException(s"Unknown analyzer type '$other'")
     }

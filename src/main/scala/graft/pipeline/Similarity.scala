@@ -51,8 +51,8 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
     pairs.mapPartitions { rows =>
       rows.flatMap { r =>
-        val a = r.getSeq[Float](va)
-        val b = r.getSeq[Float](vb)
+        val a = if (r.isNullAt(va)) Seq.empty[Float] else r.getSeq[Float](va)
+        val b = if (r.isNullAt(vb)) Seq.empty[Float] else r.getSeq[Float](vb)
         var dotp = 0.0; var na = 0.0; var nb = 0.0
         var i = 0
         val n = math.min(a.length, b.length)
@@ -212,13 +212,19 @@ object Similarity {
       .withColumn("similarity", cosine(col("graft_cv"), col("graft_qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("similarity").desc, col("neighbor_id").asc)
+    // persisted: the final plan references this subtree three times (the
+    // semi-join left side and fullIds twice) — without the cache the LSH
+    // bucket join + window top-k would recompute per reference
     val lsh = scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "similarity", "rank")
       .dropDuplicates("query_id", "rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // completeness fallback: brute-force the queries that came back short
+    // (with AQE's empty-relation propagation, an empty deficient set
+    // collapses the fallback join instead of re-scanning the corpus)
     val fullIds = lsh.groupBy("query_id")
       .agg(count(lit(1)).as("graft_n"))
       .filter(col("graft_n") >= k)
@@ -228,8 +234,9 @@ object Similarity {
       .join(fullIds, Seq("query_id"), "left_anti")
     val fallback = bruteForceTopK(corpus, corpusId, corpusVec,
       deficient, "query_id", queryVec, k)
-    lsh.join(fullIds, Seq("query_id"), "left_semi")
+    val result = lsh.join(fullIds, Seq("query_id"), "left_semi")
       .unionByName(fallback)
+    CacheLifecycle.releaseOnConsume(result, Seq(lsh))
   }
 
   // -------------------------------------------------------------------------
@@ -250,13 +257,13 @@ object Similarity {
       iterations: Int,
       seed: Long = 42L): Seq[Array[Double]] = {
     val vecs = corpus.select(col(vecCol))
-    val total = vecs.count()
-    // oversample slightly so the post-sample limit usually fills sampleSize
-    val fraction = math.min(1.0, sampleSize.toDouble * 1.5 / math.max(total, 1L))
-    val sampled =
-      if (fraction >= 1.0) vecs
-      else vecs.sample(withReplacement = false, fraction, seed)
-    val sample = sampled.limit(sampleSize).collect()
+    // takeSample is uniform over the WHOLE corpus: a Bernoulli sample
+    // followed by limit() would pull from the first partitions only, which
+    // on cluster-sorted data starves the trailing clusters of training
+    // vectors. Deterministic for fixed data + partitioning + seed.
+    val sample = vecs.rdd
+      .takeSample(withReplacement = false, sampleSize, seed)
+      .filter(!_.isNullAt(0))
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       .filter(v => v.exists(_ != 0.0))
     require(sample.nonEmpty, "IVF training sample is empty")

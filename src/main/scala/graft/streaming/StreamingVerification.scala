@@ -132,10 +132,13 @@ object StreamingOps {
     * unbounded 100-TB-scale ingest. On a batch DataFrame the same call
     * degrades to a plain dropDuplicates (identical semantics, no state).
     *
-    * `withinWatermark = true` uses dropDuplicatesWithinWatermark (dedup
-    * among events whose times are within the delay of each other — the
-    * at-least-once-ingest idiom); `false` uses event-time-keyed
-    * dropDuplicates (a late replay past the watermark may re-emit).
+    * `withinWatermark = true` (the default) uses
+    * dropDuplicatesWithinWatermark: duplicates arriving within the delay
+    * of each other collapse and seen-key state EXPIRES — the
+    * at-least-once-ingest idiom and the only bounded-state shape.
+    * `withinWatermark = false` is a global exact dedup on the keys whose
+    * state never expires — correct for bounded streams and backfills,
+    * unbounded state growth on endless ones.
     */
   def dedupStream(
       data: DataFrame,
@@ -147,7 +150,7 @@ object StreamingOps {
     else {
       val wm = data.withWatermark(timestampColumn, watermarkDelay)
       if (withinWatermark) wm.dropDuplicatesWithinWatermark(keys)
-      else wm.dropDuplicates(keys :+ timestampColumn)
+      else wm.dropDuplicates(keys)
     }
   }
 

@@ -65,6 +65,18 @@ class DqdlSpec extends AnyWordSpec with Matchers with SparkSpec {
       doc.rules(1).asInstanceOf[LeafRule].condition.get shouldBe a[DynamicNumericCondition]
     }
 
+    "apply standard operator precedence and left associativity in dynamic expressions" in {
+      val hist = Seq(10.0)
+      def eval(src: String): Double = {
+        val rule = DqdlParser.parse(s"""Mean "x" > $src""").head.asInstanceOf[LeafRule]
+        val resolved = DqdlParser.resolveDynamic(rule.condition.get, hist)
+        resolved.asInstanceOf[NumericCondition].value
+      }
+      eval("avg(last(1)) * 2 + 10") shouldBe 30.0 // (10*2)+10, not 10*12
+      eval("avg(last(1)) + 2 * 10") shouldBe 30.0 // 10+(2*10)
+      eval("avg(last(1)) / 2 / 2") shouldBe 2.5   // (10/2)/2, not 10/(2/2)
+    }
+
     "evaluate dynamic expressions against metric history" in {
       val hist = Seq(90.0, 100.0, 110.0, 120.0)
       DqdlParser.evalExpr(Call("min", Seq(Call("last", Seq(Lit(3))))), hist) shouldBe Seq(100.0)
