@@ -71,6 +71,43 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
         .filter((col("id_a") === 3L) || (col("id_b") === 3L))
         .count() shouldBe 0L
     }
+
+    "agree with brute-force string-shingle Jaccard on randomized corpora" in {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(19)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+      // random docs incl. empty, single-token and duplicate-heavy cases
+      (0 until 3).foreach { round =>
+        val corpus = (0 until 40).map { i =>
+          val len = rng.nextInt(12) // 0..11 tokens
+          val toks = Seq.fill(len)(vocab(rng.nextInt(vocab.length)))
+          (i.toLong, toks.mkString(" "))
+        }.toDF("doc_id", "text")
+        val fast = Dedup.exactJaccardPairs(corpus, "doc_id", "text", threshold = 0.3)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        val sh = corpus.select(col("doc_id"),
+          org.apache.spark.sql.functions.array_distinct(
+            Dedup.shingles(col("text"), 3)).as("sh"))
+        val brute = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+          .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.array_intersect(col("sh_a"), col("sh_b")))
+              .cast("double") /
+              org.apache.spark.sql.functions.greatest(
+                org.apache.spark.sql.functions.size(
+                  org.apache.spark.sql.functions.array_union(col("sh_a"), col("sh_b"))),
+                lit(1)).cast("double")).as("j"))
+          .filter(col("j") >= 0.3)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        withClue(s"round $round: ") {
+          fast.keySet shouldBe brute.keySet
+          fast.foreach { case (k, v) => v shouldBe (brute(k) +- 1e-12) }
+        }
+      }
+    }
   }
 
   "SimHash" should {
