@@ -124,7 +124,14 @@ object DqdlParser {
         if (i >= n) throw new DqdlParseException(s"Unterminated string literal at end of input")
         i += 1
         tokens += Str(sb.toString)
-      } else if (ch.isDigit || (ch == '-' && i + 1 < n && input(i + 1).isDigit) ||
+      } else if (ch.isDigit ||
+                 // '-' before a digit is a NEGATIVE LITERAL only when it
+                 // cannot be a binary minus (i.e. not right after a value)
+                 (ch == '-' && i + 1 < n && input(i + 1).isDigit &&
+                   !(tokens.lastOption.exists {
+                     case Num(_) | Sym(")") => true
+                     case _ => false
+                   })) ||
                  (ch == '.' && i + 1 < n && input(i + 1).isDigit)) {
         val start = i
         i += 1
@@ -140,7 +147,7 @@ object DqdlParser {
         val two = if (i + 1 < n) input.substring(i, i + 2) else ""
         if (two == ">=" || two == "<=" || two == "!=" || two == "==") {
           tokens += Sym(if (two == "==") "=" else two); i += 2
-        } else if ("[](),=<>*+/".indexOf(ch) >= 0) {
+        } else if ("[](),=<>*+/-".indexOf(ch) >= 0) {
           tokens += Sym(ch.toString); i += 1
         } else {
           throw new DqdlParseException(s"Unexpected character '$ch' at position $i")
@@ -310,7 +317,8 @@ object DqdlParser {
     var more = true
     while (more) {
       cur.peek match {
-        case Some(Sym("+")) => cur.next(); left = BinOp("+", left, mul())
+        case Some(Sym(op)) if op == "+" || op == "-" =>
+          cur.next(); left = BinOp(op, left, mul())
         case _ => more = false
       }
     }
@@ -438,6 +446,7 @@ object DqdlParser {
       Seq(op match {
         case "*" => lv * rv
         case "+" => lv + rv
+        case "-" => lv - rv
         case "/" => lv / rv
         case other => throw new DqdlParseException(s"Unknown operator '$other'")
       })

@@ -66,7 +66,18 @@ object EvaluateDataQuality {
     additionalSources.foreach { case (name, df) => df.createOrReplaceTempView(name) }
 
     val doc = DqdlParser.parseDocument(ruleset)
-    val compiled = doc.rules.map(r => compile(r, data, additionalSources, repository))
+    // ONE history load shared by every dynamic rule in the ruleset (a
+    // per-rule repo.load() would rescan the metrics store N times)
+    val history: Option[AnyAnalyzer => Seq[Double]] = repository.map { repo =>
+      lazy val results = repo.load().get().sortBy(_.resultKey.dataSetDate)
+      (a: AnyAnalyzer) => results.flatMap { r =>
+        r.analyzerContext.metric(a) match {
+          case Some(DoubleMetric(_, _, _, Success(v), _)) => Some(v)
+          case _ => None
+        }
+      }
+    }
+    val compiled = doc.rules.map(r => compile(r, data, additionalSources, history))
 
     // one fused run over every constraint-backed analyzer in the ruleset,
     // including the compute-only Analyzers section (shared scan)
@@ -147,11 +158,11 @@ object EvaluateDataQuality {
 
   private def compile(rule: DqRule, data: DataFrame,
       sources: Map[String, DataFrame],
-      repository: Option[graft.repository.MetricsRepository]): CompiledRule = rule match {
+      history: Option[AnyAnalyzer => Seq[Double]]): CompiledRule = rule match {
     case CompositeRule(op, l, r) =>
       CompositeCompiled(op,
-        compile(l, data, sources, repository), compile(r, data, sources, repository))
-    case leaf: LeafRule => compileLeaf(leaf, data, sources, repository)
+        compile(l, data, sources, history), compile(r, data, sources, history))
+    case leaf: LeafRule => compileLeaf(leaf, data, sources, history)
   }
 
   /** Metrics for the compute-only `Analyzers = [...]` section: one row per
@@ -221,7 +232,7 @@ object EvaluateDataQuality {
 
   private def compileLeaf(rule: LeafRule, data: DataFrame,
       sources: Map[String, DataFrame],
-      repository: Option[graft.repository.MetricsRepository]): CompiledRule = {
+      history: Option[AnyAnalyzer => Seq[Double]]): CompiledRule = {
     val rendered = rule.render
     val where = rule.whereClause
 
@@ -230,10 +241,9 @@ object EvaluateDataQuality {
     // fused run, exactly like the reference's dynamic-rule translation
     def resolvedCondition(a: AnyAnalyzer): Option[DqCondition] = rule.condition.map {
       case d @ (_: DynamicNumericCondition | _: DynamicBetweenCondition) =>
-        val repo = repository.getOrElse(throw new DqdlTranslationException(
+        val h = history.getOrElse(throw new DqdlTranslationException(
           s"Rule '$rendered' uses a dynamic threshold; pass a MetricsRepository"))
-        DqdlParser.resolveDynamic(d,
-          repo.load().forAnalyzers(Seq(a)).timeSeriesOf(a).map(_._2))
+        DqdlParser.resolveDynamic(d, h(a))
       case c => c
     }
 

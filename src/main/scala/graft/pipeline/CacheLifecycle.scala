@@ -24,6 +24,14 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 private[graft] object CacheLifecycle {
 
+  /** Actions (with or without the tag) after which an unconsumed result's
+    * caches are released anyway — a safety valve for results that are
+    * abandoned, or whose tagged subtree an optimization pruned away (e.g.
+    * AQE empty-relation propagation short-circuiting a join side): the
+    * listener and cache markings must not outlive the session.
+    */
+  private val MaxUnconsumedActions = 200
+
   /** Tag `result` so that `caches` are unpersisted (non-blocking) after the
     * first action that consumes it.
     */
@@ -33,9 +41,13 @@ private[graft] object CacheLifecycle {
     val spark = result.sparkSession
     val tagged = result.observe(tag, count(lit(1)))
     val done = new AtomicBoolean(false)
+    val unrelatedActions = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private def maybeRelease(qe: QueryExecution): Unit = {
-        if (qe.observedMetrics.contains(tag) && done.compareAndSet(false, true)) {
+        val expired =
+          !qe.observedMetrics.contains(tag) &&
+            unrelatedActions.incrementAndGet() >= MaxUnconsumedActions
+        if ((qe.observedMetrics.contains(tag) || expired) && done.compareAndSet(false, true)) {
           caches.foreach(_.unpersist(blocking = false))
           spark.listenerManager.unregister(this)
         }

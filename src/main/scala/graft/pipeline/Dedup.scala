@@ -95,13 +95,24 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
+  /** 64-bit token identity: two independent 32-bit murmur passes packed
+    * into one long, then mixed — a single 32-bit hash would hit birthday
+    * collisions around ~10^5 distinct tokens and silently merge shingles.
+    * Locale.ROOT lowercasing matches Spark's lower() / DuckDB's lower()
+    * regardless of the JVM default locale (tr_TR dotless-i etc.).
+    */
   private def scalaTokenHashes(text: String): Array[Long] = {
     if (text == null) return Array.empty
-    val toks = text.toLowerCase.split("\\s+")
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val out = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
     var i = 0
     while (i < toks.length) {
-      if (toks(i).nonEmpty) out += mix64(scala.util.hashing.MurmurHash3.stringHash(toks(i)).toLong)
+      val t = toks(i)
+      if (t.nonEmpty) {
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x1b873593)
+        out += mix64((h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL))
+      }
       i += 1
     }
     out.toArray
@@ -264,8 +275,10 @@ object Dedup {
       .withColumnRenamed("col", "graft_bucket")
 
     // cap skewed buckets
+    // hash order: capping must EXCLUDE UNIFORMLY, not systematically drop
+    // the highest ids from every oversized bucket (deterministic either way)
     val wBucket = Window.partitionBy(col("graft_band"), col("graft_bucket"))
-      .orderBy(col("graft_id"))
+      .orderBy(xxhash64(col("graft_id")), col("graft_id"))
     // persist before the self-join: banded rows are (id, band, bucket)
     // triples (orders of magnitude smaller than the text) — without this,
     // both join sides recompute the whole tokenize→shingle→minhash pipeline
@@ -497,7 +510,7 @@ object Dedup {
     // cap skewed buckets (e.g. every empty doc hashes to signature 0):
     // without this the chunk self-join is quadratic in the bucket size
     val wBucket = Window.partitionBy(col("graft_chunk"), col("graft_chunk_val"))
-      .orderBy(col("graft_id"))
+      .orderBy(xxhash64(col("graft_id")), col("graft_id"))
     val capped = chunked
       .withColumn("graft_bn", row_number().over(wBucket))
       .filter(col("graft_bn") <= maxBucketSize)

@@ -49,6 +49,14 @@ object Multimodal {
     * (row-major over a ~square grid) as the feature vector. Returns None
     * for payloads no registered reader accepts (audio, video, garbage).
     */
+  /** Upper bound on declared pixels before the full decode is attempted:
+    * a few-hundred-byte "bomb" payload can declare a 60000x60000 image
+    * whose BufferedImage would allocate ~14 GB and kill the executor with
+    * an OutOfMemoryError no catch handler sees. Dimensions are available
+    * header-only, so oversized payloads are rejected without decoding.
+    */
+  val MaxDecodedPixels: Long = 64L * 1024 * 1024 // 64 MP ~ 256 MB ARGB
+
   private[pipeline] def decodeImage(bytes: Array[Byte], dim: Int = 16)
     : Option[(Array[Float], Int, Int, String)] = {
     if (bytes == null || bytes.isEmpty) return None
@@ -61,7 +69,10 @@ object Multimodal {
         val reader = readers.next()
         try {
           reader.setInput(iis)
-          val fmt = reader.getFormatName.toLowerCase
+          val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          // header-only dimension check BEFORE allocating the pixel raster
+          val declared = reader.getWidth(0).toLong * reader.getHeight(0).toLong
+          if (declared <= 0 || declared > MaxDecodedPixels) return None
           val img = reader.read(0)
           val w = img.getWidth
           val h = img.getHeight

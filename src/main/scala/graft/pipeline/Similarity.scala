@@ -137,9 +137,15 @@ object Similarity {
     * with p = 1 − θ/π. Fewer planes / more tables raises recall at the cost
     * of more candidate pairs; the exact-cosine verify keeps precision at 1.
     * Pathologically popular buckets (e.g. all-zero vectors in bucket 0) are
-    * capped at `maxBucketSize` rows so no bucket can go quadratic at scale.
-    * Zero vectors verify at cosine 0.0 (see [[cosine]]), so they are never
-    * reported as near-duplicates.
+    * capped at `maxBucketSize` rows (uniform hash-ordered exclusion) so no
+    * bucket can go quadratic at scale.
+    *
+    * SIZE the parameters to the corpus: each table has 2^planes buckets, so
+    * rows beyond ~2^planes * maxBucketSize per table are excluded by the
+    * cap and cannot form candidates — at N vectors choose planes >=
+    * log2(N / maxBucketSize) (or raise maxBucketSize) to keep every row in
+    * play. Zero vectors verify at cosine 0.0 (see [[cosine]]), so they are
+    * never reported as near-duplicates.
     */
   def cosinePairsLsh(
       df: DataFrame,
@@ -157,8 +163,9 @@ object Similarity {
       .withColumnRenamed("pos", "graft_table")
       .withColumnRenamed("col", "graft_bucket")
     // cap skewed buckets, persist before the self-join (both sides probe it)
+    // hash order: uniform, deterministic exclusion under capping
     val wBucket = Window.partitionBy(col("graft_table"), col("graft_bucket"))
-      .orderBy(col("graft_id"))
+      .orderBy(xxhash64(col("graft_id")), col("graft_id"))
     val capped = banded
       .withColumn("graft_bn", row_number().over(wBucket))
       .filter(col("graft_bn") <= maxBucketSize)

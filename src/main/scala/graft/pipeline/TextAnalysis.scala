@@ -155,7 +155,8 @@ object TextAnalysis {
           if (cjk) pred = "zh"
           else {
             java.util.Arrays.fill(counts, 0)
-            val toks = text.toLowerCase.split("\\s+")
+            // Locale.ROOT: match Spark's locale-independent lower()
+            val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
             var ti = 0
             while (ti < toks.length) {
               if (toks(ti).nonEmpty) {

@@ -25,9 +25,12 @@ class SparkTableMetricsRepository(spark: SparkSession, tableName: String)
   override def save(resultKey: ResultKey, analyzerContext: AnalyzerContext): Unit = {
     val serialized = AnalysisResultSerde.serialize(
       Seq(AnalysisResult(resultKey, analyzerContext)))
+    // saved_at orders re-saves of the SAME key: an append table's scan
+    // order is not file-append order, so "last write wins" needs an
+    // explicit column (wall millis + a per-JVM sequence for same-ms saves)
     val df = Seq((resultKey.dataSetDate, resultKey.tags.map { case (k, v) => s"$k=$v" }
-      .mkString(","), serialized))
-      .toDF("dataset_date", "tags", "serialized_result")
+      .mkString(","), serialized, SparkTableMetricsRepository.nextSaveStamp()))
+      .toDF("dataset_date", "tags", "serialized_result", "saved_at")
     df.write.mode("append").saveAsTable(tableName)
   }
 
@@ -36,11 +39,16 @@ class SparkTableMetricsRepository(spark: SparkSession, tableName: String)
     */
   private def readRange(after: Option[Long], before: Option[Long]): Seq[AnalysisResult] = {
     if (!spark.catalog.tableExists(tableName)) return Seq.empty
+    val table = spark.table(tableName)
     val pruned = Seq(
       after.map(t => col("dataset_date") >= t),
       before.map(t => col("dataset_date") <= t)
-    ).flatten.foldLeft(spark.table(tableName))(_.filter(_))
-    pruned
+    ).flatten.foldLeft(table)(_.filter(_))
+    // explicit save order: scan order of an append table is arbitrary
+    val ordered =
+      if (table.columns.contains("saved_at")) pruned.orderBy(col("saved_at"))
+      else pruned
+    ordered
       .select("serialized_result")
       .collect()
       .toSeq
@@ -56,6 +64,14 @@ class SparkTableMetricsRepository(spark: SparkSession, tableName: String)
 
   override def load(): MetricsRepositoryMultipleResultsLoader =
     SparkTableLoader(readRange)
+}
+
+private object SparkTableMetricsRepository {
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Monotonic within a JVM, wall-clock-comparable across writers. */
+  private def nextSaveStamp(): Long =
+    (System.currentTimeMillis() << 16) | (seq.incrementAndGet() & 0xFFFFL)
 }
 
 /** Loader that forwards its time bounds into the table scan; the remaining

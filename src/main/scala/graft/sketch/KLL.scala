@@ -128,6 +128,10 @@ class KLLSketch(
     val out = new DataOutputStream(bos)
     out.writeInt(sketchSize)
     out.writeDouble(shrinkingFactor)
+    // seed persists so round-tripped sketches keep their decorrelated
+    // compaction streams (all reloading to the default would re-correlate
+    // exactly what the per-partition seeds exist to avoid)
+    out.writeLong(seed)
     out.writeLong(count)
     out.writeDouble(min)
     out.writeDouble(max)
@@ -162,7 +166,7 @@ object KLLSketch {
 
   def deserialize(bytes: Array[Byte]): KLLSketch = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val sketch = new KLLSketch(in.readInt(), in.readDouble())
+    val sketch = new KLLSketch(in.readInt(), in.readDouble(), in.readLong())
     sketch.count = in.readLong()
     sketch.min = in.readDouble()
     sketch.max = in.readDouble()
