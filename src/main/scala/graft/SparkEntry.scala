@@ -359,21 +359,25 @@ object SparkEntry {
     "q24_near_dup" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val subN = 500L
-      val sub = docs.filter(col("doc_id") < subN)
       val inSub = col("id_a") < subN && col("id_b") < subN
 
-      val exact = Dedup.exactJaccardPairs(sub, "doc_id", "text", threshold = 0.5)
+      // ONE tokenize+hash pass over the corpus feeds the MinHash pipeline,
+      // the SimHash pipeline AND both ground-truth audits
+      val sigs = Dedup.textSignatures(docs, "doc_id", "text").persist()
+      val subSigs = sigs.filter(col("graft_id") < subN)
+
+      val exact = Dedup.exactJaccardPairsFromSignatures(subSigs, threshold = 0.5)
         .select("id_a", "id_b").persist()
       val nExact = exact.count()
-      val mh = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+      val mh = Dedup.nearDuplicatePairsFromSignatures(sigs,
         threshold = 0.5, numHashes = 64, bands = 16).filter(inSub).select("id_a", "id_b")
       val mhFound = exact.join(mh, Seq("id_a", "id_b"), "left_semi").count()
 
-      val sim = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 8)
+      val sim = Dedup.simHashPairsFromSignatures(sigs, maxHamming = 8)
         .filter(inSub).select("id_a", "id_b")
-      val sigs = Dedup.simHashSignatures(sub, "doc_id", "text")
-      val exactHam = sigs.select(col("graft_id").as("id_a"), col("graft_sim").as("graft_sa"))
-        .crossJoin(sigs.select(col("graft_id").as("id_b"), col("graft_sim").as("graft_sb")))
+      val exactHam = subSigs
+        .select(col("graft_id").as("id_a"), col("graft_sim").as("graft_sa"))
+        .crossJoin(subSigs.select(col("graft_id").as("id_b"), col("graft_sim").as("graft_sb")))
         .filter(col("id_a") < col("id_b"))
         .filter(Dedup.hammingDistance(col("graft_sa"), col("graft_sb")) <= 8)
         .select("id_a", "id_b").persist()
@@ -381,6 +385,7 @@ object SparkEntry {
       val simFound = exactHam.join(sim, Seq("id_a", "id_b"), "left_semi").count()
       exact.unpersist(blocking = false)
       exactHam.unpersist(blocking = false)
+      sigs.unpersist(blocking = false)
       metricRow(s, Seq(
         "exact_jaccard_pairs" -> nExact.toDouble,
         "minhash_recall_ok" -> flag(nExact == 0 || mhFound.toDouble / nExact >= 0.9),

@@ -176,6 +176,38 @@ object Dedup {
     }
   }
 
+  /** EVERY text signature the dedup family consumes, in ONE per-partition
+    * pass: (graft_id, graft_hs shingle-hash set, graft_sig minhash
+    * signature, graft_sim simhash). At scale the tokenize+hash scan over
+    * the text dominates near-dup cost — callers running BOTH the MinHash
+    * and SimHash analyses (plus exact-Jaccard audits) over one corpus
+    * should compute this once, persist it, and feed the
+    * ...FromSignatures variants, paying one scan instead of three.
+    */
+  def textSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      shingleSize: Int = 3): DataFrame = {
+    val idField = df.schema(df.schema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(
+      idField.copy(name = "graft_id"),
+      StructField("graft_hs", ArrayType(LongType), nullable = false),
+      StructField("graft_sig", ArrayType(LongType), nullable = false),
+      StructField("graft_sim", LongType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+    df.select(col(idCol), col(textCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val th = scalaTokenHashes(if (r.isNullAt(1)) null else r.getString(1))
+        val hs = scalaShingleHashes(th, shingleSize)
+        org.apache.spark.sql.Row(r.get(0), hs.toSeq,
+          scalaMinHash(hs, numHashes).toSeq, scalaSimHash(th))
+      }
+    }
+  }
+
   /** Shingle-set hashes straight from token hashes: the hash of an n-gram
     * is the hash of its n consecutive token hashes — no n-gram STRING is
     * ever built (no slice/concat/string alloc), and set identity is
@@ -348,9 +380,24 @@ object Dedup {
     // probe it (collision probability at 64 bits is negligible for dedup)
     val sf = signatureFrame(df, idCol, textCol, numHashes, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    CacheLifecycle.releaseOnConsume(
+      nearDuplicatePairsFromSignatures(sf, threshold, numHashes, bands), Seq(sf))
+  }
+
+  /** [[nearDuplicatePairs]] over a precomputed (graft_id, graft_hs,
+    * graft_sig) frame (see [[textSignatures]]) — the caller owns that
+    * frame's persistence; several analyses can share one text scan.
+    */
+  def nearDuplicatePairsFromSignatures(
+      sigs: DataFrame,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val (candidates, candCaches) = candidatesFromSignatures(
-      sf.select("graft_id", "graft_sig"), numHashes, bands, maxBucketSize = 1000)
-    val docs = sf.select(col("graft_id").as("graft_doc_id"),
+      sigs.select("graft_id", "graft_sig"), numHashes, bands, maxBucketSize)
+    val docs = sigs.select(col("graft_id").as("graft_doc_id"),
       col("graft_hs").as("graft_shingles"))
     val joined = candidates
       .join(docs.withColumnRenamed("graft_doc_id", "id_a")
@@ -359,7 +406,7 @@ object Dedup {
         .withColumnRenamed("graft_shingles", "sh_b"), Seq("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b")
     val verified = jaccardVerify(joined, threshold)
-    CacheLifecycle.releaseOnConsume(verified, sf +: candCaches)
+    CacheLifecycle.releaseOnConsume(verified, candCaches)
   }
 
   /** EXACT all-pairs n-gram Jaccard >= threshold via an inverted shingle
@@ -382,6 +429,15 @@ object Dedup {
     val hs = signatureFrame(df, idCol, textCol, numHashes = 0, shingleSize)
       .select(col("graft_id"), col("graft_hs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    CacheLifecycle.releaseOnConsume(
+      exactJaccardPairsFromSignatures(hs, threshold), Seq(hs))
+  }
+
+  /** [[exactJaccardPairs]] over a precomputed (graft_id, graft_hs) frame —
+    * caller-owned persistence, shareable text scan.
+    */
+  def exactJaccardPairsFromSignatures(sigs: DataFrame, threshold: Double): DataFrame = {
+    val hs = sigs.select("graft_id", "graft_hs")
     val sizes = hs.select(col("graft_id"), size(col("graft_hs")).as("graft_n"))
     val inv = hs.select(col("graft_id"), explode(col("graft_hs")).as("graft_h"))
     val a = inv.select(col("graft_h"), col("graft_id").as("id_a"))
@@ -390,14 +446,13 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("graft_c"))
-    val pairs = co
+    co
       .join(sizes.select(col("graft_id").as("id_a"), col("graft_n").as("graft_na")), Seq("id_a"))
       .join(sizes.select(col("graft_id").as("id_b"), col("graft_n").as("graft_nb")), Seq("id_b"))
       .withColumn("jaccard", col("graft_c").cast(DoubleType) /
         greatest(col("graft_na") + col("graft_nb") - col("graft_c"), lit(1L)).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    CacheLifecycle.releaseOnConsume(pairs, Seq(hs))
   }
 
   // -------------------------------------------------------------------------
@@ -483,16 +538,29 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
+    // per-partition signature pass (same rationale as signatureFrame),
+    // persisted before the self-join
+    val sigs = simHashSignatures(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    CacheLifecycle.releaseOnConsume(
+      simHashPairsFromSignatures(sigs, maxHamming, maxBucketSize), Seq(sigs))
+  }
+
+  /** [[simHashPairs]] over a precomputed (graft_id, graft_sim) frame (see
+    * [[textSignatures]] / [[simHashSignatures]]) — caller-owned
+    * persistence, shareable text scan.
+    */
+  def simHashPairsFromSignatures(
+      sigFrame: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63], got $maxHamming")
     // pigeonhole: maxHamming differing bits cannot touch all chunks
     val chunks = maxHamming + 1
     // contiguous chunk boundaries covering all 64 bits (widths differ by <=1)
     val bounds = (0 to chunks).map(c => c * 64 / chunks)
-    // per-partition signature pass (same rationale as signatureFrame),
-    // persisted before the self-join
-    val sigs = simHashSignatures(df, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigFrame.select("graft_id", "graft_sim")
     val chunked = sigs.select(
       col("graft_id"), col("graft_sim"),
       explode(array((0 until chunks).map { c =>
@@ -520,13 +588,12 @@ object Dedup {
     val b = capped.select(col("graft_chunk"), col("graft_chunk_val"),
       col("graft_id").as("id_b"), col("graft_sim").as("sim_b"))
 
-    val pairs = a.join(b, Seq("graft_chunk", "graft_chunk_val"))
+    a.join(b, Seq("graft_chunk", "graft_chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", hammingDistance(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
-    CacheLifecycle.releaseOnConsume(pairs, Seq(sigs))
   }
 
   // -------------------------------------------------------------------------
