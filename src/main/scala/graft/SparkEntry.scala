@@ -40,6 +40,10 @@ object SparkEntry {
     * Spark reader rejects by default; read it as raw nanos and truncate to
     * microseconds — exactly what DuckDB's microsecond TIMESTAMP does on
     * the same file, so event-time boundaries agree between both engines.
+    * NOTE: nanosAsLong is a session conf, not a per-read option, and the
+    * scan consults it at execution time — it intentionally stays set for
+    * the session (only affects files with NANOS columns, which Spark
+    * would otherwise refuse to read at all).
     */
   private def eventsTable(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -893,7 +897,7 @@ object SparkEntry {
         |FROM pred""".stripMargin,
 
     "q23_fingerprint" ->
-      """SELECT count(DISTINCT regexp_replace(lower(text), '\s+', ' ', 'g'))::DOUBLE AS fp_distinct
+      """SELECT count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')))::DOUBLE AS fp_distinct
         |FROM documents""".stripMargin,
 
     // q24: DuckDB reproduces the exact all-pairs Jaccard ground truth with

@@ -296,13 +296,21 @@ object Dedup {
       maxBucketSize: Int): (DataFrame, Seq[DataFrame]) = {
     val rowsPerBand = numHashes / bands
 
+    // a caller-supplied signature frame whose signatures were built with a
+    // DIFFERENT numHashes would band over empty/partial slices and produce
+    // silently-degenerate buckets — raise per row instead
+    val checkedSig = when(size(col("graft_sig")) === lit(numHashes), col("graft_sig"))
+      .otherwise(raise_error(concat(
+        lit(s"signature length != numHashes=$numHashes (got "),
+        size(col("graft_sig")).cast(StringType), lit(")"))).cast(ArrayType(LongType)))
+
     // explode to (band, hash(band slice)) — one row per band per doc;
     // xxhash64 hashes the long-array slice directly (no string building)
     val banded = sigs.select(
       col("graft_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("graft_sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b))))
+        b => xxhash64(slice(checkedSig, b * rowsPerBand + lit(1), lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "graft_band")
       .withColumnRenamed("col", "graft_bucket")
 

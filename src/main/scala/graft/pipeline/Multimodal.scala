@@ -44,11 +44,6 @@ object Multimodal {
     (vec, width, height, "stub")
   }
 
-  /** REAL image decode via the JDK's ImageIO registry: true width/height,
-    * the reader's format name, and a `dim`-point grayscale thumbnail
-    * (row-major over a ~square grid) as the feature vector. Returns None
-    * for payloads no registered reader accepts (audio, video, garbage).
-    */
   /** Upper bound on declared pixels before the full decode is attempted:
     * a few-hundred-byte "bomb" payload can declare a 60000x60000 image
     * whose BufferedImage would allocate ~14 GB and kill the executor with
@@ -57,6 +52,12 @@ object Multimodal {
     */
   val MaxDecodedPixels: Long = 64L * 1024 * 1024 // 64 MP ~ 256 MB ARGB
 
+  /** REAL image decode via the JDK's ImageIO registry: true width/height,
+    * the reader's format name, and a `dim`-point grayscale thumbnail
+    * (row-major over a ~square grid) as the feature vector. Returns None
+    * for payloads no registered reader accepts (audio, video, garbage)
+    * and for declared dimensions beyond [[MaxDecodedPixels]].
+    */
   private[pipeline] def decodeImage(bytes: Array[Byte], dim: Int = 16)
     : Option[(Array[Float], Int, Int, String)] = {
     if (bytes == null || bytes.isEmpty) return None

@@ -251,10 +251,11 @@ object Similarity {
   // -------------------------------------------------------------------------
 
   /** Trains `nlist` coarse centroids with Lloyd iterations on a bounded
-    * driver-side sample of unit-normalized vectors. The sample is a seeded
-    * uniform `df.sample` over the WHOLE corpus — a `limit` would take the
-    * first partitions only, which on sorted/clustered data biases every
-    * centroid toward one region. Deterministic for fixed data + seed.
+    * driver-side sample of unit-normalized vectors, drawn with a seeded
+    * `RDD.takeSample` — uniform over the WHOLE corpus (sample-then-limit
+    * approaches pull from the first partitions only, which on
+    * sorted/clustered data biases every centroid toward one region).
+    * Deterministic for fixed data + partitioning + seed.
     */
   private[pipeline] def trainCentroids(
       corpus: DataFrame,

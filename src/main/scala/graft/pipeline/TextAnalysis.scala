@@ -184,11 +184,13 @@ object TextAnalysis {
     }.groupBy("lang_pred").agg(sum(col("cnt")).as("cnt"))
   }
 
-  /** 64-bit document fingerprint over normalized text: whitespace-collapsed,
-    * lowercased, xxhash64 — deterministic and distributed.
+  /** 64-bit document fingerprint over normalized text: lowercased,
+    * whitespace runs collapsed AND leading/trailing whitespace trimmed
+    * (so "a  b " and "a b" fingerprint identically) — deterministic and
+    * distributed.
     */
   def fingerprint(text: Column): Column =
-    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+    xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
 
   /** Composite quality score in [0, 1]: length, alpha share, stopword
     * presence, token-length sanity — the standard pre-training heuristics.

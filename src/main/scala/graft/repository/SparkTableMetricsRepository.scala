@@ -31,7 +31,12 @@ class SparkTableMetricsRepository(spark: SparkSession, tableName: String)
     val df = Seq((resultKey.dataSetDate, resultKey.tags.map { case (k, v) => s"$k=$v" }
       .mkString(","), serialized, SparkTableMetricsRepository.nextSaveStamp()))
       .toDF("dataset_date", "tags", "serialized_result", "saved_at")
-    df.write.mode("append").saveAsTable(tableName)
+    // appending to a table created by the pre-saved_at layout must not
+    // throw on schema mismatch; such tables keep the legacy 3 columns
+    val legacyTable = spark.catalog.tableExists(tableName) &&
+      !spark.table(tableName).columns.contains("saved_at")
+    (if (legacyTable) df.drop("saved_at") else df)
+      .write.mode("append").saveAsTable(tableName)
   }
 
   /** Read rows whose dataset_date is within [after, before] — filters are

@@ -126,6 +126,9 @@ class KLLSketch(
   def serialize(): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    // version marker: the legacy format began with sketchSize (always
+    // positive), so a negative sentinel keeps old persisted bytes readable
+    out.writeInt(KLLSketch.FormatV2Marker)
     out.writeInt(sketchSize)
     out.writeDouble(shrinkingFactor)
     // seed persists so round-tripped sketches keep their decorrelated
@@ -163,10 +166,19 @@ object KLLSketch {
   val DefaultSketchSize = 2048
   val DefaultShrinkingFactor = 0.64
   val DefaultSeed = 42L
+  /** Negative sentinel distinguishing the v2 binary format (with seed)
+    * from legacy bytes that begin with the (positive) sketchSize.
+    */
+  val FormatV2Marker: Int = -2
 
   def deserialize(bytes: Array[Byte]): KLLSketch = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val sketch = new KLLSketch(in.readInt(), in.readDouble(), in.readLong())
+    val first = in.readInt()
+    val sketch =
+      if (first == FormatV2Marker) // v2: explicit seed field
+        new KLLSketch(in.readInt(), in.readDouble(), in.readLong())
+      else // legacy: `first` IS sketchSize; seed defaults
+        new KLLSketch(first, in.readDouble())
     sketch.count = in.readLong()
     sketch.min = in.readDouble()
     sketch.max = in.readDouble()
