@@ -42,19 +42,45 @@ case class CompleteIfCompleteRule() extends ConstraintRule {
 /** Mostly-complete columns keep at least a Wilson lower bound of their
   * observed completeness
   * (reference capability: suggestions/rules/RetainCompletenessRule.scala). */
-case class RetainCompletenessRule(minCompleteness: Double = 0.2) extends ConstraintRule {
+/** Lower confidence bound for an observed success ratio — pluggable, like
+  * the reference's suggestions/rules/interval package.
+  */
+sealed trait ConfidenceIntervalStrategy {
+  def lowerBound(p: Double, n: Double, z: Double = 1.96): Double
+}
+
+/** Wilson score interval: well-behaved near p=0/1 and at small n — the
+  * default (reference capability: rules/interval/WilsonScoreIntervalStrategy).
+  */
+case object WilsonScoreIntervalStrategy extends ConfidenceIntervalStrategy {
+  override def lowerBound(p: Double, n: Double, z: Double): Double = {
+    val denom = 1 + z * z / n
+    val center = p + z * z / (2 * n)
+    val margin = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    (center - margin) / denom
+  }
+}
+
+/** Wald (normal-approximation) interval — simpler, degenerate near the
+  * boundaries (reference capability: rules/interval/WaldIntervalStrategy).
+  */
+case object WaldIntervalStrategy extends ConfidenceIntervalStrategy {
+  override def lowerBound(p: Double, n: Double, z: Double): Double =
+    p - z * math.sqrt(p * (1 - p) / n)
+}
+
+case class RetainCompletenessRule(
+    minCompleteness: Double = 0.2,
+    intervalStrategy: ConfidenceIntervalStrategy = WilsonScoreIntervalStrategy)
+    extends ConstraintRule {
   override def shouldBeApplied(profile: ColumnProfile, numRecords: Long): Boolean =
     profile.completeness > minCompleteness && profile.completeness < 1.0
 
   override def candidate(profile: ColumnProfile, numRecords: Long): ConstraintSuggestion = {
-    // Wilson score lower bound at z=1.96
     val p = profile.completeness
     val n = math.max(numRecords, 1L).toDouble
-    val z = 1.96
-    val denom = 1 + z * z / n
-    val center = p + z * z / (2 * n)
-    val margin = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
-    val bound = math.max(0.0, math.floor(((center - margin) / denom) * 100) / 100)
+    val bound = math.max(0.0,
+      math.floor(intervalStrategy.lowerBound(p, n) * 100) / 100)
     ConstraintSuggestion("CompletenessConstraint", profile.column,
       f"'${profile.column}' has completeness >= $bound%.2f",
       f""".hasCompleteness("${profile.column}", _ >= $bound%.2f)""",

@@ -79,6 +79,15 @@ class ProfilerKllSpec extends AnyWordSpec with Matchers with SparkSpec {
       // string columns get observed value-length bounds
       val statusRules = result.suggestions("o_orderstatus").map(_.constraintName)
       statusRules should contain allOf ("MinLengthConstraint", "MaxLengthConstraint")
+      // interval strategies: Wilson is tighter-from-below than Wald away
+      // from the boundaries and both stay below the observed ratio
+      import graft.suggestions.{WaldIntervalStrategy, WilsonScoreIntervalStrategy}
+      val (p, n) = (0.9, 1000.0)
+      val wilson = WilsonScoreIntervalStrategy.lowerBound(p, n)
+      val wald = WaldIntervalStrategy.lowerBound(p, n)
+      wilson should be < p
+      wald should be < p
+      (wilson - wald).abs should be < 0.01
 
       result.testEvaluation should not be empty
       // stable properties must hold on the held-out quarter
