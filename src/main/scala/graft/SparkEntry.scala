@@ -647,6 +647,34 @@ object SparkEntry {
         .orderBy("win_start")
     }),
 
+    // PII detection + redaction: the synthetic corpus contains no PII, so
+    // BOTH engines inject identical deterministic artifacts into every
+    // 10th document first — a zero-match oracle would assert nothing
+    "q39_pii_scrub" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{concat, count => fcount, sum => fsum, when => fwhen}
+      val docs = table(s, dir, "documents")
+        .withColumn("graft_text", concat(col("text"),
+          fwhen(col("doc_id") % 10 === 0,
+            lit(" contact user@example.com or http://example.org/a and host 10.0.0.1"))
+            .otherwise(lit(""))))
+      val t = col("graft_text")
+      val agg = docs.agg(
+        fsum(TextAnalysis.emailCount(t)).cast(DoubleType),
+        fsum(TextAnalysis.urlCount(t)).cast(DoubleType),
+        fsum(TextAnalysis.ipCount(t)).cast(DoubleType),
+        fsum(TextAnalysis.containsPii(t).cast("long")).cast(DoubleType),
+        fsum((TextAnalysis.redactPii(t) =!= t).cast("long")).cast(DoubleType),
+        fsum(TextAnalysis.containsPii(TextAnalysis.redactPii(t)).cast("long")).cast(DoubleType))
+        .collect().head
+      metricRow(s, Seq(
+        "n_emails" -> agg.getDouble(0),
+        "n_urls" -> agg.getDouble(1),
+        "n_ips" -> agg.getDouble(2),
+        "docs_with_pii" -> agg.getDouble(3),
+        "docs_redacted" -> agg.getDouble(4),
+        "pii_after_redaction" -> agg.getDouble(5)))
+    }),
+
     // gap-based session windows per user; DuckDB mirrors the semantics
     // with lag + cumulative-sum sessionization
     "q38_sessionized_events" -> ((s, dir) => {
@@ -989,6 +1017,38 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1
         |ORDER BY win_start""".stripMargin,
+
+    // q39: identical injection + RE2-compatible patterns reproduce the
+    // counts; redaction leaves zero residual matches
+    "q39_pii_scrub" ->
+      """WITH d AS (
+        |  SELECT text || CASE WHEN doc_id % 10 = 0
+        |    THEN ' contact user@example.com or http://example.org/a and host 10.0.0.1'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT
+        |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        |    len(regexp_extract_all(t, 'https?://[^\s]+')) AS nu,
+        |    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      'https?://[^\s]+', '[URL]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS red,
+        |    t
+        |  FROM d)
+        |SELECT sum(ne)::DOUBLE AS n_emails,
+        |       sum(nu)::DOUBLE AS n_urls,
+        |       sum(ni)::DOUBLE AS n_ips,
+        |       sum(CASE WHEN ne + nu + ni > 0 THEN 1 ELSE 0 END)::DOUBLE AS docs_with_pii,
+        |       sum(CASE WHEN red <> t THEN 1 ELSE 0 END)::DOUBLE AS docs_redacted,
+        |       sum(CASE WHEN regexp_matches(red,
+        |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |           OR regexp_matches(red, 'https?://[^\s]+')
+        |           OR regexp_matches(red,
+        |             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')
+        |           THEN 1 ELSE 0 END)::DOUBLE AS pii_after_redaction
+        |FROM m""".stripMargin,
 
     // q38: Spark session_window semantics — a new session starts when the
     // gap from the previous event is >= the gap duration (session extends

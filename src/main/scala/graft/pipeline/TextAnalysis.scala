@@ -192,6 +192,37 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  // -- PII / web-artifact detection for training-data scrubbing -------------
+  // Patterns restricted to syntax Java regex and RE2 (the DuckDB oracle)
+  // interpret identically; all ops are pure codegen'd expressions.
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  def urlCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(UrlPattern), lit(0)))
+
+  def ipCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0)))
+
+  /** True when the text contains any detectable PII/web artifact. */
+  def containsPii(text: Column): Column =
+    (emailCount(text) > 0) || (urlCount(text) > 0) || (ipCount(text) > 0)
+
+  /** Replaces every email/URL/IPv4 occurrence with a typed placeholder —
+    * the standard pre-training scrub; map-side, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        UrlPattern, "[URL]"),
+      Ipv4Pattern, "[IP]")
+
   /** Composite quality score in [0, 1]: length, alpha share, stopword
     * presence, token-length sanity — the standard pre-training heuristics.
     */

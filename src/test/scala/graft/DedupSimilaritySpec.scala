@@ -357,5 +357,28 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
       row.getInt(1) shouldBe 23
       row.getDouble(2) shouldBe (19.0 / 23.0 +- 1e-9)
     }
+
+    "detect and redact PII artifacts" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        "write to a.b+c@mail-host.org or see https://x.io/p?q=1 from 192.168.0.1",
+        "nothing sensitive here",
+        "two mails: a@b.co c@d.org").toDF("text")
+      val t = col("text")
+      val rows = df.select(
+        TextAnalysis.emailCount(t), TextAnalysis.urlCount(t),
+        TextAnalysis.ipCount(t), TextAnalysis.containsPii(t),
+        TextAnalysis.redactPii(t)).collect()
+      rows(0).getInt(0) shouldBe 1
+      rows(0).getInt(1) shouldBe 1
+      rows(0).getInt(2) shouldBe 1
+      rows(0).getBoolean(3) shouldBe true
+      rows(0).getString(4) shouldBe "write to [EMAIL] or see [URL] from [IP]"
+      rows(1).getBoolean(3) shouldBe false
+      rows(1).getString(4) shouldBe "nothing sensitive here"
+      rows(2).getInt(0) shouldBe 2
+      rows(2).getString(4) shouldBe "two mails: [EMAIL] [EMAIL]"
+    }
   }
 }
