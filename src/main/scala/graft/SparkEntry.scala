@@ -647,6 +647,29 @@ object SparkEntry {
         .orderBy("win_start")
     }),
 
+    // int8 embedding quantization: exact count + mean norm reproduced by
+    // DuckDB; roundtrip fidelity (cosine vs the original ~1) and code-range
+    // sanity asserted as flags
+    "q40_embedding_quant" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{abs => fabs, avg, count => fcount, min => fmin, max => fmax, round => fround, sum => fsum}
+      val emb = table(s, dir, "embeddings")
+      val q = Similarity.quantizeInt8(col("embedding"))
+      val staged = emb.select(col("vec_id"), col("embedding"), q.as("graft_q"))
+        .withColumn("graft_deq", Similarity.dequantizeInt8(col("graft_q")))
+      val agg = staged.agg(
+        fcount(lit(1)).cast(DoubleType),
+        fround(avg(Similarity.norm(col("embedding"))), 6),
+        fmin(Similarity.cosine(col("embedding"), col("graft_deq"))),
+        fmax(org.apache.spark.sql.functions.array_max(
+          org.apache.spark.sql.functions.transform(col("graft_q.codes"),
+            c => fabs(c.cast(DoubleType)))))).collect().head
+      metricRow(s, Seq(
+        "n_vectors" -> agg.getDouble(0),
+        "mean_norm" -> agg.getDouble(1),
+        "quant_cos_ok" -> flag(agg.getDouble(2) >= 0.999),
+        "codes_in_range_ok" -> flag(agg.getDouble(3) <= 127.0)))
+    }),
+
     // PII detection + redaction: the synthetic corpus contains no PII, so
     // BOTH engines inject identical deterministic artifacts into every
     // 10th document first — a zero-match oracle would assert nothing
@@ -1017,6 +1040,16 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1
         |ORDER BY win_start""".stripMargin,
+
+    // q40: count + mean L2 norm exact in DuckDB; quantization fidelity
+    // flags asserted true
+    "q40_embedding_quant" ->
+      """SELECT count(*)::DOUBLE AS n_vectors,
+        |       round(avg(sqrt(list_sum(list_transform(embedding,
+        |         x -> x::DOUBLE * x::DOUBLE)))), 6) AS mean_norm,
+        |       1.0::DOUBLE AS quant_cos_ok,
+        |       1.0::DOUBLE AS codes_in_range_ok
+        |FROM embeddings""".stripMargin,
 
     // q39: identical injection + RE2-compatible patterns reproduce the
     // counts; redaction leaves zero residual matches

@@ -26,12 +26,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; zero vectors get 0.0, never NaN — Spark treats NaN
-    * as GREATER than every number (in filters and DESC sorts), so a NaN
-    * here would pass any threshold and rank first in every top-k.
+  /** Cosine similarity; zero vectors get 0.0 via a short-circuiting guard:
+    * under ANSI mode (the Spark 4 default) a bare division would raise
+    * DIVIDE_BY_ZERO, and a NaN would order GREATER than every number in
+    * filters and DESC sorts — passing any threshold and ranking first in
+    * every top-k.
     */
-  def cosine(a: Column, b: Column): Column =
-    nanvl(dot(a, b) / (norm(a) * norm(b)), lit(0.0))
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom > 0.0, dot(a, b) / denom).otherwise(lit(0.0))
+  }
 
   /** Exact-cosine verify over a joined pair frame
     * (id_a, id_b, vec_a, vec_b) as ONE tight per-partition pass. The
@@ -82,6 +86,38 @@ object Similarity {
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     cosineVerify(a.crossJoin(b).filter(col("id_a") < col("id_b")), threshold)
   }
+
+  // -- embedding storage transforms ------------------------------------------
+
+  /** L2-normalized copy of the vector (floats); zero vectors pass through
+    * unchanged instead of becoming NaN.
+    */
+  def l2Normalize(vec: Column): Column = {
+    val n = norm(vec)
+    when(n > 0.0, transform(vec, x => (x.cast(DoubleType) / n).cast(FloatType)))
+      .otherwise(vec)
+  }
+
+  /** Symmetric per-vector int8 quantization: struct(scale float,
+    * codes array<tinyint>) with code = round(x / scale), scale =
+    * max|x| / 127 — 4x smaller than float32 at ~0.3% cosine error on
+    * typical embeddings; the storage/bandwidth format for a 100-TB
+    * embedding corpus. Zero vectors quantize to scale 0 + zero codes.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, x => abs(x.cast(DoubleType))))
+    val scale = when(maxAbs > 0.0, maxAbs / lit(127.0)).otherwise(lit(0.0))
+    struct(
+      scale.cast(FloatType).as("scale"),
+      transform(vec, x =>
+        when(scale > 0.0, round(x.cast(DoubleType) / scale).cast(ByteType))
+          .otherwise(lit(0).cast(ByteType))).as("codes"))
+  }
+
+  /** Dequantized float vector from a [[quantizeInt8]] struct. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => (c.cast(DoubleType) * q.getField("scale").cast(DoubleType)).cast(FloatType))
 
   /** Brute-force cosine top-k: every query row against every corpus row.
     * Use when `queries` is small (it is broadcast). Returns

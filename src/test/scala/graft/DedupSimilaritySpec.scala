@@ -244,6 +244,38 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "int8 quantization" should {
+    "round-trip embeddings with high cosine fidelity and bounded codes" in {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(23)
+      val vecs = ((0 until 50).map(i => (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat))) :+
+        (99L, Array.fill(32)(0.0f))).toDF("vec_id", "embedding")
+      val staged = vecs
+        .withColumn("q", Similarity.quantizeInt8(col("embedding")))
+        .withColumn("deq", Similarity.dequantizeInt8(col("q")))
+      val rows = staged.select(col("vec_id"),
+        Similarity.cosine(col("embedding"), col("deq")),
+        org.apache.spark.sql.functions.array_max(
+          org.apache.spark.sql.functions.transform(col("q.codes"),
+            c => org.apache.spark.sql.functions.abs(c.cast("int"))))).collect()
+      rows.filter(_.getLong(0) != 99L).foreach { r =>
+        r.getDouble(1) should be >= 0.999
+        r.getInt(2) should be <= 127
+      }
+      // zero vector: scale 0, zero codes, cosine guard yields 0 not NaN
+      val zero = rows.find(_.getLong(0) == 99L).get
+      zero.getDouble(1) shouldBe 0.0
+      zero.getInt(2) shouldBe 0
+
+      // normalization: unit norms, zero vector untouched
+      val norms = vecs.select(col("vec_id"),
+        Similarity.norm(Similarity.l2Normalize(col("embedding")))).collect()
+      norms.filter(_.getLong(0) != 99L).foreach(_.getDouble(1) shouldBe (1.0 +- 1e-6))
+      norms.find(_.getLong(0) == 99L).get.getDouble(1) shouldBe 0.0
+    }
+  }
+
   "IVF centroid training" should {
     "stay representative on cluster-SORTED input (seeded sample, not limit)" in {
       val s = spark
