@@ -89,35 +89,57 @@ object Similarity {
 
   // -- embedding storage transforms ------------------------------------------
 
-  /** L2-normalized copy of the vector (floats); zero vectors pass through
-    * unchanged instead of becoming NaN.
+  /** Evaluates `scalar` ONCE per row and hands it to `f` as a bound lambda
+    * variable. HOF lambda bodies get no common-subexpression elimination:
+    * a whole-vector subexpression (norm, array_max) referenced inside a
+    * per-element lambda is re-evaluated on every element access — O(d²) per
+    * vector. A HOF's *argument*, by contrast, is evaluated once per row, and
+    * lambda-variable reads are O(1); wrapping (scalar, vec) in a 1-element
+    * array and transforming over it makes the whole pipeline O(d).
     */
-  def l2Normalize(vec: Column): Column = {
-    val n = norm(vec)
-    when(n > 0.0, transform(vec, x => (x.cast(DoubleType) / n).cast(FloatType)))
-      .otherwise(vec)
-  }
+  private def bindScalar(scalar: Column, vec: Column)(
+      f: (Column, Column) => Column): Column =
+    element_at(
+      transform(array(struct(scalar.as("s"), vec.as("v"))),
+        b => f(b.getField("s"), b.getField("v"))),
+      1)
+
+  /** L2-normalized copy of the vector (floats); zero vectors pass through
+    * unchanged instead of becoming NaN. The norm is bound once per row
+    * (not recomputed per element — see [[bindScalar]]).
+    */
+  def l2Normalize(vec: Column): Column =
+    bindScalar(norm(vec), vec) { (n, v) =>
+      when(n > 0.0, transform(v, x => (x.cast(DoubleType) / n).cast(FloatType)))
+        .otherwise(v)
+    }
 
   /** Symmetric per-vector int8 quantization: struct(scale float,
     * codes array<tinyint>) with code = round(x / scale), scale =
     * max|x| / 127 — 4x smaller than float32 at ~0.3% cosine error on
     * typical embeddings; the storage/bandwidth format for a 100-TB
     * embedding corpus. Zero vectors quantize to scale 0 + zero codes.
+    * The scale is bound once per row (see [[bindScalar]]).
     */
   def quantizeInt8(vec: Column): Column = {
     val maxAbs = array_max(transform(vec, x => abs(x.cast(DoubleType))))
     val scale = when(maxAbs > 0.0, maxAbs / lit(127.0)).otherwise(lit(0.0))
-    struct(
-      scale.cast(FloatType).as("scale"),
-      transform(vec, x =>
-        when(scale > 0.0, round(x.cast(DoubleType) / scale).cast(ByteType))
-          .otherwise(lit(0).cast(ByteType))).as("codes"))
+    bindScalar(scale, vec) { (s, v) =>
+      struct(
+        s.cast(FloatType).as("scale"),
+        transform(v, x =>
+          when(s > 0.0, round(x.cast(DoubleType) / s).cast(ByteType))
+            .otherwise(lit(0).cast(ByteType))).as("codes"))
+    }
   }
 
-  /** Dequantized float vector from a [[quantizeInt8]] struct. */
+  /** Dequantized float vector from a [[quantizeInt8]] struct. The scale is
+    * bound once per row (see [[bindScalar]]).
+    */
   def dequantizeInt8(q: Column): Column =
-    transform(q.getField("codes"),
-      c => (c.cast(DoubleType) * q.getField("scale").cast(DoubleType)).cast(FloatType))
+    bindScalar(q.getField("scale").cast(DoubleType), q.getField("codes")) {
+      (s, codes) => transform(codes, c => (c.cast(DoubleType) * s).cast(FloatType))
+    }
 
   /** Brute-force cosine top-k: every query row against every corpus row.
     * Use when `queries` is small (it is broadcast). Returns
