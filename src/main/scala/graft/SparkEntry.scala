@@ -63,6 +63,14 @@ object SparkEntry {
   private def r6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Round to 3 decimals — for aggregates over large-magnitude values
+    * (1e5-scale money columns) where different summation orders leave
+    * ~1e-7 absolute noise: a 1e-3 grid still pins 8-9 significant digits
+    * while making a cross-engine boundary flip essentially impossible.
+    */
+  private def r3(v: Double): Double =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   private def flag(b: Boolean): Double = if (b) 1.0 else 0.0
 
   /** Post-process a top-k=5 ANN result (which includes the query row itself
@@ -740,6 +748,133 @@ object SparkEntry {
         "n_queries" -> nQueries.toDouble,
         "ivf_complete_ok" -> flag(nIvf == nBf),
         "ivf_recall_ok" -> flag(nBf == 0 || matched.toDouble / nBf >= 0.8)))
+    }),
+
+    // Profiler -> suggestions path, value-checked end to end: exact profile
+    // statistics (completeness, min/max/mean/stddev, histogram bins + top
+    // ratio, string length bounds, inferred-numeric cast of a string
+    // column) plus 0/1 flags for "the suggested constraint set contains X",
+    // each flag mirrored in DuckDB by the suggestion rule's own trigger
+    // condition evaluated on exact data. The HLL-backed approx-distinct is
+    // audited against an exact countDistinct (q09 pattern).
+    "q41_profile_suggest" -> ((s, dir) => {
+      import graft.profiles.{NumericColumnProfile, StringColumnProfile}
+      val orders = table(s, dir, "orders")
+        .withColumn("okey_str", col("o_orderkey").cast(StringType))
+      val restrict = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority", "okey_str")
+      val result = graft.suggestions.ConstraintSuggestionRunner.run(
+        orders, rules = graft.suggestions.Rules.EXTENDED,
+        restrictToColumns = Some(restrict))
+      val profiles = result.columnProfiles
+      val pTotal = profiles.profiles("o_totalprice").asInstanceOf[NumericColumnProfile]
+      val pStatus = profiles.profiles("o_orderstatus")
+      val pPrio = profiles.profiles("o_orderpriority").asInstanceOf[StringColumnProfile]
+      val pOkeyStr = profiles.profiles("okey_str")
+      val pOkey = profiles.profiles("o_orderkey")
+
+      val exactDistinctOrderkey = orders
+        .agg(countDistinct(col("o_orderkey"))).collect().head.getLong(0)
+
+      def has(colName: String, constraintName: String): Boolean =
+        result.suggestions.getOrElse(colName, Seq.empty)
+          .exists(_.constraintName == constraintName)
+
+      val statusHist = pStatus.histogram.get
+      val statusTopRatio = statusHist.values.values.map(_.ratio).max
+      metricRow(s, Seq(
+        "num_records" -> profiles.numRecords.toDouble,
+        "custkey_completeness" -> profiles.profiles("o_custkey").completeness,
+        "totalprice_min" -> pTotal.minimum.get,
+        "totalprice_max" -> pTotal.maximum.get,
+        "totalprice_mean_r3" -> r3(pTotal.mean.get),
+        "totalprice_stddev_r3" -> r3(pTotal.stdDev.get),
+        "status_hist_bins" -> statusHist.numberOfBins.toDouble,
+        "status_top_ratio_r6" -> r6(statusTopRatio),
+        "prio_min_len" -> pPrio.minLength.get,
+        "prio_max_len" -> pPrio.maxLength.get,
+        "okeystr_inferred_integral" -> flag(pOkeyStr.isDataTypeInferred &&
+          pOkeyStr.dataType == DataTypeInstances.Integral),
+        "okeystr_num_min" ->
+          pOkeyStr.asInstanceOf[NumericColumnProfile].minimum.get,
+        "orderkey_exact_distinct" -> exactDistinctOrderkey.toDouble,
+        "orderkey_approx_ok" -> flag(
+          math.abs(pOkey.approximateNumDistinctValues.toDouble - exactDistinctOrderkey) /
+            exactDistinctOrderkey < 0.05),
+        "sugg_orderkey_unique" -> flag(has("o_orderkey", "UniquenessConstraint")),
+        "sugg_custkey_unique" -> flag(has("o_custkey", "UniquenessConstraint")),
+        "sugg_custkey_complete" -> flag(has("o_custkey", "CompletenessConstraint")),
+        "sugg_status_range" -> flag(has("o_orderstatus", "CategoricalRangeConstraint")),
+        "sugg_totalprice_nonneg" -> flag(has("o_totalprice", "NonNegativeConstraint")),
+        "sugg_totalprice_min" -> flag(has("o_totalprice", "MinimumConstraint")),
+        "sugg_prio_maxlen" -> flag(has("o_orderpriority", "MaxLengthConstraint"))))
+    }),
+
+    // Anomaly detection, value-checked: a deterministic monthly-order-count
+    // series (one injected 3x spike at 2000-10, plus the naturally-truncated
+    // final month) run through OnlineNormal / RelativeRateOfChange /
+    // AbsoluteChange / BatchNormal — each of which DuckDB replicates
+    // closed-form with window functions (running prefix mean/var_pop
+    // mirrors Welford with ignoreAnomalies=false; lag mirrors the change
+    // strategies; training-region aggregates mirror BatchNormal) — plus
+    // HoltWinters contains-flags (BOBYQA fit is not SQL-expressible) and
+    // the repository -> addAnomalyCheck path on the newest month's Size.
+    "q42_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{count => fcount, date_format, date_trunc, when => fwhen}
+      import graft.anomaly._
+      val orders = table(s, dir, "orders")
+      val monthly = orders
+        .groupBy(date_trunc("month", col("o_orderdate")).as("graft_m"))
+        .agg(fcount(lit(1)).as("graft_c"))
+        .withColumn("graft_label", date_format(col("graft_m"), "yyyy-MM"))
+        .withColumn("graft_v", col("graft_c").cast(DoubleType) *
+          fwhen(col("graft_label") === "2000-10", 3.0).otherwise(1.0))
+        .orderBy("graft_m")
+        .select(col("graft_m"), col("graft_label"), col("graft_v"))
+        .collect()
+      val series = monthly.map(_.getDouble(2)).toVector
+      val n = series.length
+      // index of the injected spike, located by calendar label so the
+      // query is scale-factor-independent
+      val spikeIdx = monthly.indexWhere(_.getString(1) == "2000-10")
+
+      val onl = OnlineNormalStrategy(ignoreAnomalies = false).detect(series).map(_._1)
+      val rr = RelativeRateOfChangeStrategy(Some(0.5), Some(2.0)).detect(series).map(_._1)
+      val ab = AbsoluteChangeStrategy(Some(-60.0), Some(60.0)).detect(series).map(_._1)
+      val bn = BatchNormalStrategy().detect(series, (n - 10, n)).map(_._1)
+      val hw = HoltWinters(HoltWinters.SeriesSeasonality.Custom(12))
+        .detect(series, (n - 12, n)).map(_._1).toSet
+
+      // newest month's Size judged against the repository history of all
+      // earlier months (the integration path VerificationSuite drives)
+      val repo = new graft.repository.InMemoryMetricsRepository()
+      series.init.zipWithIndex.foreach { case (v, i) =>
+        repo.save(graft.repository.ResultKey(i.toLong, Map("series" -> "monthly_orders")),
+          graft.runners.AnalyzerContext(Map[AnyAnalyzer, Metric[_]](
+            Size() -> DoubleMetric(Entity.Dataset, "Size", "*", scala.util.Success(v)))))
+      }
+      val lastMonth = monthly.last.getTimestamp(0)
+      val lastSlice = orders.filter(
+        date_trunc("month", col("o_orderdate")) === lit(lastMonth))
+      val checkRes = VerificationSuite().onData(lastSlice)
+        .useRepository(repo)
+        .addAnomalyCheck(OnlineNormalStrategy(ignoreAnomalies = false), Size(),
+          "newest monthly size non-anomalous")
+        .run()
+
+      metricRow(s, Seq(
+        "n_months" -> n.toDouble,
+        "onl_n" -> onl.size.toDouble,
+        "onl_sum_idx" -> onl.sum.toDouble,
+        "rr_n" -> rr.size.toDouble,
+        "rr_sum_idx" -> rr.sum.toDouble,
+        "abs_n" -> ab.size.toDouble,
+        "abs_sum_idx" -> ab.sum.toDouble,
+        "bn_n" -> bn.size.toDouble,
+        "bn_sum_idx" -> bn.sum.toDouble,
+        "hw_spike_ok" -> flag(spikeIdx >= 0 && hw.contains(spikeIdx)),
+        "hw_last_ok" -> flag(hw.contains(n - 1)),
+        "anomaly_check_flagged" -> flag(checkRes.status != CheckStatus.Success)))
     })
   )
 
@@ -1213,6 +1348,106 @@ object SparkEntry {
         |  FROM documents)
         |SELECT sum(CASE WHEN ok THEN 1 ELSE 0 END)::DOUBLE AS valid_rows,
         |       sum(CASE WHEN ok THEN 0 ELSE 1 END)::DOUBLE AS invalid_rows
-        |FROM v""".stripMargin
+        |FROM v""".stripMargin,
+
+    // Suggestion flags mirror each rule's trigger condition on exact data:
+    // unique-if-approximately-unique (|distinct - nonnull|/nonnull < 0.08),
+    // complete-if-complete, categorical range (<=10 categories, no nulls),
+    // non-negative (min >= 0), has-min / has-max-length (column non-empty).
+    // orderkey_approx_ok is the q09-style HLL tolerance flag.
+    "q41_profile_suggest" ->
+      """WITH a AS (
+        |  SELECT count(*)::DOUBLE AS num_records,
+        |         count(o_custkey)::DOUBLE / count(*) AS custkey_completeness,
+        |         min(o_totalprice) AS totalprice_min,
+        |         max(o_totalprice) AS totalprice_max,
+        |         round(avg(o_totalprice), 3) AS totalprice_mean_r3,
+        |         round(stddev_pop(o_totalprice), 3) AS totalprice_stddev_r3,
+        |         count(DISTINCT o_orderstatus)::DOUBLE AS status_hist_bins,
+        |         min(length(o_orderpriority))::DOUBLE AS prio_min_len,
+        |         max(length(o_orderpriority))::DOUBLE AS prio_max_len,
+        |         CASE WHEN count(try_cast(o_orderkey::VARCHAR AS BIGINT)) = count(o_orderkey)
+        |              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS okeystr_inferred_integral,
+        |         min(o_orderkey)::DOUBLE AS okeystr_num_min,
+        |         count(DISTINCT o_orderkey)::DOUBLE AS orderkey_exact_distinct,
+        |         1.0::DOUBLE AS orderkey_approx_ok,
+        |         CASE WHEN abs(count(DISTINCT o_orderkey) - count(o_orderkey))::DOUBLE
+        |                   / count(o_orderkey) < 0.08
+        |              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS sugg_orderkey_unique,
+        |         CASE WHEN abs(count(DISTINCT o_custkey) - count(o_custkey))::DOUBLE
+        |                   / count(o_custkey) < 0.08
+        |              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS sugg_custkey_unique,
+        |         CASE WHEN count(o_custkey) = count(*)
+        |              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS sugg_custkey_complete,
+        |         CASE WHEN count(DISTINCT o_orderstatus) BETWEEN 1 AND 10
+        |                   AND count(o_orderstatus) = count(*)
+        |              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS sugg_status_range,
+        |         CASE WHEN min(o_totalprice) >= 0
+        |              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS sugg_totalprice_nonneg,
+        |         CASE WHEN count(o_totalprice) > 0
+        |              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS sugg_totalprice_min,
+        |         CASE WHEN count(o_orderpriority) > 0
+        |              THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS sugg_prio_maxlen
+        |  FROM orders),
+        |b AS (SELECT max(cnt)::DOUBLE / sum(cnt) AS tr
+        |      FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderstatus))
+        |SELECT a.*, round(b.tr, 6) AS status_top_ratio_r6 FROM a, b""".stripMargin,
+
+    // Window-function mirrors of the driver-side strategies: prefix
+    // avg/var_pop over ROWS UNBOUNDED PRECEDING..1 PRECEDING replicates
+    // Welford with ignoreAnomalies=false (numIgnored = ceil(0.1*n),
+    // count>1 <=> i>=2); lag() replicates the order-1 change strategies;
+    // whole-training aggregates replicate BatchNormal. HoltWinters flags
+    // are literal 1.0 (BOBYQA parameter fitting is not SQL-expressible);
+    // the addAnomalyCheck flag equals "last index is OnlineNormal-flagged".
+    "q42_anomaly" ->
+      """WITH mc AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS c
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT row_number() OVER (ORDER BY m) - 1 AS i,
+        |         c::DOUBLE * (CASE WHEN strftime(m, '%Y-%m') = '2000-10'
+        |                           THEN 3 ELSE 1 END) AS v
+        |  FROM mc),
+        |w AS (
+        |  SELECT i, v,
+        |         avg(v) OVER (ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp,
+        |         var_pop(v) OVER (ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vp,
+        |         lag(v) OVER (ORDER BY i) AS pv,
+        |         count(*) OVER () AS n
+        |  FROM s),
+        |onl AS (
+        |  SELECT i FROM w
+        |  WHERE i >= ceil(0.1 * n) AND i >= 2
+        |    AND (v > mp + 3 * sqrt(vp) OR v < mp - 3 * sqrt(vp))),
+        |rr AS (
+        |  SELECT i FROM w
+        |  WHERE i >= 1 AND (v / pv < 0.5 OR v / pv > 2.0)),
+        |ab AS (
+        |  SELECT i FROM w
+        |  WHERE i >= 1 AND (v - pv < -60.0 OR v - pv > 60.0)),
+        |bt AS (
+        |  SELECT avg(v) AS bm, sqrt(var_pop(v)) AS bs
+        |  FROM w WHERE i < (SELECT n - 10 FROM w LIMIT 1)),
+        |bn AS (
+        |  SELECT w.i FROM w, bt
+        |  WHERE w.i >= w.n - 10
+        |    AND (w.v > bt.bm + 3 * bt.bs OR w.v < bt.bm - 3 * bt.bs))
+        |SELECT (SELECT max(n) FROM w)::DOUBLE AS n_months,
+        |       (SELECT count(*) FROM onl)::DOUBLE AS onl_n,
+        |       (SELECT coalesce(sum(i), 0) FROM onl)::DOUBLE AS onl_sum_idx,
+        |       (SELECT count(*) FROM rr)::DOUBLE AS rr_n,
+        |       (SELECT coalesce(sum(i), 0) FROM rr)::DOUBLE AS rr_sum_idx,
+        |       (SELECT count(*) FROM ab)::DOUBLE AS abs_n,
+        |       (SELECT coalesce(sum(i), 0) FROM ab)::DOUBLE AS abs_sum_idx,
+        |       (SELECT count(*) FROM bn)::DOUBLE AS bn_n,
+        |       (SELECT coalesce(sum(i), 0) FROM bn)::DOUBLE AS bn_sum_idx,
+        |       1.0::DOUBLE AS hw_spike_ok,
+        |       1.0::DOUBLE AS hw_last_ok,
+        |       CASE WHEN EXISTS (SELECT 1 FROM onl, w
+        |                         WHERE onl.i = w.n - 1)
+        |            THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS anomaly_check_flagged""".stripMargin
   )
 }
