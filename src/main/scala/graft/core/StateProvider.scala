@@ -146,7 +146,7 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
       case _: DataTypeAnalyzer =>
         withInput(s"$base.bin")(i => DataTypeState(
           i.readLong(), i.readLong(), i.readLong(), i.readLong(), i.readLong()))
-      case _: graft.sketch.KLLSketchAnalyzer =>
+      case _: graft.sketch.KLLSketchAnalyzer | _: ApproxQuantile | _: ApproxQuantiles =>
         withInput(s"$base.bin") { i =>
           val len = i.readInt(); val bytes = new Array[Byte](len); i.readFully(bytes)
           graft.sketch.KLLState(graft.sketch.KLLSketch.deserialize(bytes))

@@ -161,37 +161,43 @@ case class ExactQuantile(column: String, quantile: Double, where: Option[String]
     state.values.head
 }
 
-/** Approximate quantile via `percentile_approx`
-  * (reference capability: analyzers/ApproxQuantile.scala:50).
+/** Approximate quantile with a MERGEABLE serialized-sketch state: the
+  * fused-scan slot aggregates a KLL sketch (graft.sketch.KLLAggregator),
+  * so the state unions losslessly across partitions/days/shards and
+  * participates in `aggregateWith`/`runOnAggregatedStates`/persistence —
+  * unlike `percentile_approx`, whose digest Spark never exposes
+  * (reference capability: analyzers/ApproxQuantile.scala:50 +
+  * catalyst/StatefulApproxQuantile.scala:29-125).
   */
 case class ApproxQuantile(column: String, quantile: Double,
     relativeError: Double = 0.01, where: Option[String] = None)
-    extends DoubleResultScanAnalyzer[ExactQuantileState]("ApproxQuantile", column) {
+    extends DoubleResultScanAnalyzer[graft.sketch.KLLState]("ApproxQuantile", column) {
 
   require(quantile >= 0.0 && quantile <= 1.0, "quantile must be in [0, 1]")
 
   override def preconditions: Seq[StructType => Unit] =
     hasColumn(column) :: isNumeric(column) :: Nil
 
-  private def accuracy: Int = math.max(100, math.ceil(1.0 / relativeError).toInt)
-
   override def aggregationFunctions(): Seq[Column] =
-    percentile_approx(conditionalSelection(col(column), where), lit(quantile), lit(accuracy))
-      .cast(DoubleType) :: Nil
+    graft.sketch.KLLAggregator.sketchBytes(
+      conditionalSelection(col(column), where).cast(DoubleType),
+      graft.sketch.KLLAggregator.sketchSizeFor(relativeError)) :: Nil
 
-  override def fromAggregationResult(result: Row, offset: Int): Option[ExactQuantileState] =
-    doubleAt(result, offset).map(v => ExactQuantileState(Seq(v), name))
+  override def fromAggregationResult(result: Row, offset: Int): Option[graft.sketch.KLLState] =
+    graft.sketch.KLLAggregator.stateAt(result, offset)
 
-  override protected def valueFromState(state: ExactQuantileState): Double =
-    state.values.head
+  override protected def valueFromState(state: graft.sketch.KLLState): Double =
+    state.sketch.quantile(quantile)
 }
 
-/** Many approximate quantiles from one digest, keyed metric output
-  * (reference capability: analyzers/ApproxQuantiles.scala:39).
+/** Many approximate quantiles from ONE mergeable sketch state, keyed
+  * metric output (reference capability: analyzers/ApproxQuantiles.scala:39).
+  * Shares its aggregation slot with same-parameter [[ApproxQuantile]]s via
+  * Catalyst's semantic aggregate dedup.
   */
 case class ApproxQuantiles(column: String, quantiles: Seq[Double],
     relativeError: Double = 0.01, where: Option[String] = None)
-    extends ScanShareableAnalyzer[ExactQuantileState, KeyedDoubleMetric] {
+    extends ScanShareableAnalyzer[graft.sketch.KLLState, KeyedDoubleMetric] {
 
   val name = "ApproxQuantiles"
   val entity: Entity = Entity.Column
@@ -200,21 +206,18 @@ case class ApproxQuantiles(column: String, quantiles: Seq[Double],
   override def preconditions: Seq[StructType => Unit] =
     hasColumn(column) :: isNumeric(column) :: Nil
 
-  private def accuracy: Int = math.max(100, math.ceil(1.0 / relativeError).toInt)
-
   override def aggregationFunctions(): Seq[Column] =
-    percentile_approx(
-      conditionalSelection(col(column), where),
-      array(quantiles.map(lit): _*), lit(accuracy)).cast(ArrayType(DoubleType)) :: Nil
+    graft.sketch.KLLAggregator.sketchBytes(
+      conditionalSelection(col(column), where).cast(DoubleType),
+      graft.sketch.KLLAggregator.sketchSizeFor(relativeError)) :: Nil
 
-  override def fromAggregationResult(result: Row, offset: Int): Option[ExactQuantileState] =
-    if (result.isNullAt(offset)) None
-    else Some(ExactQuantileState(result.getSeq[Double](offset), name))
+  override def fromAggregationResult(result: Row, offset: Int): Option[graft.sketch.KLLState] =
+    graft.sketch.KLLAggregator.stateAt(result, offset)
 
-  override def computeMetricFrom(state: Option[ExactQuantileState]): KeyedDoubleMetric =
+  override def computeMetricFrom(state: Option[graft.sketch.KLLState]): KeyedDoubleMetric =
     state match {
       case Some(s) =>
-        val kv = quantiles.map(_.toString).zip(s.values).toMap
+        val kv = quantiles.map(q => q.toString -> s.sketch.quantile(q)).toMap
         KeyedDoubleMetric(entity, name, instance, Success(kv))
       case None =>
         KeyedDoubleMetric(entity, name, instance,

@@ -240,7 +240,7 @@ class RepositoryAnomalySpec extends AnyWordSpec with Matchers with SparkSpec {
       val provider = new HdfsStateProvider(spark, s"$tmp/state")
       val analyzers: Seq[AnyAnalyzer] = Seq(
         Size(), Mean("l_quantity"), ApproxCountDistinct("l_partkey"),
-        Uniqueness(Seq("l_orderkey")))
+        Uniqueness(Seq("l_orderkey")), ApproxQuantile("l_extendedprice", 0.5))
 
       AnalysisRunner.runStateful(df, analyzers, saveStatesWith = Some(provider))
       val restored = AnalysisRunner.runOnAggregatedStates(analyzers, Seq(provider))

@@ -141,6 +141,46 @@ class StateMergeLawsSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "approx-quantile sketch merge" should {
+    "keep the merged median within epsilon of the whole-data exact median" in {
+      forAll(doubles, doubles, n = 6) { (a: List[Double], b: List[Double]) =>
+        val all = a ++ b
+        if (all.size >= 10) {
+          val analyzer = ApproxQuantile("v", 0.5)
+          val sa = analyzer.computeStateFrom(df(a))
+          val sb = analyzer.computeStateFrom(df(b))
+          val merged = (sa, sb) match {
+            case (Some(x), Some(y)) => Some(x.merge(y))
+            case (x, y) => x.orElse(y)
+          }
+          val m = analyzer.computeMetricFrom(merged).value.get
+          // epsilon in RANK: the merged estimate must sit within 10% of the
+          // true rank in the sorted union (KLL guarantees rank error, not
+          // value error). Ties make a value's rank an interval
+          // [count(<m), count(<=m)] — the interval must overlap [0.4, 0.6].
+          val n = all.size.toDouble
+          val lowRank = all.count(_ < m) / n
+          val highRank = all.count(_ <= m) / n
+          lowRank should be <= 0.60
+          highRank should be >= 0.40
+        }
+      }
+    }
+
+    "merge keyed quantiles and agree with the single-pass metric" in {
+      val a = (1 to 4000).map(_.toDouble)
+      val b = (4001 to 10000).map(_.toDouble)
+      val analyzer = ApproxQuantiles("v", Seq(0.25, 0.5, 0.75))
+      val sa = analyzer.computeStateFrom(df(a)).get
+      val sb = analyzer.computeStateFrom(df(b)).get
+      val merged = analyzer.computeMetricFrom(Some(sa.merge(sb))).value.get
+      merged.keySet shouldBe Set("0.25", "0.5", "0.75")
+      merged("0.25") shouldBe 2500.0 +- 250.0
+      merged("0.5") shouldBe 5000.0 +- 500.0
+      merged("0.75") shouldBe 7500.0 +- 750.0
+    }
+  }
+
   "runStateful with a provider" should {
     "equal a single run over the concatenation" in {
       val s = spark
