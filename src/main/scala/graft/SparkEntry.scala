@@ -529,13 +529,19 @@ object SparkEntry {
     // bounded id-subset (= the whole table at sf0.01) + a recall flag for the
     // multi-table LSH path. Threshold 0.42 sits inside the data's cosine
     // range (max pair ~0.51; nothing near 0.95, which made the old query
-    // vacuous). 4 planes x 24 tables: P(candidate) at cos 0.42 ~ 0.99.
+    // vacuous). planes/numTables are now DERIVED from the corpus count via
+    // Similarity.lshParamsFor (capacity under the bucket cap + enough
+    // OR-amplification tables for >= 0.98 candidate probability at the
+    // threshold) — the r2 fixed planes=4 silently lost recall above ~16k
+    // rows/table.
     "q32_embedding_neardup" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val subN = 500L
       val thr = 0.42
+      val (planes, tables) = Similarity.lshParamsFor(
+        emb.count(), thr, targetRecall = 0.98)
       val engine = Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding",
-          threshold = thr, planes = 4, numTables = 24)
+          threshold = thr, planes = planes, numTables = tables)
         .filter(col("id_a") < subN && col("id_b") < subN)
         .select("id_a", "id_b")
       val sub = emb.filter(col("vec_id") < subN)

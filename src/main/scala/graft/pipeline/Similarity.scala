@@ -166,6 +166,58 @@ object Similarity {
       .select("query_id", "neighbor_id", "similarity", "rank")
   }
 
+  /** Named-observation channel for the LSH bucket cap: every
+    * [[cosinePairsLsh]] run reports `excluded_rows` (rows the cap dropped
+    * across all tables — nonzero means the parameterization is losing
+    * recall silently) and `banded_rows` (rows entering the cap) under an
+    * observation named `graft_lsh_cap_<n>`. Read them from
+    * `QueryExecution.observedMetrics` or a `QueryExecutionListener`; names
+    * are unique per call so several LSH passes in one plan don't collide.
+    */
+  object LshCapObservation {
+    val Prefix = "graft_lsh_cap_"
+    private val counter = new java.util.concurrent.atomic.AtomicLong()
+    private[pipeline] def nextName(): String = Prefix + counter.incrementAndGet()
+  }
+
+  /** Smallest plane count whose bucket grid can hold the whole corpus
+    * under the cap, with 2x headroom for non-uniform bucket occupancy:
+    * 2^planes * maxBucketSize >= 2 * corpusSize. Below this, the cap
+    * uniformly excludes rows no matter how the data distributes
+    * ([[cosinePairsLsh]]'s "SIZE the parameters" contract, made
+    * computable).
+    */
+  def planesFor(corpusSize: Long, maxBucketSize: Int = 1000): Int = {
+    require(corpusSize >= 0 && maxBucketSize > 0)
+    val needed = math.ceil(
+      math.log(math.max(2.0 * corpusSize / maxBucketSize, 1.0)) / math.log(2.0)).toInt
+    math.max(1, needed)
+  }
+
+  /** (planes, numTables) sized for a corpus: planes from [[planesFor]]
+    * (capacity), then enough OR-amplification tables that a pair at
+    * exactly `threshold` becomes a candidate with probability >=
+    * `targetRecall`: with p = 1 - acos(threshold)/pi per plane,
+    * P(candidate) = 1 - (1 - p^planes)^numTables. Tables are capped at 512
+    * — beyond that the threshold/corpus combination needs a different
+    * algorithm (more probes or higher threshold), not more tables.
+    */
+  def lshParamsFor(
+      corpusSize: Long,
+      threshold: Double,
+      targetRecall: Double = 0.95,
+      maxBucketSize: Int = 1000): (Int, Int) = {
+    require(targetRecall > 0.0 && targetRecall < 1.0, "targetRecall must be in (0, 1)")
+    val planes = planesFor(corpusSize, maxBucketSize)
+    val p = 1.0 - math.acos(math.min(math.max(threshold, -1.0), 1.0)) / math.Pi
+    val pPlanes = math.pow(p, planes)
+    val tables =
+      if (pPlanes >= 1.0) 1
+      else if (pPlanes <= 0.0) 512
+      else math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pPlanes)).toInt
+    (planes, math.min(math.max(tables, 1), 512))
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplane component for
     * (table, plane, dimension): hash mapped to [-1, 1). Shared by signature
     * computation on both sides of any join — no stored model needed.
@@ -226,6 +278,12 @@ object Similarity {
       .orderBy(xxhash64(col("graft_id")), col("graft_id"))
     val capped = banded
       .withColumn("graft_bn", row_number().over(wBucket))
+      // surface what the cap silently drops: a mis-sized `planes` for the
+      // corpus otherwise loses recall with no signal (see LshCapObservation)
+      .observe(LshCapObservation.nextName(),
+        sum(when(col("graft_bn") > maxBucketSize, 1L).otherwise(0L))
+          .as("excluded_rows"),
+        count(lit(1)).as("banded_rows"))
       .filter(col("graft_bn") <= maxBucketSize)
       .drop("graft_bn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -330,6 +330,61 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "LSH scale guards" should {
+    "size planes and tables to the corpus and threshold" in {
+      // capacity: 2^planes * maxBucketSize >= 2 * corpus
+      Similarity.planesFor(100, 1000) shouldBe 1
+      Similarity.planesFor(4000, 1000) shouldBe 3
+      Similarity.planesFor(1000000, 1000) shouldBe 11
+      // more corpus -> more planes; higher recall target -> more tables
+      val (p1, t1) = Similarity.lshParamsFor(4000, 0.42, targetRecall = 0.95)
+      val (p2, t2) = Similarity.lshParamsFor(4000, 0.42, targetRecall = 0.99)
+      p1 shouldBe 3
+      p2 shouldBe 3
+      t2 should be > t1
+      val (p3, _) = Similarity.lshParamsFor(4000000, 0.42)
+      p3 should be > p1
+      // tighter thresholds collide more -> need fewer tables
+      val (_, tTight) = Similarity.lshParamsFor(4000, 0.9, targetRecall = 0.95)
+      tTight should be < t1
+    }
+
+    "report bucket-cap exclusions via a named observation" in {
+      val s = spark
+      import s.implicits._
+      // 300 identical-direction vectors: every table hashes them into ONE
+      // bucket, so a cap of 50 must exclude 250 rows and say so
+      val df = (0 until 300).map(i => (i.toLong, Array.fill(8)(1.0f)))
+        .toDF("id", "vec")
+      val observed = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.Row]
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          observed.synchronized { observed ++= qe.observedMetrics }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        Similarity.cosinePairsLsh(df, "id", "vec", threshold = 0.99,
+          planes = 2, numTables = 1, maxBucketSize = 50).count()
+        def capRows = observed.synchronized {
+          observed.collect {
+            case (name, row) if name.startsWith(Similarity.LshCapObservation.Prefix) => row
+          }.toSeq
+        }
+        val deadline = System.currentTimeMillis() + 15000
+        while (capRows.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        val row = capRows.head
+        row.getAs[Long]("excluded_rows") shouldBe 250L
+        row.getAs[Long]("banded_rows") shouldBe 300L
+      } finally {
+        spark.listenerManager.unregister(listener)
+      }
+    }
+  }
+
   "internal caches" should {
     "be released after the returned pairs are consumed" in {
       val sc = spark.sparkContext
