@@ -425,14 +425,17 @@ object SparkEntry {
           |  ZerosCount "o_totalprice" = 0,
           |  DistinctValuesCount "o_orderpriority" = 5,
           |  RowCount between min(last(1)) * 0.9 and max(last(1)) * 1.1,
-          |  Mean "o_totalprice" <= avg(last(1)) * 1.5
+          |  Mean "o_totalprice" <= avg(last(1)) * 1.5,
+          |  ColumnNamesMatchPattern "o_",
+          |  ColumnNamesMatchPattern "^nope$"
           |],
           |Analyzers = [ Mean "o_totalprice", Completeness "o_orderkey" ]""".stripMargin,
         repository = Some(repo))
       val flags = outcome.collect().map(r => if (r.getString(1) == "Passed") 1.0 else 0.0)
       metricRow(s, Seq("rowcount", "iscomplete", "in_set", "between", "mean",
         "uniqueness", "zeros", "distinct_count",
-        "dynamic_rowcount", "dynamic_mean").zip(flags))
+        "dynamic_rowcount", "dynamic_mean",
+        "colnames_contains", "colnames_nomatch").zip(flags))
     }),
 
     // brute-force ANN: exact, fully value-checked — DuckDB reproduces the
@@ -1278,7 +1281,13 @@ object SparkEntry {
         |       (SELECT CASE WHEN sum(CASE WHEN o_totalprice = 0 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END::DOUBLE FROM orders) AS zeros,
         |       (SELECT CASE WHEN count(DISTINCT o_orderpriority) = 5 THEN 1 ELSE 0 END::DOUBLE FROM orders) AS distinct_count,
         |       (SELECT CASE WHEN count(*) > 0.9 * count(*) AND count(*) < 1.1 * count(*) THEN 1 ELSE 0 END::DOUBLE FROM orders) AS dynamic_rowcount,
-        |       (SELECT CASE WHEN avg(o_totalprice) <= 1.5 * avg(o_totalprice) THEN 1 ELSE 0 END::DOUBLE FROM orders) AS dynamic_mean""".stripMargin,
+        |       (SELECT CASE WHEN avg(o_totalprice) <= 1.5 * avg(o_totalprice) THEN 1 ELSE 0 END::DOUBLE FROM orders) AS dynamic_mean,
+        |       (SELECT CASE WHEN count(*) = 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+        |          FROM (DESCRIBE SELECT * FROM orders)
+        |          WHERE NOT regexp_matches(column_name, 'o_')) AS colnames_contains,
+        |       (SELECT CASE WHEN count(*) = 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+        |          FROM (DESCRIBE SELECT * FROM orders)
+        |          WHERE NOT regexp_matches(column_name, '^nope$')) AS colnames_nomatch""".stripMargin,
 
     "q28_histogram_binned" ->
       """WITH b AS (SELECT least(greatest(floor(l_quantity / 10)::INT + 1, 1), 5) AS bin

@@ -443,13 +443,21 @@ object DqdlParser {
     case BinOp(op, l, r) =>
       val lv = scalar(l, history)
       val rv = scalar(r, history)
-      Seq(op match {
+      val v = op match {
         case "*" => lv * rv
         case "+" => lv + rv
         case "-" => lv - rv
         case "/" => lv / rv
         case other => throw new DqdlParseException(s"Unknown operator '$other'")
-      })
+      }
+      // a /0 would otherwise yield an Infinity/NaN threshold that fails
+      // every comparison with no diagnostic — fail loudly at resolve time
+      if (v.isNaN || v.isInfinite) {
+        throw new DqdlParseException(
+          s"Dynamic expression ${renderExpr(e)} evaluates to $v " +
+            "(division by zero?) — thresholds must be finite")
+      }
+      Seq(v)
   }
 
   private def scalar(e: NumExpr, history: Seq[Double]): Double =

@@ -162,7 +162,24 @@ object EvaluateDataQuality {
     case CompositeRule(op, l, r) =>
       CompositeCompiled(op,
         compile(l, data, sources, history), compile(r, data, sources, history))
-    case leaf: LeafRule => compileLeaf(leaf, data, sources, history)
+    case leaf: LeafRule =>
+      val usesDynamic = leaf.condition.exists {
+        case _: DynamicNumericCondition | _: DynamicBetweenCondition => true
+        case _ => false
+      }
+      try compileLeaf(leaf, data, sources, history)
+      catch {
+        // a dynamic threshold that cannot be resolved (empty history,
+        // non-finite expression) fails THIS rule with its reason instead of
+        // aborting the whole ruleset — reference behavior: the single rule
+        // is marked failed (dqdl/execution/DQDLExecutor.scala handles
+        // per-rule failures the same way)
+        case e: DqdlParseException if usesDynamic =>
+          val rendered = leaf.render
+          val reason = Option(e.getMessage).getOrElse(e.toString)
+          ImmediateRule(rendered,
+            () => RuleOutcome(rendered, passed = false, Some(reason), None))
+      }
   }
 
   /** Metrics for the compute-only `Analyzers = [...]` section: one row per
@@ -401,7 +418,10 @@ object EvaluateDataQuality {
         val re = param(0).r
         immediate {
           val cols = data.columns
-          val matched = cols.count(n => re.pattern.matcher(n).matches())
+          // CONTAINS-a-match semantics, not full-match (reference:
+          // dqdl/execution/executors/ColumnNamesMatchPatternExecutor
+          // .scala:38 uses findAllMatchIn — anchor explicitly for exact)
+          val matched = cols.count(n => re.findFirstIn(n).isDefined)
           val ratio = if (cols.isEmpty) 1.0 else matched.toDouble / cols.length
           (ratio == 1.0, Some(ratio))
         }

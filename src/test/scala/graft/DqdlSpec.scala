@@ -6,6 +6,7 @@ import org.scalatest.wordspec.AnyWordSpec
 import graft.dqdl.DqdlParser
 import graft.dqdl.DqdlParser._
 import graft.dqdl.EvaluateDataQuality
+import graft.repository.{InMemoryMetricsRepository, ResultKey}
 
 class DqdlSpec extends AnyWordSpec with Matchers with SparkSpec {
 
@@ -182,6 +183,49 @@ class DqdlSpec extends AnyWordSpec with Matchers with SparkSpec {
       an[IllegalArgumentException] should be thrownBy
         EvaluateDataQuality.process(orders,
           """Rules = [ RowCount > avg(last(3)) ]""")
+    }
+
+    "contain a dynamic-resolution failure to its own rule" in {
+      // empty repository: the dynamic rule has no history to resolve
+      // against and must fail ALONE — the static rules still evaluate
+      val repo = new InMemoryMetricsRepository
+      val out = EvaluateDataQuality.process(orders,
+        """Rules = [
+          |  RowCount > 0,
+          |  Mean "o_total" > avg(last(3)),
+          |  IsComplete "o_id"
+          |]""".stripMargin,
+        repository = Some(repo)).collect()
+      out.length shouldBe 3
+      out(0).getString(1) shouldBe "Passed"
+      out(1).getString(1) shouldBe "Failed"
+      out(1).getString(2) should include("history")
+      out(2).getString(1) shouldBe "Passed"
+    }
+
+    "reject a non-finite dynamic threshold (division by zero) per rule" in {
+      val repo = new InMemoryMetricsRepository
+      EvaluateDataQuality.process(orders,
+        """Rules = [ RowCount > 0 ]""",
+        repository = Some(repo), saveResultsKey = Some(ResultKey(1L)))
+      val out = EvaluateDataQuality.process(orders,
+        """Rules = [ RowCount > 0, RowCount > avg(last(1)) / 0 ]""",
+        repository = Some(repo)).collect()
+      out(0).getString(1) shouldBe "Passed"
+      out(1).getString(1) shouldBe "Failed"
+      out(1).getString(2) should include("finite")
+    }
+
+    "pass ColumnNamesMatchPattern on a contains-match like the reference" in {
+      // all columns CONTAIN "o_" but none equals it - contains semantics
+      // must pass, and an impossible anchor must fail
+      val out = EvaluateDataQuality.process(orders,
+        """Rules = [
+          |  ColumnNamesMatchPattern "o_",
+          |  ColumnNamesMatchPattern "^nope$"
+          |]""".stripMargin).collect()
+      out(0).getString(1) shouldBe "Passed"
+      out(1).getString(1) shouldBe "Failed"
     }
 
     "compute the Analyzers section as metrics sharing the rules' scan" in {
