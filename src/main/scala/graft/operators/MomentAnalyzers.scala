@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.util.Success
 
-import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -140,6 +140,56 @@ trait SharedPercentiles { self: ScanShareableAnalyzer[_, _] =>
   final def percentileKey: (String, Option[String]) = (column, where)
 }
 
+/** Executor-memory guard for the exact-percentile family: Spark's built-in
+  * `percentile` buffers EVERY (value, count) of the column in one
+  * aggregation buffer, so a hot column at 100x scale is a genuine OOM risk
+  * the plan itself cannot bound (the reference has the identical exposure
+  * and no guard). Before the fused scan runs, the rows each percentile
+  * buffer would hold are counted in ONE cheap codegen job; any (column,
+  * where) over [[maxBufferedRows]] fails fast with a clear pointer to the
+  * bounded alternatives (ApproxQuantile's mergeable KLL sketch, ~1% rank
+  * error at the default size) instead of taking down an executor
+  * mid-scan. Set [[maxBufferedRows]] to 0 to disable the guard (and the
+  * guard job) entirely.
+  */
+object ExactQuantileGuard {
+
+  /** 50M doubles ~ 800 MB of boxed (value, count) map entries per buffer —
+    * past any sane executor budget once a few columns run together.
+    */
+  @volatile var maxBufferedRows: Long = 50L * 1000 * 1000
+
+  class BudgetExceededException(message: String)
+      extends MetricCalculationException(message)
+
+  /** (column, where) keys whose buffered-value count exceeds the budget,
+    * with their counts. One aggregation job for ALL keys; no job when the
+    * guard is disabled or no percentile analyzers are present.
+    */
+  def overBudget(
+      data: org.apache.spark.sql.DataFrame,
+      percentiles: Seq[SharedPercentiles]): Map[(String, Option[String]), Long] = {
+    val limit = maxBufferedRows
+    if (limit <= 0 || percentiles.isEmpty) return Map.empty
+    val keys = percentiles.map(_.percentileKey).distinct
+    val counts = data.agg(
+      count(conditionalSelection(col(keys.head._1), keys.head._2)),
+      keys.tail.map(k => count(conditionalSelection(col(k._1), k._2))): _*)
+      .collect().head
+    keys.zipWithIndex.collect {
+      case (k, i) if counts.getLong(i) > limit => k -> counts.getLong(i)
+    }.toMap
+  }
+
+  def failure(key: (String, Option[String]), buffered: Long): Throwable =
+    new BudgetExceededException(
+      s"Exact percentile on column '${key._1}'${key._2.map(w => s" (where $w)").getOrElse("")} " +
+        s"would buffer $buffered values in a single aggregation buffer " +
+        s"(limit: ${maxBufferedRows}). Use ApproxQuantile/ApproxQuantiles " +
+        "(mergeable KLL sketch, bounded memory, ~1% rank error) or raise " +
+        "ExactQuantileGuard.maxBufferedRows.")
+}
+
 case class ExactQuantile(column: String, quantile: Double, where: Option[String] = None)
     extends DoubleResultScanAnalyzer[ExactQuantileState]("ExactQuantile", column)
     with SharedPercentiles {
@@ -153,6 +203,14 @@ case class ExactQuantile(column: String, quantile: Double, where: Option[String]
 
   override def aggregationFunctions(): Seq[Column] =
     percentile(conditionalSelection(col(column), where), lit(quantile)) :: Nil
+
+  // standalone path runs the same buffered-rows guard as the fused runner
+  override def computeStateFrom(data: DataFrame): Option[ExactQuantileState] = {
+    ExactQuantileGuard.overBudget(data, Seq(this)).foreach {
+      case (k, n) => throw ExactQuantileGuard.failure(k, n)
+    }
+    super.computeStateFrom(data)
+  }
 
   override def fromAggregationResult(result: Row, offset: Int): Option[ExactQuantileState] =
     doubleAt(result, offset).map(v => ExactQuantileState(Seq(v), name))
@@ -242,6 +300,14 @@ case class InterquartileRange(column: String, where: Option[String] = None)
   override def aggregationFunctions(): Seq[Column] = Seq(
     percentile(conditionalSelection(col(column), where), lit(0.25)),
     percentile(conditionalSelection(col(column), where), lit(0.75)))
+
+  // standalone path runs the same buffered-rows guard as the fused runner
+  override def computeStateFrom(data: DataFrame): Option[ExactQuantileState] = {
+    ExactQuantileGuard.overBudget(data, Seq(this)).foreach {
+      case (k, n) => throw ExactQuantileGuard.failure(k, n)
+    }
+    super.computeStateFrom(data)
+  }
 
   override def fromAggregationResult(result: Row, offset: Int): Option[ExactQuantileState] =
     for {

@@ -218,30 +218,48 @@ object AnalysisRunner {
     : Map[AnyAnalyzer, Metric[_]] = {
 
     try {
-      // fuse exact-percentile requests per (column, where): all quantiles
-      // on a column share ONE percentile buffer (Catalyst dedups the
-      // identical aggregate), instead of one full value buffer per quantile
-      val quantilesByKey: Map[(String, Option[String]), Seq[Double]] = analyzers
-        .collect { case s: graft.operators.SharedPercentiles => s }
-        .groupBy(_.percentileKey)
-        .map { case (k, ss) =>
-          k -> ss.flatMap(_.requestedQuantiles).distinct.sorted
-        }
-      def aggsFor(a: AnyScanAnalyzer): Seq[org.apache.spark.sql.Column] = a match {
-        case s: graft.operators.SharedPercentiles =>
-          s.aggregationFunctionsFused(quantilesByKey(s.percentileKey))
-        case other => other.aggregationFunctions()
+      // executor-memory guard BEFORE the scan: exact-percentile buffers
+      // over budget fail fast as per-analyzer metrics (one cheap count job
+      // across all keys, only when such analyzers are present — see
+      // ExactQuantileGuard); everything else still runs fused
+      val over = graft.operators.ExactQuantileGuard.overBudget(data,
+        analyzers.collect { case s: graft.operators.SharedPercentiles => s })
+      val (guarded, runnable) = analyzers.partition {
+        case s: graft.operators.SharedPercentiles => over.contains(s.percentileKey)
+        case _ => false
       }
-      val aggregations = analyzers.flatMap(aggsFor)
-      val offsets = analyzers.map(aggsFor(_).length)
-        .scanLeft(0)(_ + _)
-      val row: Row = data.agg(aggregations.head, aggregations.tail: _*).collect().head
-      analyzers.zip(offsets).map { case (a, offset) =>
-        val metric: Metric[_] =
-          try a.metricFromAggregationResult(row, offset)
-          catch { case e: Throwable => a.toFailureMetric(e) }
-        (a: AnyAnalyzer) -> metric
+      val guardedMetrics = guarded.map { a =>
+        val s = a.asInstanceOf[graft.operators.SharedPercentiles]
+        (a: AnyAnalyzer) -> (a.toFailureMetric(graft.operators.ExactQuantileGuard
+          .failure(s.percentileKey, over(s.percentileKey))): Metric[_])
       }.toMap
+      if (runnable.isEmpty) guardedMetrics
+      else {
+        // fuse exact-percentile requests per (column, where): all quantiles
+        // on a column share ONE percentile buffer (Catalyst dedups the
+        // identical aggregate), instead of one full value buffer per quantile
+        val quantilesByKey: Map[(String, Option[String]), Seq[Double]] = runnable
+          .collect { case s: graft.operators.SharedPercentiles => s }
+          .groupBy(_.percentileKey)
+          .map { case (k, ss) =>
+            k -> ss.flatMap(_.requestedQuantiles).distinct.sorted
+          }
+        def aggsFor(a: AnyScanAnalyzer): Seq[org.apache.spark.sql.Column] = a match {
+          case s: graft.operators.SharedPercentiles =>
+            s.aggregationFunctionsFused(quantilesByKey(s.percentileKey))
+          case other => other.aggregationFunctions()
+        }
+        val aggregations = runnable.flatMap(aggsFor)
+        val offsets = runnable.map(aggsFor(_).length)
+          .scanLeft(0)(_ + _)
+        val row: Row = data.agg(aggregations.head, aggregations.tail: _*).collect().head
+        guardedMetrics ++ runnable.zip(offsets).map { case (a, offset) =>
+          val metric: Metric[_] =
+            try a.metricFromAggregationResult(row, offset)
+            catch { case e: Throwable => a.toFailureMetric(e) }
+          (a: AnyAnalyzer) -> metric
+        }.toMap
+      }
     } catch {
       case _: Throwable =>
         // one malformed aggregation must not poison the whole fused scan:

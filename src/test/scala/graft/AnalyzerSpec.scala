@@ -189,6 +189,34 @@ class AnalyzerSpec extends AnyWordSpec with Matchers with SparkSpec {
       metricValue(ctx.metric(Uniqueness(Seq("name"))).get) shouldBe 4.0 / 6.0
     }
 
+    "fail exact percentiles fast when the value buffer would exceed budget" in {
+      val prev = ExactQuantileGuard.maxBufferedRows
+      try {
+        ExactQuantileGuard.maxBufferedRows = 3L  // df has 6 rows
+        // fused-runner path: the guarded analyzer fails with the budget
+        // message, everything else in the same run still succeeds
+        val ctx = graft.runners.AnalysisRunner.run(df,
+          Seq[AnyAnalyzer](Size(), ExactQuantile("id", 0.5), Mean("id")))
+        metricValue(ctx.metric(Size()).get) shouldBe 6.0
+        metricValue(ctx.metric(Mean("id")).get) shouldBe 3.5
+        val failed = ctx.metric(ExactQuantile("id", 0.5)).get.value
+        failed.isFailure shouldBe true
+        failed.failed.get.getMessage should include("ApproxQuantile")
+        // standalone path guards identically
+        val direct = ExactQuantile("id", 0.5).calculate(df)
+        direct.value.isFailure shouldBe true
+        direct.value.failed.get.getMessage should include("buffer")
+        // a where-clause under the budget is NOT blocked
+        ExactQuantile("id", 0.5, where = Some("id <= 2"))
+          .calculate(df).value.get shouldBe 1.5 +- 1e-9
+        // disabled guard (0) lets the full column through again
+        ExactQuantileGuard.maxBufferedRows = 0L
+        ExactQuantile("id", 0.5).calculate(df).value.get shouldBe 3.5 +- 1e-9
+      } finally {
+        ExactQuantileGuard.maxBufferedRows = prev
+      }
+    }
+
     "merge mergeable states correctly (partition + merge == full)" in {
       val left = df.filter("id <= 3")
       val right = df.filter("id > 3")
