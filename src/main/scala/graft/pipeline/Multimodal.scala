@@ -99,10 +99,104 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Feature schema produced per audio item by [[withAudioFeatures]]. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("feature_vec", ArrayType(FloatType), nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("frames", LongType, nullable = false),
+    StructField("duration_ms", DoubleType, nullable = false),
+    StructField("audio_format", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/RIFF, AU,
+    * AIFF — whatever the installed providers read): true sample rate,
+    * channel count, frame count, duration, and a `dim`-point RMS loudness
+    * envelope over the PCM samples as the feature vector. Returns None for
+    * payloads no provider accepts (video, garbage) or non-PCM encodings —
+    * only video remains on the stub path. Memory is bounded by the payload
+    * itself (the PCM read never exceeds the in-memory byte array).
+    */
+  private[pipeline] def decodeAudio(bytes: Array[Byte], dim: Int = 16)
+    : Option[(Array[Float], Float, Int, Long, Double, String)] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (bytes == null || bytes.length < 12) return None
+    try {
+      val fileFormat = AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val typeName = fileFormat.getType.toString.toLowerCase(java.util.Locale.ROOT)
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val bits = fmt.getSampleSizeInBits
+        val pcmSigned = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+        val pcmUnsigned = fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+        if (frames <= 0 || fmt.getFrameRate <= 0 ||
+            !(pcmSigned || pcmUnsigned) || (bits != 8 && bits != 16)) return None
+        val durationMs = frames.toDouble / fmt.getFrameRate * 1000.0
+        val data = in.readAllBytes()
+        val bytesPerSample = bits / 8
+        val sampleCount = data.length / bytesPerSample
+        if (sampleCount == 0) return None
+        val sumSq = new Array[Double](dim)
+        val cnt = new Array[Long](dim)
+        var i = 0
+        while (i < sampleCount) {
+          val s =
+            if (bits == 16) {
+              val off = i * 2
+              val raw =
+                if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort
+                else ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort
+              raw / 32768.0
+            } else if (pcmSigned) data(i) / 128.0
+            else ((data(i) & 0xFF) - 128) / 128.0
+          val b = (i.toLong * dim / sampleCount).toInt
+          sumSq(b) += s * s
+          cnt(b) += 1
+          i += 1
+        }
+        val envelope = Array.tabulate(dim)(b =>
+          if (cnt(b) == 0) 0.0f else math.sqrt(sumSq(b) / cnt(b)).toFloat)
+        Some((envelope, fmt.getSampleRate, fmt.getChannels, frames, durationMs, typeName))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Adds decoded audio features for a binary audio column, one row per
+    * input row, per-partition batches ([[audioFeatureSchema]] fields
+    * appended). Undecodable payloads get an empty envelope and -1
+    * rate/channels so downstream filters can drop them without a join.
+    */
+  def withAudioFeatures(df: DataFrame, binaryColumn: String, dim: Int = 16): DataFrame = {
+    val inputSchema = df.schema
+    val outSchema = StructType(inputSchema.fields ++ audioFeatureSchema.fields)
+    val binIdx = inputSchema.fieldIndex(binaryColumn)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val payload = row.get(binIdx) match {
+          case b: Array[Byte] => b
+          case null => Array.empty[Byte]
+          case other => other.toString.getBytes("UTF-8")
+        }
+        val (vec, rate, ch, frames, durMs, fmt) =
+          decodeAudio(payload, dim).getOrElse(
+            (Array.empty[Float], -1.0f, -1, -1L, -1.0, "undecoded"))
+        Row.fromSeq(row.toSeq ++ Seq(vec.toSeq, rate.toInt, ch, frames, durMs,
+          fmt, payload.length.toLong))
+      }
+    }(enc)
+  }
+
   /** Adds decoded features for a binary media column. Processing happens
     * per partition in batches (the same shape a vectorized/Arrow UDF would
-    * see). Image payloads decode for real through [[decodeImage]];
-    * everything else falls back to the deterministic stub.
+    * see). Image payloads decode for real through [[decodeImage]]; audio
+    * payloads through [[decodeAudio]] (mapped into the generic schema as
+    * width := sample rate, height := channels, format := "audio/<type>" —
+    * use [[withAudioFeatures]] for the full audio schema); only video
+    * remains on the deterministic stub.
     */
   def withMediaFeatures(df: DataFrame, binaryColumn: String, dim: Int = 16): DataFrame = {
     val inputSchema = df.schema
@@ -119,7 +213,14 @@ object Multimodal {
           case other => other.toString.getBytes("UTF-8")
         }
         val (vec, w, h, fmt) =
-          decodeImage(payload, dim).getOrElse(decodeStub(payload, dim))
+          decodeImage(payload, dim)
+            .orElse(decodeAudio(payload, dim).map { case (env, rate, ch, _, _, t) =>
+              // envelope padded to `dim` so the generic schema stays fixed
+              val padded = if (env.length >= dim) env.take(dim)
+                else env ++ Array.fill(dim - env.length)(0.0f)
+              (padded, rate.toInt, ch, s"audio/$t")
+            })
+            .getOrElse(decodeStub(payload, dim))
         Row.fromSeq(row.toSeq ++ Seq(vec.toSeq, w, h, fmt, payload.length.toLong))
       }
     }(enc)

@@ -233,6 +233,53 @@ class PipelineSurfacesSpec extends AnyWordSpec with Matchers with SparkSpec {
       out(2).getAs[String]("format") shouldBe "stub"
     }
 
+    "decode REAL WAV payloads to sample rate, duration and RMS envelope" in {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      // 0.5 s of a 440 Hz sine at 8 kHz mono 16-bit little-endian PCM
+      def wavBytes(rate: Float, seconds: Double, amplitude: Double): Array[Byte] = {
+        val n = (rate * seconds).toInt
+        val pcm = new Array[Byte](n * 2)
+        (0 until n).foreach { i =>
+          val s = (math.sin(2 * math.Pi * 440.0 * i / rate) * amplitude * 32767).toInt
+          pcm(2 * i) = (s & 0xFF).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        }
+        val fmt = new AudioFormat(rate, 16, 1, true, false)
+        val stream = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      }
+      val rows = Seq(
+        Row(1L, wavBytes(8000.0f, 0.5, 0.5)),
+        Row(2L, "not audio either".getBytes("UTF-8")))
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        payloadSchema)
+      val out = Multimodal.withAudioFeatures(df, "payload", dim = 8)
+        .orderBy("media_id").collect()
+      out(0).getAs[Int]("sample_rate") shouldBe 8000
+      out(0).getAs[Int]("channels") shouldBe 1
+      out(0).getAs[Long]("frames") shouldBe 4000L
+      out(0).getAs[Double]("duration_ms") shouldBe 500.0 +- 1.0
+      out(0).getAs[String]("audio_format") should include("wav")
+      val env = out(0).getAs[scala.collection.Seq[Float]]("feature_vec")
+      env.length shouldBe 8
+      // RMS of a 0.5-amplitude sine is 0.5/sqrt(2) ~ 0.354 in every bucket
+      all(env) should (be >= 0.30f and be <= 0.40f)
+      out(1).getAs[String]("audio_format") shouldBe "undecoded"
+      out(1).getAs[Int]("sample_rate") shouldBe -1
+
+      // the generic media path now routes audio for real: width carries the
+      // sample rate, format the audio type; only video remains stubbed
+      val generic = Multimodal.withMediaFeatures(df, "payload", dim = 8)
+        .orderBy("media_id").collect()
+      generic(0).getAs[Int]("width") shouldBe 8000
+      generic(0).getAs[String]("format") should startWith("audio/")
+      generic(1).getAs[String]("format") shouldBe "stub"
+    }
+
     "sample frames deterministically" in {
       val sampled = Multimodal.sampleFrames(mediaDf.filter(col("payload").isNotNull),
         "payload", everyNth = 1, maxFrames = 4)
