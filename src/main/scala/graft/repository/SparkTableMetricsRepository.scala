@@ -1,7 +1,7 @@
 package graft.repository
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{array_contains, col, split}
 
 import graft.runners.AnalyzerContext
 
@@ -10,12 +10,23 @@ import graft.runners.AnalyzerContext
   * the warehouse-native deployment of the metrics history
   * (reference capability: repository/sparktable/SparkMetricsRepository.scala:25-62).
   *
-  * Scale design: `after`/`before` time filters are pushed into the table
-  * scan as predicates on the `dataset_date` column (partition/row-group
-  * pruning applies when the table is laid out by date), so loading a
-  * 30-day window from years of metrics history never collects the whole
-  * table to the driver. Tag and analyzer filters apply after
-  * deserialization, on the already date-pruned rows.
+  * Scale design: `after`/`before` time filters AND tag filters are pushed
+  * into the table scan as plan predicates (`dataset_date` bounds prune
+  * partitions/row groups when the table is laid out by date; tag equality
+  * becomes `array_contains(split(tags, ','), 'k=v')` on the stored tag
+  * string), so loading a 30-day window or one pipeline's history from
+  * years of metrics never collects the whole table to the driver. Only
+  * analyzer filtering applies after deserialization, on the already-pruned
+  * rows. A fully unbounded `load().get()` still materializes everything —
+  * by design the same contract as the reference — so callers over large
+  * histories should always bound by time or tags.
+  *
+  * Ordering: re-saves of the same ResultKey are resolved by `saved_at`
+  * (wall millis << 16 | per-JVM sequence). This orders totally within one
+  * JVM; ACROSS writers it is wall-clock-comparable, so two processes
+  * saving the same key within the same millisecond can still interleave
+  * arbitrarily — acceptable for a metrics store where same-ms concurrent
+  * re-saves of one key are equivalent.
   */
 class SparkTableMetricsRepository(spark: SparkSession, tableName: String)
     extends MetricsRepository {
@@ -31,27 +42,47 @@ class SparkTableMetricsRepository(spark: SparkSession, tableName: String)
     val df = Seq((resultKey.dataSetDate, resultKey.tags.map { case (k, v) => s"$k=$v" }
       .mkString(","), serialized, SparkTableMetricsRepository.nextSaveStamp()))
       .toDF("dataset_date", "tags", "serialized_result", "saved_at")
-    // appending to a table created by the pre-saved_at layout must not
-    // throw on schema mismatch; such tables keep the legacy 3 columns
-    val legacyTable = spark.catalog.tableExists(tableName) &&
-      !spark.table(tableName).columns.contains("saved_at")
-    (if (legacyTable) df.drop("saved_at") else df)
-      .write.mode("append").saveAsTable(tableName)
+    // one-time migration for tables created by the pre-saved_at layout:
+    // add the column (old rows read it as NULL and order first, i.e.
+    // oldest) so NEW saves carry ordering instead of dropping it forever
+    if (spark.catalog.tableExists(tableName) &&
+        !spark.table(tableName).columns.contains("saved_at")) {
+      spark.sql(s"ALTER TABLE $tableName ADD COLUMNS (saved_at BIGINT)")
+    }
+    df.write.mode("append").saveAsTable(tableName)
   }
 
-  /** Read rows whose dataset_date is within [after, before] — filters are
-    * part of the Spark plan, not driver-side post-processing.
+  /** Scan of the table with date bounds and tag equality as PLAN
+    * predicates (package-visible so tests can assert the pruned plan).
     */
-  private def readRange(after: Option[Long], before: Option[Long]): Seq[AnalysisResult] = {
-    if (!spark.catalog.tableExists(tableName)) return Seq.empty
+  private[graft] def scanPlan(
+      after: Option[Long],
+      before: Option[Long],
+      tags: Option[Map[String, String]]): DataFrame = {
     val table = spark.table(tableName)
-    val pruned = Seq(
-      after.map(t => col("dataset_date") >= t),
-      before.map(t => col("dataset_date") <= t)
-    ).flatten.foldLeft(table)(_.filter(_))
-    // explicit save order: scan order of an append table is arbitrary
+    val predicates =
+      after.map(t => col("dataset_date") >= t).toSeq ++
+        before.map(t => col("dataset_date") <= t).toSeq ++
+        tags.toSeq.flatMap(_.map { case (k, v) =>
+          array_contains(split(col("tags"), ","), s"$k=$v")
+        })
+    predicates.foldLeft(table)(_.filter(_))
+  }
+
+  /** Read rows within [after, before] carrying all requested tags —
+    * filters run inside the Spark plan, not driver-side post-processing.
+    */
+  private def readRange(
+      after: Option[Long],
+      before: Option[Long],
+      tags: Option[Map[String, String]] = None): Seq[AnalysisResult] = {
+    if (!spark.catalog.tableExists(tableName)) return Seq.empty
+    val pruned = scanPlan(after, before, tags)
+    // explicit save order: scan order of an append table is arbitrary;
+    // legacy pre-migration rows (null saved_at) order as oldest
     val ordered =
-      if (table.columns.contains("saved_at")) pruned.orderBy(col("saved_at"))
+      if (pruned.columns.contains("saved_at"))
+        pruned.orderBy(col("saved_at").asc_nulls_first)
       else pruned
     ordered
       .select("serialized_result")
@@ -64,7 +95,8 @@ class SparkTableMetricsRepository(spark: SparkSession, tableName: String)
   }
 
   override def loadByKey(resultKey: ResultKey): Option[AnalyzerContext] =
-    readRange(Some(resultKey.dataSetDate), Some(resultKey.dataSetDate))
+    readRange(Some(resultKey.dataSetDate), Some(resultKey.dataSetDate),
+      Some(resultKey.tags))
       .filter(_.resultKey == resultKey).lastOption.map(_.analyzerContext)
 
   override def load(): MetricsRepositoryMultipleResultsLoader =
@@ -74,17 +106,20 @@ class SparkTableMetricsRepository(spark: SparkSession, tableName: String)
 private object SparkTableMetricsRepository {
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Monotonic within a JVM, wall-clock-comparable across writers. */
+  /** Monotonic within a JVM, wall-clock-comparable across writers (see
+    * class scaladoc for the cross-JVM same-millisecond caveat).
+    */
   private def nextSaveStamp(): Long =
     (System.currentTimeMillis() << 16) | (seq.incrementAndGet() & 0xFFFFL)
 }
 
-/** Loader that forwards its time bounds into the table scan; the remaining
-  * tag/analyzer filtering reuses the shared driver-side [[LoaderImpl]]
-  * over the pruned rows.
+/** Loader that forwards its time bounds AND tag filter into the table
+  * scan; the remaining analyzer filtering (plus a re-check of the tag
+  * subset on deserialized keys) reuses the shared driver-side
+  * [[LoaderImpl]] over the pruned rows.
   */
 private[repository] case class SparkTableLoader(
-    read: (Option[Long], Option[Long]) => Seq[AnalysisResult],
+    read: (Option[Long], Option[Long], Option[Map[String, String]]) => Seq[AnalysisResult],
     tagFilter: Option[Map[String, String]] = None,
     analyzerFilter: Option[Seq[graft.core.AnyAnalyzer]] = None,
     afterTime: Option[Long] = None,
@@ -104,6 +139,6 @@ private[repository] case class SparkTableLoader(
     copy(beforeTime = Some(dateTime))
 
   override def get(): Seq[AnalysisResult] =
-    LoaderImpl(() => read(afterTime, beforeTime),
+    LoaderImpl(() => read(afterTime, beforeTime, tagFilter),
       tagFilter, analyzerFilter, afterTime, beforeTime).get()
 }

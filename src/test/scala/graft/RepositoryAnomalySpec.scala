@@ -76,6 +76,59 @@ class RepositoryAnomalySpec extends AnyWordSpec with Matchers with SparkSpec {
         repo.load().get() should have size 3
       } finally spark.sql(s"DROP TABLE IF EXISTS $tableName")
     }
+
+    "push date bounds and tag equality into the scan plan" in {
+      val tableName = "graft_metrics_prune_test"
+      spark.sql(s"DROP TABLE IF EXISTS $tableName")
+      try {
+        val repo = new SparkTableMetricsRepository(spark, tableName)
+        repo.save(ResultKey(1000, Map("env" -> "dev")), ctxWith(10))
+        repo.save(ResultKey(2000, Map("env" -> "prod", "team" -> "a")), ctxWith(20))
+        repo.save(ResultKey(3000, Map("env" -> "prod")), ctxWith(30))
+
+        // the loader's filters are PLAN predicates, not driver-side sifting
+        val plan = repo.scanPlan(Some(1500L), Some(2500L),
+          Some(Map("env" -> "prod"))).queryExecution.optimizedPlan
+        val rendered = plan.toString
+        rendered should include("dataset_date")
+        rendered should include("array_contains")
+        // and they produce the right rows end to end
+        val rows = repo.load().after(1500).before(2500)
+          .withTagValues(Map("env" -> "prod")).get()
+        rows should have size 1
+        rows.head.resultKey.dataSetDate shouldBe 2000L
+        // tag equality is exact per element: "env=prod" must not match a
+        // row whose tag string merely CONTAINS the text (e.g. env=prod2)
+        repo.save(ResultKey(4000, Map("env" -> "prod2")), ctxWith(40))
+        repo.load().withTagValues(Map("env" -> "prod")).get()
+          .map(_.resultKey.dataSetDate).sorted shouldBe Seq(2000L, 3000L)
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    }
+
+    "migrate a legacy 3-column table so new saves carry ordering" in {
+      val tableName = "graft_metrics_legacy_test"
+      spark.sql(s"DROP TABLE IF EXISTS $tableName")
+      try {
+        // legacy layout: no saved_at column
+        val s = spark
+        import s.implicits._
+        val legacyRow = AnalysisResultSerde.serialize(
+          Seq(AnalysisResult(ResultKey(1000, Map("env" -> "dev")),
+            ctxWith(10))))
+        Seq((1000L, "env=dev", legacyRow))
+          .toDF("dataset_date", "tags", "serialized_result")
+          .write.saveAsTable(tableName)
+
+        val repo = new SparkTableMetricsRepository(spark, tableName)
+        // new saves on the legacy table must keep last-write-wins working
+        repo.save(ResultKey(1000, Map("env" -> "dev")), ctxWith(11))
+        repo.save(ResultKey(1000, Map("env" -> "dev")), ctxWith(12))
+        spark.table(tableName).columns should contain("saved_at")
+        // legacy row (null saved_at) orders oldest; the newest save wins
+        repo.loadByKey(ResultKey(1000, Map("env" -> "dev")))
+          .get.metric(Size()).get.value.get shouldBe 12.0
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    }
   }
 
   "AnalysisResultSerde" should {
