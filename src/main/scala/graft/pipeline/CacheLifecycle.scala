@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.QueryExecution
@@ -13,16 +13,21 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * (signatures, capped LSH buckets) because several join sides probe them.
   * The result DataFrame is lazy, so the function itself cannot unpersist —
   * instead the result is tagged with a uniquely named `observe` metric and a
-  * one-shot [[QueryExecutionListener]] unpersists the caches the first time
-  * an action executes a plan carrying that tag. On a long-lived session
-  * (the 100-TB pipeline case) caches therefore live exactly as long as the
-  * result is unconsumed, instead of forever.
+  * one-shot [[QueryExecutionListener]] unpersists the caches once
+  * [[withConsumptions]]-many actions have executed a plan carrying that
+  * tag (default: the first). On a long-lived session (the 100-TB pipeline
+  * case) caches therefore live exactly as long as the result is
+  * unconsumed, instead of forever.
   *
-  * Re-consuming the result after the first action recomputes the lineage
-  * without the caches — correct (everything is deterministic), just slower;
-  * callers that iterate should persist the *result* themselves.
+  * Callers that run SEVERAL actions over one returned pair frame (count
+  * then collect, write then audit) either wrap the pair-search call in
+  * [[withConsumptions]] so the caches survive that many consuming actions,
+  * or persist the result themselves. Re-consuming past the declared count
+  * recomputes the lineage without the caches — correct (everything is
+  * deterministic), just slower. Delivery rides the async listener bus:
+  * release is eventual, not synchronous with the action.
   */
-private[graft] object CacheLifecycle {
+object CacheLifecycle {
 
   /** Actions (with or without the tag) after which an unconsumed result's
     * caches are released anyway — a safety valve for results that are
@@ -32,22 +37,46 @@ private[graft] object CacheLifecycle {
     */
   private val MaxUnconsumedActions = 200
 
-  /** Tag `result` so that `caches` are unpersisted (non-blocking) after the
-    * first action that consumes it.
+  private val consumptionsPolicy = new scala.util.DynamicVariable[Int](1)
+
+  /** Runs `body` with every pair-search result constructed inside it
+    * keeping its internal caches alive for `n` consuming actions instead
+    * of one. The policy binds at RESULT CONSTRUCTION (the pair-search
+    * call), not at action time — wrap the call, not the count().
+    *
+    * {{{
+    * val pairs = CacheLifecycle.withConsumptions(2) {
+    *   Similarity.cosinePairsLsh(df, "id", "vec", 0.9)
+    * }
+    * val n = pairs.count()     // caches still alive
+    * val rows = pairs.collect() // second consumption -> caches released
+    * }}}
+    */
+  def withConsumptions[T](n: Int)(body: => T): T = {
+    require(n >= 1, "consumption count must be >= 1")
+    consumptionsPolicy.withValue(n)(body)
+  }
+
+  /** Tag `result` so that `caches` are unpersisted (non-blocking) after
+    * the action(s) that consume it — see [[withConsumptions]] for >1.
     */
   def releaseOnConsume(result: DataFrame, caches: Seq[DataFrame]): DataFrame = {
     if (caches.isEmpty) return result
+    val needed = consumptionsPolicy.value
     val tag = "graft_release_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val spark = result.sparkSession
     val tagged = result.observe(tag, count(lit(1)))
     val done = new AtomicBoolean(false)
-    val unrelatedActions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val taggedSeen = new AtomicInteger(0)
+    val unrelatedActions = new AtomicInteger(0)
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private def maybeRelease(qe: QueryExecution): Unit = {
+        val consumedEnough =
+          qe.observedMetrics.contains(tag) && taggedSeen.incrementAndGet() >= needed
         val expired =
           !qe.observedMetrics.contains(tag) &&
             unrelatedActions.incrementAndGet() >= MaxUnconsumedActions
-        if ((qe.observedMetrics.contains(tag) || expired) && done.compareAndSet(false, true)) {
+        if ((consumedEnough || expired) && done.compareAndSet(false, true)) {
           caches.foreach(_.unpersist(blocking = false))
           spark.listenerManager.unregister(this)
         }

@@ -386,6 +386,26 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
   }
 
   "internal caches" should {
+    "survive the declared number of consumptions under withConsumptions" in {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val pairs = graft.pipeline.CacheLifecycle.withConsumptions(2) {
+        Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5)
+      }
+      pairs.count()
+      // first consumption: caches must still be alive (give the async
+      // listener time to have fired if it were going to release wrongly)
+      Thread.sleep(1500)
+      (sc.getPersistentRDDs.keySet -- before) should not be empty
+      pairs.count()
+      // second consumption: released
+      def leaked = sc.getPersistentRDDs.keySet -- before
+      val deadline = System.currentTimeMillis() + 15000
+      while (leaked.nonEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      leaked shouldBe empty
+    }
+
     "be released after the returned pairs are consumed" in {
       val sc = spark.sparkContext
       // delta-based: other suites share this session and may hold caches
