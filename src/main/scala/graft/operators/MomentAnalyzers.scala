@@ -141,53 +141,57 @@ trait SharedPercentiles { self: ScanShareableAnalyzer[_, _] =>
 }
 
 /** Executor-memory guard for the exact-percentile family: Spark's built-in
-  * `percentile` buffers EVERY (value, count) of the column in one
-  * aggregation buffer, so a hot column at 100x scale is a genuine OOM risk
-  * the plan itself cannot bound (the reference has the identical exposure
-  * and no guard). Before the fused scan runs, the rows each percentile
-  * buffer would hold are counted in ONE cheap codegen job; any (column,
-  * where) over [[maxBufferedRows]] fails fast with a clear pointer to the
-  * bounded alternatives (ApproxQuantile's mergeable KLL sketch, ~1% rank
-  * error at the default size) instead of taking down an executor
-  * mid-scan. Set [[maxBufferedRows]] to 0 to disable the guard (and the
-  * guard job) entirely.
+  * `percentile` buffers one (value, count) map entry per DISTINCT value of
+  * the column in one aggregation buffer, so a high-cardinality column at
+  * 100x scale is a genuine OOM risk the plan itself cannot bound (the
+  * reference has the identical exposure and no guard). Before the fused
+  * scan runs, the distinct values each percentile buffer would hold are
+  * estimated (HLL sketch, ~2% error) in ONE cheap job across all keys;
+  * any (column, where) over [[maxBufferedValues]] fails fast with a clear
+  * pointer to the bounded alternatives (ApproxQuantile's mergeable KLL
+  * sketch, ~1% rank error at the default size) instead of taking down an
+  * executor mid-scan. A 100M-row column with 50 distinct status codes
+  * passes untouched — only cardinality, not row count, costs memory. Set
+  * [[maxBufferedValues]] to 0 to disable the guard (and its job).
   */
 object ExactQuantileGuard {
 
-  /** 50M doubles ~ 800 MB of boxed (value, count) map entries per buffer —
-    * past any sane executor budget once a few columns run together.
+  /** 20M distinct doubles ~ 1 GB of open-hash (value, count) entries per
+    * buffer — past a sane executor budget once a few columns run together.
     */
-  @volatile var maxBufferedRows: Long = 50L * 1000 * 1000
+  @volatile var maxBufferedValues: Long = 20L * 1000 * 1000
 
   class BudgetExceededException(message: String)
       extends MetricCalculationException(message)
 
-  /** (column, where) keys whose buffered-value count exceeds the budget,
-    * with their counts. One aggregation job for ALL keys; no job when the
-    * guard is disabled or no percentile analyzers are present.
+  /** (column, where) keys whose estimated distinct-value count exceeds the
+    * budget. One aggregation job for ALL keys; no job when the guard is
+    * disabled or no percentile analyzers are present. The HLL estimate is
+    * compared against the budget with a 5% safety margin so sketch error
+    * cannot wave a truly-over-budget column through.
     */
   def overBudget(
       data: org.apache.spark.sql.DataFrame,
       percentiles: Seq[SharedPercentiles]): Map[(String, Option[String]), Long] = {
-    val limit = maxBufferedRows
+    val limit = maxBufferedValues
     if (limit <= 0 || percentiles.isEmpty) return Map.empty
     val keys = percentiles.map(_.percentileKey).distinct
-    val counts = data.agg(
-      count(conditionalSelection(col(keys.head._1), keys.head._2)),
-      keys.tail.map(k => count(conditionalSelection(col(k._1), k._2))): _*)
+    def estimate(k: (String, Option[String])) =
+      approx_count_distinct(conditionalSelection(col(k._1), k._2))
+    val counts = data.agg(estimate(keys.head), keys.tail.map(estimate): _*)
       .collect().head
     keys.zipWithIndex.collect {
-      case (k, i) if counts.getLong(i) > limit => k -> counts.getLong(i)
+      case (k, i) if counts.getLong(i) > limit * 0.95 => k -> counts.getLong(i)
     }.toMap
   }
 
   def failure(key: (String, Option[String]), buffered: Long): Throwable =
     new BudgetExceededException(
       s"Exact percentile on column '${key._1}'${key._2.map(w => s" (where $w)").getOrElse("")} " +
-        s"would buffer $buffered values in a single aggregation buffer " +
-        s"(limit: ${maxBufferedRows}). Use ApproxQuantile/ApproxQuantiles " +
-        "(mergeable KLL sketch, bounded memory, ~1% rank error) or raise " +
-        "ExactQuantileGuard.maxBufferedRows.")
+        s"would buffer ~$buffered distinct values in a single aggregation " +
+        s"buffer (limit: ${maxBufferedValues}). Use ApproxQuantile/" +
+        "ApproxQuantiles (mergeable KLL sketch, bounded memory, ~1% rank " +
+        "error) or raise ExactQuantileGuard.maxBufferedValues.")
 }
 
 case class ExactQuantile(column: String, quantile: Double, where: Option[String] = None)

@@ -112,10 +112,12 @@ object Multimodal {
   /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/RIFF, AU,
     * AIFF — whatever the installed providers read): true sample rate,
     * channel count, frame count, duration, and a `dim`-point RMS loudness
-    * envelope over the PCM samples as the feature vector. Returns None for
-    * payloads no provider accepts (video, garbage) or non-PCM encodings —
-    * only video remains on the stub path. Memory is bounded by the payload
-    * itself (the PCM read never exceeds the in-memory byte array).
+    * envelope over the PCM samples as the feature vector. Handles signed
+    * PCM at 8/16/24/32 bits, unsigned 8-bit, and 32/64-bit float PCM,
+    * both endiannesses. Returns None for payloads no provider accepts
+    * (video, garbage) or compressed encodings (a-law/mu-law) — only video
+    * remains on the stub path. Memory is bounded by the payload itself
+    * (the PCM read never exceeds the in-memory byte array).
     */
   private[pipeline] def decodeAudio(bytes: Array[Byte], dim: Int = 16)
     : Option[(Array[Float], Float, Int, Long, Double, String)] = {
@@ -130,28 +132,46 @@ object Multimodal {
         val fmt = in.getFormat
         val frames = in.getFrameLength
         val bits = fmt.getSampleSizeInBits
+        val big = fmt.isBigEndian
         val pcmSigned = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
         val pcmUnsigned = fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
-        if (frames <= 0 || fmt.getFrameRate <= 0 ||
-            !(pcmSigned || pcmUnsigned) || (bits != 8 && bits != 16)) return None
+        val pcmFloat = fmt.getEncoding == AudioFormat.Encoding.PCM_FLOAT
+        val supported =
+          (pcmSigned && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) ||
+            (pcmUnsigned && bits == 8) ||
+            (pcmFloat && (bits == 32 || bits == 64))
+        if (frames <= 0 || fmt.getFrameRate <= 0 || !supported) return None
         val durationMs = frames.toDouble / fmt.getFrameRate * 1000.0
         val data = in.readAllBytes()
         val bytesPerSample = bits / 8
         val sampleCount = data.length / bytesPerSample
         if (sampleCount == 0) return None
+        // assemble a sample's bytes into an int/long respecting endianness
+        def word(off: Int, n: Int): Long = {
+          var w = 0L
+          var j = 0
+          while (j < n) {
+            val b = data(off + (if (big) j else n - 1 - j)) & 0xFFL
+            w = (w << 8) | b
+            j += 1
+          }
+          w
+        }
         val sumSq = new Array[Double](dim)
         val cnt = new Array[Long](dim)
         var i = 0
         while (i < sampleCount) {
+          val off = i * bytesPerSample
           val s =
-            if (bits == 16) {
-              val off = i * 2
-              val raw =
-                if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort
-                else ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort
-              raw / 32768.0
-            } else if (pcmSigned) data(i) / 128.0
-            else ((data(i) & 0xFF) - 128) / 128.0
+            if (pcmFloat && bits == 32) java.lang.Float.intBitsToFloat(word(off, 4).toInt).toDouble
+            else if (pcmFloat) java.lang.Double.longBitsToDouble(word(off, 8))
+            else if (pcmUnsigned) ((data(i) & 0xFF) - 128) / 128.0
+            else bits match { // signed PCM: sign-extend then normalize
+              case 8  => data(i) / 128.0
+              case 16 => word(off, 2).toShort / 32768.0
+              case 24 => ((word(off, 3).toInt << 8) >> 8) / 8388608.0
+              case _  => word(off, 4).toInt / 2147483648.0
+            }
           val b = (i.toLong * dim / sampleCount).toInt
           sumSq(b) += s * s
           cnt(b) += 1
@@ -215,10 +235,8 @@ object Multimodal {
         val (vec, w, h, fmt) =
           decodeImage(payload, dim)
             .orElse(decodeAudio(payload, dim).map { case (env, rate, ch, _, _, t) =>
-              // envelope padded to `dim` so the generic schema stays fixed
-              val padded = if (env.length >= dim) env.take(dim)
-                else env ++ Array.fill(dim - env.length)(0.0f)
-              (padded, rate.toInt, ch, s"audio/$t")
+              // decodeAudio's envelope is always exactly `dim` long
+              (env, rate.toInt, ch, s"audio/$t")
             })
             .getOrElse(decodeStub(payload, dim))
         Row.fromSeq(row.toSeq ++ Seq(vec.toSeq, w, h, fmt, payload.length.toLong))

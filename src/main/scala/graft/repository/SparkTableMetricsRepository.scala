@@ -47,13 +47,25 @@ class SparkTableMetricsRepository(spark: SparkSession, tableName: String)
     // oldest) so NEW saves carry ordering instead of dropping it forever
     if (spark.catalog.tableExists(tableName) &&
         !spark.table(tableName).columns.contains("saved_at")) {
-      spark.sql(s"ALTER TABLE $tableName ADD COLUMNS (saved_at BIGINT)")
+      val quoted = tableName.split('.').map(p => s"`$p`").mkString(".")
+      // concurrent writers can race the exists/ALTER check — losing the
+      // race is fine as long as the column is there afterwards
+      try spark.sql(s"ALTER TABLE $quoted ADD COLUMNS (saved_at BIGINT)")
+      catch {
+        case e: Exception
+            if spark.table(tableName).columns.contains("saved_at") => ()
+      }
     }
     df.write.mode("append").saveAsTable(tableName)
   }
 
   /** Scan of the table with date bounds and tag equality as PLAN
     * predicates (package-visible so tests can assert the pruned plan).
+    * The stored tag string joins `k=v` pairs with ',', so only pairs
+    * whose rendered form contains no comma can be matched per-element —
+    * comma-carrying tags are left for the driver-side subset filter
+    * (LoaderImpl re-checks EVERY requested tag on the deserialized keys,
+    * so a partial pushdown never changes results, only prunes less).
     */
   private[graft] def scanPlan(
       after: Option[Long],
@@ -63,8 +75,9 @@ class SparkTableMetricsRepository(spark: SparkSession, tableName: String)
     val predicates =
       after.map(t => col("dataset_date") >= t).toSeq ++
         before.map(t => col("dataset_date") <= t).toSeq ++
-        tags.toSeq.flatMap(_.map { case (k, v) =>
-          array_contains(split(col("tags"), ","), s"$k=$v")
+        tags.toSeq.flatMap(_.collect {
+          case (k, v) if !s"$k=$v".contains(",") =>
+            array_contains(split(col("tags"), ","), s"$k=$v")
         })
     predicates.foldLeft(table)(_.filter(_))
   }

@@ -190,9 +190,9 @@ class AnalyzerSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
 
     "fail exact percentiles fast when the value buffer would exceed budget" in {
-      val prev = ExactQuantileGuard.maxBufferedRows
+      val prev = ExactQuantileGuard.maxBufferedValues
       try {
-        ExactQuantileGuard.maxBufferedRows = 3L  // df has 6 rows
+        ExactQuantileGuard.maxBufferedValues = 3L  // "id" has 6 distinct values
         // fused-runner path: the guarded analyzer fails with the budget
         // message, everything else in the same run still succeeds
         val ctx = graft.runners.AnalysisRunner.run(df,
@@ -206,14 +206,20 @@ class AnalyzerSpec extends AnyWordSpec with Matchers with SparkSpec {
         val direct = ExactQuantile("id", 0.5).calculate(df)
         direct.value.isFailure shouldBe true
         direct.value.failed.get.getMessage should include("buffer")
-        // a where-clause under the budget is NOT blocked
+        // a where-clause keeping cardinality under budget is NOT blocked
         ExactQuantile("id", 0.5, where = Some("id <= 2"))
           .calculate(df).value.get shouldBe 1.5 +- 1e-9
+        // cardinality is the budget, not row count: many rows over few
+        // distinct values pass untouched
+        val lowCard = df.withColumn("lowcard",
+          org.apache.spark.sql.functions.col("id") % 2)
+        ExactQuantile("lowcard", 0.5).calculate(lowCard)
+          .value.isSuccess shouldBe true
         // disabled guard (0) lets the full column through again
-        ExactQuantileGuard.maxBufferedRows = 0L
+        ExactQuantileGuard.maxBufferedValues = 0L
         ExactQuantile("id", 0.5).calculate(df).value.get shouldBe 3.5 +- 1e-9
       } finally {
-        ExactQuantileGuard.maxBufferedRows = prev
+        ExactQuantileGuard.maxBufferedValues = prev
       }
     }
 

@@ -251,9 +251,27 @@ class PipelineSurfacesSpec extends AnyWordSpec with Matchers with SparkSpec {
         AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
         out.toByteArray
       }
+      // 24-bit studio-export WAV: same sine, packed 3 bytes/sample LE
+      def wav24Bytes(rate: Float, seconds: Double, amplitude: Double): Array[Byte] = {
+        val n = (rate * seconds).toInt
+        val pcm = new Array[Byte](n * 3)
+        (0 until n).foreach { i =>
+          val s = (math.sin(2 * math.Pi * 440.0 * i / rate) * amplitude * 8388607).toInt
+          pcm(3 * i) = (s & 0xFF).toByte
+          pcm(3 * i + 1) = ((s >> 8) & 0xFF).toByte
+          pcm(3 * i + 2) = ((s >> 16) & 0xFF).toByte
+        }
+        val fmt = new AudioFormat(rate, 24, 1, true, false)
+        val stream = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      }
       val rows = Seq(
         Row(1L, wavBytes(8000.0f, 0.5, 0.5)),
-        Row(2L, "not audio either".getBytes("UTF-8")))
+        Row(2L, "not audio either".getBytes("UTF-8")),
+        Row(3L, wav24Bytes(8000.0f, 0.25, 0.5)))
       val df = spark.createDataFrame(
         new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
         payloadSchema)
@@ -270,6 +288,11 @@ class PipelineSurfacesSpec extends AnyWordSpec with Matchers with SparkSpec {
       all(env) should (be >= 0.30f and be <= 0.40f)
       out(1).getAs[String]("audio_format") shouldBe "undecoded"
       out(1).getAs[Int]("sample_rate") shouldBe -1
+      // 24-bit PCM decodes for real too (same RMS, half the duration)
+      out(2).getAs[Int]("sample_rate") shouldBe 8000
+      out(2).getAs[Double]("duration_ms") shouldBe 250.0 +- 1.0
+      val env24 = out(2).getAs[scala.collection.Seq[Float]]("feature_vec")
+      all(env24) should (be >= 0.30f and be <= 0.40f)
 
       // the generic media path now routes audio for real: width carries the
       // sample rate, format the audio type; only video remains stubbed
