@@ -62,11 +62,19 @@ case class StringColumnProfile(
 
 case class ColumnProfiles(profiles: Map[String, ColumnProfile], numRecords: Long)
 
-/** Three-pass profiler, each pass one fused Spark job
-  * (reference capability: profiles/ColumnProfiler.scala:101,124-245):
-  * pass 1 generic stats for every column, pass 2 numeric stats for numeric
-  * columns, pass 3 full histograms only for low-cardinality columns.
-  * At 100 TB this is exactly 2 scans + one scan feeding K small groupBys.
+/** Fused-pass profiler (reference capability:
+  * profiles/ColumnProfiler.scala:101,124-245):
+  * pass 1 computes generic stats for every column AND numeric/length
+  * stats for declared-numeric/string columns in ONE fused scan — only
+  * string columns whose values turn out to be numeric (known only after
+  * pass-1 type inference) need a second, usually empty, cast pass. Type
+  * inference runs only where it means something (string columns); declared
+  * types synthesize their counts for free. Pass 3 computes full
+  * histograms only for low-cardinality columns, submitting the per-column
+  * groupBy jobs CONCURRENTLY (independent Spark jobs share the executors;
+  * wall time is the slowest column, not the sum).
+  * At 100 TB this is 1 full scan + K small parallel groupBys (+1 scan
+  * only when inferred-numeric string columns exist).
   */
 object ColumnProfiler {
 
@@ -90,12 +98,36 @@ object ColumnProfiler {
     val columns = restrictToColumns.getOrElse(data.columns.toSeq)
       .filter(c => data.columns.contains(c))
 
-    // ---- pass 1: size + per-column completeness, approx distinct, type inference
+    def declaredType(c: String): Option[DataType] =
+      data.schema.fields.find(_.name == c).map(_.dataType)
+
+    def isNumericDeclared(c: String): Boolean = declaredType(c).exists {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+
+    val declaredNumeric = columns.filter(isNumericDeclared)
+    val declaredString = columns.filter(c => declaredType(c).contains(StringType))
+
+    def numericStatsFor(c: String): Seq[AnyAnalyzer] =
+      Seq[AnyAnalyzer](Minimum(c), Maximum(c), Mean(c), Sum(c), StandardDeviation(c),
+        ApproxQuantiles(c, Seq(0.25, 0.5, 0.75)))
+
+    // ---- pass 1 (ONE fused scan): size + per-column completeness and
+    // approx distinct for everything, type inference ONLY for string
+    // columns (declared types are already known), numeric stats for
+    // declared-numeric columns, length bounds for string columns
     val ctx1 = columns.grouped(math.max(maxColumnsPerPass, 1)).zipWithIndex
       .map { case (chunk, i) =>
         val analyzers: Seq[AnyAnalyzer] =
           (if (i == 0) Seq[AnyAnalyzer](Size()) else Seq.empty) ++ chunk.flatMap { c =>
-            Seq[AnyAnalyzer](Completeness(c), ApproxCountDistinct(c), DataTypeAnalyzer(c))
+            Seq[AnyAnalyzer](Completeness(c), ApproxCountDistinct(c)) ++
+              (if (declaredString.contains(c))
+                Seq[AnyAnalyzer](DataTypeAnalyzer(c),
+                  graft.operators.MinLength(c), graft.operators.MaxLength(c))
+              else Seq.empty) ++
+              (if (declaredNumeric.contains(c)) numericStatsFor(c) else Seq.empty)
           }
         AnalysisRunner.run(data, analyzers)
       }
@@ -112,21 +144,28 @@ object ColumnProfiler {
       ctx1.metric(ApproxCountDistinct(c)).flatMap(_.value.toOption)
         .map(_.asInstanceOf[Double].toLong).getOrElse(0L)
 
+    /** Observed counts for string columns; synthesized from the declared
+      * type + completeness for everything else (no scan work needed to
+      * "infer" what the schema already states).
+      */
     def typeCountsOf(c: String): Map[String, Long] =
-      ctx1.metric(DataTypeAnalyzer(c)) match {
-        case Some(HistogramMetric(_, Success(dist))) =>
-          dist.values.map { case (k, v) => k -> v.absolute }
-        case _ => Map.empty
+      if (declaredString.contains(c)) {
+        ctx1.metric(DataTypeAnalyzer(c)) match {
+          case Some(HistogramMetric(_, Success(dist))) =>
+            dist.values.map { case (k, v) => k -> v.absolute }
+          case _ => Map.empty
+        }
+      } else {
+        val nonNull = math.round(completenessOf(c) * numRecords)
+        val kind = declaredType(c) match {
+          case Some(ByteType | ShortType | IntegerType | LongType) => DataTypeInstances.Integral
+          case Some(FloatType | DoubleType) | Some(_: DecimalType) => DataTypeInstances.Fractional
+          case Some(BooleanType) => DataTypeInstances.Boolean
+          case _ => DataTypeInstances.String
+        }
+        Map(kind -> nonNull, DataTypeInstances.Null -> (numRecords - nonNull))
+          .filter(_._2 > 0)
       }
-
-    def declaredType(c: String): Option[DataType] =
-      data.schema.fields.find(_.name == c).map(_.dataType)
-
-    def isNumericDeclared(c: String): Boolean = declaredType(c).exists {
-      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
-      case _: DecimalType => true
-      case _ => false
-    }
 
     /** Inferred semantic type for string columns, by majority of non-null counts. */
     def inferredType(c: String): String = {
@@ -140,11 +179,10 @@ object ColumnProfiler {
       else DataTypeInstances.String
     }
 
-    // ---- pass 2: numeric statistics for (declared- or inferred-) numeric columns
-    val declaredNumeric = columns.filter(isNumericDeclared)
-    // string columns whose values are all integral/fractional get cast and
-    // profiled numerically too (reference: profiles/ColumnProfiler.scala
-    // pass 2 casts inferred-numeric columns)
+    // ---- pass 2 (usually skipped): numeric statistics for string columns
+    // whose values turned out numeric — known only after pass-1 inference
+    // (reference: profiles/ColumnProfiler.scala pass 2 casts
+    // inferred-numeric columns)
     val inferredNumeric = columns.filter { c =>
       !isNumericDeclared(c) && declaredType(c).contains(StringType) &&
         Set(DataTypeInstances.Integral, DataTypeInstances.Fractional).contains(inferredType(c))
@@ -153,27 +191,18 @@ object ColumnProfiler {
     val pass2Data = inferredNumeric.foldLeft(data) { (d, c) =>
       d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(DoubleType))
     }
-    // string (non-numeric) columns ride the same pass with length bounds
-    val stringColumns = columns.filter(c =>
-      declaredType(c).contains(StringType) && !numericColumns.contains(c))
-    val pass2Chunks =
-      numericColumns.grouped(math.max(maxColumnsPerPass, 1)).map { chunk =>
-        chunk.flatMap { c =>
-          Seq[AnyAnalyzer](Minimum(c), Maximum(c), Mean(c), Sum(c), StandardDeviation(c),
-            ApproxQuantiles(c, Seq(0.25, 0.5, 0.75)))
-        }
-      } ++ stringColumns.grouped(math.max(maxColumnsPerPass, 1)).map { chunk =>
-        chunk.flatMap(c => Seq[AnyAnalyzer](graft.operators.MinLength(c), graft.operators.MaxLength(c)))
-      }
-    val ctx2 = pass2Chunks
-      .map(analyzers => AnalysisRunner.run(pass2Data, analyzers))
-      .foldLeft(graft.runners.AnalyzerContext(Map.empty))(
-        (a, b) => graft.runners.AnalyzerContext(a.metricMap ++ b.metricMap))
+    val ctx2 = inferredNumeric.grouped(math.max(maxColumnsPerPass, 1))
+      .map(chunk => AnalysisRunner.run(pass2Data, chunk.flatMap(numericStatsFor)))
+      .foldLeft(ctx1)((a, b) => graft.runners.AnalyzerContext(a.metricMap ++ b.metricMap))
+
+    val stringColumns = declaredString.filterNot(numericColumns.contains)
 
     def num(a: AnyAnalyzer): Option[Double] =
       ctx2.metric(a).flatMap(_.value.toOption).collect { case d: Double => d }
 
-    // ---- pass 3: full histograms for low-cardinality columns
+    // ---- pass 3: full histograms for low-cardinality columns; the
+    // per-column groupBy jobs are independent — submit them concurrently
+    // and let the scheduler share the executors
     val histogramColumns = columns.filter { c =>
       approxDistinctOf(c) <= lowCardinalityHistogramThreshold &&
         declaredType(c).forall {
@@ -181,9 +210,14 @@ object ColumnProfiler {
           case _ => true
         }
     }
-    val histograms: Map[String, Distribution] = histogramColumns.flatMap { c =>
-      Histogram(c).calculate(data).value.toOption.map(c -> _)
-    }.toMap
+    val histograms: Map[String, Distribution] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val futures = histogramColumns.map(c =>
+        Future(Histogram(c).calculate(data).value.toOption.map(c -> _)))
+      futures.flatMap(f => Await.result(f, Duration.Inf)).toMap
+    }
 
     val profiles = columns.map { c =>
       val base = (completenessOf(c), approxDistinctOf(c), typeCountsOf(c), histograms.get(c))
