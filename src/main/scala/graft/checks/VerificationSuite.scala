@@ -191,6 +191,10 @@ class VerificationRunBuilder(data: DataFrame) {
   private var failIfResultsMissing: Boolean = false
   private var stateLoader: Option[graft.core.StateLoader] = None
   private var statePersister: Option[graft.core.StatePersister] = None
+  private var outputSession: Option[org.apache.spark.sql.SparkSession] = None
+  private var overwriteFiles: Boolean = false
+  private var checkResultsPath: Option[String] = None
+  private var successMetricsPath: Option[String] = None
 
   def addCheck(check: Check): VerificationRunBuilder = {
     checks = checks :+ check
@@ -204,6 +208,34 @@ class VerificationRunBuilder(data: DataFrame) {
 
   def addRequiredAnalyzer(analyzer: AnyAnalyzer): VerificationRunBuilder = {
     requiredAnalyzers = requiredAnalyzers :+ analyzer
+    this
+  }
+
+  def addRequiredAnalyzers(more: Seq[AnyAnalyzer]): VerificationRunBuilder = {
+    requiredAnalyzers = requiredAnalyzers ++ more
+    this
+  }
+
+  /** File outputs go through this session's Hadoop filesystem (reference
+    * capability: VerificationRunBuilderWithSparkSession).
+    */
+  def useSparkSession(session: org.apache.spark.sql.SparkSession): VerificationRunBuilder = {
+    outputSession = Some(session)
+    this
+  }
+
+  def overwritePreviousFiles(overwrite: Boolean): VerificationRunBuilder = {
+    overwriteFiles = overwrite
+    this
+  }
+
+  def saveCheckResultsJsonToPath(path: String): VerificationRunBuilder = {
+    checkResultsPath = Some(path)
+    this
+  }
+
+  def saveSuccessMetricsJsonToPath(path: String): VerificationRunBuilder = {
+    successMetricsPath = Some(path)
     this
   }
 
@@ -307,10 +339,26 @@ class VerificationRunBuilder(data: DataFrame) {
       .foldLeft(CheckStatus.Success: CheckStatus)(CheckStatus.max)
     val result = VerificationResult(status, checkResults, context.metricMap)
 
+    // append semantics: merge with anything already stored under the key,
+    // new metrics win (reference: repository saveOrAppendResult contract)
     for {
       repo <- repository
       key <- saveKey
-    } repo.save(key, context)
+    } {
+      val existing = repo.loadByKey(key).map(_.metricMap).getOrElse(Map.empty)
+      repo.save(key, graft.runners.AnalyzerContext(existing ++ context.metricMap))
+    }
+
+    def writeFile(path: String, json: String): Unit = {
+      val spark = outputSession.getOrElse(data.sparkSession)
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (overwriteFiles || !fs.exists(fsPath)) {
+        VerificationResult.saveJsonToPath(spark, path, json)
+      }
+    }
+    checkResultsPath.foreach(p => writeFile(p, VerificationResult.checkResultsAsJson(result)))
+    successMetricsPath.foreach(p => writeFile(p, VerificationResult.successMetricsAsJson(result)))
     result
   }
 }

@@ -2,9 +2,12 @@ package graft.profiles
 
 import scala.util.Success
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
 
 import graft.core._
 import graft.operators._
@@ -43,7 +46,16 @@ case class NumericColumnProfile(
     minimum: Option[Double],
     sum: Option[Double],
     stdDev: Option[Double],
-    approxPercentiles: Option[Seq[Double]]) extends ColumnProfile
+    approxPercentiles: Option[Seq[Double]],
+    // reference parity: profiles/ColumnProfile.scala:56-78 carries the
+    // full numeric statistics family plus an optional KLL sketch
+    kll: Option[graft.sketch.BucketDistribution] = None,
+    zerosCount: Option[Long] = None,
+    range: Option[Double] = None,
+    interquartileRange: Option[Double] = None,
+    variance: Option[Double] = None,
+    skewness: Option[Double] = None,
+    kurtosis: Option[Double] = None) extends ColumnProfile
 
 /** String-typed (non-numeric-inferred) columns additionally carry observed
   * value-length bounds (reference capability: profiles/StringColumnProfile,
@@ -61,6 +73,88 @@ case class StringColumnProfile(
     maxLength: Option[Double]) extends ColumnProfile
 
 case class ColumnProfiles(profiles: Map[String, ColumnProfile], numRecords: Long)
+
+/** JSON rendering of profiles (reference capability:
+  * profiles/ColumnProfile.scala:84-210 ColumnProfiles.toJson — same field
+  * names; we additionally emit the typeCounts map the reference builds but
+  * drops).
+  */
+object ColumnProfiles {
+
+  def toJson(profiles: Seq[ColumnProfile]): String = {
+    val columns = profiles.map { p =>
+      val base: JObject =
+        ("column" -> p.column) ~
+          ("dataType" -> p.dataType) ~
+          ("isDataTypeInferred" -> p.isDataTypeInferred.toString) ~
+          ("completeness" -> p.completeness) ~
+          ("approximateNumDistinctValues" -> p.approximateNumDistinctValues)
+
+      val withTypeCounts =
+        if (p.typeCounts.nonEmpty)
+          base ~ ("typeCounts" -> p.typeCounts.map { case (k, v) => k -> v.toString })
+        else base
+
+      val withHistogram = p.histogram match {
+        case Some(h) =>
+          withTypeCounts ~ ("histogram" -> h.values.toSeq.map { case (value, dv) =>
+            ("value" -> value) ~ ("count" -> dv.absolute) ~ ("ratio" -> dv.ratio)
+          })
+        case None => withTypeCounts
+      }
+
+      p match {
+        case n: NumericColumnProfile =>
+          var json = withHistogram
+          n.zerosCount.foreach(v => json = json ~ ("zerosCount" -> v))
+          n.mean.foreach(v => json = json ~ ("mean" -> v))
+          n.maximum.foreach(v => json = json ~ ("maximum" -> v))
+          n.minimum.foreach(v => json = json ~ ("minimum" -> v))
+          n.range.foreach(v => json = json ~ ("range" -> v))
+          n.interquartileRange.foreach(v => json = json ~ ("interquartileRange" -> v))
+          n.sum.foreach(v => json = json ~ ("sum" -> v))
+          n.stdDev.foreach(v => json = json ~ ("stdDev" -> v))
+          n.variance.foreach(v => json = json ~ ("variance" -> v))
+          n.skewness.foreach(v => json = json ~ ("skewness" -> v))
+          n.kurtosis.foreach(v => json = json ~ ("kurtosis" -> v))
+          n.kll.foreach { bd =>
+            json = json ~ ("kll" ->
+              (("buckets" -> bd.buckets.map { b =>
+                ("low_value" -> b.lowValue) ~ ("high_value" -> b.highValue) ~
+                  ("count" -> b.count)
+              }) ~
+                ("sketch" ->
+                  (("parameters" ->
+                    (("c" -> bd.parameters.headOption.getOrElse(0.0)) ~
+                      ("k" -> bd.parameters.lift(1).getOrElse(0.0)))) ~
+                    ("data" -> JsonMethods.compact(JsonMethods.render(
+                      JArray(bd.sketch.data.map(buf =>
+                        JArray(buf.map(JDouble(_)).toList)).toList))))))))
+          }
+          json = json ~ ("approxPercentiles" -> n.approxPercentiles.getOrElse(Seq.empty))
+          json
+        case s: StringColumnProfile =>
+          var json = withHistogram
+          s.minLength.foreach(v => json = json ~ ("minLength" -> v))
+          s.maxLength.foreach(v => json = json ~ ("maxLength" -> v))
+          json
+        case _ => withHistogram
+      }
+    }
+    JsonMethods.pretty(JsonMethods.render(("columns" -> columns): JObject))
+  }
+
+  def writeJson(spark: SparkSession, path: String, profiles: ColumnProfiles,
+      overwrite: Boolean): Unit = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!overwrite && fs.exists(fsPath)) return
+    val out = fs.create(fsPath, true)
+    try out.write(toJson(profiles.profiles.values.toSeq.sortBy(_.column)).getBytes("UTF-8"))
+    finally out.close()
+  }
+}
+
 
 /** Fused-pass profiler (reference capability:
   * profiles/ColumnProfiler.scala:101,124-245):
@@ -93,7 +187,48 @@ object ColumnProfiler {
       data: DataFrame,
       restrictToColumns: Option[Seq[String]] = None,
       lowCardinalityHistogramThreshold: Long = DefaultLowCardinalityThreshold,
-      maxColumnsPerPass: Int = DefaultMaxColumnsPerPass): ColumnProfiles = {
+      maxColumnsPerPass: Int = DefaultMaxColumnsPerPass,
+      kllProfiling: Boolean = false,
+      kllParameters: Option[graft.sketch.KLLParameters] = None,
+      predefinedTypes: Map[String, String] = Map.empty,
+      printStatusUpdates: Boolean = false,
+      metricsRepository: Option[graft.repository.MetricsRepository] = None,
+      reuseExistingResultsKey: Option[graft.repository.ResultKey] = None,
+      failIfResultsMissing: Boolean = false,
+      saveOrAppendResultsKey: Option[graft.repository.ResultKey] = None): ColumnProfiles = {
+
+    def status(msg: => String): Unit = if (printStatusUpdates) println(s"[profiler] $msg")
+
+    // metric reuse: analyzers whose metrics are already stored under the
+    // reuse key never touch the data (reference capability:
+    // ColumnProfilerRunBuilder.reuseExistingResultsForKey)
+    val reusedContext: graft.runners.AnalyzerContext =
+      (metricsRepository, reuseExistingResultsKey) match {
+        case (Some(repo), Some(key)) =>
+          repo.loadByKey(key).getOrElse {
+            if (failIfResultsMissing)
+              throw new IllegalStateException(s"No stored profiling results for $key")
+            graft.runners.AnalyzerContext.empty
+          }
+        case _ =>
+          if (reuseExistingResultsKey.isDefined)
+            throw new IllegalStateException(
+              "a metricsRepository is required to reuse existing results")
+          graft.runners.AnalyzerContext.empty
+      }
+
+    // every metric produced (or reused) during profiling, for saveOrAppend
+    val allMetrics = scala.collection.concurrent.TrieMap.empty[AnyAnalyzer, Metric[_]]
+
+    def runAnalyzers(df: DataFrame, analyzers: Seq[AnyAnalyzer]): graft.runners.AnalyzerContext = {
+      val cached = analyzers.filter(a => reusedContext.metric(a).exists(_.value.isSuccess))
+      val computed = AnalysisRunner.run(df, analyzers.filterNot(cached.contains))
+      val ctx = graft.runners.AnalyzerContext(
+        cached.map(a => (a: AnyAnalyzer) -> reusedContext.metric(a).get).toMap ++
+          computed.metricMap)
+      allMetrics ++= ctx.metricMap
+      ctx
+    }
 
     val columns = restrictToColumns.getOrElse(data.columns.toSeq)
       .filter(c => data.columns.contains(c))
@@ -112,6 +247,7 @@ object ColumnProfiler {
 
     def numericStatsFor(c: String): Seq[AnyAnalyzer] =
       Seq[AnyAnalyzer](Minimum(c), Maximum(c), Mean(c), Sum(c), StandardDeviation(c),
+        Variance(c), Skewness(c), Kurtosis(c), ZerosCount(c),
         ApproxQuantiles(c, Seq(0.25, 0.5, 0.75)))
 
     // ---- pass 1 (ONE fused scan): size + per-column completeness and
@@ -124,12 +260,15 @@ object ColumnProfiler {
           (if (i == 0) Seq[AnyAnalyzer](Size()) else Seq.empty) ++ chunk.flatMap { c =>
             Seq[AnyAnalyzer](Completeness(c), ApproxCountDistinct(c)) ++
               (if (declaredString.contains(c))
-                Seq[AnyAnalyzer](DataTypeAnalyzer(c),
-                  graft.operators.MinLength(c), graft.operators.MaxLength(c))
+                // predefined types skip inference entirely (reference
+                // capability: ColumnProfilerRunBuilder.setPredefinedTypes)
+                (if (predefinedTypes.contains(c)) Seq.empty[AnyAnalyzer]
+                 else Seq[AnyAnalyzer](DataTypeAnalyzer(c))) ++
+                  Seq[AnyAnalyzer](graft.operators.MinLength(c), graft.operators.MaxLength(c))
               else Seq.empty) ++
               (if (declaredNumeric.contains(c)) numericStatsFor(c) else Seq.empty)
           }
-        AnalysisRunner.run(data, analyzers)
+        runAnalyzers(data, analyzers)
       }
       .reduce((a, b) => graft.runners.AnalyzerContext(a.metricMap ++ b.metricMap))
 
@@ -149,7 +288,11 @@ object ColumnProfiler {
       * "infer" what the schema already states).
       */
     def typeCountsOf(c: String): Map[String, Long] =
-      if (declaredString.contains(c)) {
+      if (predefinedTypes.contains(c)) {
+        val nonNull = math.round(completenessOf(c) * numRecords)
+        Map(predefinedTypes(c) -> nonNull, DataTypeInstances.Null -> (numRecords - nonNull))
+          .filter(_._2 > 0)
+      } else if (declaredString.contains(c)) {
         ctx1.metric(DataTypeAnalyzer(c)) match {
           case Some(HistogramMetric(_, Success(dist))) =>
             dist.values.map { case (k, v) => k -> v.absolute }
@@ -192,13 +335,29 @@ object ColumnProfiler {
       d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(DoubleType))
     }
     val ctx2 = inferredNumeric.grouped(math.max(maxColumnsPerPass, 1))
-      .map(chunk => AnalysisRunner.run(pass2Data, chunk.flatMap(numericStatsFor)))
+      .map(chunk => runAnalyzers(pass2Data, chunk.flatMap(numericStatsFor)))
       .foldLeft(ctx1)((a, b) => graft.runners.AnalyzerContext(a.metricMap ++ b.metricMap))
 
     val stringColumns = declaredString.filterNot(numericColumns.contains)
 
     def num(a: AnyAnalyzer): Option[Double] =
       ctx2.metric(a).flatMap(_.value.toOption).collect { case d: Double => d }
+
+    // ---- optional KLL pass: sketches for every numeric column share ONE
+    // RDD pass (the runner batches per-column updaters, treeReduce merge) —
+    // reference capability: ColumnProfilerRunBuilder.withKLLProfiling +
+    // runners/KLLRunner.scala:89-177
+    val kllByColumn: Map[String, graft.sketch.BucketDistribution] =
+      if (kllProfiling && numericColumns.nonEmpty) {
+        status(s"KLL pass over ${numericColumns.size} numeric columns")
+        val analyzers = numericColumns.map(c =>
+          graft.sketch.KLLSketchAnalyzer(c, kllParameters.getOrElse(graft.sketch.KLLParameters())))
+        val ctx = runAnalyzers(pass2Data, analyzers)
+        analyzers.flatMap { a =>
+          ctx.metric(a).flatMap(_.value.toOption)
+            .collect { case bd: graft.sketch.BucketDistribution => a.column -> bd }
+        }.toMap
+      } else Map.empty
 
     // ---- pass 3: full histograms for low-cardinality columns; the
     // per-column groupBy jobs are independent — submit them concurrently
@@ -214,8 +373,16 @@ object ColumnProfiler {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      val futures = histogramColumns.map(c =>
-        Future(Histogram(c).calculate(data).value.toOption.map(c -> _)))
+      val futures = histogramColumns.map { c =>
+        Future {
+          val analyzer = Histogram(c)
+          val metric = reusedContext.metric(analyzer)
+            .collect { case m if m.value.isSuccess => m }
+            .getOrElse(analyzer.calculate(data))
+          allMetrics += ((analyzer: AnyAnalyzer) -> metric)
+          metric.value.toOption.collect { case d: Distribution => c -> d }
+        }
+      }
       futures.flatMap(f => Await.result(f, Duration.Inf)).toMap
     }
 
@@ -224,17 +391,34 @@ object ColumnProfiler {
       val profile: ColumnProfile =
         if (numericColumns.contains(c)) {
           val inferred = !isNumericDeclared(c)
-          val quantiles = ctx2.metric(ApproxQuantiles(c, Seq(0.25, 0.5, 0.75)))
+          val quantileMap = ctx2.metric(ApproxQuantiles(c, Seq(0.25, 0.5, 0.75)))
             .flatMap(_.value.toOption)
             .map(_.asInstanceOf[Map[String, Double]])
-            .map(m => Seq(m("0.25"), m("0.5"), m("0.75")))
+          // when KLL profiling is on, the percentile vector comes from the
+          // sketch (reference: ColumnProfiler.scala:638-645 computes 100
+          // percentiles from the KLL); otherwise the fused-scan quartiles
+          val quantiles = kllByColumn.get(c)
+            .map(bd => (1 to 100).map(i => bd.sketch.quantile(i / 100.0)).sorted: Seq[Double])
+            .orElse(quantileMap.map(m => Seq(m("0.25"), m("0.5"), m("0.75"))))
+          val minV = num(Minimum(c))
+          val maxV = num(Maximum(c))
           NumericColumnProfile(c, base._1, base._2,
             if (inferred) inferredType(c)
             else declaredType(c).map(_.simpleString).getOrElse("unknown"),
             isDataTypeInferred = inferred, base._3, base._4,
-            mean = num(Mean(c)), maximum = num(Maximum(c)), minimum = num(Minimum(c)),
+            mean = num(Mean(c)), maximum = maxV, minimum = minV,
             sum = num(Sum(c)), stdDev = num(StandardDeviation(c)),
-            approxPercentiles = quantiles)
+            approxPercentiles = quantiles,
+            kll = kllByColumn.get(c),
+            zerosCount = num(ZerosCount(c)).map(_.toLong),
+            range = for (mx <- maxV; mn <- minV) yield mx - mn,
+            // approx IQR from the fused-scan quartiles: scale-safe where the
+            // reference buffers every value via the exact `percentile`
+            // built-in (analyzers/InterquartileRange.scala:63-69)
+            interquartileRange = quantileMap.map(m => m("0.75") - m("0.25")),
+            variance = num(Variance(c)),
+            skewness = num(Skewness(c)),
+            kurtosis = num(Kurtosis(c)))
         } else if (declaredType(c).contains(StringType)) {
           StringColumnProfile(c, base._1, base._2, inferredType(c),
             isDataTypeInferred = true, base._3, base._4,
@@ -246,6 +430,17 @@ object ColumnProfiler {
         }
       c -> profile
     }.toMap
+
+    // saveOrAppend: merge with anything already stored under the key, new
+    // metrics win (reference capability:
+    // ColumnProfilerRunBuilder.saveOrAppendResult)
+    for {
+      repo <- metricsRepository
+      key <- saveOrAppendResultsKey
+    } {
+      val existing = repo.loadByKey(key).map(_.metricMap).getOrElse(Map.empty)
+      repo.save(key, graft.runners.AnalyzerContext(existing ++ allMetrics.toMap))
+    }
 
     ColumnProfiles(profiles, numRecords)
   }

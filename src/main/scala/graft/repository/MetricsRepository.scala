@@ -31,6 +31,51 @@ trait MetricsRepositoryMultipleResultsLoader {
   def before(dateTime: Long): MetricsRepositoryMultipleResultsLoader
   def get(): Seq[AnalysisResult]
 
+  /** All stored success metrics as one (entity, instance, name, value,
+    * dataset_date, tag...) DataFrame — tag columns sanitized and unioned
+    * across results, null where a result lacks the tag (reference
+    * capability: repository/MetricsRepositoryMultipleResultsLoader.scala:64,
+    * AnalysisResult.getSuccessMetricsAsDataFrame).
+    */
+  def getSuccessMetricsAsDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      withTags: Seq[String] = Seq.empty): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val flat = MetricsRepositoryMultipleResultsLoader.flatten(get(), withTags)
+    val tagColumns = flat.flatMap(_._6.keys).distinct
+    val schema = StructType(
+      Seq(
+        StructField("entity", StringType, nullable = false),
+        StructField("instance", StringType, nullable = false),
+        StructField("name", StringType, nullable = false),
+        StructField("value", DoubleType, nullable = false),
+        StructField("dataset_date", LongType, nullable = false)) ++
+        tagColumns.map(StructField(_, StringType, nullable = true)))
+    val rows = flat.map { case (entity, instance, name, value, date, tags) =>
+      Row.fromSeq(Seq(entity, instance, name, value, date) ++
+        tagColumns.map(tags.get(_).orNull))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Same rows as JSON (reference capability:
+    * MetricsRepositoryMultipleResultsLoader.getSuccessMetricsAsJson).
+    */
+  def getSuccessMetricsAsJson(withTags: Seq[String] = Seq.empty): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val entries = MetricsRepositoryMultipleResultsLoader.flatten(get(), withTags).map {
+      case (entity, instance, name, value, date, tags) =>
+        tags.foldLeft(
+          ("entity" -> entity) ~ ("instance" -> instance) ~ ("name" -> name) ~
+            ("value" -> value) ~ ("dataset_date" -> date)) {
+          case (json, (k, v)) => json ~ (k -> v)
+        }
+    }
+    JsonMethods.compact(JsonMethods.render(entries))
+  }
+
   /** Time series of successful values for one analyzer, oldest first. */
   def timeSeriesOf(analyzer: AnyAnalyzer): Seq[(Long, Double)] =
     get()
@@ -41,6 +86,30 @@ trait MetricsRepositoryMultipleResultsLoader {
           case _ => None
         }
       }
+}
+
+object MetricsRepositoryMultipleResultsLoader {
+
+  /** One row per successful double metric:
+    * (entity, instance, name, value, dataset_date, sanitized tags).
+    */
+  private[repository] def flatten(
+      results: Seq[AnalysisResult],
+      withTags: Seq[String]): Seq[(String, String, String, Double, Long, Map[String, String])] = {
+    val reserved = Set("entity", "instance", "name", "value", "dataset_date")
+    results.sortBy(_.resultKey.dataSetDate).flatMap { r =>
+      val tags = r.resultKey.tags
+        .filter { case (k, _) => withTags.isEmpty || withTags.contains(k) }
+        .map { case (k, v) =>
+          val cleaned = k.replaceAll("[^A-Za-z0-9_]", "").toLowerCase
+          (if (reserved.contains(cleaned)) cleaned + "_2" else cleaned) -> v
+        }
+      r.analyzerContext.metricMap.values.toSeq.collect {
+        case DoubleMetric(entity, name, instance, Success(v), _) =>
+          (entity.repr, instance, name, v, r.resultKey.dataSetDate, tags)
+      }
+    }
+  }
 }
 
 private[repository] case class LoaderImpl(

@@ -23,6 +23,50 @@ case class AnalyzerContext(metricMap: Map[AnyAnalyzer, Metric[_]]) {
 
 object AnalyzerContext {
   def empty: AnalyzerContext = AnalyzerContext(Map.empty)
+
+  /** Successful double-valued metrics as a (entity, instance, name, value)
+    * DataFrame, optionally restricted to some analyzers (reference
+    * capability: runners/AnalyzerContext.successMetricsAsDataFrame).
+    */
+  def successMetricsAsDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      context: AnalyzerContext,
+      forAnalyzers: Seq[AnyAnalyzer] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = selected(context, forAnalyzers).toSeq.collect {
+      case (_, DoubleMetric(entity, name, instance, scala.util.Success(value), _)) =>
+        Row(entity.repr, instance, name, value)
+    }
+    val schema = StructType(Seq(
+      StructField("entity", StringType, nullable = false),
+      StructField("instance", StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Same selection as JSON (reference capability:
+    * runners/AnalyzerContext.successMetricsAsJson).
+    */
+  def successMetricsAsJson(
+      context: AnalyzerContext,
+      forAnalyzers: Seq[AnyAnalyzer] = Seq.empty): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val entries = selected(context, forAnalyzers).toSeq.collect {
+      case (_, DoubleMetric(entity, name, instance, scala.util.Success(value), _)) =>
+        ("entity" -> entity.repr) ~ ("instance" -> instance) ~
+          ("name" -> name) ~ ("value" -> value)
+    }
+    JsonMethods.compact(JsonMethods.render(entries))
+  }
+
+  private def selected(
+      context: AnalyzerContext,
+      forAnalyzers: Seq[AnyAnalyzer]): Map[AnyAnalyzer, Metric[_]] =
+    if (forAnalyzers.isEmpty) context.metricMap
+    else context.metricMap.view.filterKeys(forAnalyzers.contains).toMap
 }
 
 /** The engine's "optimizer": fuses all scan-shareable analyzers into ONE
@@ -331,9 +375,21 @@ object AnalysisRunner {
   }
 }
 
-/** Fluent builder (reference capability: runners/AnalysisRunBuilder.scala). */
+/** Fluent builder (reference capability: runners/AnalysisRunBuilder.scala,
+  * incl. the WithRepository / WithSparkSession variants — folded into one
+  * builder here since Scala phantom-builder ceremony buys nothing).
+  */
 class AnalysisRunBuilder(data: DataFrame) {
   private var analyzers: Seq[AnyAnalyzer] = Seq.empty
+  private var repository: Option[graft.repository.MetricsRepository] = None
+  private var reuseKey: Option[graft.repository.ResultKey] = None
+  private var failIfResultsMissing: Boolean = false
+  private var saveKey: Option[graft.repository.ResultKey] = None
+  private var stateLoader: Option[graft.core.StateLoader] = None
+  private var statePersister: Option[graft.core.StatePersister] = None
+  private var outputSession: Option[org.apache.spark.sql.SparkSession] = None
+  private var overwriteFiles: Boolean = false
+  private var successMetricsPath: Option[String] = None
 
   def addAnalyzer(analyzer: AnyAnalyzer): AnalysisRunBuilder = {
     analyzers = analyzers :+ analyzer
@@ -345,5 +401,104 @@ class AnalysisRunBuilder(data: DataFrame) {
     this
   }
 
-  def run(): AnalyzerContext = AnalysisRunner.run(data, analyzers)
+  def useRepository(repo: graft.repository.MetricsRepository): AnalysisRunBuilder = {
+    repository = Some(repo)
+    this
+  }
+
+  /** Skip analyzers whose metrics are already stored under `key`. */
+  def reuseExistingResultsForKey(
+      key: graft.repository.ResultKey,
+      failIfResultsMissing: Boolean = false): AnalysisRunBuilder = {
+    reuseKey = Some(key)
+    this.failIfResultsMissing = failIfResultsMissing
+    this
+  }
+
+  /** Merge the run's metrics into anything already stored under `key`
+    * (new metrics win on conflict).
+    */
+  def saveOrAppendResult(key: graft.repository.ResultKey): AnalysisRunBuilder = {
+    saveKey = Some(key)
+    this
+  }
+
+  /** Merge freshly computed states with states from this provider
+    * (incremental analysis over growing data).
+    */
+  def aggregateWith(loader: graft.core.StateLoader): AnalysisRunBuilder = {
+    stateLoader = Some(loader)
+    this
+  }
+
+  /** Persist the (merged) states for future incremental runs. */
+  def saveStatesWith(persister: graft.core.StatePersister): AnalysisRunBuilder = {
+    statePersister = Some(persister)
+    this
+  }
+
+  def useSparkSession(session: org.apache.spark.sql.SparkSession): AnalysisRunBuilder = {
+    outputSession = Some(session)
+    this
+  }
+
+  def overwritePreviousFiles(overwrite: Boolean): AnalysisRunBuilder = {
+    overwriteFiles = overwrite
+    this
+  }
+
+  def saveSuccessMetricsJsonToPath(path: String): AnalysisRunBuilder = {
+    successMetricsPath = Some(path)
+    this
+  }
+
+  def run(): AnalyzerContext = {
+    val distinct = analyzers.distinct
+
+    val cached: Map[AnyAnalyzer, Metric[_]] = (repository, reuseKey) match {
+      case (Some(repo), Some(key)) =>
+        val loaded = repo.loadByKey(key).map(_.metricMap).getOrElse {
+          if (failIfResultsMissing) {
+            throw new IllegalStateException(s"No stored results for $key")
+          }
+          Map.empty[AnyAnalyzer, Metric[_]]
+        }
+        loaded.filter { case (a, _) => distinct.contains(a) }
+      case _ =>
+        if (reuseKey.isDefined) {
+          throw new IllegalStateException(
+            "useRepository() must be called before reuseExistingResultsForKey")
+        }
+        Map.empty
+    }
+
+    val toCompute = distinct.filterNot(cached.contains)
+    val computed =
+      if (stateLoader.isDefined || statePersister.isDefined) {
+        AnalysisRunner.runStateful(data, toCompute,
+          aggregateWith = stateLoader, saveStatesWith = statePersister)
+      } else {
+        AnalysisRunner.run(data, toCompute)
+      }
+    val context = AnalyzerContext(cached ++ computed.metricMap)
+
+    for {
+      repo <- repository
+      key <- saveKey
+    } {
+      val existing = repo.loadByKey(key).map(_.metricMap).getOrElse(Map.empty)
+      repo.save(key, AnalyzerContext(existing ++ context.metricMap))
+    }
+
+    successMetricsPath.foreach { path =>
+      val spark = outputSession.getOrElse(data.sparkSession)
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (overwriteFiles || !fs.exists(fsPath)) {
+        graft.checks.VerificationResult.saveJsonToPath(
+          spark, path, AnalyzerContext.successMetricsAsJson(context))
+      }
+    }
+    context
+  }
 }

@@ -31,6 +31,11 @@ class KLLSketch(
   private[sketch] def setCompactors(c: ArrayBuffer[ArrayBuffer[Double]]): Unit =
     compactors = c
 
+  /** Read-only view of the compactor levels (reference capability:
+    * metrics/BucketDistribution.scala `data`) — consumed by profile JSON.
+    */
+  def data: Seq[Seq[Double]] = compactors.map(_.toSeq).toSeq
+
   private def numLevels: Int = compactors.length
 
   private def capacity(height: Int): Int =

@@ -15,7 +15,13 @@ case class ConstraintSuggestion(
     columnName: String,
     description: String,
     codeForConstraint: String,
-    constraint: Option[Constraint] = None)
+    constraint: Option[Constraint] = None,
+    /** observed profile value the suggestion is based on (reference:
+      * ConstraintSuggestion.currentValue, emitted as `current_value`) */
+    currentValue: String = "",
+    /** rule that produced this suggestion (reference: `suggesting_rule`) */
+    suggestingRule: String = "",
+    ruleDescription: String = "")
 
 /** One heuristic over a column profile
   * (reference capability: suggestions/rules/ConstraintRule.scala).
@@ -23,11 +29,19 @@ case class ConstraintSuggestion(
 trait ConstraintRule {
   def shouldBeApplied(profile: ColumnProfile, numRecords: Long): Boolean
   def candidate(profile: ColumnProfile, numRecords: Long): ConstraintSuggestion
+
+  /** Human explanation of the heuristic (reference capability:
+    * rules/ConstraintRule.ruleDescription).
+    */
+  def ruleDescription: String = getClass.getSimpleName
 }
 
 /** Complete columns stay complete
   * (reference capability: suggestions/rules/CompleteIfCompleteRule.scala). */
 case class CompleteIfCompleteRule() extends ConstraintRule {
+  override val ruleDescription: String =
+    "If a column is complete in the sample, we suggest a NOT NULL constraint"
+
   override def shouldBeApplied(profile: ColumnProfile, numRecords: Long): Boolean =
     profile.completeness == 1.0
 
@@ -73,6 +87,9 @@ case class RetainCompletenessRule(
     minCompleteness: Double = 0.2,
     intervalStrategy: ConfidenceIntervalStrategy = WilsonScoreIntervalStrategy)
     extends ConstraintRule {
+  override val ruleDescription: String =
+    "If a column is incomplete in the sample, we model its completeness as a binomial variable and estimate a confidence-interval lower bound for it"
+
   override def shouldBeApplied(profile: ColumnProfile, numRecords: Long): Boolean =
     profile.completeness > minCompleteness && profile.completeness < 1.0
 
@@ -92,6 +109,9 @@ case class RetainCompletenessRule(
 /** Unique-looking columns should be unique
   * (reference capability: suggestions/rules/UniqueIfApproximatelyUniqueRule.scala). */
 case class UniqueIfApproximatelyUniqueRule() extends ConstraintRule {
+  override val ruleDescription: String =
+    "If the ratio of approximate num distinct values in a column is close to the number of records (within HLL error), we suggest a UNIQUE constraint"
+
   override def shouldBeApplied(profile: ColumnProfile, numRecords: Long): Boolean = {
     val nonNull = profile.completeness * numRecords
     nonNull > 0 &&
@@ -109,6 +129,9 @@ case class UniqueIfApproximatelyUniqueRule() extends ConstraintRule {
 /** Inferred-typed string columns keep their type
   * (reference capability: suggestions/rules/RetainTypeRule.scala). */
 case class RetainTypeRule() extends ConstraintRule {
+  override val ruleDescription: String =
+    "If we detect a non-string semantic type, we suggest a type constraint"
+
   override def shouldBeApplied(profile: ColumnProfile, numRecords: Long): Boolean =
     profile.isDataTypeInferred && (profile.dataType == DataTypeInstances.Integral ||
       profile.dataType == DataTypeInstances.Fractional ||
@@ -129,6 +152,9 @@ case class RetainTypeRule() extends ConstraintRule {
 /** Low-cardinality columns keep their value set
   * (reference capability: suggestions/rules/CategoricalRangeRule.scala). */
 case class CategoricalRangeRule(maxCategories: Int = 10) extends ConstraintRule {
+  override val ruleDescription: String =
+    "If we see a categorical range for a column, we suggest an IS IN (...) constraint"
+
   override def shouldBeApplied(profile: ColumnProfile, numRecords: Long): Boolean =
     profile.histogram.exists { h =>
       h.numberOfBins <= maxCategories && h.values.nonEmpty &&
@@ -152,6 +178,9 @@ case class CategoricalRangeRule(maxCategories: Int = 10) extends ConstraintRule 
 /** Non-negative numeric columns stay non-negative
   * (reference capability: suggestions/rules/NonNegativeNumbersRule.scala). */
 case class NonNegativeNumbersRule() extends ConstraintRule {
+  override val ruleDescription: String =
+    "If we see only non-negative numbers in a column, we suggest a corresponding constraint"
+
   override def shouldBeApplied(profile: ColumnProfile, numRecords: Long): Boolean =
     profile match {
       case n: NumericColumnProfile => n.minimum.exists(_ >= 0.0)
@@ -175,6 +204,9 @@ case class NonNegativeNumbersRule() extends ConstraintRule {
 case class FractionalCategoricalRangeRule(
     maxCategories: Int = 100,
     targetCoverage: Double = 0.9) extends ConstraintRule {
+  override val ruleDescription: String =
+    "If most values in a column fall into a categorical range, we suggest an IS IN (...) constraint that should hold for most values"
+
 
   private def topCoverage(profile: ColumnProfile): Option[(Seq[String], Double)] =
     profile.histogram.map { h =>
@@ -215,6 +247,9 @@ case class FractionalCategoricalRangeRule(
 /** Numeric columns keep their observed minimum as a lower bound
   * (reference capability: suggestions/rules/HasMin.scala, EXTENDED set). */
 case class HasMinRule() extends ConstraintRule {
+  override val ruleDescription: String =
+    "The observed minimum of a numeric column is retained as a lower bound"
+
   override def shouldBeApplied(profile: ColumnProfile, numRecords: Long): Boolean =
     profile match { case n: NumericColumnProfile => n.minimum.isDefined; case _ => false }
 
@@ -231,6 +266,9 @@ case class HasMinRule() extends ConstraintRule {
 /** Numeric columns keep their observed maximum as an upper bound
   * (reference capability: suggestions/rules/HasMax.scala, EXTENDED set). */
 case class HasMaxRule() extends ConstraintRule {
+  override val ruleDescription: String =
+    "The observed maximum of a numeric column is retained as an upper bound"
+
   override def shouldBeApplied(profile: ColumnProfile, numRecords: Long): Boolean =
     profile match { case n: NumericColumnProfile => n.maximum.isDefined; case _ => false }
 
@@ -247,6 +285,9 @@ case class HasMaxRule() extends ConstraintRule {
 /** Numeric mean stays within observed mean ± 10x observed stddev/sqrt(n)
   * (reference capability: suggestions/rules/HasMean.scala, EXTENDED set). */
 case class HasMeanRule() extends ConstraintRule {
+  override val ruleDescription: String =
+    "The observed mean of a numeric column is retained within a stddev-derived band"
+
   override def shouldBeApplied(profile: ColumnProfile, numRecords: Long): Boolean =
     profile match {
       case n: NumericColumnProfile => n.mean.isDefined && n.stdDev.isDefined
@@ -270,6 +311,9 @@ case class HasMeanRule() extends ConstraintRule {
 /** Standard deviation stays within a 2x band of the observed one
   * (reference capability: suggestions/rules/HasStandardDeviation.scala). */
 case class HasStandardDeviationRule() extends ConstraintRule {
+  override val ruleDescription: String =
+    "The observed standard deviation of a numeric column is retained within a tolerance band"
+
   override def shouldBeApplied(profile: ColumnProfile, numRecords: Long): Boolean =
     profile match {
       case n: NumericColumnProfile => n.stdDev.exists(_ > 0.0)
@@ -290,6 +334,9 @@ case class HasStandardDeviationRule() extends ConstraintRule {
 /** String columns keep their observed minimum value length
   * (reference capability: suggestions/rules/HasMinLength.scala). */
 case class HasMinLengthRule() extends ConstraintRule {
+  override val ruleDescription: String =
+    "The observed minimum string length is retained as a lower bound"
+
   override def shouldBeApplied(profile: ColumnProfile, numRecords: Long): Boolean =
     profile match {
       case s: graft.profiles.StringColumnProfile => s.minLength.isDefined
@@ -309,6 +356,9 @@ case class HasMinLengthRule() extends ConstraintRule {
 /** String columns keep their observed maximum value length
   * (reference capability: suggestions/rules/HasMaxLength.scala). */
 case class HasMaxLengthRule() extends ConstraintRule {
+  override val ruleDescription: String =
+    "The observed maximum string length is retained as an upper bound"
+
   override def shouldBeApplied(profile: ColumnProfile, numRecords: Long): Boolean =
     profile match {
       case s: graft.profiles.StringColumnProfile => s.maxLength.isDefined
@@ -345,6 +395,58 @@ object Rules {
   */
 object ConstraintSuggestionRunner {
 
+  def apply(): ConstraintSuggestionRunnerFluent = new ConstraintSuggestionRunnerFluent()
+
+  /** Observed profile value backing a suggestion (reference:
+    * ConstraintSuggestion.currentValue / `current_value` in JSON).
+    */
+  private[suggestions] def currentValueFor(
+      s: ConstraintSuggestion, profile: ColumnProfile): String = {
+    def numeric(f: NumericColumnProfile => Option[Double], label: String): String =
+      profile match {
+        case n: NumericColumnProfile => f(n).map(v => s"$label: $v").getOrElse("")
+        case _ => ""
+      }
+    s.constraintName match {
+      case "CompletenessConstraint" => s"Completeness: ${profile.completeness}"
+      case "UniquenessConstraint" =>
+        s"ApproxDistinctValues: ${profile.approximateNumDistinctValues}"
+      case "DataTypeConstraint" => s"DataType: ${profile.dataType}"
+      case "CategoricalRangeConstraint" | "FractionalCategoricalRangeConstraint" =>
+        "Compliance: 1"
+      case "NonNegativeConstraint" | "MinimumConstraint" => numeric(_.minimum, "Minimum")
+      case "MaximumConstraint" => numeric(_.maximum, "Maximum")
+      case "MeanConstraint" => numeric(_.mean, "Mean")
+      case "StandardDeviationConstraint" => numeric(_.stdDev, "StandardDeviation")
+      case "MinLengthConstraint" => profile match {
+        case p: StringColumnProfile => p.minLength.map(v => s"MinLength: $v").getOrElse("")
+        case _ => ""
+      }
+      case "MaxLengthConstraint" => profile match {
+        case p: StringColumnProfile => p.maxLength.map(v => s"MaxLength: $v").getOrElse("")
+        case _ => ""
+      }
+      case _ => ""
+    }
+  }
+
+  private[suggestions] def suggestionsFromProfiles(
+      profiles: ColumnProfiles,
+      rules: Seq[ConstraintRule]): Map[String, Seq[ConstraintSuggestion]] =
+    profiles.profiles.map { case (column, profile) =>
+      column -> rules
+        .filter(_.shouldBeApplied(profile, profiles.numRecords))
+        .map { r =>
+          val c = r.candidate(profile, profiles.numRecords)
+          c.copy(
+            suggestingRule = r.getClass.getSimpleName.stripSuffix("$"),
+            ruleDescription = r.ruleDescription,
+            currentValue =
+              if (c.currentValue.nonEmpty) c.currentValue
+              else currentValueFor(c, profile))
+        }
+    }
+
   case class SuggestionResult(
       columnProfiles: ColumnProfiles,
       suggestions: Map[String, Seq[ConstraintSuggestion]],
@@ -368,31 +470,30 @@ object ConstraintSuggestionRunner {
     }
 
     val profiles = ColumnProfiler.profile(train, restrictToColumns)
-    val suggestions = profiles.profiles.map { case (column, profile) =>
-      column -> rules
-        .filter(_.shouldBeApplied(profile, profiles.numRecords))
-        .map(_.candidate(profile, profiles.numRecords))
-    }
+    val suggestions = suggestionsFromProfiles(profiles, rules)
 
-    // hold-out validation: run every evaluable suggestion as one check on
-    // the test split (one fused pass) and report per-suggestion status
-    val evaluation = test match {
-      case Some(testData) =>
-        val evaluable = suggestions.values.flatten.toSeq.flatMap(s =>
-          s.constraint.map(c => s -> c))
-        if (evaluable.isEmpty) Map.empty[String, ConstraintStatus]
-        else {
-          val check = Check(CheckLevel.Warning, "suggestion holdout",
-            evaluable.map(_._2))
-          val ctx = graft.runners.AnalysisRunner.run(testData, check.requiredAnalyzers())
-          val results = check.evaluate(ctx)
-          evaluable.map(_._1).zip(results.constraintResults).map {
-            case (s, r) => s.codeForConstraint -> r.status
-          }.toMap
-        }
-      case None => Map.empty[String, ConstraintStatus]
-    }
+    SuggestionResult(profiles, suggestions, evaluateHoldout(suggestions, test))
+  }
 
-    SuggestionResult(profiles, suggestions, evaluation)
+  /** Hold-out validation: every evaluable suggestion runs as one check on
+    * the test split (one fused pass); reports per-suggestion status.
+    */
+  private[suggestions] def evaluateHoldout(
+      suggestions: Map[String, Seq[ConstraintSuggestion]],
+      test: Option[DataFrame]): Map[String, ConstraintStatus] = test match {
+    case Some(testData) =>
+      val evaluable = suggestions.values.flatten.toSeq.flatMap(s =>
+        s.constraint.map(c => s -> c))
+      if (evaluable.isEmpty) Map.empty[String, ConstraintStatus]
+      else {
+        val check = Check(CheckLevel.Warning, "suggestion holdout",
+          evaluable.map(_._2))
+        val ctx = graft.runners.AnalysisRunner.run(testData, check.requiredAnalyzers())
+        val results = check.evaluate(ctx)
+        evaluable.map(_._1).zip(results.constraintResults).map {
+          case (s, r) => s.codeForConstraint -> r.status
+        }.toMap
+      }
+    case None => Map.empty[String, ConstraintStatus]
   }
 }
