@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, countDistinct, expr, lit}
+import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, expr, lit, sum, when}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
@@ -379,24 +379,37 @@ object SparkEntry {
       val subSigs = sigs.filter(col("graft_id") < subN)
 
       val exact = Dedup.exactJaccardPairsFromSignatures(subSigs, threshold = 0.5)
-        .select("id_a", "id_b").persist()
-      val nExact = exact.count()
+        .select("id_a", "id_b").withColumn("graft_e", lit(1L))
       val mh = Dedup.nearDuplicatePairsFromSignatures(sigs,
-        threshold = 0.5, numHashes = 64, bands = 16).filter(inSub).select("id_a", "id_b")
-      val mhFound = exact.join(mh, Seq("id_a", "id_b"), "left_semi").count()
-
+        threshold = 0.5, numHashes = 64, bands = 16).filter(inSub)
+        .select("id_a", "id_b").distinct().withColumn("graft_mh", lit(1L))
       val sim = Dedup.simHashPairsFromSignatures(sigs, maxHamming = 8)
-        .filter(inSub).select("id_a", "id_b")
+        .filter(inSub).select("id_a", "id_b").distinct().withColumn("graft_sh", lit(1L))
       val exactHam = subSigs
         .select(col("graft_id").as("id_a"), col("graft_sim").as("graft_sa"))
         .crossJoin(subSigs.select(col("graft_id").as("id_b"), col("graft_sim").as("graft_sb")))
         .filter(col("id_a") < col("id_b"))
         .filter(Dedup.hammingDistance(col("graft_sa"), col("graft_sb")) <= 8)
-        .select("id_a", "id_b").persist()
-      val nHam = exactHam.count()
-      val simFound = exactHam.join(sim, Seq("id_a", "id_b"), "left_semi").count()
-      exact.unpersist(blocking = false)
-      exactHam.unpersist(blocking = false)
+        .select("id_a", "id_b").withColumn("graft_h", lit(1L))
+
+      // ALL four audit counts in ONE action: the ground-truth skeleton
+      // (exact-Jaccard ∪ exact-Hamming pairs) left-joins the two candidate
+      // sets, and one aggregation emits every count. Spark schedules the
+      // MinHash pipeline, the SimHash pipeline and both exact audits as
+      // concurrent stages of one job instead of four serial actions.
+      val r = exact.join(exactHam, Seq("id_a", "id_b"), "full_outer")
+        .join(mh, Seq("id_a", "id_b"), "left_outer")
+        .join(sim, Seq("id_a", "id_b"), "left_outer")
+        .agg(
+          sum(col("graft_e")).as("n_exact"),
+          sum(when(col("graft_e").isNotNull && col("graft_mh").isNotNull, 1L)
+            .otherwise(0L)).as("mh_found"),
+          sum(col("graft_h")).as("n_ham"),
+          sum(when(col("graft_h").isNotNull && col("graft_sh").isNotNull, 1L)
+            .otherwise(0L)).as("sim_found"))
+        .collect().head
+      def longAt(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+      val (nExact, mhFound, nHam, simFound) = (longAt(0), longAt(1), longAt(2), longAt(3))
       sigs.unpersist(blocking = false)
       metricRow(s, Seq(
         "exact_jaccard_pairs" -> nExact.toDouble,
@@ -546,13 +559,18 @@ object SparkEntry {
       val engine = Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding",
           threshold = thr, planes = planes, numTables = tables)
         .filter(col("id_a") < subN && col("id_b") < subN)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b").distinct().withColumn("graft_lsh", lit(1L))
       val sub = emb.filter(col("vec_id") < subN)
-      val exact = Similarity.cosinePairsBrute(sub, "vec_id", "embedding", thr)
-        .select("id_a", "id_b").persist()
-      val nExact = exact.count()
-      val nFound = exact.join(engine, Seq("id_a", "id_b"), "left_semi").count()
-      exact.unpersist(blocking = false)
+      // both audit counts in ONE action (LSH pipeline and brute-force audit
+      // run as concurrent stages of a single job)
+      val r = Similarity.cosinePairsBrute(sub, "vec_id", "embedding", thr)
+        .select("id_a", "id_b")
+        .join(engine, Seq("id_a", "id_b"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("graft_lsh").isNotNull, 1L).otherwise(0L)).as("n_found"))
+        .collect().head
+      val nExact = r.getLong(0)
+      val nFound = if (r.isNullAt(1)) 0L else r.getLong(1)
       metricRow(s, Seq(
         "exact_cos_pairs" -> nExact.toDouble,
         "lsh_recall_ok" -> flag(nExact == 0 || nFound.toDouble / nExact >= 0.9)))
