@@ -359,9 +359,12 @@ object ColumnProfiler {
         }.toMap
       } else Map.empty
 
-    // ---- pass 3: full histograms for low-cardinality columns; the
-    // per-column groupBy jobs are independent — submit them concurrently
-    // and let the scheduler share the executors
+    // ---- pass 3: full histograms for low-cardinality columns. ALL columns
+    // share ONE job: each row explodes into (column, value-string) pairs and
+    // a single groupBy counts them — K narrow per-column groupBy scans
+    // collapse into one scan reading the K columns together. The exploded
+    // stream is (rows × K) narrow pairs, hash-reduced map-side to at most
+    // K × threshold groups, so the shuffle stays tiny at any scale.
     val histogramColumns = columns.filter { c =>
       approxDistinctOf(c) <= lowCardinalityHistogramThreshold &&
         declaredType(c).forall {
@@ -370,20 +373,43 @@ object ColumnProfiler {
         }
     }
     val histograms: Map[String, Distribution] = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val futures = histogramColumns.map { c =>
-        Future {
-          val analyzer = Histogram(c)
-          val metric = reusedContext.metric(analyzer)
-            .collect { case m if m.value.isSuccess => m }
-            .getOrElse(analyzer.calculate(data))
-          allMetrics += ((analyzer: AnyAnalyzer) -> metric)
-          metric.value.toOption.collect { case d: Distribution => c -> d }
+      val reused = histogramColumns.flatMap { c =>
+        reusedContext.metric(Histogram(c)).collect {
+          case m if m.value.isSuccess =>
+            allMetrics += ((Histogram(c): AnyAnalyzer) -> m)
+            m.value.toOption.collect { case d: Distribution => c -> d }
+        }.flatten
+      }.toMap
+      val toCompute = histogramColumns.filterNot(reused.contains)
+      val computed: Map[String, Distribution] =
+        if (toCompute.isEmpty) Map.empty
+        else {
+          import org.apache.spark.sql.functions.{
+            array, coalesce, count, explode, lit, struct}
+          val pairs = toCompute.map { c =>
+            struct(lit(c).as("graft_hcol"),
+              coalesce(col(c).cast(org.apache.spark.sql.types.StringType),
+                lit(Histogram.NullFieldReplacement)).as("graft_hval"))
+          }
+          val grouped = data
+            .select(explode(array(pairs: _*)).as("graft_he"))
+            .select(col("graft_he.graft_hcol").as("graft_hcol"),
+              col("graft_he.graft_hval").as("graft_hval"))
+            .groupBy("graft_hcol", "graft_hval")
+            .agg(count(lit(1)).as("graft_hcnt"))
+            .collect()
+          val denom = math.max(numRecords, 1L)
+          grouped.groupBy(_.getString(0)).map { case (c, rows) =>
+            val values = rows.map { r =>
+              r.getString(1) -> DistributionValue(r.getLong(2), r.getLong(2).toDouble / denom)
+            }.toMap
+            val dist = Distribution(values, values.size.toLong)
+            allMetrics += ((Histogram(c): AnyAnalyzer) ->
+              HistogramMetric(c, Success(dist)))
+            c -> dist
+          }
         }
-      }
-      futures.flatMap(f => Await.result(f, Duration.Inf)).toMap
+      reused ++ computed
     }
 
     val profiles = columns.map { c =>

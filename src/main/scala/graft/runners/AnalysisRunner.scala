@@ -253,15 +253,39 @@ object AnalysisRunner {
     analyzer.computeMetricFrom(merged)
   }
 
+  /** Heavy per-row aggregations (exact-percentile buffers, per-row regex
+    * type inference, KLL sketch updates) are dominated by per-row CPU, not
+    * scan I/O. When the source's scan parallelism is degenerate relative to
+    * the cluster — a single-row-group parquet file, a coalesced upstream —
+    * ONE narrow shuffle to `defaultParallelism` converts the aggregation
+    * from single-core to cluster-wide, and Catalyst still prunes columns
+    * below the exchange. On a healthy layout (100 TB = tens of thousands of
+    * row groups) the partition count already exceeds the parallelism and
+    * this is a no-op; the check itself is plan-time only (no Spark job).
+    */
+  private[graft] def ensureParallelism(data: DataFrame): DataFrame = {
+    val target = data.sparkSession.sparkContext.defaultParallelism
+    if (data.rdd.getNumPartitions * 2 <= target) data.repartition(target) else data
+  }
+
   /** All scan-shareable analyzers → one `df.agg(...)`; each analyzer
     * decodes its slice of the single result row via offsets.
     */
   private def runScanShareable(
-      data: DataFrame,
+      rawData: DataFrame,
       analyzers: Seq[AnyScanAnalyzer])
     : Map[AnyAnalyzer, Metric[_]] = {
 
     try {
+      // per-row-CPU-bound aggregations get cluster-wide parallelism even on
+      // degenerate scan layouts; pure-I/O aggregate families never pay the
+      // extra exchange
+      val hasHeavy = analyzers.exists {
+        case _: graft.operators.SharedPercentiles => true
+        case _: graft.operators.DataTypeAnalyzer => true
+        case _ => false
+      }
+      val data = if (hasHeavy) ensureParallelism(rawData) else rawData
       // executor-memory guard BEFORE the scan: exact-percentile buffers
       // over budget fail fast as per-analyzer metrics (one cheap count job
       // across all keys, only when such analyzers are present — see
@@ -308,7 +332,7 @@ object AnalysisRunner {
       case _: Throwable =>
         // one malformed aggregation must not poison the whole fused scan:
         // degrade to per-analyzer execution so only the offender fails
-        analyzers.map(a => (a: AnyAnalyzer) -> (a.calculate(data): Metric[_])).toMap
+        analyzers.map(a => (a: AnyAnalyzer) -> (a.calculate(rawData): Metric[_])).toMap
     }
   }
 

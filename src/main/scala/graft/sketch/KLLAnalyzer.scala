@@ -78,7 +78,11 @@ object KLLSketchAnalyzer {
       .getOrElse(data)
     val n = group.length
     val params = group.map(_.parameters)
-    val projected = filtered.select(group.map(a => col(a.column).cast(DoubleType)): _*)
+    // sketch updates are per-row CPU; a degenerate scan layout (single
+    // row group) gets one narrow shuffle of the projected doubles so the
+    // pass uses every core — no-op on healthy multi-row-group inputs
+    val projected = graft.runners.AnalysisRunner.ensureParallelism(
+      filtered.select(group.map(a => col(a.column).cast(DoubleType)): _*))
     val sketches = projected.rdd
       .mapPartitions { iter =>
         // partition-derived seeds: deterministic for a fixed partitioning,
