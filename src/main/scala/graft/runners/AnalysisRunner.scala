@@ -289,8 +289,12 @@ object AnalysisRunner {
       // executor-memory guard BEFORE the scan: exact-percentile buffers
       // over budget fail fast as per-analyzer metrics (one cheap count job
       // across all keys, only when such analyzers are present — see
-      // ExactQuantileGuard); everything else still runs fused
-      val over = graft.operators.ExactQuantileGuard.overBudget(data,
+      // ExactQuantileGuard). It reads rawData, not the repartitioned view:
+      // the guard job and the fused agg are separate actions, so the
+      // parallelize exchange is not reused between them — the HLL estimate
+      // is cheap enough per row that rerunning the shuffle for it would
+      // cost more than it saves
+      val over = graft.operators.ExactQuantileGuard.overBudget(rawData,
         analyzers.collect { case s: graft.operators.SharedPercentiles => s })
       val (guarded, runnable) = analyzers.partition {
         case s: graft.operators.SharedPercentiles => over.contains(s.percentileKey)
