@@ -137,6 +137,12 @@ trait SharedPercentiles { self: ScanShareableAnalyzer[_, _] =>
     requestedQuantiles.map(q => element_at(combined, allQs.indexOf(q) + 1))
   }
 
+  /** Metric from already-computed exact quantile values, ordered by
+    * ascending `requestedQuantiles` — the [[DistributedExactQuantile]]
+    * route for over-budget columns.
+    */
+  def metricFromQuantiles(sortedValues: Seq[Double]): Metric[_]
+
   final def percentileKey: (String, Option[String]) = (column, where)
 }
 
@@ -147,12 +153,13 @@ trait SharedPercentiles { self: ScanShareableAnalyzer[_, _] =>
   * reference has the identical exposure and no guard). Before the fused
   * scan runs, the distinct values each percentile buffer would hold are
   * estimated (HLL sketch, ~2% error) in ONE cheap job across all keys;
-  * any (column, where) over [[maxBufferedValues]] fails fast with a clear
-  * pointer to the bounded alternatives (ApproxQuantile's mergeable KLL
-  * sketch, ~1% rank error at the default size) instead of taking down an
-  * executor mid-scan. A 100M-row column with 50 distinct status codes
-  * passes untouched — only cardinality, not row count, costs memory. Set
-  * [[maxBufferedValues]] to 0 to disable the guard (and its job).
+  * any (column, where) over [[maxBufferedValues]] is routed to
+  * [[DistributedExactQuantile]] — same exact answer, every stage bounded
+  * by partition size instead of column cardinality — rather than running
+  * through the single fused buffer. A 100M-row column with 50 distinct
+  * status codes passes untouched — only cardinality, not row count, costs
+  * buffer memory. Set [[maxBufferedValues]] to 0 to disable the guard
+  * (and its estimation job).
   */
 object ExactQuantileGuard {
 
@@ -194,6 +201,101 @@ object ExactQuantileGuard {
         "error) or raise ExactQuantileGuard.maxBufferedValues.")
 }
 
+/** Exact percentiles as a distributed selection, for columns whose
+  * cardinality would blow the in-buffer `percentile` aggregate (see
+  * [[ExactQuantileGuard]]). Three bounded stages:
+  *
+  *   1. `groupBy(value).count()` — a hash aggregation with map-side
+  *      partials, so the shuffle carries one row per DISTINCT value, and
+  *      `repartitionByRange(value)` + `sortWithinPartitions` — a range
+  *      shuffle of that frequency table, giving globally-ordered,
+  *      size-balanced partitions (Spark samples range bounds).
+  *   2. One pass collecting per-partition count sums (K longs to the
+  *      driver, K = shuffle partitions) → prefix sums locate which
+  *      partition owns each target rank.
+  *   3. One pass over ONLY the owning partitions, walking the sorted run
+  *      to the local ranks — emits ≤ 2 values per requested quantile.
+  *
+  * No stage buffers more than one partition of distinct values; memory is
+  * bounded by partition size, not column cardinality, so a multi-billion-
+  * distinct-value column at 100 TB holds. Results match Spark's built-in
+  * `percentile` bit-for-bit on doubles (same `pos = q*(n-1)` continuous
+  * interpolation; values compared after the same cast to double).
+  */
+object DistributedExactQuantile {
+
+  /** @return quantile → exact value, or None when no rows survive
+    *         null/where filtering (matching `percentile`'s null result).
+    */
+  def percentiles(
+      data: DataFrame,
+      column: String,
+      where: Option[String],
+      qs: Seq[Double]): Option[Map[Double, Double]] = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0))
+    val freqDf = data
+      .select(conditionalSelection(col(column), where).cast(DoubleType).as("graft_v"))
+      .where(col("graft_v").isNotNull) // NaN kept: sorts last, as in `percentile`
+      .groupBy("graft_v").agg(count(lit(1)).as("graft_c"))
+      .repartitionByRange(col("graft_v"))
+      .sortWithinPartitions("graft_v")
+    val freq = freqDf.rdd.map(r => (r.getDouble(0), r.getLong(1)))
+    freq.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // stage 2: K (partitionId, countSum) pairs → rank offsets
+      val partTotals = freq
+        .mapPartitionsWithIndex { (i, it) =>
+          var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val n = partTotals.sum
+      if (n == 0) return None
+      val offsets = partTotals.scanLeft(0L)(_ + _) // ranks before partition i
+      val pos = qs.map(q => q * (n - 1))
+      val ranks = pos.flatMap(p => Seq(math.floor(p).toLong, math.ceil(p).toLong)).distinct
+      // rank k (0-based) lives in the partition whose [offsets(i), offsets(i+1)) covers it
+      def ownerOf(k: Long): Int = {
+        val i = java.util.Arrays.binarySearch(offsets, k)
+        if (i >= 0) i else -(i + 1) - 1
+      }
+      // partition → (rank offset, sorted local ranks to extract)
+      val ranksByPart: Map[Int, (Long, Seq[Long])] = ranks
+        .groupBy(ownerOf)
+        .map { case (p, ks) => p -> (offsets(p), ks.map(_ - offsets(p)).sorted) }
+      val bByPart = data.sparkSession.sparkContext.broadcast(ranksByPart)
+      // stage 3: walk only owning partitions to their local ranks
+      val found: Map[Long, Double] = freq
+        .mapPartitionsWithIndex { (i, it) =>
+          bByPart.value.get(i) match {
+            case None => Iterator.empty
+            case Some((rankOffset, localRanks)) =>
+              val want = localRanks.iterator.buffered
+              val out = Seq.newBuilder[(Long, Double)]
+              var cum = 0L
+              while (want.hasNext && it.hasNext) {
+                val (v, c) = it.next()
+                cum += c
+                while (want.hasNext && want.head < cum) {
+                  out += ((rankOffset + want.next(), v)) // keyed by GLOBAL rank
+                }
+              }
+              out.result().iterator
+          }
+        }
+        .collect().toMap
+      def valueAt(k: Long): Double = found(k)
+      Some(qs.zip(pos).map { case (q, p) =>
+        val lo = valueAt(math.floor(p).toLong)
+        val hi = valueAt(math.ceil(p).toLong)
+        q -> (lo + (p - math.floor(p)) * (hi - lo))
+      }.toMap)
+    } finally {
+      freq.unpersist(blocking = false)
+      ()
+    }
+  }
+}
+
 case class ExactQuantile(column: String, quantile: Double, where: Option[String] = None)
     extends DoubleResultScanAnalyzer[ExactQuantileState]("ExactQuantile", column)
     with SharedPercentiles {
@@ -208,13 +310,17 @@ case class ExactQuantile(column: String, quantile: Double, where: Option[String]
   override def aggregationFunctions(): Seq[Column] =
     percentile(conditionalSelection(col(column), where), lit(quantile)) :: Nil
 
-  // standalone path runs the same buffered-rows guard as the fused runner
+  // standalone path routes over-budget columns through the same
+  // distributed selection as the fused runner
   override def computeStateFrom(data: DataFrame): Option[ExactQuantileState] = {
-    ExactQuantileGuard.overBudget(data, Seq(this)).foreach {
-      case (k, n) => throw ExactQuantileGuard.failure(k, n)
-    }
-    super.computeStateFrom(data)
+    if (ExactQuantileGuard.overBudget(data, Seq(this)).nonEmpty) {
+      DistributedExactQuantile.percentiles(data, column, where, Seq(quantile))
+        .map(m => ExactQuantileState(Seq(m(quantile)), name))
+    } else super.computeStateFrom(data)
   }
+
+  override def metricFromQuantiles(sortedValues: Seq[Double]): Metric[_] =
+    computeMetricFrom(Some(ExactQuantileState(sortedValues, name)))
 
   override def fromAggregationResult(result: Row, offset: Int): Option[ExactQuantileState] =
     doubleAt(result, offset).map(v => ExactQuantileState(Seq(v), name))
@@ -305,13 +411,17 @@ case class InterquartileRange(column: String, where: Option[String] = None)
     percentile(conditionalSelection(col(column), where), lit(0.25)),
     percentile(conditionalSelection(col(column), where), lit(0.75)))
 
-  // standalone path runs the same buffered-rows guard as the fused runner
+  // standalone path routes over-budget columns through the same
+  // distributed selection as the fused runner
   override def computeStateFrom(data: DataFrame): Option[ExactQuantileState] = {
-    ExactQuantileGuard.overBudget(data, Seq(this)).foreach {
-      case (k, n) => throw ExactQuantileGuard.failure(k, n)
-    }
-    super.computeStateFrom(data)
+    if (ExactQuantileGuard.overBudget(data, Seq(this)).nonEmpty) {
+      DistributedExactQuantile.percentiles(data, column, where, requestedQuantiles)
+        .map(m => ExactQuantileState(Seq(m(0.25), m(0.75)), name))
+    } else super.computeStateFrom(data)
   }
+
+  override def metricFromQuantiles(sortedValues: Seq[Double]): Metric[_] =
+    computeMetricFrom(Some(ExactQuantileState(sortedValues, name)))
 
   override def fromAggregationResult(result: Row, offset: Int): Option[ExactQuantileState] =
     for {

@@ -300,11 +300,30 @@ object AnalysisRunner {
         case s: graft.operators.SharedPercentiles => over.contains(s.percentileKey)
         case _ => false
       }
-      val guardedMetrics = guarded.map { a =>
-        val s = a.asInstanceOf[graft.operators.SharedPercentiles]
-        (a: AnyAnalyzer) -> (a.toFailureMetric(graft.operators.ExactQuantileGuard
-          .failure(s.percentileKey, over(s.percentileKey))): Metric[_])
-      }.toMap
+      // over-budget exact percentiles run as a distributed selection (every
+      // stage bounded by partition size, not column cardinality) instead of
+      // the single in-buffer `percentile` aggregate — ONE selection per
+      // (column, where) key serves all its quantile analyzers
+      val guardedMetrics = guarded
+        .groupBy(_.asInstanceOf[graft.operators.SharedPercentiles].percentileKey)
+        .flatMap { case ((column, where), as) =>
+          val allQs = as.flatMap(
+            _.asInstanceOf[graft.operators.SharedPercentiles].requestedQuantiles).distinct
+          val byQ: Option[Map[Double, Double]] =
+            try graft.operators.DistributedExactQuantile
+              .percentiles(rawData, column, where, allQs)
+            catch { case _: Throwable => None }
+          as.map { a =>
+            val s = a.asInstanceOf[graft.operators.SharedPercentiles]
+            val metric: Metric[_] = byQ match {
+              case Some(m) => s.metricFromQuantiles(
+                s.requestedQuantiles.sorted.map(m))
+              case None => a.toFailureMetric(graft.operators.ExactQuantileGuard
+                .failure((column, where), over((column, where))))
+            }
+            (a: AnyAnalyzer) -> metric
+          }
+        }.toMap
       if (runnable.isEmpty) guardedMetrics
       else {
         // fuse exact-percentile requests per (column, where): all quantiles

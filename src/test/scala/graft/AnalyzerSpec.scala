@@ -189,38 +189,60 @@ class AnalyzerSpec extends AnyWordSpec with Matchers with SparkSpec {
       metricValue(ctx.metric(Uniqueness(Seq("name"))).get) shouldBe 4.0 / 6.0
     }
 
-    "fail exact percentiles fast when the value buffer would exceed budget" in {
+    "route exact percentiles through the distributed selection when over budget" in {
       val prev = ExactQuantileGuard.maxBufferedValues
       try {
         ExactQuantileGuard.maxBufferedValues = 3L  // "id" has 6 distinct values
-        // fused-runner path: the guarded analyzer fails with the budget
-        // message, everything else in the same run still succeeds
+        // fused-runner path: the guarded analyzer still produces the EXACT
+        // value (via DistributedExactQuantile), everything else unaffected
         val ctx = graft.runners.AnalysisRunner.run(df,
-          Seq[AnyAnalyzer](Size(), ExactQuantile("id", 0.5), Mean("id")))
+          Seq[AnyAnalyzer](Size(), ExactQuantile("id", 0.5),
+            InterquartileRange("id"), Mean("id")))
         metricValue(ctx.metric(Size()).get) shouldBe 6.0
         metricValue(ctx.metric(Mean("id")).get) shouldBe 3.5
-        val failed = ctx.metric(ExactQuantile("id", 0.5)).get.value
-        failed.isFailure shouldBe true
-        failed.failed.get.getMessage should include("ApproxQuantile")
-        // standalone path guards identically
-        val direct = ExactQuantile("id", 0.5).calculate(df)
-        direct.value.isFailure shouldBe true
-        direct.value.failed.get.getMessage should include("buffer")
-        // a where-clause keeping cardinality under budget is NOT blocked
+        metricValue(ctx.metric(ExactQuantile("id", 0.5)).get) shouldBe 3.5 +- 1e-9
+        // IQR of 1..6: p25 = 2.25, p75 = 4.75 (continuous interpolation)
+        metricValue(ctx.metric(InterquartileRange("id")).get) shouldBe 2.5 +- 1e-9
+        // standalone path routes identically
+        ExactQuantile("id", 0.5).calculate(df).value.get shouldBe 3.5 +- 1e-9
+        InterquartileRange("id").calculate(df).value.get shouldBe 2.5 +- 1e-9
+        // a where-clause keeping cardinality under budget is NOT rerouted
         ExactQuantile("id", 0.5, where = Some("id <= 2"))
           .calculate(df).value.get shouldBe 1.5 +- 1e-9
-        // cardinality is the budget, not row count: many rows over few
-        // distinct values pass untouched
-        val lowCard = df.withColumn("lowcard",
-          org.apache.spark.sql.functions.col("id") % 2)
-        ExactQuantile("lowcard", 0.5).calculate(lowCard)
-          .value.isSuccess shouldBe true
-        // disabled guard (0) lets the full column through again
+        // and a where-clause OVER budget computes through the filter too
+        ExactQuantile("id", 0.5, where = Some("id <= 5"))
+          .calculate(df).value.get shouldBe 3.0 +- 1e-9
+        // disabled guard (0) lets the full column through the fused buffer
         ExactQuantileGuard.maxBufferedValues = 0L
         ExactQuantile("id", 0.5).calculate(df).value.get shouldBe 3.5 +- 1e-9
       } finally {
         ExactQuantileGuard.maxBufferedValues = prev
       }
+    }
+
+    "match the built-in percentile exactly via the distributed selection" in {
+      val rnd = new scala.util.Random(42)
+      val spark = df.sparkSession
+      import spark.implicits._
+      // duplicates, negatives, skew; multiple input partitions
+      val values = Seq.fill(5000)(math.floor(rnd.nextGaussian() * 1000) / 4.0) ++
+        Seq.fill(200)(7.25) ++ Seq(-1e9, 1e9)
+      val data = spark.createDataset(values).toDF("v").repartition(7)
+      val qs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0)
+      import org.apache.spark.sql.functions._
+      val expected = data
+        .agg(percentile(col("v"), array(qs.map(lit): _*))).collect().head
+        .getSeq[Double](0)
+      val got = DistributedExactQuantile.percentiles(data, "v", None, qs).get
+      qs.zip(expected).foreach { case (q, e) =>
+        withClue(s"q=$q: ") { got(q) shouldBe e +- math.max(1e-9, math.abs(e) * 1e-12) }
+      }
+      // where-clause and empty-result behavior
+      DistributedExactQuantile.percentiles(data, "v", Some("v > 1e10"), Seq(0.5)) shouldBe None
+      val gotW = DistributedExactQuantile.percentiles(data, "v", Some("v >= 0"), Seq(0.5)).get
+      val expW = data.agg(percentile(when(col("v") >= 0, col("v")), lit(0.5)))
+        .collect().head.getDouble(0)
+      gotW(0.5) shouldBe expW +- 1e-9
     }
 
     "merge mergeable states correctly (partition + merge == full)" in {
