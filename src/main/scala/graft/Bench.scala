@@ -43,7 +43,9 @@ object Bench {
     warm.agg(
       percentile(col("v"), array(lit(0.25), lit(0.5))),
       percentile_approx(col("v"), lit(0.5), lit(100)),
-      hll_sketch_estimate(hll_sketch_agg(col("v"))),
+      // HllSketchAgg only accepts int/long/string/binary — hash doubles
+      // first, exactly like ApproxCountDistinct (ScanAnalyzers.scala).
+      hll_sketch_estimate(hll_sketch_agg(xxhash64(col("v")))),
       approx_count_distinct(col("v")),
       graft.sketch.KLLAggregator.sketchBytes(col("v"), 256)).collect()
     warm.select(col("v"), sum(col("v")).over(
@@ -51,12 +53,19 @@ object Bench {
       .agg(max(col("cum"))).collect()
 
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // The bench box shows 2-4x run-to-run variance on single timings;
+    // run each query REPS times (default 3) and report the median so a
+    // single contended run can't masquerade as a regression.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

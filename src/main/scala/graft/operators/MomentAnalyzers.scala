@@ -224,6 +224,23 @@ object ExactQuantileGuard {
   */
 object DistributedExactQuantile {
 
+  /** Partition owning global rank k (0-based) under prefix-sum `offsets`
+    * (length K+1): the i with offsets(i) <= k < offsets(i+1) AND a
+    * non-zero row count. Empty range partitions (routine when distinct
+    * values < shuffle partitions) repeat offset values, and
+    * `Arrays.binarySearch` makes no guarantee WHICH duplicate an exact
+    * hit returns — a rank landing on a repeated boundary could otherwise
+    * be routed to an empty partition that never emits it in the rank
+    * walk. After the search, advance past any zero-width partitions to
+    * the first one actually covering k.
+    */
+  private[graft] def ownerOf(offsets: Array[Long], k: Long): Int = {
+    val hit = java.util.Arrays.binarySearch(offsets, k)
+    var i = if (hit >= 0) hit else -(hit + 1) - 1
+    while (offsets(i + 1) <= k) i += 1
+    i
+  }
+
   /** @return quantile → exact value, or None when no rows survive
     *         null/where filtering (matching `percentile`'s null result).
     */
@@ -253,14 +270,9 @@ object DistributedExactQuantile {
       val offsets = partTotals.scanLeft(0L)(_ + _) // ranks before partition i
       val pos = qs.map(q => q * (n - 1))
       val ranks = pos.flatMap(p => Seq(math.floor(p).toLong, math.ceil(p).toLong)).distinct
-      // rank k (0-based) lives in the partition whose [offsets(i), offsets(i+1)) covers it
-      def ownerOf(k: Long): Int = {
-        val i = java.util.Arrays.binarySearch(offsets, k)
-        if (i >= 0) i else -(i + 1) - 1
-      }
       // partition → (rank offset, sorted local ranks to extract)
       val ranksByPart: Map[Int, (Long, Seq[Long])] = ranks
-        .groupBy(ownerOf)
+        .groupBy(k => ownerOf(offsets, k))
         .map { case (p, ks) => p -> (offsets(p), ks.map(_ - offsets(p)).sorted) }
       val bByPart = data.sparkSession.sparkContext.broadcast(ranksByPart)
       // stage 3: walk only owning partitions to their local ranks

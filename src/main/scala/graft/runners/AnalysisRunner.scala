@@ -309,17 +309,21 @@ object AnalysisRunner {
         .flatMap { case ((column, where), as) =>
           val allQs = as.flatMap(
             _.asInstanceOf[graft.operators.SharedPercentiles].requestedQuantiles).distinct
-          val byQ: Option[Map[Double, Double]] =
-            try graft.operators.DistributedExactQuantile
-              .percentiles(rawData, column, where, allQs)
-            catch { case _: Throwable => None }
+          val byQ: Either[Throwable, Option[Map[Double, Double]]] =
+            try Right(graft.operators.DistributedExactQuantile
+              .percentiles(rawData, column, where, allQs))
+            catch { case scala.util.control.NonFatal(e) => Left(e) }
           as.map { a =>
             val s = a.asInstanceOf[graft.operators.SharedPercentiles]
             val metric: Metric[_] = byQ match {
-              case Some(m) => s.metricFromQuantiles(
+              case Right(Some(m)) => s.metricFromQuantiles(
                 s.requestedQuantiles.sorted.map(m))
-              case None => a.toFailureMetric(graft.operators.ExactQuantileGuard
-                .failure((column, where), over((column, where))))
+              // no rows after null/where filtering — same empty-state
+              // metric the in-buffer percentile's null result produces
+              case Right(None) => a.computeMetricFrom(None)
+              // a real selection error must surface as itself, not be
+              // rebranded as the budget-exceeded advice
+              case Left(e) => a.toFailureMetric(e)
             }
             (a: AnyAnalyzer) -> metric
           }

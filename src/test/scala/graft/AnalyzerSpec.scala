@@ -245,6 +245,40 @@ class AnalyzerSpec extends AnyWordSpec with Matchers with SparkSpec {
       gotW(0.5) shouldBe expW +- 1e-9
     }
 
+    "route boundary ranks past empty range partitions" in {
+      // Crafted prefix sums with zero-width (empty) partitions around an
+      // exact boundary: binarySearch on the duplicate value may land on
+      // any of the repeated indices, including an empty partition that
+      // would never emit the rank in the walk.
+      val offsets = Array(0L, 2L, 2L, 2L, 5L, 5L, 9L)
+      DistributedExactQuantile.ownerOf(offsets, 0L) shouldBe 0
+      DistributedExactQuantile.ownerOf(offsets, 1L) shouldBe 0
+      DistributedExactQuantile.ownerOf(offsets, 2L) shouldBe 3 // NOT 1 or 2 (empty)
+      DistributedExactQuantile.ownerOf(offsets, 4L) shouldBe 3
+      DistributedExactQuantile.ownerOf(offsets, 5L) shouldBe 5 // NOT 4 (empty)
+      DistributedExactQuantile.ownerOf(offsets, 8L) shouldBe 5
+      // leading empty partitions: rank 0 must skip to the first non-empty
+      val leading = Array(0L, 0L, 0L, 3L)
+      DistributedExactQuantile.ownerOf(leading, 0L) shouldBe 2
+      DistributedExactQuantile.ownerOf(leading, 2L) shouldBe 2
+
+      // end-to-end: cardinality far below the 32 shuffle partitions, with
+      // duplicate counts, so most range partitions are empty and every
+      // floor(p)==ceil(p) rank sits on a partition boundary
+      val spark = df.sparkSession
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val tiny = spark.createDataset(
+        Seq.tabulate(600)(i => (i % 6 + 1).toDouble)).toDF("v").repartition(13)
+      val qs = Seq(0.0, 0.2, 0.25, 0.5, 0.75, 1.0)
+      val exp = tiny.agg(percentile(col("v"), array(qs.map(lit): _*)))
+        .collect().head.getSeq[Double](0)
+      val got = DistributedExactQuantile.percentiles(tiny, "v", None, qs).get
+      qs.zip(exp).foreach { case (q, e) =>
+        withClue(s"q=$q: ") { got(q) shouldBe e +- 1e-9 }
+      }
+    }
+
     "merge mergeable states correctly (partition + merge == full)" in {
       val left = df.filter("id <= 3")
       val right = df.filter("id > 3")
