@@ -902,6 +902,102 @@ object SparkEntry {
         "hw_spike_ok" -> flag(spikeIdx >= 0 && hw.contains(spikeIdx)),
         "hw_last_ok" -> flag(hw.contains(n - 1)),
         "anomaly_check_flagged" -> flag(checkRes.status != CheckStatus.Success)))
+    }),
+
+    // Repository + state-provider round trip, value-checked: analyzer
+    // STATES (moments, frequency parquet, KLL binary) persist through
+    // HdfsStateProvider, reload in a FRESH provider instance, and
+    // re-render via runOnAggregatedStates with NO data scan — those
+    // reloaded values are the columns DuckDB recomputes from the parquet
+    // directly, so a serde bug in ANY stage flips a hashed value. Metric
+    // RESULTS round-trip through FileSystem and SparkTable repositories
+    // (JSON serde equality vs the direct run) and the loader query
+    // surface (time window + tag filters) is exercised on real saves
+    // (reference capability: analyzers/StateProviderTest.scala,
+    // repository/AnalysisResultSerdeTest.scala:703).
+    "q43_repo_roundtrip" -> ((s, dir) => {
+      import graft.repository._
+      import graft.sketch.{KLLMetric, KLLSketchAnalyzer}
+      val orders = table(s, dir, "orders")
+      val kll = KLLSketchAnalyzer("o_totalprice")
+      val analyzers: Seq[AnyAnalyzer] = Seq(
+        Size(), Completeness("o_custkey"), Mean("o_totalprice"),
+        StandardDeviation("o_totalprice"),
+        Minimum("o_totalprice"), Maximum("o_totalprice"),
+        Uniqueness(Seq("o_orderstatus")), Entropy("o_orderstatus"), kll)
+
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q43").toString
+      val direct = AnalysisRunner.runStateful(orders, analyzers,
+        saveStatesWith = Some(new graft.core.HdfsStateProvider(s, s"$tmp/state")))
+      // fresh provider instance: metrics re-rendered from loaded states only
+      val reloaded = AnalysisRunner.runOnAggregatedStates(analyzers,
+        Seq(new graft.core.HdfsStateProvider(s, s"$tmp/state")))
+
+      def dv(ctx: graft.runners.AnalyzerContext, a: AnyAnalyzer): Double =
+        ctx.metric(a).get.asInstanceOf[DoubleMetric].value.get
+      val kllSketch = reloaded.metric(kll).get
+        .asInstanceOf[KLLMetric].value.get.sketch
+
+      // repositories: loadByKey must reproduce the direct run's metrics
+      // exactly — compared metric-by-metric on case-class equality (KLL
+      // compared on serialized sketch bytes: BucketDistribution holds a
+      // reference-equality sketch object)
+      val key = ResultKey(20260812L, Map("pipeline" -> "q43", "env" -> "test"))
+      // fullColumn (the row-level Column, deliberately not serialized) is
+      // dropped before comparing — the persisted value surface is
+      // (entity, name, instance, value)
+      def norm(m: Metric[_]): Metric[_] = m match {
+        case d: DoubleMetric => d.copy(fullColumn = None)
+        case other => other
+      }
+      def sameAsDirect(loaded: Option[graft.runners.AnalyzerContext]): Boolean =
+        loaded.exists { l =>
+          analyzers.filterNot(_ eq kll)
+            .forall(a => l.metric(a).map(norm) == direct.metric(a).map(norm)) &&
+            ((l.metric(kll), direct.metric(kll)) match {
+              case (Some(lm: KLLMetric), Some(dm: KLLMetric)) =>
+                java.util.Arrays.equals(lm.value.get.sketch.serialize(),
+                  dm.value.get.sketch.serialize())
+              case _ => false
+            })
+        }
+      val fsRepo = new FileSystemMetricsRepository(s, s"$tmp/metrics.json")
+      fsRepo.save(key, direct)
+      val fsMatch = sameAsDirect(fsRepo.loadByKey(key))
+
+      val tableName = "graft_q43_metrics"
+      s.sql(s"DROP TABLE IF EXISTS $tableName")
+      val stRepo = new SparkTableMetricsRepository(s, tableName)
+      stRepo.save(key, direct)
+      val stMatch = sameAsDirect(stRepo.loadByKey(key))
+      s.sql(s"DROP TABLE IF EXISTS $tableName")
+
+      // loader query surface over dated, tagged history
+      val sizeOnly = graft.runners.AnalyzerContext(
+        Map[AnyAnalyzer, Metric[_]](Size() -> direct.metric(Size()).get))
+      Seq(100L -> "dev", 200L -> "dev", 300L -> "prod").foreach { case (d, env) =>
+        fsRepo.save(ResultKey(d, Map("env" -> env)), sizeOnly)
+      }
+      val windowCount = fsRepo.load().after(150L).before(350L).get().size
+      val tagCount = fsRepo.load().withTagValues(Map("env" -> "dev")).get().size
+
+      metricRow(s, Seq(
+        "size_reloaded" -> dv(reloaded, Size()),
+        "completeness_custkey_reloaded" -> dv(reloaded, Completeness("o_custkey")),
+        "mean_totalprice_reloaded_r3" -> r3(dv(reloaded, Mean("o_totalprice"))),
+        "stddev_totalprice_reloaded_r3" ->
+          r3(dv(reloaded, StandardDeviation("o_totalprice"))),
+        "min_totalprice_reloaded" -> dv(reloaded, Minimum("o_totalprice")),
+        "max_totalprice_reloaded" -> dv(reloaded, Maximum("o_totalprice")),
+        "uniq_status_reloaded_r6" -> r6(dv(reloaded, Uniqueness(Seq("o_orderstatus")))),
+        "entropy_status_reloaded_r6" -> r6(dv(reloaded, Entropy("o_orderstatus"))),
+        "kll_n_reloaded" -> kllSketch.count.toDouble,
+        "kll_min_reloaded" -> kllSketch.min,
+        "kll_max_reloaded" -> kllSketch.max,
+        "fs_repo_match" -> flag(fsMatch),
+        "spark_repo_match" -> flag(stMatch),
+        "loader_window_count" -> windowCount.toDouble,
+        "loader_tag_count" -> tagCount.toDouble))
     })
   )
 
@@ -1481,6 +1577,38 @@ object SparkEntry {
         |       1.0::DOUBLE AS hw_last_ok,
         |       CASE WHEN EXISTS (SELECT 1 FROM onl, w
         |                         WHERE onl.i = w.n - 1)
-        |            THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS anomaly_check_flagged""".stripMargin
+        |            THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS anomaly_check_flagged""".stripMargin,
+
+    // Every *_reloaded column passed through persist -> reload -> re-render
+    // with no data scan on the Spark side; DuckDB computes the same values
+    // straight from the parquet. The repo-match and loader-count flags are
+    // Spark-side assertions (serde round-trip equality is not
+    // SQL-expressible) mirrored as literals — a failed round trip flips
+    // them to 0/!= and the hash compare catches it.
+    "q43_repo_roundtrip" ->
+      """WITH n AS (SELECT count(*)::DOUBLE AS nr FROM orders),
+        |     f AS (SELECT count(*)::DOUBLE AS c FROM orders GROUP BY o_orderstatus),
+        |     e AS (SELECT sum(-(f.c / n.nr) * ln(f.c / n.nr)) AS ent,
+        |                  sum(CASE WHEN f.c = 1 THEN 1 ELSE 0 END)::DOUBLE AS uniq_vals
+        |           FROM f, n)
+        |SELECT (SELECT count(*)::DOUBLE FROM orders) AS size_reloaded,
+        |       (SELECT count(o_custkey)::DOUBLE / count(*) FROM orders)
+        |         AS completeness_custkey_reloaded,
+        |       (SELECT round(avg(o_totalprice), 3) FROM orders)
+        |         AS mean_totalprice_reloaded_r3,
+        |       (SELECT round(stddev_pop(o_totalprice), 3) FROM orders)
+        |         AS stddev_totalprice_reloaded_r3,
+        |       (SELECT min(o_totalprice) FROM orders) AS min_totalprice_reloaded,
+        |       (SELECT max(o_totalprice) FROM orders) AS max_totalprice_reloaded,
+        |       round(e.uniq_vals / n.nr, 6) AS uniq_status_reloaded_r6,
+        |       round(e.ent, 6) AS entropy_status_reloaded_r6,
+        |       (SELECT count(o_totalprice)::DOUBLE FROM orders) AS kll_n_reloaded,
+        |       (SELECT min(o_totalprice) FROM orders) AS kll_min_reloaded,
+        |       (SELECT max(o_totalprice) FROM orders) AS kll_max_reloaded,
+        |       1.0::DOUBLE AS fs_repo_match,
+        |       1.0::DOUBLE AS spark_repo_match,
+        |       2.0::DOUBLE AS loader_window_count,
+        |       2.0::DOUBLE AS loader_tag_count
+        |FROM e, n""".stripMargin
   )
 }
