@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   *
   * IMAGE payloads (PNG/JPEG/GIF/BMP — whatever the JDK's `javax.imageio`
   * registry reads) are decoded for REAL: true dimensions, format name, and
-  * a grayscale-thumbnail feature vector. Audio/video payloads fall back to
-  * `decodeStub` — those codecs are not in-JDK; a production deployment
-  * swaps the stub for a real decoder with the SAME signature
-  * (bytes => features), leaving every plan unchanged.
+  * a grayscale-thumbnail feature vector. AUDIO payloads (WAV/AU/AIFF)
+  * decode for real through `javax.sound.sampled`. VIDEO payloads get REAL
+  * container metadata — MP4/ISO-BMFF box walk and WebM/Matroska EBML walk
+  * for codec/dims/duration — while the frame DECODE falls back to
+  * `decodeStub` (no in-JDK video codec); a production deployment swaps the
+  * stub for a real decoder with the SAME signature (bytes => features),
+  * leaving every plan unchanged.
   */
 object Multimodal {
 
@@ -238,8 +241,248 @@ object Multimodal {
               // decodeAudio's envelope is always exactly `dim` long
               (env, rate.toInt, ch, s"audio/$t")
             })
+            .orElse(parseVideoMetadata(payload).map { case (cont, codec, vw, vh, _) =>
+              // real container metadata; feature vec stays the stub (no
+              // in-JDK video codec)
+              (decodeStub(payload, dim)._1, vw, vh, s"video/$cont:$codec")
+            })
             .getOrElse(decodeStub(payload, dim))
         Row.fromSeq(row.toSeq ++ Seq(vec.toSeq, w, h, fmt, payload.length.toLong))
+      }
+    }(enc)
+  }
+
+  // -------------------------------------------------------------------------
+  // Video container metadata (pure byte-walking, in-JDK)
+  // -------------------------------------------------------------------------
+
+  /** Metadata schema produced per video item by [[withVideoMetadata]]. */
+  val videoMetadataSchema: StructType = StructType(Seq(
+    StructField("container", StringType, nullable = false),
+    StructField("codec", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("duration_ms", DoubleType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "ISO-8859-1")
+
+  /** MP4 / ISO-BMFF header sniff: walks the box tree (size+fourcc headers,
+    * 64-bit largesize and to-EOF sizes handled) and reads `mvhd`
+    * (timescale+duration), per-`trak` `tkhd` (16.16 fixed-point dims) and
+    * `stsd` (sample-entry fourcc). The frame payloads in `mdat` are never
+    * touched — no codec needed. Returns (brand, codec, w, h, durationMs);
+    * dims come from the first track with nonzero tkhd dimensions (audio
+    * tracks carry 0x0). Malformed trees stop cleanly at the last
+    * well-formed box.
+    */
+  private[graft] def parseMp4(bytes: Array[Byte])
+    : Option[(String, String, Int, Int, Double)] = {
+    if (bytes == null || bytes.length < 16) return None
+    val topLevel = Set("ftyp", "styp", "moov", "mdat", "free", "skip", "wide", "pdin")
+    if (!topLevel.contains(fourcc(bytes, 4))) return None
+    var brand = "mp4"; var codec = "unknown"
+    var w = 0; var h = 0; var durMs = -1.0
+
+    // walk boxes in [start, end); handle(type, bodyStart, boxEnd)
+    def walk(start: Long, end: Long)(handle: (String, Long, Long) => Unit): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        var size = be32(bytes, off.toInt)
+        val typ = fourcc(bytes, off.toInt + 4)
+        var hdr = 8L
+        if (size == 1 && off + 16 <= end) { size = be64(bytes, off.toInt + 8); hdr = 16 }
+        else if (size == 0) size = end - off // box extends to end of enclosing space
+        if (size < hdr || off + size > end) ok = false
+        else { handle(typ, off + hdr, off + size); off += size }
+      }
+    }
+
+    walk(0, bytes.length) { (typ, s, e) =>
+      if (typ == "ftyp" && e - s >= 4)
+        brand = fourcc(bytes, s.toInt).trim.toLowerCase(java.util.Locale.ROOT)
+      if (typ == "moov") walk(s, e) { (t2, s2, e2) =>
+        if (t2 == "mvhd" && e2 - s2 >= 20) {
+          val v = bytes(s2.toInt) & 0xFF
+          // v0: ver/flags(4) created(4) modified(4) timescale(4) duration(4)
+          // v1: ver/flags(4) created(8) modified(8) timescale(4) duration(8)
+          val (ts, dur) =
+            if (v == 1 && e2 - s2 >= 32) (be32(bytes, s2.toInt + 20), be64(bytes, s2.toInt + 24))
+            else (be32(bytes, s2.toInt + 12), be32(bytes, s2.toInt + 16))
+          if (ts > 0 && dur >= 0) durMs = dur.toDouble / ts * 1000.0
+        }
+        if (t2 == "trak") {
+          var tw = 0; var th = 0; var tCodec = "unknown"
+          walk(s2, e2) { (t3, s3, e3) =>
+            if (t3 == "tkhd") {
+              val v = bytes(s3.toInt) & 0xFF
+              // dims trail the fixed tkhd layout as 16.16 fixed point
+              val dimOff = s3 + (if (v == 1) 88L else 76L)
+              if (dimOff + 8 <= e3) {
+                tw = (be32(bytes, dimOff.toInt) >> 16).toInt
+                th = (be32(bytes, dimOff.toInt + 4) >> 16).toInt
+              }
+            }
+            if (t3 == "mdia") walk(s3, e3) { (t4, s4, e4) =>
+              if (t4 == "minf") walk(s4, e4) { (t5, s5, e5) =>
+                if (t5 == "stbl") walk(s5, e5) { (t6, s6, e6) =>
+                  // stsd body: ver/flags(4) entry_count(4) entry{size(4) fourcc(4)}
+                  if (t6 == "stsd" && e6 - s6 >= 16)
+                    tCodec = fourcc(bytes, s6.toInt + 12).trim
+                      .toLowerCase(java.util.Locale.ROOT)
+                }
+              }
+            }
+          }
+          if (tw > 0 && th > 0) { w = tw; h = th; codec = tCodec }
+          else if (codec == "unknown" && tCodec != "unknown" && w == 0) codec = tCodec
+        }
+      }
+    }
+    Some((brand, codec, w, h, durMs))
+  }
+
+  /** WebM / Matroska (EBML) header sniff: walks the element tree (vint
+    * IDs/sizes, unknown-size elements extend to the parent) and reads
+    * DocType, Segment→Info (TimecodeScale + Duration) and
+    * Segment→Tracks→TrackEntry (CodecID + Video PixelWidth/PixelHeight).
+    * Cluster payloads are never touched.
+    */
+  private[graft] def parseEbml(bytes: Array[Byte])
+    : Option[(String, String, Int, Int, Double)] = {
+    if (bytes == null || bytes.length < 8 || be32(bytes, 0) != 0x1A45DFA3L) return None
+    var docType = "matroska"; var codec = "unknown"
+    var w = 0; var h = 0
+    var timescaleNs = 1000000L // EBML default: 1 ms per timecode tick
+    var durTicks = -1.0
+
+    // vint: leading-zero count of the first byte encodes total length
+    def vintLen(first: Int): Int = {
+      var mask = 0x80; var n = 1
+      while (n <= 8 && (first & mask) == 0) { mask >>= 1; n += 1 }
+      n
+    }
+    // element ID keeps its marker bit; size clears it
+    def readId(off: Long): (Long, Int) = {
+      val n = vintLen(bytes(off.toInt) & 0xFF)
+      if (n > 4 || off + n > bytes.length) return (-1L, 0)
+      var v = 0L
+      (0 until n).foreach(i => v = (v << 8) | (bytes(off.toInt + i) & 0xFFL))
+      (v, n)
+    }
+    def readSize(off: Long): (Long, Int) = {
+      val first = bytes(off.toInt) & 0xFF
+      val n = vintLen(first)
+      if (n > 8 || off + n > bytes.length) return (-1L, 0)
+      var v = (first & (0xFF >> n)).toLong
+      var allOnes = v == (0xFF >> n).toLong
+      (1 until n).foreach { i =>
+        val b = bytes(off.toInt + i) & 0xFFL
+        allOnes &&= b == 0xFFL
+        v = (v << 8) | b
+      }
+      (if (allOnes) -2L else v, n) // -2: unknown size (extends to parent end)
+    }
+    def uintAt(s: Long, e: Long): Long = {
+      var v = 0L
+      (s until e).foreach(i => v = (v << 8) | (bytes(i.toInt) & 0xFFL))
+      v
+    }
+    def floatAt(s: Long, e: Long): Double = (e - s) match {
+      case 4 => java.lang.Float.intBitsToFloat(uintAt(s, e).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uintAt(s, e))
+      case _ => -1.0
+    }
+    def strAt(s: Long, e: Long): String =
+      new String(bytes, s.toInt, (e - s).toInt, "UTF-8").trim
+
+    def walk(start: Long, end: Long)(handle: (Long, Long, Long) => Unit): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off + 2 <= end) {
+        val (id, idLen) = readId(off)
+        if (idLen == 0) ok = false
+        else {
+          val (size0, szLen) = readSize(off + idLen)
+          if (szLen == 0) ok = false
+          else {
+            val bodyStart = off + idLen + szLen
+            val size = if (size0 == -2L) end - bodyStart else size0
+            if (size < 0 || bodyStart + size > end) ok = false
+            else { handle(id, bodyStart, bodyStart + size); off = bodyStart + size }
+          }
+        }
+      }
+    }
+
+    walk(0, bytes.length) { (id, s, e) =>
+      if (id == 0x1A45DFA3L) walk(s, e) { (i2, s2, e2) =>
+        if (i2 == 0x4282L) docType = strAt(s2, e2).toLowerCase(java.util.Locale.ROOT)
+      }
+      if (id == 0x18538067L) walk(s, e) { (i2, s2, e2) => // Segment
+        if (i2 == 0x1549A966L) walk(s2, e2) { (i3, s3, e3) => // Info
+          if (i3 == 0x2AD7B1L) timescaleNs = uintAt(s3, e3)
+          if (i3 == 0x4489L) durTicks = floatAt(s3, e3)
+        }
+        if (i2 == 0x1654AE6BL) walk(s2, e2) { (i3, s3, e3) => // Tracks
+          if (i3 == 0xAEL) { // TrackEntry
+            var tCodec = "unknown"; var tw = 0; var th = 0
+            walk(s3, e3) { (i4, s4, e4) =>
+              if (i4 == 0x86L) tCodec = strAt(s4, e4)
+              if (i4 == 0xE0L) walk(s4, e4) { (i5, s5, e5) => // Video
+                if (i5 == 0xB0L) tw = uintAt(s5, e5).toInt
+                if (i5 == 0xBAL) th = uintAt(s5, e5).toInt
+              }
+            }
+            if (tw > 0 && th > 0) { w = tw; h = th; codec = tCodec }
+          }
+        }
+      }
+    }
+    val durMs = if (durTicks >= 0) durTicks * timescaleNs / 1e6 else -1.0
+    Some((docType, codec, w, h, durMs))
+  }
+
+  /** Container metadata for a video payload — REAL header parsing
+    * (MP4/ISO-BMFF box walk, WebM/Matroska EBML walk), no frame decode.
+    * Returns None when the payload is neither container.
+    */
+  private[graft] def parseVideoMetadata(bytes: Array[Byte])
+    : Option[(String, String, Int, Int, Double)] =
+    try parseMp4(bytes).orElse(parseEbml(bytes))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Adds container/codec/dims/duration for a binary video column, one row
+    * per input row, per-partition batches ([[videoMetadataSchema]] fields
+    * appended). Unparseable payloads get "unknown"/-1 so downstream
+    * filters can drop them without a join. Frame DECODE stays stubbed
+    * (no in-JDK codec); everything schema- and plan-level is real.
+    */
+  def withVideoMetadata(df: DataFrame, binaryColumn: String): DataFrame = {
+    val inputSchema = df.schema
+    val outSchema = StructType(inputSchema.fields ++ videoMetadataSchema.fields)
+    val binIdx = inputSchema.fieldIndex(binaryColumn)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val payload = row.get(binIdx) match {
+          case b: Array[Byte] => b
+          case null => Array.empty[Byte]
+          case other => other.toString.getBytes("UTF-8")
+        }
+        val (container, codec, w, h, durMs) =
+          parseVideoMetadata(payload).getOrElse(("unknown", "unknown", -1, -1, -1.0))
+        Row.fromSeq(row.toSeq ++ Seq(container, codec, w, h, durMs,
+          payload.length.toLong))
       }
     }(enc)
   }

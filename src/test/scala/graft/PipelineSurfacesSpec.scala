@@ -303,6 +303,89 @@ class PipelineSurfacesSpec extends AnyWordSpec with Matchers with SparkSpec {
       generic(1).getAs[String]("format") shouldBe "stub"
     }
 
+    "parse REAL MP4 and WebM container headers to codec/dims/duration" in {
+      // --- minimal-but-valid ISO-BMFF tree built byte-for-byte ---
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      def box(typ: String, body: Array[Byte]): Array[Byte] =
+        be32(body.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ body
+      val mvhd = { // v0: timescale 600, duration 3000 ticks = 5000 ms
+        val b = new Array[Byte](100)
+        be32(600L).copyToArray(b, 12)
+        be32(3000L).copyToArray(b, 16)
+        box("mvhd", b)
+      }
+      val tkhd = { // v0: 640x360 as 16.16 fixed point at offset 76
+        val b = new Array[Byte](84)
+        be32(640L << 16).copyToArray(b, 76)
+        be32(360L << 16).copyToArray(b, 80)
+        box("tkhd", b)
+      }
+      val stsd = box("stsd",
+        be32(0L) ++ be32(1L) ++ be32(16L) ++ "avc1".getBytes("ISO-8859-1") ++
+          new Array[Byte](8))
+      val trak = box("trak",
+        tkhd ++ box("mdia", box("minf", box("stbl", stsd))))
+      val ftyp = box("ftyp",
+        "isom".getBytes("ISO-8859-1") ++ be32(512L) ++ "isom".getBytes("ISO-8859-1"))
+      val mp4 = ftyp ++ box("moov", mvhd ++ trak) ++
+        box("mdat", Array.fill[Byte](64)(3))
+
+      // --- minimal WebM (EBML) tree ---
+      def ebmlId(id: Long): Array[Byte] = {
+        val n = (63 - java.lang.Long.numberOfLeadingZeros(id)) / 8 + 1
+        Array.tabulate(n)(i => ((id >> (8 * (n - 1 - i))) & 0xFF).toByte)
+      }
+      def el(id: Long, body: Array[Byte]): Array[Byte] = {
+        require(body.length < 127)
+        ebmlId(id) ++ Array((0x80 | body.length).toByte) ++ body
+      }
+      def uintBytes(v: Long): Array[Byte] = {
+        val n = math.max((63 - java.lang.Long.numberOfLeadingZeros(v)) / 8 + 1, 1)
+        Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte)
+      }
+      val header = el(0x1A45DFA3L, el(0x4282L, "webm".getBytes("UTF-8")))
+      val info = el(0x1549A966L,
+        el(0x2AD7B1L, uintBytes(1000000L)) ++ // 1 ms ticks
+          el(0x4489L, be32(java.lang.Float.floatToIntBits(12345.0f) & 0xFFFFFFFFL)))
+      val tracks = el(0x1654AE6BL, el(0xAEL,
+        el(0x86L, "V_VP9".getBytes("UTF-8")) ++
+          el(0xE0L, el(0xB0L, uintBytes(1920L)) ++ el(0xBAL, uintBytes(1080L)))))
+      val webm = header ++ el(0x18538067L, info ++ tracks)
+
+      Multimodal.parseMp4(mp4) shouldBe Some(("isom", "avc1", 640, 360, 5000.0))
+      Multimodal.parseEbml(webm).get shouldBe ("webm", "V_VP9", 1920, 1080, 12345.0)
+      // neither parser claims foreign payloads
+      Multimodal.parseVideoMetadata("garbage that is not a container".getBytes) shouldBe None
+      Multimodal.parseMp4(webm) shouldBe None
+      Multimodal.parseEbml(mp4) shouldBe None
+      // truncated payloads fail cleanly, keeping whatever parsed before the cut
+      Multimodal.parseVideoMetadata(mp4.take(40)) should not be null
+
+      val rows = Seq(Row(1L, mp4), Row(2L, webm), Row(3L, "junk".getBytes("UTF-8")))
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        payloadSchema)
+      val out = Multimodal.withVideoMetadata(df, "payload").orderBy("media_id").collect()
+      out(0).getAs[String]("container") shouldBe "isom"
+      out(0).getAs[String]("codec") shouldBe "avc1"
+      out(0).getAs[Int]("width") shouldBe 640
+      out(0).getAs[Double]("duration_ms") shouldBe 5000.0 +- 1e-9
+      out(1).getAs[String]("container") shouldBe "webm"
+      out(1).getAs[Int]("height") shouldBe 1080
+      out(2).getAs[String]("container") shouldBe "unknown"
+      out(2).getAs[Int]("width") shouldBe -1
+
+      // the generic media path surfaces video container metadata too
+      val generic = Multimodal.withMediaFeatures(df, "payload", dim = 8)
+        .orderBy("media_id").collect()
+      generic(0).getAs[String]("format") shouldBe "video/isom:avc1"
+      generic(0).getAs[Int]("width") shouldBe 640
+      generic(1).getAs[String]("format") shouldBe "video/webm:V_VP9"
+      generic(2).getAs[String]("format") shouldBe "stub"
+    }
+
     "sample frames deterministically" in {
       val sampled = Multimodal.sampleFrames(mediaDf.filter(col("payload").isNotNull),
         "payload", everyNth = 1, maxFrames = 4)
