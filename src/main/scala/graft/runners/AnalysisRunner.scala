@@ -265,7 +265,33 @@ object AnalysisRunner {
     */
   private[graft] def ensureParallelism(data: DataFrame): DataFrame = {
     val target = data.sparkSession.sparkContext.defaultParallelism
-    if (data.rdd.getNumPartitions * 2 <= target) data.repartition(target) else data
+    if (scanPartitionEstimate(data) * 2 <= target) data.repartition(target) else data
+  }
+
+  /** Scan-parallelism estimate WITHOUT `data.rdd` — which builds the full
+    * physical RDD DAG on every call just to read a partition count. For
+    * pure file-source plans the estimate replicates Spark's FilePartition
+    * sizing (maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    * bytesPerCore))) from the relation's plan-time byte size; plans with
+    * any non-file leaf (local/in-memory relations, v2 sources) fall back
+    * to the RDD partition count.
+    */
+  private def scanPartitionEstimate(data: DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val leaves = data.queryExecution.optimizedPlan.collectLeaves()
+    val fileRelations = leaves
+      .collect { case l: LogicalRelation => l.relation }
+      .collect { case fs: HadoopFsRelation => fs }
+    if (fileRelations.nonEmpty && fileRelations.length == leaves.length) {
+      val conf = data.sparkSession.sessionState.conf
+      val openCost = math.max(conf.filesOpenCostInBytes, 1L)
+      val cores = math.max(data.sparkSession.sparkContext.defaultParallelism, 1)
+      val totalBytes = fileRelations.map(fs =>
+        fs.location.sizeInBytes + fs.location.inputFiles.length.toLong * openCost).sum
+      val maxSplitBytes = math.min(math.max(conf.filesMaxPartitionBytes, 1L),
+        math.max(openCost, totalBytes / cores))
+      math.max(1L, (totalBytes + maxSplitBytes - 1) / maxSplitBytes)
+    } else data.rdd.getNumPartitions.toLong
   }
 
   /** All scan-shareable analyzers → one `df.agg(...)`; each analyzer

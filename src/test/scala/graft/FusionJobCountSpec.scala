@@ -89,6 +89,23 @@ class FusionJobCountSpec extends AnyWordSpec with Matchers with SparkSpec {
       three shouldBe one
     }
 
+    "add at most ONE job (the guard estimate) for exact-percentile families" in {
+      val df = data
+      df.count()
+      val base = countJobs {
+        AnalysisRunner.run(df, Seq[AnyAnalyzer](Size(), Mean("value")))
+      }
+      val withQuantiles = countJobs {
+        AnalysisRunner.run(df, Seq[AnyAnalyzer](
+          Size(), Mean("value"), ExactQuantile("value", 0.5),
+          InterquartileRange("value")))
+      }
+      // the ExactQuantileGuard HLL estimate is ONE extra job for the whole
+      // family, regardless of how many percentile analyzers are present;
+      // the parallelize repartition must not add an action of its own
+      withQuantiles should be <= (base + 1)
+    }
+
     "skip the scan entirely when all metrics are cached in a repository" in {
       import graft.checks._
       import graft.repository.{InMemoryMetricsRepository, ResultKey}
