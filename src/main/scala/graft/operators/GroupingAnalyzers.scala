@@ -57,6 +57,22 @@ object FrequenciesAndNumRows {
     FrequenciesAndNumRows(frequencies, numRows)
   }
 
+  /** [[compute]] with the frequency table cached BEFORE the numRows action
+    * (so that action populates the cache) — for callers taking multiple
+    * passes over it: the stateful path renders one metric per analyzer
+    * plus optional state persistence, and must not re-run the groupBy for
+    * each (reference capability: AnalysisRunner
+    * `storageLevelOfGroupedDataForMultiplePasses`). Callers unpersist.
+    */
+  def computeCached(data: DataFrame, groupingColumns: Seq[String],
+      where: Option[String]): FrequenciesAndNumRows = {
+    val frequencies = computeFrequenciesOnly(data, groupingColumns, where)
+    frequencies.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val numRows = frequencies
+      .agg(coalesce(sum(col(COUNT_COL)), lit(0L))).collect().head.getLong(0)
+    FrequenciesAndNumRows(frequencies, numRows)
+  }
+
   def computeFrequenciesOnly(data: DataFrame, groupingColumns: Seq[String],
       where: Option[String]): DataFrame = {
     // empty column list means "all columns" (DuplicateRowCount's default;

@@ -181,19 +181,50 @@ object AnalysisRunner {
       if (scanShareable.isEmpty) Map.empty
       else fusedScanStates(data, scanShareable)
 
-    val metrics = distinct.map { a =>
-      val metric: Metric[_] =
-        try {
-          a.preconditions.foreach(_(data.schema))
-          val typed = a.asInstanceOf[Analyzer[State[_], Metric[_]]]
-          val fresh = fusedFresh.getOrElse(a, typed.computeStateFrom(data))
-          statefulMetric(typed, fresh, aggregateWith, saveStatesWith)
-        } catch {
-          case e: Throwable => a.toFailureMetric(e)
-        }
-      (a: AnyAnalyzer) -> metric
-    }.toMap
-    AnalyzerContext(metrics)
+    // grouping analyzers with the same (columns, where) have IDENTICAL
+    // state (the shared frequency table) — compute it once per key, not
+    // once per analyzer (Uniqueness + Entropy on one column must not run
+    // two groupBys on the incremental path when batch mode runs one). The
+    // table is cached when shared: each analyzer still renders its own
+    // metric over it, plus optional state persistence.
+    val groupingFresh: Map[AnyAnalyzer, Option[State[_]]] = distinct
+      .collect {
+        case g: graft.operators.GroupingAnalyzer[_]
+            if scala.util.Try(g.preconditions.foreach(_(data.schema))).isSuccess => g
+      }
+      .groupBy(_.groupingKey)
+      .flatMap { case (_, group) =>
+        val head = group.head
+        val state: Option[State[_]] =
+          if (group.size > 1) Some(graft.operators.FrequenciesAndNumRows
+            .computeCached(data, head.groupingColumns, head.where))
+          else head.computeStateFrom(data).asInstanceOf[Option[State[_]]]
+        group.map(g => (g: AnyAnalyzer) -> state)
+      }
+
+    try {
+      val metrics = distinct.map { a =>
+        val metric: Metric[_] =
+          try {
+            a.preconditions.foreach(_(data.schema))
+            val typed = a.asInstanceOf[Analyzer[State[_], Metric[_]]]
+            val fresh = fusedFresh.getOrElse(a,
+              groupingFresh.getOrElse(a, typed.computeStateFrom(data)))
+            statefulMetric(typed, fresh, aggregateWith, saveStatesWith)
+          } catch {
+            case e: Throwable => a.toFailureMetric(e)
+          }
+        (a: AnyAnalyzer) -> metric
+      }.toMap
+      AnalyzerContext(metrics)
+    } finally {
+      groupingFresh.values.flatten.foreach {
+        case graft.operators.FrequenciesAndNumRows(freq, _)
+            if freq.storageLevel.useMemory || freq.storageLevel.useDisk =>
+          freq.unpersist(blocking = false); ()
+        case _ => ()
+      }
+    }
   }
 
   /** Fresh states for scan-shareable analyzers from ONE fused aggregation. */

@@ -106,6 +106,21 @@ class FusionJobCountSpec extends AnyWordSpec with Matchers with SparkSpec {
       withQuantiles should be <= (base + 1)
     }
 
+    "share one cached groupBy across same-key grouping analyzers on the stateful path" in {
+      val df = data
+      df.count()
+      val one = countJobs {
+        AnalysisRunner.runStateful(df, Seq[AnyAnalyzer](Uniqueness(Seq("grp"))))
+      }
+      val three = countJobs {
+        AnalysisRunner.runStateful(df, Seq[AnyAnalyzer](
+          Uniqueness(Seq("grp")), Entropy("grp"), Distinctness(Seq("grp"))))
+      }
+      // the frequency groupBy runs ONCE and is cached; each extra analyzer
+      // adds only a tiny aggregation over the cached table
+      three should be <= (one + 2)
+    }
+
     "skip the scan entirely when all metrics are cached in a repository" in {
       import graft.checks._
       import graft.repository.{InMemoryMetricsRepository, ResultKey}
