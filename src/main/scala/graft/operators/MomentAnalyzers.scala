@@ -299,7 +299,10 @@ object DistributedExactQuantile {
       Some(qs.zip(pos).map { case (q, p) =>
         val lo = valueAt(math.floor(p).toLong)
         val hi = valueAt(math.ceil(p).toLong)
-        q -> (lo + (p - math.floor(p)) * (hi - lo))
+        // when the rank is exact (or both neighbors equal), return the
+        // value itself — the interpolation arithmetic would turn infinite
+        // neighbors into NaN (Inf - Inf), where `percentile` returns Inf
+        q -> (if (lo == hi) lo else lo + (p - math.floor(p)) * (hi - lo))
       }.toMap)
     } finally {
       freq.unpersist(blocking = false)

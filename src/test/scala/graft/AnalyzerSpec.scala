@@ -277,6 +277,23 @@ class AnalyzerSpec extends AnyWordSpec with Matchers with SparkSpec {
       qs.zip(exp).foreach { case (q, e) =>
         withClue(s"q=$q: ") { got(q) shouldBe e +- 1e-9 }
       }
+
+      // infinities: a rank landing ON an infinite value must return that
+      // value, not the NaN the interpolation arithmetic would produce
+      // (Inf - Inf); matches the built-in percentile
+      val withInf = spark.createDataset(
+        Seq.fill(8)(Double.NegativeInfinity) ++ (1 to 4).map(_.toDouble) ++
+          Seq.fill(8)(Double.PositiveInfinity)).toDF("v").repartition(5)
+      val qsInf = Seq(0.0, 0.1, 0.5, 0.9, 1.0)
+      val expInf = withInf.agg(percentile(col("v"), array(qsInf.map(lit): _*)))
+        .collect().head.getSeq[Double](0)
+      val gotInf = DistributedExactQuantile.percentiles(withInf, "v", None, qsInf).get
+      qsInf.zip(expInf).foreach { case (q, e) =>
+        withClue(s"inf q=$q: ") {
+          if (e.isInfinite || e.isNaN) gotInf(q) shouldBe e
+          else gotInf(q) shouldBe e +- 1e-9
+        }
+      }
     }
 
     "merge mergeable states correctly (partition + merge == full)" in {
