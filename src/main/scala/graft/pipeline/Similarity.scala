@@ -381,15 +381,53 @@ object Similarity {
       iterations: Int,
       seed: Long = 42L): Seq[Array[Double]] = {
     val vecs = corpus.select(col(vecCol))
-    // takeSample is uniform over the WHOLE corpus: a Bernoulli sample
-    // followed by limit() would pull from the first partitions only, which
-    // on cluster-sorted data starves the trailing clusters of training
-    // vectors. Deterministic for fixed data + partitioning + seed.
-    val sample = vecs.rdd
-      .takeSample(withReplacement = false, sampleSize, seed)
-      .filter(!_.isNullAt(0))
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      .filter(v => v.exists(_ != 0.0))
+    // ONE corpus pass: per-partition reservoirs + exact per-partition
+    // counts; the driver allocates the global sample across partitions
+    // proportionally to their counts (largest remainder) and draws from
+    // each reservoir. Uniform within partition, proportional across — the
+    // whole-corpus coverage k-means training needs (a limit()-style sample
+    // would only ever see the first partitions, starving trailing clusters
+    // on cluster-sorted data). Replaces takeSample, whose count job +
+    // sampling job cost TWO full corpus scans at 100 TB. Deterministic for
+    // fixed data + partitioning + seed (per-partition rng seeded by id).
+    // A partition holding more than ~oversample× its proportional share
+    // contributes at most its reservoir — acceptable bias for training.
+    val rdd = vecs.rdd
+    val numParts = math.max(rdd.getNumPartitions, 1)
+    val perPart = math.max(1, (3L * sampleSize / numParts).toInt + 1)
+    val parts: Array[(Long, Array[Array[Float]])] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val rng = new scala.util.Random(seed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
+        val res = new scala.collection.mutable.ArrayBuffer[Array[Float]](perPart)
+        var n = 0L
+        it.foreach { r =>
+          if (!r.isNullAt(0)) {
+            val v = r.getSeq[Float](0).toArray
+            if (v.exists(_ != 0.0f)) {
+              n += 1
+              if (res.length < perPart) res += v
+              else { // Algorithm R: keep each seen row with prob perPart/n
+                val j = (rng.nextDouble() * n).toLong
+                if (j < perPart) res(j.toInt) = v
+              }
+            }
+          }
+        }
+        if (n == 0) Iterator.empty else Iterator((n, res.toArray))
+      }
+      .collect()
+    require(parts.nonEmpty, "IVF training sample is empty")
+    val total = parts.map(_._1).sum
+    val quotas = parts.map(_._1.toDouble * sampleSize / total)
+    val alloc = quotas.map(math.floor(_).toInt)
+    var rem = sampleSize - alloc.sum
+    quotas.zipWithIndex
+      .sortBy { case (q, _) => -(q - math.floor(q)) }
+      .foreach { case (_, i) => if (rem > 0) { alloc(i) += 1; rem -= 1 } }
+    val rngDriver = new scala.util.Random(seed)
+    val sample = parts.zip(alloc).flatMap { case ((_, res), a) =>
+      rngDriver.shuffle(res.toSeq).take(math.min(a, res.length))
+    }.map(_.map(_.toDouble))
     require(sample.nonEmpty, "IVF training sample is empty")
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
