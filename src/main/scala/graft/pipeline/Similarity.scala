@@ -367,11 +367,12 @@ object Similarity {
   // -------------------------------------------------------------------------
 
   /** Trains `nlist` coarse centroids with Lloyd iterations on a bounded
-    * driver-side sample of unit-normalized vectors, drawn with a seeded
-    * `RDD.takeSample` — uniform over the WHOLE corpus (sample-then-limit
-    * approaches pull from the first partitions only, which on
-    * sorted/clustered data biases every centroid toward one region).
-    * Deterministic for fixed data + partitioning + seed.
+    * driver-side sample of unit-normalized vectors, drawn in ONE corpus
+    * pass via per-partition reservoirs with count-proportional driver
+    * allocation — covering the WHOLE corpus (sample-then-limit approaches
+    * pull from the first partitions only, which on sorted/clustered data
+    * biases every centroid toward one region). Deterministic for fixed
+    * data + partitioning + seed.
     */
   private[pipeline] def trainCentroids(
       corpus: DataFrame,

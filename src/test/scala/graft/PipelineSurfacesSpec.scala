@@ -384,6 +384,25 @@ class PipelineSurfacesSpec extends AnyWordSpec with Matchers with SparkSpec {
       generic(0).getAs[Int]("width") shouldBe 640
       generic(1).getAs[String]("format") shouldBe "video/webm:V_VP9"
       generic(2).getAs[String]("format") shouldBe "stub"
+
+      // fuzz: byte-walking parsers must never throw — random payloads,
+      // every truncation of the valid fixtures, and seeded single-byte
+      // corruptions (the classic OOB territory for header parsers)
+      val rnd = new scala.util.Random(1234)
+      (0 until 200).foreach { _ =>
+        val garbage = Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt().toByte)
+        noException should be thrownBy Multimodal.parseVideoMetadata(garbage)
+      }
+      Seq(mp4, webm).foreach { fixture =>
+        (0 to fixture.length).foreach { cut =>
+          noException should be thrownBy Multimodal.parseVideoMetadata(fixture.take(cut))
+        }
+        (0 until 200).foreach { _ =>
+          val corrupted = fixture.clone()
+          corrupted(rnd.nextInt(corrupted.length)) = rnd.nextInt().toByte
+          noException should be thrownBy Multimodal.parseVideoMetadata(corrupted)
+        }
+      }
     }
 
     "sample frames deterministically" in {
