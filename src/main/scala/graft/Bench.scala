@@ -56,7 +56,7 @@ object Bench {
     // The bench box shows 2-4x run-to-run variance on single timings;
     // run each query REPS times (default 3) and report the median so a
     // single contended run can't masquerade as a regression.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>

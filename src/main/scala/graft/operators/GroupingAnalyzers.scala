@@ -47,15 +47,8 @@ object FrequenciesAndNumRows {
     * GROUP BY cols — reference: analyzers/GroupingAnalyzers.scala:55-109.
     */
   def compute(data: DataFrame, groupingColumns: Seq[String],
-      where: Option[String]): FrequenciesAndNumRows = {
-    val frequencies = computeFrequenciesOnly(data, groupingColumns, where)
-    // numRows applies the SAME filters as the frequency table (any grouping
-    // key non-null + where) — reference GroupingAnalyzers numRows semantics;
-    // sum of frequencies equals that count without a second scan
-    val numRows = frequencies
-      .agg(coalesce(sum(col(COUNT_COL)), lit(0L))).collect().head.getLong(0)
-    FrequenciesAndNumRows(frequencies, numRows)
-  }
+      where: Option[String]): FrequenciesAndNumRows =
+    withNumRows(computeFrequenciesOnly(data, groupingColumns, where))
 
   /** [[compute]] with the frequency table cached BEFORE the numRows action
     * (so that action populates the cache) — for callers taking multiple
@@ -68,6 +61,14 @@ object FrequenciesAndNumRows {
       where: Option[String]): FrequenciesAndNumRows = {
     val frequencies = computeFrequenciesOnly(data, groupingColumns, where)
     frequencies.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withNumRows(frequencies)
+  }
+
+  /** numRows applies the SAME filters as the frequency table (any grouping
+    * key non-null + where) — reference GroupingAnalyzers numRows semantics;
+    * sum of frequencies equals that count without a second scan.
+    */
+  private def withNumRows(frequencies: DataFrame): FrequenciesAndNumRows = {
     val numRows = frequencies
       .agg(coalesce(sum(col(COUNT_COL)), lit(0L))).collect().head.getLong(0)
     FrequenciesAndNumRows(frequencies, numRows)

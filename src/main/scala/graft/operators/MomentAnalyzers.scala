@@ -299,10 +299,13 @@ object DistributedExactQuantile {
       Some(qs.zip(pos).map { case (q, p) =>
         val lo = valueAt(math.floor(p).toLong)
         val hi = valueAt(math.ceil(p).toLong)
-        // when the rank is exact (or both neighbors equal), return the
-        // value itself — the interpolation arithmetic would turn infinite
-        // neighbors into NaN (Inf - Inf), where `percentile` returns Inf
-        q -> (if (lo == hi) lo else lo + (p - math.floor(p)) * (hi - lo))
+        // Mirror the built-in `percentile`'s interpolation exactly: exact
+        // ranks return the value itself, fractional ranks use the
+        // two-sided weighted form. The one-sided lo + f*(hi - lo) algebra
+        // turns infinite neighbors into NaN (Inf - Inf) where the
+        // weighted form — and Spark — propagate the infinity.
+        q -> (if (lo == hi) lo
+              else (math.ceil(p) - p) * lo + (p - math.floor(p)) * hi)
       }.toMap)
     } finally {
       freq.unpersist(blocking = false)

@@ -243,8 +243,13 @@ object Multimodal {
             })
             .orElse(parseVideoMetadata(payload).map { case (cont, codec, vw, vh, _) =>
               // real container metadata; feature vec stays the stub (no
-              // in-JDK video codec)
-              (decodeStub(payload, dim)._1, vw, vh, s"video/$cont:$codec")
+              // in-JDK video codec). Only a container WITH a video track
+              // (nonzero tkhd/PixelWidth dims) is labeled video/* — an
+              // audio-only .m4a or a moov-less fragment is still an
+              // ISO-BMFF/Matroska payload, labeled media/* so downstream
+              // `format LIKE 'video/%'` filters don't misclassify it
+              val kind = if (vw > 0 && vh > 0) "video" else "media"
+              (decodeStub(payload, dim)._1, vw, vh, s"$kind/$cont:$codec")
             })
             .getOrElse(decodeStub(payload, dim))
         Row.fromSeq(row.toSeq ++ Seq(vec.toSeq, w, h, fmt, payload.length.toLong))

@@ -186,21 +186,26 @@ object AnalysisRunner {
     // once per analyzer (Uniqueness + Entropy on one column must not run
     // two groupBys on the incremental path when batch mode runs one). The
     // table is cached when shared: each analyzer still renders its own
-    // metric over it, plus optional state persistence.
-    val groupingFresh: Map[AnyAnalyzer, Option[State[_]]] = distinct
-      .collect {
-        case g: graft.operators.GroupingAnalyzer[_]
-            if scala.util.Try(g.preconditions.foreach(_(data.schema))).isSuccess => g
-      }
-      .groupBy(_.groupingKey)
-      .flatMap { case (_, group) =>
-        val head = group.head
-        val state: Option[State[_]] =
-          if (group.size > 1) Some(graft.operators.FrequenciesAndNumRows
-            .computeCached(data, head.groupingColumns, head.where))
-          else head.computeStateFrom(data).asInstanceOf[Option[State[_]]]
-        group.map(g => (g: AnyAnalyzer) -> state)
-      }
+    // metric over it, plus optional state persistence. Computation is
+    // LAZY, so a groupBy that fails at runtime throws inside the
+    // per-analyzer try below and becomes failure metrics for exactly its
+    // group — other analyzers still succeed, as on the per-analyzer path.
+    val cachedFreqs = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val groupingFresh: Map[(Seq[String], Option[String]), () => Option[State[_]]] =
+      distinct
+        .collect { case g: graft.operators.GroupingAnalyzer[_] => g }
+        .groupBy(_.groupingKey)
+        .map { case (key, group) =>
+          val head = group.head
+          lazy val state: Option[State[_]] =
+            if (group.size > 1) {
+              val st = graft.operators.FrequenciesAndNumRows
+                .computeCached(data, head.groupingColumns, head.where)
+              cachedFreqs += st.frequencies
+              Some(st)
+            } else head.computeStateFrom(data).asInstanceOf[Option[State[_]]]
+          key -> (() => state)
+        }
 
     try {
       val metrics = distinct.map { a =>
@@ -208,8 +213,11 @@ object AnalysisRunner {
           try {
             a.preconditions.foreach(_(data.schema))
             val typed = a.asInstanceOf[Analyzer[State[_], Metric[_]]]
-            val fresh = fusedFresh.getOrElse(a,
-              groupingFresh.getOrElse(a, typed.computeStateFrom(data)))
+            val fresh = fusedFresh.getOrElse(a, a match {
+              case g: graft.operators.GroupingAnalyzer[_] =>
+                groupingFresh(g.groupingKey)()
+              case _ => typed.computeStateFrom(data)
+            })
             statefulMetric(typed, fresh, aggregateWith, saveStatesWith)
           } catch {
             case e: Throwable => a.toFailureMetric(e)
@@ -218,12 +226,7 @@ object AnalysisRunner {
       }.toMap
       AnalyzerContext(metrics)
     } finally {
-      groupingFresh.values.flatten.foreach {
-        case graft.operators.FrequenciesAndNumRows(freq, _)
-            if freq.storageLevel.useMemory || freq.storageLevel.useDisk =>
-          freq.unpersist(blocking = false); ()
-        case _ => ()
-      }
+      cachedFreqs.foreach(_.unpersist(blocking = false))
     }
   }
 
@@ -308,12 +311,23 @@ object AnalysisRunner {
     * to the RDD partition count.
     */
   private def scanPartitionEstimate(data: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical.{RebalancePartitions, Repartition, RepartitionByExpression}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val leaves = data.queryExecution.optimizedPlan.collectLeaves()
+    val plan = data.queryExecution.optimizedPlan
+    // an explicit repartition/coalesce/rebalance overrides the scan's
+    // partitioning — the file-based estimate would miss a .coalesce(1)
+    // upstream, so those plans keep the (accurate) RDD fallback
+    val repartitioned = plan.collectFirst {
+      case r: Repartition => r
+      case r: RepartitionByExpression => r
+      case r: RebalancePartitions => r
+    }.nonEmpty
+    val leaves = plan.collectLeaves()
     val fileRelations = leaves
       .collect { case l: LogicalRelation => l.relation }
       .collect { case fs: HadoopFsRelation => fs }
-    if (fileRelations.nonEmpty && fileRelations.length == leaves.length) {
+    if (!repartitioned && fileRelations.nonEmpty &&
+        fileRelations.length == leaves.length) {
       val conf = data.sparkSession.sessionState.conf
       val openCost = math.max(conf.filesOpenCostInBytes, 1L)
       val cores = math.max(data.sparkSession.sparkContext.defaultParallelism, 1)

@@ -284,7 +284,10 @@ class AnalyzerSpec extends AnyWordSpec with Matchers with SparkSpec {
       val withInf = spark.createDataset(
         Seq.fill(8)(Double.NegativeInfinity) ++ (1 to 4).map(_.toDouble) ++
           Seq.fill(8)(Double.PositiveInfinity)).toDF("v").repartition(5)
-      val qsInf = Seq(0.0, 0.1, 0.5, 0.9, 1.0)
+      // 0.4 and 0.6 STRADDLE an infinity (fractional rank between an
+      // infinite and a finite neighbor) — the one-sided interpolation
+      // algebra would produce NaN where the builtin propagates the infinity
+      val qsInf = Seq(0.0, 0.1, 0.4, 0.5, 0.6, 0.9, 1.0)
       val expInf = withInf.agg(percentile(col("v"), array(qsInf.map(lit): _*)))
         .collect().head.getSeq[Double](0)
       val gotInf = DistributedExactQuantile.percentiles(withInf, "v", None, qsInf).get
@@ -294,6 +297,19 @@ class AnalyzerSpec extends AnyWordSpec with Matchers with SparkSpec {
           else gotInf(q) shouldBe e +- 1e-9
         }
       }
+    }
+
+    "isolate runtime grouping failures to their analyzers on the stateful path" in {
+      // the where-clause references a missing column: preconditions pass
+      // (grouping column exists) but the shared groupBy fails at runtime —
+      // that must become a failure metric for exactly this analyzer, while
+      // every other analyzer (including other grouping keys) still succeeds
+      val bad = Uniqueness(Seq("name"), Some("no_such_col > 0"))
+      val ctx = graft.runners.AnalysisRunner.runStateful(df,
+        Seq[AnyAnalyzer](Size(), bad, Entropy("group")))
+      metricValue(ctx.metric(Size()).get) shouldBe 6.0
+      ctx.metric(bad).get.value.isFailure shouldBe true
+      ctx.metric(Entropy("group")).get.value.isSuccess shouldBe true
     }
 
     "merge mergeable states correctly (partition + merge == full)" in {

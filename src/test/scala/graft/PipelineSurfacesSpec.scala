@@ -354,7 +354,19 @@ class PipelineSurfacesSpec extends AnyWordSpec with Matchers with SparkSpec {
           el(0xE0L, el(0xB0L, uintBytes(1920L)) ++ el(0xBAL, uintBytes(1080L)))))
       val webm = header ++ el(0x18538067L, info ++ tracks)
 
+      // audio-only ISO-BMFF (.m4a): no tkhd dims, stsd carries mp4a
+      val stsdAudio = box("stsd",
+        be32(0L) ++ be32(1L) ++ be32(16L) ++ "mp4a".getBytes("ISO-8859-1") ++
+          new Array[Byte](8))
+      val trakAudio = box("trak",
+        box("tkhd", new Array[Byte](84)) ++
+          box("mdia", box("minf", box("stbl", stsdAudio))))
+      val m4a = box("ftyp",
+        "M4A ".getBytes("ISO-8859-1") ++ be32(0L) ++ "M4A ".getBytes("ISO-8859-1")) ++
+        box("moov", mvhd ++ trakAudio)
+
       Multimodal.parseMp4(mp4) shouldBe Some(("isom", "avc1", 640, 360, 5000.0))
+      Multimodal.parseMp4(m4a) shouldBe Some(("m4a", "mp4a", 0, 0, 5000.0))
       Multimodal.parseEbml(webm).get shouldBe ("webm", "V_VP9", 1920, 1080, 12345.0)
       // neither parser claims foreign payloads
       Multimodal.parseVideoMetadata("garbage that is not a container".getBytes) shouldBe None
@@ -363,7 +375,8 @@ class PipelineSurfacesSpec extends AnyWordSpec with Matchers with SparkSpec {
       // truncated payloads fail cleanly, keeping whatever parsed before the cut
       Multimodal.parseVideoMetadata(mp4.take(40)) should not be null
 
-      val rows = Seq(Row(1L, mp4), Row(2L, webm), Row(3L, "junk".getBytes("UTF-8")))
+      val rows = Seq(Row(1L, mp4), Row(2L, webm), Row(3L, "junk".getBytes("UTF-8")),
+        Row(4L, m4a))
       val df = spark.createDataFrame(
         new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
         payloadSchema)
@@ -384,6 +397,8 @@ class PipelineSurfacesSpec extends AnyWordSpec with Matchers with SparkSpec {
       generic(0).getAs[Int]("width") shouldBe 640
       generic(1).getAs[String]("format") shouldBe "video/webm:V_VP9"
       generic(2).getAs[String]("format") shouldBe "stub"
+      // audio-only container: real metadata, but NOT labeled video/*
+      generic(3).getAs[String]("format") shouldBe "media/m4a:mp4a"
 
       // fuzz: byte-walking parsers must never throw — random payloads,
       // every truncation of the valid fixtures, and seeded single-byte
