@@ -60,22 +60,38 @@ object CacheLifecycle {
   /** Tag `result` so that `caches` are unpersisted (non-blocking) after
     * the action(s) that consume it — see [[withConsumptions]] for >1.
     */
-  def releaseOnConsume(result: DataFrame, caches: Seq[DataFrame]): DataFrame = {
-    if (caches.isEmpty) return result
-    val needed = consumptionsPolicy.value
-    val tag = "graft_release_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val spark = result.sparkSession
-    val tagged = result.observe(tag, count(lit(1)))
+  def releaseOnConsume(result: DataFrame, caches: Seq[DataFrame]): DataFrame =
+    releaseOnConsumeAll(Seq(result), caches, consumptionsPolicy.value).head
+
+  /** Multi-result variant: several lazy frames share the SAME caches (e.g.
+    * a validator's valid + invalid splits over one marked-and-persisted
+    * input). Each result gets its own tag; the caches release once
+    * `consumptions` tagged actions have run in total — default one per
+    * result, so consuming each frame once releases everything. A result
+    * consumed past its share steals another's budget; later consumers then
+    * recompute without the caches — correct, just slower (same contract as
+    * [[releaseOnConsume]]). The [[MaxUnconsumedActions]] valve still
+    * bounds the cache lifetime when some results are abandoned.
+    */
+  def releaseOnConsumeAll(
+      results: Seq[DataFrame],
+      caches: Seq[DataFrame],
+      consumptions: Int = -1): Seq[DataFrame] = {
+    if (caches.isEmpty || results.isEmpty) return results
+    val needed = if (consumptions >= 1) consumptions else results.length
+    val base = "graft_release_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val tags = results.indices.map(i => s"${base}_$i")
+    val spark = results.head.sparkSession
+    val tagged = results.zip(tags).map { case (r, t) => r.observe(t, count(lit(1))) }
     val done = new AtomicBoolean(false)
     val taggedSeen = new AtomicInteger(0)
     val unrelatedActions = new AtomicInteger(0)
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private def maybeRelease(qe: QueryExecution): Unit = {
-        val consumedEnough =
-          qe.observedMetrics.contains(tag) && taggedSeen.incrementAndGet() >= needed
+        val isTagged = tags.exists(qe.observedMetrics.contains)
+        val consumedEnough = isTagged && taggedSeen.incrementAndGet() >= needed
         val expired =
-          !qe.observedMetrics.contains(tag) &&
-            unrelatedActions.incrementAndGet() >= MaxUnconsumedActions
+          !isTagged && unrelatedActions.incrementAndGet() >= MaxUnconsumedActions
         if ((consumedEnough || expired) && done.compareAndSet(false, true)) {
           caches.foreach(_.unpersist(blocking = false))
           spark.listenerManager.unregister(this)

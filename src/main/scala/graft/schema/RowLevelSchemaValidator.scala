@@ -150,6 +150,13 @@ object RowLevelSchemaValidator {
       .select(schema.columnDefinitions.map(_.converted): _*)
     val invalid = marked.filter(!col("graft_conforms")).drop("graft_conforms")
 
-    RowLevelSchemaValidationResult(valid, numValid, invalid, numTotal - numValid)
+    // the marked cache lives until both splits are consumed (or the
+    // lifecycle valve expires it) — NOT forever: one leaked 100-TB marked
+    // frame per validate() call would pin executor storage for the session
+    val Seq(validReleased, invalidReleased) = graft.pipeline.CacheLifecycle
+      .releaseOnConsumeAll(Seq(valid, invalid), Seq(marked))
+
+    RowLevelSchemaValidationResult(validReleased, numValid,
+      invalidReleased, numTotal - numValid)
   }
 }

@@ -58,6 +58,23 @@ class PipelineSurfacesSpec extends AnyWordSpec with Matchers with SparkSpec {
       result.numValidRows shouldBe 2L
       result.numInvalidRows shouldBe 1L
     }
+
+    "release the marked cache after both splits are consumed" in {
+      val s = spark
+      import s.implicits._
+      val raw = (1 to 100).map(_.toString).toDF("id")
+      val schema = RowLevelSchema().withIntColumn("id", isNullable = false)
+      val before = s.sparkContext.getPersistentRDDs.size
+      val result = RowLevelSchemaValidator.validate(raw, schema)
+      s.sparkContext.getPersistentRDDs.size should be > before
+      result.validRows.count() shouldBe 100L
+      result.invalidRows.count() shouldBe 0L
+      // listener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (s.sparkContext.getPersistentRDDs.size > before &&
+          System.nanoTime() < deadline) Thread.sleep(100)
+      s.sparkContext.getPersistentRDDs.size shouldBe before
+    }
   }
 
   "Applicability" should {
