@@ -998,6 +998,103 @@ object SparkEntry {
         "spark_repo_match" -> flag(stMatch),
         "loader_window_count" -> windowCount.toDouble,
         "loader_tag_count" -> tagCount.toDouble))
+    }),
+
+    // Distribution-distance measures, value-checked: categorical L-inf,
+    // chi-square (plain 5-category + Yates 2-category), and PSI computed
+    // from EXACT histograms are DuckDB-reproducible; the KS statistic is
+    // engine-computed from two KLL sketches and asserted against the
+    // exact KS (itself emitted and SQL-mirrored via a running-CDF window)
+    "q44_distance" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{abs => fabs, max => fmax}
+      import graft.sketch.{Distance, KLLMetric, KLLSketchAnalyzer}
+      val orders = table(s, dir, "orders")
+      val fSide = orders.filter(col("o_orderstatus") === "F")
+      val oSide = orders.filter(col("o_orderstatus") === "O")
+
+      // ONE runner call per side computes both histograms AND the KLL
+      // sketch — separate calls would rescan the side per analyzer family
+      val hPrio = Histogram("o_orderpriority")
+      val hBand = Histogram("o_totalprice",
+        binningFunc = Some(c => when(c > 150000.0, "high").otherwise("low")))
+      val kllA = KLLSketchAnalyzer("o_totalprice")
+      def sideOf(df: DataFrame): (Distribution, Distribution, graft.sketch.KLLSketch) = {
+        val ctx = AnalysisRunner.run(df, Seq(hPrio, hBand, kllA))
+        def h(a: Histogram) =
+          ctx.metric(a).get.asInstanceOf[HistogramMetric].value.get
+        (h(hPrio), h(hBand),
+          ctx.metric(kllA).get.asInstanceOf[KLLMetric].value.get.sketch)
+      }
+      val (d1, b1, sk1) = sideOf(fSide)
+      val (d2, b2, sk2) = sideOf(oSide)
+      val ksSketch = Distance.numericalDistance(sk1, sk2)
+
+      // exact two-sample KS over the value frequency table (running-CDF
+      // window over DISTINCT values — audit-scale, mirrored in the oracle)
+      val counts = orders.agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))).collect().head
+      val (na, nb) = (counts.getLong(0).toDouble, counts.getLong(1).toDouble)
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("graft_v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val ksExact = orders.filter(col("o_orderstatus").isin("F", "O"))
+        .groupBy(col("o_totalprice").as("graft_v"))
+        .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("graft_ca"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("graft_cb"))
+        .withColumn("graft_d", fabs(
+          sum(col("graft_ca")).over(wCum) / lit(na) -
+            sum(col("graft_cb")).over(wCum) / lit(nb)))
+        .agg(fmax(col("graft_d"))).collect().head.getDouble(0)
+
+      metricRow(s, Seq(
+        "cat_linf_r6" -> r6(Distance.categoricalDistance(d1, d2)),
+        "chi2_r6" -> r6(Distance.chiSquare(d1, d2)),
+        "chi2_yates_r6" -> r6(Distance.chiSquare(b1, b2)),
+        "psi_r6" -> r6(Distance.populationStabilityIndex(d1, d2)),
+        "ks_exact_r6" -> r6(ksExact),
+        "ks_sketch_ok" -> flag(math.abs(ksSketch - ksExact) <= 0.05)))
+    }),
+
+    // LSH top-k ANN (multi-probe + brute fallback), value-checked: the
+    // brute-force top-10 ground truth (count + id-sum) is exactly
+    // DuckDB-reproducible; the LSH result is asserted as completeness
+    // (exactly k rows per query, the fallback contract) and recall flags
+    "q45_ann_lsh" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{coalesce => fcoalesce, min => fmin, max => fmax}
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8L)
+      val k = 10
+      // parameter sizing for THIS corpus: the synthetic embeddings'
+      // true top-10 neighbors sit at cosine 0.30-0.45 (p = 1 - theta/pi
+      // ~ 0.61), so per-table multi-probe recall at 6 planes is ~0.26 and
+      // 12 OR'd tables lift it past 0.95; a higher-similarity production
+      // corpus would use more planes for smaller candidate sets
+      val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = k, planes = 6, numTables = 12)
+        .select("query_id", "neighbor_id").persist()
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = k)
+        .select("query_id", "neighbor_id").persist()
+      val perQuery = lsh.groupBy("query_id").agg(count(lit(1)).as("graft_n"))
+        .agg(fmin(col("graft_n")), fmax(col("graft_n")), count(lit(1))).collect().head
+      val rowsOk = perQuery.getLong(0) == k && perQuery.getLong(1) == k &&
+        perQuery.getLong(2) == 8L
+      val rec = bf
+        .join(lsh.withColumn("graft_hit", lit(1L)), Seq("query_id", "neighbor_id"),
+          "left_outer")
+        .agg(count(lit(1)), sum(fcoalesce(col("graft_hit"), lit(0L))))
+        .collect().head
+      val recall = rec.getLong(1).toDouble / rec.getLong(0)
+      val bfIdSum = bf.agg(sum(col("neighbor_id"))).collect().head.getLong(0)
+      lsh.unpersist(blocking = false)
+      bf.unpersist(blocking = false)
+      metricRow(s, Seq(
+        "n_bf_rows" -> rec.getLong(0).toDouble,
+        "bf_id_sum" -> bfIdSum.toDouble,
+        "lsh_rows_ok" -> flag(rowsOk),
+        // measured 0.99 at both sf0.01 and sf0.1 with the sized params
+        "lsh_recall_ok" -> flag(recall >= 0.9)))
     })
   )
 
@@ -1609,6 +1706,80 @@ object SparkEntry {
         |       1.0::DOUBLE AS spark_repo_match,
         |       2.0::DOUBLE AS loader_window_count,
         |       2.0::DOUBLE AS loader_tag_count
-        |FROM e, n""".stripMargin
+        |FROM e, n""".stripMargin,
+
+    // Distances recomputed from exact frequency tables; KS via running-CDF
+    // window over distinct values. The sketch-KS flag is a Spark-side
+    // assertion (KLL error bound), mirrored as a literal.
+    "q44_distance" ->
+      """WITH f1 AS (SELECT o_orderpriority AS k, count(*)::DOUBLE AS c
+        |            FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        |     f2 AS (SELECT o_orderpriority AS k, count(*)::DOUBLE AS c
+        |            FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+        |     j AS (SELECT coalesce(f1.k, f2.k) AS k,
+        |                  coalesce(f1.c, 0) AS c1, coalesce(f2.c, 0) AS c2
+        |           FROM f1 FULL OUTER JOIN f2 ON f1.k = f2.k),
+        |     t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM j),
+        |     r AS (SELECT k, c1, c2, c1 / t.n1 AS r1, c2 / t.n2 AS r2 FROM j, t),
+        |     cat AS (SELECT max(abs(r1 - r2)) AS v FROM r),
+        |     chi AS (SELECT sum(pow(c1 - r2 * t.n1, 2) / (r2 * t.n1)) AS v FROM r, t),
+        |     psi AS (SELECT sum((greatest(r1, 0.0001) - greatest(r2, 0.0001))
+        |                        * ln(greatest(r1, 0.0001) / greatest(r2, 0.0001))) AS v
+        |             FROM r),
+        |     g1 AS (SELECT CASE WHEN o_totalprice > 150000 THEN 'high' ELSE 'low' END AS k,
+        |                   count(*)::DOUBLE AS c
+        |            FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        |     g2 AS (SELECT CASE WHEN o_totalprice > 150000 THEN 'high' ELSE 'low' END AS k,
+        |                   count(*)::DOUBLE AS c
+        |            FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+        |     gj AS (SELECT coalesce(g1.k, g2.k) AS k,
+        |                   coalesce(g1.c, 0) AS c1, coalesce(g2.c, 0) AS c2
+        |            FROM g1 FULL OUTER JOIN g2 ON g1.k = g2.k),
+        |     gt AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM gj),
+        |     chy AS (SELECT sum(pow(abs(c1 - (c2 / gt.n2) * gt.n1) - 0.5, 2)
+        |                        / ((c2 / gt.n2) * gt.n1)) AS v
+        |             FROM gj, gt),
+        |     n AS (SELECT sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::DOUBLE AS na,
+        |                  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::DOUBLE AS nb
+        |           FROM orders),
+        |     pts AS (SELECT o_totalprice AS v,
+        |                    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::DOUBLE AS ca,
+        |                    sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::DOUBLE AS cb
+        |             FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1),
+        |     kd AS (SELECT abs(sum(ca) OVER (ORDER BY v) / n.na
+        |                     - sum(cb) OVER (ORDER BY v) / n.nb) AS d FROM pts, n),
+        |     ks AS (SELECT max(d) AS v FROM kd)
+        |SELECT round(cat.v, 6) AS cat_linf_r6,
+        |       round(chi.v, 6) AS chi2_r6,
+        |       round(chy.v, 6) AS chi2_yates_r6,
+        |       round(psi.v, 6) AS psi_r6,
+        |       round(ks.v, 6) AS ks_exact_r6,
+        |       1.0::DOUBLE AS ks_sketch_ok
+        |FROM cat, chi, chy, psi, ks""".stripMargin,
+
+    // Brute-force top-10 ground truth (self included, ties by neighbor id)
+    // exactly as Similarity.bruteForceTopK ranks; LSH flags are Spark-side
+    "q45_ann_lsh" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |p AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))) = 0
+        |           OR sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) = 0
+        |         THEN 0.0
+        |         ELSE list_sum(list_transform(range(len(q.qv)),
+        |                i -> q.qv[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE))
+        |           / (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))
+        |              * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))))
+        |    END AS cos
+        |  FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM p)
+        |SELECT (SELECT count(*) FROM r WHERE rank <= 10)::DOUBLE AS n_bf_rows,
+        |       (SELECT sum(neighbor_id) FROM r WHERE rank <= 10)::DOUBLE AS bf_id_sum,
+        |       1.0::DOUBLE AS lsh_rows_ok,
+        |       1.0::DOUBLE AS lsh_recall_ok""".stripMargin
   )
 }

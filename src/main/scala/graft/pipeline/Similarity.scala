@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -303,15 +304,79 @@ object Similarity {
     CacheLifecycle.releaseOnConsume(pairs, Seq(capped))
   }
 
-  /** LSH-bucketed top-k: corpus is bucketed by LSH signature; each query
-    * probes its own bucket plus all buckets at Hamming distance 1. Queries
-    * whose probed buckets hold fewer than `k` candidates fall back to a
-    * brute-force pass (anti-join on the complete ids, union), so every
-    * query gets exactly `min(k, corpus size)` results. The fallback scans
-    * the corpus a second time but only broadcasts the deficient queries —
-    * on well-distributed data that set is empty and the join side is empty.
-    * Returns (query_id, neighbor_id, similarity, rank) like bruteForceTopK.
+  /** LSH-bucketed top-k: the corpus is bucketed by `numTables` INDEPENDENT
+    * random-hyperplane signatures (computed in one map-side pass, exploded
+    * to (table, bucket) keys); each query probes, per table, its own
+    * bucket plus all buckets at Hamming distance 1. OR-amplification
+    * across tables is what makes top-k recall hold — a single table's
+    * multi-probe recall for a cosine-0.75 neighbor is ~0.25 at 12 planes,
+    * while 12 tables lift it past 0.9 (P = 1 − (1 − p_table)^T). The
+    * probe set (queries × tables × (planes+1)) is broadcast, so the
+    * corpus NEVER shuffles — only candidate matches flow on, deduped per
+    * (query, neighbor) before the exact cosine and per-query top-k
+    * window. Queries whose probed buckets hold fewer than `k` candidates
+    * fall back to a brute-force pass (anti-join on the complete ids,
+    * union), so every query gets exactly `min(k, corpus size)` results.
+    * The fallback scans the corpus a second time but only broadcasts the
+    * deficient queries — on well-distributed data that set is empty and
+    * the join side is empty. Returns (query_id, neighbor_id, similarity,
+    * rank) like bruteForceTopK.
     */
+  /** (id, vec, sigs: Array[Long]) with one signature per table, computed
+    * in ONE imperative mapPartitions pass. The declarative `lshSignature`
+    * HOF form walks an interpreted expression tree per vector element per
+    * plane — numTables × planes × dim lambda evaluations per row made it
+    * the measured hot spot (same finding as the MinHash signature history
+    * in BASELINE.md); the tight loop below does the identical dot products
+    * at memory bandwidth. Plane vectors are seeded per (table, dim) — the
+    * same gaussians on every partition and run.
+    */
+  private def tableSignatures(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      numTables: Int): DataFrame = {
+    val projected = df.select(col(idCol), col(vecCol))
+    val out = StructType(Seq(
+      StructField("graft_id", projected.schema.head.dataType, nullable = true),
+      StructField("graft_vec", projected.schema(1).dataType, nullable = true),
+      StructField("graft_sigs", ArrayType(LongType, containsNull = false), nullable = false)))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(out)
+    projected.mapPartitions { rows =>
+      val planeCache = scala.collection.mutable.Map.empty[(Int, Int), Array[Double]]
+      def planesFor(t: Int, dim: Int): Array[Double] =
+        planeCache.getOrElseUpdate((t, dim), {
+          val rng = new scala.util.Random(0x9E3779B97F4A7C15L * (t + 1))
+          Array.fill(planes * dim)(rng.nextGaussian())
+        })
+      rows.map { r =>
+        val sigs = new Array[Long](numTables)
+        if (!r.isNullAt(1)) {
+          val vec = r.getSeq[Float](1)
+          val dim = vec.length
+          var t = 0
+          while (t < numTables) {
+            val pl = planesFor(t, dim)
+            var sig = 0L
+            var p = 0
+            while (p < planes) {
+              var d = 0.0
+              var i = 0
+              val off = p * dim
+              while (i < dim) { d += vec(i).toDouble * pl(off + i); i += 1 }
+              if (d > 0.0) sig |= (1L << p)
+              p += 1
+            }
+            sigs(t) = sig
+            t += 1
+          }
+        }
+        Row(r.get(0), r.get(1), sigs.toSeq)
+      }
+    }(enc)
+  }
+
   def lshTopK(
       corpus: DataFrame,
       corpusId: String,
@@ -320,18 +385,25 @@ object Similarity {
       queryId: String,
       queryVec: String,
       k: Int,
-      planes: Int = 12): DataFrame = {
-    val c = corpus.select(col(corpusId).as("neighbor_id"),
-      col(corpusVec).as("graft_cv"),
-      lshSignature(col(corpusVec), planes).as("graft_bucket"))
-    // multi-probe: the query's bucket plus all single-bit flips
-    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("graft_qv"),
-      lshSignature(col(queryVec), planes).as("graft_qsig"))
+      planes: Int = 12,
+      numTables: Int = 12): DataFrame = {
+    val c = tableSignatures(corpus, corpusId, corpusVec, planes, numTables)
+      .select(col("graft_id").as("neighbor_id"), col("graft_vec").as("graft_cv"),
+        posexplode(col("graft_sigs")).as(Seq("graft_t", "graft_bucket")))
+    // multi-probe per table: the query's bucket plus all single-bit flips
+    val q = tableSignatures(queries, queryId, queryVec, planes, numTables)
+      .select(col("graft_id").as("query_id"), col("graft_vec").as("graft_qv"),
+        posexplode(col("graft_sigs")).as(Seq("graft_t", "graft_qsig")))
       .withColumn("graft_bucket",
         explode(array(
           col("graft_qsig") +:
             (0 until planes).map(b => col("graft_qsig").bitwiseXOR(lit(1L << b))): _*)))
-    val scored = c.join(broadcast(q), Seq("graft_bucket"))
+      .drop("graft_qsig")
+    val scored = c.join(broadcast(q), Seq("graft_t", "graft_bucket"))
+      // a pair can collide in many (table, probe) combinations — dedup
+      // BEFORE the exact cosine so each candidate is scored once
+      .select("query_id", "neighbor_id", "graft_cv", "graft_qv")
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("similarity", cosine(col("graft_cv"), col("graft_qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("similarity").desc, col("neighbor_id").asc)
