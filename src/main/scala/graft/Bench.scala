@@ -60,6 +60,14 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
+      // Untimed GC between queries: with a 128 GiB heap, collections are
+      // rare, so broadcast/cache refuse from earlier queries piles up and
+      // the ContextCleaner (which acts on weak refs, i.e. AFTER a GC)
+      // never runs — late-suite queries then pay GC pauses mid-timing
+      // (measured: q25 0.9 s isolated vs 4.5 s late-in-suite). Collecting
+      // here moves that cost into untimed space and lets the cleaner drop
+      // stale broadcasts before the next query runs.
+      System.gc()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
