@@ -157,6 +157,38 @@ class ProfilerKllSpec extends AnyWordSpec with Matchers with SparkSpec {
       Distance.populationStabilityIndex(d1, d2) should be > 0.5
       Distance.chiSquare(d1, d2) should be > 10.0
     }
+
+    "pin the chi-square Yates, missing-category and PSI-clamp branches exactly" in {
+      import graft.core.{Distribution, DistributionValue}
+      // 2-category table takes the Yates continuity correction:
+      // (|90-50|-0.5)^2/50 + (|10-50|-0.5)^2/50 = 2 * 39.5^2 / 50 = 62.41
+      val obs = Distribution(Map(
+        "a" -> DistributionValue(90, 0.9), "b" -> DistributionValue(10, 0.1)), 2)
+      val exp = Distribution(Map(
+        "a" -> DistributionValue(50, 0.5), "b" -> DistributionValue(50, 0.5)), 2)
+      Distance.chiSquare(obs, exp) shouldBe 62.41 +- 1e-9
+
+      // a category observed but ABSENT from the expected distribution is
+      // floored at 0.5 expected count (maximal divergence, not skipped):
+      // a: (|50-100|-0.5)^2/100 ; c: (|50-0.5|-0.5)^2/0.5
+      val withNew = Distribution(Map(
+        "a" -> DistributionValue(50, 0.5), "c" -> DistributionValue(50, 0.5)), 2)
+      val aOnly = Distribution(Map("a" -> DistributionValue(100, 1.0)), 1)
+      Distance.chiSquare(withNew, aOnly) shouldBe (24.5025 + 4802.0) +- 1e-6
+
+      // PSI with disjoint supports: both sides clamp at epsilon 1e-4 —
+      // 2 * (1 - 1e-4) * ln(1 / 1e-4)
+      val aDist = Distribution(Map("a" -> DistributionValue(100, 1.0)), 1)
+      val bDist = Distribution(Map("b" -> DistributionValue(100, 1.0)), 1)
+      Distance.populationStabilityIndex(aDist, bDist) shouldBe
+        (2.0 * (1.0 - 1e-4) * math.log(1e4)) +- 1e-9
+
+      // degenerate inputs stay defined
+      val empty = Distribution(Map.empty, 0)
+      Distance.categoricalDistance(empty, empty) shouldBe 0.0
+      Distance.chiSquare(empty, aDist) shouldBe 0.0
+      Distance.numericalDistance(new KLLSketch(256), new KLLSketch(256)) shouldBe 0.0
+    }
   }
 
   "row-level results" should {
