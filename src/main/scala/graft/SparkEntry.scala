@@ -1030,11 +1030,12 @@ object SparkEntry {
       val ksSketch = Distance.numericalDistance(sk1, sk2)
 
       // exact two-sample KS over the value frequency table (running-CDF
-      // window over DISTINCT values — audit-scale, mirrored in the oracle)
-      val counts = orders.agg(
-        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)),
-        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))).collect().head
-      val (na, nb) = (counts.getLong(0).toDouble, counts.getLong(1).toDouble)
+      // window over DISTINCT values — audit-scale, mirrored in the oracle).
+      // Side row counts come from the histograms already computed (priority
+      // is never null, so absolutes sum to the side's row count) — no
+      // extra scan
+      val na = d1.values.values.map(_.absolute).sum.toDouble
+      val nb = d2.values.values.map(_.absolute).sum.toDouble
       val wCum = org.apache.spark.sql.expressions.Window.orderBy("graft_v")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
@@ -1722,7 +1723,10 @@ object SparkEntry {
         |     t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM j),
         |     r AS (SELECT k, c1, c2, c1 / t.n1 AS r1, c2 / t.n2 AS r2 FROM j, t),
         |     cat AS (SELECT max(abs(r1 - r2)) AS v FROM r),
-        |     chi AS (SELECT sum(pow(c1 - r2 * t.n1, 2) / (r2 * t.n1)) AS v FROM r, t),
+        |     chi AS (SELECT sum(CASE WHEN r2 * t.n1 = 0 AND c1 = 0 THEN 0
+        |                             ELSE pow(abs(c1 - greatest(r2 * t.n1, 0.5)), 2)
+        |                                  / greatest(r2 * t.n1, 0.5) END) AS v
+        |             FROM r, t),
         |     psi AS (SELECT sum((greatest(r1, 0.0001) - greatest(r2, 0.0001))
         |                        * ln(greatest(r1, 0.0001) / greatest(r2, 0.0001))) AS v
         |             FROM r),
@@ -1736,8 +1740,9 @@ object SparkEntry {
         |                   coalesce(g1.c, 0) AS c1, coalesce(g2.c, 0) AS c2
         |            FROM g1 FULL OUTER JOIN g2 ON g1.k = g2.k),
         |     gt AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM gj),
-        |     chy AS (SELECT sum(pow(abs(c1 - (c2 / gt.n2) * gt.n1) - 0.5, 2)
-        |                        / ((c2 / gt.n2) * gt.n1)) AS v
+        |     chy AS (SELECT sum(CASE WHEN (c2 / gt.n2) * gt.n1 = 0 AND c1 = 0 THEN 0
+        |                             ELSE pow(abs(c1 - greatest((c2 / gt.n2) * gt.n1, 0.5)) - 0.5, 2)
+        |                                  / greatest((c2 / gt.n2) * gt.n1, 0.5) END) AS v
         |             FROM gj, gt),
         |     n AS (SELECT sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::DOUBLE AS na,
         |                  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::DOUBLE AS nb

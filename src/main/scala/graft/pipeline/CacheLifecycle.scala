@@ -66,11 +66,15 @@ object CacheLifecycle {
   /** Multi-result variant: several lazy frames share the SAME caches (e.g.
     * a validator's valid + invalid splits over one marked-and-persisted
     * input). Each result gets its own tag; the caches release once
-    * `consumptions` tagged actions have run in total — default one per
-    * result, so consuming each frame once releases everything. A result
-    * consumed past its share steals another's budget; later consumers then
-    * recompute without the caches — correct, just slower (same contract as
-    * [[releaseOnConsume]]). The [[MaxUnconsumedActions]] valve still
+    * `consumptions` tagged consumptions have run in total — by default
+    * one per result TIMES the ambient [[withConsumptions]] policy, so
+    * consuming each frame once (or `n` times under the policy) releases
+    * everything. An action whose plan carries SEVERAL of the tags (a join
+    * or union of the splits) counts one consumption PER tag present — one
+    * such action over both splits is full consumption. A result consumed
+    * past its share steals another's budget; later consumers then
+    * recompute without the caches — correct, just slower (same contract
+    * as [[releaseOnConsume]]). The [[MaxUnconsumedActions]] valve still
     * bounds the cache lifetime when some results are abandoned.
     */
   def releaseOnConsumeAll(
@@ -78,7 +82,9 @@ object CacheLifecycle {
       caches: Seq[DataFrame],
       consumptions: Int = -1): Seq[DataFrame] = {
     if (caches.isEmpty || results.isEmpty) return results
-    val needed = if (consumptions >= 1) consumptions else results.length
+    val needed =
+      if (consumptions >= 1) consumptions
+      else results.length * consumptionsPolicy.value
     val base = "graft_release_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val tags = results.indices.map(i => s"${base}_$i")
     val spark = results.head.sparkSession
@@ -88,10 +94,11 @@ object CacheLifecycle {
     val unrelatedActions = new AtomicInteger(0)
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private def maybeRelease(qe: QueryExecution): Unit = {
-        val isTagged = tags.exists(qe.observedMetrics.contains)
-        val consumedEnough = isTagged && taggedSeen.incrementAndGet() >= needed
-        val expired =
-          !isTagged && unrelatedActions.incrementAndGet() >= MaxUnconsumedActions
+        val tagsInPlan = tags.count(qe.observedMetrics.contains)
+        val consumedEnough =
+          tagsInPlan > 0 && taggedSeen.addAndGet(tagsInPlan) >= needed
+        val expired = tagsInPlan == 0 &&
+          unrelatedActions.incrementAndGet() >= MaxUnconsumedActions
         if ((consumedEnough || expired) && done.compareAndSet(false, true)) {
           caches.foreach(_.unpersist(blocking = false))
           spark.listenerManager.unregister(this)

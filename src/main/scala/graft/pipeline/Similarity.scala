@@ -304,24 +304,6 @@ object Similarity {
     CacheLifecycle.releaseOnConsume(pairs, Seq(capped))
   }
 
-  /** LSH-bucketed top-k: the corpus is bucketed by `numTables` INDEPENDENT
-    * random-hyperplane signatures (computed in one map-side pass, exploded
-    * to (table, bucket) keys); each query probes, per table, its own
-    * bucket plus all buckets at Hamming distance 1. OR-amplification
-    * across tables is what makes top-k recall hold — a single table's
-    * multi-probe recall for a cosine-0.75 neighbor is ~0.25 at 12 planes,
-    * while 12 tables lift it past 0.9 (P = 1 − (1 − p_table)^T). The
-    * probe set (queries × tables × (planes+1)) is broadcast, so the
-    * corpus NEVER shuffles — only candidate matches flow on, deduped per
-    * (query, neighbor) before the exact cosine and per-query top-k
-    * window. Queries whose probed buckets hold fewer than `k` candidates
-    * fall back to a brute-force pass (anti-join on the complete ids,
-    * union), so every query gets exactly `min(k, corpus size)` results.
-    * The fallback scans the corpus a second time but only broadcasts the
-    * deficient queries — on well-distributed data that set is empty and
-    * the join side is empty. Returns (query_id, neighbor_id, similarity,
-    * rank) like bruteForceTopK.
-    */
   /** (id, vec, sigs: Array[Long]) with one signature per table, computed
     * in ONE imperative mapPartitions pass. The declarative `lshSignature`
     * HOF form walks an interpreted expression tree per vector element per
@@ -343,6 +325,15 @@ object Similarity {
       StructField("graft_vec", projected.schema(1).dataType, nullable = true),
       StructField("graft_sigs", ArrayType(LongType, containsNull = false), nullable = false)))
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(out)
+    // resolved at plan time: float and double element types both supported
+    // (the old expression form cast per element; here the unbox is picked
+    // once instead of pattern-matching every value)
+    val elementIsFloat = projected.schema(1).dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case other => throw new IllegalArgumentException(
+        s"$vecCol must be array<float> or array<double>, got $other")
+    }
     projected.mapPartitions { rows =>
       val planeCache = scala.collection.mutable.Map.empty[(Int, Int), Array[Double]]
       def planesFor(t: Int, dim: Int): Array[Double] =
@@ -353,7 +344,20 @@ object Similarity {
       rows.map { r =>
         val sigs = new Array[Long](numTables)
         if (!r.isNullAt(1)) {
-          val vec = r.getSeq[Float](1)
+          val vec: Array[Double] =
+            if (elementIsFloat) {
+              val s = r.getSeq[Float](1)
+              val a = new Array[Double](s.length)
+              var i = 0
+              while (i < a.length) { a(i) = s(i).toDouble; i += 1 }
+              a
+            } else {
+              val s = r.getSeq[Double](1)
+              val a = new Array[Double](s.length)
+              var i = 0
+              while (i < a.length) { a(i) = s(i); i += 1 }
+              a
+            }
           val dim = vec.length
           var t = 0
           while (t < numTables) {
@@ -364,7 +368,7 @@ object Similarity {
               var d = 0.0
               var i = 0
               val off = p * dim
-              while (i < dim) { d += vec(i).toDouble * pl(off + i); i += 1 }
+              while (i < dim) { d += vec(i) * pl(off + i); i += 1 }
               if (d > 0.0) sig |= (1L << p)
               p += 1
             }
@@ -377,6 +381,24 @@ object Similarity {
     }(enc)
   }
 
+  /** LSH-bucketed top-k: the corpus is bucketed by `numTables` INDEPENDENT
+    * random-hyperplane signatures (computed in one map-side pass, exploded
+    * to (table, bucket) keys); each query probes, per table, its own
+    * bucket plus all buckets at Hamming distance 1. OR-amplification
+    * across tables is what makes top-k recall hold — a single table's
+    * multi-probe recall for a cosine-0.75 neighbor is ~0.25 at 12 planes,
+    * while 12 tables lift it past 0.9 (P = 1 − (1 − p_table)^T). The
+    * probe set (queries × tables × (planes+1)) is broadcast, so the
+    * corpus NEVER shuffles — only candidate matches flow on, deduped per
+    * (query, neighbor) before the exact cosine and per-query top-k
+    * window. Queries whose probed buckets hold fewer than `k` candidates
+    * fall back to a brute-force pass (anti-join on the complete ids,
+    * union), so every query gets exactly `min(k, corpus size)` results.
+    * The fallback scans the corpus a second time but only broadcasts the
+    * deficient queries — on well-distributed data that set is empty and
+    * the join side is empty. Returns (query_id, neighbor_id, similarity,
+    * rank) like bruteForceTopK.
+    */
   def lshTopK(
       corpus: DataFrame,
       corpusId: String,

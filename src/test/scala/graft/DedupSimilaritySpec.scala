@@ -309,6 +309,22 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
   }
 
   "lshTopK" should {
+    "handle array<double> vector columns like the expression path did" in {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(11)
+      val corpus = (0 until 100).map(i =>
+        (i.toLong, Array.fill(8)(rng.nextGaussian()))).toDF("vec_id", "embedding")
+      corpus.schema("embedding").dataType shouldBe
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false)
+      val queries = corpus.filter(col("vec_id") < 3L)
+      val out = Similarity.lshTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      out.groupBy("query_id").count().collect()
+        .foreach(_.getLong(1) shouldBe 5L)
+    }
+
     "return exactly k results per query even when probed buckets are empty" in {
       val s = spark
       import s.implicits._

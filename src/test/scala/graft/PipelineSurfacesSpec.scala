@@ -75,6 +75,23 @@ class PipelineSurfacesSpec extends AnyWordSpec with Matchers with SparkSpec {
           System.nanoTime() < deadline) Thread.sleep(100)
       s.sparkContext.getPersistentRDDs.size shouldBe before
     }
+
+    "release the marked cache when ONE action consumes both splits" in {
+      val s = spark
+      import s.implicits._
+      val raw = (1 to 50).map(_.toString).toDF("id")
+      val schema = RowLevelSchema().withIntColumn("id", isNullable = false)
+      val before = s.sparkContext.getPersistentRDDs.size
+      val result = RowLevelSchemaValidator.validate(raw, schema)
+      // a single plan carrying BOTH observe tags counts one consumption
+      // per tag — full consumption in one action
+      result.validRows.select("id").unionByName(
+        result.invalidRows.selectExpr("cast(id as int) as id")).count() shouldBe 50L
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (s.sparkContext.getPersistentRDDs.size > before &&
+          System.nanoTime() < deadline) Thread.sleep(100)
+      s.sparkContext.getPersistentRDDs.size shouldBe before
+    }
   }
 
   "Applicability" should {
