@@ -1081,13 +1081,15 @@ object SparkEntry {
         .agg(fmin(col("graft_n")), fmax(col("graft_n")), count(lit(1))).collect().head
       val rowsOk = perQuery.getLong(0) == k && perQuery.getLong(1) == k &&
         perQuery.getLong(2) == 8L
+      // one action: recall join + ground-truth id-sum share the same pass
       val rec = bf
         .join(lsh.withColumn("graft_hit", lit(1L)), Seq("query_id", "neighbor_id"),
           "left_outer")
-        .agg(count(lit(1)), sum(fcoalesce(col("graft_hit"), lit(0L))))
+        .agg(count(lit(1)), sum(fcoalesce(col("graft_hit"), lit(0L))),
+          sum(col("neighbor_id")))
         .collect().head
       val recall = rec.getLong(1).toDouble / rec.getLong(0)
-      val bfIdSum = bf.agg(sum(col("neighbor_id"))).collect().head.getLong(0)
+      val bfIdSum = rec.getLong(2)
       lsh.unpersist(blocking = false)
       bf.unpersist(blocking = false)
       metricRow(s, Seq(
