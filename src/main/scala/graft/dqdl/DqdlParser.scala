@@ -118,8 +118,13 @@ object DqdlParser {
         val sb = new StringBuilder
         i += 1
         while (i < n && input(i) != '"') {
-          if (input(i) == '\\' && i + 1 < n) { sb.append(input(i + 1)); i += 2 }
-          else { sb.append(input(i)); i += 1 }
+          // only \" and \\ are escapes; any other backslash passes through
+          // literally — stripping it would silently corrupt regex patterns
+          // (matches "\d{5}" must keep its \d)
+          if (input(i) == '\\' && i + 1 < n &&
+              (input(i + 1) == '"' || input(i + 1) == '\\')) {
+            sb.append(input(i + 1)); i += 2
+          } else { sb.append(input(i)); i += 1 }
         }
         if (i >= n) throw new DqdlParseException(s"Unterminated string literal at end of input")
         i += 1
@@ -138,7 +143,13 @@ object DqdlParser {
         while (i < n && (input(i).isDigit || input(i) == '.' || input(i) == 'e' ||
                input(i) == 'E' || ((input(i) == '-' || input(i) == '+') &&
                  (input(i - 1) == 'e' || input(i - 1) == 'E')))) i += 1
-        tokens += Num(input.substring(start, i).toDouble)
+        val text = input.substring(start, i)
+        // malformed literals (1.2.3, bare 10e) surface as ruleset syntax
+        // errors, not a NumberFormatException from deep inside the scanner
+        tokens += Num(try text.toDouble catch {
+          case _: NumberFormatException =>
+            throw new DqdlParseException(s"Malformed numeric literal '$text'")
+        })
       } else if (ch.isLetter || ch == '_') {
         val start = i
         while (i < n && (input(i).isLetterOrDigit || input(i) == '_')) i += 1
@@ -242,15 +253,32 @@ object DqdlParser {
     rules.toList
   }
 
+  /** Standard boolean precedence: `and` binds tighter than `or`, both
+    * left-associative — `A or B and C` is `A or (B and C)`, matching what
+    * a ruleset author (and SQL) means by an unparenthesized chain.
+    */
   private def parseRule(cur: Cursor): DqRule = {
+    var left: DqRule = parseAndChain(cur)
+    var chaining = true
+    while (chaining) {
+      cur.peek match {
+        case Some(Ident(op)) if op.equalsIgnoreCase("or") =>
+          cur.next()
+          left = CompositeRule("or", left, parseAndChain(cur))
+        case _ => chaining = false
+      }
+    }
+    left
+  }
+
+  private def parseAndChain(cur: Cursor): DqRule = {
     var left: DqRule = parseAtom(cur)
     var chaining = true
     while (chaining) {
       cur.peek match {
-        case Some(Ident(op)) if op.equalsIgnoreCase("and") || op.equalsIgnoreCase("or") =>
+        case Some(Ident(op)) if op.equalsIgnoreCase("and") =>
           cur.next()
-          val right = parseAtom(cur)
-          left = CompositeRule(op.toLowerCase, left, right)
+          left = CompositeRule("and", left, parseAtom(cur))
         case _ => chaining = false
       }
     }
@@ -462,7 +490,16 @@ object DqdlParser {
 
   private def scalar(e: NumExpr, history: Seq[Double]): Double =
     evalExpr(e, history) match {
-      case Seq(v) => v
+      case Seq(v) =>
+        // covers bare Call results too (avg over a history containing a
+        // persisted NaN) — the BinOp-level check alone missed them, and a
+        // non-finite threshold fails every comparison with no diagnostic
+        if (v.isNaN || v.isInfinite) {
+          throw new DqdlParseException(
+            s"Dynamic expression ${renderExpr(e)} evaluates to $v " +
+              "— thresholds must be finite (history may contain NaN/Inf metrics)")
+        }
+        v
       case s => throw new DqdlParseException(
         s"Expression ${renderExpr(e)} yields a series of ${s.length} values " +
           "where a scalar is required (wrap last(k) in avg/min/max/...)")

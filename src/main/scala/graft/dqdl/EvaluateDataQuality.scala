@@ -111,7 +111,7 @@ object EvaluateDataQuality {
     data.createOrReplaceTempView("primary")
     additionalSources.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     val rules = parse(ruleset)
-    val checks = rules.zipWithIndex.flatMap { case (rule, i) =>
+    val checks = rules.flatMap { rule =>
       compile(rule, data, additionalSources, None) match {
         case ConstraintRule(rendered, cs) =>
           Some(Check(CheckLevel.Error, rendered, cs))
@@ -163,18 +163,16 @@ object EvaluateDataQuality {
       CompositeCompiled(op,
         compile(l, data, sources, history), compile(r, data, sources, history))
     case leaf: LeafRule =>
-      val usesDynamic = leaf.condition.exists {
-        case _: DynamicNumericCondition | _: DynamicBetweenCondition => true
-        case _ => false
-      }
       try compileLeaf(leaf, data, sources, history)
       catch {
-        // a dynamic threshold that cannot be resolved (empty history,
-        // non-finite expression) fails THIS rule with its reason instead of
-        // aborting the whole ruleset — reference behavior: the single rule
-        // is marked failed (dqdl/execution/DQDLExecutor.scala handles
-        // per-rule failures the same way)
-        case e: DqdlParseException if usesDynamic =>
+        // any rule-local compile failure — unresolvable dynamic threshold
+        // (empty history, non-finite expression), malformed regex, missing
+        // parameter/source, unsupported condition — fails THIS rule with
+        // its reason instead of aborting the whole ruleset, so the valid
+        // rules still produce outcomes. Reference behavior: the single
+        // rule is marked failed (dqdl/execution/DQDLExecutor.scala)
+        case e @ (_: DqdlParseException | _: DqdlTranslationException |
+            _: java.util.regex.PatternSyntaxException) =>
           val rendered = leaf.render
           val reason = Option(e.getMessage).getOrElse(e.toString)
           ImmediateRule(rendered,
@@ -209,6 +207,13 @@ object EvaluateDataQuality {
 
   /** Analyzer for a compute-only declaration (no condition). */
   private def analyzerFor(leaf: LeafRule): AnyAnalyzer = {
+    // an assertion on an Analyzers entry would evaluate NOWHERE — the
+    // user believes a check ran; reject instead of silently dropping it
+    if (leaf.condition.isDefined || leaf.threshold.isDefined) {
+      throw new DqdlTranslationException(
+        s"Analyzers section entries are compute-only; move '${leaf.render}' " +
+          "to the Rules section to assert it")
+    }
     def param(i: Int): String =
       if (leaf.parameters.length > i) leaf.parameters(i)
       else throw new DqdlTranslationException(
@@ -303,6 +308,22 @@ object EvaluateDataQuality {
       if (where.isDefined) throw new DqdlTranslationException(
         s"${rule.ruleType} does not support a where clause")
 
+    // backtick-quote a column name for generated SQL predicates — an
+    // unquoted name with a space/keyword would fail expr() parsing and
+    // poison the fused scan
+    def q(c: String): String = "`" + c.replace("`", "``") + "`"
+
+    // `with threshold` is the row-level pass-ratio of the ColumnValues /
+    // ColumnLength / ColumnDataType family; on any other rule it would be
+    // silently discarded — reject instead
+    if (rule.threshold.isDefined &&
+        !Set("columnvalues", "columnlength", "columndatatype")
+          .contains(rule.ruleType.toLowerCase)) {
+      throw new DqdlTranslationException(
+        s"${rule.ruleType} does not support 'with threshold' " +
+          "(only ColumnValues/ColumnLength/ColumnDataType do)")
+    }
+
     rule.ruleType.toLowerCase match {
       // -- single-source, constraint-backed ---------------------------------
       case "rowcount" => constraintN("RowCount", Size(where))
@@ -368,16 +389,17 @@ object EvaluateDataQuality {
               if (quoted) values.map(v => "'" + v.replace("'", "''") + "'").mkString(",")
               else values.mkString(",")
             constraint("ColumnValuesIn",
-              Compliance(s"$c in set", s"$c IN ($list)", where), thresholdAssertion)
+              Compliance(s"$c in set", s"${q(c)} IN ($list)", where), thresholdAssertion)
           case Some(BetweenCondition(lo, hi)) =>
             constraint("ColumnValuesBetween",
-              Compliance(s"$c between", s"$c > $lo AND $c < $hi", where), thresholdAssertion)
+              Compliance(s"$c between", s"${q(c)} > $lo AND ${q(c)} < $hi", where),
+              thresholdAssertion)
           case Some(MatchesCondition(re)) =>
             constraint("ColumnValuesMatch",
               PatternMatch(c, re, where), thresholdAssertion)
           case Some(NumericCondition(op, v)) =>
             constraint("ColumnValuesCompare",
-              Compliance(s"$c $op $v", s"$c $op $v", where), thresholdAssertion)
+              Compliance(s"$c $op $v", s"${q(c)} $op $v", where), thresholdAssertion)
           case other => throw new DqdlTranslationException(
             s"ColumnValues does not support condition $other")
         }
@@ -385,9 +407,9 @@ object EvaluateDataQuality {
       case "columnlength" =>
         val c = param(0)
         val predicate = rule.condition match {
-          case Some(NumericCondition(op, v)) => s"length($c) $op ${v.toLong}"
+          case Some(NumericCondition(op, v)) => s"length(${q(c)}) $op ${v.toLong}"
           case Some(BetweenCondition(lo, hi)) =>
-            s"length($c) > ${lo.toLong} AND length($c) < ${hi.toLong}"
+            s"length(${q(c)}) > ${lo.toLong} AND length(${q(c)}) < ${hi.toLong}"
           case other => throw new DqdlTranslationException(
             s"ColumnLength does not support condition $other")
         }
@@ -414,8 +436,18 @@ object EvaluateDataQuality {
               _.values.get(expected).map(_.ratio).getOrElse(0.0)))))
 
       // -- driver-side -------------------------------------------------------
+      // where-clause contract for the immediate rules below: schema-level
+      // rules (ColumnNamesMatchPattern, SchemaMatch) reject a filter —
+      // there are no rows to filter; row-level ones apply it to the
+      // PRIMARY side. Silently ignoring a parsed filter would report
+      // wrong outcomes (same invariant as DistinctValuesCount above).
       case "columnnamesmatchpattern" =>
+        rejectWhere() // schema-level: no rows to filter
         val re = param(0).r
+        // user condition on the match ratio when present (>= 0.5 etc.),
+        // default all-match
+        val assert: Double => Boolean =
+          rule.condition.map(DqdlParser.assertion).getOrElse((d: Double) => d == 1.0)
         immediate {
           val cols = data.columns
           // CONTAINS-a-match semantics, not full-match (reference:
@@ -423,7 +455,7 @@ object EvaluateDataQuality {
           // .scala:38 uses findAllMatchIn — anchor explicitly for exact)
           val matched = cols.count(n => re.findFirstIn(n).isDefined)
           val ratio = if (cols.isEmpty) 1.0 else matched.toDouble / cols.length
-          (ratio == 1.0, Some(ratio))
+          (assert(ratio), Some(ratio))
         }
 
       case "datafreshness" =>
@@ -436,7 +468,8 @@ object EvaluateDataQuality {
         }
         immediate {
           import org.apache.spark.sql.functions._
-          val row = data.agg(
+          val filtered = where.map(data.filter).getOrElse(data)
+          val row = filtered.agg(
             coalesce(sum((col(c) >= (current_timestamp() -
               expr(s"INTERVAL ${maxAgeHours} HOURS"))).cast("long")), lit(0L)),
             count(lit(1))).collect().head
@@ -449,15 +482,18 @@ object EvaluateDataQuality {
       case "rowcountmatch" =>
         val ref = source(sources, param(0))
         immediate {
-          val ratio = RowCountMatch.ratio(data, ref)
+          val ratio = RowCountMatch.ratio(where.map(data.filter).getOrElse(data), ref)
           (numeric(ratio), Some(ratio))
         }
 
       case "schemamatch" =>
+        rejectWhere() // schema-level: no rows to filter
         val ref = source(sources, param(0))
+        val assert: Double => Boolean =
+          rule.condition.map(DqdlParser.assertion).getOrElse((d: Double) => d == 1.0)
         immediate {
           val ok = SchemaMatch.matches(data, ref)
-          (ok, Some(if (ok) 1.0 else 0.0))
+          (assert(if (ok) 1.0 else 0.0), Some(if (ok) 1.0 else 0.0))
         }
 
       case "referentialintegrity" =>
@@ -469,7 +505,8 @@ object EvaluateDataQuality {
         val ref = source(sources, refSpec.substring(0, dot))
         val refCol = refSpec.substring(dot + 1)
         immediate {
-          val ratio = ReferentialIntegrity.subsetCheck(data, cols, ref, refCol)
+          val ratio = ReferentialIntegrity.subsetCheck(
+            where.map(data.filter).getOrElse(data), cols, ref, refCol)
           (rule.condition.map(c => DqdlParser.assertion(c)(ratio)).getOrElse(ratio == 1.0),
             Some(ratio))
         }
@@ -484,7 +521,8 @@ object EvaluateDataQuality {
           parts(0) -> parts(1)
         }.toMap
         immediate {
-          DatasetMatch.matchRatio(data, ref, keyMap) match {
+          DatasetMatch.matchRatio(
+            where.map(data.filter).getOrElse(data), ref, keyMap) match {
             case Success(ratio) => (numeric(ratio), Some(ratio))
             case Failure(e) => throw e
           }
@@ -503,7 +541,8 @@ object EvaluateDataQuality {
         source(sources, refName) // fail fast if missing
         val spark = data.sparkSession
         immediate {
-          val a = spark.sql(s"SELECT $primaryAgg FROM primary").collect().head
+          val primaryWhere = where.map(w => s" WHERE $w").getOrElse("")
+          val a = spark.sql(s"SELECT $primaryAgg FROM primary$primaryWhere").collect().head
           val b = spark.sql(s"SELECT $refAgg FROM $refName").collect().head
           val av = Analyzers.doubleAt(a, 0).getOrElse(Double.NaN)
           val bv = Analyzers.doubleAt(b, 0).getOrElse(Double.NaN)

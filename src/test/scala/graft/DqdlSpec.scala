@@ -149,11 +149,97 @@ class DqdlSpec extends AnyWordSpec with Matchers with SparkSpec {
       all(rows.values) shouldBe "Passed"
     }
 
-    "flag unknown sources and unknown rules as failures at compile time" in {
-      an[IllegalArgumentException] should be thrownBy
-        EvaluateDataQuality.process(orders, """Rules = [ RowCountMatch "nope" > 0 ]""")
-      an[IllegalArgumentException] should be thrownBy
-        EvaluateDataQuality.process(orders, """Rules = [ NotARule "x" > 0 ]""")
+    "contain unknown sources, unknown rules and malformed regexes as per-rule failures" in {
+      // one bad rule must not abort the ruleset: the valid RowCount rule
+      // still produces its outcome (reference: per-rule failure marking)
+      val out = EvaluateDataQuality.process(orders,
+        """Rules = [ RowCountMatch "nope" > 0, NotARule "x" > 0,
+          |          ColumnNamesMatchPattern "[", RowCount > 0 ]""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      out.size shouldBe 4
+      out.count(_._2 == "Failed") shouldBe 3
+      out.find(_._1.startsWith("RowCount >")).get._2 shouldBe "Passed"
+    }
+
+    "honor standard and/or precedence in unparenthesized chains" in {
+      // A or B and C == A or (B and C): A passes, C fails -> overall pass
+      val out = EvaluateDataQuality.process(orders,
+        """Rules = [ RowCount > 0 or RowCount < -1 and IsComplete "no_such" ]""")
+        .collect()
+      out.length shouldBe 1
+      out.head.getString(1) shouldBe "Passed"
+    }
+
+    "preserve regex escapes in matches patterns" in {
+      // \d must stay a digit class, not become a literal 'd'
+      val out = EvaluateDataQuality.process(orders,
+        "Rules = [ ColumnValues \"o_priority\" matches \"\\d-[A-Z]+\" with threshold >= 0.99 ]")
+        .collect()
+      out.head.getString(1) shouldBe "Passed"
+    }
+
+    "apply the condition on ColumnNamesMatchPattern and reject its where clause" in {
+      // 4 of 4 columns start with o_ -> ratio 1.0; >= 0.5 passes; a
+      // deliberately impossible = 0.25 fails
+      EvaluateDataQuality.process(orders,
+        """Rules = [ ColumnNamesMatchPattern "^o_" >= 0.5 ]""")
+        .collect().head.getString(1) shouldBe "Passed"
+      EvaluateDataQuality.process(orders,
+        """Rules = [ ColumnNamesMatchPattern "^o_" = 0.25 ]""")
+        .collect().head.getString(1) shouldBe "Failed"
+      // where on a schema-level rule is contained as that rule's failure
+      val contained = EvaluateDataQuality.process(orders,
+        """Rules = [ ColumnNamesMatchPattern "^o_" where "o_total > 0" ]""")
+        .collect().head
+      contained.getString(1) shouldBe "Failed"
+      contained.getString(2) should include("where")
+    }
+
+    "apply where clauses on two-source rules instead of ignoring them" in {
+      val ref = orders.filter("o_status = 'F'") // 3 rows
+      // filtered primary (3 F rows) vs 3-row reference -> ratio 1.0
+      EvaluateDataQuality.process(orders,
+        """Rules = [ RowCountMatch "ref" >= 1.0 where "o_status = 'F'" ]""",
+        Map("ref" -> ref)).collect().head.getString(1) shouldBe "Passed"
+      // unfiltered would be 6/3 = 2.0: prove the filter actually applied
+      EvaluateDataQuality.process(orders,
+        """Rules = [ RowCountMatch "ref" = 2.0 where "o_status = 'F'" ]""",
+        Map("ref" -> ref)).collect().head.getString(1) shouldBe "Failed"
+    }
+
+    "reject 'with threshold' on rules that cannot consume it" in {
+      val out = EvaluateDataQuality.process(orders,
+        """Rules = [ Mean "o_total" > 0 with threshold >= 0.5 ]""")
+        .collect().head
+      out.getString(1) shouldBe "Failed"
+      out.getString(2) should include("with threshold")
+    }
+
+    "quote column names needing backticks in generated predicates" in {
+      val df = orders.withColumnRenamed("o_total", "order total")
+      val out = EvaluateDataQuality.process(df,
+        """Rules = [ ColumnValues "order total" between 0 and 1000,
+          |          ColumnLength "o_status" between 0 and 2 ]""".stripMargin)
+        .collect()
+      out.foreach(_.getString(1) shouldBe "Passed")
+    }
+
+    "reject malformed numeric literals as parse errors" in {
+      a[DqdlParser.DqdlParseException] should be thrownBy
+        DqdlParser.parse("""Rules = [ RowCount > 1.2.3 ]""")
+    }
+
+    "reject non-finite dynamic thresholds from NaN history" in {
+      a[DqdlParser.DqdlParseException] should be thrownBy
+        DqdlParser.resolveDynamic(
+          DynamicNumericCondition(">", Call("avg", Seq(Call("last", Seq(Lit(3)))))),
+          Seq(1.0, Double.NaN))
+    }
+
+    "reject Analyzers entries carrying a condition" in {
+      a[IllegalArgumentException] should be thrownBy
+        EvaluateDataQuality.analyzerMetrics(orders,
+          """Analyzers = [ Completeness "o_status" > 0.9 ]""")
     }
   }
 
@@ -180,9 +266,11 @@ class DqdlSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
 
     "fail a dynamic rule when no repository is supplied" in {
-      an[IllegalArgumentException] should be thrownBy
-        EvaluateDataQuality.process(orders,
-          """Rules = [ RowCount > avg(last(3)) ]""")
+      // contained per rule, like every other rule-local compile failure
+      val out = EvaluateDataQuality.process(orders,
+        """Rules = [ RowCount > avg(last(3)) ]""").collect().head
+      out.getString(1) shouldBe "Failed"
+      out.getString(2) should include("MetricsRepository")
     }
 
     "contain a dynamic-resolution failure to its own rule" in {
