@@ -76,13 +76,7 @@ class Applicability(spark: SparkSession) {
       val ok = ctx.metric(c.analyzer).exists(_.value.isSuccess)
       c.toString -> ok
     }
-    val failures = check.requiredAnalyzers().flatMap { a =>
-      ctx.metric(a).map(_.value) match {
-        case Some(scala.util.Failure(e)) => Some(a.toString -> Option(e))
-        case None => Some(a.toString -> None)
-        case _ => None
-      }
-    }
+    val failures = failuresOf(ctx, check.requiredAnalyzers())
     CheckApplicability(failures.isEmpty, failures, perConstraint)
   }
 
@@ -90,13 +84,17 @@ class Applicability(spark: SparkSession) {
   def isApplicable(analyzers: Seq[AnyAnalyzer], schema: StructType): AnalyzersApplicability = {
     val data = generate(schema)
     val ctx = AnalysisRunner.run(data, analyzers)
-    val failures = analyzers.flatMap { a =>
+    val failures = failuresOf(ctx, analyzers)
+    AnalyzersApplicability(failures.isEmpty, failures)
+  }
+
+  private def failuresOf(ctx: graft.runners.AnalyzerContext,
+      analyzers: Seq[AnyAnalyzer]): Seq[(String, Option[Throwable])] =
+    analyzers.flatMap { a =>
       ctx.metric(a).map(_.value) match {
         case Some(scala.util.Failure(e)) => Some(a.toString -> Option(e))
         case None => Some(a.toString -> None)
         case _ => None
       }
     }
-    AnalyzersApplicability(failures.isEmpty, failures)
-  }
 }

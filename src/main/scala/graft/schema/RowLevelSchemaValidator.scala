@@ -131,6 +131,10 @@ object RowLevelSchemaValidator {
   def validate(data: DataFrame, schema: RowLevelSchema): RowLevelSchemaValidationResult = {
     require(schema.columnDefinitions.nonEmpty,
       "RowLevelSchema must declare at least one column definition")
+    // the marker column would silently overwrite (and then discard) a
+    // same-named user column in both outputs
+    require(!data.columns.contains("graft_conforms"),
+      "input data must not contain a column named 'graft_conforms' (reserved)")
     val conformance = schema.columnDefinitions.map(_.conforms).reduce(_ && _)
 
     // evaluate the conformance predicate ONCE: mark + persist, then both

@@ -56,6 +56,72 @@ class CheckSurfaceSpec extends AnyWordSpec with Matchers with SparkSpec {
       val result = VerificationSuite().onData(items).addCheck(check).run()
       result.status shouldBe CheckStatus.Success
     }
+
+    "not let duplicate reference rows inflate the ratio or mask misses" in {
+      val s = spark
+      import s.implicits._
+      import graft.comparison.DatasetMatch
+      val ds1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+      // two copies matching id=1, NOTHING for id=2: semi-join semantics
+      // must report 0.5, not the inner-join count's 2/2 = 1.0
+      val ds2 = Seq((1, "a"), (1, "a")).toDF("id", "v")
+      DatasetMatch.matchRatio(ds1, ds2,
+        Map("id" -> "id"), Map("v" -> "v")).get shouldBe 0.5 +- 1e-12
+    }
+
+    "keep same-named key columns and stay 1:1 under duplicate reference rows" in {
+      val s = spark
+      import s.implicits._
+      import graft.comparison.DatasetMatch
+      val ds1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+      val ds2 = Seq((1, "a"), (1, "a"), (2, "x")).toDF("id", "v")
+      val rl = DatasetMatch.matchRowLevel(ds1, ds2,
+        Map("id" -> "id"), Map("v" -> "v"))
+      // the ds1 key survives (drop-by-name must not take both sides) and
+      // exact-duplicate ds2 rows do not fan the left join out
+      rl.columns should contain("id")
+      val rows = rl.select("id", "graft_match_outcome").collect()
+        .map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+      rows.size shouldBe 2
+      rows(1) shouldBe true
+      rows(2) shouldBe false
+    }
+
+    "treat null-column asymmetry as a mismatch like the aggregate does" in {
+      val s = spark
+      import s.implicits._
+      import graft.comparison.DatasetMatch
+      // values differ only in WHICH column is null: a null-skipping hash
+      // would call these equal; <=> semantics (and the aggregate) do not
+      val ds1 = Seq((1, Option.empty[String], Option("x"))).toDF("id", "a", "b")
+      val ds2 = Seq((1, Option("x"), Option.empty[String])).toDF("id", "a", "b")
+      val rl = DatasetMatch.matchRowLevel(ds1, ds2,
+        Map("id" -> "id"), Map("a" -> "a", "b" -> "b"))
+      rl.collect().head.getAs[Boolean]("graft_match_outcome") shouldBe false
+      DatasetMatch.matchRatio(ds1, ds2,
+        Map("id" -> "id"), Map("a" -> "a", "b" -> "b")).get shouldBe 0.0
+      // and identical null layouts still match
+      DatasetMatch.matchRatio(ds1, ds1.toDF(),
+        Map("id" -> "id"), Map("a" -> "a", "b" -> "b")).get shouldBe 1.0
+    }
+
+    "emit ternary row-level referential-integrity outcomes for null keys" in {
+      val s = spark
+      import s.implicits._
+      import graft.comparison.ReferentialIntegrity
+      val primary = Seq(Option(1), Option(2), Option.empty[Int]).toDF("k")
+      val reference = Seq(1).toDF("rk")
+      // aggregate excludes null keys: 1 of 2 non-null present
+      ReferentialIntegrity.subsetCheck(primary, "k", reference, "rk") shouldBe 0.5
+      val rl = ReferentialIntegrity.subsetCheckRowLevel(primary, "k", reference, "rk")
+      // avg over the ternary outcome (nulls skipped) reconstructs the ratio
+      val avg = rl.agg(org.apache.spark.sql.functions
+        .avg(org.apache.spark.sql.functions.col("graft_ri_outcome").cast("double")))
+        .collect().head.getDouble(0)
+      avg shouldBe 0.5 +- 1e-12
+      rl.filter("k IS NULL").collect().head.isNullAt(
+        rl.columns.indexOf("graft_ri_outcome")) shouldBe true
+    }
   }
 
   "CustomAggregator" should {
