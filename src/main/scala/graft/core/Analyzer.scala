@@ -35,13 +35,17 @@ trait Analyzer[S <: State[_], +M <: Metric[_]] {
 
   def toFailureMetric(failure: Throwable): M
 
-  /** Full, standalone computation: preconditions, state, metric. */
+  /** Full, standalone computation: preconditions, state, metric. Only
+    * NonFatal errors become failure metrics — an OutOfMemoryError or
+    * LinkageError must surface, not masquerade as a failed check in a
+    * possibly-corrupted JVM (the reference catches Exception, same idea).
+    */
   def calculate(data: DataFrame): M = {
     try {
       preconditions.foreach(_(data.schema))
       computeMetricFrom(computeStateFrom(data))
     } catch {
-      case e: Throwable => toFailureMetric(e)
+      case scala.util.control.NonFatal(e) => toFailureMetric(e)
     }
   }
 }

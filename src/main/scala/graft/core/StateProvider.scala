@@ -31,6 +31,17 @@ class InMemoryStateProvider extends StateLoader with StatePersister {
 
   override def persist[S <: State[_]](analyzer: Analyzer[S, _], state: S): Unit =
     store.put(analyzer.asInstanceOf[AnyAnalyzer], state)
+
+  /** Snapshot of every stored state — for transactional callers (the
+    * streaming verifier) that must roll a partially-applied merge back.
+    */
+  private[graft] def contents: Map[AnyAnalyzer, State[_]] =
+    store.readOnlySnapshot().toMap
+
+  private[graft] def replaceContents(snapshot: Map[AnyAnalyzer, State[_]]): Unit = {
+    store.clear()
+    snapshot.foreach { case (a, s) => store.put(a, s) }
+  }
 }
 
 /** Hadoop-filesystem provider with compact binary serde per state type;
@@ -45,6 +56,16 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
   private def identifier(analyzer: Analyzer[_, _]): String = {
     // stable, filesystem-safe key per analyzer instance
     val raw = analyzer.toString
+    // a lambda/anonymous-function field renders with a per-JVM identity
+    // (Foo$$Lambda$123@1a2b3c) — the persist would succeed but no later
+    // run could ever compute the same file name to load it back; fail
+    // LOUDLY instead of silently restarting the incremental aggregation
+    if (raw.contains("$$Lambda") || raw.contains("$anonfun$")) {
+      throw new IllegalArgumentException(
+        s"Analyzer $raw carries a lambda in its identity — its state key is " +
+          "not stable across JVMs and cannot be persisted to a filesystem " +
+          "provider (use an analyzer without function-valued parameters)")
+    }
     java.lang.Long.toHexString(
       raw.getBytes("UTF-8").foldLeft(1125899906842597L)((h, b) => 31 * h + b))
   }
@@ -121,6 +142,12 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
     val loaded: Option[Any] = analyzer match {
       case _: Size => withInput(s"$base.bin")(i => NumMatches(i.readLong()))
       case _: ZerosCount => withInput(s"$base.bin")(i => NumMatches(i.readLong()))
+      // dataset-level analyzers: persist-side matches on the STATE type,
+      // so these wrote fine but silently failed to load — the corrupted
+      // incremental run the persist-side guards exist to prevent
+      case _: ColumnCount | _: ColumnExists =>
+        withInput(s"$base.bin")(i => NumMatches(i.readLong()))
+      case _: CustomSql => withInput(s"$base.bin")(i => SumState(i.readDouble()))
       case _: Completeness | _: Compliance | _: PatternMatch =>
         withInput(s"$base.bin")(i => NumMatchesAndCount(i.readLong(), i.readLong()))
       case _: Minimum | _: MinLength => withInput(s"$base.bin")(i => MinState(i.readDouble()))

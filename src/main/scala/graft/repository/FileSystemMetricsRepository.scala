@@ -36,16 +36,32 @@ class FileSystemMetricsRepository(spark: SparkSession, path: String) extends Met
     val out = fs.create(tmp, true)
     try out.write(AnalysisResultSerde.serialize(results).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    // HDFS rename reports failure as FALSE, not an exception — ignoring it
+    // (or a failed delete) silently loses the save or the whole history
+    if (fs.exists(p) && !fs.delete(p, false)) {
+      throw new IllegalStateException(
+        s"Could not replace metrics file $p (delete failed — concurrent writer?)")
+    }
+    if (!fs.rename(tmp, p)) {
+      throw new IllegalStateException(
+        s"Could not move $tmp to $p (rename returned false — concurrent writer?)")
+    }
   }
 
-  override def save(resultKey: ResultKey, analyzerContext: AnalyzerContext): Unit = {
-    val successful = AnalyzerContext(
-      analyzerContext.metricMap.filter { case (_, m) => m.value.isSuccess })
-    val existing = readAll().filterNot(_.resultKey == resultKey)
-    writeAll(existing :+ AnalysisResult(resultKey, successful))
-  }
+  /** save() is a read-modify-write of one JSON file: synchronized so
+    * concurrent saves WITHIN this JVM cannot drop each other's results.
+    * Writers in DIFFERENT processes still race (a plain file has no
+    * compare-and-swap) — use [[SparkTableMetricsRepository]] for
+    * multi-writer deployments; a cross-process loser here at least fails
+    * loudly via the rename check above instead of vanishing.
+    */
+  override def save(resultKey: ResultKey, analyzerContext: AnalyzerContext): Unit =
+    this.synchronized {
+      val successful = AnalyzerContext(
+        analyzerContext.metricMap.filter { case (_, m) => m.value.isSuccess })
+      val existing = readAll().filterNot(_.resultKey == resultKey)
+      writeAll(existing :+ AnalysisResult(resultKey, successful))
+    }
 
   override def loadByKey(resultKey: ResultKey): Option[AnalyzerContext] =
     // append-style stores keep every save; the LAST entry for a key wins

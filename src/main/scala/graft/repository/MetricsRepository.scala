@@ -90,23 +90,56 @@ trait MetricsRepositoryMultipleResultsLoader {
 
 object MetricsRepositoryMultipleResultsLoader {
 
-  /** One row per successful double metric:
-    * (entity, instance, name, value, dataset_date, sanitized tags).
+  /** One row per successful metric VALUE — double metrics directly;
+    * keyed/attribute metrics as one row per key (`name.key`); histograms
+    * as absolute + ratio rows per bin (`Histogram.abs.<bin>` /
+    * `Histogram.ratio.<bin>`, like the reference's flattening) — plus
+    * (dataset_date, sanitized tags).
     */
   private[repository] def flatten(
       results: Seq[AnalysisResult],
       withTags: Seq[String]): Seq[(String, String, String, Double, Long, Map[String, String])] = {
     val reserved = Set("entity", "instance", "name", "value", "dataset_date")
     results.sortBy(_.resultKey.dataSetDate).flatMap { r =>
-      val tags = r.resultKey.tags
+      val date = r.resultKey.dataSetDate
+      // sanitized keys can COLLIDE ("env" and "ENV") or come out empty
+      // (fully non-alphanumeric) — disambiguate deterministically instead
+      // of silently dropping one tag's value
+      val cleanedPairs = r.resultKey.tags.toSeq
         .filter { case (k, _) => withTags.isEmpty || withTags.contains(k) }
+        .sortBy(_._1)
         .map { case (k, v) =>
-          val cleaned = k.replaceAll("[^A-Za-z0-9_]", "").toLowerCase
-          (if (reserved.contains(cleaned)) cleaned + "_2" else cleaned) -> v
+          val base0 = k.replaceAll("[^A-Za-z0-9_]", "")
+            .toLowerCase(java.util.Locale.ROOT)
+          val base = if (base0.isEmpty) "tag" else base0
+          (if (reserved.contains(base)) base + "_2" else base) -> v
         }
-      r.analyzerContext.metricMap.values.toSeq.collect {
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      val tags = cleanedPairs.map { case (k, v) =>
+        val n = seen.getOrElse(k, 0)
+        seen(k) = n + 1
+        (if (n == 0) k else s"${k}_${n + 1}") -> v
+      }.toMap
+      r.analyzerContext.metricMap.values.toSeq.flatMap {
         case DoubleMetric(entity, name, instance, Success(v), _) =>
-          (entity.repr, instance, name, v, r.resultKey.dataSetDate, tags)
+          Seq((entity.repr, instance, name, v, date, tags))
+        case KeyedDoubleMetric(entity, name, instance, Success(kv)) =>
+          kv.toSeq.sortBy(_._1).map { case (k, v) =>
+            (entity.repr, instance, s"$name.$k", v, date, tags)
+          }
+        case AttributeDoubleMetric(entity, name, instance, Success(kv)) =>
+          kv.toSeq.sortBy(_._1).map { case (k, v) =>
+            (entity.repr, instance, s"$name.$k", v, date, tags)
+          }
+        case HistogramMetric(column, Success(dist)) =>
+          dist.values.toSeq.sortBy(_._1).flatMap { case (k, dv) =>
+            Seq(
+              (Entity.Column.repr, column, s"Histogram.abs.$k",
+                dv.absolute.toDouble, date, tags),
+              (Entity.Column.repr, column, s"Histogram.ratio.$k",
+                dv.ratio, date, tags))
+          }
+        case _ => Nil
       }
     }
   }

@@ -292,9 +292,12 @@ object AnalysisResultSerde {
           }
           val metrics: Seq[(AnyAnalyzer, Metric[_])] = (e \ "metrics") match {
             case JArray(ms) => ms.flatMap { m =>
-              analyzerFromJson(m \ "analyzer").map { a =>
+              // per-METRIC containment: one corrupted entry (e.g. a
+              // truncated base64 KLL sketch) must not discard the other
+              // metrics of the same snapshot
+              Try(analyzerFromJson(m \ "analyzer").map { a =>
                 a -> metricFromJson(m)
-              }
+              }).toOption.flatten
             }
             case _ => Seq.empty
           }

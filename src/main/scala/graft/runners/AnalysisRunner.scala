@@ -220,7 +220,7 @@ object AnalysisRunner {
             })
             statefulMetric(typed, fresh, aggregateWith, saveStatesWith)
           } catch {
-            case e: Throwable => a.toFailureMetric(e)
+            case scala.util.control.NonFatal(e) => a.toFailureMetric(e)
           }
         (a: AnyAnalyzer) -> metric
       }.toMap
@@ -244,7 +244,7 @@ object AnalysisRunner {
       }.toMap
     } catch {
       // degrade to per-analyzer (a malformed aggregation must not poison all)
-      case _: Throwable => Map.empty
+      case scala.util.control.NonFatal(_) => Map.empty
     }
   }
 
@@ -266,7 +266,7 @@ object AnalysisRunner {
           merged.foreach(m => saveStatesWith.foreach(_.persist[State[_]](typed, m)))
           typed.computeMetricFrom(merged)
         } catch {
-          case e: Throwable => a.toFailureMetric(e)
+          case scala.util.control.NonFatal(e) => a.toFailureMetric(e)
         }
       (a: AnyAnalyzer) -> metric
     }.toMap
@@ -422,14 +422,16 @@ object AnalysisRunner {
         guardedMetrics ++ runnable.zip(offsets).map { case (a, offset) =>
           val metric: Metric[_] =
             try a.metricFromAggregationResult(row, offset)
-            catch { case e: Throwable => a.toFailureMetric(e) }
+            catch { case scala.util.control.NonFatal(e) => a.toFailureMetric(e) }
           (a: AnyAnalyzer) -> metric
         }.toMap
       }
     } catch {
-      case _: Throwable =>
+      case scala.util.control.NonFatal(_) =>
         // one malformed aggregation must not poison the whole fused scan:
         // degrade to per-analyzer execution so only the offender fails
+        // (fatal JVM errors propagate — retrying in a corrupted JVM or
+        // rebranding an OOM as a failure metric hides the real condition)
         analyzers.map(a => (a: AnyAnalyzer) -> (a.calculate(rawData): Metric[_])).toMap
     }
   }
@@ -475,7 +477,7 @@ object AnalysisRunner {
         freqBased.zip(offsets).map { case (a, offset) =>
           val metric: Metric[_] =
             try a.metricFromRow(row, offset, numRows)
-            catch { case e: Throwable => a.toFailureMetric(e) }
+            catch { case scala.util.control.NonFatal(e) => a.toFailureMetric(e) }
           (a: AnyAnalyzer) -> metric
         }.toMap
 
@@ -484,14 +486,14 @@ object AnalysisRunner {
         val metric: Metric[_] =
           try a.asInstanceOf[Analyzer[FrequenciesAndNumRows, Metric[_]]]
             .computeMetricFrom(Some(state))
-          catch { case e: Throwable => a.toFailureMetric(e) }
+          catch { case scala.util.control.NonFatal(e) => a.toFailureMetric(e) }
         (a: AnyAnalyzer) -> metric
       }.toMap
 
       if (needsPersist) frequencies.unpersist()
       fused ++ standalone
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         analyzers.map(a => (a: AnyAnalyzer) -> a.toFailureMetric(e)).toMap
     }
   }

@@ -39,16 +39,37 @@ class StreamingVerifier(
   }
 
   /** Idempotent flavor for foreachBatch's at-least-once contract: a
-    * replayed batchId is NOT merged twice into the cumulative state.
+    * replayed batchId is NOT merged twice into the cumulative state — and
+    * a batch that FAILS mid-processing (after some analyzers' states were
+    * already merged into the provider) rolls the provider back to its
+    * pre-batch snapshot before rethrowing, so the replay starts clean
+    * instead of double-merging the partially-applied states.
+    *
+    * The guard assumes ONE streaming query lifetime: batchIds restart at 0
+    * on a query with a fresh checkpoint location — call
+    * [[resetBatchTracking]] when re-attaching this verifier to a new query
+    * so its batches are not mistaken for replays.
     */
   def processBatch(batch: DataFrame, batchId: Long): VerificationResult = synchronized {
     if (batchId <= lastBatchId && lastResult.isDefined) lastResult.get
     else {
-      val r = processBatch(batch)
-      lastBatchId = batchId
-      r
+      val beforeBatch = provider.contents
+      try {
+        val r = processBatch(batch)
+        lastBatchId = batchId
+        r
+      } catch {
+        case e: Throwable =>
+          provider.replaceContents(beforeBatch)
+          throw e
+      }
     }
   }
+
+  /** Accepts a new query's restarted batchId sequence while KEEPING the
+    * accumulated states — see [[processBatch(batch:DataFrame,batchId:Long)*]].
+    */
+  def resetBatchTracking(): Unit = synchronized { lastBatchId = -1L }
 
   /** Cumulative frequency-table states merge via outer joins; after each
     * batch the merged plan is cut with a local checkpoint so batch N does
@@ -164,6 +185,10 @@ object StreamingOps {
       timestampColumn: String,
       watermarkDelay: String,
       textColumn: String): DataFrame = {
+    // the marker column would silently overwrite (then drop) a same-named
+    // user column
+    require(!data.columns.contains("graft_fp"),
+      "input data must not contain a column named 'graft_fp' (reserved)")
     val withFp = data.withColumn("graft_fp",
       graft.pipeline.TextAnalysis.fingerprint(col(textColumn)))
     dedupStream(withFp, timestampColumn, watermarkDelay, Seq("graft_fp"))

@@ -305,5 +305,69 @@ class RepositoryAnomalySpec extends AnyWordSpec with Matchers with SparkSpec {
         }
       }
     }
+
+    "round-trip dataset-level analyzer states (persist AND load)" in {
+      val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      df.createOrReplaceTempView("graft_prov_v")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-states2").toString
+      val provider = new HdfsStateProvider(spark, s"$tmp/state")
+      // these persisted fine (state-type match) but silently failed to
+      // LOAD before the analyzer-side cases were added
+      val analyzers: Seq[AnyAnalyzer] = Seq(
+        ColumnCount(), ColumnExists("l_quantity"),
+        CustomSql("SELECT sum(l_quantity) FROM graft_prov_v"))
+      AnalysisRunner.runStateful(df, analyzers, saveStatesWith = Some(provider))
+      val restored = AnalysisRunner.runOnAggregatedStates(analyzers,
+        Seq(new HdfsStateProvider(spark, s"$tmp/state")))
+      val direct = AnalysisRunner.run(df, analyzers)
+      analyzers.foreach { a =>
+        withClue(s"analyzer $a: ") {
+          restored.metric(a).get.value.get shouldBe direct.metric(a).get.value.get
+        }
+      }
+    }
+
+    "reject persisting analyzers whose identity contains a lambda" in {
+      val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-states3").toString
+      val provider = new HdfsStateProvider(spark, s"$tmp/state")
+      val h = Histogram("l_returnflag",
+        binningFunc = Some(c => org.apache.spark.sql.functions.upper(c)))
+      val state = h.computeStateFrom(df).get
+      // the state key would be unloadable by any later JVM — fail loudly
+      an[IllegalArgumentException] should be thrownBy provider.persist(h, state)
+    }
+
+    "survive one corrupted metric entry when deserializing a snapshot" in {
+      val ctx = AnalyzerContext(Map[AnyAnalyzer, Metric[_]](
+        Size() -> DoubleMetric(Entity.Dataset, "Size", "*", scala.util.Success(42.0)),
+        Mean("x") -> DoubleMetric(Entity.Column, "Mean", "x", scala.util.Success(7.0))))
+      val json = AnalysisResultSerde.serialize(
+        Seq(AnalysisResult(ResultKey(1L), ctx)))
+      // corrupt ONE metric's analyzer type: the other must survive
+      val corrupted = json.replaceFirst("\"Mean\"", "\"NoSuchAnalyzerType\"")
+      val restored = AnalysisResultSerde.deserialize(corrupted)
+      restored.length shouldBe 1
+      restored.head.analyzerContext.metric(Size())
+        .map(_.value.get) shouldBe Some(42.0)
+    }
+
+    "flatten keyed and histogram metrics into success-metric rows" in {
+      val repo = new InMemoryMetricsRepository
+      repo.save(ResultKey(5L, Map("env" -> "prod", "ENV" -> "dev")),
+        AnalyzerContext(Map[AnyAnalyzer, Metric[_]](
+          ApproxQuantiles("x", Seq(0.5)) -> KeyedDoubleMetric(
+            Entity.Column, "ApproxQuantiles", "x",
+            scala.util.Success(Map("0.5" -> 10.0))),
+          Histogram("c") -> HistogramMetric("c", scala.util.Success(
+            Distribution(Map("a" -> DistributionValue(3, 0.75),
+              "b" -> DistributionValue(1, 0.25)), 2))))))
+      val df = repo.load().getSuccessMetricsAsDataFrame(spark)
+      val names = df.collect().map(_.getAs[String]("name")).toSet
+      names should contain allOf (
+        "ApproxQuantiles.0.5", "Histogram.abs.a", "Histogram.ratio.b")
+      // colliding sanitized tag keys are disambiguated, not dropped
+      df.columns.count(_.startsWith("env")) shouldBe 2
+    }
   }
 }

@@ -50,6 +50,37 @@ class StreamingIntegrationSpec extends AnyWordSpec with Matchers with SparkSpec 
       size shouldBe Some(6.0)
       mean shouldBe Some(3.5)
     }
+
+    "replay idempotently, roll back failed batches, and resume after resetBatchTracking" in {
+      val s = spark
+      import s.implicits._
+      val verifier = new StreamingVerifier(Seq[AnyAnalyzer](Size()))
+      def sizeOf(r: graft.checks.VerificationResult): Double =
+        r.metrics.collectFirst { case (_: Size, m) =>
+          m.value.get.asInstanceOf[Double] }.get
+      val b1 = Seq(1.0, 2.0, 3.0).toDF("value")
+
+      sizeOf(verifier.processBatch(b1, 0L)) shouldBe 3.0
+      // at-least-once replay of the SAME batchId must not merge twice
+      sizeOf(verifier.processBatch(b1, 0L)) shouldBe 3.0
+      sizeOf(verifier.processBatch(b1, 1L)) shouldBe 6.0
+
+      // a batch that fails mid-processing must leave the cumulative state
+      // untouched so the replay starts clean (no double-merge)
+      val poisoned = Seq(4.0).toDF("value")
+        .filter(org.apache.spark.sql.functions
+          .expr("raise_error('boom') IS NULL OR value > 0"))
+      // the per-analyzer containment turns the data error into a failure
+      // metric (no states persisted for it); cumulative size is unchanged
+      verifier.processBatch(poisoned, 2L)
+      sizeOf(verifier.processBatch(b1, 3L)) shouldBe 9.0
+
+      // fresh query restarts batchIds at 0: without the reset these would
+      // be mistaken for replays and silently dropped
+      sizeOf(verifier.processBatch(b1, 0L)) shouldBe 9.0 // stale guard hit
+      verifier.resetBatchTracking()
+      sizeOf(verifier.processBatch(b1, 0L)) shouldBe 12.0
+    }
   }
 
   "streaming dedup with bounded state" should {
