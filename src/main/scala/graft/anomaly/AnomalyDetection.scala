@@ -59,6 +59,7 @@ abstract class BaseChangeStrategy extends AnomalyDetectionStrategy {
 
   override def detect(dataSeries: Vector[Double],
       searchInterval: (Int, Int)): Seq[(Int, Anomaly)] = {
+    if (dataSeries.isEmpty) return Seq.empty // Vector.empty.tail throws
     val (from, to) = searchInterval
     val lo = math.max(from, order)
     // n-th order differencing
@@ -72,9 +73,11 @@ abstract class BaseChangeStrategy extends AnomalyDetectionStrategy {
       .map { case (v, i) => (v, i + offsets) } // re-align to original indices
       .filter { case (_, i) => i >= lo && i < math.min(to, dataSeries.length) }
       .collect {
+        // a disabled bound (None) means NO check on that side — the
+        // getOrElse(MaxValue) form still flagged an infinite change
         case (change, i)
-            if change < maxRateDecrease.getOrElse(Double.MinValue) ||
-               change > maxRateIncrease.getOrElse(Double.MaxValue) =>
+            if maxRateDecrease.exists(change < _) ||
+               maxRateIncrease.exists(change > _) =>
           (i, Anomaly(Some(dataSeries(i)), 1.0,
             Some(s"[${getClass.getSimpleName}]: Change of $change is not in bounds " +
               s"[${maxRateDecrease.getOrElse(Double.MinValue)}, " +
@@ -101,7 +104,14 @@ case class RelativeRateOfChangeStrategy(
     maxRateIncrease: Option[Double] = None,
     order: Int = 1) extends BaseChangeStrategy {
   override protected def diff(current: Double, previous: Double): Double =
-    if (previous == 0.0) Double.PositiveInfinity else current / previous
+    // a zero baseline keeps the SIGN of the move: +Inf for a jump up,
+    // -Inf for a crash down (previously always +Inf, inverting the
+    // direction and masking decreases), ratio 1.0 for 0 -> 0 (no change)
+    if (previous == 0.0) {
+      if (current > 0.0) Double.PositiveInfinity
+      else if (current < 0.0) Double.NegativeInfinity
+      else 1.0
+    } else current / previous
 }
 
 /** Online mean/stddev (Welford) with optional exclusion of detected
@@ -132,8 +142,13 @@ case class OnlineNormalStrategy(
 
     dataSeries.zipWithIndex.foreach { case (v, i) =>
       val stdDev = if (count > 1) math.sqrt(m2 / count) else 0.0
-      val upper = mean + upperDeviationFactor.getOrElse(Double.MaxValue) * stdDev
-      val lower = mean - lowerDeviationFactor.getOrElse(Double.MaxValue) * stdDev
+      // a disabled factor (None) means NO bound on that side — the
+      // getOrElse(MaxValue) form collapsed to the TIGHTEST bound when
+      // stdDev was 0 (MaxValue * 0 = 0)
+      val upper = upperDeviationFactor.map(mean + _ * stdDev)
+        .getOrElse(Double.PositiveInfinity)
+      val lower = lowerDeviationFactor.map(mean - _ * stdDev)
+        .getOrElse(Double.NegativeInfinity)
       val isAnomaly = i >= numIgnored && (v > upper || v < lower) && count > 1
 
       if (isAnomaly && i >= from && i < math.min(to, dataSeries.length)) {
@@ -175,8 +190,11 @@ case class BatchNormalStrategy(
       "Excluding the search interval from the calculation leaves no data points.")
     val mean = training.sum / training.length
     val stdDev = math.sqrt(training.map(v => (v - mean) * (v - mean)).sum / training.length)
-    val upper = mean + upperDeviationFactor.getOrElse(Double.MaxValue) * stdDev
-    val lower = mean - lowerDeviationFactor.getOrElse(Double.MaxValue) * stdDev
+    // None = no bound on that side (see OnlineNormalStrategy)
+    val upper = upperDeviationFactor.map(mean + _ * stdDev)
+      .getOrElse(Double.PositiveInfinity)
+    val lower = lowerDeviationFactor.map(mean - _ * stdDev)
+      .getOrElse(Double.NegativeInfinity)
 
     dataSeries.zipWithIndex
       .slice(from, hi)

@@ -16,7 +16,11 @@ object HoltWinters {
   object SeriesSeasonality {
     case object Daily extends SeriesSeasonality(7)    // daily series, weekly season
     case object Weekly extends SeriesSeasonality(52)  // weekly series, yearly season
-    case class Custom(p: Int) extends SeriesSeasonality(p)
+    case class Custom(p: Int) extends SeriesSeasonality(p) {
+      // p <= 0 would pass the 2*p length check for any series and then
+      // crash deep inside the optimizer objective (mod-by-zero / OOB)
+      require(p > 0, s"seasonality periodicity must be positive, got $p")
+    }
   }
 }
 
@@ -79,7 +83,9 @@ case class HoltWinters(
         new MaxIter(200), new MaxEval(1000)
       ).getPoint
     } catch {
-      case _: Throwable => Array(0.3, 0.1, 0.1)
+      // NonFatal only: swallowing an InterruptedException/OOM here would
+      // silently proceed with untuned defaults in a cancelled/corrupted run
+      case scala.util.control.NonFatal(_) => Array(0.3, 0.1, 0.1)
     }
   }
 

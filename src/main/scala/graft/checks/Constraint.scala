@@ -52,10 +52,25 @@ case class Constraint(
               if Constraint.whereOf(analyzer).isDefined =>
             // reference semantics: a WHERE that filters out every row makes
             // the constraint trivially satisfied
-            // (constraints/AnalysisBasedConstraint.scala:78-120)
-            ConstraintResult(this, ConstraintStatus.Success,
-              Some("All rows were filtered out; constraint trivially holds"),
-              Some(metric))
+            // (constraints/AnalysisBasedConstraint.scala:78-120).
+            // An empty VALUE state is ambiguous though: it also arises when
+            // rows SURVIVED the filter but every value was NULL — a
+            // genuinely failing check. The suite injects a Size(where)
+            // probe into the same fused scan; when it shows surviving
+            // rows, this is a real failure, not a trivial pass.
+            val survivingRows = metrics
+              .get(graft.operators.Size(Constraint.whereOf(analyzer)))
+              .map(_.value).collect { case Success(n: Double) => n }
+            survivingRows match {
+              case Some(n) if n > 0 =>
+                ConstraintResult(this, ConstraintStatus.Failure,
+                  Some(s"${n.toLong} rows survive the filter but the state " +
+                    "is empty (all surviving values NULL)"), Some(metric))
+              case _ =>
+                ConstraintResult(this, ConstraintStatus.Success,
+                  Some("All rows were filtered out; constraint trivially holds"),
+                  Some(metric))
+            }
           case Failure(e) =>
             ConstraintResult(this, ConstraintStatus.Failure,
               Some(Option(e.getMessage).getOrElse(e.toString)), Some(metric))
@@ -70,6 +85,17 @@ case class Constraint(
 }
 
 object Constraint {
+
+  /** Size(where) probes for every where-carrying analyzer — fused into
+    * the SAME scan by the runner, so they cost no extra pass. They let
+    * the EmptyStateException branch distinguish all-rows-filtered (a
+    * trivial pass) from rows-survived-but-all-values-NULL (a real
+    * failure).
+    */
+  private[checks] def whereSizeProbes(analyzers: Seq[AnyAnalyzer]): Seq[AnyAnalyzer] =
+    analyzers
+      .flatMap(a => whereOf(a).map(w => graft.operators.Size(Some(w))))
+      .distinct
 
   /** The analyzer's WHERE filter, if it has one. */
   def whereOf(analyzer: AnyAnalyzer): Option[String] = {

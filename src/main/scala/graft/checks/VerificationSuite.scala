@@ -162,16 +162,22 @@ class VerificationSuite {
     : VerificationResult = {
 
     val analyzers = (requiredAnalyzers ++ checks.flatMap(_.requiredAnalyzers())).distinct
-    val context = AnalysisRunner.run(data, analyzers)
-    evaluate(checks, context)
+    val probes = Constraint.whereSizeProbes(analyzers).filterNot(analyzers.contains)
+    val context = AnalysisRunner.run(data, analyzers ++ probes)
+    evaluate(checks, context, probes)
   }
 
-  private def evaluate(checks: Seq[Check], context: AnalyzerContext): VerificationResult = {
+  private def evaluate(
+      checks: Seq[Check],
+      context: AnalyzerContext,
+      probes: Seq[AnyAnalyzer] = Seq.empty): VerificationResult = {
     val checkResults = checks.map(c => c -> c.evaluate(context))
     val status = checkResults
       .map(_._2.status)
       .foldLeft(CheckStatus.Success: CheckStatus)(CheckStatus.max)
-    VerificationResult(status, checkResults, context.metricMap)
+    // internal probes feed constraint evaluation but are not part of the
+    // user's requested metric surface
+    VerificationResult(status, checkResults, context.metricMap -- probes)
   }
 }
 
@@ -324,7 +330,27 @@ class VerificationRunBuilder(data: DataFrame) {
         Map.empty
     }
 
-    val toCompute = allAnalyzers.filterNot(cached.contains)
+    // the reuse contract: failIfResultsMissing means the stored result
+    // must cover EVERY requested analyzer — a partial hit would silently
+    // recompute over possibly-different data than the stored metrics
+    // describe, which is exactly what the caller asked to be told about
+    if (failIfResultsMissing && reuseKey.isDefined) {
+      val missing = allAnalyzers.filterNot(cached.contains)
+      if (missing.nonEmpty) {
+        throw new IllegalStateException(
+          s"Stored results for ${reuseKey.get} lack metrics for: " +
+            missing.mkString(", "))
+      }
+    }
+
+    // Size(where) probes (same fused scan) let where-filtered constraints
+    // distinguish trivial passes from all-NULL failures; skipped in strict
+    // reuse mode, where no computation may run at all
+    val probes =
+      if (failIfResultsMissing && reuseKey.isDefined) Seq.empty[AnyAnalyzer]
+      else Constraint.whereSizeProbes(allAnalyzers).filterNot(allAnalyzers.contains)
+
+    val toCompute = (allAnalyzers ++ probes).filterNot(cached.contains)
     val computed: graft.runners.AnalyzerContext =
       if (stateLoader.isDefined || statePersister.isDefined) {
         AnalysisRunner.runStateful(data, toCompute,
@@ -337,7 +363,8 @@ class VerificationRunBuilder(data: DataFrame) {
     val checkResults = checks.map(c => c -> c.evaluate(context))
     val status = checkResults.map(_._2.status)
       .foldLeft(CheckStatus.Success: CheckStatus)(CheckStatus.max)
-    val result = VerificationResult(status, checkResults, context.metricMap)
+    val reported = context.metricMap -- probes
+    val result = VerificationResult(status, checkResults, reported)
 
     // append semantics: merge with anything already stored under the key,
     // new metrics win (reference: repository saveOrAppendResult contract)
@@ -346,7 +373,7 @@ class VerificationRunBuilder(data: DataFrame) {
       key <- saveKey
     } {
       val existing = repo.loadByKey(key).map(_.metricMap).getOrElse(Map.empty)
-      repo.save(key, graft.runners.AnalyzerContext(existing ++ context.metricMap))
+      repo.save(key, graft.runners.AnalyzerContext(existing ++ reported))
     }
 
     def writeFile(path: String, json: String): Unit = {

@@ -37,6 +37,26 @@ class EdgeSemanticsSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "a WHERE that keeps rows whose values are all NULL" should {
+    "fail value constraints instead of trivially passing" in {
+      val s = spark
+      import s.implicits._
+      val allNull = Seq((1, Option.empty[Double]), (2, Option.empty[Double]))
+        .toDF("id", "v")
+      // rows SURVIVE the filter but every value is NULL: before the
+      // Size(where) probe this was indistinguishable from all-filtered
+      // and reported a false trivial Success
+      val check = Check(CheckLevel.Error, "allnull")
+        .hasMin("v", _ > 0).where("id > 0")
+      val r = VerificationSuite().onData(allNull).addCheck(check).run()
+      r.status shouldBe CheckStatus.Error
+      r.checkResults.values.head.constraintResults.head.message.get should
+        include("all surviving values NULL")
+      // the probe is internal: it must not leak into the reported metrics
+      r.metrics.keys.collect { case sz: Size => sz } shouldBe empty
+    }
+  }
+
   "genuinely empty data without a WHERE" should {
     "fail value constraints (there is no value to assert on)" in {
       val check = Check(CheckLevel.Error, "empty")

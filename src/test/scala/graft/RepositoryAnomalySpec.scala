@@ -352,6 +352,62 @@ class RepositoryAnomalySpec extends AnyWordSpec with Matchers with SparkSpec {
         .map(_.value.get) shouldBe Some(42.0)
     }
 
+    "honor disabled (None) deviation factors and zero baselines" in {
+      // upper side disabled + constant prefix (stdDev 0): previously the
+      // MaxValue*0 bound collapsed to the mean and flagged the spike
+      OnlineNormalStrategy(lowerDeviationFactor = Some(3.0),
+        upperDeviationFactor = None, ignoreAnomalies = false)
+        .detect(Vector(1, 1, 1, 1, 10)) shouldBe empty
+      BatchNormalStrategy(Some(3.0), None)
+        .detect(Vector(1, 1, 1, 1, 7), (4, 5)) shouldBe empty
+      // zero baseline keeps the DIRECTION of the move: a crash downward
+      // must not be reported on the increase side
+      RelativeRateOfChangeStrategy(maxRateIncrease = Some(2.0))
+        .detect(Vector(0.0, -8.0)) shouldBe empty
+      RelativeRateOfChangeStrategy(maxRateDecrease = Some(0.5))
+        .detect(Vector(0.0, -8.0)).map(_._1) shouldBe Seq(1)
+      // a decrease-only strategy must not flag a jump off a zero baseline
+      RelativeRateOfChangeStrategy(maxRateDecrease = Some(0.5))
+        .detect(Vector(0.0, 5.0)) shouldBe empty
+      // 0 -> 0 is "no change" (ratio 1), not an infinite move
+      RelativeRateOfChangeStrategy(Some(0.5), Some(2.0))
+        .detect(Vector(0.0, 0.0)) shouldBe empty
+      // empty series: no crash, no anomalies
+      AbsoluteChangeStrategy(maxRateIncrease = Some(1.0))
+        .detect(Vector.empty) shouldBe empty
+      // non-positive seasonality fails fast, not deep in the optimizer
+      an[IllegalArgumentException] should be thrownBy
+        HoltWinters(HoltWinters.SeriesSeasonality.Custom(0))
+    }
+
+    "fail strict metric reuse when the stored result is only partial" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq((1, 2.0), (2, 3.0)).toDF("id", "v")
+      val repo = new InMemoryMetricsRepository
+      val key = ResultKey(9L)
+      repo.save(key, AnalyzerContext(Map[AnyAnalyzer, Metric[_]](
+        Size() -> DoubleMetric(Entity.Dataset, "Size", "*",
+          scala.util.Success(2.0)))))
+      // the check also needs Completeness, which the stored result lacks —
+      // strict reuse must fail loudly instead of silently recomputing
+      an[IllegalStateException] should be thrownBy {
+        VerificationSuite().onData(df)
+          .useRepository(repo)
+          .reuseExistingResultsForKey(key, failIfResultsMissing = true)
+          .addCheck(Check(CheckLevel.Error, "strict")
+            .hasSize(_ == 2).isComplete("v"))
+          .run()
+      }
+      // a FULLY covered request still reuses fine
+      val ok = VerificationSuite().onData(df)
+        .useRepository(repo)
+        .reuseExistingResultsForKey(key, failIfResultsMissing = true)
+        .addCheck(Check(CheckLevel.Error, "covered").hasSize(_ == 2))
+        .run()
+      ok.status shouldBe CheckStatus.Success
+    }
+
     "flatten keyed and histogram metrics into success-metric rows" in {
       val repo = new InMemoryMetricsRepository
       repo.save(ResultKey(5L, Map("env" -> "prod", "ENV" -> "dev")),
