@@ -267,10 +267,8 @@ case class Check(
   def hasDataType(column: String, dataType: String, assertion: Double => Boolean = isOne,
       hint: Option[String] = None): Check =
     addConstraint(Constraint("DataTypeConstraint", DataTypeAnalyzer(column),
-      _ => true,
-      picker = Constraint.distributionPicker { dist =>
-        dist.values.get(dataType).map(_.ratio).getOrElse(0.0)
-      }, hint = hint).copy(assertion = assertion))
+      assertion,
+      picker = Constraint.dataTypeConformancePicker(dataType), hint = hint))
 
   def isNonNegative(column: String, assertion: Double => Boolean = isOne,
       hint: Option[String] = None): Check =

@@ -86,6 +86,28 @@ case class Constraint(
 
 object Constraint {
 
+  /** Fraction of NON-NULL values conforming to an expected semantic type
+    * from a DataType distribution. Integral values conform to Fractional
+    * (every integer is a valid fractional) and everything non-null
+    * conforms to String. The raw bin ratio — nulls in the denominator,
+    * integers excluded from the Fractional bin — made `== 1.0` type
+    * assertions unsatisfiable on any incomplete or mixed column,
+    * including the very data a type suggestion was derived from.
+    */
+  def dataTypeConformancePicker(expected: String): Metric[_] => Try[Double] =
+    distributionPicker { dist =>
+      import graft.operators.DataTypeInstances
+      def cnt(k: String) = dist.values.get(k).map(_.absolute).getOrElse(0L)
+      val nonNull = cnt(DataTypeInstances.Boolean) + cnt(DataTypeInstances.Integral) +
+        cnt(DataTypeInstances.Fractional) + cnt(DataTypeInstances.String)
+      val conforming =
+        if (expected == DataTypeInstances.Fractional)
+          cnt(DataTypeInstances.Integral) + cnt(DataTypeInstances.Fractional)
+        else if (expected == DataTypeInstances.String) nonNull
+        else cnt(expected)
+      if (nonNull == 0) 1.0 else conforming.toDouble / nonNull
+    }
+
   /** Size(where) probes for every where-carrying analyzer — fused into
     * the SAME scan by the runner, so they cost no extra pass. They let
     * the EmptyStateException branch distinguish all-rows-filtered (a

@@ -432,8 +432,9 @@ object EvaluateDataQuality {
         ConstraintRule(rendered, Seq(
           Constraint("ColumnDataType", DataTypeAnalyzer(c, where),
             thresholdAssertion,
-            picker = Constraint.distributionPicker(
-              _.values.get(expected).map(_.ratio).getOrElse(0.0)))))
+            // conformance among NON-NULL values (integers conform to
+            // Fractional) — the raw bin ratio failed on incomplete columns
+            picker = Constraint.dataTypeConformancePicker(expected))))
 
       // -- driver-side -------------------------------------------------------
       // where-clause contract for the immediate rules below: schema-level

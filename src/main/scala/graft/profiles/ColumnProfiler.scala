@@ -232,6 +232,9 @@ object ColumnProfiler {
 
     val columns = restrictToColumns.getOrElse(data.columns.toSeq)
       .filter(c => data.columns.contains(c))
+    // an empty effective list (typo'd restriction, empty Seq) must yield
+    // empty profiles, not an empty.reduce crash in the chunked pass
+    if (columns.isEmpty) return ColumnProfiles(Map.empty, 0L)
 
     def declaredType(c: String): Option[DataType] =
       data.schema.fields.find(_.name == c).map(_.dataType)
@@ -295,7 +298,8 @@ object ColumnProfiler {
       } else if (declaredString.contains(c)) {
         ctx1.metric(DataTypeAnalyzer(c)) match {
           case Some(HistogramMetric(_, Success(dist))) =>
-            dist.values.map { case (k, v) => k -> v.absolute }
+            // same shape as the synthesized branches: zero-count bins out
+            dist.values.map { case (k, v) => k -> v.absolute }.filter(_._2 > 0)
           case _ => Map.empty
         }
       } else {
@@ -447,7 +451,8 @@ object ColumnProfiler {
             kurtosis = num(Kurtosis(c)))
         } else if (declaredType(c).contains(StringType)) {
           StringColumnProfile(c, base._1, base._2, inferredType(c),
-            isDataTypeInferred = true, base._3, base._4,
+            // a user-declared type (setPredefinedTypes) was NOT inferred
+            isDataTypeInferred = !predefinedTypes.contains(c), base._3, base._4,
             minLength = num(graft.operators.MinLength(c)), maxLength = num(graft.operators.MaxLength(c)))
         } else {
           StandardColumnProfile(c, base._1, base._2,

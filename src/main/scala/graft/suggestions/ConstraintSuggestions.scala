@@ -144,9 +144,7 @@ case class RetainTypeRule() extends ConstraintRule {
       Some(Constraint("DataTypeConstraint",
         graft.operators.DataTypeAnalyzer(profile.column),
         _ == 1.0,
-        picker = Constraint.distributionPicker { dist =>
-          dist.values.get(profile.dataType).map(_.ratio).getOrElse(0.0)
-        })))
+        picker = Constraint.dataTypeConformancePicker(profile.dataType))))
 }
 
 /** Low-cardinality columns keep their value set
@@ -163,8 +161,13 @@ case class CategoricalRangeRule(maxCategories: Int = 10) extends ConstraintRule 
 
   override def candidate(profile: ColumnProfile, numRecords: Long): ConstraintSuggestion = {
     val values = profile.histogram.get.values.keys.toSeq.sorted
-    val list = values.map(v => "\"" + v.replace("\"", "\\\"") + "\"").mkString(", ")
-    val predicate = values.map(v => "'" + v.replace("'", "''") + "'")
+    // escape backslashes BEFORE quotes: a value like C:\temp would
+    // otherwise compile to a tab (Scala) or a mis-parsed literal (SQL)
+    val list = values
+      .map(v => "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString(", ")
+    val predicate = values
+      .map(v => "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'")
       .mkString(s"${profile.column} IS NULL OR ${profile.column} IN (", ",", ")")
     ConstraintSuggestion("CategoricalRangeConstraint", profile.column,
       s"'${profile.column}' has value range ${values.mkString(", ")}",
@@ -208,7 +211,7 @@ case class FractionalCategoricalRangeRule(
     "If most values in a column fall into a categorical range, we suggest an IS IN (...) constraint that should hold for most values"
 
 
-  private def topCoverage(profile: ColumnProfile): Option[(Seq[String], Double)] =
+  private[suggestions] def topCoverage(profile: ColumnProfile): Option[(Seq[String], Double)] =
     profile.histogram.map { h =>
       val sorted = h.values.toSeq.sortBy { case (_, v) => -v.ratio }
       var acc = 0.0
@@ -232,8 +235,11 @@ case class FractionalCategoricalRangeRule(
     val (values, coverage) = topCoverage(profile).get
     // leave slack below the observed coverage (sampling noise on new data)
     val threshold = math.max(0.0, math.floor((coverage - 0.05) * 100) / 100)
-    val list = values.map(v => "\"" + v.replace("\"", "\\\"") + "\"").mkString(", ")
-    val predicate = values.map(v => "'" + v.replace("'", "''") + "'")
+    val list = values
+      .map(v => "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString(", ")
+    val predicate = values
+      .map(v => "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'")
       .mkString(s"${profile.column} IN (", ",", ")")
     ConstraintSuggestion("FractionalCategoricalRangeConstraint", profile.column,
       f"'${profile.column}' has >= $threshold%.2f of values in ${values.mkString(", ")}",
@@ -412,8 +418,13 @@ object ConstraintSuggestionRunner {
       case "UniquenessConstraint" =>
         s"ApproxDistinctValues: ${profile.approximateNumDistinctValues}"
       case "DataTypeConstraint" => s"DataType: ${profile.dataType}"
-      case "CategoricalRangeConstraint" | "FractionalCategoricalRangeConstraint" =>
-        "Compliance: 1"
+      case "CategoricalRangeConstraint" => "Compliance: 1"
+      case "FractionalCategoricalRangeConstraint" =>
+        // observed coverage of the kept categories, not a hardcoded 1
+        profile.histogram
+          .flatMap(_ => FractionalCategoricalRangeRule().topCoverage(profile))
+          .map { case (_, cov) => f"Compliance: $cov%.4f" }
+          .getOrElse("Compliance: 1")
       case "NonNegativeConstraint" | "MinimumConstraint" => numeric(_.minimum, "Minimum")
       case "MaximumConstraint" => numeric(_.maximum, "Maximum")
       case "MeanConstraint" => numeric(_.mean, "Mean")
@@ -486,9 +497,23 @@ object ConstraintSuggestionRunner {
         s.constraint.map(c => s -> c))
       if (evaluable.isEmpty) Map.empty[String, ConstraintStatus]
       else {
+        // mirror the profiler's pass-2 cast: suggestions derived from
+        // inferred-numeric STRING columns carry numeric analyzers, which
+        // on the raw test split would fail their isNumeric precondition
+        // (reported as false holdout failures) instead of evaluating
+        val numericCols = evaluable.map(_._2.analyzer).collect {
+          case a: graft.operators.Minimum => a.column
+          case a: graft.operators.Maximum => a.column
+          case a: graft.operators.Mean => a.column
+          case a: graft.operators.StandardDeviation => a.column
+        }.distinct.filter(c => testData.schema.fields.exists(f =>
+          f.name == c && f.dataType == org.apache.spark.sql.types.StringType))
+        val prepared = numericCols.foldLeft(testData)((d, c) =>
+          d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(
+            org.apache.spark.sql.types.DoubleType)))
         val check = Check(CheckLevel.Warning, "suggestion holdout",
           evaluable.map(_._2))
-        val ctx = graft.runners.AnalysisRunner.run(testData, check.requiredAnalyzers())
+        val ctx = graft.runners.AnalysisRunner.run(prepared, check.requiredAnalyzers())
         val results = check.evaluate(ctx)
         evaluable.map(_._1).zip(results.constraintResults).map {
           case (s, r) => s.codeForConstraint -> r.status

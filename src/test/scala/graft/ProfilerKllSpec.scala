@@ -38,6 +38,85 @@ class ProfilerKllSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "ColumnProfiler edge cases" should {
+    "return empty profiles for an empty or unmatched column restriction" in {
+      ColumnProfiler.profile(orders, restrictToColumns = Some(Seq.empty))
+        .profiles shouldBe empty
+      ColumnProfiler.profile(orders, restrictToColumns = Some(Seq("no_such_col")))
+        .profiles shouldBe empty
+    }
+
+    "mark predefined-typed columns as NOT inferred" in {
+      val p = ColumnProfiler.profile(orders,
+        restrictToColumns = Some(Seq("o_orderstatus")),
+        predefinedTypes = Map("o_orderstatus" -> "String"))
+        .profiles("o_orderstatus")
+      p.isDataTypeInferred shouldBe false
+    }
+  }
+
+  "data-type conformance" should {
+    "assert among non-null values with integers conforming to Fractional" in {
+      val s = spark
+      import s.implicits._
+      // incomplete integral column: the raw bin ratio (2/3 with the null
+      // in the denominator) made == 1.0 unsatisfiable
+      val withNull = Seq(Option("1"), Option("2"), Option.empty[String]).toDF("c")
+      VerificationSuite().onData(withNull)
+        .addCheck(Check(CheckLevel.Error, "t").hasDataType("c", "Integral"))
+        .run().status shouldBe CheckStatus.Success
+      // mixed integral/fractional conforms to Fractional
+      val mixed = Seq("1", "2.5").toDF("c")
+      VerificationSuite().onData(mixed)
+        .addCheck(Check(CheckLevel.Error, "t").hasDataType("c", "Fractional"))
+        .run().status shouldBe CheckStatus.Success
+      // a truly non-conforming column still fails
+      VerificationSuite().onData(Seq("1", "abc").toDF("c"))
+        .addCheck(Check(CheckLevel.Error, "t").hasDataType("c", "Integral"))
+        .run().status shouldBe CheckStatus.Error
+    }
+  }
+
+  "suggestion escaping and holdout" should {
+    "escape backslashes in categorical constraints and evaluate them" in {
+      val s = spark
+      import s.implicits._
+      val df = (Seq.fill(40)("C:\\temp") ++ Seq.fill(30)("D:\\data") ++
+        Seq.fill(30)("plain")).toDF("path")
+      val result = ConstraintSuggestionRunner.run(df, rules = Rules.DEFAULT)
+      val sugg = result.suggestions.getOrElse("path", Seq.empty)
+        .find(_.constraintName == "CategoricalRangeConstraint")
+      sugg.isDefined shouldBe true
+      // the generated code keeps the backslash escaped, and the evaluable
+      // constraint matches the real values (no mis-parsed escape)
+      sugg.get.codeForConstraint should include("C:\\\\temp")
+      val check = Check(CheckLevel.Error, "roundtrip", Seq(sugg.get.constraint.get))
+      VerificationSuite().onData(df).addCheck(check)
+        .run().status shouldBe CheckStatus.Success
+    }
+
+    "evaluate numeric suggestions for inferred-numeric string columns on holdout" in {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(3)
+      val df = (1 to 400).map(_ => (rng.nextInt(1000) + 100).toString).toDF("num_str")
+      val result = ConstraintSuggestionRunner.run(df, rules = Rules.EXTENDED,
+        testsetRatio = Some(0.25))
+      val numericSuggs = result.suggestions.getOrElse("num_str", Seq.empty)
+        .filter(sugg => Seq("MinimumConstraint", "MaximumConstraint", "MeanConstraint")
+          .contains(sugg.constraintName))
+      numericSuggs should not be empty
+      // the test split is cast like the profiler's pass 2: the numeric
+      // analyzers must EVALUATE (pass here), not fail their precondition
+      numericSuggs.foreach { sugg =>
+        withClue(s"${sugg.constraintName}: ") {
+          result.testEvaluation.get(sugg.codeForConstraint) shouldBe
+            Some(ConstraintStatus.Success)
+        }
+      }
+    }
+  }
+
   "ColumnProfiler on a wide table" should {
     "profile every column across chunked passes" in {
       val s = spark
