@@ -59,11 +59,13 @@ case class Histogram(
     val freq = withNullBucket
       .groupBy(Histogram.BIN_COL)
       .agg(aggregateFunction.aggregation.as(FrequenciesAndNumRows.COUNT_COL))
-    val numRows = aggregateFunction match {
-      case HistogramAggregate.CountAggregate => filtered.count()
-      case HistogramAggregate.SumAggregate(c) =>
-        filtered.agg(coalesce(sum(col(c)).cast(LongType), lit(0L))).collect().head.getLong(0)
-    }
+    // numRows == the frequency table's count sum for BOTH aggregate kinds
+    // (the null bucket keeps every filtered row; per-bucket sums total the
+    // column sum) — one tiny aggregation over the groups instead of a
+    // second full scan of the source
+    val numRows = freq
+      .agg(coalesce(sum(col(FrequenciesAndNumRows.COUNT_COL)), lit(0L)))
+      .collect().head.getLong(0)
     Some(FrequenciesAndNumRows(freq, numRows))
   }
 
@@ -71,11 +73,19 @@ case class Histogram(
     state match {
       case Some(FrequenciesAndNumRows(freq, numRows)) =>
         import FrequenciesAndNumRows.COUNT_COL
-        val totalBins = freq.count()
-        val topBins = freq
-          .orderBy(col(COUNT_COL).desc, col(Histogram.BIN_COL).asc)
-          .limit(maxDetailBins)
-          .collect()
+        // two actions follow (bin count + top-K): cache the frequency plan
+        // so the source groupBy does not re-execute per action
+        freq.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (totalBins, topBins) =
+          try {
+            (freq.count(), freq
+              .orderBy(col(COUNT_COL).desc, col(Histogram.BIN_COL).asc)
+              .limit(maxDetailBins)
+              .collect())
+          } finally {
+            freq.unpersist(blocking = false)
+            ()
+          }
         val denom = math.max(numRows, 1L)
         val values = topBins.map { row =>
           val value = row.getString(row.fieldIndex(Histogram.BIN_COL))
@@ -114,6 +124,11 @@ case class HistogramBinned(
   val name = "HistogramBinned"
   val entity: Entity = Entity.Column
   val instance: String = column
+
+  // a single edge defines ZERO bins: fail at construction with a clear
+  // message, not a MatchError from edges.sliding(2) deep in planning
+  require(customEdges.forall(_.size >= 2),
+    "customEdges must contain at least two edges (one bin)")
 
   override def preconditions: Seq[StructType => Unit] =
     hasColumn(column) :: isNumeric(column) :: Nil
@@ -165,7 +180,11 @@ case class HistogramBinned(
       .filter(col(column).isNotNull && inRange)
       .groupBy(bucket.as(Histogram.BIN_COL))
       .agg(count(lit(1)).as(FrequenciesAndNumRows.COUNT_COL))
-    val numRows = filtered.filter(col(column).isNotNull && inRange).count()
+    // in-range row count == the bucket counts' sum: one tiny aggregation
+    // over the groups instead of a second full scan of the source
+    val numRows = freq
+      .agg(coalesce(sum(col(FrequenciesAndNumRows.COUNT_COL)), lit(0L)))
+      .collect().head.getLong(0)
     Some(FrequenciesAndNumRows(freq, numRows))
   }
 
@@ -181,7 +200,7 @@ case class HistogramBinned(
       val state = computeStateWithEdges(data, edges)
       metricWithEdges(state, edges)
     } catch {
-      case e: Throwable => toFailureMetric(e)
+      case scala.util.control.NonFatal(e) => toFailureMetric(e)
     }
   }
 

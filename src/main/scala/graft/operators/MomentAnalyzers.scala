@@ -152,7 +152,7 @@ trait SharedPercentiles { self: ScanShareableAnalyzer[_, _] =>
   * 100x scale is a genuine OOM risk the plan itself cannot bound (the
   * reference has the identical exposure and no guard). Before the fused
   * scan runs, the distinct values each percentile buffer would hold are
-  * estimated (HLL sketch, ~2% error) in ONE cheap job across all keys;
+  * estimated (HLL sketch at 2% rsd) in ONE cheap job across all keys;
   * any (column, where) over [[maxBufferedValues]] is routed to
   * [[DistributedExactQuantile]] — same exact answer, every stage bounded
   * by partition size instead of column cardinality — rather than running
@@ -184,7 +184,9 @@ object ExactQuantileGuard {
     if (limit <= 0 || percentiles.isEmpty) return Map.empty
     val keys = percentiles.map(_.percentileKey).distinct
     def estimate(k: (String, Option[String])) =
-      approx_count_distinct(conditionalSelection(col(k._1), k._2))
+      // explicit 2% rsd: the default 5% would exceed the guard's own 5%
+      // safety margin about once per 1-sigma underestimate
+      approx_count_distinct(conditionalSelection(col(k._1), k._2), rsd = 0.02)
     val counts = data.agg(estimate(keys.head), keys.tail.map(estimate): _*)
       .collect().head
     keys.zipWithIndex.collect {

@@ -90,7 +90,11 @@ case class PatternMatch(column: String, pattern: String, where: Option[String] =
     hasColumn(column) :: isString(column) :: Nil
 
   private def matches: Column =
-    when(regexp_extract(col(column), pattern, 0) =!= lit(""), lit(1L)).otherwise(lit(0L))
+    // rlike, not regexp_extract(...) != "": a legitimate ZERO-WIDTH match
+    // (e.g. ^[a-z]*$ on an empty string) extracts "" and was counted as a
+    // violation; rlike has the same find-anywhere semantics without the
+    // sentinel collision
+    when(col(column).rlike(pattern), lit(1L)).otherwise(lit(0L))
 
   override def aggregationFunctions(): Seq[Column] = Seq(
     coalesce(sum(conditionalSelection(matches, where)), lit(0L)),
@@ -256,7 +260,17 @@ case class MinLength(column: String, where: Option[String] = None,
     nullBehavior: NullBehavior = NullBehavior.Ignore)
     extends LengthAnalyzer[MinState]("MinLength", column, where, nullBehavior) {
 
-  override def aggregationFunctions(): Seq[Column] = min(lengthColumn) :: Nil
+  // Fail poisons with NaN, but Spark's min DISCARDS NaN (it sorts greatest)
+  // — a null would be silently ignored, making Fail behave like Ignore.
+  // Detect surviving nulls explicitly and poison the result.
+  override def aggregationFunctions(): Seq[Column] = nullBehavior match {
+    case NullBehavior.Fail => Seq(
+      when(coalesce(sum(conditionalSelection(
+            col(column).isNull.cast(LongType), where)), lit(0L)) > 0,
+          lit(Double.NaN))
+        .otherwise(min(lengthColumn)))
+    case _ => min(lengthColumn) :: Nil
+  }
 
   override def fromAggregationResult(result: Row, offset: Int): Option[MinState] =
     doubleAt(result, offset).map(MinState)

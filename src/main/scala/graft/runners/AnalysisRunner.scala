@@ -173,8 +173,13 @@ object AnalysisRunner {
     // analyzer — the streaming/incremental hot path must not pay one scan
     // per analyzer when batch mode pays one scan total
     val scanShareable = distinct.collect {
+      // SharedPercentiles are EXCLUDED from the fused agg here: their raw
+      // aggregationFunctions build the unbounded in-buffer percentile,
+      // bypassing ExactQuantileGuard; their per-analyzer computeStateFrom
+      // routes over-budget columns through the distributed selection
       case s: AnyScanAnalyzer
           if !s.isInstanceOf[graft.operators.GroupingAnalyzer[_]] &&
+            !s.isInstanceOf[graft.operators.SharedPercentiles] &&
             scala.util.Try(s.preconditions.foreach(_(data.schema))).isSuccess => s
     }
     val fusedFresh: Map[AnyAnalyzer, Option[State[_]]] =
@@ -213,12 +218,20 @@ object AnalysisRunner {
           try {
             a.preconditions.foreach(_(data.schema))
             val typed = a.asInstanceOf[Analyzer[State[_], Metric[_]]]
-            val fresh = fusedFresh.getOrElse(a, a match {
-              case g: graft.operators.GroupingAnalyzer[_] =>
-                groupingFresh(g.groupingKey)()
-              case _ => typed.computeStateFrom(data)
-            })
-            statefulMetric(typed, fresh, aggregateWith, saveStatesWith)
+            a match {
+              // non-mergeable BY DESIGN (edges are data-dependent; the
+              // state provider refuses to persist it): the stateful
+              // protocol would compute the full state and then render a
+              // hard-coded failure — compute the metric directly instead
+              case hb: graft.operators.HistogramBinned => hb.calculate(data)
+              case _ =>
+                val fresh = fusedFresh.getOrElse(a, a match {
+                  case g: graft.operators.GroupingAnalyzer[_] =>
+                    groupingFresh(g.groupingKey)()
+                  case _ => typed.computeStateFrom(data)
+                })
+                statefulMetric(typed, fresh, aggregateWith, saveStatesWith)
+            }
           } catch {
             case scala.util.control.NonFatal(e) => a.toFailureMetric(e)
           }
@@ -235,9 +248,19 @@ object AnalysisRunner {
       data: DataFrame,
       analyzers: Seq[AnyScanAnalyzer]): Map[AnyAnalyzer, Option[State[_]]] = {
     try {
+      // same heavy-analyzer parallelize rule as the batch path — ALSO
+      // keeps randomized sketch aggregates (KLL udaf) on the identical
+      // partitioning, so stateful and batch runs agree bit-for-bit
+      val hasHeavy = analyzers.exists {
+        case _: graft.operators.DataTypeAnalyzer => true
+        case _: graft.operators.ApproxQuantile => true
+        case _: graft.operators.ApproxQuantiles => true
+        case _ => false
+      }
+      val input = if (hasHeavy) ensureParallelism(data) else data
       val aggregations = analyzers.flatMap(_.aggregationFunctions())
       val offsets = analyzers.map(_.aggregationFunctions().length).scanLeft(0)(_ + _)
-      val row: Row = data.agg(aggregations.head, aggregations.tail: _*).collect().head
+      val row: Row = input.agg(aggregations.head, aggregations.tail: _*).collect().head
       analyzers.zip(offsets).map { case (a, offset) =>
         (a: AnyAnalyzer) ->
           a.fromAggregationResult(row, offset).asInstanceOf[Option[State[_]]]
@@ -354,6 +377,10 @@ object AnalysisRunner {
       val hasHeavy = analyzers.exists {
         case _: graft.operators.SharedPercentiles => true
         case _: graft.operators.DataTypeAnalyzer => true
+        // per-row KLL-udaf sketch updates are exactly the CPU-bound case
+        // ensureParallelism documents
+        case _: graft.operators.ApproxQuantile => true
+        case _: graft.operators.ApproxQuantiles => true
         case _ => false
       }
       val data = if (hasHeavy) ensureParallelism(rawData) else rawData

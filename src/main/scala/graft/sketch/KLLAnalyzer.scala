@@ -116,7 +116,7 @@ object KLLSketchAnalyzer {
         (a: AnyAnalyzer) -> (a.computeMetricFrom(st): Metric[_])
       }.toMap
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         // fall back to per-analyzer so one bad column doesn't fail the batch
         group.map(a => (a: AnyAnalyzer) -> (a.calculate(data): Metric[_])).toMap
     }

@@ -299,6 +299,22 @@ class AnalyzerSpec extends AnyWordSpec with Matchers with SparkSpec {
       }
     }
 
+    "poison MinLength under NullBehavior.Fail and accept zero-width regex matches" in {
+      val s = spark
+      import s.implicits._
+      val withNull = Seq(Option("abc"), Option.empty[String]).toDF("t")
+      // Spark's min DISCARDS NaN (sorts greatest): without the explicit
+      // null check, Fail silently behaved like Ignore and returned 3.0
+      val failMin = MinLength("t", nullBehavior = NullBehavior.Fail)
+        .calculate(withNull).value.get
+      failMin.isNaN shouldBe true
+      MinLength("t", nullBehavior = NullBehavior.Ignore)
+        .calculate(withNull).value.get shouldBe 3.0
+      // a legitimate zero-width match ("" matches ^[a-z]*$) must COUNT
+      val texts = Seq("", "abc", "ABC").toDF("t")
+      PatternMatch("t", "^[a-z]*$").calculate(texts).value.get shouldBe (2.0 / 3.0)
+    }
+
     "isolate runtime grouping failures to their analyzers on the stateful path" in {
       // the where-clause references a missing column: preconditions pass
       // (grouping column exists) but the shared groupBy fails at runtime —
