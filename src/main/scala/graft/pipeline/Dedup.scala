@@ -36,8 +36,16 @@ object Dedup {
     */
   def exact(df: DataFrame, keys: Seq[String], tieBreaker: String): DataFrame = {
     val allCols = df.columns.toSeq
+    // ordering struct: nulls LAST (min_by skips rows whose ordering value
+    // is null — a group of all-null tieBreakers would otherwise collapse
+    // to one garbage all-NULL row), ties broken by a row hash so equal
+    // tieBreakers pick the same survivor on every run
+    val ordering = struct(
+      col(tieBreaker).isNull.as("graft_null"),
+      col(tieBreaker).as("graft_tb"),
+      xxhash64(allCols.map(col): _*).as("graft_h"))
     df.groupBy(keys.map(col): _*)
-      .agg(min_by(struct(allCols.map(col): _*), col(tieBreaker)).as("graft_row"))
+      .agg(min_by(struct(allCols.map(col): _*), ordering).as("graft_row"))
       .select(col("graft_row.*"))
   }
 
@@ -264,8 +272,14 @@ object Dedup {
       shingleSize: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    // persisted: banding plus BOTH estimate-join sides probe it
+    // persisted: banding plus BOTH estimate-join sides probe it.
+    // Shingle-less docs (empty/whitespace/null text) are EXCLUDED: they
+    // all share the sentinel signature and would report certain
+    // jaccard_est = 1.0 for pairs the exact-Jaccard convention scores 0 —
+    // a corpus with thousands of empty docs would mass-flag them as
+    // duplicates of each other
     val sigs = signatureFrame(df, idCol, textCol, numHashes, shingleSize)
+      .filter(size(col("graft_hs")) > 0)
       .select("graft_id", "graft_sig")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (pairs, caches) = candidatesFromSignatures(sigs, numHashes, bands, maxBucketSize)
@@ -489,7 +503,12 @@ object Dedup {
   }
 
   def simHash(text: Column): Column =
-    simHashFromHashes(transform(TextAnalysis.normalizedTokens(text), t => xxhash64(t)))
+    // coalesce: null text must yield 0L like the scalar signature frames
+    // (nullable=false schema), not a NULL that silently drops rows from
+    // hamming filters
+    coalesce(
+      simHashFromHashes(transform(TextAnalysis.normalizedTokens(text), t => xxhash64(t))),
+      lit(0L))
 
   /** Hamming distance between two 64-bit signatures. */
   def hammingDistance(a: Column, b: Column): Column =
@@ -587,21 +606,26 @@ object Dedup {
     // without this the chunk self-join is quadratic in the bucket size
     val wBucket = Window.partitionBy(col("graft_chunk"), col("graft_chunk_val"))
       .orderBy(xxhash64(col("graft_id")), col("graft_id"))
+    // persisted: BOTH self-join sides probe it — without the cache the
+    // row_number window (shuffle sort) and everything upstream execute
+    // once per side (the MinHash twin persists at the identical point)
     val capped = chunked
       .withColumn("graft_bn", row_number().over(wBucket))
       .filter(col("graft_bn") <= maxBucketSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val a = capped.select(col("graft_chunk"), col("graft_chunk_val"),
       col("graft_id").as("id_a"), col("graft_sim").as("sim_a"))
     val b = capped.select(col("graft_chunk"), col("graft_chunk_val"),
       col("graft_id").as("id_b"), col("graft_sim").as("sim_b"))
 
-    a.join(b, Seq("graft_chunk", "graft_chunk_val"))
+    val result = a.join(b, Seq("graft_chunk", "graft_chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", hammingDistance(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
+    CacheLifecycle.releaseOnConsume(result, Seq(capped))
   }
 
   // -------------------------------------------------------------------------

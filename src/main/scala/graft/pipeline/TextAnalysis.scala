@@ -28,8 +28,12 @@ object TextAnalysis {
     * stand-in for a real tokenizer's token count.
     */
   def subwordCount(text: Column): Column = {
+    // zero-width lookarounds: the consuming form "([0-9])([a-z])" ate both
+    // boundary characters, so alternating runs like "1a1" missed every
+    // second transition (counted 2 subwords instead of 3)
     val boundaries = size(filter(
-      split(regexp_replace(text, "([a-z])([A-Z])|([a-zA-Z])([0-9])|([0-9])([a-zA-Z])", "$1$3$5 $2$4$6"),
+      split(regexp_replace(text,
+        "(?<=[a-z])(?=[A-Z])|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])", " "),
       "\\s+"), t => length(t) > 0))
     boundaries
   }
@@ -155,7 +159,12 @@ object TextAnalysis {
           if (cjk) pred = "zh"
           else {
             java.util.Arrays.fill(counts, 0)
-            // Locale.ROOT: match Spark's locale-independent lower()
+            // Locale.ROOT for determinism. CAVEAT: Spark's lower() uses
+            // the JVM DEFAULT locale for non-ASCII strings, so on a tr/az
+            // locale JVM the expression form can diverge on mixed-script
+            // text — run the driver with -Duser.language=en (or any
+            // non-Turkic locale) when exact scalar/expression parity on
+            // non-ASCII corpora matters
             val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
             var ti = 0
             while (ti < toks.length) {
@@ -245,6 +254,10 @@ object TextAnalysis {
     whitespaceRatio(text).as("whitespace_ratio"),
     meanTokenLength(text).as("mean_token_len"),
     stopwordRatio(text).as("stopword_ratio"),
+    // NOTE: the expression forms re-evaluate the tokenize subtree per
+    // feature (HOF bodies get no CSE) — fine for one-off feature frames;
+    // the measured hot path for corpus-wide language ID is the
+    // mapPartitions languageIdCounts, not this convenience projection
     languageId(text).as("lang_id"),
     fingerprint(text).as("fingerprint"),
     qualityScore(text).as("quality_score"))

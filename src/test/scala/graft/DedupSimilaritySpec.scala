@@ -308,6 +308,42 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "exact dedup edge cases" should {
+    "survive all-null tie-breakers and break ties deterministically" in {
+      val s = spark
+      import s.implicits._
+      // min_by skips null ordering values: a group whose tieBreakers are
+      // ALL null previously collapsed to a garbage all-NULL row
+      val df = Seq(
+        (1, Option.empty[Int], "x"), (1, Option.empty[Int], "y"),
+        (2, Option(5), "a"), (2, Option.empty[Int], "b")).toDF("k", "tb", "v")
+      val out = Dedup.exact(df, Seq("k"), "tb").collect()
+        .map(r => r.getInt(0) -> r.getString(2)).toMap
+      out.size shouldBe 2
+      out.keySet shouldBe Set(1, 2)   // no null-key garbage row
+      out(2) shouldBe "a"             // non-null tieBreaker wins
+      // equal tieBreakers: same survivor on every run (row-hash tie-break)
+      val tied = Seq((7, 1, "p"), (7, 1, "q")).toDF("k", "tb", "v")
+      val picks = (1 to 5).map(_ =>
+        Dedup.exact(tied.repartition(4), Seq("k"), "tb").collect().head.getString(2))
+      picks.distinct.size shouldBe 1
+    }
+
+    "exclude shingle-less docs from MinHash candidates instead of pairing them at 1.0" in {
+      val s = spark
+      import s.implicits._
+      val docs = Seq(
+        (1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]),
+        (4L, "the quick brown fox jumps over the lazy dog"),
+        (5L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+      val pairs = Dedup.minHashCandidatePairs(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the empty/whitespace/null docs share the sentinel signature and
+      // previously reported certain jaccard_est = 1.0 for all their pairs
+      pairs shouldBe Set((4L, 5L))
+    }
+  }
+
   "lshTopK" should {
     "handle array<double> vector columns like the expression path did" in {
       val s = spark
