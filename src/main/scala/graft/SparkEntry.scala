@@ -981,6 +981,27 @@ object SparkEntry {
       val windowCount = fsRepo.load().after(150L).before(350L).get().size
       val tagCount = fsRepo.load().withTagValues(Map("env" -> "dev")).get().size
 
+      // N-provider state merge: split orders into disjoint halves, persist
+      // each half's states in its OWN provider, render from the states
+      // merged across BOTH (runOnAggregatedStates, no data scan) — the
+      // `<=>` outer-join frequency merge and every algebraic state merge
+      // must reproduce the full-data values DuckDB computes directly
+      // (reference capability: analyzers/StateAggregationIntegrationTest.scala)
+      val mergeAnalyzers: Seq[AnyAnalyzer] = Seq(
+        Size(), Mean("o_totalprice"), Uniqueness(Seq("o_orderstatus")),
+        Entropy("o_orderstatus"), kll)
+      AnalysisRunner.runStateful(orders.filter(col("o_orderkey") % 2 === 0),
+        mergeAnalyzers,
+        saveStatesWith = Some(new graft.core.HdfsStateProvider(s, s"$tmp/half0")))
+      AnalysisRunner.runStateful(orders.filter(col("o_orderkey") % 2 === 1),
+        mergeAnalyzers,
+        saveStatesWith = Some(new graft.core.HdfsStateProvider(s, s"$tmp/half1")))
+      val merged = AnalysisRunner.runOnAggregatedStates(mergeAnalyzers,
+        Seq(new graft.core.HdfsStateProvider(s, s"$tmp/half0"),
+          new graft.core.HdfsStateProvider(s, s"$tmp/half1")))
+      val mergedSketch = merged.metric(kll).get
+        .asInstanceOf[KLLMetric].value.get.sketch
+
       metricRow(s, Seq(
         "size_reloaded" -> dv(reloaded, Size()),
         "completeness_custkey_reloaded" -> dv(reloaded, Completeness("o_custkey")),
@@ -997,16 +1018,22 @@ object SparkEntry {
         "fs_repo_match" -> flag(fsMatch),
         "spark_repo_match" -> flag(stMatch),
         "loader_window_count" -> windowCount.toDouble,
-        "loader_tag_count" -> tagCount.toDouble))
+        "loader_tag_count" -> tagCount.toDouble,
+        "merged_size" -> dv(merged, Size()),
+        "merged_mean_r3" -> r3(dv(merged, Mean("o_totalprice"))),
+        "merged_uniq_status_r6" -> r6(dv(merged, Uniqueness(Seq("o_orderstatus")))),
+        "merged_entropy_status_r6" -> r6(dv(merged, Entropy("o_orderstatus"))),
+        "merged_kll_n" -> mergedSketch.count.toDouble,
+        "merged_kll_min" -> mergedSketch.min,
+        "merged_kll_max" -> mergedSketch.max))
     }),
 
     // Distribution-distance measures, value-checked: categorical L-inf,
     // chi-square (plain 5-category + Yates 2-category), and PSI computed
     // from EXACT histograms are DuckDB-reproducible; the KS statistic is
-    // engine-computed from two KLL sketches and asserted against the
-    // exact KS (itself emitted and SQL-mirrored via a running-CDF window)
+    // engine-computed from two KLL sketches and asserted against the exact
+    // KS (distributed prefix-sum CDF; SQL-mirrored via a running-CDF window)
     "q44_distance" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.{abs => fabs, max => fmax}
       import graft.sketch.{Distance, KLLMetric, KLLSketchAnalyzer}
       val orders = table(s, dir, "orders")
       val fSide = orders.filter(col("o_orderstatus") === "F")
@@ -1029,24 +1056,13 @@ object SparkEntry {
       val (d2, b2, sk2) = sideOf(oSide)
       val ksSketch = Distance.numericalDistance(sk1, sk2)
 
-      // exact two-sample KS over the value frequency table (running-CDF
-      // window over DISTINCT values — audit-scale, mirrored in the oracle).
-      // Side row counts come from the histograms already computed (priority
-      // is never null, so absolutes sum to the side's row count) — no
-      // extra scan
-      val na = d1.values.values.map(_.absolute).sum.toDouble
-      val nb = d2.values.values.map(_.absolute).sum.toDouble
-      val wCum = org.apache.spark.sql.expressions.Window.orderBy("graft_v")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val ksExact = orders.filter(col("o_orderstatus").isin("F", "O"))
-        .groupBy(col("o_totalprice").as("graft_v"))
-        .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("graft_ca"),
-          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("graft_cb"))
-        .withColumn("graft_d", fabs(
-          sum(col("graft_ca")).over(wCum) / lit(na) -
-            sum(col("graft_cb")).over(wCum) / lit(nb)))
-        .agg(fmax(col("graft_d"))).collect().head.getDouble(0)
+      // exact two-sample KS over the value frequency table — the oracle
+      // mirrors it with a running-CDF window, but the Spark side uses the
+      // range-partitioned prefix-sum route (no global single-task window):
+      // at 100× the distinct-value count the window form funnels ~15M rows
+      // through one task where this stays partition-bounded
+      val ksExact = Distance.exactNumericalDistance(orders, "o_totalprice",
+        col("o_orderstatus") === "F", col("o_orderstatus") === "O")
 
       metricRow(s, Seq(
         "cat_linf_r6" -> r6(Distance.categoricalDistance(d1, d2)),
@@ -1098,6 +1114,45 @@ object SparkEntry {
         "lsh_rows_ok" -> flag(rowsOk),
         // measured 0.99 at both sf0.01 and sf0.1 with the sized params
         "lsh_recall_ok" -> flag(recall >= 0.9)))
+    }),
+
+    // Applicability dry-run, value-checked: a mixed Check (string, numeric,
+    // compliance, grouping constraints) is dry-run against deterministic
+    // generated data for a fixed typed schema. WHICH constraints are
+    // runnable — and which are not (numeric analyzer on a string column,
+    // missing column) — is a property of the schema alone, independent of
+    // the generated values, so the counts are literal-mirrorable
+    // (reference capability: analyzers/applicability/Applicability.scala:170-280)
+    "q46_applicability" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType, TimestampType}
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        StructField("item", StringType, nullable = false),
+        StructField("att1", DoubleType, nullable = false),
+        StructField("att2", IntegerType, nullable = true),
+        StructField("flag", BooleanType, nullable = false),
+        StructField("ts", TimestampType, nullable = false),
+        // no generator for binary: becomes an all-null nullable column
+        StructField("payload", BinaryType, nullable = true)))
+      val check = Check(CheckLevel.Error, "applicability probe")
+        .isComplete("item")
+        .hasPattern("item", "[A-Za-z0-9]*")
+        .hasMean("att1", _ >= 0.0)
+        .isNonNegative("att2")
+        .hasEntropy("flag", _ >= 0.0)
+        .isUnique("item")
+        .hasMean("item", _.isNaN == false) // numeric on string: NOT applicable
+        .isComplete("nope") // missing column: NOT applicable
+      val res = new graft.applicability.Applicability(s).isApplicable(check, schema)
+      // the pure-analyzer surface, on its own instance (fresh fixed seed)
+      val aRes = new graft.applicability.Applicability(s).isApplicable(
+        Seq[AnyAnalyzer](Mean("att1"), Minimum("att2"), Maximum("nope")), schema)
+      metricRow(s, Seq(
+        "n_constraints" -> res.constraintApplicabilities.size.toDouble,
+        "n_applicable" -> res.constraintApplicabilities.count(_._2).toDouble,
+        "n_failures" -> res.failures.size.toDouble,
+        "check_applicable" -> flag(res.isApplicable),
+        "n_analyzer_failures" -> aRes.failures.size.toDouble,
+        "analyzers_applicable" -> flag(aRes.isApplicable)))
     })
   )
 
@@ -1708,7 +1763,14 @@ object SparkEntry {
         |       1.0::DOUBLE AS fs_repo_match,
         |       1.0::DOUBLE AS spark_repo_match,
         |       2.0::DOUBLE AS loader_window_count,
-        |       2.0::DOUBLE AS loader_tag_count
+        |       2.0::DOUBLE AS loader_tag_count,
+        |       (SELECT count(*)::DOUBLE FROM orders) AS merged_size,
+        |       (SELECT round(avg(o_totalprice), 3) FROM orders) AS merged_mean_r3,
+        |       round(e.uniq_vals / n.nr, 6) AS merged_uniq_status_r6,
+        |       round(e.ent, 6) AS merged_entropy_status_r6,
+        |       (SELECT count(o_totalprice)::DOUBLE FROM orders) AS merged_kll_n,
+        |       (SELECT min(o_totalprice) FROM orders) AS merged_kll_min,
+        |       (SELECT max(o_totalprice) FROM orders) AS merged_kll_max
         |FROM e, n""".stripMargin,
 
     // Distances recomputed from exact frequency tables; KS via running-CDF
@@ -1787,6 +1849,19 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM r WHERE rank <= 10)::DOUBLE AS n_bf_rows,
         |       (SELECT sum(neighbor_id) FROM r WHERE rank <= 10)::DOUBLE AS bf_id_sum,
         |       1.0::DOUBLE AS lsh_rows_ok,
-        |       1.0::DOUBLE AS lsh_recall_ok""".stripMargin
+        |       1.0::DOUBLE AS lsh_recall_ok""".stripMargin,
+
+    // Applicability is a schema-only dry run (no parquet table touched):
+    // of the 8 constraints, 6 are applicable; Mean on a string column and
+    // a missing column are not. Of the 3 raw analyzers, Maximum("nope")
+    // fails. The counts are structural — a behavior change in the
+    // dry-run/precondition machinery flips a literal and the hash catches it
+    "q46_applicability" ->
+      """SELECT 8.0::DOUBLE AS n_constraints,
+        |       6.0::DOUBLE AS n_applicable,
+        |       2.0::DOUBLE AS n_failures,
+        |       0.0::DOUBLE AS check_applicable,
+        |       1.0::DOUBLE AS n_analyzer_failures,
+        |       0.0::DOUBLE AS analyzers_applicable""".stripMargin
   )
 }

@@ -53,19 +53,16 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
 
   private def conf: Configuration = spark.sparkContext.hadoopConfiguration
 
+  // a lambda/anonymous-function field renders with a per-JVM identity
+  // (Foo$$Lambda$123@1a2b3c) — no later run can compute the same file name
+  private def lambdaKeyed(analyzer: Analyzer[_, _]): Boolean = {
+    val raw = analyzer.toString
+    raw.contains("$$Lambda") || raw.contains("$anonfun$")
+  }
+
   private def identifier(analyzer: Analyzer[_, _]): String = {
     // stable, filesystem-safe key per analyzer instance
     val raw = analyzer.toString
-    // a lambda/anonymous-function field renders with a per-JVM identity
-    // (Foo$$Lambda$123@1a2b3c) — the persist would succeed but no later
-    // run could ever compute the same file name to load it back; fail
-    // LOUDLY instead of silently restarting the incremental aggregation
-    if (raw.contains("$$Lambda") || raw.contains("$anonfun$")) {
-      throw new IllegalArgumentException(
-        s"Analyzer $raw carries a lambda in its identity — its state key is " +
-          "not stable across JVMs and cannot be persisted to a filesystem " +
-          "provider (use an analyzer without function-valued parameters)")
-    }
     java.lang.Long.toHexString(
       raw.getBytes("UTF-8").foldLeft(1125899906842597L)((h, b) => 31 * h + b))
   }
@@ -86,6 +83,18 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
   }
 
   override def persist[S <: State[_]](analyzer: Analyzer[S, _], state: S): Unit = {
+    // the persist would succeed but no later run could ever compute the
+    // same file name to load it back; fail LOUDLY instead of silently
+    // restarting the incremental aggregation. Persist-side ONLY: load()
+    // returns None for lambda-keyed analyzers so a same-JVM aggregateWith
+    // run still computes fresh instead of surfacing a failure metric
+    if (lambdaKeyed(analyzer)) {
+      throw new IllegalArgumentException(
+        s"Analyzer $analyzer carries a lambda in its identity — its state " +
+          "key is not stable across JVMs and cannot be persisted to a " +
+          "filesystem provider (use an analyzer without function-valued " +
+          "parameters)")
+    }
     val base = s"$locationPrefix-${identifier(analyzer)}"
     // non-mergeable states fail LOUDLY here (SURVEY §7.4): silently
     // persisting something load() cannot reconstruct corrupts incremental runs
@@ -137,6 +146,7 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
   }
 
   override def load[S <: State[_]](analyzer: Analyzer[S, _]): Option[S] = {
+    if (lambdaKeyed(analyzer)) return None // never persisted; compute fresh
     val base = s"$locationPrefix-${identifier(analyzer)}"
     import graft.operators._
     val loaded: Option[Any] = analyzer match {

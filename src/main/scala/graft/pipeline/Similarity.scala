@@ -319,7 +319,14 @@ object Similarity {
       vecCol: String,
       planes: Int,
       numTables: Int): DataFrame = {
+    // null vectors are DROPPED, not signed: an all-zero signature would
+    // park every null-vec row in bucket 0 of every table, where it
+    // surfaces as a null-similarity candidate and can crowd a query's
+    // top-k count past the brute-force completeness fallback's trigger
+    // (the declarative lshSignature form got this for free — a null
+    // signature fell out of the inner bucket join)
     val projected = df.select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
     val out = StructType(Seq(
       StructField("graft_id", projected.schema.head.dataType, nullable = true),
       StructField("graft_vec", projected.schema(1).dataType, nullable = true),

@@ -220,10 +220,20 @@ object AnalysisRunner {
             val typed = a.asInstanceOf[Analyzer[State[_], Metric[_]]]
             a match {
               // non-mergeable BY DESIGN (edges are data-dependent; the
-              // state provider refuses to persist it): the stateful
-              // protocol would compute the full state and then render a
-              // hard-coded failure — compute the metric directly instead
-              case hb: graft.operators.HistogramBinned => hb.calculate(data)
+              // state provider refuses to persist it): in a plain stateful
+              // run compute the metric directly, but under aggregateWith/
+              // saveStatesWith fail LOUDLY — a silent current-batch-only
+              // number mixed into cumulative metrics is exactly the
+              // corruption the persist-side guard exists to prevent
+              case hb: graft.operators.HistogramBinned =>
+                if (aggregateWith.nonEmpty || saveStatesWith.nonEmpty) {
+                  throw new IllegalArgumentException(
+                    "HistogramBinned state is not mergeable across runs " +
+                      "(bin edges are data-dependent) — it cannot " +
+                      "participate in aggregateWith/saveStatesWith " +
+                      "incremental runs; compute it per batch instead")
+                }
+                hb.calculate(data)
               case _ =>
                 val fresh = fusedFresh.getOrElse(a, a match {
                   case g: graft.operators.GroupingAnalyzer[_] =>

@@ -141,6 +141,83 @@ object Distance {
     }.max
   }
 
+  /** EXACT two-sample Kolmogorov-Smirnov statistic over a numeric column,
+    * computed distributed and partition-safe (the sketch-free audit-grade
+    * counterpart of [[numericalDistance]]). `sideA`/`sideB` are boolean
+    * membership predicates over `data`'s rows (e.g. a status column match);
+    * rows in neither side are ignored, null values are ignored.
+    *
+    * The naive formulation — a running-CDF window `ORDER BY value` with no
+    * partition — moves EVERY distinct value through one task: the classic
+    * single-point scale-killer. This takes the same two-stage route as
+    * [[graft.operators.DistributedExactQuantile]]:
+    *
+    *   1. `groupBy(value)` → per-side counts (map-side partial agg: the
+    *      shuffle carries one row per DISTINCT value), then
+    *      `repartitionByRange(value)` + `sortWithinPartitions` for
+    *      globally-ordered, size-balanced partitions.
+    *   2. One pass collecting K per-partition (sumA, sumB) pairs → prefix
+    *      offsets on the driver (K = shuffle partitions, not data-sized).
+    *   3. One pass re-reading the cached frequency table: each partition
+    *      seeds its running sums from the broadcast offsets and emits its
+    *      local max |cdfA - cdfB| — K doubles reduced on the driver.
+    *
+    * No task ever holds more than one range partition; a multi-billion-
+    * distinct-value column at 100 TB holds where the window form dies.
+    */
+  def exactNumericalDistance(
+      data: org.apache.spark.sql.DataFrame,
+      column: String,
+      sideA: org.apache.spark.sql.Column,
+      sideB: org.apache.spark.sql.Column): Double = {
+    import org.apache.spark.sql.functions.{sum, when}
+    val freq = data
+      .filter(sideA || sideB)
+      .select(col(column).cast(DoubleType).as("graft_v"),
+        when(sideA, 1L).otherwise(0L).as("graft_a"),
+        when(sideB, 1L).otherwise(0L).as("graft_b"))
+      .where(col("graft_v").isNotNull)
+      .groupBy("graft_v")
+      .agg(sum(col("graft_a")).as("graft_ca"), sum(col("graft_b")).as("graft_cb"))
+      .repartitionByRange(col("graft_v"))
+      .sortWithinPartitions("graft_v")
+      .rdd.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    freq.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partTotals = freq
+        .mapPartitionsWithIndex { (i, it) =>
+          var a = 0L; var b = 0L
+          it.foreach { t => a += t._2; b += t._3 }
+          Iterator((i, a, b))
+        }
+        .collect().sortBy(_._1)
+      val na = partTotals.map(_._2).sum.toDouble
+      val nb = partTotals.map(_._3).sum.toDouble
+      if (na == 0.0 || nb == 0.0) return 0.0 // degenerate, as numericalDistance
+      val offA = partTotals.map(_._2).scanLeft(0L)(_ + _)
+      val offB = partTotals.map(_._3).scanLeft(0L)(_ + _)
+      val sc = data.sparkSession.sparkContext
+      val bOff = sc.broadcast((offA, offB))
+      freq
+        .mapPartitionsWithIndex { (i, it) =>
+          val (oa, ob) = bOff.value
+          var ca = oa(i)
+          var cb = ob(i)
+          var m = 0.0
+          it.foreach { t =>
+            ca += t._2; cb += t._3
+            val d = math.abs(ca / na - cb / nb)
+            if (d > m) m = d
+          }
+          Iterator(m)
+        }
+        .collect().foldLeft(0.0)(math.max)
+    } finally {
+      freq.unpersist(blocking = false)
+      ()
+    }
+  }
+
   /** L-infinity distance between two categorical distributions. */
   def categoricalDistance(d1: Distribution, d2: Distribution): Double = {
     val keys = d1.values.keySet ++ d2.values.keySet

@@ -361,6 +361,31 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
         .foreach(_.getLong(1) shouldBe 5L)
     }
 
+    "drop null-vector corpus rows instead of signing them into bucket 0" in {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(7)
+      // null-vec rows previously got an ALL-ZERO signature in every table
+      // (not a null bucket that falls out of the join) — landing in bucket
+      // 0 everywhere, surfacing as null-similarity candidates that can
+      // crowd out real neighbors from the top-k count
+      val good = (0 until 30).map(i =>
+        (i.toLong, Array.fill(6)(rng.nextGaussian().toFloat)))
+      val corpus = (good.map { case (i, v) => (i, Option(v)) } ++
+        Seq((900L, None: Option[Array[Float]]), (901L, None)))
+        .toDF("vec_id", "embedding")
+      val queries = corpus.filter(col("vec_id") < 2L)
+      val out = Similarity.lshTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5).collect()
+      out.groupBy(_.getLong(0)).values.foreach(_.length shouldBe 5)
+      out.foreach { r =>
+        withClue(s"row $r: ") {
+          Set(900L, 901L) should not contain r.getLong(1)
+          r.isNullAt(2) shouldBe false
+        }
+      }
+    }
+
     "return exactly k results per query even when probed buckets are empty" in {
       val s = spark
       import s.implicits._

@@ -268,6 +268,40 @@ class ProfilerKllSpec extends AnyWordSpec with Matchers with SparkSpec {
       Distance.chiSquare(empty, aDist) shouldBe 0.0
       Distance.numericalDistance(new KLLSketch(256), new KLLSketch(256)) shouldBe 0.0
     }
+
+    "compute the exact two-sample KS distributed (prefix sums, no window)" in {
+      val s = spark
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      // ties between sides, values unique to one side, a null, and a row
+      // in NEITHER side (ignored); many range partitions will be empty —
+      // exercising the offset seeding for zero-width partitions
+      val rows: Seq[(java.lang.Double, String)] = Seq(
+        (1.0, "A"), (1.0, "B"), (2.0, "A"), (3.0, "B"), (3.0, "B"),
+        (4.0, "A"), (5.0, "B"), (6.0, "A"), (null, "A"), (9.0, "X"))
+      val df = rows.toDF("v", "side").repartition(7)
+      val got = Distance.exactNumericalDistance(df, "v",
+        col("side") === "A", col("side") === "B")
+      // hand-computed reference: running CDFs over sorted distinct values
+      val a = rows.collect { case (v, "A") if v != null => v.toDouble }.sorted
+      val b = rows.collect { case (v, "B") if v != null => v.toDouble }
+      val expected = (a ++ b).distinct.sorted.map { v =>
+        math.abs(a.count(_ <= v).toDouble / a.size - b.count(_ <= v).toDouble / b.size)
+      }.max
+      got shouldBe expected +- 1e-12
+
+      // agrees with the sketch KS on a larger shifted pair
+      val big = (1 to 2000).map(i => (i.toDouble, "A")) ++
+        (1 to 2000).map(i => (i.toDouble + 500, "B"))
+      val bigDf = big.toDF("v", "side")
+      val exact = Distance.exactNumericalDistance(bigDf, "v",
+        col("side") === "A", col("side") === "B")
+      exact shouldBe 0.25 +- 1e-12 // shift 500 over 2000 values
+
+      // degenerate: one side empty
+      Distance.exactNumericalDistance(df, "v",
+        col("side") === "A", col("side") === "Z") shouldBe 0.0
+    }
   }
 
   "row-level results" should {

@@ -336,6 +336,29 @@ class RepositoryAnomalySpec extends AnyWordSpec with Matchers with SparkSpec {
       val state = h.computeStateFrom(df).get
       // the state key would be unloadable by any later JVM — fail loudly
       an[IllegalArgumentException] should be thrownBy provider.persist(h, state)
+      // but the guard is persist-side ONLY: load() answers None (nothing
+      // was ever persisted under that key) so an aggregateWith run still
+      // computes fresh instead of surfacing a failure metric
+      provider.load(h) shouldBe None
+      val ctx = AnalysisRunner.runStateful(df, Seq(h),
+        aggregateWith = Some(provider))
+      ctx.metric(h).get.value.isSuccess shouldBe true
+    }
+
+    "fail loudly for HistogramBinned in cumulative stateful runs" in {
+      val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val hb = HistogramBinned("l_quantity", binCount = Some(3))
+      // plain stateful run (no cross-run state): per-batch metric is fine
+      val plain = AnalysisRunner.runStateful(df, Seq(hb))
+      plain.metric(hb).get.value.isSuccess shouldBe true
+      // cumulative run: a current-batch-only number silently mixed into
+      // cumulative metrics is corruption — must surface as a failure
+      val agg = AnalysisRunner.runStateful(df, Seq(hb),
+        aggregateWith = Some(new InMemoryStateProvider))
+      agg.metric(hb).get.value.isFailure shouldBe true
+      val save = AnalysisRunner.runStateful(df, Seq(hb),
+        saveStatesWith = Some(new InMemoryStateProvider))
+      save.metric(hb).get.value.isFailure shouldBe true
     }
 
     "survive one corrupted metric entry when deserializing a snapshot" in {
