@@ -59,7 +59,7 @@ object Bench {
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    def medianOf(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // Untimed GC between queries: with a 128 GiB heap, collections are
       // rare, so broadcast/cache refuse from earlier queries piles up and
       // the ContextCleaner (which acts on weak refs, i.e. AFTER a GC)
@@ -73,13 +73,23 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      times(times.length / 2)
+    }
+    val results = selected.map { case (name, fn) => name -> medianOf(name, fn) }
+    // the heaviest queries swing ~2x with box contention mid-suite; a
+    // second median-of-3 at suite end (quiet JVM, cleaner fully drained)
+    // records the contention-free number alongside the in-suite one
+    val slowest = results.sortBy(-_._2).take(3)
+    val requeried = slowest.map { case (name, _) =>
+      name -> medianOf(name, SparkEntry.queries(name))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val rq = requeried.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"requeried":$rq,"sf":"$sfDir"}"""
     println(line)
     // also write the JSON to a file: the stdout line sits in megabytes of
     // sbt/Spark log noise, and downstream tooling that scrapes the tail

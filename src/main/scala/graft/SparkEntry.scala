@@ -383,7 +383,13 @@ object SparkEntry {
       val mh = Dedup.nearDuplicatePairsFromSignatures(sigs,
         threshold = 0.5, numHashes = 64, bands = 16).filter(inSub)
         .select("id_a", "id_b").distinct().withColumn("graft_mh", lit(1L))
-      val sim = Dedup.simHashPairsFromSignatures(sigs, maxHamming = 8)
+      // UNCAPPED: the completeness flag below asserts pigeonhole-exact
+      // recall, which only holds when no bucket is capped — at sf0.1 the
+      // 64-bit/9-chunk buckets already exceed the default cap 1000 (the
+      // ScaleProbe r8 row measures 1,819 exclusions at 5k docs), which
+      // silently failed the flag at sf0.1 while sf0.01 stayed green
+      val sim = Dedup.simHashPairsFromSignatures(sigs, maxHamming = 8,
+          maxBucketSize = Int.MaxValue)
         .filter(inSub).select("id_a", "id_b").distinct().withColumn("graft_sh", lit(1L))
       val exactHam = subSigs
         .select(col("graft_id").as("id_a"), col("graft_sim").as("graft_sa"))

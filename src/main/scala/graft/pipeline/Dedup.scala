@@ -21,6 +21,20 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  /** Named-observation channel for the MinHash-band / SimHash-chunk bucket
+    * caps (the Dedup twin of [[Similarity.LshCapObservation]]): every
+    * capped candidate-generation pass reports `excluded_rows` (rows the
+    * cap dropped — nonzero means the parameterization is silently losing
+    * recall) and `banded_rows` under an observation named
+    * `graft_dedup_cap_<n>`. Read from `QueryExecution.observedMetrics` or
+    * a `QueryExecutionListener`.
+    */
+  object DedupCapObservation {
+    val Prefix = "graft_dedup_cap_"
+    private val counter = new java.util.concurrent.atomic.AtomicLong()
+    private[pipeline] def nextName(): String = Prefix + counter.incrementAndGet()
+  }
+
   // -------------------------------------------------------------------------
   // Exact deduplication
   // -------------------------------------------------------------------------
@@ -338,6 +352,13 @@ object Dedup {
     // both join sides recompute the whole tokenize→shingle→minhash pipeline
     val capped = banded
       .withColumn("graft_bn", row_number().over(wBucket))
+      // surface what the cap silently drops (same channel pattern as
+      // Similarity.LshCapObservation): nonzero excluded_rows means the
+      // band/cap parameterization is losing recall with no other signal
+      .observe(DedupCapObservation.nextName(),
+        sum(when(col("graft_bn") > maxBucketSize, 1L).otherwise(0L))
+          .as("excluded_rows"),
+        count(lit(1)).as("banded_rows"))
       .filter(col("graft_bn") <= maxBucketSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -611,6 +632,10 @@ object Dedup {
     // once per side (the MinHash twin persists at the identical point)
     val capped = chunked
       .withColumn("graft_bn", row_number().over(wBucket))
+      .observe(DedupCapObservation.nextName(),
+        sum(when(col("graft_bn") > maxBucketSize, 1L).otherwise(0L))
+          .as("excluded_rows"),
+        count(lit(1)).as("banded_rows"))
       .filter(col("graft_bn") <= maxBucketSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
 

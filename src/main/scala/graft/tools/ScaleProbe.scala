@@ -1,0 +1,180 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import graft.pipeline.{Dedup, Similarity}
+
+/** Scale probe for the dedup/ANN family: runs the q24/q32/q45 engine
+  * operators on the sf corpus and on a MULT×-enlarged variant, reporting
+  * runtime growth, output sizes, and bucket-cap activity. A superlinear
+  * ratio or an un-capped pathological bucket is the failure signal the
+  * probe exists to surface.
+  *
+  * Corpus construction (deterministic — every copy is derived by a fixed
+  * per-copy rewrite, no RNG state):
+  *
+  *  - documents ×MULT: copy k suffixes every 2nd word with `_c<k>` —
+  *    cross-copy shingle overlap collapses, so the TRUE near-dup pair
+  *    count stays ~linear in MULT. A plain exact duplication would
+  *    quadratically inflate the genuine pair count per duplicate group —
+  *    that measures the data, not the engine.
+  *  - embeddings ×MULT: copy k flips the sign of a per-(copy, dim)
+  *    pseudo-random half of the dimensions. Signs square away within a
+  *    copy (cos(s∘x, s∘y) = cos(x, y) — each copy is an isometric image
+  *    with the identical pair structure) while cross-copy cosine ≈ 0, so
+  *    the true pair count scales EXACTLY linearly in MULT.
+  *  - skew probe: the first document exact-duplicated `SKEW_COPIES`
+  *    times into one pathologically popular bucket, run with a small cap —
+  *    asserts the cap observation fired (excluded_rows > 0) and the run
+  *    completes instead of going quadratic.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain
+  * graft.tools.ScaleProbe"`; one JSON line on stdout (also written to
+  * SPARK_GRAFT_SCALE_OUT, default scale_probe.json).
+  */
+object ScaleProbe {
+
+  private val SkewCopies = 20000
+  private val SkewCap = 200
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
+    val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scaleprobe")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // accumulate every cap observation (names are unique per pass)
+    val caps = new scala.collection.concurrent.TrieMap[String, (Long, Long)]
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(fn: String, qe: QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith(Dedup.DedupCapObservation.Prefix) ||
+            name.startsWith(Similarity.LshCapObservation.Prefix)) {
+            caps.put(name, (row.getLong(row.fieldIndex("excluded_rows")),
+              row.getLong(row.fieldIndex("banded_rows"))))
+          }
+        }
+      override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
+    })
+    // the listener bus is async; give in-flight observation events time to
+    // land before snapshotting (probe-side bookkeeping only)
+    def capExcluded(): Long = { Thread.sleep(500); caps.values.map(_._1).sum }
+
+    // -----------------------------------------------------------------
+    // corpus construction
+    // -----------------------------------------------------------------
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val docN = docs0.count()
+    val embN = emb0.count()
+
+    def docsCopy(c: Int): DataFrame =
+      if (c == 0) docs0
+      else docs0.select(
+        (col("doc_id") + lit(c * docN)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          (w, i) => when(pmod(i, lit(2)) === 0, concat(w, lit(s"_c$c")))
+            .otherwise(w)), " ").as("text"))
+
+    def embCopy(c: Int): DataFrame =
+      if (c == 0) emb0
+      else emb0.select(
+        (col("vec_id") + lit(c * embN)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(pmod(xxhash64(lit(c), i), lit(2)) === 0, x)
+            .otherwise(-x)).as("embedding"))
+
+    val docsXPath = s"$work/documents_x$mult.parquet"
+    val embXPath = s"$work/embeddings_x$mult.parquet"
+    (0 until mult).map(docsCopy).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(docsXPath)
+    (0 until mult).map(embCopy).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(embXPath)
+    val docsX = spark.read.parquet(docsXPath)
+    val embX = spark.read.parquet(embXPath)
+
+    // skew corpus: base + one doc duplicated SkewCopies times (fresh ids)
+    val skewPath = s"$work/documents_skew.parquet"
+    val first = docs0.orderBy("doc_id").limit(1)
+      .select(col("text").as("graft_skew_text")).persist()
+    docs0.unionByName(
+      spark.range(SkewCopies).crossJoin(broadcast(first))
+        .select((col("id") + lit((mult + 1) * docN)).as("doc_id"),
+          col("graft_skew_text").as("text")))
+      .write.mode("overwrite").parquet(skewPath)
+    first.unpersist(blocking = false)
+    val docsSkew = spark.read.parquet(skewPath)
+
+    // -----------------------------------------------------------------
+    // probes — untimed warmup first so first-touch JIT isn't charged
+    // -----------------------------------------------------------------
+    Dedup.nearDuplicatePairs(docs0.limit(200), "doc_id", "text", 0.5).count()
+    Similarity.lshTopK(emb0.limit(200), "vec_id", "embedding",
+      emb0.limit(2), "vec_id", "embedding", k = 3, planes = 6, numTables = 4).count()
+
+    def timed(f: => Long): (Double, Long, Long) = {
+      System.gc()
+      val before = capExcluded()
+      val t0 = System.nanoTime()
+      val n = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, n, capExcluded() - before)
+    }
+
+    def minhash(d: DataFrame): Long =
+      Dedup.nearDuplicatePairs(d, "doc_id", "text",
+        threshold = 0.5, numHashes = 64, bands = 16).count()
+    def simhash(d: DataFrame): Long =
+      Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 8).count()
+    def embNearDup(e: DataFrame, n: Long): Long = {
+      val (planes, tables) = Similarity.lshParamsFor(n, 0.42, targetRecall = 0.98)
+      Dedup.embeddingNearDuplicates(e, "vec_id", "embedding",
+        threshold = 0.42, planes = planes, numTables = tables).count()
+    }
+    def topK(e: DataFrame): Long = {
+      val queries = e.filter(col("vec_id") < 8L)
+      Similarity.lshTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, planes = 6, numTables = 12).count()
+    }
+
+    val results = Seq(
+      ("minhash", timed(minhash(docs0)), timed(minhash(docsX))),
+      ("simhash", timed(simhash(docs0)), timed(simhash(docsX))),
+      ("emb_neardup", timed(embNearDup(emb0, embN)),
+        timed(embNearDup(embX, embN * mult))),
+      ("lsh_topk", timed(topK(emb0)), timed(topK(embX))))
+
+    // skew: cap must engage and the run must complete
+    val (skewSec, skewPairs, skewExcluded) = timed(
+      Dedup.nearDuplicatePairsFromSignatures(
+        Dedup.textSignatures(docsSkew, "doc_id", "text"),
+        threshold = 0.5, numHashes = 64, bands = 16,
+        maxBucketSize = SkewCap).count())
+
+    val probeJson = results.map { case (name, (s1, n1, c1), (sx, nx, cx)) =>
+      val ratio = if (s1 > 0) sx / s1 else -1.0
+      f""""$name":{"x1_sec":$s1%.2f,"x${mult}_sec":$sx%.2f,"ratio":$ratio%.2f,"x1_pairs":$n1,"x${mult}_pairs":$nx,"x1_cap_excluded":$c1,"x${mult}_cap_excluded":$cx}"""
+    }.mkString(",")
+    val line =
+      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies}}"""
+    println(line)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_probe.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

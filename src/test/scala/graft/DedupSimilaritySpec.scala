@@ -460,6 +460,50 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
         spark.listenerManager.unregister(listener)
       }
     }
+
+    "report MinHash and SimHash bucket-cap exclusions via the Dedup channel" in {
+      val s = spark
+      import s.implicits._
+      // 100 identical docs: one bucket per band/chunk; cap 10 keeps 10 rows
+      // per bucket. MinHash bands 16: banded 1600, excluded 90*16; SimHash
+      // chunks maxHamming+1 = 9: banded 900, excluded 90*9. Verified pairs
+      // from the surviving bucket: C(10,2) = 45 in both pipelines.
+      val df = (0 until 100).map(i =>
+        (i.toLong, "the same exact document text repeated for every row"))
+        .toDF("doc_id", "text")
+      val observed = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.Row]
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          observed.synchronized { observed ++= qe.observedMetrics }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        val sigs = Dedup.textSignatures(df, "doc_id", "text").persist()
+        Dedup.nearDuplicatePairsFromSignatures(sigs, threshold = 0.9,
+          numHashes = 64, bands = 16, maxBucketSize = 10)
+          .count() shouldBe 45L
+        Dedup.simHashPairsFromSignatures(sigs, maxHamming = 8, maxBucketSize = 10)
+          .count() shouldBe 45L
+        sigs.unpersist(blocking = false)
+        def capRows = observed.synchronized {
+          observed.collect {
+            case (name, row) if name.startsWith(Dedup.DedupCapObservation.Prefix) => row
+          }.toSeq
+        }
+        val deadline = System.currentTimeMillis() + 15000
+        while (capRows.size < 2 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        val byBanded = capRows.map(r =>
+          r.getAs[Long]("banded_rows") -> r.getAs[Long]("excluded_rows")).toMap
+        byBanded(1600L) shouldBe (90L * 16) // MinHash bands
+        byBanded(900L) shouldBe (90L * 9) // SimHash chunks
+      } finally {
+        spark.listenerManager.unregister(listener)
+      }
+    }
   }
 
   "internal caches" should {
