@@ -55,6 +55,31 @@ object Multimodal {
     */
   val MaxDecodedPixels: Long = 64L * 1024 * 1024 // 64 MP ~ 256 MB ARGB
 
+  /** O(dim) grayscale thumbnail over a ~square grid: samples only the grid
+    * points (NOT every pixel), so the cost is independent of frame size —
+    * the property that keeps per-frame featurization cheap at 100 TB.
+    */
+  private def gridLuma(rgbAt: (Int, Int) => Int, w: Int, h: Int, dim: Int)
+    : Array[Float] = {
+    val gw = math.max(math.sqrt(dim.toDouble).toInt, 1)
+    val gh = math.max((dim + gw - 1) / gw, 1)
+    val vec = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      val gx = i % gw
+      val gy = i / gw
+      val px = gx * (w - 1) / math.max(gw - 1, 1)
+      val py = math.min(gy, gh - 1) * (h - 1) / math.max(gh - 1, 1)
+      val rgb = rgbAt(math.min(px, w - 1), math.min(py, h - 1))
+      val r = (rgb >> 16) & 0xFF
+      val g = (rgb >> 8) & 0xFF
+      val b = rgb & 0xFF
+      vec(i) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+      i += 1
+    }
+    vec
+  }
+
   /** REAL image decode via the JDK's ImageIO registry: true width/height,
     * the reader's format name, and a `dim`-point grayscale thumbnail
     * (row-major over a ~square grid) as the feature vector. Returns None
@@ -80,23 +105,7 @@ object Multimodal {
           val img = reader.read(0)
           val w = img.getWidth
           val h = img.getHeight
-          val gw = math.max(math.sqrt(dim.toDouble).toInt, 1)
-          val gh = math.max((dim + gw - 1) / gw, 1)
-          val vec = new Array[Float](dim)
-          var i = 0
-          while (i < dim) {
-            val gx = i % gw
-            val gy = i / gw
-            val px = gx * (w - 1) / math.max(gw - 1, 1)
-            val py = math.min(gy, gh - 1) * (h - 1) / math.max(gh - 1, 1)
-            val rgb = img.getRGB(math.min(px, w - 1), math.min(py, h - 1))
-            val r = (rgb >> 16) & 0xFF
-            val g = (rgb >> 8) & 0xFF
-            val b = rgb & 0xFF
-            vec(i) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
-            i += 1
-          }
-          Some((vec, w, h, fmt))
+          Some((gridLuma((x, y) => img.getRGB(x, y), w, h, dim), w, h, fmt))
         } finally reader.dispose()
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -276,6 +285,13 @@ object Multimodal {
 
   private def be64(b: Array[Byte], off: Int): Long =
     (be32(b, off) << 32) | be32(b, off + 4)
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
 
   private def fourcc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, "ISO-8859-1")
@@ -457,13 +473,140 @@ object Multimodal {
     Some((docType, codec, w, h, durMs))
   }
 
+  // ---- AVI / RIFF ----------------------------------------------------------
+
+  /** Parsed AVI structure: the `vids` stream's codec handler, declared
+    * dims/frame timing from `avih`, the uncompressed-DIB pixel layout from
+    * `strf` (when the stream is raw), and the (offset, length) of every
+    * video-stream frame chunk inside `LIST movi` (recursing into `rec `
+    * groups). Frame PAYLOADS are not touched by the walk itself.
+    */
+  private[pipeline] final case class AviInfo(
+      codec: String, width: Int, height: Int, usPerFrame: Long,
+      totalFrames: Long, bitCount: Int, biCompression: Long,
+      frameChunks: Vector[(Int, Int)])
+
+  /** RIFF/AVI walk (chunks are fourcc + u32le size, padded to even; LIST
+    * chunks nest). Malformed trees stop cleanly at the last well-formed
+    * chunk, same contract as [[parseMp4]]/[[parseEbml]].
+    */
+  private[pipeline] def parseAviInfo(bytes: Array[Byte]): Option[AviInfo] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") return None
+    var codec = "unknown"
+    var w = 0; var h = 0; var usPerFrame = 0L; var totalFrames = 0L
+    var bitCount = 0; var biCompression = -1L
+    var strlOrdinal = -1; var vidsStream = -1
+    var inVidsStrl = false
+    val chunks = Vector.newBuilder[(Int, Int)]
+
+    // walk chunks in [start, end); handle(id, listType, bodyStart, bodyEnd)
+    def walk(start: Long, end: Long)(handle: (String, String, Long, Long) => Unit): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val id = fourcc(bytes, off.toInt)
+        val size = le32(bytes, off.toInt + 4)
+        val body = off + 8
+        if (size < 0 || body + size > end) ok = false
+        else {
+          val listType =
+            if ((id == "LIST" || id == "RIFF") && size >= 4) fourcc(bytes, body.toInt)
+            else ""
+          handle(id, listType, body, body + size)
+          off = body + size + (size & 1) // chunk bodies pad to even offsets
+        }
+      }
+    }
+
+    def collectMovi(start: Long, end: Long): Unit = walk(start, end) { (id, lt, s, e) =>
+      if (id == "LIST" && lt == "rec ") collectMovi(s + 4, e)
+      else if (id.length == 4 && vidsStream >= 0 &&
+        id.startsWith(f"$vidsStream%02d") &&
+        (id.endsWith("dc") || id.endsWith("db")) && e > s)
+        chunks += ((s.toInt, (e - s).toInt))
+    }
+
+    walk(12, bytes.length) { (id, lt, s, e) =>
+      if (id == "LIST" && lt == "hdrl") walk(s + 4, e) { (id2, lt2, s2, e2) =>
+        if (id2 == "avih" && e2 - s2 >= 40) {
+          usPerFrame = le32(bytes, s2.toInt)
+          totalFrames = le32(bytes, s2.toInt + 16)
+          w = le32(bytes, s2.toInt + 32).toInt
+          h = le32(bytes, s2.toInt + 36).toInt
+        }
+        if (id2 == "LIST" && lt2 == "strl") {
+          strlOrdinal += 1
+          inVidsStrl = false
+          walk(s2 + 4, e2) { (id3, _, s3, e3) =>
+            if (id3 == "strh" && e3 - s3 >= 8 && fourcc(bytes, s3.toInt) == "vids" &&
+              vidsStream < 0) {
+              vidsStream = strlOrdinal
+              inVidsStrl = true
+              codec = fourcc(bytes, s3.toInt + 4).trim.toLowerCase(java.util.Locale.ROOT)
+              if (codec.isEmpty) codec = "dib" // raw streams leave handler blank/0
+            }
+            // BITMAPINFOHEADER: biSize biWidth biHeight biPlanes(16) biBitCount(16) biCompression
+            if (id3 == "strf" && inVidsStrl && e3 - s3 >= 20) {
+              bitCount = le16(bytes, s3.toInt + 14)
+              biCompression = le32(bytes, s3.toInt + 16)
+            }
+          }
+        }
+      }
+      if (id == "LIST" && lt == "movi") collectMovi(s + 4, e)
+    }
+    Some(AviInfo(codec, w, h, usPerFrame, totalFrames, bitCount, biCompression,
+      chunks.result()))
+  }
+
+  /** AVI metadata in the common (container, codec, w, h, durationMs) shape. */
+  private[graft] def parseAvi(bytes: Array[Byte])
+    : Option[(String, String, Int, Int, Double)] =
+    parseAviInfo(bytes).map { info =>
+      val durMs =
+        if (info.usPerFrame > 0 && info.totalFrames > 0)
+          info.totalFrames * info.usPerFrame / 1000.0
+        else -1.0
+      ("avi", info.codec, info.width, info.height, durMs)
+    }
+
+  /** REAL decode of one AVI frame chunk. Two in-JDK codec paths:
+    *  - compressed chunks (`##dc`) go through the ImageIO registry — this
+    *    covers MJPEG (each frame is a standalone JPEG) and PNG-in-AVI;
+    *  - uncompressed DIB chunks (BI_RGB 24/32-bit, the `##db` raw path)
+    *    are grid-sampled DIRECTLY from the bottom-up BGR rows — O(dim)
+    *    per frame, no BufferedImage allocation.
+    * Returns None for codecs with no in-JDK decoder (H.264 etc.).
+    */
+  private[pipeline] def decodeAviFrame(bytes: Array[Byte], off: Int, len: Int,
+      info: AviInfo, dim: Int): Option[(Array[Float], Int, Int, String)] = {
+    if (len <= 0) return None
+    val viaImageIo =
+      decodeImage(java.util.Arrays.copyOfRange(bytes, off, off + len), dim)
+    if (viaImageIo.isDefined) return viaImageIo
+    // raw DIB: bottom-up rows, 4-byte-aligned stride, BGR(A) byte order
+    val bpp = info.bitCount / 8
+    val w = info.width; val h = info.height
+    if (info.biCompression != 0L || (bpp != 3 && bpp != 4) || w <= 0 || h <= 0)
+      return None
+    val stride = (w * bpp + 3) / 4 * 4
+    if (stride.toLong * h > len) return None
+    def rgbAt(x: Int, y: Int): Int = {
+      val p = off + (h - 1 - y) * stride + x * bpp
+      ((bytes(p + 2) & 0xFF) << 16) | ((bytes(p + 1) & 0xFF) << 8) | (bytes(p) & 0xFF)
+    }
+    Some((gridLuma(rgbAt, w, h, dim), w, h, "dib"))
+  }
+
   /** Container metadata for a video payload — REAL header parsing
-    * (MP4/ISO-BMFF box walk, WebM/Matroska EBML walk), no frame decode.
-    * Returns None when the payload is neither container.
+    * (MP4/ISO-BMFF box walk, WebM/Matroska EBML walk, AVI/RIFF chunk
+    * walk), no frame decode. Returns None when the payload is none of the
+    * three containers.
     */
   private[graft] def parseVideoMetadata(bytes: Array[Byte])
     : Option[(String, String, Int, Int, Double)] =
-    try parseMp4(bytes).orElse(parseEbml(bytes))
+    try parseMp4(bytes).orElse(parseEbml(bytes)).orElse(parseAvi(bytes))
     catch { case scala.util.control.NonFatal(_) => None }
 
   /** Adds container/codec/dims/duration for a binary video column, one row
@@ -488,6 +631,65 @@ object Multimodal {
           parseVideoMetadata(payload).getOrElse(("unknown", "unknown", -1, -1, -1.0))
         Row.fromSeq(row.toSeq ++ Seq(container, codec, w, h, durMs,
           payload.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** Schema appended per decoded frame by [[withVideoFrameFeatures]]. */
+  val videoFrameSchema: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("feature_vec", ArrayType(FloatType), nullable = false),
+    StructField("frame_width", IntegerType, nullable = false),
+    StructField("frame_height", IntegerType, nullable = false),
+    StructField("frame_format", StringType, nullable = false),
+    StructField("n_frames_total", IntegerType, nullable = false)))
+
+  /** REAL video frame decode + sampling: emits one row per decoded frame
+    * (every `everyNth`-th frame chunk, at most `maxFrames` per video) with
+    * a [[gridLuma]] feature vector and true pixel dims. In-JDK codec
+    * paths: AVI/MJPEG and PNG-in-AVI (per-frame ImageIO decode) and
+    * AVI/raw-DIB (direct grid sampling, no image allocation). Payloads
+    * with no decodable frames — MP4/WebM (no in-JDK codec) or non-video
+    * bytes — emit ONE sentinel row (`frame_idx = -1`, empty vector,
+    * `frame_format = "undecoded"`) so failures are countable without a
+    * join, matching [[withAudioFeatures]]'s sentinel contract.
+    *
+    * Scale shape: the flatMap is map-side only (frame rows stay colocated
+    * with their source partition, no shuffle), per-frame featurization is
+    * O(dim) after the codec, and a video contributes at most `maxFrames`
+    * output rows regardless of its length — bounded fan-out.
+    */
+  def withVideoFrameFeatures(df: DataFrame, binaryColumn: String,
+      everyNth: Int = 30, maxFrames: Int = 8, dim: Int = 16): DataFrame = {
+    require(everyNth > 0, "everyNth must be positive")
+    require(maxFrames > 0, "maxFrames must be positive")
+    val inputSchema = df.schema
+    val outSchema = StructType(inputSchema.fields ++ videoFrameSchema.fields)
+    val binIdx = inputSchema.fieldIndex(binaryColumn)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val payload = row.get(binIdx) match {
+          case b: Array[Byte] => b
+          case null => Array.empty[Byte]
+          case other => other.toString.getBytes("UTF-8")
+        }
+        val decoded: Seq[Row] =
+          (try parseAviInfo(payload) catch { case scala.util.control.NonFatal(_) => None })
+            .toSeq.flatMap { info =>
+              val n = info.frameChunks.length
+              Iterator.range(0, n, everyNth).take(maxFrames).flatMap { idx =>
+                val (off, len) = info.frameChunks(idx)
+                decodeAviFrame(payload, off, len, info, dim).map {
+                  case (vec, w, h, fmt) =>
+                    Row.fromSeq(row.toSeq ++
+                      Seq(idx, vec.toSeq, w, h, s"avi/${info.codec}:$fmt", n))
+                }
+              }.toSeq
+            }
+        if (decoded.nonEmpty) decoded
+        else Seq(Row.fromSeq(row.toSeq ++
+          Seq(-1, Seq.empty[Float], -1, -1, "undecoded", 0)))
       }
     }(enc)
   }
