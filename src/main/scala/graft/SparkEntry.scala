@@ -383,12 +383,14 @@ object SparkEntry {
       val mh = Dedup.nearDuplicatePairsFromSignatures(sigs,
         threshold = 0.5, numHashes = 64, bands = 16).filter(inSub)
         .select("id_a", "id_b").distinct().withColumn("graft_mh", lit(1L))
-      // UNCAPPED: the completeness flag below asserts pigeonhole-exact
-      // recall, which only holds when no bucket is capped — at sf0.1 the
-      // 64-bit/9-chunk buckets already exceed the default cap 1000 (the
-      // ScaleProbe r8 row measures 1,819 exclusions at 5k docs), which
-      // silently failed the flag at sf0.1 while sf0.01 stayed green
-      val sim = Dedup.simHashPairsFromSignatures(sigs, maxHamming = 8,
+      // UNCAPPED — but on the AUDIT SUBSET only. The completeness flag
+      // below asserts pigeonhole-exact recall, which only holds when no
+      // bucket is capped; chunk-equality candidacy is pairwise, so running
+      // the uncapped banding over subSigs yields the IDENTICAL in-subset
+      // pair set at a cost bounded by the 500-doc subset instead of the
+      // corpus (a hot bucket at 100x would otherwise turn this audit
+      // quadratic — the engine path stays capped + observable).
+      val sim = Dedup.simHashPairsFromSignatures(subSigs, maxHamming = 8,
           maxBucketSize = Int.MaxValue)
         .filter(inSub).select("id_a", "id_b").distinct().withColumn("graft_sh", lit(1L))
       val exactHam = subSigs
@@ -971,6 +973,24 @@ object SparkEntry {
       fsRepo.save(key, direct)
       val fsMatch = sameAsDirect(fsRepo.loadByKey(key))
 
+      // in-memory repository: the same loadByKey equality contract as the
+      // two persistent repositories (reference capability:
+      // repository/memory/InMemoryMetricsRepository.scala:28)
+      val memRepo = new InMemoryMetricsRepository
+      memRepo.save(key, direct)
+      val memRepoMatch = sameAsDirect(memRepo.loadByKey(key))
+
+      // in-memory state provider: copy the persisted states across WITHOUT
+      // a data scan (runOnAggregatedStates re-persists the merged states),
+      // then re-render metrics from memory alone — persist/load/merge all
+      // exercised on the TrieMap-backed provider
+      val memState = new graft.core.InMemoryStateProvider
+      AnalysisRunner.runOnAggregatedStates(analyzers,
+        Seq(new graft.core.HdfsStateProvider(s, s"$tmp/state")),
+        saveStatesWith = Some(memState))
+      val memStateMatch =
+        sameAsDirect(Some(AnalysisRunner.runOnAggregatedStates(analyzers, Seq(memState))))
+
       val tableName = "graft_q43_metrics"
       s.sql(s"DROP TABLE IF EXISTS $tableName")
       val stRepo = new SparkTableMetricsRepository(s, tableName)
@@ -1008,6 +1028,18 @@ object SparkEntry {
       val mergedSketch = merged.metric(kll).get
         .asInstanceOf[KLLMetric].value.get.sketch
 
+      // every metric below is a plain double by now — the temp state/repo
+      // dirs can go before the row is built (a bench run does 3 medians x
+      // 5 stateful runs; leaking the dirs was r8's orphan-tempdir source)
+      def rmTree(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
+      rmTree(java.nio.file.Paths.get(tmp))
+
       metricRow(s, Seq(
         "size_reloaded" -> dv(reloaded, Size()),
         "completeness_custkey_reloaded" -> dv(reloaded, Completeness("o_custkey")),
@@ -1023,6 +1055,8 @@ object SparkEntry {
         "kll_max_reloaded" -> kllSketch.max,
         "fs_repo_match" -> flag(fsMatch),
         "spark_repo_match" -> flag(stMatch),
+        "mem_repo_match" -> flag(memRepoMatch),
+        "mem_state_match" -> flag(memStateMatch),
         "loader_window_count" -> windowCount.toDouble,
         "loader_tag_count" -> tagCount.toDouble,
         "merged_size" -> dv(merged, Size()),
@@ -1768,6 +1802,8 @@ object SparkEntry {
         |       (SELECT max(o_totalprice) FROM orders) AS kll_max_reloaded,
         |       1.0::DOUBLE AS fs_repo_match,
         |       1.0::DOUBLE AS spark_repo_match,
+        |       1.0::DOUBLE AS mem_repo_match,
+        |       1.0::DOUBLE AS mem_state_match,
         |       2.0::DOUBLE AS loader_window_count,
         |       2.0::DOUBLE AS loader_tag_count,
         |       (SELECT count(*)::DOUBLE FROM orders) AS merged_size,

@@ -13,11 +13,13 @@ import org.apache.spark.sql.types._
   * registry reads) are decoded for REAL: true dimensions, format name, and
   * a grayscale-thumbnail feature vector. AUDIO payloads (WAV/AU/AIFF)
   * decode for real through `javax.sound.sampled`. VIDEO payloads get REAL
-  * container metadata — MP4/ISO-BMFF box walk and WebM/Matroska EBML walk
-  * for codec/dims/duration — while the frame DECODE falls back to
-  * `decodeStub` (no in-JDK video codec); a production deployment swaps the
-  * stub for a real decoder with the SAME signature (bytes => features),
-  * leaving every plan unchanged.
+  * container metadata — MP4/ISO-BMFF box walk, WebM/Matroska EBML walk,
+  * AVI/RIFF chunk walk — and AVI frame payloads also decode for REAL:
+  * MJPEG (standalone-JPEG frames) and PNG-in-AVI via ImageIO, raw
+  * BI_RGB DIB frames via direct grid sampling. MP4/WebM frame decode
+  * remains metadata-only (no in-JDK codec for H.264/VP8/VP9); a
+  * production deployment swaps `decodeStub` for a real decoder with the
+  * SAME signature (bytes => features), leaving every plan unchanged.
   */
 object Multimodal {
 
@@ -571,32 +573,44 @@ object Multimodal {
       ("avi", info.codec, info.width, info.height, durMs)
     }
 
-  /** REAL decode of one AVI frame chunk. Two in-JDK codec paths:
-    *  - compressed chunks (`##dc`) go through the ImageIO registry — this
-    *    covers MJPEG (each frame is a standalone JPEG) and PNG-in-AVI;
+  /** REAL decode of one AVI frame chunk. Two in-JDK codec paths, tried in
+    * cost order:
     *  - uncompressed DIB chunks (BI_RGB 24/32-bit, the `##db` raw path)
     *    are grid-sampled DIRECTLY from the bottom-up BGR rows — O(dim)
-    *    per frame, no BufferedImage allocation.
-    * Returns None for codecs with no in-JDK decoder (H.264 etc.).
+    *    per frame, zero-copy, no BufferedImage allocation. Tried FIRST
+    *    when the stream declares BI_RGB: ImageIO can never decode a bare
+    *    DIB chunk, so routing it there would copy every frame for nothing;
+    *  - compressed chunks (`##dc`) go through the ImageIO registry — this
+    *    covers MJPEG (each frame is a standalone JPEG) and PNG-in-AVI.
+    *    LIMITATION: MJPEG streams that omit the Huffman tables (decoders
+    *    are expected to substitute the standard DHT) fail ImageIO and fall
+    *    through to the sentinel row — only self-contained JPEG frames
+    *    decode.
+    * Returns None for codecs with no in-JDK decoder (H.264 etc.), for
+    * declared dimensions beyond [[MaxDecodedPixels]], and for chunks whose
+    * declared geometry does not fit the payload. All arithmetic on
+    * declared dims is done in Long so hostile `avih`/`strf` headers cannot
+    * wrap the bounds check into an out-of-range read.
     */
   private[pipeline] def decodeAviFrame(bytes: Array[Byte], off: Int, len: Int,
       info: AviInfo, dim: Int): Option[(Array[Float], Int, Int, String)] = {
     if (len <= 0) return None
-    val viaImageIo =
-      decodeImage(java.util.Arrays.copyOfRange(bytes, off, off + len), dim)
-    if (viaImageIo.isDefined) return viaImageIo
     // raw DIB: bottom-up rows, 4-byte-aligned stride, BGR(A) byte order
     val bpp = info.bitCount / 8
     val w = info.width; val h = info.height
-    if (info.biCompression != 0L || (bpp != 3 && bpp != 4) || w <= 0 || h <= 0)
-      return None
-    val stride = (w * bpp + 3) / 4 * 4
-    if (stride.toLong * h > len) return None
-    def rgbAt(x: Int, y: Int): Int = {
-      val p = off + (h - 1 - y) * stride + x * bpp
-      ((bytes(p + 2) & 0xFF) << 16) | ((bytes(p + 1) & 0xFF) << 8) | (bytes(p) & 0xFF)
+    if (info.biCompression == 0L && (bpp == 3 || bpp == 4) && w > 0 && h > 0 &&
+      w.toLong * h <= MaxDecodedPixels) {
+      val stride = (w.toLong * bpp + 3) / 4 * 4 // Long: w near 2^31 must not wrap
+      if (stride * h <= len) {
+        val strideI = stride.toInt // <= len <= Int.MaxValue after the guard
+        def rgbAt(x: Int, y: Int): Int = {
+          val p = off + (h - 1 - y) * strideI + x * bpp
+          ((bytes(p + 2) & 0xFF) << 16) | ((bytes(p + 1) & 0xFF) << 8) | (bytes(p) & 0xFF)
+        }
+        return Some((gridLuma(rgbAt, w, h, dim), w, h, "dib"))
+      }
     }
-    Some((gridLuma(rgbAt, w, h, dim), w, h, "dib"))
+    decodeImage(java.util.Arrays.copyOfRange(bytes, off, off + len), dim)
   }
 
   /** Container metadata for a video payload — REAL header parsing
@@ -649,10 +663,15 @@ object Multimodal {
     * a [[gridLuma]] feature vector and true pixel dims. In-JDK codec
     * paths: AVI/MJPEG and PNG-in-AVI (per-frame ImageIO decode) and
     * AVI/raw-DIB (direct grid sampling, no image allocation). Payloads
-    * with no decodable frames — MP4/WebM (no in-JDK codec) or non-video
-    * bytes — emit ONE sentinel row (`frame_idx = -1`, empty vector,
-    * `frame_format = "undecoded"`) so failures are countable without a
-    * join, matching [[withAudioFeatures]]'s sentinel contract.
+    * with no decodable frames emit ONE sentinel row (`frame_idx = -1`,
+    * empty vector) so failures are countable without a join, matching
+    * [[withAudioFeatures]]'s sentinel contract — and the sentinel keeps
+    * what IS known: a parsed AVI container with an undecodable codec
+    * (H.264-in-AVI etc.) reports `frame_format = "avi/<codec>:undecoded"`
+    * and its TRUE chunk count in `n_frames_total`, distinguishable from
+    * non-video bytes (`"undecoded"`, 0). Per-frame decode failures on
+    * malformed chunks are swallowed (NonFatal => sentinel), never a task
+    * failure.
     *
     * Scale shape: the flatMap is map-side only (frame rows stay colocated
     * with their source partition, no shuffle), per-frame featurization is
@@ -674,22 +693,31 @@ object Multimodal {
           case null => Array.empty[Byte]
           case other => other.toString.getBytes("UTF-8")
         }
-        val decoded: Seq[Row] =
-          (try parseAviInfo(payload) catch { case scala.util.control.NonFatal(_) => None })
-            .toSeq.flatMap { info =>
-              val n = info.frameChunks.length
-              Iterator.range(0, n, everyNth).take(maxFrames).flatMap { idx =>
-                val (off, len) = info.frameChunks(idx)
-                decodeAviFrame(payload, off, len, info, dim).map {
-                  case (vec, w, h, fmt) =>
-                    Row.fromSeq(row.toSeq ++
-                      Seq(idx, vec.toSeq, w, h, s"avi/${info.codec}:$fmt", n))
-                }
-              }.toSeq
+        val parsed =
+          try parseAviInfo(payload)
+          catch { case scala.util.control.NonFatal(_) => None }
+        val decoded: Seq[Row] = parsed.toSeq.flatMap { info =>
+          val n = info.frameChunks.length
+          Iterator.range(0, n, everyNth).take(maxFrames).flatMap { idx =>
+            val (off, len) = info.frameChunks(idx)
+            // a corrupt chunk must cost one frame, not the whole task
+            (try decodeAviFrame(payload, off, len, info, dim)
+             catch { case scala.util.control.NonFatal(_) => None }).map {
+              case (vec, w, h, fmt) =>
+                Row.fromSeq(row.toSeq ++
+                  Seq(idx, vec.toSeq, w, h, s"avi/${info.codec}:$fmt", n))
             }
+          }.toSeq
+        }
         if (decoded.nonEmpty) decoded
-        else Seq(Row.fromSeq(row.toSeq ++
-          Seq(-1, Seq.empty[Float], -1, -1, "undecoded", 0)))
+        else parsed match {
+          case Some(info) => // container parsed, codec undecodable: keep the facts
+            Seq(Row.fromSeq(row.toSeq ++ Seq(-1, Seq.empty[Float], -1, -1,
+              s"avi/${info.codec}:undecoded", info.frameChunks.length)))
+          case None =>
+            Seq(Row.fromSeq(row.toSeq ++
+              Seq(-1, Seq.empty[Float], -1, -1, "undecoded", 0)))
+        }
       }
     }(enc)
   }

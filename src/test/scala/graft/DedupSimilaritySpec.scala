@@ -157,6 +157,43 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
         banded shouldBe exactPairs
       }
     }
+
+    "yield identical in-subset pairs whether banded over the subset or the corpus" in {
+      // Pins the q24 audit parameterization: chunk-equality candidacy is
+      // PAIRWISE, so the uncapped banding pass may run over the bounded
+      // audit subset alone — the in-subset pair set is identical to what a
+      // full-corpus (quadratic-risk) pass would produce. q24 relies on
+      // this to keep the recall audit exact without ever banding the full
+      // corpus uncapped.
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(29)
+      val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+        "eta", "theta", "iota", "kappa", "lambda", "mu")
+      val base = (0 until 200).map(_ =>
+        Seq.fill(10)(words(rng.nextInt(words.size))).mkString(" "))
+      // every 4th doc duplicates its predecessor -> guaranteed hamming-0
+      // pairs both inside and outside the audit subset
+      val df = base.zipWithIndex.map { case (t, i) =>
+        (i.toLong, if (i % 4 == 3) base(i - 1) else t)
+      }.toDF("doc_id", "text")
+      val subN = 80L
+      val inSub = col("id_a") < subN && col("id_b") < subN
+      val sigs = Dedup.textSignatures(df, "doc_id", "text").persist()
+      try {
+        val subSigs = sigs.filter(col("graft_id") < subN)
+        val fromSub = Dedup.simHashPairsFromSignatures(subSigs, maxHamming = 8,
+            maxBucketSize = Int.MaxValue)
+          .filter(inSub).select("id_a", "id_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val fromFull = Dedup.simHashPairsFromSignatures(sigs, maxHamming = 8,
+            maxBucketSize = Int.MaxValue)
+          .filter(inSub).select("id_a", "id_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        fromSub shouldBe fromFull
+        fromSub should not be empty
+      } finally sigs.unpersist(blocking = false)
+    }
   }
 
   "Similarity" should {

@@ -454,6 +454,173 @@ class PipelineSurfacesSpec extends AnyWordSpec with Matchers with SparkSpec {
       }
     }
 
+    "parse and frame-decode REAL AVI containers (MJPEG, PNG-in-AVI, raw DIB)" in {
+      // --- minimal-but-valid RIFF/AVI tree built byte-for-byte ---
+      def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      def le32(v: Long): Array[Byte] = Array(
+        (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+        id.getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ padded
+      }
+      def list(typ: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", typ.getBytes("ISO-8859-1") ++ body)
+      def aviBytes(codec: String, w: Int, h: Int, usPerFrame: Long,
+          bitCount: Int, biCompression: Long,
+          frames: Seq[(String, Array[Byte])]): Array[Byte] = {
+        val avihBody = new Array[Byte](56)
+        le32(usPerFrame).copyToArray(avihBody, 0)
+        le32(frames.length.toLong).copyToArray(avihBody, 16)
+        le32(w.toLong).copyToArray(avihBody, 32)
+        le32(h.toLong).copyToArray(avihBody, 36)
+        val strhBody = "vids".getBytes("ISO-8859-1") ++
+          codec.getBytes("ISO-8859-1") ++ new Array[Byte](48)
+        val strfBody = new Array[Byte](40)
+        le32(40L).copyToArray(strfBody, 0)
+        le32(w.toLong).copyToArray(strfBody, 4)
+        le32(h.toLong).copyToArray(strfBody, 8)
+        le16(1).copyToArray(strfBody, 12)
+        le16(bitCount).copyToArray(strfBody, 14)
+        le32(biCompression).copyToArray(strfBody, 16)
+        val hdrl = list("hdrl", chunk("avih", avihBody) ++
+          list("strl", chunk("strh", strhBody) ++ chunk("strf", strfBody)))
+        val movi = list("movi",
+          frames.toArray.flatMap { case (id, b) => chunk(id, b) })
+        val riffBody = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+        "RIFF".getBytes("ISO-8859-1") ++ le32(riffBody.length.toLong) ++ riffBody
+      }
+
+      // compressed frames: real JPEG and PNG bytes written via ImageIO
+      def imageFrame(fmt: String, rgb: Int, w: Int, h: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        bos.toByteArray
+      }
+      // raw DIB frame: bottom-up, 4-byte-aligned stride, BGR order
+      def dibFrame(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+        val stride = (w * 3 + 3) / 4 * 4
+        val body = new Array[Byte](stride * h)
+        (0 until h).foreach { y =>
+          (0 until w).foreach { x =>
+            val p = y * stride + x * 3
+            body(p) = b.toByte; body(p + 1) = g.toByte; body(p + 2) = r.toByte
+          }
+        }
+        body
+      }
+
+      val mjpegAvi = aviBytes("MJPG", 8, 6, 40000L, 24, 0x47504A4DL,
+        (0 until 3).map(_ => "00dc" -> imageFrame("jpg", 0x808080, 8, 6)))
+      val pngAvi = aviBytes("MJPG", 8, 6, 40000L, 24, 0x47504A4DL,
+        Seq("00dc" -> imageFrame("png", 0xFF0000, 8, 6)))
+      val dibAvi = aviBytes("DIB ", 6, 4, 33333L, 24, 0L,
+        (0 until 2).map(_ => "00db" -> dibFrame(6, 4, 10, 20, 30)))
+      val h264Avi = aviBytes("H264", 320, 240, 33333L, 0, 0x34363248L,
+        (0 until 5).map(i => "00dc" -> Array.fill[Byte](32)((i + 1).toByte)))
+
+      // container metadata round-trips (duration = nFrames * usPerFrame)
+      Multimodal.parseAvi(mjpegAvi) shouldBe Some(("avi", "mjpg", 8, 6, 120.0))
+      Multimodal.parseAvi(dibAvi) shouldBe Some(("avi", "dib", 6, 4, 66.666))
+      Multimodal.parseVideoMetadata(h264Avi) shouldBe
+        Some(("avi", "h264", 320, 240, 166.665))
+
+      val rows = Seq(Row(1L, mjpegAvi), Row(2L, pngAvi), Row(3L, dibAvi),
+        Row(4L, h264Avi), Row(5L, "not a video at all".getBytes("UTF-8")))
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        payloadSchema)
+      val frames = Multimodal.withVideoFrameFeatures(df, "payload",
+          everyNth = 1, maxFrames = 8, dim = 4)
+        .orderBy("media_id", "frame_idx").collect()
+
+      val mj = frames.filter(_.getLong(0) == 1L)
+      mj.map(_.getAs[Int]("frame_idx")).toSeq shouldBe Seq(0, 1, 2)
+      mj.foreach { r =>
+        r.getAs[String]("frame_format") shouldBe "avi/mjpg:jpeg"
+        r.getAs[Int]("frame_width") shouldBe 8
+        r.getAs[Int]("frame_height") shouldBe 6
+        r.getAs[Int]("n_frames_total") shouldBe 3
+        // solid mid-gray frame -> every luma sample ~0.5 (JPEG is lossy)
+        r.getAs[Seq[Float]]("feature_vec").foreach(_ shouldBe 0.502f +- 0.05f)
+      }
+      val pngRows = frames.filter(_.getLong(0) == 2L)
+      pngRows should have length 1
+      pngRows.head.getAs[String]("frame_format") shouldBe "avi/mjpg:png"
+      // PNG is lossless: solid red -> luma exactly 0.299
+      pngRows.head.getAs[Seq[Float]]("feature_vec")
+        .foreach(_ shouldBe 0.299f +- 1e-4f)
+      val dib = frames.filter(_.getLong(0) == 3L)
+      dib.map(_.getAs[Int]("frame_idx")).toSeq shouldBe Seq(0, 1)
+      dib.foreach { r =>
+        r.getAs[String]("frame_format") shouldBe "avi/dib:dib"
+        r.getAs[Int]("frame_width") shouldBe 6
+        r.getAs[Int]("frame_height") shouldBe 4
+        val expected = (0.299f * 10 + 0.587f * 20 + 0.114f * 30) / 255.0f
+        r.getAs[Seq[Float]]("feature_vec").foreach(_ shouldBe expected +- 1e-6f)
+      }
+      // parsed container + undecodable codec: sentinel keeps codec + count
+      val h264 = frames.filter(_.getLong(0) == 4L)
+      h264 should have length 1
+      h264.head.getAs[Int]("frame_idx") shouldBe -1
+      h264.head.getAs[String]("frame_format") shouldBe "avi/h264:undecoded"
+      h264.head.getAs[Int]("n_frames_total") shouldBe 5
+      // non-video bytes: generic sentinel
+      val junk = frames.filter(_.getLong(0) == 5L)
+      junk.head.getAs[String]("frame_format") shouldBe "undecoded"
+      junk.head.getAs[Int]("n_frames_total") shouldBe 0
+
+      // hostile headers must not wrap the DIB bounds check into OOB reads:
+      // w=0x20000001 at 32bpp wraps Int w*bpp to 4, so the old Int stride
+      // was tiny and the bounds check passed while rgbAt read far OOB
+      val bombAvi = aviBytes("DIB ", 0x20000001, 2, 33333L, 32, 0L,
+        Seq("00db" -> Array.fill[Byte](64)(1)))
+      val bombOut = Multimodal.withVideoFrameFeatures(
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(Seq(Row(9L, bombAvi)).toList).asJava),
+          payloadSchema), "payload", everyNth = 1, maxFrames = 2, dim = 4)
+        .collect()
+      bombOut should have length 1
+      bombOut.head.getAs[Int]("frame_idx") shouldBe -1
+
+      // fuzz: the same truncation + corruption sweep the MP4/WebM fixtures
+      // get — the AVI walker and frame decoder must never throw
+      val rnd = new scala.util.Random(4321)
+      Seq(mjpegAvi, dibAvi).foreach { fixture =>
+        (0 to fixture.length).foreach { cut =>
+          noException should be thrownBy Multimodal.parseVideoMetadata(fixture.take(cut))
+        }
+        (0 until 200).foreach { _ =>
+          val corrupted = fixture.clone()
+          corrupted(rnd.nextInt(corrupted.length)) = rnd.nextInt().toByte
+          noException should be thrownBy Multimodal.parseVideoMetadata(corrupted)
+        }
+      }
+      // frame-decode path under corruption: batch every mutant through ONE
+      // Spark job — any decode escape fails the collect
+      val mutants =
+        Seq(mjpegAvi, dibAvi).zipWithIndex.flatMap { case (fixture, fi) =>
+          (0 to fixture.length by 7).map(cut =>
+            Row((fi * 10000 + cut).toLong, fixture.take(cut))) ++
+            (0 until 100).map { i =>
+              val corrupted = fixture.clone()
+              corrupted(rnd.nextInt(corrupted.length)) = rnd.nextInt().toByte
+              Row((fi * 10000 + 5000 + i).toLong, corrupted)
+            }
+        }
+      val mutantDf = spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(mutants.toList).asJava),
+        payloadSchema)
+      noException should be thrownBy
+        Multimodal.withVideoFrameFeatures(mutantDf, "payload",
+          everyNth = 1, maxFrames = 4, dim = 4).count()
+    }
+
     "sample frames deterministically" in {
       val sampled = Multimodal.sampleFrames(mediaDf.filter(col("payload").isNotNull),
         "payload", everyNth = 1, maxFrames = 4)
