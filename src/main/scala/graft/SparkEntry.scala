@@ -1193,6 +1193,162 @@ object SparkEntry {
         "check_applicable" -> flag(res.isApplicable),
         "n_analyzer_failures" -> aRes.failures.size.toDouble,
         "analyzers_applicable" -> flag(aRes.isApplicable)))
+    }),
+
+    // Multimodal decode paths under the oracle regime: a deterministic
+    // in-query binary corpus (PNG/BMP/JPEG via ImageIO writers, WAV via
+    // javax.sound, AVI containers built byte-for-byte) is featurized by
+    // the REAL decoders and every decoded quantity that is exact —
+    // lossless-image luma, PCM RMS, DIB frame luma, container metadata,
+    // sentinel chunk counts — is literal-mirrorable; lossy JPEG luma is a
+    // tolerance flag. Exercises image, audio, and all three AVI frame
+    // paths (MJPEG-as-JPEG, PNG-in-AVI, raw DIB) plus both sentinel shapes
+    "q47_multimodal" -> ((s, dir) => {
+      import graft.pipeline.Multimodal
+      val payloadSchema = org.apache.spark.sql.types.StructType(Seq(
+        StructField("media_id", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("payload", org.apache.spark.sql.types.BinaryType, nullable = true)))
+      def df(rows: Seq[Row]): DataFrame = s.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        payloadSchema)
+
+      // --- images: solid-color rasters through the JDK's own writers ---
+      def imageBytes(fmt: String, rgb: Int, w: Int, h: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        bos.toByteArray
+      }
+      // --- audio: constant-amplitude signed-16-bit PCM -> RMS exactly 0.5 ---
+      def wavBytes(rate: Float, nFrames: Int): Array[Byte] = {
+        val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+        val pcm = new Array[Byte](nFrames * 2)
+        var i = 0
+        while (i < nFrames) { pcm(i * 2) = 0x00; pcm(i * 2 + 1) = 0x40; i += 1 } // 16384 LE
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      // --- AVI: RIFF tree built byte-for-byte (same grammar the parser walks) ---
+      def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      def le32(v: Long) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+        id.getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ padded
+      }
+      def list(typ: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", typ.getBytes("ISO-8859-1") ++ body)
+      def aviBytes(codec: String, w: Int, h: Int, usPerFrame: Long, bitCount: Int,
+          biCompression: Long, frames: Seq[(String, Array[Byte])]): Array[Byte] = {
+        val avih = new Array[Byte](56)
+        le32(usPerFrame).copyToArray(avih, 0)
+        le32(frames.length.toLong).copyToArray(avih, 16)
+        le32(w.toLong).copyToArray(avih, 32)
+        le32(h.toLong).copyToArray(avih, 36)
+        val strh = "vids".getBytes("ISO-8859-1") ++
+          codec.getBytes("ISO-8859-1") ++ new Array[Byte](48)
+        val strf = new Array[Byte](40)
+        le32(40L).copyToArray(strf, 0)
+        le32(w.toLong).copyToArray(strf, 4)
+        le32(h.toLong).copyToArray(strf, 8)
+        le16(1).copyToArray(strf, 12)
+        le16(bitCount).copyToArray(strf, 14)
+        le32(biCompression).copyToArray(strf, 16)
+        val hdrl = list("hdrl", chunk("avih", avih) ++
+          list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+        val movi = list("movi", frames.toArray.flatMap { case (id, b) => chunk(id, b) })
+        val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+        "RIFF".getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ body
+      }
+      def dibFrame(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+        val stride = (w * 3 + 3) / 4 * 4
+        val body = new Array[Byte](stride * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = y * stride + x * 3
+            body(p) = b.toByte; body(p + 1) = g.toByte; body(p + 2) = r.toByte
+            x += 1
+          }
+          y += 1
+        }
+        body
+      }
+
+      val images = df(Seq(
+        Row(1L, imageBytes("png", 0xFF0000, 8, 6)),   // lossless: luma exact
+        Row(2L, imageBytes("bmp", 0x406080, 5, 7)),   // lossless: luma exact
+        Row(3L, imageBytes("jpg", 0x808080, 16, 12)), // lossy: tolerance flag
+        Row(4L, "definitely not an image".getBytes("UTF-8"))))
+      val audio = df(Seq(Row(10L, wavBytes(8000f, 4000))))
+      val videos = df(Seq(
+        Row(20L, aviBytes("DIB ", 6, 4, 33333L, 24, 0L,
+          (0 until 2).map(_ => "00db" -> dibFrame(6, 4, 10, 20, 30)))),
+        Row(21L, aviBytes("MJPG", 8, 6, 40000L, 24, 0x47504A4DL,
+          Seq("00dc" -> imageBytes("png", 0x00FF00, 8, 6),
+            "00dc" -> imageBytes("jpg", 0x808080, 8, 6)))),
+        Row(22L, aviBytes("H264", 320, 240, 33333L, 0, 0x34363248L,
+          (0 until 5).map(i => "00dc" -> Array.fill[Byte](32)((i + 1).toByte))))))
+
+      val img = Multimodal.withMediaFeatures(images, "payload", dim = 4)
+        .orderBy("media_id").collect()
+      def luma(r: Row): Double = {
+        val v = r.getAs[scala.collection.Seq[Float]]("feature_vec")
+        v.map(_.toDouble).sum / v.length
+      }
+      val au = Multimodal.withAudioFeatures(audio, "payload", dim = 4)
+        .collect().head
+      val vf = Multimodal.withVideoFrameFeatures(videos, "payload",
+          everyNth = 1, maxFrames = 8, dim = 4)
+        .orderBy("media_id", "frame_idx").collect()
+      val dib = vf.filter(_.getLong(0) == 20L)
+      val mjpg = vf.filter(_.getLong(0) == 21L)
+      val h264 = vf.filter(_.getLong(0) == 22L)
+      val meta = Multimodal.withVideoMetadata(videos, "payload")
+        .orderBy("media_id").collect()
+
+      val jpegLuma = luma(img(2))
+      val mjpgFormats = mjpg.map(_.getAs[String]("frame_format")).toSeq
+      metricRow(s, Seq(
+        "png_w" -> img(0).getAs[Int]("width").toDouble,
+        "png_h" -> img(0).getAs[Int]("height").toDouble,
+        "png_luma_r6" -> r6(luma(img(0))),
+        "png_fmt_ok" -> flag(img(0).getAs[String]("format") == "png"),
+        "bmp_luma_r6" -> r6(luma(img(1))),
+        "jpeg_dims_ok" -> flag(img(2).getAs[Int]("width") == 16 &&
+          img(2).getAs[Int]("height") == 12),
+        "jpeg_luma_ok" -> flag(math.abs(jpegLuma - 128.0 / 255.0) < 0.05),
+        "junk_stub_ok" -> flag(img(3).getAs[String]("format") == "stub"),
+        "wav_rate" -> au.getAs[Int]("sample_rate").toDouble,
+        "wav_channels" -> au.getAs[Int]("channels").toDouble,
+        "wav_frames" -> au.getAs[Long]("frames").toDouble,
+        "wav_dur_ms" -> au.getAs[Double]("duration_ms"),
+        // constant 16384/32768 samples: RMS envelope is exactly 0.5
+        "wav_rms_r6" -> r6(au.getAs[scala.collection.Seq[Float]]("feature_vec")
+          .map(_.toDouble).sum / 4.0),
+        "dib_frames" -> dib.length.toDouble,
+        "dib_w" -> dib.head.getAs[Int]("frame_width").toDouble,
+        "dib_h" -> dib.head.getAs[Int]("frame_height").toDouble,
+        "dib_luma_r6" -> r6(luma(dib.head)),
+        "mjpg_frames" -> mjpg.length.toDouble,
+        "mjpg_png_fmt_ok" -> flag(mjpgFormats.contains("avi/mjpg:png")),
+        "mjpg_jpeg_fmt_ok" -> flag(mjpgFormats.contains("avi/mjpg:jpeg")),
+        // parsed container + undecodable codec: ONE sentinel keeping the
+        // codec and the TRUE chunk count
+        "h264_sentinel_rows" -> h264.length.toDouble,
+        "h264_chunks" -> h264.head.getAs[Int]("n_frames_total").toDouble,
+        "h264_fmt_ok" -> flag(
+          h264.head.getAs[String]("frame_format") == "avi/h264:undecoded"),
+        "avi_dur_ms_r3" -> r3(meta(0).getAs[Double]("duration_ms")),
+        "avi_codec_ok" -> flag(meta(2).getAs[String]("codec") == "h264")))
     })
   )
 
@@ -1904,6 +2060,41 @@ object SparkEntry {
         |       2.0::DOUBLE AS n_failures,
         |       0.0::DOUBLE AS check_applicable,
         |       1.0::DOUBLE AS n_analyzer_failures,
-        |       0.0::DOUBLE AS analyzers_applicable""".stripMargin
+        |       0.0::DOUBLE AS analyzers_applicable""".stripMargin,
+
+    // q47: the in-query binary corpus is deterministic (fixed rasters, a
+    // constant-amplitude PCM buffer, byte-built AVI trees), so every exact
+    // decoded quantity is a literal: PNG/BMP luma from the ITU-R 601
+    // weights ((.299r+.587g+.114b)/255 in float), WAV duration/RMS
+    // (4000 frames @8kHz, constant 16384/32768 samples -> RMS .5), DIB
+    // frame luma, AVI duration (2 frames x 33333us), and the sentinel's
+    // true chunk count. Lossy JPEG luma and format-string checks are
+    // Spark-side tolerance/equality flags mirrored as 1.0.
+    "q47_multimodal" ->
+      """SELECT 8.0::DOUBLE AS png_w,
+        |       6.0::DOUBLE AS png_h,
+        |       0.299::DOUBLE AS png_luma_r6,
+        |       1.0::DOUBLE AS png_fmt_ok,
+        |       0.353255::DOUBLE AS bmp_luma_r6,
+        |       1.0::DOUBLE AS jpeg_dims_ok,
+        |       1.0::DOUBLE AS jpeg_luma_ok,
+        |       1.0::DOUBLE AS junk_stub_ok,
+        |       8000.0::DOUBLE AS wav_rate,
+        |       1.0::DOUBLE AS wav_channels,
+        |       4000.0::DOUBLE AS wav_frames,
+        |       500.0::DOUBLE AS wav_dur_ms,
+        |       0.5::DOUBLE AS wav_rms_r6,
+        |       2.0::DOUBLE AS dib_frames,
+        |       6.0::DOUBLE AS dib_w,
+        |       4.0::DOUBLE AS dib_h,
+        |       0.071176::DOUBLE AS dib_luma_r6,
+        |       2.0::DOUBLE AS mjpg_frames,
+        |       1.0::DOUBLE AS mjpg_png_fmt_ok,
+        |       1.0::DOUBLE AS mjpg_jpeg_fmt_ok,
+        |       1.0::DOUBLE AS h264_sentinel_rows,
+        |       5.0::DOUBLE AS h264_chunks,
+        |       1.0::DOUBLE AS h264_fmt_ok,
+        |       66.666::DOUBLE AS avi_dur_ms_r3,
+        |       1.0::DOUBLE AS avi_codec_ok""".stripMargin
   )
 }
