@@ -937,9 +937,14 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q43").toString
       val direct = AnalysisRunner.runStateful(orders, analyzers,
         saveStatesWith = Some(new graft.core.HdfsStateProvider(s, s"$tmp/state")))
-      // fresh provider instance: metrics re-rendered from loaded states only
+      // fresh provider instance: metrics re-rendered from loaded states
+      // only. The SAME pass also copies every loaded state into the
+      // in-memory provider (saveStatesWith) — the TrieMap round-trip below
+      // costs zero extra reads of the persisted states.
+      val memState = new graft.core.InMemoryStateProvider
       val reloaded = AnalysisRunner.runOnAggregatedStates(analyzers,
-        Seq(new graft.core.HdfsStateProvider(s, s"$tmp/state")))
+        Seq(new graft.core.HdfsStateProvider(s, s"$tmp/state")),
+        saveStatesWith = Some(memState))
 
       def dv(ctx: graft.runners.AnalyzerContext, a: AnyAnalyzer): Double =
         ctx.metric(a).get.asInstanceOf[DoubleMetric].value.get
@@ -980,14 +985,9 @@ object SparkEntry {
       memRepo.save(key, direct)
       val memRepoMatch = sameAsDirect(memRepo.loadByKey(key))
 
-      // in-memory state provider: copy the persisted states across WITHOUT
-      // a data scan (runOnAggregatedStates re-persists the merged states),
-      // then re-render metrics from memory alone — persist/load/merge all
-      // exercised on the TrieMap-backed provider
-      val memState = new graft.core.InMemoryStateProvider
-      AnalysisRunner.runOnAggregatedStates(analyzers,
-        Seq(new graft.core.HdfsStateProvider(s, s"$tmp/state")),
-        saveStatesWith = Some(memState))
+      // in-memory state provider round-trip: metrics re-rendered from the
+      // TrieMap-held states alone (populated scan-free by the reload pass
+      // above) must match the direct run
       val memStateMatch =
         sameAsDirect(Some(AnalysisRunner.runOnAggregatedStates(analyzers, Seq(memState))))
 
