@@ -963,10 +963,28 @@ object SparkEntry {
         case d: DoubleMetric => d.copy(fullColumn = None)
         case other => other
       }
+      // value compare is relative-epsilon, not bitwise: paths that
+      // RE-RENDER a metric from state (runOnAggregatedStates) re-run a
+      // float sum whose partition order is not the direct run's — entropy
+      // over a reloaded frequency state can differ in the last ulps. A
+      // genuine serde bug shows up orders of magnitude above 1e-9.
+      def sameMetric(l: Option[Metric[_]], d: Option[Metric[_]]): Boolean =
+        (l.map(norm), d.map(norm)) match {
+          case (Some(lm: DoubleMetric), Some(dm: DoubleMetric)) =>
+            lm.copy(value = scala.util.Success(0.0)) ==
+              dm.copy(value = scala.util.Success(0.0)) &&
+              ((lm.value, dm.value) match {
+                case (scala.util.Success(x), scala.util.Success(y)) =>
+                  x == y || math.abs(x - y) <=
+                    1e-9 * math.max(math.abs(x), math.abs(y))
+                case (lf, df) => lf.isFailure && df.isFailure
+              })
+          case (x, y) => x == y
+        }
       def sameAsDirect(loaded: Option[graft.runners.AnalyzerContext]): Boolean =
         loaded.exists { l =>
           analyzers.filterNot(_ eq kll)
-            .forall(a => l.metric(a).map(norm) == direct.metric(a).map(norm)) &&
+            .forall(a => sameMetric(l.metric(a), direct.metric(a))) &&
             ((l.metric(kll), direct.metric(kll)) match {
               case (Some(lm: KLLMetric), Some(dm: KLLMetric)) =>
                 java.util.Arrays.equals(lm.value.get.sketch.serialize(),
@@ -1349,6 +1367,77 @@ object SparkEntry {
           h264.head.getAs[String]("frame_format") == "avi/h264:undecoded"),
         "avi_dur_ms_r3" -> r3(meta(0).getAs[Double]("duration_ms")),
         "avi_codec_ok" -> flag(meta(2).getAs[String]("codec") == "h264")))
+    }),
+
+    // Distributed connected components (alternating large-star/small-star)
+    // + the cluster tail of the dedup pipeline, value-checked two ways:
+    // (1) components of an ENGINE-INDEPENDENT graph — the bipartite
+    // lineitem order-part incidence graph on a bounded orderkey range —
+    // are exactly reproducible by a DuckDB recursive transitive closure
+    // (node count, component count, max cluster size, sum of min-labels);
+    // (2) the MinHash-pair clustering is audited Spark-side: every
+    // near-dup pair's endpoints share a cluster label, and the
+    // keep-one-per-cluster count obeys kept = docs - clustered + clusters,
+    // with deduplicateNear independently reproducing it on a subset
+    "q48_components" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val edges = li.filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey").cast("long").as("a"),
+          (lit(1000000L) + col("l_partkey")).as("b"))
+      val comps = Dedup.connectedComponents(edges).persist()
+      val a0 = comps.agg(
+        count(lit(1)), countDistinct(col("component")),
+        sum(col("component"))).collect().head
+      val maxCluster = comps.groupBy("component")
+        .agg(count(lit(1)).as("graft_c"))
+        .agg(org.apache.spark.sql.functions.max(col("graft_c")))
+        .collect().head.getLong(0)
+      comps.unpersist(blocking = false)
+
+      // near-dup clustering audit over documents: ONE signature scan feeds
+      // pair generation; components run on the bare pair list
+      val docs = table(s, dir, "documents")
+      val sigs = Dedup.textSignatures(docs, "doc_id", "text").persist()
+      val pairs = Dedup.nearDuplicatePairsFromSignatures(sigs, threshold = 0.5)
+        .select("id_a", "id_b").persist()
+      val comps2 = Dedup.connectedComponents(pairs).persist()
+      val badPairs = pairs
+        .join(comps2.withColumnRenamed("node", "id_a")
+          .withColumnRenamed("component", "graft_ca"), Seq("id_a"))
+        .join(comps2.withColumnRenamed("node", "id_b")
+          .withColumnRenamed("component", "graft_cb"), Seq("id_b"))
+        .filter(col("graft_ca") =!= col("graft_cb")).count()
+      val nDocs = docs.count()
+      val c2 = comps2.agg(count(lit(1)), countDistinct(col("component")))
+        .collect().head
+      val (nClustered, nClusters) = (c2.getLong(0), c2.getLong(1))
+      pairs.unpersist(blocking = false)
+      comps2.unpersist(blocking = false)
+      sigs.unpersist(blocking = false)
+      // independent end-to-end path on a bounded subset: deduplicateNear
+      // must agree with the arithmetic identity on ITS OWN subset run
+      val subDocs = docs.filter(col("doc_id") < 200)
+      val subSigs = Dedup.textSignatures(subDocs, "doc_id", "text").persist()
+      val subComps = Dedup.connectedComponents(
+        Dedup.nearDuplicatePairsFromSignatures(subSigs, threshold = 0.5)
+          .select("id_a", "id_b"))
+      val sc = subComps.agg(count(lit(1)), countDistinct(col("component")))
+        .collect().head
+      val subKept = Dedup.deduplicateNear(subDocs, "doc_id", "text",
+        threshold = 0.5).count()
+      val nSub = subDocs.count()
+      subSigs.unpersist(blocking = false)
+
+      metricRow(s, Seq(
+        "cc_nodes" -> a0.getLong(0).toDouble,
+        "cc_components" -> a0.getLong(1).toDouble,
+        "cc_max_cluster" -> maxCluster.toDouble,
+        "cc_sum_labels" -> a0.getLong(2).toDouble,
+        "nd_pairs_consistent" -> flag(badPairs == 0L),
+        "nd_accounting_ok" -> flag(nClustered >= nClusters && nClusters >= 1 &&
+          nDocs >= nClustered),
+        "nd_sub_kept_ok" -> flag(
+          subKept == nSub - sc.getLong(0) + sc.getLong(1))))
     })
   )
 
@@ -2095,6 +2184,36 @@ object SparkEntry {
         |       5.0::DOUBLE AS h264_chunks,
         |       1.0::DOUBLE AS h264_fmt_ok,
         |       66.666::DOUBLE AS avi_dur_ms_r3,
-        |       1.0::DOUBLE AS avi_codec_ok""".stripMargin
+        |       1.0::DOUBLE AS avi_codec_ok""".stripMargin,
+
+    // q48: connected components of the bipartite order-part incidence
+    // graph (orderkey < 300; partkeys offset by 1,000,000 into a disjoint
+    // id space) via recursive transitive closure — component label = min
+    // reachable node, matching the engine's min-label contract. The
+    // near-dup clustering audits are Spark-side flags mirrored as 1.0
+    // (the pair relation is engine-specific; the flags assert label
+    // consistency and the keep-one-per-cluster counting identity).
+    "q48_components" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT l_orderkey AS a, 1000000 + l_partkey AS b
+        |  FROM lineitem WHERE l_orderkey < 300
+        |), edges AS (
+        |  SELECT a, b FROM base UNION SELECT b, a FROM base
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), comp AS (
+        |  SELECT a AS node, least(min(b), a) AS component FROM reach GROUP BY a
+        |)
+        |SELECT count(*)::DOUBLE AS cc_nodes,
+        |       count(DISTINCT component)::DOUBLE AS cc_components,
+        |       (SELECT max(c) FROM (SELECT count(*) AS c FROM comp
+        |                            GROUP BY component) t)::DOUBLE AS cc_max_cluster,
+        |       sum(component)::DOUBLE AS cc_sum_labels,
+        |       1.0::DOUBLE AS nd_pairs_consistent,
+        |       1.0::DOUBLE AS nd_accounting_ok,
+        |       1.0::DOUBLE AS nd_sub_kept_ok
+        |FROM comp""".stripMargin
   )
 }

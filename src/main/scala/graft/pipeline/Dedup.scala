@@ -669,4 +669,149 @@ object Dedup {
       planes: Int = 16,
       numTables: Int = 1): DataFrame =
     Similarity.cosinePairsLsh(df, idCol, embeddingCol, threshold, planes, numTables)
+
+  // -------------------------------------------------------------------------
+  // Connected components / cluster dedup — the tail of the dedup pipeline:
+  // pair lists become clusters, clusters become one canonical row each
+  // -------------------------------------------------------------------------
+
+  /** Connected components over an undirected edge list, returning one
+    * `(node, component)` row per distinct node, where `component` is the
+    * MINIMUM node id in that node's component.
+    *
+    * Algorithm: alternating large-star / small-star contractions (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * each round is two shuffle-bounded join+aggregate passes over the
+    * current edge set and the edge set converges to a star per component
+    * in O(log n) rounds (vs O(diameter) for naive label propagation: a
+    * 10M-node chain needs ~24 rounds here, 10M rounds there). No
+    * `collect_list` anywhere: per-node minima are aggregates and the
+    * neighbor fan-out is an equi-join, so a 100M-degree hub node becomes
+    * AQE-splittable skew instead of one executor-killing array.
+    *
+    * Iterative-plan hygiene at scale: every round ends in
+    * `localCheckpoint` — without it the lineage doubles per round and
+    * Catalyst analysis goes quadratic (the classic iterative-DataFrame
+    * trap). Convergence is detected by an (edge-count, hash-sum) checksum
+    * instead of a full set-equality join.
+    *
+    * Input: any two-column DataFrame of node ids (castable to long);
+    * self-loops and duplicate/reversed edges are fine. Isolated nodes
+    * don't appear in an edge list — callers wanting singleton components
+    * union them in afterwards (see [[nearDuplicateClusters]]).
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    require(edges.columns.length == 2,
+      s"connectedComponents expects exactly 2 columns, got ${edges.columns.length}")
+    val Seq(a, b) = edges.columns.toSeq.map(col)
+    var e = edges
+      .select(a.cast(LongType).as("src"), b.cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // large-star: every node connects its LARGER neighbors to its minimum
+    // neighbor (or itself); halves long chains and flattens hubs upward.
+    // Output edges are always directed large→small (m <= u < v), which
+    // small-star exploits below.
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src")
+        .agg(min(col("dst")).as("graft_min"))
+        .select(col("src"), least(col("graft_min"), col("src")).as("graft_m"))
+      sym.join(mins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("graft_m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // small-star over an ALREADY large→small-directed edge set (the shape
+    // largeStar emits — skipping the re-direction saves a full
+    // shuffle+dedup per round): every node connects its smaller neighbors
+    // (and itself) to its minimum neighbor
+    def smallStar(dir: DataFrame): DataFrame = {
+      val mins = dir.groupBy("src").agg(min(col("dst")).as("graft_m"))
+      dir.join(mins, "src")
+        .select(col("dst").as("src"), col("graft_m").as("dst"))
+        .union(mins.select(col("src"), col("graft_m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    def checksum(cur: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent set fingerprint with no ANSI overflow
+      val r = cur.agg(count(lit(1)),
+        bit_xor(xxhash64(col("src"), col("dst")))).collect().head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = (-1L, 0L)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // LAZY checkpoint: the checksum action below materializes it, so
+      // each round costs ONE job (plus its shuffles), not two
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val sum = checksum(next)
+      converged = sum == prev
+      prev = sum
+      e = next
+      round += 1
+    }
+    // converged state: one directed edge (node -> component root) per
+    // non-root node; roots re-enter as their own component
+    e.select(col("src").as("node"), col("dst").as("component"))
+      .union(e.select(col("dst").as("node"), col("dst").as("component")))
+      .distinct()
+  }
+
+  /** Near-duplicate CLUSTERS: every document labeled with the minimum
+    * doc id of its near-dup cluster (`cluster` column appended). Documents
+    * with no near-duplicate are their own singleton cluster. Pairs come
+    * from the capped MinHash-LSH path ([[nearDuplicatePairs]]); clustering
+    * is [[connectedComponents]] on that pair list — the standard
+    * train-corpus dedup shape (MinHashLSH dedup in C4/RefinedWeb-style
+    * pipelines keeps one document per connected component, not per pair).
+    */
+  def nearDuplicateClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sf = signatureFrame(df, idCol, textCol, numHashes, shingleSize = 3)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = CacheLifecycle.releaseOnConsume(
+      nearDuplicatePairsFromSignatures(sf, threshold, numHashes, bands,
+        maxBucketSize), Seq(sf))
+    // the first round's eager localCheckpoint inside connectedComponents
+    // is the single consumption that releases the signature cache
+    val comps = connectedComponents(pairs.select("id_a", "id_b"))
+    df.join(comps, df(idCol).cast(LongType) === comps("node"), "left_outer")
+      .select(df.columns.map(df(_)) :+
+        coalesce(comps("component"), df(idCol).cast(LongType)).as("cluster"): _*)
+  }
+
+  /** Cluster-level near-dup DEDUP: keeps exactly the canonical document
+    * (minimum id) of every near-dup cluster and every document with no
+    * near-duplicate. The complement of the kept set is what a training
+    * pipeline drops. Same join shape as [[nearDuplicateClusters]]: the
+    * only extra work over pair generation is the component contraction,
+    * whose cost tracks the PAIR list (near-dup edges), not the corpus.
+    */
+  def deduplicateNear(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame =
+    nearDuplicateClusters(df, idCol, textCol, threshold, numHashes, bands,
+      maxBucketSize)
+      .where(col("cluster") === col(idCol).cast(LongType))
+      .drop("cluster")
 }

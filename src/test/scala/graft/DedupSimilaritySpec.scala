@@ -345,6 +345,96 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "connectedComponents" should {
+    "label chains and separate components with the minimum node id" in {
+      val s = spark
+      import s.implicits._
+      // chain 1-2-3-4, pair 6-5 (reversed), isolated self-loop 9-9,
+      // duplicate + reversed edges sprinkled in
+      val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (6L, 5L), (4L, 3L),
+        (9L, 9L), (1L, 2L)).toDF("a", "b")
+      val comps = Dedup.connectedComponents(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      comps shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        5L -> 5L, 6L -> 5L) // the self-loop node has no real edge: absent
+    }
+
+    "converge on a long chain in O(log n) rounds" in {
+      val s = spark
+      import s.implicits._
+      // a 500-node path: diameter 499 — naive propagation would need ~500
+      // rounds, the star algorithm must finish well inside maxRounds=30
+      val chain = (0L until 499L).map(i => (i, i + 1)).toDF("a", "b")
+      val comps = Dedup.connectedComponents(chain).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      comps.size shouldBe 500
+      comps.values.toSet shouldBe Set(0L)
+    }
+
+    "match a driver-side union-find on random graphs" in {
+      val s = spark
+      import s.implicits._
+      for (seed <- Seq(7, 21)) {
+        val rng = new scala.util.Random(seed)
+        val n = 300
+        val edges = (0 until 380).map(_ =>
+          (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        // reference union-find with path compression
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        edges.foreach { case (x, y) =>
+          if (x != y) {
+            val (rx, ry) = (find(x.toInt), find(y.toInt))
+            if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+          }
+        }
+        val touched = edges.flatMap { case (x, y) => Seq(x, y) }
+          .filter(v => edges.exists { case (p, q) => p != q && (p == v || q == v) })
+          .distinct
+        val expected = touched.map { v =>
+          // component label = min node in component among TOUCHED nodes
+          val root = find(v.toInt)
+          v -> touched.filter(u => find(u.toInt) == root).min
+        }.toMap
+        val comps = Dedup.connectedComponents(edges.toDF("a", "b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        withClue(s"seed $seed: ") { comps shouldBe expected }
+      }
+    }
+  }
+
+  "nearDuplicateClusters" should {
+    "cluster transitively and keep one canonical doc per cluster" in {
+      val s = spark
+      import s.implicits._
+      // 1 and 4 are exact dups; 2 is a near-dup of both -> one cluster
+      // {1,2,4} labeled 1; 3, 5, 6 are singletons
+      val clustered = Dedup.nearDuplicateClusters(docs, "doc_id", "text",
+        threshold = 0.5)
+      val byDoc = clustered.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+      byDoc(1L) shouldBe 1L
+      byDoc(4L) shouldBe 1L
+      byDoc(2L) shouldBe 1L
+      byDoc(3L) shouldBe 3L
+      byDoc(5L) shouldBe 5L
+      clustered.columns.toSeq shouldBe (docs.columns.toSeq :+ "cluster")
+
+      val kept = Dedup.deduplicateNear(docs, "doc_id", "text", threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      kept should contain allOf (1L, 3L, 5L)
+      kept should contain noneOf (2L, 4L)
+      Dedup.deduplicateNear(docs, "doc_id", "text", threshold = 0.5)
+        .columns.toSeq shouldBe docs.columns.toSeq
+    }
+  }
+
   "exact dedup edge cases" should {
     "survive all-null tie-breakers and break ties deterministically" in {
       val s = spark
