@@ -699,8 +699,22 @@ object Dedup {
     * self-loops and duplicate/reversed edges are fine. Isolated nodes
     * don't appear in an edge list — callers wanting singleton components
     * union them in afterwards (see [[nearDuplicateClusters]]).
+    *
+    * Adaptive small-graph path: a near-dup EDGE list is usually tiny
+    * relative to the corpus that produced it (pairs, not documents), and
+    * the iterative rounds are pure fixed-cost overhead on a graph that
+    * fits on the driver. When the deduped edge count is at most
+    * `localSolveMaxEdges` (default 1M ≈ 16 MB of longs — broadcast-sized,
+    * same budget class as a broadcast-join build side), the components
+    * are solved with one collect + union-find instead of O(log n) rounds
+    * of 6 shuffles each. Pass `localSolveMaxEdges = 0` to force the
+    * distributed path (tests and the q48 oracle do, so the star
+    * contraction itself stays value-pinned).
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+  def connectedComponents(
+      edges: DataFrame,
+      maxRounds: Int = 30,
+      localSolveMaxEdges: Long = 1000000L): DataFrame = {
     require(edges.columns.length == 2,
       s"connectedComponents expects exactly 2 columns, got ${edges.columns.length}")
     val Seq(a, b) = edges.columns.toSeq.map(col)
@@ -711,6 +725,31 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
 
+    if (localSolveMaxEdges > 0 && e.count() <= localSolveMaxEdges) {
+      val s = edges.sparkSession
+      // bounded by the threshold: <= localSolveMaxEdges (Long,Long) rows
+      val local = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nx = parent.get(c); parent.put(c, r); c = nx
+        }
+        r
+      }
+      local.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) parent.put(math.max(rx, ry), math.min(rx, ry))
+      }
+      val nodes = local.iterator.flatMap(p => Iterator(p._1, p._2)).toArray
+        .distinct
+      import s.implicits._
+      return nodes.map(v => (v, find(v))).toSeq
+        .toDF("node", "component")
+    }
+
     // large-star: every node connects its LARGER neighbors to its minimum
     // neighbor (or itself); halves long chains and flattens hubs upward.
     // Output edges are always directed large→small (m <= u < v), which
@@ -720,11 +759,14 @@ object Dedup {
       val mins = sym.groupBy("src")
         .agg(min(col("dst")).as("graft_min"))
         .select(col("src"), least(col("graft_min"), col("src")).as("graft_m"))
+      // no distinct here: smallStar's aggregates tolerate duplicate edges
+      // and its own final distinct dedups the round's output — dups can't
+      // compound across rounds (each round re-reads the distinct output),
+      // and dropping the exchange saves one stage per round
       sym.join(mins, "src")
         .where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("graft_m").as("dst"))
         .where(col("src") =!= col("dst"))
-        .distinct()
     }
     // small-star over an ALREADY large→small-directed edge set (the shape
     // largeStar emits — skipping the re-direction saves a full
@@ -787,8 +829,18 @@ object Dedup {
     val pairs = CacheLifecycle.releaseOnConsume(
       nearDuplicatePairsFromSignatures(sf, threshold, numHashes, bands,
         maxBucketSize), Seq(sf))
+    clustersFromPairs(df, idCol, pairs)
+  }
+
+  /** The cluster TAIL on its own: label `df` with the minimum-id cluster
+    * of a precomputed near-dup pair list (columns `id_a`, `id_b`).
+    * Callers that already hold a pair list — a shared signature scan, a
+    * different similarity engine, a persisted pair table — skip the
+    * signature pass [[nearDuplicateClusters]] would redo.
+    */
+  def clustersFromPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     // the first round's eager localCheckpoint inside connectedComponents
-    // is the single consumption that releases the signature cache
+    // is the single consumption that releases any upstream cache
     val comps = connectedComponents(pairs.select("id_a", "id_b"))
     df.join(comps, df(idCol).cast(LongType) === comps("node"), "left_outer")
       .select(df.columns.map(df(_)) :+

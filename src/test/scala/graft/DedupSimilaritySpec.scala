@@ -365,7 +365,10 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
       // a 500-node path: diameter 499 — naive propagation would need ~500
       // rounds, the star algorithm must finish well inside maxRounds=30
       val chain = (0L until 499L).map(i => (i, i + 1)).toDF("a", "b")
-      val comps = Dedup.connectedComponents(chain).collect()
+      // localSolveMaxEdges = 0 forces the distributed star rounds — the
+      // O(log n) claim under test is about THAT path, not the local solve
+      val comps = Dedup.connectedComponents(chain, localSolveMaxEdges = 0)
+        .collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       comps.size shouldBe 500
       comps.values.toSet shouldBe Set(0L)
@@ -402,9 +405,15 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
           val root = find(v.toInt)
           v -> touched.filter(u => find(u.toInt) == root).min
         }.toMap
-        val comps = Dedup.connectedComponents(edges.toDF("a", "b")).collect()
+        // BOTH paths — the distributed star rounds and the adaptive
+        // small-graph local solve — must reproduce the reference labels
+        val distributed = Dedup.connectedComponents(edges.toDF("a", "b"),
+          localSolveMaxEdges = 0).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        withClue(s"seed $seed: ") { comps shouldBe expected }
+        val localPath = Dedup.connectedComponents(edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        withClue(s"seed $seed (distributed): ") { distributed shouldBe expected }
+        withClue(s"seed $seed (local): ") { localPath shouldBe expected }
       }
     }
   }
