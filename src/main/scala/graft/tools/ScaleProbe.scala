@@ -164,6 +164,21 @@ object ScaleProbe {
     def quality(d: DataFrame): Long =
       d.select(graft.pipeline.TextAnalysis.qualityScore(col("text")).as("q"))
         .agg(count(when(col("q") >= 0.5, 1))).collect().head.getLong(0)
+    // distributed connected components: FIXED chain depth (so the round
+    // count — the log-diameter term — is identical at both scales) with
+    // the number of chain components scaled by MULT; the returned count is
+    // the number of components found, so a wrong result can't hide in a
+    // timing row. localSolveMaxEdges = 0 because the probe measures the
+    // distributed star rounds, not the small-graph union-find shortcut.
+    val CcDepth = 64
+    def ccEdges(comps: Long): DataFrame =
+      spark.range(comps * CcDepth)
+        .where(pmod(col("id"), lit(CcDepth)) =!= (CcDepth - 1))
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+    def cc(e: DataFrame): Long =
+      Dedup.connectedComponents(e, localSolveMaxEdges = 0)
+        .agg(countDistinct(col("component"))).collect().head.getLong(0)
+    val ccComps1 = 3125L // ~200k nodes ×1; ~2M nodes ×MULT
 
     // warm the text/dedup probes with their EXACT plan shapes on a tiny
     // slice: the HOF/regex expression trees janino-compile per distinct
@@ -172,6 +187,7 @@ object ScaleProbe {
     exactDedup(docs0.limit(200))
     langId(docs0.limit(200))
     quality(docs0.limit(200))
+    cc(ccEdges(4))
 
     val results = Seq(
       ("minhash", timed(minhash(docs0)), timed(minhash(docsX))),
@@ -181,7 +197,9 @@ object ScaleProbe {
       ("lsh_topk", timed(topK(emb0)), timed(topK(embX))),
       ("exact_dedup", timed(exactDedup(docs0)), timed(exactDedup(docsX))),
       ("lang_id", timed(langId(docs0)), timed(langId(docsX))),
-      ("quality_score", timed(quality(docs0)), timed(quality(docsX))))
+      ("quality_score", timed(quality(docs0)), timed(quality(docsX))),
+      ("connected_components",
+        timed(cc(ccEdges(ccComps1))), timed(cc(ccEdges(ccComps1 * mult)))))
 
     // skew: cap must engage and the run must complete
     val (skewSec, skewPairs, skewExcluded) = timed(
@@ -190,12 +208,18 @@ object ScaleProbe {
         threshold = 0.5, numHashes = 64, bands = 16,
         maxBucketSize = SkewCap).count())
 
+    // graph-skew: a 500k-degree hub node — per-node minima are aggregates
+    // (map-side partial min), the fan-out join is AQE-splittable; the
+    // failure mode probed is an executor-killing neighbor materialization
+    val (hubSec, hubComps, _) = timed(cc(
+      spark.range(1, 500001).select(lit(0L).as("a"), col("id").as("b"))))
+
     val probeJson = results.map { case (name, (s1, n1, c1), (sx, nx, cx)) =>
       val ratio = if (s1 > 0) sx / s1 else -1.0
       f""""$name":{"x1_sec":$s1%.2f,"x${mult}_sec":$sx%.2f,"ratio":$ratio%.2f,"x1_pairs":$n1,"x${mult}_pairs":$nx,"x1_cap_excluded":$c1,"x${mult}_cap_excluded":$cx}"""
     }.mkString(",")
     val line =
-      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies}}"""
+      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"cc_hub":{"sec":$hubSec%.2f,"components":$hubComps,"degree":500000}}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_probe.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
