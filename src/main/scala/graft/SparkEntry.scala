@@ -1444,6 +1444,42 @@ object SparkEntry {
           nDocs >= nClustered),
         "nd_kept_identity_ok" -> flag(
           kept == nDocs - nClustered + nClusters)))
+    }),
+
+    // Benchmark decontamination (the GPT-3/Dolma token-n-gram convention,
+    // n = 13): probes are built deterministically from the corpus itself —
+    // the 13-token slices [6..18] of docs 20/30/45 (doc 45 chosen because
+    // its slice also appears verbatim inside two OTHER documents at sf0.01,
+    // so the oracle pins cross-document hits alongside the probe-source
+    // self-matches) — and DuckDB rebuilds
+    // the IDENTICAL probes, checking space-padded substring containment of
+    // the single-space-normalized lowercase text, which token-n-gram
+    // matching is exactly equivalent to. Value-pinned: probe count,
+    // contaminated-doc count, per-doc distinct-probe match sum, kept count,
+    // plus the kept = docs - contaminated anti-join identity.
+    "q49_decontamination" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val ntoks = TextAnalysis.normalizedTokens(col("text"))
+      val probes = docs.filter(col("doc_id").isin(20L, 30L, 45L))
+        .filter(org.apache.spark.sql.functions.size(ntoks) >= 18)
+        .select(org.apache.spark.sql.functions.concat_ws(" ",
+          org.apache.spark.sql.functions.slice(ntoks, 6, 13)).as("probe"))
+        .distinct()
+      val matches = TextAnalysis.contaminationMatches(
+        docs, "doc_id", "text", probes, "probe", n = 13).persist()
+      val agg = matches.agg(count(lit(1)), sum(col("matched_ngrams")))
+        .collect().head
+      val kept = TextAnalysis.decontaminate(
+        docs, "doc_id", "text", probes, "probe", n = 13).count()
+      val nDocs = docs.count()
+      val nProbes = probes.count()
+      matches.unpersist(blocking = false)
+      metricRow(s, Seq(
+        "n_probes" -> nProbes.toDouble,
+        "contaminated_docs" -> agg.getLong(0).toDouble,
+        "matched_ngrams" -> agg.getLong(1).toDouble,
+        "kept_docs" -> kept.toDouble,
+        "kept_identity_ok" -> flag(kept == nDocs - agg.getLong(0))))
     })
   )
 
@@ -2220,6 +2256,40 @@ object SparkEntry {
         |       1.0::DOUBLE AS nd_pairs_consistent,
         |       1.0::DOUBLE AS nd_accounting_ok,
         |       1.0::DOUBLE AS nd_kept_identity_ok
-        |FROM comp""".stripMargin
+        |FROM comp""".stripMargin,
+
+    // q49: token-13-gram decontamination — DuckDB rebuilds the identical
+    // normalized probe strings and tests space-padded substring
+    // containment (contains(), not LIKE: probe text could carry LIKE
+    // wildcards) of the single-space-normalized lowercase text, which is
+    // exactly token-n-gram containment. The anti-join identity flag is
+    // mirrored as 1.0.
+    "q49_decontamination" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_filter(string_split_regex(lower(text),
+        |           '\s+'), x -> x <> ''), ' ') AS ntext
+        |  FROM documents
+        |), probes AS (
+        |  SELECT DISTINCT array_to_string(
+        |    (list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> ''))[6:18], ' ') AS probe
+        |  FROM documents
+        |  WHERE doc_id IN (20, 30, 45)
+        |    AND len(list_filter(string_split_regex(lower(text), '\s+'),
+        |          x -> x <> '')) >= 18
+        |), m AS (
+        |  SELECT n.doc_id, count(DISTINCT p.probe) AS matches
+        |  FROM norm n JOIN probes p
+        |    ON contains(' ' || n.ntext || ' ', ' ' || p.probe || ' ')
+        |  GROUP BY n.doc_id
+        |)
+        |SELECT (SELECT count(*) FROM probes)::DOUBLE AS n_probes,
+        |       count(*)::DOUBLE AS contaminated_docs,
+        |       sum(matches)::DOUBLE AS matched_ngrams,
+        |       (SELECT count(*) FROM norm)::DOUBLE - count(*)::DOUBLE
+        |         AS kept_docs,
+        |       1.0::DOUBLE AS kept_identity_ok
+        |FROM m""".stripMargin
   )
 }

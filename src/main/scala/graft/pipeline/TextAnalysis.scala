@@ -264,4 +264,69 @@ object TextAnalysis {
 
   def withFeatures(df: DataFrame, textCol: String): DataFrame =
     df.select(col("*") +: featureColumns(col(textCol)): _*)
+
+  // -- benchmark decontamination --------------------------------------------
+  // Test-set contamination removal by token n-gram overlap — the GPT-3 /
+  // Dolma convention (default n = 13): a training document is contaminated
+  // when it contains any n-token sequence that also appears in a held-out
+  // probe set. Token n-grams over single-space-normalized lowercase text
+  // make "contains the n-gram" EXACTLY substring containment of the
+  // space-padded normalized text, which is what the oracle checks.
+
+  /** Per-document contamination matches: one row per contaminated document
+    * with `matched_ngrams` = the number of DISTINCT probe n-grams it
+    * contains. Documents with zero matches are absent.
+    *
+    * 100 TB plan shape: the probe side (a benchmark suite: thousands of
+    * n-grams, not billions) is aggregated to a distinct hash set and
+    * BROADCAST — the corpus is scanned once, n-gram hashes are generated
+    * map-side (narrow `explode`), the broadcast hash join filters
+    * non-matches before anything shuffles, and only the surviving
+    * (contaminated) rows reach the final tiny groupBy. The corpus itself
+    * never shuffles and nothing is collected.
+    *
+    * Probes with fewer than `n` tokens carry no n-gram and are ignored —
+    * match shorter phrases by lowering `n`, not by padding.
+    */
+  def contaminationMatches(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: DataFrame,
+      probeTextCol: String,
+      n: Int = 13): DataFrame = {
+    val probeGrams = probes
+      .where(size(normalizedTokens(col(probeTextCol))) >= n)
+      .select(explode(
+        Dedup.shingleHashes(Dedup.shingles(col(probeTextCol), n)))
+        .as("graft_gram"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(
+        Dedup.shingleHashes(Dedup.shingles(col(textCol), n)))
+        .as("graft_gram"))
+      .join(broadcast(probeGrams), "graft_gram")
+      .groupBy(idCol)
+      .agg(countDistinct(col("graft_gram")).as("matched_ngrams"))
+  }
+
+  /** The decontaminated corpus: every row of `corpus` whose text shares no
+    * token `n`-gram with the probe set. Left-anti against the
+    * contaminated-id side — usually tiny, so AQE picks a broadcast anti
+    * join at runtime; no explicit hint because a pathologically broad
+    * probe set can contaminate an unbounded fraction of the corpus, and
+    * forcing a broadcast there would OOM the driver exactly when the
+    * sort-merge fallback is needed.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: DataFrame,
+      probeTextCol: String,
+      n: Int = 13): DataFrame =
+    corpus.join(
+      contaminationMatches(corpus, idCol, textCol, probes, probeTextCol, n)
+        .select(idCol),
+      Seq(idCol), "left_anti")
 }

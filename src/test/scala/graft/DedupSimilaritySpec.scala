@@ -745,4 +745,46 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
       rows(2).getString(4) shouldBe "two mails: [EMAIL] [EMAIL]"
     }
   }
+
+  "decontamination" should {
+    "flag exactly the documents sharing a probe n-gram" in {
+      val s = spark
+      import s.implicits._
+      val corpus = Seq(
+        (1L, "alpha beta gamma delta epsilon"),   // contains probe 1
+        (2L, "zz Alpha BETA gamma yy"),           // probe 1, case/position shifted
+        (3L, "alphax beta gamma delta"),          // token boundary breaks the match
+        (4L, "beta gamma alpha delta"),           // same tokens, wrong order
+        (5L, "unrelated text entirely here"),
+        (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      val probes = Seq(
+        "ALPHA  beta GAMMA",   // normalization: case + whitespace runs
+        "delta epsilon",       // < n tokens: ignored
+        "no match anywhere9"   // 3 tokens, matches nothing
+      ).toDF("probe")
+      val m = TextAnalysis.contaminationMatches(
+        corpus, "doc_id", "text", probes, "probe", n = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      m shouldBe Map(1L -> 1L, 2L -> 1L)
+
+      val kept = TextAnalysis.decontaminate(
+        corpus, "doc_id", "text", probes, "probe", n = 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      kept shouldBe Set(3L, 4L, 5L, 6L)
+    }
+
+    "count distinct probe n-grams per document" in {
+      val s = spark
+      import s.implicits._
+      val corpus = Seq(
+        (1L, "one two three four five six one two three"),
+        (2L, "four five six")).toDF("doc_id", "text")
+      val probes = Seq("one two three", "four five six").toDF("probe")
+      val m = TextAnalysis.contaminationMatches(
+        corpus, "doc_id", "text", probes, "probe", n = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // doc 1 contains probe 1 twice but it counts ONCE; both probes hit
+      m shouldBe Map(1L -> 2L, 2L -> 1L)
+    }
+  }
 }
