@@ -164,6 +164,17 @@ object ScaleProbe {
     def quality(d: DataFrame): Long =
       d.select(graft.pipeline.TextAnalysis.qualityScore(col("text")).as("q"))
         .agg(count(when(col("q") >= 0.5, 1))).collect().head.getLong(0)
+    // decontamination: the probe set stays FIXED (a benchmark suite does
+    // not grow with the corpus) while the corpus scales ×MULT — the
+    // broadcast-join scan shape should give ~1x per 10x per core-second
+    val decontamProbes = docs0
+      .filter(col("doc_id").isin(20L, 30L, 45L))
+      .select(col("text").as("probe"))
+    def decontam(d: DataFrame): Long =
+      graft.pipeline.TextAnalysis.contaminationMatches(
+        d, "doc_id", "text", decontamProbes, "probe", n = 13)
+        .agg(coalesce(sum(col("matched_ngrams")), lit(0L)))
+        .collect().head.getLong(0)
     // distributed connected components: FIXED chain depth (so the round
     // count — the log-diameter term — is identical at both scales) with
     // the number of chain components scaled by MULT; the returned count is
@@ -187,6 +198,7 @@ object ScaleProbe {
     exactDedup(docs0.limit(200))
     langId(docs0.limit(200))
     quality(docs0.limit(200))
+    decontam(docs0.limit(200))
     cc(ccEdges(4))
 
     val results = Seq(
@@ -198,6 +210,7 @@ object ScaleProbe {
       ("exact_dedup", timed(exactDedup(docs0)), timed(exactDedup(docsX))),
       ("lang_id", timed(langId(docs0)), timed(langId(docsX))),
       ("quality_score", timed(quality(docs0)), timed(quality(docsX))),
+      ("decontamination", timed(decontam(docs0)), timed(decontam(docsX))),
       ("connected_components",
         timed(cc(ccEdges(ccComps1))), timed(cc(ccEdges(ccComps1 * mult)))))
 

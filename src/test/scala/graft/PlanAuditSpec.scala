@@ -103,6 +103,28 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "contamination matching" should {
+    "broadcast the probe-gram set and never shuffle the corpus pre-join" in {
+      import graft.pipeline.TextAnalysis
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val probes = docs.limit(3).select(col("text").as("probe"))
+      val m = TextAnalysis.contaminationMatches(
+        docs, "doc_id", "text", probes, "probe", n = 5)
+      m.count()
+      val plan = m.queryExecution.executedPlan.toString()
+      plan should include("BroadcastHashJoin")
+      plan should not include "SortMergeJoin"
+      // the corpus (streamed) side must reach the join without an exchange:
+      // scan → narrow explode → join. In the printed tree the streamed
+      // branch sits between the BroadcastHashJoin line and the
+      // BroadcastExchange that starts the build side.
+      val corpusSide = plan.substring(
+        plan.indexOf("BroadcastHashJoin"), plan.indexOf("BroadcastExchange"))
+      corpusSide.linesIterator.count(_.contains("Exchange")) shouldBe 0
+      corpusSide should include("FileScan")
+    }
+  }
+
   "row-level results" should {
     "evaluate scan constraints as map-side expressions without extra scans" in {
       import graft.checks._
