@@ -1480,6 +1480,41 @@ object SparkEntry {
         "matched_ngrams" -> agg.getLong(1).toDouble,
         "kept_docs" -> kept.toDouble,
         "kept_identity_ok" -> flag(kept == nDocs - agg.getLong(0))))
+    }),
+
+    // Gopher repetition rules (Rae et al. 2021 table A1): per-doc duplicate
+    // line/paragraph fractions plus top/duplicated token-n-gram character
+    // fractions, all exact integer ratios DuckDB recomputes from the same
+    // definitions. Value-pinned: the summed integer numerators for every
+    // n (2-4 top covers, 5-10 dup chars), total normalized chars, line
+    // count, the full-threshold kept count, two representative per-rule
+    // fail counts, and the filter() = keep-count identity.
+    "q50_repetition" -> ((s, dir) => {
+      import graft.pipeline.Repetition
+      val docs = table(s, dir, "documents")
+      val st = Repetition.stats(docs, "doc_id", "text").persist()
+      val sums =
+        Seq(count(lit(1)).as("n_docs"),
+          sum(col("total_chars")).as("sum_total_chars"),
+          sum(col("n_lines")).as("sum_n_lines")) ++
+          Repetition.TopNs.map(n =>
+            sum(col(s"top_gram_cover_$n")).as(s"sum_top_cover_$n")) ++
+          Repetition.DupNs.map(n =>
+            sum(col(s"dup_gram_chars_$n")).as(s"sum_dup_chars_$n")) ++
+          Seq(
+            count(when(Repetition.gopherKeep(), 1)).as("kept_docs"),
+            count(when(col("top_gram_frac_2") > lit(0.20), 1))
+              .as("fail_top_2"),
+            count(when(col("dup_gram_frac_5") > lit(0.15), 1))
+              .as("fail_dup_5"))
+      val agg = st.agg(sums.head, sums.tail: _*).collect().head
+      val filtered = Repetition.filter(docs, "doc_id", "text").count()
+      st.unpersist(blocking = false)
+      val names = agg.schema.fieldNames
+      metricRow(s,
+        names.map(n => n -> agg.getAs[Long](n).toDouble).toSeq :+
+          ("filter_identity_ok" ->
+            flag(filtered == agg.getAs[Long]("kept_docs"))))
     })
   )
 
@@ -2290,6 +2325,135 @@ object SparkEntry {
         |       (SELECT count(*) FROM norm)::DOUBLE - count(*)::DOUBLE
         |         AS kept_docs,
         |       1.0::DOUBLE AS kept_identity_ok
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // q50: Gopher repetition rules — DuckDB replays the exact per-doc
+    // definitions: positional token n-grams over normalized lowercase
+    // text (one cross-joined n table covers n=2..10), line/paragraph
+    // duplicate groups after regex-whitespace trim, fractions as one
+    // IEEE division of exact integers (guarded to 0 when the denominator
+    // is 0, matching fracOf). The filter identity flag is mirrored as 1.0.
+    "q50_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '') AS toks,
+        |         text
+        |  FROM documents
+        |), tot AS (
+        |  SELECT doc_id,
+        |         coalesce(len(array_to_string(toks, ' ')), 0) AS total_chars
+        |  FROM base
+        |), gstat AS (
+        |  SELECT doc_id, n, max(cnt * l) AS top,
+        |         sum(CASE WHEN cnt >= 2 THEN cnt * l ELSE 0 END) AS dup
+        |  FROM (
+        |    SELECT doc_id, n, g, count(*) AS cnt, len(g) AS l
+        |    FROM (
+        |      SELECT b.doc_id, nn.n,
+        |             unnest(list_transform(range(1, len(b.toks) - nn.n + 2),
+        |               i -> array_to_string(b.toks[i : i + nn.n - 1], ' ')))
+        |               AS g
+        |      FROM base b, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) nn
+        |      WHERE len(b.toks) >= nn.n
+        |    ) GROUP BY doc_id, n, g
+        |  ) GROUP BY doc_id, n
+        |), gpiv AS (
+        |  SELECT doc_id,
+        |         max(CASE WHEN n = 2 THEN top END) AS top2,
+        |         max(CASE WHEN n = 3 THEN top END) AS top3,
+        |         max(CASE WHEN n = 4 THEN top END) AS top4,
+        |         max(CASE WHEN n = 5 THEN dup END) AS dup5,
+        |         max(CASE WHEN n = 6 THEN dup END) AS dup6,
+        |         max(CASE WHEN n = 7 THEN dup END) AS dup7,
+        |         max(CASE WHEN n = 8 THEN dup END) AS dup8,
+        |         max(CASE WHEN n = 9 THEN dup END) AS dup9,
+        |         max(CASE WHEN n = 10 THEN dup END) AS dup10
+        |  FROM gstat GROUP BY doc_id
+        |), lstat AS (
+        |  SELECT doc_id, sum(c) AS n_items,
+        |         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_items,
+        |         sum(c * l) AS t_chars,
+        |         sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) AS dup_chars
+        |  FROM (
+        |    SELECT doc_id, item, count(*) AS c, len(item) AS l
+        |    FROM (
+        |      SELECT doc_id, unnest(list_filter(list_transform(
+        |        string_split(text, chr(10)),
+        |        x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+        |        x -> x <> '')) AS item
+        |      FROM base
+        |    ) GROUP BY doc_id, item
+        |  ) GROUP BY doc_id
+        |), pstat AS (
+        |  SELECT doc_id, sum(c) AS n_items,
+        |         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_items,
+        |         sum(c * l) AS t_chars,
+        |         sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) AS dup_chars
+        |  FROM (
+        |    SELECT doc_id, item, count(*) AS c, len(item) AS l
+        |    FROM (
+        |      SELECT doc_id, unnest(list_filter(list_transform(
+        |        string_split_regex(text, '\n\s*\n'),
+        |        x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+        |        x -> x <> '')) AS item
+        |      FROM base
+        |    ) GROUP BY doc_id, item
+        |  ) GROUP BY doc_id
+        |), per AS (
+        |  SELECT t.doc_id, t.total_chars,
+        |         coalesce(l.n_items, 0) AS n_lines,
+        |         CASE WHEN coalesce(l.n_items, 0) > 0
+        |           THEN l.dup_items::DOUBLE / l.n_items ELSE 0 END AS dlf,
+        |         CASE WHEN coalesce(l.t_chars, 0) > 0
+        |           THEN l.dup_chars::DOUBLE / l.t_chars ELSE 0 END AS dlcf,
+        |         CASE WHEN coalesce(p.n_items, 0) > 0
+        |           THEN p.dup_items::DOUBLE / p.n_items ELSE 0 END AS dpf,
+        |         CASE WHEN coalesce(p.t_chars, 0) > 0
+        |           THEN p.dup_chars::DOUBLE / p.t_chars ELSE 0 END AS dpcf,
+        |         coalesce(g.top2, 0) AS top2, coalesce(g.top3, 0) AS top3,
+        |         coalesce(g.top4, 0) AS top4, coalesce(g.dup5, 0) AS dup5,
+        |         coalesce(g.dup6, 0) AS dup6, coalesce(g.dup7, 0) AS dup7,
+        |         coalesce(g.dup8, 0) AS dup8, coalesce(g.dup9, 0) AS dup9,
+        |         coalesce(g.dup10, 0) AS dup10
+        |  FROM tot t
+        |  LEFT JOIN lstat l USING (doc_id)
+        |  LEFT JOIN pstat p USING (doc_id)
+        |  LEFT JOIN gpiv g USING (doc_id)
+        |), fr AS (
+        |  SELECT *,
+        |    CASE WHEN total_chars > 0 THEN top2::DOUBLE / total_chars ELSE 0 END AS ftop2,
+        |    CASE WHEN total_chars > 0 THEN top3::DOUBLE / total_chars ELSE 0 END AS ftop3,
+        |    CASE WHEN total_chars > 0 THEN top4::DOUBLE / total_chars ELSE 0 END AS ftop4,
+        |    CASE WHEN total_chars > 0 THEN dup5::DOUBLE / total_chars ELSE 0 END AS fdup5,
+        |    CASE WHEN total_chars > 0 THEN dup6::DOUBLE / total_chars ELSE 0 END AS fdup6,
+        |    CASE WHEN total_chars > 0 THEN dup7::DOUBLE / total_chars ELSE 0 END AS fdup7,
+        |    CASE WHEN total_chars > 0 THEN dup8::DOUBLE / total_chars ELSE 0 END AS fdup8,
+        |    CASE WHEN total_chars > 0 THEN dup9::DOUBLE / total_chars ELSE 0 END AS fdup9,
+        |    CASE WHEN total_chars > 0 THEN dup10::DOUBLE / total_chars ELSE 0 END AS fdup10
+        |  FROM per
+        |)
+        |SELECT count(*)::DOUBLE AS n_docs,
+        |       sum(total_chars)::DOUBLE AS sum_total_chars,
+        |       sum(n_lines)::DOUBLE AS sum_n_lines,
+        |       sum(top2)::DOUBLE AS sum_top_cover_2,
+        |       sum(top3)::DOUBLE AS sum_top_cover_3,
+        |       sum(top4)::DOUBLE AS sum_top_cover_4,
+        |       sum(dup5)::DOUBLE AS sum_dup_chars_5,
+        |       sum(dup6)::DOUBLE AS sum_dup_chars_6,
+        |       sum(dup7)::DOUBLE AS sum_dup_chars_7,
+        |       sum(dup8)::DOUBLE AS sum_dup_chars_8,
+        |       sum(dup9)::DOUBLE AS sum_dup_chars_9,
+        |       sum(dup10)::DOUBLE AS sum_dup_chars_10,
+        |       count(CASE WHEN dlf <= 0.30 AND dpf <= 0.30
+        |         AND dlcf <= 0.20 AND dpcf <= 0.20
+        |         AND ftop2 <= 0.20 AND ftop3 <= 0.18 AND ftop4 <= 0.16
+        |         AND fdup5 <= 0.15 AND fdup6 <= 0.14 AND fdup7 <= 0.13
+        |         AND fdup8 <= 0.12 AND fdup9 <= 0.11 AND fdup10 <= 0.10
+        |         THEN 1 END)::DOUBLE AS kept_docs,
+        |       count(CASE WHEN ftop2 > 0.20 THEN 1 END)::DOUBLE AS fail_top_2,
+        |       count(CASE WHEN fdup5 > 0.15 THEN 1 END)::DOUBLE AS fail_dup_5,
+        |       1.0::DOUBLE AS filter_identity_ok
+        |FROM fr""".stripMargin
   )
 }

@@ -746,6 +746,62 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "repetition stats" should {
+    "compute n-gram cover and duplicate-item fractions by hand-checkable values" in {
+      val s = spark
+      import s.implicits._
+      import graft.pipeline.Repetition
+      val docs = Seq(
+        // tokens: a b a b c -> 2-grams: "a b"(2) "b a"(1) "b c"(1)
+        // total_chars = 5 tokens * 1 + 4 spaces = 9; top cover = 2*3 = 6
+        (1L, "A b a  B c"),
+        // lines: x / x / y -> 3 lines, 2 duplicates; chars 2 of 3
+        (2L, "x\nx\ny"),
+        // paragraphs: "p q" twice, "r" once (blank-line separated)
+        (3L, "p q\n\np q\n \nr"),
+        (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      val m = Repetition.stats(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r).toMap
+
+      m(1L).getLong(1) shouldBe 5L            // n_tokens
+      m(1L).getLong(2) shouldBe 9L            // total_chars
+      m(1L).getAs[Long]("top_gram_cover_2") shouldBe 6L
+      m(1L).getAs[Double]("top_gram_frac_2") shouldBe 6.0 / 9.0
+      m(1L).getAs[Long]("dup_gram_chars_5") shouldBe 0L
+
+      m(2L).getLong(3) shouldBe 3L            // n_lines
+      m(2L).getAs[Double]("dup_line_frac") shouldBe 2.0 / 3.0
+      m(2L).getAs[Double]("dup_line_char_frac") shouldBe 2.0 / 3.0
+
+      m(3L).getAs[Long]("n_paras") shouldBe 3L
+      m(3L).getAs[Double]("dup_para_frac") shouldBe 2.0 / 3.0
+      m(3L).getAs[Double]("dup_para_char_frac") shouldBe 6.0 / 7.0
+
+      m(4L).getLong(1) shouldBe 0L
+      m(4L).getAs[Double]("dup_line_frac") shouldBe 0.0
+      m(4L).getAs[Double]("top_gram_frac_2") shouldBe 0.0
+    }
+
+    "count overlapping occurrences and fire the Gopher filter on degenerate docs" in {
+      val s = spark
+      import s.implicits._
+      import graft.pipeline.Repetition
+      val spam = ("buy now " * 40).trim            // one 2-gram dominates
+      val clean = (1 to 80).map(i => s"tok$i").mkString(" ")
+      val docs = Seq((1L, spam), (2L, clean)).toDF("doc_id", "text")
+      val st = Repetition.stats(docs, "doc_id", "text")
+      val withKeep = st.select(col("graft_id"), Repetition.gopherKeep().as("keep"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      withKeep shouldBe Map(1L -> false, 2L -> true)
+      // "buy now" repeated: dup 5-grams cover the whole text (frac > 1 is
+      // legal under the per-occurrence convention)
+      st.where(col("graft_id") === 1L)
+        .select(col("dup_gram_frac_5")).collect().head.getDouble(0) should be > 1.0
+      Repetition.filter(docs, "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    }
+  }
+
   "decontamination" should {
     "flag exactly the documents sharing a probe n-gram" in {
       val s = spark
