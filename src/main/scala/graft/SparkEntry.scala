@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, expr, lit, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, countDistinct, expr, lit, sum, when}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
@@ -1515,6 +1515,57 @@ object SparkEntry {
         names.map(n => n -> agg.getAs[Long](n).toDouble).toSeq :+
           ("filter_identity_ok" ->
             flag(filtered == agg.getAs[Long]("kept_docs"))))
+    }),
+
+    // Deterministic data-mixture sampling: hash-Bernoulli keep fractions
+    // (a global 25% draw + a per-language recipe) and per-language token
+    // budgets. Every keep decision is a pure function of
+    // md5("graft:<doc_id>") — fixed-width lowercase hex compares
+    // lexicographically == numerically, so DuckDB replays it bit-for-bit.
+    // Value-pinned: kept counts and id-sums for both samplers, per-group
+    // kept counts / token sums / id-sum for the budget prefix, plus
+    // budget-respected and recipe-groups-only identity flags.
+    "q51_data_mix" -> ((s, dir) => {
+      import graft.pipeline.Mixing
+      val docs = table(s, dir, "documents")
+      val plain = Mixing.sample(docs, "doc_id", 0.25)
+        .agg(count(lit(1)), coalesce(sum("doc_id"), lit(0L)))
+        .collect().head
+      val strat = Mixing.stratifiedSample(docs, "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 0.1, "de" -> 0.3), defaultFraction = 0.2)
+        .agg(count(lit(1)), coalesce(sum("doc_id"), lit(0L)),
+          count(when(col("lang") === "en", 1)),
+          count(when(col("lang") === "zh", 1)))
+        .collect().head
+      val budgets = Map("en" -> 3000L, "de" -> 1200L, "zh" -> 600L)
+      val perGroup = Mixing
+        .tokenBudgetSample(docs, "doc_id", "text", "lang", budgets)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)), sum(Mixing.tokenCountExpr(col("text"))),
+          coalesce(sum("doc_id"), lit(0L)))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      def g(k: String): (Long, Long, Long) = perGroup.getOrElse(k, (0L, 0L, 0L))
+      val withinBudget =
+        budgets.forall { case (k, b) => g(k)._2 <= b }
+      val recipeOnly = perGroup.keySet.subsetOf(budgets.keySet)
+      metricRow(s, Seq(
+        "plain_kept" -> plain.getLong(0).toDouble,
+        "plain_id_sum" -> plain.getLong(1).toDouble,
+        "strat_kept" -> strat.getLong(0).toDouble,
+        "strat_id_sum" -> strat.getLong(1).toDouble,
+        "strat_en" -> strat.getLong(2).toDouble,
+        "strat_zh" -> strat.getLong(3).toDouble,
+        "budget_kept_en" -> g("en")._1.toDouble,
+        "budget_kept_de" -> g("de")._1.toDouble,
+        "budget_kept_zh" -> g("zh")._1.toDouble,
+        "budget_toks_en" -> g("en")._2.toDouble,
+        "budget_toks_de" -> g("de")._2.toDouble,
+        "budget_toks_zh" -> g("zh")._2.toDouble,
+        "budget_id_sum" -> perGroup.values.map(_._3).sum.toDouble,
+        "within_budget_ok" -> flag(withinBudget),
+        "recipe_groups_ok" -> flag(recipeOnly)))
     })
   )
 
@@ -2454,6 +2505,58 @@ object SparkEntry {
         |       count(CASE WHEN ftop2 > 0.20 THEN 1 END)::DOUBLE AS fail_top_2,
         |       count(CASE WHEN fdup5 > 0.15 THEN 1 END)::DOUBLE AS fail_dup_5,
         |       1.0::DOUBLE AS filter_identity_ok
-        |FROM fr""".stripMargin
+        |FROM fr""".stripMargin,
+
+    // q51: deterministic mixture sampling — DuckDB recomputes the same
+    // md5("graft:<doc_id>") 8-hex rank and compares it against the same
+    // threshold literals (emitted by Mixing.hexThreshold so engine and
+    // oracle share one definition); the token-budget prefix is the window
+    // form of the engine's distributed prefix-sum. Identity flags mirrored
+    // as 1.0.
+    "q51_data_mix" -> {
+      import graft.pipeline.Mixing.hexThreshold
+      val (t25, t50, t30, t20, t10) =
+        (hexThreshold(0.25), hexThreshold(0.5), hexThreshold(0.3),
+          hexThreshold(0.2), hexThreshold(0.1))
+      raw"""WITH h AS (
+        |  SELECT doc_id, lang,
+        |         substring(md5('graft:' || doc_id::VARCHAR), 1, 8) AS hh,
+        |         coalesce(len(list_filter(string_split_regex(text, '\s+'),
+        |           x -> x <> '')), 0) AS toks
+        |  FROM documents
+        |), strat AS (
+        |  SELECT * FROM h
+        |  WHERE hh < CASE lang WHEN 'en' THEN '$t50' WHEN 'zh' THEN '$t10'
+        |                       WHEN 'de' THEN '$t30' ELSE '$t20' END
+        |), tb AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, lang, toks,
+        |           sum(toks) OVER (PARTITION BY lang ORDER BY hh, doc_id
+        |             ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM h WHERE lang IN ('en', 'de', 'zh')
+        |  ) WHERE cum <= CASE lang WHEN 'en' THEN 3000
+        |                           WHEN 'de' THEN 1200 ELSE 600 END
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM h WHERE hh < '$t25')::DOUBLE AS plain_kept,
+        |  (SELECT coalesce(sum(doc_id), 0) FROM h WHERE hh < '$t25')::DOUBLE
+        |    AS plain_id_sum,
+        |  (SELECT count(*) FROM strat)::DOUBLE AS strat_kept,
+        |  (SELECT coalesce(sum(doc_id), 0) FROM strat)::DOUBLE AS strat_id_sum,
+        |  (SELECT count(*) FROM strat WHERE lang = 'en')::DOUBLE AS strat_en,
+        |  (SELECT count(*) FROM strat WHERE lang = 'zh')::DOUBLE AS strat_zh,
+        |  (SELECT count(*) FROM tb WHERE lang = 'en')::DOUBLE AS budget_kept_en,
+        |  (SELECT count(*) FROM tb WHERE lang = 'de')::DOUBLE AS budget_kept_de,
+        |  (SELECT count(*) FROM tb WHERE lang = 'zh')::DOUBLE AS budget_kept_zh,
+        |  (SELECT coalesce(sum(toks), 0) FROM tb WHERE lang = 'en')::DOUBLE
+        |    AS budget_toks_en,
+        |  (SELECT coalesce(sum(toks), 0) FROM tb WHERE lang = 'de')::DOUBLE
+        |    AS budget_toks_de,
+        |  (SELECT coalesce(sum(toks), 0) FROM tb WHERE lang = 'zh')::DOUBLE
+        |    AS budget_toks_zh,
+        |  (SELECT coalesce(sum(doc_id), 0) FROM tb)::DOUBLE AS budget_id_sum,
+        |  1.0::DOUBLE AS within_budget_ok,
+        |  1.0::DOUBLE AS recipe_groups_ok""".stripMargin
+    }
   )
 }

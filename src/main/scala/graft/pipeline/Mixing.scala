@@ -1,0 +1,172 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic data-mixture sampling — the "sample the corpus to a target
+  * recipe" step of a training-data pipeline (per-source/per-language keep
+  * fractions a la C4/The Pile mixture tables; per-group token budgets a la
+  * Dolma/RefinedWeb mixture tuning).
+  *
+  * Everything here is reproducible from the data alone — no RNG state, no
+  * partition-order dependence:
+  *
+  *  - [[sampleHash]] ranks each row by the first 8 lowercase hex chars of
+  *    `md5("<seed>:<id>")`, uniform over the 32-bit space. A keep-fraction
+  *    compares the rank LEXICOGRAPHICALLY against a fixed-width hex
+  *    threshold string — identical to the numeric compare for fixed-width
+  *    lowercase hex, and replayable bit-for-bit by any engine with md5
+  *    (the oracle does exactly that).
+  *  - [[sample]] / [[stratifiedSample]]: pure map-side filters — no
+  *    shuffle, no state; the predicate sits directly above the scan, so
+  *    column pruning and pushdown survive. Changing the seed re-draws the
+  *    sample; growing the corpus never changes the verdict on an existing
+  *    row (the property that makes hash-sampling the standard for
+  *    incremental corpus builds).
+  *  - [[tokenBudgetSample]]: per group, keep documents in deterministic
+  *    hash order until the CUMULATIVE (inclusive) whitespace-token count
+  *    exceeds the group's budget — the prefix the budget affords. The
+  *    running sum is NOT a `Window` partitioned by group (one task per
+  *    group dies when a group is most of a 100 TB corpus): like
+  *    [[graft.sketch.KLL.exactNumericalDistance]], rows range-partition on
+  *    (group, hash, id), each partition reports per-group partial token
+  *    sums (K small maps to the driver, K = shuffle partitions), and a
+  *    second pass over the cached slim projection seeds each partition's
+  *    running totals from broadcast offsets. No task ever holds more than
+  *    one range partition, whatever the group skew.
+  *
+  * reference capability: deequ has no mixture sampling; this is part of the
+  * beyond-reference LLM-pipeline family (SURVEY §2 pipeline block).
+  */
+object Mixing {
+
+  /** 8-hex-char deterministic rank of a row id in [0, 2^32), as a string:
+    * `substr(md5("<seed>:<id>"), 1, 8)`. Lowercase hex, so lexicographic
+    * order == numeric order at fixed width.
+    */
+  def sampleHash(id: Column, seed: String): Column =
+    substring(md5(concat_ws(":", lit(seed), id.cast(StringType))), 1, 8)
+
+  /** The 8-hex threshold string for a keep fraction: a row is kept iff
+    * `sampleHash < threshold`. fraction <= 0 keeps nothing (nothing sorts
+    * below ""); fraction >= 1 keeps everything ("g" sorts above every hex
+    * digit, avoiding the 9-char overflow of %08x at 2^32).
+    */
+  def hexThreshold(fraction: Double): String =
+    if (fraction <= 0.0) ""
+    else if (fraction >= 1.0) "g"
+    else f"${(fraction * 4294967296.0).toLong.min(4294967295L)}%08x"
+
+  /** Deterministic Bernoulli(fraction) sample keyed on `idCol`. */
+  def sample(df: DataFrame, idCol: String, fraction: Double,
+      seed: String = "graft"): DataFrame =
+    df.where(sampleHash(col(idCol), seed) < lit(hexThreshold(fraction)))
+
+  /** Per-group keep fractions (e.g. per language / per source), one
+    * map-side predicate: groups absent from `fractions` use
+    * `defaultFraction`. Null group values take the default as well.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      seed: String = "graft"): DataFrame = {
+    val thr = fractions.foldLeft(lit(hexThreshold(defaultFraction))) {
+      case (acc, (g, f)) =>
+        when(col(groupCol) === lit(g), lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.where(sampleHash(col(idCol), seed) < thr)
+  }
+
+  /** Rows of `df` forming, per group, the hash-ordered prefix whose
+    * inclusive cumulative whitespace-token count stays within
+    * `budgets(group)`. Groups absent from `budgets` are dropped — the
+    * budget map IS the mixture recipe. Ties are broken by id, so the
+    * result is a pure function of (data, seed, budgets). Null text counts
+    * zero tokens (kept for free if its hash rank falls inside the prefix).
+    *
+    * Execution: one range exchange on (group, hash, id) over a slim
+    * 4-column projection, two passes over the cached partitions (partial
+    * sums up, offsets broadcast down), then a semi-join back to the full
+    * rows — AQE picks broadcast when the kept-id set is small, sort-merge
+    * when it is most of the corpus.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      budgets: Map[String, Long],
+      seed: String = "graft"): DataFrame = {
+    val spark = df.sparkSession
+    val idField = df.schema(df.schema.fieldIndex(idCol))
+    val slim = df
+      .where(col(groupCol).isin(budgets.keys.toSeq.map(lit): _*))
+      .select(
+        col(groupCol).cast(StringType).as("graft_g"),
+        sampleHash(col(idCol), seed).as("graft_h"),
+        col(idCol).as("graft_id"),
+        tokenCountExpr(col(textCol)).as("graft_t"))
+      .repartitionByRange(col("graft_g"), col("graft_h"), col("graft_id"))
+      .sortWithinPartitions("graft_g", "graft_h", "graft_id")
+      .rdd.map(r => (r.getString(0), r.getString(1), r.get(2), r.getLong(3)))
+    slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-partition per-group token totals — K small maps
+      val partTotals: Array[(Int, Map[String, Long])] = slim
+        .mapPartitionsWithIndex { (i, it) =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach { t => m.update(t._1, m.getOrElse(t._1, 0L) + t._4) }
+          Iterator((i, m.toMap))
+        }
+        .collect().sortBy(_._1)
+      // offsets(i)(g) = tokens of group g in partitions before i; range
+      // partitioning keys on group first, so each group's rows are a
+      // contiguous partition run and the offsets are exact prefix sums
+      val running = scala.collection.mutable.HashMap.empty[String, Long]
+      val offsets: Array[Map[String, Long]] = partTotals.map { case (_, m) =>
+        val snap = m.keys.map(g => g -> running.getOrElse(g, 0L)).toMap
+        m.foreach { case (g, t) =>
+          running.update(g, running.getOrElse(g, 0L) + t)
+        }
+        snap
+      }
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      val bBudgets = spark.sparkContext.broadcast(budgets)
+      val keptIds = slim.mapPartitionsWithIndex { (i, it) =>
+        val cum = scala.collection.mutable.HashMap.empty[String, Long]
+        bOffsets.value(i).foreach { case (g, o) => cum.update(g, o) }
+        val bud = bBudgets.value
+        it.flatMap { case (g, _, id, t) =>
+          val c = cum.getOrElse(g, 0L) + t
+          cum.update(g, c)
+          if (c <= bud(g)) Iterator(Row(id)) else Iterator.empty
+        }
+      }
+      // materialize the thin id set before releasing the slim cache — the
+      // returned frame is lazy, and an unpersisted `slim` would re-run the
+      // range shuffle (and re-sample its bounds) at consumption time. The
+      // id cache itself is id-width only and is reclaimed by the
+      // ContextCleaner when the returned frame goes unreachable.
+      keptIds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      keptIds.count()
+      val keptDf = spark.createDataFrame(keptIds,
+        StructType(Seq(idField.copy(name = idCol))))
+      df.join(keptDf, Seq(idCol), "left_semi")
+    } finally {
+      slim.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** Whitespace token count matching [[Repetition]] / the oracle
+    * convention: split on `\s+`, drop empties, null text = 0.
+    */
+  def tokenCountExpr(text: Column): Column =
+    coalesce(
+      size(filter(split(text, "\\s+"), t => t =!= lit(""))).cast(LongType),
+      lit(0L))
+}

@@ -164,6 +164,22 @@ object ScaleProbe {
     def quality(d: DataFrame): Long =
       d.select(graft.pipeline.TextAnalysis.qualityScore(col("text")).as("q"))
         .agg(count(when(col("q") >= 0.5, 1))).collect().head.getLong(0)
+    def repetition(d: DataFrame): Long =
+      graft.pipeline.Repetition.stats(d, "doc_id", "text")
+        .agg(count(when(graft.pipeline.Repetition.gopherKeep(), 1)))
+        .collect().head.getLong(0)
+    // token-budget mixing: the BUDGET stays fixed while the corpus grows
+    // (a mixture recipe is corpus-independent), so the probe measures the
+    // range-partition prefix-sum machinery — the kept prefix is constant
+    // size and the cost should be the one slim exchange + two cached
+    // passes, ~1x per 10x per core-second. The synthetic group column
+    // splits docs 4 ways so group runs straddle partitions at both scales.
+    def tokenBudget(d: DataFrame): Long =
+      graft.pipeline.Mixing.tokenBudgetSample(
+        d.withColumn("graft_grp", pmod(col("doc_id"), lit(4)).cast("string")),
+        "doc_id", "text", "graft_grp",
+        Map("0" -> 50000L, "1" -> 50000L, "2" -> 50000L, "3" -> 50000L))
+        .count()
     // decontamination: the probe set stays FIXED (a benchmark suite does
     // not grow with the corpus) while the corpus scales ×MULT — the
     // broadcast-join scan shape should give ~1x per 10x per core-second
@@ -199,6 +215,8 @@ object ScaleProbe {
     langId(docs0.limit(200))
     quality(docs0.limit(200))
     decontam(docs0.limit(200))
+    repetition(docs0.limit(200))
+    tokenBudget(docs0.limit(200))
     cc(ccEdges(4))
 
     val results = Seq(
@@ -211,6 +229,8 @@ object ScaleProbe {
       ("lang_id", timed(langId(docs0)), timed(langId(docsX))),
       ("quality_score", timed(quality(docs0)), timed(quality(docsX))),
       ("decontamination", timed(decontam(docs0)), timed(decontam(docsX))),
+      ("repetition", timed(repetition(docs0)), timed(repetition(docsX))),
+      ("token_budget_mix", timed(tokenBudget(docs0)), timed(tokenBudget(docsX))),
       ("connected_components",
         timed(cc(ccEdges(ccComps1))), timed(cc(ccEdges(ccComps1 * mult)))))
 

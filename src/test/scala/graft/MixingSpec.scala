@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.wordspec.AnyWordSpec
+
+import graft.pipeline.Mixing
+
+class MixingSpec extends AnyWordSpec with Matchers with SparkSpec {
+
+  /** Local replay of Mixing.sampleHash for oracle-style expectations. */
+  private def localHash(seed: String, id: Any): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$seed:$id".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 8)
+  }
+
+  private def localTokens(text: String): Long =
+    if (text == null) 0L else text.split("\\s+").count(_.nonEmpty).toLong
+
+  "hash sampling" should {
+    "keep nothing at 0, everything at 1, and be deterministic in between" in {
+      val s = spark
+      import s.implicits._
+      val ids = (1L to 2000L).map(i => Tuple1(i)).toDF("doc_id")
+      Mixing.sample(ids, "doc_id", 0.0).count() shouldBe 0L
+      Mixing.sample(ids, "doc_id", 1.0).count() shouldBe 2000L
+      val a = Mixing.sample(ids, "doc_id", 0.5)
+        .collect().map(_.getLong(0)).toSet
+      val b = Mixing.sample(ids, "doc_id", 0.5)
+        .collect().map(_.getLong(0)).toSet
+      a shouldBe b
+      a.size.toDouble should (be > 800.0 and be < 1200.0)
+      // matches the local md5 replay exactly — the oracle's contract
+      val expected = (1L to 2000L)
+        .filter(i => localHash("graft", i) < Mixing.hexThreshold(0.5)).toSet
+      a shouldBe expected
+      // disjoint corpora agree row-by-row: growing the corpus never flips
+      // the verdict on an existing id
+      val sub = Mixing.sample(ids.where(col("doc_id") <= 700L), "doc_id", 0.5)
+        .collect().map(_.getLong(0)).toSet
+      sub shouldBe a.filter(_ <= 700L)
+    }
+
+    "apply per-group fractions with a map-side-only plan" in {
+      val s = spark
+      import s.implicits._
+      val df = (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "de"))
+        .toDF("doc_id", "lang")
+      val out = Mixing.stratifiedSample(df, "doc_id", "lang",
+        Map("en" -> 1.0, "zh" -> 0.0), defaultFraction = 0.5)
+      val kept = out.collect().map(r => r.getLong(0) -> r.getString(1))
+      kept.count(_._2 == "en") shouldBe 100
+      kept.count(_._2 == "zh") shouldBe 0
+      val de = kept.filter(_._2 == "de").map(_._1).toSet
+      de shouldBe (2L to 299L by 3)
+        .filter(i => localHash("graft", i) < Mixing.hexThreshold(0.5)).toSet
+      // pure filter above the scan: no exchange anywhere in the plan
+      out.queryExecution.executedPlan.toString should not include "Exchange"
+    }
+  }
+
+  "token-budget sampling" should {
+    "keep exactly the hash-ordered prefix within each group's budget" in {
+      val s = spark
+      import s.implicits._
+      val docs = (1L to 400L).map { i =>
+        val g = if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr"
+        // 1..7 tokens, deterministic; a few nulls and empties
+        val t =
+          if (i % 37 == 0) null
+          else if (i % 23 == 0) "   "
+          else (1 to (i % 7 + 1).toInt).map(k => s"w$k").mkString(" ")
+        (i, g, t)
+      }.toDF("doc_id", "lang", "text")
+      val budgets = Map("en" -> 120L, "de" -> 37L)
+
+      val kept = Mixing.tokenBudgetSample(docs, "doc_id", "text", "lang", budgets)
+      val keptIds = kept.collect().map(_.getLong(0)).toSet
+
+      // local replay: per group, order by (hash, id), inclusive cumsum <= budget
+      val rows = docs.collect().map(r =>
+        (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getString(2)))
+      val expected = rows.groupBy(_._2).collect {
+        case (g, grp) if budgets.contains(g) =>
+          var cum = 0L
+          grp.sortBy(t => (localHash("graft", t._1), t._1)).flatMap { t =>
+            cum += localTokens(t._3)
+            if (cum <= budgets(g)) Some(t._1) else None
+          }.toSet
+      }.flatten.toSet
+      keptIds shouldBe expected
+      keptIds.nonEmpty shouldBe true
+      // budget respected exactly, groups outside the recipe dropped
+      val tokensByGroup = rows.filter(t => keptIds.contains(t._1))
+        .groupBy(_._2).map { case (g, grp) => g -> grp.map(t => localTokens(t._3)).sum }
+      tokensByGroup.getOrElse("en", 0L) should be <= 120L
+      tokensByGroup.getOrElse("de", 0L) should be <= 37L
+      tokensByGroup.contains("fr") shouldBe false
+      // the prefix is maximal: the next doc in hash order would overflow
+      val keptRows = kept.queryExecution.executedPlan.toString
+      keptRows should not include "WindowExec"
+    }
+
+    "survive many partitions with cross-partition group runs" in {
+      val s = spark
+      import s.implicits._
+      // one dominant group spread over every partition: the offsets path,
+      // not a per-group single task, must produce the running sums
+      val docs = (1L to 2000L)
+        .map(i => (i, "en", "a b c"))
+        .toDF("doc_id", "lang", "text").repartition(8)
+      val out = Mixing.tokenBudgetSample(
+        docs, "doc_id", "text", "lang", Map("en" -> 300L))
+      out.count() shouldBe 100L // 3 tokens each, 300 / 3
+      val ids = out.collect().map(_.getLong(0)).toSet
+      val expected = (1L to 2000L)
+        .sortBy(i => (localHash("graft", i), i)).take(100).toSet
+      ids shouldBe expected
+    }
+  }
+}
