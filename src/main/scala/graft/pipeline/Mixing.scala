@@ -43,10 +43,14 @@ object Mixing {
 
   /** 8-hex-char deterministic rank of a row id in [0, 2^32), as a string:
     * `substr(md5("<seed>:<id>"), 1, 8)`. Lowercase hex, so lexicographic
-    * order == numeric order at fixed width.
+    * order == numeric order at fixed width. Null ids rank null — SQL
+    * string concatenation semantics, so a null-id row never passes a
+    * `rank < threshold` filter, in the engine and in any oracle replay
+    * alike (concat_ws would instead silently rank every null id at
+    * md5("<seed>"), diverging from the SQL form).
     */
   def sampleHash(id: Column, seed: String): Column =
-    substring(md5(concat_ws(":", lit(seed), id.cast(StringType))), 1, 8)
+    substring(md5(concat(lit(seed + ":"), id.cast(StringType))), 1, 8)
 
   /** The 8-hex threshold string for a keep fraction: a row is kept iff
     * `sampleHash < threshold`. fraction <= 0 keeps nothing (nothing sorts
@@ -104,7 +108,8 @@ object Mixing {
     val spark = df.sparkSession
     val idField = df.schema(df.schema.fieldIndex(idCol))
     val slim = df
-      .where(col(groupCol).isin(budgets.keys.toSeq.map(lit): _*))
+      .where(col(idCol).isNotNull &&
+        col(groupCol).isin(budgets.keys.toSeq.map(lit): _*))
       .select(
         col(groupCol).cast(StringType).as("graft_g"),
         sampleHash(col(idCol), seed).as("graft_h"),

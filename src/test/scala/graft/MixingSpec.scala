@@ -42,6 +42,18 @@ class MixingSpec extends AnyWordSpec with Matchers with SparkSpec {
       sub shouldBe a.filter(_ <= 700L)
     }
 
+    "drop null ids under SQL concatenation semantics" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq(Some(1L), Some(2L), None, Some(4L))
+        .map(o => (o, "en", "a b")).toDF("doc_id", "lang", "text")
+      // null id -> null rank -> never kept, matching the oracle's
+      // 'seed:' || NULL = NULL behavior
+      Mixing.sample(df, "doc_id", 1.0).count() shouldBe 3L
+      Mixing.tokenBudgetSample(df, "doc_id", "text", "lang",
+        Map("en" -> 100L)).count() shouldBe 3L
+    }
+
     "apply per-group fractions with a map-side-only plan" in {
       val s = spark
       import s.implicits._
