@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, countDistinct, expr, lit, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, countDistinct, expr, length, lit, sum, when}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
@@ -1566,6 +1566,35 @@ object SparkEntry {
         "budget_id_sum" -> perGroup.values.map(_._3).sum.toDouble,
         "within_budget_ok" -> flag(withinBudget),
         "recipe_groups_ok" -> flag(recipeOnly)))
+    }),
+
+    // Sliding-window document chunking (sequence prep): 64-token windows
+    // with 16-token overlap, emit rule = first window or at least one new
+    // token past the previous window. Pure codegen HOFs + one narrow
+    // explode — no shuffle; DuckDB replays the identical window starts and
+    // token slices. Value-pinned: chunk count, summed chunk tokens/chars,
+    // summed chunk indices (pins per-doc ordering), docs-with-chunks,
+    // short-chunk count, and the chunkCount() = exploded-count identity.
+    "q52_chunking" -> ((s, dir) => {
+      import graft.pipeline.Chunking
+      val docs = table(s, dir, "documents")
+      val agg = Chunking.chunk(docs, "text", chunkTokens = 64, overlap = 16)
+        .agg(count(lit(1)), sum("n_tokens"),
+          sum(length(col("chunk_text"))), sum(col("chunk_idx")),
+          countDistinct(col("doc_id")),
+          count(when(col("n_tokens") < 64, 1)))
+        .collect().head
+      val counted = docs
+        .agg(coalesce(sum(Chunking.chunkCount(col("text"), 64, 16)), lit(0L)))
+        .collect().head.getLong(0)
+      metricRow(s, Seq(
+        "n_chunks" -> agg.getLong(0).toDouble,
+        "sum_chunk_tokens" -> agg.getLong(1).toDouble,
+        "sum_chunk_chars" -> agg.getLong(2).toDouble,
+        "sum_chunk_idx" -> agg.getLong(3).toDouble,
+        "docs_with_chunks" -> agg.getLong(4).toDouble,
+        "short_chunks" -> agg.getLong(5).toDouble,
+        "count_identity_ok" -> flag(counted == agg.getLong(0))))
     })
   )
 
@@ -2557,6 +2586,44 @@ object SparkEntry {
         |  (SELECT coalesce(sum(doc_id), 0) FROM tb)::DOUBLE AS budget_id_sum,
         |  1.0::DOUBLE AS within_budget_ok,
         |  1.0::DOUBLE AS recipe_groups_ok""".stripMargin
-    }
+    },
+
+    // q52: sliding-window chunking — DuckDB replays the window starts
+    // (k*stride while start < n_tokens, emitted iff first or adding a new
+    // token), the 1-based inclusive token slices, and per-doc window
+    // ordering via row_number. The count identity flag is mirrored as 1.0.
+    "q52_chunking" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, toks, coalesce(len(toks), 0) AS nt FROM base
+        |), st AS (
+        |  SELECT doc_id, toks, nt,
+        |         unnest(list_filter(
+        |           list_transform(range(0, ((nt - 1) // 48) + 1),
+        |             k -> k * 48),
+        |           s -> s = 0 OR s + 16 < nt)) AS strt
+        |  FROM t WHERE nt > 0
+        |), ch AS (
+        |  SELECT doc_id, strt,
+        |         least(64, nt - strt) AS ctoks,
+        |         len(array_to_string(toks[strt + 1 : strt + 64], ' '))
+        |           AS cchars,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY strt) - 1
+        |           AS cidx
+        |  FROM st
+        |)
+        |SELECT count(*)::DOUBLE AS n_chunks,
+        |       sum(ctoks)::DOUBLE AS sum_chunk_tokens,
+        |       sum(cchars)::DOUBLE AS sum_chunk_chars,
+        |       sum(cidx)::DOUBLE AS sum_chunk_idx,
+        |       count(DISTINCT doc_id)::DOUBLE AS docs_with_chunks,
+        |       count(CASE WHEN ctoks < 64 THEN 1 END)::DOUBLE
+        |         AS short_chunks,
+        |       1.0::DOUBLE AS count_identity_ok
+        |FROM ch""".stripMargin
   )
 }

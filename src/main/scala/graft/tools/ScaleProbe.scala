@@ -164,6 +164,9 @@ object ScaleProbe {
     def quality(d: DataFrame): Long =
       d.select(graft.pipeline.TextAnalysis.qualityScore(col("text")).as("q"))
         .agg(count(when(col("q") >= 0.5, 1))).collect().head.getLong(0)
+    def chunking(d: DataFrame): Long =
+      graft.pipeline.Chunking.chunk(d, "text", chunkTokens = 64, overlap = 16)
+        .count()
     def repetition(d: DataFrame): Long =
       graft.pipeline.Repetition.stats(d, "doc_id", "text")
         .agg(count(when(graft.pipeline.Repetition.gopherKeep(), 1)))
@@ -217,6 +220,7 @@ object ScaleProbe {
     decontam(docs0.limit(200))
     repetition(docs0.limit(200))
     tokenBudget(docs0.limit(200))
+    chunking(docs0.limit(200))
     cc(ccEdges(4))
 
     val results = Seq(
@@ -231,6 +235,7 @@ object ScaleProbe {
       ("decontamination", timed(decontam(docs0)), timed(decontam(docsX))),
       ("repetition", timed(repetition(docs0)), timed(repetition(docsX))),
       ("token_budget_mix", timed(tokenBudget(docs0)), timed(tokenBudget(docsX))),
+      ("chunking", timed(chunking(docs0)), timed(chunking(docsX))),
       ("connected_components",
         timed(cc(ccEdges(ccComps1))), timed(cc(ccEdges(ccComps1 * mult)))))
 
