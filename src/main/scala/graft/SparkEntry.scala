@@ -1595,6 +1595,56 @@ object SparkEntry {
         "docs_with_chunks" -> agg.getLong(4).toDouble,
         "short_chunks" -> agg.getLong(5).toDouble,
         "count_identity_ok" -> flag(counted == agg.getLong(0))))
+    }),
+
+    // End-to-end curation pipeline: the full training-corpus prep chain
+    // composed from the library's own stages — Gopher repetition filter →
+    // exact dedup (min-id survivor per identical text) → benchmark
+    // decontamination (13-gram, q49's probe set) → per-language mixture
+    // sampling → sliding-window chunking — with every stage's survivor
+    // count, the sampled id-sum, and the final chunk volume value-pinned
+    // against ONE DuckDB query chaining the same five replays. This is
+    // the composition gate: each stage is proven alone (q50/q21/q49/q51/
+    // q52); q53 proves they compose without convention drift.
+    "q53_curation" -> ((s, dir) => {
+      import graft.pipeline.{Chunking, Mixing, Repetition}
+      import org.apache.spark.sql.functions.{concat_ws, size, slice}
+      val docs = table(s, dir, "documents")
+      val nDocs = docs.count()
+      val s1 = Repetition.filter(docs, "doc_id", "text")
+        .persist()
+      val c1 = s1.count()
+      val s2 = Dedup.exact(s1, Seq("text"), "doc_id").persist()
+      val c2 = s2.count()
+      val ntoks = TextAnalysis.normalizedTokens(col("text"))
+      val probes = docs.filter(col("doc_id").isin(20L, 30L, 45L))
+        .filter(size(ntoks) >= 18)
+        .select(concat_ws(" ", slice(ntoks, 6, 13)).as("probe"))
+        .distinct()
+      val s3 = TextAnalysis.decontaminate(
+        s2, "doc_id", "text", probes, "probe", n = 13).persist()
+      val c3 = s3.count()
+      val s4 = Mixing.stratifiedSample(s3, "doc_id", "lang",
+        Map("en" -> 0.8, "de" -> 0.6, "fr" -> 0.6, "es" -> 0.6, "zh" -> 0.4),
+        defaultFraction = 0.5)
+      val mixAgg = s4
+        .agg(count(lit(1)), coalesce(sum("doc_id"), lit(0L)))
+        .collect().head
+      val chunkAgg = Chunking.chunk(s4, "text", chunkTokens = 64, overlap = 16)
+        .agg(count(lit(1)), coalesce(sum("n_tokens"), lit(0L)))
+        .collect().head
+      Seq(s1, s2, s3).foreach(_.unpersist(blocking = false))
+      metricRow(s, Seq(
+        "n_docs" -> nDocs.toDouble,
+        "kept_repetition" -> c1.toDouble,
+        "kept_dedup" -> c2.toDouble,
+        "kept_decontam" -> c3.toDouble,
+        "kept_mix" -> mixAgg.getLong(0).toDouble,
+        "mix_id_sum" -> mixAgg.getLong(1).toDouble,
+        "n_chunks" -> chunkAgg.getLong(0).toDouble,
+        "sum_chunk_tokens" -> chunkAgg.getLong(1).toDouble,
+        "monotone_ok" -> flag(nDocs >= c1 && c1 >= c2 && c2 >= c3 &&
+          c3 >= mixAgg.getLong(0))))
     })
   )
 
@@ -2624,6 +2674,178 @@ object SparkEntry {
         |       count(CASE WHEN ctoks < 64 THEN 1 END)::DOUBLE
         |         AS short_chunks,
         |       1.0::DOUBLE AS count_identity_ok
-        |FROM ch""".stripMargin
+        |FROM ch""".stripMargin,
+
+    // q53: end-to-end curation — ONE DuckDB query chaining the q50
+    // (repetition keep), q21-style (min-id exact dedup), q49
+    // (decontamination), q51 (md5 stratified sample), and q52 (chunking)
+    // replays. Built in three concatenated parts so the repetition trim
+    // regex (which contains a literal $) stays out of the interpolated
+    // threshold segment.
+    "q53_curation" -> {
+      import graft.pipeline.Mixing.hexThreshold
+      val (t80, t60, t40, t50) =
+        (hexThreshold(0.8), hexThreshold(0.6), hexThreshold(0.4),
+          hexThreshold(0.5))
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '') AS toks,
+        |         text
+        |  FROM documents
+        |), tot AS (
+        |  SELECT doc_id,
+        |         coalesce(len(array_to_string(toks, ' ')), 0) AS total_chars
+        |  FROM base
+        |), gstat AS (
+        |  SELECT doc_id, n, max(cnt * l) AS top,
+        |         sum(CASE WHEN cnt >= 2 THEN cnt * l ELSE 0 END) AS dup
+        |  FROM (
+        |    SELECT doc_id, n, g, count(*) AS cnt, len(g) AS l
+        |    FROM (
+        |      SELECT b.doc_id, nn.n,
+        |             unnest(list_transform(range(1, len(b.toks) - nn.n + 2),
+        |               i -> array_to_string(b.toks[i : i + nn.n - 1], ' ')))
+        |               AS g
+        |      FROM base b, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) nn
+        |      WHERE len(b.toks) >= nn.n
+        |    ) GROUP BY doc_id, n, g
+        |  ) GROUP BY doc_id, n
+        |), gpiv AS (
+        |  SELECT doc_id,
+        |         max(CASE WHEN n = 2 THEN top END) AS top2,
+        |         max(CASE WHEN n = 3 THEN top END) AS top3,
+        |         max(CASE WHEN n = 4 THEN top END) AS top4,
+        |         max(CASE WHEN n = 5 THEN dup END) AS dup5,
+        |         max(CASE WHEN n = 6 THEN dup END) AS dup6,
+        |         max(CASE WHEN n = 7 THEN dup END) AS dup7,
+        |         max(CASE WHEN n = 8 THEN dup END) AS dup8,
+        |         max(CASE WHEN n = 9 THEN dup END) AS dup9,
+        |         max(CASE WHEN n = 10 THEN dup END) AS dup10
+        |  FROM gstat GROUP BY doc_id
+        |), lstat AS (
+        |  SELECT doc_id, sum(c) AS n_items,
+        |         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_items,
+        |         sum(c * l) AS t_chars,
+        |         sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) AS dup_chars
+        |  FROM (
+        |    SELECT doc_id, item, count(*) AS c, len(item) AS l
+        |    FROM (
+        |      SELECT doc_id, unnest(list_filter(list_transform(
+        |        string_split(text, chr(10)),
+        |        x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+        |        x -> x <> '')) AS item
+        |      FROM base
+        |    ) GROUP BY doc_id, item
+        |  ) GROUP BY doc_id
+        |), pstat AS (
+        |  SELECT doc_id, sum(c) AS n_items,
+        |         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_items,
+        |         sum(c * l) AS t_chars,
+        |         sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) AS dup_chars
+        |  FROM (
+        |    SELECT doc_id, item, count(*) AS c, len(item) AS l
+        |    FROM (
+        |      SELECT doc_id, unnest(list_filter(list_transform(
+        |        string_split_regex(text, '\n\s*\n'),
+        |        x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+        |        x -> x <> '')) AS item
+        |      FROM base
+        |    ) GROUP BY doc_id, item
+        |  ) GROUP BY doc_id
+        |), per AS (
+        |  SELECT t.doc_id, t.total_chars,
+        |         CASE WHEN coalesce(l.n_items, 0) > 0
+        |           THEN l.dup_items::DOUBLE / l.n_items ELSE 0 END AS dlf,
+        |         CASE WHEN coalesce(l.t_chars, 0) > 0
+        |           THEN l.dup_chars::DOUBLE / l.t_chars ELSE 0 END AS dlcf,
+        |         CASE WHEN coalesce(p.n_items, 0) > 0
+        |           THEN p.dup_items::DOUBLE / p.n_items ELSE 0 END AS dpf,
+        |         CASE WHEN coalesce(p.t_chars, 0) > 0
+        |           THEN p.dup_chars::DOUBLE / p.t_chars ELSE 0 END AS dpcf,
+        |         coalesce(g.top2, 0) AS top2, coalesce(g.top3, 0) AS top3,
+        |         coalesce(g.top4, 0) AS top4, coalesce(g.dup5, 0) AS dup5,
+        |         coalesce(g.dup6, 0) AS dup6, coalesce(g.dup7, 0) AS dup7,
+        |         coalesce(g.dup8, 0) AS dup8, coalesce(g.dup9, 0) AS dup9,
+        |         coalesce(g.dup10, 0) AS dup10
+        |  FROM tot t
+        |  LEFT JOIN lstat l USING (doc_id)
+        |  LEFT JOIN pstat p USING (doc_id)
+        |  LEFT JOIN gpiv g USING (doc_id)
+        |), rep AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, dlf, dpf, dlcf, dpcf,
+        |      CASE WHEN total_chars > 0 THEN top2::DOUBLE / total_chars ELSE 0 END AS ftop2,
+        |      CASE WHEN total_chars > 0 THEN top3::DOUBLE / total_chars ELSE 0 END AS ftop3,
+        |      CASE WHEN total_chars > 0 THEN top4::DOUBLE / total_chars ELSE 0 END AS ftop4,
+        |      CASE WHEN total_chars > 0 THEN dup5::DOUBLE / total_chars ELSE 0 END AS fdup5,
+        |      CASE WHEN total_chars > 0 THEN dup6::DOUBLE / total_chars ELSE 0 END AS fdup6,
+        |      CASE WHEN total_chars > 0 THEN dup7::DOUBLE / total_chars ELSE 0 END AS fdup7,
+        |      CASE WHEN total_chars > 0 THEN dup8::DOUBLE / total_chars ELSE 0 END AS fdup8,
+        |      CASE WHEN total_chars > 0 THEN dup9::DOUBLE / total_chars ELSE 0 END AS fdup9,
+        |      CASE WHEN total_chars > 0 THEN dup10::DOUBLE / total_chars ELSE 0 END AS fdup10
+        |    FROM per
+        |  ) WHERE dlf <= 0.30 AND dpf <= 0.30 AND dlcf <= 0.20 AND dpcf <= 0.20
+        |      AND ftop2 <= 0.20 AND ftop3 <= 0.18 AND ftop4 <= 0.16
+        |      AND fdup5 <= 0.15 AND fdup6 <= 0.14 AND fdup7 <= 0.13
+        |      AND fdup8 <= 0.12 AND fdup9 <= 0.11 AND fdup10 <= 0.10
+        |), s1 AS (
+        |  SELECT d.* FROM documents d JOIN rep USING (doc_id)
+        |), s2 AS (
+        |  SELECT * FROM s1
+        |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+        |), probes AS (
+        |  SELECT DISTINCT array_to_string(
+        |    (list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> ''))[6:18], ' ') AS probe
+        |  FROM documents
+        |  WHERE doc_id IN (20, 30, 45)
+        |    AND len(list_filter(string_split_regex(lower(text), '\s+'),
+        |          x -> x <> '')) >= 18
+        |), norm2 AS (
+        |  SELECT doc_id, lang, text,
+        |         array_to_string(list_filter(string_split_regex(lower(text),
+        |           '\s+'), x -> x <> ''), ' ') AS ntext
+        |  FROM s2
+        |), s3 AS (
+        |  SELECT doc_id, lang, text FROM norm2 n
+        |  WHERE NOT EXISTS (SELECT 1 FROM probes p
+        |    WHERE contains(' ' || n.ntext || ' ', ' ' || p.probe || ' '))
+        |)""".stripMargin +
+        raw""", s4 AS (
+        |  SELECT * FROM s3
+        |  WHERE substring(md5('graft:' || doc_id::VARCHAR), 1, 8) <
+        |    CASE lang WHEN 'en' THEN '$t80' WHEN 'de' THEN '$t60'
+        |              WHEN 'fr' THEN '$t60' WHEN 'es' THEN '$t60'
+        |              WHEN 'zh' THEN '$t40' ELSE '$t50' END
+        |)""".stripMargin +
+        """, cb AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM s4
+        |), ct AS (
+        |  SELECT doc_id, toks, coalesce(len(toks), 0) AS nt FROM cb
+        |), cst AS (
+        |  SELECT doc_id, nt,
+        |         unnest(list_filter(
+        |           list_transform(range(0, ((nt - 1) // 48) + 1),
+        |             k -> k * 48),
+        |           s -> s = 0 OR s + 16 < nt)) AS strt
+        |  FROM ct WHERE nt > 0
+        |), ch AS (
+        |  SELECT least(64, nt - strt) AS ctoks FROM cst
+        |)
+        |SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+        |       (SELECT count(*) FROM s1)::DOUBLE AS kept_repetition,
+        |       (SELECT count(*) FROM s2)::DOUBLE AS kept_dedup,
+        |       (SELECT count(*) FROM s3)::DOUBLE AS kept_decontam,
+        |       (SELECT count(*) FROM s4)::DOUBLE AS kept_mix,
+        |       (SELECT coalesce(sum(doc_id), 0) FROM s4)::DOUBLE AS mix_id_sum,
+        |       (SELECT count(*) FROM ch)::DOUBLE AS n_chunks,
+        |       (SELECT coalesce(sum(ctoks), 0) FROM ch)::DOUBLE
+        |         AS sum_chunk_tokens,
+        |       1.0::DOUBLE AS monotone_ok""".stripMargin
+    }
   )
 }
