@@ -90,11 +90,24 @@ object Bench {
     // run inflated untouched queries 1.27x with nothing in-repo changed,
     // and this field makes that attribution one division instead of a
     // round of forensics. Measured at suite start AND end; report both.
-    def calibrate(): Double = medianOf("graft_calibration", (s, _) =>
+    // bit_xor (not sum): summing 20M uniform xxhash64 longs overflows
+    // with certainty under the session's ANSI default. The post-agg
+    // filter references both aggregate outputs so medianOf's count()
+    // cannot prune them away — without it the gauge would time only the
+    // hash+groupBy, not the documented hash/xor/distinct workload.
+    def calibrationQuery(s: SparkSession): org.apache.spark.sql.DataFrame =
       s.range(0, 20000000L, 1, cpus.toInt)
         .select(xxhash64(org.apache.spark.sql.functions.col("id")).as("h"))
         .groupBy((org.apache.spark.sql.functions.col("h") % 64).as("g"))
-        .agg(sum(col("h")).as("s"), approx_count_distinct(col("h")).as("d")))
+        .agg(org.apache.spark.sql.functions.bit_xor(col("h")).as("s"),
+          approx_count_distinct(col("h")).as("d"))
+        .where(col("d") >= 0L || col("s").isNotNull)
+    def calibrate(): Double =
+      medianOf("graft_calibration", (s, _) => calibrationQuery(s))
+    // untimed first run: the gauge exists to measure box contention, and
+    // charging its own one-off codegen/JIT to the start-of-suite reading
+    // would fake a hot box on every cold JVM
+    calibrationQuery(spark).count()
     val calibrationStart = calibrate()
     val results = selected.map { case (name, fn) => name -> medianOf(name, fn) }
     // the heaviest queries swing ~2x with box contention mid-suite; a

@@ -1052,8 +1052,12 @@ object SparkEntry {
       def rmTree(p: java.nio.file.Path): Unit = {
         import scala.jdk.CollectionConverters._
         if (java.nio.file.Files.exists(p)) {
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          // Files.walk holds open DirectoryStreams until closed — a leak
+          // per bench rep if left to GC
+          val st = java.nio.file.Files.walk(p)
+          try st.iterator().asScala.toSeq.reverseIterator
             .foreach(f => java.nio.file.Files.deleteIfExists(f))
+          finally st.close()
         }
       }
       rmTree(java.nio.file.Paths.get(tmp))

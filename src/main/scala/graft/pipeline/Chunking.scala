@@ -46,7 +46,7 @@ object Chunking {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap must be in [0, chunkTokens), got $overlap of $chunkTokens")
     val stride = chunkTokens - overlap
-    val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    val toks = TextAnalysis.tokens(col(textCol))
     val n = size(toks)
     // emitted window starts: 0, stride, ... while start < n and the window
     // adds at least one new token past the previous window's coverage
@@ -81,10 +81,14 @@ object Chunking {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap must be in [0, chunkTokens), got $overlap of $chunkTokens")
     val stride = chunkTokens - overlap
-    val n = size(filter(split(text, "\\s+"), t => t =!= lit("")))
+    val n = size(TextAnalysis.tokens(text))
     // #starts with start == 0 or start + overlap < n, start = k*stride:
-    // 1 + ceil((n - overlap - stride) / stride) clamped at >= 1 for n > 0
-    when(n <= 0, lit(0L))
+    // 1 + ceil((n - overlap - stride) / stride) clamped at >= 1 for n > 0.
+    // The null guard is EXPLICIT: null text makes n NULL (size(null)),
+    // and greatest() skips nulls — greatest(1, NULL) is 1, so without the
+    // isNull arm a null document would count one phantom chunk instead of
+    // the contract's 0 (= chunk()'s zero emitted rows)
+    when(n.isNull || n <= 0, lit(0L))
       .otherwise(greatest(lit(1),
         -floor((-(n - overlap)).cast(DoubleType) / stride).cast(IntegerType))
         .cast(LongType))

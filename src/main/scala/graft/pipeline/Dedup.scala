@@ -801,6 +801,15 @@ object Dedup {
       e = next
       round += 1
     }
+    // an unconverged edge set still carries multi-hop chains: the final
+    // select would emit CONFLICTING (node, component) labels for the same
+    // node and every downstream join would silently duplicate rows — fail
+    // loudly instead (rounds scale ~log2(diameter), so hitting 30 means a
+    // ~2^30-hop chain or a genuine bug, both worth a stack trace)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds " +
+          s"(${prev._1} edges at the last checksum); raise maxRounds")
     // converged state: one directed edge (node -> component root) per
     // non-root node; roots re-enter as their own component
     e.select(col("src").as("node"), col("dst").as("component"))

@@ -168,10 +168,9 @@ object Mixing {
   }
 
   /** Whitespace token count matching [[Repetition]] / the oracle
-    * convention: split on `\s+`, drop empties, null text = 0.
+    * convention: split on `\s+`, drop empties, null text = 0. Delegates
+    * to [[TextAnalysis.tokenCount]] — the repo's one canonical tokenizer.
     */
   def tokenCountExpr(text: Column): Column =
-    coalesce(
-      size(filter(split(text, "\\s+"), t => t =!= lit(""))).cast(LongType),
-      lit(0L))
+    coalesce(TextAnalysis.tokenCount(text).cast(LongType), lit(0L))
 }

@@ -28,7 +28,8 @@ import org.apache.spark.sql.types._
   *
   * All metrics are exact integer ratios evaluated in one IEEE division, so
   * an external oracle replaying the same definition reproduces them
-  * bit-for-bit.
+  * bit-for-bit. Character masses count Unicode CODE POINTS (what SQL
+  * `length()`/`len()` return), not UTF-16 units.
   *
   * Execution shape (100 TB): one mapPartitions pass per row — per-doc
   * hash-map counting is imperative, non-relational work (the same reasoning
@@ -95,7 +96,7 @@ object Repetition {
 
         val toks = normTokens(text)
         var totalChars = 0L
-        toks.foreach(t => totalChars += t.length)
+        toks.foreach(t => totalChars += cpLen(t))
         if (toks.nonEmpty) totalChars += toks.length - 1
         vals += toks.length.toLong
         vals += totalChars
@@ -163,6 +164,12 @@ object Repetition {
   private def fracOf(num: Long, den: Long): Double =
     if (den <= 0) 0.0 else num.toDouble / den
 
+  // character masses count CODE POINTS, not UTF-16 units — the convention
+  // any external replay uses (SQL length()/len() are code-point counts);
+  // String.length would double-count supplementary-plane characters
+  private def cpLen(s: String): Long =
+    s.codePointCount(0, s.length).toLong
+
   private def normTokens(text: String): Array[String] =
     if (text == null) Array.empty
     else text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
@@ -181,8 +188,9 @@ object Repetition {
     var totalChars = 0L
     var dupChars = 0L
     counts.forEach { (s, c) =>
-      totalChars += s.length.toLong * c
-      if (c >= 2) { dupItems += c; dupChars += s.length.toLong * c }
+      val l = cpLen(s)
+      totalChars += l * c
+      if (c >= 2) { dupItems += c; dupChars += l * c }
     }
     (items.length, dupItems, totalChars, dupChars)
   }
@@ -207,7 +215,7 @@ object Repetition {
       }
       val key = sb.toString
       val e = counts.get(key)
-      if (e == null) counts.put(key, Array(1L, key.length.toLong))
+      if (e == null) counts.put(key, Array(1L, cpLen(key)))
       else e(0) += 1
       i += 1
     }

@@ -57,6 +57,13 @@ class ChunkingSpec extends AnyWordSpec with Matchers with SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
         .sorted
       out shouldBe Seq((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 1L), (2L, 0L, 2L))
+      // chunkCount contract: 0 (not NULL) for null and blank text
+      val counts = df
+        .select(col("doc_id"), Chunking.chunkCount(col("text"), 4, 0).as("c"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      counts(3L) shouldBe 0L
+      counts(4L) shouldBe 0L
     }
 
     "agree with chunkCount and the local replay across sizes" in {

@@ -374,6 +374,15 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
       comps.values.toSet shouldBe Set(0L)
     }
 
+    "fail loudly instead of returning multi-labeled output when rounds run out" in {
+      val s = spark
+      import s.implicits._
+      val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+      an[IllegalStateException] should be thrownBy
+        Dedup.connectedComponents(chain, maxRounds = 1, localSolveMaxEdges = 0)
+          .count()
+    }
+
     "match a driver-side union-find on random graphs" in {
       val s = spark
       import s.implicits._
@@ -780,6 +789,19 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
       m(4L).getLong(1) shouldBe 0L
       m(4L).getAs[Double]("dup_line_frac") shouldBe 0.0
       m(4L).getAs[Double]("top_gram_frac_2") shouldBe 0.0
+    }
+
+    "count character masses in code points, not UTF-16 units" in {
+      val s = spark
+      import s.implicits._
+      import graft.pipeline.Repetition
+      // U+1F600 is one code point but two UTF-16 units; lines "😀","😀","x"
+      // give dup chars 2 of 3 in code points (4 of 5 in UTF-16 units)
+      val docs = Seq((1L, "😀\n😀\nx"))
+        .toDF("doc_id", "text")
+      val r = Repetition.stats(docs, "doc_id", "text").collect().head
+      r.getAs[Double]("dup_line_char_frac") shouldBe 2.0 / 3.0
+      r.getAs[Long]("total_chars") shouldBe 5L // 3 one-cp tokens + 2 spaces
     }
 
     "count overlapping occurrences and fire the Gopher filter on degenerate docs" in {
