@@ -66,14 +66,23 @@ class ChunkingSpec extends AnyWordSpec with Matchers with SparkSpec {
       counts(4L) shouldBe 0L
     }
 
-    "agree with chunkCount and the local replay across sizes" in {
+    "agree with chunkCount and the local replay across sizes, losing no token" in {
       val s = spark
       import s.implicits._
       val docs = (0 to 40).map(n => (n.toLong, (1 to n).map(i => s"x$i").mkString(" ")))
       val df = docs.toDF("doc_id", "text")
-      val fromChunk = Chunking.chunk(df, "text", 8, 3)
-        .groupBy("doc_id").agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rows = Chunking.chunk(df, "text", 8, 3)
+        .select("doc_id", "chunk_idx", "n_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // coverage invariant: emitted starts are chunk_idx * stride, and the
+      // last chunk must end exactly at the document's token count — the
+      // emit rule may skip a redundant tail window but never a token
+      val stride = 8 - 3
+      rows.groupBy(_._1).foreach { case (id, grp) =>
+        val lastEnd = grp.map(t => t._2 * stride + t._3).max
+        lastEnd shouldBe id // doc_id == its token count by construction
+      }
+      val fromChunk = rows.groupBy(_._1).map { case (id, g) => id -> g.length.toLong }
       val fromCount = df
         .select(col("doc_id"), Chunking.chunkCount(col("text"), 8, 3).as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
