@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, countDistinct, expr, length, lit, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, countDistinct, expr, length, lit, regexp_replace, sum, when}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
@@ -1649,6 +1649,49 @@ object SparkEntry {
         "sum_chunk_tokens" -> chunkAgg.getLong(1).toDouble,
         "monotone_ok" -> flag(nDocs >= c1 && c1 >= c2 && c2 >= c3 &&
           c3 >= mixAgg.getLong(0))))
+    }),
+
+    // Paragraph-level exact dedup (the sub-document granularity between
+    // row dedup and near-dup clustering — the standard boilerplate
+    // remover): across the whole corpus keep only the globally-first
+    // occurrence of every distinct paragraph, reassemble documents from
+    // the survivors. q39-style deterministic injection: the single-line
+    // corpus gets a paragraph break after every 4th word from the same
+    // regex DuckDB replays, so both engines see the identical multi-line
+    // corpus. Value-pinned: occurrence/kept/removed totals, affected and
+    // fully-emptied doc counts, the exact reassembled character volume
+    // (kept paragraph chars + separators — pins join order and the
+    // empty-string contract), and kept == corpus-wide distinct-paragraph
+    // count (pins the winner election).
+    "q54_paragraph_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val paraDocs = docs.select(col("doc_id"),
+        regexp_replace(col("text"), "((?:\\S+ ){3}\\S+) ", "$1\n")
+          .as("text"))
+      val distinctParas = Dedup
+        .paragraphOccurrences(paraDocs, "doc_id", "text")
+        .agg(countDistinct(col("graft_para"))).collect().head.getLong(0)
+      val cleaned = Dedup.dedupParagraphs(paraDocs, "doc_id", "text")
+        .persist()
+      val agg = cleaned.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_paras")).as("total_paras"),
+        sum(col("n_kept")).as("kept_paras"),
+        sum(col("n_removed")).as("removed_paras"),
+        count(when(col("n_removed") > 0, 1)).as("docs_affected"),
+        count(when(col("n_kept") === 0 && col("n_paras") > 0, 1))
+          .as("docs_emptied"),
+        sum(length(col("text_clean"))).as("chars_clean")).collect().head
+      cleaned.unpersist(blocking = false)
+      metricRow(s, Seq(
+        "n_docs" -> agg.getLong(0).toDouble,
+        "total_paras" -> agg.getLong(1).toDouble,
+        "kept_paras" -> agg.getLong(2).toDouble,
+        "removed_paras" -> agg.getLong(3).toDouble,
+        "docs_affected" -> agg.getLong(4).toDouble,
+        "docs_emptied" -> agg.getLong(5).toDouble,
+        "chars_clean" -> agg.getLong(6).toDouble,
+        "distinct_identity_ok" -> flag(agg.getLong(2) == distinctParas)))
     })
   )
 
@@ -2850,6 +2893,55 @@ object SparkEntry {
         |       (SELECT coalesce(sum(ctoks), 0) FROM ch)::DOUBLE
         |         AS sum_chunk_tokens,
         |       1.0::DOUBLE AS monotone_ok""".stripMargin
-    }
+    },
+
+    // q54: paragraph-level exact dedup — DuckDB injects the identical
+    // paragraph breaks (same regex, \1 + chr(10) replacement), replays
+    // winner election as row_number over (doc_id, pos) per paragraph, and
+    // recomputes the reassembled character volume as kept paragraph chars
+    // plus (n_kept - 1) one-char separators. distinct_identity_ok is
+    // asserted engine-side and mirrored as the constant 1.0.
+    "q54_paragraph_dedup" ->
+      """WITH pdocs AS (
+        |  SELECT doc_id, string_split_regex(
+        |           regexp_replace(text, '((?:\S+ ){3}\S+) ',
+        |             '\1' || chr(10), 'g'), '\n+') AS ps
+        |  FROM documents
+        |), occ AS (
+        |  SELECT doc_id, (u).pos AS pos, (u).para AS para FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1),
+        |      i -> {'pos': i, 'para': trim(ps[i])})) AS u
+        |    FROM pdocs)
+        |  WHERE (u).para <> ''
+        |), ranked AS (
+        |  SELECT doc_id, len(para) AS l,
+        |         row_number() OVER (PARTITION BY para
+        |                            ORDER BY doc_id, pos) AS rn
+        |  FROM occ
+        |), perdoc AS (
+        |  SELECT doc_id, count(*) AS n_paras,
+        |         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+        |         sum(CASE WHEN rn = 1 THEN l ELSE 0 END) AS kept_chars
+        |  FROM ranked GROUP BY doc_id
+        |), alld AS (
+        |  SELECT d.doc_id, coalesce(p.n_paras, 0) AS n_paras,
+        |         coalesce(p.n_kept, 0) AS n_kept,
+        |         coalesce(p.kept_chars, 0) AS kept_chars
+        |  FROM pdocs d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        |)
+        |SELECT count(*)::DOUBLE AS n_docs,
+        |       coalesce(sum(n_paras), 0)::DOUBLE AS total_paras,
+        |       coalesce(sum(n_kept), 0)::DOUBLE AS kept_paras,
+        |       coalesce(sum(n_paras - n_kept), 0)::DOUBLE AS removed_paras,
+        |       coalesce(sum(CASE WHEN n_paras > n_kept THEN 1 ELSE 0 END),
+        |         0)::DOUBLE AS docs_affected,
+        |       coalesce(sum(CASE WHEN n_kept = 0 AND n_paras > 0
+        |                         THEN 1 ELSE 0 END), 0)::DOUBLE
+        |         AS docs_emptied,
+        |       coalesce(sum(kept_chars + CASE WHEN n_kept > 0
+        |                    THEN n_kept - 1 ELSE 0 END), 0)::DOUBLE
+        |         AS chars_clean,
+        |       1.0::DOUBLE AS distinct_identity_ok
+        |FROM alld""".stripMargin
   )
 }

@@ -167,6 +167,16 @@ object ScaleProbe {
     def chunking(d: DataFrame): Long =
       graft.pipeline.Chunking.chunk(d, "text", chunkTokens = 64, overlap = 16)
         .count()
+    // paragraph dedup (q54 engine path): one md5-group exchange with
+    // map-side partial min_by + slim per-doc joins — removed counts
+    // returned so a wrong winner election can't hide in a timing row
+    def paraDedup(d: DataFrame): Long =
+      Dedup.dedupParagraphs(
+        d.withColumn("text",
+          regexp_replace(col("text"), "((?:\\S+ ){3}\\S+) ", "$1\n")),
+        "doc_id", "text")
+        .agg(coalesce(sum(col("n_removed")), lit(0L)))
+        .collect().head.getLong(0)
     def repetition(d: DataFrame): Long =
       graft.pipeline.Repetition.stats(d, "doc_id", "text")
         .agg(count(when(graft.pipeline.Repetition.gopherKeep(), 1)))
@@ -221,6 +231,7 @@ object ScaleProbe {
     repetition(docs0.limit(200))
     tokenBudget(docs0.limit(200))
     chunking(docs0.limit(200))
+    paraDedup(docs0.limit(200))
     cc(ccEdges(4))
 
     val results = Seq(
@@ -236,6 +247,7 @@ object ScaleProbe {
       ("repetition", timed(repetition(docs0)), timed(repetition(docsX))),
       ("token_budget_mix", timed(tokenBudget(docs0)), timed(tokenBudget(docsX))),
       ("chunking", timed(chunking(docs0)), timed(chunking(docsX))),
+      ("paragraph_dedup", timed(paraDedup(docs0)), timed(paraDedup(docsX))),
       ("connected_components",
         timed(cc(ccEdges(ccComps1))), timed(cc(ccEdges(ccComps1 * mult)))))
 
@@ -252,12 +264,17 @@ object ScaleProbe {
     val (hubSec, hubComps, _) = timed(cc(
       spark.range(1, 500001).select(lit(0L).as("a"), col("id").as("b"))))
 
+    // paragraph-skew: every paragraph of the 20,000x-duplicated doc hits
+    // ONE md5 group — the partial min_by must collapse the copies before
+    // the shuffle (the failure mode probed is a hot-key reduce partition)
+    val (pskewSec, pskewRemoved, _) = timed(paraDedup(docsSkew))
+
     val probeJson = results.map { case (name, (s1, n1, c1), (sx, nx, cx)) =>
       val ratio = if (s1 > 0) sx / s1 else -1.0
       f""""$name":{"x1_sec":$s1%.2f,"x${mult}_sec":$sx%.2f,"ratio":$ratio%.2f,"x1_pairs":$n1,"x${mult}_pairs":$nx,"x1_cap_excluded":$c1,"x${mult}_cap_excluded":$cx}"""
     }.mkString(",")
     val line =
-      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"cc_hub":{"sec":$hubSec%.2f,"components":$hubComps,"degree":500000}}"""
+      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"cc_hub":{"sec":$hubSec%.2f,"components":$hubComps,"degree":500000},"para_skew":{"sec":$pskewSec%.2f,"removed":$pskewRemoved,"copies":$SkewCopies}}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_probe.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

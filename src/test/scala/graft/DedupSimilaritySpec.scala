@@ -865,4 +865,86 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
       m shouldBe Map(1L -> 2L, 2L -> 1L)
     }
   }
+
+  "Dedup.dedupParagraphs" should {
+    def paraDocs = {
+      val s = spark
+      import s.implicits._
+      Seq(
+        (1L, "a b\nc d\ne f"),       // all first occurrences
+        (2L, "c d\ng h"),            // "c d" repeats doc 1 pos 1
+        (3L, "a b\nc d"),            // fully emptied
+        (4L, null.asInstanceOf[String]), // null text: zero paragraphs
+        (5L, "  \n \n"),             // whitespace-only: zero paragraphs
+        (6L, "x y\nx y\nz")          // in-document repeat
+      ).toDF("doc_id", "text")
+    }
+
+    "keep globally-first occurrences and reassemble in original order" in {
+      val out = Dedup.dedupParagraphs(paraDocs, "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      out(1L) shouldBe (("a b\nc d\ne f", 3L, 3L, 0L))
+      out(2L) shouldBe (("g h", 2L, 1L, 1L))
+      out(3L) shouldBe (("", 2L, 0L, 2L))     // emptied, not dropped
+      out(4L) shouldBe (("", 0L, 0L, 0L))
+      out(5L) shouldBe (("", 0L, 0L, 0L))
+      out(6L) shouldBe (("x y\nz", 3L, 2L, 1L))
+    }
+
+    "elect winners by (id, position) and never lose a distinct paragraph" in {
+      val s = spark
+      import s.implicits._
+      // same paragraphs, ids reversed: the winner must follow the SMALLER
+      // id, so doc 10's copy goes, doc 9 keeps it
+      val df = Seq((10L, "p q\nr s"), (9L, "r s\nt u")).toDF("doc_id", "text")
+      val out = Dedup.dedupParagraphs(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      out(9L) shouldBe "r s\nt u"
+      out(10L) shouldBe "p q"
+      // corpus-wide: kept paragraphs == distinct paragraphs, always
+      val occ = Dedup.paragraphOccurrences(paraDocs, "doc_id", "text")
+      val distinct = occ.select("graft_para").distinct().count()
+      val kept = Dedup.dedupParagraphs(paraDocs, "doc_id", "text")
+        .agg(org.apache.spark.sql.functions.sum("n_kept"))
+        .collect().head.getLong(0)
+      kept shouldBe distinct
+    }
+
+    "agree with a local replay and keep a Window-free, cartesian-free plan" in {
+      val s = spark
+      import s.implicits._
+      // adversarial corpus: heavy cross-doc repetition, in-doc repeats,
+      // variable paragraph widths
+      val words = Array("red", "blue", "green", "gold")
+      val docs = (0L until 60L).map { i =>
+        val paras = (0 to (i % 5).toInt).map { j =>
+          val w = words(((i + j) % 4).toInt); s"$w ${words((j % 4))}"
+        }
+        (i, paras.mkString("\n"))
+      }
+      val df = docs.toDF("doc_id", "text")
+      // local replay of the exact contract
+      val occ = docs.flatMap { case (id, t) =>
+        t.split("\n+").map(_.trim).filter(_.nonEmpty).zipWithIndex
+          .map { case (p, pos) => (id, pos, p) }
+      }
+      val winner = occ.groupBy(_._3).map { case (p, g) =>
+        p -> g.map(t => (t._1, t._2)).min
+      }
+      val expected = docs.map { case (id, t) =>
+        val keptParas = t.split("\n+").map(_.trim).filter(_.nonEmpty)
+          .zipWithIndex.filter { case (p, pos) => winner(p) == ((id, pos)) }
+        id -> keptParas.map(_._1).mkString("\n")
+      }.toMap
+      val result = Dedup.dedupParagraphs(df, "doc_id", "text")
+      result.collect().map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe
+        expected
+      val plan = result.queryExecution.executedPlan.toString()
+      plan should not include "Window"
+      plan should not include "CartesianProduct"
+    }
+  }
 }
