@@ -36,6 +36,16 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Paragraph-break injection rewrite shared by q54 and the scale probe:
+    * a break after every 4th word turns the single-line corpus into a
+    * multi-line one deterministically. The non-space class is spelled out
+    * instead of `\S` because Java and RE2 disagree on vertical tab (Java
+    * `\s` includes \x0B, RE2's does not), and the DuckDB oracle replays
+    * this pattern under RE2 — `oracleSql("q54_paragraph_dedup")` carries
+    * the SQL-escaped mirror and must track any change here. */
+  val ParaInjectPattern = "((?:[^ \\t\\n\\x0B\\f\\r]+ ){3}[^ \\t\\n\\x0B\\f\\r]+) "
+  val ParaInjectReplacement = "$1\n"
+
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which the
     * Spark reader rejects by default; read it as raw nanos and truncate to
     * microseconds — exactly what DuckDB's microsecond TIMESTAMP does on
@@ -1470,14 +1480,13 @@ object SparkEntry {
           org.apache.spark.sql.functions.slice(ntoks, 6, 13)).as("probe"))
         .distinct()
       val matches = TextAnalysis.contaminationMatches(
-        docs, "doc_id", "text", probes, "probe", n = 13).persist()
+        docs, "doc_id", "text", probes, "probe", n = 13)
       val agg = matches.agg(count(lit(1)), sum(col("matched_ngrams")))
         .collect().head
       val kept = TextAnalysis.decontaminate(
         docs, "doc_id", "text", probes, "probe", n = 13).count()
       val nDocs = docs.count()
       val nProbes = probes.count()
-      matches.unpersist(blocking = false)
       metricRow(s, Seq(
         "n_probes" -> nProbes.toDouble,
         "contaminated_docs" -> agg.getLong(0).toDouble,
@@ -1666,13 +1675,12 @@ object SparkEntry {
     "q54_paragraph_dedup" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val paraDocs = docs.select(col("doc_id"),
-        regexp_replace(col("text"), "((?:\\S+ ){3}\\S+) ", "$1\n")
+        regexp_replace(col("text"), ParaInjectPattern, ParaInjectReplacement)
           .as("text"))
       val distinctParas = Dedup
         .paragraphOccurrences(paraDocs, "doc_id", "text")
         .agg(countDistinct(col("graft_para"))).collect().head.getLong(0)
       val cleaned = Dedup.dedupParagraphs(paraDocs, "doc_id", "text")
-        .persist()
       val agg = cleaned.agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_paras")).as("total_paras"),
@@ -1682,7 +1690,6 @@ object SparkEntry {
         count(when(col("n_kept") === 0 && col("n_paras") > 0, 1))
           .as("docs_emptied"),
         sum(length(col("text_clean"))).as("chars_clean")).collect().head
-      cleaned.unpersist(blocking = false)
       metricRow(s, Seq(
         "n_docs" -> agg.getLong(0).toDouble,
         "total_paras" -> agg.getLong(1).toDouble,
@@ -2904,7 +2911,7 @@ object SparkEntry {
     "q54_paragraph_dedup" ->
       """WITH pdocs AS (
         |  SELECT doc_id, string_split_regex(
-        |           regexp_replace(text, '((?:\S+ ){3}\S+) ',
+        |           regexp_replace(text, '((?:[^ \t\n\x0B\f\r]+ ){3}[^ \t\n\x0B\f\r]+) ',
         |             '\1' || chr(10), 'g'), '\n+') AS ps
         |  FROM documents
         |), occ AS (

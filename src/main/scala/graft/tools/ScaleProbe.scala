@@ -173,7 +173,8 @@ object ScaleProbe {
     def paraDedup(d: DataFrame): Long =
       Dedup.dedupParagraphs(
         d.withColumn("text",
-          regexp_replace(col("text"), "((?:\\S+ ){3}\\S+) ", "$1\n")),
+          regexp_replace(col("text"), graft.SparkEntry.ParaInjectPattern,
+            graft.SparkEntry.ParaInjectReplacement)),
         "doc_id", "text")
         .agg(coalesce(sum(col("n_removed")), lit(0L)))
         .collect().head.getLong(0)

@@ -946,5 +946,32 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
       plan should not include "Window"
       plan should not include "CartesianProduct"
     }
+
+    "use a \\S-free injection pattern that Java and RE2 read identically" in {
+      val s = spark
+      import s.implicits._
+      // Java's \s includes vertical tab (\x0B); RE2's does not, so a `\S`
+      // in the q54 injection regex would make the engine and the DuckDB
+      // oracle split DIFFERENT corpora on any document containing \x0B.
+      // The shared pattern spells the class out — pin that it stays
+      // \S-free, that the SQL mirror carries the identical pattern text
+      // (same escaping on both sides), and that \x0B behaves as
+      // "neither word char nor separator" on the engine side.
+      SparkEntry.ParaInjectPattern should not include "\\S"
+      SparkEntry.oracleSql("q54_paragraph_dedup") should
+        include (SparkEntry.ParaInjectPattern)
+      val out = Seq(
+        "w1 w2 w3 w4 w5 w6 w7 w8 x",  // breaks after every 4th word
+        "a\u000Bb c d e f"            // \x0B splits "a" off the word run
+      ).toDF("text")
+        .select(org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.col("text"),
+          SparkEntry.ParaInjectPattern, SparkEntry.ParaInjectReplacement))
+        .as[String].collect()
+      out(0) shouldBe "w1 w2 w3 w4\nw5 w6 w7 w8\nx"
+      // no match can start at "a" (\x0B is not the required separator
+      // space), so the 4-word run is "b c d e" — same under RE2
+      out(1) shouldBe "a\u000Bb c d e\nf"
+    }
   }
 }
