@@ -1699,6 +1699,47 @@ object SparkEntry {
         "docs_emptied" -> agg.getLong(5).toDouble,
         "chars_clean" -> agg.getLong(6).toDouble,
         "distinct_identity_ok" -> flag(agg.getLong(2) == distinctParas)))
+    }),
+
+    // GPT-style sequence packing: the whole corpus concatenated into one
+    // id-ordered token stream and cut into 128-token training sequences
+    // (sequences cross document boundaries; trailing partial kept here so
+    // the token total is conserved). The global offsets come from the
+    // range-partition prefix-sum pass — no global window. Value-pinned:
+    // sequence/full-sequence counts, the conserved token total, the exact
+    // character volume of every full sequence (pins piece slicing, piece
+    // order and the single-space reassembly), piece totals and the max
+    // documents sharing one sequence, boundary-crossing doc count from
+    // packStats, and the ceil-identity between token total and sequence
+    // count.
+    "q55_seq_packing" -> ((s, dir) => {
+      import graft.pipeline.Packing
+      val L = 128
+      val docs = table(s, dir, "documents")
+      val seqs = Packing.packSequences(docs, "doc_id", "text",
+        seqLen = L, keepPartial = true)
+      val agg = seqs.agg(
+        count(lit(1)),
+        count(when(col("n_tokens") === L.toLong, 1)),
+        coalesce(sum(col("n_tokens")), lit(0L)),
+        coalesce(sum(when(col("n_tokens") === L.toLong,
+          length(col("seq_text")))), lit(0L)),
+        coalesce(sum(col("n_docs")), lit(0L)),
+        coalesce(org.apache.spark.sql.functions.max(col("n_docs")), lit(0L)))
+        .collect().head
+      val crossing = Packing.packStats(docs, "doc_id", "text", L)
+        .where(col("crosses")).count()
+      val nSeqs = agg.getLong(0)
+      val total = agg.getLong(2)
+      metricRow(s, Seq(
+        "n_seqs" -> nSeqs.toDouble,
+        "n_full" -> agg.getLong(1).toDouble,
+        "sum_tokens" -> total.toDouble,
+        "full_chars" -> agg.getLong(3).toDouble,
+        "sum_pieces" -> agg.getLong(4).toDouble,
+        "max_docs_in_seq" -> agg.getLong(5).toDouble,
+        "docs_crossing" -> crossing.toDouble,
+        "seq_count_ok" -> flag(nSeqs == (total + L - 1) / L.toLong)))
     })
   )
 
@@ -2949,6 +2990,47 @@ object SparkEntry {
         |                    THEN n_kept - 1 ELSE 0 END), 0)::DOUBLE
         |         AS chars_clean,
         |       1.0::DOUBLE AS distinct_identity_ok
-        |FROM alld""".stripMargin
+        |FROM alld""".stripMargin,
+
+    // q55: sequence packing — DuckDB rebuilds the identical id-ordered
+    // token stream with a global token index, assigns every token to
+    // sequence gi // 128, and recomputes per-sequence token counts, the
+    // full-sequence character volume (token chars + nt-1 single-space
+    // separators — exactly the engine's piece reassembly), contributing
+    // document counts, and per-doc boundary crossings from token-span
+    // minima/maxima. seq_count_ok is asserted engine-side, mirrored 1.0.
+    "q55_seq_packing" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), tk AS (
+        |  SELECT doc_id, unnest(toks) AS tok,
+        |         generate_subscripts(toks, 1) AS pos
+        |  FROM base
+        |), g AS (
+        |  SELECT doc_id, tok,
+        |         row_number() OVER (ORDER BY doc_id, pos) - 1 AS gi
+        |  FROM tk
+        |), sq AS (
+        |  SELECT gi // 128 AS seq_id, count(*) AS nt,
+        |         sum(len(tok)) + count(*) - 1 AS chars,
+        |         count(DISTINCT doc_id) AS nd
+        |  FROM g GROUP BY 1
+        |), dspan AS (
+        |  SELECT doc_id, min(gi) // 128 AS s0, max(gi) // 128 AS s1
+        |  FROM g GROUP BY 1
+        |)
+        |SELECT (SELECT count(*) FROM sq)::DOUBLE AS n_seqs,
+        |       (SELECT count(*) FROM sq WHERE nt = 128)::DOUBLE AS n_full,
+        |       (SELECT coalesce(sum(nt), 0) FROM sq)::DOUBLE AS sum_tokens,
+        |       (SELECT coalesce(sum(chars), 0) FROM sq WHERE nt = 128)::DOUBLE
+        |         AS full_chars,
+        |       (SELECT coalesce(sum(nd), 0) FROM sq)::DOUBLE AS sum_pieces,
+        |       (SELECT coalesce(max(nd), 0) FROM sq)::DOUBLE
+        |         AS max_docs_in_seq,
+        |       (SELECT count(*) FROM dspan WHERE s0 <> s1)::DOUBLE
+        |         AS docs_crossing,
+        |       1.0::DOUBLE AS seq_count_ok""".stripMargin
   )
 }

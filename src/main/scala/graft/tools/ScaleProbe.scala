@@ -178,6 +178,15 @@ object ScaleProbe {
         "doc_id", "text")
         .agg(coalesce(sum(col("n_removed")), lit(0L)))
         .collect().head.getLong(0)
+    // sequence packing (q55 engine path): the range-partition prefix-sum
+    // pass + one seq_id-keyed assembly shuffle — the returned value is the
+    // conserved token total, so a lost or duplicated piece can't hide in
+    // a timing row
+    def packing(d: DataFrame): Long =
+      graft.pipeline.Packing.packSequences(
+        d, "doc_id", "text", seqLen = 128, keepPartial = true)
+        .agg(coalesce(sum(col("n_tokens")), lit(0L)))
+        .collect().head.getLong(0)
     def repetition(d: DataFrame): Long =
       graft.pipeline.Repetition.stats(d, "doc_id", "text")
         .agg(count(when(graft.pipeline.Repetition.gopherKeep(), 1)))
@@ -233,6 +242,7 @@ object ScaleProbe {
     tokenBudget(docs0.limit(200))
     chunking(docs0.limit(200))
     paraDedup(docs0.limit(200))
+    packing(docs0.limit(200))
     cc(ccEdges(4))
 
     val results = Seq(
@@ -249,6 +259,7 @@ object ScaleProbe {
       ("token_budget_mix", timed(tokenBudget(docs0)), timed(tokenBudget(docsX))),
       ("chunking", timed(chunking(docs0)), timed(chunking(docsX))),
       ("paragraph_dedup", timed(paraDedup(docs0)), timed(paraDedup(docsX))),
+      ("seq_packing", timed(packing(docs0)), timed(packing(docsX))),
       ("connected_components",
         timed(cc(ccEdges(ccComps1))), timed(cc(ccEdges(ccComps1 * mult)))))
 
