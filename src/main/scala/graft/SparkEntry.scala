@@ -1740,6 +1740,45 @@ object SparkEntry {
         "max_docs_in_seq" -> agg.getLong(5).toDouble,
         "docs_crossing" -> crossing.toDouble,
         "seq_count_ok" -> flag(nSeqs == (total + L - 1) / L.toLong)))
+    }),
+
+    // TF-IDF keyword extraction: per-document top-3 terms under the
+    // smoothed idf (ln((N+1)/(df+1)) + 1), ties broken by ascending term
+    // so the selection is a pure function of the data. Value-pinned via
+    // integers only — vocabulary size, (doc, term) pair count, the
+    // conserved token total, max document frequency, and the emitted
+    // top-3 selection pinned EXACTLY by its tf and df sums (a single
+    // swapped term would shift both) plus the df=1-top-term doc count.
+    "q56_tfidf" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val tf = TextAnalysis.termFrequencies(docs, "doc_id", "text")
+      val dfreq = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+      val dAgg = dfreq.agg(
+        count(lit(1)),
+        coalesce(sum(col("df")), lit(0L)),
+        coalesce(org.apache.spark.sql.functions.max(col("df")), lit(0L)))
+        .collect().head
+      val sumTf = tf.agg(coalesce(sum(col("tf")), lit(0L)))
+        .collect().head.getLong(0)
+      val top = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 3)
+      val tAgg = top.agg(
+        count(lit(1)),
+        countDistinct(col("doc_id")),
+        coalesce(sum(col("tf")), lit(0L)),
+        coalesce(sum(col("df")), lit(0L)),
+        count(when(col("rank") === 1 && col("df") === 1, 1)))
+        .collect().head
+      metricRow(s, Seq(
+        "vocab_size" -> dAgg.getLong(0).toDouble,
+        "n_pairs" -> dAgg.getLong(1).toDouble,
+        "max_df" -> dAgg.getLong(2).toDouble,
+        "sum_tf" -> sumTf.toDouble,
+        "emitted" -> tAgg.getLong(0).toDouble,
+        "docs_ranked" -> tAgg.getLong(1).toDouble,
+        "sum_emitted_tf" -> tAgg.getLong(2).toDouble,
+        "sum_emitted_df" -> tAgg.getLong(3).toDouble,
+        "unique_top1" -> tAgg.getLong(4).toDouble))
     })
   )
 
@@ -3031,6 +3070,50 @@ object SparkEntry {
         |         AS max_docs_in_seq,
         |       (SELECT count(*) FROM dspan WHERE s0 <> s1)::DOUBLE
         |         AS docs_crossing,
-        |       1.0::DOUBLE AS seq_count_ok""".stripMargin
+        |       1.0::DOUBLE AS seq_count_ok""".stripMargin,
+
+    // q56: TF-IDF top-3 terms — DuckDB rebuilds the identical lowercase
+    // token stream, (doc, term) counts, document frequencies, the same
+    // smoothed-idf score, and the same (score DESC, term ASC) ranking;
+    // every pinned column is an exact integer so cross-engine float noise
+    // in ln() cannot leak into the compare (a 1-ulp ln difference could
+    // only flip a rank if two UNEQUAL (tf, df) pairs scored within ~2e-16
+    // relative — not constructible from small-integer counts).
+    "q56_tfidf" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), tkn AS (
+        |  SELECT doc_id, unnest(toks) AS term FROM base
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tkn GROUP BY 1, 2
+        |), dfc AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), nn AS (
+        |  SELECT count(*) AS nd FROM base WHERE len(toks) > 0
+        |), scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |         t.tf * (ln(((SELECT nd FROM nn) + 1.0) / (d.df + 1.0))
+        |           + 1.0) AS score
+        |  FROM tf t JOIN dfc d USING (term)
+        |), topk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, term) AS rn
+        |  FROM scored
+        |)
+        |SELECT (SELECT count(*) FROM dfc)::DOUBLE AS vocab_size,
+        |       (SELECT coalesce(sum(df), 0) FROM dfc)::DOUBLE AS n_pairs,
+        |       (SELECT coalesce(max(df), 0) FROM dfc)::DOUBLE AS max_df,
+        |       (SELECT coalesce(sum(tf), 0) FROM tf)::DOUBLE AS sum_tf,
+        |       (SELECT count(*) FROM topk WHERE rn <= 3)::DOUBLE AS emitted,
+        |       (SELECT count(DISTINCT doc_id) FROM topk WHERE rn <= 3)::DOUBLE
+        |         AS docs_ranked,
+        |       (SELECT coalesce(sum(tf), 0) FROM topk WHERE rn <= 3)::DOUBLE
+        |         AS sum_emitted_tf,
+        |       (SELECT coalesce(sum(df), 0) FROM topk WHERE rn <= 3)::DOUBLE
+        |         AS sum_emitted_df,
+        |       (SELECT count(*) FROM topk WHERE rn = 1 AND df = 1)::DOUBLE
+        |         AS unique_top1""".stripMargin
   )
 }

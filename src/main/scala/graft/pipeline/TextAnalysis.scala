@@ -329,4 +329,63 @@ object TextAnalysis {
       contaminationMatches(corpus, idCol, textCol, probes, probeTextCol, n)
         .select(idCol),
       Seq(idCol), "left_anti")
+
+  // -- TF-IDF keyword extraction --------------------------------------------
+  // Corpus-level term weighting over the canonical lowercase-whitespace
+  // tokens: tf(d, t) = occurrences of t in d, df(t) = documents containing
+  // t, idf = ln((N + 1) / (df + 1)) + 1 (the smoothed scikit-learn
+  // convention — never negative, never a division by zero), score =
+  // tf * idf. Used for per-document keyword extraction and corpus
+  // vocabulary profiling.
+
+  /** (idCol, term, tf) — one row per distinct (document, term): a narrow
+    * map-side `explode` of the token array into ONE groupBy exchange with
+    * map-side partial counts. Null-id rows are dropped; empty/null text
+    * contributes nothing.
+    */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol), explode(normalizedTokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-document top-`k` terms by TF-IDF: (idCol, term, tf, df, score,
+    * rank), rank 1..k ordered by score descending with an ascending-term
+    * tie-break (so the result is a pure function of the data — ties in
+    * (tf, df) are common and MUST not be left to partition order).
+    *
+    * 100 TB plan shape: the (doc, term) counts shuffle once on their
+    * grouping key; document frequencies aggregate the SAME frame by term
+    * (second slim exchange carrying one long per distinct (doc, term));
+    * the score join shuffles on term — all three keyed by high-cardinality
+    * uniform columns. The ranking window partitions BY DOCUMENT — bounded
+    * per-partition state (one doc's vocabulary), never a global sort. `n`
+    * (document count) is computed by a preceding count action; pass
+    * `totalDocs` when the caller already knows it to keep the operator to
+    * a single job.
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 10,
+      totalDocs: Long = -1L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = termFrequencies(df, idCol, textCol)
+    val n =
+      if (totalDocs >= 0) totalDocs
+      else df.where(col(idCol).isNotNull &&
+        size(normalizedTokens(col(textCol))) > 0).count()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf") * (log((lit(n.toDouble) + 1.0) / (col("df") + lit(1.0)))
+          + lit(1.0))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 }

@@ -974,4 +974,66 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
       out(1) shouldBe "a\u000Bb c d e\nf"
     }
   }
+
+  "TextAnalysis tf-idf" should {
+    def tfDocs = {
+      val s = spark
+      import s.implicits._
+      Seq[(java.lang.Long, String)](
+        (1L, "apple banana apple"),           // tf(apple)=2
+        (2L, "banana cherry"),
+        (3L, "apple Cherry CHERRY date"),     // case folds to cherry tf=2
+        (4L, ""),                             // no tokens: excluded from N
+        (5L, null),                           // null text: excluded from N
+        (null, "dropped row"))                // null id: dropped
+        .toDF("doc_id", "text")
+    }
+
+    "count exact per-document term frequencies" in {
+      val tf = TextAnalysis.termFrequencies(tfDocs, "doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      tf shouldBe Map(
+        (1L, "apple") -> 2L, (1L, "banana") -> 1L,
+        (2L, "banana") -> 1L, (2L, "cherry") -> 1L,
+        (3L, "apple") -> 1L, (3L, "cherry") -> 2L, (3L, "date") -> 1L)
+    }
+
+    "rank by the smoothed tf-idf with an ascending-term tie-break" in {
+      // N = 3 (docs 4/5 have no tokens, null id dropped).
+      // df: apple 2, banana 2, cherry 2, date 1.
+      // idf(df=2) = ln(4/3)+1 ~ 1.2877, idf(df=1) = ln(4/2)+1 ~ 1.6931.
+      // doc 1: apple 2*1.2877=2.575 > banana 1.2877 — apple first.
+      // doc 2: banana vs cherry tie at 1.2877 — banana wins rank 1 by term.
+      // doc 3: cherry 2.575 > date 1.693 > apple 1.2877.
+      val top = TextAnalysis.tfidfTopTerms(tfDocs, "doc_id", "text", k = 2)
+      val byDoc = top.collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getString(1), r.getAs[Int]("rank"))).toSeq).toMap
+      byDoc shouldBe Map(
+        1L -> Seq(("apple", 1), ("banana", 2)),
+        2L -> Seq(("banana", 1), ("cherry", 2)),
+        3L -> Seq(("cherry", 1), ("date", 2)))
+      // the score column carries the documented smoothed formula
+      val s13 = top.where(col("doc_id") === 3L && col("rank") === 2)
+        .select(col("score")).collect().head.getDouble(0)
+      s13 shouldBe (math.log(4.0 / 2.0) + 1.0) +- 1e-12
+    }
+
+    "skip the count job when totalDocs is supplied, same result" in {
+      val implicitN = TextAnalysis.tfidfTopTerms(tfDocs, "doc_id", "text", 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Int]("rank")))
+        .toSet
+      val explicitN = TextAnalysis
+        .tfidfTopTerms(tfDocs, "doc_id", "text", 3, totalDocs = 3L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Int]("rank")))
+        .toSet
+      explicitN shouldBe implicitN
+      // plan shape: per-document window (bounded state), never a global sort
+      val plan = TextAnalysis.tfidfTopTerms(tfDocs, "doc_id", "text", 3,
+        totalDocs = 3L).queryExecution.executedPlan.toString()
+      plan should not include "CartesianProduct"
+    }
+  }
 }
