@@ -67,6 +67,13 @@ object Bench {
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Failed reps must be visible and must NOT contribute their elapsed
+    // time to the median: the r9 driver run logged a bare stack trace
+    // (no query name — unattributable after the fact) while the timing
+    // of the failed rep silently entered the median as if it were a
+    // successful run. Track failures per query; medians come from the
+    // successful reps only; a query with zero successful reps reports -1.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def medianOf(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // Untimed GC between queries: with a 128 GiB heap, collections are
       // rare, so broadcast/cache refuse from earlier queries piles up and
@@ -76,12 +83,22 @@ object Bench {
       // here moves that cost into untimed space and lets the cleaner drop
       // stale broadcasts before the next query runs.
       System.gc()
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case t: Throwable =>
+            failures.updateWith(name) { c => Some(c.getOrElse(0) + 1) }
+            val elapsed = (System.nanoTime() - t0) / 1e9
+            System.err.println(
+              f"[bench] $name%s rep FAILED after $elapsed%.1f s: " +
+                s"${t.getClass.getName}: ${String.valueOf(t.getMessage).take(300)}")
+            None
+        }
       }.sorted
-      times(times.length / 2)
+      if (times.isEmpty) -1.0 else times(times.length / 2)
     }
     // Box-contention gauge: a FIXED synthetic aggregation (no file IO, no
     // SF dependence) timed the same way as a query. Its clean-box time is
@@ -109,7 +126,19 @@ object Bench {
     // would fake a hot box on every cold JVM
     calibrationQuery(spark).count()
     val calibrationStart = calibrate()
-    val results = selected.map { case (name, fn) => name -> medianOf(name, fn) }
+    // Mid-suite gauge readings: the r9 driver run read 4.5 s at suite
+    // start vs 0.59 s at suite end — an 8x-hot box whose cool-down point
+    // is invisible with only two samples, leaving every in-suite number
+    // unattributable between "plan cost" and "contention". One untimed
+    // gauge every `gaugeEvery` queries turns the per-query inflation
+    // factor into a lookup instead of a guess.
+    val gaugeEvery = 14
+    val gaugeTrail = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % gaugeEvery == 0)
+        gaugeTrail += (s"after_$i" -> calibrate())
+      name -> medianOf(name, fn)
+    }
     // the heaviest queries swing ~2x with box contention mid-suite; a
     // second median-of-3 at suite end (quiet JVM, cleaner fully drained)
     // records the contention-free number alongside the in-suite one
@@ -123,8 +152,12 @@ object Bench {
       .mkString("{", ",", "}")
     val calibrationEnd = calibrate()
     val total = results.map(_._2).sum
+    val gauges = gaugeTrail.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val errs = failures.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"requeried":$rq,"calibration":$calibrationStart%.3f,"calibration_end":$calibrationEnd%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"requeried":$rq,"errors":$errs,"calibration":$calibrationStart%.3f,"calibration_mid":$gauges,"calibration_end":$calibrationEnd%.3f,"sf":"$sfDir"}"""
     // the JSON to a file first: the stdout line sits in megabytes of
     // sbt/Spark log noise, and downstream tooling that scrapes the tail
     // gets a null parse whenever a WARN lands after it
