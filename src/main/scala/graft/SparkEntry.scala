@@ -46,20 +46,36 @@ object SparkEntry {
   val ParaInjectPattern = "((?:[^ \\t\\n\\x0B\\f\\r]+ ){3}[^ \\t\\n\\x0B\\f\\r]+) "
   val ParaInjectReplacement = "$1\n"
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * Spark reader rejects by default; read it as raw nanos and truncate to
-    * microseconds — exactly what DuckDB's microsecond TIMESTAMP does on
-    * the same file, so event-time boundaries agree between both engines.
+  /** The events table's `ts` encoding has varied across test-data
+    * generations: older files store parquet TIMESTAMP(NANOS) — which the
+    * Spark reader rejects unless `nanosAsLong` maps it to a raw Long —
+    * while newer files store timestamp[us], which Spark 4 reads natively
+    * as TIMESTAMP_NTZ. Branch on the type the scan actually produced:
+    *   - LongType        → legacy nanos: truncate to micros, exactly what
+    *                       DuckDB's microsecond TIMESTAMP does on the
+    *                       same file, so boundaries agree cross-engine.
+    *   - TIMESTAMP_NTZ / TIMESTAMP → already microseconds: pass through
+    *                       (session TZ is UTC, so NTZ event-time window
+    *                       boundaries match the DuckDB oracle as-is).
     * NOTE: nanosAsLong is a session conf, not a per-read option, and the
     * scan consults it at execution time — it intentionally stays set for
-    * the session (only affects files with NANOS columns, which Spark
-    * would otherwise refuse to read at all).
+    * the session (it only affects files with NANOS columns, which Spark
+    * would otherwise refuse to read at all; it is a no-op for us/ms).
     */
-  private def eventsTable(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventsTable(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.TimestampType =>
+        raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected int64 nanos or timestamp")
+    }
   }
 
   /** Single-row DataFrame of named double values. */

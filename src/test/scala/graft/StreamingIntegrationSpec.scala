@@ -173,4 +173,61 @@ class StreamingIntegrationSpec extends AnyWordSpec with Matchers with SparkSpec 
       out.map(_.getDouble(1)).max shouldBe 15.0
     }
   }
+
+  "SparkEntry.eventsTable" should {
+    // The test-data generator has shipped events.ts as BOTH parquet
+    // TIMESTAMP(NANOS) (read as Long under nanosAsLong) and timestamp[us]
+    // (read natively as TIMESTAMP/TIMESTAMP_NTZ). Both encodings of the
+    // same instants must produce identical window boundaries (r10 verdict:
+    // the adapter went stale on an encoding change and q37/q38 died).
+    "produce identical windows for int64-nanos and timestamp[us] encodings" in {
+      import org.apache.spark.sql.functions.{count => fcount, date_format}
+      import org.apache.spark.sql.types.{LongType, StructField, StructType, StringType => SStr}
+      val s = spark
+      val base = 1600000000L * 1000000000L // 2020-09-13 12:26:40 UTC, in nanos
+      val rows = Seq( // (user, offsetSeconds) spanning two hour buckets + a session gap
+        ("u1", 0L), ("u1", 120L), ("u1", 900L), // 10-min gap splits after this
+        ("u1", 2400L), ("u2", 100L), ("u2", 4000L))
+      val schema = StructType(Seq(
+        StructField("user_id", SStr), StructField("ts", LongType),
+        StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val nanosDf = s.createDataFrame(
+        s.sparkContext.parallelize(rows.map { case (u, off) =>
+          org.apache.spark.sql.Row(u, base + off * 1000000000L, 1.0) }, 2), schema)
+
+      val dirA = java.nio.file.Files.createTempDirectory("graft_ev_nanos").toString
+      val dirB = java.nio.file.Files.createTempDirectory("graft_ev_micros").toString
+      nanosDf.write.mode("overwrite").parquet(s"$dirA/events.parquet")
+      nanosDf
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        .write.mode("overwrite").parquet(s"$dirB/events.parquet")
+
+      def windows(dir: String): Seq[(String, Long)] =
+        StreamingOps.windowedAgg(
+            SparkEntry.eventsTable(s, dir), "ts", "1 hour",
+            Seq(fcount(org.apache.spark.sql.functions.lit(1)).as("n")))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w"), col("n"))
+          .orderBy("w").collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+      def sessions(dir: String): Seq[(String, Long)] =
+        StreamingOps.sessionized(
+            SparkEntry.eventsTable(s, dir), "ts", "10 minutes", Seq("user_id"),
+            Seq(fcount(org.apache.spark.sql.functions.lit(1)).as("n")))
+          .select(col("user_id"), col("n"))
+          .orderBy("user_id", "n").collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+
+      val (wA, wB) = (windows(dirA), windows(dirB))
+      val (sA, sB) = (sessions(dirA), sessions(dirB))
+      wA shouldBe wB
+      sA shouldBe sB
+      // hard-pin the epoch-aligned hour boundaries: base = 12:26:40, so
+      // bucket 12:00 holds offsets {0,120,900} + u2's 100, bucket 13:00
+      // holds {2400 (13:06:40), 4000 (13:33:20)}
+      wA shouldBe Seq(("2020-09-13 12:00:00", 4L), ("2020-09-13 13:00:00", 2L))
+      // u1: [0,120] then 13-min gap → [900] then 25-min gap → [2400]:
+      // three sessions (2,1,1); u2: [100] and [4000]: two singletons
+      sA shouldBe Seq(("u1", 1L), ("u1", 1L), ("u1", 2L), ("u2", 1L), ("u2", 1L))
+    }
+  }
 }
