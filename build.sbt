@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print one machine-parseable JSON line as their last stdout
+// output; tooling that scrapes the process tail must see it LAST and
+// unprefixed. StdoutOutput passes forked-run output through without the
+// "[info] " prefix, and showSuccess=false drops the trailing "[success]
+// Total time" banner that would otherwise land after the JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

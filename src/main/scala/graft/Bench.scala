@@ -89,7 +89,11 @@ object Bench {
           fn(spark, sfDir).count()
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
-          case t: Throwable =>
+          // NonFatal only: after an OutOfMemoryError (or other VirtualMachine
+          // error) every subsequent timing is unreliable but would look
+          // clean — let fatal errors kill the suite with a non-zero rc
+          // instead of polluting the round's numbers.
+          case scala.util.control.NonFatal(t) =>
             failures.updateWith(name) { c => Some(c.getOrElse(0) + 1) }
             val elapsed = (System.nanoTime() - t0) / 1e9
             System.err.println(
@@ -98,7 +102,11 @@ object Bench {
             None
         }
       }.sorted
-      if (times.isEmpty) -1.0 else times(times.length / 2)
+      if (times.isEmpty) -1.0
+      else if (times.length % 2 == 1) times(times.length / 2)
+      // even count (a rep failed): average the two middle successes rather
+      // than biasing toward the slower one
+      else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
     }
     // Box-contention gauge: a FIXED synthetic aggregation (no file IO, no
     // SF dependence) timed the same way as a query. Its clean-box time is
@@ -141,23 +149,47 @@ object Bench {
     }
     // the heaviest queries swing ~2x with box contention mid-suite; a
     // second median-of-3 at suite end (quiet JVM, cleaner fully drained)
-    // records the contention-free number alongside the in-suite one
-    val slowest = results.sortBy(-_._2).take(3)
+    // records the contention-free number alongside the in-suite one.
+    // Fully-failed queries (-1 sentinel) are excluded — re-running a
+    // query with zero successful reps would only re-fail it, and its
+    // requery failures would conflate with the in-suite counts. Requery
+    // failures that DO happen are recorded under a distinct _requery key.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(3)
     val requeried = slowest.map { case (name, _) =>
-      name -> medianOf(name, SparkEntry.queries(name))
+      name -> medianOf(name + "_requery", SparkEntry.queries(name))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val rq = requeried.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val calibrationEnd = calibrate()
-    val total = results.map(_._2).sum
+    // total sums SUCCESSFUL medians only: the -1 sentinel would understate
+    // the suite by 1s per failed query and make a failing run compare
+    // favorably against a clean one
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // Contention-normalized total: each query's median divided by how hot
+    // the box ran around it. The gauge's clean-box band is 0.4-0.6 s
+    // (center 0.5); a reading of 2.0 means everything near it ran ~4x
+    // slow. The ratio clamps at 1 — a colder-than-band gauge must not
+    // *inflate* reported times. This makes cross-round totals comparable
+    // without per-query forensics; `value` stays the raw measurement.
+    val cleanGauge = 0.5
+    val gaugePoints: Seq[(Int, Double)] =
+      ((0 -> calibrationStart) +:
+        gaugeTrail.toSeq.map { case (k, v) => k.stripPrefix("after_").toInt -> v } :+
+        (selected.length -> calibrationEnd)).filter(_._2 >= 0)
+    def contentionRatio(i: Int): Double =
+      if (gaugePoints.isEmpty) 1.0
+      else math.max(1.0,
+        gaugePoints.minBy { case (p, _) => math.abs(p - (i + 0.5)) }._2 / cleanGauge)
+    val normalizedTotal = results.zipWithIndex
+      .collect { case ((_, v), i) if v >= 0 => v / contentionRatio(i) }.sum
     val gauges = gaugeTrail.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val errs = failures.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"requeried":$rq,"errors":$errs,"calibration":$calibrationStart%.3f,"calibration_mid":$gauges,"calibration_end":$calibrationEnd%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","normalized_total":$normalizedTotal%.3f,"queries":$qs,"requeried":$rq,"errors":$errs,"calibration":$calibrationStart%.3f,"calibration_mid":$gauges,"calibration_end":$calibrationEnd%.3f,"sf":"$sfDir"}"""
     // the JSON to a file first: the stdout line sits in megabytes of
     // sbt/Spark log noise, and downstream tooling that scrapes the tail
     // gets a null parse whenever a WARN lands after it
