@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, countDistinct, expr, length, lit, regexp_replace, sum, when}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, count, countDistinct, explode, expr, length, lit, regexp_replace, struct, sum, when}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
@@ -1416,16 +1416,17 @@ object SparkEntry {
           (lit(1000000L) + col("l_partkey")).as("b"))
       // localSolveMaxEdges = 0: the oracle must pin the DISTRIBUTED
       // star-contraction rounds, not the small-graph union-find shortcut
-      val comps = Dedup.connectedComponents(edges, localSolveMaxEdges = 0)
-        .persist()
-      val a0 = comps.agg(
-        count(lit(1)), countDistinct(col("component")),
-        sum(col("component"))).collect().head
-      val maxCluster = comps.groupBy("component")
-        .agg(count(lit(1)).as("graft_c"))
-        .agg(org.apache.spark.sql.functions.max(col("graft_c")))
-        .collect().head.getLong(0)
-      comps.unpersist(blocking = false)
+      // one groupBy pass yields every component statistic at once —
+      // nodes = Σ sizes, components = group count, max cluster = max size,
+      // label sum = Σ component·size — instead of two jobs over a persisted
+      // intermediate (node count + distinct + sum, then a second groupBy
+      // for the max)
+      val a0 = Dedup.connectedComponents(edges, localSolveMaxEdges = 0)
+        .groupBy("component").agg(count(lit(1)).as("graft_c"))
+        .agg(sum(col("graft_c")), count(lit(1)),
+          org.apache.spark.sql.functions.max(col("graft_c")),
+          sum(col("component") * col("graft_c")))
+        .collect().head
 
       // near-dup clustering audit over a BOUNDED document subset (the
       // full-corpus signature scan is q24's bench job, and audit cost must
@@ -1441,34 +1442,45 @@ object SparkEntry {
       val clustered = Dedup.clustersFromPairs(docs, "doc_id", pairs)
         .select(col("doc_id").cast("long").as("doc_id"), col("cluster"))
         .persist()
-      // every pair's endpoints must carry the same cluster label
+      // every pair's endpoints must carry the same cluster label; the
+      // SAME labeled-pair frame also feeds the endpoint stats below, so
+      // join once and persist the (tiny) result instead of re-running the
+      // two label joins per metric
       val labels = clustered.select(col("doc_id"), col("cluster"))
-      val badPairs = pairs
+      val labeledPairs = pairs
         .join(labels.toDF("id_a", "graft_ca"), Seq("id_a"))
         .join(labels.toDF("id_b", "graft_cb"), Seq("id_b"))
+        .persist()
+      val badPairs = labeledPairs
         .filter(col("graft_ca") =!= col("graft_cb")).count()
       // counting identity on the SAME clustering: docs kept by
       // keep-one-per-cluster = nDocs - (docs in some pair) + (distinct
       // clusters among those docs); kept is computed from the labels, the
-      // other two sides from the raw pair list — a wrong label join, a
-      // dropped singleton, or a split component breaks the equality
-      val pairNodes = pairs.select(col("id_a").as("doc_id"))
-        .union(pairs.select(col("id_b").as("doc_id"))).distinct().persist()
-      val kept = clustered.filter(col("cluster") === col("doc_id")).count()
-      val nDocs = clustered.count()
-      val pn = pairNodes.join(labels, Seq("doc_id"))
-        .agg(count(lit(1)), countDistinct(col("cluster"))).collect().head
+      // other two sides from the pair list — a wrong label join, a
+      // dropped singleton, or a split component breaks the equality.
+      // kept + nDocs come from ONE pass over the persisted labels (they
+      // were two sequential count() jobs)
+      val kn = clustered.agg(
+        sum((col("cluster") === col("doc_id")).cast("long")),
+        count(lit(1))).collect().head
+      val (kept, nDocs) = (kn.getLong(0), kn.getLong(1))
+      val pn = labeledPairs
+        .select(explode(array(
+          struct(col("id_a").as("d"), col("graft_ca").as("c")),
+          struct(col("id_b").as("d"), col("graft_cb").as("c")))).as("graft_e"))
+        .select(col("graft_e.d"), col("graft_e.c")).distinct()
+        .agg(count(lit(1)), countDistinct(col("c"))).collect().head
       val (nClustered, nClusters) = (pn.getLong(0), pn.getLong(1))
+      labeledPairs.unpersist(blocking = false)
       pairs.unpersist(blocking = false)
       clustered.unpersist(blocking = false)
-      pairNodes.unpersist(blocking = false)
       sigs.unpersist(blocking = false)
 
       metricRow(s, Seq(
         "cc_nodes" -> a0.getLong(0).toDouble,
         "cc_components" -> a0.getLong(1).toDouble,
-        "cc_max_cluster" -> maxCluster.toDouble,
-        "cc_sum_labels" -> a0.getLong(2).toDouble,
+        "cc_max_cluster" -> a0.getLong(2).toDouble,
+        "cc_sum_labels" -> a0.getLong(3).toDouble,
         "nd_pairs_consistent" -> flag(badPairs == 0L),
         "nd_accounting_ok" -> flag(nClustered >= nClusters && nClusters >= 1 &&
           nDocs >= nClustered),
