@@ -354,13 +354,17 @@ object TextAnalysis {
     * tie-break (so the result is a pure function of the data — ties in
     * (tf, df) are common and MUST not be left to partition order).
     *
-    * 100 TB plan shape: the (doc, term) counts shuffle once on their
-    * grouping key; document frequencies aggregate the SAME frame by term
-    * (second slim exchange carrying one long per distinct (doc, term));
-    * the score join shuffles on term — all three keyed by high-cardinality
-    * uniform columns. The ranking window partitions BY DOCUMENT — bounded
+    * 100 TB plan shape: the corpus is tokenized EXACTLY ONCE — the
+    * (doc, term) counts shuffle once on their grouping key, and document
+    * frequencies come from a count-over-window partitioned by term on
+    * that same frame (one slim exchange carrying one long per distinct
+    * (doc, term); per-partition window state is a single count). The
+    * earlier dfreq-join formulation re-evaluated the whole
+    * tokenize→explode→count subtree on both join sides whenever exchange
+    * reuse didn't kick in — ~3× the scan cost, found by the whale-doc
+    * scale probe. The ranking window partitions BY DOCUMENT — bounded
     * per-partition state (one doc's vocabulary), never a global sort. `n`
-    * (document count) is computed by a preceding count action; pass
+    * (document count) is a cheap non-tokenizing `\S` scan; pass
     * `totalDocs` when the caller already knows it to keep the operator to
     * a single job.
     */
@@ -374,10 +378,14 @@ object TextAnalysis {
     val tf = termFrequencies(df, idCol, textCol)
     val n =
       if (totalDocs >= 0) totalDocs
+      // "has at least one token" without building the token array: any
+      // non-whitespace character ⇔ split-then-filter yields ≥ 1 token
       else df.where(col(idCol).isNotNull &&
-        size(normalizedTokens(col(textCol))) > 0).count()
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "term")
+        col(textCol).rlike("\\S")).count()
+    val wTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(wTerm))
       .select(col(idCol), col("term"), col("tf"), col("df"),
         (col("tf") * (log((lit(n.toDouble) + 1.0) / (col("df") + lit(1.0)))
           + lit(1.0))).as("score"))

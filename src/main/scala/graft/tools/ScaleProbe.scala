@@ -214,6 +214,48 @@ object ScaleProbe {
         d, "doc_id", "text", decontamProbes, "probe", n = 13)
         .agg(coalesce(sum(col("matched_ngrams")), lit(0L)))
         .collect().head.getLong(0)
+    // decontamination under a MEGA-HOT n-gram (q49 shape, worst case): the
+    // same 13-token phrase is appended to EVERY document and is also the
+    // probe, so every corpus document survives the broadcast join — the
+    // worst contamination rate possible. The join key is a single hash
+    // value, but it never shuffles (broadcast side), and the post-join
+    // groupBy key is doc_id (uniform) — so the run must stay ~linear in
+    // the corpus; the returned sum(matched_ngrams) == corpus size pins
+    // that every document matched exactly its one probe gram.
+    val hotPhrase = ('a' to 'm').map(c => s"hotgram_$c").mkString(" ")
+    def hotDecontam(d: DataFrame): Long =
+      graft.pipeline.TextAnalysis.contaminationMatches(
+        d.select(col("doc_id"),
+          concat(col("text"), lit(" " + hotPhrase)).as("text")),
+        "doc_id", "text",
+        spark.range(1).select(lit(hotPhrase).as("probe")), "probe", n = 13)
+        .agg(coalesce(sum(col("matched_ngrams")), lit(0L)))
+        .collect().head.getLong(0)
+    // TF-IDF under whale-document skew (q56 shape): one synthetic document
+    // owns as many tokens as the ENTIRE rest of the corpus (50% of all
+    // tokens). Its explode runs in one task and its (doc, term) partials
+    // must collapse map-side (64-term vocabulary, huge tf) before the
+    // exchange; the ranking window sees a 64-row partition, not a
+    // 50%-of-corpus one. A hot doc_id that still finishes ~linearly is
+    // exactly the skew-safety claim q56's plan makes.
+    def tfidfWhale(d: DataFrame, whaleTokens: Long): Long = {
+      val block = (0 until 64).map(i => s"wtok$i").mkString(" ") + " "
+      // the repeat count rides on col("id") so it is NOT constant-foldable:
+      // a foldable repeat(lit, lit) would embed the whole multi-megabyte
+      // whale as a literal inside the logical plan, and plan
+      // canonicalization/codegen over that literal — not the engine —
+      // dominates the timing (measured: 14 s vs 0.9 s at 1M tokens)
+      val whale = spark.range(1).select(lit(-1L).as("doc_id"),
+        org.apache.spark.sql.functions.repeat(
+          lit(block),
+          (col("id") + math.max(1L, whaleTokens / 64)).cast("int")).as("text"))
+      graft.pipeline.TextAnalysis.tfidfTopTerms(
+        d.select(col("doc_id"), col("text")).unionByName(whale),
+        "doc_id", "text", k = 10).count()
+    }
+    val baseTokens = docs0
+      .agg(coalesce(sum(size(split(col("text"), " "))), lit(0L)))
+      .collect().head.getLong(0)
     // distributed connected components: FIXED chain depth (so the round
     // count — the log-diameter term — is identical at both scales) with
     // the number of chain components scaled by MULT; the returned count is
@@ -238,6 +280,8 @@ object ScaleProbe {
     langId(docs0.limit(200))
     quality(docs0.limit(200))
     decontam(docs0.limit(200))
+    hotDecontam(docs0.limit(200))
+    tfidfWhale(docs0.limit(200), 6400L)
     repetition(docs0.limit(200))
     tokenBudget(docs0.limit(200))
     chunking(docs0.limit(200))
@@ -255,6 +299,9 @@ object ScaleProbe {
       ("lang_id", timed(langId(docs0)), timed(langId(docsX))),
       ("quality_score", timed(quality(docs0)), timed(quality(docsX))),
       ("decontamination", timed(decontam(docs0)), timed(decontam(docsX))),
+      ("decontam_hot_gram", timed(hotDecontam(docs0)), timed(hotDecontam(docsX))),
+      ("tfidf_whale", timed(tfidfWhale(docs0, baseTokens)),
+        timed(tfidfWhale(docsX, baseTokens * mult))),
       ("repetition", timed(repetition(docs0)), timed(repetition(docsX))),
       ("token_budget_mix", timed(tokenBudget(docs0)), timed(tokenBudget(docsX))),
       ("chunking", timed(chunking(docs0)), timed(chunking(docsX))),
