@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, count, countDistinct, explode, expr, length, lit, regexp_replace, struct, sum, when}
+import org.apache.spark.sql.functions.{array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, length, lit, regexp_replace, split, struct, sum, transform, when}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
@@ -1807,6 +1807,120 @@ object SparkEntry {
         "sum_emitted_tf" -> tAgg.getLong(2).toDouble,
         "sum_emitted_df" -> tAgg.getLong(3).toDouble,
         "unique_top1" -> tAgg.getLong(4).toDouble))
+    }),
+
+    // C4-style heuristic cleaning (Raffel et al. 2020 §2.2) over the
+    // documents corpus. The corpus is single-line and punctuation-free, so
+    // the query first gives it deterministic structure both engines can
+    // replay byte-for-byte: the q54 paragraph-break injection (a line
+    // break after every 4th word) plus a terminal-punctuation rewrite
+    // (lines whose length is divisible by 3 gain a trailing '.'). Then
+    // the real rules run with full bite: terminal-punctuation keep,
+    // >= 4 words per line, line blocklist ("vector" — present in the
+    // corpus vocabulary, unlike C4's "javascript", so the rule is
+    // exercised), >= 3 surviving lines per document, and the document
+    // blocklist phrase "customer query". Value-pinned by integers only:
+    // line and document counts, the exact character volume of every kept
+    // document's cleaned text, and the kept-id sum (a single flipped
+    // verdict shifts it).
+    "q57_c4_filters" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val lines = split(
+        regexp_replace(col("text"), ParaInjectPattern, ParaInjectReplacement),
+        "\n")
+      val punct = transform(lines,
+        l => when(length(l) % 3 === 0, concat(l, lit("."))).otherwise(l))
+      val prepared = docs.select(col("doc_id"),
+        array_join(punct, "\n").as("text"))
+      val cleaned = TextAnalysis.c4Clean(prepared, "doc_id", "text",
+        minWordsPerLine = 4, minLinesPerDoc = 3,
+        lineBlocklist = Seq("vector"), docBlocklist = Seq("customer query"))
+      val agg = cleaned.agg(
+        count(lit(1)),
+        coalesce(sum(col("n_lines")), lit(0)),
+        coalesce(sum(col("n_kept")), lit(0)),
+        count(when(col("kept"), 1)),
+        coalesce(sum(when(col("kept"), length(col("text_clean")))), lit(0)),
+        coalesce(sum(when(col("kept"), col("doc_id"))), lit(0L)),
+        count(when(col("n_kept") >= 3 && !col("kept"), 1))).collect().head
+      metricRow(s, Seq(
+        "n_docs" -> agg.getLong(0).toDouble,
+        "total_lines" -> agg.getLong(1).toDouble,
+        "kept_lines" -> agg.getLong(2).toDouble,
+        "docs_kept" -> agg.getLong(3).toDouble,
+        "chars_kept" -> agg.getLong(4).toDouble,
+        "sum_kept_ids" -> agg.getLong(5).toDouble,
+        "docs_blocked" -> agg.getLong(6).toDouble))
+    }),
+
+    // CCNet-style unigram-LM quality scoring: every document's per-token
+    // cross-entropy under the Laplace-smoothed unigram model trained on
+    // the corpus itself. Integer-pinned counts (documents, the conserved
+    // token total) anchor the frame; the float metrics are rounded to
+    // grids 6+ orders of magnitude above cross-engine ln/summation noise
+    // (sum_nll ~1e5 → 1e-3 grid, per-token entropies ~3.4 → 1e-6 grid),
+    // and the 3.402 split threshold sits >= 2e-7 from every document's
+    // entropy at all three scale factors (measured), so a boundary flip
+    // is not constructible from double noise (~1e-13).
+    "q58_unigram_lm" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scored = TextAnalysis.unigramCrossEntropy(docs, "doc_id", "text")
+      val agg = scored.agg(
+        count(lit(1)),
+        coalesce(sum(col("n_tokens")), lit(0L)),
+        coalesce(sum(col("nll")), lit(0.0)),
+        avg(col("cross_entropy")),
+        org.apache.spark.sql.functions.min(col("cross_entropy")),
+        org.apache.spark.sql.functions.max(col("cross_entropy")),
+        count(when(col("cross_entropy") < 3.402, 1))).collect().head
+      metricRow(s, Seq(
+        "n_docs" -> agg.getLong(0).toDouble,
+        "total_tokens" -> agg.getLong(1).toDouble,
+        "sum_nll" -> r3(agg.getDouble(2)),
+        "avg_h" -> r6(agg.getDouble(3)),
+        "min_h" -> r6(agg.getDouble(4)),
+        "max_h" -> r6(agg.getDouble(5)),
+        "docs_low" -> agg.getLong(6).toDouble))
+    }),
+
+    // SemDeDup (Abbas et al. 2023) over the embeddings table against a
+    // deterministic centroid fixture — the 8 lowest-vec_id embeddings —
+    // so DuckDB can replay the exact cluster assignment (argmax cosine,
+    // ties to the higher cell, matching array_max struct semantics) and
+    // the within-cluster lowest-id-survives dedup at tau = 0.4. Margins
+    // measured at all three scale factors: the closest assignment gap is
+    // 4.7e-5 and the closest pair-cosine to tau is 2.5e-5 — 9 orders
+    // above cross-engine double noise. Value-pinned by integers only:
+    // vector/cell/drop counts, max cluster size, and both id sums (any
+    // single re-assigned cell or flipped verdict shifts one).
+    "q59_semdedup" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val centroids: Seq[Array[Double]] = emb
+        .where(col("vec_id") < 8 && col("embedding").isNotNull)
+        .orderBy(col("vec_id"))
+        .select(col("embedding"))
+        .collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .toSeq
+      val res = graft.pipeline.CacheLifecycle.withConsumptions(2) {
+        Similarity.semDedup(emb, "vec_id", "embedding", centroids, tau = 0.4)
+      }
+      val agg = res.agg(
+        count(lit(1)),
+        countDistinct(col("cell")),
+        count(when(!col("kept"), 1)),
+        coalesce(sum(when(col("kept"), col("vec_id"))), lit(0L)),
+        coalesce(sum(when(!col("kept"), col("vec_id"))), lit(0L))).collect().head
+      val maxCluster = res.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+        .agg(org.apache.spark.sql.functions.max(col("c"))).collect().head.getLong(0)
+      metricRow(s, Seq(
+        "n_vecs" -> agg.getLong(0).toDouble,
+        "n_cells" -> agg.getLong(1).toDouble,
+        "dropped" -> agg.getLong(2).toDouble,
+        "kept" -> (agg.getLong(0) - agg.getLong(2)).toDouble,
+        "sum_kept_ids" -> agg.getLong(3).toDouble,
+        "sum_dropped_ids" -> agg.getLong(4).toDouble,
+        "max_cluster" -> maxCluster.toDouble))
     })
   )
 
@@ -3142,6 +3256,124 @@ object SparkEntry {
         |       (SELECT coalesce(sum(df), 0) FROM topk WHERE rn <= 3)::DOUBLE
         |         AS sum_emitted_df,
         |       (SELECT count(*) FROM topk WHERE rn = 1 AND df = 1)::DOUBLE
-        |         AS unique_top1""".stripMargin
+        |         AS unique_top1""".stripMargin,
+
+    // q57: C4 heuristic filters — DuckDB injects the identical line breaks
+    // (the q54 regex) and terminal dots (length % 3), replays the three
+    // line rules (terminal punctuation, >= 4 words, "vector" blocklist)
+    // and the three document rules (>= 3 kept lines, "customer query"
+    // phrase, curly brace) over the same strings.
+    "q57_c4_filters" ->
+      """WITH prep AS (
+        |  SELECT doc_id,
+        |    array_to_string(
+        |      list_transform(
+        |        string_split(regexp_replace(text,
+        |          '((?:[^ \t\n\x0B\f\r]+ ){3}[^ \t\n\x0B\f\r]+) ',
+        |          '\1' || chr(10), 'g'), chr(10)),
+        |        l -> CASE WHEN length(l) % 3 = 0 THEN l || '.' ELSE l END),
+        |      chr(10)) AS text
+        |  FROM documents
+        |), per AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      x -> trim(x)), x -> x <> '') AS lt
+        |  FROM prep
+        |), kl AS (
+        |  SELECT doc_id, text, len(lt) AS n_lines,
+        |    list_filter(lt, l -> regexp_matches(l, '[.!?"]$')
+        |      AND len(list_filter(string_split_regex(l, '\s+'),
+        |            x -> x <> '')) >= 4
+        |      AND NOT contains(lower(l), 'vector')) AS kls
+        |  FROM per
+        |), d AS (
+        |  SELECT doc_id, n_lines, len(kls) AS n_kept,
+        |    array_to_string(kls, chr(10)) AS text_clean,
+        |    (len(kls) >= 3 AND NOT contains(lower(text), 'customer query')
+        |      AND NOT contains(text, '{')) AS kept
+        |  FROM kl
+        |)
+        |SELECT count(*)::DOUBLE AS n_docs,
+        |  coalesce(sum(n_lines), 0)::DOUBLE AS total_lines,
+        |  coalesce(sum(n_kept), 0)::DOUBLE AS kept_lines,
+        |  coalesce(sum(CASE WHEN kept THEN 1 ELSE 0 END), 0)::DOUBLE
+        |    AS docs_kept,
+        |  coalesce(sum(CASE WHEN kept THEN length(text_clean) ELSE 0 END),
+        |    0)::DOUBLE AS chars_kept,
+        |  coalesce(sum(CASE WHEN kept THEN doc_id ELSE 0 END), 0)::DOUBLE
+        |    AS sum_kept_ids,
+        |  coalesce(sum(CASE WHEN n_kept >= 3 AND NOT kept THEN 1 ELSE 0 END),
+        |    0)::DOUBLE AS docs_blocked
+        |FROM d""".stripMargin,
+
+    // q58: unigram-LM cross-entropy — DuckDB retrains the identical
+    // Laplace-smoothed unigram model (same lowercase-whitespace tokens,
+    // same (c+1)/(T+V) smoothing) and rescores every document with the
+    // same -(1/|d|) sum tf*ln p formula; float outputs rounded to the
+    // grids justified in the query comment.
+    "q58_unigram_lm" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), tkn AS (
+        |  SELECT doc_id, unnest(toks) AS term FROM base
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tkn GROUP BY 1, 2
+        |), tc AS (
+        |  SELECT term, sum(tf) AS c FROM tf GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(c) AS t, count(*) AS v FROM tc
+        |), doc AS (
+        |  SELECT f.doc_id, sum(f.tf) AS n_tokens,
+        |    sum(-f.tf * (ln(tc.c + 1.0) - ln((SELECT t + v FROM tot)))) AS nll
+        |  FROM tf f JOIN tc USING (term) GROUP BY 1
+        |)
+        |SELECT count(*)::DOUBLE AS n_docs,
+        |  (SELECT t FROM tot)::DOUBLE AS total_tokens,
+        |  round(sum(nll), 3)::DOUBLE AS sum_nll,
+        |  round(avg(nll / n_tokens), 6)::DOUBLE AS avg_h,
+        |  round(min(nll / n_tokens), 6)::DOUBLE AS min_h,
+        |  round(max(nll / n_tokens), 6)::DOUBLE AS max_h,
+        |  sum(CASE WHEN nll / n_tokens < 3.402 THEN 1 ELSE 0 END)::DOUBLE
+        |    AS docs_low
+        |FROM doc""".stripMargin,
+
+    // q59: SemDeDup — DuckDB replays the cluster assignment against the
+    // same 8 lowest-vec_id centroids (argmax cosine, ties to the HIGHER
+    // centroid id — the engine's array_max struct semantics) and the
+    // within-cluster lowest-id-survives dedup at tau = 0.4, computing
+    // cosine in double exactly like the engine's verify pass.
+    "q59_semdedup" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id < 8 AND embedding IS NOT NULL
+        |), ranked AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(c.cvec AS DOUBLE[])) DESC, c.cid DESC) AS rn
+        |  FROM embeddings e CROSS JOIN c
+        |  WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
+        |), a AS (
+        |  SELECT vec_id, embedding, cid AS cell FROM ranked WHERE rn = 1
+        |), dropped AS (
+        |  SELECT DISTINCT y.vec_id FROM a x JOIN a y
+        |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |          CAST(y.embedding AS DOUBLE[])) >= 0.4
+        |)
+        |SELECT (SELECT count(*) FROM a)::DOUBLE AS n_vecs,
+        |  (SELECT count(DISTINCT cell) FROM a)::DOUBLE AS n_cells,
+        |  (SELECT count(*) FROM dropped)::DOUBLE AS dropped,
+        |  ((SELECT count(*) FROM a) - (SELECT count(*) FROM dropped))::DOUBLE
+        |    AS kept,
+        |  ((SELECT coalesce(sum(vec_id), 0) FROM a)
+        |    - (SELECT coalesce(sum(vec_id), 0) FROM dropped))::DOUBLE
+        |    AS sum_kept_ids,
+        |  (SELECT coalesce(sum(vec_id), 0) FROM dropped)::DOUBLE
+        |    AS sum_dropped_ids,
+        |  (SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM a GROUP BY cell))
+        |    ::DOUBLE AS max_cluster""".stripMargin
   )
 }

@@ -616,4 +616,102 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "similarity", "rank")
   }
+
+  // -- Semantic deduplication (SemDeDup) ------------------------------------
+  // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  // web-scale through semantic deduplication", arXiv:2303.09540) clusters
+  // embeddings with k-means and removes, within each cluster, all but one
+  // member of every cosine-near-duplicate neighborhood — pairwise cosine is
+  // only ever computed WITHIN a cluster, so the quadratic term is bounded
+  // by cluster size, not corpus size.
+
+  /** Semantic dedup against a FIXED centroid set: one output row per
+    * non-null input vector — (`idCol`, `cell`, `kept`).
+    *
+    * Cluster assignment is argmax cosine against the (internally
+    * L2-normalized) centroids; exact cosine ties resolve to the HIGHER
+    * cell index (array_max over (dot, cell) structs — callers replaying
+    * the assignment must order by (cos DESC, cell DESC)). A vector is
+    * dropped (`kept` = false) when some SAME-CLUSTER vector with a smaller
+    * id has cosine >= `tau` to it — keeping the earliest member of every
+    * near-duplicate neighborhood, deterministically. The paper's keep-one
+    * policy (random / farthest-from-centroid) is a per-cluster choice;
+    * lowest-id makes the output a pure function of the data.
+    *
+    * 100 TB plan shape: centroids ride into the executors as literals
+    * (k-means k is thousands at web scale — kilobytes to low megabytes of
+    * plan), cell assignment is map-side arithmetic in the scan pass, the
+    * slim (id, cell, vec) frame is persisted and self-joined on ONE cell
+    * equi-join, and clusters beyond `maxClusterSize` members are excluded
+    * from comparison (excluded members stay KEPT — dedup may only ever
+    * under-delete) with the excluded count surfaced on the
+    * [[LshCapObservation]] channel, the same cap-visibility contract as
+    * every LSH path here.
+    */
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Double]],
+      tau: Double,
+      maxClusterSize: Int = 10000): DataFrame = {
+    require(centroids.nonEmpty, "semDedup needs at least one centroid")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val unit = centroids.map(normalize)
+    // argmax_c cosine(v, c) = argmax_c dot(v, c/||c||): ||v|| is constant
+    // per row, so the row norm never needs computing for assignment
+    val assigned = corpus
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol).as("graft_id"), col(vecCol).as("graft_vec"))
+      .withColumn("cell",
+        array_max(centroidDots(col("graft_vec"), unit)).getField("cell"))
+    // uniform deterministic exclusion under the cap (hash order, not id
+    // order — a capped mega-cluster must not systematically exempt the
+    // highest ids from dedup)
+    val wCell = Window.partitionBy(col("cell"))
+      .orderBy(xxhash64(col("graft_id")), col("graft_id"))
+    val capped = assigned
+      .withColumn("graft_cn", row_number().over(wCell))
+      .observe(LshCapObservation.nextName(),
+        sum(when(col("graft_cn") > maxClusterSize, 1L).otherwise(0L))
+          .as("excluded_rows"),
+        count(lit(1)).as("banded_rows"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = capped.where(col("graft_cn") <= maxClusterSize)
+      .select(col("cell"), col("graft_id").as("id_a"), col("graft_vec").as("vec_a"))
+    val b = capped.where(col("graft_cn") <= maxClusterSize)
+      .select(col("cell"), col("graft_id").as("id_b"), col("graft_vec").as("vec_b"))
+    val dropped = cosineVerify(
+      a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b"),
+      tau)
+      .select(col("id_b").as("graft_id"))
+      .distinct()
+    val out = capped
+      .join(dropped.withColumn("graft_dropped", lit(true)), Seq("graft_id"), "left")
+      .select(col("graft_id").as(idCol), col("cell"),
+        coalesce(!col("graft_dropped"), lit(true)).as("kept"))
+    CacheLifecycle.releaseOnConsume(out, Seq(capped))
+  }
+
+  /** SemDeDup with corpus-trained k-means centroids (the paper's actual
+    * recipe): trains `nlist` coarse centroids via [[trainCentroids]] (one
+    * bounded-sample corpus pass) and delegates to [[semDedup]].
+    */
+  def semDedupAuto(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      nlist: Int = 64,
+      maxClusterSize: Int = 10000,
+      sampleSize: Int = 2048,
+      iterations: Int = 5): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, nlist, sampleSize, iterations)
+    semDedup(corpus, idCol, vecCol, centroids, tau, maxClusterSize)
+  }
 }

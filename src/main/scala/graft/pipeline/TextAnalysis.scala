@@ -396,4 +396,122 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  // -- C4-style heuristic corpus cleaning -----------------------------------
+  // Line- and document-level quality rules from the public C4 recipe
+  // (Raffel et al. 2020, "Exploring the Limits of Transfer Learning with a
+  // Unified Text-to-Text Transformer", section 2.2): keep only lines that
+  // end in a terminal punctuation mark, carry at least `minWordsPerLine`
+  // words and contain no blocklisted token; then drop documents with fewer
+  // than `minLinesPerDoc` surviving lines, any document-blocklist phrase
+  // ("lorem ipsum"), or a curly brace (the paper's code-page marker).
+
+  /** Kept lines of `text` under the C4 line rules, as an array column.
+    * Pure codegen HOFs (split / transform / filter / size) — zero shuffles,
+    * zero UDFs; cost is one pass over the characters, so the operator
+    * scales with the scan and pipelines into any downstream aggregation.
+    */
+  def c4KeptLines(
+      text: Column,
+      minWordsPerLine: Int = 5,
+      lineBlocklist: Seq[String] = Seq("javascript")): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    filter(lines, l => {
+      val keep = l.rlike("[.!?\"]$") && (size(tokens(l)) >= minWordsPerLine)
+      lineBlocklist.foldLeft(keep)((acc, w) =>
+        acc && !lower(l).contains(w.toLowerCase))
+    })
+  }
+
+  /** Document-level C4 cleaning: one row per input document with the
+    * surviving lines reassembled and the keep/drop verdict.
+    *
+    * Output columns: `idCol`, `text_clean` (kept lines joined by '\n'),
+    * `n_lines` (non-empty input lines), `n_kept`, `kept` (boolean — at
+    * least `minLinesPerDoc` surviving lines, no `docBlocklist` phrase in
+    * the ORIGINAL lowercased text, and no curly brace when `dropBraces`).
+    *
+    * 100 TB plan shape: entirely map-side — every rule is a per-row
+    * expression, nothing shuffles, and callers filtering on `kept` push
+    * the predicate into the same scan pass.
+    */
+  def c4Clean(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWordsPerLine: Int = 5,
+      minLinesPerDoc: Int = 3,
+      lineBlocklist: Seq[String] = Seq("javascript"),
+      docBlocklist: Seq[String] = Seq("lorem ipsum"),
+      dropBraces: Boolean = true): DataFrame = {
+    // null text behaves as empty (0 lines, dropped) instead of poisoning
+    // the counts with null-propagating size(null)
+    val text = coalesce(col(textCol), lit(""))
+    val keptLines = c4KeptLines(text, minWordsPerLine, lineBlocklist)
+    val nLines = size(filter(transform(split(text, "\n"),
+      l => trim(l)), l => length(l) > 0))
+    val blockedDoc = {
+      val phraseHit = docBlocklist.foldLeft(lit(false))((acc, p) =>
+        acc || lower(text).contains(p.toLowerCase))
+      if (dropBraces) phraseHit || text.contains("{") else phraseHit
+    }
+    df.select(
+      col(idCol),
+      array_join(keptLines, "\n").as("text_clean"),
+      nLines.as("n_lines"),
+      size(keptLines).as("n_kept"),
+      (size(keptLines) >= minLinesPerDoc && !blockedDoc).as("kept"))
+  }
+
+  // -- Unigram LM quality scoring (CCNet-style) -----------------------------
+  // CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+  // Datasets from Web Crawl Data") buckets documents by language-model
+  // perplexity. The distributable simplification here trains the model ON
+  // the corpus itself: a Laplace-smoothed unigram LM
+  //   p(t) = (c(t) + 1) / (T + V)
+  // (c(t) = corpus count of term t, T = total tokens, V = vocabulary size)
+  // and scores each document by its per-token cross-entropy
+  //   H(d) = -(1/|d|) * sum_t tf(d,t) * ln p(t).
+  // Low H = the document looks like the corpus; high H = rare-token salad.
+
+  /** Per-document cross-entropy under the corpus unigram LM:
+    * (`idCol`, n_tokens, nll, cross_entropy, perplexity).
+    *
+    * 100 TB plan shape: the corpus is tokenized EXACTLY ONCE into the
+    * (doc, term, tf) frame, which is persisted (it is orders of magnitude
+    * slimmer than the text); corpus term counts come from a
+    * count-over-window partitioned by term on that same frame (one slim
+    * exchange — the q56 whale-probe lesson: a dfreq self-join re-tokenizes
+    * both sides when exchange reuse misses), the two model scalars (T, V)
+    * are a bounded driver aggregate over it, and the per-document rollup
+    * is the second and final exchange, on the grouping id. The returned
+    * frame releases the persisted tf via [[CacheLifecycle.releaseOnConsume]].
+    */
+  def unigramCrossEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val tf = termFrequencies(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // T (total tokens) and V (vocabulary): two driver longs from one agg
+    // over the slim persisted tf frame — not a re-scan of the corpus
+    val totals = tf.agg(
+      coalesce(sum(col("tf")), lit(0L)),
+      countDistinct(col("term"))).collect().head
+    val t = totals.getLong(0)
+    val v = totals.getLong(1)
+    val logZ = math.log((t + v).toDouble.max(1.0))
+    val wTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+    val perDoc = tf
+      .withColumn("graft_c", sum(col("tf")).over(wTerm))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(-col("tf") * (log(col("graft_c") + 1.0) - logZ)).as("nll"))
+      .withColumn("cross_entropy", col("nll") / col("n_tokens"))
+      .withColumn("perplexity", exp(col("cross_entropy")))
+    CacheLifecycle.releaseOnConsume(perDoc, Seq(tf))
+  }
 }

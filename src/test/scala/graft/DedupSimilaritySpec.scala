@@ -1036,4 +1036,147 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
       plan should not include "CartesianProduct"
     }
   }
+
+  "c4Clean" should {
+    "apply the C4 line and document rules" in {
+      val s = spark
+      import s.implicits._
+      val docs = Seq(
+        // 5 lines: kept, too-few-words, no-terminal-punct, kept, kept
+        (1L, "this line has five words.\nshort line.\n" +
+          "no terminal punct here at all\nanother good line with words!\n" +
+          "a third fine line right here?"),
+        // only one surviving line -> document dropped
+        (2L, "only one good line here.\ntiny."),
+        // enough good lines but the doc-blocklist phrase kills the page
+        (3L, "lorem ipsum dolor sit amet.\ngood line number two here.\n" +
+          "good line number three here.\ngood line number four here."),
+        // enough good lines but a curly brace kills the page
+        (4L, "braces are code marks right.\ngood line { two here.\n" +
+          "good line number three here.\ngood line number four here."),
+        // line blocklist: the javascript line is dropped, doc falls to 2
+        (5L, "visit our javascript powered site.\ngood line number two here.\n" +
+          "good line number three here."),
+        (6L, null.asInstanceOf[String])
+      ).toDF("doc_id", "text")
+
+      val out = TextAnalysis.c4Clean(docs, "doc_id", "text").collect()
+        .map(r => r.getLong(0) ->
+          (r.getInt(2), r.getInt(3), r.getBoolean(4), r.getString(1))).toMap
+
+      out(1L)._1 shouldBe 5
+      out(1L)._2 shouldBe 3
+      out(1L)._3 shouldBe true
+      out(1L)._4 shouldBe "this line has five words.\n" +
+        "another good line with words!\na third fine line right here?"
+      out(2L)._3 shouldBe false
+      out(3L)._2 shouldBe 4 // lines survive; the DOC rule blocks it
+      out(3L)._3 shouldBe false
+      out(4L)._3 shouldBe false
+      out(5L)._2 shouldBe 2 // javascript line dropped by the LINE rule
+      out(5L)._3 shouldBe false
+      out(6L) shouldBe ((0, 0, false, ""))
+    }
+
+    "shuffle nothing — the whole operator is map-side" in {
+      val s = spark
+      import s.implicits._
+      val docs = Seq((1L, "a b c d e.\nf g h i j!")).toDF("doc_id", "text")
+      val plan = TextAnalysis.c4Clean(docs, "doc_id", "text")
+        .queryExecution.executedPlan.toString()
+      plan should not include "Exchange"
+    }
+  }
+
+  "unigramCrossEntropy" should {
+    "match hand-computed Laplace-smoothed entropies" in {
+      val s = spark
+      import s.implicits._
+      // corpus: T = 5 tokens, V = 3 terms; c(a)=2, c(b)=2, c(c)=1
+      val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+      val out = TextAnalysis.unigramCrossEntropy(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      val z = math.log(8.0) // T + V = 8
+      val lpA = math.log(3.0) - z // (2+1)/8
+      val lpB = math.log(3.0) - z
+      val lpC = math.log(2.0) - z // (1+1)/8
+      out(1L)._1 shouldBe 3L
+      out(1L)._2 shouldBe -(2 * lpA + lpB) +- 1e-12
+      out(1L)._3 shouldBe -(2 * lpA + lpB) / 3.0 +- 1e-12
+      out(2L)._1 shouldBe 2L
+      out(2L)._2 shouldBe -(lpB + lpC) +- 1e-12
+      out(2L)._3 shouldBe -(lpB + lpC) / 2.0 +- 1e-12
+    }
+
+    "release the internal tf cache after consumption" in {
+      val s = spark
+      import s.implicits._
+      val before = s.sparkContext.getPersistentRDDs.size
+      val docs = Seq((1L, "x y z"), (2L, "x x")).toDF("doc_id", "text")
+      TextAnalysis.unigramCrossEntropy(docs, "doc_id", "text").count() shouldBe 2L
+      // listener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (s.sparkContext.getPersistentRDDs.size > before &&
+          System.nanoTime() < deadline) Thread.sleep(100)
+      s.sparkContext.getPersistentRDDs.size shouldBe before
+    }
+  }
+
+  "semDedup" should {
+    val centroids = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+
+    "drop within-cluster near-duplicates, keeping the lowest id" in {
+      val s = spark
+      import s.implicits._
+      val emb = Seq(
+        (0L, Seq(1.0f, 0.05f)), // cell 0, survivor
+        (1L, Seq(1.0f, 0.06f)), // cell 0, cosine ~1 to id 0 -> dropped
+        (2L, Seq(0.05f, 1.0f)), // cell 1, survivor
+        (3L, Seq(-0.5f, 1.0f)), // cell 1, cosine to id 2 ~0.87 -> kept at 0.95
+        (4L, Seq(0.06f, 1.0f))  // cell 1, cosine ~1 to id 2 -> dropped
+      ).toDF("vec_id", "embedding")
+      val res = Similarity.semDedup(emb, "vec_id", "embedding", centroids, 0.95)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+      res(0L) shouldBe ((0, true))
+      res(1L) shouldBe ((0, false))
+      res(2L) shouldBe ((1, true))
+      res(3L) shouldBe ((1, true))
+      res(4L) shouldBe ((1, false))
+    }
+
+    "never drop members excluded by the cluster-size cap" in {
+      val s = spark
+      import s.implicits._
+      // three identical vectors in one cell; cap 1 -> no pair is ever
+      // compared, so dedup under-deletes instead of comparing a capped set
+      val emb = (0L to 2L).map(i => (i, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      val res = Similarity
+        .semDedup(emb, "vec_id", "embedding", centroids, 0.9, maxClusterSize = 1)
+        .collect()
+      res.length shouldBe 3
+      all(res.map(_.getBoolean(2))) shouldBe true
+    }
+
+    "semDedupAuto trains centroids and produces one verdict per vector" in {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(7)
+      val emb = (0L until 40L).map { i =>
+        val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)
+        (i, base.map(x => x + rng.nextFloat() * 0.01f).toSeq)
+      }.toDF("vec_id", "embedding")
+      val res = graft.pipeline.CacheLifecycle.withConsumptions(2) {
+        Similarity.semDedupAuto(emb, "vec_id", "embedding",
+          tau = 0.9, nlist = 4, maxClusterSize = 100)
+      }
+      res.count() shouldBe 40L
+      // every within-cell pair is same-base (cosine ~0.99995 >= 0.9), so
+      // exactly ONE member survives per occupied cell
+      val perCell = res.groupBy("cell")
+        .agg(sum(when(col("kept"), 1).otherwise(0)).as("k"))
+        .collect().map(_.getLong(1))
+      all(perCell) shouldBe 1L
+    }
+  }
 }
