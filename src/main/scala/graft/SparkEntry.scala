@@ -1921,6 +1921,63 @@ object SparkEntry {
         "sum_kept_ids" -> agg.getLong(3).toDouble,
         "sum_dropped_ids" -> agg.getLong(4).toDouble,
         "max_cluster" -> maxCluster.toDouble))
+    }),
+
+    // Bigram-LM cross-entropy — one step up the n-gram ladder from q58
+    // toward CCNet's KenLM scoring: p(w2|w1) = (c(w1,w2)+1)/(c(w1.)+V)
+    // with V = bigram-head vocabulary. Same pinning regime as q58:
+    // integer counts anchor the frame (docs with >= 2 tokens, conserved
+    // bigram total), floats ride grids 6+ orders above ln noise, and the
+    // 3.39 split threshold sits >= 5.9e-6 from every document's entropy
+    // at all three scale factors (measured).
+    "q60_bigram_lm" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scored = TextAnalysis.bigramCrossEntropy(docs, "doc_id", "text")
+      val agg = scored.agg(
+        count(lit(1)),
+        coalesce(sum(col("n_bigrams")), lit(0L)),
+        coalesce(sum(col("nll")), lit(0.0)),
+        avg(col("cross_entropy")),
+        org.apache.spark.sql.functions.min(col("cross_entropy")),
+        org.apache.spark.sql.functions.max(col("cross_entropy")),
+        count(when(col("cross_entropy") < 3.39, 1))).collect().head
+      metricRow(s, Seq(
+        "n_docs" -> agg.getLong(0).toDouble,
+        "total_bigrams" -> agg.getLong(1).toDouble,
+        "sum_nll" -> r3(agg.getDouble(2)),
+        "avg_h" -> r6(agg.getDouble(3)),
+        "min_h" -> r6(agg.getDouble(4)),
+        "max_h" -> r6(agg.getDouble(5)),
+        "docs_low" -> agg.getLong(6).toDouble))
+    }),
+
+    // DSIR importance weighting (Xie et al. 2023): every document scored
+    // by the target-vs-raw unigram log-likelihood ratio, target domain =
+    // the English documents (lang = 'en' — a realistic "make the corpus
+    // look like the target language" selection). The 0.05 keep threshold
+    // sits >= 9.5e-6 from every document's weight at all three scale
+    // factors (measured); the kept-id sum pins the exact selected set.
+    "q61_dsir" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scored = TextAnalysis.dsirLogWeights(docs, "doc_id", "text",
+        col("lang") === "en")
+      val agg = scored.agg(
+        count(lit(1)),
+        coalesce(sum(col("n_tokens")), lit(0L)),
+        coalesce(sum(col("log_weight")), lit(0.0)),
+        org.apache.spark.sql.functions.min(col("log_weight")),
+        org.apache.spark.sql.functions.max(col("log_weight")),
+        count(when(col("log_weight") > 0.05, 1)),
+        coalesce(sum(when(col("log_weight") > 0.05, col("doc_id"))), lit(0L)))
+        .collect().head
+      metricRow(s, Seq(
+        "n_docs" -> agg.getLong(0).toDouble,
+        "total_tokens" -> agg.getLong(1).toDouble,
+        "sum_lw" -> r6(agg.getDouble(2)),
+        "min_lw" -> r6(agg.getDouble(3)),
+        "max_lw" -> r6(agg.getDouble(4)),
+        "kept" -> agg.getLong(5).toDouble,
+        "sum_kept_ids" -> agg.getLong(6).toDouble))
     })
   )
 
@@ -3374,6 +3431,81 @@ object SparkEntry {
         |  (SELECT coalesce(sum(vec_id), 0) FROM dropped)::DOUBLE
         |    AS sum_dropped_ids,
         |  (SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM a GROUP BY cell))
-        |    ::DOUBLE AS max_cluster""".stripMargin
+        |    ::DOUBLE AS max_cluster""".stripMargin,
+
+    // q60: bigram-LM cross-entropy — DuckDB rebuilds the identical
+    // adjacent-pair stream (list_zip of the token list with its tail),
+    // the same (c(w1,w2)+1)/(c(w1.)+V) smoothing, and the same per-doc
+    // rollup; docs with < 2 tokens are absent in both engines.
+    "q60_bigram_lm" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), bgu AS (
+        |  SELECT doc_id,
+        |    unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS t
+        |  FROM base WHERE len(toks) >= 2
+        |), bf AS (
+        |  SELECT doc_id, t[1] AS w1, t[2] AS w2, count(*) AS tf
+        |  FROM bgu GROUP BY 1, 2, 3
+        |), pairc AS (
+        |  SELECT w1, w2, sum(tf) AS c FROM bf GROUP BY 1, 2
+        |), headc AS (
+        |  SELECT w1, sum(tf) AS ch FROM bf GROUP BY 1
+        |), vv AS (
+        |  SELECT count(DISTINCT w1) AS v FROM bf
+        |), doc AS (
+        |  SELECT b.doc_id, sum(b.tf) AS nb,
+        |    sum(-b.tf * (ln(p.c + 1.0)
+        |      - ln(h.ch + (SELECT v FROM vv)))) AS nll
+        |  FROM bf b JOIN pairc p USING (w1, w2) JOIN headc h USING (w1)
+        |  GROUP BY 1
+        |)
+        |SELECT count(*)::DOUBLE AS n_docs,
+        |  coalesce(sum(nb), 0)::DOUBLE AS total_bigrams,
+        |  round(sum(nll), 3)::DOUBLE AS sum_nll,
+        |  round(avg(nll / nb), 6)::DOUBLE AS avg_h,
+        |  round(min(nll / nb), 6)::DOUBLE AS min_h,
+        |  round(max(nll / nb), 6)::DOUBLE AS max_h,
+        |  sum(CASE WHEN nll / nb < 3.39 THEN 1 ELSE 0 END)::DOUBLE
+        |    AS docs_low
+        |FROM doc""".stripMargin,
+
+    // q61: DSIR importance weights — DuckDB retrains both smoothed
+    // unigram models (raw corpus + lang='en' target) over the shared
+    // vocabulary and rescores with the same log-ratio; the kept set is
+    // pinned exactly by its id sum.
+    "q61_dsir" ->
+      """WITH base AS (
+        |  SELECT doc_id, (lang = 'en') AS tgt,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), tkn AS (
+        |  SELECT doc_id, tgt, unnest(toks) AS term FROM base
+        |), tf AS (
+        |  SELECT doc_id, tgt, term, count(*) AS tf FROM tkn GROUP BY 1, 2, 3
+        |), tc AS (
+        |  SELECT term, sum(tf) AS cr,
+        |    sum(CASE WHEN tgt THEN tf ELSE 0 END) AS ct
+        |  FROM tf GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v FROM tc
+        |), doc AS (
+        |  SELECT f.doc_id, sum(f.tf) AS n_tokens,
+        |    sum(f.tf * ((ln(tc.ct + 1.0) - ln((SELECT tt + v FROM tot)))
+        |      - (ln(tc.cr + 1.0) - ln((SELECT tr + v FROM tot))))) AS lw
+        |  FROM tf f JOIN tc USING (term) GROUP BY 1
+        |)
+        |SELECT count(*)::DOUBLE AS n_docs,
+        |  coalesce(sum(n_tokens), 0)::DOUBLE AS total_tokens,
+        |  round(sum(lw), 6)::DOUBLE AS sum_lw,
+        |  round(min(lw), 6)::DOUBLE AS min_lw,
+        |  round(max(lw), 6)::DOUBLE AS max_lw,
+        |  sum(CASE WHEN lw > 0.05 THEN 1 ELSE 0 END)::DOUBLE AS kept,
+        |  coalesce(sum(CASE WHEN lw > 0.05 THEN doc_id ELSE 0 END),
+        |    0)::DOUBLE AS sum_kept_ids
+        |FROM doc""".stripMargin
   )
 }

@@ -514,4 +514,117 @@ object TextAnalysis {
       .withColumn("perplexity", exp(col("cross_entropy")))
     CacheLifecycle.releaseOnConsume(perDoc, Seq(tf))
   }
+
+  /** (idCol, w1, w2, tf) — one row per distinct (document, adjacent token
+    * pair): the bigram twin of [[termFrequencies]]. Pair construction is a
+    * narrow zip of the token array with its own tail (pure codegen HOFs),
+    * exploded into ONE groupBy exchange with map-side partial counts.
+    * Documents with fewer than two tokens contribute nothing.
+    */
+  def bigramFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = normalizedTokens(col(textCol))
+    val pairs = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol), explode(pairs).as("graft_bg"))
+      .select(col(idCol), col("graft_bg.w1").as("w1"), col("graft_bg.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Per-document cross-entropy under a corpus BIGRAM language model with
+    * Laplace smoothing — `p(w2 | w1) = (c(w1,w2) + 1) / (c(w1·) + V)`
+    * where `c(w1·)` counts w1 as a bigram head and V is the bigram-head
+    * vocabulary: (`idCol`, n_bigrams, nll, cross_entropy). One step up
+    * the n-gram ladder from [[unigramCrossEntropy]] toward CCNet's 5-gram
+    * KenLM scoring; documents with < 2 tokens are absent from the output.
+    *
+    * 100 TB plan shape: ONE tokenize pass into the persisted slim
+    * (doc, w1, w2, tf) frame; both model counts come from count-over-
+    * window passes on that same frame — two slim exchanges carrying one
+    * long per distinct (doc, bigram), never a re-tokenize or a self-join
+    * (the q56 lesson); V is a bounded driver agg; the per-document
+    * rollup is the final exchange.
+    */
+  def bigramCrossEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val bf = bigramFrequencies(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = bf.agg(countDistinct(col("w1"))).collect().head.getLong(0)
+    val wPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"), col("w2"))
+    val wHead = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"))
+    val perDoc = bf
+      .withColumn("graft_cbg", sum(col("tf")).over(wPair))
+      .withColumn("graft_ch", sum(col("tf")).over(wHead))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(-col("tf") * (log(col("graft_cbg") + 1.0)
+          - log(col("graft_ch") + lit(v.toDouble)))).as("nll"))
+      .withColumn("cross_entropy", col("nll") / col("n_bigrams"))
+    CacheLifecycle.releaseOnConsume(perDoc, Seq(bf))
+  }
+
+  // -- DSIR importance weighting --------------------------------------------
+  // Data Selection via Importance Resampling (Xie et al. 2023,
+  // arXiv:2302.03169): score every raw document by the log-likelihood
+  // ratio of a TARGET-domain language model to the RAW-corpus model,
+  //   lw(d) = sum_t tf(d,t) * (ln p_target(t) - ln p_raw(t)),
+  // then keep the high-weight documents — "make the kept data look like
+  // the target domain". Both models here are Laplace-smoothed unigram LMs
+  // over the SHARED raw vocabulary (the paper uses hashed n-grams; the
+  // unigram form keeps the algebra exact for the oracle).
+
+  /** Per-document DSIR log importance weights:
+    * (`idCol`, n_tokens, log_weight). `isTarget` is a boolean row
+    * predicate over `df` marking the target-domain documents (e.g.
+    * `col("lang") === "en"`); the target model counts only their tokens.
+    *
+    * 100 TB plan shape: ONE tokenize pass into the persisted
+    * (doc, term, tf, target-flag) frame — the flag is constant per
+    * document, so BOTH models' term counts come from the SAME single
+    * count-over-window exchange partitioned by term (raw = sum tf,
+    * target = sum tf·flag; no second scan, no term join); the four model
+    * scalars are one bounded driver agg, and the per-document rollup is
+    * the final exchange.
+    */
+  def dsirLogWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column): DataFrame = {
+    val tf = df.where(col(idCol).isNotNull)
+      .select(col(idCol), isTarget.as("graft_t"),
+        explode(normalizedTokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("graft_t"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = tf.agg(
+      coalesce(sum(col("tf")), lit(0L)),
+      coalesce(sum(when(col("graft_t"), col("tf"))), lit(0L)),
+      countDistinct(col("term"))).collect().head
+    val tRaw = totals.getLong(0)
+    val tTgt = totals.getLong(1)
+    val v = totals.getLong(2)
+    val logZRaw = math.log((tRaw + v).toDouble.max(1.0))
+    val logZTgt = math.log((tTgt + v).toDouble.max(1.0))
+    val wTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+    val perDoc = tf
+      .withColumn("graft_cr", sum(col("tf")).over(wTerm))
+      .withColumn("graft_ct",
+        coalesce(sum(when(col("graft_t"), col("tf"))).over(wTerm), lit(0L)))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * ((log(col("graft_ct") + 1.0) - logZTgt)
+          - (log(col("graft_cr") + 1.0) - logZRaw))).as("log_weight"))
+    CacheLifecycle.releaseOnConsume(perDoc, Seq(tf))
+  }
 }

@@ -256,6 +256,39 @@ object ScaleProbe {
     val baseTokens = docs0
       .agg(coalesce(sum(size(split(col("text"), " "))), lit(0L)))
       .collect().head.getLong(0)
+    // C4 heuristic filters (q57 engine path): pure codegen line HOFs over
+    // the injected line/punctuation structure, ZERO shuffles — the
+    // returned kept-doc count pins the verdicts at both scales
+    def c4filters(d: DataFrame): Long =
+      graft.pipeline.TextAnalysis.c4Clean(
+        d.select(col("doc_id"), array_join(transform(
+          split(regexp_replace(col("text"), graft.SparkEntry.ParaInjectPattern,
+            graft.SparkEntry.ParaInjectReplacement), "\n"),
+          l => when(length(l) % 3 === 0, concat(l, lit("."))).otherwise(l)),
+          "\n").as("text")),
+        "doc_id", "text", minWordsPerLine = 4, minLinesPerDoc = 3,
+        lineBlocklist = Seq("vector"), docBlocklist = Seq("customer query"))
+        .agg(count(when(col("kept"), 1))).collect().head.getLong(0)
+    // unigram-LM scoring (q58 engine path): tokenize-once persisted tf
+    // frame, one term-window exchange + one per-doc rollup; the returned
+    // token total is conserved, so a lost (doc, term) row can't hide in a
+    // timing row
+    def unigramLm(d: DataFrame): Long =
+      graft.pipeline.TextAnalysis.unigramCrossEntropy(d, "doc_id", "text")
+        .agg(coalesce(sum(col("n_tokens")), lit(0L)))
+        .collect().head.getLong(0)
+    // SemDeDup (q59 engine path): the centroid count scales WITH the
+    // corpus (8 at x1, 8*MULT at x10) so per-cell membership stays ~fixed
+    // — the paper's own scale lever (cluster count grows, cluster size
+    // doesn't), making the within-cell quadratic term constant per cell
+    // and the whole run ~linear; the returned dropped count pins the
+    // verdicts
+    def semdedup(e: DataFrame, nc: Int): Long = {
+      val cs = e.orderBy("vec_id").limit(nc).select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+      Similarity.semDedup(e, "vec_id", "embedding", cs, tau = 0.4)
+        .agg(count(when(!col("kept"), 1))).collect().head.getLong(0)
+    }
     // distributed connected components: FIXED chain depth (so the round
     // count — the log-diameter term — is identical at both scales) with
     // the number of chain components scaled by MULT; the returned count is
@@ -287,6 +320,9 @@ object ScaleProbe {
     chunking(docs0.limit(200))
     paraDedup(docs0.limit(200))
     packing(docs0.limit(200))
+    c4filters(docs0.limit(200))
+    unigramLm(docs0.limit(200))
+    semdedup(emb0.limit(200), 2)
     cc(ccEdges(4))
 
     val results = Seq(
@@ -307,6 +343,9 @@ object ScaleProbe {
       ("chunking", timed(chunking(docs0)), timed(chunking(docsX))),
       ("paragraph_dedup", timed(paraDedup(docs0)), timed(paraDedup(docsX))),
       ("seq_packing", timed(packing(docs0)), timed(packing(docsX))),
+      ("c4_filters", timed(c4filters(docs0)), timed(c4filters(docsX))),
+      ("unigram_lm", timed(unigramLm(docs0)), timed(unigramLm(docsX))),
+      ("semdedup", timed(semdedup(emb0, 8)), timed(semdedup(embX, 8 * mult))),
       ("connected_components",
         timed(cc(ccEdges(ccComps1))), timed(cc(ccEdges(ccComps1 * mult)))))
 
@@ -328,12 +367,25 @@ object ScaleProbe {
     // the shuffle (the failure mode probed is a hot-key reduce partition)
     val (pskewSec, pskewRemoved, _) = timed(paraDedup(docsSkew))
 
+    // semdedup mega-cluster: ONE centroid puts the entire xMULT corpus in
+    // a single cell — the worst clustering possible. The cluster-size cap
+    // must engage (excluded members stay kept — under-deletion only) and
+    // the run must complete without a quadratic blowup; excluded count
+    // rides the LshCapObservation channel
+    val semSkewCentroid = emb0.orderBy("vec_id").limit(1)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    val (semSkewSec, semSkewDropped, semSkewExcluded) = timed(
+      Similarity.semDedup(embX, "vec_id", "embedding", semSkewCentroid,
+        tau = 0.4, maxClusterSize = 1000)
+        .agg(count(when(!col("kept"), 1))).collect().head.getLong(0))
+
     val probeJson = results.map { case (name, (s1, n1, c1), (sx, nx, cx)) =>
       val ratio = if (s1 > 0) sx / s1 else -1.0
       f""""$name":{"x1_sec":$s1%.2f,"x${mult}_sec":$sx%.2f,"ratio":$ratio%.2f,"x1_pairs":$n1,"x${mult}_pairs":$nx,"x1_cap_excluded":$c1,"x${mult}_cap_excluded":$cx}"""
     }.mkString(",")
     val line =
-      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"cc_hub":{"sec":$hubSec%.2f,"components":$hubComps,"degree":500000},"para_skew":{"sec":$pskewSec%.2f,"removed":$pskewRemoved,"copies":$SkewCopies}}"""
+      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"cc_hub":{"sec":$hubSec%.2f,"components":$hubComps,"degree":500000},"para_skew":{"sec":$pskewSec%.2f,"removed":$pskewRemoved,"copies":$SkewCopies},"sem_skew":{"sec":$semSkewSec%.2f,"dropped":$semSkewDropped,"cap_excluded_rows":$semSkewExcluded,"cap":1000}}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_probe.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -1123,6 +1123,49 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "bigramCrossEntropy" should {
+    "match hand-computed smoothed bigram entropies and skip short docs" in {
+      val s = spark
+      import s.implicits._
+      // doc1 bigrams: (a,b)x2, (b,a); doc2: (b,b); doc3 has no bigram
+      // corpus: c(a,b)=2, c(b,a)=1, c(b,b)=1; heads c(a.)=2, c(b.)=2; V=2
+      val docs = Seq((1L, "a b a b"), (2L, "b b"), (3L, "x"))
+        .toDF("doc_id", "text")
+      val out = TextAnalysis.bigramCrossEntropy(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      out.keySet shouldBe Set(1L, 2L) // the 1-token doc emits nothing
+      val lpAB = math.log(3.0) - math.log(4.0) // (2+1)/(2+2)
+      val lpBA = math.log(2.0) - math.log(4.0) // (1+1)/(2+2)
+      val lpBB = math.log(2.0) - math.log(4.0)
+      out(1L)._1 shouldBe 3L
+      out(1L)._2 shouldBe -(2 * lpAB + lpBA) +- 1e-12
+      out(1L)._3 shouldBe -(2 * lpAB + lpBA) / 3.0 +- 1e-12
+      out(2L)._1 shouldBe 1L
+      out(2L)._2 shouldBe -lpBB +- 1e-12
+    }
+  }
+
+  "dsirLogWeights" should {
+    "match hand-computed target-vs-raw log ratios" in {
+      val s = spark
+      import s.implicits._
+      // target = doc 1: cr = {a:2, b:2, c:1}, ct = {a:2, b:1, c:0},
+      // Tr=5, Tt=3, V=3 -> Zr=ln 8, Zt=ln 6
+      val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+      val out = TextAnalysis
+        .dsirLogWeights(docs, "doc_id", "text", col("doc_id") === 1L)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val z8 = math.log(8.0); val z6 = math.log(6.0)
+      def ratio(ct: Long, cr: Long): Double =
+        (math.log(ct + 1.0) - z6) - (math.log(cr + 1.0) - z8)
+      out(1L)._1 shouldBe 3L
+      out(1L)._2 shouldBe (2 * ratio(2, 2) + ratio(1, 2)) +- 1e-12
+      out(2L)._1 shouldBe 2L
+      out(2L)._2 shouldBe (ratio(1, 2) + ratio(0, 1)) +- 1e-12
+    }
+  }
+
   "semDedup" should {
     val centroids = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
 

@@ -125,6 +125,43 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "LM scoring operators" should {
+    // the q56 whale-probe lesson, pinned for the whole scorer family: the
+    // corpus must be tokenized EXACTLY ONCE — model counts come from
+    // windows over the persisted slim tf frame, never from a second scan
+    // or a self-join of the tokenize subtree
+    lazy val documents =
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    // NOTE counting "FileScan" lines in plan STRINGS is meaningless here:
+    // AQE prints initial + final copies and InMemoryRelation prints its
+    // cached child plan, so one real scan can appear 4 times. The bug
+    // shape these tests pin (the q56 incident) is STRUCTURAL — a model-
+    // count self-join with TWO scan leaves, each re-running the tokenize
+    // subtree — so assert leaf count and joinlessness on the plan tree.
+
+    "tokenize once in unigramCrossEntropy (one leaf, no join)" in {
+      val r = graft.pipeline.TextAnalysis
+        .unigramCrossEntropy(documents, "doc_id", "text")
+      r.queryExecution.optimizedPlan.collectLeaves() should have size 1
+      r.queryExecution.executedPlan.toString should not include "Join"
+    }
+
+    "tokenize once in dsirLogWeights (one leaf — both models on ONE window)" in {
+      val r = graft.pipeline.TextAnalysis
+        .dsirLogWeights(documents, "doc_id", "text", col("lang") === "en")
+      r.queryExecution.optimizedPlan.collectLeaves() should have size 1
+      r.queryExecution.executedPlan.toString should not include "Join"
+    }
+
+    "build bigrams narrowly in bigramCrossEntropy (one leaf, no join)" in {
+      val r = graft.pipeline.TextAnalysis
+        .bigramCrossEntropy(documents, "doc_id", "text")
+      r.queryExecution.optimizedPlan.collectLeaves() should have size 1
+      r.queryExecution.executedPlan.toString should not include "Join"
+    }
+  }
+
   "row-level results" should {
     "evaluate scan constraints as map-side expressions without extra scans" in {
       import graft.checks._
