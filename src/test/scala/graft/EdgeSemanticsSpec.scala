@@ -3,6 +3,8 @@ package graft
 import org.scalatest.matchers.should.Matchers
 import org.scalatest.wordspec.AnyWordSpec
 
+import org.apache.spark.sql.functions.lit
+
 import graft.checks._
 import graft.core._
 import graft.operators._
@@ -80,6 +82,73 @@ class EdgeSemanticsSpec extends AnyWordSpec with Matchers with SparkSpec {
       val m = Completeness("v", Some("id > 100")).calculate(df)
       m.value.isFailure shouldBe true
       m.value.failed.get shouldBe an[EmptyStateException]
+    }
+  }
+
+  "LM scorers and SemDeDup on degenerate inputs" should {
+    import graft.pipeline.{Similarity, TextAnalysis}
+
+    "score an empty / all-null-text corpus as zero rows, not an error" in {
+      val s = spark
+      import s.implicits._
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val nulls = Seq((1L, null.asInstanceOf[String]), (2L, ""))
+        .toDF("doc_id", "text")
+      for (d <- Seq(empty, nulls)) {
+        TextAnalysis.unigramCrossEntropy(d, "doc_id", "text").count() shouldBe 0L
+        TextAnalysis.bigramCrossEntropy(d, "doc_id", "text").count() shouldBe 0L
+        TextAnalysis.dsirLogWeights(d, "doc_id", "text", lit(true))
+          .count() shouldBe 0L
+      }
+    }
+
+    "give a single-token document a unigram score but no bigram row" in {
+      val s = spark
+      import s.implicits._
+      val d = Seq((1L, "solo")).toDF("doc_id", "text")
+      TextAnalysis.unigramCrossEntropy(d, "doc_id", "text").count() shouldBe 1L
+      TextAnalysis.bigramCrossEntropy(d, "doc_id", "text").count() shouldBe 0L
+    }
+
+    "dsir with an empty target domain still scores (target counts all zero)" in {
+      val s = spark
+      import s.implicits._
+      val d = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+      val out = TextAnalysis.dsirLogWeights(d, "doc_id", "text", lit(false))
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      // every ct = 0, Tt = 0: lw(d) = sum tf * (ln(1/(0+V)) - ln p_raw)
+      // — finite for every document, never NaN/Inf
+      out.values.foreach { v =>
+        java.lang.Double.isFinite(v) shouldBe true
+      }
+    }
+
+    "semDedup keeps zero-norm vectors (cosine 0 to everything)" in {
+      val s = spark
+      import s.implicits._
+      val emb = Seq(
+        (0L, Seq(1.0f, 0.0f)),
+        (1L, Seq(0.0f, 0.0f)), // zero vector: assigned, never dropped
+        (2L, Seq(1.0f, 0.001f))
+      ).toDF("vec_id", "embedding")
+      val res = Similarity
+        .semDedup(emb, "vec_id", "embedding", Seq(Array(1.0, 0.0)), 0.9)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      res(0L) shouldBe true
+      res(1L) shouldBe true // sim(zero, anything) = 0 < tau
+      res(2L) shouldBe false // near-dup of id 0
+    }
+
+    "semDedup drops null and empty vectors from the output" in {
+      val s = spark
+      import s.implicits._
+      val emb = Seq(
+        (0L, Some(Seq(1.0f, 0.0f))),
+        (1L, None),
+        (2L, Some(Seq.empty[Float]))
+      ).toDF("vec_id", "embedding")
+      Similarity.semDedup(emb, "vec_id", "embedding", Seq(Array(1.0, 0.0)), 0.9)
+        .count() shouldBe 1L
     }
   }
 }
