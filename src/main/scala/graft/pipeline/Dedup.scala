@@ -230,6 +230,37 @@ object Dedup {
     }
   }
 
+  /** One output row per DISTINCT token n-gram hash per input row:
+    * (`idCol`, graft_gram) — the streaming imperative twin of
+    * [[shingleHashesFromTokenHashes]], for consumers that feed the gram
+    * stream straight into a join (decontamination) instead of building a
+    * per-row array column. Same hot-loop rationale as [[textSignatures]]:
+    * the HOF gram expressions run interpreted and build an n-token STRING
+    * per position, while this walks the token-hash array at memory
+    * bandwidth. Rows with fewer than `n` tokens emit one whole-text gram
+    * (filter them out first when that fallback must not match);
+    * empty/null text emits nothing.
+    */
+  private[pipeline] def gramHashRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val idField = df.schema(df.schema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(
+      idField.copy(name = idCol),
+      StructField("graft_gram", LongType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+    df.select(col(idCol), col(textCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val th = scalaTokenHashes(if (r.isNullAt(1)) null else r.getString(1))
+        scalaShingleHashes(th, n).iterator
+          .map(g => org.apache.spark.sql.Row(r.get(0), g))
+      }
+    }
+  }
+
   /** Shingle-set hashes straight from token hashes: the hash of an n-gram
     * is the hash of its n consecutive token hashes — no n-gram STRING is
     * ever built (no slice/concat/string alloc), and set identity is

@@ -295,19 +295,58 @@ object TextAnalysis {
       probes: DataFrame,
       probeTextCol: String,
       n: Int = 13): DataFrame = {
-    val probeGrams = probes
-      .where(size(normalizedTokens(col(probeTextCol))) >= n)
-      .select(explode(
-        Dedup.shingleHashes(Dedup.shingles(col(probeTextCol), n)))
-        .as("graft_gram"))
+    // both sides hash grams through the SAME token-hash construction, so
+    // matching stays exact token-sequence equality (64-bit collision
+    // class, as everywhere in the dedup family). The < n-token whole-text
+    // fallback gram is filtered off the probe side — a short probe must
+    // not match short corpus documents wholesale. Gram generation is one
+    // imperative mapPartitions pass (the interpreted HOF string-gram form
+    // was the measured scan hot spot: 4.0 -> ~2 s at sf0.1).
+    val probeGrams = Dedup.gramHashRows(
+      probes
+        .where(size(normalizedTokens(col(probeTextCol))) >= n)
+        .select(lit(0L).as("graft_pid"), col(probeTextCol)),
+      "graft_pid", probeTextCol, n)
+      .select(col("graft_gram"))
       .distinct()
-    corpus
-      .select(col(idCol), explode(
-        Dedup.shingleHashes(Dedup.shingles(col(textCol), n)))
-        .as("graft_gram"))
+    Dedup.gramHashRows(corpus, idCol, textCol, n)
       .join(broadcast(probeGrams), "graft_gram")
       .groupBy(idCol)
       .agg(countDistinct(col("graft_gram")).as("matched_ngrams"))
+  }
+
+  /** Per-PROBE contamination report: which benchmark items leak into the
+    * corpus, not just which documents are contaminated — the view a
+    * benchmark owner needs. One row per probe with at least one hit:
+    * (`probeIdCol`, contaminated_docs, matched_pairs) where
+    * `matched_pairs` counts distinct (document, probe-gram) matches.
+    *
+    * Same 100 TB plan shape as [[contaminationMatches]]: probe grams
+    * (keyed by probe id) broadcast, the corpus gram stream generated in
+    * one imperative mapPartitions pass, non-matches die in the broadcast
+    * hash join, and only surviving match rows reach the tiny per-probe
+    * groupBy. Probes shorter than `n` tokens are excluded (their
+    * whole-text fallback gram must not match short documents wholesale).
+    */
+  def contaminationReport(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: DataFrame,
+      probeIdCol: String,
+      probeTextCol: String,
+      n: Int = 13): DataFrame = {
+    require(probeIdCol != idCol,
+      s"probe id column must differ from corpus id column ($idCol)")
+    val probeGrams = Dedup.gramHashRows(
+      probes.where(size(normalizedTokens(col(probeTextCol))) >= n),
+      probeIdCol, probeTextCol, n)
+    Dedup.gramHashRows(corpus, idCol, textCol, n)
+      .join(broadcast(probeGrams), "graft_gram")
+      .groupBy(col(probeIdCol))
+      .agg(
+        countDistinct(col(idCol)).as("contaminated_docs"),
+        count(lit(1)).as("matched_pairs"))
   }
 
   /** The decontaminated corpus: every row of `corpus` whose text shares no
