@@ -1978,6 +1978,26 @@ object SparkEntry {
         "max_lw" -> r6(agg.getDouble(4)),
         "kept" -> agg.getLong(5).toDouble,
         "sum_kept_ids" -> agg.getLong(6).toDouble))
+    }),
+
+    // Per-probe contamination report — the q49 machinery turned around to
+    // answer the benchmark owner's question: WHICH items leak, into how
+    // many documents. Probe docs 20/30/45 (their FULL texts — every
+    // positional 13-gram, not q49's single slice), one output row per
+    // probe: distinct contaminated docs + distinct (doc, gram) match
+    // pairs. Multi-row result, all columns exact integers cast to double.
+    "q62_contamination_report" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val probes = docs
+        .filter(col("doc_id").isin(20L, 30L, 45L))
+        .select(col("doc_id").as("probe_id"), col("text").as("probe"))
+      TextAnalysis
+        .contaminationReport(docs, "doc_id", "text", probes, "probe_id", "probe")
+        .select(
+          col("probe_id").cast(DoubleType).as("probe_id"),
+          col("contaminated_docs").cast(DoubleType).as("contaminated_docs"),
+          col("matched_pairs").cast(DoubleType).as("matched_pairs"))
+        .orderBy(col("probe_id"))
     })
   )
 
@@ -3506,6 +3526,35 @@ object SparkEntry {
         |  sum(CASE WHEN lw > 0.05 THEN 1 ELSE 0 END)::DOUBLE AS kept,
         |  coalesce(sum(CASE WHEN lw > 0.05 THEN doc_id ELSE 0 END),
         |    0)::DOUBLE AS sum_kept_ids
-        |FROM doc""".stripMargin
+        |FROM doc""".stripMargin,
+
+    // q62: per-probe contamination report — DuckDB generates every
+    // positional 13-gram of each probe doc (distinct per probe) and
+    // replays containment as space-padded substring search over the
+    // single-space-normalized corpus, exactly the q49 convention.
+    "q62_contamination_report" ->
+      """WITH norm AS (
+        |  SELECT doc_id, array_to_string(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')
+        |    AS ntext
+        |  FROM documents
+        |), ptoks AS (
+        |  SELECT doc_id AS probe_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IN (20, 30, 45)
+        |), pg AS (
+        |  SELECT DISTINCT probe_id, array_to_string(toks[i:i+12], ' ')
+        |    AS gram
+        |  FROM ptoks, unnest(range(1, len(toks) - 11)) AS t(i)
+        |  WHERE len(toks) >= 13
+        |), m AS (
+        |  SELECT n.doc_id, p.probe_id, p.gram
+        |  FROM norm n JOIN pg p
+        |    ON contains(' ' || n.ntext || ' ', ' ' || p.gram || ' ')
+        |)
+        |SELECT probe_id::DOUBLE AS probe_id,
+        |  count(DISTINCT doc_id)::DOUBLE AS contaminated_docs,
+        |  count(*)::DOUBLE AS matched_pairs
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

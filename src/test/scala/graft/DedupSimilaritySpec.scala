@@ -1123,6 +1123,25 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "contaminationReport" should {
+    "count contaminated docs and match pairs per probe" in {
+      val s = spark
+      import s.implicits._
+      val corpus = Seq((1L, "a b c d"), (2L, "c d e"), (3L, "x y z"))
+        .toDF("doc_id", "text")
+      val probes = Seq((100L, "a b c"), (200L, "c d q"), (300L, "q"))
+        .toDF("probe_id", "probe")
+      val out = TextAnalysis
+        .contaminationReport(corpus, "doc_id", "text", probes,
+          "probe_id", "probe", n = 2)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // probe 100 grams {a b, b c}: both in doc 1 only -> 1 doc, 2 pairs
+      // probe 200 grams {c d, d q}: c d in docs 1 and 2 -> 2 docs, 2 pairs
+      // probe 300 is shorter than n -> excluded entirely
+      out shouldBe Map(100L -> ((1L, 2L)), 200L -> ((2L, 2L)))
+    }
+  }
+
   "bigramCrossEntropy" should {
     "match hand-computed smoothed bigram entropies and skip short docs" in {
       val s = spark
