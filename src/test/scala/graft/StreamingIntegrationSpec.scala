@@ -230,4 +230,53 @@ class StreamingIntegrationSpec extends AnyWordSpec with Matchers with SparkSpec 
       sA shouldBe Seq(("u1", 1L), ("u1", 1L), ("u1", 2L), ("u2", 1L), ("u2", 1L))
     }
   }
+
+  "map-side pipeline operators under Structured Streaming" should {
+    // the quality/filter family is pure per-row expressions (no shuffle,
+    // no state), so it must run UNMODIFIED inside a streaming query and
+    // agree with its batch verdicts — the claim that lets a curation
+    // recipe built on these ops move from backfill to live ingestion
+    "produce batch-identical C4 and quality verdicts on a live stream" in {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      val texts = Seq(
+        (1L, "this line has five words.\nshort.\nanother good line with words!"
+          + "\na third fine line right here?\nand one more decent line here."),
+        (2L, "only one good line here.\ntiny."),
+        (3L, "visit our javascript powered site.\ngood line number two here.\n"
+          + "good line number three here.\ngood line number four here."))
+      val batch = graft.pipeline.TextAnalysis
+        .c4Clean(texts.toDF("doc_id", "text"), "doc_id", "text")
+        .select(col("doc_id"), col("kept"),
+          graft.pipeline.TextAnalysis.qualityScore(col("text_clean")).as("q"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2))).toSet
+
+      val input = MemoryStream[(Long, String)]
+      val streamed = scala.collection.mutable.Set[(Long, Boolean, Double)]()
+      val query = graft.pipeline.TextAnalysis
+        .c4Clean(input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+        .select(col("doc_id"), col("kept"),
+          graft.pipeline.TextAnalysis.qualityScore(col("text_clean")).as("q"))
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          streamed.synchronized {
+            streamed ++= df.collect()
+              .map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2)))
+          }
+          ()
+        }
+        .start()
+      try {
+        input.addData(texts.take(2): _*)
+        query.processAllAvailable()
+        input.addData(texts.drop(2): _*)
+        query.processAllAvailable()
+      } finally query.stop()
+
+      streamed.toSet shouldBe batch
+    }
+  }
 }
