@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, length, lit, regexp_replace, split, struct, sum, transform, when}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.functions.{array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, length, lit, md5, regexp_replace, split, struct, sum, transform, when}
+import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
 import graft.comparison._
@@ -1998,6 +1998,25 @@ object SparkEntry {
           col("contaminated_docs").cast(DoubleType).as("contaminated_docs"),
           col("matched_pairs").cast(DoubleType).as("matched_pairs"))
         .orderBy(col("probe_id"))
+    }),
+
+    // Exact substring dedup (Lee et al. 2021 ExactSubstr, token-level):
+    // duplicated 13-token spans cut from every occurrence but the globally
+    // first; per-affected-doc row pins the removed count and the md5 of the
+    // surviving token sequence (null when the whole document was removed —
+    // exact-duplicate copies lose everything while the earliest copy keeps
+    // its text untouched).
+    "q63_substring_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.exactSubstringDedup(docs, "doc_id", "text", 13)
+        .where(col("removed_tokens") > 0)
+        .select(
+          col("doc_id").cast(DoubleType).as("doc_id"),
+          col("total_tokens").cast(DoubleType).as("total_tokens"),
+          col("removed_tokens").cast(DoubleType).as("removed_tokens"),
+          when(length(col("kept_text")) > 0,
+            md5(col("kept_text").cast(BinaryType))).as("kept_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3555,6 +3574,48 @@ object SparkEntry {
         |SELECT probe_id::DOUBLE AS probe_id,
         |  count(DISTINCT doc_id)::DOUBLE AS contaminated_docs,
         |  count(*)::DOUBLE AS matched_pairs
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q63_substring_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents
+        |), occ AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+12], ' ')
+        |    AS gram
+        |  FROM toks, unnest(range(1, len(ts) - 11)) AS t(i)
+        |  WHERE len(ts) >= 13
+        |), ranked AS (
+        |  SELECT doc_id, pos,
+        |         count(*) OVER (PARTITION BY gram) AS cnt,
+        |         row_number() OVER (PARTITION BY gram
+        |                            ORDER BY doc_id, pos) AS rn
+        |  FROM occ
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, pos + j AS cp
+        |  FROM ranked, unnest(range(0, 13)) AS u(j)
+        |  WHERE cnt > 1 AND rn > 1
+        |), tok AS (
+        |  SELECT doc_id, i - 1 AS p, ts[i] AS tok, len(ts) AS total
+        |  FROM toks, unnest(range(1, len(ts) + 1)) AS t(i)
+        |), joined AS (
+        |  SELECT t.doc_id, t.p, t.tok, t.total,
+        |         (c.cp IS NOT NULL) AS covered
+        |  FROM tok t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.p = c.cp
+        |), agg AS (
+        |  SELECT doc_id, any_value(total) AS total_tokens,
+        |         sum(CASE WHEN covered THEN 1 ELSE 0 END)
+        |           AS removed_tokens,
+        |         md5(string_agg(CASE WHEN NOT covered THEN tok END,
+        |                        ' ' ORDER BY p)) AS kept_md5
+        |  FROM joined GROUP BY 1
+        |)
+        |SELECT doc_id::DOUBLE AS doc_id,
+        |       total_tokens::DOUBLE AS total_tokens,
+        |       removed_tokens::DOUBLE AS removed_tokens,
+        |       kept_md5
+        |FROM agg WHERE removed_tokens > 0 ORDER BY doc_id""".stripMargin
   )
 }

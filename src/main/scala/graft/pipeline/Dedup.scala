@@ -1023,4 +1023,164 @@ object Dedup {
         (coalesce(totalPerDoc("graft_total"), lit(0L)) -
           coalesce(keptPerDoc("graft_kept"), lit(0L))).as("n_removed"))
   }
+
+  // -------------------------------------------------------------------------
+  // Exact substring deduplication (token-span granularity)
+  // -------------------------------------------------------------------------
+
+  /** Normalized token STRINGS (lowercased via Locale.ROOT,
+    * whitespace-split, empties dropped) — the string twin of
+    * [[scalaTokenHashes]]; the two must stay in lockstep so a gram hash
+    * always describes a reconstructible token span.
+    */
+  private def scalaTokens(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+  }
+
+  /** POSITIONAL n-gram hashes: out(i) = hash of tokens [i, i+n). Docs with
+    * fewer than n tokens emit nothing — a short doc has no n-token span to
+    * deduplicate, so there is deliberately NO whole-text fallback here
+    * (unlike [[scalaShingleHashes]], whose set semantics need one). Same
+    * 64-bit construction as [[scalaShingleHashes]] minus the distinct-set,
+    * so hash equality means token-sequence equality up to 2^-64 collisions.
+    */
+  private def scalaPosGramHashes(th: Array[Long], n: Int): Array[Long] = {
+    if (th.length < n) return Array.empty
+    val out = new Array[Long](th.length - n + 1)
+    var i = 0
+    while (i <= th.length - n) {
+      var acc = 0L
+      var k = 0
+      while (k < n) { acc = mix64(acc ^ th(i + k)); k += 1 }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
+  /** One row per token POSITION per document: (`idCol`, graft_pos,
+    * graft_gram) — the positional, non-distinct sibling of
+    * [[gramHashRows]], for consumers that need to know WHERE a span occurs,
+    * not just that it does. Same imperative hot-loop rationale.
+    */
+  private[pipeline] def posGramHashRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val idField = df.schema(df.schema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(
+      idField.copy(name = idCol),
+      StructField("graft_pos", IntegerType, nullable = false),
+      StructField("graft_gram", LongType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+    df.select(col(idCol), col(textCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val gs = scalaPosGramHashes(
+          scalaTokenHashes(if (r.isNullAt(1)) null else r.getString(1)), n)
+        Iterator.range(0, gs.length)
+          .map(i => org.apache.spark.sql.Row(r.get(0), i, gs(i)))
+      }
+    }
+  }
+
+  /** Exact substring deduplication — the ExactSubstr recipe of Lee et al.
+    * 2021 (arXiv:2107.06499, "Deduplicating Training Data Makes Language
+    * Models Better"), token-level: every n-token span that occurs more
+    * than once ACROSS THE CORPUS (including repeats inside one document)
+    * is removed from every occurrence except the globally first one
+    * (smallest `(id, position)`). Overlapping duplicated spans merge into
+    * one removed interval, so a verbatim-duplicated document loses its
+    * entire text while the earliest copy survives. The reference engine
+    * has no such operator; the capability anchors to the training-data
+    * pipeline mandate (document-level dedup misses partially-copied text —
+    * quotes, boilerplate, licence blocks — which this catches).
+    *
+    * Output: one row per input document — `idCol`, `total_tokens`,
+    * `removed_tokens`, `kept_text` (the surviving tokens in original
+    * order, normalized — lowercased, whitespace-split — joined by single
+    * spaces; empty string when everything was removed or the text was
+    * empty/null). Document ids are assumed unique and non-null.
+    *
+    * Scale shape:
+    *  - the positional gram stream (ONE slim row per token position) pays
+    *    two exchanges: a `groupBy(gram)` whose map-side partial collapses
+    *    to distinct-grams-per-partition before shuffling, and the
+    *    occurrences⋈duplicated-grams join. The join's build side carries
+    *    one row per DUPLICATED gram only; a boilerplate gram occurring
+    *    millions of times is a skewed probe key that AQE's skew-join
+    *    splitting handles (each split joins against the single stats row).
+    *    The stream is persisted (MEMORY_AND_DISK) because both consumers
+    *    probe it — the alternative is a second tokenize scan of the corpus.
+    *  - removed-interval assembly shuffles only the `(id, pos)` pairs of
+    *    duplicated non-winner occurrences; per-document state is the
+    *    sorted start list, bounded by the document's own token count (the
+    *    same memory class as the document itself).
+    *  - reconstruction is one imperative pass per document: a linear walk
+    *    merging the sorted starts into covered intervals while emitting
+    *    kept tokens — O(tokens + intervals), no window, no global sort.
+    */
+  def exactSubstringDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13): DataFrame = {
+    require(n >= 2, "span length must be at least 2 tokens")
+    val grams = posGramHashRows(df, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // duplicated grams with their globally-first occurrence
+    val winners = grams.groupBy(col("graft_gram"))
+      .agg(count(lit(1)).as("graft_cnt"),
+        min(struct(col(idCol), col("graft_pos"))).as("graft_w"))
+      .where(col("graft_cnt") > 1)
+      .select(col("graft_gram"), col("graft_w"))
+    val dupStarts = grams.join(winners, Seq("graft_gram"))
+      .where(col(idCol) =!= col("graft_w")(idCol) ||
+        col("graft_pos") =!= col("graft_w")("graft_pos"))
+      .select(col(idCol), col("graft_pos"))
+    val ivs = dupStarts.groupBy(col(idCol).as("graft_iv_id"))
+      .agg(array_sort(collect_list(col("graft_pos"))).as("graft_starts"))
+    val base = df.select(col(idCol), col(textCol))
+    val joined = base
+      .join(ivs, base(idCol) <=> ivs("graft_iv_id"), "left_outer")
+      .select(base(idCol), base(textCol), ivs("graft_starts"))
+    val idField = df.schema(df.schema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(
+      idField.copy(name = idCol),
+      StructField("total_tokens", IntegerType, nullable = false),
+      StructField("removed_tokens", IntegerType, nullable = false),
+      StructField("kept_text", StringType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+    val out = joined.mapPartitions { rows =>
+      rows.map { r =>
+        val toks = scalaTokens(if (r.isNullAt(1)) null else r.getString(1))
+        val starts: Array[Int] =
+          if (r.isNullAt(2)) Array.emptyIntArray
+          else r.getSeq[Int](2).toArray
+        var si = 0
+        var coveredUntil = -1L
+        var removed = 0
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < toks.length) {
+          while (si < starts.length && starts(si) <= i) {
+            val e = starts(si).toLong + n
+            if (e > coveredUntil) coveredUntil = e
+            si += 1
+          }
+          if (i < coveredUntil) removed += 1
+          else {
+            if (sb.length > 0) sb.append(' ')
+            sb.append(toks(i))
+          }
+          i += 1
+        }
+        org.apache.spark.sql.Row(r.get(0), toks.length, removed, sb.toString)
+      }
+    }
+    CacheLifecycle.releaseOnConsume(out, Seq(grams))
+  }
 }

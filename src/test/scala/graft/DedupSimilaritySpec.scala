@@ -1241,4 +1241,48 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
       all(perCell) shouldBe 1L
     }
   }
+
+  "exactSubstringDedup" should {
+    "cut every duplicated n-token span except its globally-first occurrence" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        (1L, "a b c d e f"),                // gram winners live here
+        (2L, "x y a b c d z"),              // shares the 4-token run a b c d
+        (3L, "a b c d e f"),                // verbatim copy of doc 1
+        (4L, "p q r p q r p q r"),          // WITHIN-doc repetition
+        (5L, "U V"),                        // < n tokens: no grams, normalized only
+        (6L, ""),                           // empty
+        (7L, null.asInstanceOf[String])     // null
+      ).toDF("doc_id", "text")
+      val out = Dedup.exactSubstringDedup(df, "doc_id", "text", n = 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      out(1L) shouldBe ((6, 0, "a b c d e f"))     // winner keeps everything
+      // covered [2,5) ∪ [3,6) merges to [2,6): the whole shared run goes
+      out(2L) shouldBe ((7, 4, "x y z"))
+      out(3L) shouldBe ((6, 6, ""))                // full duplicate: all removed
+      // winners at pos 0..2 keep "p q r"; occurrences 3..6 cover [3,9)
+      out(4L) shouldBe ((9, 6, "p q r"))
+      out(5L) shouldBe ((2, 0, "u v"))
+      out(6L) shouldBe ((0, 0, ""))
+      out(7L) shouldBe ((0, 0, ""))
+      // token conservation: kept + removed = total for every doc
+      out.values.foreach { case (total, removed, kept) =>
+        val keptCount = if (kept.isEmpty) 0 else kept.split(" ").length
+        keptCount + removed shouldBe total
+      }
+    }
+
+    "leave a corpus with no duplicated spans untouched" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        (10L, "one two three four"),
+        (11L, "five six seven eight")).toDF("doc_id", "text")
+      val out = Dedup.exactSubstringDedup(df, "doc_id", "text", n = 3)
+        .collect().map(r => (r.getInt(1), r.getInt(2)))
+      out.toSet shouldBe Set((4, 0))
+    }
+  }
 }
