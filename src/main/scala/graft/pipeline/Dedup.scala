@@ -530,6 +530,120 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // Cross-corpus near-dup join (fuzzy decontamination)
+  // -------------------------------------------------------------------------
+
+  /** EXACT cross-corpus n-gram Jaccard: every (corpus doc, probe doc) pair
+    * with shingle Jaccard >= `threshold`, via the inverted-index shape of
+    * [[exactJaccardPairs]] with the probe side BROADCAST. The fuzzy
+    * complement of 13-gram decontamination
+    * ([[TextAnalysis.contaminationMatches]]): verbatim-span matching
+    * misses light rewrites (token substitutions, reordering) that still
+    * share most of their shingle set with a benchmark document.
+    *
+    * Scale shape: the corpus never shuffles — its shingle explode dies in
+    * a broadcast hash join against the probe shingle index, and only the
+    * co-occurrence rows (corpus docs sharing >= 1 shingle with some probe,
+    * bounded by probe-shingle document frequencies, not the corpus) reach
+    * the groupBy. Probes are assumed benchmark-sized (thousands, not
+    * millions); a corpus-sized probe side belongs on the self-join path.
+    *
+    * Output: (corpus_id, probe_id, jaccard), exact.
+    */
+  def crossCorpusJaccardPairs(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: DataFrame,
+      probeIdCol: String,
+      probeTextCol: String,
+      threshold: Double,
+      shingleSize: Int = 3): DataFrame = {
+    val c = textSignatures(corpus, idCol, textCol, numHashes = 0, shingleSize)
+      .filter(size(col("graft_hs")) > 0)
+    val p = textSignatures(probes, probeIdCol, probeTextCol, numHashes = 0, shingleSize)
+      .filter(size(col("graft_hs")) > 0)
+    val cInv = c.select(col("graft_id").as("corpus_id"),
+      size(col("graft_hs")).as("graft_na"), explode(col("graft_hs")).as("graft_h"))
+    val pInv = p.select(col("graft_id").as("probe_id"),
+      size(col("graft_hs")).as("graft_nb"), explode(col("graft_hs")).as("graft_h"))
+    cInv.join(broadcast(pInv), Seq("graft_h"))
+      .groupBy(col("corpus_id"), col("probe_id"))
+      .agg(count(lit(1)).as("graft_c"),
+        first(col("graft_na")).as("graft_na"),
+        first(col("graft_nb")).as("graft_nb"))
+      .withColumn("jaccard", col("graft_c").cast(DoubleType) /
+        greatest(col("graft_na") + col("graft_nb") - col("graft_c"), lit(1L))
+          .cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select("corpus_id", "probe_id", "jaccard")
+  }
+
+  /** Fuzzy cross-corpus decontamination via MinHash-LSH: corpus docs that
+    * are near-duplicates (shingle Jaccard >= `threshold`) of ANY probe
+    * doc, found by banding BOTH sides and equi-joining buckets — the
+    * cross-corpus twin of [[nearDuplicatePairs]]. Candidates are verified
+    * with the exact Jaccard before being reported, so precision is exact
+    * and only recall is probabilistic (1 − (1 − t^(numHashes/bands))^bands
+    * per pair at Jaccard t; the default 64/32 keeps miss probability
+    * ~1e-4 at t = 0.5).
+    *
+    * Scale shape: probe bands and probe shingle sets are BROADCAST, so
+    * the corpus pays one signature scan and zero exchanges on its own
+    * rows — banding explodes map-side and dies in the broadcast bucket
+    * join; only matched candidates (contamination-sized, not
+    * corpus-sized) are shuffled for dedup and broadcast back for the
+    * verify join against the persisted corpus signature frame.
+    *
+    * Output: (corpus_id, probe_id, jaccard), exact on every reported row.
+    */
+  def crossCorpusNearDups(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: DataFrame,
+      probeIdCol: String,
+      probeTextCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    def bandedOf(sigs: DataFrame, outId: String): DataFrame =
+      sigs.select(col(outId),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(
+            slice(col("graft_sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b))))
+        .withColumnRenamed("pos", "graft_band")
+        .withColumnRenamed("col", "graft_bucket")
+    val pSigs = textSignatures(probes, probeIdCol, probeTextCol, numHashes, shingleSize)
+      .filter(size(col("graft_hs")) > 0)
+      .select(col("graft_id").as("probe_id"), col("graft_sig"),
+        col("graft_hs").as("sh_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cSigs = textSignatures(corpus, idCol, textCol, numHashes, shingleSize)
+      .filter(size(col("graft_hs")) > 0)
+      .select(col("graft_id").as("corpus_id"), col("graft_sig"),
+        col("graft_hs").as("sh_a"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = bandedOf(cSigs, "corpus_id")
+      .join(broadcast(bandedOf(pSigs, "probe_id")), Seq("graft_band", "graft_bucket"))
+      .select("corpus_id", "probe_id")
+      .dropDuplicates("corpus_id", "probe_id")
+    val joined = broadcast(cand)
+      .join(cSigs.select(col("corpus_id"), col("sh_a")), Seq("corpus_id"))
+      .join(broadcast(pSigs.select(col("probe_id"), col("sh_b"))), Seq("probe_id"))
+      .select(col("corpus_id").as("id_a"), col("probe_id").as("id_b"),
+        col("sh_a"), col("sh_b"))
+    val verified = jaccardVerify(joined, threshold)
+      .select(col("id_a").as("corpus_id"), col("id_b").as("probe_id"),
+        col("jaccard"))
+    CacheLifecycle.releaseOnConsume(verified, Seq(pSigs, cSigs))
+  }
+
+  // -------------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------------
 

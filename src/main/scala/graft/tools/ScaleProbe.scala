@@ -158,6 +158,12 @@ object ScaleProbe {
       val survivors = Dedup.exact(d, Seq("text"), "doc_id").count()
       kept + survivors
     }
+    // exact substring dedup (q63 engine path): positional gram groupBy +
+    // occurrence join + per-doc interval walk — removed-token totals
+    // returned so a wrong winner election can't hide in a timing row
+    def substrDedup(d: DataFrame): Long =
+      Dedup.exactSubstringDedup(d, "doc_id", "text", 13)
+        .agg(sum(col("removed_tokens"))).collect().head.getLong(0)
     def langId(d: DataFrame): Long =
       graft.pipeline.TextAnalysis.languageIdCounts(d, "text")
         .agg(sum(col("cnt"))).collect().head.getLong(0)
@@ -310,6 +316,7 @@ object ScaleProbe {
     // generated source, a fixed ~2 s that would otherwise land entirely on
     // the x1 runs and fake a sub-linear x10 ratio
     exactDedup(docs0.limit(200))
+    substrDedup(docs0.limit(200))
     langId(docs0.limit(200))
     quality(docs0.limit(200))
     decontam(docs0.limit(200))
@@ -332,6 +339,7 @@ object ScaleProbe {
         timed(embNearDup(embX, embN * mult))),
       ("lsh_topk", timed(topK(emb0)), timed(topK(embX))),
       ("exact_dedup", timed(exactDedup(docs0)), timed(exactDedup(docsX))),
+      ("substring_dedup", timed(substrDedup(docs0)), timed(substrDedup(docsX))),
       ("lang_id", timed(langId(docs0)), timed(langId(docsX))),
       ("quality_score", timed(quality(docs0)), timed(quality(docsX))),
       ("decontamination", timed(decontam(docs0)), timed(decontam(docsX))),
@@ -367,6 +375,13 @@ object ScaleProbe {
     // the shuffle (the failure mode probed is a hot-key reduce partition)
     val (pskewSec, pskewRemoved, _) = timed(paraDedup(docsSkew))
 
+    // substring-skew: the 20,000x-duplicated doc makes every one of its
+    // 13-grams a 20,001-way duplicate — the gram groupBy's partial agg
+    // collapses each hot gram per map partition, and the occurrence join
+    // hits the hot keys with AQE skew splitting (the failure mode probed
+    // is a hot gram key melting one reduce task)
+    val (sskewSec, sskewRemoved, _) = timed(substrDedup(docsSkew))
+
     // semdedup mega-cluster: ONE centroid puts the entire xMULT corpus in
     // a single cell — the worst clustering possible. The cluster-size cap
     // must engage (excluded members stay kept — under-deletion only) and
@@ -385,7 +400,7 @@ object ScaleProbe {
       f""""$name":{"x1_sec":$s1%.2f,"x${mult}_sec":$sx%.2f,"ratio":$ratio%.2f,"x1_pairs":$n1,"x${mult}_pairs":$nx,"x1_cap_excluded":$c1,"x${mult}_cap_excluded":$cx}"""
     }.mkString(",")
     val line =
-      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"cc_hub":{"sec":$hubSec%.2f,"components":$hubComps,"degree":500000},"para_skew":{"sec":$pskewSec%.2f,"removed":$pskewRemoved,"copies":$SkewCopies},"sem_skew":{"sec":$semSkewSec%.2f,"dropped":$semSkewDropped,"cap_excluded_rows":$semSkewExcluded,"cap":1000}}"""
+      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"cc_hub":{"sec":$hubSec%.2f,"components":$hubComps,"degree":500000},"para_skew":{"sec":$pskewSec%.2f,"removed":$pskewRemoved,"copies":$SkewCopies},"substr_skew":{"sec":$sskewSec%.2f,"removed":$sskewRemoved,"copies":$SkewCopies},"sem_skew":{"sec":$semSkewSec%.2f,"dropped":$semSkewDropped,"cap_excluded_rows":$semSkewExcluded,"cap":1000}}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_probe.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
