@@ -2017,6 +2017,42 @@ object SparkEntry {
           when(length(col("kept_text")) > 0,
             md5(col("kept_text").cast(BinaryType))).as("kept_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Cross-corpus FUZZY decontamination: probes are corpus docs with 8
+    // junk tokens appended (never verbatim-equal to any corpus doc, shingle
+    // Jaccard ~0.84 to their source), so the MinHash-LSH banded join must
+    // catch rewrites that exact 13-gram matching (q49) is blind to. The
+    // exact inverted-index path pins per-probe match counts and id sums;
+    // the LSH path (verified candidates only) is asserted against it via a
+    // recall flag — banding at 64 hashes / 32 bands keeps per-pair miss
+    // probability ~1e-4 at Jaccard 0.5.
+    "q64_fuzzy_decontamination" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val junk = " zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8"
+      val probes = docs.filter(col("doc_id").isin(0L, 8L, 26L))
+        .select(col("doc_id").as("probe_id"),
+          concat(col("text"), lit(junk)).as("ptext"))
+      val exact = Dedup.crossCorpusJaccardPairs(docs, "doc_id", "text",
+        probes, "probe_id", "ptext", threshold = 0.5)
+      val fuzzy = Dedup.crossCorpusNearDups(docs, "doc_id", "text",
+        probes, "probe_id", "ptext", threshold = 0.5)
+        .select(col("corpus_id"), col("probe_id")).withColumn("graft_f", lit(1L))
+      val joined = exact.join(fuzzy, Seq("corpus_id", "probe_id"), "left_outer")
+        .persist()
+      val r = joined.agg(count(lit(1)), sum(col("graft_f"))).collect().head
+      val nExact = r.getLong(0)
+      val found = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val recallOk = if (nExact == 0L || found.toDouble / nExact >= 0.9) 1.0 else 0.0
+      val out = joined.groupBy(col("probe_id"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n_matched"),
+          sum(col("corpus_id")).cast(DoubleType).as("matched_id_sum"))
+        .withColumn("lsh_recall_ok", lit(recallOk))
+        .select(col("probe_id").cast(DoubleType).as("probe_id"),
+          col("n_matched"), col("matched_id_sum"), col("lsh_recall_ok"))
+        .orderBy(col("probe_id"))
+      graft.pipeline.CacheLifecycle.releaseOnConsume(out, Seq(joined))
     })
   )
 
@@ -3616,6 +3652,44 @@ object SparkEntry {
         |       total_tokens::DOUBLE AS total_tokens,
         |       removed_tokens::DOUBLE AS removed_tokens,
         |       kept_md5
-        |FROM agg WHERE removed_tokens > 0 ORDER BY doc_id""".stripMargin
+        |FROM agg WHERE removed_tokens > 0 ORDER BY doc_id""".stripMargin,
+
+    "q64_fuzzy_decontamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3 THEN
+        |      list_distinct(list_transform(range(len(ts) - 2),
+        |        i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))
+        |    WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+        |    ELSE []::VARCHAR[] END AS sh
+        |  FROM d),
+        |pt AS (
+        |  SELECT doc_id AS probe_id,
+        |    list_concat(ts, ['zq1','zq2','zq3','zq4','zq5','zq6','zq7','zq8']) AS ts
+        |  FROM d WHERE doc_id IN (0, 8, 26)),
+        |psh AS (
+        |  SELECT probe_id,
+        |    CASE WHEN len(ts) >= 3 THEN
+        |      list_distinct(list_transform(range(len(ts) - 2),
+        |        i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))
+        |    ELSE []::VARCHAR[] END AS psh
+        |  FROM pt),
+        |j AS (
+        |  SELECT s.doc_id AS corpus_id, p.probe_id,
+        |    len(list_intersect(s.sh, p.psh))::DOUBLE
+        |      / greatest(len(s.sh) + len(p.psh)
+        |                 - len(list_intersect(s.sh, p.psh)), 1) AS jac
+        |  FROM sh s CROSS JOIN psh p
+        |  WHERE len(s.sh) > 0 AND len(p.psh) > 0)
+        |SELECT probe_id::DOUBLE AS probe_id,
+        |       coalesce(count(*) FILTER (jac >= 0.5), 0)::DOUBLE AS n_matched,
+        |       coalesce(sum(corpus_id) FILTER (jac >= 0.5), 0)::DOUBLE
+        |         AS matched_id_sum,
+        |       1.0::DOUBLE AS lsh_recall_ok
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

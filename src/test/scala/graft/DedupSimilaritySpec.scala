@@ -1242,6 +1242,45 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "crossCorpus near-dup join" should {
+    "report exact jaccard for fuzzy probe matches and nothing for unrelated docs" in {
+      val s = spark
+      import s.implicits._
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog tonight again happily"),
+        (2L, "the quick brown fox jumps over the lazy dog tonight again sadly"),
+        (3L, "completely unrelated content about spark engines and big data processing")
+      ).toDF("doc_id", "text")
+      val probes = Seq(
+        (100L, "the quick brown fox jumps over the lazy dog tonight again happily junk1 junk2")
+      ).toDF("pid", "ptext")
+      val exact = Dedup.crossCorpusJaccardPairs(corpus, "doc_id", "text",
+        probes, "pid", "ptext", threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // doc1: 10 shingles all shared of the probe's 12 -> 10/12
+      // doc2: 9 shared (the final-token shingle differs) -> 9/13
+      exact.map(t => (t._1, t._2)).toSet shouldBe Set((1L, 100L), (2L, 100L))
+      exact.find(_._1 == 1L).get._3 shouldBe (10.0 / 12) +- 1e-12
+      exact.find(_._1 == 2L).get._3 shouldBe (9.0 / 13) +- 1e-12
+      // the LSH-banded path agrees exactly at this jaccard level
+      val fuzzy = Dedup.crossCorpusNearDups(corpus, "doc_id", "text",
+        probes, "pid", "ptext", threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      fuzzy.sortBy(_._1) shouldBe exact.sortBy(_._1)
+    }
+
+    "generate nothing when the probe shares no shingles" in {
+      val s = spark
+      import s.implicits._
+      val corpus = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+      val probes = Seq((9L, "zeta eta theta iota kappa")).toDF("pid", "ptext")
+      Dedup.crossCorpusJaccardPairs(corpus, "doc_id", "text",
+        probes, "pid", "ptext", threshold = 0.01).count() shouldBe 0L
+      Dedup.crossCorpusNearDups(corpus, "doc_id", "text",
+        probes, "pid", "ptext", threshold = 0.01).count() shouldBe 0L
+    }
+  }
+
   "exactSubstringDedup" should {
     "cut every duplicated n-token span except its globally-first occurrence" in {
       val s = spark
