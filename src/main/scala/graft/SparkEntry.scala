@@ -2066,6 +2066,17 @@ object SparkEntry {
           col("pair_count").cast(DoubleType).as("pair_count"),
           round(col("pmi"), 6).as("pmi"))
         .orderBy(col("w1"), col("w2"))
+    }),
+
+    // Cross-source provenance leakage: distinct 13-grams shared between
+    // every pair of sources — which sources copy from each other, before
+    // any pairwise dedup is attempted.
+    "q66_source_overlap" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.crossSourceOverlap(docs, "source", "text", 13)
+        .select(col("group_a").as("source_a"), col("group_b").as("source_b"),
+          col("shared_grams").cast(DoubleType).as("shared_grams"))
+        .orderBy(col("source_a"), col("source_b"))
     })
   )
 
@@ -3724,6 +3735,20 @@ object SparkEntry {
         |    / (h.h::DOUBLE * t.t2::DOUBLE)), 6) AS pmi
         |FROM pc p JOIN hc h USING (w1) JOIN tc t USING (w2)
         |WHERE p.c >= 5
-        |ORDER BY p.w1, p.w2""".stripMargin
+        |ORDER BY p.w1, p.w2""".stripMargin,
+
+    "q66_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source, array_to_string(ts[i:i+12], ' ') AS gram
+        |  FROM toks, unnest(range(1, len(ts) - 11)) AS t(i)
+        |  WHERE len(ts) >= 13)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       count(*)::DOUBLE AS shared_grams
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

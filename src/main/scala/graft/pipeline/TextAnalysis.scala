@@ -560,6 +560,52 @@ object TextAnalysis {
     * exploded into ONE groupBy exchange with map-side partial counts.
     * Documents with fewer than two tokens contribute nothing.
     */
+  /** Cross-group verbatim-overlap matrix: for every pair of groups
+    * (sources, domains, snapshots, shards), how many DISTINCT token
+    * `n`-grams they share — the provenance-leakage view of the q49/q62
+    * contamination machinery, answering "which sources copy from each
+    * other" before any pairwise dedup is attempted. Documents with fewer
+    * than `n` tokens contribute nothing (no whole-text fallback).
+    *
+    * Output: (group_a, group_b, shared_grams) with group_a < group_b,
+    * counting distinct shared grams once per pair.
+    *
+    * 100 TB plan shape: the gram stream reduces to DISTINCT (group, gram)
+    * rows in one map-side-combinable exchange; the pair fan-out is a
+    * self-join on the gram key whose per-gram output is bounded by
+    * `maxGroupsPerGram`² — a ubiquitous boilerplate gram present in more
+    * groups than the cap is EXCLUDED (observed on the
+    * [[Dedup.DedupCapObservation]] channel) instead of exploding
+    * quadratically in the number of groups. Group cardinality is assumed
+    * catalog-sized (sources, not documents).
+    */
+  def crossSourceOverlap(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 13,
+      maxGroupsPerGram: Int = 256): DataFrame = {
+    val eligible = df.where(size(normalizedTokens(col(textCol))) >= n)
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("graft_gram"))
+    val capped = Dedup.gramHashRows(eligible, groupCol, textCol, n)
+      .distinct()
+      .withColumn("graft_gn", count(lit(1)).over(wG))
+      .observe(Dedup.DedupCapObservation.nextName(),
+        sum(when(col("graft_gn") > maxGroupsPerGram, 1L).otherwise(0L))
+          .as("excluded_rows"),
+        count(lit(1)).as("banded_rows"))
+      .where(col("graft_gn") <= maxGroupsPerGram)
+      .drop("graft_gn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = capped.select(col(groupCol).as("group_a"), col("graft_gram"))
+    val b = capped.select(col(groupCol).as("group_b"), col("graft_gram"))
+    val out = a.join(b, Seq("graft_gram"))
+      .where(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    CacheLifecycle.releaseOnConsume(out, Seq(capped))
+  }
+
   /** Corpus-level PMI collocations (Church & Hanks 1990): every adjacent
     * token pair seen at least `minCount` times, scored with pointwise
     * mutual information over the bigram corpus —

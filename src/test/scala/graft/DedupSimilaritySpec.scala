@@ -1242,6 +1242,40 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "crossSourceOverlap" should {
+    "count distinct shared n-grams per group pair" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        ("A", "the shared phrase here ends now"),
+        ("A", "the shared phrase here again today"),   // same grams re-counted once
+        ("B", "prefix words the shared phrase here suffix"),
+        ("C", "totally different words in this document")
+      ).toDF("source", "text")
+      val out = TextAnalysis.crossSourceOverlap(df, "source", "text", n = 3)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // A∩B distinct 3-grams: "the shared phrase", "shared phrase here"
+      out shouldBe Map(("A", "B") -> 2L)
+    }
+
+    "exclude ubiquitous grams at the cap instead of fanning out" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        ("A", "common boilerplate line alpha"),
+        ("B", "common boilerplate line beta"),
+        ("C", "common boilerplate line gamma")
+      ).toDF("source", "text")
+      // "common boilerplate line" is in all 3 groups; cap 2 excludes it
+      TextAnalysis.crossSourceOverlap(df, "source", "text", n = 3,
+        maxGroupsPerGram = 2).count() shouldBe 0L
+      // uncapped: all three pairs share exactly that one gram
+      val full = TextAnalysis.crossSourceOverlap(df, "source", "text", n = 3)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      full shouldBe Map(("A", "B") -> 1L, ("A", "C") -> 1L, ("B", "C") -> 1L)
+    }
+  }
+
   "pmiCollocations" should {
     "match hand-computed PMI over adjacent pairs" in {
       val s = spark
