@@ -2077,6 +2077,29 @@ object SparkEntry {
         .select(col("group_a").as("source_a"), col("group_b").as("source_b"),
           col("shared_grams").cast(DoubleType).as("shared_grams"))
         .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Per-document duplication profile: distinct 13-grams and how many of
+    // them also occur in at least one other document.
+    "q67_duplication_profile" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.duplicationProfile(docs, "doc_id", "text", 13)
+        .select(col("doc_id").cast(DoubleType).as("doc_id"),
+          col("distinct_grams").cast(DoubleType).as("distinct_grams"),
+          col("dup_grams").cast(DoubleType).as("dup_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus vocabulary / Zipf-shape statistics. Shares are integer-sum
+    // ratios (tie-insensitive at the rank boundary), so raw doubles
+    // compare exactly across engines — no rounding needed.
+    "q68_vocabulary_stats" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.vocabularyStats(docs, "text")
+        .select(col("total_tokens").cast(DoubleType).as("total_tokens"),
+          col("vocab_size").cast(DoubleType).as("vocab_size"),
+          col("hapax_count").cast(DoubleType).as("hapax_count"),
+          col("top10_share"), col("top100_share"), col("top1000_share"))
     })
   )
 
@@ -3749,6 +3772,44 @@ object SparkEntry {
         |SELECT a.source AS source_a, b.source AS source_b,
         |       count(*)::DOUBLE AS shared_grams
         |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q67_duplication_profile" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ts[i:i+12], ' ') AS gram
+        |  FROM toks, unnest(range(1, len(ts) - 11)) AS t(i)
+        |  WHERE len(ts) >= 13),
+        |st AS (SELECT gram, count(*) AS c FROM g GROUP BY 1),
+        |per AS (
+        |  SELECT doc_id, count(*) AS distinct_grams,
+        |         sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS dup_grams
+        |  FROM g JOIN st USING (gram) GROUP BY 1)
+        |SELECT d.doc_id::DOUBLE AS doc_id,
+        |       coalesce(p.distinct_grams, 0)::DOUBLE AS distinct_grams,
+        |       coalesce(p.dup_grams, 0)::DOUBLE AS dup_grams
+        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q68_vocabulary_stats" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rn FROM c)
+        |SELECT (SELECT coalesce(sum(n), 0) FROM c)::DOUBLE AS total_tokens,
+        |       (SELECT count(*) FROM c)::DOUBLE AS vocab_size,
+        |       (SELECT coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0)
+        |        FROM c)::DOUBLE AS hapax_count,
+        |       (SELECT coalesce(sum(n), 0) FROM r WHERE rn <= 10)::DOUBLE
+        |         / greatest((SELECT sum(n) FROM c), 1) AS top10_share,
+        |       (SELECT coalesce(sum(n), 0) FROM r WHERE rn <= 100)::DOUBLE
+        |         / greatest((SELECT sum(n) FROM c), 1) AS top100_share,
+        |       (SELECT coalesce(sum(n), 0) FROM r WHERE rn <= 1000)::DOUBLE
+        |         / greatest((SELECT sum(n) FROM c), 1) AS top1000_share""".stripMargin
   )
 }

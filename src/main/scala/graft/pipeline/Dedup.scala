@@ -1200,6 +1200,46 @@ object Dedup {
     }
   }
 
+  /** Per-document duplication profile: how much of each document's
+    * DISTINCT n-gram set also occurs in at least one other document —
+    * the RefinedWeb-style "how duplicated is this doc" curation signal,
+    * cheaper than any dedup because nothing is removed or reconstructed.
+    * Documents with fewer than `n` tokens report (0, 0).
+    *
+    * Output: one row per input document — (`idCol`, distinct_grams,
+    * dup_grams) where dup_grams counts this document's distinct grams
+    * whose document frequency is >= 2.
+    *
+    * Scale shape: the doc-distinct gram stream pays the same two
+    * exchanges as [[exactSubstringDedup]] (map-side-combinable
+    * groupBy(gram) for document frequencies, then the stream⋈stats join —
+    * AQE splits a boilerplate gram's skewed probe key); the per-doc
+    * rollup shuffles one slim counted row per (doc, gram).
+    */
+  def duplicationProfile(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13): DataFrame = {
+    val eligible = df.where(
+      size(TextAnalysis.normalizedTokens(col(textCol))) >= n)
+    val g = gramHashRows(eligible, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = g.groupBy(col("graft_gram"))
+      .agg(count(lit(1)).as("graft_df"))
+    val perDoc = g.join(stats, Seq("graft_gram"))
+      .groupBy(col(idCol).as("graft_pid"))
+      .agg(count(lit(1)).as("graft_total"),
+        sum(when(col("graft_df") >= 2, 1L).otherwise(0L)).as("graft_dup"))
+    val base = df.select(col(idCol))
+    val out = base
+      .join(perDoc, base(idCol) <=> perDoc("graft_pid"), "left_outer")
+      .select(base(idCol),
+        coalesce(col("graft_total"), lit(0L)).as("distinct_grams"),
+        coalesce(col("graft_dup"), lit(0L)).as("dup_grams"))
+    CacheLifecycle.releaseOnConsume(out, Seq(g))
+  }
+
   /** Exact substring deduplication — the ExactSubstr recipe of Lee et al.
     * 2021 (arXiv:2107.06499, "Deduplicating Training Data Makes Language
     * Models Better"), token-level: every n-token span that occurs more

@@ -560,6 +560,50 @@ object TextAnalysis {
     * exploded into ONE groupBy exchange with map-side partial counts.
     * Documents with fewer than two tokens contribute nothing.
     */
+  /** Corpus vocabulary statistics: token total, vocabulary size, hapax
+    * legomena count, and the probability-mass share of the top-k most
+    * frequent tokens for each k in `topK` — the Zipf-shape health check
+    * of a training corpus (a top-100 share far off its expected band
+    * signals boilerplate flooding or a broken tokenizer upstream).
+    *
+    * Output: ONE row — (total_tokens, vocab_size, hapax_count,
+    * top<k>_share...). Shares are tie-insensitive: equal counts straddling
+    * the rank-k boundary contribute the same sum whichever terms rank in.
+    *
+    * Scale shape: one tokenize scan into a map-side-combinable
+    * groupBy(term); the scalar aggregate and the top-max(k) selection
+    * (TakeOrdered — per-partition heaps, no global sort) are the only
+    * actions, collecting max(k) rows and three longs to the driver.
+    */
+  def vocabularyStats(
+      df: DataFrame,
+      textCol: String,
+      topK: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    require(topK.nonEmpty && topK.forall(_ > 0), "topK must be positive")
+    val counts = df.select(explode(normalizedTokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = counts.agg(sum(col("n")), count(lit(1)),
+      sum(when(col("n") === 1, 1L).otherwise(0L))).collect().head
+    val total = if (a.isNullAt(0)) 0L else a.getLong(0)
+    val vocab = a.getLong(1)
+    val hapax = if (a.isNullAt(2)) 0L else a.getLong(2)
+    val top = counts.orderBy(col("n").desc, col("term"))
+      .limit(topK.max).collect().map(_.getLong(1))
+    counts.unpersist(blocking = false)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shares = topK.sorted.map { k =>
+      val share = if (total == 0L) 0.0 else top.take(k).sum.toDouble / total
+      s"top${k}_share" -> share
+    }
+    val base = Seq((total, vocab, hapax)).toDF(
+      "total_tokens", "vocab_size", "hapax_count")
+    shares.foldLeft(base) { case (acc, (name, v)) =>
+      acc.withColumn(name, lit(v))
+    }
+  }
+
   /** Cross-group verbatim-overlap matrix: for every pair of groups
     * (sources, domains, snapshots, shards), how many DISTINCT token
     * `n`-grams they share — the provenance-leakage view of the q49/q62

@@ -1242,6 +1242,45 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "duplicationProfile" should {
+    "count distinct and corpus-duplicated grams per document" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        (1L, "a b c d"),    // grams: "a b c", "b c d"
+        (2L, "a b c x"),    // shares "a b c" with doc 1
+        (3L, "q r s t"),    // no shared grams
+        (4L, "xy")          // < n tokens
+      ).toDF("doc_id", "text")
+      val out = Dedup.duplicationProfile(df, "doc_id", "text", n = 3)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      out shouldBe Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)),
+        3L -> ((2L, 0L)), 4L -> ((0L, 0L)))
+    }
+  }
+
+  "vocabularyStats" should {
+    "report token totals, vocabulary, hapax count and top-k mass" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq((1L, "a A a b B c"), (2L, "")).toDF("doc_id", "text")
+      val r = TextAnalysis.vocabularyStats(df, "text", topK = Seq(2)).collect().head
+      r.getLong(0) shouldBe 6L        // total tokens (lowercased)
+      r.getLong(1) shouldBe 3L        // vocab {a, b, c}
+      r.getLong(2) shouldBe 1L        // hapax {c}
+      r.getDouble(3) shouldBe (5.0 / 6) +- 1e-15  // a(3) + b(2) of 6
+    }
+
+    "handle an empty corpus" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      val r = TextAnalysis.vocabularyStats(df, "text", topK = Seq(10)).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) shouldBe
+        ((0L, 0L, 0L, 0.0))
+    }
+  }
+
   "crossSourceOverlap" should {
     "count distinct shared n-grams per group pair" in {
       val s = spark

@@ -125,6 +125,38 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "cross-corpus fuzzy decontamination" should {
+    "tokenize each corpus once (cached signatures) and join only broadcast" in {
+      import graft.pipeline.Dedup
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val probes = docs.limit(3)
+        .select(col("doc_id").as("pid"), col("text").as("ptext"))
+      val r = graft.pipeline.CacheLifecycle.withConsumptions(2) {
+        Dedup.crossCorpusNearDups(docs, "doc_id", "text",
+          probes, "pid", "ptext", threshold = 0.5)
+      }
+      r.count()
+      val qe = r.queryExecution
+      // every leaf is a cached signature frame — the corpus text is
+      // scanned exactly once per side, however many joins probe it
+      val leaves = qe.optimizedPlan.collectLeaves()
+      leaves should not be empty
+      all(leaves.map(_.getClass.getSimpleName)) should include("InMemoryRelation")
+      // the probe side is broadcast everywhere: a sort-merge join would
+      // mean the corpus got shuffled on a join key
+      qe.executedPlan.toString should not include "SortMergeJoin"
+    }
+  }
+
+  "PMI collocations" should {
+    "rank pairs from one cached pair-count frame (one leaf, no join)" in {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val r = graft.pipeline.TextAnalysis.pmiCollocations(docs, "text", minCount = 2)
+      r.queryExecution.optimizedPlan.collectLeaves() should have size 1
+      r.queryExecution.executedPlan.toString should not include "Join"
+    }
+  }
+
   "LM scoring operators" should {
     // the q56 whale-probe lesson, pinned for the whole scorer family: the
     // corpus must be tokenized EXACTLY ONCE — model counts come from
