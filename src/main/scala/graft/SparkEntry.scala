@@ -2100,6 +2100,29 @@ object SparkEntry {
           col("vocab_size").cast(DoubleType).as("vocab_size"),
           col("hapax_count").cast(DoubleType).as("hapax_count"),
           col("top10_share"), col("top100_share"), col("top1000_share"))
+    }),
+
+    // Incremental exact dedup: the daily-ingestion shape — docs < 300 are
+    // "yesterday's corpus" persisted as a 128-bit seen-hash state through
+    // parquet; docs >= 250 are today's batch (an overlapping re-crawl
+    // slice, as real crawls re-deliver known pages), deduped within
+    // itself and against the state without rescanning history.
+    "q69_incremental_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val old = docs.filter(col("doc_id") < 300)
+      val batch = docs.filter(col("doc_id") >= 250)
+      val statePath =
+        java.nio.file.Files.createTempDirectory("graft_seen").toString
+      Dedup.seenTextKeys(old, "text")
+        .write.mode("overwrite").parquet(statePath)
+      val seen = s.read.parquet(statePath)
+      val surv = Dedup.exactDedupIncremental(batch, "text", "doc_id", seen)
+      val r = surv.agg(count(lit(1)), sum(col("doc_id"))).collect().head
+      metricRow(s, Seq(
+        "survivors" -> r.getLong(0).toDouble,
+        "survivor_id_sum" ->
+          (if (r.isNullAt(1)) 0.0 else r.getLong(1).toDouble),
+        "state_keys" -> seen.count().toDouble))
     })
   )
 
@@ -3810,6 +3833,21 @@ object SparkEntry {
         |       (SELECT coalesce(sum(n), 0) FROM r WHERE rn <= 100)::DOUBLE
         |         / greatest((SELECT sum(n) FROM c), 1) AS top100_share,
         |       (SELECT coalesce(sum(n), 0) FROM r WHERE rn <= 1000)::DOUBLE
-        |         / greatest((SELECT sum(n) FROM c), 1) AS top1000_share""".stripMargin
+        |         / greatest((SELECT sum(n) FROM c), 1) AS top1000_share""".stripMargin,
+
+    "q69_incremental_dedup" ->
+      """WITH old AS (SELECT text FROM documents WHERE doc_id < 300),
+        |nw AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+        |w AS (SELECT text, min(doc_id) AS doc_id FROM nw GROUP BY text),
+        |s AS (
+        |  SELECT doc_id FROM w WHERE text IS NULL
+        |  UNION ALL
+        |  SELECT doc_id FROM w WHERE text IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM old o WHERE o.text = w.text))
+        |SELECT (SELECT count(*) FROM s)::DOUBLE AS survivors,
+        |       (SELECT coalesce(sum(doc_id), 0) FROM s)::DOUBLE
+        |         AS survivor_id_sum,
+        |       (SELECT count(DISTINCT text) FROM old
+        |        WHERE text IS NOT NULL)::DOUBLE AS state_keys""".stripMargin
   )
 }

@@ -530,6 +530,45 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // Incremental exact dedup (batch-over-batch ingestion)
+  // -------------------------------------------------------------------------
+
+  /** The persisted "seen" state for incremental text dedup: one DISTINCT
+    * 128-bit md5 per non-null text value — write it to parquet after each
+    * ingested batch and feed the union of all batches' states back into
+    * [[exactDedupIncremental]]. 128 bits keeps collisions negligible at
+    * 1e11+ distinct texts (the paragraph-dedup bound). Null texts are not
+    * represented: they dedup within a batch, never across batches.
+    */
+  def seenTextKeys(df: DataFrame, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(md5(col(textCol).cast(BinaryType)).as("graft_kh"))
+      .distinct()
+
+  /** Incremental exact dedup — the daily-ingestion shape: dedup `batch`
+    * WITHIN itself (smallest `tieBreakCol` per distinct text, the
+    * [[exact]] convention) and AGAINST the accumulated
+    * [[seenTextKeys]] state of every previous batch, without ever
+    * rescanning the historical corpus. Returns the surviving batch rows.
+    *
+    * Scale shape: within-batch dedup is [[exact]]'s single
+    * map-side-partial exchange on the dedup key; the state check is a
+    * LEFT ANTI join on the 128-bit key — the state side carries one slim
+    * row per distinct historical text (not the text itself), broadcast
+    * while it fits and AQE-planned beyond that. Only the day-sized batch
+    * is ever rescanned; the 100-TB history participates as hashed state.
+    */
+  def exactDedupIncremental(
+      batch: DataFrame,
+      textCol: String,
+      tieBreakCol: String,
+      seen: DataFrame): DataFrame = {
+    val within = exact(batch, Seq(textCol), tieBreakCol)
+    within.join(seen.select(col("graft_kh")),
+      md5(col(textCol).cast(BinaryType)) === col("graft_kh"), "left_anti")
+  }
+
+  // -------------------------------------------------------------------------
   // Cross-corpus near-dup join (fuzzy decontamination)
   // -------------------------------------------------------------------------
 

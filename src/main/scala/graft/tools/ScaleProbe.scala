@@ -164,6 +164,34 @@ object ScaleProbe {
     def substrDedup(d: DataFrame): Long =
       Dedup.exactSubstringDedup(d, "doc_id", "text", 13)
         .agg(sum(col("removed_tokens"))).collect().head.getLong(0)
+    // cross-corpus fuzzy decontamination (q64 engine path): FIXED 3-probe
+    // set (a benchmark does not grow with the training data), probe bands
+    // + shingles broadcast, corpus never shuffles its own rows. The
+    // decorrelated xMULT copies share zero shingles with the probes, so
+    // the matched-pair count must stay CONSTANT as the corpus grows
+    def fuzzyDecon(d: DataFrame): Long = {
+      val probes = docs0.orderBy("doc_id").limit(3)
+        .select(col("doc_id").as("pid"),
+          concat(col("text"),
+            lit(" zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8")).as("ptext"))
+      Dedup.crossCorpusNearDups(d, "doc_id", "text",
+        probes, "pid", "ptext", threshold = 0.5).count()
+    }
+    // cross-source overlap matrix (q66 engine path): synthetic 20-way
+    // source column; shared-gram totals returned (the decorrelated copies
+    // add only in-copy overlaps, so the total tracks corpus volume)
+    def srcOverlap(d: DataFrame, cap: Int): Long =
+      graft.pipeline.TextAnalysis.crossSourceOverlap(
+        d.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20)))),
+        "source", "text", n = 13, maxGroupsPerGram = cap)
+        .agg(sum(col("shared_grams"))).collect().head match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    // per-doc duplication profile (q67 engine path)
+    def dupProfile(d: DataFrame): Long =
+      Dedup.duplicationProfile(d, "doc_id", "text", 13)
+        .agg(sum(col("dup_grams"))).collect().head.getLong(0)
     def langId(d: DataFrame): Long =
       graft.pipeline.TextAnalysis.languageIdCounts(d, "text")
         .agg(sum(col("cnt"))).collect().head.getLong(0)
@@ -317,6 +345,9 @@ object ScaleProbe {
     // the x1 runs and fake a sub-linear x10 ratio
     exactDedup(docs0.limit(200))
     substrDedup(docs0.limit(200))
+    fuzzyDecon(docs0.limit(200))
+    srcOverlap(docs0.limit(200), 256)
+    dupProfile(docs0.limit(200))
     langId(docs0.limit(200))
     quality(docs0.limit(200))
     decontam(docs0.limit(200))
@@ -340,6 +371,9 @@ object ScaleProbe {
       ("lsh_topk", timed(topK(emb0)), timed(topK(embX))),
       ("exact_dedup", timed(exactDedup(docs0)), timed(exactDedup(docsX))),
       ("substring_dedup", timed(substrDedup(docs0)), timed(substrDedup(docsX))),
+      ("fuzzy_decontam", timed(fuzzyDecon(docs0)), timed(fuzzyDecon(docsX))),
+      ("source_overlap", timed(srcOverlap(docs0, 256)), timed(srcOverlap(docsX, 256))),
+      ("dup_profile", timed(dupProfile(docs0)), timed(dupProfile(docsX))),
       ("lang_id", timed(langId(docs0)), timed(langId(docsX))),
       ("quality_score", timed(quality(docs0)), timed(quality(docsX))),
       ("decontamination", timed(decontam(docs0)), timed(decontam(docsX))),
@@ -382,6 +416,13 @@ object ScaleProbe {
     // is a hot gram key melting one reduce task)
     val (sskewSec, sskewRemoved, _) = timed(substrDedup(docsSkew))
 
+    // source-overlap ubiquity skew: the 20,000x-duplicated doc's grams
+    // land in ALL 20 synthetic sources; cap 10 must EXCLUDE those rows
+    // (observed on the dedup cap channel) instead of fanning out 20^2 per
+    // gram x 20,001 copies
+    val (soSkewSec, soSkewShared, soSkewExcluded) =
+      timed(srcOverlap(docsSkew, 10))
+
     // semdedup mega-cluster: ONE centroid puts the entire xMULT corpus in
     // a single cell — the worst clustering possible. The cluster-size cap
     // must engage (excluded members stay kept — under-deletion only) and
@@ -400,7 +441,7 @@ object ScaleProbe {
       f""""$name":{"x1_sec":$s1%.2f,"x${mult}_sec":$sx%.2f,"ratio":$ratio%.2f,"x1_pairs":$n1,"x${mult}_pairs":$nx,"x1_cap_excluded":$c1,"x${mult}_cap_excluded":$cx}"""
     }.mkString(",")
     val line =
-      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"cc_hub":{"sec":$hubSec%.2f,"components":$hubComps,"degree":500000},"para_skew":{"sec":$pskewSec%.2f,"removed":$pskewRemoved,"copies":$SkewCopies},"substr_skew":{"sec":$sskewSec%.2f,"removed":$sskewRemoved,"copies":$SkewCopies},"sem_skew":{"sec":$semSkewSec%.2f,"dropped":$semSkewDropped,"cap_excluded_rows":$semSkewExcluded,"cap":1000}}"""
+      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"cc_hub":{"sec":$hubSec%.2f,"components":$hubComps,"degree":500000},"para_skew":{"sec":$pskewSec%.2f,"removed":$pskewRemoved,"copies":$SkewCopies},"substr_skew":{"sec":$sskewSec%.2f,"removed":$sskewRemoved,"copies":$SkewCopies},"source_overlap_skew":{"sec":$soSkewSec%.2f,"shared":$soSkewShared,"cap_excluded_rows":$soSkewExcluded,"cap":10},"sem_skew":{"sec":$semSkewSec%.2f,"dropped":$semSkewDropped,"cap_excluded_rows":$semSkewExcluded,"cap":1000}}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_probe.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

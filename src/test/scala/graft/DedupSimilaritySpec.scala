@@ -1242,6 +1242,25 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "exactDedupIncremental" should {
+    "dedup within the batch and against the persisted seen state" in {
+      val s = spark
+      import s.implicits._
+      val old = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      val seen = Dedup.seenTextKeys(old, "text")
+      seen.count() shouldBe 2L
+      val batch = Seq(
+        (10L, "alpha"),                    // seen in the previous batch
+        (11L, "gamma"), (12L, "gamma"),    // within-batch dup: keep 11
+        (13L, null.asInstanceOf[String]),  // nulls dedup within the batch
+        (14L, null.asInstanceOf[String])   //   but never against the state
+      ).toDF("doc_id", "text")
+      val surv = Dedup.exactDedupIncremental(batch, "text", "doc_id", seen)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      surv shouldBe Set(11L, 13L)
+    }
+  }
+
   "duplicationProfile" should {
     "count distinct and corpus-duplicated grams per document" in {
       val s = spark
