@@ -2123,6 +2123,33 @@ object SparkEntry {
         "survivor_id_sum" ->
           (if (r.isNullAt(1)) 0.0 else r.getLong(1).toDouble),
         "state_keys" -> seen.count().toDouble))
+    }),
+
+    // Temperature-weighted mixture: per-source token budgets ~ n^0.5 over
+    // a 10k-token total (mT5-style low-resource upweighting), selected by
+    // the deterministic hash-prefix sampler. The floor boundaries sit
+    // >= 0.0099 from every budget at all three SFs (measured) — 10 orders
+    // above cross-engine sqrt/sum noise; the prefix selection itself is
+    // integer-exact.
+    "q70_temperature_mix" -> ((s, dir) => {
+      import graft.pipeline.Mixing
+      val docs = table(s, dir, "documents")
+      val budgets = Mixing.temperatureBudgets(docs, "source", "text",
+        totalBudget = 10000L, alpha = 0.5)
+      val stats = Mixing
+        .tokenBudgetSample(docs, "doc_id", "text", "source", budgets)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("graft_k"),
+          sum(Mixing.tokenCountExpr(col("text"))).as("graft_t"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("graft_i"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      import s.implicits._
+      budgets.toSeq.sortBy(_._1).map { case (g, b) =>
+        val (k, t, i) = stats.getOrElse(g, (0L, 0L, 0L))
+        (g, b.toDouble, k.toDouble, t.toDouble, i.toDouble)
+      }.toDF("source", "budget", "kept_docs", "kept_tokens", "id_sum")
     })
   )
 
@@ -3848,6 +3875,37 @@ object SparkEntry {
         |       (SELECT coalesce(sum(doc_id), 0) FROM s)::DOUBLE
         |         AS survivor_id_sum,
         |       (SELECT count(DISTINCT text) FROM old
-        |        WHERE text IS NOT NULL)::DOUBLE AS state_keys""".stripMargin
+        |        WHERE text IS NOT NULL)::DOUBLE AS state_keys""".stripMargin,
+
+    "q70_temperature_mix" ->
+      raw"""WITH h AS (
+        |  SELECT doc_id, source,
+        |         substring(md5('graft:' || doc_id::VARCHAR), 1, 8) AS hh,
+        |         coalesce(len(list_filter(string_split_regex(text, '\s+'),
+        |           x -> x <> '')), 0) AS toks
+        |  FROM documents),
+        |ns AS (SELECT source, sum(toks) AS n FROM h
+        |       WHERE source IS NOT NULL GROUP BY 1),
+        |z AS (SELECT sum(sqrt(n)) AS z FROM ns),
+        |b AS (SELECT source,
+        |        floor(10000 * sqrt(n) / (SELECT z FROM z))::BIGINT AS budget
+        |      FROM ns),
+        |tb AS (
+        |  SELECT * FROM (
+        |    SELECT h.doc_id, h.source, h.toks, b.budget,
+        |           sum(h.toks) OVER (PARTITION BY h.source
+        |             ORDER BY h.hh, h.doc_id
+        |             ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM h JOIN b USING (source))
+        |  WHERE cum <= budget)
+        |SELECT b.source, b.budget::DOUBLE AS budget,
+        |       coalesce(t.k, 0)::DOUBLE AS kept_docs,
+        |       coalesce(t.tk, 0)::DOUBLE AS kept_tokens,
+        |       coalesce(t.ids, 0)::DOUBLE AS id_sum
+        |FROM b LEFT JOIN (
+        |  SELECT source, count(*) AS k, sum(toks) AS tk,
+        |         sum(doc_id) AS ids
+        |  FROM tb GROUP BY 1) t USING (source)
+        |ORDER BY b.source""".stripMargin
   )
 }

@@ -98,6 +98,40 @@ object Mixing {
     * rows — AQE picks broadcast when the kept-id set is small, sort-merge
     * when it is most of the corpus.
     */
+  /** Temperature-weighted token budgets (the mT5 §3.1 / UniMax-style
+    * mixture shape): per-group budgets proportional to `n_g^alpha` over a
+    * shared `totalBudget`, where `n_g` is the group's token total —
+    * `alpha < 1` flattens the mixture toward low-resource groups,
+    * `alpha = 1` is proportional sampling. Feed the result straight into
+    * [[tokenBudgetSample]] for the deterministic hash-prefix selection.
+    *
+    * Scale shape: ONE map-side-combinable groupBy collects a
+    * catalog-sized (group, token-total) list to the driver; weights are
+    * summed in sorted group order so the float total is deterministic.
+    * Groups with null keys are ignored (tokenBudgetSample would drop
+    * them anyway).
+    */
+  def temperatureBudgets(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      totalBudget: Long,
+      alpha: Double = 0.5): Map[String, Long] = {
+    require(totalBudget >= 0, "totalBudget must be non-negative")
+    val rows = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast(StringType).as("graft_g"))
+      .agg(sum(tokenCountExpr(col(textCol))).as("graft_n"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    val weights = rows.map { case (g, n) => g -> math.pow(n.toDouble, alpha) }
+    val z = weights.map(_._2).sum
+    if (z == 0.0) weights.map { case (g, _) => g -> 0L }.toMap
+    else weights.map { case (g, w) =>
+      g -> math.floor(totalBudget * w / z).toLong
+    }.toMap
+  }
+
   def tokenBudgetSample(
       df: DataFrame,
       idCol: String,

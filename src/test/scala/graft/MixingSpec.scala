@@ -131,4 +131,25 @@ class MixingSpec extends AnyWordSpec with Matchers with SparkSpec {
       ids shouldBe expected
     }
   }
+
+  "temperatureBudgets" should {
+    "split the total proportionally to n^alpha" in {
+      val s = spark
+      import s.implicits._
+      // group a: 9 tokens, group b: 36 → sqrt weights 3 : 6 of z = 9
+      val docs = Seq(
+        (1L, "a", Seq.fill(9)("t").mkString(" ")),
+        (2L, "b", Seq.fill(36)("t").mkString(" ")),
+        (3L, null.asInstanceOf[String], "ignored tokens here")
+      ).toDF("doc_id", "grp", "text")
+      Mixing.temperatureBudgets(docs, "grp", "text",
+        totalBudget = 90L, alpha = 0.5) shouldBe Map("a" -> 30L, "b" -> 60L)
+      // alpha = 1 is proportional sampling
+      Mixing.temperatureBudgets(docs, "grp", "text",
+        totalBudget = 45L, alpha = 1.0) shouldBe Map("a" -> 9L, "b" -> 36L)
+      // flattening: alpha = 0 gives every group an equal share
+      Mixing.temperatureBudgets(docs, "grp", "text",
+        totalBudget = 10L, alpha = 0.0) shouldBe Map("a" -> 5L, "b" -> 5L)
+    }
+  }
 }
