@@ -278,5 +278,52 @@ class StreamingIntegrationSpec extends AnyWordSpec with Matchers with SparkSpec 
 
       streamed.toSet shouldBe batch
     }
+
+    "dedup a live ingest against seed state like batch exactDedupIncremental" in {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      // micro-batch 1 seeds "yesterday's corpus" into the dedup state;
+      // micro-batch 2 is today's ingest — the streaming twin of q69's
+      // batch shape (state = dropDuplicates' key store instead of a
+      // parquet hash table)
+      val old = Seq((1L, "alpha"), (2L, "beta"))
+      val today = Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"),
+        (13L, "delta"))
+
+      val input = MemoryStream[(Long, String)]
+      val arrived = scala.collection.mutable.Buffer[(Long, String)]()
+      val query = input.toDF().toDF("doc_id", "text")
+        .withColumn("graft_kh", md5(col("text").cast("binary")))
+        .dropDuplicates("graft_kh")
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          arrived.synchronized {
+            arrived ++= df.select(col("doc_id"), col("text")).collect()
+              .map(r => (r.getLong(0), r.getString(1)))
+          }
+          ()
+        }
+        .start()
+      try {
+        input.addData(old: _*)
+        query.processAllAvailable()
+        input.addData(today: _*)
+        query.processAllAvailable()
+      } finally query.stop()
+
+      // survivors of today's batch: first-arrived per new text; streaming
+      // tie-breaks within a micro-batch are arrival-order, so compare the
+      // surviving TEXT set against the deterministic batch operator
+      val streamedTexts = arrived.filter(_._1 >= 10L).map(_._2).toSet
+      val batchTexts = graft.pipeline.Dedup.exactDedupIncremental(
+        today.toDF("doc_id", "text"), "text", "doc_id",
+        graft.pipeline.Dedup.seenTextKeys(old.toDF("doc_id", "text"), "text"))
+        .select("text").collect().map(_.getString(0)).toSet
+      streamedTexts shouldBe Set("gamma", "delta")
+      streamedTexts shouldBe batchTexts
+    }
   }
 }
