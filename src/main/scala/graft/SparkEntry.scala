@@ -2150,6 +2150,34 @@ object SparkEntry {
         val (k, t, i) = stats.getOrElse(g, (0L, 0L, 0L))
         (g, b.toDouble, k.toDouble, t.toDouble, i.toDouble)
       }.toDF("source", "budget", "kept_docs", "kept_tokens", "id_sum")
+    }),
+
+    // Deterministic split & eval carving: hash-range train/val/test
+    // assignment (membership a pure function of the id — stable across
+    // runs and re-partitioning) plus a per-source 5-doc holdout of the
+    // smallest sample-hashes, pinned by id sums.
+    "q71_split_carving" -> ((s, dir) => {
+      import graft.pipeline.Mixing
+      val docs = table(s, dir, "documents")
+      val sp = Mixing.splitAssign(docs, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("source"))
+        .agg(
+          count(when(col("split") === "train", 1)).as("train_docs"),
+          count(when(col("split") === "val", 1)).as("val_docs"),
+          count(when(col("split") === "test", 1)).as("test_docs"))
+      val ev = Mixing.groupSample(docs, "doc_id", "source", k = 5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("eval_docs"), sum(col("doc_id")).as("eval_id_sum"))
+      sp.join(ev, Seq("source"), "left_outer")
+        .select(col("source"),
+          col("train_docs").cast(DoubleType).as("train_docs"),
+          col("val_docs").cast(DoubleType).as("val_docs"),
+          col("test_docs").cast(DoubleType).as("test_docs"),
+          coalesce(col("eval_docs"), lit(0L)).cast(DoubleType).as("eval_docs"),
+          coalesce(col("eval_id_sum"), lit(0L)).cast(DoubleType)
+            .as("eval_id_sum"))
+        .orderBy(col("source"))
     })
   )
 
@@ -3906,6 +3934,38 @@ object SparkEntry {
         |  SELECT source, count(*) AS k, sum(toks) AS tk,
         |         sum(doc_id) AS ids
         |  FROM tb GROUP BY 1) t USING (source)
-        |ORDER BY b.source""".stripMargin
+        |ORDER BY b.source""".stripMargin,
+
+    "q71_split_carving" -> {
+      import graft.pipeline.Mixing.hexThreshold
+      val (t80, t90) = (hexThreshold(0.8), hexThreshold(0.9))
+      raw"""WITH h AS (
+        |  SELECT doc_id, source,
+        |         substring(md5('graft:' || doc_id::VARCHAR), 1, 8) AS hh
+        |  FROM documents),
+        |sp AS (
+        |  SELECT source,
+        |    sum(CASE WHEN hh < '$t80' THEN 1 ELSE 0 END) AS train_docs,
+        |    sum(CASE WHEN hh >= '$t80' AND hh < '$t90' THEN 1 ELSE 0 END)
+        |      AS val_docs,
+        |    sum(CASE WHEN hh >= '$t90' THEN 1 ELSE 0 END) AS test_docs
+        |  FROM h GROUP BY 1),
+        |ev AS (
+        |  SELECT source, count(*) AS eval_docs, sum(doc_id) AS eval_id_sum
+        |  FROM (
+        |    SELECT doc_id, source,
+        |           row_number() OVER (PARTITION BY source
+        |                              ORDER BY hh, doc_id) AS rn
+        |    FROM h WHERE hh IS NOT NULL)
+        |  WHERE rn <= 5 GROUP BY 1)
+        |SELECT sp.source,
+        |       sp.train_docs::DOUBLE AS train_docs,
+        |       sp.val_docs::DOUBLE AS val_docs,
+        |       sp.test_docs::DOUBLE AS test_docs,
+        |       coalesce(ev.eval_docs, 0)::DOUBLE AS eval_docs,
+        |       coalesce(ev.eval_id_sum, 0)::DOUBLE AS eval_id_sum
+        |FROM sp LEFT JOIN ev USING (source)
+        |ORDER BY sp.source""".stripMargin
+    }
   )
 }

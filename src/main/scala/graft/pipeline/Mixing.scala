@@ -98,6 +98,58 @@ object Mixing {
     * rows — AQE picks broadcast when the kept-id set is small, sort-merge
     * when it is most of the corpus.
     */
+  /** Deterministic train/val/test split assignment: appends a `split`
+    * column chosen by consecutive [[sampleHash]] ranges, so membership is
+    * a pure function of (seed, id) — stable across runs, machines, and
+    * re-partitioning, and replayable in any engine that can md5 a string.
+    * `fractions` are (name, fraction) in priority order; rows falling
+    * beyond the cumulative total (when fractions sum < 1) get the LAST
+    * split name, so every row is assigned. Map-side only — no shuffle.
+    */
+  def splitAssign(
+      df: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Double)],
+      seed: String = "graft"): DataFrame = {
+    require(fractions.nonEmpty, "at least one split required")
+    require(fractions.forall(_._2 >= 0), "fractions must be non-negative")
+    val h = sampleHash(col(idCol), seed)
+    val cuts = fractions.init.scanLeft(0.0)(_ + _._2).tail
+    val expr = fractions.init.zip(cuts).foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), cum), els) =>
+      when(h < lit(hexThreshold(cum)), lit(name)).otherwise(els)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Deterministic per-group top-`k` sample (eval-set carving): the k
+    * rows with the smallest [[sampleHash]] per group — a uniform k-doc
+    * holdout per source that never moves when the corpus grows around it
+    * (a given id leaves the sample only when k smaller hashes exist in
+    * its group). Null-id rows rank null and are dropped.
+    *
+    * Scale shape: one exchange on the group key and a per-group sort for
+    * the row_number window — per-partition state is one counter, the sort
+    * spills for giant groups. Intended for catalog-sized k (eval sets),
+    * not corpus-scale selection (use [[sample]] fractions for that).
+    */
+  def groupSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int,
+      seed: String = "graft"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("graft_gs_h"), col(idCol))
+    df.withColumn("graft_gs_h", sampleHash(col(idCol), seed))
+      .where(col("graft_gs_h").isNotNull)
+      .withColumn("graft_gs_rn", row_number().over(w))
+      .where(col("graft_gs_rn") <= k)
+      .drop("graft_gs_h", "graft_gs_rn")
+  }
+
   /** Temperature-weighted token budgets (the mT5 §3.1 / UniMax-style
     * mixture shape): per-group budgets proportional to `n_g^alpha` over a
     * shared `totalBudget`, where `n_g` is the group's token total —

@@ -132,6 +132,48 @@ class MixingSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "splitAssign and groupSample" should {
+    "assign every row to exactly one stable split" in {
+      val s = spark
+      import s.implicits._
+      val docs = (1L to 400L).map(i => (i, s"g${i % 4}"))
+        .toDF("doc_id", "grp")
+      val out = Mixing.splitAssign(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      out.count() shouldBe 400L
+      val bySplit = out.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      bySplit.keySet shouldBe Set("train", "val", "test")
+      bySplit.values.sum shouldBe 400L
+      // membership is a pure function of the id: repartitioned input
+      // produces the identical assignment
+      val again = Mixing.splitAssign(docs.repartition(7), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      out.select("doc_id", "split").collect()
+        .foreach(r => again(r.getLong(0)) shouldBe r.getString(1))
+    }
+
+    "carve a stable per-group holdout of the k smallest hashes" in {
+      val s = spark
+      import s.implicits._
+      val docs = (1L to 100L).map(i => (i, s"g${i % 2}")).toDF("doc_id", "grp")
+      val ev = Mixing.groupSample(docs, "doc_id", "grp", k = 3)
+      ev.count() shouldBe 6L
+      val expected = (1L to 100L).groupBy(i => i % 2).values.flatMap { ids =>
+        ids.sortBy(i => (localHash("graft", i), i)).take(3)
+      }.toSet
+      ev.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe expected
+      // growing the corpus only evicts ids ranked below new smaller hashes
+      val grown = Mixing.groupSample(
+        docs.unionByName(Seq((1000L, "g0")).toDF("doc_id", "grp")),
+        "doc_id", "grp", k = 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      (grown -- expected).size should be <= 1
+    }
+  }
+
   "temperatureBudgets" should {
     "split the total proportionally to n^alpha" in {
       val s = spark
