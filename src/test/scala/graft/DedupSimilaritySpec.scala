@@ -1437,5 +1437,52 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
         .collect().map(r => (r.getInt(1), r.getInt(2)))
       out.toSet shouldBe Set((4, 0))
     }
+
+    "match a brute-force reference on randomized small-vocab corpora" in {
+      val s = spark
+      import s.implicits._
+      val n = 3
+      // driver-side reference: same winner election and interval merge,
+      // O(corpus^2) naive
+      def brute(docs: Seq[(Long, String)]): Map[Long, (Int, Int, String)] = {
+        val toks = docs.map { case (id, t) =>
+          id -> (if (t == null) Array.empty[String]
+          else t.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty))
+        }
+        val occ = scala.collection.mutable.LinkedHashMap
+          .empty[Seq[String], scala.collection.mutable.ArrayBuffer[(Long, Int)]]
+        for ((id, ts) <- toks; i <- 0 to ts.length - n if ts.length >= n)
+          occ.getOrElseUpdate(ts.slice(i, i + n).toSeq,
+            scala.collection.mutable.ArrayBuffer.empty) += ((id, i))
+        val covered = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.HashSet[Int]]
+        for ((_, os) <- occ if os.length > 1) {
+          val winner = os.minBy(identity)
+          for ((id, p) <- os if (id, p) != winner; j <- p until p + n)
+            covered.getOrElseUpdate(id,
+              scala.collection.mutable.HashSet.empty) += j
+        }
+        toks.map { case (id, ts) =>
+          val cov = covered.getOrElse(id, Set.empty[Int])
+          val kept = ts.indices.filterNot(cov).map(ts)
+          id -> ((ts.length, cov.size, kept.mkString(" ")))
+        }.toMap
+      }
+      val rnd = new scala.util.Random(421)
+      for (_ <- 1 to 4) {
+        val docs = (1L to 18L).map { id =>
+          val len = rnd.nextInt(28)
+          id -> (0 until len).map(_ => s"w${rnd.nextInt(7)}").mkString(" ")
+        }
+        val expect = brute(docs)
+        val got = Dedup
+          .exactSubstringDedup(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+          .collect()
+          .map(r => r.getLong(0) ->
+            ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+        got shouldBe expect
+      }
+    }
   }
 }
