@@ -2044,13 +2044,23 @@ object SparkEntry {
       val nExact = r.getLong(0)
       val found = if (r.isNullAt(1)) 0L else r.getLong(1)
       val recallOk = if (nExact == 0L || found.toDouble / nExact >= 0.9) 1.0 else 0.0
-      val out = joined.groupBy(col("probe_id"))
+      // one row per SHINGLED probe even at zero matches — the oracle's
+      // cross join emits (probe, 0, 0) rows, so a probe falling below the
+      // threshold must not silently vanish from this side
+      val eligibleProbes = probes
+        .where(org.apache.spark.sql.functions.size(
+          TextAnalysis.normalizedTokens(col("ptext"))) >= 3)
+        .select(col("probe_id")).distinct()
+      val grouped = joined.groupBy(col("probe_id"))
         .agg(
           count(lit(1)).cast(DoubleType).as("n_matched"),
           sum(col("corpus_id")).cast(DoubleType).as("matched_id_sum"))
-        .withColumn("lsh_recall_ok", lit(recallOk))
+      val out = eligibleProbes
+        .join(grouped, Seq("probe_id"), "left_outer")
         .select(col("probe_id").cast(DoubleType).as("probe_id"),
-          col("n_matched"), col("matched_id_sum"), col("lsh_recall_ok"))
+          coalesce(col("n_matched"), lit(0.0)).as("n_matched"),
+          coalesce(col("matched_id_sum"), lit(0.0)).as("matched_id_sum"),
+          lit(recallOk).as("lsh_recall_ok"))
         .orderBy(col("probe_id"))
       graft.pipeline.CacheLifecycle.releaseOnConsume(out, Seq(joined))
     }),

@@ -124,20 +124,20 @@ object Dedup {
     * regardless of the JVM default locale (tr_TR dotless-i etc.).
     */
   private def scalaTokenHashes(text: String): Array[Long] = {
-    if (text == null) return Array.empty
-    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-    val out = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
+    // built ON scalaTokens so tokenization cannot drift between the hash
+    // path and the string-reconstruction path (exactSubstringDedup relies
+    // on hash i describing exactly token i)
+    val toks = scalaTokens(text)
+    val out = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
-      if (t.nonEmpty) {
-        val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
-        val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x1b873593)
-        out += mix64((h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL))
-      }
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x1b873593)
+      out(i) = mix64((h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL))
       i += 1
     }
-    out.toArray
+    out
   }
 
   private def scalaShingleHashes(th: Array[Long], n: Int): Array[Long] = {
@@ -238,14 +238,17 @@ object Dedup {
     * the HOF gram expressions run interpreted and build an n-token STRING
     * per position, while this walks the token-hash array at memory
     * bandwidth. Rows with fewer than `n` tokens emit one whole-text gram
-    * (filter them out first when that fallback must not match);
-    * empty/null text emits nothing.
+    * when `shortDocFallback` is set (the shingle-set convention) and
+    * NOTHING otherwise — pass false instead of pre-filtering short docs
+    * with a SQL token count, which would tokenize the corpus twice;
+    * empty/null text emits nothing either way.
     */
   private[pipeline] def gramHashRows(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int): DataFrame = {
+      n: Int,
+      shortDocFallback: Boolean = true): DataFrame = {
     val idField = df.schema(df.schema.fieldIndex(idCol))
     val outSchema = StructType(Seq(
       idField.copy(name = idCol),
@@ -255,7 +258,8 @@ object Dedup {
     df.select(col(idCol), col(textCol)).mapPartitions { rows =>
       rows.flatMap { r =>
         val th = scalaTokenHashes(if (r.isNullAt(1)) null else r.getString(1))
-        scalaShingleHashes(th, n).iterator
+        if (!shortDocFallback && th.length < n) Iterator.empty
+        else scalaShingleHashes(th, n).iterator
           .map(g => org.apache.spark.sql.Row(r.get(0), g))
       }
     }
@@ -1182,9 +1186,9 @@ object Dedup {
   // -------------------------------------------------------------------------
 
   /** Normalized token STRINGS (lowercased via Locale.ROOT,
-    * whitespace-split, empties dropped) — the string twin of
-    * [[scalaTokenHashes]]; the two must stay in lockstep so a gram hash
-    * always describes a reconstructible token span.
+    * whitespace-split, empties dropped) — THE tokenization:
+    * [[scalaTokenHashes]] is defined on top of this array, so a gram hash
+    * always describes a reconstructible token span by construction.
     */
   private def scalaTokens(text: String): Array[String] = {
     if (text == null) return Array.empty
@@ -1260,9 +1264,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 13): DataFrame = {
-    val eligible = df.where(
-      size(TextAnalysis.normalizedTokens(col(textCol))) >= n)
-    val g = gramHashRows(eligible, idCol, textCol, n)
+    val g = gramHashRows(df, idCol, textCol, n, shortDocFallback = false)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val stats = g.groupBy(col("graft_gram"))
       .agg(count(lit(1)).as("graft_df"))

@@ -85,26 +85,16 @@ object Mixing {
     df.where(sampleHash(col(idCol), seed) < thr)
   }
 
-  /** Rows of `df` forming, per group, the hash-ordered prefix whose
-    * inclusive cumulative whitespace-token count stays within
-    * `budgets(group)`. Groups absent from `budgets` are dropped — the
-    * budget map IS the mixture recipe. Ties are broken by id, so the
-    * result is a pure function of (data, seed, budgets). Null text counts
-    * zero tokens (kept for free if its hash rank falls inside the prefix).
-    *
-    * Execution: one range exchange on (group, hash, id) over a slim
-    * 4-column projection, two passes over the cached partitions (partial
-    * sums up, offsets broadcast down), then a semi-join back to the full
-    * rows — AQE picks broadcast when the kept-id set is small, sort-merge
-    * when it is most of the corpus.
-    */
   /** Deterministic train/val/test split assignment: appends a `split`
     * column chosen by consecutive [[sampleHash]] ranges, so membership is
     * a pure function of (seed, id) — stable across runs, machines, and
     * re-partitioning, and replayable in any engine that can md5 a string.
     * `fractions` are (name, fraction) in priority order; rows falling
     * beyond the cumulative total (when fractions sum < 1) get the LAST
-    * split name, so every row is assigned. Map-side only — no shuffle.
+    * split name, so every keyed row is assigned. Null-id rows get a NULL
+    * split — the [[sampleHash]] contract (a null hash passes no range
+    * test, in the engine and in any SQL replay alike). Map-side only —
+    * no shuffle.
     */
   def splitAssign(
       df: DataFrame,
@@ -113,13 +103,15 @@ object Mixing {
       seed: String = "graft"): DataFrame = {
     require(fractions.nonEmpty, "at least one split required")
     require(fractions.forall(_._2 >= 0), "fractions must be non-negative")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9,
+      "fractions must sum to at most 1")
     val h = sampleHash(col(idCol), seed)
     val cuts = fractions.init.scanLeft(0.0)(_ + _._2).tail
-    val expr = fractions.init.zip(cuts).foldRight(
+    val chain = fractions.init.zip(cuts).foldRight(
       lit(fractions.last._1): Column) { case (((name, _), cum), els) =>
       when(h < lit(hexThreshold(cum)), lit(name)).otherwise(els)
     }
-    df.withColumn("split", expr)
+    df.withColumn("split", when(h.isNotNull, chain))
   }
 
   /** Deterministic per-group top-`k` sample (eval-set carving): the k
@@ -184,6 +176,19 @@ object Mixing {
     }.toMap
   }
 
+  /** Rows of `df` forming, per group, the hash-ordered prefix whose
+    * inclusive cumulative whitespace-token count stays within
+    * `budgets(group)`. Groups absent from `budgets` are dropped — the
+    * budget map IS the mixture recipe. Ties are broken by id, so the
+    * result is a pure function of (data, seed, budgets). Null text counts
+    * zero tokens (kept for free if its hash rank falls inside the prefix).
+    *
+    * Execution: one range exchange on (group, hash, id) over a slim
+    * 4-column projection, two passes over the cached partitions (partial
+    * sums up, offsets broadcast down), then a semi-join back to the full
+    * rows — AQE picks broadcast when the kept-id set is small, sort-merge
+    * when it is most of the corpus.
+    */
   def tokenBudgetSample(
       df: DataFrame,
       idCol: String,

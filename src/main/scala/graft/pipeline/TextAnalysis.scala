@@ -629,9 +629,9 @@ object TextAnalysis {
       textCol: String,
       n: Int = 13,
       maxGroupsPerGram: Int = 256): DataFrame = {
-    val eligible = df.where(size(normalizedTokens(col(textCol))) >= n)
     val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("graft_gram"))
-    val capped = Dedup.gramHashRows(eligible, groupCol, textCol, n)
+    val capped = Dedup
+      .gramHashRows(df, groupCol, textCol, n, shortDocFallback = false)
       .distinct()
       .withColumn("graft_gn", count(lit(1)).over(wG))
       .observe(Dedup.DedupCapObservation.nextName(),

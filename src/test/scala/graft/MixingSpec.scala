@@ -153,6 +153,18 @@ class MixingSpec extends AnyWordSpec with Matchers with SparkSpec {
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       out.select("doc_id", "split").collect()
         .foreach(r => again(r.getLong(0)) shouldBe r.getString(1))
+      // null ids get a NULL split (the sampleHash contract), not a
+      // silent landing in the last range
+      val withNull = Mixing.splitAssign(
+        Seq((Option(1L), "a"), (Option.empty[Long], "b"))
+          .toDF("doc_id", "grp"),
+        "doc_id", Seq("train" -> 0.9, "test" -> 0.1))
+      withNull.where(col("doc_id").isNull)
+        .select("split").collect().head.isNullAt(0) shouldBe true
+      // over-allocated fractions fail loudly instead of emptying a split
+      an[IllegalArgumentException] should be thrownBy
+        Mixing.splitAssign(docs, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.5, "test" -> 0.1))
     }
 
     "carve a stable per-group holdout of the k smallest hashes" in {
