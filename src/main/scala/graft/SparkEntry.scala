@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, length, lit, md5, regexp_replace, round, split, struct, sum, transform, when}
+import org.apache.spark.sql.functions.{array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, length, lit, max, md5, min, regexp_replace, round, split, struct, sum, transform, when}
 import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
@@ -2188,6 +2188,27 @@ object SparkEntry {
           coalesce(col("eval_id_sum"), lit(0L)).cast(DoubleType)
             .as("eval_id_sum"))
         .orderBy(col("source"))
+    }),
+
+    // Interpolated (Jelinek-Mercer) LM scoring, lambda = 0.7: the
+    // smoothing rung between q58's unigram and q60's bigram models. The
+    // 3.405 split threshold sits >= 4.7e-6 from every document and the
+    // rounded aggregates >= 0.1 rounding-units from every boundary at all
+    // three SFs (measured).
+    "q72_interpolated_lm" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val ce = TextAnalysis
+        .interpolatedCrossEntropy(docs, "doc_id", "text", lambda = 0.7)
+      ce.agg(
+        count(lit(1)).cast(DoubleType).as("n_docs"),
+        coalesce(sum(col("n_bigrams")), lit(0L)).cast(DoubleType)
+          .as("total_bigrams"),
+        round(sum(col("nll")), 3).as("sum_nll"),
+        round(avg(col("cross_entropy")), 6).as("avg_h"),
+        round(min(col("cross_entropy")), 6).as("min_h"),
+        round(max(col("cross_entropy")), 6).as("max_h"),
+        sum(when(col("cross_entropy") < 3.405, 1L).otherwise(0L))
+          .cast(DoubleType).as("docs_low"))
     })
   )
 
@@ -3976,6 +3997,43 @@ object SparkEntry {
         |       coalesce(ev.eval_id_sum, 0)::DOUBLE AS eval_id_sum
         |FROM sp LEFT JOIN ev USING (source)
         |ORDER BY sp.source""".stripMargin
-    }
+    },
+
+    "q72_interpolated_lm" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), bgu AS (
+        |  SELECT doc_id,
+        |    unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS t
+        |  FROM base WHERE len(toks) >= 2
+        |), bf AS (
+        |  SELECT doc_id, t[1] AS w1, t[2] AS w2, count(*) AS tf
+        |  FROM bgu GROUP BY 1, 2, 3
+        |), pairc AS (SELECT w1, w2, sum(tf) AS c FROM bf GROUP BY 1, 2),
+        |headc AS (SELECT w1, sum(tf) AS ch FROM bf GROUP BY 1),
+        |tailc AS (SELECT w2, sum(tf) AS ct FROM bf GROUP BY 1),
+        |sc AS (SELECT count(DISTINCT w1) AS vh, count(DISTINCT w2) AS vt,
+        |              sum(tf) AS b FROM bf),
+        |doc AS (
+        |  SELECT f.doc_id, sum(f.tf) AS nb,
+        |    sum(-f.tf * ln(
+        |      0.7 * ((p.c + 1.0) / (h.ch + (SELECT vh FROM sc)))
+        |      + (1 - 0.7) * ((t.ct + 1.0)
+        |          / ((SELECT b FROM sc) + (SELECT vt FROM sc))))) AS nll
+        |  FROM bf f JOIN pairc p USING (w1, w2) JOIN headc h USING (w1)
+        |    JOIN tailc t USING (w2)
+        |  GROUP BY 1
+        |)
+        |SELECT count(*)::DOUBLE AS n_docs,
+        |  coalesce(sum(nb), 0)::DOUBLE AS total_bigrams,
+        |  round(sum(nll), 3)::DOUBLE AS sum_nll,
+        |  round(avg(nll / nb), 6)::DOUBLE AS avg_h,
+        |  round(min(nll / nb), 6)::DOUBLE AS min_h,
+        |  round(max(nll / nb), 6)::DOUBLE AS max_h,
+        |  sum(CASE WHEN nll / nb < 3.405 THEN 1 ELSE 0 END)::DOUBLE
+        |    AS docs_low
+        |FROM doc""".stripMargin
   )
 }

@@ -700,6 +700,57 @@ object TextAnalysis {
     CacheLifecycle.releaseOnConsume(out, Seq(pc))
   }
 
+  /** Per-document cross-entropy under a Jelinek-Mercer INTERPOLATED
+    * language model — `p(w2|w1) = λ·p_bi(w2|w1) + (1−λ)·p_uni(w2)` with
+    * Laplace-smoothed components (`p_bi = (c(w1,w2)+1)/(c(w1·)+V_head)`,
+    * `p_uni = (c(·w2)+1)/(B+V_tail)`, marginals counted on bigram slots) —
+    * the smoothing step between [[unigramCrossEntropy]] and a full
+    * KenLM-style backoff: a rare continuation of a common head is no
+    * longer scored as if the unigram evidence did not exist. Documents
+    * with < 2 tokens are absent from the output.
+    *
+    * 100 TB plan shape: the q58/q60 machinery — ONE tokenize pass into
+    * the persisted slim (doc, w1, w2, tf) frame; pair, head, and tail
+    * counts are THREE count-over-window passes on that same frame (slim
+    * exchanges carrying one long per distinct (doc, bigram); never a
+    * re-tokenize or self-join), the three model scalars one bounded
+    * driver agg, the per-document rollup the final exchange.
+    */
+  def interpolatedCrossEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val bf = bigramFrequencies(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = bf.agg(countDistinct(col("w1")), countDistinct(col("w2")),
+      sum(col("tf"))).collect().head
+    val vHead = g.getLong(0)
+    val vTail = g.getLong(1)
+    val b = if (g.isNullAt(2)) 0L else g.getLong(2)
+    val wPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"), col("w2"))
+    val wHead = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val wTail = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
+    val perDoc = bf
+      .withColumn("graft_c12", sum(col("tf")).over(wPair))
+      .withColumn("graft_ch", sum(col("tf")).over(wHead))
+      .withColumn("graft_ct", sum(col("tf")).over(wTail))
+      .withColumn("graft_p",
+        lit(lambda) *
+          ((col("graft_c12") + lit(1L)).cast(DoubleType) /
+            (col("graft_ch") + lit(vHead)).cast(DoubleType)) +
+        lit(1.0 - lambda) *
+          ((col("graft_ct") + lit(1L)).cast(DoubleType) /
+            lit((b + vTail).toDouble)))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(-col("tf") * log(col("graft_p"))).as("nll"))
+      .withColumn("cross_entropy", col("nll") / col("n_bigrams"))
+    CacheLifecycle.releaseOnConsume(perDoc, Seq(bf))
+  }
+
   def bigramFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = normalizedTokens(col(textCol))
     val pairs = zip_with(

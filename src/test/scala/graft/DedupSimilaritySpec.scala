@@ -1242,6 +1242,32 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "interpolatedCrossEntropy" should {
+    "match the hand-computed Jelinek-Mercer mixture" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq((1L, "a b a")).toDF("doc_id", "text")
+      val r = TextAnalysis.interpolatedCrossEntropy(df, "doc_id", "text", 0.7)
+        .collect().head
+      // bigrams (a,b),(b,a): c12=1, ch=1, ct=1, vh=vt=2, B=2
+      // p = 0.7*(2/3) + 0.3*(2/4) for both
+      val p = 0.7 * (2.0 / 3) + 0.3 * (2.0 / 4)
+      r.getLong(1) shouldBe 2L
+      r.getDouble(3) shouldBe -math.log(p) +- 1e-12
+    }
+
+    "reduce to the pure bigram model at lambda = 1" in {
+      val both = TextAnalysis
+        .interpolatedCrossEntropy(docs, "doc_id", "text", lambda = 1.0)
+        .select(col("doc_id"), col("cross_entropy").as("h_i"))
+        .join(TextAnalysis.bigramCrossEntropy(docs, "doc_id", "text")
+          .select(col("doc_id"), col("cross_entropy").as("h_b")), Seq("doc_id"))
+        .collect()
+      both should not be empty
+      both.foreach(r => r.getDouble(1) shouldBe r.getDouble(2) +- 1e-12)
+    }
+  }
+
   "exactDedupIncremental" should {
     "dedup within the batch and against the persisted seen state" in {
       val s = spark

@@ -192,6 +192,13 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
       r.queryExecution.optimizedPlan.collectLeaves() should have size 1
       r.queryExecution.executedPlan.toString should not include "Join"
     }
+
+    "tokenize once in interpolatedCrossEntropy (one leaf — three windows, no join)" in {
+      val r = graft.pipeline.TextAnalysis
+        .interpolatedCrossEntropy(documents, "doc_id", "text")
+      r.queryExecution.optimizedPlan.collectLeaves() should have size 1
+      r.queryExecution.executedPlan.toString should not include "Join"
+    }
   }
 
   "row-level results" should {
