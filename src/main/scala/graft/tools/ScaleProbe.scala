@@ -192,6 +192,14 @@ object ScaleProbe {
     def dupProfile(d: DataFrame): Long =
       Dedup.duplicationProfile(d, "doc_id", "text", 13)
         .agg(sum(col("dup_grams"))).collect().head.getLong(0)
+    // incremental dedup (q69 engine path): FIXED seen-state built from the
+    // base corpus, batch grows — the anti-join must scale with the batch.
+    // At x1 the batch IS the state's corpus, so survivors pin to ZERO
+    // (everything matches); at xMULT only the decorrelated copies survive
+    def increDedup(d: DataFrame): Long = {
+      val seen = Dedup.seenTextKeys(docs0, "text")
+      Dedup.exactDedupIncremental(d, "text", "doc_id", seen).count()
+    }
     def langId(d: DataFrame): Long =
       graft.pipeline.TextAnalysis.languageIdCounts(d, "text")
         .agg(sum(col("cnt"))).collect().head.getLong(0)
@@ -348,6 +356,7 @@ object ScaleProbe {
     fuzzyDecon(docs0.limit(200))
     srcOverlap(docs0.limit(200), 256)
     dupProfile(docs0.limit(200))
+    increDedup(docs0.limit(200))
     langId(docs0.limit(200))
     quality(docs0.limit(200))
     decontam(docs0.limit(200))
@@ -374,6 +383,7 @@ object ScaleProbe {
       ("fuzzy_decontam", timed(fuzzyDecon(docs0)), timed(fuzzyDecon(docsX))),
       ("source_overlap", timed(srcOverlap(docs0, 256)), timed(srcOverlap(docsX, 256))),
       ("dup_profile", timed(dupProfile(docs0)), timed(dupProfile(docsX))),
+      ("incremental_dedup", timed(increDedup(docs0)), timed(increDedup(docsX))),
       ("lang_id", timed(langId(docs0)), timed(langId(docsX))),
       ("quality_score", timed(quality(docs0)), timed(quality(docsX))),
       ("decontamination", timed(decontam(docs0)), timed(decontam(docsX))),
