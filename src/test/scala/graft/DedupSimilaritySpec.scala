@@ -1419,6 +1419,63 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
       Dedup.crossCorpusNearDups(corpus, "doc_id", "text",
         probes, "pid", "ptext", threshold = 0.01).count() shouldBe 0L
     }
+
+    "match brute-force cross-corpus jaccard on randomized corpora" in {
+      val s = spark
+      import s.implicits._
+      def shingles(t: String): Set[Seq[String]] = {
+        val ts = t.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty).toSeq
+        if (ts.isEmpty) Set.empty
+        else if (ts.length < 3) Set(ts)
+        else ts.sliding(3).map(_.toSeq).toSet
+      }
+      val rnd = new scala.util.Random(97)
+      for (_ <- 1 to 3) {
+        val corpus = (1L to 15L).map(id =>
+          id -> (0 until rnd.nextInt(20)).map(_ => s"w${rnd.nextInt(5)}").mkString(" "))
+        val probes = (100L to 104L).map(id =>
+          id -> (0 until rnd.nextInt(20)).map(_ => s"w${rnd.nextInt(5)}").mkString(" "))
+        val expect = (for {
+          (cid, ct) <- corpus; (pid, pt) <- probes
+          cs = shingles(ct); ps = shingles(pt)
+          if cs.nonEmpty && ps.nonEmpty
+          j = (cs & ps).size.toDouble / math.max((cs | ps).size, 1)
+          if j >= 0.3
+        } yield (cid, pid) -> j).toMap
+        val got = Dedup.crossCorpusJaccardPairs(
+          corpus.toDF("doc_id", "text"), "doc_id", "text",
+          probes.toDF("pid", "ptext"), "pid", "ptext", threshold = 0.3)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        got.keySet shouldBe expect.keySet
+        got.foreach { case (k, j) => j shouldBe expect(k) +- 1e-12 }
+      }
+    }
+
+    "match a brute-force duplication profile on randomized corpora" in {
+      val s = spark
+      import s.implicits._
+      val n = 3
+      val rnd = new scala.util.Random(733)
+      for (_ <- 1 to 3) {
+        val docs = (1L to 16L).map(id =>
+          id -> (0 until rnd.nextInt(24)).map(_ => s"w${rnd.nextInt(6)}").mkString(" "))
+        val gramSets = docs.map { case (id, t) =>
+          val ts = t.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty).toSeq
+          id -> (if (ts.length < n) Set.empty[Seq[String]]
+          else ts.sliding(n).map(_.toSeq).toSet)
+        }
+        val dfreq = gramSets.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+        val expect = gramSets.map { case (id, gs) =>
+          id -> ((gs.size.toLong, gs.count(g => dfreq(g) >= 2).toLong))
+        }.toMap
+        val got = Dedup.duplicationProfile(
+          docs.toDF("doc_id", "text"), "doc_id", "text", n)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        got shouldBe expect
+      }
+    }
   }
 
   "exactSubstringDedup" should {
