@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, length, lit, max, md5, min, regexp_replace, round, split, struct, sum, transform, when}
+import org.apache.spark.sql.functions.{array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, pmod, length, lit, max, md5, min, regexp_replace, round, split, struct, sum, transform, when}
 import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
@@ -2228,6 +2228,28 @@ object SparkEntry {
         round(max(col("cross_entropy")), 6).as("max_h"),
         sum(when(col("cross_entropy") < 3.405, 1L).otherwise(0L))
           .cast(DoubleType).as("docs_low"))
+    }),
+
+    // Corpus version diff: "yesterday's snapshot" is simulated
+    // deterministically from the same table (docs with id % 7 == 0 absent
+    // -> added today; id % 11 == 0 carried an old revision -> changed; one
+    // retired synthetic doc -> removed), then diffed against today by
+    // 128-bit content hash. Status counts + id sums pin the join exactly.
+    "q73_corpus_diff" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val retired = s.range(1).select(
+        lit(-1L).as("doc_id"), lit("retired document").as("text"))
+      val old = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" OLDREV"))).otherwise(col("text"))
+            .as("text"))
+        .unionByName(retired)
+      Dedup.corpusDiff(old, docs, "doc_id", "text")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum(col("doc_id")).cast(DoubleType).as("id_sum"))
+        .orderBy(col("status"))
     })
   )
 
@@ -4053,6 +4075,23 @@ object SparkEntry {
         |  round(max(nll / nb), 6)::DOUBLE AS max_h,
         |  sum(CASE WHEN nll / nb < 3.405 THEN 1 ELSE 0 END)::DOUBLE
         |    AS docs_low
-        |FROM doc""".stripMargin
+        |FROM doc""".stripMargin,
+
+    "q73_corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' OLDREV'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL SELECT -1, 'retired document'),
+        |j AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM old o FULL OUTER JOIN documents n ON o.doc_id = n.doc_id)
+        |SELECT status, count(*)::DOUBLE AS n, sum(doc_id)::DOUBLE AS id_sum
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

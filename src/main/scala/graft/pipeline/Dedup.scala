@@ -572,6 +572,34 @@ object Dedup {
       md5(col(textCol).cast(BinaryType)) === col("graft_kh"), "left_anti")
   }
 
+  /** Corpus version diff: per-id status between two snapshots —
+    * `added` (id only in `newDf`), `removed` (only in `oldDf`),
+    * `changed` (both, text hashes differ), `unchanged` (both, hashes
+    * match; two null texts count as unchanged). The dataset-iteration
+    * primitive: what did this curation run actually touch.
+    *
+    * Scale shape: both sides project to slim (id, 128-bit text hash)
+    * rows BEFORE the full-outer join, so the join ships 24-byte rows on
+    * the id key (sort-merge at corpus scale, never the text itself).
+    * Ids are assumed unique per snapshot.
+    */
+  def corpusDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def slim(df: DataFrame, h: String, p: String): DataFrame =
+      df.select(col(idCol).as("graft_id"),
+        md5(col(textCol).cast(BinaryType)).as(h), lit(true).as(p))
+    slim(oldDf, "graft_ho", "graft_po")
+      .join(slim(newDf, "graft_hn", "graft_pn"), Seq("graft_id"), "full_outer")
+      .select(col("graft_id").as(idCol),
+        when(col("graft_po").isNull, "added")
+          .when(col("graft_pn").isNull, "removed")
+          .when(col("graft_ho") <=> col("graft_hn"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   // -------------------------------------------------------------------------
   // Cross-corpus near-dup join (fuzzy decontamination)
   // -------------------------------------------------------------------------

@@ -1268,6 +1268,21 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "corpusDiff" should {
+    "label added, removed, changed, and unchanged ids" in {
+      val s = spark
+      import s.implicits._
+      val old = Seq((1L, "same"), (2L, "before"), (3L, "gone"),
+        (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      val nw = Seq((1L, "same"), (2L, "after"), (4L, "fresh"),
+        (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      val out = Dedup.corpusDiff(old, nw, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      out shouldBe Map(1L -> "unchanged", 2L -> "changed",
+        3L -> "removed", 4L -> "added", 5L -> "unchanged")
+    }
+  }
+
   "exactDedupIncremental" should {
     "dedup within the batch and against the persisted seen state" in {
       val s = spark
