@@ -2250,6 +2250,37 @@ object SparkEntry {
         .agg(count(lit(1)).cast(DoubleType).as("n"),
           sum(col("doc_id")).cast(DoubleType).as("id_sum"))
         .orderBy(col("status"))
+    }),
+
+    // Split leakage audit (the GPT-3-style post-hoc check on one's OWN
+    // splits): after the deterministic 90/10 hash split, which eval docs
+    // share a verbatim 13-gram with the train side — a near-dup pair
+    // straddling the split is exactly how eval sets go stale. Probes
+    // bounded to eval ids < 300 (the established audit-subset pattern);
+    // the train corpus is never shuffled (broadcast probe grams).
+    "q74_split_leakage" -> ((s, dir) => {
+      import graft.pipeline.Mixing
+      val docs = table(s, dir, "documents")
+      val split = Mixing.splitAssign(docs, "doc_id",
+        Seq("train" -> 0.9, "eval" -> 0.1))
+      val train = split.where(col("split") === "train")
+        .select(col("doc_id"), col("text"))
+      val probes = split
+        .where(col("split") === "eval" && col("doc_id") < 300)
+        .select(col("doc_id").as("probe_id"), col("text").as("probe"))
+      val nProbes = probes.where(org.apache.spark.sql.functions.size(
+        TextAnalysis.normalizedTokens(col("probe"))) >= 13).count()
+      val r = TextAnalysis
+        .contaminationReport(train, "doc_id", "text", probes, "probe_id", "probe")
+        .agg(count(lit(1)),
+          coalesce(sum(col("matched_pairs")), lit(0L)),
+          coalesce(sum(col("probe_id")), lit(0L)))
+        .collect().head
+      metricRow(s, Seq(
+        "eval_probes" -> nProbes.toDouble,
+        "leaky_eval_docs" -> r.getLong(0).toDouble,
+        "leaked_pairs" -> r.getLong(1).toDouble,
+        "leaky_id_sum" -> r.getLong(2).toDouble))
     })
   )
 
@@ -4092,6 +4123,44 @@ object SparkEntry {
         |         ELSE 'changed' END AS status
         |  FROM old o FULL OUTER JOIN documents n ON o.doc_id = n.doc_id)
         |SELECT status, count(*)::DOUBLE AS n, sum(doc_id)::DOUBLE AS id_sum
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q74_split_leakage" -> {
+      import graft.pipeline.Mixing.hexThreshold
+      val t90 = hexThreshold(0.9)
+      raw"""WITH h AS (
+        |  SELECT doc_id, text,
+        |         substring(md5('graft:' || doc_id::VARCHAR), 1, 8) AS hh
+        |  FROM documents),
+        |tr AS (SELECT doc_id, text FROM h WHERE hh < '$t90'),
+        |ev AS (SELECT doc_id, text FROM h
+        |       WHERE hh >= '$t90' AND doc_id < 300),
+        |norm AS (
+        |  SELECT doc_id, array_to_string(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')
+        |    AS ntext
+        |  FROM tr),
+        |ptoks AS (
+        |  SELECT doc_id AS probe_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM ev),
+        |pg AS (
+        |  SELECT DISTINCT probe_id, array_to_string(toks[i:i+12], ' ')
+        |    AS gram
+        |  FROM ptoks, unnest(range(1, len(toks) - 11)) AS t(i)
+        |  WHERE len(toks) >= 13),
+        |m AS (
+        |  SELECT n.doc_id, p.probe_id, p.gram
+        |  FROM norm n JOIN pg p
+        |    ON contains(' ' || n.ntext || ' ', ' ' || p.gram || ' ')),
+        |agg AS (SELECT probe_id, count(*) AS pairs FROM m GROUP BY 1)
+        |SELECT (SELECT count(*) FROM ptoks WHERE len(toks) >= 13)::DOUBLE
+        |         AS eval_probes,
+        |       (SELECT count(*) FROM agg)::DOUBLE AS leaky_eval_docs,
+        |       (SELECT coalesce(sum(pairs), 0) FROM agg)::DOUBLE
+        |         AS leaked_pairs,
+        |       (SELECT coalesce(sum(probe_id), 0) FROM agg)::DOUBLE
+        |         AS leaky_id_sum""".stripMargin
+    }
   )
 }
