@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, pmod, length, lit, max, md5, min, regexp_replace, round, split, struct, sum, transform, when}
+import org.apache.spark.sql.functions.{array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, element_at, explode, expr, pmod, length, lit, max, md5, min, regexp_replace, round, split, struct, sum, transform, when}
 import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
@@ -2281,6 +2281,30 @@ object SparkEntry {
         "leaky_eval_docs" -> r.getLong(0).toDouble,
         "leaked_pairs" -> r.getLong(1).toDouble,
         "leaky_id_sum" -> r.getLong(2).toDouble))
+    }),
+
+    // Adjacent-duplicate line collapse (within-doc scraper stutter): line
+    // structure via the q54 break-injection, then docs with id % 9 == 0
+    // get their first line deterministically DUPLICATED (the q39
+    // injection pattern, mirrored in the oracle) so the collapse has
+    // pinned work to do. Kept-char total pins the reconstruction.
+    "q75_line_collapse" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val lined = regexp_replace(col("text"),
+        ParaInjectPattern, ParaInjectReplacement)
+      val injected = when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(element_at(split(lined, "\n"), 1), lit("\n"), lined))
+        .otherwise(lined)
+      val removed = TextAnalysis.adjacentDuplicateLineCount(injected)
+      val kept = TextAnalysis.collapseAdjacentLines(injected)
+      docs.select(removed.as("graft_r"), length(kept).as("graft_k"))
+        .agg(
+          count(when(col("graft_r") > 0, 1)).cast(DoubleType)
+            .as("docs_affected"),
+          coalesce(sum(col("graft_r")), lit(0L)).cast(DoubleType)
+            .as("lines_removed"),
+          coalesce(sum(col("graft_k")), lit(0L)).cast(DoubleType)
+            .as("kept_chars"))
     })
   )
 
@@ -4161,6 +4185,29 @@ object SparkEntry {
         |         AS leaked_pairs,
         |       (SELECT coalesce(sum(probe_id), 0) FROM agg)::DOUBLE
         |         AS leaky_id_sum""".stripMargin
-    }
+    },
+
+    "q75_line_collapse" ->
+      """WITH pdocs AS (
+        |  SELECT doc_id, regexp_replace(text,
+        |    '((?:[^ \t\n\x0B\f\r]+ ){3}[^ \t\n\x0B\f\r]+) ',
+        |    '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0
+        |         THEN string_split(t, chr(10))[1] || chr(10) || t
+        |         ELSE t END AS t
+        |  FROM pdocs),
+        |k AS (
+        |  SELECT doc_id, len(string_split(t, chr(10))) AS n,
+        |    list_filter(string_split(t, chr(10)),
+        |      (x, i) -> i = 1 OR x <> string_split(t, chr(10))[i-1]) AS kept
+        |  FROM inj)
+        |SELECT count(*) FILTER (n > len(kept))::DOUBLE AS docs_affected,
+        |  coalesce(sum(n - len(kept)), 0)::DOUBLE AS lines_removed,
+        |  coalesce(sum(length(array_to_string(kept, chr(10)))), 0)::DOUBLE
+        |    AS kept_chars
+        |FROM k""".stripMargin
   )
 }

@@ -560,6 +560,27 @@ object TextAnalysis {
     * exploded into ONE groupBy exchange with map-side partial counts.
     * Documents with fewer than two tokens contribute nothing.
     */
+  /** Collapse runs of consecutive IDENTICAL lines to one occurrence —
+    * the within-document twin of corpus-level paragraph dedup: repeated
+    * navigation rows, table borders, and scraper stutter appear as
+    * adjacent duplicate lines and survive every cross-document pass.
+    * Pure narrow expressions (split + indexed filter) — map-side, no
+    * shuffle, composes into any pipeline stage. Null text collapses to
+    * the empty string.
+    */
+  def collapseAdjacentLines(text: Column): Column = {
+    val ls = split(coalesce(text, lit("")), "\n")
+    concat_ws("\n", filter(ls, (x, i) =>
+      when(i === 0, lit(true)).otherwise(x =!= element_at(ls, i))))
+  }
+
+  /** How many lines [[collapseAdjacentLines]] would drop. */
+  def adjacentDuplicateLineCount(text: Column): Column = {
+    val ls = split(coalesce(text, lit("")), "\n")
+    size(ls) - size(filter(ls, (x, i) =>
+      when(i === 0, lit(true)).otherwise(x =!= element_at(ls, i))))
+  }
+
   /** Corpus vocabulary statistics: token total, vocabulary size, hapax
     * legomena count, and the probability-mass share of the top-k most
     * frequent tokens for each k in `topK` — the Zipf-shape health check

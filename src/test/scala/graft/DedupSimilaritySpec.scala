@@ -1268,6 +1268,27 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "collapseAdjacentLines" should {
+    "drop only consecutive identical lines" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        (1L, "a\na\nb\nb\nb\na"),   // runs collapse, the return of 'a' stays
+        (2L, "x\ny\nz"),            // nothing adjacent-equal
+        (3L, ""),                   // single empty line
+        (4L, null.asInstanceOf[String])
+      ).toDF("doc_id", "text")
+      val out = df.select(col("doc_id"),
+        TextAnalysis.collapseAdjacentLines(col("text")).as("c"),
+        TextAnalysis.adjacentDuplicateLineCount(col("text")).as("r"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+      out(1L) shouldBe (("a\nb\na", 3))
+      out(2L) shouldBe (("x\ny\nz", 0))
+      out(3L) shouldBe (("", 0))
+      out(4L) shouldBe (("", 0))
+    }
+  }
+
   "corpusDiff" should {
     "label added, removed, changed, and unchanged ids" in {
       val s = spark
