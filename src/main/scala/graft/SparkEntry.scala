@@ -1486,7 +1486,6 @@ object SparkEntry {
       // q24 fusion pattern) — the shared persisted frames fill once
       val r = ccStats.crossJoin(badDf).crossJoin(knDf).crossJoin(pnDf)
         .collect().head
-      val a0 = r
       val badPairs = r.getLong(4)
       val (kept, nDocs) = (r.getLong(5), r.getLong(6))
       val (nClustered, nClusters) = (r.getLong(7), r.getLong(8))
@@ -1496,10 +1495,10 @@ object SparkEntry {
       sigs.unpersist(blocking = false)
 
       metricRow(s, Seq(
-        "cc_nodes" -> a0.getLong(0).toDouble,
-        "cc_components" -> a0.getLong(1).toDouble,
-        "cc_max_cluster" -> a0.getLong(2).toDouble,
-        "cc_sum_labels" -> a0.getLong(3).toDouble,
+        "cc_nodes" -> r.getLong(0).toDouble,
+        "cc_components" -> r.getLong(1).toDouble,
+        "cc_max_cluster" -> r.getLong(2).toDouble,
+        "cc_sum_labels" -> r.getLong(3).toDouble,
         "nd_pairs_consistent" -> flag(badPairs == 0L),
         "nd_accounting_ok" -> flag(nClustered >= nClusters && nClusters >= 1 &&
           nDocs >= nClustered),

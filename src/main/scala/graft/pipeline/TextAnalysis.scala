@@ -554,31 +554,37 @@ object TextAnalysis {
     CacheLifecycle.releaseOnConsume(perDoc, Seq(tf))
   }
 
-  /** (idCol, w1, w2, tf) — one row per distinct (document, adjacent token
-    * pair): the bigram twin of [[termFrequencies]]. Pair construction is a
-    * narrow zip of the token array with its own tail (pure codegen HOFs),
-    * exploded into ONE groupBy exchange with map-side partial counts.
-    * Documents with fewer than two tokens contribute nothing.
-    */
   /** Collapse runs of consecutive IDENTICAL lines to one occurrence —
     * the within-document twin of corpus-level paragraph dedup: repeated
     * navigation rows, table borders, and scraper stutter appear as
     * adjacent duplicate lines and survive every cross-document pass.
-    * Pure narrow expressions (split + indexed filter) — map-side, no
+    * Pure narrow expressions (split + shifted-array zip) — map-side, no
     * shuffle, composes into any pipeline stage. Null text collapses to
     * the empty string.
     */
+  // prev(i) = line(i-1) with a null sentinel at i = 0: comparing each
+  // line against a SHIFTED COPY of the array keeps the lambda body
+  // element-local — referencing the split array inside the lambda would
+  // re-evaluate the whole split() per element (HOF bodies get no
+  // common-subexpression elimination), turning a 10k-line document into
+  // O(lines × text-length)
+  private def shiftedLines(ls: Column): Column =
+    concat(array(lit(null).cast(StringType)),
+      slice(ls, lit(1), greatest(size(ls) - 1, lit(0))))
+
   def collapseAdjacentLines(text: Column): Column = {
     val ls = split(coalesce(text, lit("")), "\n")
-    concat_ws("\n", filter(ls, (x, i) =>
-      when(i === 0, lit(true)).otherwise(x =!= element_at(ls, i))))
+    // a dropped line maps to null (split output itself is never null)
+    concat_ws("\n", filter(
+      zip_with(ls, shiftedLines(ls),
+        (c, p) => when(c <=> p, lit(null).cast(StringType)).otherwise(c)),
+      x => x.isNotNull))
   }
 
   /** How many lines [[collapseAdjacentLines]] would drop. */
   def adjacentDuplicateLineCount(text: Column): Column = {
     val ls = split(coalesce(text, lit("")), "\n")
-    size(ls) - size(filter(ls, (x, i) =>
-      when(i === 0, lit(true)).otherwise(x =!= element_at(ls, i))))
+    size(filter(zip_with(ls, shiftedLines(ls), (c, p) => c <=> p), b => b))
   }
 
   /** Corpus vocabulary statistics: token total, vocabulary size, hapax
@@ -772,6 +778,12 @@ object TextAnalysis {
     CacheLifecycle.releaseOnConsume(perDoc, Seq(bf))
   }
 
+  /** (idCol, w1, w2, tf) — one row per distinct (document, adjacent token
+    * pair): the bigram twin of [[termFrequencies]]. Pair construction is a
+    * narrow zip of the token array with its own tail (pure codegen HOFs),
+    * exploded into ONE groupBy exchange with map-side partial counts.
+    * Documents with fewer than two tokens contribute nothing.
+    */
   def bigramFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = normalizedTokens(col(textCol))
     val pairs = zip_with(

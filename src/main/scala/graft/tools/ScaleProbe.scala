@@ -193,13 +193,19 @@ object ScaleProbe {
       Dedup.duplicationProfile(d, "doc_id", "text", 13)
         .agg(sum(col("dup_grams"))).collect().head.getLong(0)
     // incremental dedup (q69 engine path): FIXED seen-state built from the
-    // base corpus, batch grows — the anti-join must scale with the batch.
-    // At x1 the batch IS the state's corpus, so survivors pin to ZERO
-    // (everything matches); at xMULT only the decorrelated copies survive
-    def increDedup(d: DataFrame): Long = {
-      val seen = Dedup.seenTextKeys(docs0, "text")
-      Dedup.exactDedupIncremental(d, "text", "doc_id", seen).count()
+    // base corpus ONCE and persisted (rebuilding it inside the timing
+    // would add a constant full-corpus job to both runs and compress the
+    // batch-scaling ratio the probe measures), batch grows — the anti-join
+    // must scale with the batch. At x1 the batch IS the state's corpus, so
+    // survivors pin to ZERO; at xMULT only the decorrelated copies survive
+    lazy val increSeen = {
+      val x = Dedup.seenTextKeys(docs0, "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      x.count()
+      x
     }
+    def increDedup(d: DataFrame): Long =
+      Dedup.exactDedupIncremental(d, "text", "doc_id", increSeen).count()
     def langId(d: DataFrame): Long =
       graft.pipeline.TextAnalysis.languageIdCounts(d, "text")
         .agg(sum(col("cnt"))).collect().head.getLong(0)
