@@ -78,6 +78,21 @@ object SparkEntry {
     }
   }
 
+  /** Recursive delete for per-query temp state dirs — a bench run repeats
+   *  each query several times, so leaking the dir compounds per rep. */
+  private def rmTree(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      // Files.walk holds open DirectoryStreams until closed — a leak
+      // per bench rep if left to GC
+      val st = java.nio.file.Files.walk(p)
+      try st.iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally st.close()
+    }
+  }
+
   /** Single-row DataFrame of named double values. */
   private def metricRow(s: SparkSession, cols: Seq[(String, Double)]): DataFrame = {
     val schema = StructType(cols.map { case (n, _) => StructField(n, DoubleType, nullable = false) })
@@ -1075,18 +1090,7 @@ object SparkEntry {
       // every metric below is a plain double by now — the temp state/repo
       // dirs can go before the row is built (a bench run does 3 medians x
       // 5 stateful runs; leaking the dirs was r8's orphan-tempdir source)
-      def rmTree(p: java.nio.file.Path): Unit = {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(p)) {
-          // Files.walk holds open DirectoryStreams until closed — a leak
-          // per bench rep if left to GC
-          val st = java.nio.file.Files.walk(p)
-          try st.iterator().asScala.toSeq.reverseIterator
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-          finally st.close()
-        }
-      }
-      rmTree(java.nio.file.Paths.get(tmp))
+      rmTree(tmp)
 
       metricRow(s, Seq(
         "size_reloaded" -> dv(reloaded, Size()),
@@ -1428,8 +1432,16 @@ object SparkEntry {
       // threads onto the same idle cores; results are independent, so
       // ordering cannot change values. Only the stats aggregation stays
       // lazy, riding the ONE fused action at the end of the query.
+      // the future's jobs run under a dedicated job group so a failure in
+      // the doc-side audit chain below can cancel them instead of leaving
+      // orphan star-contraction rounds running until the Await timeout
+      val ccJobGroup = "graft-q48-cc"
       val ccFut = scala.concurrent.Future {
-        Dedup.connectedComponents(edges, localSolveMaxEdges = 0)
+        s.sparkContext.setJobGroup(ccJobGroup,
+          "q48 connected components (overlapped with audit chain)",
+          interruptOnCancel = true)
+        try Dedup.connectedComponents(edges, localSolveMaxEdges = 0)
+        finally s.sparkContext.clearJobGroup()
       }(scala.concurrent.ExecutionContext.global)
 
       // near-dup clustering audit over a BOUNDED document subset (the
@@ -1439,60 +1451,70 @@ object SparkEntry {
       // ONE clustersFromPairs call runs the production tail (components on
       // the bare pair list via the adaptive small-graph path a pair list
       // of this size takes in production, then the label join)
-      val docs = table(s, dir, "documents").filter(col("doc_id") < 2000)
-      val sigs = Dedup.textSignatures(docs, "doc_id", "text").persist()
-      val pairs = Dedup.nearDuplicatePairsFromSignatures(sigs, threshold = 0.5)
-        .select("id_a", "id_b").persist()
-      val clustered = Dedup.clustersFromPairs(docs, "doc_id", pairs)
-        .select(col("doc_id").cast("long").as("doc_id"), col("cluster"))
-        .persist()
-      // every pair's endpoints must carry the same cluster label; the
-      // SAME labeled-pair frame also feeds the endpoint stats below, so
-      // join once and persist the (tiny) result instead of re-running the
-      // two label joins per metric
-      val labels = clustered.select(col("doc_id"), col("cluster"))
-      val labeledPairs = pairs
-        .join(labels.toDF("id_a", "graft_ca"), Seq("id_a"))
-        .join(labels.toDF("id_b", "graft_cb"), Seq("id_b"))
-        .persist()
-      val badDf = labeledPairs
-        .filter(col("graft_ca") =!= col("graft_cb"))
-        .agg(count(lit(1)).as("graft_bad"))
-      // counting identity on the SAME clustering: docs kept by
-      // keep-one-per-cluster = nDocs - (docs in some pair) + (distinct
-      // clusters among those docs); kept is computed from the labels, the
-      // other two sides from the pair list — a wrong label join, a
-      // dropped singleton, or a split component breaks the equality
-      val knDf = clustered.agg(
-        sum((col("cluster") === col("doc_id")).cast("long")).as("graft_kept"),
-        count(lit(1)).as("graft_ndocs"))
-      val pnDf = labeledPairs
-        .select(explode(array(
-          struct(col("id_a").as("d"), col("graft_ca").as("c")),
-          struct(col("id_b").as("d"), col("graft_cb").as("c")))).as("graft_e"))
-        .select(col("graft_e.d"), col("graft_e.c")).distinct()
-        .agg(count(lit(1)).as("graft_nclu"),
-          countDistinct(col("c")).as("graft_nclus"))
-      val ccStats = scala.concurrent.Await
-        .result(ccFut, scala.concurrent.duration.Duration(10, "min"))
-        .groupBy("component").agg(count(lit(1)).as("graft_c"))
-        .agg(sum(col("graft_c")).as("graft_nodes"),
-          count(lit(1)).as("graft_comps"),
-          org.apache.spark.sql.functions.max(col("graft_c")).as("graft_maxc"),
-          sum(col("component") * col("graft_c")).as("graft_lsum"))
-      // ALL FOUR audit aggregates in ONE action: the cc-stats, bad-pair,
-      // label, and endpoint pipelines become concurrent stages of a
-      // single job instead of four serialized driver round-trips (the
-      // q24 fusion pattern) — the shared persisted frames fill once
-      val r = ccStats.crossJoin(badDf).crossJoin(knDf).crossJoin(pnDf)
-        .collect().head
+      // a throw anywhere before the Await would otherwise leave the
+      // detached CC rounds running unsupervised until the 10-min timeout;
+      // the catch kills their job group before propagating (after the
+      // fused collect the future is complete, so the cancel is a no-op)
+      val r = try {
+        val docs = table(s, dir, "documents").filter(col("doc_id") < 2000)
+        val sigs = Dedup.textSignatures(docs, "doc_id", "text").persist()
+        val pairs = Dedup.nearDuplicatePairsFromSignatures(sigs, threshold = 0.5)
+          .select("id_a", "id_b").persist()
+        val clustered = Dedup.clustersFromPairs(docs, "doc_id", pairs)
+          .select(col("doc_id").cast("long").as("doc_id"), col("cluster"))
+          .persist()
+        // every pair's endpoints must carry the same cluster label; the
+        // SAME labeled-pair frame also feeds the endpoint stats below, so
+        // join once and persist the (tiny) result instead of re-running the
+        // two label joins per metric
+        val labels = clustered.select(col("doc_id"), col("cluster"))
+        val labeledPairs = pairs
+          .join(labels.toDF("id_a", "graft_ca"), Seq("id_a"))
+          .join(labels.toDF("id_b", "graft_cb"), Seq("id_b"))
+          .persist()
+        val badDf = labeledPairs
+          .filter(col("graft_ca") =!= col("graft_cb"))
+          .agg(count(lit(1)).as("graft_bad"))
+        // counting identity on the SAME clustering: docs kept by
+        // keep-one-per-cluster = nDocs - (docs in some pair) + (distinct
+        // clusters among those docs); kept is computed from the labels, the
+        // other two sides from the pair list — a wrong label join, a
+        // dropped singleton, or a split component breaks the equality
+        val knDf = clustered.agg(
+          sum((col("cluster") === col("doc_id")).cast("long")).as("graft_kept"),
+          count(lit(1)).as("graft_ndocs"))
+        val pnDf = labeledPairs
+          .select(explode(array(
+            struct(col("id_a").as("d"), col("graft_ca").as("c")),
+            struct(col("id_b").as("d"), col("graft_cb").as("c")))).as("graft_e"))
+          .select(col("graft_e.d"), col("graft_e.c")).distinct()
+          .agg(count(lit(1)).as("graft_nclu"),
+            countDistinct(col("c")).as("graft_nclus"))
+        val ccStats = scala.concurrent.Await
+          .result(ccFut, scala.concurrent.duration.Duration(10, "min"))
+          .groupBy("component").agg(count(lit(1)).as("graft_c"))
+          .agg(sum(col("graft_c")).as("graft_nodes"),
+            count(lit(1)).as("graft_comps"),
+            org.apache.spark.sql.functions.max(col("graft_c")).as("graft_maxc"),
+            sum(col("component") * col("graft_c")).as("graft_lsum"))
+        // ALL FOUR audit aggregates in ONE action: the cc-stats, bad-pair,
+        // label, and endpoint pipelines become concurrent stages of a
+        // single job instead of four serialized driver round-trips (the
+        // q24 fusion pattern) — the shared persisted frames fill once
+        val fused = ccStats.crossJoin(badDf).crossJoin(knDf).crossJoin(pnDf)
+          .collect().head
+        labeledPairs.unpersist(blocking = false)
+        pairs.unpersist(blocking = false)
+        clustered.unpersist(blocking = false)
+        sigs.unpersist(blocking = false)
+        fused
+      } catch { case t: Throwable =>
+        s.sparkContext.cancelJobGroup(ccJobGroup)
+        throw t
+      }
       val badPairs = r.getLong(4)
       val (kept, nDocs) = (r.getLong(5), r.getLong(6))
       val (nClustered, nClusters) = (r.getLong(7), r.getLong(8))
-      labeledPairs.unpersist(blocking = false)
-      pairs.unpersist(blocking = false)
-      clustered.unpersist(blocking = false)
-      sigs.unpersist(blocking = false)
 
       metricRow(s, Seq(
         "cc_nodes" -> r.getLong(0).toDouble,
@@ -2143,14 +2165,16 @@ object SparkEntry {
         java.nio.file.Files.createTempDirectory("graft_seen").toString
       Dedup.seenTextKeys(old, "text")
         .write.mode("overwrite").parquet(statePath)
-      val seen = s.read.parquet(statePath)
-      val surv = Dedup.exactDedupIncremental(batch, "text", "doc_id", seen)
-      val r = surv.agg(count(lit(1)), sum(col("doc_id"))).collect().head
-      metricRow(s, Seq(
-        "survivors" -> r.getLong(0).toDouble,
-        "survivor_id_sum" ->
-          (if (r.isNullAt(1)) 0.0 else r.getLong(1).toDouble),
-        "state_keys" -> seen.count().toDouble))
+      try {
+        val seen = s.read.parquet(statePath)
+        val surv = Dedup.exactDedupIncremental(batch, "text", "doc_id", seen)
+        val r = surv.agg(count(lit(1)), sum(col("doc_id"))).collect().head
+        metricRow(s, Seq(
+          "survivors" -> r.getLong(0).toDouble,
+          "survivor_id_sum" ->
+            (if (r.isNullAt(1)) 0.0 else r.getLong(1).toDouble),
+          "state_keys" -> seen.count().toDouble))
+      } finally rmTree(statePath)
     }),
 
     // Temperature-weighted mixture: per-source token budgets ~ n^0.5 over

@@ -168,7 +168,14 @@ object Mixing {
       .collect()
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
       .sortBy(_._1)
-    val weights = rows.map { case (g, n) => g -> math.pow(n.toDouble, alpha) }
+    // n == 0 maps explicitly to weight 0: math.pow(0, 0) == 1 would hand
+    // an EMPTY group an equal budget share at alpha = 0. Flooring leaves
+    // up to one token per group unallocated — deliberate: budgets must
+    // never overshoot totalBudget, and the prefix sampler treats them as
+    // inclusive caps.
+    val weights = rows.map { case (g, n) =>
+      g -> (if (n == 0L) 0.0 else math.pow(n.toDouble, alpha))
+    }
     val z = weights.map(_._2).sum
     if (z == 0.0) weights.map { case (g, _) => g -> 0L }.toMap
     else weights.map { case (g, w) =>

@@ -378,7 +378,7 @@ object ScaleProbe {
     semdedup(emb0.limit(200), 2)
     cc(ccEdges(4))
 
-    val results = Seq(
+    val resultsHead = Seq(
       ("minhash", timed(minhash(docs0)), timed(minhash(docsX))),
       ("simhash", timed(simhash(docs0)), timed(simhash(docsX))),
       ("emb_neardup", timed(embNearDup(emb0, embN)),
@@ -389,7 +389,11 @@ object ScaleProbe {
       ("fuzzy_decontam", timed(fuzzyDecon(docs0)), timed(fuzzyDecon(docsX))),
       ("source_overlap", timed(srcOverlap(docs0, 256)), timed(srcOverlap(docsX, 256))),
       ("dup_profile", timed(dupProfile(docs0)), timed(dupProfile(docsX))),
-      ("incremental_dedup", timed(increDedup(docs0)), timed(increDedup(docsX))),
+      ("incremental_dedup", timed(increDedup(docs0)), timed(increDedup(docsX))))
+    // the seen-state frame is done after the incremental rows — release
+    // its MEMORY_AND_DISK blocks before the remaining probes run
+    increSeen.unpersist(blocking = false)
+    val results = resultsHead ++ Seq(
       ("lang_id", timed(langId(docs0)), timed(langId(docsX))),
       ("quality_score", timed(quality(docs0)), timed(quality(docsX))),
       ("decontamination", timed(decontam(docs0)), timed(decontam(docsX))),

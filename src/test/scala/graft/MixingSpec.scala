@@ -205,5 +205,25 @@ class MixingSpec extends AnyWordSpec with Matchers with SparkSpec {
       Mixing.temperatureBudgets(docs, "grp", "text",
         totalBudget = 10L, alpha = 0.0) shouldBe Map("a" -> 5L, "b" -> 5L)
     }
+
+    "give zero-token groups budget 0 even at alpha = 0" in {
+      val s = spark
+      import s.implicits._
+      // group "empty" has 0 tokens: pow(0, 0) == 1 must NOT hand it an
+      // equal share of the flattened mixture
+      val docs = Seq(
+        (1L, "a", "one two three four"),
+        (2L, "b", "five six seven eight"),
+        (3L, "empty", "")
+      ).toDF("doc_id", "grp", "text")
+      Mixing.temperatureBudgets(docs, "grp", "text",
+        totalBudget = 10L, alpha = 0.0) shouldBe
+        Map("a" -> 5L, "b" -> 5L, "empty" -> 0L)
+      // all-empty corpus: no division by zero, all budgets 0
+      val allEmpty = Seq((1L, "a", ""), (2L, "b", ""))
+        .toDF("doc_id", "grp", "text")
+      Mixing.temperatureBudgets(allEmpty, "grp", "text",
+        totalBudget = 10L, alpha = 0.5) shouldBe Map("a" -> 0L, "b" -> 0L)
+    }
   }
 }
