@@ -2328,6 +2328,55 @@ object SparkEntry {
             .as("lines_removed"),
           coalesce(sum(col("graft_k")), lit(0L)).cast(DoubleType)
             .as("kept_chars"))
+    }),
+
+    // Incremental FUZZY dedup against persisted MinHash-LSH state — the
+    // q69 staging shape, fuzzified: docs < 300 are yesterday's corpus,
+    // persisted as the merge of two half-states (band/bucket + signature
+    // tables through parquet); today's batch is docs [250, 350) with 8
+    // doc-specific junk tokens appended (a light rewrite: shingle Jaccard
+    // ~0.78+ to the source for >= 30-token docs, so exact 13-gram matching
+    // would miss every one). The batch dedups within itself
+    // (exact-verified clusters) and against the state (signature-agreement
+    // verified) without rescanning history. The >= 30-token floor keeps
+    // every cross-pair >= 4 sigma from the 0.5 threshold (measured: match
+    // J >= 0.78, non-match <= 0.06 at all three SFs), so the DuckDB exact
+    // replay pins the estimator path value-for-value.
+    "q76_incremental_neardup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val old = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+      val idS = col("doc_id").cast(StringType)
+      val junked = concat(col("text"),
+        lit(" zqa"), idS, lit(" zqb"), idS, lit(" zqc"), idS, lit(" zqd"),
+        idS, lit(" zqe"), idS, lit(" zqf"), idS, lit(" zqg"), idS,
+        lit(" zqh"), idS)
+      val batch = docs
+        .filter(col("doc_id") >= 250 && col("doc_id") < 350 &&
+          col("text").isNotNull)
+        .filter(org.apache.spark.sql.functions.size(
+          TextAnalysis.normalizedTokens(col("text"))) >= 30)
+        .select(col("doc_id"), junked.as("text"))
+      val statePath =
+        java.nio.file.Files.createTempDirectory("graft_lshstate").toString
+      try {
+        // the full state algebra: two half-states merged, persisted,
+        // reloaded — exactly what a daily pipeline folding batches does
+        val half0 = Dedup.lshState(old.filter(col("doc_id") < 150),
+          "doc_id", "text", bands = 32)
+        val half1 = Dedup.lshState(old.filter(col("doc_id") >= 150),
+          "doc_id", "text", bands = 32)
+        Dedup.writeLshState(half0.merge(half1), statePath)
+        val state = Dedup.readLshState(s, statePath)
+        val surv = Dedup.nearDedupIncremental(batch, "doc_id", "text",
+          state, threshold = 0.5)
+        val r = surv.agg(count(lit(1)),
+          coalesce(sum(col("doc_id")), lit(0L))).collect().head
+        metricRow(s, Seq(
+          "n_batch" -> batch.count().toDouble,
+          "survivors" -> r.getLong(0).toDouble,
+          "survivor_id_sum" -> r.getLong(1).toDouble,
+          "state_docs" -> state.signatures.count().toDouble))
+      } finally rmTree(statePath)
     })
   )
 
@@ -4231,6 +4280,74 @@ object SparkEntry {
         |  coalesce(sum(n - len(kept)), 0)::DOUBLE AS lines_removed,
         |  coalesce(sum(length(array_to_string(kept, chr(10)))), 0)::DOUBLE
         |    AS kept_chars
-        |FROM k""".stripMargin
+        |FROM k""".stripMargin,
+
+    // q76: exact shingle-Jaccard replay of the incremental fuzzy dedup —
+    // contaminated = batch docs with exact J >= 0.5 vs any old doc;
+    // within-batch components by recursive closure (the q48 convention);
+    // survivors = min-id per component of uncontaminated components. The
+    // fixture's Jaccard dead zone around 0.5 (see the query comment) makes
+    // the MinHash-estimated Spark path agree value-for-value.
+    "q76_incremental_neardup" ->
+      """WITH RECURSIVE osh AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, CASE WHEN len(ts) >= 3 THEN
+        |        list_distinct(list_transform(range(len(ts)-2),
+        |          i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))
+        |      WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+        |      ELSE []::VARCHAR[] END AS sh
+        |    FROM (SELECT doc_id, list_filter(
+        |            string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |          FROM documents WHERE doc_id < 300 AND text IS NOT NULL))
+        |  WHERE len(sh) > 0),
+        |bsh AS (
+        |  SELECT doc_id, CASE WHEN len(ts) >= 3 THEN
+        |      list_distinct(list_transform(range(len(ts)-2),
+        |        i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))
+        |    WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+        |    ELSE []::VARCHAR[] END AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(
+        |          text || ' zqa' || doc_id || ' zqb' || doc_id
+        |               || ' zqc' || doc_id || ' zqd' || doc_id
+        |               || ' zqe' || doc_id || ' zqf' || doc_id
+        |               || ' zqg' || doc_id || ' zqh' || doc_id),
+        |          '\s+'), x -> x <> '') AS ts
+        |        FROM documents
+        |        WHERE doc_id >= 250 AND doc_id < 350 AND text IS NOT NULL
+        |          AND len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '')) >= 30)),
+        |contaminated AS (
+        |  SELECT DISTINCT b.doc_id FROM bsh b JOIN osh o ON
+        |    len(list_intersect(b.sh, o.sh))::DOUBLE
+        |      / greatest(len(b.sh) + len(o.sh)
+        |                 - len(list_intersect(b.sh, o.sh)), 1) >= 0.5
+        |  WHERE len(b.sh) > 0),
+        |wpairs AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM bsh a JOIN bsh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE
+        |        / greatest(len(a.sh) + len(b.sh)
+        |                   - len(list_intersect(a.sh, b.sh)), 1) >= 0.5),
+        |edges AS (SELECT ia AS a, ib AS b FROM wpairs
+        |          UNION SELECT ib, ia FROM wpairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS node, least(min(b), a) AS cluster
+        |         FROM reach GROUP BY a),
+        |lab AS (SELECT b.doc_id, coalesce(c.cluster, b.doc_id) AS cluster
+        |        FROM bsh b LEFT JOIN comp c ON b.doc_id = c.node),
+        |dropc AS (SELECT DISTINCT l.cluster FROM lab l
+        |          JOIN contaminated x ON l.doc_id = x.doc_id),
+        |surv AS (SELECT l.doc_id FROM lab l
+        |         WHERE l.cluster = l.doc_id
+        |           AND l.cluster NOT IN (SELECT cluster FROM dropc))
+        |SELECT (SELECT count(*) FROM bsh)::DOUBLE AS n_batch,
+        |       (SELECT count(*) FROM surv)::DOUBLE AS survivors,
+        |       (SELECT coalesce(sum(doc_id), 0) FROM surv)::DOUBLE
+        |         AS survivor_id_sum,
+        |       (SELECT count(*) FROM osh)::DOUBLE AS state_docs""".stripMargin
   )
 }

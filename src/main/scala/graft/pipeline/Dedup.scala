@@ -352,30 +352,42 @@ object Dedup {
     * per-instance estimates) through the exchange. Callers join
     * signatures/shingles back per unique pair as needed.
     */
-  private def candidatesFromSignatures(
+  /** (idOut, graft_band, graft_bucket) LSH banding rows of a
+    * (graft_id, graft_sig) frame — one row per band per doc. Narrow (a
+    * posexplode over slim signature rows, no text scan, no shuffle);
+    * shared by the self-join, cross-corpus and incremental-state paths.
+    *
+    * A signature built with a DIFFERENT numHashes would band over
+    * empty/partial slices and produce silently-degenerate buckets —
+    * raises per row instead; xxhash64 hashes the long-array slice
+    * directly (no string building).
+    */
+  private def bandedBuckets(
       sigs: DataFrame,
       numHashes: Int,
       bands: Int,
-      maxBucketSize: Int): (DataFrame, Seq[DataFrame]) = {
+      idOut: String = "graft_id"): DataFrame = {
     val rowsPerBand = numHashes / bands
-
-    // a caller-supplied signature frame whose signatures were built with a
-    // DIFFERENT numHashes would band over empty/partial slices and produce
-    // silently-degenerate buckets — raise per row instead
     val checkedSig = when(size(col("graft_sig")) === lit(numHashes), col("graft_sig"))
       .otherwise(raise_error(concat(
         lit(s"signature length != numHashes=$numHashes (got "),
         size(col("graft_sig")).cast(StringType), lit(")"))).cast(ArrayType(LongType)))
-
-    // explode to (band, hash(band slice)) — one row per band per doc;
-    // xxhash64 hashes the long-array slice directly (no string building)
-    val banded = sigs.select(
-      col("graft_id"),
+    sigs.select(
+      col("graft_id").as(idOut),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(checkedSig, b * rowsPerBand + lit(1), lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "graft_band")
       .withColumnRenamed("col", "graft_bucket")
+  }
+
+  private def candidatesFromSignatures(
+      sigs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      maxBucketSize: Int): (DataFrame, Seq[DataFrame]) = {
+    // explode to (band, hash(band slice)) — one row per band per doc
+    val banded = bandedBuckets(sigs, numHashes, bands)
 
     // cap skewed buckets
     // hash order: capping must EXCLUDE UNIFORMLY, not systematically drop
@@ -601,6 +613,203 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // Incremental FUZZY dedup (persisted MinHash-LSH state)
+  // -------------------------------------------------------------------------
+
+  /** Persisted MinHash-LSH state for INCREMENTAL near-duplicate dedup —
+    * the fuzzy twin of [[seenTextKeys]]: a daily batch dedups against the
+    * accumulated history WITHOUT re-scanning the historical text.
+    *
+    *  - `buckets`: one slim (graft_band, graft_bucket, graft_id) row per
+    *    band per historical doc (the band→bucket→member table), capped per
+    *    bucket like the self-join path so a degenerate bucket cannot blow
+    *    up future probes.
+    *  - `signatures`: one (graft_id, graft_sig) row per historical doc —
+    *    the MinHash signature, kept so probe candidates can be VERIFIED
+    *    (by signature agreement) instead of trusting raw bucket collisions.
+    *  - the LSH parameters ride along: a probe or merge against state
+    *    built under different banding would be silently meaningless, so
+    *    [[nearDedupIncremental]] takes them FROM the state and
+    *    [[LshState.merge]] requires them equal.
+    *
+    * The frames are mergeable state in the [[seenTextKeys]] algebra:
+    * [[LshState.merge]] is a distinct union, so states built per batch /
+    * per partition / per day combine associatively and idempotently.
+    *
+    * Scale shape: at 1B docs the signature table is ~0.5 TB and the bucket
+    * table ~16 rows × 20 B per doc — both orders of magnitude under the
+    * corpus, and the only state a 100-TB history contributes to a probe.
+    * [[writeLshState]] lands buckets range-sorted on (band, bucket) so
+    * parquet row-group min/max stats plus Spark's runtime bloom-filter
+    * join filters skip most of the table when a day-sized batch probes it.
+    */
+  final case class LshState(
+      buckets: DataFrame,
+      signatures: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      maxBucketSize: Int = 1000) {
+    /** Distinct-union state merge — associative, commutative, idempotent.
+      * Per-bucket caps are not re-applied across the union in memory: a
+      * merged bucket may exceed the build-time cap by the number of merged
+      * states (bounded; [[writeLshState]] re-caps globally on persist).
+      */
+    def merge(other: LshState): LshState = {
+      require((numHashes, bands, shingleSize) ==
+        ((other.numHashes, other.bands, other.shingleSize)),
+        "cannot merge LshStates built under different LSH parameters")
+      copy(
+        buckets = buckets.unionByName(other.buckets)
+          .dropDuplicates("graft_band", "graft_bucket", "graft_id"),
+        signatures = signatures.unionByName(other.signatures)
+          .dropDuplicates("graft_id"))
+    }
+  }
+
+  /** Banded bucket rows with the per-bucket skew cap applied (uniform
+    * exclusion by id hash, the [[candidatesFromSignatures]] convention). */
+  private def cappedBuckets(
+      sigs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      maxBucketSize: Int): DataFrame = {
+    val wBucket = Window.partitionBy(col("graft_band"), col("graft_bucket"))
+      .orderBy(xxhash64(col("graft_id")), col("graft_id"))
+    bandedBuckets(sigs, numHashes, bands)
+      .withColumn("graft_bn", row_number().over(wBucket))
+      .filter(col("graft_bn") <= maxBucketSize)
+      .drop("graft_bn")
+  }
+
+  /** Build [[LshState]] from a corpus (or a batch's survivors, to fold
+    * into yesterday's state via [[LshState.merge]]). Docs with an empty
+    * shingle set (null/short text) are NOT represented — they can never
+    * fuzzy-match, exactly as [[seenTextKeys]] leaves null texts out of
+    * the exact state.
+    *
+    * The returned `buckets` frame re-derives from the same signature
+    * lineage, so consuming BOTH frames of an unwritten state scans the
+    * text twice — production states go through [[writeLshState]] /
+    * [[readLshState]], which pay one scan total.
+    */
+  def lshState(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      maxBucketSize: Int = 1000): LshState = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val sigs = textSignatures(df, idCol, textCol, numHashes, shingleSize)
+      .filter(size(col("graft_hs")) > 0)
+      .select(col("graft_id").cast(LongType).as("graft_id"), col("graft_sig"))
+    LshState(cappedBuckets(sigs, numHashes, bands, maxBucketSize), sigs,
+      numHashes, bands, shingleSize, maxBucketSize)
+  }
+
+  /** Persist state under `path` (`signatures/` + `buckets/` + `params/`
+    * parquet). Signatures are written first and buckets re-banded FROM
+    * the written parquet with the global cap re-applied, so a state built
+    * straight from text pays ONE text scan total and a merged state's
+    * buckets are re-capped globally; buckets land range-sorted on
+    * (band, bucket) for row-group skipping under probe-side bloom filters.
+    */
+  def writeLshState(state: LshState, path: String): Unit = {
+    val spark = state.signatures.sparkSession
+    state.signatures.write.mode("overwrite").parquet(s"$path/signatures")
+    val written = spark.read.parquet(s"$path/signatures")
+    cappedBuckets(written, state.numHashes, state.bands, state.maxBucketSize)
+      .repartitionByRange(col("graft_band"), col("graft_bucket"))
+      .sortWithinPartitions("graft_band", "graft_bucket")
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    import spark.implicits._
+    Seq((state.numHashes, state.bands, state.shingleSize, state.maxBucketSize))
+      .toDF("numHashes", "bands", "shingleSize", "maxBucketSize")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  def readLshState(spark: org.apache.spark.sql.SparkSession, path: String): LshState = {
+    val p = spark.read.parquet(s"$path/params").collect().head
+    LshState(
+      spark.read.parquet(s"$path/buckets"),
+      spark.read.parquet(s"$path/signatures"),
+      p.getInt(0), p.getInt(1), p.getInt(2), p.getInt(3))
+  }
+
+  /** Incremental NEAR-duplicate dedup — [[exactDedupIncremental]]'s fuzzy
+    * twin: dedup `batch` within itself (exact-Jaccard-verified MinHash-LSH
+    * clusters, min-id survivor — the [[deduplicateNear]] semantics) and
+    * against the accumulated [[LshState]] of every previous batch, without
+    * ever re-scanning the historical corpus. Returns surviving batch rows.
+    *
+    * History matching is LSH bucket collision VERIFIED by signature
+    * agreement: the fraction of agreeing MinHash components is an unbiased
+    * estimator of shingle Jaccard (the state holds 0.5 KB of signature per
+    * doc, not the shingle sets), so precision near the threshold is
+    * estimator-limited (~±1/√numHashes) while within-batch precision stays
+    * exact. A batch component ANY of whose members matches history is
+    * dropped whole — the same outcome full-corpus dedup gives when history
+    * ids precede batch ids (the component's min id would sit in history).
+    *
+    * Scale shape: the batch pays one signature scan; its banded rows and
+    * candidate pairs are BROADCAST, so the persisted state tables stream
+    * through their joins without a shuffle — probe cost tracks the batch
+    * and the collided buckets, never the history. Fold survivors back with
+    * `state.merge(lshState(survivors, ...))` to absorb the batch.
+    */
+  def nearDedupIncremental(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      state: LshState,
+      threshold: Double = 0.8): DataFrame = {
+    import state.{numHashes, bands, shingleSize, maxBucketSize}
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val sigs = textSignatures(batch, idCol, textCol, numHashes, shingleSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // within-batch near-dup clusters: exact-verified pairs, min-id labels
+    val pairs = nearDuplicatePairsFromSignatures(sigs, threshold, numHashes,
+      bands, maxBucketSize)
+    val clustered = clustersFromPairs(batch, idCol, pairs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // history candidates: the batch's banded rows probe the bucket table —
+    // the broadcast keeps the (possibly 100-TB-history-sized) state side
+    // from shuffling
+    val batchBands = bandedBuckets(
+      sigs.filter(size(col("graft_hs")) > 0)
+        .select(col("graft_id").cast(LongType).as("graft_id"), col("graft_sig")),
+      numHashes, bands, idOut = "graft_bid")
+    val cand = state.buckets
+      .join(broadcast(batchBands), Seq("graft_band", "graft_bucket"))
+      .select(col("graft_bid"), col("graft_id").as("graft_hid"))
+      .dropDuplicates("graft_bid", "graft_hid")
+    // verify by MinHash component agreement against the state signatures
+    val agree = aggregate(
+      zip_with(col("graft_bsig"), col("graft_hsig"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast(DoubleType) / lit(numHashes)
+    val contaminated = broadcast(cand
+        .join(sigs.select(col("graft_id").cast(LongType).as("graft_bid"),
+          col("graft_sig").as("graft_bsig")), Seq("graft_bid")))
+      .join(state.signatures.select(col("graft_id").as("graft_hid"),
+        col("graft_sig").as("graft_hsig")), Seq("graft_hid"))
+      .where(agree >= threshold)
+      .select(col("graft_bid"))
+      .distinct()
+    val dropClusters = clustered
+      .join(broadcast(contaminated),
+        clustered(idCol).cast(LongType) === col("graft_bid"))
+      .select(col("cluster")).distinct()
+    val out = clustered
+      .where(col("cluster") === col(idCol).cast(LongType))
+      .join(broadcast(dropClusters), Seq("cluster"), "left_anti")
+      .drop("cluster")
+    CacheLifecycle.releaseOnConsume(out, Seq(sigs, clustered))
+  }
+
+  // -------------------------------------------------------------------------
   // Cross-corpus near-dup join (fuzzy decontamination)
   // -------------------------------------------------------------------------
 
@@ -680,15 +889,9 @@ object Dedup {
       bands: Int = 32,
       shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rowsPerBand = numHashes / bands
     def bandedOf(sigs: DataFrame, outId: String): DataFrame =
-      sigs.select(col(outId),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(
-            slice(col("graft_sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b))))
-        .withColumnRenamed("pos", "graft_band")
-        .withColumnRenamed("col", "graft_bucket")
+      bandedBuckets(sigs.select(col(outId).as("graft_id"), col("graft_sig")),
+        numHashes, bands, outId)
     val pSigs = textSignatures(probes, probeIdCol, probeTextCol, numHashes, shingleSize)
       .filter(size(col("graft_hs")) > 0)
       .select(col("graft_id").as("probe_id"), col("graft_sig"),

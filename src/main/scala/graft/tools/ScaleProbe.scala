@@ -206,6 +206,24 @@ object ScaleProbe {
     }
     def increDedup(d: DataFrame): Long =
       Dedup.exactDedupIncremental(d, "text", "doc_id", increSeen).count()
+    // incremental FUZZY dedup (q76 engine path): FIXED LSH state built
+    // from the base corpus ONCE and persisted through parquet (the
+    // production shape — write/read, not a live lineage back to the
+    // text), batch grows — the probe join and estimate verify must scale
+    // with the batch and its collided buckets, never the history
+    lazy val fuzzyState = {
+      val dir = s"$work/lsh_state"
+      Dedup.writeLshState(Dedup.lshState(docs0, "doc_id", "text"), dir)
+      val st = Dedup.readLshState(spark, dir)
+      st.copy(
+        buckets = st.buckets
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        signatures = st.signatures
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+    def increNearDedup(d: DataFrame): Long =
+      Dedup.nearDedupIncremental(d, "doc_id", "text", fuzzyState,
+        threshold = 0.5).count()
     def langId(d: DataFrame): Long =
       graft.pipeline.TextAnalysis.languageIdCounts(d, "text")
         .agg(sum(col("cnt"))).collect().head.getLong(0)
@@ -363,6 +381,7 @@ object ScaleProbe {
     srcOverlap(docs0.limit(200), 256)
     dupProfile(docs0.limit(200))
     increDedup(docs0.limit(200))
+    increNearDedup(docs0.limit(200))
     langId(docs0.limit(200))
     quality(docs0.limit(200))
     decontam(docs0.limit(200))
@@ -389,10 +408,14 @@ object ScaleProbe {
       ("fuzzy_decontam", timed(fuzzyDecon(docs0)), timed(fuzzyDecon(docsX))),
       ("source_overlap", timed(srcOverlap(docs0, 256)), timed(srcOverlap(docsX, 256))),
       ("dup_profile", timed(dupProfile(docs0)), timed(dupProfile(docsX))),
-      ("incremental_dedup", timed(increDedup(docs0)), timed(increDedup(docsX))))
-    // the seen-state frame is done after the incremental rows — release
-    // its MEMORY_AND_DISK blocks before the remaining probes run
+      ("incremental_dedup", timed(increDedup(docs0)), timed(increDedup(docsX))),
+      ("incremental_neardup",
+        timed(increNearDedup(docs0)), timed(increNearDedup(docsX))))
+    // the seen/LSH state frames are done after the incremental rows —
+    // release their MEMORY_AND_DISK blocks before the remaining probes run
     increSeen.unpersist(blocking = false)
+    fuzzyState.buckets.unpersist(blocking = false)
+    fuzzyState.signatures.unpersist(blocking = false)
     val results = resultsHead ++ Seq(
       ("lang_id", timed(langId(docs0)), timed(langId(docsX))),
       ("quality_score", timed(quality(docs0)), timed(quality(docsX))),

@@ -1304,6 +1304,126 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "nearDedupIncremental" should {
+    // history: one 15-token doc; batch fuzzy-dups sit at shingle Jaccard
+    // ~0.86/1.0 (far above the 0.5 threshold) and novel docs near 0, so
+    // the MinHash-agreement estimate (±1/√64 ≈ 0.125 σ) cannot flip a
+    // decision — the fixture is deterministic at any hash seed
+    def history = {
+      val s = spark
+      import s.implicits._
+      Seq((1L,
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
+      )).toDF("doc_id", "text")
+    }
+    def batch = {
+      val s = spark
+      import s.implicits._
+      Seq(
+        // fuzzy dup of history doc 1 (last token changed, J = 12/14)
+        (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi pi"),
+        // exact dup of history doc 1
+        (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"),
+        // within-batch near-dup pair, unrelated to history: keep 12
+        (12L, "one two three four five six seven eight nine ten eleven twelve thirteen"),
+        (13L, "one two three four five six seven eight nine ten eleven twelve fourteen"),
+        // novel
+        (14L, "totally novel content words completely unrelated any overlap whatsoever distinct vocabulary"),
+        // empty text: no shingles, never matches anything
+        (16L, "")
+      ).toDF("doc_id", "text")
+    }
+
+    "dedup a batch within itself and against the persisted state" in {
+      val state = Dedup.lshState(history, "doc_id", "text")
+      val surv = Dedup.nearDedupIncremental(batch, "doc_id", "text", state,
+        threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      surv shouldBe Set(12L, 14L, 16L)
+    }
+
+    "reproduce full-corpus deduplicateNear on the batch side" in {
+      val full = Dedup.deduplicateNear(history.unionByName(batch),
+        "doc_id", "text", threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val state = Dedup.lshState(history, "doc_id", "text")
+      val incr = Dedup.nearDedupIncremental(batch, "doc_id", "text", state,
+        threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      incr shouldBe full.filter(_ >= 10L)
+      full.filter(_ < 10L) shouldBe Set(1L)
+    }
+
+    "round-trip state through parquet and merge halves associatively" in {
+      val s = spark
+      import s.implicits._
+      val h2 = Seq((2L,
+        "red orange yellow green blue indigo violet crimson amber teal navy maroon"
+      )).toDF("doc_id", "text")
+      // state(history ∪ h2) == merge of per-half states, through disk
+      val merged = Dedup.lshState(history, "doc_id", "text")
+        .merge(Dedup.lshState(h2, "doc_id", "text"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_lsh").toString
+      try {
+        Dedup.writeLshState(merged, dir)
+        val loaded = Dedup.readLshState(s, dir)
+        loaded.numHashes shouldBe 64
+        loaded.signatures.count() shouldBe 2L
+        // a batch near-dup of EACH half must be caught from the one state
+        val b = Seq(
+          (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi pi"),
+          (21L, "red orange yellow green blue indigo violet crimson amber teal navy gold"),
+          (22L, "fresh unseen material nothing shared here at all today")
+        ).toDF("doc_id", "text")
+        val surv = Dedup.nearDedupIncremental(b, "doc_id", "text", loaded,
+          threshold = 0.5)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        surv shouldBe Set(22L)
+        // merge is idempotent: folding a state into itself changes nothing
+        merged.merge(merged).signatures.count() shouldBe 2L
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try st.iterator().asScala.toSeq.reverseIterator
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally st.close()
+      }
+    }
+
+    "drop a whole within-batch cluster when any member matches history" in {
+      val s = spark
+      import s.implicits._
+      // shingle sets: R = A, M = A ++ B (boundary-bridged), H = B —
+      // J(R,M) ≈ J(M,H) ≈ 10/22, J(R,H) = 0; threshold 0.35 keeps both
+      // real pairs >0.1 above it and the null pair far below. 128 hashes
+      // halve the estimator σ for the history-side (estimated) decision;
+      // 64 bands (2 rows each) put the LSH S-curve's steep part well
+      // BELOW J = 0.45, so banding recall at these pairs is ~1 − 4e-7.
+      val aToks = (1 to 12).map(i => s"a$i").mkString(" ")
+      val bToks = (1 to 12).map(i => s"b$i").mkString(" ")
+      val hist = Seq((1L, bToks)).toDF("doc_id", "text")
+      val b = Seq(
+        (10L, aToks),                 // R: near-dup of M only
+        (11L, s"$aToks $bToks"),      // M: near-dup of R AND of history
+        (12L, "untouched bystander document with its own words entirely")
+      ).toDF("doc_id", "text")
+      val state = Dedup.lshState(hist, "doc_id", "text",
+        numHashes = 128, bands = 64)
+      val surv = Dedup.nearDedupIncremental(b, "doc_id", "text", state,
+        threshold = 0.35)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // the {10, 11} cluster dies whole: full-corpus dedup would keep only
+      // history doc 1 from the {1, 10, 11} component
+      surv shouldBe Set(12L)
+    }
+
+    "refuse to merge states built under different parameters" in {
+      val a = Dedup.lshState(history, "doc_id", "text", numHashes = 64)
+      val b = Dedup.lshState(history, "doc_id", "text", numHashes = 128)
+      an[IllegalArgumentException] should be thrownBy a.merge(b)
+    }
+  }
+
   "exactDedupIncremental" should {
     "dedup within the batch and against the persisted seen state" in {
       val s = spark

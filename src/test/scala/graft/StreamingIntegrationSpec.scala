@@ -325,5 +325,82 @@ class StreamingIntegrationSpec extends AnyWordSpec with Matchers with SparkSpec 
       streamedTexts shouldBe Set("gamma", "delta")
       streamedTexts shouldBe batchTexts
     }
+
+    "near-dedup a live ingest against LSH state like batch nearDedupIncremental" in {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      // micro-batch 1 seeds the persisted MinHash-LSH state; micro-batch 2
+      // is today's ingest, near-deduped against the state inside
+      // foreachBatch — the streaming twin of q76's batch shape. The fuzzy
+      // path's tie-breaks are min-id (not arrival order), so ids compare
+      // directly against the batch operator.
+      val old = Seq((1L,
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"))
+      val today = Seq(
+        // fuzzy dup of doc 1 (last token changed): dropped vs state
+        (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi pi"),
+        // within-batch near-dup pair: keep 11
+        (11L, "one two three four five six seven eight nine ten eleven twelve thirteen"),
+        (12L, "one two three four five six seven eight nine ten eleven twelve fourteen"),
+        // novel: kept
+        (13L, "totally novel content words completely unrelated any overlap whatsoever distinct vocabulary"))
+
+      val stateDir =
+        java.nio.file.Files.createTempDirectory("graft_stream_lsh").toString
+      val input = MemoryStream[(Long, String)]
+      val survived = scala.collection.mutable.Buffer[Long]()
+      var seeded = false
+      val query = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!seeded) {
+            graft.pipeline.Dedup.writeLshState(
+              graft.pipeline.Dedup.lshState(df, "doc_id", "text"), stateDir)
+            seeded = true
+          } else {
+            val st = graft.pipeline.Dedup.readLshState(df.sparkSession, stateDir)
+            val surv = graft.pipeline.Dedup.nearDedupIncremental(
+              df, "doc_id", "text", st, threshold = 0.5)
+            survived.synchronized {
+              survived ++= surv.select("doc_id").collect().map(_.getLong(0))
+            }
+            // fold the survivors into the state for the next micro-batch —
+            // the full daily-ingestion algebra
+            graft.pipeline.Dedup.writeLshState(
+              st.merge(graft.pipeline.Dedup.lshState(surv, "doc_id", "text")),
+              stateDir + "_next")
+          }
+          ()
+        }
+        .start()
+      try {
+        input.addData(old: _*)
+        query.processAllAvailable()
+        input.addData(today: _*)
+        query.processAllAvailable()
+      } finally query.stop()
+
+      val batchIds = graft.pipeline.Dedup.nearDedupIncremental(
+        today.toDF("doc_id", "text"), "doc_id", "text",
+        graft.pipeline.Dedup.lshState(old.toDF("doc_id", "text"), "doc_id", "text"),
+        threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      survived.toSet shouldBe Set(11L, 13L)
+      survived.toSet shouldBe batchIds
+      // the folded state absorbed the surviving batch docs
+      graft.pipeline.Dedup.readLshState(s, stateDir + "_next")
+        .signatures.count() shouldBe 3L
+
+      import scala.jdk.CollectionConverters._
+      Seq(stateDir, stateDir + "_next").foreach { d =>
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        try st.iterator().asScala.toSeq.reverseIterator
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally st.close()
+      }
+    }
   }
 }
