@@ -46,6 +46,18 @@ object SparkEntry {
   val ParaInjectPattern = "((?:[^ \\t\\n\\x0B\\f\\r]+ ){3}[^ \\t\\n\\x0B\\f\\r]+) "
   val ParaInjectReplacement = "$1\n"
 
+  /** q77's fixed BPE demo vocabulary — 12 merges chosen to exercise
+    * multi-level merging over the corpus vocabulary (the+spark+line get
+    * 2-3-level merges). The DuckDB oracle's replace chain is GENERATED
+    * from this same list (see `bpeOracleSql`), so the two sides cannot
+    * drift. Well-formed by construction: every non-char symbol (th, ar,
+    * in) is created by an earlier merge.
+    */
+  val BpeDemoMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "a" -> "r", "ar" -> "k", "e" -> "r",
+    "o" -> "r", "a" -> "t", "s" -> "t", "i" -> "n", "in" -> "e",
+    "o" -> "w", "u" -> "e")
+
   /** The events table's `ts` encoding has varied across test-data
     * generations: older files store parquet TIMESTAMP(NANOS) — which the
     * Spark reader rejects unless `nanosAsLong` maps it to a raw Long —
@@ -2330,6 +2342,34 @@ object SparkEntry {
             .as("kept_chars"))
     }),
 
+    // Learned-tokenizer (BPE) token counting: a fixed 12-merge demo vocab
+    // (multi-level merges: t+h→th→the, a+r→ar→ark, i+n→in→ine) applied to
+    // every document, plus the trainer's FIRST merge learned from the
+    // corpus word histogram. The DuckDB oracle replays the identical
+    // merge sequence with a recursive per-merge-fixpoint replace chain
+    // (equal to rank-priority BPE for well-formed lists — property-pinned
+    // in BpeSpec) and re-derives the first merge as the argmax char pair.
+    "q77_bpe_tokens" -> ((s, dir) => {
+      import graft.pipeline.{Bpe, Mixing}
+      val docs = table(s, dir, "documents")
+      val model = Bpe.BpeModel(BpeDemoMerges)
+      val r = docs
+        .select(col("doc_id"),
+          Mixing.tokenCountExpr(col("text")).as("graft_w"),
+          Bpe.tokenCountCol(model)(col("text")).as("graft_b"))
+        .agg(
+          coalesce(sum(col("graft_w")), lit(0L)),
+          coalesce(sum(col("graft_b")), lit(0L)),
+          coalesce(sum(col("doc_id") * col("graft_b")), lit(0L)))
+        .collect().head
+      val first = graft.pipeline.Bpe.train(docs, "text", numMerges = 1)
+        .merges.headOption.map { case (a, b) => s"$a $b" }.getOrElse("")
+      import s.implicits._
+      Seq((r.getLong(0).toDouble, r.getLong(1).toDouble,
+        r.getLong(2).toDouble, first))
+        .toDF("ws_tokens", "bpe_tokens", "bpe_id_weighted", "first_merge")
+    }),
+
     // Incremental FUZZY dedup against persisted MinHash-LSH state — the
     // q69 staging shape, fuzzified: docs < 300 are yesterday's corpus,
     // persisted as the merge of two half-states (band/bucket + signature
@@ -2379,6 +2419,45 @@ object SparkEntry {
       } finally rmTree(statePath)
     })
   )
+
+  /** The q77 oracle, generated from [[BpeDemoMerges]]. */
+  private def bpeOracleSql: String = {
+    val n = BpeDemoMerges.length
+    val caseExpr = BpeDemoMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"WHEN $i THEN replace(seg, ' $a $b ', ' $a$b ')"
+    }.mkString("CASE mi ", " ", " ELSE seg END")
+    s"""WITH RECURSIVE w AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |dw AS (SELECT DISTINCT w FROM w),
+       |init AS (
+       |  SELECT w, ' ' || array_to_string(list_transform(range(length(w)),
+       |    i -> substring(w, (i + 1)::INT, 1)), ' ') || ' ' AS seg, 0 AS mi
+       |  FROM dw),
+       |bpe AS (
+       |  SELECT w, seg, mi FROM init
+       |  UNION ALL
+       |  SELECT w, nseg,
+       |         CASE WHEN nseg <> seg THEN mi ELSE mi + 1 END AS mi
+       |  FROM (SELECT w, seg, mi, $caseExpr AS nseg
+       |        FROM bpe WHERE mi < $n)),
+       |seg AS (SELECT w, len(string_split(trim(seg), ' ')) AS c
+       |        FROM bpe WHERE mi = $n),
+       |pc AS (
+       |  SELECT substring(w, (i + 1)::INT, 1) AS a,
+       |         substring(w, (i + 2)::INT, 1) AS b, count(*) AS c
+       |  FROM (SELECT w, unnest(range(length(w) - 1)) AS i
+       |        FROM w WHERE length(w) >= 2)
+       |  GROUP BY 1, 2),
+       |fm AS (SELECT a || ' ' || b AS m FROM pc ORDER BY c DESC, a, b LIMIT 1)
+       |SELECT (SELECT count(*) FROM w)::DOUBLE AS ws_tokens,
+       |       (SELECT sum(s.c) FROM w JOIN seg s USING (w))::DOUBLE
+       |         AS bpe_tokens,
+       |       (SELECT sum(w.doc_id * s.c)
+       |        FROM w JOIN seg s USING (w))::DOUBLE AS bpe_id_weighted,
+       |       (SELECT m FROM fm) AS first_merge""".stripMargin
+  }
 
   // -------------------------------------------------------------------------
   // DuckDB oracles (ANSI SQL on the same parquet tables)
@@ -4281,6 +4360,16 @@ object SparkEntry {
         |  coalesce(sum(length(array_to_string(kept, chr(10)))), 0)::DOUBLE
         |    AS kept_chars
         |FROM k""".stripMargin,
+
+    // q77: DuckDB replays the BPE apply with a recursive replace chain —
+    // per merge, replace() iterates to ITS OWN fixpoint (mi stays while
+    // the string changes) before advancing, which equals rank-priority
+    // BPE for well-formed merge lists (BpeSpec pins the property against
+    // 500 randomized words). The CASE branches are GENERATED from
+    // BpeDemoMerges, so the SQL cannot drift from the Spark model. The
+    // trainer's first merge re-derives as the argmax adjacent char pair
+    // (count desc, pair asc) over word occurrences.
+    "q77_bpe_tokens" -> bpeOracleSql,
 
     // q76: exact shingle-Jaccard replay of the incremental fuzzy dedup —
     // contaminated = batch docs with exact J >= 0.5 vs any old doc;

@@ -11,8 +11,9 @@ import org.apache.spark.sql.types._
   *
   * Definitions (exact, oracle-replayable):
   *  - tokens: whitespace-split, empties dropped — the same convention as
-  *    [[Repetition]] / [[Mixing]]; chunk text is the single-space re-join
-  *    of its token slice.
+  *    [[Repetition]] / [[Mixing]] — unless a custom `tokens` column fn is
+  *    passed (e.g. [[Bpe.tokensCol]] for learned-tokenizer windows);
+  *    chunk text is the single-space re-join of its token slice.
   *  - windows start at 0, stride, 2*stride, ... with
   *    `stride = chunkTokens - overlap`; a window is emitted iff it is the
   *    first (`start == 0`) or it contains at least one token the previous
@@ -41,12 +42,13 @@ object Chunking {
       df: DataFrame,
       textCol: String,
       chunkTokens: Int = 512,
-      overlap: Int = 64): DataFrame = {
+      overlap: Int = 64,
+      tokens: Column => Column = TextAnalysis.tokens): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap must be in [0, chunkTokens), got $overlap of $chunkTokens")
     val stride = chunkTokens - overlap
-    val toks = TextAnalysis.tokens(col(textCol))
+    val toks = tokens(col(textCol))
     val n = size(toks)
     // emitted window starts: 0, stride, ... while start < n and the window
     // adds at least one new token past the previous window's coverage

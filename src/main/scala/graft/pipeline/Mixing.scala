@@ -160,11 +160,12 @@ object Mixing {
       groupCol: String,
       textCol: String,
       totalBudget: Long,
-      alpha: Double = 0.5): Map[String, Long] = {
+      alpha: Double = 0.5,
+      tokenCount: Column => Column = tokenCountExpr): Map[String, Long] = {
     require(totalBudget >= 0, "totalBudget must be non-negative")
     val rows = df.where(col(groupCol).isNotNull)
       .groupBy(col(groupCol).cast(StringType).as("graft_g"))
-      .agg(sum(tokenCountExpr(col(textCol))).as("graft_n"))
+      .agg(sum(tokenCount(col(textCol))).as("graft_n"))
       .collect()
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
       .sortBy(_._1)
@@ -202,7 +203,8 @@ object Mixing {
       textCol: String,
       groupCol: String,
       budgets: Map[String, Long],
-      seed: String = "graft"): DataFrame = {
+      seed: String = "graft",
+      tokenCount: Column => Column = tokenCountExpr): DataFrame = {
     val spark = df.sparkSession
     val idField = df.schema(df.schema.fieldIndex(idCol))
     val slim = df
@@ -212,7 +214,7 @@ object Mixing {
         col(groupCol).cast(StringType).as("graft_g"),
         sampleHash(col(idCol), seed).as("graft_h"),
         col(idCol).as("graft_id"),
-        tokenCountExpr(col(textCol)).as("graft_t"))
+        tokenCount(col(textCol)).cast(LongType).as("graft_t"))
       .repartitionByRange(col("graft_g"), col("graft_h"), col("graft_id"))
       .sortWithinPartitions("graft_g", "graft_h", "graft_id")
       .rdd.map(r => (r.getString(0), r.getString(1), r.get(2), r.getLong(3)))

@@ -14,7 +14,9 @@ import org.apache.spark.sql.types._
   *
   * Definitions (exact, oracle-replayable):
   *  - tokens: whitespace-split, empties dropped ([[TextAnalysis.tokens]] —
-  *    the repo's one canonical tokenizer); null text = zero tokens.
+  *    the repo's one canonical tokenizer) unless a custom `tokens` column
+  *    fn is passed (e.g. [[Bpe.tokensCol]] to pack a learned-tokenizer
+  *    stream); null text = zero tokens.
   *  - the stream orders documents by ascending id (ids must be unique and
   *    non-null; null-id rows are dropped). Token `g` of the stream lands
   *    in sequence `g div seqLen`.
@@ -55,12 +57,13 @@ object Packing {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      seqLen: Int): DataFrame = {
+      seqLen: Int,
+      tokens: Column => Column = TextAnalysis.tokens): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val L = lit(seqLen.toLong)
     val nt = col("graft_nt")
     val start = col("graft_start")
-    docOffsets(df, idCol, textCol)
+    docOffsets(df, idCol, textCol, tokens)
       .select(
         col(idCol),
         nt.as("n_tokens"),
@@ -81,10 +84,11 @@ object Packing {
       idCol: String,
       textCol: String,
       seqLen: Int,
-      keepPartial: Boolean = false): DataFrame = {
+      keepPartial: Boolean = false,
+      tokens: Column => Column = TextAnalysis.tokens): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val L = lit(seqLen.toLong)
-    val off = docOffsets(df, idCol, textCol).where(col("graft_nt") > 0)
+    val off = docOffsets(df, idCol, textCol, tokens).where(col("graft_nt") > 0)
     val docs = df.select(col(idCol), col(textCol)).join(off, Seq(idCol))
     val start = col("graft_start")
     val nt = col("graft_nt")
@@ -95,7 +99,7 @@ object Packing {
     val pieces = docs
       .select(
         start, nt,
-        TextAnalysis.tokens(col(textCol)).as("graft_toks"))
+        tokens(col(textCol)).as("graft_toks"))
       .select(explode(transform(
         sequence(floor(start / L), floor((start + nt - 1) / L)),
         s => {
@@ -132,14 +136,16 @@ object Packing {
   private def docOffsets(
       df: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      tokens: Column => Column = TextAnalysis.tokens): DataFrame = {
     val spark = df.sparkSession
     val idField = df.schema(df.schema.fieldIndex(idCol))
     val slim = df
       .where(col(idCol).isNotNull)
       .select(
         col(idCol).as("graft_id"),
-        Mixing.tokenCountExpr(col(textCol)).as("graft_t"))
+        coalesce(size(tokens(col(textCol))).cast(LongType), lit(0L))
+          .as("graft_t"))
       .repartitionByRange(col("graft_id"))
       .sortWithinPartitions("graft_id")
       .rdd.map(r => (r.get(0), r.getLong(1)))
