@@ -2342,6 +2342,29 @@ object SparkEntry {
             .as("kept_chars"))
     }),
 
+    // Interpolated Kneser-Ney bigram LM scoring (the CCNet/KenLM-style
+    // rung above q72's Jelinek-Mercer): absolute discount D = 0.75,
+    // continuation probabilities from distinct-context counts. Rounded
+    // aggregate pins (the q72 convention) + a threshold census at 3.45
+    // (nearest doc >= 3.3e-4 away at all three SFs — measured); the
+    // DuckDB oracle rebuilds the identical model from pair/head/
+    // continuation aggregates.
+    "q78_kneser_ney_lm" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val ce = TextAnalysis
+        .kneserNeyCrossEntropy(docs, "doc_id", "text", discount = 0.75)
+      ce.agg(
+        count(lit(1)).cast(DoubleType).as("n_docs"),
+        coalesce(sum(col("n_bigrams")), lit(0L)).cast(DoubleType)
+          .as("total_bigrams"),
+        round(sum(col("nll")), 3).as("sum_nll"),
+        round(avg(col("cross_entropy")), 6).as("avg_h"),
+        round(min(col("cross_entropy")), 6).as("min_h"),
+        round(max(col("cross_entropy")), 6).as("max_h"),
+        sum(when(col("cross_entropy") < 3.45, 1L).otherwise(0L))
+          .cast(DoubleType).as("docs_low"))
+    }),
+
     // Learned-tokenizer (BPE) token counting: a fixed 12-merge demo vocab
     // (multi-level merges: t+h→th→the, a+r→ar→ark, i+n→in→ine) applied to
     // every document, plus the trainer's FIRST merge learned from the
@@ -4360,6 +4383,47 @@ object SparkEntry {
         |  coalesce(sum(length(array_to_string(kept, chr(10)))), 0)::DOUBLE
         |    AS kept_chars
         |FROM k""".stripMargin,
+
+    // q78: the interpolated Kneser-Ney model rebuilt from aggregates —
+    // nfwd = distinct continuations per head, ncont = distinct heads per
+    // tail, ntypes = distinct bigram types; identical algebra to the
+    // Spark window-pass form.
+    "q78_kneser_ney_lm" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), bgu AS (
+        |  SELECT doc_id,
+        |    unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS t
+        |  FROM base WHERE len(toks) >= 2
+        |), bf AS (
+        |  SELECT doc_id, t[1] AS w1, t[2] AS w2, count(*) AS tf
+        |  FROM bgu GROUP BY 1, 2, 3
+        |), pairc AS (SELECT w1, w2, sum(tf) AS c FROM bf GROUP BY 1, 2),
+        |headc AS (SELECT w1, sum(tf) AS ch, count(DISTINCT w2) AS nfwd
+        |          FROM bf GROUP BY 1),
+        |tailc AS (SELECT w2, count(DISTINCT w1) AS ncont FROM bf GROUP BY 1),
+        |sc AS (SELECT count(*) AS ntypes FROM pairc),
+        |doc AS (
+        |  SELECT f.doc_id, sum(f.tf) AS nb,
+        |    sum(-f.tf * ln(
+        |      greatest(p.c - 0.75, 0) / h.ch
+        |      + 0.75 * h.nfwd / h.ch
+        |        * (t.ncont::DOUBLE / (SELECT ntypes FROM sc)))) AS nll
+        |  FROM bf f JOIN pairc p USING (w1, w2) JOIN headc h USING (w1)
+        |    JOIN tailc t USING (w2)
+        |  GROUP BY 1
+        |)
+        |SELECT count(*)::DOUBLE AS n_docs,
+        |  coalesce(sum(nb), 0)::DOUBLE AS total_bigrams,
+        |  round(sum(nll), 3)::DOUBLE AS sum_nll,
+        |  round(avg(nll / nb), 6)::DOUBLE AS avg_h,
+        |  round(min(nll / nb), 6)::DOUBLE AS min_h,
+        |  round(max(nll / nb), 6)::DOUBLE AS max_h,
+        |  sum(CASE WHEN nll / nb < 3.45 THEN 1 ELSE 0 END)::DOUBLE
+        |    AS docs_low
+        |FROM doc""".stripMargin,
 
     // q77: DuckDB replays the BPE apply with a recursive replace chain —
     // per merge, replace() iterates to ITS OWN fixpoint (mi stays while

@@ -834,6 +834,101 @@ object TextAnalysis {
     CacheLifecycle.releaseOnConsume(perDoc, Seq(bf))
   }
 
+  /** Per-document cross-entropy under an INTERPOLATED KNESER-NEY bigram
+    * model (Kneser & Ney 1995; the Chen & Goodman 1998 interpolated form
+    * with one absolute discount D) — the standard rung above
+    * [[interpolatedCrossEntropy]]'s Jelinek-Mercer and what CCNet-style
+    * KenLM scoring uses:
+    *
+    *   p(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *            + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * where N1+(w1·) counts distinct continuations of w1, N1+(·w2)
+    * distinct heads preceding w2 (the continuation probability: "how
+    * novel are the contexts this word appears in", not raw frequency),
+    * and N1+(··) the distinct bigram types. The model is trained on `df`
+    * itself, so every scored bigram has c ≥ 1 and probabilities are
+    * strictly positive for D < 1. Documents with < 2 tokens are absent.
+    *
+    * 100 TB plan shape: the q58/q60/q72 machinery — ONE tokenize pass
+    * into the persisted slim (doc, w1, w2, tf) frame; pair totals, head
+    * totals, and both continuation-type counts are count-over-window
+    * passes on that same frame (the distinct-type counts ride a
+    * row_number-flag sum, no countDistinct-over-window and no self-join);
+    * N1+(··) is one bounded driver agg; the per-document rollup is the
+    * final exchange.
+    */
+  def kneserNeyCrossEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount >= 0.0 && discount < 1.0, "discount must be in [0, 1)")
+    val bf = bigramFrequencies(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTypes = bf.agg(countDistinct(col("w1"), col("w2")))
+      .collect().head.getLong(0)
+    val wPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"), col("w2"))
+    val wPairOrd = wPair.orderBy(col(idCol))
+    val wHead = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val wTail = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
+    val d = lit(discount)
+    val perDoc = bf
+      // one row per (doc, w1, w2): flag each PAIR's first row so summing
+      // the flag over head/tail windows yields distinct-type counts
+      .withColumn("graft_f",
+        (row_number().over(wPairOrd) === 1).cast(LongType))
+      .withColumn("graft_c12", sum(col("tf")).over(wPair))
+      .withColumn("graft_ch", sum(col("tf")).over(wHead))
+      .withColumn("graft_nfwd", sum(col("graft_f")).over(wHead))
+      .withColumn("graft_ncont", sum(col("graft_f")).over(wTail))
+      .withColumn("graft_p",
+        greatest(col("graft_c12") - d, lit(0.0)) /
+          col("graft_ch").cast(DoubleType) +
+        d * col("graft_nfwd").cast(DoubleType) /
+          col("graft_ch").cast(DoubleType) *
+          (col("graft_ncont").cast(DoubleType) / lit(nTypes.toDouble)))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(-col("tf") * log(col("graft_p"))).as("nll"))
+      .withColumn("cross_entropy", col("nll") / col("n_bigrams"))
+    CacheLifecycle.releaseOnConsume(perDoc, Seq(bf))
+  }
+
+  /** The LM-scoring family behind ONE entry point — pick the model order
+    * and smoothing instead of remembering four function names:
+    * (1, Laplace) → [[unigramCrossEntropy]]; (2, Laplace) →
+    * [[bigramCrossEntropy]]; (2, JelinekMercer) →
+    * [[interpolatedCrossEntropy]]; (2, KneserNey) →
+    * [[kneserNeyCrossEntropy]]. All four share the output contract
+    * (`idCol`, n_grams column, nll, cross_entropy) and the
+    * one-tokenize-pass/window plan shape.
+    */
+  sealed trait LmSmoothing
+  object LmSmoothing {
+    case object Laplace extends LmSmoothing
+    final case class JelinekMercer(lambda: Double = 0.7) extends LmSmoothing
+    final case class KneserNey(discount: Double = 0.75) extends LmSmoothing
+  }
+
+  def lmCrossEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      order: Int,
+      smoothing: LmSmoothing = LmSmoothing.Laplace): DataFrame =
+    (order, smoothing) match {
+      case (1, LmSmoothing.Laplace) => unigramCrossEntropy(df, idCol, textCol)
+      case (2, LmSmoothing.Laplace) => bigramCrossEntropy(df, idCol, textCol)
+      case (2, LmSmoothing.JelinekMercer(l)) =>
+        interpolatedCrossEntropy(df, idCol, textCol, l)
+      case (2, LmSmoothing.KneserNey(d)) =>
+        kneserNeyCrossEntropy(df, idCol, textCol, d)
+      case other => throw new IllegalArgumentException(
+        s"unsupported (order, smoothing) combination: $other")
+    }
+
   // -- DSIR importance weighting --------------------------------------------
   // Data Selection via Importance Resampling (Xie et al. 2023,
   // arXiv:2302.03169): score every raw document by the log-likelihood

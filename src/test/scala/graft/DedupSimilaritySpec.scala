@@ -1268,6 +1268,55 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "kneserNeyCrossEntropy" should {
+    "match the hand-computed interpolated KN model" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+      // pairs: (a,b)=2, (b,a)=1, (a,c)=1; heads a: ch=3 nfwd=2, b: ch=1
+      // nfwd=1; conts b=1, a=1, c=1; ntypes=3; D=0.75
+      val pBgivenA = (2 - 0.75) / 3 + 0.75 * 2 / 3.0 * (1.0 / 3)
+      val pAgivenB = (1 - 0.75) / 1 + 0.75 * 1 / 1.0 * (1.0 / 3)
+      val pCgivenA = (1 - 0.75) / 3 + 0.75 * 2 / 3.0 * (1.0 / 3)
+      val out = TextAnalysis
+        .kneserNeyCrossEntropy(df, "doc_id", "text", discount = 0.75)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      out(1L)._1 shouldBe 3L
+      out(1L)._2 shouldBe -(2 * math.log(pBgivenA) + math.log(pAgivenB)) +- 1e-12
+      out(2L)._1 shouldBe 1L
+      out(2L)._2 shouldBe -math.log(pCgivenA) +- 1e-12
+    }
+
+    "stay strictly positive and finite on the shared doc fixture" in {
+      val out = TextAnalysis.kneserNeyCrossEntropy(docs, "doc_id", "text")
+        .collect()
+      out should not be empty
+      out.foreach { r =>
+        val h = r.getAs[Double]("cross_entropy")
+        h should be > 0.0
+        java.lang.Double.isFinite(h) shouldBe true
+      }
+    }
+  }
+
+  "lmCrossEntropy" should {
+    "dispatch to the matching scorer and reject unknown combinations" in {
+      import TextAnalysis.LmSmoothing
+      val kn = TextAnalysis
+        .lmCrossEntropy(docs, "doc_id", "text", order = 2,
+          smoothing = LmSmoothing.KneserNey(0.75))
+        .select(col("doc_id"), col("cross_entropy").as("h_d"))
+        .join(TextAnalysis.kneserNeyCrossEntropy(docs, "doc_id", "text")
+          .select(col("doc_id"), col("cross_entropy").as("h_k")), Seq("doc_id"))
+        .collect()
+      kn should not be empty
+      kn.foreach(r => r.getDouble(1) shouldBe r.getDouble(2) +- 1e-12)
+      an[IllegalArgumentException] should be thrownBy
+        TextAnalysis.lmCrossEntropy(docs, "doc_id", "text", order = 3)
+    }
+  }
+
   "collapseAdjacentLines" should {
     "drop only consecutive identical lines" in {
       val s = spark
