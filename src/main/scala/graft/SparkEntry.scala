@@ -2342,6 +2342,66 @@ object SparkEntry {
             .as("kept_chars"))
     }),
 
+    // Domain-level curation (the C4/RefinedWeb per-source triage step):
+    // deterministic synthetic URLs from (source, doc_id) — with ports to
+    // strip and a sprinkling of unparseable values — host-extracted,
+    // aggregated per domain, and policy-blocked. Degradation is INJECTED
+    // (the q39/q54 convention): src4/src9 get a fixed boilerplate text on
+    // id%3 docs (dup_rate ~0.3 vs 0 elsewhere), src13 gets unique junk
+    // (mean quality ~0.61 vs >=0.699 elsewhere); thresholds 0.15/0.66
+    // sit >=0.13/0.03 from every domain at all three SFs (measured).
+    // src7 is blocked by the explicit list. kept_docs pins the actual
+    // LEFT ANTI filter run, not a derivation from the flag.
+    "q79_domain_curation" -> ((s, dir) => {
+      import graft.pipeline.Domains
+      val docs = table(s, dir, "documents")
+      val idS = col("doc_id").cast(StringType)
+      val injected = docs.select(col("doc_id"), col("source"),
+        when(col("source").isin("src4", "src9") &&
+            pmod(col("doc_id"), lit(3)) === 0,
+          lit("duplicate boilerplate navigation menu copyright footer"))
+          .when(col("source") === "src13" && pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("0000 1111 2222 3333 4444 5555 "), idS))
+          .otherwise(col("text")).as("text"))
+      val urled = injected.withColumn("url",
+        when(pmod(col("doc_id"), lit(97)) === 0, lit("not a url"))
+          .when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("https://"), col("source"),
+              lit(".example.com:8080/p/"), idS))
+          .otherwise(concat(lit("https://"), col("source"),
+            lit(".example.com/p/"), idS)))
+        .withColumn("domain", Domains.urlHost(col("url")))
+      val stats = Domains.domainStats(urled, "domain", "text")
+      val blocked = Domains
+        .blockedByPolicy(stats, maxDupRate = 0.15, minMeanQuality = 0.66)
+        .unionByName {
+          import s.implicits._
+          Seq("src7.example.com").toDF("domain")
+        }
+        .distinct()
+        .persist()
+      val keptPer = Domains.filterBlockedDomains(urled, "domain", blocked)
+        .where(col("domain").isNotNull)
+        .groupBy(col("domain")).agg(count(lit(1)).as("graft_kept"))
+      val out = stats
+        .join(blocked.withColumn("graft_blk", lit(1L)), Seq("domain"), "left_outer")
+        .join(keptPer, Seq("domain"), "left_outer")
+        .select(
+          col("domain"),
+          col("n_docs").cast(DoubleType).as("n_docs"),
+          col("n_tokens").cast(DoubleType).as("n_tokens"),
+          col("n_distinct_texts").cast(DoubleType).as("n_distinct_texts"),
+          col("low_quality_docs").cast(DoubleType).as("low_quality_docs"),
+          round(col("mean_quality"), 6).as("mean_q"),
+          round(col("dup_rate"), 6).as("dup_r"),
+          coalesce(col("graft_blk"), lit(0L)).cast(DoubleType).as("blocked"),
+          coalesce(col("graft_kept"), lit(0L)).cast(DoubleType).as("kept_docs"))
+        .orderBy(col("domain"))
+      val materialized = out.collect()
+      blocked.unpersist(blocking = false)
+      s.createDataFrame(java.util.Arrays.asList(materialized: _*), out.schema)
+    }),
+
     // Interpolated Kneser-Ney bigram LM scoring (the CCNet/KenLM-style
     // rung above q72's Jelinek-Mercer): absolute discount D = 0.75,
     // continuation probabilities from distinct-context counts. Rounded
@@ -4383,6 +4443,79 @@ object SparkEntry {
         |  coalesce(sum(length(array_to_string(kept, chr(10)))), 0)::DOUBLE
         |    AS kept_chars
         |FROM k""".stripMargin,
+
+    // q79: the domain triage replayed — identical injection, the q31
+    // quality expression, host extraction mirrored by string building
+    // (ports appear only on id%5 docs, id%97 docs have no host and join
+    // no domain row), policy OR explicit blocklist, kept = 0 for blocked.
+    "q79_domain_curation" ->
+      """WITH inj AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source IN ('src4', 'src9') AND doc_id % 3 = 0
+        |         THEN 'duplicate boilerplate navigation menu copyright footer'
+        |         WHEN source = 'src13' AND doc_id % 3 = 0
+        |         THEN '0000 1111 2222 3333 4444 5555 ' || doc_id
+        |         ELSE text END AS text,
+        |    CASE WHEN doc_id % 97 = 0 THEN NULL
+        |         ELSE source || '.example.com' END AS domain
+        |  FROM documents),
+        |t AS (
+        |  SELECT domain, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS lts,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        |  FROM inj WHERE domain IS NOT NULL),
+        |q AS (
+        |  SELECT domain, text, len(ts) AS ntok,
+        |    CASE WHEN text IS NULL THEN NULL ELSE
+        |      least(length(text)/200.0, 1.0)*0.3
+        |      + (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+        |         / greatest(length(text), 1))*0.3
+        |      + least(CASE WHEN len(lts) > 0
+        |          THEN len(list_filter(lts, x -> x IN ('the','a','of','and',
+        |            'to','in','is','that','it','for')))::DOUBLE / len(lts)
+        |          ELSE 0.0 END * 5.0, 1.0)*0.2
+        |      + (CASE WHEN (CASE WHEN len(ts) > 0
+        |            THEN list_sum(list_transform(ts, x -> length(x)))::DOUBLE
+        |                 / len(ts) ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+        |          THEN 1.0 ELSE 0.3 END)*0.2
+        |    END AS quality
+        |  FROM t),
+        |st AS (
+        |  SELECT domain,
+        |    count(*) AS n_docs,
+        |    count(text) AS n_text_docs,
+        |    coalesce(sum(coalesce(ntok, 0)), 0) AS n_tokens,
+        |    count(DISTINCT text) AS n_distinct_texts,
+        |    coalesce(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END), 0)
+        |      AS low_quality_docs,
+        |    avg(quality) AS mean_quality
+        |  FROM q GROUP BY 1),
+        |fl AS (
+        |  SELECT *,
+        |    CASE WHEN n_text_docs > 0
+        |         THEN 1.0 - n_distinct_texts::DOUBLE / n_text_docs
+        |         ELSE 0.0 END AS dup_rate
+        |  FROM st),
+        |blk AS (
+        |  SELECT domain,
+        |    CASE WHEN dup_rate > 0.15
+        |           OR (mean_quality IS NOT NULL AND mean_quality < 0.66)
+        |           OR domain = 'src7.example.com'
+        |         THEN 1 ELSE 0 END AS blocked
+        |  FROM fl)
+        |SELECT f.domain,
+        |  f.n_docs::DOUBLE AS n_docs,
+        |  f.n_tokens::DOUBLE AS n_tokens,
+        |  f.n_distinct_texts::DOUBLE AS n_distinct_texts,
+        |  f.low_quality_docs::DOUBLE AS low_quality_docs,
+        |  round(f.mean_quality, 6) AS mean_q,
+        |  round(f.dup_rate, 6) AS dup_r,
+        |  b.blocked::DOUBLE AS blocked,
+        |  (CASE WHEN b.blocked = 1 THEN 0 ELSE f.n_docs END)::DOUBLE
+        |    AS kept_docs
+        |FROM fl f JOIN blk b USING (domain)
+        |ORDER BY f.domain""".stripMargin,
 
     // q78: the interpolated Kneser-Ney model rebuilt from aggregates —
     // nfwd = distinct continuations per head, ncont = distinct heads per

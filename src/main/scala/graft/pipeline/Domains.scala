@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Domain/URL-level curation — the per-source triage step of C4 /
+  * RefinedWeb-style pipelines: aggregate corpus health per registrable
+  * host (volume, duplication, quality), derive a blocklist from policy
+  * thresholds, and filter the corpus by it. Operates on whatever domain
+  * column the caller supplies; [[urlHost]] extracts one from raw URLs.
+  *
+  * Scale shape: [[domainStats]] is ONE groupBy over a slim projection
+  * (domain, 128-bit text hash, token count, quality score) — every
+  * aggregate is map-side combinable (count, sum, count-distinct over the
+  * hash); domains number in the millions at worst, so the result is a
+  * catalog-sized frame. [[filterBlockedDomains]] is a broadcast LEFT ANTI
+  * join on the domain key: the corpus never shuffles, the blocklist rides
+  * the task closure.
+  *
+  * reference capability: none (deequ has no corpus curation); part of the
+  * beyond-reference LLM-pipeline family (SURVEY §2 pipeline block).
+  */
+object Domains {
+
+  /** Lowercased host of a URL column: the authority between `scheme://`
+    * (userinfo stripped) and the first `/`, `:`, `?` or `#`. Null for
+    * unparseable values — callers decide whether hostless rows are kept
+    * or quarantined. Pure codegen regexp, no UDF.
+    */
+  def urlHost(url: Column): Column = {
+    val h = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)
+    when(h === "", lit(null).cast(StringType)).otherwise(lower(h))
+  }
+
+  /** Per-domain curation stats: one row per non-null domain with
+    *  - `n_docs` (rows), `n_text_docs` (non-null text),
+    *  - `n_tokens` (whitespace total),
+    *  - `n_distinct_texts` (exact, over 128-bit text hashes) and
+    *    `dup_rate` = 1 − distinct/text-docs (0 when the domain has no
+    *    text),
+    *  - `low_quality_docs` ([[TextAnalysis.qualityScore]] <
+    *    `lowQualityBelow`) and `mean_quality` (null-quality rows
+    *    excluded).
+    */
+  def domainStats(
+      df: DataFrame,
+      domainCol: String,
+      textCol: String,
+      lowQualityBelow: Double = 0.5): DataFrame = {
+    val q = TextAnalysis.qualityScore(col(textCol))
+    df.where(col(domainCol).isNotNull)
+      .select(
+        col(domainCol).as("domain"),
+        col(textCol).isNotNull.cast(LongType).as("graft_ht"),
+        Mixing.tokenCountExpr(col(textCol)).as("graft_t"),
+        md5(col(textCol).cast(BinaryType)).as("graft_kh"),
+        q.as("graft_q"))
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("graft_ht")).as("n_text_docs"),
+        sum(col("graft_t")).as("n_tokens"),
+        countDistinct(col("graft_kh")).as("n_distinct_texts"),
+        coalesce(sum((col("graft_q") < lowQualityBelow).cast(LongType)),
+          lit(0L)).as("low_quality_docs"),
+        avg(col("graft_q")).as("mean_quality"))
+      .withColumn("dup_rate",
+        when(col("n_text_docs") > 0,
+          lit(1.0) - col("n_distinct_texts").cast(DoubleType) /
+            col("n_text_docs").cast(DoubleType))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Domains a [[domainStats]] frame flags for blocking: duplication
+    * above `maxDupRate` OR mean quality below `minMeanQuality` (domains
+    * with no scored text never trigger the quality leg). Returns a
+    * one-column `domain` frame, composable with an explicit blocklist via
+    * union.
+    */
+  def blockedByPolicy(
+      stats: DataFrame,
+      maxDupRate: Double,
+      minMeanQuality: Double): DataFrame =
+    stats.where(col("dup_rate") > maxDupRate ||
+        (col("mean_quality").isNotNull && col("mean_quality") < minMeanQuality))
+      .select(col("domain"))
+
+  /** Rows of `df` whose `domainCol` is NOT in `blocked` (a one-column
+    * domain frame). Null domains are KEPT — blocklists name domains, and
+    * hostless rows are a separate quarantine decision. Broadcast LEFT
+    * ANTI: the corpus side never shuffles.
+    */
+  def filterBlockedDomains(
+      df: DataFrame,
+      domainCol: String,
+      blocked: DataFrame): DataFrame = {
+    val b = blocked.select(col(blocked.columns.head).as("graft_bd")).distinct()
+    df.join(broadcast(b), df(domainCol) <=> col("graft_bd"), "left_anti")
+  }
+
+  /** Convenience overload for a literal blocklist. */
+  def filterBlockedDomains(
+      df: DataFrame,
+      domainCol: String,
+      blocked: Seq[String]): DataFrame = {
+    import df.sparkSession.implicits._
+    filterBlockedDomains(df, domainCol, blocked.toDF("domain"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.wordspec.AnyWordSpec
+
+import graft.pipeline.Domains
+
+class DomainsSpec extends AnyWordSpec with Matchers with SparkSpec {
+
+  "urlHost" should {
+    "extract the lowercased host, stripping scheme, userinfo, port, path" in {
+      val s = spark
+      import s.implicits._
+      val out = Seq(
+        "https://Example.COM/path?q=1",
+        "http://user:pw@site.org:8080/x",
+        "ftp://files.net",
+        "https://host.io#frag",
+        "not a url",
+        "/relative/only",
+        null.asInstanceOf[String]
+      ).toDF("url")
+        .select(Domains.urlHost(col("url")).as("h"))
+        .collect().map(r => Option(r.getString(0)))
+      out shouldBe Seq(Some("example.com"), Some("site.org"),
+        Some("files.net"), Some("host.io"), None, None, None)
+    }
+  }
+
+  "domainStats" should {
+    "aggregate docs, tokens, distincts, quality per domain" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        ("a.com", "one two three"),
+        ("a.com", "one two three"),          // exact dup
+        ("a.com", null.asInstanceOf[String]),
+        ("b.com", "four five"),
+        (null.asInstanceOf[String], "dropped from stats")
+      ).toDF("domain", "text")
+      val out = Domains.domainStats(df, "domain", "text")
+        .orderBy(col("domain")).collect()
+      out.length shouldBe 2
+      val a = out(0)
+      a.getAs[String]("domain") shouldBe "a.com"
+      a.getAs[Long]("n_docs") shouldBe 3L
+      a.getAs[Long]("n_text_docs") shouldBe 2L
+      a.getAs[Long]("n_tokens") shouldBe 6L
+      a.getAs[Long]("n_distinct_texts") shouldBe 1L
+      a.getAs[Double]("dup_rate") shouldBe 0.5 +- 1e-15
+      out(1).getAs[Double]("dup_rate") shouldBe 0.0 +- 1e-15
+    }
+  }
+
+  "blockedByPolicy + filterBlockedDomains" should {
+    "block on either leg and keep null-domain rows through the filter" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        (1L, "dupy.com", "same text here"),
+        (2L, "dupy.com", "same text here"),
+        (3L, "dupy.com", "same text here"),
+        (4L, "ok.com", "the quick brown fox jumps over the lazy dog and it is fine"),
+        (5L, "ok.com", "another perfectly reasonable document with the usual words in it"),
+        (6L, null.asInstanceOf[String], "hostless row stays")
+      ).toDF("doc_id", "domain", "text")
+      val stats = Domains.domainStats(df, "domain", "text")
+      val blocked = Domains.blockedByPolicy(stats,
+        maxDupRate = 0.5, minMeanQuality = 0.0)
+        .collect().map(_.getString(0))
+      blocked shouldBe Array("dupy.com")
+      val kept = Domains.filterBlockedDomains(df, "domain",
+        Seq("dupy.com"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      kept shouldBe Set(4L, 5L, 6L)
+    }
+  }
+}
