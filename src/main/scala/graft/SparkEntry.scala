@@ -2342,6 +2342,48 @@ object SparkEntry {
             .as("kept_chars"))
     }),
 
+    // PQ (product-quantization) ANN — the third index family beside LSH
+    // (q45) and IVF (q27): 16 subspaces x 64 codes over the 64-dim
+    // embeddings, ADC scan over the slim code table, exact re-rank of the
+    // top-120 pool. Parameters are sized for THIS corpus — near-random
+    // synthetic vectors whose rank-10/rank-100 cosine gaps are tiny, the
+    // PQ worst case (measured recall 1.0/1.0/0.9875 at the three SFs; the
+    // 8x16/top-40 config a clustered production corpus would use reads
+    // 0.6 here). Ground truth and recall flag follow the q45 contract;
+    // similarities are exact after re-rank, so only recall (not values)
+    // is approximate.
+    "q80_ann_pq" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{coalesce => fcoalesce, min => fmin, max => fmax}
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8L)
+      val k = 10
+      val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = k, m = 16, ksub = 64,
+          rerank = 120)
+        .select("query_id", "neighbor_id").persist()
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = k)
+        .select("query_id", "neighbor_id").persist()
+      val perQuery = pq.groupBy("query_id").agg(count(lit(1)).as("graft_n"))
+        .agg(fmin(col("graft_n")), fmax(col("graft_n")), count(lit(1))).collect().head
+      val rowsOk = perQuery.getLong(0) == k && perQuery.getLong(1) == k &&
+        perQuery.getLong(2) == 8L
+      val rec = bf
+        .join(pq.withColumn("graft_hit", lit(1L)), Seq("query_id", "neighbor_id"),
+          "left_outer")
+        .agg(count(lit(1)), sum(fcoalesce(col("graft_hit"), lit(0L))),
+          sum(col("neighbor_id")))
+        .collect().head
+      val recall = rec.getLong(1).toDouble / rec.getLong(0)
+      pq.unpersist(blocking = false)
+      bf.unpersist(blocking = false)
+      metricRow(s, Seq(
+        "n_bf_rows" -> rec.getLong(0).toDouble,
+        "bf_id_sum" -> rec.getLong(2).toDouble,
+        "pq_rows_ok" -> flag(rowsOk),
+        "pq_recall_ok" -> flag(recall >= 0.9)))
+    }),
+
     // Domain-level curation (the C4/RefinedWeb per-source triage step):
     // deterministic synthetic URLs from (source, doc_id) — with ports to
     // strip and a sprinkling of unparseable values — host-extracted,
@@ -4443,6 +4485,31 @@ object SparkEntry {
         |  coalesce(sum(length(array_to_string(kept, chr(10)))), 0)::DOUBLE
         |    AS kept_chars
         |FROM k""".stripMargin,
+
+    // q80: the q45 ground-truth replay (brute-force top-10, ties by
+    // neighbor id); PQ flags are Spark-side
+    "q80_ann_pq" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |p AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))) = 0
+        |           OR sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) = 0
+        |         THEN 0.0
+        |         ELSE list_sum(list_transform(range(len(q.qv)),
+        |                i -> q.qv[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE))
+        |           / (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))
+        |              * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))))
+        |    END AS cos
+        |  FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM p)
+        |SELECT (SELECT count(*) FROM r WHERE rank <= 10)::DOUBLE AS n_bf_rows,
+        |       (SELECT sum(neighbor_id) FROM r WHERE rank <= 10)::DOUBLE AS bf_id_sum,
+        |       1.0::DOUBLE AS pq_rows_ok,
+        |       1.0::DOUBLE AS pq_recall_ok""".stripMargin,
 
     // q79: the domain triage replayed — identical injection, the q31
     // quality expression, host extraction mirrored by string building

@@ -475,26 +475,26 @@ object Similarity {
     * biases every centroid toward one region). Deterministic for fixed
     * data + partitioning + seed.
     */
-  private[pipeline] def trainCentroids(
+  /** Bounded driver-side vector sample in ONE corpus pass: per-partition
+    * reservoirs + exact per-partition counts; the driver allocates the
+    * global sample across partitions proportionally to their counts
+    * (largest remainder) and draws from each reservoir. Uniform within
+    * partition, proportional across — the whole-corpus coverage index
+    * training needs (a limit()-style sample would only ever see the first
+    * partitions, starving trailing clusters on cluster-sorted data).
+    * Replaces takeSample, whose count job + sampling job cost TWO full
+    * corpus scans at 100 TB. Deterministic for fixed data + partitioning
+    * + seed (per-partition rng seeded by id). A partition holding more
+    * than ~oversample× its proportional share contributes at most its
+    * reservoir — acceptable bias for training. Null and all-zero vectors
+    * are skipped.
+    */
+  private[pipeline] def sampleVectors(
       corpus: DataFrame,
       vecCol: String,
-      nlist: Int,
       sampleSize: Int,
-      iterations: Int,
-      seed: Long = 42L): Seq[Array[Double]] = {
-    val vecs = corpus.select(col(vecCol))
-    // ONE corpus pass: per-partition reservoirs + exact per-partition
-    // counts; the driver allocates the global sample across partitions
-    // proportionally to their counts (largest remainder) and draws from
-    // each reservoir. Uniform within partition, proportional across — the
-    // whole-corpus coverage k-means training needs (a limit()-style sample
-    // would only ever see the first partitions, starving trailing clusters
-    // on cluster-sorted data). Replaces takeSample, whose count job +
-    // sampling job cost TWO full corpus scans at 100 TB. Deterministic for
-    // fixed data + partitioning + seed (per-partition rng seeded by id).
-    // A partition holding more than ~oversample× its proportional share
-    // contributes at most its reservoir — acceptable bias for training.
-    val rdd = vecs.rdd
+      seed: Long): Seq[Array[Double]] = {
+    val rdd = corpus.select(col(vecCol)).rdd
     val numParts = math.max(rdd.getNumPartitions, 1)
     val perPart = math.max(1, (3L * sampleSize / numParts).toInt + 1)
     val parts: Array[(Long, Array[Array[Float]])] = rdd
@@ -518,7 +518,7 @@ object Similarity {
         if (n == 0) Iterator.empty else Iterator((n, res.toArray))
       }
       .collect()
-    require(parts.nonEmpty, "IVF training sample is empty")
+    require(parts.nonEmpty, "index training sample is empty")
     val total = parts.map(_._1).sum
     val quotas = parts.map(_._1.toDouble * sampleSize / total)
     val alloc = quotas.map(math.floor(_).toInt)
@@ -530,7 +530,18 @@ object Similarity {
     val sample = parts.zip(alloc).flatMap { case ((_, res), a) =>
       rngDriver.shuffle(res.toSeq).take(math.min(a, res.length))
     }.map(_.map(_.toDouble))
-    require(sample.nonEmpty, "IVF training sample is empty")
+    require(sample.nonEmpty, "index training sample is empty")
+    sample.toSeq
+  }
+
+  private[pipeline] def trainCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      sampleSize: Int,
+      iterations: Int,
+      seed: Long = 42L): Seq[Array[Double]] = {
+    val sample = sampleVectors(corpus, vecCol, sampleSize, seed)
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
@@ -613,6 +624,217 @@ object Similarity {
       .orderBy(col("similarity").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "similarity", "rank")
+  }
+
+  // -------------------------------------------------------------------------
+  // Product quantization (PQ) ANN — the compressed-domain scale path
+  // -------------------------------------------------------------------------
+  // Jégou, Douze & Schmid 2011 ("Product quantization for nearest neighbor
+  // search"): split the unit-normalized vector into `m` subspaces, k-means
+  // a `ksub`-entry codebook per subspace, store each corpus vector as m
+  // small codes. A query builds a per-subspace lookup table of
+  // query-subvector · sub-centroid dots once, and the approximate dot of
+  // query × corpus vector is m TABLE LOOKUPS over the code row — the
+  // asymmetric-distance (ADC) scan. Memory per corpus vector drops from
+  // 4·d bytes to m codes, which is what lets a 100-TB embedding corpus
+  // fit a scan-speed index; recall is recovered by exact re-ranking of
+  // the PQ top candidates against the full vectors.
+
+  /** Per-subspace codebooks: `codebooks(j)(c)` is sub-centroid c of
+    * subspace j (each of length `dsub`). Trained on unit-normalized
+    * vectors, so code dots compose into approximate cosines.
+    */
+  final case class PqModel(m: Int, dsub: Int,
+      codebooks: Array[Array[Array[Double]]]) {
+    require(codebooks.length == m)
+
+    /** PQ codes of one already-normalized vector: argmin L2 per subspace. */
+    def encode(v: Array[Double]): Array[Int] = {
+      val out = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val cb = codebooks(j)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          var d = 0.0
+          var t = 0
+          while (t < dsub) {
+            val diff = v(j * dsub + t) - cb(c)(t)
+            d += diff * diff
+            t += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(j) = best
+        j += 1
+      }
+      out
+    }
+
+    /** The query's ADC lookup table: `lut(j)(c)` = dot of the query's
+      * j-th subvector with sub-centroid c. Approximate cosine of the
+      * query with a corpus vector of codes k₁..k_m is Σ_j lut(j)(k_j).
+      */
+    def lookupTable(q: Array[Double]): Array[Array[Double]] = {
+      val lut = Array.ofDim[Array[Double]](m)
+      var j = 0
+      while (j < m) {
+        val cb = codebooks(j)
+        val row = new Array[Double](cb.length)
+        var c = 0
+        while (c < cb.length) {
+          var d = 0.0
+          var t = 0
+          while (t < dsub) { d += q(j * dsub + t) * cb(c)(t); t += 1 }
+          row(c) = d
+          c += 1
+        }
+        lut(j) = row
+        j += 1
+      }
+      lut
+    }
+  }
+
+  /** Train PQ codebooks: ONE reservoir-sample corpus pass (the
+    * [[sampleVectors]] machinery [[trainCentroids]] shares), then m
+    * independent driver-side L2 Lloyd loops over the sample's subvectors
+    * — deterministic for fixed data + partitioning + seed. The vector
+    * dimension must divide by `m`.
+    */
+  def trainPq(
+      corpus: DataFrame,
+      vecCol: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      sampleSize: Int = 2048,
+      iterations: Int = 8,
+      seed: Long = 42L): PqModel = {
+    val sample = sampleVectors(corpus, vecCol, sampleSize, seed)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) v else v.map(_ / n)
+      }
+    val dim = sample.head.length
+    require(dim % m == 0, s"vector dim $dim must divide by m=$m")
+    val dsub = dim / m
+    val codebooks = (0 until m).map { j =>
+      val points = sample.map(v => v.slice(j * dsub, (j + 1) * dsub)).toArray
+      val kk = math.min(ksub, points.length)
+      // deterministic init: evenly spaced sample subvectors
+      var cents = (0 until kk).map(i => points(i * points.length / kk)).toArray
+      (0 until iterations).foreach { _ =>
+        val sums = Array.fill(kk)(new Array[Double](dsub))
+        val counts = new Array[Int](kk)
+        points.foreach { p =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < kk) {
+            var d = 0.0
+            var t = 0
+            while (t < dsub) {
+              val diff = p(t) - cents(c)(t)
+              d += diff * diff
+              t += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var t = 0
+          while (t < dsub) { sums(best)(t) += p(t); t += 1 }
+          counts(best) += 1
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents
+    }.toArray
+    PqModel(m, dsub, codebooks)
+  }
+
+  /** PQ top-k with exact re-ranking: every corpus vector is encoded to m
+    * codes (one pass, tight per-row loop — the inherently imperative
+    * signature-scan shape), every query carries its ADC lookup table; the
+    * ADC scan scores the SLIM code table against the broadcast query LUTs
+    * map-side (no shuffle until the top-candidate window), takes the top
+    * `rerank` candidates per query by approximate score, joins ONLY those
+    * back to the full vectors, and exact-cosine re-ranks to the top k.
+    * Returns (query_id, neighbor_id, similarity, rank) with EXACT cosine
+    * similarities — PQ error can only cost recall (a true neighbor
+    * missing from the rerank pool), never report a wrong similarity.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerank: Int = 0,
+      sampleSize: Int = 2048,
+      iterations: Int = 8): DataFrame = {
+    val pool = if (rerank > 0) math.max(rerank, k) else math.max(4 * k, k)
+    val model = trainPq(corpus, corpusVec, m, ksub, sampleSize, iterations)
+    val spark = corpus.sparkSession
+    val bModel = spark.sparkContext.broadcast(model)
+
+    val toUnit = (v: Seq[Float]) => {
+      val a = v.map(_.toDouble).toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0.0) a else a.map(_ / n)
+    }
+    val encodeUdf = udf((v: Seq[Float]) =>
+      if (v == null) null else bModel.value.encode(toUnit(v)))
+    val lutUdf = udf((v: Seq[Float]) =>
+      if (v == null) null else bModel.value.lookupTable(toUnit(v)))
+
+    // the slim code table: id + m small ints — the only corpus-sized
+    // frame the ADC scan touches
+    val codes = corpus
+      .select(col(corpusId).as("neighbor_id"),
+        encodeUdf(col(corpusVec)).as("graft_codes"))
+      .where(col("graft_codes").isNotNull)
+    val luts = queries
+      .select(col(queryId).as("query_id"), lutUdf(col(queryVec)).as("graft_lut"))
+      .where(col("graft_lut").isNotNull)
+
+    // ADC scan: broadcast nested-loop against the bounded query set;
+    // score = m array lookups, pure map-side expressions over the codes
+    val approx = aggregate(
+      zip_with(col("graft_codes"), col("graft_lut"),
+        (c, row) => element_at(row, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("graft_approx").desc, col("neighbor_id").asc)
+    val candidates = codes.crossJoin(broadcast(luts))
+      .withColumn("graft_approx", approx)
+      .withColumn("graft_ar", row_number().over(wApprox))
+      .filter(col("graft_ar") <= pool)
+      .select("query_id", "neighbor_id")
+
+    // exact re-rank: only the candidate pool rejoins the full vectors
+    val cv = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("graft_cv"))
+    val qv = queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("graft_qv"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("similarity").desc, col("neighbor_id").asc)
+    broadcast(candidates)
+      .join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("similarity", cosine(col("graft_cv"), col("graft_qv")))
+      .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "similarity", "rank")
   }

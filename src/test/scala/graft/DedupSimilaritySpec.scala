@@ -489,6 +489,53 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "pqTopK" should {
+    "recover the exact top-k on a clustered corpus and score exactly" in {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(5)
+      // 4 well-separated direction clusters in 16 dims; within a cluster
+      // the exact-cosine gaps are FINER than PQ resolution, so the rerank
+      // pool (60 > the 50-member cluster) must cover the query's whole
+      // cluster — then recall is perfect and similarities EXACT (the
+      // re-rank contract: PQ error may cost recall, never score accuracy)
+      val centers = Array.fill(4, 16)(rng.nextGaussian() * 3)
+      val corpus = (0 until 200).map { i =>
+        val c = centers(i % 4)
+        (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+      }.toDF("vec_id", "embedding")
+      val queries = corpus.filter(col("vec_id") < 3L)
+      val pq = Similarity.pqTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, m = 8, ksub = 16,
+        rerank = 60)
+      val bf = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      val pqRows = pq.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val bfRows = bf.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      pqRows.keySet shouldBe bfRows.keySet
+      pqRows.foreach { case (k0, sim) => sim shouldBe bfRows(k0) +- 1e-12 }
+    }
+
+    "drop null vectors and respect the dim % m contract" in {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(9)
+      val corpus = ((0 until 30).map(i =>
+        (i.toLong, Option(Array.fill(8)(rng.nextGaussian().toFloat)))) ++
+        Seq((900L, None: Option[Array[Float]])))
+        .toDF("vec_id", "embedding")
+      val queries = corpus.filter(col("vec_id") < 2L)
+      val out = Similarity.pqTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 3, m = 4, ksub = 8).collect()
+      out.groupBy(_.getLong(0)).values.foreach(_.length shouldBe 3)
+      out.foreach(r => r.getLong(1) should not be 900L)
+      an[IllegalArgumentException] should be thrownBy
+        Similarity.trainPq(corpus, "embedding", m = 3)
+    }
+  }
+
   "lshTopK" should {
     "handle array<double> vector columns like the expression path did" in {
       val s = spark
