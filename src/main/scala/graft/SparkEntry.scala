@@ -2342,6 +2342,38 @@ object SparkEntry {
             .as("kept_chars"))
     }),
 
+    // The q70 temperature mixture re-run on LEARNED-tokenizer budgets —
+    // the round-11 verdict's "rewire token budgets to accept a tokenizer"
+    // ask closed end-to-end with an oracle: per-source budgets ~ sqrt of
+    // BPE token totals (the q77 demo vocab), prefix selection by BPE
+    // cumulative counts. DuckDB replays the BPE segmentation (q77's
+    // recursive chain) into the q70 mixture machinery. Budget floor
+    // boundaries sit >= 0.016 from every budget at all three SFs
+    // (measured) — 13 orders above sqrt/sum noise; the prefix selection
+    // itself is integer-exact.
+    "q81_bpe_mixture" -> ((s, dir) => {
+      import graft.pipeline.{Bpe, Mixing}
+      val docs = table(s, dir, "documents")
+      val counter = Bpe.tokenCountCol(Bpe.BpeModel(BpeDemoMerges))
+      val budgets = Mixing.temperatureBudgets(docs, "source", "text",
+        totalBudget = 10000L, alpha = 0.5, tokenCount = counter)
+      val stats = Mixing
+        .tokenBudgetSample(docs, "doc_id", "text", "source", budgets,
+          tokenCount = counter)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("graft_k"),
+          sum(counter(col("text"))).as("graft_t"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("graft_i"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      import s.implicits._
+      budgets.toSeq.sortBy(_._1).map { case (g, b) =>
+        val (k, t, i) = stats.getOrElse(g, (0L, 0L, 0L))
+        (g, b.toDouble, k.toDouble, t.toDouble, i.toDouble)
+      }.toDF("source", "budget", "kept_docs", "kept_bpe_tokens", "id_sum")
+    }),
+
     // PQ (product-quantization) ANN — the third index family beside LSH
     // (q45) and IVF (q27): 16 subspaces x 64 codes over the 64-dim
     // embeddings, ADC scan over the slim code table, exact re-rank of the
@@ -2545,13 +2577,17 @@ object SparkEntry {
     })
   )
 
-  /** The q77 oracle, generated from [[BpeDemoMerges]]. */
-  private def bpeOracleSql: String = {
+  /** The shared BPE-segmentation CTE chain (w/dw/init/bpe/seg), generated
+    * from [[BpeDemoMerges]] — `seg` maps every distinct corpus word to its
+    * BPE token count under the demo vocab. Used by the q77 and q81
+    * oracles so the replay cannot drift between them.
+    */
+  private def bpeSegCtes: String = {
     val n = BpeDemoMerges.length
     val caseExpr = BpeDemoMerges.zipWithIndex.map { case ((a, b), i) =>
       s"WHEN $i THEN replace(seg, ' $a $b ', ' $a$b ')"
     }.mkString("CASE mi ", " ", " ELSE seg END")
-    s"""WITH RECURSIVE w AS (
+    s"""w AS (
        |  SELECT doc_id, unnest(list_filter(
        |    string_split_regex(text, '\\s+'), x -> x <> '')) AS w
        |  FROM documents WHERE text IS NOT NULL),
@@ -2568,7 +2604,12 @@ object SparkEntry {
        |  FROM (SELECT w, seg, mi, $caseExpr AS nseg
        |        FROM bpe WHERE mi < $n)),
        |seg AS (SELECT w, len(string_split(trim(seg), ' ')) AS c
-       |        FROM bpe WHERE mi = $n),
+       |        FROM bpe WHERE mi = $n)""".stripMargin
+  }
+
+  /** The q77 oracle, generated from [[BpeDemoMerges]]. */
+  private def bpeOracleSql: String = {
+    s"""WITH RECURSIVE $bpeSegCtes,
        |pc AS (
        |  SELECT substring(w, (i + 1)::INT, 1) AS a,
        |         substring(w, (i + 2)::INT, 1) AS b, count(*) AS c
@@ -4485,6 +4526,43 @@ object SparkEntry {
         |  coalesce(sum(length(array_to_string(kept, chr(10)))), 0)::DOUBLE
         |    AS kept_chars
         |FROM k""".stripMargin,
+
+    // q81: q70's mixture machinery fed by the q77 BPE segmentation —
+    // per-doc BPE counts (null text joins no words -> 0), sqrt budgets,
+    // hash-prefix selection by BPE cumulative counts.
+    "q81_bpe_mixture" -> {
+      raw"""WITH RECURSIVE $bpeSegCtes,
+        |dc AS (SELECT w.doc_id, sum(s.c) AS toks
+        |       FROM w JOIN seg s USING (w) GROUP BY 1),
+        |h AS (
+        |  SELECT d.doc_id, d.source,
+        |         substring(md5('graft:' || d.doc_id::VARCHAR), 1, 8) AS hh,
+        |         coalesce(dc.toks, 0) AS toks
+        |  FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id),
+        |ns AS (SELECT source, sum(toks) AS n FROM h
+        |       WHERE source IS NOT NULL GROUP BY 1),
+        |z AS (SELECT sum(sqrt(n)) AS z FROM ns),
+        |b AS (SELECT source,
+        |        floor(10000 * sqrt(n) / (SELECT z FROM z))::BIGINT AS budget
+        |      FROM ns),
+        |tb AS (
+        |  SELECT * FROM (
+        |    SELECT h.doc_id, h.source, h.toks, b.budget,
+        |           sum(h.toks) OVER (PARTITION BY h.source
+        |             ORDER BY h.hh, h.doc_id
+        |             ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM h JOIN b USING (source))
+        |  WHERE cum <= budget)
+        |SELECT b.source, b.budget::DOUBLE AS budget,
+        |       coalesce(t.k, 0)::DOUBLE AS kept_docs,
+        |       coalesce(t.tk, 0)::DOUBLE AS kept_bpe_tokens,
+        |       coalesce(t.ids, 0)::DOUBLE AS id_sum
+        |FROM b LEFT JOIN (
+        |  SELECT source, count(*) AS k, sum(toks) AS tk,
+        |         sum(doc_id) AS ids
+        |  FROM tb GROUP BY 1) t USING (source)
+        |ORDER BY b.source""".stripMargin
+    },
 
     // q80: the q45 ground-truth replay (brute-force top-10, ties by
     // neighbor id); PQ flags are Spark-side
