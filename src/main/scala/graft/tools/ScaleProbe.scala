@@ -343,6 +343,25 @@ object ScaleProbe {
       graft.pipeline.TextAnalysis.unigramCrossEntropy(d, "doc_id", "text")
         .agg(coalesce(sum(col("n_tokens")), lit(0L)))
         .collect().head.getLong(0)
+    // domain curation (q79 engine path): ONE map-side-combinable groupBy
+    // over a slim projection; 20 synthetic domains at both scales, so the
+    // returned doc total scales exactly 10x while the domain cardinality
+    // (and the result size) stays fixed
+    def domainStats(d: DataFrame): Long =
+      graft.pipeline.Domains.domainStats(
+        d.withColumn("domain",
+          concat(lit("d"), pmod(col("doc_id"), lit(20)), lit(".example.com"))),
+        "domain", "text")
+        .agg(coalesce(sum(col("n_docs")), lit(0L))).collect().head.getLong(0)
+    // PQ ANN (q80 engine path): FIXED 8-query set while the corpus grows —
+    // the ADC scan is the corpus-sized term (m lookups per code row);
+    // training re-samples per run (fixed sampleSize, so its cost is flat)
+    def pqTopK(e: DataFrame): Long = {
+      val queries = e.filter(col("vec_id") < 8L)
+      Similarity.pqTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, m = 8, ksub = 16,
+        rerank = 40).count()
+    }
     // SemDeDup (q59 engine path): the centroid count scales WITH the
     // corpus (8 at x1, 8*MULT at x10) so per-cell membership stays ~fixed
     // — the paper's own scale lever (cluster count grows, cluster size
@@ -393,6 +412,8 @@ object ScaleProbe {
     paraDedup(docs0.limit(200))
     packing(docs0.limit(200))
     c4filters(docs0.limit(200))
+    domainStats(docs0.limit(200))
+    pqTopK(emb0.limit(200))
     unigramLm(docs0.limit(200))
     semdedup(emb0.limit(200), 2)
     cc(ccEdges(4))
@@ -429,6 +450,8 @@ object ScaleProbe {
       ("paragraph_dedup", timed(paraDedup(docs0)), timed(paraDedup(docsX))),
       ("seq_packing", timed(packing(docs0)), timed(packing(docsX))),
       ("c4_filters", timed(c4filters(docs0)), timed(c4filters(docsX))),
+      ("domain_stats", timed(domainStats(docs0)), timed(domainStats(docsX))),
+      ("pq_topk", timed(pqTopK(emb0)), timed(pqTopK(embX))),
       ("unigram_lm", timed(unigramLm(docs0)), timed(unigramLm(docsX))),
       ("semdedup", timed(semdedup(emb0, 8)), timed(semdedup(embX, 8 * mult))),
       ("connected_components",

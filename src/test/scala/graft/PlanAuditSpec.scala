@@ -201,6 +201,92 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "incremental fuzzy dedup" should {
+    "probe the persisted state with broadcasts only (no state shuffle)" in {
+      import graft.pipeline.Dedup
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val dir = java.nio.file.Files.createTempDirectory("graft_pa_lsh").toString
+      try {
+        Dedup.writeLshState(
+          Dedup.lshState(docs.filter(col("doc_id") < 200), "doc_id", "text"),
+          dir)
+        val state = Dedup.readLshState(spark, dir)
+        val surv = Dedup.nearDedupIncremental(
+          docs.filter(col("doc_id") >= 150 && col("doc_id") < 250),
+          "doc_id", "text", state, threshold = 0.5)
+        surv.count()
+        val plan = surv.queryExecution.executedPlan.toString()
+        // the bucket probe and the signature verify both carry the batch
+        // side broadcast; a SortMergeJoin would mean the (100-TB-history)
+        // state tables got shuffled on a join key
+        plan should not include "SortMergeJoin"
+        plan should include("BroadcastHashJoin")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try st.iterator().asScala.toSeq.reverseIterator
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally st.close()
+      }
+    }
+  }
+
+  "domain curation" should {
+    "aggregate per-domain stats with no join and no window" in {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("domain", concat(col("source"), lit(".example.com")))
+      val stats = graft.pipeline.Domains.domainStats(docs, "domain", "text")
+      stats.count()
+      val plan = stats.queryExecution.executedPlan.toString()
+      plan should not include "Join"
+      plan should not include "Window"
+    }
+
+    "filter by blocklist as a broadcast LEFT ANTI (corpus never shuffles)" in {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("domain", concat(col("source"), lit(".example.com")))
+      val kept = graft.pipeline.Domains.filterBlockedDomains(
+        docs, "domain", Seq("src4.example.com"))
+      kept.count()
+      val plan = kept.queryExecution.executedPlan.toString()
+      plan should include("BroadcastHashJoin")
+      plan should include("LeftAnti")
+      plan should not include "SortMergeJoin"
+      // the corpus side of a broadcast anti-join never exchanges
+      plan should not include "Exchange hashpartitioning"
+    }
+  }
+
+  "PQ ANN" should {
+    "prune the corpus scan and keep every join broadcast" in {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 2L)
+      val out = graft.pipeline.Similarity.pqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 3, m = 8, ksub = 8)
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString()
+      // ADC scan = broadcast nested loop against the bounded query LUTs;
+      // re-rank joins ride broadcasts; nothing sort-merges
+      plan should not include "SortMergeJoin"
+      plan should include("BroadcastNestedLoopJoin")
+      // the code table projects only (id, vec): the label column must not
+      // reach the parquet read
+      val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      reads should not be empty
+      all(reads) should not include "label"
+    }
+  }
+
+  "Kneser-Ney LM scoring" should {
+    "tokenize once (one leaf — windows on the cached bigram frame, no join)" in {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val r = graft.pipeline.TextAnalysis
+        .kneserNeyCrossEntropy(docs, "doc_id", "text")
+      r.queryExecution.optimizedPlan.collectLeaves() should have size 1
+      r.queryExecution.executedPlan.toString should not include "Join"
+    }
+  }
+
   "row-level results" should {
     "evaluate scan constraints as map-side expressions without extra scans" in {
       import graft.checks._
