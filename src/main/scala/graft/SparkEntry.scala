@@ -2445,7 +2445,9 @@ object SparkEntry {
           .otherwise(concat(lit("https://"), col("source"),
             lit(".example.com/p/"), idS)))
         .withColumn("domain", Domains.urlHost(col("url")))
-      val stats = Domains.domainStats(urled, "domain", "text")
+      // persisted: the policy derivation AND the final join both consume
+      // the stats frame — without the cache the corpus groupBy runs twice
+      val stats = Domains.domainStats(urled, "domain", "text").persist()
       val blocked = Domains
         .blockedByPolicy(stats, maxDupRate = 0.15, minMeanQuality = 0.66)
         .unionByName {
@@ -2473,6 +2475,7 @@ object SparkEntry {
         .orderBy(col("domain"))
       val materialized = out.collect()
       blocked.unpersist(blocking = false)
+      stats.unpersist(blocking = false)
       s.createDataFrame(java.util.Arrays.asList(materialized: _*), out.schema)
     }),
 

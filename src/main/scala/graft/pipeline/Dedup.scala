@@ -654,21 +654,34 @@ object Dedup {
       * Per-bucket caps are not re-applied across the union in memory: a
       * merged bucket may exceed the build-time cap by the number of merged
       * states (bounded; [[writeLshState]] re-caps globally on persist).
+      *
+      * Ids are expected to identify IMMUTABLE texts (a re-crawled page
+      * whose text changed is a NEW id — the [[corpusDiff]] convention);
+      * if two states nonetheless disagree on an id's text, BOTH
+      * signatures (and both versions' bucket rows) are kept, so a probe
+      * matching EITHER version still marks contamination — the merge
+      * stays commutative and never silently discards a version.
       */
     def merge(other: LshState): LshState = {
-      require((numHashes, bands, shingleSize) ==
-        ((other.numHashes, other.bands, other.shingleSize)),
+      require((numHashes, bands, shingleSize, maxBucketSize) ==
+        ((other.numHashes, other.bands, other.shingleSize,
+          other.maxBucketSize)),
         "cannot merge LshStates built under different LSH parameters")
       copy(
         buckets = buckets.unionByName(other.buckets)
           .dropDuplicates("graft_band", "graft_bucket", "graft_id"),
         signatures = signatures.unionByName(other.signatures)
-          .dropDuplicates("graft_id"))
+          .dropDuplicates("graft_id", "graft_sig"))
     }
   }
 
   /** Banded bucket rows with the per-bucket skew cap applied (uniform
-    * exclusion by id hash, the [[candidatesFromSignatures]] convention). */
+    * exclusion by id hash, the [[candidatesFromSignatures]] convention —
+    * including its observation channel: a state build that silently
+    * dropped bucket members would lose probe recall with no other
+    * signal, so excluded rows surface on [[DedupCapObservation]] exactly
+    * like the self-join path's).
+    */
   private def cappedBuckets(
       sigs: DataFrame,
       numHashes: Int,
@@ -678,6 +691,10 @@ object Dedup {
       .orderBy(xxhash64(col("graft_id")), col("graft_id"))
     bandedBuckets(sigs, numHashes, bands)
       .withColumn("graft_bn", row_number().over(wBucket))
+      .observe(DedupCapObservation.nextName(),
+        sum(when(col("graft_bn") > maxBucketSize, 1L).otherwise(0L))
+          .as("excluded_rows"),
+        count(lit(1)).as("banded_rows"))
       .filter(col("graft_bn") <= maxBucketSize)
       .drop("graft_bn")
   }

@@ -24,13 +24,15 @@ import org.apache.spark.sql.types._
 object Domains {
 
   /** Lowercased host of a URL column: the authority between `scheme://`
-    * (userinfo stripped) and the first `/`, `:`, `?` or `#`. Null for
-    * unparseable values — callers decide whether hostless rows are kept
-    * or quarantined. Pure codegen regexp, no UDF.
+    * (userinfo stripped) and the first `/`, `:`, `?` or `#`; a bracketed
+    * IPv6 literal (`https://[2001:db8::1]:8080/`) is returned WITH its
+    * brackets (ports contain no `]`, so the literal never truncates at
+    * the colon). Null for unparseable values — callers decide whether
+    * hostless rows are kept or quarantined. Pure codegen regexp, no UDF.
     */
   def urlHost(url: Column): Column = {
     val h = regexp_extract(url,
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?(\\[[^\\]/?#]+\\]|[^/:?#]+)", 1)
     when(h === "", lit(null).cast(StringType)).otherwise(lower(h))
   }
 
@@ -89,15 +91,19 @@ object Domains {
 
   /** Rows of `df` whose `domainCol` is NOT in `blocked` (a one-column
     * domain frame). Null domains are KEPT — blocklists name domains, and
-    * hostless rows are a separate quarantine decision. Broadcast LEFT
-    * ANTI: the corpus side never shuffles.
+    * hostless rows are a separate quarantine decision — so the join uses
+    * plain equality (a null-safe `<=>` would let a stray null blocklist
+    * row silently delete every hostless document) and null blocklist
+    * entries are dropped. Broadcast LEFT ANTI: the corpus side never
+    * shuffles.
     */
   def filterBlockedDomains(
       df: DataFrame,
       domainCol: String,
       blocked: DataFrame): DataFrame = {
-    val b = blocked.select(col(blocked.columns.head).as("graft_bd")).distinct()
-    df.join(broadcast(b), df(domainCol) <=> col("graft_bd"), "left_anti")
+    val b = blocked.select(col(blocked.columns.head).as("graft_bd"))
+      .where(col("graft_bd").isNotNull).distinct()
+    df.join(broadcast(b), df(domainCol) === col("graft_bd"), "left_anti")
   }
 
   /** Convenience overload for a literal blocklist. */

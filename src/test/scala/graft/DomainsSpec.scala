@@ -17,6 +17,7 @@ class DomainsSpec extends AnyWordSpec with Matchers with SparkSpec {
         "http://user:pw@site.org:8080/x",
         "ftp://files.net",
         "https://host.io#frag",
+        "https://[2001:DB8::1]:8080/page",  // bracketed IPv6 literal
         "not a url",
         "/relative/only",
         null.asInstanceOf[String]
@@ -24,7 +25,8 @@ class DomainsSpec extends AnyWordSpec with Matchers with SparkSpec {
         .select(Domains.urlHost(col("url")).as("h"))
         .collect().map(r => Option(r.getString(0)))
       out shouldBe Seq(Some("example.com"), Some("site.org"),
-        Some("files.net"), Some("host.io"), None, None, None)
+        Some("files.net"), Some("host.io"), Some("[2001:db8::1]"),
+        None, None, None)
     }
   }
 
@@ -74,6 +76,11 @@ class DomainsSpec extends AnyWordSpec with Matchers with SparkSpec {
         Seq("dupy.com"))
         .select("doc_id").collect().map(_.getLong(0)).toSet
       kept shouldBe Set(4L, 5L, 6L)
+      // a stray null blocklist entry must NOT delete hostless rows
+      val keptWithNull = Domains.filterBlockedDomains(df, "domain",
+        Seq("dupy.com", null))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      keptWithNull shouldBe Set(4L, 5L, 6L)
     }
   }
 }
