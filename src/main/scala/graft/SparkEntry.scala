@@ -2342,6 +2342,45 @@ object SparkEntry {
             .as("kept_chars"))
     }),
 
+    // IVF-PQ composite ANN (q82) — coarse cells prune, residual PQ codes
+    // compress: the fourth index family and the way a 100-TB ANN index
+    // is actually built. On THIS corpus (near-random vectors, the worst
+    // case for any pruning index) recall >= 0.9 needs probing 14 of 16
+    // cells (measured 0.9875/0.975/0.9875); clustered production corpora
+    // probe a small fraction. The q45/q80 contract: brute-force ground
+    // truth, exact similarities after re-rank, recall flag.
+    "q82_ann_ivfpq" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{coalesce => fcoalesce, min => fmin, max => fmax}
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8L)
+      val k = 10
+      val ivfpq = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = k, nlist = 16, nprobe = 14,
+          m = 16, ksub = 64, rerank = 120)
+        .select("query_id", "neighbor_id").persist()
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = k)
+        .select("query_id", "neighbor_id").persist()
+      val perQuery = ivfpq.groupBy("query_id").agg(count(lit(1)).as("graft_n"))
+        .agg(fmin(col("graft_n")), fmax(col("graft_n")), count(lit(1))).collect().head
+      val rowsOk = perQuery.getLong(0) == k && perQuery.getLong(1) == k &&
+        perQuery.getLong(2) == 8L
+      val rec = bf
+        .join(ivfpq.withColumn("graft_hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .agg(count(lit(1)), sum(fcoalesce(col("graft_hit"), lit(0L))),
+          sum(col("neighbor_id")))
+        .collect().head
+      val recall = rec.getLong(1).toDouble / rec.getLong(0)
+      ivfpq.unpersist(blocking = false)
+      bf.unpersist(blocking = false)
+      metricRow(s, Seq(
+        "n_bf_rows" -> rec.getLong(0).toDouble,
+        "bf_id_sum" -> rec.getLong(2).toDouble,
+        "ivfpq_rows_ok" -> flag(rowsOk),
+        "ivfpq_recall_ok" -> flag(recall >= 0.9)))
+    }),
+
     // The q70 temperature mixture re-run on LEARNED-tokenizer budgets —
     // the round-11 verdict's "rewire token budgets to accept a tokenizer"
     // ask closed end-to-end with an oracle: per-source budgets ~ sqrt of
@@ -4529,6 +4568,30 @@ object SparkEntry {
         |  coalesce(sum(length(array_to_string(kept, chr(10)))), 0)::DOUBLE
         |    AS kept_chars
         |FROM k""".stripMargin,
+
+    // q82: the q45/q80 ground-truth replay; IVF-PQ flags are Spark-side
+    "q82_ann_ivfpq" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |p AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))) = 0
+        |           OR sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) = 0
+        |         THEN 0.0
+        |         ELSE list_sum(list_transform(range(len(q.qv)),
+        |                i -> q.qv[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE))
+        |           / (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))
+        |              * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))))
+        |    END AS cos
+        |  FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM p)
+        |SELECT (SELECT count(*) FROM r WHERE rank <= 10)::DOUBLE AS n_bf_rows,
+        |       (SELECT sum(neighbor_id) FROM r WHERE rank <= 10)::DOUBLE AS bf_id_sum,
+        |       1.0::DOUBLE AS ivfpq_rows_ok,
+        |       1.0::DOUBLE AS ivfpq_recall_ok""".stripMargin,
 
     // q81: q70's mixture machinery fed by the q77 BPE segmentation —
     // per-doc BPE counts (null text joins no words -> 0), sqrt budgets,

@@ -720,44 +720,7 @@ object Similarity {
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n == 0.0) v else v.map(_ / n)
       }
-    val dim = sample.head.length
-    require(dim % m == 0, s"vector dim $dim must divide by m=$m")
-    val dsub = dim / m
-    val codebooks = (0 until m).map { j =>
-      val points = sample.map(v => v.slice(j * dsub, (j + 1) * dsub)).toArray
-      val kk = math.min(ksub, points.length)
-      // deterministic init: evenly spaced sample subvectors
-      var cents = (0 until kk).map(i => points(i * points.length / kk)).toArray
-      (0 until iterations).foreach { _ =>
-        val sums = Array.fill(kk)(new Array[Double](dsub))
-        val counts = new Array[Int](kk)
-        points.foreach { p =>
-          var best = 0
-          var bestD = Double.MaxValue
-          var c = 0
-          while (c < kk) {
-            var d = 0.0
-            var t = 0
-            while (t < dsub) {
-              val diff = p(t) - cents(c)(t)
-              d += diff * diff
-              t += 1
-            }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          var t = 0
-          while (t < dsub) { sums(best)(t) += p(t); t += 1 }
-          counts(best) += 1
-        }
-        cents = cents.indices.map { c =>
-          if (counts(c) == 0) cents(c)
-          else sums(c).map(_ / counts(c))
-        }.toArray
-      }
-      cents
-    }.toArray
-    PqModel(m, dsub, codebooks)
+    trainPqOnPoints(sample, m, ksub, iterations)
   }
 
   /** PQ top-k with exact re-ranking: every corpus vector is encoded to m
@@ -823,7 +786,24 @@ object Similarity {
       .filter(col("graft_ar") <= pool)
       .select("query_id", "neighbor_id")
 
-    // exact re-rank: only the candidate pool rejoins the full vectors
+    exactRerank(candidates, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k)
+  }
+
+  /** The exact-cosine re-rank tail shared by [[pqTopK]] and
+    * [[ivfPqTopK]]: only the (query_id, neighbor_id) candidate pool
+    * rejoins the full vectors — broadcast candidate side, id-keyed join
+    * into the vector store, one window per query.
+    */
+  private def exactRerank(
+      candidates: DataFrame,
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int): DataFrame = {
     val cv = corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).as("graft_cv"))
     val qv = queries.select(col(queryId).as("query_id"),
@@ -837,6 +817,189 @@ object Similarity {
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "similarity", "rank")
+  }
+
+  /** IVF-PQ top-k — the two scale levers composed, the way a 100-TB ANN
+    * index is actually built (Jégou et al. 2011 §IV): coarse IVF
+    * centroids PRUNE (a query touches ~nprobe/nlist of the corpus) and
+    * PQ codes over the per-vector RESIDUAL (unit vector − its cell
+    * centroid) COMPRESS what remains, so the probe scans m-byte code
+    * rows of a few cells instead of raw vectors of the whole corpus.
+    * Approximate dot decomposes as q·c_cell + Σ_j LUT_q[j][code_j] —
+    * the LUT is per-QUERY only (the codebooks are shared across cells),
+    * so probing costs one broadcast join on cell id plus m lookups per
+    * candidate row. Exact re-rank of the top-`rerank` pool follows, as
+    * in [[pqTopK]]: IVF/PQ error can cost recall, never score accuracy.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerank: Int = 0,
+      sampleSize: Int = 2048,
+      iterations: Int = 8): DataFrame = {
+    val pool = if (rerank > 0) math.max(rerank, k) else math.max(4 * k, k)
+    val spark = corpus.sparkSession
+    val coarse = trainCentroids(corpus, corpusVec, nlist, sampleSize, iterations)
+      .toArray
+    // PQ codebooks trained on the sample's RESIDUALS under the coarse
+    // assignment — the same one corpus pass supplies both training sets
+    val sample = sampleVectors(corpus, corpusVec, sampleSize, seed = 42L)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) v else v.map(_ / n)
+      }
+    val dim = sample.head.length
+    require(dim % m == 0, s"vector dim $dim must divide by m=$m")
+    def nearestCell(u: Array[Double]): Int = {
+      var best = 0
+      var bestDot = Double.MinValue
+      var i = 0
+      while (i < coarse.length) {
+        var d = 0.0
+        var j = 0
+        while (j < dim) { d += u(j) * coarse(i)(j); j += 1 }
+        if (d > bestDot) { bestDot = d; best = i }
+        i += 1
+      }
+      best
+    }
+    def residual(u: Array[Double]): Array[Double] = {
+      val c = coarse(nearestCell(u))
+      val r = new Array[Double](dim)
+      var j = 0
+      while (j < dim) { r(j) = u(j) - c(j); j += 1 }
+      r
+    }
+    val residualSample = sample.map(residual)
+    val pq = trainPqOnPoints(residualSample, m, ksub)
+    val bCoarse = spark.sparkContext.broadcast(coarse)
+    val bPq = spark.sparkContext.broadcast(pq)
+
+    val toUnit = (v: Seq[Float]) => {
+      val a = v.map(_.toDouble).toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0.0) a else a.map(_ / n)
+    }
+    val encodeUdf = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val u = toUnit(v)
+        val cs = bCoarse.value
+        var best = 0
+        var bestDot = Double.MinValue
+        var i = 0
+        while (i < cs.length) {
+          var d = 0.0
+          var j = 0
+          while (j < u.length) { d += u(j) * cs(i)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = i }
+          i += 1
+        }
+        val r = new Array[Double](u.length)
+        var j = 0
+        while (j < u.length) { r(j) = u(j) - cs(best)(j); j += 1 }
+        (best, bPq.value.encode(r))
+      }
+    }
+    // query side: nprobe nearest cells (with q·c per cell) + the ADC LUT
+    val probes = math.min(nprobe, coarse.length)
+    val queryUdf = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val u = toUnit(v)
+        val cs = bCoarse.value
+        val dots = cs.indices.map { i =>
+          var d = 0.0
+          var j = 0
+          while (j < u.length) { d += u(j) * cs(i)(j); j += 1 }
+          (d, i)
+        }
+        (dots.sortBy(t => (-t._1, t._2)).take(probes).toArray,
+          bPq.value.lookupTable(u))
+      }
+    }
+    val codes = corpus
+      .select(col(corpusId).as("neighbor_id"), encodeUdf(col(corpusVec)).as("graft_e"))
+      .where(col("graft_e").isNotNull)
+      .select(col("neighbor_id"), col("graft_e._1").as("graft_cell"),
+        col("graft_e._2").as("graft_codes"))
+    val luts = queries
+      .select(col(queryId).as("query_id"), queryUdf(col(queryVec)).as("graft_q"))
+      .where(col("graft_q").isNotNull)
+      .select(col("query_id"),
+        explode(col("graft_q._1")).as("graft_p"),
+        col("graft_q._2").as("graft_lut"))
+      .select(col("query_id"), col("graft_p._2").as("graft_cell"),
+        col("graft_p._1").as("graft_qc"), col("graft_lut"))
+    val approx = col("graft_qc") + aggregate(
+      zip_with(col("graft_codes"), col("graft_lut"),
+        (c, row) => element_at(row, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("graft_approx").desc, col("neighbor_id").asc)
+    val candidates = codes.join(broadcast(luts), Seq("graft_cell"))
+      .withColumn("graft_approx", approx)
+      .withColumn("graft_ar", row_number().over(wApprox))
+      .filter(col("graft_ar") <= pool)
+      .select("query_id", "neighbor_id")
+    exactRerank(candidates, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k)
+  }
+
+  /** Driver-side PQ training over already-prepared points (residuals or
+    * unit vectors) — the loop [[trainPq]] runs after sampling.
+    */
+  private def trainPqOnPoints(
+      points0: Seq[Array[Double]],
+      m: Int,
+      ksub: Int,
+      iterations: Int = 8): PqModel = {
+    val dim = points0.head.length
+    require(dim % m == 0, s"vector dim $dim must divide by m=$m")
+    val dsub = dim / m
+    val codebooks = (0 until m).map { j =>
+      val points = points0.map(v => v.slice(j * dsub, (j + 1) * dsub)).toArray
+      val kk = math.min(ksub, points.length)
+      var cents = (0 until kk).map(i => points(i * points.length / kk)).toArray
+      (0 until iterations).foreach { _ =>
+        val sums = Array.fill(kk)(new Array[Double](dsub))
+        val counts = new Array[Int](kk)
+        points.foreach { p =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < kk) {
+            var d = 0.0
+            var t = 0
+            while (t < dsub) {
+              val diff = p(t) - cents(c)(t)
+              d += diff * diff
+              t += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var t = 0
+          while (t < dsub) { sums(best)(t) += p(t); t += 1 }
+          counts(best) += 1
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents
+    }.toArray
+    PqModel(m, dsub, codebooks)
   }
 
   // -- Semantic deduplication (SemDeDup) ------------------------------------

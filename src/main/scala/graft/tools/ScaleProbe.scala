@@ -362,6 +362,15 @@ object ScaleProbe {
         queries, "vec_id", "embedding", k = 10, m = 8, ksub = 16,
         rerank = 40).count()
     }
+    // IVF-PQ (q82 engine path): coarse pruning ON (nprobe/nlist = 1/4 of
+    // the cells) — the probe measures the cost shape of the pruned scan,
+    // not recall (q82 pins recall with index params sized per-corpus)
+    def ivfPqTopK(e: DataFrame): Long = {
+      val queries = e.filter(col("vec_id") < 8L)
+      Similarity.ivfPqTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4,
+        m = 8, ksub = 16, rerank = 40).count()
+    }
     // SemDeDup (q59 engine path): the centroid count scales WITH the
     // corpus (8 at x1, 8*MULT at x10) so per-cell membership stays ~fixed
     // — the paper's own scale lever (cluster count grows, cluster size
@@ -414,6 +423,7 @@ object ScaleProbe {
     c4filters(docs0.limit(200))
     domainStats(docs0.limit(200))
     pqTopK(emb0.limit(200))
+    ivfPqTopK(emb0.limit(200))
     unigramLm(docs0.limit(200))
     semdedup(emb0.limit(200), 2)
     cc(ccEdges(4))
@@ -452,6 +462,7 @@ object ScaleProbe {
       ("c4_filters", timed(c4filters(docs0)), timed(c4filters(docsX))),
       ("domain_stats", timed(domainStats(docs0)), timed(domainStats(docsX))),
       ("pq_topk", timed(pqTopK(emb0)), timed(pqTopK(embX))),
+      ("ivfpq_topk", timed(ivfPqTopK(emb0)), timed(ivfPqTopK(embX))),
       ("unigram_lm", timed(unigramLm(docs0)), timed(unigramLm(docsX))),
       ("semdedup", timed(semdedup(emb0, 8)), timed(semdedup(embX, 8 * mult))),
       ("connected_components",
@@ -502,12 +513,30 @@ object ScaleProbe {
         tau = 0.4, maxClusterSize = 1000)
         .agg(count(when(!col("kept"), 1))).collect().head.getLong(0))
 
+    // incremental-fuzzy-state skew: the 20,000x-duplicated doc makes ONE
+    // (band, bucket) pathologically popular in the persisted state — the
+    // build-time cap must engage (observed on the dedup cap channel) and
+    // a batch probing that bucket must complete without fanning out
+    // 20,001 candidates per band; the duplicated text itself must still
+    // be caught (capped buckets keep up to maxBucketSize members)
+    val fuzzySkewDir = s"$work/lsh_state_skew"
+    val (fskewSec, fskewSurvivors, fskewExcluded) = timed {
+      Dedup.writeLshState(
+        Dedup.lshState(docsSkew, "doc_id", "text", maxBucketSize = SkewCap),
+        fuzzySkewDir)
+      val st = Dedup.readLshState(spark, fuzzySkewDir)
+      Dedup.nearDedupIncremental(
+        docsSkew.orderBy("doc_id").limit(50)
+          .select((col("doc_id") + lit(100000000L)).as("doc_id"), col("text")),
+        "doc_id", "text", st, threshold = 0.5).count()
+    }
+
     val probeJson = results.map { case (name, (s1, n1, c1), (sx, nx, cx)) =>
       val ratio = if (s1 > 0) sx / s1 else -1.0
       f""""$name":{"x1_sec":$s1%.2f,"x${mult}_sec":$sx%.2f,"ratio":$ratio%.2f,"x1_pairs":$n1,"x${mult}_pairs":$nx,"x1_cap_excluded":$c1,"x${mult}_cap_excluded":$cx}"""
     }.mkString(",")
     val line =
-      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"cc_hub":{"sec":$hubSec%.2f,"components":$hubComps,"degree":500000},"para_skew":{"sec":$pskewSec%.2f,"removed":$pskewRemoved,"copies":$SkewCopies},"substr_skew":{"sec":$sskewSec%.2f,"removed":$sskewRemoved,"copies":$SkewCopies},"source_overlap_skew":{"sec":$soSkewSec%.2f,"shared":$soSkewShared,"cap_excluded_rows":$soSkewExcluded,"cap":10},"sem_skew":{"sec":$semSkewSec%.2f,"dropped":$semSkewDropped,"cap_excluded_rows":$semSkewExcluded,"cap":1000}}"""
+      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"cc_hub":{"sec":$hubSec%.2f,"components":$hubComps,"degree":500000},"para_skew":{"sec":$pskewSec%.2f,"removed":$pskewRemoved,"copies":$SkewCopies},"substr_skew":{"sec":$sskewSec%.2f,"removed":$sskewRemoved,"copies":$SkewCopies},"source_overlap_skew":{"sec":$soSkewSec%.2f,"shared":$soSkewShared,"cap_excluded_rows":$soSkewExcluded,"cap":10},"sem_skew":{"sec":$semSkewSec%.2f,"dropped":$semSkewDropped,"cap_excluded_rows":$semSkewExcluded,"cap":1000},"fuzzy_state_skew":{"sec":$fskewSec%.2f,"survivors":$fskewSurvivors,"cap_excluded_rows":$fskewExcluded,"cap":$SkewCap,"copies":$SkewCopies}}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_probe.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

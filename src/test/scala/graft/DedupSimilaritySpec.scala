@@ -518,6 +518,35 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
       pqRows.foreach { case (k0, sim) => sim shouldBe bfRows(k0) +- 1e-12 }
     }
 
+    "prune to the query's own cells on a clustered corpus (ivfPqTopK) and stay exact" in {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(5)
+      // same 4-cluster fixture: with nlist = 4 the coarse cells track
+      // the clusters, but k-means init can SPLIT one cluster across two
+      // cells (observed: cluster 1 here) or merge two — so the probe
+      // reads the query's 2 nearest cells and the rerank pool covers a
+      // merged cell (120 >= 100); that recovers the exact top-k with
+      // exact similarities while still pruning half the corpus
+      val centers = Array.fill(4, 16)(rng.nextGaussian() * 3)
+      val corpus = (0 until 200).map { i =>
+        val c = centers(i % 4)
+        (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+      }.toDF("vec_id", "embedding")
+      val queries = corpus.filter(col("vec_id") < 3L)
+      val ivfpq = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nlist = 4, nprobe = 2,
+        m = 8, ksub = 16, rerank = 120)
+      val bf = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      val a = ivfpq.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val b = bf.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      a.keySet shouldBe b.keySet
+      a.foreach { case (k0, sim) => sim shouldBe b(k0) +- 1e-12 }
+    }
+
     "drop null vectors and respect the dim % m contract" in {
       val s = spark
       import s.implicits._
