@@ -2616,6 +2616,31 @@ object SparkEntry {
           "survivor_id_sum" -> r.getLong(1).toDouble,
           "state_docs" -> state.signatures.count().toDouble))
       } finally rmTree(statePath)
+    }),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per source,
+    // rank documents by unigram-LM cross-entropy and ntile into
+    // head/middle/tail terciles — the step CCNet runs per language before
+    // keeping head+middle. The rank key is (round(ce, 6), doc_id) in BOTH
+    // engines, so a replay disagrees only if a document's cross-entropy
+    // rounds differently at the 6th decimal; measured at all three SFs the
+    // closest any document's ce sits to a 1e-6 rounding boundary is
+    // 7.7e-11 (sf0.1; 5.1e-10 / 7.5e-10 at the smaller SFs), while the
+    // measured max cross-engine per-doc ce difference is 2.2e-15 — four
+    // orders of headroom.
+    // Value-pinned per (source, bucket) by integers (docs, id_sum) plus
+    // the rounded bucket mean entropy.
+    "q83_perplexity_buckets" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val b = TextAnalysis.perplexityBuckets(
+        docs, "doc_id", "text", "source", nBuckets = 3)
+      b.groupBy(col("source"), col("bucket"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("docs"),
+          coalesce(sum(col("doc_id")), lit(0L)).cast(DoubleType)
+            .as("id_sum"),
+          round(avg(col("cross_entropy")), 6).as("avg_h"))
+        .withColumn("bucket", col("bucket").cast(DoubleType))
     })
   )
 
@@ -4845,6 +4870,37 @@ object SparkEntry {
         |       (SELECT count(*) FROM surv)::DOUBLE AS survivors,
         |       (SELECT coalesce(sum(doc_id), 0) FROM surv)::DOUBLE
         |         AS survivor_id_sum,
-        |       (SELECT count(*) FROM osh)::DOUBLE AS state_docs""".stripMargin
+        |       (SELECT count(*) FROM osh)::DOUBLE AS state_docs""".stripMargin,
+
+    // q83: CCNet perplexity terciles — the q58 Laplace-unigram model
+    // replayed per document, then ntile(3) per source ordered by the SAME
+    // (round(ce, 6), doc_id) key the engine ranks on.
+    "q83_perplexity_buckets" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), tkn AS (
+        |  SELECT doc_id, unnest(toks) AS term FROM base
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tkn GROUP BY 1, 2
+        |), tc AS (
+        |  SELECT term, sum(tf) AS c FROM tf GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(c) AS t, count(*) AS v FROM tc
+        |), doc AS (
+        |  SELECT f.doc_id, sum(f.tf) AS n_tokens,
+        |    sum(-f.tf * (ln(tc.c + 1.0) - ln((SELECT t + v FROM tot)))) AS nll
+        |  FROM tf f JOIN tc USING (term) GROUP BY 1
+        |), bk AS (
+        |  SELECT dd.source, d.doc_id, d.nll / d.n_tokens AS ce,
+        |    ntile(3) OVER (PARTITION BY dd.source
+        |      ORDER BY round(d.nll / d.n_tokens, 6), d.doc_id) AS bucket
+        |  FROM doc d JOIN documents dd USING (doc_id)
+        |)
+        |SELECT source, bucket::DOUBLE AS bucket, count(*)::DOUBLE AS docs,
+        |  sum(doc_id)::DOUBLE AS id_sum,
+        |  round(avg(ce), 6)::DOUBLE AS avg_h
+        |FROM bk GROUP BY 1, 2""".stripMargin
   )
 }

@@ -929,6 +929,49 @@ object TextAnalysis {
         s"unsupported (order, smoothing) combination: $other")
     }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): within
+    * each group (CCNet buckets per language; any column works — source,
+    * domain), rank documents by LM cross-entropy and cut into `nBuckets`
+    * equal-frequency buckets. Bucket 1 is the head (cleanest), bucket
+    * `nBuckets` the tail; CCNet keeps head+middle for training. Returns
+    * (`idCol`, `groupCol`, n_tokens/n_bigrams, nll, cross_entropy,
+    * bucket). Documents the scorer skips (null id, zero scoreable
+    * grams) are absent — unscoreable text has no perplexity.
+    *
+    * 100 TB plan shape: the scorer's own one-tokenize-pass plan produces
+    * a SLIM per-doc frame (id + three numbers); the group column rides a
+    * slim projection joined on the id key, and the rank is one `ntile`
+    * window exchange partitioned by group — per-row state in the window
+    * is a counter, never a buffer. Nothing re-reads the text after the
+    * scoring pass.
+    *
+    * Determinism across engines: ordering by a raw double invites
+    * cross-engine summation-order noise at bucket boundaries, so the
+    * rank key is `round(cross_entropy, 6)` with the document id as the
+    * tiebreak — identical-text documents (exactly equal entropy) order
+    * by id, and an oracle replay disagrees only if its value rounds
+    * differently at the 6th decimal (measured boundary distances are
+    * orders of magnitude wider; see the q83 margin note).
+    */
+  def perplexityBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      nBuckets: Int = 3,
+      order: Int = 1,
+      smoothing: LmSmoothing = LmSmoothing.Laplace): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val scored = lmCrossEntropy(df, idCol, textCol, order, smoothing)
+    val groups = df.select(col(idCol), col(groupCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(round(col("cross_entropy"), 6), col(idCol))
+    scored
+      .join(groups, Seq(idCol))
+      .withColumn("bucket", ntile(nBuckets).over(w))
+  }
+
   // -- DSIR importance weighting --------------------------------------------
   // Data Selection via Importance Resampling (Xie et al. 2023,
   // arXiv:2302.03169): score every raw document by the log-likelihood

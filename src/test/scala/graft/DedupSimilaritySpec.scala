@@ -1393,6 +1393,59 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "perplexityBuckets" should {
+    "cut each group into equal-frequency buckets ordered by entropy" in {
+      val s = spark
+      import s.implicits._
+      // 6 docs per group: 3 clean (repetitive = low entropy under the
+      // corpus unigram model) and 3 junk (all-distinct rare tokens)
+      val rows = for {
+        g <- Seq("a", "b"); i <- 0 until 6
+      } yield {
+        val id = (if (g == "a") 0L else 100L) + i
+        val text =
+          if (i < 3) "the cat sat on the mat the cat sat"
+          else s"zq${id}x wq${id}y vq${id}z uq${id}w tq${id}v sq${id}u"
+        (id, g, text)
+      }
+      val df = rows.toDF("doc_id", "grp", "text")
+      val out = TextAnalysis
+        .perplexityBuckets(df, "doc_id", "text", "grp", nBuckets = 3)
+        .collect()
+      out.length shouldBe 12
+      // ntile(3) over 6 rows: exactly 2 per bucket per group
+      out.groupBy(r => (r.getAs[String]("grp"), r.getAs[Int]("bucket")))
+        .foreach { case (_, rs) => rs.length shouldBe 2 }
+      // every bucket-1 doc scores at or below every bucket-3 doc in-group
+      out.groupBy(_.getAs[String]("grp")).foreach { case (_, rs) =>
+        val h1 = rs.filter(_.getAs[Int]("bucket") == 1)
+          .map(_.getAs[Double]("cross_entropy")).max
+        val h3 = rs.filter(_.getAs[Int]("bucket") == 3)
+          .map(_.getAs[Double]("cross_entropy")).min
+        h1 should be <= h3
+      }
+      // the repetitive docs land in the head, the junk in the tail
+      out.filter(_.getAs[Long]("doc_id") % 100 < 3)
+        .map(_.getAs[Int]("bucket")).max should be < 3
+    }
+
+    "skip unscoreable docs and reject nBuckets < 2" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        (1L, "g", "some text here"), (2L, "g", ""),
+        (3L, "g", null.asInstanceOf[String]), (4L, "g", "more text here"))
+        .toDF("doc_id", "grp", "text")
+      val out = TextAnalysis
+        .perplexityBuckets(df, "doc_id", "text", "grp", nBuckets = 2)
+        .collect()
+      out.map(_.getAs[Long]("doc_id")).sorted shouldBe Array(1L, 4L)
+      an[IllegalArgumentException] should be thrownBy
+        TextAnalysis.perplexityBuckets(df, "doc_id", "text", "grp",
+          nBuckets = 1)
+    }
+  }
+
   "collapseAdjacentLines" should {
     "drop only consecutive identical lines" in {
       val s = spark
