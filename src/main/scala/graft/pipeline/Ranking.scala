@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed exact ranking primitives.
+  *
+  * Spark's own `ntile(n).over(Window.partitionBy(g).orderBy(k))` funnels
+  * EVERY row of a group through one reducer task that sorts the whole
+  * group — fine when groups are small (a 64-term vocabulary, a per-doc
+  * window), fatal when the group is "all documents of one language" and
+  * the corpus is 100 TB: the biggest language IS most of the corpus, so
+  * one task would sort most of the data. CCNet-style perplexity
+  * bucketing ranks exactly that shape.
+  *
+  * [[groupedNtile]] reproduces the window's EXACT semantics (same tile
+  * sizes, same ordering, ties broken by the caller's key) without the
+  * per-group sort task: a range repartition over (group, orderCols)
+  * spreads each group across many partitions in global order, one slim
+  * count pass ships (partition, group, rowCount) triples to the driver
+  * (at most P + G rows — groups are contiguous under range
+  * partitioning), and a second pass assigns ranks from broadcast prefix
+  * offsets. No task ever holds more than one range partition; skew in
+  * group size becomes parallelism, not a hot task. This is the
+  * [[Packing]] / [[Mixing.tokenBudgetSample]] prefix-sum machinery
+  * generalized to keyed groups.
+  *
+  * reference capability: none (deequ has no ranking operator); part of
+  * the beyond-reference LLM-pipeline family (SURVEY §2 pipeline block).
+  */
+object Ranking {
+
+  /** Exact `ntile(nBuckets)` over `Window.partitionBy(groupCol)
+    * .orderBy(orderCols)` — identical output to the Spark window (and to
+    * an ANSI-SQL `ntile` replay) for a total per-group ordering, computed
+    * without a per-group single-task sort.
+    *
+    * `orderCols` must make rows totally ordered within a group
+    * (include a unique tiebreak column — ties would otherwise land in
+    * range-boundary-dependent buckets) and must not contain nulls;
+    * ascending, as in the SQL default. Null GROUP values are a group of
+    * their own, as in SQL. Columns must be of an orderable primitive
+    * type (numeric / string / boolean / date / timestamp).
+    *
+    * Returns `df` with `bucketCol` (IntegerType, 1-based) appended.
+    */
+  def groupedNtile(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      nBuckets: Int,
+      bucketCol: String = "bucket"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val spark = df.sparkSession
+    val schema = df.schema
+    val gi = schema.fieldIndex(groupCol)
+    val ois = orderCols.map(schema.fieldIndex)
+    val sortCols = (groupCol +: orderCols).map(col)
+    val sorted = df
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .rdd
+    sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one slim pass up: per-partition per-group row counts. Groups are
+      // contiguous runs under the range partitioning, so a partition
+      // holds at most (runs) groups and the collected total is <= P + G.
+      val counts: Array[(Int, Any, Long)] = sorted
+        .mapPartitionsWithIndex { (pid, it) =>
+          val runs = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
+          var cur: Any = null
+          var started = false
+          var n = 0L
+          it.foreach { r =>
+            val g = r.get(gi)
+            if (!started) { cur = g; started = true; n = 1L }
+            else if (g == cur) n += 1L
+            else { runs += ((cur, n)); cur = g; n = 1L }
+          }
+          if (started) runs += ((cur, n))
+          runs.iterator.map { case (g, n) => (pid, g, n) }
+        }
+        .collect()
+      // driver: group totals and, per (partition, group), the exclusive
+      // rank offset = rows of that group in earlier partitions
+      val totals = scala.collection.mutable.HashMap.empty[Any, Long]
+      val offsets = scala.collection.mutable.HashMap.empty[(Int, Any), Long]
+      counts.sortBy(_._1).foreach { case (pid, g, n) =>
+        val sofar = totals.getOrElse(g, 0L)
+        offsets((pid, g)) = sofar
+        totals(g) = sofar + n
+      }
+      val bTotals = spark.sparkContext.broadcast(totals.toMap)
+      val bOffsets = spark.sparkContext.broadcast(offsets.toMap)
+      val nb = nBuckets.toLong
+      val out = sorted.mapPartitionsWithIndex { (pid, it) =>
+        val tot = bTotals.value
+        val off = bOffsets.value
+        var cur: Any = null
+        var started = false
+        var rank = 0L // exclusive rank of the previous row within its group
+        var n = 0L
+        var q = 0L
+        var rem = 0L
+        var thr = 0L
+        it.map { r =>
+          val g = r.get(gi)
+          if (!started || g != cur) {
+            cur = g; started = true
+            rank = off((pid, g))
+            n = tot(g)
+            q = n / nb
+            rem = n % nb
+            thr = (q + 1L) * rem // rows in the (q+1)-sized leading tiles
+          }
+          rank += 1L
+          // SQL ntile: the first (n mod b) tiles get ceil(n/b) rows, the
+          // rest floor(n/b); rank is 1-based within the group
+          val bucket =
+            if (rank <= thr) ((rank - 1L) / (q + 1L) + 1L).toInt
+            else (rem + (rank - thr - 1L) / q + 1L).toInt
+          Row.fromSeq(r.toSeq :+ bucket)
+        }
+      }
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize before the sorted cache is released below — the
+      // returned frame is lazy, and re-running the range shuffle would
+      // re-sample its bounds
+      out.count()
+      spark.createDataFrame(out,
+        StructType(schema.fields :+
+          StructField(bucketCol, IntegerType, nullable = false)))
+    } finally {
+      sorted.unpersist(blocking = false)
+      ()
+    }
+  }
+}

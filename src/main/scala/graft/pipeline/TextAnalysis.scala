@@ -940,10 +940,12 @@ object TextAnalysis {
     *
     * 100 TB plan shape: the scorer's own one-tokenize-pass plan produces
     * a SLIM per-doc frame (id + three numbers); the group column rides a
-    * slim projection joined on the id key, and the rank is one `ntile`
-    * window exchange partitioned by group — per-row state in the window
-    * is a counter, never a buffer. Nothing re-reads the text after the
-    * scoring pass.
+    * slim projection joined on the id key, and the rank comes from
+    * [[Ranking.groupedNtile]] — a range repartition plus broadcast
+    * prefix offsets, NOT an `ntile` window partitioned by group (a
+    * window would sort each group in ONE task, and at corpus scale the
+    * biggest group — CCNet's group is a language — IS most of the
+    * corpus). Nothing re-reads the text after the scoring pass.
     *
     * Determinism across engines: ordering by a raw double invites
     * cross-engine summation-order noise at bucket boundaries, so the
@@ -964,12 +966,12 @@ object TextAnalysis {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     val scored = lmCrossEntropy(df, idCol, textCol, order, smoothing)
     val groups = df.select(col(idCol), col(groupCol))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(round(col("cross_entropy"), 6), col(idCol))
-    scored
-      .join(groups, Seq(idCol))
-      .withColumn("bucket", ntile(nBuckets).over(w))
+    Ranking.groupedNtile(
+      scored
+        .join(groups, Seq(idCol))
+        .withColumn("graft_rank_key", round(col("cross_entropy"), 6)),
+      groupCol, Seq("graft_rank_key", idCol), nBuckets)
+      .drop("graft_rank_key")
   }
 
   // -- DSIR importance weighting --------------------------------------------

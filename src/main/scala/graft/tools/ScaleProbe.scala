@@ -343,6 +343,18 @@ object ScaleProbe {
       graft.pipeline.TextAnalysis.unigramCrossEntropy(d, "doc_id", "text")
         .agg(coalesce(sum(col("n_tokens")), lit(0L)))
         .collect().head.getLong(0)
+    // perplexity bucketing (q83 engine path) with ONE group — the shape a
+    // per-group ntile window would serialize into a single sort task:
+    // groupedNtile's range repartition spreads the group across the
+    // cluster and ranks from broadcast prefix offsets. The returned token
+    // total is conserved (scales exactly 10x), so a lost or double-ranked
+    // doc can't hide in the timing row.
+    def perpBuckets(d: DataFrame): Long =
+      graft.pipeline.TextAnalysis.perplexityBuckets(
+        d.withColumn("grp", lit("all")), "doc_id", "text", "grp",
+        nBuckets = 10)
+        .agg(coalesce(sum(col("n_tokens")), lit(0L)))
+        .collect().head.getLong(0)
     // domain curation (q79 engine path): ONE map-side-combinable groupBy
     // over a slim projection; 20 synthetic domains at both scales, so the
     // returned doc total scales exactly 10x while the domain cardinality
@@ -422,6 +434,7 @@ object ScaleProbe {
     packing(docs0.limit(200))
     c4filters(docs0.limit(200))
     domainStats(docs0.limit(200))
+    perpBuckets(docs0.limit(200))
     pqTopK(emb0.limit(200))
     ivfPqTopK(emb0.limit(200))
     unigramLm(docs0.limit(200))
@@ -464,6 +477,8 @@ object ScaleProbe {
       ("pq_topk", timed(pqTopK(emb0)), timed(pqTopK(embX))),
       ("ivfpq_topk", timed(ivfPqTopK(emb0)), timed(ivfPqTopK(embX))),
       ("unigram_lm", timed(unigramLm(docs0)), timed(unigramLm(docsX))),
+      ("perplexity_buckets",
+        timed(perpBuckets(docs0)), timed(perpBuckets(docsX))),
       ("semdedup", timed(semdedup(emb0, 8)), timed(semdedup(embX, 8 * mult))),
       ("connected_components",
         timed(cc(ccEdges(ccComps1))), timed(cc(ccEdges(ccComps1 * mult)))))
