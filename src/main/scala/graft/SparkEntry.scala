@@ -2641,6 +2641,26 @@ object SparkEntry {
             .as("id_sum"),
           round(avg(col("cross_entropy")), 6).as("avg_h"))
         .withColumn("bucket", col("bucket").cast(DoubleType))
+    }),
+
+    // Length-grouped batch shaping (fairseq/T5-style): equal-frequency
+    // token-length octiles via the distributed exact ntile (range
+    // repartition + prefix offsets — the ranking never sorts the corpus
+    // in one task), then the per-bucket padding audit: a loader padding
+    // each bucket-batch to its longest member spends max_len*docs -
+    // sum_tokens pad tokens. Every pinned column is an exact integer;
+    // the (n_tokens, doc_id) rank key is integer-exact in both engines.
+    "q84_length_buckets" -> ((s, dir) => {
+      import graft.pipeline.Packing
+      val docs = table(s, dir, "documents")
+      val bk = Packing.lengthBuckets(docs, "doc_id", "text", nBuckets = 8)
+      Packing.paddingWasteStats(bk)
+        .select(
+          col("bucket").cast(DoubleType).as("bucket"),
+          col("docs").cast(DoubleType).as("docs"),
+          col("sum_tokens").cast(DoubleType).as("sum_tokens"),
+          col("max_len").cast(DoubleType).as("max_len"),
+          col("padding_waste").cast(DoubleType).as("padding_waste"))
     })
   )
 
@@ -4901,6 +4921,25 @@ object SparkEntry {
         |SELECT source, bucket::DOUBLE AS bucket, count(*)::DOUBLE AS docs,
         |  sum(doc_id)::DOUBLE AS id_sum,
         |  round(avg(ce), 6)::DOUBLE AS avg_h
-        |FROM bk GROUP BY 1, 2""".stripMargin
+        |FROM bk GROUP BY 1, 2""".stripMargin,
+
+    // q84: length-grouped batching octiles — the same whitespace token
+    // count the packing oracles use, ntile(8) over the integer-exact
+    // (n_tokens, doc_id) key, then per-bucket padding arithmetic.
+    "q84_length_buckets" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    coalesce(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')), 0) AS nt
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), bk AS (
+        |  SELECT doc_id, nt,
+        |    ntile(8) OVER (ORDER BY nt, doc_id) AS bucket
+        |  FROM base
+        |)
+        |SELECT bucket::DOUBLE AS bucket, count(*)::DOUBLE AS docs,
+        |  sum(nt)::DOUBLE AS sum_tokens, max(nt)::DOUBLE AS max_len,
+        |  (max(nt) * count(*) - sum(nt))::DOUBLE AS padding_waste
+        |FROM bk GROUP BY 1""".stripMargin
   )
 }

@@ -127,6 +127,59 @@ object Packing {
     if (keepPartial) seqs else seqs.where(col("n_tokens") === L)
   }
 
+  /** Length-grouped batch shaping: assign every document to one of
+    * `nBuckets` equal-frequency token-length buckets (bucket 1 =
+    * shortest). Training loaders that pad each batch to its longest
+    * member waste `max_len * batch_size - sum_len` pad tokens per batch;
+    * drawing batches within length buckets (fairseq/T5-style
+    * length-grouped batching) shrinks that waste, and this operator is
+    * both the shaper (the bucket assignment) and the audit (see
+    * [[paddingWasteStats]]).
+    *
+    * Bucket assignment is exact `ntile(nBuckets)` ordered by
+    * `(n_tokens, id)` — deterministic, oracle-replayable — computed via
+    * [[Ranking.groupedNtile]], so the corpus-wide ranking is a range
+    * repartition + broadcast prefix offsets, never a single-task sort.
+    * Null-id rows are dropped; null/empty text counts zero tokens (an
+    * empty example still occupies a batch slot).
+    *
+    * Returns (`idCol`, `n_tokens`, `bucket`).
+    */
+  def lengthBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int,
+      tokens: Column => Column = TextAnalysis.tokens): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val slim = df
+      .where(col(idCol).isNotNull)
+      .select(
+        col(idCol),
+        coalesce(size(tokens(col(textCol))).cast(LongType), lit(0L))
+          .as("n_tokens"))
+      .withColumn("graft_g", lit(1))
+    Ranking.groupedNtile(
+      slim, "graft_g", Seq("n_tokens", idCol), nBuckets).drop("graft_g")
+  }
+
+  /** Per-bucket padding audit over a [[lengthBuckets]] frame: `docs`,
+    * `sum_tokens`, `max_len`, and `padding_waste` = the pad tokens spent
+    * if every bucket were one padded batch (`max_len * docs -
+    * sum_tokens`) — the bucketed counterpart of the single-batch
+    * baseline `global_max * total_docs - total_tokens`. One map-side
+    * combinable groupBy on the slim assignment frame.
+    */
+  def paddingWasteStats(bucketed: DataFrame): DataFrame =
+    bucketed
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        max(col("n_tokens")).as("max_len"))
+      .withColumn("padding_waste",
+        col("max_len") * col("docs") - col("sum_tokens"))
+
   /** Exclusive global token offsets in id order, as
     * (idCol, graft_nt, graft_start): one slim range exchange + two passes
     * over the cached partitions (partial sums up, offsets broadcast

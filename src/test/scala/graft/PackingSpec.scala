@@ -139,6 +139,41 @@ class PackingSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "lengthBuckets / paddingWasteStats" should {
+    "bucket by token length and account every pad token" in {
+      val s = spark
+      import s.implicits._
+      // lengths 1..12 (ids shuffled vs length so the rank key matters),
+      // plus a null-text and a null-id row
+      val df = ((1 to 12).map(n => ((13 - n).toLong, Seq.fill(n)("w").mkString(" "))) ++
+        Seq((50L, null.asInstanceOf[String])))
+        .toDF("doc_id", "text")
+        .unionByName(Seq((null.asInstanceOf[java.lang.Long], "x y"))
+          .toDF("doc_id", "text"))
+      val bk = Packing.lengthBuckets(df, "doc_id", "text", nBuckets = 4)
+      val rows = bk.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2)))
+      rows.length shouldBe 13 // null id dropped, null text kept at 0
+      rows.find(_._1 == 50L).get._2 shouldBe 0L // null text -> 0 tokens
+      // ntile(4) over 13 rows: tile sizes 4,3,3,3 ordered by (nt, id)
+      val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2).toSeq).toMap
+      byBucket(1).size shouldBe 4
+      byBucket(1).max should be <= byBucket(2).min
+      byBucket(3).max should be <= byBucket(4).min
+      val stats = Packing.paddingWasteStats(bk).collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))).toMap
+      stats.values.foreach { case (docs, sumT, maxL, waste) =>
+        waste shouldBe maxL * docs - sumT
+      }
+      // bucketed waste must not exceed the single-batch baseline
+      val totalDocs = rows.length.toLong
+      val totalTok = rows.map(_._2).sum
+      val baseline = rows.map(_._2).max * totalDocs - totalTok
+      stats.values.map(_._4).sum should be <= baseline
+    }
+  }
+
   private def docs(s: org.apache.spark.sql.SparkSession) = {
     import s.implicits._
     (0L until 20L).map(i => (i, s"a$i b$i c$i")).toDF("doc_id", "text")
