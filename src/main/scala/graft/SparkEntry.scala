@@ -2661,6 +2661,48 @@ object SparkEntry {
           col("sum_tokens").cast(DoubleType).as("sum_tokens"),
           col("max_len").cast(DoubleType).as("max_len"),
           col("padding_waste").cast(DoubleType).as("padding_waste"))
+    }),
+
+    // URL-level dedup (the CC-index/RefinedWeb re-crawl collapse):
+    // deterministic messy URL variants from doc_id — five ids per page in
+    // five disguises (www + uppercase scheme + default port + trailing
+    // slash + userinfo + tracking params + fragment + unsorted content
+    // params), canonicalized and deduped to the min-id survivor per
+    // canonical URL; doc_id%97 rows are unparseable and ALL kept. The
+    // DuckDB oracle replays the full normalization generically (same
+    // regexes, same tracking-param list, same sort) — survivor id-sum,
+    // canonical-length sum, and the verbatim max canonical string pin
+    // every normalization step.
+    "q85_url_dedup" -> ((s, dir) => {
+      import graft.pipeline.Domains
+      import org.apache.spark.sql.functions.floor
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val g = floor(col("doc_id") / 5).cast(LongType)
+      val dS = pmod(g, lit(20)).cast(StringType)
+      val gS = g.cast(StringType)
+      val idS = col("doc_id").cast(StringType)
+      val m = pmod(col("doc_id"), lit(5))
+      val host = concat(lit("s"), dS, lit(".example.com"))
+      val path = concat(lit("/p/"), gS)
+      val url = when(pmod(col("doc_id"), lit(97)) === 0, lit("page moved"))
+        .when(m === 0, concat(lit("https://www."), host, path))
+        .when(m === 1, concat(lit("HTTPS://"), host, lit(":443"), path, lit("/")))
+        .when(m === 2, concat(lit("https://user:pw@"), host, path,
+          lit("?utm_source=x&fbclid="), idS))
+        .when(m === 3, concat(lit("https://"), host, path, lit("?b=2&a=1#frag")))
+        .otherwise(concat(lit("https://"), host, path,
+          lit("?a=1&utm_medium=y&b=2")))
+      val dd = Domains.dedupByCanonicalUrl(
+        docs.select(col("doc_id"), url.as("url")), "url", "doc_id")
+      dd.agg(
+        count(lit(1)).cast(DoubleType).as("n_out"),
+        count(when(col("canonical_url").isNull, 1)).cast(DoubleType)
+          .as("n_null_key"),
+        countDistinct(col("canonical_url")).cast(DoubleType).as("n_groups"),
+        sum(col("doc_id")).cast(DoubleType).as("survivor_id_sum"),
+        coalesce(sum(length(col("canonical_url"))), lit(0L)).cast(DoubleType)
+          .as("canon_len_sum"),
+        max(col("canonical_url")).as("max_canon"))
     })
   )
 
@@ -4940,6 +4982,85 @@ object SparkEntry {
         |SELECT bucket::DOUBLE AS bucket, count(*)::DOUBLE AS docs,
         |  sum(nt)::DOUBLE AS sum_tokens, max(nt)::DOUBLE AS max_len,
         |  (max(nt) * count(*) - sum(nt))::DOUBLE AS padding_waste
-        |FROM bk GROUP BY 1""".stripMargin
+        |FROM bk GROUP BY 1""".stripMargin,
+
+    // q85: URL dedup — the oracle regenerates the same messy variants and
+    // replays the FULL canonicalization generically (identical regexes,
+    // tracking-param list, parameter sort), then elects min-id survivors
+    // per canonical key; unparseable rows pass through.
+    "q85_url_dedup" ->
+      ("""WITH d AS (
+        |  SELECT doc_id FROM documents WHERE doc_id IS NOT NULL
+        |), u AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 97 = 0 THEN 'page moved'
+        |      WHEN doc_id % 5 = 0 THEN 'https://www.s' ||
+        |        ((doc_id // 5) % 20)::VARCHAR || '.example.com/p/' ||
+        |        (doc_id // 5)::VARCHAR
+        |      WHEN doc_id % 5 = 1 THEN 'HTTPS://s' ||
+        |        ((doc_id // 5) % 20)::VARCHAR || '.example.com:443/p/' ||
+        |        (doc_id // 5)::VARCHAR || '/'
+        |      WHEN doc_id % 5 = 2 THEN 'https://user:pw@s' ||
+        |        ((doc_id // 5) % 20)::VARCHAR || '.example.com/p/' ||
+        |        (doc_id // 5)::VARCHAR || '?utm_source=x&fbclid=' ||
+        |        doc_id::VARCHAR
+        |      WHEN doc_id % 5 = 3 THEN 'https://s' ||
+        |        ((doc_id // 5) % 20)::VARCHAR || '.example.com/p/' ||
+        |        (doc_id // 5)::VARCHAR || '?b=2&a=1#frag'
+        |      ELSE 'https://s' ||
+        |        ((doc_id // 5) % 20)::VARCHAR || '.example.com/p/' ||
+        |        (doc_id // 5)::VARCHAR || '?a=1&utm_medium=y&b=2'
+        |    END AS url
+        |  FROM d
+        |), parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)', 1)
+        |      AS hostport,
+        |    regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query
+        |  FROM u
+        |), norm AS (
+        |  SELECT doc_id, scheme,
+        |    regexp_replace(lower(regexp_extract(hostport,
+        |      '^(\[[^\]]+\]|[^:]+)', 1)), '^www\.', '') AS host,
+        |    regexp_extract(hostport,
+        |      '^(?:\[[^\]]+\]|[^:]+):([0-9]+)$', 1) AS port,
+        |    regexp_replace(rawpath, '/+$', '') AS tpath,
+        |    coalesce(array_to_string(
+        |      list_sort(list_filter(string_split(query, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '""" + graft.pipeline.Domains.TrackingParamPattern +
+        """'))), '&'), '') AS q2
+        |  FROM parts
+        |), canon AS (
+        |  SELECT doc_id,
+        |    CASE WHEN scheme = '' OR host = '' THEN NULL ELSE
+        |      scheme || '://' || host ||
+        |      (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |         OR (scheme = 'https' AND port = '443') THEN ''
+        |         ELSE ':' || port END) ||
+        |      (CASE WHEN tpath = '' THEN '/' ELSE tpath END) ||
+        |      (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+        |    END AS canonical_url
+        |  FROM norm
+        |), surv AS (
+        |  SELECT min(doc_id) AS doc_id, canonical_url
+        |  FROM canon WHERE canonical_url IS NOT NULL GROUP BY canonical_url
+        |  UNION ALL
+        |  SELECT doc_id, canonical_url FROM canon WHERE canonical_url IS NULL
+        |)
+        |SELECT count(*)::DOUBLE AS n_out,
+        |  count(CASE WHEN canonical_url IS NULL THEN 1 END)::DOUBLE
+        |    AS n_null_key,
+        |  count(DISTINCT canonical_url)::DOUBLE AS n_groups,
+        |  sum(doc_id)::DOUBLE AS survivor_id_sum,
+        |  coalesce(sum(len(canonical_url)), 0)::DOUBLE AS canon_len_sum,
+        |  max(canonical_url) AS max_canon
+        |FROM surv""").stripMargin
   )
 }

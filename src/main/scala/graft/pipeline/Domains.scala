@@ -36,6 +36,80 @@ object Domains {
     when(h === "", lit(null).cast(StringType)).otherwise(lower(h))
   }
 
+  /** Canonical form of a URL column for URL-level dedup (the CC-index /
+    * RefinedWeb convention: one page, one key — a re-crawl of
+    * `HTTP://WWW.Example.com:80/a/?utm_source=x&b=2&a=1#frag` and
+    * `http://example.com/a?a=1&b=2` must collide). Pure codegen
+    * expressions, no UDF. Normalization, exactly:
+    *
+    *  - scheme and host lowercased; userinfo and fragment stripped;
+    *  - a leading `www.` dropped from the host;
+    *  - the default port for the scheme (`:80` http, `:443` https)
+    *    dropped, other ports kept;
+    *  - trailing slashes stripped from the path; an empty path becomes
+    *    `/` (path case is PRESERVED — most servers are case-sensitive);
+    *  - query parameters split on `&`, known tracking parameters dropped
+    *    (`utm_*`, `gclid`, `fbclid`, `msclkid`, `dclid`, `igshid`,
+    *    `mc_cid`, `mc_eid`, `ref`, `ref_src`, `_ga`), the rest SORTED
+    *    and rejoined; an emptied query disappears entirely.
+    *
+    * Null for unparseable values (no scheme/host) — callers decide
+    * whether keyless rows are kept or quarantined, as with [[urlHost]].
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostport = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)", 1)
+    val rawHost = regexp_extract(hostport, "^(\\[[^\\]]+\\]|[^:]+)", 1)
+    val host = regexp_replace(lower(rawHost), "^www\\.", "")
+    val port = regexp_extract(hostport, "^(?:\\[[^\\]]+\\]|[^:]+):([0-9]+)$", 1)
+    val defaultPort = (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443")
+    val portPart = when(port === "" || defaultPort, lit(""))
+      .otherwise(concat(lit(":"), port))
+    val rawPath = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val trimmedPath = regexp_replace(rawPath, "/+$", "")
+    val path = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike(TrackingParamPattern))
+    val qstr = array_join(array_sort(params), "&")
+    val queryPart = when(qstr === "", lit(""))
+      .otherwise(concat(lit("?"), qstr))
+    when(scheme === "" || host === "", lit(null).cast(StringType))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
+  }
+
+  /** Anchored match for one `key=value` query parameter that is pure
+    * click/campaign tracking (never page content). Shared with the q85
+    * oracle replay. */
+  val TrackingParamPattern: String =
+    "^(?:utm_[^=&]*|gclid|fbclid|msclkid|dclid|igshid|mc_cid|mc_eid|ref|ref_src|_ga)(?:=.*)?$"
+
+  /** URL-level exact dedup: one survivor (min `tieBreakCol`, the
+    * [[Dedup.exact]] election) per [[canonicalUrl]] of `urlCol`. Rows
+    * whose URL does not canonicalize (null key) are ALL KEPT — an
+    * unparseable URL identifies nothing, so it can't collide. The
+    * returned frame carries `df`'s columns plus `canonical_url`.
+    *
+    * Scale shape: one map-side-combinable groupBy on the canonical-url
+    * key (the [[Dedup.exact]] min_by plan — partial aggregates collapse
+    * hot keys per map partition, so a URL crawled a million times never
+    * forms a hot reduce group), plus a null-key pass-through that
+    * shuffles nothing.
+    */
+  def dedupByCanonicalUrl(
+      df: DataFrame,
+      urlCol: String,
+      tieBreakCol: String): DataFrame = {
+    val keyed = df.withColumn("canonical_url", canonicalUrl(col(urlCol)))
+    val deduped = Dedup.exact(
+      keyed.where(col("canonical_url").isNotNull),
+      Seq("canonical_url"), tieBreakCol)
+    deduped.unionByName(keyed.where(col("canonical_url").isNull))
+  }
+
   /** Per-domain curation stats: one row per non-null domain with
     *  - `n_docs` (rows), `n_text_docs` (non-null text),
     *  - `n_tokens` (whitespace total),

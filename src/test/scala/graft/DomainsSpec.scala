@@ -83,4 +83,56 @@ class DomainsSpec extends AnyWordSpec with Matchers with SparkSpec {
       keptWithNull shouldBe Set(4L, 5L, 6L)
     }
   }
+
+  "canonicalUrl" should {
+    "normalize scheme, host, port, path, params and fragment" in {
+      val s = spark
+      import s.implicits._
+      val cases = Seq(
+        // the five q85 disguises of one page
+        "https://www.s1.example.com/p/9" -> "https://s1.example.com/p/9",
+        "HTTPS://s1.example.com:443/p/9/" -> "https://s1.example.com/p/9",
+        "https://user:pw@s1.example.com/p/9?utm_source=x&fbclid=7" ->
+          "https://s1.example.com/p/9",
+        "https://s1.example.com/p/9?b=2&a=1#frag" ->
+          "https://s1.example.com/p/9?a=1&b=2",
+        "https://s1.example.com/p/9?a=1&utm_medium=y&b=2" ->
+          "https://s1.example.com/p/9?a=1&b=2",
+        // non-default port kept; http default port dropped; empty path
+        "http://A.com:8080" -> "http://a.com:8080/",
+        "http://a.com:80/x" -> "http://a.com/x",
+        // IPv6 literal with port survives bracketed
+        "https://[2001:DB8::1]:8443/x" -> "https://[2001:db8::1]:8443/x",
+        // unparseable -> null
+        "page moved" -> null,
+        "/relative/only" -> null)
+      val out = Domains.canonicalUrl(col("url"))
+      val got = cases.map(_._1).toDF("url").select(out).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getString(0))
+      got.toSeq shouldBe cases.map(_._2)
+    }
+  }
+
+  "dedupByCanonicalUrl" should {
+    "keep one min-id survivor per canonical url and all null-key rows" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        (1L, "https://www.a.com/x"),
+        (2L, "https://a.com/x/"),
+        (3L, "HTTPS://a.com:443/x?utm_source=z"),
+        (4L, "https://b.com/y"),
+        (5L, "nope"),
+        (6L, "still nope"))
+        .toDF("doc_id", "url")
+      val dd = Domains.dedupByCanonicalUrl(df, "url", "doc_id")
+      val rows = dd.select("doc_id", "canonical_url").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1))).toSet
+      rows shouldBe Set(
+        (1L, "https://a.com/x"),
+        (4L, "https://b.com/y"),
+        (5L, null), (6L, null))
+    }
+  }
 }
