@@ -2703,6 +2703,49 @@ object SparkEntry {
         coalesce(sum(length(col("canonical_url"))), lit(0L)).cast(DoubleType)
           .as("canon_len_sum"),
         max(col("canonical_url")).as("max_canon"))
+    }),
+
+    // Model-based quality filtering (the GPT-3/LLaMA/DCLM classifier
+    // step) as closed-form multinomial Naive Bayes: a 20% seed set
+    // (doc_id%10<2) is labeled keep/toss by doc_id parity with a 2-token
+    // class marker repeated 3x appended to the text (the q39/q79
+    // injected-signal convention); the model scores the WHOLE corpus
+    // (every doc carries its parity marker). Pins: per-predicted-class
+    // doc counts / id sums (exact integers), rounded mean posterior and
+    // margin, a zero flipped-prediction census, and a margin_ok flag.
+    "q86_nb_classifier" -> ((s, dir) => {
+      import graft.pipeline.Classify
+      import org.apache.spark.sql.functions.{concat_ws, min => fmin}
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val isKeep = pmod(col("doc_id"), lit(2)) === 0
+      val marker = when(isKeep,
+        lit("qkeepa qkeepb qkeepa qkeepb qkeepa qkeepb"))
+        .otherwise(lit("qtossa qtossb qtossa qtossb qtossa qtossb"))
+      val marked = docs.select(
+        col("doc_id"),
+        concat_ws(" ", col("text"), marker).as("text"),
+        when(isKeep, lit("keep")).otherwise(lit("toss")).as("graft_lbl"))
+      val train = marked.where(pmod(col("doc_id"), lit(10)) < 2)
+        .select(col("doc_id"), col("text"), col("graft_lbl").as("label"))
+      val model = Classify.trainNaiveBayes(train, "doc_id", "text", "label")
+      val out = Classify.scoreNaiveBayes(marked, "doc_id", "text", model)
+        .join(marked.select(col("doc_id"), col("graft_lbl")), Seq("doc_id"))
+        .groupBy(col("predicted"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("docs"),
+          sum(col("doc_id")).cast(DoubleType).as("id_sum"),
+          round(avg(col("score")), 6).as("avg_score"),
+          round(avg(col("margin")), 6).as("avg_margin"),
+          count(when(col("predicted") =!= col("graft_lbl"), 1))
+            .cast(DoubleType).as("flipped"),
+          // measured min margin ~25.8 at sf0.01 (similar at the other
+          // SFs) — the 10.0 bar is >15 log-units from every doc while
+          // cross-engine score noise is ~1e-12
+          when(fmin(col("margin")) >= 10.0, lit(1.0)).otherwise(lit(0.0))
+            .as("margin_ok"))
+      val materialized = out.collect()
+      model.termLogProb.unpersist(blocking = false)
+      s.createDataFrame(java.util.Arrays.asList(materialized: _*), out.schema)
     })
   )
 
@@ -5061,6 +5104,79 @@ object SparkEntry {
         |  sum(doc_id)::DOUBLE AS survivor_id_sum,
         |  coalesce(sum(len(canonical_url)), 0)::DOUBLE AS canon_len_sum,
         |  max(canonical_url) AS max_canon
-        |FROM surv""").stripMargin
+        |FROM surv""").stripMargin,
+
+    // q86: multinomial NB replayed from integer count aggregates — the
+    // identical lowercased token stream, (class, term) counts, Laplace
+    // log-probs over the joint training vocabulary, per-doc posterior
+    // sums, and the same (score DESC, label ASC) ranking. OOV corpus
+    // terms drop in the model join in both engines.
+    "q86_nb_classifier" ->
+      """WITH marked AS (
+        |  SELECT doc_id,
+        |    concat_ws(' ', text, CASE WHEN doc_id % 2 = 0
+        |      THEN 'qkeepa qkeepb qkeepa qkeepb qkeepa qkeepb'
+        |      ELSE 'qtossa qtossb qtossa qtossb qtossa qtossb' END) AS text,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'keep' ELSE 'toss' END AS lbl
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), tr AS (
+        |  SELECT * FROM marked WHERE doc_id % 10 < 2
+        |), ttok AS (
+        |  SELECT doc_id, lbl, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM tr
+        |), cnt AS (
+        |  SELECT lbl, term, count(*) AS c FROM ttok GROUP BY 1, 2
+        |), voc AS (
+        |  SELECT DISTINCT term FROM cnt
+        |), ctot AS (
+        |  SELECT lbl, sum(c) AS tot FROM cnt GROUP BY 1
+        |), lblc AS (
+        |  SELECT lbl, count(*) AS docs FROM tr GROUP BY 1
+        |), mdl AS (
+        |  SELECT voc.term, l.lbl,
+        |    ln((coalesce(cnt.c, 0) + 1.0) /
+        |       (ctot.tot + (SELECT count(*) FROM voc))) AS lp
+        |  FROM voc
+        |  CROSS JOIN (SELECT lbl FROM lblc) l
+        |  LEFT JOIN cnt ON cnt.term = voc.term AND cnt.lbl = l.lbl
+        |  JOIN ctot ON ctot.lbl = l.lbl
+        |), pri AS (
+        |  SELECT lbl, ln(docs::DOUBLE /
+        |    (SELECT count(*) FROM tr)) AS lpr FROM lblc
+        |), stok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM marked
+        |), stf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM stok GROUP BY 1, 2
+        |), sll AS (
+        |  SELECT s.doc_id, m.lbl, sum(s.tf * m.lp) AS ll
+        |  FROM stf s JOIN mdl m USING (term) GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT d.doc_id, p.lbl, p.lpr + coalesce(sll.ll, 0.0) AS score
+        |  FROM (SELECT doc_id FROM marked) d
+        |  CROSS JOIN pri p
+        |  LEFT JOIN sll ON sll.doc_id = d.doc_id AND sll.lbl = p.lbl
+        |), rk AS (
+        |  SELECT doc_id, lbl, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, lbl ASC) AS rn
+        |  FROM sc
+        |), win AS (
+        |  SELECT a.doc_id, a.lbl AS predicted, a.score,
+        |    a.score - b.score AS margin
+        |  FROM rk a JOIN rk b ON a.doc_id = b.doc_id AND b.rn = 2
+        |  WHERE a.rn = 1
+        |)
+        |SELECT w.predicted, count(*)::DOUBLE AS docs,
+        |  sum(w.doc_id)::DOUBLE AS id_sum,
+        |  round(avg(w.score), 6) AS avg_score,
+        |  round(avg(w.margin), 6) AS avg_margin,
+        |  count(CASE WHEN w.predicted <> m.lbl THEN 1 END)::DOUBLE
+        |    AS flipped,
+        |  CASE WHEN min(w.margin) >= 10.0 THEN 1.0 ELSE 0.0 END
+        |    AS margin_ok
+        |FROM win w JOIN marked m USING (doc_id)
+        |GROUP BY 1""".stripMargin
   )
 }

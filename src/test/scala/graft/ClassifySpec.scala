@@ -1,0 +1,64 @@
+package graft
+
+import graft.pipeline.Classify
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.wordspec.AnyWordSpec
+
+class ClassifySpec extends AnyWordSpec with Matchers with SparkSpec {
+
+  "trainNaiveBayes / scoreNaiveBayes" should {
+    "reproduce the closed-form multinomial NB posteriors" in {
+      val s = spark
+      import s.implicits._
+      val train = Seq(
+        (1L, "good good nice", "hi"),
+        (2L, "bad awful", "lo"))
+        .toDF("doc_id", "text", "label")
+      val m = Classify.trainNaiveBayes(train, "doc_id", "text", "label")
+      m.vocabSize shouldBe 4L
+      // V=4, alpha=1: P(good|hi)=(2+1)/(3+4), P(good|lo)=(0+1)/(2+4)
+      val probs = m.termLogProb.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      probs(("good", "hi")) shouldBe math.log(3.0 / 7) +- 1e-12
+      probs(("good", "lo")) shouldBe math.log(1.0 / 6) +- 1e-12
+      probs(("awful", "hi")) shouldBe math.log(1.0 / 7) +- 1e-12
+      probs.size shouldBe 8 // dense: 4 terms x 2 classes
+
+      val scored = Classify.scoreNaiveBayes(
+        Seq((10L, "good nice zzz"), (11L, "awful bad bad"),
+          (12L, "zzz yyy")).toDF("doc_id", "text"),
+        "doc_id", "text", m)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+          r.getDouble(3)))).toMap
+      // OOV 'zzz' ignored; scores are prior + sum tf*log_cond
+      val hi10 = math.log(0.5) + math.log(3.0 / 7) + math.log(2.0 / 7)
+      val lo10 = math.log(0.5) + math.log(1.0 / 6) + math.log(1.0 / 6)
+      scored(10L)._1 shouldBe "hi"
+      scored(10L)._2 shouldBe hi10 +- 1e-12
+      scored(10L)._3 shouldBe (hi10 - lo10) +- 1e-12
+      scored(11L)._1 shouldBe "lo"
+      // all-OOV doc: priors tie -> ascending label wins
+      scored(12L)._1 shouldBe "hi"
+      scored(12L)._3 shouldBe 0.0 +- 1e-12
+    }
+
+    "filter by label and margin" in {
+      val s = spark
+      import s.implicits._
+      val train = Seq(
+        (1L, "alpha alpha beta", "keep"),
+        (2L, "gamma delta delta", "toss"))
+        .toDF("doc_id", "text", "label")
+      val m = Classify.trainNaiveBayes(train, "doc_id", "text", "label")
+      val corpus = Seq(
+        (10L, "alpha beta"), (11L, "gamma delta"), (12L, "oov only"))
+        .toDF("doc_id", "text")
+      val kept = Classify
+        .filterByClassifier(corpus, "doc_id", "text", m, "keep",
+          minMargin = 0.1)
+        .select("doc_id").as[Long].collect().toSet
+      kept shouldBe Set(10L) // 11 predicts toss; 12 ties at margin 0
+    }
+  }
+}
