@@ -2746,6 +2746,42 @@ object SparkEntry {
       val materialized = out.collect()
       model.termLogProb.unpersist(blocking = false)
       s.createDataFrame(java.util.Arrays.asList(materialized: _*), out.schema)
+    }),
+
+    // HTML → text extraction (the raw-crawl step before every text
+    // operator; C4's remove-markup stage): each document wrapped in a
+    // deterministic HTML shell — title, style + script blocks with
+    // tag-like content inside, a comment, attributes with quotes, and
+    // the five supported entities — then extracted. Pins: exact length
+    // and token sums of the extracted text (every regexp in the chain
+    // shows up in those integers), zero script/style content leaks, the
+    // entity-unescape census, and a verbatim 60-char sample of the
+    // minimum extracted string.
+    "q87_html_extract" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{size => fsize, substring, trim => ftrim, min => fmin}
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val idS = col("doc_id").cast(StringType)
+      val html = concat(
+        lit("<html><head><title>D"), idS,
+        lit("</title><style type=\"text/css\">p { color: #333; }</style>" +
+          "<script>if (a < b && c > d) { run(); }</script></head>" +
+          "<body><!-- nav --><h1 class=\"hd\">Doc "), idS,
+        lit("</h1><p>"), coalesce(col("text"), lit("")),
+        lit("</p><br/><div>&amp; entities &lt;kept&gt; &quot;q&quot; " +
+          "&#39;s &nbsp;end</div></body></html>"))
+      docs.select(TextAnalysis.htmlToText(html).as("t"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n_docs"),
+          sum(length(col("t"))).cast(DoubleType).as("len_sum"),
+          sum(fsize(TextAnalysis.tokens(col("t")))).cast(DoubleType)
+            .as("tok_sum"),
+          count(when(col("t").contains("<kept>"), 1)).cast(DoubleType)
+            .as("unescaped_docs"),
+          count(when(col("t").contains("run();"), 1)).cast(DoubleType)
+            .as("script_leak_docs"),
+          count(when(col("t").contains("#333"), 1)).cast(DoubleType)
+            .as("style_leak_docs"),
+          substring(fmin(col("t")), 1, 60).as("sample_min"))
     })
   )
 
@@ -5177,6 +5213,52 @@ object SparkEntry {
         |  CASE WHEN min(w.margin) >= 10.0 THEN 1.0 ELSE 0.0 END
         |    AS margin_ok
         |FROM win w JOIN marked m USING (doc_id)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // q87: HTML extraction — the identical shell regenerated and the
+    // identical regexp chain replayed (RE2 and java.util.regex agree on
+    // every construct used: inline (?is)/(?s) flags, non-greedy .*?,
+    // character classes).
+    "q87_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>D' || doc_id::VARCHAR ||
+        |    '</title><style type="text/css">p { color: #333; }</style>' ||
+        |    '<script>if (a < b && c > d) { run(); }</script></head>' ||
+        |    '<body><!-- nav --><h1 class="hd">Doc ' || doc_id::VARCHAR ||
+        |    '</h1><p>' || coalesce(text, '') ||
+        |    '</p><br/><div>&amp; entities &lt;kept&gt; &quot;q&quot; ' ||
+        |    '&#39;s &nbsp;end</div></body></html>' AS html
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), e AS (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(html,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<', 'g'),
+        |      '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'),
+        |      '&nbsp;', ' ', 'g'),
+        |      '&amp;', '&', 'g'),
+        |    '\s+', ' ', 'g')) AS t
+        |  FROM h
+        |)
+        |SELECT count(*)::DOUBLE AS n_docs,
+        |  sum(len(t))::DOUBLE AS len_sum,
+        |  sum(coalesce(len(list_filter(string_split_regex(t, '\s+'),
+        |    x -> x <> '')), 0))::DOUBLE AS tok_sum,
+        |  count(CASE WHEN contains(t, '<kept>') THEN 1 END)::DOUBLE
+        |    AS unescaped_docs,
+        |  count(CASE WHEN contains(t, 'run();') THEN 1 END)::DOUBLE
+        |    AS script_leak_docs,
+        |  count(CASE WHEN contains(t, '#333') THEN 1 END)::DOUBLE
+        |    AS style_leak_docs,
+        |  substr(min(t), 1, 60) AS sample_min
+        |FROM e""".stripMargin
   )
 }

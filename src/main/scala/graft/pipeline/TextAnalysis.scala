@@ -201,6 +201,39 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Best-effort HTML → text extraction — the step between a raw crawl
+    * and every text operator in this file (C4 runs remove-markup before
+    * its line rules; trafilatura/jusText fill this role in production
+    * pipelines). Deliberately heuristic and DETERMINISTIC (a fixed
+    * regexp chain, exactly replayable by an oracle), not a DOM parser:
+    *
+    *  1. `<script>…</script>`, `<style>…</style>` and `<!-- … -->`
+    *     blocks are dropped WITH their content (case-insensitive,
+    *     dot-matches-newline, non-greedy);
+    *  2. every remaining `<…>` tag becomes a space (content kept);
+    *  3. the common entities `&lt; &gt; &quot; &#39; &nbsp;` are
+    *     unescaped, then `&amp;` LAST (single-pass unescape — the
+    *     standard approximation, `&amp;lt;` becomes `&lt;` not `<`);
+    *  4. whitespace runs collapse to one space; ends trimmed.
+    *
+    * Malformed markup degrades gracefully (an unclosed `<` eats to the
+    * next `>` at most). Pure codegen `regexp_replace` chain — one
+    * map-side pass, no UDF, nothing shuffles.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val e1 = regexp_replace(noTags, "&lt;", "<")
+    val e2 = regexp_replace(e1, "&gt;", ">")
+    val e3 = regexp_replace(e2, "&quot;", "\"")
+    val e4 = regexp_replace(e3, "&#39;", "'")
+    val e5 = regexp_replace(e4, "&nbsp;", " ")
+    val e6 = regexp_replace(e5, "&amp;", "&")
+    trim(regexp_replace(e6, "\\s+", " "))
+  }
+
   // -- PII / web-artifact detection for training-data scrubbing -------------
   // Patterns restricted to syntax Java regex and RE2 (the DuckDB oracle)
   // interpret identically; all ops are pure codegen'd expressions.

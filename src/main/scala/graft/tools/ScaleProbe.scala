@@ -343,6 +343,48 @@ object ScaleProbe {
       graft.pipeline.TextAnalysis.unigramCrossEntropy(d, "doc_id", "text")
         .agg(coalesce(sum(col("n_tokens")), lit(0L)))
         .collect().head.getLong(0)
+    // URL dedup (q85 engine path): five messy disguises per page derived
+    // from doc_id, canonicalized and deduped — ONE map-side-combinable
+    // groupBy on the canonical key; survivor count scales exactly with
+    // the page count (ids extend with the corpus, so pages do too)
+    def urlDedup(d: DataFrame): Long = {
+      val g = floor(col("doc_id") / 5).cast("long")
+      val host = concat(lit("s"), pmod(g, lit(20)).cast("string"),
+        lit(".example.com"))
+      val path = concat(lit("/p/"), g.cast("string"))
+      val m = pmod(col("doc_id"), lit(5))
+      val url = when(m === 0, concat(lit("https://www."), host, path))
+        .when(m === 1, concat(lit("HTTPS://"), host, lit(":443"), path, lit("/")))
+        .when(m === 2, concat(lit("https://u@"), host, path, lit("?utm_source=x")))
+        .when(m === 3, concat(lit("https://"), host, path, lit("?b=2&a=1#f")))
+        .otherwise(concat(lit("https://"), host, path, lit("?a=1&utm_c=y&b=2")))
+      graft.pipeline.Domains.dedupByCanonicalUrl(
+        d.select(col("doc_id"), url.as("url")), "url", "doc_id").count()
+    }
+    // NB classifier scoring (q86 engine path): the model is trained ONCE
+    // on a FIXED seed (seed sets are hand-curated — they don't grow with
+    // the corpus) outside the timed closure; the timed pass is the
+    // corpus-sized scoring scan — tokenize + broadcast model join +
+    // map-side-combinable groupBy. Returned predicted-keep count scales
+    // exactly 10x (markers decide every doc; docN is even, so copy
+    // offsets preserve parity)
+    def nbMark(d: DataFrame): DataFrame = d.select(
+      col("doc_id"),
+      concat_ws(" ", col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("qkeepa qkeepb qkeepa qkeepb"))
+          .otherwise(lit("qtossa qtossb qtossa qtossb"))).as("text"))
+    lazy val nbModel = graft.pipeline.Classify.trainNaiveBayes(
+      nbMark(docs0.orderBy("doc_id").limit(1000))
+        .withColumn("label",
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("keep"))
+            .otherwise(lit("toss"))),
+      "doc_id", "text", "label")
+    def nbScore(d: DataFrame): Long =
+      graft.pipeline.Classify
+        .scoreNaiveBayes(nbMark(d), "doc_id", "text", nbModel)
+        .agg(count(when(col("predicted") === "keep", 1)))
+        .collect().head.getLong(0)
     // perplexity bucketing (q83 engine path) with ONE group — the shape a
     // per-group ntile window would serialize into a single sort task:
     // groupedNtile's range repartition spreads the group across the
@@ -435,6 +477,8 @@ object ScaleProbe {
     c4filters(docs0.limit(200))
     domainStats(docs0.limit(200))
     perpBuckets(docs0.limit(200))
+    urlDedup(docs0.limit(200))
+    nbScore(docs0.limit(200)) // also forces the one-time model build
     pqTopK(emb0.limit(200))
     ivfPqTopK(emb0.limit(200))
     unigramLm(docs0.limit(200))
@@ -479,6 +523,8 @@ object ScaleProbe {
       ("unigram_lm", timed(unigramLm(docs0)), timed(unigramLm(docsX))),
       ("perplexity_buckets",
         timed(perpBuckets(docs0)), timed(perpBuckets(docsX))),
+      ("url_dedup", timed(urlDedup(docs0)), timed(urlDedup(docsX))),
+      ("nb_score", timed(nbScore(docs0)), timed(nbScore(docsX))),
       ("semdedup", timed(semdedup(emb0, 8)), timed(semdedup(embX, 8 * mult))),
       ("connected_components",
         timed(cc(ccEdges(ccComps1))), timed(cc(ccEdges(ccComps1 * mult)))))

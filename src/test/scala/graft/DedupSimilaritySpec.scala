@@ -1446,6 +1446,27 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "htmlToText" should {
+    "drop script/style/comments, strip tags, unescape, collapse" in {
+      val s = spark
+      import s.implicits._
+      val cases = Seq(
+        ("<html><head><STYLE>p{x}</STYLE><script a=1>if(a<b){}</script>" +
+          "</head><body><!-- c --><h1>Hi</h1> <p>there\n\n now</p></body>",
+          "Hi there now"),
+        ("A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&nbsp;end",
+          "A & B <tag> \"q\" 's end"),
+        // double-escaped stays single-escaped (single-pass unescape)
+        ("&amp;lt;", "&lt;"),
+        // unclosed tag eats to the next '>' only
+        ("a <b unclosed c> d", "a d"),
+        ("", ""))
+      val got = cases.map(_._1).toDF("h")
+        .select(TextAnalysis.htmlToText(col("h"))).as[String].collect()
+      got.toSeq shouldBe cases.map(_._2)
+    }
+  }
+
   "collapseAdjacentLines" should {
     "drop only consecutive identical lines" in {
       val s = spark
