@@ -2782,6 +2782,23 @@ object SparkEntry {
           count(when(col("t").contains("#333"), 1)).cast(DoubleType)
             .as("style_leak_docs"),
           substring(fmin(col("t")), 1, 60).as("sample_min"))
+    }),
+
+    // Corpus novelty curve: per source, distinct 13-grams and the subset
+    // first seen there under ascending source order — the
+    // FineWeb/RefinedWeb "is the next dump worth ingesting" metric. All
+    // pins are exact integers (gram identity by the 64-bit token-hash
+    // shingles, replayed as string grams in DuckDB — the q66/q67
+    // convention); novelty is a quotient of those integers, so both
+    // engines produce the bit-identical double.
+    "q88_novelty_curve" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.noveltyCurve(docs, "source", "text", n = 13)
+        .select(
+          col("source"),
+          col("distinct_grams").cast(DoubleType).as("distinct_grams"),
+          col("novel_grams").cast(DoubleType).as("novel_grams"),
+          col("novelty"))
     })
   )
 
@@ -5259,6 +5276,31 @@ object SparkEntry {
         |  count(CASE WHEN contains(t, '#333') THEN 1 END)::DOUBLE
         |    AS style_leak_docs,
         |  substr(min(t), 1, 60) AS sample_min
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    // q88: novelty curve — string 13-grams stand in for the engine's
+    // 64-bit shingle hashes (identity-preserving; the q66/q67 replay
+    // convention), min(source) picks each gram's first group.
+    "q88_novelty_curve" ->
+      """WITH toks AS (
+        |  SELECT source, list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents WHERE source IS NOT NULL),
+        |g AS (
+        |  SELECT DISTINCT source, array_to_string(ts[i:i+12], ' ') AS gram
+        |  FROM toks, unnest(range(1, len(ts) - 11)) AS t(i)
+        |  WHERE len(ts) >= 13),
+        |per AS (
+        |  SELECT source, count(*) AS distinct_grams FROM g GROUP BY 1),
+        |fs AS (
+        |  SELECT gram, min(source) AS source FROM g GROUP BY 1),
+        |nv AS (
+        |  SELECT source, count(*) AS novel_grams FROM fs GROUP BY 1)
+        |SELECT p.source,
+        |  p.distinct_grams::DOUBLE AS distinct_grams,
+        |  coalesce(nv.novel_grams, 0)::DOUBLE AS novel_grams,
+        |  coalesce(nv.novel_grams, 0)::DOUBLE / p.distinct_grams
+        |    AS novelty
+        |FROM per p LEFT JOIN nv USING (source)""".stripMargin
   )
 }

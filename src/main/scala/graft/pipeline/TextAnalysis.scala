@@ -710,6 +710,48 @@ object TextAnalysis {
     CacheLifecycle.releaseOnConsume(out, Seq(capped))
   }
 
+  /** Corpus novelty curve — how much NEW content each group (crawl dump,
+    * snapshot date, source) contributes: per group, its distinct n-grams
+    * and the subset first seen in that group, where "first" follows the
+    * groups' natural ascending order (dump ids and dates sort
+    * chronologically; the FineWeb/RefinedWeb ablation that decides
+    * whether ingesting the next dump is worth it). `novelty` =
+    * novel/distinct — 1.0 for the first group, falling toward 0 as the
+    * corpus saturates.
+    *
+    * 100 TB plan shape: one imperative gram-hash scan (the
+    * [[Dedup.gramHashRows]] machinery — no gram string is ever built)
+    * feeding a distinct on slim (group, hash) rows; first-seen is a
+    * map-side-combinable min over the hash key, and both rollups are
+    * group-cardinality-sized. Short docs (< n tokens) contribute
+    * nothing, matching the q66 shingle convention.
+    */
+  def noveltyCurve(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 13): DataFrame = {
+    val grams = Dedup
+      .gramHashRows(df.where(col(groupCol).isNotNull), groupCol, textCol,
+        n, shortDocFallback = false)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perGroup = grams.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("distinct_grams"))
+    val novel = grams.groupBy(col("graft_gram"))
+      .agg(min(col(groupCol)).as(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("novel_grams"))
+    val out = perGroup.join(novel, Seq(groupCol), "left_outer")
+      .select(
+        col(groupCol),
+        col("distinct_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+        (coalesce(col("novel_grams"), lit(0L)).cast(DoubleType) /
+          col("distinct_grams").cast(DoubleType)).as("novelty"))
+    CacheLifecycle.releaseOnConsume(out, Seq(grams))
+  }
+
   /** Corpus-level PMI collocations (Church & Hanks 1990): every adjacent
     * token pair seen at least `minCount` times, scored with pointwise
     * mutual information over the bigram corpus —

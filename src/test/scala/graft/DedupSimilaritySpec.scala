@@ -1446,6 +1446,30 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "noveltyCurve" should {
+    "count first-seen grams per group in ascending group order" in {
+      val s = spark
+      import s.implicits._
+      // 3-grams; groups a < b < c. b repeats a's text (zero novel),
+      // c adds one new trigram on top of a's
+      val df = Seq(
+        ("a", "w1 w2 w3 w4"),  // grams: (w1 w2 w3), (w2 w3 w4)
+        ("b", "w1 w2 w3 w4"),
+        ("c", "w2 w3 w4 w5"),  // (w2 w3 w4) old, (w3 w4 w5) new
+        ("c", "zz"),           // < n tokens -> contributes nothing
+        (null.asInstanceOf[String], "w9 w9 w9 w9"))
+        .toDF("src", "text")
+      val out = TextAnalysis.noveltyCurve(df, "src", "text", n = 3)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+      out("a") shouldBe ((2L, 2L, 1.0))
+      out("b") shouldBe ((2L, 0L, 0.0))
+      out("c") shouldBe ((2L, 1L, 0.5))
+      out.size shouldBe 3 // null group dropped
+    }
+  }
+
   "htmlToText" should {
     "drop script/style/comments, strip tags, unescape, collapse" in {
       val s = spark
