@@ -2799,6 +2799,38 @@ object SparkEntry {
           col("distinct_grams").cast(DoubleType).as("distinct_grams"),
           col("novel_grams").cast(DoubleType).as("novel_grams"),
           col("novelty"))
+    }),
+
+    // Cross-document boilerplate removal (the RefinedWeb/CCNet repeated
+    // header/footer rule): a per-source footer line injected into 2/3 of
+    // each source's docs (frac 0.67 >= the 0.4 bar -> stripped
+    // everywhere) and a rare per-doc notice into doc_id%31 docs (frac
+    // ~0.03 -> kept); null texts pass through. Pins per source: exact
+    // removed-line totals, cleaned-length and token sums, touched-doc
+    // census.
+    "q89_boilerplate_lines" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{size => fsize}
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val idS = col("doc_id").cast(StringType)
+      val t1 = when(pmod(col("doc_id"), lit(3)) =!= 2,
+        concat(col("text"), lit("\nFOOTER "), col("source"),
+          lit(" all rights reserved"))).otherwise(col("text"))
+      val t2 = when(pmod(col("doc_id"), lit(31)) === 0,
+        concat(t1, lit("\nrare notice "), idS)).otherwise(t1)
+      val injected = docs.select(col("doc_id"), col("source"), t2.as("text"))
+      TextAnalysis
+        .removeBoilerplateLines(injected, "doc_id", "text", "source",
+          maxDocFrac = 0.4, minDocs = 5)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n_docs"),
+          sum(col("removed_lines")).cast(DoubleType).as("removed_sum"),
+          coalesce(sum(length(col("text"))), lit(0L)).cast(DoubleType)
+            .as("len_sum"),
+          coalesce(sum(fsize(TextAnalysis.tokens(col("text")))), lit(0L))
+            .cast(DoubleType).as("tok_sum"),
+          count(when(col("removed_lines") > 0, 1)).cast(DoubleType)
+            .as("docs_touched"))
     })
   )
 
@@ -5301,6 +5333,63 @@ object SparkEntry {
         |  coalesce(nv.novel_grams, 0)::DOUBLE AS novel_grams,
         |  coalesce(nv.novel_grams, 0)::DOUBLE / p.distinct_grams
         |    AS novelty
-        |FROM per p LEFT JOIN nv USING (source)""".stripMargin
+        |FROM per p LEFT JOIN nv USING (source)""".stripMargin,
+
+    // q89: boilerplate removal — line identity replayed as exact line
+    // strings (the engine hashes them; identity-preserving), the same
+    // two-step injection, frequency conviction, and per-doc rebuild.
+    "q89_boilerplate_lines" ->
+      """WITH b1 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 <> 2 THEN text || chr(10) || 'FOOTER ' ||
+        |      source || ' all rights reserved' ELSE text END AS t1
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), b2 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 31 = 0 THEN t1 || chr(10) ||
+        |      'rare notice ' || doc_id::VARCHAR ELSE t1 END AS t
+        |  FROM b1
+        |), nn AS (
+        |  SELECT * FROM b2 WHERE t IS NOT NULL
+        |), ls AS (
+        |  SELECT doc_id, source, string_split(t, chr(10)) AS arr FROM nn
+        |), lx AS (
+        |  SELECT doc_id, source, unnest(arr) AS line,
+        |    generate_subscripts(arr, 1) AS pos
+        |  FROM ls
+        |), gd AS (
+        |  SELECT source, count(DISTINCT doc_id) AS gdocs FROM nn GROUP BY 1
+        |), freq AS (
+        |  SELECT source, line, count(DISTINCT doc_id) AS ld
+        |  FROM lx WHERE trim(line) <> '' GROUP BY 1, 2
+        |), boiler AS (
+        |  SELECT f.source, f.line FROM freq f JOIN gd USING (source)
+        |  WHERE f.ld >= 5 AND f.ld >= 0.4 * gd.gdocs
+        |), mk AS (
+        |  SELECT l.doc_id, l.source, l.line, l.pos,
+        |    (b.line IS NOT NULL) AS bo
+        |  FROM lx l LEFT JOIN boiler b
+        |    ON b.source = l.source AND b.line = l.line
+        |), rb AS (
+        |  SELECT doc_id, source,
+        |    coalesce(array_to_string(
+        |      list(line ORDER BY pos) FILTER (WHERE NOT bo), chr(10)), '')
+        |      AS ct,
+        |    count(*) FILTER (WHERE bo) AS removed
+        |  FROM mk GROUP BY 1, 2
+        |), allrows AS (
+        |  SELECT doc_id, source, ct, removed FROM rb
+        |  UNION ALL
+        |  SELECT doc_id, source, NULL AS ct, 0 AS removed
+        |  FROM b2 WHERE t IS NULL
+        |)
+        |SELECT source, count(*)::DOUBLE AS n_docs,
+        |  sum(removed)::DOUBLE AS removed_sum,
+        |  coalesce(sum(len(ct)), 0)::DOUBLE AS len_sum,
+        |  coalesce(sum(coalesce(len(list_filter(
+        |    string_split_regex(ct, '\s+'), x -> x <> '')), 0)), 0)::DOUBLE
+        |    AS tok_sum,
+        |  count(CASE WHEN removed > 0 THEN 1 END)::DOUBLE AS docs_touched
+        |FROM allrows GROUP BY 1""".stripMargin
   )
 }

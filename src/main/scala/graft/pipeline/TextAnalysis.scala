@@ -710,6 +710,84 @@ object TextAnalysis {
     CacheLifecycle.releaseOnConsume(out, Seq(capped))
   }
 
+  /** Cross-document boilerplate line removal — the RefinedWeb/CCNet rule
+    * that kills repeated headers, footers, nav bars and cookie banners:
+    * a line appearing in at least `maxDocFrac` of a group's documents
+    * (and at least `minDocs` of them — small groups can't convict) is
+    * boilerplate and is removed from EVERY document of that group.
+    * Groups are typically domains ([[Domains.urlHost]]) — boilerplate is
+    * a per-site phenomenon. Contrast [[collapseAdjacentLines]] (within
+    * one doc) and [[c4KeptLines]] (content-free lines by shape).
+    *
+    * Line identity is the exact line string (split on `\n`); blank lines
+    * are never candidates. Null-id rows are dropped; null-text rows pass
+    * through (removed = 0).
+    *
+    * 100 TB plan shape: ONE posexplode of the corpus into slim
+    * (id, group, pos, line-hash) rows; document frequencies are two
+    * map-side-combinable groupBys (distinct doc per (group, line), then
+    * count) against a group-cardinality-sized doc census; the removal
+    * join ships line HASHES on a (group, hash) key — boilerplate by
+    * definition concentrates into few distinct lines, and the partial
+    * aggregate collapses each hot (group, line) per map partition.
+    * Reassembly groups by document with per-doc-bounded state (one doc's
+    * lines), never a corpus-wide window.
+    *
+    * Returns `idCol`, `groupCol`, cleaned `text`, and `removed_lines`.
+    */
+  def removeBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      maxDocFrac: Double = 0.5,
+      minDocs: Int = 5): DataFrame = {
+    require(maxDocFrac > 0 && maxDocFrac <= 1,
+      s"maxDocFrac must be in (0, 1], got $maxDocFrac")
+    val base = df.where(col(idCol).isNotNull)
+    val withText = base.where(col(textCol).isNotNull)
+    val lines = withText.select(
+      col(idCol), col(groupCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("graft_pos", "graft_line")))
+      .withColumn("graft_lh", xxhash64(col("graft_line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groupDocs = withText.groupBy(col(groupCol))
+      .agg(countDistinct(col(idCol)).as("graft_gd"))
+    val boiler = lines
+      .where(trim(col("graft_line")) =!= "")
+      .select(col(groupCol), col("graft_lh"), col(idCol)).distinct()
+      .groupBy(col(groupCol), col("graft_lh"))
+      .agg(count(lit(1)).as("graft_ld"))
+      .join(groupDocs, Seq(groupCol))
+      .where(col("graft_ld") >= minDocs &&
+        col("graft_ld").cast(DoubleType) >=
+          lit(maxDocFrac) * col("graft_gd").cast(DoubleType))
+      .select(col(groupCol), col("graft_lh"),
+        lit(true).as("graft_boiler"))
+    val marked = lines
+      .join(boiler, Seq(groupCol, "graft_lh"), "left_outer")
+    val rebuilt = marked
+      .groupBy(col(idCol), col(groupCol))
+      .agg(
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(
+                col("graft_pos"),
+                coalesce(col("graft_boiler"), lit(false)).as("graft_b"),
+                col("graft_line")))),
+              s => !s.getField("graft_b")),
+            s => s.getField("graft_line")), "\n").as("text"),
+        coalesce(sum(when(col("graft_boiler"), 1L)), lit(0L))
+          .as("removed_lines"))
+    val out = rebuilt.unionByName(
+      base.where(col(textCol).isNull)
+        .select(col(idCol), col(groupCol),
+          lit(null).cast(StringType).as("text"),
+          lit(0L).as("removed_lines")))
+    CacheLifecycle.releaseOnConsume(out, Seq(lines))
+  }
+
   /** Corpus novelty curve — how much NEW content each group (crawl dump,
     * snapshot date, source) contributes: per group, its distinct n-grams
     * and the subset first seen in that group, where "first" follows the

@@ -1446,6 +1446,33 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "removeBoilerplateLines" should {
+    "strip lines frequent within a group, keep rare and small-group ones" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        (1L, "d1", "alpha\nFOOT"),
+        (2L, "d1", "beta\nFOOT"),
+        (3L, "d1", "gamma\nFOOT\nrare line"),
+        (4L, "d1", "delta only"),
+        (5L, "d2", "solo\nFOOT"), // group of 1 < minDocs -> kept
+        (6L, "d1", null.asInstanceOf[String]))
+        .toDF("doc_id", "grp", "text")
+      val out = TextAnalysis
+        .removeBoilerplateLines(df, "doc_id", "text", "grp",
+          maxDocFrac = 0.5, minDocs = 2)
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.getString(2)).orNull,
+          r.getLong(3)))).toMap
+      out(1L) shouldBe (("alpha", 1L))
+      out(2L) shouldBe (("beta", 1L))
+      out(3L) shouldBe (("gamma\nrare line", 1L))
+      out(4L) shouldBe (("delta only", 0L))
+      out(5L) shouldBe (("solo\nFOOT", 0L))
+      out(6L) shouldBe ((null, 0L))
+    }
+  }
+
   "noveltyCurve" should {
     "count first-seen grams per group in ascending group order" in {
       val s = spark
