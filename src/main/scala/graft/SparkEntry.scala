@@ -2831,6 +2831,29 @@ object SparkEntry {
             .cast(DoubleType).as("tok_sum"),
           count(when(col("removed_lines") > 0, 1)).cast(DoubleType)
             .as("docs_touched"))
+    }),
+
+    // Corpus distribution drift between two snapshots: even-id docs are
+    // the "old" crawl, odd-id docs with an injected drift token are the
+    // "new" one; Laplace-smoothed joint-vocab unigram KL/JS/TVD. The
+    // oracle mirrors the engine's exact operation order (ln(p/((p+q)/2))
+    // for the JS halves); rounded pins with measured boundary headroom.
+    "q90_corpus_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.concat_ws
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val oldC = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val newC = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"),
+          concat_ws(" ", col("text"), lit("drifttoken drifttoken"))
+            .as("text"))
+      TextAnalysis.corpusDrift(oldC, newC, "doc_id", "text")
+        .select(
+          col("v_joint").cast(DoubleType).as("v_joint"),
+          col("tokens_old").cast(DoubleType).as("tokens_old"),
+          col("tokens_new").cast(DoubleType).as("tokens_new"),
+          round(col("kl"), 6).as("kl"),
+          round(col("js"), 6).as("js"),
+          round(col("tvd"), 6).as("tvd"))
     })
   )
 
@@ -5390,6 +5413,45 @@ object SparkEntry {
         |    string_split_regex(ct, '\s+'), x -> x <> '')), 0)), 0)::DOUBLE
         |    AS tok_sum,
         |  count(CASE WHEN removed > 0 THEN 1 END)::DOUBLE AS docs_touched
-        |FROM allrows GROUP BY 1""".stripMargin
+        |FROM allrows GROUP BY 1""".stripMargin,
+
+    // q90: corpus drift — identical token streams, identical smoothing,
+    // identical operation order for each divergence term.
+    "q90_corpus_drift" ->
+      """WITH oldd AS (
+        |  SELECT text FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 2 = 0
+        |), newd AS (
+        |  SELECT concat_ws(' ', text, 'drifttoken drifttoken') AS text
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 2 = 1
+        |), tk1 AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> x <> '')) AS term FROM oldd
+        |), c1 AS (
+        |  SELECT term, count(*) AS c FROM tk1 GROUP BY 1
+        |), tk2 AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> x <> '')) AS term FROM newd
+        |), c2 AS (
+        |  SELECT term, count(*) AS c FROM tk2 GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(c1.c, 0) AS a, coalesce(c2.c, 0) AS b
+        |  FROM c1 FULL OUTER JOIN c2 ON c1.term = c2.term
+        |), tot AS (
+        |  SELECT count(*) AS v, sum(a) AS ta, sum(b) AS tb FROM j
+        |), pq AS (
+        |  SELECT
+        |    (b + 1.0) / ((SELECT tb FROM tot) + (SELECT v FROM tot)) AS p,
+        |    (a + 1.0) / ((SELECT ta FROM tot) + (SELECT v FROM tot)) AS q
+        |  FROM j
+        |)
+        |SELECT (SELECT v FROM tot)::DOUBLE AS v_joint,
+        |  (SELECT ta FROM tot)::DOUBLE AS tokens_old,
+        |  (SELECT tb FROM tot)::DOUBLE AS tokens_new,
+        |  round(sum(p * ln(p / q)), 6) AS kl,
+        |  round(sum(p * ln(p / ((p + q) / 2.0)) / 2.0 +
+        |            q * ln(q / ((p + q) / 2.0)) / 2.0), 6) AS js,
+        |  round(sum(abs(p - q)) / 2.0, 6) AS tvd
+        |FROM pq""".stripMargin
   )
 }

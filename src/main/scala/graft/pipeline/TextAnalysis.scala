@@ -710,6 +710,74 @@ object TextAnalysis {
     CacheLifecycle.releaseOnConsume(out, Seq(capped))
   }
 
+  /** Corpus distribution drift between two snapshots — did this month's
+    * crawl change what the model will read? Both sides' unigram
+    * distributions are Laplace-smoothed over the JOINT vocabulary
+    * (`p_t = (c_t + α) / (T + αV)` — proper distributions by
+    * construction, so the divergences are exact, not heuristic), and the
+    * returned single row carries `v_joint`, both token totals, and
+    * `kl` (KL(new‖old) — the retraining-pressure direction), `js`
+    * (Jensen-Shannon, symmetric and bounded by ln 2), `tvd` (total
+    * variation, the L1 view). Complements [[graft.sketch]] Distance
+    * (per-column categorical drift) at corpus-text level and
+    * [[Dedup.corpusDiff]] (per-document identity diff).
+    *
+    * 100 TB plan shape: each side tokenizes ONCE into
+    * map-side-combinable (term, count) rollups; the only join is a full
+    * outer on the term key — vocabulary-sized, never the corpus — and
+    * the divergences are one aggregate over that slim joined frame
+    * (totals come off the same persisted frame first; two actions
+    * total).
+    */
+  def corpusDrift(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    def termCounts(df: DataFrame, name: String) =
+      termFrequencies(df, idCol, textCol)
+        .groupBy(col("term")).agg(sum(col("tf")).as(name))
+    val joined = termCounts(oldDf, "graft_c1")
+      .join(termCounts(newDf, "graft_c2"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("graft_c1"), lit(0L)).as("graft_c1"),
+        coalesce(col("graft_c2"), lit(0L)).as("graft_c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tot = joined
+        .agg(count(lit(1)), sum(col("graft_c1")), sum(col("graft_c2")))
+        .collect().head
+      val v = tot.getLong(0)
+      val t1 = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+      val t2 = if (tot.isNullAt(2)) 0L else tot.getLong(2)
+      val dOld = lit(t1 + alpha * v)
+      val dNew = lit(t2 + alpha * v)
+      val p = (col("graft_c2") + lit(alpha)) / dNew // new side
+      val q = (col("graft_c1") + lit(alpha)) / dOld // old side
+      val m = (p + q) / lit(2.0)
+      val out = joined
+        .agg(
+          sum(p * log(p / q)).as("kl"),
+          sum(p * log(p / m) / lit(2.0) + q * log(q / m) / lit(2.0))
+            .as("js"),
+          (sum(abs(p - q)) / lit(2.0)).as("tvd"))
+        .select(
+          lit(v).as("v_joint"), lit(t1).as("tokens_old"),
+          lit(t2).as("tokens_new"),
+          col("kl"), col("js"), col("tvd"))
+      // one-row result: materialize before releasing the joined cache so
+      // the caller's consumption doesn't re-run both term-count scans
+      val row = out.collect()
+      oldDf.sparkSession.createDataFrame(
+        java.util.Arrays.asList(row: _*), out.schema)
+    } finally {
+      joined.unpersist(blocking = false)
+      ()
+    }
+  }
+
   /** Cross-document boilerplate line removal — the RefinedWeb/CCNet rule
     * that kills repeated headers, footers, nav bars and cookie banners:
     * a line appearing in at least `maxDocFrac` of a group's documents

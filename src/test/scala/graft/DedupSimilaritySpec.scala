@@ -1446,6 +1446,32 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "corpusDrift" should {
+    "compute smoothed joint-vocab KL/JS/TVD" in {
+      val s = spark
+      import s.implicits._
+      val oldC = Seq((1L, "a a b")).toDF("doc_id", "text")
+      val newC = Seq((2L, "a b b")).toDF("doc_id", "text")
+      val r = TextAnalysis.corpusDrift(oldC, newC, "doc_id", "text")
+        .collect().head
+      r.getLong(0) shouldBe 2L  // joint vocab {a, b}
+      r.getLong(1) shouldBe 3L
+      r.getLong(2) shouldBe 3L
+      // p = (0.6, 0.4) mirrored: KL = 0.2 ln 1.5
+      r.getDouble(3) shouldBe 0.2 * math.log(1.5) +- 1e-12
+      val js = 0.6 * math.log(0.6 / 0.5) / 2 + 0.4 * math.log(0.4 / 0.5) / 2 +
+        0.4 * math.log(0.4 / 0.5) / 2 + 0.6 * math.log(0.6 / 0.5) / 2
+      r.getDouble(4) shouldBe js +- 1e-12
+      r.getDouble(5) shouldBe 0.2 +- 1e-12
+      // identical corpora -> zero everywhere
+      val z = TextAnalysis.corpusDrift(oldC, oldC, "doc_id", "text")
+        .collect().head
+      z.getDouble(3) shouldBe 0.0 +- 1e-15
+      z.getDouble(4) shouldBe 0.0 +- 1e-15
+      z.getDouble(5) shouldBe 0.0 +- 1e-15
+    }
+  }
+
   "removeBoilerplateLines" should {
     "strip lines frequent within a group, keep rare and small-group ones" in {
       val s = spark
