@@ -104,17 +104,22 @@ object Classify {
       textCol: String,
       model: NbModel): DataFrame = {
     val tf = TextAnalysis.termFrequencies(df, idCol, textCol)
-    val ll = tf
+    val contrib = tf
       .join(broadcast(model.termLogProb), Seq("term"))
-      .groupBy(col(idCol), col("label"))
-      .agg(sum(col("tf") * col("log_cond")).as("graft_ll"))
-    val perClass = df.where(col(idCol).isNotNull)
+      .select(col(idCol), col("label"),
+        (col("tf") * col("log_cond")).as("graft_part"))
+    // the prior rides in as one seed row per (doc, class) through the
+    // SAME aggregation — no (doc, class)-keyed join of two corpus-sized
+    // frames ever happens (an earlier left-outer formulation sort-merged
+    // the corpus twice; the plan audit pins this shape now). Seed rows
+    // also carry OOV-only and empty docs to a priors-only score.
+    val seeds = df.where(col(idCol).isNotNull)
       .select(col(idCol))
       .crossJoin(broadcast(model.classLogPrior))
-      .join(ll, Seq(idCol, "label"), "left_outer")
-      .select(col(idCol), col("label"),
-        (col("log_prior") + coalesce(col("graft_ll"), lit(0.0)))
-          .as("graft_score"))
+      .select(col(idCol), col("label"), col("log_prior").as("graft_part"))
+    val perClass = contrib.unionByName(seeds)
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("graft_part")).as("graft_score"))
     // C structs per doc (C = class count) — bounded by the label
     // alphabet; sort ascending on (-score, label) so element 0 is the
     // winner with the deterministic tie-break

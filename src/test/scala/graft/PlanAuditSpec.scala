@@ -287,6 +287,87 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "NB classifier scoring" should {
+    "join the corpus against the model by broadcast only" in {
+      import graft.pipeline.Classify
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val train = docs.filter(col("doc_id") < 100)
+        .withColumn("label",
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("a")).otherwise(lit("b")))
+      val m = Classify.trainNaiveBayes(train, "doc_id", "text", "label")
+      val scored = Classify.scoreNaiveBayes(docs, "doc_id", "text", m)
+      scored.count()
+      val plan = scored.queryExecution.executedPlan.toString()
+      // the term-probability lookup and the prior seed fan-out both ride
+      // broadcasts, and the prior folds into the score through the SAME
+      // aggregation — no join of two corpus-sized frames anywhere
+      plan should not include "SortMergeJoin"
+      plan should include("BroadcastHashJoin")
+      m.termLogProb.unpersist(blocking = false)
+    }
+  }
+
+  "canonical-URL dedup" should {
+    "elect survivors with one exchange and map-side partial min_by" in {
+      import graft.pipeline.Domains
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("https://www.s"), pmod(col("doc_id"), lit(20)),
+            lit(".example.com/p/"), col("doc_id")).as("url"))
+      val dd = Domains.dedupByCanonicalUrl(docs, "url", "doc_id")
+      dd.count()
+      val plan = dd.queryExecution.executedPlan.toString()
+      plan should include("partial_min_by")
+      plan should not include "Window"
+      plan should not include "Join"
+      // one exchange for the canonical-key groupBy; the null-key
+      // pass-through union adds none
+      plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    }
+  }
+
+  "boilerplate line removal" should {
+    "convict and rebuild without windows, with map-side partials" in {
+      import graft.pipeline.TextAnalysis
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val out = TextAnalysis.removeBoilerplateLines(
+        docs, "doc_id", "text", "source", maxDocFrac = 0.4, minDocs = 5)
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString()
+      // frequencies and reassembly are aggregates (partial combine), the
+      // per-group ranking never becomes a window; conviction is a plain
+      // key join on line hashes
+      plan should not include "Window"
+      plan should include("partial_count")
+    }
+  }
+
+  "perplexity bucketing" should {
+    "rank via the prefix-offset pass, never a per-group window" in {
+      import graft.pipeline.TextAnalysis
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val out = TextAnalysis.perplexityBuckets(
+        docs, "doc_id", "text", "source", nBuckets = 3)
+      out.count()
+      // groupedNtile materializes through the range-partitioned RDD pass
+      // — a revert to ntile().over(partitionBy(group)) would put a Window
+      // (and its single-task-per-group sort) back into this plan
+      out.queryExecution.executedPlan.toString should not include "Window"
+    }
+  }
+
+  "HTML extraction" should {
+    "run as one map-side projection (no exchange, no join)" in {
+      import graft.pipeline.TextAnalysis
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val out = docs.select(TextAnalysis.htmlToText(col("text")).as("t"))
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString()
+      plan should not include "Exchange"
+      plan should not include "Join"
+    }
+  }
+
   "row-level results" should {
     "evaluate scan constraints as map-side expressions without extra scans" in {
       import graft.checks._
