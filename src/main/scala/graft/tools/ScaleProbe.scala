@@ -343,6 +343,32 @@ object ScaleProbe {
       graft.pipeline.TextAnalysis.unigramCrossEntropy(d, "doc_id", "text")
         .agg(coalesce(sum(col("n_tokens")), lit(0L)))
         .collect().head.getLong(0)
+    // boilerplate line removal (q89 engine path): a 4-way synthetic group
+    // column and a per-group footer injected into 2/3 of docs; removed
+    // totals scale exactly 10x (the footer count tracks the docs). The
+    // conviction join ships line hashes; reassembly is per-doc bounded
+    def boilerLines(d: DataFrame): Long =
+      graft.pipeline.TextAnalysis.removeBoilerplateLines(
+        d.select(col("doc_id"),
+          concat(lit("g"), pmod(col("doc_id"), lit(4))).as("grp"),
+          when(pmod(col("doc_id"), lit(3)) =!= 2,
+            concat(col("text"), lit("\nFOOTER g"),
+              pmod(col("doc_id"), lit(4)))).otherwise(col("text")).as("text")),
+        "doc_id", "text", "grp", maxDocFrac = 0.4, minDocs = 5)
+        .agg(coalesce(sum(col("removed_lines")), lit(0L)))
+        .collect().head.getLong(0)
+    // corpus drift (q90 engine path): old = even ids, new = odd ids with
+    // an injected drift token; the only join is vocabulary-sized. The
+    // returned pin is the joint vocab size (scales with the decorrelated
+    // copies' suffixed words — growth is the designed data property)
+    def drift(d: DataFrame): Long =
+      graft.pipeline.TextAnalysis.corpusDrift(
+        d.where(pmod(col("doc_id"), lit(2)) === 0),
+        d.where(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"),
+            concat_ws(" ", col("text"), lit("drifttoken")).as("text")),
+        "doc_id", "text")
+        .select(col("v_joint")).collect().head.getLong(0)
     // URL dedup (q85 engine path): five messy disguises per page derived
     // from doc_id, canonicalized and deduped — ONE map-side-combinable
     // groupBy on the canonical key; survivor count scales exactly with
@@ -479,6 +505,8 @@ object ScaleProbe {
     perpBuckets(docs0.limit(200))
     urlDedup(docs0.limit(200))
     nbScore(docs0.limit(200)) // also forces the one-time model build
+    boilerLines(docs0.limit(200))
+    drift(docs0.limit(200))
     pqTopK(emb0.limit(200))
     ivfPqTopK(emb0.limit(200))
     unigramLm(docs0.limit(200))
@@ -525,6 +553,9 @@ object ScaleProbe {
         timed(perpBuckets(docs0)), timed(perpBuckets(docsX))),
       ("url_dedup", timed(urlDedup(docs0)), timed(urlDedup(docsX))),
       ("nb_score", timed(nbScore(docs0)), timed(nbScore(docsX))),
+      ("boilerplate_lines",
+        timed(boilerLines(docs0)), timed(boilerLines(docsX))),
+      ("corpus_drift", timed(drift(docs0)), timed(drift(docsX))),
       ("semdedup", timed(semdedup(emb0, 8)), timed(semdedup(embX, 8 * mult))),
       ("connected_components",
         timed(cc(ccEdges(ccComps1))), timed(cc(ccEdges(ccComps1 * mult)))))
@@ -553,6 +584,18 @@ object ScaleProbe {
     // hits the hot keys with AQE skew splitting (the failure mode probed
     // is a hot gram key melting one reduce task)
     val (sskewSec, sskewRemoved, _) = timed(substrDedup(docsSkew))
+
+    // boilerplate-skew: the 20,000x-duplicated doc convicts its every
+    // line as boilerplate of ONE group — the distinct and frequency
+    // partials collapse the hot (group, line) keys map-side, the
+    // conviction join's hot keys are AQE-splittable, and reassembly
+    // stays per-doc bounded; the removed count pins the semantics
+    val (bskewSec, bskewRemoved, _) = timed(
+      graft.pipeline.TextAnalysis.removeBoilerplateLines(
+        docsSkew.select(col("doc_id"), lit("g").as("grp"), col("text")),
+        "doc_id", "text", "grp", maxDocFrac = 0.4, minDocs = 5)
+        .agg(coalesce(sum(col("removed_lines")), lit(0L)))
+        .collect().head.getLong(0))
 
     // source-overlap ubiquity skew: the 20,000x-duplicated doc's grams
     // land in ALL 20 synthetic sources; cap 10 must EXCLUDE those rows
@@ -597,7 +640,7 @@ object ScaleProbe {
       f""""$name":{"x1_sec":$s1%.2f,"x${mult}_sec":$sx%.2f,"ratio":$ratio%.2f,"x1_pairs":$n1,"x${mult}_pairs":$nx,"x1_cap_excluded":$c1,"x${mult}_cap_excluded":$cx}"""
     }.mkString(",")
     val line =
-      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"cc_hub":{"sec":$hubSec%.2f,"components":$hubComps,"degree":500000},"para_skew":{"sec":$pskewSec%.2f,"removed":$pskewRemoved,"copies":$SkewCopies},"substr_skew":{"sec":$sskewSec%.2f,"removed":$sskewRemoved,"copies":$SkewCopies},"source_overlap_skew":{"sec":$soSkewSec%.2f,"shared":$soSkewShared,"cap_excluded_rows":$soSkewExcluded,"cap":10},"sem_skew":{"sec":$semSkewSec%.2f,"dropped":$semSkewDropped,"cap_excluded_rows":$semSkewExcluded,"cap":1000},"fuzzy_state_skew":{"sec":$fskewSec%.2f,"survivors":$fskewSurvivors,"cap_excluded_rows":$fskewExcluded,"cap":$SkewCap,"copies":$SkewCopies}}"""
+      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"cc_hub":{"sec":$hubSec%.2f,"components":$hubComps,"degree":500000},"para_skew":{"sec":$pskewSec%.2f,"removed":$pskewRemoved,"copies":$SkewCopies},"boiler_skew":{"sec":$bskewSec%.2f,"removed":$bskewRemoved,"copies":$SkewCopies},"substr_skew":{"sec":$sskewSec%.2f,"removed":$sskewRemoved,"copies":$SkewCopies},"source_overlap_skew":{"sec":$soSkewSec%.2f,"shared":$soSkewShared,"cap_excluded_rows":$soSkewExcluded,"cap":10},"sem_skew":{"sec":$semSkewSec%.2f,"dropped":$semSkewDropped,"cap_excluded_rows":$semSkewExcluded,"cap":1000},"fuzzy_state_skew":{"sec":$fskewSec%.2f,"survivors":$fskewSurvivors,"cap_excluded_rows":$fskewExcluded,"cap":$SkewCap,"copies":$SkewCopies}}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_probe.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

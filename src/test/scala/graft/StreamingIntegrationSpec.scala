@@ -402,5 +402,53 @@ class StreamingIntegrationSpec extends AnyWordSpec with Matchers with SparkSpec 
         finally st.close()
       }
     }
+
+    "score a live ingest with a pre-trained NB model like batch scoring" in {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+      // the production quality-filter shape: the model is trained offline
+      // on a seed set; the stream scores each micro-batch against the
+      // broadcast model (per-doc pure, so streaming == batch exactly)
+      val train = Seq(
+        (1L, "clean prose sentence", "keep"),
+        (2L, "buy now click here", "toss"))
+        .toDF("doc_id", "text", "label")
+      val model = graft.pipeline.Classify
+        .trainNaiveBayes(train, "doc_id", "text", "label")
+      val docs = Seq(
+        (10L, "clean prose here"), (11L, "click now"),
+        (12L, "prose sentence clean"), (13L, "totally oov tokens"))
+
+      val batch = graft.pipeline.Classify
+        .scoreNaiveBayes(docs.toDF("doc_id", "text"), "doc_id", "text", model)
+        .select("doc_id", "predicted").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+
+      val input = MemoryStream[(Long, String)]
+      val streamed = scala.collection.mutable.Set[(Long, String)]()
+      val query = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val scored = graft.pipeline.Classify
+            .scoreNaiveBayes(df, "doc_id", "text", model)
+            .select("doc_id", "predicted").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          streamed.synchronized { streamed ++= scored }
+          ()
+        }
+        .start()
+      try {
+        input.addData(docs.take(2): _*)
+        query.processAllAvailable()
+        input.addData(docs.drop(2): _*)
+        query.processAllAvailable()
+      } finally query.stop()
+
+      streamed.toSet shouldBe batch
+      model.termLogProb.unpersist(blocking = false)
+    }
   }
 }
