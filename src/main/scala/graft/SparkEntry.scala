@@ -2854,6 +2854,41 @@ object SparkEntry {
           round(col("kl"), 6).as("kl"),
           round(col("js"), 6).as("js"),
           round(col("tvd"), 6).as("tvd"))
+    }),
+
+    // Checksum-verified card detection (the PII family upgraded from
+    // pattern-match to Luhn validation): a deterministic pseudo-random
+    // 16-digit run injected into doc_id%4 docs (valid ~1/10 by chance)
+    // and the classic Luhn-valid 4111111111111111 into doc_id%7 docs.
+    // Every pin is an exact integer; the oracle replays candidate
+    // extraction and the checksum digit-for-digit.
+    "q91_cc_luhn" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{concat_ws, lpad}
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val pseudo = lpad(
+        (((col("doc_id") + 7) * lit(2654435761L)) %
+          lit(10000000000000000L)).cast(StringType), 16, "0")
+      val injected = docs.select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0, pseudo),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit("4111111111111111"))).as("text"))
+      val f = TextAnalysis.ccFindings(injected, "doc_id", "text").persist()
+      val a = f.agg(
+        countDistinct(col("doc_id")), count(lit(1)),
+        count(when(col("luhn_ok"), 1)),
+        count(when(!col("luhn_ok"), 1))).collect().head
+      val v = f.where(col("luhn_ok")).select(col("doc_id")).distinct()
+        .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)))
+        .collect().head
+      f.unpersist(blocking = false)
+      metricRow(s, Seq(
+        "docs_with_candidates" -> a.getLong(0).toDouble,
+        "n_candidates" -> a.getLong(1).toDouble,
+        "n_valid" -> a.getLong(2).toDouble,
+        "n_invalid" -> a.getLong(3).toDouble,
+        "docs_with_valid" -> v.getLong(0).toDouble,
+        "valid_id_sum" -> v.getLong(1).toDouble))
     })
   )
 
@@ -5452,6 +5487,45 @@ object SparkEntry {
         |  round(sum(p * ln(p / ((p + q) / 2.0)) / 2.0 +
         |            q * ln(q / ((p + q) / 2.0)) / 2.0), 6) AS js,
         |  round(sum(abs(p - q)) / 2.0, 6) AS tvd
-        |FROM pq""".stripMargin
+        |FROM pq""".stripMargin,
+
+    // q91: Luhn validation — the identical injection, candidate regex,
+    // and checksum arithmetic (position parity from the RIGHT, double
+    // odd positions, subtract 9 above 9, mod 10).
+    "q91_cc_luhn" ->
+      """WITH inj AS (
+        |  SELECT doc_id, concat_ws(' ', text,
+        |    CASE WHEN doc_id % 4 = 0 THEN lpad(
+        |      (((doc_id + 7) * 2654435761) % 10000000000000000)::VARCHAR,
+        |      16, '0') END,
+        |    CASE WHEN doc_id % 7 = 0 THEN '4111111111111111' END) AS t
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), cl AS (
+        |  SELECT doc_id, list_filter(regexp_extract_all(t, '[0-9]+'),
+        |    x -> len(x) BETWEEN 13 AND 19) AS lst
+        |  FROM inj
+        |), cand AS (
+        |  SELECT doc_id, unnest(lst) AS c, generate_subscripts(lst, 1) AS k
+        |  FROM cl
+        |), dig AS (
+        |  SELECT doc_id, k, c, (len(c) - i) % 2 AS odd,
+        |    substr(c, i, 1)::INT AS d
+        |  FROM cand, unnest(range(1, len(c) + 1)) AS r(i)
+        |), lu AS (
+        |  SELECT doc_id, k, c,
+        |    sum(CASE WHEN odd = 1 THEN
+        |      CASE WHEN d * 2 > 9 THEN d * 2 - 9 ELSE d * 2 END
+        |      ELSE d END) % 10 = 0 AS ok
+        |  FROM dig GROUP BY 1, 2, 3
+        |)
+        |SELECT count(DISTINCT doc_id)::DOUBLE AS docs_with_candidates,
+        |  count(*)::DOUBLE AS n_candidates,
+        |  count(CASE WHEN ok THEN 1 END)::DOUBLE AS n_valid,
+        |  count(CASE WHEN NOT ok THEN 1 END)::DOUBLE AS n_invalid,
+        |  (SELECT count(DISTINCT doc_id) FROM lu WHERE ok)::DOUBLE
+        |    AS docs_with_valid,
+        |  (SELECT coalesce(sum(DISTINCT doc_id), 0) FROM lu WHERE ok)::DOUBLE
+        |    AS valid_id_sum
+        |FROM lu""".stripMargin
   )
 }

@@ -1446,6 +1446,34 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "luhnValid / ccFindings" should {
+    "validate the checksum and extract card-length candidates" in {
+      val s = spark
+      import s.implicits._
+      val cases = Seq(
+        ("4111111111111111", true),   // classic valid Visa test number
+        ("4242424242424242", true),
+        ("4111111111111112", false),
+        ("79927398713", true),        // the ISO example number
+        ("79927398710", false),
+        ("4111-1111-1111-1111", true), // separators ignored
+        ("", false))
+      val got = cases.map(_._1).toDF("d")
+        .select(TextAnalysis.luhnValid(col("d"))).as[Boolean].collect()
+      got.toSeq shouldBe cases.map(_._2)
+
+      val f = TextAnalysis.ccFindings(
+        Seq((1L, "pay 4111111111111111 or 1234567890123 now x12"),
+          (2L, "no cards, just 123 and 99999"),
+          (3L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      f.toSet shouldBe Set(
+        (1L, "4111111111111111", true),
+        (1L, "1234567890123", false))
+    }
+  }
+
   "corpusDrift" should {
     "compute smoothed joint-vocab KL/JS/TVD" in {
       val s = spark
