@@ -2889,6 +2889,22 @@ object SparkEntry {
         "n_invalid" -> a.getLong(3).toDouble,
         "docs_with_valid" -> v.getLong(0).toDouble,
         "valid_id_sum" -> v.getLong(1).toDouble))
+    }),
+
+    // Deterministic shard assignment (the output-writer stage): shard =
+    // md5-prefix of (seed, id) mod 16 — a pure function any engine
+    // replays bit-for-bit, so loaders can address the corpus without a
+    // manifest. Per-shard doc/token/id-sum pins are exact integers; the
+    // md5 spread makes sizes concentrate around n/16 without striping.
+    "q92_shard_assignment" -> ((s, dir) => {
+      import graft.pipeline.Mixing
+      val docs = table(s, dir, "documents")
+      Mixing.shardStats(docs, "doc_id", "text", nShards = 16)
+        .select(
+          col("shard").cast(DoubleType).as("shard"),
+          col("n_docs").cast(DoubleType).as("n_docs"),
+          col("n_tokens").cast(DoubleType).as("n_tokens"),
+          col("id_sum").cast(DoubleType).as("id_sum"))
     })
   )
 
@@ -5526,6 +5542,19 @@ object SparkEntry {
         |    AS docs_with_valid,
         |  (SELECT coalesce(sum(DISTINCT doc_id), 0) FROM lu WHERE ok)::DOUBLE
         |    AS valid_id_sum
-        |FROM lu""".stripMargin
+        |FROM lu""".stripMargin,
+
+    // q92: shard assignment — the identical md5-prefix hash parsed from
+    // hex ('0x' cast) and the identical whitespace token count.
+    "q92_shard_assignment" ->
+      """SELECT
+        |  (('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |    % 16)::DOUBLE AS shard,
+        |  count(*)::DOUBLE AS n_docs,
+        |  sum(coalesce(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '')), 0))::DOUBLE AS n_tokens,
+        |  sum(doc_id)::DOUBLE AS id_sum
+        |FROM documents WHERE doc_id IS NOT NULL
+        |GROUP BY 1""".stripMargin
   )
 }

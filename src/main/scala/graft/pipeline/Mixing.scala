@@ -273,4 +273,61 @@ object Mixing {
     */
   def tokenCountExpr(text: Column): Column =
     coalesce(TextAnalysis.tokenCount(text).cast(LongType), lit(0L))
+
+  // -- deterministic sharding (the output stage) -----------------------------
+
+  /** Deterministic shard id in [0, nShards) from the [[sampleHash]]
+    * hex prefix — a pure function of (seed, id), so a re-run, a
+    * different cluster, or another engine (the oracle replays it as
+    * `('0x' || substr(md5(...), 1, 8))::BIGINT % n`) lands every
+    * document in the same shard. Training-data writers shard this way
+    * so downstream loaders can address the corpus deterministically.
+    * Null ids hash as the literal "null" string (the [[sampleHash]]
+    * convention).
+    */
+  def shardOf(id: Column, nShards: Int, seed: String = "shard"): Column = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    pmod(conv(sampleHash(id, seed), 16, 10).cast(LongType), lit(nShards.toLong))
+  }
+
+  /** Per-shard balance audit: (shard, n_docs, n_tokens, id_sum) — the
+    * numbers a loader team checks before training starts. One map-side
+    * combinable groupBy over a slim projection; the md5 spreads ids
+    * uniformly, so shard sizes concentrate tightly around n/nShards
+    * (each doc is an independent coin — no range/modulo striping
+    * artifacts from id assignment order).
+    */
+  def shardStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShards: Int,
+      seed: String = "shard"): DataFrame =
+    df.where(col(idCol).isNotNull)
+      .select(
+        shardOf(col(idCol), nShards, seed).as("shard"),
+        col(idCol).as("graft_id"),
+        tokenCountExpr(col(textCol)).as("graft_t"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("graft_t")).as("n_tokens"),
+        sum(col("graft_id")).as("id_sum"))
+
+  /** Write `df` as parquet partitioned by the deterministic shard id:
+    * `dir/shard=<k>/...`. The pre-write repartition ON the shard column
+    * gives one writer task per shard (no small-file spray: without it,
+    * every input partition writes a sliver into every shard directory —
+    * nShards × inputPartitions files).
+    */
+  def writeSharded(
+      df: DataFrame,
+      idCol: String,
+      dir: String,
+      nShards: Int,
+      seed: String = "shard"): Unit =
+    df.where(col(idCol).isNotNull)
+      .withColumn("shard", shardOf(col(idCol), nShards, seed))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
 }

@@ -226,4 +226,57 @@ class MixingSpec extends AnyWordSpec with Matchers with SparkSpec {
         totalBudget = 10L, alpha = 0.5) shouldBe Map("a" -> 0L, "b" -> 0L)
     }
   }
+
+  "shardOf / shardStats / writeSharded" should {
+    "assign deterministic shards and conserve totals" in {
+      val s = spark
+      import s.implicits._
+      val df = (0L until 200L).map(i => (i, s"w$i x$i")).toDF("doc_id", "text")
+      val a = df.select(Mixing.shardOf(col("doc_id"), 8)).as[Long].collect()
+      val b = df.select(Mixing.shardOf(col("doc_id"), 8)).as[Long].collect()
+      a.toSeq shouldBe b.toSeq // pure function of (seed, id)
+      all(a) should (be >= 0L and be < 8L)
+      a.distinct.length shouldBe 8 // 200 coins land in all 8 buckets
+      val stats = Mixing.shardStats(df, "doc_id", "text", 8).collect()
+      stats.map(_.getLong(1)).sum shouldBe 200L
+      stats.map(_.getLong(2)).sum shouldBe 400L // 2 tokens per doc
+      stats.map(_.getLong(3)).sum shouldBe (0L until 200L).sum
+      // a different seed is a different assignment
+      val c = df.select(Mixing.shardOf(col("doc_id"), 8, "other"))
+        .as[Long].collect()
+      c.toSeq should not be a.toSeq
+    }
+
+    "write one parquet file per shard and round-trip the rows" in {
+      val s = spark
+      import s.implicits._
+      val df = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_shards").toString
+      try {
+        Mixing.writeSharded(df, "doc_id", dir, nShards = 4)
+        val back = s.read.parquet(dir)
+        back.count() shouldBe 100L
+        back.select("doc_id").as[Long].collect().sorted shouldBe
+          (0L until 100L).toArray
+        // shard column materialized from the directory layout and
+        // consistent with shardOf
+        val pairs = back.select("doc_id", "shard").as[(Long, Int)]
+          .collect().toMap
+        val want = df.select(col("doc_id"),
+          Mixing.shardOf(col("doc_id"), 4)).as[(Long, Long)].collect().toMap
+        pairs.map { case (k, v) => k -> v.toLong } shouldBe want
+        // no small-file spray: at most one part file per shard directory
+        new java.io.File(dir).listFiles().filter(_.isDirectory).foreach { d =>
+          d.listFiles().count(_.getName.startsWith("part-")) should be <= 1
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try st.iterator().asScala.toSeq.reverseIterator
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally st.close()
+      }
+    }
+  }
 }
