@@ -2905,6 +2905,55 @@ object SparkEntry {
           col("n_docs").cast(DoubleType).as("n_docs"),
           col("n_tokens").cast(DoubleType).as("n_tokens"),
           col("id_sum").cast(DoubleType).as("id_sum"))
+    }),
+
+    // Sharded NB training via the mergeable count-state algebra (the
+    // deequ incremental-state convention applied to the classifier): a
+    // 40% seed set trained as TWO half-states, merged (integer-exact
+    // monoid), model derived from the merge, corpus scored. The DuckDB
+    // oracle trains on the WHOLE seed in one pass — matching outputs
+    // prove merge(train(A), train(B)) == train(A ∪ B) through the
+    // oracle; a seed-sized in-query census additionally pins the merged
+    // counts against the full-seed state row-for-row.
+    "q93_nb_sharded_train" -> ((s, dir) => {
+      import graft.pipeline.Classify
+      import org.apache.spark.sql.functions.{concat_ws, min => fmin}
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val isKeep = pmod(col("doc_id"), lit(2)) === 0
+      val marker = when(isKeep,
+        lit("qkeepa qkeepb qkeepa qkeepb qkeepa qkeepb"))
+        .otherwise(lit("qtossa qtossb qtossa qtossb qtossa qtossb"))
+      val marked = docs.select(
+        col("doc_id"),
+        concat_ws(" ", col("text"), marker).as("text"),
+        when(isKeep, lit("keep")).otherwise(lit("toss")).as("label"))
+      val seed = marked.where(pmod(col("doc_id"), lit(10)) < 4)
+      val halfA = seed.where(pmod(col("doc_id"), lit(4)) < 2)
+      val halfB = seed.where(pmod(col("doc_id"), lit(4)) >= 2)
+      val merged = Classify.mergeCounts(
+        Classify.countState(halfA, "doc_id", "text", "label"),
+        Classify.countState(halfB, "doc_id", "text", "label"))
+      val full = Classify.countState(seed, "doc_id", "text", "label")
+      val mismatches = merged.termCounts
+        .join(full.termCounts.withColumnRenamed("cnt", "graft_fc"),
+          Seq("label", "term"), "full_outer")
+        .where(!(col("cnt") <=> col("graft_fc"))).count()
+      val model = Classify.modelFromCounts(merged)
+      val out = Classify.scoreNaiveBayes(marked, "doc_id", "text", model)
+        .groupBy(col("predicted"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("docs"),
+          sum(col("doc_id")).cast(DoubleType).as("id_sum"),
+          round(avg(col("score")), 6).as("avg_score"),
+          // measured min margin 31.2-47.3 at the three SFs; the 8.0 bar
+          // leaves >23 log-units vs ~1e-12 cross-engine noise
+          when(fmin(col("margin")) >= 8.0, lit(1.0)).otherwise(lit(0.0))
+            .as("margin_ok"))
+        .withColumn("merge_exact",
+          lit(if (mismatches == 0L) 1.0 else 0.0))
+      val materialized = out.collect()
+      model.termLogProb.unpersist(blocking = false)
+      s.createDataFrame(java.util.Arrays.asList(materialized: _*), out.schema)
     })
   )
 
@@ -5555,6 +5604,73 @@ object SparkEntry {
         |    x -> x <> '')), 0))::DOUBLE AS n_tokens,
         |  sum(doc_id)::DOUBLE AS id_sum
         |FROM documents WHERE doc_id IS NOT NULL
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // q93: sharded NB training — the oracle trains on the WHOLE 40% seed
+    // in one pass (the ground truth the merged half-states must equal);
+    // merge_exact is the engine-side census, 1.0 here by definition.
+    "q93_nb_sharded_train" ->
+      """WITH marked AS (
+        |  SELECT doc_id,
+        |    concat_ws(' ', text, CASE WHEN doc_id % 2 = 0
+        |      THEN 'qkeepa qkeepb qkeepa qkeepb qkeepa qkeepb'
+        |      ELSE 'qtossa qtossb qtossa qtossb qtossa qtossb' END) AS text,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'keep' ELSE 'toss' END AS lbl
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), tr AS (
+        |  SELECT * FROM marked WHERE doc_id % 10 < 4
+        |), ttok AS (
+        |  SELECT doc_id, lbl, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM tr
+        |), cnt AS (
+        |  SELECT lbl, term, count(*) AS c FROM ttok GROUP BY 1, 2
+        |), voc AS (
+        |  SELECT DISTINCT term FROM cnt
+        |), ctot AS (
+        |  SELECT lbl, sum(c) AS tot FROM cnt GROUP BY 1
+        |), lblc AS (
+        |  SELECT lbl, count(*) AS docs FROM tr GROUP BY 1
+        |), mdl AS (
+        |  SELECT voc.term, l.lbl,
+        |    ln((coalesce(cnt.c, 0) + 1.0) /
+        |       (ctot.tot + (SELECT count(*) FROM voc))) AS lp
+        |  FROM voc
+        |  CROSS JOIN (SELECT lbl FROM lblc) l
+        |  LEFT JOIN cnt ON cnt.term = voc.term AND cnt.lbl = l.lbl
+        |  JOIN ctot ON ctot.lbl = l.lbl
+        |), pri AS (
+        |  SELECT lbl, ln(docs::DOUBLE /
+        |    (SELECT count(*) FROM tr)) AS lpr FROM lblc
+        |), stok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM marked
+        |), stf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM stok GROUP BY 1, 2
+        |), sll AS (
+        |  SELECT s.doc_id, m.lbl, sum(s.tf * m.lp) AS ll
+        |  FROM stf s JOIN mdl m USING (term) GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT d.doc_id, p.lbl, p.lpr + coalesce(sll.ll, 0.0) AS score
+        |  FROM (SELECT doc_id FROM marked) d
+        |  CROSS JOIN pri p
+        |  LEFT JOIN sll ON sll.doc_id = d.doc_id AND sll.lbl = p.lbl
+        |), rk AS (
+        |  SELECT doc_id, lbl, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, lbl ASC) AS rn
+        |  FROM sc
+        |), win AS (
+        |  SELECT a.doc_id, a.lbl AS predicted, a.score,
+        |    a.score - b.score AS margin
+        |  FROM rk a JOIN rk b ON a.doc_id = b.doc_id AND b.rn = 2
+        |  WHERE a.rn = 1
+        |)
+        |SELECT predicted, count(*)::DOUBLE AS docs,
+        |  sum(doc_id)::DOUBLE AS id_sum,
+        |  round(avg(score), 6) AS avg_score,
+        |  CASE WHEN min(margin) >= 8.0 THEN 1.0 ELSE 0.0 END AS margin_ok,
+        |  1.0::DOUBLE AS merge_exact
+        |FROM win GROUP BY 1""".stripMargin
   )
 }

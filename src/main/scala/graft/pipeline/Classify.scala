@@ -44,34 +44,66 @@ object Classify {
       vocabSize: Long,
       alpha: Double)
 
-  /** Train multinomial NB on `labeled` (`idCol`, `textCol`, `labelCol`;
-    * null-label rows are dropped). `log P(term|class)` = `ln((count +
-    * alpha) / (class_tokens + alpha·V))` with V = training vocabulary
-    * size across ALL classes; `log P(class)` = `ln(docs_c /
+  /** The model's sufficient statistics — plain integer counts, so the
+    * state is a commutative monoid under [[mergeCounts]] (the deequ
+    * state-algebra convention: train per shard/day, merge, derive the
+    * model once): `termCounts` = (term, label, cnt) token counts,
+    * `classDocs` = (label, docs). Integer merge means
+    * `counts(A ∪ B) == merge(counts(A), counts(B))` EXACTLY, and the
+    * derived model is bit-identical either way.
+    */
+  final case class NbCountState(termCounts: DataFrame, classDocs: DataFrame)
+
+  /** Sufficient statistics of `labeled` for NB training — one tokenize
+    * pass + two map-side-combinable groupBys on the seed set.
+    */
+  def countState(
+      labeled: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String): NbCountState = {
+    val rows = labeled.where(col(labelCol).isNotNull)
+    val termCounts = TextAnalysis.termFrequencies(rows, idCol, textCol)
+      .join(rows.select(col(idCol), col(labelCol).as("label")), Seq(idCol))
+      .groupBy(col("label"), col("term"))
+      .agg(sum(col("tf")).as("cnt"))
+    val classDocs = rows.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("docs"))
+    NbCountState(termCounts, classDocs)
+  }
+
+  /** Monoid merge of two count states: union + integer sum.
+    * Associative, commutative, with the empty state as identity.
+    */
+  def mergeCounts(a: NbCountState, b: NbCountState): NbCountState =
+    NbCountState(
+      a.termCounts.unionByName(b.termCounts)
+        .groupBy(col("label"), col("term"))
+        .agg(sum(col("cnt")).as("cnt")),
+      a.classDocs.unionByName(b.classDocs)
+        .groupBy(col("label"))
+        .agg(sum(col("docs")).as("docs")))
+
+  /** Derive the smoothed model from a count state: `log P(term|class)` =
+    * `ln((count + alpha) / (class_tokens + alpha·V))` with V = the
+    * vocabulary across ALL classes; `log P(class)` = `ln(docs_c /
     * total_docs)`. The (vocab × classes) densification is a crossJoin of
     * two seed-bounded frames — deliberate and documented, never
     * corpus-sized.
     */
-  def trainNaiveBayes(
-      labeled: DataFrame,
-      idCol: String,
-      textCol: String,
-      labelCol: String,
-      alpha: Double = 1.0): NbModel = {
+  def modelFromCounts(state: NbCountState, alpha: Double = 1.0): NbModel = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    val rows = labeled.where(col(labelCol).isNotNull)
-    val counts = TextAnalysis.termFrequencies(rows, idCol, textCol)
-      .join(rows.select(col(idCol), col(labelCol).as("label")), Seq(idCol))
-      .groupBy(col("label"), col("term"))
-      .agg(sum(col("tf")).as("graft_c"))
+    val counts = state.termCounts
+      .select(col("term"), col("label"), col("cnt").as("graft_c"))
       .persist()
     val vocab = counts.select(col("term")).distinct()
     val v = vocab.count()
     val classTotals = counts.groupBy(col("label"))
       .agg(sum(col("graft_c")).as("graft_tot"))
-    val labels = rows.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("graft_docs"))
-    val total = rows.count()
+    val labels = state.classDocs
+      .select(col("label"), col("docs").as("graft_docs"))
+    val total = labels.agg(coalesce(sum(col("graft_docs")), lit(0L)))
+      .collect().head.getLong(0)
     val termLogProb = vocab
       .crossJoin(labels.select(col("label")))
       .join(counts, Seq("term", "label"), "left_outer")
@@ -90,6 +122,15 @@ object Classify {
           .as("log_prior"))
     NbModel(termLogProb, classLogPrior, v, alpha)
   }
+
+  /** [[countState]] + [[modelFromCounts]] in one call. */
+  def trainNaiveBayes(
+      labeled: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      alpha: Double = 1.0): NbModel =
+    modelFromCounts(countState(labeled, idCol, textCol, labelCol), alpha)
 
   /** Score `df` against a trained model: one row per (non-null-id)
     * document with `predicted` (highest posterior, ties broken by

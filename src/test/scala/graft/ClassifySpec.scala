@@ -43,6 +43,35 @@ class ClassifySpec extends AnyWordSpec with Matchers with SparkSpec {
       scored(12L)._3 shouldBe 0.0 +- 1e-12
     }
 
+    "merge count states exactly (monoid laws + train-on-union equality)" in {
+      val s = spark
+      import s.implicits._
+      val a = Seq((1L, "x x y", "hi"), (2L, "z", "lo")).toDF("doc_id", "text", "label")
+      val b = Seq((3L, "x z z", "hi"), (4L, "y y", "lo")).toDF("doc_id", "text", "label")
+      val both = a.unionByName(b)
+      def counts(st: Classify.NbCountState) =
+        st.termCounts.collect()
+          .map(r => (r.getString(1), r.getString(0)) -> r.getLong(2)).toMap
+      def docs(st: Classify.NbCountState) =
+        st.classDocs.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sa = Classify.countState(a, "doc_id", "text", "label")
+      val sb = Classify.countState(b, "doc_id", "text", "label")
+      val merged = Classify.mergeCounts(sa, sb)
+      val full = Classify.countState(both, "doc_id", "text", "label")
+      counts(merged) shouldBe counts(full) // integer-exact
+      docs(merged) shouldBe docs(full)
+      // commutative
+      counts(Classify.mergeCounts(sb, sa)) shouldBe counts(merged)
+      // derived models classify identically
+      val corpus = Seq((10L, "x y"), (11L, "z z")).toDF("doc_id", "text")
+      def preds(m: Classify.NbModel) =
+        Classify.scoreNaiveBayes(corpus, "doc_id", "text", m)
+          .select("doc_id", "predicted").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      preds(Classify.modelFromCounts(merged)) shouldBe
+        preds(Classify.modelFromCounts(full))
+    }
+
     "filter by label and margin" in {
       val s = spark
       import s.implicits._
