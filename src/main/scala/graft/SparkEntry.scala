@@ -58,6 +58,33 @@ object SparkEntry {
     "o" -> "r", "a" -> "t", "s" -> "t", "i" -> "n", "in" -> "e",
     "o" -> "w", "u" -> "e")
 
+  /** Demo unigram-tokenizer vocabulary for q94: every ASCII letter at
+    * -4.0 plus multi-char pieces chosen to exercise real segmentation
+    * choices on the corpus vocabulary — "join" (whole-word piece beats
+    * jo+in), "customer" (cust+o+m+er), and EXACT score ties on "row"
+    * (ro+w vs r+ow, both -6.0) and "part" (par+t vs p+art, both -6.5)
+    * that pin the shortest-last-piece tie rule cross-engine. ALL
+    * log-probs are multiples of 0.25, so every Viterbi sum is an exact
+    * binary double: tie comparisons and the oracle replay are
+    * float-noise-free by construction.
+    */
+  val UnigramDemoPieces: Seq[(String, Double)] =
+    "abcdefghijklmnopqrstuvwxyz".map(c => c.toString -> -4.0) ++ Seq(
+      "jo" -> -2.0, "in" -> -2.0, "join" -> -3.0,
+      "ha" -> -2.5, "sh" -> -2.5,
+      "sc" -> -2.0, "an" -> -2.0,
+      "er" -> -1.75, "ust" -> -2.5, "cust" -> -3.0,
+      "ro" -> -2.0, "ow" -> -2.0,
+      "ta" -> -2.25, "ble" -> -2.25,
+      "str" -> -2.25, "eam" -> -2.25,
+      "wind" -> -3.5, "dow" -> -2.5,
+      "que" -> -2.5, "ry" -> -2.25,
+      "fast" -> -3.25, "low" -> -2.5,
+      "all" -> -2.5, "gg" -> -2.5,
+      "data" -> -3.5, "the" -> -3.0, "key" -> -3.0,
+      "par" -> -2.5, "art" -> -2.5)
+  val UnigramDemoUnk: Double = -10.0
+
   /** The events table's `ts` encoding has varied across test-data
     * generations: older files store parquet TIMESTAMP(NANOS) — which the
     * Spark reader rejects unless `nanosAsLong` maps it to a raw Long —
@@ -2954,6 +2981,50 @@ object SparkEntry {
       val materialized = out.collect()
       model.termLogProb.unpersist(blocking = false)
       s.createDataFrame(java.util.Arrays.asList(materialized: _*), out.schema)
+    }),
+
+    // SentencePiece-style unigram tokenizer (Viterbi apply; Kudo 2018)
+    // under the fixed demo vocabulary: per distinct corpus word, the
+    // max-probability segmentation's piece count and exact DP score.
+    // The DuckDB oracle replays the dynamic program as GENERATED
+    // position-step CTEs (argmax per position by score DESC, last-piece
+    // length ASC — the engine's strictly-greater/shortest-tie rule);
+    // all demo log-probs are multiples of 0.25, so scores are exact
+    // doubles and the tie words (row, part) pin the rule precisely.
+    "q94_unigram_tokenizer" -> ((s, dir) => {
+      import graft.pipeline.Unigram
+      val model = Unigram.UnigramModel(UnigramDemoPieces.toMap, UnigramDemoUnk)
+      val docs = table(s, dir, "documents")
+      val words = TextAnalysis.termFrequencies(docs, "doc_id", "text")
+        .groupBy(col("term")).agg(sum(col("tf")).as("graft_tf"))
+        .persist()
+      val np = org.apache.spark.sql.functions.udf(
+        (w: String) => model.encodeWord(w).length)
+      val sc = org.apache.spark.sql.functions.udf(
+        (w: String) => model.scoreWord(w))
+      val inScope = words.where(length(col("term")) <= 12)
+      val a = inScope.agg(
+        count(lit(1)),
+        sum(col("graft_tf") * np(col("term"))),
+        sum(np(col("term"))),
+        max(np(col("term"))),
+        round(sum(sc(col("term"))), 6),
+        coalesce(max(when(col("term") === "customer", np(col("term")))), lit(0)),
+        coalesce(max(when(col("term") === "row", np(col("term")))), lit(0)),
+        coalesce(max(when(col("term") === "part", np(col("term")))), lit(0)))
+        .collect().head
+      val nLong = words.where(length(col("term")) > 12).count()
+      words.unpersist(blocking = false)
+      metricRow(s, Seq(
+        "n_words" -> a.getLong(0).toDouble,
+        "corpus_pieces" -> a.getLong(1).toDouble,
+        "word_piece_sum" -> a.getLong(2).toDouble,
+        "max_pieces" -> a.getInt(3).toDouble,
+        "score_sum" -> a.getDouble(4),
+        "customer_pieces" -> a.getInt(5).toDouble,
+        "row_pieces" -> a.getInt(6).toDouble,
+        "part_pieces" -> a.getInt(7).toDouble,
+        "n_long_words" -> nLong.toDouble))
     })
   )
 
@@ -2962,6 +3033,68 @@ object SparkEntry {
     * BPE token count under the demo vocab. Used by the q77 and q81
     * oracles so the replay cannot drift between them.
     */
+  /** The q94 oracle, GENERATED from [[UnigramDemoPieces]]: the Viterbi
+    * DP unrolled into one CTE per word position (words longer than
+    * `maxLen` are excluded by BOTH engines and counted). Per position
+    * the argmax over candidate last-piece lengths orders by
+    * (score DESC, length ASC) — exactly the engine's strictly-greater /
+    * shortest-last-piece rule; single-char gaps LEFT JOIN to the UNK
+    * score, multi-char gaps INNER JOIN away.
+    */
+  private def unigramOracleSql: String = {
+    val maxLen = 12
+    val maxP = 4
+    val vals = UnigramDemoPieces
+      .map { case (p, l) => s"('$p', ($l)::DOUBLE)" }
+      .mkString(", ")
+    val steps = (1 to maxLen).map { j =>
+      val cands = (1 to math.min(maxP, j)).map { l =>
+        val prev = s"b${j - l}"
+        val piece = s"substr($prev.word, ${j - l + 1}, $l)"
+        if (l == 1)
+          s"SELECT $prev.word, $prev.s + coalesce(lp.logp, " +
+            s"($UnigramDemoUnk)::DOUBLE) AS s, $prev.np + 1 AS np, 1 AS l " +
+            s"FROM $prev LEFT JOIN lp ON lp.piece = $piece " +
+            s"WHERE len($prev.word) >= $j"
+        else
+          s"SELECT $prev.word, $prev.s + lp.logp AS s, $prev.np + 1 AS np, " +
+            s"$l AS l FROM $prev JOIN lp ON lp.piece = $piece " +
+            s"WHERE len($prev.word) >= $j"
+      }.mkString(" UNION ALL ")
+      s"b$j AS (SELECT word, s, np FROM (SELECT word, s, np, " +
+        "row_number() OVER (PARTITION BY word ORDER BY s DESC, l ASC) " +
+        s"AS rn FROM ($cands) cand) rk WHERE rn = 1)"
+    }.mkString(",\n")
+    val segUnion = (1 to maxLen)
+      .map(j => s"SELECT word, s, np FROM b$j WHERE len(word) = $j")
+      .mkString(" UNION ALL ")
+    "WITH tkn AS (\n" +
+      "  SELECT unnest(list_filter(string_split_regex(lower(text), '" +
+      "\\s+" +
+      "'), x -> x <> '')) AS word\n" +
+      "  FROM documents WHERE doc_id IS NOT NULL\n" +
+      "), w AS (\n" +
+      "  SELECT word, count(*) AS tf FROM tkn GROUP BY 1\n" +
+      s"), lp AS (\n  SELECT * FROM (VALUES $vals) AS t(piece, logp)\n" +
+      s"), b0 AS (\n  SELECT word, 0.0::DOUBLE AS s, 0 AS np FROM w " +
+      s"WHERE len(word) <= $maxLen\n),\n" +
+      s"$steps,\nseg AS ($segUnion)\n" +
+      "SELECT count(*)::DOUBLE AS n_words,\n" +
+      "  sum(w.tf * seg.np)::DOUBLE AS corpus_pieces,\n" +
+      "  sum(seg.np)::DOUBLE AS word_piece_sum,\n" +
+      "  max(seg.np)::DOUBLE AS max_pieces,\n" +
+      "  round(sum(seg.s), 6) AS score_sum,\n" +
+      "  coalesce(max(CASE WHEN word = 'customer' THEN seg.np END), 0)" +
+      "::DOUBLE AS customer_pieces,\n" +
+      "  coalesce(max(CASE WHEN word = 'row' THEN seg.np END), 0)" +
+      "::DOUBLE AS row_pieces,\n" +
+      "  coalesce(max(CASE WHEN word = 'part' THEN seg.np END), 0)" +
+      "::DOUBLE AS part_pieces,\n" +
+      s"  (SELECT count(*) FROM w WHERE len(word) > $maxLen)::DOUBLE " +
+      "AS n_long_words\n" +
+      "FROM seg JOIN w USING (word)"
+  }
+
   private def bpeSegCtes: String = {
     val n = BpeDemoMerges.length
     val caseExpr = BpeDemoMerges.zipWithIndex.map { case ((a, b), i) =>
@@ -5671,6 +5804,10 @@ object SparkEntry {
         |  round(avg(score), 6) AS avg_score,
         |  CASE WHEN min(margin) >= 8.0 THEN 1.0 ELSE 0.0 END AS margin_ok,
         |  1.0::DOUBLE AS merge_exact
-        |FROM win GROUP BY 1""".stripMargin
+        |FROM win GROUP BY 1""".stripMargin,
+
+    // q94: unigram tokenizer — the full Viterbi DP generated as one CTE
+    // per position (see unigramOracleSql).
+    "q94_unigram_tokenizer" -> unigramOracleSql
   )
 }
