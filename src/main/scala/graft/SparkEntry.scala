@@ -2771,7 +2771,7 @@ object SparkEntry {
           when(fmin(col("margin")) >= 10.0, lit(1.0)).otherwise(lit(0.0))
             .as("margin_ok"))
       val materialized = out.collect()
-      model.termLogProb.unpersist(blocking = false)
+      model.release()
       s.createDataFrame(java.util.Arrays.asList(materialized: _*), out.schema)
     }),
 
@@ -2885,10 +2885,13 @@ object SparkEntry {
 
     // Checksum-verified card detection (the PII family upgraded from
     // pattern-match to Luhn validation): a deterministic pseudo-random
-    // 16-digit run injected into doc_id%4 docs (valid ~1/10 by chance)
-    // and the classic Luhn-valid 4111111111111111 into doc_id%7 docs.
-    // Every pin is an exact integer; the oracle replays candidate
-    // extraction and the checksum digit-for-digit.
+    // 16-digit run injected into doc_id%4 docs (valid ~1/10 by chance),
+    // the classic Luhn-valid 4111111111111111 into doc_id%7 docs, and a
+    // SPACED copy of it into doc_id%11 docs (the separator-tolerant
+    // extraction path); each injection is prefixed by a word so
+    // adjacent numbers never merge into one maximal run. Every pin is
+    // an exact integer; the oracle replays candidate extraction
+    // (separator strip included) and the checksum digit-for-digit.
     "q91_cc_luhn" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{concat_ws, lpad}
       val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
@@ -2897,9 +2900,12 @@ object SparkEntry {
           lit(10000000000000000L)).cast(StringType), 16, "0")
       val injected = docs.select(col("doc_id"),
         concat_ws(" ", col("text"),
-          when(pmod(col("doc_id"), lit(4)) === 0, pseudo),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("pan "), pseudo)),
           when(pmod(col("doc_id"), lit(7)) === 0,
-            lit("4111111111111111"))).as("text"))
+            lit("visa 4111111111111111")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit("spaced 4111 1111 1111 1111"))).as("text"))
       val f = TextAnalysis.ccFindings(injected, "doc_id", "text").persist()
       val a = f.agg(
         countDistinct(col("doc_id")), count(lit(1)),
@@ -2979,7 +2985,7 @@ object SparkEntry {
         .withColumn("merge_exact",
           lit(if (mismatches == 0L) 1.0 else 0.0))
       val materialized = out.collect()
-      model.termLogProb.unpersist(blocking = false)
+      model.release()
       s.createDataFrame(java.util.Arrays.asList(materialized: _*), out.schema)
     }),
 
@@ -5693,13 +5699,17 @@ object SparkEntry {
     "q91_cc_luhn" ->
       """WITH inj AS (
         |  SELECT doc_id, concat_ws(' ', text,
-        |    CASE WHEN doc_id % 4 = 0 THEN lpad(
+        |    CASE WHEN doc_id % 4 = 0 THEN 'pan ' || lpad(
         |      (((doc_id + 7) * 2654435761) % 10000000000000000)::VARCHAR,
         |      16, '0') END,
-        |    CASE WHEN doc_id % 7 = 0 THEN '4111111111111111' END) AS t
+        |    CASE WHEN doc_id % 7 = 0 THEN 'visa 4111111111111111' END,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN 'spaced 4111 1111 1111 1111' END) AS t
         |  FROM documents WHERE doc_id IS NOT NULL
         |), cl AS (
-        |  SELECT doc_id, list_filter(regexp_extract_all(t, '[0-9]+'),
+        |  SELECT doc_id, list_filter(
+        |    list_transform(regexp_extract_all(t, '[0-9][0-9 -]*[0-9]'),
+        |      x -> regexp_replace(x, '[ -]', '', 'g')),
         |    x -> len(x) BETWEEN 13 AND 19) AS lst
         |  FROM inj
         |), cand AS (

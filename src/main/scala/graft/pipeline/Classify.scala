@@ -42,7 +42,16 @@ object Classify {
       termLogProb: DataFrame,
       classLogPrior: DataFrame,
       vocabSize: Long,
-      alpha: Double)
+      alpha: Double) {
+    /** `termLogProb` is persisted by [[modelFromCounts]] (it is consumed
+      * by every scoring pass); call this when done with the model to
+      * release the cache.
+      */
+    def release(): Unit = {
+      termLogProb.unpersist(blocking = false)
+      ()
+    }
+  }
 
   /** The model's sufficient statistics — plain integer counts, so the
     * state is a commutative monoid under [[mergeCounts]] (the deequ
@@ -62,7 +71,12 @@ object Classify {
       idCol: String,
       textCol: String,
       labelCol: String): NbCountState = {
-    val rows = labeled.where(col(labelCol).isNotNull)
+    // null-id rows are dropped HERE, not only inside termFrequencies —
+    // otherwise they would count toward the priors (classDocs) while
+    // contributing zero token mass, skewing posteriors toward the class
+    // that lost its ids
+    val rows = labeled
+      .where(col(labelCol).isNotNull && col(idCol).isNotNull)
     val termCounts = TextAnalysis.termFrequencies(rows, idCol, textCol)
       .join(rows.select(col(idCol), col(labelCol).as("label")), Seq(idCol))
       .groupBy(col("label"), col("term"))
@@ -104,14 +118,21 @@ object Classify {
       .select(col("label"), col("docs").as("graft_docs"))
     val total = labels.agg(coalesce(sum(col("graft_docs")), lit(0L)))
       .collect().head.getLong(0)
+    // classTotals joins left_outer with a zero default: a class whose
+    // seed docs carry no tokens (all empty/null text) still gets the
+    // full smoothed floor alpha/(0 + alpha·V) on EVERY vocab term —
+    // an inner join would silently drop its rows from the dense table
+    // and let the degenerate class win any non-trivial doc on priors
+    // alone with no per-term penalty
     val termLogProb = vocab
       .crossJoin(labels.select(col("label")))
       .join(counts, Seq("term", "label"), "left_outer")
-      .join(classTotals, Seq("label"))
+      .join(classTotals, Seq("label"), "left_outer")
       .select(
         col("term"), col("label"),
         log((coalesce(col("graft_c"), lit(0L)) + lit(alpha)) /
-          (col("graft_tot") + lit(alpha) * lit(v.toDouble)))
+          (coalesce(col("graft_tot"), lit(0L)) +
+            lit(alpha) * lit(v.toDouble)))
           .as("log_cond"))
       .persist()
     termLogProb.count() // materialize before the counts cache is dropped
@@ -154,8 +175,12 @@ object Classify {
     // frames ever happens (an earlier left-outer formulation sort-merged
     // the corpus twice; the plan audit pins this shape now). Seed rows
     // also carry OOV-only and empty docs to a priors-only score.
+    // distinct: one prior seed per DOCUMENT, not per input row — a
+    // duplicate-id input (re-crawls, join fan-out) would otherwise fold
+    // k·log_prior into the posterior and silently flip predictions
+    // whenever priors are unequal
     val seeds = df.where(col(idCol).isNotNull)
-      .select(col(idCol))
+      .select(col(idCol)).distinct()
       .crossJoin(broadcast(model.classLogPrior))
       .select(col(idCol), col("label"), col("log_prior").as("graft_part"))
     val perClass = contrib.unionByName(seeds)

@@ -282,8 +282,9 @@ object Mixing {
     * `('0x' || substr(md5(...), 1, 8))::BIGINT % n`) lands every
     * document in the same shard. Training-data writers shard this way
     * so downstream loaders can address the corpus deterministically.
-    * Null ids hash as the literal "null" string (the [[sampleHash]]
-    * convention).
+    * A null id yields a NULL shard ([[sampleHash]] null-propagates) —
+    * callers must decide what a keyless row means; [[shardStats]] and
+    * [[writeSharded]] drop null-id rows explicitly.
     */
   def shardOf(id: Column, nShards: Int, seed: String = "shard"): Column = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
@@ -315,10 +316,13 @@ object Mixing {
         sum(col("graft_id")).as("id_sum"))
 
   /** Write `df` as parquet partitioned by the deterministic shard id:
-    * `dir/shard=<k>/...`. The pre-write repartition ON the shard column
-    * gives one writer task per shard (no small-file spray: without it,
-    * every input partition writes a sliver into every shard directory —
-    * nShards × inputPartitions files).
+    * `dir/shard=<k>/...`. Null-id rows are DROPPED (they have no shard;
+    * a loader addressing shards 0..n-1 could never see them anyway —
+    * quarantine keyless rows before writing if they matter). The
+    * pre-write repartition ON the shard column gives one writer task
+    * per shard (no small-file spray: without it, every input partition
+    * writes a sliver into every shard directory — nShards ×
+    * inputPartitions files).
     */
   def writeSharded(
       df: DataFrame,

@@ -56,7 +56,7 @@ object Ranking {
     val spark = df.sparkSession
     val schema = df.schema
     val gi = schema.fieldIndex(groupCol)
-    val ois = orderCols.map(schema.fieldIndex)
+    orderCols.foreach(schema.fieldIndex) // validate early, by name
     val sortCols = (groupCol +: orderCols).map(col)
     val sorted = df
       .repartitionByRange(sortCols: _*)
@@ -124,14 +124,19 @@ object Ranking {
           Row.fromSeq(r.toSeq :+ bucket)
         }
       }
-      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materialize before the sorted cache is released below — the
-      // returned frame is lazy, and re-running the range shuffle would
-      // re-sample its bounds
-      out.count()
-      spark.createDataFrame(out,
+      // cache as a DataFrame (not the RDD — an RDD persist has no
+      // release path a caller can see) and materialize BEFORE the
+      // sorted cache is released below: the frame is lazy, and
+      // re-running the range shuffle would re-sample its bounds. The
+      // cache itself releases after the caller's first consumption via
+      // CacheLifecycle — nothing strands for the session.
+      val cached = spark.createDataFrame(out,
         StructType(schema.fields :+
           StructField(bucketCol, IntegerType, nullable = false)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      CacheLifecycle.releaseOnConsume(
+        cached.select(cached.columns.map(col).toSeq: _*), Seq(cached))
     } finally {
       sorted.unpersist(blocking = false)
       ()

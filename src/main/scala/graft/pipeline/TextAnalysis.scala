@@ -251,12 +251,20 @@ object TextAnalysis {
   def ipCount(text: Column): Column =
     size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0)))
 
-  /** Digit runs of plausible card length (13-19) in a text column — the
-    * candidate set for [[luhnValid]]. RE2-safe (no lookarounds), so the
-    * oracle replays it verbatim.
+  /** Card-number candidates in a text column: maximal runs of digits
+    * with optional single space/dash separators (how humans actually
+    * write PANs — `4111 1111 1111 1111`), separators stripped, kept
+    * when 13-19 digits remain. Returned NORMALIZED (digits only), ready
+    * for [[luhnValid]]. RE2-safe (no lookarounds), so the oracle
+    * replays it verbatim. Adjacent numbers with no word between them
+    * merge into one over-long (rejected) run — maximal-run semantics,
+    * identical in both engines.
     */
   def ccCandidates(text: Column): Column =
-    filter(regexp_extract_all(text, lit("[0-9]+"), lit(0)),
+    filter(
+      transform(
+        regexp_extract_all(text, lit("[0-9][0-9 -]*[0-9]"), lit(0)),
+        r => regexp_replace(r, "[ -]", "")),
       s => length(s) >= 13 && length(s) <= 19)
 
   /** Luhn checksum (ISO/IEC 7812) over a digit-string column: from the

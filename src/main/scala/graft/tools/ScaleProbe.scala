@@ -532,7 +532,7 @@ object ScaleProbe {
     increSeen.unpersist(blocking = false)
     fuzzyState.buckets.unpersist(blocking = false)
     fuzzyState.signatures.unpersist(blocking = false)
-    val results = resultsHead ++ Seq(
+    val resultsTail = Seq(
       ("lang_id", timed(langId(docs0)), timed(langId(docsX))),
       ("quality_score", timed(quality(docs0)), timed(quality(docsX))),
       ("decontamination", timed(decontam(docs0)), timed(decontam(docsX))),
@@ -559,6 +559,9 @@ object ScaleProbe {
       ("semdedup", timed(semdedup(emb0, 8)), timed(semdedup(embX, 8 * mult))),
       ("connected_components",
         timed(cc(ccEdges(ccComps1))), timed(cc(ccEdges(ccComps1 * mult)))))
+    val results = resultsHead ++ resultsTail
+    // the NB model's cached log-prob table is done after its rows
+    nbModel.release()
 
     // skew: cap must engage and the run must complete
     val (skewSec, skewPairs, skewExcluded) = timed(

@@ -1465,12 +1465,18 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
       val f = TextAnalysis.ccFindings(
         Seq((1L, "pay 4111111111111111 or 1234567890123 now x12"),
           (2L, "no cards, just 123 and 99999"),
-          (3L, null.asInstanceOf[String]))
+          (3L, null.asInstanceOf[String]),
+          // the dominant human formats: space- and dash-separated PANs
+          // extract (normalized to digits); a 20+-digit blob does not
+          (4L, "card 4111 1111 1111 1111 ok"),
+          (5L, "ref 4111-1111-1111-1111 and 123456789012345678901"))
           .toDF("doc_id", "text"), "doc_id", "text")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
       f.toSet shouldBe Set(
         (1L, "4111111111111111", true),
-        (1L, "1234567890123", false))
+        (1L, "1234567890123", false),
+        (4L, "4111111111111111", true),
+        (5L, "4111111111111111", true))
     }
   }
 

@@ -303,7 +303,7 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
       // aggregation — no join of two corpus-sized frames anywhere
       plan should not include "SortMergeJoin"
       plan should include("BroadcastHashJoin")
-      m.termLogProb.unpersist(blocking = false)
+      m.release()
     }
   }
 

@@ -448,7 +448,7 @@ class StreamingIntegrationSpec extends AnyWordSpec with Matchers with SparkSpec 
       } finally query.stop()
 
       streamed.toSet shouldBe batch
-      model.termLogProb.unpersist(blocking = false)
+      model.release()
     }
   }
 }
