@@ -3031,6 +3031,40 @@ object SparkEntry {
         "row_pieces" -> a.getInt(6).toDouble,
         "part_pieces" -> a.getInt(7).toDouble,
         "n_long_words" -> nLong.toDouble))
+    }),
+
+    // The unigram tokenizer rewire closed end-to-end (the q81 shape with
+    // the SECOND learned tokenizer): q70's temperature-mixture machinery
+    // fed by Unigram.tokenCountCol under the demo vocab — per-source
+    // budgets ~ sqrt of unigram-piece totals, hash-prefix selection by
+    // cumulative piece counts. The oracle composes the q94 Viterbi-DP
+    // chain into the q70 replay (shared generator — the two cannot
+    // drift); text is lowercased on BOTH sides (the q94 convention).
+    "q95_unigram_mixture" -> ((s, dir) => {
+      import graft.pipeline.{Mixing, Unigram}
+      import org.apache.spark.sql.functions.lower
+      val model = Unigram.UnigramModel(UnigramDemoPieces.toMap, UnigramDemoUnk)
+      val docs = table(s, dir, "documents")
+      val base = Unigram.tokenCountCol(model)
+      val counter: Column => Column = c => base(lower(c))
+      val budgets = Mixing.temperatureBudgets(docs, "source", "text",
+        totalBudget = 10000L, alpha = 0.5, tokenCount = counter)
+      val stats = Mixing
+        .tokenBudgetSample(docs, "doc_id", "text", "source", budgets,
+          tokenCount = counter)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("graft_k"),
+          sum(counter(col("text"))).as("graft_t"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("graft_i"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      import s.implicits._
+      budgets.toSeq.sortBy(_._1).map { case (g, b) =>
+        val (k, t, i) = stats.getOrElse(g, (0L, 0L, 0L))
+        (g, b.toDouble, k.toDouble, t.toDouble, i.toDouble)
+      }.toDF("source", "budget", "kept_docs", "kept_unigram_tokens",
+        "id_sum")
     })
   )
 
@@ -3047,8 +3081,15 @@ object SparkEntry {
     * shortest-last-piece rule; single-char gaps LEFT JOIN to the UNK
     * score, multi-char gaps INNER JOIN away.
     */
-  private def unigramOracleSql: String = {
-    val maxLen = 12
+  /** The generated Viterbi-DP CTE chain shared by the q94 and q95
+    * oracles: given an upstream CTE `w` with a `word` column (distinct
+    * words), appends `lp`, `b0..b<maxLen>` and `useg(word, s, np)` —
+    * best score and piece count per word of length <= maxLen (longer
+    * words are excluded; q94 pins their count at 0 on this corpus).
+    */
+  private val UnigramMaxWordLen = 12
+  private def unigramDpChain: String = {
+    val maxLen = UnigramMaxWordLen
     val maxP = 4
     val vals = UnigramDemoPieces
       .map { case (p, l) => s"('$p', ($l)::DOUBLE)" }
@@ -3067,39 +3108,90 @@ object SparkEntry {
             s"$l AS l FROM $prev JOIN lp ON lp.piece = $piece " +
             s"WHERE len($prev.word) >= $j"
       }.mkString(" UNION ALL ")
-      s"b$j AS (SELECT word, s, np FROM (SELECT word, s, np, " +
+      s"b$j AS MATERIALIZED (SELECT word, s, np FROM (SELECT word, s, np, " +
         "row_number() OVER (PARTITION BY word ORDER BY s DESC, l ASC) " +
         s"AS rn FROM ($cands) cand) rk WHERE rn = 1)"
     }.mkString(",\n")
     val segUnion = (1 to maxLen)
       .map(j => s"SELECT word, s, np FROM b$j WHERE len(word) = $j")
       .mkString(" UNION ALL ")
-    "WITH tkn AS (\n" +
+    s"lp AS MATERIALIZED (\n  SELECT * FROM (VALUES $vals) AS t(piece, logp)\n" +
+      s"), b0 AS MATERIALIZED (\n  SELECT word, 0.0::DOUBLE AS s, 0 AS np FROM w " +
+      s"WHERE len(word) <= $maxLen\n),\n" +
+      s"$steps,\nuseg AS MATERIALIZED ($segUnion)"
+  }
+
+  private def unigramOracleSql: String = {
+    val maxLen = UnigramMaxWordLen
+    "WITH tkn AS MATERIALIZED (\n" +
       "  SELECT unnest(list_filter(string_split_regex(lower(text), '" +
       "\\s+" +
       "'), x -> x <> '')) AS word\n" +
       "  FROM documents WHERE doc_id IS NOT NULL\n" +
-      "), w AS (\n" +
+      "), w AS MATERIALIZED (\n" +
       "  SELECT word, count(*) AS tf FROM tkn GROUP BY 1\n" +
-      s"), lp AS (\n  SELECT * FROM (VALUES $vals) AS t(piece, logp)\n" +
-      s"), b0 AS (\n  SELECT word, 0.0::DOUBLE AS s, 0 AS np FROM w " +
-      s"WHERE len(word) <= $maxLen\n),\n" +
-      s"$steps,\nseg AS ($segUnion)\n" +
+      s"), $unigramDpChain\n" +
       "SELECT count(*)::DOUBLE AS n_words,\n" +
-      "  sum(w.tf * seg.np)::DOUBLE AS corpus_pieces,\n" +
-      "  sum(seg.np)::DOUBLE AS word_piece_sum,\n" +
-      "  max(seg.np)::DOUBLE AS max_pieces,\n" +
-      "  round(sum(seg.s), 6) AS score_sum,\n" +
-      "  coalesce(max(CASE WHEN word = 'customer' THEN seg.np END), 0)" +
+      "  sum(w.tf * useg.np)::DOUBLE AS corpus_pieces,\n" +
+      "  sum(useg.np)::DOUBLE AS word_piece_sum,\n" +
+      "  max(useg.np)::DOUBLE AS max_pieces,\n" +
+      "  round(sum(useg.s), 6) AS score_sum,\n" +
+      "  coalesce(max(CASE WHEN word = 'customer' THEN useg.np END), 0)" +
       "::DOUBLE AS customer_pieces,\n" +
-      "  coalesce(max(CASE WHEN word = 'row' THEN seg.np END), 0)" +
+      "  coalesce(max(CASE WHEN word = 'row' THEN useg.np END), 0)" +
       "::DOUBLE AS row_pieces,\n" +
-      "  coalesce(max(CASE WHEN word = 'part' THEN seg.np END), 0)" +
+      "  coalesce(max(CASE WHEN word = 'part' THEN useg.np END), 0)" +
       "::DOUBLE AS part_pieces,\n" +
       s"  (SELECT count(*) FROM w WHERE len(word) > $maxLen)::DOUBLE " +
       "AS n_long_words\n" +
-      "FROM seg JOIN w USING (word)"
+      "FROM useg JOIN w USING (word)"
   }
+
+  /** The q95 oracle: the q70/q81 temperature-mixture replay with
+    * per-doc token counts from the unigram Viterbi DP (the q94 chain
+    * composed in — the two oracles cannot drift).
+    */
+  private def unigramMixtureOracleSql: String =
+    "WITH dtf AS MATERIALIZED (\n" +
+      "  SELECT doc_id, word, count(*) AS tf FROM (\n" +
+      "    SELECT doc_id, unnest(list_filter(string_split_regex(" +
+      "lower(text), '" + "\\s+" + "'), x -> x <> '')) AS word\n" +
+      "    FROM documents WHERE doc_id IS NOT NULL) t GROUP BY 1, 2\n" +
+      "), w AS MATERIALIZED (\n" +
+      "  SELECT DISTINCT word FROM dtf\n" +
+      s"), $unigramDpChain,\n" +
+      """dc AS (
+        |  SELECT dtf.doc_id, sum(dtf.tf * useg.np) AS toks
+        |  FROM dtf JOIN useg USING (word) GROUP BY 1),
+        |h AS (
+        |  SELECT d.doc_id, d.source,
+        |         substring(md5('graft:' || d.doc_id::VARCHAR), 1, 8) AS hh,
+        |         coalesce(dc.toks, 0) AS toks
+        |  FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id
+        |  WHERE d.doc_id IS NOT NULL),
+        |ns AS (SELECT source, sum(toks) AS n FROM h
+        |       WHERE source IS NOT NULL GROUP BY 1),
+        |z AS (SELECT sum(sqrt(n)) AS z FROM ns),
+        |b AS (SELECT source,
+        |        floor(10000 * sqrt(n) / (SELECT z FROM z))::BIGINT AS budget
+        |      FROM ns),
+        |tb AS (
+        |  SELECT * FROM (
+        |    SELECT h.doc_id, h.source, h.toks, b.budget,
+        |           sum(h.toks) OVER (PARTITION BY h.source
+        |             ORDER BY h.hh, h.doc_id
+        |             ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM h JOIN b USING (source))
+        |  WHERE cum <= budget)
+        |SELECT b.source, b.budget::DOUBLE AS budget,
+        |       coalesce(t.k, 0)::DOUBLE AS kept_docs,
+        |       coalesce(t.tk, 0)::DOUBLE AS kept_unigram_tokens,
+        |       coalesce(t.ids, 0)::DOUBLE AS id_sum
+        |FROM b LEFT JOIN (
+        |  SELECT source, count(*) AS k, sum(toks) AS tk,
+        |         sum(doc_id) AS ids
+        |  FROM tb GROUP BY 1) t USING (source)
+        |ORDER BY b.source""".stripMargin
 
   private def bpeSegCtes: String = {
     val n = BpeDemoMerges.length
@@ -5818,6 +5910,10 @@ object SparkEntry {
 
     // q94: unigram tokenizer — the full Viterbi DP generated as one CTE
     // per position (see unigramOracleSql).
-    "q94_unigram_tokenizer" -> unigramOracleSql
+    "q94_unigram_tokenizer" -> unigramOracleSql,
+
+    // q95: unigram-budget temperature mixture — the q94 DP chain
+    // composed into the q70/q81 mixture replay.
+    "q95_unigram_mixture" -> unigramMixtureOracleSql
   )
 }
