@@ -3065,6 +3065,101 @@ object SparkEntry {
         (g, b.toDouble, k.toDouble, t.toDouble, i.toDouble)
       }.toDF("source", "budget", "kept_docs", "kept_unigram_tokens",
         "id_sum")
+    }),
+
+    // End-to-end curation v2 — the session's operators composed as one
+    // pipeline, every stage value-pinned through ONE oracle replay:
+    // (1) per-source footer boilerplate removal (q89 injection), (2) NB
+    // quality filter trained on a 20% parity-marked seed of the CLEANED
+    // corpus (markers added AFTER boilerplate removal so the rule can't
+    // eat them), (3) CCNet perplexity terciles per source over the
+    // NB-kept set, keep head+middle, (4) canonical-URL dedup (q85's
+    // five disguises), (5) deterministic shard stats of the final kept
+    // set. Every pin is an exact integer.
+    "q96_curation_v2" -> ((s, dir) => {
+      import graft.pipeline.{Classify, Domains, Mixing}
+      import org.apache.spark.sql.functions.{concat_ws, floor}
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val nInput = docs.count()
+      // stage 1: boilerplate
+      val withFooter = docs.select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(3)) =!= 2,
+          concat(col("text"), lit("\nFOOTER "), col("source"),
+            lit(" all rights reserved"))).otherwise(col("text")).as("text"))
+      val cleaned = TextAnalysis
+        .removeBoilerplateLines(withFooter, "doc_id", "text", "source",
+          maxDocFrac = 0.4, minDocs = 5)
+        .persist()
+      val boilerRemoved = cleaned
+        .agg(coalesce(sum(col("removed_lines")), lit(0L)))
+        .collect().head.getLong(0)
+      // stage 2: NB filter (markers post-cleaning)
+      val isKeep = pmod(col("doc_id"), lit(2)) === 0
+      val marker = when(isKeep,
+        lit("qkeepa qkeepb qkeepa qkeepb qkeepa qkeepb"))
+        .otherwise(lit("qtossa qtossb qtossa qtossb qtossa qtossb"))
+      val marked = cleaned.select(col("doc_id"), col("source"),
+        concat_ws(" ", col("text"), marker).as("text")).persist()
+      val model = Classify.trainNaiveBayes(
+        marked.where(pmod(col("doc_id"), lit(10)) < 2)
+          .select(col("doc_id"), col("text"),
+            when(isKeep, lit("keep")).otherwise(lit("toss")).as("label")),
+        "doc_id", "text", "label")
+      val nbKept = marked.join(
+        Classify.scoreNaiveBayes(marked, "doc_id", "text", model)
+          .where(col("predicted") === "keep").select(col("doc_id")),
+        Seq("doc_id")).persist()
+      val nNbKept = nbKept.count()
+      // stage 3: perplexity head+middle per source
+      val perpKept = nbKept.join(
+        TextAnalysis
+          .perplexityBuckets(nbKept, "doc_id", "text", "source", 3)
+          .where(col("bucket") <= 2).select(col("doc_id")),
+        Seq("doc_id")).persist()
+      val nPerpKept = perpKept.count()
+      // stage 4: canonical-URL dedup (q85 disguises)
+      val g = floor(col("doc_id") / 5).cast(LongType)
+      val host = concat(lit("s"), pmod(g, lit(20)).cast(StringType),
+        lit(".example.com"))
+      val path = concat(lit("/p/"), g.cast(StringType))
+      val m5 = pmod(col("doc_id"), lit(5))
+      val idS = col("doc_id").cast(StringType)
+      val url = when(pmod(col("doc_id"), lit(97)) === 0, lit("page moved"))
+        .when(m5 === 0, concat(lit("https://www."), host, path))
+        .when(m5 === 1, concat(lit("HTTPS://"), host, lit(":443"), path, lit("/")))
+        .when(m5 === 2, concat(lit("https://user:pw@"), host, path,
+          lit("?utm_source=x&fbclid="), idS))
+        .when(m5 === 3, concat(lit("https://"), host, path, lit("?b=2&a=1#frag")))
+        .otherwise(concat(lit("https://"), host, path,
+          lit("?a=1&utm_medium=y&b=2")))
+      val dd = Domains.dedupByCanonicalUrl(
+        perpKept.withColumn("url", url), "url", "doc_id").persist()
+      // stage 5: shards
+      val shardAgg = Mixing.shardStats(dd, "doc_id", "text", 8)
+        .agg(count(lit(1)),
+          coalesce(sum(col("n_docs")), lit(0L)),
+          coalesce(sum(col("n_tokens")), lit(0L)),
+          coalesce(sum(col("id_sum")), lit(0L)),
+          coalesce(org.apache.spark.sql.functions.max(col("n_docs")), lit(0L)),
+          coalesce(org.apache.spark.sql.functions.min(col("n_docs")), lit(0L)))
+        .collect().head
+      cleaned.unpersist(blocking = false)
+      marked.unpersist(blocking = false)
+      nbKept.unpersist(blocking = false)
+      perpKept.unpersist(blocking = false)
+      dd.unpersist(blocking = false)
+      model.release()
+      metricRow(s, Seq(
+        "n_input" -> nInput.toDouble,
+        "boiler_removed" -> boilerRemoved.toDouble,
+        "nb_kept" -> nNbKept.toDouble,
+        "perp_kept" -> nPerpKept.toDouble,
+        "final_docs" -> shardAgg.getLong(1).toDouble,
+        "final_tokens" -> shardAgg.getLong(2).toDouble,
+        "final_id_sum" -> shardAgg.getLong(3).toDouble,
+        "shards_nonempty" -> shardAgg.getLong(0).toDouble,
+        "max_shard_docs" -> shardAgg.getLong(4).toDouble,
+        "min_shard_docs" -> shardAgg.getLong(5).toDouble))
     })
   )
 
@@ -5914,6 +6009,207 @@ object SparkEntry {
 
     // q95: unigram-budget temperature mixture — the q94 DP chain
     // composed into the q70/q81 mixture replay.
-    "q95_unigram_mixture" -> unigramMixtureOracleSql
+    "q95_unigram_mixture" -> unigramMixtureOracleSql,
+
+    // q96: curation v2 — the q89 + q86 + q83 + q85 + q92 replays chained
+    // into one query; every CTE MATERIALIZED (DuckDB inlines
+    // multiply-referenced CTEs by default — the q94 lesson — and this
+    // chain reuses each stage several times).
+    "q96_curation_v2" ->
+      ("""WITH b1 AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 <> 2 THEN text || chr(10) || 'FOOTER ' ||
+        |      source || ' all rights reserved' ELSE text END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), nn AS MATERIALIZED (
+        |  SELECT * FROM b1 WHERE t IS NOT NULL
+        |), lx AS MATERIALIZED (
+        |  SELECT doc_id, source, unnest(arr) AS line,
+        |    generate_subscripts(arr, 1) AS pos
+        |  FROM (SELECT doc_id, source, string_split(t, chr(10)) AS arr
+        |        FROM nn) ls
+        |), boiler AS MATERIALIZED (
+        |  SELECT f.source, f.line FROM (
+        |    SELECT source, line, count(DISTINCT doc_id) AS ld
+        |    FROM lx WHERE trim(line) <> '' GROUP BY 1, 2) f
+        |  JOIN (SELECT source, count(DISTINCT doc_id) AS gdocs
+        |        FROM nn GROUP BY 1) gd USING (source)
+        |  WHERE f.ld >= 5 AND f.ld >= 0.4 * gd.gdocs
+        |), cleaned AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    coalesce(array_to_string(
+        |      list(line ORDER BY pos) FILTER (WHERE NOT bo), chr(10)), '')
+        |      AS ct,
+        |    count(*) FILTER (WHERE bo) AS removed
+        |  FROM (
+        |    SELECT l.doc_id, l.source, l.line, l.pos,
+        |      (b.line IS NOT NULL) AS bo
+        |    FROM lx l LEFT JOIN boiler b
+        |      ON b.source = l.source AND b.line = l.line) mk
+        |  GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT doc_id, source, NULL AS ct, 0 AS removed
+        |  FROM b1 WHERE t IS NULL
+        |), marked AS MATERIALIZED (
+        |  SELECT doc_id, source, concat_ws(' ', ct,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'qkeepa qkeepb qkeepa qkeepb qkeepa qkeepb'
+        |      ELSE 'qtossa qtossb qtossa qtossb qtossa qtossb' END) AS mt,
+        |    removed
+        |  FROM cleaned
+        |), tr AS MATERIALIZED (
+        |  SELECT doc_id, mt,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'keep' ELSE 'toss' END AS lbl
+        |  FROM marked WHERE doc_id % 10 < 2
+        |), cnt AS MATERIALIZED (
+        |  SELECT lbl, term, count(*) AS c FROM (
+        |    SELECT doc_id, lbl, unnest(list_filter(
+        |      string_split_regex(lower(mt), '\s+'), x -> x <> '')) AS term
+        |    FROM tr) ttok GROUP BY 1, 2
+        |), voc AS MATERIALIZED (
+        |  SELECT DISTINCT term FROM cnt
+        |), mdl AS MATERIALIZED (
+        |  SELECT voc.term, l.lbl,
+        |    ln((coalesce(cnt.c, 0) + 1.0) /
+        |       (coalesce(ctot.tot, 0) + (SELECT count(*) FROM voc))) AS lp
+        |  FROM voc
+        |  CROSS JOIN (SELECT DISTINCT lbl FROM tr) l
+        |  LEFT JOIN cnt ON cnt.term = voc.term AND cnt.lbl = l.lbl
+        |  LEFT JOIN (SELECT lbl, sum(c) AS tot FROM cnt GROUP BY 1) ctot
+        |    ON ctot.lbl = l.lbl
+        |), pri AS MATERIALIZED (
+        |  SELECT lbl, ln(docs::DOUBLE / (SELECT count(*) FROM tr)) AS lpr
+        |  FROM (SELECT lbl, count(*) AS docs FROM tr GROUP BY 1) lblc
+        |), stf AS MATERIALIZED (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(mt), '\s+'), x -> x <> '')) AS term
+        |    FROM marked) stok GROUP BY 1, 2
+        |), rk AS MATERIALIZED (
+        |  SELECT doc_id, lbl, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, lbl ASC) AS rn
+        |  FROM (
+        |    SELECT d.doc_id, p.lbl, p.lpr + coalesce(sll.ll, 0.0) AS score
+        |    FROM (SELECT doc_id FROM marked) d
+        |    CROSS JOIN pri p
+        |    LEFT JOIN (
+        |      SELECT s.doc_id, m.lbl, sum(s.tf * m.lp) AS ll
+        |      FROM stf s JOIN mdl m USING (term) GROUP BY 1, 2) sll
+        |      ON sll.doc_id = d.doc_id AND sll.lbl = p.lbl) scs
+        |), nbkept AS MATERIALIZED (
+        |  SELECT m.doc_id, m.source, m.mt FROM marked m
+        |  JOIN rk ON rk.doc_id = m.doc_id AND rk.rn = 1
+        |    AND rk.lbl = 'keep'
+        |), ptf AS MATERIALIZED (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(mt), '\s+'), x -> x <> '')) AS term
+        |    FROM nbkept) ptok GROUP BY 1, 2
+        |), ptc AS MATERIALIZED (
+        |  SELECT term, sum(tf) AS c FROM ptf GROUP BY 1
+        |), pdoc AS MATERIALIZED (
+        |  SELECT f.doc_id, sum(f.tf) AS n_tokens,
+        |    sum(-f.tf * (ln(ptc.c + 1.0) -
+        |      ln((SELECT sum(c) + count(*) FROM ptc)))) AS nll
+        |  FROM ptf f JOIN ptc USING (term) GROUP BY 1
+        |), perpkept AS MATERIALIZED (
+        |  SELECT nb.doc_id, nb.source, nb.mt FROM nbkept nb JOIN (
+        |    SELECT pd.doc_id,
+        |      ntile(3) OVER (PARTITION BY nb2.source
+        |        ORDER BY round(pd.nll / pd.n_tokens, 6), pd.doc_id)
+        |        AS bucket
+        |    FROM pdoc pd JOIN nbkept nb2 USING (doc_id)) pbk
+        |    ON pbk.doc_id = nb.doc_id AND pbk.bucket <= 2
+        |), u AS MATERIALIZED (
+        |  SELECT doc_id, mt,
+        |    CASE
+        |      WHEN doc_id % 97 = 0 THEN 'page moved'
+        |      WHEN doc_id % 5 = 0 THEN 'https://www.s' ||
+        |        ((doc_id // 5) % 20)::VARCHAR || '.example.com/p/' ||
+        |        (doc_id // 5)::VARCHAR
+        |      WHEN doc_id % 5 = 1 THEN 'HTTPS://s' ||
+        |        ((doc_id // 5) % 20)::VARCHAR || '.example.com:443/p/' ||
+        |        (doc_id // 5)::VARCHAR || '/'
+        |      WHEN doc_id % 5 = 2 THEN 'https://user:pw@s' ||
+        |        ((doc_id // 5) % 20)::VARCHAR || '.example.com/p/' ||
+        |        (doc_id // 5)::VARCHAR || '?utm_source=x&fbclid=' ||
+        |        doc_id::VARCHAR
+        |      WHEN doc_id % 5 = 3 THEN 'https://s' ||
+        |        ((doc_id // 5) % 20)::VARCHAR || '.example.com/p/' ||
+        |        (doc_id // 5)::VARCHAR || '?b=2&a=1#frag'
+        |      ELSE 'https://s' ||
+        |        ((doc_id // 5) % 20)::VARCHAR || '.example.com/p/' ||
+        |        (doc_id // 5)::VARCHAR || '?a=1&utm_medium=y&b=2'
+        |    END AS url
+        |  FROM perpkept
+        |), canon AS MATERIALIZED (
+        |  SELECT doc_id, mt,
+        |    CASE WHEN scheme = '' OR host = '' THEN NULL ELSE
+        |      scheme || '://' || host ||
+        |      (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |         OR (scheme = 'https' AND port = '443') THEN ''
+        |         ELSE ':' || port END) ||
+        |      (CASE WHEN tpath = '' THEN '/' ELSE tpath END) ||
+        |      (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+        |    END AS canonical_url
+        |  FROM (
+        |    SELECT doc_id, mt, scheme,
+        |      regexp_replace(lower(regexp_extract(hostport,
+        |        '^(\[[^\]]+\]|[^:]+)', 1)), '^www\.', '') AS host,
+        |      regexp_extract(hostport,
+        |        '^(?:\[[^\]]+\]|[^:]+):([0-9]+)$', 1) AS port,
+        |      regexp_replace(rawpath, '/+$', '') AS tpath,
+        |      coalesce(array_to_string(
+        |        list_sort(list_filter(string_split(query, '&'),
+        |        x -> x <> '' AND NOT regexp_matches(x,
+        |          '""" + graft.pipeline.Domains.TrackingParamPattern +
+        """'))), '&'), '') AS q2
+        |    FROM (
+        |      SELECT doc_id, mt,
+        |        lower(regexp_extract(url,
+        |          '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |        regexp_extract(url,
+        |          '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)', 1)
+        |          AS hostport,
+        |        regexp_extract(url,
+        |          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+        |          AS rawpath,
+        |        regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query
+        |      FROM u) parts) norm
+        |), surv AS MATERIALIZED (
+        |  SELECT doc_id, mt FROM (
+        |    SELECT doc_id, mt, row_number() OVER (
+        |      PARTITION BY canonical_url ORDER BY doc_id) AS rn
+        |    FROM canon WHERE canonical_url IS NOT NULL) s
+        |  WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, mt FROM canon WHERE canonical_url IS NULL
+        |), shagg AS MATERIALIZED (
+        |  SELECT shard, count(*) AS n_docs, sum(toks) AS n_tokens,
+        |    sum(doc_id) AS id_sum
+        |  FROM (
+        |    SELECT (('0x' || substr(md5('shard:' || doc_id::VARCHAR),
+        |      1, 8))::BIGINT % 8) AS shard, doc_id,
+        |      coalesce(len(list_filter(string_split_regex(mt, '\s+'),
+        |        x -> x <> '')), 0) AS toks
+        |    FROM surv) sh GROUP BY 1
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM b1)::DOUBLE AS n_input,
+        |  (SELECT coalesce(sum(removed), 0) FROM marked)::DOUBLE
+        |    AS boiler_removed,
+        |  (SELECT count(*) FROM nbkept)::DOUBLE AS nb_kept,
+        |  (SELECT count(*) FROM perpkept)::DOUBLE AS perp_kept,
+        |  (SELECT coalesce(sum(n_docs), 0) FROM shagg)::DOUBLE
+        |    AS final_docs,
+        |  (SELECT coalesce(sum(n_tokens), 0) FROM shagg)::DOUBLE
+        |    AS final_tokens,
+        |  (SELECT coalesce(sum(id_sum), 0) FROM shagg)::DOUBLE
+        |    AS final_id_sum,
+        |  (SELECT count(*) FROM shagg)::DOUBLE AS shards_nonempty,
+        |  (SELECT coalesce(max(n_docs), 0) FROM shagg)::DOUBLE
+        |    AS max_shard_docs,
+        |  (SELECT coalesce(min(n_docs), 0) FROM shagg)::DOUBLE
+        |    AS min_shard_docs""").stripMargin
   )
 }
