@@ -411,6 +411,19 @@ object ScaleProbe {
         .scoreNaiveBayes(nbMark(d), "doc_id", "text", nbModel)
         .agg(count(when(col("predicted") === "keep", 1)))
         .collect().head.getLong(0)
+    // unigram tokenizer apply (q94 engine path): broadcast-model Viterbi
+    // per word inside a udf scan — pure map-side, nothing shuffles; the
+    // scored-doc count pins exactly 10x (piece totals vary with the
+    // decorrelated copies' suffixed words by design, so the count, not
+    // the pieces, is the conserved invariant)
+    lazy val uniModel = graft.pipeline.Unigram.UnigramModel(
+      graft.SparkEntry.UnigramDemoPieces.toMap,
+      graft.SparkEntry.UnigramDemoUnk)
+    def unigramCount(d: DataFrame): Long = {
+      val cnt = graft.pipeline.Unigram.tokenCountCol(uniModel)
+      d.agg(count(when(cnt(lower(col("text"))) > 0, 1)))
+        .collect().head.getLong(0)
+    }
     // perplexity bucketing (q83 engine path) with ONE group — the shape a
     // per-group ntile window would serialize into a single sort task:
     // groupedNtile's range repartition spreads the group across the
@@ -503,6 +516,7 @@ object ScaleProbe {
     c4filters(docs0.limit(200))
     domainStats(docs0.limit(200))
     perpBuckets(docs0.limit(200))
+    unigramCount(docs0.limit(200))
     urlDedup(docs0.limit(200))
     nbScore(docs0.limit(200)) // also forces the one-time model build
     boilerLines(docs0.limit(200))
@@ -555,6 +569,8 @@ object ScaleProbe {
       ("nb_score", timed(nbScore(docs0)), timed(nbScore(docsX))),
       ("boilerplate_lines",
         timed(boilerLines(docs0)), timed(boilerLines(docsX))),
+      ("unigram_tokens",
+        timed(unigramCount(docs0)), timed(unigramCount(docsX))),
       ("corpus_drift", timed(drift(docs0)), timed(drift(docsX))),
       ("semdedup", timed(semdedup(emb0, 8)), timed(semdedup(embX, 8 * mult))),
       ("connected_components",
