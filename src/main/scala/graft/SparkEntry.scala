@@ -3080,8 +3080,8 @@ object SparkEntry {
       import graft.pipeline.{Classify, Domains, Mixing}
       import org.apache.spark.sql.functions.{concat_ws, floor}
       val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
-      val nInput = docs.count()
-      // stage 1: boilerplate
+      // stage 1: boilerplate (input count rides the same materializing
+      // aggregate — cleaned has one row per input doc)
       val withFooter = docs.select(col("doc_id"), col("source"),
         when(pmod(col("doc_id"), lit(3)) =!= 2,
           concat(col("text"), lit("\nFOOTER "), col("source"),
@@ -3090,9 +3090,11 @@ object SparkEntry {
         .removeBoilerplateLines(withFooter, "doc_id", "text", "source",
           maxDocFrac = 0.4, minDocs = 5)
         .persist()
-      val boilerRemoved = cleaned
-        .agg(coalesce(sum(col("removed_lines")), lit(0L)))
-        .collect().head.getLong(0)
+      val stage1 = cleaned
+        .agg(count(lit(1)), coalesce(sum(col("removed_lines")), lit(0L)))
+        .collect().head
+      val nInput = stage1.getLong(0)
+      val boilerRemoved = stage1.getLong(1)
       // stage 2: NB filter (markers post-cleaning)
       val isKeep = pmod(col("doc_id"), lit(2)) === 0
       val marker = when(isKeep,

@@ -58,7 +58,19 @@ object Ranking {
     val gi = schema.fieldIndex(groupCol)
     orderCols.foreach(schema.fieldIndex) // validate early, by name
     val sortCols = (groupCol +: orderCols).map(col)
-    val sorted = df
+    // cache the input: repartitionByRange SAMPLES its child to pick the
+    // range bounds, so an uncached upstream is evaluated at least twice
+    // (sample pass + shuffle pass) — and upstreams that release their
+    // OWN internal caches after one consumption (the CacheLifecycle
+    // convention, e.g. the LM scorers' tf frame) would recompute from
+    // the raw corpus on the second pass. A frame the caller already
+    // persisted is used as-is (and not released).
+    val callerCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val input =
+      if (callerCached) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = input
       .repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .rdd
@@ -139,6 +151,7 @@ object Ranking {
         cached.select(cached.columns.map(col).toSeq: _*), Seq(cached))
     } finally {
       sorted.unpersist(blocking = false)
+      if (!callerCached) input.unpersist(blocking = false)
       ()
     }
   }
