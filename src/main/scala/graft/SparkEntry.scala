@@ -642,8 +642,16 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       val subN = 500L
       val thr = 0.42
+      // targetRecall 0.995, not 0.98: the audit bar is 0.9 REALIZED
+      // recall, and at sf0.001 only ~27 true pairs exist — at 0.98 the
+      // expected miss count is 0.5 but the DETERMINISTIC hash-derived
+      // plane family happened to miss 3 (realized 0.889, flag red; the
+      // driver's sf0.01 gate masked it since r11). At 0.995 the expected
+      // miss is 0.14 and the realized recall clears the bar at all three
+      // SFs (measured) — parameters are the caller's recall lever, the
+      // same per-corpus sizing convention q82 documents for IVF-PQ.
       val (planes, tables) = Similarity.lshParamsFor(
-        emb.count(), thr, targetRecall = 0.98)
+        emb.count(), thr, targetRecall = 0.995)
       val engine = Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding",
           threshold = thr, planes = planes, numTables = tables)
         .filter(col("id_a") < subN && col("id_b") < subN)
