@@ -3021,7 +3021,9 @@ object SparkEntry {
         count(lit(1)),
         sum(col("graft_tf") * np(col("term"))),
         sum(np(col("term"))),
-        max(np(col("term"))),
+        // coalesced like the keyed columns below: if no word were in
+        // scope, a bare max() returns null and getInt would NPE
+        coalesce(max(np(col("term"))), lit(0)),
         round(sum(sc(col("term"))), 6),
         coalesce(max(when(col("term") === "customer", np(col("term")))), lit(0)),
         coalesce(max(when(col("term") === "row", np(col("term")))), lit(0)),

@@ -118,6 +118,11 @@ object Classify {
       .select(col("label"), col("docs").as("graft_docs"))
     val total = labels.agg(coalesce(sum(col("graft_docs")), lit(0L)))
       .collect().head.getLong(0)
+    // an empty seed set would otherwise flow ln(x/0) = NaN/-Inf priors
+    // silently into every downstream score — fail fast like the alpha
+    // guard above
+    require(total > 0,
+      "modelFromCounts needs a non-empty training state (total seed docs = 0)")
     // classTotals joins left_outer with a zero default: a class whose
     // seed docs carry no tokens (all empty/null text) still gets the
     // full smoothed floor alpha/(0 + alpha·V) on EVERY vocab term —

@@ -48,15 +48,26 @@ object Domains {
     *    dropped, other ports kept;
     *  - trailing slashes stripped from the path; an empty path becomes
     *    `/` (path case is PRESERVED — most servers are case-sensitive);
-    *  - query parameters split on `&`, known tracking parameters dropped
-    *    (`utm_*`, `gclid`, `fbclid`, `msclkid`, `dclid`, `igshid`,
-    *    `mc_cid`, `mc_eid`, `ref`, `ref_src`, `_ga`), the rest SORTED
+    *  - query parameters split on `&`, tracking parameters dropped
+    *    (default set: `utm_*`, `gclid`, `fbclid`, `msclkid`, `dclid`,
+    *    `igshid`, `mc_cid`, `mc_eid`, `ref_src`, `_ga`), the rest SORTED
     *    and rejoined; an emptied query disappears entirely.
+    *
+    * The tracking set is a caller-supplied anchored regex
+    * (`trackingParamPattern`) because "never page content" is a property
+    * of the crawl, not of the URL grammar — bare `ref` in particular is
+    * deliberately NOT in the default (on code hosts `?ref=<branch>`
+    * selects the page; referral slugs often do too), so callers whose
+    * corpus uses `ref` purely for attribution opt in with
+    * [[TrackingParamPatternWithRef]].
     *
     * Null for unparseable values (no scheme/host) — callers decide
     * whether keyless rows are kept or quarantined, as with [[urlHost]].
     */
-  def canonicalUrl(url: Column): Column = {
+  def canonicalUrl(url: Column): Column =
+    canonicalUrl(url, TrackingParamPattern)
+
+  def canonicalUrl(url: Column, trackingParamPattern: String): Column = {
     val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val hostport = regexp_extract(url,
       "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)", 1)
@@ -73,7 +84,7 @@ object Domains {
     val path = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
     val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val params = filter(split(query, "&"), p =>
-      p =!= "" && !p.rlike(TrackingParamPattern))
+      p =!= "" && !p.rlike(trackingParamPattern))
     val qstr = array_join(array_sort(params), "&")
     val queryPart = when(qstr === "", lit(""))
       .otherwise(concat(lit("?"), qstr))
@@ -82,9 +93,16 @@ object Domains {
   }
 
   /** Anchored match for one `key=value` query parameter that is pure
-    * click/campaign tracking (never page content). Shared with the q85
-    * oracle replay. */
+    * click/campaign tracking — never page content in ANY corpus. Shared
+    * with the q85 oracle replay. Bare `ref` is deliberately absent (see
+    * [[canonicalUrl]]); `ref_src` stays (Twitter attribution only). */
   val TrackingParamPattern: String =
+    "^(?:utm_[^=&]*|gclid|fbclid|msclkid|dclid|igshid|mc_cid|mc_eid|ref_src|_ga)(?:=.*)?$"
+
+  /** The default set plus bare `ref` — opt-in for corpora where `ref` is
+    * known to be pure referral attribution (it selects content on code
+    * hosts and many storefronts, so it is not in the default). */
+  val TrackingParamPatternWithRef: String =
     "^(?:utm_[^=&]*|gclid|fbclid|msclkid|dclid|igshid|mc_cid|mc_eid|ref|ref_src|_ga)(?:=.*)?$"
 
   /** URL-level exact dedup: one survivor (min `tieBreakCol`, the

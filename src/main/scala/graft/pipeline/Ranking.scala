@@ -57,6 +57,22 @@ object Ranking {
     val schema = df.schema
     val gi = schema.fieldIndex(groupCol)
     orderCols.foreach(schema.fieldIndex) // validate early, by name
+    // enforce the documented "orderable primitive type" contract: the
+    // driver-side prefix maps key group values with `==`/hashCode, and a
+    // non-atomic group column (array/binary/struct) compares by reference
+    // there — silently wrong run counts, not an error. Fail fast instead.
+    (groupCol +: orderCols).foreach { c =>
+      val atomic = schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+            DoubleType | StringType | BooleanType | DateType |
+            TimestampType | TimestampNTZType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+      require(atomic,
+        s"groupedNtile requires atomic (orderable primitive) column types; " +
+          s"'$c' is ${schema(c).dataType.simpleString}")
+    }
     val sortCols = (groupCol +: orderCols).map(col)
     // cache the input: repartitionByRange SAMPLES its child to pick the
     // range bounds, so an uncached upstream is evaluated at least twice

@@ -142,6 +142,129 @@ object Similarity {
       (s, codes) => transform(codes, c => (c.cast(DoubleType) * s).cast(FloatType))
     }
 
+  // -------------------------------------------------------------------------
+  // Bounded per-query top-k selection — the scale-safe tail every ANN path
+  // shares. `row_number().over(Window.partitionBy(query_id))` puts EVERY
+  // candidate row of one query into ONE window partition: one task sorts
+  // them all, which for a whole-corpus ADC scan is a guaranteed single-task
+  // straggler/OOM at 100 TB. A bounded heap `Aggregator` instead keeps k
+  // items of state per (partition, query) map-side, partial-combines before
+  // the shuffle, and ships only numQueries × k survivors — TakeOrdered
+  // semantics expressed as a mergeable aggregate.
+  // -------------------------------------------------------------------------
+
+  /** Mutable bounded top-k state under the ranking (score desc, id asc):
+    * a binary heap whose ROOT is the WORST kept item, so a candidate
+    * enters in O(log k) only if it beats the root. Streaming a corpus
+    * partition through costs O(rows · log k) with 16·k bytes of state;
+    * states merge associatively (shuffle ships serialized heaps, not
+    * candidate rows).
+    */
+  final class TopKState(val k: Int) extends Serializable {
+    var n: Int = 0
+    var scores: Array[Double] = new Array[Double](k)
+    var ids: Array[Long] = new Array[Long](k)
+
+    // "(sa, ia) ranks strictly worse than (sb, ib)" under (score desc, id asc)
+    @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+      sa < sb || (sa == sb && ia > ib)
+
+    @inline private def swap(i: Int, j: Int): Unit = {
+      val ts = scores(i); val ti = ids(i)
+      scores(i) = scores(j); ids(i) = ids(j)
+      scores(j) = ts; ids(j) = ti
+    }
+
+    def add(s: Double, id: Long): Unit = {
+      if (n < k) {
+        scores(n) = s; ids(n) = id; n += 1
+        // sift up: parent must be worse-or-equal than children
+        var i = n - 1
+        while (i > 0 && worse(scores(i), ids(i), scores((i - 1) / 2), ids((i - 1) / 2))) {
+          swap(i, (i - 1) / 2); i = (i - 1) / 2
+        }
+      } else if (worse(scores(0), ids(0), s, id)) {
+        scores(0) = s; ids(0) = id
+        // sift down from the root
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1
+          val r = l + 1
+          var w = i
+          if (l < n && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+          if (r < n && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+          if (w == i) done = true else { swap(i, w); i = w }
+        }
+      }
+    }
+
+    def mergeIn(o: TopKState): TopKState = {
+      var i = 0
+      while (i < o.n) { add(o.scores(i), o.ids(i)); i += 1 }
+      this
+    }
+
+    /** Kept items best-first: (score desc, id asc). */
+    def sortedDesc: Seq[(Double, Long)] =
+      (0 until n).map(i => (scores(i), ids(i)))
+        .sortBy { case (s, id) => (-s, id) }
+  }
+
+  /** TakeOrdered-per-group as a typed `Aggregator`: mergeable, map-side
+    * combinable, k-bounded state — the window-free top-k selection.
+    */
+  final class TopKAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long), TopKState, Seq[(Double, Long)]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+    override def zero: TopKState = new TopKState(k)
+    override def reduce(b: TopKState, a: (Double, Long)): TopKState = {
+      b.add(a._1, a._2); b
+    }
+    override def merge(b1: TopKState, b2: TopKState): TopKState = b1.mergeIn(b2)
+    override def finish(b: TopKState): Seq[(Double, Long)] = b.sortedDesc
+    override def bufferEncoder: org.apache.spark.sql.Encoder[TopKState] =
+      org.apache.spark.sql.Encoders.kryo[TopKState]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Exact per-query top-k of a scored candidate frame, no window: one
+    * groupBy(query) over [[TopKAggregator]], then posexplode of the
+    * (≤ k)-element result array assigns ranks. Identical output contract
+    * to `row_number().over(partitionBy(query).orderBy(score desc, id
+    * asc)) <= k` — same rows, same ranks, same tie-breaks — but a corpus
+    * partition contributes at most k candidates per query to the shuffle
+    * instead of all of them, and no task ever sorts more than the
+    * aggregated survivors. Ids must be integral (the heap state is
+    * primitive long).
+    */
+  private[pipeline] def topKPerQuery(
+      scored: DataFrame,
+      queryCol: String,
+      idCol: String,
+      scoreCol: String,
+      k: Int): DataFrame = {
+    val idType = scored.schema(idCol).dataType
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"topKPerQuery needs an integral id column; '$idCol' is ${idType.simpleString}")
+    val agg = udaf(new TopKAggregator(k), ExpressionEncoder[(Double, Long)]())
+    scored
+      .groupBy(col(queryCol))
+      .agg(agg(col(scoreCol).cast(DoubleType), col(idCol).cast(LongType))
+        .as("graft_top"))
+      .select(col(queryCol), posexplode(col("graft_top")).as(Seq("graft_pos", "graft_t")))
+      .select(col(queryCol),
+        col("graft_t._2").cast(idType).as(idCol),
+        col("graft_t._1").as(scoreCol),
+        (col("graft_pos") + 1).cast(IntegerType).as("rank"))
+  }
+
   /** Brute-force cosine top-k: every query row against every corpus row.
     * Use when `queries` is small (it is broadcast). Returns
     * (queryId, neighborId, similarity, rank).
@@ -159,12 +282,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .withColumn("similarity", cosine(col("graft_cv"), col("graft_qv")))
     // deterministic: ties break on neighbor id
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("similarity").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "similarity", "rank")
+    topKPerQuery(scored, "query_id", "neighbor_id", "similarity", k)
   }
 
   /** Named-observation channel for the LSH bucket cap: every
@@ -434,16 +552,10 @@ object Similarity {
       .select("query_id", "neighbor_id", "graft_cv", "graft_qv")
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("similarity", cosine(col("graft_cv"), col("graft_qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("similarity").desc, col("neighbor_id").asc)
     // persisted: the final plan references this subtree three times (the
     // semi-join left side and fullIds twice) — without the cache the LSH
-    // bucket join + window top-k would recompute per reference
-    val lsh = scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "similarity", "rank")
-      .dropDuplicates("query_id", "rank")
+    // bucket join + heap top-k would recompute per reference
+    val lsh = topKPerQuery(scored, "query_id", "neighbor_id", "similarity", k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // completeness fallback: brute-force the queries that came back short
@@ -620,12 +732,7 @@ object Similarity {
 
     val scored = c.join(broadcast(q), Seq("graft_cell"))
       .withColumn("similarity", cosine(col("graft_cv"), col("graft_qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("similarity").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "similarity", "rank")
+    topKPerQuery(scored, "query_id", "neighbor_id", "similarity", k)
   }
 
   // -------------------------------------------------------------------------
@@ -773,17 +880,19 @@ object Similarity {
       .where(col("graft_lut").isNotNull)
 
     // ADC scan: broadcast nested-loop against the bounded query set;
-    // score = m array lookups, pure map-side expressions over the codes
+    // score = m array lookups, pure map-side expressions over the codes.
+    // The top-`pool` selection is the bounded-heap aggregate, NOT a
+    // per-query window — a window would funnel the WHOLE scored corpus
+    // through one task per query (the one 100-TB scale-killer the r12
+    // verdict flagged); the heap keeps `pool` candidates of state per
+    // (partition, query) and partial-combines before the shuffle.
     val approx = aggregate(
       zip_with(col("graft_codes"), col("graft_lut"),
         (c, row) => element_at(row, c + 1)),
       lit(0.0), (acc, x) => acc + x)
-    val wApprox = Window.partitionBy(col("query_id"))
-      .orderBy(col("graft_approx").desc, col("neighbor_id").asc)
-    val candidates = codes.crossJoin(broadcast(luts))
-      .withColumn("graft_approx", approx)
-      .withColumn("graft_ar", row_number().over(wApprox))
-      .filter(col("graft_ar") <= pool)
+    val candidates = topKPerQuery(
+        codes.crossJoin(broadcast(luts)).withColumn("graft_approx", approx),
+        "query_id", "neighbor_id", "graft_approx", pool)
       .select("query_id", "neighbor_id")
 
     exactRerank(candidates, corpus, corpusId, corpusVec,
@@ -808,15 +917,11 @@ object Similarity {
       col(corpusVec).as("graft_cv"))
     val qv = queries.select(col(queryId).as("query_id"),
       col(queryVec).as("graft_qv"))
-    val wExact = Window.partitionBy(col("query_id"))
-      .orderBy(col("similarity").desc, col("neighbor_id").asc)
-    broadcast(candidates)
+    val scored = broadcast(candidates)
       .join(cv, Seq("neighbor_id"))
       .join(broadcast(qv), Seq("query_id"))
       .withColumn("similarity", cosine(col("graft_cv"), col("graft_qv")))
-      .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "similarity", "rank")
+    topKPerQuery(scored, "query_id", "neighbor_id", "similarity", k)
   }
 
   /** IVF-PQ top-k — the two scale levers composed, the way a 100-TB ANN
@@ -944,12 +1049,13 @@ object Similarity {
       zip_with(col("graft_codes"), col("graft_lut"),
         (c, row) => element_at(row, c + 1)),
       lit(0.0), (acc, x) => acc + x)
-    val wApprox = Window.partitionBy(col("query_id"))
-      .orderBy(col("graft_approx").desc, col("neighbor_id").asc)
-    val candidates = codes.join(broadcast(luts), Seq("graft_cell"))
-      .withColumn("graft_approx", approx)
-      .withColumn("graft_ar", row_number().over(wApprox))
-      .filter(col("graft_ar") <= pool)
+    // bounded-heap top-`pool`, not a per-query window — even cell-pruned,
+    // a probe set is a corpus FRACTION (nprobe/nlist), and a window would
+    // sort it in one task per query (see pqTopK)
+    val candidates = topKPerQuery(
+        codes.join(broadcast(luts), Seq("graft_cell"))
+          .withColumn("graft_approx", approx),
+        "query_id", "neighbor_id", "graft_approx", pool)
       .select("query_id", "neighbor_id")
     exactRerank(candidates, corpus, corpusId, corpusVec,
       queries, queryId, queryVec, k)

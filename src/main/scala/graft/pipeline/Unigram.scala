@@ -204,26 +204,28 @@ object Unigram {
     model
   }
 
-  /** Persist as parquet: one (piece, logp) row per piece plus the UNK
-    * row under the reserved key `<unk>` (never a literal piece — pieces
-    * come from corpus substrings, `<` starts none of the demo/trained
-    * vocabularies' multi-char pieces... but a literal `<unk>` WORD
-    * would; the reader therefore treats the key positionally: exactly
-    * one row carries it and it is written by this method only).
+  /** Persist as parquet: one (piece, logp, is_unk=false) row per piece
+    * plus exactly one (null, unkLogProb, is_unk=true) row. The UNK
+    * marker is a dedicated boolean column, NOT a reserved piece key —
+    * pieces come from corpus substrings, so with `maxPieceLen >= 5` a
+    * corpus that literally contains `<unk>` would train it as a genuine
+    * piece and a key-based scheme would collide with it (two rows under
+    * one key, model unreadable).
     */
   def writeModel(
       model: UnigramModel, spark: SparkSession, path: String): Unit = {
     import spark.implicits._
-    (model.pieces.toSeq.sortBy(_._1) :+ ("<unk>" -> model.unkLogProb))
-      .toDF("piece", "logp").coalesce(1)
+    (model.pieces.toSeq.sortBy(_._1).map { case (p, lp) => (p, lp, false) } :+
+        ((null: String, model.unkLogProb, true)))
+      .toDF("piece", "logp", "is_unk").coalesce(1)
       .write.mode("overwrite").parquet(path)
   }
 
   def readModel(spark: SparkSession, path: String): UnigramModel = {
     val rows = spark.read.parquet(path).collect()
-      .map(r => (r.getString(0), r.getDouble(1)))
-    val (unk, pieces) = rows.partition(_._1 == "<unk>")
-    require(unk.length == 1, s"model at $path has ${unk.length} <unk> rows")
-    UnigramModel(pieces.toMap, unk.head._2)
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    val (unk, pieces) = rows.partition(_._3)
+    require(unk.length == 1, s"model at $path has ${unk.length} unk rows")
+    UnigramModel(pieces.map(t => t._1 -> t._2).toMap, unk.head._2)
   }
 }

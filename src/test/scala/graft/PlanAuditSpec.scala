@@ -277,6 +277,52 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "ANN top-k selection" should {
+    // the r12 verdict's one 100-TB scale-killer: row_number().over(
+    // partitionBy(query_id)) sorts every candidate row of a query in ONE
+    // task — for the PQ ADC scan that task holds the whole corpus. Every
+    // top-k tail must instead be the bounded-heap aggregate (map-side
+    // partial combine, k-bounded state, no WindowExec anywhere).
+    def auditNoWindow(out: org.apache.spark.sql.DataFrame): Unit = {
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString()
+      plan should not include "Window"
+      // typed TopKAggregator runs in ObjectHashAggregate, partial + final
+      plan should include("ObjectHashAggregate")
+      plan.linesIterator.count(_.contains("partial_topkaggregator")) should be >= 1
+    }
+
+    "pqTopK ranks the ADC scan with the heap aggregate, not a window" in {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 2L)
+      auditNoWindow(graft.pipeline.Similarity.pqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 3, m = 8, ksub = 8))
+    }
+
+    "ivfPqTopK ranks cell-pruned candidates with the heap aggregate" in {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 2L)
+      auditNoWindow(graft.pipeline.Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 3, nlist = 4, nprobe = 2, m = 8, ksub = 8))
+    }
+
+    "ivfTopK and bruteForceTopK rank with the heap aggregate" in {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 2L)
+      auditNoWindow(graft.pipeline.Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 3, nlist = 4, nprobe = 2))
+      auditNoWindow(graft.pipeline.Similarity.bruteForceTopK(emb, "vec_id",
+        "embedding", queries, "vec_id", "embedding", k = 3))
+    }
+
+    "lshTopK ranks bucket candidates with the heap aggregate" in {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 2L)
+      auditNoWindow(graft.pipeline.Similarity.lshTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 3, planes = 6, numTables = 8))
+    }
+  }
+
   "Kneser-Ney LM scoring" should {
     "tokenize once (one leaf — windows on the cached bigram frame, no join)" in {
       val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
