@@ -74,6 +74,8 @@ object Bench {
     // successful run. Track failures per query; medians come from the
     // successful reps only; a query with zero successful reps reports -1.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // every successful rep time (sorted asc), for the full-fidelity sidecar
+    val repLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     def medianOf(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // Untimed GC between queries: with a 128 GiB heap, collections are
       // rare, so broadcast/cache refuse from earlier queries piles up and
@@ -102,6 +104,7 @@ object Bench {
             None
         }
       }.sorted
+      repLog(name) = times
       if (times.isEmpty) -1.0
       else if (times.length % 2 == 1) times(times.length / 2)
       // even count (a rep failed): average the two middle successes rather
@@ -158,9 +161,16 @@ object Bench {
     val requeried = slowest.map { case (name, _) =>
       name -> medianOf(name + "_requery", SparkEntry.queries(name))
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // Per-query keys are shortened to the unambiguous qNN prefix: with
+    // full operator names the one-line JSON runs ~2.7 KB and downstream
+    // tooling that keeps only a 2 KB stdout tail decapitates it (the r12
+    // artifact lost q01-q05 exactly this way). Short keys put the WHOLE
+    // line under 2 KB; the full-fidelity map (full names, every rep)
+    // goes to the sidecar file below.
+    def shortKey(k: String): String = k.split("_")(0)
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + f"\":$v%.2f" }
       .mkString("{", ",", "}")
-    val rq = requeried.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val rq = requeried.map { case (k, v) => "\"" + shortKey(k) + f"\":$v%.2f" }
       .mkString("{", ",", "}")
     val calibrationEnd = calibrate()
     // total sums SUCCESSFUL medians only: the -1 sentinel would understate
@@ -196,6 +206,22 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
+    // Full-fidelity sidecar: full query names, every successful rep time
+    // (sorted asc), the same gauges — the canonical per-round artifact a
+    // reader should not need forensics to reconstruct. The stdout line
+    // stays the compact contract; this file is the complete record.
+    val fullQs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val fullRq = requeried.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val repsJson = repLog.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","normalized_total":$normalizedTotal%.3f,"queries":$fullQs,"requeried":$fullRq,"reps":$repsJson,"errors":$errs,"calibration":$calibrationStart%.3f,"calibration_mid":$gauges,"calibration_end":$calibrationEnd%.3f,"reps_per_query":$reps,"sf":"$sfDir"}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (fullLine + "\n").getBytes("UTF-8"))
     // stop Spark BEFORE printing so the JSON is the LAST stdout line —
     // shutdown logging goes to stderr, nothing can land after the line
     spark.stop()

@@ -150,6 +150,15 @@ object ScaleProbe {
       Similarity.lshTopK(e, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 10, planes = 6, numTables = 12).count()
     }
+    // IVF ANN (q27 engine path): FIXED 8-query set and FIXED nlist/nprobe
+    // while the corpus grows — the per-query candidate set is a corpus
+    // FRACTION (nprobe/nlist), the exact shape the bounded-heap top-k
+    // selection must keep off a single task
+    def ivfTopK(e: DataFrame): Long = {
+      val queries = e.filter(col("vec_id") < 8L)
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4).count()
+    }
     // one-exchange / map-side-by-design operators: these SHOULD scale at
     // ~1x per 10x corpus growth per core-second — the probe proves it
     // instead of asserting it
@@ -523,6 +532,7 @@ object ScaleProbe {
     drift(docs0.limit(200))
     pqTopK(emb0.limit(200))
     ivfPqTopK(emb0.limit(200))
+    ivfTopK(emb0.limit(200))
     unigramLm(docs0.limit(200))
     semdedup(emb0.limit(200), 2)
     cc(ccEdges(4))
@@ -562,6 +572,7 @@ object ScaleProbe {
       ("domain_stats", timed(domainStats(docs0)), timed(domainStats(docsX))),
       ("pq_topk", timed(pqTopK(emb0)), timed(pqTopK(embX))),
       ("ivfpq_topk", timed(ivfPqTopK(emb0)), timed(ivfPqTopK(embX))),
+      ("ivf_topk", timed(ivfTopK(emb0)), timed(ivfTopK(embX))),
       ("unigram_lm", timed(unigramLm(docs0)), timed(unigramLm(docsX))),
       ("perplexity_buckets",
         timed(perpBuckets(docs0)), timed(perpBuckets(docsX))),
