@@ -211,6 +211,21 @@ object SparkEntry {
   // correctness queries (one per operator family) + DuckDB oracles
   // -------------------------------------------------------------------------
 
+  /** Held-out (language, sentence) fixture for q97 — one sentence per
+    * [[graft.pipeline.LangId.DefaultSeed]] language, none present in the
+    * seed. Shared with the oracle SQL (interpolated below) so the two
+    * sides cannot drift.
+    */
+  private val langIdFixture: Seq[(String, String)] = Seq(
+    ("en", "yesterday evening we walked along the river and watched the boats come home before dinner"),
+    ("de", "gestern abend gingen wir am fluss entlang und sahen den booten zu bevor wir zum essen gingen"),
+    ("fr", "hier soir nous avons marché le long de la rivière et regardé les bateaux rentrer avant le dîner"),
+    ("es", "ayer por la noche caminamos junto al río y vimos los barcos volver antes de la cena"),
+    ("it", "ieri sera abbiamo camminato lungo il fiume e guardato le barche tornare prima di cena"),
+    ("pt", "ontem à noite caminhámos ao longo do rio e vimos os barcos voltarem antes do jantar não são horas más"),
+    ("ru", "вчера вечером мы гуляли вдоль реки и смотрели как лодки возвращаются домой к ужину"),
+    ("ja", "昨日の夕方私たちは川沿いを歩いて夕食の前に船が帰ってくるのを眺めた"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q01_size" -> ((s, dir) => {
@@ -3172,6 +3187,51 @@ object SparkEntry {
         "shards_nonempty" -> shardAgg.getLong(0).toDouble,
         "max_shard_docs" -> shardAgg.getLong(4).toDouble,
         "min_shard_docs" -> shardAgg.getLong(5).toDouble))
+    }),
+
+    // fastText-style char-n-gram language ID (Joulin et al. 2016), the
+    // q86 NB machinery with the char-gram featurizer: every document
+    // carries one held-out sentence of one of the eight seeded languages
+    // (chosen by doc_id % 8, NONE of the sentences in the training
+    // seed), the model trains on the built-in seed, and the whole
+    // corpus is scored by broadcast-model join. Pins per predicted
+    // language: exact doc and id-sum census (a single flipped
+    // prediction moves both), the flipped count itself (0 by
+    // construction — the spec pins held-out accuracy too), the rounded
+    // mean log-posterior margin, and a min-margin confidence flag.
+    "q97_langid_nb" -> ((s, dir) => {
+      import graft.pipeline.LangId
+      import org.apache.spark.sql.functions.{min => fmin}
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val sel = pmod(col("doc_id"), lit(8))
+      val textCase = langIdFixture.zipWithIndex.tail
+        .foldLeft(when(sel === 0, lit(langIdFixture.head._2))) {
+          case (acc, ((_, t), i)) => acc.when(sel === i, lit(t))
+        }
+      val langCase = langIdFixture.zipWithIndex.tail
+        .foldLeft(when(sel === 0, lit(langIdFixture.head._1))) {
+          case (acc, ((l, _), i)) => acc.when(sel === i, lit(l))
+        }
+      val fix = docs.select(col("doc_id"), textCase.as("text"),
+        langCase.as("graft_exp"))
+      val model = LangId.trainDefault(s)
+      val out = LangId.scoreLanguages(fix, "doc_id", "text", model)
+        .join(fix.select(col("doc_id"), col("graft_exp")), Seq("doc_id"))
+        .groupBy(col("predicted"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("docs"),
+          sum(col("doc_id")).cast(DoubleType).as("id_sum"),
+          count(when(col("predicted") =!= col("graft_exp"), 1))
+            .cast(DoubleType).as("flipped"),
+          round(avg(col("margin")), 6).as("avg_margin"),
+          // measured min margin ~9.9 (es over pt at sf0.001) — the 3.0
+          // bar keeps >6 log-units of headroom while cross-engine score
+          // noise is ~1e-12
+          when(fmin(col("margin")) >= 3.0, lit(1.0)).otherwise(lit(0.0))
+            .as("margin_ok"))
+      val materialized = out.collect()
+      model.release()
+      s.createDataFrame(java.util.Arrays.asList(materialized: _*), out.schema)
     })
   )
 
@@ -6222,6 +6282,91 @@ object SparkEntry {
         |  (SELECT coalesce(max(n_docs), 0) FROM shagg)::DOUBLE
         |    AS max_shard_docs,
         |  (SELECT coalesce(min(n_docs), 0) FROM shagg)::DOUBLE
-        |    AS min_shard_docs""").stripMargin
+        |    AS min_shard_docs""").stripMargin,
+
+    // q97: char-n-gram NB language ID replayed end to end — the SAME
+    // training seed (interpolated from LangId.DefaultSeed so the two
+    // sides cannot drift), the same boundary-padded normalization, the
+    // same 1-3 char-gram extraction (both engines substring by
+    // CHARACTERS, so multi-byte scripts gram identically), Laplace
+    // log-probs over the joint gram vocabulary, per-doc posterior sums,
+    // and the same (score DESC, lang ASC) ranking — the q86 replay with
+    // the featurizer swapped.
+    "q97_langid_nb" -> {
+      val seedValues = graft.pipeline.LangId.DefaultSeed
+        .map { case (l, t) => s"('$l', '${t.replace("'", "''")}')" }
+        .mkString(",\n        |    ")
+      val textCase = langIdFixture.zipWithIndex
+        .map { case ((_, t), i) =>
+          s"WHEN ${i} THEN '${t.replace("'", "''")}'" }
+        .mkString("\n        |      ")
+      val langCase = langIdFixture.zipWithIndex
+        .map { case ((l, _), i) => s"WHEN ${i} THEN '$l'" }
+        .mkString(" ")
+      (s"""WITH seeds(lang, txt) AS (VALUES
+        |    $seedValues),
+        |  fix AS (
+        |    SELECT doc_id,
+        |      CASE doc_id % 8
+        |      $textCase
+        |      END AS text,
+        |      CASE doc_id % 8 $langCase END AS exp
+        |    FROM documents WHERE doc_id IS NOT NULL),
+        |  sn AS (
+        |    SELECT lang, ' ' || regexp_replace(trim(lower(txt)),
+        |      '\\s+', ' ', 'g') || ' ' AS t FROM seeds),
+        |  sg AS (
+        |    SELECT lang, substring(t, i::INT, nn.n) AS term
+        |    FROM sn, (VALUES (1),(2),(3)) AS nn(n),
+        |      unnest(range(1, length(t) - nn.n + 2)) AS r(i)),
+        |  cnt AS (SELECT lang, term, count(*) AS c FROM sg GROUP BY 1, 2),
+        |  voc AS (SELECT DISTINCT term FROM cnt),
+        |  ctot AS (SELECT lang, sum(c) AS tot FROM cnt GROUP BY 1),
+        |  lngs AS (SELECT DISTINCT lang FROM seeds),
+        |  ndocs AS (SELECT lang, count(*) AS docs FROM seeds GROUP BY 1),
+        |  mdl AS (
+        |    SELECT voc.term, l.lang,
+        |      ln((coalesce(cnt.c, 0) + 1.0) /
+        |         (ctot.tot + (SELECT count(*) FROM voc))) AS lp
+        |    FROM voc CROSS JOIN lngs l
+        |    LEFT JOIN cnt ON cnt.term = voc.term AND cnt.lang = l.lang
+        |    JOIN ctot ON ctot.lang = l.lang),
+        |  pri AS (SELECT lang, ln(docs::DOUBLE /
+        |    (SELECT count(*) FROM seeds)) AS lpr FROM ndocs),
+        |  fn AS (
+        |    SELECT doc_id, ' ' || regexp_replace(trim(lower(text)),
+        |      '\\s+', ' ', 'g') || ' ' AS t FROM fix),
+        |  fg AS (
+        |    SELECT doc_id, substring(t, i::INT, nn.n) AS term
+        |    FROM fn, (VALUES (1),(2),(3)) AS nn(n),
+        |      unnest(range(1, length(t) - nn.n + 2)) AS r(i)),
+        |  ftf AS (SELECT doc_id, term, count(*) AS tf FROM fg GROUP BY 1, 2),
+        |  sll AS (
+        |    SELECT f.doc_id, m.lang, sum(f.tf * m.lp) AS ll
+        |    FROM ftf f JOIN mdl m USING (term) GROUP BY 1, 2),
+        |  sc AS (
+        |    SELECT d.doc_id, p.lang, p.lpr + coalesce(sll.ll, 0.0) AS score
+        |    FROM (SELECT doc_id FROM fix) d
+        |    CROSS JOIN pri p
+        |    LEFT JOIN sll ON sll.doc_id = d.doc_id AND sll.lang = p.lang),
+        |  rk AS (
+        |    SELECT doc_id, lang, score, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+        |    FROM sc),
+        |  win AS (
+        |    SELECT a.doc_id, a.lang AS predicted, a.score,
+        |      a.score - b.score AS margin
+        |    FROM rk a JOIN rk b ON a.doc_id = b.doc_id AND b.rn = 2
+        |    WHERE a.rn = 1)
+        |SELECT w.predicted, count(*)::DOUBLE AS docs,
+        |  sum(w.doc_id)::DOUBLE AS id_sum,
+        |  count(CASE WHEN w.predicted <> f.exp THEN 1 END)::DOUBLE
+        |    AS flipped,
+        |  round(avg(w.margin), 6) AS avg_margin,
+        |  CASE WHEN min(w.margin) >= 3.0 THEN 1.0 ELSE 0.0 END
+        |    AS margin_ok
+        |FROM win w JOIN fix f USING (doc_id)
+        |GROUP BY 1""").stripMargin
+    }
   )
 }

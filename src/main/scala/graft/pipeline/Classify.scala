@@ -63,6 +63,14 @@ object Classify {
     */
   final case class NbCountState(termCounts: DataFrame, classDocs: DataFrame)
 
+  /** A featurizer turns (df, idCol, textCol) into the slim
+    * (idCol, term, tf) frame NB trains and scores on. The default is
+    * word tokens ([[TextAnalysis.termFrequencies]]); [[LangId]] plugs in
+    * char n-grams for fastText-style language identification. The term
+    * column must be StringType.
+    */
+  type Featurizer = (DataFrame, String, String) => DataFrame
+
   /** Sufficient statistics of `labeled` for NB training — one tokenize
     * pass + two map-side-combinable groupBys on the seed set.
     */
@@ -70,14 +78,23 @@ object Classify {
       labeled: DataFrame,
       idCol: String,
       textCol: String,
-      labelCol: String): NbCountState = {
+      labelCol: String): NbCountState =
+    countState(labeled, idCol, textCol, labelCol,
+      TextAnalysis.termFrequencies)
+
+  def countState(
+      labeled: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      featurizer: Featurizer): NbCountState = {
     // null-id rows are dropped HERE, not only inside termFrequencies —
     // otherwise they would count toward the priors (classDocs) while
     // contributing zero token mass, skewing posteriors toward the class
     // that lost its ids
     val rows = labeled
       .where(col(labelCol).isNotNull && col(idCol).isNotNull)
-    val termCounts = TextAnalysis.termFrequencies(rows, idCol, textCol)
+    val termCounts = featurizer(rows, idCol, textCol)
       .join(rows.select(col(idCol), col(labelCol).as("label")), Seq(idCol))
       .groupBy(col("label"), col("term"))
       .agg(sum(col("tf")).as("cnt"))
@@ -158,6 +175,16 @@ object Classify {
       alpha: Double = 1.0): NbModel =
     modelFromCounts(countState(labeled, idCol, textCol, labelCol), alpha)
 
+  def trainNaiveBayes(
+      labeled: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      alpha: Double,
+      featurizer: Featurizer): NbModel =
+    modelFromCounts(
+      countState(labeled, idCol, textCol, labelCol, featurizer), alpha)
+
   /** Score `df` against a trained model: one row per (non-null-id)
     * document with `predicted` (highest posterior, ties broken by
     * ascending label so the result is a pure function of the data),
@@ -169,8 +196,16 @@ object Classify {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      model: NbModel): DataFrame = {
-    val tf = TextAnalysis.termFrequencies(df, idCol, textCol)
+      model: NbModel): DataFrame =
+    scoreNaiveBayes(df, idCol, textCol, model, TextAnalysis.termFrequencies)
+
+  def scoreNaiveBayes(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: NbModel,
+      featurizer: Featurizer): DataFrame = {
+    val tf = featurizer(df, idCol, textCol)
     val contrib = tf
       .join(broadcast(model.termLogProb), Seq("term"))
       .select(col(idCol), col("label"),
