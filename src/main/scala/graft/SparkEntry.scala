@@ -3232,6 +3232,30 @@ object SparkEntry {
       val materialized = out.collect()
       model.release()
       s.createDataFrame(java.util.Arrays.asList(materialized: _*), out.schema)
+    }),
+
+    // Interpolated Kneser-Ney TRIGRAM LM (the CCNet/KenLM rung above
+    // q78's bigram): same absolute discount D=0.75 at both backoff
+    // levels, lower orders on continuation (type) counts over trigram
+    // evidence. Scored through the unified lmCrossEntropy(order = 3)
+    // entry point. Pins: doc census, conserved trigram total, rounded
+    // nll sum and per-doc entropy extremes, and a threshold census at
+    // 3.0 (measured boundary distance >= 5.5e-4 at all three SFs vs
+    // ~1e-12 cross-engine noise).
+    "q98_kneser_ney_trigram" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val ce = TextAnalysis.lmCrossEntropy(docs, "doc_id", "text",
+        order = 3, smoothing = TextAnalysis.LmSmoothing.KneserNey(0.75))
+      ce.agg(
+        count(lit(1)).cast(DoubleType).as("n_docs"),
+        coalesce(sum(col("n_trigrams")), lit(0L)).cast(DoubleType)
+          .as("total_trigrams"),
+        round(sum(col("nll")), 3).as("sum_nll"),
+        round(avg(col("cross_entropy")), 6).as("avg_h"),
+        round(min(col("cross_entropy")), 6).as("min_h"),
+        round(max(col("cross_entropy")), 6).as("max_h"),
+        sum(when(col("cross_entropy") < 3.0, 1L).otherwise(0L))
+          .cast(DoubleType).as("docs_low"))
     })
   )
 
@@ -6367,6 +6391,60 @@ object SparkEntry {
         |    AS margin_ok
         |FROM win w JOIN fix f USING (doc_id)
         |GROUP BY 1""").stripMargin
-    }
+    },
+
+    // q98: the trigram KN model rebuilt from aggregates — identical
+    // token stream, trigram tf, context/continuation/type counts
+    // (count(DISTINCT) over the per-doc tf frame mirrors the engine's
+    // first-row-flag window sums), the same two-level interpolation with
+    // the same operand order, and the same rounded rollups (the q78
+    // replay one order up).
+    "q98_kneser_ney_trigram" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), tgu AS (
+        |  SELECT doc_id, unnest(list_zip(toks[1:len(toks)-2],
+        |    toks[2:len(toks)-1], toks[3:len(toks)])) AS t
+        |  FROM base WHERE len(toks) >= 3
+        |), tf AS (
+        |  SELECT doc_id, t[1] AS w1, t[2] AS w2, t[3] AS w3, count(*) AS tf
+        |  FROM tgu GROUP BY 1, 2, 3, 4
+        |), tric AS (SELECT w1, w2, w3, sum(tf) AS c FROM tf GROUP BY 1, 2, 3),
+        |ctx AS (SELECT w1, w2, sum(tf) AS c12, count(DISTINCT w3) AS n12dot
+        |        FROM tf GROUP BY 1, 2),
+        |types AS (SELECT DISTINCT w1, w2, w3 FROM tf),
+        |cont23 AS (SELECT w2, w3, count(DISTINCT w1) AS ndot23
+        |           FROM types GROUP BY 1, 2),
+        |mid AS (SELECT w2, count(*) AS ndot2dot, count(DISTINCT w3) AS n2star
+        |        FROM types GROUP BY 1),
+        |last3 AS (SELECT w3, count(*) AS ndotdot3 FROM types GROUP BY 1),
+        |sc AS (SELECT count(*) AS ntypes FROM types),
+        |doc AS (
+        |  SELECT f.doc_id, sum(f.tf) AS nt,
+        |    sum(-f.tf * ln(
+        |      greatest(tc.c - 0.75, 0) / cx.c12
+        |      + 0.75 * cx.n12dot / cx.c12 *
+        |        (greatest(c23.ndot23 - 0.75, 0) / m.ndot2dot
+        |         + 0.75 * m.n2star / m.ndot2dot
+        |           * (l3.ndotdot3::DOUBLE / (SELECT ntypes FROM sc)))
+        |    )) AS nll
+        |  FROM tf f JOIN tric tc USING (w1, w2, w3)
+        |    JOIN ctx cx USING (w1, w2)
+        |    JOIN cont23 c23 USING (w2, w3)
+        |    JOIN mid m USING (w2)
+        |    JOIN last3 l3 USING (w3)
+        |  GROUP BY 1
+        |)
+        |SELECT count(*)::DOUBLE AS n_docs,
+        |  coalesce(sum(nt), 0)::DOUBLE AS total_trigrams,
+        |  round(sum(nll), 3)::DOUBLE AS sum_nll,
+        |  round(avg(nll / nt), 6)::DOUBLE AS avg_h,
+        |  round(min(nll / nt), 6)::DOUBLE AS min_h,
+        |  round(max(nll / nt), 6)::DOUBLE AS max_h,
+        |  sum(CASE WHEN nll / nt < 3.0 THEN 1 ELSE 0 END)::DOUBLE
+        |    AS docs_low
+        |FROM doc""".stripMargin
   )
 }

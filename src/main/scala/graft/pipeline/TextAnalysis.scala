@@ -1164,13 +1164,121 @@ object TextAnalysis {
     CacheLifecycle.releaseOnConsume(perDoc, Seq(bf))
   }
 
+  /** (idCol, w1, w2, w3, tf) — the trigram sibling of
+    * [[bigramFrequencies]]: a narrow three-way zip of the token array
+    * with its own tails (pure codegen HOFs), exploded into ONE groupBy
+    * exchange with map-side partial counts. Documents with fewer than
+    * three tokens contribute nothing.
+    */
+  def trigramFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = normalizedTokens(col(textCol))
+    val n = greatest(size(toks) - 2, lit(0))
+    val trips = zip_with(
+      zip_with(
+        slice(toks, lit(1), n),
+        slice(toks, lit(2), n),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      slice(toks, lit(3), n),
+      (p, c) => struct(p.getField("w1").as("w1"),
+        p.getField("w2").as("w2"), c.as("w3")))
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol), explode(trips).as("graft_tg"))
+      .select(col(idCol), col("graft_tg.w1").as("w1"),
+        col("graft_tg.w2").as("w2"), col("graft_tg.w3").as("w3"))
+      .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Per-document cross-entropy under an INTERPOLATED KNESER-NEY TRIGRAM
+    * model — the CCNet/KenLM rung above [[kneserNeyCrossEntropy]]'s
+    * bigram, with the same single absolute discount D at both backoff
+    * levels (Chen & Goodman 1998 §4.1.6, truncated at order 3):
+    *
+    *   p(w3|w1w2) = max(c(w1w2w3) − D, 0)/c(w1w2·)
+    *              + D·N1+(w1w2·)/c(w1w2·) · p'(w3|w2)
+    *   p'(w3|w2)  = max(N1+(·w2w3) − D, 0)/N1+(·w2·)
+    *              + D·N1+(w2·*)/N1+(·w2·) · p'(w3)
+    *   p'(w3)     = N1+(··w3)/N1+(···)
+    *
+    * where the lower orders use CONTINUATION (type) counts over trigram
+    * evidence: N1+(·w2w3) = distinct w1 preceding (w2,w3), N1+(·w2·) =
+    * trigram types with middle w2, N1+(w2·*) = distinct (w2,w3) types
+    * with trigram evidence, N1+(··w3) = distinct (w1,w2) preceding w3,
+    * N1+(···) = distinct trigram types. Trained on `df` itself, so
+    * every scored trigram has c ≥ 1 and probabilities are strictly
+    * positive for D < 1. Documents with < 3 tokens are absent.
+    *
+    * 100 TB plan shape: the promised order-n generalization of the q78
+    * plan — ONE tokenize pass into the persisted slim (doc, w1, w2, w3,
+    * tf) frame; ALL seven model counts are sum-over-window passes on
+    * that same frame (the distinct-type counts ride two row_number-flag
+    * sums — no countDistinct-over-window, no self-join); N1+(···) is
+    * one bounded driver agg; the per-document rollup is the final
+    * exchange.
+    */
+  def kneserNeyTrigramCrossEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount >= 0.0 && discount < 1.0, "discount must be in [0, 1)")
+    val tf = trigramFrequencies(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTypes = tf.agg(countDistinct(col("w1"), col("w2"), col("w3")))
+      .collect().head.getLong(0)
+    import org.apache.spark.sql.expressions.Window
+    val wTriOrd = Window.partitionBy(col("w1"), col("w2"), col("w3"))
+      .orderBy(col(idCol))
+    val w23Ord = Window.partitionBy(col("w2"), col("w3"))
+      .orderBy(col("w1"), col(idCol))
+    val wTri = Window.partitionBy(col("w1"), col("w2"), col("w3"))
+    val wCtx = Window.partitionBy(col("w1"), col("w2"))
+    val w23 = Window.partitionBy(col("w2"), col("w3"))
+    val wMid = Window.partitionBy(col("w2"))
+    val wLast = Window.partitionBy(col("w3"))
+    val d = lit(discount)
+    val perDoc = tf
+      // one row per (doc, trigram): flag each trigram TYPE's first row
+      // (and each (w2,w3) GROUP's first row) so summing the flags over
+      // coarser windows yields the distinct-type counts
+      .withColumn("graft_f",
+        (row_number().over(wTriOrd) === 1).cast(LongType))
+      .withColumn("graft_f23",
+        (row_number().over(w23Ord) === 1).cast(LongType))
+      .withColumn("graft_c123", sum(col("tf")).over(wTri))
+      .withColumn("graft_c12", sum(col("tf")).over(wCtx))
+      .withColumn("graft_n12dot", sum(col("graft_f")).over(wCtx))
+      .withColumn("graft_ndot23", sum(col("graft_f")).over(w23))
+      .withColumn("graft_ndot2dot", sum(col("graft_f")).over(wMid))
+      .withColumn("graft_n2star", sum(col("graft_f23")).over(wMid))
+      .withColumn("graft_ndotdot3", sum(col("graft_f")).over(wLast))
+      .withColumn("graft_p1",
+        col("graft_ndotdot3").cast(DoubleType) / lit(nTypes.toDouble))
+      .withColumn("graft_p2",
+        greatest(col("graft_ndot23") - d, lit(0.0)) /
+          col("graft_ndot2dot").cast(DoubleType) +
+        d * col("graft_n2star").cast(DoubleType) /
+          col("graft_ndot2dot").cast(DoubleType) * col("graft_p1"))
+      .withColumn("graft_p3",
+        greatest(col("graft_c123") - d, lit(0.0)) /
+          col("graft_c12").cast(DoubleType) +
+        d * col("graft_n12dot").cast(DoubleType) /
+          col("graft_c12").cast(DoubleType) * col("graft_p2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        sum(-col("tf") * log(col("graft_p3"))).as("nll"))
+      .withColumn("cross_entropy", col("nll") / col("n_trigrams"))
+    CacheLifecycle.releaseOnConsume(perDoc, Seq(tf))
+  }
+
   /** The LM-scoring family behind ONE entry point — pick the model order
-    * and smoothing instead of remembering four function names:
+    * and smoothing instead of remembering five function names:
     * (1, Laplace) → [[unigramCrossEntropy]]; (2, Laplace) →
     * [[bigramCrossEntropy]]; (2, JelinekMercer) →
     * [[interpolatedCrossEntropy]]; (2, KneserNey) →
-    * [[kneserNeyCrossEntropy]]. All four share the output contract
-    * (`idCol`, n_grams column, nll, cross_entropy) and the
+    * [[kneserNeyCrossEntropy]]; (3, KneserNey) →
+    * [[kneserNeyTrigramCrossEntropy]]. All five share the output
+    * contract (`idCol`, n_grams column, nll, cross_entropy) and the
     * one-tokenize-pass/window plan shape.
     */
   sealed trait LmSmoothing
@@ -1193,6 +1301,8 @@ object TextAnalysis {
         interpolatedCrossEntropy(df, idCol, textCol, l)
       case (2, LmSmoothing.KneserNey(d)) =>
         kneserNeyCrossEntropy(df, idCol, textCol, d)
+      case (3, LmSmoothing.KneserNey(d)) =>
+        kneserNeyTrigramCrossEntropy(df, idCol, textCol, d)
       case other => throw new IllegalArgumentException(
         s"unsupported (order, smoothing) combination: $other")
     }

@@ -1376,6 +1376,58 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "kneserNeyTrigramCrossEntropy" should {
+    "match the hand-computed order-3 interpolated KN model" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq((1L, "a b a b a"), (2L, "a b c")).toDF("doc_id", "text")
+      // trigram counts: aba=2, bab=1, abc=1; ntypes=3; D=0.75
+      // contexts: c(ab·)=3 with 2 continuation types, c(ba·)=1 with 1
+      // continuation counts: N1+(·ba)=1, N1+(·ab)=1, N1+(·bc)=1
+      // middles: N1+(·b·)=2 types, N1+(·a·)=1; fan-outs N1+(b·*)=2, N1+(a·*)=1
+      // lasts: N1+(··a)=1, N1+(··b)=1, N1+(··c)=1
+      val p2aGivenB = (1 - 0.75) / 2 + 0.75 * 2 / 2.0 * (1.0 / 3)
+      val p2bGivenA = (1 - 0.75) / 1 + 0.75 * 1 / 1.0 * (1.0 / 3)
+      val p2cGivenB = (1 - 0.75) / 2 + 0.75 * 2 / 2.0 * (1.0 / 3)
+      val p3aba = (2 - 0.75) / 3 + 0.75 * 2 / 3.0 * p2aGivenB
+      val p3bab = (1 - 0.75) / 1 + 0.75 * 1 / 1.0 * p2bGivenA
+      val p3abc = (1 - 0.75) / 3 + 0.75 * 2 / 3.0 * p2cGivenB
+      val out = TextAnalysis
+        .kneserNeyTrigramCrossEntropy(df, "doc_id", "text", discount = 0.75)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      out(1L)._1 shouldBe 3L
+      out(1L)._2 shouldBe -(2 * math.log(p3aba) + math.log(p3bab)) +- 1e-12
+      out(2L)._1 shouldBe 1L
+      out(2L)._2 shouldBe -math.log(p3abc) +- 1e-12
+    }
+
+    "stay strictly positive and finite, drop short docs, and dispatch via lmCrossEntropy" in {
+      import TextAnalysis.LmSmoothing
+      val out = TextAnalysis
+        .lmCrossEntropy(docs, "doc_id", "text", order = 3,
+          smoothing = LmSmoothing.KneserNey(0.75))
+        .join(TextAnalysis
+          .kneserNeyTrigramCrossEntropy(docs, "doc_id", "text")
+          .select(col("doc_id"), col("cross_entropy").as("h_k")),
+          Seq("doc_id"))
+        .collect()
+      out should not be empty
+      out.foreach { r =>
+        val h = r.getAs[Double]("cross_entropy")
+        h should be > 0.0
+        java.lang.Double.isFinite(h) shouldBe true
+        h shouldBe r.getAs[Double]("h_k") +- 1e-12
+      }
+      // a 2-token doc has no trigram: absent from the output
+      val s = spark
+      import s.implicits._
+      TextAnalysis.kneserNeyTrigramCrossEntropy(
+        Seq((1L, "only two")).toDF("doc_id", "text"), "doc_id", "text")
+        .count() shouldBe 0L
+    }
+  }
+
   "lmCrossEntropy" should {
     "dispatch to the matching scorer and reject unknown combinations" in {
       import TextAnalysis.LmSmoothing
