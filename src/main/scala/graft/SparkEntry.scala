@@ -2986,8 +2986,18 @@ object SparkEntry {
       val seed = marked.where(pmod(col("doc_id"), lit(10)) < 4)
       val halfA = seed.where(pmod(col("doc_id"), lit(4)) < 2)
       val halfB = seed.where(pmod(col("doc_id"), lit(4)) >= 2)
-      val merged = Classify.mergeCounts(
+      // the production staging shape (q43/q76 convention): each half's
+      // count state goes THROUGH parquet — day 1 writes its state, day 2
+      // reads it back, merges its own, and re-derives the model from
+      // counts; the oracle's full-seed train matching proves the whole
+      // persist→read→merge→derive chain, not just the in-memory monoid
+      val stateDir =
+        java.nio.file.Files.createTempDirectory("graft_nbstate").toString
+      Classify.writeCountState(
         Classify.countState(halfA, "doc_id", "text", "label"),
+        s"$stateDir/day1")
+      val merged = Classify.mergeCounts(
+        Classify.readCountState(s, s"$stateDir/day1"),
         Classify.countState(halfB, "doc_id", "text", "label"))
       val full = Classify.countState(seed, "doc_id", "text", "label")
       val mismatches = merged.termCounts

@@ -103,6 +103,27 @@ object Classify {
     NbCountState(termCounts, classDocs)
   }
 
+  /** Persist a count state to parquet — the incremental-production shape
+    * (the q76 LshState / q43 HdfsStateProvider convention applied to the
+    * classifier): a daily seed refresh trains ONLY its shard's state,
+    * merges with the persisted history via [[mergeCounts]], writes back,
+    * and re-derives the model from counts — no retraining over all
+    * history, and the integer-count monoid makes the result EXACTLY the
+    * full-retrain model. Two slim tables: (term, label, cnt) and
+    * (label, docs).
+    */
+  def writeCountState(state: NbCountState, path: String): Unit = {
+    state.termCounts.select(col("term"), col("label"), col("cnt"))
+      .write.mode("overwrite").parquet(s"$path/term_counts")
+    state.classDocs.select(col("label"), col("docs"))
+      .write.mode("overwrite").parquet(s"$path/class_docs")
+  }
+
+  def readCountState(spark: SparkSession, path: String): NbCountState =
+    NbCountState(
+      spark.read.parquet(s"$path/term_counts"),
+      spark.read.parquet(s"$path/class_docs"))
+
   /** Monoid merge of two count states: union + integer sum.
     * Associative, commutative, with the empty state as identity.
     */

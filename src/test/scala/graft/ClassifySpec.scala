@@ -89,5 +89,37 @@ class ClassifySpec extends AnyWordSpec with Matchers with SparkSpec {
         .select("doc_id").as[Long].collect().toSet
       kept shouldBe Set(10L) // 11 predicts toss; 12 ties at margin 0
     }
+
+    "persist count states through parquet and merge to the full-train model" in {
+      val s = spark
+      import s.implicits._
+      val day1 = Seq(
+        (1L, "alpha alpha beta", "keep"),
+        (2L, "gamma delta", "toss")).toDF("doc_id", "text", "label")
+      val day2 = Seq(
+        (3L, "alpha beta beta", "keep"),
+        (4L, "delta delta epsilon", "toss")).toDF("doc_id", "text", "label")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_nbstate_spec").toString
+      // day 1 writes; day 2 reads it back, merges its own shard, writes
+      // the union; a fresh read of the union derives the model
+      Classify.writeCountState(
+        Classify.countState(day1, "doc_id", "text", "label"), s"$dir/s1")
+      val merged = Classify.mergeCounts(
+        Classify.readCountState(s, s"$dir/s1"),
+        Classify.countState(day2, "doc_id", "text", "label"))
+      Classify.writeCountState(merged, s"$dir/union")
+      val viaDisk = Classify.modelFromCounts(
+        Classify.readCountState(s, s"$dir/union"))
+      val full = Classify.modelFromCounts(Classify.countState(
+        day1.unionByName(day2), "doc_id", "text", "label"))
+      def probs(m: Classify.NbModel) = m.termLogProb.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      def priors(m: Classify.NbModel) = m.classLogPrior.collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      probs(viaDisk) shouldBe probs(full) // bit-identical from integer counts
+      priors(viaDisk) shouldBe priors(full)
+      viaDisk.release(); full.release()
+    }
   }
 }
