@@ -3115,8 +3115,17 @@ object SparkEntry {
       import graft.pipeline.{Classify, Domains, Mixing}
       import org.apache.spark.sql.functions.{concat_ws, floor}
       val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
-      // stage 1: boilerplate (input count rides the same materializing
-      // aggregate — cleaned has one row per input doc)
+      // Per-stage counts ride OBSERVATIONS on the stage frames instead of
+      // dedicated count() actions: each observation fires during the
+      // first job that consumes its frame (stage 1+2's during the NB
+      // training/scoring jobs, stage 3's during the perplexity ranking,
+      // stage 4's during the final shard aggregate), so the whole query
+      // runs the stages' own materializing jobs and nothing else — the
+      // q53 action-fusion precedent applied end to end.
+      val obsClean = org.apache.spark.sql.Observation()
+      val obsNb = org.apache.spark.sql.Observation()
+      val obsPerp = org.apache.spark.sql.Observation()
+      // stage 1: boilerplate
       val withFooter = docs.select(col("doc_id"), col("source"),
         when(pmod(col("doc_id"), lit(3)) =!= 2,
           concat(col("text"), lit("\nFOOTER "), col("source"),
@@ -3124,12 +3133,9 @@ object SparkEntry {
       val cleaned = TextAnalysis
         .removeBoilerplateLines(withFooter, "doc_id", "text", "source",
           maxDocFrac = 0.4, minDocs = 5)
+        .observe(obsClean, count(lit(1)).as("n"),
+          coalesce(sum(col("removed_lines")), lit(0L)).as("rm"))
         .persist()
-      val stage1 = cleaned
-        .agg(count(lit(1)), coalesce(sum(col("removed_lines")), lit(0L)))
-        .collect().head
-      val nInput = stage1.getLong(0)
-      val boilerRemoved = stage1.getLong(1)
       // stage 2: NB filter (markers post-cleaning)
       val isKeep = pmod(col("doc_id"), lit(2)) === 0
       val marker = when(isKeep,
@@ -3137,23 +3143,39 @@ object SparkEntry {
         .otherwise(lit("qtossa qtossb qtossa qtossb qtossa qtossb"))
       val marked = cleaned.select(col("doc_id"), col("source"),
         concat_ws(" ", col("text"), marker).as("text")).persist()
+      // ONE tokenize for stages 2+3: NB training (the seed subset), NB
+      // scoring (the whole corpus), and the LM ranking all consume the
+      // same persisted (doc, term, tf) frame — the featurizer/
+      // precomputedTf fusion hooks; previously each pass re-tokenized
+      val tfAll = TextAnalysis.termFrequencies(marked, "doc_id", "text")
+        .persist()
+      val fromTfAll: Classify.Featurizer = (_, _, _) => tfAll
+      val seedTf: Classify.Featurizer =
+        (_, _, _) => tfAll.where(pmod(col("doc_id"), lit(10)) < 2)
       val model = Classify.trainNaiveBayes(
         marked.where(pmod(col("doc_id"), lit(10)) < 2)
           .select(col("doc_id"), col("text"),
             when(isKeep, lit("keep")).otherwise(lit("toss")).as("label")),
-        "doc_id", "text", "label")
+        "doc_id", "text", "label", alpha = 1.0, seedTf)
       val nbKept = marked.join(
-        Classify.scoreNaiveBayes(marked, "doc_id", "text", model)
+        Classify.scoreNaiveBayes(marked, "doc_id", "text", model, fromTfAll)
           .where(col("predicted") === "keep").select(col("doc_id")),
-        Seq("doc_id")).persist()
-      val nNbKept = nbKept.count()
-      // stage 3: perplexity head+middle per source
+        Seq("doc_id"))
+        .observe(obsNb, count(lit(1)).as("n"))
+        .persist()
+      // stage 3: perplexity head+middle per source (tf restricted to the
+      // NB survivors — identical to re-tokenizing nbKept)
+      val tfNb = tfAll
+        .join(nbKept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .persist()
       val perpKept = nbKept.join(
         TextAnalysis
-          .perplexityBuckets(nbKept, "doc_id", "text", "source", 3)
+          .perplexityBuckets(nbKept, "doc_id", "text", "source", 3,
+            precomputedTf = Some(tfNb))
           .where(col("bucket") <= 2).select(col("doc_id")),
-        Seq("doc_id")).persist()
-      val nPerpKept = perpKept.count()
+        Seq("doc_id"))
+        .observe(obsPerp, count(lit(1)).as("n"))
+        .persist()
       // stage 4: canonical-URL dedup (q85 disguises)
       val g = floor(col("doc_id") / 5).cast(LongType)
       val host = concat(lit("s"), pmod(g, lit(20)).cast(StringType),
@@ -3169,8 +3191,10 @@ object SparkEntry {
         .when(m5 === 3, concat(lit("https://"), host, path, lit("?b=2&a=1#frag")))
         .otherwise(concat(lit("https://"), host, path,
           lit("?a=1&utm_medium=y&b=2")))
+      // consumed exactly once by the shard aggregate below — no persist
+      // (perpKept IS persisted: the dedup union references it twice)
       val dd = Domains.dedupByCanonicalUrl(
-        perpKept.withColumn("url", url), "url", "doc_id").persist()
+        perpKept.withColumn("url", url), "url", "doc_id")
       // stage 5: shards
       val shardAgg = Mixing.shardStats(dd, "doc_id", "text", 8)
         .agg(count(lit(1)),
@@ -3180,11 +3204,18 @@ object SparkEntry {
           coalesce(org.apache.spark.sql.functions.max(col("n_docs")), lit(0L)),
           coalesce(org.apache.spark.sql.functions.min(col("n_docs")), lit(0L)))
         .collect().head
+      // every observation has fired by now (the shard aggregate is the
+      // last job and consumes the whole chain); get() just reads
+      val nInput = obsClean.get("n").asInstanceOf[Long]
+      val boilerRemoved = obsClean.get("rm").asInstanceOf[Long]
+      val nNbKept = obsNb.get("n").asInstanceOf[Long]
+      val nPerpKept = obsPerp.get("n").asInstanceOf[Long]
       cleaned.unpersist(blocking = false)
       marked.unpersist(blocking = false)
+      tfAll.unpersist(blocking = false)
+      tfNb.unpersist(blocking = false)
       nbKept.unpersist(blocking = false)
       perpKept.unpersist(blocking = false)
-      dd.unpersist(blocking = false)
       model.release()
       metricRow(s, Seq(
         "n_input" -> nInput.toDouble,

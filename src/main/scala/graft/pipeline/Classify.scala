@@ -149,6 +149,13 @@ object Classify {
       .select(col("term"), col("label"), col("cnt").as("graft_c"))
       .persist()
     val vocab = counts.select(col("term")).distinct()
+    // This count is deliberately an EAGER action, not an in-plan fold:
+    // it materializes the counts cache ONCE before the dense-table build
+    // references it from three branches (vocab, the count join, the
+    // class totals) — an r13 experiment folding V into the plan as a
+    // broadcast 1-row aggregate made those branches race to compute the
+    // unmaterialized cache (duplicate seed tokenizes inside the
+    // broadcast collects; q96 +3.5 s at sf0.1)
     val v = vocab.count()
     val classTotals = counts.groupBy(col("label"))
       .agg(sum(col("graft_c")).as("graft_tot"))
@@ -166,11 +173,13 @@ object Classify {
     // full smoothed floor alpha/(0 + alpha·V) on EVERY vocab term —
     // an inner join would silently drop its rows from the dense table
     // and let the degenerate class win any non-trivial doc on priors
-    // alone with no per-term penalty
+    // alone with no per-term penalty. Build sides are seed-bounded by
+    // construction — broadcast-hinted explicitly so the plan never
+    // depends on cache-stats timing.
     val termLogProb = vocab
       .crossJoin(labels.select(col("label")))
-      .join(counts, Seq("term", "label"), "left_outer")
-      .join(classTotals, Seq("label"), "left_outer")
+      .join(broadcast(counts), Seq("term", "label"), "left_outer")
+      .join(broadcast(classTotals), Seq("label"), "left_outer")
       .select(
         col("term"), col("label"),
         log((coalesce(col("graft_c"), lit(0L)) + lit(alpha)) /

@@ -610,28 +610,48 @@ object TextAnalysis {
   def unigramCrossEntropy(
       df: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
-    val tf = termFrequencies(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // T (total tokens) and V (vocabulary): two driver longs from one agg
-    // over the slim persisted tf frame — not a re-scan of the corpus
+      textCol: String): DataFrame =
+    unigramCrossEntropy(df, idCol, textCol, None)
+
+  /** As above, with the composition-fusion hook: `precomputedTf` (when
+    * set) must be a CALLER-PERSISTED frame equal to
+    * `termFrequencies(df, idCol, textCol)` — a pipeline that already
+    * tokenized the same text (q96: NB scoring + LM ranking over one
+    * corpus) passes it so the corpus is tokenized once for the whole
+    * chain. The caller owns that cache's lifecycle.
+    */
+  def unigramCrossEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      precomputedTf: Option[DataFrame]): DataFrame = {
+    val owned = precomputedTf.isEmpty
+    val tf = precomputedTf.getOrElse(termFrequencies(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // T (total tokens) and V (vocabulary) fold into the plan as a
+    // broadcast 1-row aggregate instead of a driver collect: the scorer
+    // is then FULLY LAZY — zero actions of its own — so a composing
+    // caller (perplexityBuckets → groupedNtile, the q83/q96 chain) pays
+    // tokenize + window + rollup in ONE materializing job rather than a
+    // separate totals round-trip first. log() here is the same
+    // java.lang.Math.log the driver-side fold used — values identical.
     val totals = tf.agg(
-      coalesce(sum(col("tf")), lit(0L)),
-      countDistinct(col("term"))).collect().head
-    val t = totals.getLong(0)
-    val v = totals.getLong(1)
-    val logZ = math.log((t + v).toDouble.max(1.0))
+      coalesce(sum(col("tf")), lit(0L)).as("graft_t"),
+      countDistinct(col("term")).as("graft_v"))
+    val logZ = log(greatest(
+      (col("graft_t") + col("graft_v")).cast(DoubleType), lit(1.0)))
     val wTerm = org.apache.spark.sql.expressions.Window
       .partitionBy(col("term"))
     val perDoc = tf
       .withColumn("graft_c", sum(col("tf")).over(wTerm))
+      .crossJoin(broadcast(totals))
       .groupBy(col(idCol))
       .agg(
         sum(col("tf")).as("n_tokens"),
         sum(-col("tf") * (log(col("graft_c") + 1.0) - logZ)).as("nll"))
       .withColumn("cross_entropy", col("nll") / col("n_tokens"))
       .withColumn("perplexity", exp(col("cross_entropy")))
-    CacheLifecycle.releaseOnConsume(perDoc, Seq(tf))
+    if (owned) CacheLifecycle.releaseOnConsume(perDoc, Seq(tf)) else perDoc
   }
 
   /** Collapse runs of consecutive IDENTICAL lines to one occurrence —
@@ -1340,9 +1360,16 @@ object TextAnalysis {
       groupCol: String,
       nBuckets: Int = 3,
       order: Int = 1,
-      smoothing: LmSmoothing = LmSmoothing.Laplace): DataFrame = {
+      smoothing: LmSmoothing = LmSmoothing.Laplace,
+      precomputedTf: Option[DataFrame] = None): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
-    val scored = lmCrossEntropy(df, idCol, textCol, order, smoothing)
+    require(precomputedTf.isEmpty ||
+      (order == 1 && smoothing == LmSmoothing.Laplace),
+      "precomputedTf is the unigram-Laplace fusion hook only")
+    val scored =
+      if (precomputedTf.isDefined)
+        unigramCrossEntropy(df, idCol, textCol, precomputedTf)
+      else lmCrossEntropy(df, idCol, textCol, order, smoothing)
     val groups = df.select(col(idCol), col(groupCol))
     Ranking.groupedNtile(
       scored

@@ -172,11 +172,19 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
     // count self-join with TWO scan leaves, each re-running the tokenize
     // subtree — so assert leaf count and joinlessness on the plan tree.
 
-    "tokenize once in unigramCrossEntropy (one leaf, no join)" in {
+    "tokenize once in unigramCrossEntropy (cached tf leaves, broadcast scalar fold)" in {
       val r = graft.pipeline.TextAnalysis
         .unigramCrossEntropy(documents, "doc_id", "text")
-      r.queryExecution.optimizedPlan.collectLeaves() should have size 1
-      r.queryExecution.executedPlan.toString should not include "Join"
+      // TWO leaves, both the SAME cached tf frame: the scoring branch and
+      // the folded T/V totals branch (the r13 zero-action fold) — the
+      // corpus is still tokenized exactly once; the only join is the
+      // broadcast of the 1-row totals aggregate
+      val leaves = r.queryExecution.optimizedPlan.collectLeaves()
+      leaves should have size 2
+      all(leaves.map(_.getClass.getSimpleName)) should include("InMemoryRelation")
+      val plan = r.queryExecution.executedPlan.toString
+      plan should not include "SortMergeJoin"
+      plan should include("BroadcastNestedLoopJoin")
     }
 
     "tokenize once in dsirLogWeights (one leaf — both models on ONE window)" in {
