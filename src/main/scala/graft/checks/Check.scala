@@ -299,6 +299,18 @@ case class Check(
   def isContainedIn(column: String, allowedValues: Array[String]): Check =
     isContainedIn(column, allowedValues, isOne, None)
 
+  // the reference's convenience ladder (checks/Check.scala:1326-1400):
+  // hint-only and assertion-only forms beside the full one — overloads,
+  // not defaults, for the same reason the reference cites (defaults and
+  // overloading don't combine in Scala)
+  def isContainedIn(column: String, allowedValues: Array[String],
+      hint: Option[String]): Check =
+    isContainedIn(column, allowedValues, isOne, hint)
+
+  def isContainedIn(column: String, allowedValues: Array[String],
+      assertion: Double => Boolean): Check =
+    isContainedIn(column, allowedValues, assertion, None)
+
   def isContainedIn(column: String, allowedValues: Array[String],
       assertion: Double => Boolean, hint: Option[String]): Check = {
     val valueList = allowedValues.map(v => "'" + v.replace("'", "''") + "'").mkString(",")
@@ -307,16 +319,38 @@ case class Check(
   }
 
   def isContainedIn(column: String, lowerBound: Double, upperBound: Double,
-      includeLowerBound: Boolean = true, includeUpperBound: Boolean = true): Check = {
+      includeLowerBound: Boolean = true, includeUpperBound: Boolean = true,
+      hint: Option[String] = None): Check = {
     val lowOp = if (includeLowerBound) ">=" else ">"
     val upOp = if (includeUpperBound) "<=" else "<"
     satisfies(s"$column IS NULL OR ($column $lowOp $lowerBound AND $column $upOp $upperBound)",
-      s"$column between $lowerBound and $upperBound", isOne, None)
+      s"$column between $lowerBound and $upperBound", isOne, hint)
   }
 
   def customSql(expression: String, assertion: Double => Boolean,
       hint: Option[String] = None): Check =
     addConstraint(Constraint("CustomSqlConstraint", CustomSql(expression), assertion, hint = hint))
+
+  /** Adds a constraint asserting the analyzer's NEWEST metric value is
+    * non-anomalous given its repository history — the Check-level form of
+    * `VerificationRunBuilder.addAnomalyCheck`, composable inside any
+    * check chain (reference capability: checks/Check.scala:689,1511
+    * isNewestPointNonAnomalous — private[deequ] there with users routed
+    * through addAnomalyCheck; surfaced publicly here because the
+    * assertion is a pure function of repository + strategy).
+    */
+  def isNewestPointNonAnomalous(
+      metricsRepository: graft.repository.MetricsRepository,
+      strategy: graft.anomaly.AnomalyDetectionStrategy,
+      analyzer: AnyAnalyzer,
+      withTagValues: Map[String, String] = Map.empty,
+      afterDate: Option[Long] = None,
+      beforeDate: Option[Long] = None,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("AnomalyConstraint", analyzer,
+      Check.isNewestPointNonAnomalous(metricsRepository, strategy, analyzer,
+        withTagValues, afterDate, beforeDate),
+      hint = hint))
 
   // -- dataset comparison ----------------------------------------------------
 
@@ -383,6 +417,30 @@ case class Check(
 }
 
 object Check {
+
+  /** The anomaly assertion shared by [[Check.isNewestPointNonAnomalous]]
+    * and `VerificationRunBuilder.addAnomalyCheck`: loads the analyzer's
+    * metric history from the repository (tag/date-window filtered),
+    * appends the current value, and asks the strategy whether that
+    * newest point is anomalous (reference capability:
+    * checks/Check.scala:1511-1569).
+    */
+  def isNewestPointNonAnomalous(
+      metricsRepository: graft.repository.MetricsRepository,
+      strategy: graft.anomaly.AnomalyDetectionStrategy,
+      analyzer: AnyAnalyzer,
+      withTagValues: Map[String, String],
+      afterDate: Option[Long],
+      beforeDate: Option[Long]): Double => Boolean = { currentValue =>
+    var loader = metricsRepository.load()
+    if (withTagValues.nonEmpty) loader = loader.withTagValues(withTagValues)
+    afterDate.foreach(d => loader = loader.after(d))
+    beforeDate.foreach(d => loader = loader.before(d))
+    val history = loader.forAnalyzers(Seq(analyzer))
+      .timeSeriesOf(analyzer).map(_._2)
+    val series = (history :+ currentValue).toVector
+    strategy.detect(series, (series.length - 1, series.length)).isEmpty
+  }
 
   private def and(existing: Option[String], filter: String): Option[String] =
     Some(existing.map(w => s"($w) AND ($filter)").getOrElse(filter))

@@ -294,17 +294,9 @@ class VerificationRunBuilder(data: DataFrame) {
       beforeDate: Option[Long] = None): VerificationRunBuilder = {
     val repo = repository.getOrElse(
       throw new IllegalStateException("useRepository() must be called before addAnomalyCheck"))
-    val assertion: Double => Boolean = { currentValue =>
-      var loader = repo.load()
-      if (withTagValues.nonEmpty) loader = loader.withTagValues(withTagValues)
-      afterDate.foreach(d => loader = loader.after(d))
-      beforeDate.foreach(d => loader = loader.before(d))
-      val history = loader.forAnalyzers(Seq(analyzer)).timeSeriesOf(analyzer).map(_._2)
-      val series = (history :+ currentValue).toVector
-      strategy.detect(series, (series.length - 1, series.length)).isEmpty
-    }
-    checks = checks :+ Check(CheckLevel.Warning, description,
-      Seq(Constraint("AnomalyConstraint", analyzer, assertion)))
+    checks = checks :+ Check(CheckLevel.Warning, description)
+      .isNewestPointNonAnomalous(repo, strategy, analyzer, withTagValues,
+        afterDate, beforeDate)
     this
   }
 

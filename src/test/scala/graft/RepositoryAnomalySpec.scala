@@ -259,6 +259,30 @@ class RepositoryAnomalySpec extends AnyWordSpec with Matchers with SparkSpec {
         .run()
       bad.status shouldBe CheckStatus.Warning
     }
+
+    "compose the Check-level isNewestPointNonAnomalous inside a check chain" in {
+      val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val repo = new InMemoryMetricsRepository
+      Seq(1L, 2L, 3L, 4L).foreach { t =>
+        repo.save(ResultKey(t), ctxWith(6000.0 + t))
+      }
+      // the sugar composes beside ordinary constraints in ONE check
+      val check = Check(CheckLevel.Error, "size history")
+        .hasSize(_ > 0)
+        .isNewestPointNonAnomalous(repo,
+          RelativeRateOfChangeStrategy(Some(0.5), Some(2.0)), Size())
+      val ok = VerificationSuite().onData(df).addCheck(check).run()
+      ok.status shouldBe CheckStatus.Success
+
+      val repo2 = new InMemoryMetricsRepository
+      Seq(1L, 2L, 3L, 4L).foreach { t => repo2.save(ResultKey(t), ctxWith(100.0)) }
+      val bad = VerificationSuite().onData(df)
+        .addCheck(Check(CheckLevel.Error, "size history")
+          .isNewestPointNonAnomalous(repo2,
+            RelativeRateOfChangeStrategy(Some(0.5), Some(2.0)), Size()))
+        .run()
+      bad.status shouldBe CheckStatus.Error
+    }
   }
 
   "state providers" should {

@@ -75,6 +75,13 @@ class VerificationSuiteSpec extends AnyWordSpec with Matchers with SparkSpec {
         .isPrimaryKey("o_orderkey")
         .hasNumberOfDistinctValues("o_orderstatus", _ <= 3)
         .isContainedIn("o_orderstatus", Array("F", "O", "P"))
+        // the reference's convenience ladder: hint-only and assertion-only
+        .isContainedIn("o_orderstatus", Array("F", "O", "P"),
+          Some("status alphabet"))
+        .isContainedIn("o_orderstatus", Array("F", "O", "P", "X"),
+          (d: Double) => d == 1.0)
+        .isContainedIn("o_totalprice", 0.0, 1e9,
+          includeLowerBound = false, hint = Some("positive bounded"))
         .hasUniqueness(Seq("o_orderkey"), _ == 1.0)
       val result = VerificationSuite().onData(orders).addCheck(check).run()
       withClue(result.checkResults.head._2.constraintResults
