@@ -226,6 +226,41 @@ object SparkEntry {
     ("ru", "вчера вечером мы гуляли вдоль реки и смотрели как лодки возвращаются домой к ужину"),
     ("ja", "昨日の夕方私たちは川沿いを歩いて夕食の前に船が帰ってくるのを眺めた"))
 
+  /** Shared SQL fragments for the q97/q99 language-ID replays — generated
+    * from the same constants the Spark side uses, so the engines cannot
+    * drift.
+    */
+  private def langIdSeedValuesSql: String =
+    graft.pipeline.LangId.DefaultSeed
+      .map { case (l, t) => s"('$l', '${t.replace("'", "''")}')" }
+      .mkString(",\n        |    ")
+
+  private def langIdTextCaseSql: String =
+    langIdFixture.zipWithIndex
+      .map { case ((_, t), i) => s"WHEN ${i} THEN '${t.replace("'", "''")}'" }
+      .mkString("\n        |      ")
+
+  private def langIdLangCaseSql: String =
+    langIdFixture.zipWithIndex
+      .map { case ((l, _), i) => s"WHEN ${i} THEN '$l'" }
+      .mkString(" ")
+
+  /** The q97 fixture expressions (text + expected language selected by
+    * `doc_id % 8`), shared by q97 and q99.
+    */
+  private def langIdFixtureCols: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val sel = pmod(col("doc_id"), lit(8))
+    val textCase = langIdFixture.zipWithIndex.tail
+      .foldLeft(when(sel === 0, lit(langIdFixture.head._2))) {
+        case (acc, ((_, t), i)) => acc.when(sel === i, lit(t))
+      }
+    val langCase = langIdFixture.zipWithIndex.tail
+      .foldLeft(when(sel === 0, lit(langIdFixture.head._1))) {
+        case (acc, ((l, _), i)) => acc.when(sel === i, lit(l))
+      }
+    (textCase, langCase)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q01_size" -> ((s, dir) => {
@@ -3244,15 +3279,7 @@ object SparkEntry {
       import graft.pipeline.LangId
       import org.apache.spark.sql.functions.{min => fmin}
       val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
-      val sel = pmod(col("doc_id"), lit(8))
-      val textCase = langIdFixture.zipWithIndex.tail
-        .foldLeft(when(sel === 0, lit(langIdFixture.head._2))) {
-          case (acc, ((_, t), i)) => acc.when(sel === i, lit(t))
-        }
-      val langCase = langIdFixture.zipWithIndex.tail
-        .foldLeft(when(sel === 0, lit(langIdFixture.head._1))) {
-          case (acc, ((l, _), i)) => acc.when(sel === i, lit(l))
-        }
+      val (textCase, langCase) = langIdFixtureCols
       val fix = docs.select(col("doc_id"), textCase.as("text"),
         langCase.as("graft_exp"))
       val model = LangId.trainDefault(s)
@@ -3297,6 +3324,66 @@ object SparkEntry {
         round(max(col("cross_entropy")), 6).as("max_h"),
         sum(when(col("cross_entropy") < 3.0, 1L).otherwise(0L))
           .cast(DoubleType).as("docs_low"))
+    }),
+
+    // The LID rewire the r12 verdict asked for, closed end to end: the
+    // trained char-n-gram classifier's PREDICTION (not a marker
+    // heuristic, not metadata) is the grouping key for the q70
+    // temperature-mixture machinery — per-LANGUAGE budgets ~ sqrt of
+    // token totals, hash-prefix selection by cumulative token counts.
+    // Corpus = the q97 held-out fixture; the oracle replays the NB model
+    // on the 8 distinct fixture texts (keyed by doc_id % 8 — every doc
+    // of a class carries the same text, so scoring the distinct texts IS
+    // scoring the corpus) and feeds the predicted labels into the exact
+    // q70 budget/selection replay.
+    "q99_langid_mixture" -> ((s, dir) => {
+      import graft.pipeline.{LangId, Mixing}
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val (textCase, _) = langIdFixtureCols
+      val fix = docs.select(col("doc_id"), textCase.as("text"))
+      val model = LangId.trainDefault(s)
+      val corpus = fix.join(
+        LangId.scoreLanguages(fix, "doc_id", "text", model)
+          .select(col("doc_id"), col("predicted").as("lang")),
+        Seq("doc_id")).persist()
+      val budgets = Mixing.temperatureBudgets(corpus, "lang", "text",
+        totalBudget = 10000L, alpha = 0.5)
+      val stats = Mixing
+        .tokenBudgetSample(corpus, "doc_id", "text", "lang", budgets)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("graft_k"),
+          sum(Mixing.tokenCountExpr(col("text"))).as("graft_t"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("graft_i"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      corpus.unpersist(blocking = false)
+      model.release()
+      import s.implicits._
+      budgets.toSeq.sortBy(_._1).map { case (g, b) =>
+        val (k, t, i) = stats.getOrElse(g, (0L, 0L, 0L))
+        (g, b.toDouble, k.toDouble, t.toDouble, i.toDouble)
+      }.toDF("lang", "budget", "kept_docs", "kept_tokens", "id_sum")
+    }),
+
+    // CCNet perplexity bucketing on the ACTUAL CCNet-style scorer: the
+    // q83 machinery (distributed exact ntile per source) ranked by the
+    // trigram Kneser-Ney cross-entropy (q98) instead of the unigram
+    // model — the two new-rung pieces composed. Documents with < 3
+    // tokens have no trigram and are absent from the ranking in both
+    // engines. Rank key (round(ce, 6), doc_id), the q83 convention.
+    "q100_trigram_perplexity_buckets" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val b = TextAnalysis.perplexityBuckets(
+        docs, "doc_id", "text", "source", nBuckets = 3,
+        order = 3, smoothing = TextAnalysis.LmSmoothing.KneserNey(0.75))
+      b.groupBy(col("source"), col("bucket"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("docs"),
+          coalesce(sum(col("doc_id")), lit(0L)).cast(DoubleType)
+            .as("id_sum"),
+          round(avg(col("cross_entropy")), 6).as("avg_h"))
+        .withColumn("bucket", col("bucket").cast(DoubleType))
     })
   )
 
@@ -6358,16 +6445,9 @@ object SparkEntry {
     // and the same (score DESC, lang ASC) ranking — the q86 replay with
     // the featurizer swapped.
     "q97_langid_nb" -> {
-      val seedValues = graft.pipeline.LangId.DefaultSeed
-        .map { case (l, t) => s"('$l', '${t.replace("'", "''")}')" }
-        .mkString(",\n        |    ")
-      val textCase = langIdFixture.zipWithIndex
-        .map { case ((_, t), i) =>
-          s"WHEN ${i} THEN '${t.replace("'", "''")}'" }
-        .mkString("\n        |      ")
-      val langCase = langIdFixture.zipWithIndex
-        .map { case ((l, _), i) => s"WHEN ${i} THEN '$l'" }
-        .mkString(" ")
+      val seedValues = langIdSeedValuesSql
+      val textCase = langIdTextCaseSql
+      val langCase = langIdLangCaseSql
       (s"""WITH seeds(lang, txt) AS (VALUES
         |    $seedValues),
         |  fix AS (
@@ -6486,6 +6566,149 @@ object SparkEntry {
         |  round(max(nll / nt), 6)::DOUBLE AS max_h,
         |  sum(CASE WHEN nll / nt < 3.0 THEN 1 ELSE 0 END)::DOUBLE
         |    AS docs_low
-        |FROM doc""".stripMargin
+        |FROM doc""".stripMargin,
+
+    // q99: the q97 NB replay (scored once per DISTINCT fixture text —
+    // all docs of a doc_id%8 class carry the same text) composed into
+    // the q70 temperature-mixture replay, with the PREDICTED language as
+    // the grouping key.
+    "q99_langid_mixture" -> {
+      val seedValues = langIdSeedValuesSql
+      val textCase = langIdTextCaseSql
+      (s"""WITH seeds(lang, txt) AS (VALUES
+        |    $seedValues),
+        |  sels AS (
+        |    SELECT DISTINCT doc_id % 8 AS sel FROM documents
+        |    WHERE doc_id IS NOT NULL),
+        |  fixsel AS (
+        |    SELECT sel,
+        |      CASE sel
+        |      $textCase
+        |      END AS text
+        |    FROM sels),
+        |  sn AS (
+        |    SELECT lang, ' ' || regexp_replace(trim(lower(txt)),
+        |      '\\s+', ' ', 'g') || ' ' AS t FROM seeds),
+        |  sg AS (
+        |    SELECT lang, substring(t, i::INT, nn.n) AS term
+        |    FROM sn, (VALUES (1),(2),(3)) AS nn(n),
+        |      unnest(range(1, length(t) - nn.n + 2)) AS r(i)),
+        |  cnt AS (SELECT lang, term, count(*) AS c FROM sg GROUP BY 1, 2),
+        |  voc AS (SELECT DISTINCT term FROM cnt),
+        |  ctot AS (SELECT lang, sum(c) AS tot FROM cnt GROUP BY 1),
+        |  lngs AS (SELECT DISTINCT lang FROM seeds),
+        |  ndocs AS (SELECT lang, count(*) AS docs FROM seeds GROUP BY 1),
+        |  mdl AS (
+        |    SELECT voc.term, l.lang,
+        |      ln((coalesce(cnt.c, 0) + 1.0) /
+        |         (ctot.tot + (SELECT count(*) FROM voc))) AS lp
+        |    FROM voc CROSS JOIN lngs l
+        |    LEFT JOIN cnt ON cnt.term = voc.term AND cnt.lang = l.lang
+        |    JOIN ctot ON ctot.lang = l.lang),
+        |  pri AS (SELECT lang, ln(docs::DOUBLE /
+        |    (SELECT count(*) FROM seeds)) AS lpr FROM ndocs),
+        |  fn AS (
+        |    SELECT sel, ' ' || regexp_replace(trim(lower(text)),
+        |      '\\s+', ' ', 'g') || ' ' AS t FROM fixsel),
+        |  fg AS (
+        |    SELECT sel, substring(t, i::INT, nn.n) AS term
+        |    FROM fn, (VALUES (1),(2),(3)) AS nn(n),
+        |      unnest(range(1, length(t) - nn.n + 2)) AS r(i)),
+        |  ftf AS (SELECT sel, term, count(*) AS tf FROM fg GROUP BY 1, 2),
+        |  sll AS (
+        |    SELECT f.sel, m.lang, sum(f.tf * m.lp) AS ll
+        |    FROM ftf f JOIN mdl m USING (term) GROUP BY 1, 2),
+        |  sc AS (
+        |    SELECT d.sel, p.lang, p.lpr + coalesce(sll.ll, 0.0) AS score
+        |    FROM (SELECT sel FROM fixsel) d
+        |    CROSS JOIN pri p
+        |    LEFT JOIN sll ON sll.sel = d.sel AND sll.lang = p.lang),
+        |  rk AS (
+        |    SELECT sel, lang, score, row_number() OVER (
+        |      PARTITION BY sel ORDER BY score DESC, lang ASC) AS rn
+        |    FROM sc),
+        |  predsel AS (SELECT sel, lang FROM rk WHERE rn = 1),
+        |  h AS (
+        |    SELECT d.doc_id, p.lang,
+        |      substring(md5('graft:' || d.doc_id::VARCHAR), 1, 8) AS hh,
+        |      coalesce(len(list_filter(string_split_regex(f.text, '\\s+'),
+        |        x -> x <> '')), 0) AS toks
+        |    FROM documents d
+        |    JOIN fixsel f ON d.doc_id % 8 = f.sel
+        |    JOIN predsel p ON p.sel = f.sel
+        |    WHERE d.doc_id IS NOT NULL),
+        |  ns AS (SELECT lang, sum(toks) AS n FROM h GROUP BY 1),
+        |  z AS (SELECT sum(sqrt(n)) AS z FROM ns),
+        |  b AS (SELECT lang,
+        |          floor(10000 * sqrt(n) / (SELECT z FROM z))::BIGINT AS budget
+        |        FROM ns),
+        |  tb AS (
+        |    SELECT * FROM (
+        |      SELECT h.doc_id, h.lang, h.toks, b.budget,
+        |             sum(h.toks) OVER (PARTITION BY h.lang
+        |               ORDER BY h.hh, h.doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM h JOIN b USING (lang))
+        |    WHERE cum <= budget)
+        |SELECT b.lang, b.budget::DOUBLE AS budget,
+        |       coalesce(t.k, 0)::DOUBLE AS kept_docs,
+        |       coalesce(t.tk, 0)::DOUBLE AS kept_tokens,
+        |       coalesce(t.ids, 0)::DOUBLE AS id_sum
+        |FROM b LEFT JOIN (
+        |  SELECT lang, count(*) AS k, sum(toks) AS tk,
+        |         sum(doc_id) AS ids
+        |  FROM tb GROUP BY 1) t USING (lang)
+        |ORDER BY b.lang""").stripMargin
+    },
+
+    // q100: the q98 trigram-KN per-doc replay chained into the q83 ntile
+    // replay — rank key (round(ce, 6), doc_id), short docs absent.
+    "q100_trigram_perplexity_buckets" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), tgu AS (
+        |  SELECT doc_id, unnest(list_zip(toks[1:len(toks)-2],
+        |    toks[2:len(toks)-1], toks[3:len(toks)])) AS t
+        |  FROM base WHERE len(toks) >= 3
+        |), tf AS (
+        |  SELECT doc_id, t[1] AS w1, t[2] AS w2, t[3] AS w3, count(*) AS tf
+        |  FROM tgu GROUP BY 1, 2, 3, 4
+        |), tric AS (SELECT w1, w2, w3, sum(tf) AS c FROM tf GROUP BY 1, 2, 3),
+        |ctx AS (SELECT w1, w2, sum(tf) AS c12, count(DISTINCT w3) AS n12dot
+        |        FROM tf GROUP BY 1, 2),
+        |types AS (SELECT DISTINCT w1, w2, w3 FROM tf),
+        |cont23 AS (SELECT w2, w3, count(DISTINCT w1) AS ndot23
+        |           FROM types GROUP BY 1, 2),
+        |mid AS (SELECT w2, count(*) AS ndot2dot, count(DISTINCT w3) AS n2star
+        |        FROM types GROUP BY 1),
+        |last3 AS (SELECT w3, count(*) AS ndotdot3 FROM types GROUP BY 1),
+        |sc AS (SELECT count(*) AS ntypes FROM types),
+        |doc AS (
+        |  SELECT f.doc_id, sum(f.tf) AS nt,
+        |    sum(-f.tf * ln(
+        |      greatest(tc.c - 0.75, 0) / cx.c12
+        |      + 0.75 * cx.n12dot / cx.c12 *
+        |        (greatest(c23.ndot23 - 0.75, 0) / m.ndot2dot
+        |         + 0.75 * m.n2star / m.ndot2dot
+        |           * (l3.ndotdot3::DOUBLE / (SELECT ntypes FROM sc)))
+        |    )) AS nll
+        |  FROM tf f JOIN tric tc USING (w1, w2, w3)
+        |    JOIN ctx cx USING (w1, w2)
+        |    JOIN cont23 c23 USING (w2, w3)
+        |    JOIN mid m USING (w2)
+        |    JOIN last3 l3 USING (w3)
+        |  GROUP BY 1
+        |), bk AS (
+        |  SELECT dd.source, d.doc_id, d.nll / d.nt AS ce,
+        |    ntile(3) OVER (PARTITION BY dd.source
+        |      ORDER BY round(d.nll / d.nt, 6), d.doc_id) AS bucket
+        |  FROM doc d JOIN documents dd USING (doc_id)
+        |)
+        |SELECT source, bucket::DOUBLE AS bucket, count(*)::DOUBLE AS docs,
+        |  sum(doc_id)::DOUBLE AS id_sum,
+        |  round(avg(ce), 6)::DOUBLE AS avg_h
+        |FROM bk GROUP BY 1, 2""".stripMargin
   )
 }
