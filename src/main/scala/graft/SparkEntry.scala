@@ -3302,14 +3302,16 @@ object SparkEntry {
       s.createDataFrame(java.util.Arrays.asList(materialized: _*), out.schema)
     }),
 
-    // Interpolated Kneser-Ney TRIGRAM LM (the CCNet/KenLM rung above
-    // q78's bigram): same absolute discount D=0.75 at both backoff
-    // levels, lower orders on continuation (type) counts over trigram
-    // evidence. Scored through the unified lmCrossEntropy(order = 3)
-    // entry point. Pins: doc census, conserved trigram total, rounded
-    // nll sum and per-doc entropy extremes, and a threshold census at
-    // 3.0 (measured boundary distance >= 5.5e-4 at all three SFs vs
-    // ~1e-12 cross-engine noise).
+    // Interpolated Kneser-Ney TRIGRAM LM (the rung above q78's bigram):
+    // the generic strict suffix-type recursion at order 3 — same
+    // absolute discount D=0.75 at both backoff levels, lower-order
+    // continuation counts from distinct SUFFIX types (the Chen & Goodman
+    // chain; the base distribution from 2-suffix types). Scored through
+    // the unified lmCrossEntropy(order = 3) entry point. Pins: doc
+    // census, conserved trigram total, rounded nll sum and per-doc
+    // entropy extremes, and a threshold census at 3.0 (measured
+    // boundary distance >= 5.5e-4 at all three SFs vs ~1e-12
+    // cross-engine noise).
     "q98_kneser_ney_trigram" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val ce = TextAnalysis.lmCrossEntropy(docs, "doc_id", "text",
@@ -3384,6 +3386,29 @@ object SparkEntry {
             .as("id_sum"),
           round(avg(col("cross_entropy")), 6).as("avg_h"))
         .withColumn("bucket", col("bucket").cast(DoubleType))
+    }),
+
+    // Order-5 interpolated Kneser-Ney — the ACTUAL KenLM/CCNet scorer
+    // order, via the generic strict suffix-type recursion
+    // (kneserNeyNgramCrossEntropy; spec-pinned against an independent
+    // in-memory reference at order 4 and against the bigram model at
+    // order 2). Same pin structure as q98; threshold census at 1.0
+    // (measured boundary distance >= 4.9e-3 at all three SFs vs ~1e-12
+    // cross-engine noise).
+    "q101_kneser_ney_5gram" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val ce = TextAnalysis.lmCrossEntropy(docs, "doc_id", "text",
+        order = 5, smoothing = TextAnalysis.LmSmoothing.KneserNey(0.75))
+      ce.agg(
+        count(lit(1)).cast(DoubleType).as("n_docs"),
+        coalesce(sum(col("n_ngrams")), lit(0L)).cast(DoubleType)
+          .as("total_5grams"),
+        round(sum(col("nll")), 3).as("sum_nll"),
+        round(avg(col("cross_entropy")), 6).as("avg_h"),
+        round(min(col("cross_entropy")), 6).as("min_h"),
+        round(max(col("cross_entropy")), 6).as("max_h"),
+        sum(when(col("cross_entropy") < 1.0, 1L).otherwise(0L))
+          .cast(DoubleType).as("docs_low"))
     })
   )
 
@@ -6540,8 +6565,9 @@ object SparkEntry {
         |           FROM types GROUP BY 1, 2),
         |mid AS (SELECT w2, count(*) AS ndot2dot, count(DISTINCT w3) AS n2star
         |        FROM types GROUP BY 1),
-        |last3 AS (SELECT w3, count(*) AS ndotdot3 FROM types GROUP BY 1),
-        |sc AS (SELECT count(*) AS ntypes FROM types),
+        |suf2 AS (SELECT DISTINCT w2, w3 FROM tf),
+        |last3 AS (SELECT w3, count(*) AS ndotdot3 FROM suf2 GROUP BY 1),
+        |sc AS (SELECT count(*) AS ntypes FROM suf2),
         |doc AS (
         |  SELECT f.doc_id, sum(f.tf) AS nt,
         |    sum(-f.tf * ln(
@@ -6683,8 +6709,9 @@ object SparkEntry {
         |           FROM types GROUP BY 1, 2),
         |mid AS (SELECT w2, count(*) AS ndot2dot, count(DISTINCT w3) AS n2star
         |        FROM types GROUP BY 1),
-        |last3 AS (SELECT w3, count(*) AS ndotdot3 FROM types GROUP BY 1),
-        |sc AS (SELECT count(*) AS ntypes FROM types),
+        |suf2 AS (SELECT DISTINCT w2, w3 FROM tf),
+        |last3 AS (SELECT w3, count(*) AS ndotdot3 FROM suf2 GROUP BY 1),
+        |sc AS (SELECT count(*) AS ntypes FROM suf2),
         |doc AS (
         |  SELECT f.doc_id, sum(f.tf) AS nt,
         |    sum(-f.tf * ln(
@@ -6709,6 +6736,84 @@ object SparkEntry {
         |SELECT source, bucket::DOUBLE AS bucket, count(*)::DOUBLE AS docs,
         |  sum(doc_id)::DOUBLE AS id_sum,
         |  round(avg(ce), 6)::DOUBLE AS avg_h
-        |FROM bk GROUP BY 1, 2""".stripMargin
+        |FROM bk GROUP BY 1, 2""".stripMargin,
+
+    // q101: the order-5 KN model rebuilt from grouped aggregates — the
+    // strict suffix-type chain level by level (t5..t2 distinct-suffix
+    // tables stand in for the engine's row_number-flag window sums),
+    // the same four-level interpolation with the same operand order.
+    "q101_kneser_ney_5gram" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), gu AS (
+        |  SELECT doc_id, unnest(list_zip(toks[1:len(toks)-4],
+        |    toks[2:len(toks)-3], toks[3:len(toks)-2], toks[4:len(toks)-1],
+        |    toks[5:len(toks)])) AS t
+        |  FROM base WHERE len(toks) >= 5
+        |), tf AS (
+        |  SELECT doc_id, t[1] AS w1, t[2] AS w2, t[3] AS w3, t[4] AS w4,
+        |    t[5] AS w5, count(*) AS tf
+        |  FROM gu GROUP BY 1, 2, 3, 4, 5, 6
+        |), quin AS (
+        |  SELECT w1, w2, w3, w4, w5, sum(tf) AS c FROM tf
+        |  GROUP BY 1, 2, 3, 4, 5
+        |), ctx5 AS (
+        |  SELECT w1, w2, w3, w4, sum(tf) AS cc, count(DISTINCT w5) AS gam
+        |  FROM tf GROUP BY 1, 2, 3, 4
+        |), t5 AS (SELECT DISTINCT w1, w2, w3, w4, w5 FROM tf),
+        |t4 AS (SELECT DISTINCT w2, w3, w4, w5 FROM tf),
+        |t3 AS (SELECT DISTINCT w3, w4, w5 FROM tf),
+        |t2 AS (SELECT DISTINCT w4, w5 FROM tf),
+        |n4 AS (SELECT w2, w3, w4, w5, count(*) AS v FROM t5
+        |       GROUP BY 1, 2, 3, 4),
+        |d4 AS (SELECT w2, w3, w4, count(*) AS v FROM t5 GROUP BY 1, 2, 3),
+        |g4 AS (SELECT w2, w3, w4, count(*) AS v FROM t4 GROUP BY 1, 2, 3),
+        |n3 AS (SELECT w3, w4, w5, count(*) AS v FROM t4 GROUP BY 1, 2, 3),
+        |d3 AS (SELECT w3, w4, count(*) AS v FROM t4 GROUP BY 1, 2),
+        |g3 AS (SELECT w3, w4, count(*) AS v FROM t3 GROUP BY 1, 2),
+        |n2 AS (SELECT w4, w5, count(*) AS v FROM t3 GROUP BY 1, 2),
+        |d2 AS (SELECT w4, count(*) AS v FROM t3 GROUP BY 1),
+        |g2 AS (SELECT w4, count(*) AS v FROM t2 GROUP BY 1),
+        |n1 AS (SELECT w5, count(*) AS v FROM t2 GROUP BY 1),
+        |den1 AS (SELECT count(*) AS v FROM t2),
+        |doc AS (
+        |  SELECT f.doc_id, sum(f.tf) AS nt,
+        |    sum(-f.tf * ln(
+        |      greatest(q.c - 0.75, 0) / c5.cc
+        |      + 0.75 * c5.gam / c5.cc *
+        |       (greatest(n4.v - 0.75, 0) / d4.v
+        |        + 0.75 * g4.v / d4.v *
+        |         (greatest(n3.v - 0.75, 0) / d3.v
+        |          + 0.75 * g3.v / d3.v *
+        |           (greatest(n2.v - 0.75, 0) / d2.v
+        |            + 0.75 * g2.v / d2.v
+        |              * (n1.v::DOUBLE / (SELECT v FROM den1)))))
+        |    )) AS nll
+        |  FROM tf f
+        |    JOIN quin q USING (w1, w2, w3, w4, w5)
+        |    JOIN ctx5 c5 USING (w1, w2, w3, w4)
+        |    JOIN n4 USING (w2, w3, w4, w5)
+        |    JOIN d4 USING (w2, w3, w4)
+        |    JOIN g4 USING (w2, w3, w4)
+        |    JOIN n3 USING (w3, w4, w5)
+        |    JOIN d3 USING (w3, w4)
+        |    JOIN g3 USING (w3, w4)
+        |    JOIN n2 USING (w4, w5)
+        |    JOIN d2 USING (w4)
+        |    JOIN g2 USING (w4)
+        |    JOIN n1 USING (w5)
+        |  GROUP BY 1
+        |)
+        |SELECT count(*)::DOUBLE AS n_docs,
+        |  coalesce(sum(nt), 0)::DOUBLE AS total_5grams,
+        |  round(sum(nll), 3)::DOUBLE AS sum_nll,
+        |  round(avg(nll / nt), 6)::DOUBLE AS avg_h,
+        |  round(min(nll / nt), 6)::DOUBLE AS min_h,
+        |  round(max(nll / nt), 6)::DOUBLE AS max_h,
+        |  sum(CASE WHEN nll / nt < 1.0 THEN 1 ELSE 0 END)::DOUBLE
+        |    AS docs_low
+        |FROM doc""".stripMargin
   )
 }

@@ -1184,122 +1184,145 @@ object TextAnalysis {
     CacheLifecycle.releaseOnConsume(perDoc, Seq(bf))
   }
 
-  /** (idCol, w1, w2, w3, tf) — the trigram sibling of
-    * [[bigramFrequencies]]: a narrow three-way zip of the token array
-    * with its own tails (pure codegen HOFs), exploded into ONE groupBy
-    * exchange with map-side partial counts. Documents with fewer than
-    * three tokens contribute nothing.
+  /** (idCol, w1..wn, tf) — the order-`n` generalization of
+    * [[bigramFrequencies]]: a narrow position-indexed zip of the token
+    * array (pure codegen HOFs — `element_at` reads are O(1) per
+    * position), exploded into ONE groupBy exchange with map-side partial
+    * counts. Documents with fewer than `n` tokens contribute nothing.
     */
-  def trigramFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def ngramFrequencies(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val ws = (1 to n).map(i => s"w$i")
     val toks = normalizedTokens(col(textCol))
-    val n = greatest(size(toks) - 2, lit(0))
-    val trips = zip_with(
-      zip_with(
-        slice(toks, lit(1), n),
-        slice(toks, lit(2), n),
-        (a, b) => struct(a.as("w1"), b.as("w2"))),
-      slice(toks, lit(3), n),
-      (p, c) => struct(p.getField("w1").as("w1"),
-        p.getField("w2").as("w2"), c.as("w3")))
+    val m = size(toks) - (n - 1)
+    val structType = StructType(ws.map(StructField(_, StringType, nullable = true)))
+    // sequence(1, x) runs DESCENDING when x < 1 — guard short docs
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), m),
+        i => struct(ws.zipWithIndex.map { case (w, j) =>
+          element_at(toks, i + j).as(w)
+        }: _*)))
+      .otherwise(array().cast(ArrayType(structType)))
     df.where(col(idCol).isNotNull)
-      .select(col(idCol), explode(trips).as("graft_tg"))
-      .select(col(idCol), col("graft_tg.w1").as("w1"),
-        col("graft_tg.w2").as("w2"), col("graft_tg.w3").as("w3"))
-      .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .select(col(idCol), explode(grams).as("graft_ng"))
+      .select(col(idCol) +: ws.map(w => col(s"graft_ng.$w").as(w)): _*)
+      .groupBy((col(idCol) +: ws.map(col)): _*)
       .agg(count(lit(1)).as("tf"))
   }
 
-  /** Per-document cross-entropy under an INTERPOLATED KNESER-NEY TRIGRAM
-    * model — the CCNet/KenLM rung above [[kneserNeyCrossEntropy]]'s
-    * bigram, with the same single absolute discount D at both backoff
-    * levels (Chen & Goodman 1998 §4.1.6, truncated at order 3):
+  /** (idCol, w1, w2, w3, tf) — see [[ngramFrequencies]]. */
+  def trigramFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    ngramFrequencies(df, idCol, textCol, 3)
+
+  /** Per-document cross-entropy under an INTERPOLATED KNESER-NEY model
+    * of ORDER `order` — the general Chen & Goodman 1998 recursion with
+    * one absolute discount D at every level, which at order 5 is the
+    * actual CCNet/KenLM scorer shape:
     *
-    *   p(w3|w1w2) = max(c(w1w2w3) − D, 0)/c(w1w2·)
-    *              + D·N1+(w1w2·)/c(w1w2·) · p'(w3|w2)
-    *   p'(w3|w2)  = max(N1+(·w2w3) − D, 0)/N1+(·w2·)
-    *              + D·N1+(w2·*)/N1+(·w2·) · p'(w3)
-    *   p'(w3)     = N1+(··w3)/N1+(···)
+    *   p_n(w | ctx_n)  = max(c(g) − D, 0)/c(ctx_n)
+    *                   + D·N1+(ctx_n ·)/c(ctx_n) · p_{n-1}
+    *   p_k(w | ctx_k)  = max(N1+(· s_k) − D, 0)/N1+(· ctx_k ·)
+    *                   + D·N1+(ctx_k ·)/N1+(· ctx_k ·) · p_{k-1}   (1 < k < n)
+    *   p_1(w)          = N1+(· w)/N1+(· ·)
     *
-    * where the lower orders use CONTINUATION (type) counts over trigram
-    * evidence: N1+(·w2w3) = distinct w1 preceding (w2,w3), N1+(·w2·) =
-    * trigram types with middle w2, N1+(w2·*) = distinct (w2,w3) types
-    * with trigram evidence, N1+(··w3) = distinct (w1,w2) preceding w3,
-    * N1+(···) = distinct trigram types. Trained on `df` itself, so
-    * every scored trigram has c ≥ 1 and probabilities are strictly
-    * positive for D < 1. Documents with < 3 tokens are absent.
+    * where s_k is the length-k suffix of the scored n-gram, ctx_k its
+    * first k−1 words, and every continuation count N1+ at level k is a
+    * DISTINCT-TYPE count over the (k+1)-length suffixes observed in the
+    * corpus — the strict suffix-type chain (p_1's counts come from
+    * 2-suffix types, not full n-gram types). Trained on `df` itself, so
+    * probabilities are strictly positive for D < 1; documents with
+    * < `order` tokens are absent. Output: (idCol, n_ngrams, nll,
+    * cross_entropy).
     *
-    * 100 TB plan shape: the promised order-n generalization of the q78
-    * plan — ONE tokenize pass into the persisted slim (doc, w1, w2, w3,
-    * tf) frame; ALL seven model counts are sum-over-window passes on
-    * that same frame (the distinct-type counts ride two row_number-flag
-    * sums — no countDistinct-over-window, no self-join); N1+(···) is
-    * one bounded driver agg; the per-document rollup is the final
-    * exchange.
+    * 100 TB plan shape: the q78/q98 plan at order n — ONE tokenize pass
+    * into the persisted slim (doc, w1..wn, tf) frame; all 3(n−1) model
+    * counts are sum-over-window passes on that frame (type counts ride
+    * n−1 row_number-flag sums — no countDistinct-over-window, no
+    * self-join); one bounded driver agg for the base denominator; the
+    * per-document rollup is the final exchange.
+    */
+  def kneserNeyNgramCrossEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      order: Int,
+      discount: Double = 0.75): DataFrame = {
+    require(order >= 2 && order <= 8, s"order must be in [2, 8], got $order")
+    require(discount >= 0.0 && discount < 1.0, "discount must be in [0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    val n = order
+    val ws = (1 to n).map(i => s"w$i")
+    val tf = ngramFrequencies(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // base denominator: distinct 2-suffix types (one bounded driver agg)
+    val baseDen = tf
+      .agg(countDistinct(col(ws(n - 2)), col(ws(n - 1))))
+      .collect().head.getLong(0)
+    val d = lit(discount)
+    // first-row flags per distinct k-suffix type, k = 2..n (ordered by
+    // the remaining columns + id for a total order)
+    var cur = tf
+    for (k <- 2 to n) {
+      val sfx = ws.takeRight(k).map(col)
+      val rest = ws.take(n - k).map(col) :+ col(idCol)
+      cur = cur.withColumn(s"graft_f$k",
+        (row_number().over(
+          Window.partitionBy(sfx: _*).orderBy(rest: _*)) === 1)
+          .cast(LongType))
+    }
+    // p_1, then interpolate up through the levels
+    cur = cur.withColumn("graft_p",
+      sum(col("graft_f2")).over(Window.partitionBy(col(ws.last)))
+        .cast(DoubleType) / lit(baseDen.toDouble))
+    for (k <- 2 to n) {
+      val sK = ws.takeRight(k).map(col)
+      val cK = ws.slice(n - k, n - 1).map(col)
+      val (num, den, gam) =
+        if (k == n) (
+          sum(col("tf")).over(Window.partitionBy(sK: _*)),
+          sum(col("tf")).over(Window.partitionBy(cK: _*)),
+          sum(col(s"graft_f$n")).over(Window.partitionBy(cK: _*)))
+        else (
+          sum(col(s"graft_f${k + 1}")).over(Window.partitionBy(sK: _*)),
+          sum(col(s"graft_f${k + 1}")).over(Window.partitionBy(cK: _*)),
+          sum(col(s"graft_f$k")).over(Window.partitionBy(cK: _*)))
+      cur = cur.withColumn("graft_p",
+        greatest(num.cast(DoubleType) - d, lit(0.0)) / den.cast(DoubleType) +
+          d * gam.cast(DoubleType) / den.cast(DoubleType) * col("graft_p"))
+    }
+    val perDoc = cur
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_ngrams"),
+        sum(-col("tf") * log(col("graft_p"))).as("nll"))
+      .withColumn("cross_entropy", col("nll") / col("n_ngrams"))
+    CacheLifecycle.releaseOnConsume(perDoc, Seq(tf))
+  }
+
+  /** Per-document cross-entropy under the INTERPOLATED KNESER-NEY
+    * TRIGRAM model: [[kneserNeyNgramCrossEntropy]] at order 3 (the
+    * strict suffix-type recursion), output column named `n_trigrams`.
+    * Documents with < 3 tokens are absent.
     */
   def kneserNeyTrigramCrossEntropy(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      discount: Double = 0.75): DataFrame = {
-    require(discount >= 0.0 && discount < 1.0, "discount must be in [0, 1)")
-    val tf = trigramFrequencies(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nTypes = tf.agg(countDistinct(col("w1"), col("w2"), col("w3")))
-      .collect().head.getLong(0)
-    import org.apache.spark.sql.expressions.Window
-    val wTriOrd = Window.partitionBy(col("w1"), col("w2"), col("w3"))
-      .orderBy(col(idCol))
-    val w23Ord = Window.partitionBy(col("w2"), col("w3"))
-      .orderBy(col("w1"), col(idCol))
-    val wTri = Window.partitionBy(col("w1"), col("w2"), col("w3"))
-    val wCtx = Window.partitionBy(col("w1"), col("w2"))
-    val w23 = Window.partitionBy(col("w2"), col("w3"))
-    val wMid = Window.partitionBy(col("w2"))
-    val wLast = Window.partitionBy(col("w3"))
-    val d = lit(discount)
-    val perDoc = tf
-      // one row per (doc, trigram): flag each trigram TYPE's first row
-      // (and each (w2,w3) GROUP's first row) so summing the flags over
-      // coarser windows yields the distinct-type counts
-      .withColumn("graft_f",
-        (row_number().over(wTriOrd) === 1).cast(LongType))
-      .withColumn("graft_f23",
-        (row_number().over(w23Ord) === 1).cast(LongType))
-      .withColumn("graft_c123", sum(col("tf")).over(wTri))
-      .withColumn("graft_c12", sum(col("tf")).over(wCtx))
-      .withColumn("graft_n12dot", sum(col("graft_f")).over(wCtx))
-      .withColumn("graft_ndot23", sum(col("graft_f")).over(w23))
-      .withColumn("graft_ndot2dot", sum(col("graft_f")).over(wMid))
-      .withColumn("graft_n2star", sum(col("graft_f23")).over(wMid))
-      .withColumn("graft_ndotdot3", sum(col("graft_f")).over(wLast))
-      .withColumn("graft_p1",
-        col("graft_ndotdot3").cast(DoubleType) / lit(nTypes.toDouble))
-      .withColumn("graft_p2",
-        greatest(col("graft_ndot23") - d, lit(0.0)) /
-          col("graft_ndot2dot").cast(DoubleType) +
-        d * col("graft_n2star").cast(DoubleType) /
-          col("graft_ndot2dot").cast(DoubleType) * col("graft_p1"))
-      .withColumn("graft_p3",
-        greatest(col("graft_c123") - d, lit(0.0)) /
-          col("graft_c12").cast(DoubleType) +
-        d * col("graft_n12dot").cast(DoubleType) /
-          col("graft_c12").cast(DoubleType) * col("graft_p2"))
-      .groupBy(col(idCol))
-      .agg(sum(col("tf")).as("n_trigrams"),
-        sum(-col("tf") * log(col("graft_p3"))).as("nll"))
-      .withColumn("cross_entropy", col("nll") / col("n_trigrams"))
-    CacheLifecycle.releaseOnConsume(perDoc, Seq(tf))
-  }
+      discount: Double = 0.75): DataFrame =
+    kneserNeyNgramCrossEntropy(df, idCol, textCol, order = 3, discount)
+      .withColumnRenamed("n_ngrams", "n_trigrams")
 
   /** The LM-scoring family behind ONE entry point — pick the model order
-    * and smoothing instead of remembering five function names:
+    * and smoothing instead of remembering the function names:
     * (1, Laplace) → [[unigramCrossEntropy]]; (2, Laplace) →
     * [[bigramCrossEntropy]]; (2, JelinekMercer) →
     * [[interpolatedCrossEntropy]]; (2, KneserNey) →
-    * [[kneserNeyCrossEntropy]]; (3, KneserNey) →
-    * [[kneserNeyTrigramCrossEntropy]]. All five share the output
-    * contract (`idCol`, n_grams column, nll, cross_entropy) and the
-    * one-tokenize-pass/window plan shape.
+    * [[kneserNeyCrossEntropy]]; (n ≥ 3, KneserNey) →
+    * [[kneserNeyNgramCrossEntropy]] (order 3 through the `n_trigrams`
+    * alias, higher orders — KenLM's 5 included — with the generic
+    * `n_ngrams` column). All share the output contract (`idCol`,
+    * n-gram-count column, nll, cross_entropy) and the one-tokenize-
+    * pass/window plan shape.
     */
   sealed trait LmSmoothing
   object LmSmoothing {
@@ -1323,6 +1346,8 @@ object TextAnalysis {
         kneserNeyCrossEntropy(df, idCol, textCol, d)
       case (3, LmSmoothing.KneserNey(d)) =>
         kneserNeyTrigramCrossEntropy(df, idCol, textCol, d)
+      case (k, LmSmoothing.KneserNey(d)) if k >= 4 =>
+        kneserNeyNgramCrossEntropy(df, idCol, textCol, k, d)
       case other => throw new IllegalArgumentException(
         s"unsupported (order, smoothing) combination: $other")
     }

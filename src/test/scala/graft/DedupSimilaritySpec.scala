@@ -1376,6 +1376,96 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "kneserNeyNgramCrossEntropy" should {
+    "reduce to the bigram Kneser-Ney model at order 2" in {
+      val out = TextAnalysis
+        .kneserNeyNgramCrossEntropy(docs, "doc_id", "text", order = 2)
+        .select(col("doc_id"), col("cross_entropy").as("h_g"))
+        .join(TextAnalysis.kneserNeyCrossEntropy(docs, "doc_id", "text")
+          .select(col("doc_id"), col("cross_entropy").as("h_b")), Seq("doc_id"))
+        .collect()
+      out should not be empty
+      out.foreach(r => r.getDouble(1) shouldBe r.getDouble(2) +- 1e-12)
+    }
+
+    "match an independent in-memory reference at order 4" in {
+      val s = spark
+      import s.implicits._
+      val corpus = Seq(
+        (1L, "a b c a b c a b"),
+        (2L, "b c a b d a b c"),
+        (3L, "a b c d a b c d a"),
+        (4L, "c a b c a"))
+      val d = 0.75
+      val n = 4
+      // reference: the strict suffix-type recursion, computed naively
+      val grams: Seq[(Long, Vector[String])] = corpus.flatMap { case (id, t) =>
+        val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+        if (ws.length < n) Vector.empty
+        else ws.sliding(n).map(g => (id, g.toVector)).toVector
+      }
+      val full = grams.map(_._2)
+      val types = full.distinct
+      def suffixTypes(k: Int): Seq[Vector[String]] =
+        types.map(_.takeRight(k)).distinct
+      val s2 = suffixTypes(2)
+      def p(g: Vector[String]): Double = {
+        var prob = s2.count(_.last == g.last).toDouble / s2.size
+        for (k <- 2 to n) {
+          val sK = g.takeRight(k)
+          val cK = sK.dropRight(1)
+          val (num, den, gam) =
+            if (k == n) (
+              math.max(full.count(_ == g) - d, 0.0),
+              full.count(_.dropRight(1) == cK).toDouble,
+              types.count(_.dropRight(1) == cK).toDouble)
+            else {
+              val sk1 = suffixTypes(k + 1)
+              (math.max(sk1.count(_.takeRight(k) == sK) - d, 0.0),
+                sk1.count(_.slice(1, k) == cK).toDouble,
+                suffixTypes(k).count(_.dropRight(1) == cK).toDouble)
+            }
+          prob = num / den + d * gam / den * prob
+        }
+        prob
+      }
+      val expected: Map[Long, (Long, Double)] = grams.groupBy(_._1).map {
+        case (id, gs) => id -> ((gs.size.toLong,
+          gs.map(g => -math.log(p(g._2))).sum))
+      }
+      val out = TextAnalysis
+        .kneserNeyNgramCrossEntropy(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", order = n, discount = d)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      out.keySet shouldBe expected.keySet
+      expected.foreach { case (id, (cnt, nll)) =>
+        out(id)._1 shouldBe cnt
+        out(id)._2 shouldBe nll +- 1e-9
+      }
+    }
+
+    "stay positive/finite at order 5 via lmCrossEntropy and drop short docs" in {
+      import TextAnalysis.LmSmoothing
+      val out = TextAnalysis
+        .lmCrossEntropy(docs, "doc_id", "text", order = 5,
+          smoothing = LmSmoothing.KneserNey(0.75))
+        .collect()
+      out should not be empty
+      out.foreach { r =>
+        val h = r.getAs[Double]("cross_entropy")
+        h should be > 0.0
+        java.lang.Double.isFinite(h) shouldBe true
+      }
+      val s = spark
+      import s.implicits._
+      TextAnalysis.kneserNeyNgramCrossEntropy(
+        Seq((1L, "one two three four")).toDF("doc_id", "text"),
+        "doc_id", "text", order = 5)
+        .count() shouldBe 0L
+    }
+  }
+
   "kneserNeyTrigramCrossEntropy" should {
     "match the hand-computed order-3 interpolated KN model" in {
       val s = spark

@@ -21,7 +21,7 @@ import org.scalatest.wordspec.AnyWordSpec
   */
 class ManifestSpec extends AnyWordSpec with Matchers with SparkSpec {
 
-  private val ExpectedQueryCount = 100
+  private val ExpectedQueryCount = 101
   private val smokeSf = "/root/testdata/sf0.001"
 
   "the oracle suite manifest" should {
@@ -34,9 +34,10 @@ class ManifestSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
 
     "use q<nn>_ naming so driver ordering is stable" in {
-      all(SparkEntry.queries.keys.toSeq) should fullyMatch regex "q\\d{2}_[a-z0-9_]+"
+      all(SparkEntry.queries.keys.toSeq) should fullyMatch regex "q\\d{2,3}_[a-z0-9_]+"
       // no duplicate numeric prefixes — two q37s would shadow in reports
-      val prefixes = SparkEntry.queries.keys.map(_.take(3)).toSeq
+      // (compare the full qNNN prefix, not a fixed 3 chars: q10 vs q100)
+      val prefixes = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSeq
       prefixes.distinct.size shouldBe prefixes.size
     }
   }
