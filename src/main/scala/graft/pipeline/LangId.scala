@@ -50,23 +50,57 @@ object LangId {
   def charGramFrequencies(minN: Int = 1, maxN: Int = 3): Classify.Featurizer = {
     require(minN >= 1 && maxN >= minN, s"bad gram range [$minN, $maxN]")
     (df: DataFrame, idCol: String, textCol: String) => {
+      // A document's gram tf is a function of THAT ROW alone, so the
+      // (doc, term, tf) frame is computed in one imperative per-partition
+      // pass (per-doc hash map, one output row per distinct gram) and
+      // NOTHING shuffles before the broadcast model join — the earlier
+      // explode + groupBy(doc, gram) formulation shuffled ~3 gram rows
+      // per character of corpus (the Dedup.gramHashRows lesson).
+      // Equivalence with the expression form is spec-pinned.
       val norm = concat(lit(" "),
         regexp_replace(trim(lower(coalesce(col(textCol).cast(StringType),
           lit("")))), "\\s+", " "),
         lit(" "))
       val withNorm = df.where(col(idCol).isNotNull)
         .select(col(idCol), norm.as("graft_norm"))
-      val gramArrays: Seq[org.apache.spark.sql.Column] = (minN to maxN).map { n =>
-        // sequence(1, x) runs DESCENDING when x < 1 — guard short texts
-        when(length(col("graft_norm")) >= n,
-          transform(sequence(lit(1), length(col("graft_norm")) - (n - 1)),
-            i => col("graft_norm").substr(i, lit(n))))
-          .otherwise(array().cast(ArrayType(StringType)))
+      val idField = withNorm.schema.head
+      val outSchema = StructType(Seq(idField,
+        StructField("term", StringType, nullable = false),
+        StructField("tf", LongType, nullable = false)))
+      implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+      val lo = minN
+      val hi = maxN
+      withNorm.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.get(0)
+          // gram by CODE POINTS, not UTF-16 units — Spark's substr and
+          // DuckDB's substring both count characters, and a surrogate
+          // pair must be one character here too
+          val cps = r.getString(1).codePoints().toArray
+          val counts = new java.util.LinkedHashMap[String, Long]()
+          var n = lo
+          while (n <= hi) {
+            var i = 0
+            val last = cps.length - n
+            while (i <= last) {
+              val g = new String(cps, i, n)
+              val c = counts.get(g)
+              counts.put(g, if (c == null) 1L else c + 1L)
+              i += 1
+            }
+            n += 1
+          }
+          val it = counts.entrySet().iterator()
+          new Iterator[org.apache.spark.sql.Row] {
+            override def hasNext: Boolean = it.hasNext
+            override def next(): org.apache.spark.sql.Row = {
+              val e = it.next()
+              org.apache.spark.sql.Row(id, e.getKey, e.getValue)
+            }
+          }
+        }
       }
-      withNorm
-        .select(col(idCol), explode(concat(gramArrays: _*)).as("term"))
-        .groupBy(col(idCol), col("term"))
-        .agg(count(lit(1)).as("tf"))
     }
   }
 

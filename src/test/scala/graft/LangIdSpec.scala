@@ -38,6 +38,23 @@ class LangIdSpec extends AnyWordSpec with Matchers with SparkSpec {
       // normalized = "  " (2 spaces): 2 unigrams + 1 bigram, no trigram
       tiny.values.sum shouldBe 3L
     }
+
+    "gram multi-byte scripts by characters and match an independent count" in {
+      val s = spark
+      import s.implicits._
+      val text = "Быстрая лиса 日本語"
+      val df = Seq((7L, text)).toDF("id", "text")
+      val got = LangId.charGramFrequencies()(df, "id", "text")
+        .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+      // independent reference over code points of the padded normalization
+      val norm = " " + text.toLowerCase.trim.replaceAll("\\s+", " ") + " "
+      val cps = norm.codePoints().toArray
+      val expected = (1 to 3).flatMap { n =>
+        (0 to cps.length - n).map(i => new String(cps, i, n))
+      }.groupBy(identity).map { case (g, l) => g -> l.size.toLong }
+      got shouldBe expected
+      got.keys.exists(_.contains("日")) shouldBe true
+    }
   }
 
   "the default language model" should {
