@@ -48,7 +48,13 @@ object Chunking {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap must be in [0, chunkTokens), got $overlap of $chunkTokens")
     val stride = chunkTokens - overlap
-    val toks = tokens(col(textCol))
+    // Tokenize ONCE into a materialized column below the Generate: an
+    // expression referenced from inside a HOF lambda is re-evaluated on
+    // every lambda invocation, so inlining the tokenizer here would
+    // re-split the document once per window start AND once per emitted
+    // window (the ngramFrequencies lesson). CollapseProject never inlines
+    // a non-cheap alias referenced more than once, so the projection holds.
+    val toks = col("graft_toks")
     val n = size(toks)
     // emitted window starts: 0, stride, ... while start < n and the window
     // adds at least one new token past the previous window's coverage
@@ -66,10 +72,11 @@ object Chunking {
         i.cast(LongType).as("chunk_idx"),
         array_join(slice(toks, s + 1, lit(chunkTokens)), " ").as("chunk_text"),
         least(lit(chunkTokens), n - s).cast(LongType).as("n_tokens")))
-    df.select(col("*"), explode(windows).as("graft_w"))
+    df.select(col("*"), tokens(col(textCol)).as("graft_toks"))
+      .select(col("*"), explode(windows).as("graft_w"))
       .select(col("*"), col("graft_w.chunk_idx"), col("graft_w.chunk_text"),
         col("graft_w.n_tokens"))
-      .drop("graft_w")
+      .drop("graft_w", "graft_toks")
   }
 
   /** Per-document chunk count under the same emit rule, without

@@ -1194,7 +1194,14 @@ object TextAnalysis {
       n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val ws = (1 to n).map(i => s"w$i")
-    val toks = normalizedTokens(col(textCol))
+    // Tokenize ONCE into a materialized column below the Generate: an
+    // expression referenced from inside a higher-order-function lambda is
+    // re-evaluated on EVERY lambda invocation, so inlining the tokenizer
+    // into element_at would re-split the whole document n times per
+    // token position (measured 10-15 s at sf0.1 vs <1 s materialized).
+    // CollapseProject keeps the projection: a non-cheap alias referenced
+    // more than once is never inlined.
+    val toks = col("graft_toks")
     val m = size(toks) - (n - 1)
     val structType = StructType(ws.map(StructField(_, StringType, nullable = true)))
     // sequence(1, x) runs DESCENDING when x < 1 — guard short docs
@@ -1205,6 +1212,7 @@ object TextAnalysis {
         }: _*)))
       .otherwise(array().cast(ArrayType(structType)))
     df.where(col(idCol).isNotNull)
+      .select(col(idCol), normalizedTokens(col(textCol)).as("graft_toks"))
       .select(col(idCol), explode(grams).as("graft_ng"))
       .select(col(idCol) +: ws.map(w => col(s"graft_ng.$w").as(w)): _*)
       .groupBy((col(idCol) +: ws.map(col)): _*)
