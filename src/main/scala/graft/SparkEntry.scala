@@ -3282,7 +3282,8 @@ object SparkEntry {
       val (textCase, langCase) = langIdFixtureCols
       val fix = docs.select(col("doc_id"), textCase.as("text"),
         langCase.as("graft_exp"))
-      val model = LangId.trainDefault(s)
+      // session-cached driver-local training — the seed is a constant
+      val model = LangId.defaultModel(s)
       val out = LangId.scoreLanguages(fix, "doc_id", "text", model)
         .join(fix.select(col("doc_id"), col("graft_exp")), Seq("doc_id"))
         .groupBy(col("predicted"))
@@ -3298,7 +3299,7 @@ object SparkEntry {
           when(fmin(col("margin")) >= 3.0, lit(1.0)).otherwise(lit(0.0))
             .as("margin_ok"))
       val materialized = out.collect()
-      model.release()
+      // no release: the default model is session-shared
       s.createDataFrame(java.util.Arrays.asList(materialized: _*), out.schema)
     }),
 
@@ -3343,7 +3344,8 @@ object SparkEntry {
       val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
       val (textCase, _) = langIdFixtureCols
       val fix = docs.select(col("doc_id"), textCase.as("text"))
-      val model = LangId.trainDefault(s)
+      // session-cached driver-local training — the seed is a constant
+      val model = LangId.defaultModel(s)
       val corpus = fix.join(
         LangId.scoreLanguages(fix, "doc_id", "text", model)
           .select(col("doc_id"), col("predicted").as("lang")),
@@ -3360,7 +3362,7 @@ object SparkEntry {
         .map(r => r.getString(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
       corpus.unpersist(blocking = false)
-      model.release()
+      // no release: the default model is session-shared
       import s.implicits._
       budgets.toSeq.sortBy(_._1).map { case (g, b) =>
         val (k, t, i) = stats.getOrElse(g, (0L, 0L, 0L))

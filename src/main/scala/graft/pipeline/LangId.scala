@@ -192,6 +192,77 @@ object LangId {
   def trainDefault(spark: SparkSession, alpha: Double = 1.0): Classify.NbModel =
     train(seedFrame(spark), "seed_id", "text", "lang", alpha)
 
+  /** The NB count state of a driver-side seed, computed ON THE DRIVER —
+    * a plain-Scala replay of [[charGramFrequencies]] ∘
+    * [[Classify.countState]]. A labeled LID seed is a bounded constant
+    * (it does not grow with the corpus), so distributing its training
+    * burns a dozen scheduler round-trips to count a few thousand grams;
+    * here the counts come from one in-process loop and land in Spark as
+    * a local relation, and [[Classify.modelFromCounts]] derives the
+    * model through the SAME expressions as the distributed path — the
+    * result is bit-identical (spec-pinned on [[DefaultSeed]] and on a
+    * hostile-whitespace fixture in LangIdSpec).
+    */
+  def localCountState(
+      spark: SparkSession,
+      seed: Seq[(String, String)] = DefaultSeed,
+      minN: Int = 1,
+      maxN: Int = 3): Classify.NbCountState = {
+    require(minN >= 1 && maxN >= minN, s"bad gram range [$minN, $maxN]")
+    val counts = new java.util.HashMap[(String, String), Long]()
+    val docs = new java.util.HashMap[String, Long]()
+    seed.foreach { case (lang, text) =>
+      docs.merge(lang, 1L, Long.box(_) + Long.box(_))
+      // the charGramFrequencies normalization, replayed exactly:
+      // lower → trim(' ' only — Spark's trim, not Java's) → collapse
+      // \s+ runs to one space → one boundary space each side
+      val lowered =
+        if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT)
+      val trimmed = {
+        var b = 0
+        var e = lowered.length
+        while (b < e && lowered.charAt(b) == ' ') b += 1
+        while (e > b && lowered.charAt(e - 1) == ' ') e -= 1
+        lowered.substring(b, e)
+      }
+      val norm = " " + trimmed.replaceAll("\\s+", " ") + " "
+      val cps = norm.codePoints().toArray
+      var n = minN
+      while (n <= maxN) {
+        var i = 0
+        val last = cps.length - n
+        while (i <= last) {
+          val g = new String(cps, i, n)
+          counts.merge((lang, g), 1L, Long.box(_) + Long.box(_))
+          i += 1
+        }
+        n += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    Classify.NbCountState(
+      counts.asScala.toSeq
+        .map { case ((lang, g), c) => (lang, g, c) }
+        .sortBy(t => (t._1, t._2))
+        .toDF("label", "term", "cnt"),
+      docs.asScala.toSeq.sorted.toDF("label", "docs"))
+  }
+
+  private val defaultModelCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, Double), Classify.NbModel]()
+
+  /** Session-cached model over [[DefaultSeed]]: trained once per
+    * (session, alpha) from the driver-local count state and shared by
+    * every caller — the seed is a fixed constant, so the model is too.
+    * Do NOT `release()` the returned model (it is shared); a release is
+    * harmless but evicts nothing — the next call re-derives.
+    */
+  def defaultModel(spark: SparkSession, alpha: Double = 1.0): Classify.NbModel =
+    defaultModelCache.computeIfAbsent((spark, alpha),
+      _ => Classify.modelFromCounts(localCountState(spark), alpha))
+
   /** Score `df` against a trained language model: one row per document
     * with `predicted` (ISO-ish code from the seed labels), `score`, and
     * `margin` (log-posterior headroom over the runner-up — the

@@ -22,7 +22,7 @@ object JobTimes {
         starts.put(js.jobId, (System.nanoTime(),
           Option(js.properties.getProperty("spark.job.description"))
             .orElse(Option(js.properties.getProperty("callSite.short")))
-            .getOrElse("?")))
+            .getOrElse(js.stageInfos.map(_.name).mkString(" | ").take(200))))
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val s = starts.get(je.jobId)
         if (record && s != null) {

@@ -57,6 +57,56 @@ class LangIdSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "localCountState" should {
+    def stateMaps(st: Classify.NbCountState) = (
+      st.termCounts.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      st.classDocs.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+
+    "match the distributed count state exactly on the default seed" in {
+      val s = spark
+      val local = stateMaps(LangId.localCountState(s))
+      val dist = stateMaps(Classify.countState(
+        LangId.seedFrame(s), "seed_id", "text", "lang",
+        LangId.charGramFrequencies()))
+      local shouldBe dist
+    }
+
+    "match on hostile whitespace (tabs, leading/trailing runs, CJK)" in {
+      val s = spark
+      val seed = Seq(
+        "xx" -> "  A\tb É  c\n d ",
+        "xx" -> "",
+        "yy" -> "\t\tПривет  мир 日本\t")
+      val local = stateMaps(LangId.localCountState(s, seed))
+      import s.implicits._
+      val frame = seed.zipWithIndex
+        .map { case ((l, t), i) => (i.toLong, l, t) }
+        .toDF("seed_id", "lang", "text")
+      val dist = stateMaps(Classify.countState(
+        frame, "seed_id", "text", "lang", LangId.charGramFrequencies()))
+      local shouldBe dist
+    }
+
+    "derive a model whose scores equal the distributed model's" in {
+      val s = spark
+      import s.implicits._
+      val docs = heldOut.zipWithIndex
+        .map { case ((_, t), i) => (i.toLong, t) }.toDF("id", "text")
+      val mLocal = Classify.modelFromCounts(LangId.localCountState(s))
+      val mDist = LangId.trainDefault(s)
+      val a = LangId.scoreLanguages(docs, "id", "text", mLocal)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getDouble(2), r.getDouble(3)))).toMap
+      val b = LangId.scoreLanguages(docs, "id", "text", mDist)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getDouble(2), r.getDouble(3)))).toMap
+      a shouldBe b // bit-identical: same expressions over the same counts
+      mLocal.release(); mDist.release()
+    }
+  }
+
   "the default language model" should {
     "classify held-out sentences of all eight seeded languages" in {
       val s = spark
