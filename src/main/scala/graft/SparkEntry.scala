@@ -8,7 +8,7 @@ import graft.checks._
 import graft.comparison._
 import graft.core._
 import graft.operators._
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Clustering, Dedup, Similarity, TextAnalysis}
 import graft.runners.AnalysisRunner
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -3411,6 +3411,40 @@ object SparkEntry {
         round(max(col("cross_entropy")), 6).as("max_h"),
         sum(when(col("cross_entropy") < 1.0, 1L).otherwise(0L))
           .cast(DoubleType).as("docs_low"))
+    }),
+
+    // q102: distributed k-means (Lloyd) over the embeddings table —
+    // k = 4 cells, 3 iterations from the 4 lowest-vec_id embeddings,
+    // recomputed means snapped to the 6-decimal grid so DuckDB replays
+    // the full trajectory iteration by iteration (assignment = squared-L2
+    // argmin via the shared x·c − |c|²/2 score, ties to the higher cell;
+    // empty cells carry). Value pins are integers first: per-cell sizes
+    // and vec_id sums (one flipped assignment anywhere in 3 iterations
+    // shifts both), majority label per cell with count (ties cnt DESC,
+    // label ASC), plus final within-cell inertia rounded to 3 decimals.
+    "q102_kmeans" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val init = Clustering.initMinId(emb, "vec_id", "embedding", 4)
+      val model = Clustering.lloyd(emb, "embedding", init,
+        iterations = 3, roundDecimals = 6)
+      val assigned = Clustering.assign(
+        emb.where(col("embedding").isNotNull), "embedding", model.centroids)
+        .persist()
+      val perCell = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("vec_id")).as("id_sum"),
+          round(sum(col("dist2")), 3).as("inertia_r"))
+      val labTop = assigned.groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("cell"))
+        .agg(org.apache.spark.sql.functions.max(
+          struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("cell"), (-col("m.nl")).as("top_label"),
+          col("m.cnt").as("top_label_n"))
+      val out = perCell.join(labTop, Seq("cell")).orderBy(col("cell"))
+      val materialized = out.collect()
+      assigned.unpersist(blocking = false)
+      s.createDataFrame(java.util.Arrays.asList(materialized: _*), out.schema)
     })
   )
 
@@ -3585,6 +3619,68 @@ object SparkEntry {
   // -------------------------------------------------------------------------
   // DuckDB oracles (ANSI SQL on the same parquet tables)
   // -------------------------------------------------------------------------
+
+  /** The q102 oracle, GENERATED per iteration: DuckDB replays the exact
+    * Lloyd trajectory — assignment by the engine's score formula
+    * (list_inner_product(v,c) − |c|²/2, ties cell DESC = the max-struct
+    * convention), means re-snapped to the same 6-decimal grid, empty
+    * cells carried via LEFT JOIN coalesce — then reproduces the final
+    * per-cell size/id-sum/inertia/majority-label frame.
+    */
+  private def kmeansOracleSql(k: Int, iterations: Int): String = {
+    def assignExpr(cTable: String): String =
+      s"(SELECT cell FROM $cTable ORDER BY " +
+        s"list_inner_product(e.v, c) - list_inner_product(c, c) / 2 DESC, " +
+        "cell DESC LIMIT 1)"
+    val iters = (1 to iterations).map { t =>
+      s"""a$t AS MATERIALIZED (
+         |  SELECT e.vec_id, e.v, ${assignExpr(s"c${t - 1}")} AS cell FROM e
+         |), m$t AS (
+         |  SELECT cell, i, round(avg(x), 6) AS m
+         |  FROM (SELECT cell, generate_subscripts(v, 1) AS i,
+         |          unnest(v) AS x FROM a$t)
+         |  GROUP BY cell, i
+         |), c$t AS MATERIALIZED (
+         |  SELECT p.cell, coalesce(n.c, p.c) AS c
+         |  FROM c${t - 1} p LEFT JOIN
+         |    (SELECT cell, list(m ORDER BY i) AS c FROM m$t GROUP BY cell) n
+         |    ON n.cell = p.cell
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, label
+       |  FROM embeddings WHERE embedding IS NOT NULL
+       |), c0 AS MATERIALIZED (
+       |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell,
+       |         embedding::DOUBLE[] AS c
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $k)
+       |),
+       |$iters,
+       |af AS MATERIALIZED (
+       |  SELECT e.vec_id, e.label, ${assignExpr(s"c$iterations")} AS cell,
+       |    list_inner_product(e.v, e.v) - 2 * (
+       |      SELECT max(list_inner_product(e.v, c)
+       |                 - list_inner_product(c, c) / 2)
+       |      FROM c$iterations) AS dist2
+       |  FROM e
+       |), pc AS (
+       |  SELECT cell, count(*) AS n, sum(vec_id) AS id_sum,
+       |    round(sum(dist2), 3) AS inertia_r
+       |  FROM af GROUP BY cell
+       |), lt AS (
+       |  SELECT cell, label, count(*) AS cnt FROM af GROUP BY cell, label
+       |), tp AS (
+       |  SELECT cell, label AS top_label, cnt AS top_label_n
+       |  FROM (SELECT cell, label, cnt, row_number() OVER (
+       |          PARTITION BY cell ORDER BY cnt DESC, label ASC) AS rn
+       |        FROM lt) rk
+       |  WHERE rn = 1
+       |)
+       |SELECT pc.cell, pc.n, pc.id_sum, pc.inertia_r,
+       |  tp.top_label, tp.top_label_n
+       |FROM pc JOIN tp USING (cell)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -6816,6 +6912,8 @@ object SparkEntry {
         |  round(max(nll / nt), 6)::DOUBLE AS max_h,
         |  sum(CASE WHEN nll / nt < 1.0 THEN 1 ELSE 0 END)::DOUBLE
         |    AS docs_low
-        |FROM doc""".stripMargin
+        |FROM doc""".stripMargin,
+
+    "q102_kmeans" -> kmeansOracleSql(k = 4, iterations = 3)
   )
 }

@@ -1,0 +1,330 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed k-means over an embedding column (`Array[Float]`) — the
+  * clustering primitive under corpus organization work (topic-balanced
+  * mixture sampling, cluster-stratified eval carving, SemDeDup cell
+  * structure, IVF coarse quantizers trained on the FULL corpus instead
+  * of a driver sample).
+  *
+  * Scale shape (the whole point): Lloyd's algorithm is iterations of
+  * "assign each row to its nearest centroid, then recompute centroids
+  * as member means". Both halves distribute without a corpus shuffle:
+  *
+  *  - ASSIGN is pure map-side expression work — the k×dim centroid
+  *    matrix rides into every task as literals (k and dim are small
+  *    constants; 1024×1024 doubles is 8 MB, broadcast-sized), and the
+  *    nearest cell is an `array_max` over per-centroid score
+  *    expressions. No UDF, no shuffle, whole-stage codegen.
+  *  - UPDATE is one `groupBy(cell)` over a mergeable vector-stats
+  *    aggregator (count, Σx element-wise, Σ|x|²) — map-side partial
+  *    combine collapses every task's rows to ≤ k slim states, so the
+  *    per-iteration shuffle is numTasks × k rows of dim doubles,
+  *    INDEPENDENT of corpus size. The driver folds k states into new
+  *    means; nothing corpus-sized ever leaves the executors.
+  *
+  * Per-iteration cost at 100 TB is therefore one corpus scan (cache
+  * the projected (id, vec) frame across iterations — `lloyd` does) plus
+  * a k-row collect. Compare mllib KMeans: same asymptotics, but this
+  * one is pure DataFrame expressions end-to-end (codegen'd, AQE-planned,
+  * no RDD conversion of the input) and its scoring/assignment column is
+  * reusable inside larger declarative plans.
+  *
+  * Determinism: for FIXED initial centroids the trajectory is fully
+  * deterministic — assignment ties break to the HIGHER cell (max-struct
+  * semantics, the [[Similarity.semDedup]] convention), empty cells keep
+  * their previous centroid, and means can be rounded to a fixed decimal
+  * grid (`roundDecimals`) so an independent engine replaying the same
+  * arithmetic (the DuckDB oracle does, iteration by iteration) lands on
+  * bit-identical centroids regardless of summation order.
+  *
+  * Reference scope note: deequ has no clustering operator — this is
+  * part of the training-data-pipeline extension surface, alongside
+  * [[Similarity]] (ANN) and [[Mixing]] (mixture sampling).
+  */
+object Clustering {
+
+  /** Per-centroid assignment scores as one struct-array column:
+    * score(c) = x·c − |c|²/2, whose argmax equals the argmin of
+    * squared L2 distance (d² = |x|² − 2·score), sharing the |x|² term
+    * across all k cells. Left-to-right fold over vector elements —
+    * the association order an element-loop replay (DuckDB
+    * `list_inner_product`) produces.
+    */
+  private def cellScores(vec: Column, centroids: Seq[Array[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
+      val dot = aggregate(
+        zip_with(vec, typedLit(c.toSeq), (x, w) => x.cast(DoubleType) * w),
+        lit(0.0), (acc, v) => acc + v)
+      val halfNorm2 = c.foldLeft(0.0)((a, x) => a + x * x) / 2.0
+      struct((dot - lit(halfNorm2)).as("s"), lit(i).as("cell"))
+    }: _*)
+
+  /** Nearest-centroid cell id (squared-L2 argmin) as a pure map-side
+    * expression; ties break to the higher cell (max-struct semantics).
+    */
+  def assignCell(vec: Column, centroids: Seq[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "assignCell needs at least one centroid")
+    array_max(cellScores(vec, centroids)).getField("cell")
+  }
+
+  /** Squared L2 distance from `vec` to its NEAREST centroid:
+    * |x|² − 2·max-score. Shares the score computation shape with
+    * [[assignCell]]; the two columns fuse into one codegen stage.
+    */
+  def nearestDist2(vec: Column, centroids: Seq[Array[Double]]): Column =
+    Similarity.dot(vec, vec) -
+      lit(2.0) * array_max(cellScores(vec, centroids)).getField("s")
+
+  /** Mergeable vector statistics: count, element-wise Σx, Σ|x|².
+    * Enough to derive the cell mean (Σx / n) AND the within-cell
+    * inertia against any centroid c — Σ|x−c|² = Σ|x|² − 2·(Σx)·c +
+    * n·|c|² — without a second corpus pass. Buffer allocates lazily on
+    * first input (dim is discovered from the data).
+    */
+  final class VecStatsState(
+      var n: Long,
+      var sumSq: Double,
+      var sums: Array[Double]) extends Serializable {
+
+    def add(v: Seq[Float]): VecStatsState = {
+      if (sums == null) sums = new Array[Double](v.length)
+      require(v.length == sums.length,
+        s"inconsistent vector dims: ${v.length} vs ${sums.length}")
+      var i = 0
+      while (i < sums.length) {
+        val x = v(i).toDouble
+        sums(i) += x
+        sumSq += x * x
+        i += 1
+      }
+      n += 1
+      this
+    }
+
+    def mergeIn(o: VecStatsState): VecStatsState = {
+      if (o.sums == null) return this
+      if (sums == null) { sums = o.sums; n = o.n; sumSq = o.sumSq; return this }
+      require(o.sums.length == sums.length,
+        s"inconsistent vector dims: ${o.sums.length} vs ${sums.length}")
+      var i = 0
+      while (i < sums.length) { sums(i) += o.sums(i); i += 1 }
+      n += o.n
+      sumSq += o.sumSq
+      this
+    }
+  }
+
+  /** [[VecStatsState]] as a typed `Aggregator` — map-side combinable, so
+    * a groupBy(cell) over it ships ≤ k slim states per task.
+    */
+  final class VecStatsAggregator
+      extends Aggregator[Seq[Float], VecStatsState, (Long, Double, Seq[Double])] {
+    override def zero: VecStatsState = new VecStatsState(0L, 0.0, null)
+    override def reduce(b: VecStatsState, a: Seq[Float]): VecStatsState =
+      if (a == null) b else b.add(a)
+    override def merge(b1: VecStatsState, b2: VecStatsState): VecStatsState =
+      b1.mergeIn(b2)
+    override def finish(b: VecStatsState): (Long, Double, Seq[Double]) =
+      (b.n, b.sumSq, if (b.sums == null) Seq.empty else b.sums.toSeq)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[VecStatsState] =
+      org.apache.spark.sql.Encoders.kryo[VecStatsState]
+    override def outputEncoder
+        : org.apache.spark.sql.Encoder[(Long, Double, Seq[Double])] =
+      ExpressionEncoder[(Long, Double, Seq[Double])]()
+  }
+
+  /** One Lloyd iteration's outcome: per-cell sizes under the ASSIGNING
+    * centroids, and the total inertia (Σ over rows of squared distance
+    * to the centroid that claimed them) — the monotone non-increasing
+    * objective callers use for convergence checks.
+    */
+  case class IterationStats(cellSizes: Map[Int, Long], inertia: Double)
+
+  case class KMeansModel(
+      centroids: Seq[Array[Double]],
+      history: Seq[IterationStats])
+
+  /** `iterations` Lloyd steps from `initial` centroids. Rows with null
+    * or dim-mismatched vectors are excluded from training (filtered
+    * once, up front). The projected vector frame is persisted across
+    * iterations (memory-and-disk — at 100 TB that's the difference
+    * between `iterations` parquet scans and one) and released before
+    * returning.
+    *
+    * `roundDecimals >= 0` snaps every recomputed mean to that decimal
+    * grid — cross-engine-replay determinism (summation order across
+    * partitions varies run to run; a 6-decimal grid absorbs the
+    * ~1e-13 noise). Negative = no rounding (production default).
+    *
+    * Empty cells keep their previous centroid (deterministic and
+    * replayable; FAISS-style random re-seeding would break both).
+    */
+  def lloyd(
+      corpus: DataFrame,
+      vecCol: String,
+      initial: Seq[Array[Double]],
+      iterations: Int,
+      roundDecimals: Int = -1): KMeansModel = {
+    require(initial.nonEmpty, "lloyd needs at least one initial centroid")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val dim = initial.head.length
+    require(initial.forall(_.length == dim), "initial centroids disagree on dim")
+
+    val vecs = corpus
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(vecCol).as("graft_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val agg = udaf(new VecStatsAggregator, ExpressionEncoder[Seq[Float]]())
+      var centroids = initial.map(_.clone())
+      val history = Seq.newBuilder[IterationStats]
+      var iter = 0
+      while (iter < iterations) {
+        val states = vecs
+          .groupBy(assignCell(col("graft_v"), centroids).as("graft_cell"))
+          .agg(agg(col("graft_v")).as("graft_st"))
+          .select(col("graft_cell"),
+            col("graft_st._1").as("n"),
+            col("graft_st._2").as("sumSq"),
+            col("graft_st._3").as("sums"))
+          .collect()
+          .map(r => r.getInt(0) ->
+            ((r.getLong(1), r.getDouble(2), r.getSeq[Double](3).toArray)))
+          .toMap
+        // inertia under the ASSIGNING centroids, from the slim states:
+        // Σ|x−c|² = Σ|x|² − 2·(Σx)·c + n·|c|²
+        val inertia = states.map { case (cell, (n, sumSq, sums)) =>
+          val c = centroids(cell)
+          var dot = 0.0
+          var cn = 0.0
+          var i = 0
+          while (i < dim) { dot += sums(i) * c(i); cn += c(i) * c(i); i += 1 }
+          sumSq - 2.0 * dot + n * cn
+        }.sum
+        history += IterationStats(
+          states.map { case (cell, (n, _, _)) => cell -> n }, inertia)
+        centroids = centroids.zipWithIndex.map { case (old, cell) =>
+          states.get(cell) match {
+            case Some((n, _, sums)) if n > 0 =>
+              val m = new Array[Double](dim)
+              var i = 0
+              while (i < dim) {
+                val mean = sums(i) / n
+                m(i) = if (roundDecimals >= 0)
+                  BigDecimal(mean)
+                    .setScale(roundDecimals, BigDecimal.RoundingMode.HALF_UP)
+                    .toDouble
+                else mean
+                i += 1
+              }
+              m
+            case _ => old // empty cell: carry the previous centroid
+          }
+        }
+        iter += 1
+      }
+      KMeansModel(centroids.toSeq, history.result())
+    } finally vecs.unpersist(blocking = false)
+  }
+
+  /** Deterministic, SQL-replayable init: the (valid) vectors of the k
+    * lowest `idCol` rows. A k-row sort+limit — bounded driver collect.
+    * Quality is data-dependent (adjacent ids may be similar documents);
+    * use [[initKMeansPlusPlus]] when replayability is not required.
+    */
+  def initMinId(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Array[Double]] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rows = corpus
+      .where(col(vecCol).isNotNull)
+      .orderBy(col(idCol))
+      .select(col(vecCol))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .toSeq
+    require(rows.length == k, s"corpus has only ${rows.length} valid vectors, need $k")
+    rows
+  }
+
+  /** k-means++ seeding (Arthur & Vassilvitskii 2007) over a bounded
+    * whole-corpus sample (per-partition reservoirs — the
+    * [[Similarity.sampleVectors]] machinery): first seed = first sample
+    * point, each next seed drawn d²-proportionally from the sample.
+    * Driver-side over ≤ sampleSize points; deterministic for fixed
+    * data + partitioning + seed.
+    */
+  def initKMeansPlusPlus(
+      corpus: DataFrame,
+      vecCol: String,
+      k: Int,
+      sampleSize: Int = 10000,
+      seed: Long = 42L): Seq[Array[Double]] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sample = Similarity.sampleVectors(corpus, vecCol, sampleSize, seed)
+    require(sample.length >= k,
+      s"sample has ${sample.length} vectors, need >= $k")
+    val rng = new scala.util.Random(seed)
+    val picked = scala.collection.mutable.ArrayBuffer(sample.head)
+    val d2 = Array.fill(sample.length)(Double.MaxValue)
+    while (picked.length < k) {
+      val latest = picked.last
+      var i = 0
+      while (i < sample.length) {
+        val v = sample(i)
+        var d = 0.0
+        var j = 0
+        while (j < v.length) { val t = v(j) - latest(j); d += t * t; j += 1 }
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+      val total = d2.sum
+      if (total <= 0.0) {
+        // all sample mass already covered — fall back to round-robin
+        picked += sample(picked.length % sample.length)
+      } else {
+        var r = rng.nextDouble() * total
+        var idx = 0
+        while (idx < d2.length - 1 && r >= d2(idx)) { r -= d2(idx); idx += 1 }
+        picked += sample(idx)
+      }
+    }
+    picked.toSeq
+  }
+
+  /** Full training entry point for production use: k-means++ init on a
+    * whole-corpus sample, then `iterations` distributed Lloyd steps.
+    */
+  def trainKMeans(
+      corpus: DataFrame,
+      vecCol: String,
+      k: Int,
+      iterations: Int = 10,
+      sampleSize: Int = 10000,
+      seed: Long = 42L): KMeansModel =
+    lloyd(corpus, vecCol,
+      initKMeansPlusPlus(corpus, vecCol, k, sampleSize, seed), iterations)
+
+  /** Final cluster assignment: `df`'s columns plus `cell` (nearest
+    * centroid) and `dist2` (squared L2 to it). Rows whose vector is
+    * null or dim-mismatched get null cell/dist2 — they were never
+    * trained on, and a made-up cell would poison downstream stratified
+    * sampling. Pure map-side; composes into larger plans unmaterialized.
+    */
+  def assign(
+      df: DataFrame, vecCol: String, centroids: Seq[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "assign needs at least one centroid")
+    val dim = centroids.head.length
+    val valid = col(vecCol).isNotNull && size(col(vecCol)) === dim
+    df.withColumn("cell",
+        when(valid, assignCell(col(vecCol), centroids)))
+      .withColumn("dist2",
+        when(valid, nearestDist2(col(vecCol), centroids)))
+  }
+}
