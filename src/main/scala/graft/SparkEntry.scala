@@ -3445,6 +3445,35 @@ object SparkEntry {
       val materialized = out.collect()
       assigned.unpersist(blocking = false)
       s.createDataFrame(java.util.Arrays.asList(materialized: _*), out.schema)
+    }),
+
+    // q103: embedding-space decontamination — the semantic sibling of the
+    // q49 13-gram text decontamination. Probe (eval) set = vec_id % 29
+    // rows, broadcast into the scan as literals; corpus = the rest; a row
+    // is contaminated when its best probe cosine >= 0.35. Margins
+    // measured at all three SFs: best_cos sits >= 4.2e-5 from tau and
+    // probe-argmax gaps >= 2.3e-6 — orders above double noise for a
+    // formula the oracle mirrors term for term. Pins: per-probe row
+    // counts, contaminated counts and id sums (integers), max cosine on
+    // the 1e-6 grid.
+    "q103_embedding_decontam" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val probes = Similarity.collectProbes(
+        emb.where(pmod(col("vec_id"), lit(29)) === 0), "vec_id", "embedding")
+      val corpus = emb.where(
+        pmod(col("vec_id"), lit(29)) =!= 0 && col("embedding").isNotNull)
+      Similarity
+        .decontaminateByEmbedding(corpus, "vec_id", "embedding", probes,
+          tau = 0.35)
+        .groupBy(col("best_probe"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contam"),
+          coalesce(sum(when(col("contaminated"), col("vec_id"))), lit(0L))
+            .as("contam_id_sum"),
+          round(org.apache.spark.sql.functions.max(col("best_cos")), 6)
+            .as("max_cos"))
+        .orderBy(col("best_probe"))
     })
   )
 
@@ -6914,6 +6943,39 @@ object SparkEntry {
         |    AS docs_low
         |FROM doc""".stripMargin,
 
-    "q102_kmeans" -> kmeansOracleSql(k = 4, iterations = 3)
+    "q102_kmeans" -> kmeansOracleSql(k = 4, iterations = 3),
+
+    // q103: the probe-normalized-dot argmax (s = v·c / |c|, ties pid
+    // DESC) then ONE division by the row norm — the engine's exact
+    // two-step formula, so best_cos is the same double on both sides.
+    "q103_embedding_decontam" ->
+      """WITH p AS (
+        |  SELECT vec_id AS pid, embedding::DOUBLE[] AS c,
+        |    sqrt(list_inner_product(embedding::DOUBLE[],
+        |                            embedding::DOUBLE[])) AS pn
+        |  FROM embeddings WHERE vec_id % 29 = 0
+        |), e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_inner_product(embedding::DOUBLE[],
+        |                            embedding::DOUBLE[])) AS vn
+        |  FROM embeddings
+        |  WHERE vec_id % 29 <> 0 AND embedding IS NOT NULL
+        |), sc AS (
+        |  SELECT e.vec_id, e.vn, p.pid,
+        |    list_inner_product(e.v, p.c) / p.pn AS s
+        |  FROM e, p
+        |), b AS (
+        |  SELECT vec_id, pid AS best_probe, s / vn AS best_cos
+        |  FROM (SELECT sc.*, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY s DESC, pid DESC) AS rn
+        |        FROM sc) rk
+        |  WHERE rn = 1
+        |)
+        |SELECT best_probe, count(*) AS n_rows,
+        |  sum(CASE WHEN best_cos >= 0.35 THEN 1 ELSE 0 END) AS n_contam,
+        |  coalesce(sum(CASE WHEN best_cos >= 0.35 THEN vec_id END), 0)
+        |    AS contam_id_sum,
+        |  round(max(best_cos), 6) AS max_cos
+        |FROM b GROUP BY best_probe""".stripMargin
   )
 }

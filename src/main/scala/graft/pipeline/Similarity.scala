@@ -1205,4 +1205,81 @@ object Similarity {
     val centroids = trainCentroids(corpus, vecCol, nlist, sampleSize, iterations)
     semDedup(corpus, idCol, vecCol, centroids, tau, maxClusterSize)
   }
+
+  /** Embedding-space decontamination: flag every corpus row whose vector
+    * is cosine-`tau`-close to ANY probe (benchmark/eval-set) vector —
+    * the semantic sibling of the 13-gram text decontamination
+    * ([[TextAnalysis.decontaminate]]), catching paraphrased or
+    * re-templated benchmark leakage that exact n-grams miss.
+    *
+    * Scale shape: an eval set is small and FIXED (hundreds to a few
+    * thousand items), so the probe matrix rides into every task as
+    * literals — the scan is pure map-side expression work (probes × dim
+    * multiplies per corpus row, whole-stage codegen, NO shuffle, NO join)
+    * and composes unmaterialized into a curation plan. For probe sets too
+    * large to inline (> ~2k) use [[cosinePairsLsh]] with the probe side
+    * as the smaller relation instead; this function require-guards at
+    * `maxProbes`.
+    *
+    * Per row: `best_probe` (highest cosine, ties to the higher probe id —
+    * max-struct semantics), `best_cos`, and `contaminated` = best_cos >=
+    * tau. Zero/null corpus vectors score 0 against every probe (the
+    * [[cosine]] guard) and are never flagged.
+    */
+  def decontaminateByEmbedding(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probes: Seq[(Long, Array[Double])],
+      tau: Double,
+      maxProbes: Int = 2048): DataFrame = {
+    require(probes.nonEmpty, "decontaminateByEmbedding needs at least one probe")
+    require(probes.length <= maxProbes,
+      s"${probes.length} probes exceed the literal-broadcast bound " +
+        s"$maxProbes — use cosinePairsLsh for corpus-sized probe sets")
+    val normsOk = probes.forall { case (_, v) => v.exists(_ != 0.0) }
+    require(normsOk, "probe vectors must be non-zero")
+    // probe-normalized dots (dot/|c|, the |c| a left-to-right element
+    // loop produces) rank probes; the row norm divides ONCE per row at
+    // the end — k dot products + 1 norm per row, not k norms
+    val scored = array(probes.map { case (pid, c) =>
+      val dot = aggregate(
+        zip_with(col(vecCol), typedLit(c.toSeq),
+          (x, w) => x.cast(DoubleType) * w),
+        lit(0.0), (acc, v) => acc + v)
+      val pNorm = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+      struct((dot / lit(pNorm)).as("s"), lit(pid).as("pid"))
+    }: _*)
+    val vNorm = sqrt(aggregate(
+      zip_with(col(vecCol), col(vecCol),
+        (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v))
+    val best = array_max(scored)
+    val valid = col(vecCol).isNotNull && vNorm > 0.0
+    corpus
+      .withColumn("best_probe", when(valid, best.getField("pid")))
+      .withColumn("best_cos", when(valid, best.getField("s") / vNorm))
+      .withColumn("contaminated",
+        coalesce(col("best_cos") >= tau, lit(false)))
+  }
+
+  /** Bounded driver collect of a probe frame for
+    * [[decontaminateByEmbedding]]: (id, vector) pairs, nulls dropped,
+    * require-guarded at `maxProbes`.
+    */
+  def collectProbes(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      maxProbes: Int = 2048): Seq[(Long, Array[Double])] = {
+    val rows = df
+      .where(col(vecCol).isNotNull)
+      .select(col(idCol).cast(LongType), col(vecCol))
+      .limit(maxProbes + 1)
+      .collect()
+    require(rows.length <= maxProbes,
+      s"probe frame exceeds $maxProbes rows — use cosinePairsLsh instead")
+    rows.map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+  }
 }

@@ -2176,4 +2176,66 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
       }
     }
   }
+
+  "decontaminateByEmbedding" should {
+    val probes = Seq(
+      100L -> Array(1.0, 0.0, 0.0),
+      200L -> Array(0.0, 1.0, 0.0))
+
+    "flag rows cosine-close to any probe, with max-struct tie-breaks" in {
+      val s = spark
+      import s.implicits._
+      val corpus = Seq(
+        (1L, Some(Seq(2.0f, 0.1f, 0.0f))),  // ~probe 100
+        (2L, Some(Seq(0.0f, 0.0f, 5.0f))),  // orthogonal to both
+        (3L, Some(Seq(1.0f, 1.0f, 0.0f))),  // exact tie -> higher pid
+        (4L, None),                          // null vector
+        (5L, Some(Seq(0.0f, 0.0f, 0.0f)))   // zero vector
+      ).toDF("id", "vec")
+      val out = Similarity
+        .decontaminateByEmbedding(corpus, "id", "vec", probes, tau = 0.9)
+        .select(col("id"), col("best_probe"), col("best_cos"),
+          col("contaminated"))
+        .collect()
+        .map(r => r.getLong(0) -> ((
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2),
+          r.getBoolean(3)))).toMap
+      out(1L)._1 shouldBe 100L
+      out(1L)._2 shouldBe
+        (2.0 / math.sqrt(4.0 + 0.1f.toDouble * 0.1f.toDouble)) +- 1e-12
+      out(1L)._3 shouldBe true
+      out(2L)._3 shouldBe false
+      out(2L)._2 shouldBe 0.0 +- 1e-12
+      out(3L)._1 shouldBe 200L // equal cosine to both -> higher probe id
+      out(3L)._3 shouldBe false // cos ~0.707 < 0.9
+      out(4L) shouldBe ((-1L, -1.0, false))
+      out(5L) shouldBe ((-1L, -1.0, false))
+    }
+
+    "guard the literal-broadcast bound" in {
+      val s = spark
+      import s.implicits._
+      val corpus = Seq((1L, Seq(1.0f))).toDF("id", "vec")
+      val many = (1L to 5L).map(i => i -> Array(1.0))
+      an[IllegalArgumentException] should be thrownBy
+        Similarity.decontaminateByEmbedding(
+          corpus, "id", "vec", many, tau = 0.5, maxProbes = 4)
+      an[IllegalArgumentException] should be thrownBy
+        Similarity.decontaminateByEmbedding(
+          corpus, "id", "vec", Seq(7L -> Array(0.0, 0.0)), tau = 0.5)
+    }
+
+    "collectProbes drops nulls and guards the bound" in {
+      val s = spark
+      import s.implicits._
+      val df = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, None),
+        (3L, Some(Seq(3.0f, 4.0f)))).toDF("pid", "vec")
+      val got = Similarity.collectProbes(df, "pid", "vec")
+        .map { case (id, v) => id -> v.toSeq }.toMap
+      got shouldBe Map(1L -> Seq(1.0, 2.0), 3L -> Seq(3.0, 4.0))
+      an[IllegalArgumentException] should be thrownBy
+        Similarity.collectProbes(df, "pid", "vec", maxProbes = 1)
+    }
+  }
 }
