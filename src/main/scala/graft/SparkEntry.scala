@@ -3474,6 +3474,72 @@ object SparkEntry {
           round(org.apache.spark.sql.functions.max(col("best_cos")), 6)
             .as("max_cos"))
         .orderBy(col("best_probe"))
+    }),
+
+    // q104: FUZZY paragraph dedup (q54's near-duplicate sibling) over the
+    // same injected-break corpus. The full-corpus engine pass runs the
+    // production path (capped LSH, CC election); SQL pins what is exactly
+    // replayable — doc/paragraph censuses and the exact-dedup removal —
+    // plus invariants of the fuzzy result: fuzzy removal ⊇ exact removal
+    // (identical paragraphs share every band; the max exact-dup group is
+    // 55 at sf0.1, far under the 1000 cap, so candidacy is guaranteed),
+    // and on an uncapped doc_id<60 audit subset the exact-Jaccard pair
+    // census with identity-pair recall == 1 (identical shingle sets ⇒
+    // identical signatures ⇒ same buckets) and measured >= 0.75 recall on
+    // the J>=0.5 set (16-band LSH at J≈0.5 is probabilistic by design;
+    // the hash family is fixed, so the flag is deterministic per corpus).
+    "q104_fuzzy_para_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.shiftleft
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val paraDocs = docs.select(col("doc_id"),
+        regexp_replace(col("text"), ParaInjectPattern, ParaInjectReplacement)
+          .as("text"))
+      val fuzzy = Dedup.nearDupParagraphs(paraDocs, "doc_id", "text",
+        threshold = 0.5)
+      val g = fuzzy.agg(
+        count(lit(1)),
+        coalesce(sum(col("n_paras")), lit(0L)),
+        coalesce(sum(col("n_removed")), lit(0L))).collect().head
+      val (nDocs, totalParas, fuzzyRemoved) =
+        (g.getLong(0), g.getLong(1), g.getLong(2))
+      val distinctParas = Dedup.paragraphOccurrences(paraDocs, "doc_id", "text")
+        .agg(countDistinct(col("graft_para"))).collect().head.getLong(0)
+      val exactRemoved = totalParas - distinctParas
+
+      val subOcc = Dedup.paragraphOccurrences(
+        paraDocs.where(col("doc_id") < 60), "doc_id", "text")
+      val subParas = subOcc.select(
+        (shiftleft(col("graft_id").cast(LongType), 20) + col("graft_pos"))
+          .as("pid"),
+        col("graft_para").as("text"))
+      val sigs = Dedup.textSignatures(subParas, "pid", "text").persist()
+      val exact = Dedup.exactJaccardPairsFromSignatures(sigs, threshold = 0.5)
+        .withColumn("graft_ident", when(col("jaccard") >= 1.0, 1L))
+        .select(col("id_a"), col("id_b"), lit(1L).as("graft_e"),
+          col("graft_ident"))
+      val cand = Dedup.nearDuplicatePairsFromSignatures(sigs, threshold = 0.5,
+          numHashes = 64, bands = 16, maxBucketSize = Int.MaxValue)
+        .select("id_a", "id_b").distinct().withColumn("graft_mh", lit(1L))
+      val a = exact.join(cand, Seq("id_a", "id_b"), "left_outer").agg(
+        sum(col("graft_e")).as("n_exact"),
+        sum(col("graft_ident")).as("n_ident"),
+        sum(when(col("graft_mh").isNotNull, 1L).otherwise(0L)).as("mh_found"),
+        sum(when(col("graft_ident").isNotNull && col("graft_mh").isNotNull,
+          1L).otherwise(0L)).as("ident_found")).collect().head
+      sigs.unpersist(blocking = false)
+      def longAt(i: Int): Long = if (a.isNullAt(i)) 0L else a.getLong(i)
+      val (nExact, nIdent, mhFound, identFound) =
+        (longAt(0), longAt(1), longAt(2), longAt(3))
+      metricRow(s, Seq(
+        "n_docs" -> nDocs.toDouble,
+        "total_paras" -> totalParas.toDouble,
+        "exact_removed" -> exactRemoved.toDouble,
+        "fuzzy_geq_exact" -> flag(fuzzyRemoved >= exactRemoved),
+        "sub_exact_pairs" -> nExact.toDouble,
+        "sub_ident_pairs" -> nIdent.toDouble,
+        "sub_ident_recall_ok" -> flag(identFound == nIdent),
+        "sub_recall_ok" -> flag(nExact == 0 ||
+          mhFound.toDouble / nExact >= 0.75)))
     })
   )
 
@@ -6976,6 +7042,48 @@ object SparkEntry {
         |  coalesce(sum(CASE WHEN best_cos >= 0.35 THEN vec_id END), 0)
         |    AS contam_id_sum,
         |  round(max(best_cos), 6) AS max_cos
-        |FROM b GROUP BY best_probe""".stripMargin
+        |FROM b GROUP BY best_probe""".stripMargin,
+
+    // q104: the q54 injected-break paragraph frame; exact censuses plus
+    // the q24-convention shingle-Jaccard pair audit on the doc_id<60
+    // subset; flag columns assert the engine-side fuzzy invariants.
+    "q104_fuzzy_para_dedup" ->
+      """WITH pdocs AS (
+        |  SELECT doc_id, string_split_regex(
+        |           regexp_replace(text, '((?:[^ \t\n\x0B\f\r]+ ){3}[^ \t\n\x0B\f\r]+) ',
+        |             '\1' || chr(10), 'g'), '\n+') AS ps
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), occ AS (
+        |  SELECT doc_id, (u).pos AS pos, (u).para AS para FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1),
+        |      i -> {'pos': i, 'para': trim(ps[i])})) AS u
+        |    FROM pdocs)
+        |  WHERE (u).para <> ''
+        |), d AS (
+        |  SELECT doc_id * 1048576 + pos AS pid,
+        |    list_filter(string_split_regex(lower(para), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM occ WHERE doc_id < 60
+        |), sh AS (
+        |  SELECT pid, CASE WHEN len(ts) >= 3 THEN
+        |      list_distinct(list_transform(range(len(ts) - 2),
+        |        i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))
+        |    WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+        |    ELSE []::VARCHAR[] END AS sh
+        |  FROM d
+        |), p AS (
+        |  SELECT len(list_intersect(a.sh, b.sh))::DOUBLE
+        |           / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS j
+        |  FROM sh a JOIN sh b ON a.pid < b.pid)
+        |SELECT
+        |  (SELECT count(*) FROM pdocs)::DOUBLE AS n_docs,
+        |  (SELECT count(*) FROM occ)::DOUBLE AS total_paras,
+        |  ((SELECT count(*) FROM occ)
+        |    - (SELECT count(DISTINCT para) FROM occ))::DOUBLE AS exact_removed,
+        |  1.0::DOUBLE AS fuzzy_geq_exact,
+        |  (SELECT count(*) FILTER (j >= 0.5) FROM p)::DOUBLE AS sub_exact_pairs,
+        |  (SELECT count(*) FILTER (j >= 1.0) FROM p)::DOUBLE AS sub_ident_pairs,
+        |  1.0::DOUBLE AS sub_ident_recall_ok,
+        |  1.0::DOUBLE AS sub_recall_ok""".stripMargin
   )
 }

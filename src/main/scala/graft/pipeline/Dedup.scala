@@ -1408,7 +1408,23 @@ object Dedup {
         struct(col("graft_id"), col("graft_pos"), col("graft_para")),
         struct(col("graft_id"), col("graft_pos"))).as("graft_w"))
       .select(col("graft_w.*"))
-    val keptPerDoc = winners.groupBy(col("graft_id"))
+    reassembleSurvivors(df, idCol, occ, winners, joinSep)
+  }
+
+  /** Shared reassembly tail of the paragraph dedup family: given the
+    * occurrence frame and a survivor frame (`graft_id`, `graft_pos`,
+    * `graft_para`), rebuild each document from its surviving paragraphs
+    * in original order and attach the per-doc census. Survivor sorting
+    * is bounded by one document's own paragraphs (per-group
+    * `collect_list` + `array_sort`), never a corpus-wide Window.
+    */
+  private def reassembleSurvivors(
+      df: DataFrame,
+      idCol: String,
+      occ: DataFrame,
+      survivors: DataFrame,
+      joinSep: String): DataFrame = {
+    val keptPerDoc = survivors.groupBy(col("graft_id"))
       .agg(count(lit(1)).as("graft_kept"),
         concat_ws(joinSep,
           transform(
@@ -1427,6 +1443,74 @@ object Dedup {
         coalesce(keptPerDoc("graft_kept"), lit(0L)).as("n_kept"),
         (coalesce(totalPerDoc("graft_total"), lit(0L)) -
           coalesce(keptPerDoc("graft_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** FUZZY paragraph-level dedup — [[dedupParagraphs]]'s near-duplicate
+    * sibling: cluster NEAR-duplicate paragraphs across the whole corpus
+    * (MinHash-LSH candidates, exact-Jaccard verification at `threshold`,
+    * connected components) and keep only each cluster's globally-first
+    * occurrence — the smallest `(id, position)`. Catches templated
+    * boilerplate whose instances differ by a date, name, or counter,
+    * which the exact md5 election of [[dedupParagraphs]] cannot see.
+    *
+    * Paragraph identity is the packed key `id·2^posBits + pos`
+    * (`raise_error` on range overflow — never silent corruption; ids
+    * must be non-negative integrals), so the document-level near-dup
+    * machinery — banded LSH with skew-capped buckets, exact-Jaccard
+    * verify, large/small-star components — applies unchanged at
+    * paragraph granularity, and the min-pid cluster representative IS
+    * the globally-first occurrence. Packing order ties the election to
+    * (id, pos) lexicographic order exactly.
+    *
+    * Scale shape: candidate volume tracks banded bucket pairs (capped,
+    * cap-observable), component contraction tracks verified edges, and
+    * reassembly stays per-document bounded ([[reassembleSurvivors]]).
+    * Short paragraphs (< shingle size) fall back to whole-text shingle
+    * identity, so for them "near-dup" degrades to exact — by design.
+    *
+    * Output: the [[dedupParagraphs]] contract — one row per input
+    * document: `idCol`, `text_clean`, `n_paras`, `n_kept`, `n_removed`.
+    */
+  def nearDupParagraphs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000,
+      delimRegex: String = "\n+",
+      joinSep: String = "\n",
+      posBits: Int = 20): DataFrame = {
+    require(posBits >= 1 && posBits <= 40, s"posBits out of range: $posBits")
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"nearDupParagraphs needs an integral id column; '$idCol' is " +
+        idType.simpleString)
+    val occ = paragraphOccurrences(df, idCol, textCol, delimRegex)
+    val posLim = 1L << posBits
+    val maxId = Long.MaxValue >> posBits
+    val idL = col("graft_id").cast(LongType)
+    val pid = when(
+      col("graft_pos") < posLim && idL.between(0L, maxId),
+      shiftleft(idL, posBits) + col("graft_pos"))
+      .otherwise(raise_error(concat(
+        lit(s"nearDupParagraphs: id/pos outside packing range " +
+          s"(posBits=$posBits): "),
+        idL.cast(StringType), lit("/"), col("graft_pos").cast(StringType))))
+    val paras = occ.select(pid.as("graft_pid"), col("graft_id"),
+      col("graft_pos"), col("graft_para"))
+    val clustered = nearDuplicateClusters(paras, "graft_pid", "graft_para",
+      threshold, numHashes, bands, maxBucketSize)
+    val survivors = clustered
+      .where(col("cluster") === col("graft_pid"))
+      // fresh aliases: survivors shares occ's lineage, and the reassembly
+      // joins both against the same base — re-aliasing breaks the
+      // ambiguous-self-join attribute identity
+      .select(col("graft_id").as("graft_id"),
+        col("graft_pos").as("graft_pos"),
+        col("graft_para").as("graft_para"))
+    reassembleSurvivors(df, idCol, occ, survivors, joinSep)
   }
 
   // -------------------------------------------------------------------------

@@ -2177,6 +2177,70 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "nearDupParagraphs" should {
+    // ~30 tokens; one token changed at the END (B) / START (C) keeps the
+    // pairwise shingle Jaccard ≈ 0.85 — far above the 0.5 threshold and
+    // high enough that 16-band LSH candidacy is near-certain
+    val boilerMid = "quick brown fox jumps over lazy dog while seven " +
+      "sailors watch from the old harbor wall under grey november skies " +
+      "counting distant ships and waiting for"
+    val boilerA = s"begin $boilerMid river"
+    val boilerB = s"begin $boilerMid ocean"
+    val boilerC = s"start $boilerMid ocean"
+
+    "collapse near-duplicate paragraphs to the globally-first occurrence" in {
+      val s = spark
+      import s.implicits._
+      val docs = Seq(
+        (1L, s"unique alpha text one two three\n$boilerA"),
+        (2L, s"$boilerB\nunique beta text four five six"),
+        (3L, s"$boilerC\nanother body seven eight nine ten")).toDF("doc_id", "text")
+      val out = Dedup.nearDupParagraphs(docs, "doc_id", "text",
+          threshold = 0.5)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // A~B (J=7/9), B~C (J=7/9): one transitive cluster; first occurrence
+      // is (doc 1, pos 1) so docs 2 and 3 lose their variant
+      out(1L) shouldBe ((s"unique alpha text one two three\n$boilerA", 2L, 2L, 0L))
+      out(2L) shouldBe (("unique beta text four five six", 2L, 1L, 1L))
+      out(3L) shouldBe (("another body seven eight nine ten", 2L, 1L, 1L))
+    }
+
+    "keep the first occurrence of exact duplicates and preserve order" in {
+      val s = spark
+      import s.implicits._
+      val docs = Seq(
+        (5L, "first para here now\nshared line body text\nlast para here now"),
+        (6L, "shared line body text\nother content entirely different")).toDF("doc_id", "text")
+      val out = Dedup.nearDupParagraphs(docs, "doc_id", "text",
+          threshold = 0.9)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(4)))).toMap
+      out(5L) shouldBe (("first para here now\nshared line body text\n" +
+        "last para here now", 0L))
+      out(6L) shouldBe (("other content entirely different", 1L))
+    }
+
+    "raise on ids outside the packing range" in {
+      val s = spark
+      import s.implicits._
+      val docs = Seq((-1L, "some text here")).toDF("doc_id", "text")
+      val ex = intercept[Exception] {
+        Dedup.nearDupParagraphs(docs, "doc_id", "text").collect()
+      }
+      ex.getMessage should include("packing range")
+    }
+
+    "reject non-integral id columns" in {
+      val s = spark
+      import s.implicits._
+      val docs = Seq(("a", "text")).toDF("doc_id", "text")
+      an[IllegalArgumentException] should be thrownBy
+        Dedup.nearDupParagraphs(docs, "doc_id", "text")
+    }
+  }
+
   "decontaminateByEmbedding" should {
     val probes = Seq(
       100L -> Array(1.0, 0.0, 0.0),
