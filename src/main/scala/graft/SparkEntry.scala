@@ -3540,6 +3540,46 @@ object SparkEntry {
         "sub_ident_recall_ok" -> flag(identFound == nIdent),
         "sub_recall_ok" -> flag(nExact == 0 ||
           mhFound.toDouble / nExact >= 0.75)))
+    }),
+
+    // q105: cluster-balanced corpus mixture — the q102 k-means cells as
+    // the mixture key for the q70 temperature-budget machinery: documents
+    // join their embedding's cell (doc_id = vec_id), per-cell token mass
+    // is tempered at alpha = 0.5, and the deterministic hash-prefix
+    // sampler carves each cell's budget. The DuckDB oracle replays the
+    // ENTIRE composition — the 3-iteration Lloyd trajectory, the
+    // assignment, the sqrt-tempered floor budgets, and the (hash, id)-
+    // ordered running-sum prefix — so every kept document is pinned
+    // through id sums.
+    "q105_cluster_mix" -> ((s, dir) => {
+      import graft.pipeline.Mixing
+      val emb = table(s, dir, "embeddings")
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val init = Clustering.initMinId(emb, "vec_id", "embedding", 4)
+      val model = Clustering.lloyd(emb, "embedding", init,
+        iterations = 3, roundDecimals = 6)
+      val cells = Clustering.assign(
+        emb.where(col("embedding").isNotNull), "embedding", model.centroids)
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .join(cells, Seq("doc_id")).persist()
+      val budgets = Mixing.temperatureBudgets(corpus, "cell", "text",
+        totalBudget = 20000L, alpha = 0.5)
+      val stats = Mixing
+        .tokenBudgetSample(corpus, "doc_id", "text", "cell", budgets)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("graft_k"),
+          sum(Mixing.tokenCountExpr(col("text"))).as("graft_t"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("graft_i"))
+        .collect()
+        .map(r => r.getInt(0).toString ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      corpus.unpersist(blocking = false)
+      import s.implicits._
+      budgets.toSeq.sortBy(_._1).map { case (g, b) =>
+        val (k, t, i) = stats.getOrElse(g, (0L, 0L, 0L))
+        (g.toInt, b.toDouble, k.toDouble, t.toDouble, i.toDouble)
+      }.toDF("cell", "budget", "kept_docs", "kept_tokens", "id_sum")
     })
   )
 
@@ -3722,7 +3762,7 @@ object SparkEntry {
     * cells carried via LEFT JOIN coalesce — then reproduces the final
     * per-cell size/id-sum/inertia/majority-label frame.
     */
-  private def kmeansOracleSql(k: Int, iterations: Int): String = {
+  private def kmeansCtes(k: Int, iterations: Int): String = {
     def assignExpr(cTable: String): String =
       s"(SELECT cell FROM $cTable ORDER BY " +
         s"list_inner_product(e.v, c) - list_inner_product(c, c) / 2 DESC, " +
@@ -3742,7 +3782,7 @@ object SparkEntry {
          |    ON n.cell = p.cell
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v, label
        |  FROM embeddings WHERE embedding IS NOT NULL
        |), c0 AS MATERIALIZED (
@@ -3759,7 +3799,11 @@ object SparkEntry {
        |                 - list_inner_product(c, c) / 2)
        |      FROM c$iterations) AS dist2
        |  FROM e
-       |), pc AS (
+       |)""".stripMargin
+  }
+
+  private def kmeansOracleSql(k: Int, iterations: Int): String = {
+    s"""WITH ${kmeansCtes(k, iterations)}, pc AS (
        |  SELECT cell, count(*) AS n, sum(vec_id) AS id_sum,
        |    round(sum(dist2), 3) AS inertia_r
        |  FROM af GROUP BY cell
@@ -7084,6 +7128,41 @@ object SparkEntry {
         |  (SELECT count(*) FILTER (j >= 0.5) FROM p)::DOUBLE AS sub_exact_pairs,
         |  (SELECT count(*) FILTER (j >= 1.0) FROM p)::DOUBLE AS sub_ident_pairs,
         |  1.0::DOUBLE AS sub_ident_recall_ok,
-        |  1.0::DOUBLE AS sub_recall_ok""".stripMargin
+        |  1.0::DOUBLE AS sub_recall_ok""".stripMargin,
+
+    // q105: the full composition replayed — kmeans trajectory CTEs, then
+    // the q70 budget/prefix chain keyed on the final assignment's cell.
+    "q105_cluster_mix" ->
+      (s"WITH ${kmeansCtes(k = 4, iterations = 3)}, " +
+        raw"""h AS (
+        |  SELECT d.doc_id, af.cell,
+        |    substring(md5('graft:' || d.doc_id::VARCHAR), 1, 8) AS hh,
+        |    coalesce(len(list_filter(string_split_regex(d.text, '\s+'),
+        |      x -> x <> '')), 0) AS toks
+        |  FROM documents d JOIN af ON af.vec_id = d.doc_id
+        |  WHERE d.doc_id IS NOT NULL
+        |), ns AS (SELECT cell, sum(toks) AS n FROM h GROUP BY 1),
+        |z AS (SELECT sum(CASE WHEN n = 0 THEN 0 ELSE sqrt(n) END) AS z
+        |      FROM ns),
+        |b AS (SELECT cell,
+        |        floor(20000 * (CASE WHEN n = 0 THEN 0 ELSE sqrt(n) END)
+        |              / (SELECT z FROM z))::BIGINT AS budget
+        |      FROM ns),
+        |tb AS (
+        |  SELECT * FROM (
+        |    SELECT h.doc_id, h.cell, h.toks, b.budget,
+        |           sum(h.toks) OVER (PARTITION BY h.cell
+        |             ORDER BY h.hh, h.doc_id
+        |             ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM h JOIN b USING (cell))
+        |  WHERE cum <= budget)
+        |SELECT b.cell, b.budget::DOUBLE AS budget,
+        |       coalesce(t.k, 0)::DOUBLE AS kept_docs,
+        |       coalesce(t.tk, 0)::DOUBLE AS kept_tokens,
+        |       coalesce(t.ids, 0)::DOUBLE AS id_sum
+        |FROM b LEFT JOIN (
+        |  SELECT cell, count(*) AS k, sum(toks) AS tk,
+        |         sum(doc_id) AS ids
+        |  FROM tb GROUP BY 1) t USING (cell)""".stripMargin)
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.util.QueryExecutionListener
 
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Clustering, Dedup, Similarity}
 
 /** Scale probe for the dedup/ANN family: runs the q24/q32/q45 engine
   * operators on the sf corpus and on a MULT×-enlarged variant, reporting
@@ -537,6 +537,37 @@ object ScaleProbe {
     semdedup(emb0.limit(200), 2)
     cc(ccEdges(4))
 
+    // distributed k-means (q102 engine path): FIXED k and iteration count
+    // while the corpus grows — each iteration is one scan plus a
+    // numTasks × k slim-state shuffle, so cost must track the scan
+    def kmeansProbe(e: DataFrame): Long = {
+      val init = Clustering.initMinId(e, "vec_id", "embedding", 8)
+      val model = Clustering.lloyd(e, "embedding", init, iterations = 3)
+      model.history.last.cellSizes.values.sum
+    }
+    // embedding decontamination (q103 engine path): FIXED 64-probe set
+    // (an eval set does not grow with the training corpus) broadcast as
+    // literals — pure map-side, must scale ~linearly with the scan
+    def embDecontamProbe(e: DataFrame): Long = {
+      val probes = Similarity.collectProbes(
+        e.where(pmod(col("vec_id"), lit(997)) === 0).limit(64),
+        "vec_id", "embedding")
+      Similarity.decontaminateByEmbedding(
+        e, "vec_id", "embedding", probes, tau = 0.35)
+        .agg(count(when(col("contaminated"), 1))).collect().head.getLong(0)
+    }
+    // fuzzy paragraph dedup (q104 engine path): injected-break corpus,
+    // capped LSH + CC at paragraph granularity; the decorrelated copies
+    // keep cross-copy shingle overlap near zero so removal stays ~linear
+    def fuzzyParaProbe(d: DataFrame): Long = {
+      val paraDocs = d.select(col("doc_id"),
+        regexp_replace(col("text"), graft.SparkEntry.ParaInjectPattern,
+          graft.SparkEntry.ParaInjectReplacement).as("text"))
+      Dedup.nearDupParagraphs(paraDocs, "doc_id", "text", threshold = 0.5)
+        .agg(coalesce(sum(col("n_removed")), lit(0L)))
+        .collect().head.getLong(0)
+    }
+
     val resultsHead = Seq(
       ("minhash", timed(minhash(docs0)), timed(minhash(docsX))),
       ("simhash", timed(simhash(docs0)), timed(simhash(docsX))),
@@ -584,6 +615,11 @@ object ScaleProbe {
         timed(unigramCount(docs0)), timed(unigramCount(docsX))),
       ("corpus_drift", timed(drift(docs0)), timed(drift(docsX))),
       ("semdedup", timed(semdedup(emb0, 8)), timed(semdedup(embX, 8 * mult))),
+      ("kmeans", timed(kmeansProbe(emb0)), timed(kmeansProbe(embX))),
+      ("emb_decontam",
+        timed(embDecontamProbe(emb0)), timed(embDecontamProbe(embX))),
+      ("fuzzy_para_dedup",
+        timed(fuzzyParaProbe(docs0)), timed(fuzzyParaProbe(docsX))),
       ("connected_components",
         timed(cc(ccEdges(ccComps1))), timed(cc(ccEdges(ccComps1 * mult)))))
     val results = resultsHead ++ resultsTail
@@ -665,12 +701,21 @@ object ScaleProbe {
         "doc_id", "text", st, threshold = 0.5).count()
     }
 
+    // fuzzy-para skew: the 20,000×-duplicated doc's paragraphs form
+    // identical-signature hot buckets at paragraph granularity — the
+    // bucket cap must engage, CC must contract the capped pair list, and
+    // every duplicated paragraph must still be removed (identical texts
+    // collapse through the exact md5 fallback inside the capped buckets
+    // only partially — under-removal is allowed, quadratic blowup is not)
+    val (fpSkewSec, fpSkewRemoved, fpSkewExcluded) =
+      timed(fuzzyParaProbe(docsSkew))
+
     val probeJson = results.map { case (name, (s1, n1, c1), (sx, nx, cx)) =>
       val ratio = if (s1 > 0) sx / s1 else -1.0
       f""""$name":{"x1_sec":$s1%.2f,"x${mult}_sec":$sx%.2f,"ratio":$ratio%.2f,"x1_pairs":$n1,"x${mult}_pairs":$nx,"x1_cap_excluded":$c1,"x${mult}_cap_excluded":$cx}"""
     }.mkString(",")
     val line =
-      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"cc_hub":{"sec":$hubSec%.2f,"components":$hubComps,"degree":500000},"para_skew":{"sec":$pskewSec%.2f,"removed":$pskewRemoved,"copies":$SkewCopies},"boiler_skew":{"sec":$bskewSec%.2f,"removed":$bskewRemoved,"copies":$SkewCopies},"substr_skew":{"sec":$sskewSec%.2f,"removed":$sskewRemoved,"copies":$SkewCopies},"source_overlap_skew":{"sec":$soSkewSec%.2f,"shared":$soSkewShared,"cap_excluded_rows":$soSkewExcluded,"cap":10},"sem_skew":{"sec":$semSkewSec%.2f,"dropped":$semSkewDropped,"cap_excluded_rows":$semSkewExcluded,"cap":1000},"fuzzy_state_skew":{"sec":$fskewSec%.2f,"survivors":$fskewSurvivors,"cap_excluded_rows":$fskewExcluded,"cap":$SkewCap,"copies":$SkewCopies}}"""
+      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"cc_hub":{"sec":$hubSec%.2f,"components":$hubComps,"degree":500000},"para_skew":{"sec":$pskewSec%.2f,"removed":$pskewRemoved,"copies":$SkewCopies},"boiler_skew":{"sec":$bskewSec%.2f,"removed":$bskewRemoved,"copies":$SkewCopies},"substr_skew":{"sec":$sskewSec%.2f,"removed":$sskewRemoved,"copies":$SkewCopies},"source_overlap_skew":{"sec":$soSkewSec%.2f,"shared":$soSkewShared,"cap_excluded_rows":$soSkewExcluded,"cap":10},"sem_skew":{"sec":$semSkewSec%.2f,"dropped":$semSkewDropped,"cap_excluded_rows":$semSkewExcluded,"cap":1000},"fuzzy_state_skew":{"sec":$fskewSec%.2f,"survivors":$fskewSurvivors,"cap_excluded_rows":$fskewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"fuzzy_para_skew":{"sec":$fpSkewSec%.2f,"removed":$fpSkewRemoved,"cap_excluded_rows":$fpSkewExcluded,"copies":$SkewCopies}}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_probe.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

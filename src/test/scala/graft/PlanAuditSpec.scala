@@ -422,6 +422,75 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "embedding decontamination" should {
+    "scan map-side with no exchange, join, or window" in {
+      import graft.pipeline.Similarity
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val probes = Similarity.collectProbes(
+        emb.where(col("vec_id") < 4), "vec_id", "embedding")
+      val out = Similarity.decontaminateByEmbedding(
+        emb, "vec_id", "embedding", probes, tau = 0.35)
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString()
+      plan should not include "Exchange"
+      plan should not include "Join"
+      plan should not include "Window"
+    }
+  }
+
+  "distributed k-means" should {
+    "iterate via partial-combining aggregates, never a sort or window" in {
+      import graft.pipeline.Clustering
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val plans = capturePlans {
+        val init = Clustering.initMinId(emb, "vec_id", "embedding", 4)
+        Clustering.lloyd(emb, "embedding", init, iterations = 2)
+      }
+      // the iteration actions: a groupBy(cell) over the vector-stats udaf
+      val iters = plans.filter(_.contains("ObjectHashAggregate"))
+      iters should not be empty
+      iters.foreach { p =>
+        // map-side partial before the exchange: the shuffle carries k slim
+        // states per task, never corpus rows (Catalyst renames the computed
+        // grouping key to _groupingexpression, so pin the partial+exchange
+        // pair rather than the alias)
+        p should include("partial_vecstatsaggregator")
+        p should include("Exchange hashpartitioning(")
+        p should not include "Window"
+        p should not include "SortAggregate"
+      }
+    }
+
+    "assign map-side with no exchange or join" in {
+      import graft.pipeline.Clustering
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val cents = Clustering.initMinId(emb, "vec_id", "embedding", 4)
+      val out = Clustering.assign(emb, "embedding", cents)
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString()
+      plan should not include "Exchange"
+      plan should not include "Join"
+      plan should not include "Window"
+    }
+  }
+
+  "fuzzy paragraph dedup" should {
+    "reassemble without a corpus window or cartesian product" in {
+      import graft.pipeline.Dedup
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), SparkEntry.ParaInjectPattern,
+            SparkEntry.ParaInjectReplacement).as("text"))
+      val out = Dedup.nearDupParagraphs(docs, "doc_id", "text",
+        threshold = 0.5)
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString()
+      plan should not include "Window"
+      plan should not include "CartesianProduct"
+    }
+  }
+
   "row-level results" should {
     "evaluate scan constraints as map-side expressions without extra scans" in {
       import graft.checks._
