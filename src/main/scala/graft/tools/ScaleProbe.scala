@@ -420,6 +420,22 @@ object ScaleProbe {
         .scoreNaiveBayes(nbMark(d), "doc_id", "text", nbModel)
         .agg(count(when(col("predicted") === "keep", 1)))
         .collect().head.getLong(0)
+    // logistic regression (q106 engine path): FIXED dim and iteration
+    // count while the corpus grows — each GD iteration is one scan of
+    // the persisted feature frame plus a (dim+1)-row map-side-combinable
+    // gradient reduce, so cost must track the scan; the predicted-keep
+    // count pins exactly 10x (marker parity is preserved across the
+    // decorrelated copies)
+    def logregProbe(d: DataFrame): Long = {
+      val labeled = nbMark(d)
+        .withColumn("y", when(pmod(col("doc_id"), lit(2)) === 0, 1.0)
+          .otherwise(0.0))
+      val m = graft.pipeline.LogReg.train(labeled, "doc_id", "text", "y",
+        dim = 32, iterations = 3, lr = 0.5)
+      graft.pipeline.LogReg.score(labeled, "doc_id", "text", m)
+        .agg(count(when(col("predicted") === 1, 1)))
+        .collect().head.getLong(0)
+    }
     // unigram tokenizer apply (q94 engine path): broadcast-model Viterbi
     // per word inside a udf scan — pure map-side, nothing shuffles; the
     // scored-doc count pins exactly 10x (piece totals vary with the
@@ -609,6 +625,8 @@ object ScaleProbe {
         timed(perpBuckets(docs0)), timed(perpBuckets(docsX))),
       ("url_dedup", timed(urlDedup(docs0)), timed(urlDedup(docsX))),
       ("nb_score", timed(nbScore(docs0)), timed(nbScore(docsX))),
+      ("logreg_train",
+        timed(logregProbe(docs0)), timed(logregProbe(docsX))),
       ("boilerplate_lines",
         timed(boilerLines(docs0)), timed(boilerLines(docsX))),
       ("unigram_tokens",

@@ -474,6 +474,43 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "logistic-regression training" should {
+    "iterate as one cached-frame scan + a partial-combining gradient " +
+      "aggregate — no join, window, or sort per iteration" in {
+      import graft.pipeline.LogReg
+      val s = spark
+      import s.implicits._
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"),
+          (col("doc_id") % 2).cast("double").as("y"))
+      val plans = capturePlans {
+        LogReg.train(docs, "doc_id", "text", "y",
+          dim = 16, iterations = 2, lr = 0.5)
+      }
+      // gradient actions: explode over the cached feature frame into a
+      // (dim+1)-row hash aggregate with a map-side partial. Assert on the
+      // plan ABOVE the cache boundary — the InMemoryRelation subtree
+      // printed below it is the one-off feature build (whose doc-keyed
+      // joins are expected), not per-iteration work.
+      val grads = plans
+        .map(p => p.indexOf("InMemoryRelation") match {
+          case -1 => p
+          case i  => p.substring(0, i)
+        })
+        .filter(_.contains("Generate explode"))
+      grads should not be empty
+      grads.foreach { p =>
+        p should include("partial_sum")
+        p should not include "Window"
+        p should not include "SortMergeJoin"
+        p should not include "BroadcastHashJoin"
+        p should not include "SortAggregate"
+      }
+    }
+  }
+
   "fuzzy paragraph dedup" should {
     "reassemble without a corpus window or cartesian product" in {
       import graft.pipeline.Dedup
