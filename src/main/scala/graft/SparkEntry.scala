@@ -3580,6 +3580,117 @@ object SparkEntry {
         val (k, t, i) = stats.getOrElse(g, (0L, 0L, 0L))
         (g.toInt, b.toDouble, k.toDouble, t.toDouble, i.toDouble)
       }.toDF("cell", "budget", "kept_docs", "kept_tokens", "id_sum")
+    }),
+
+    // q106: logistic-regression quality classifier (the DCLM/FineWeb-Edu
+    // discriminative rung above q86's NB): hashed bag-of-words features
+    // (md5-prefix hashing — cross-engine, vocabulary-free), full-batch GD
+    // with the weight vector snapped to the 1e-6 grid per iteration (the
+    // q102 determinism convention), trained on a 20% marker-labeled
+    // slice, scored over the whole corpus. The DuckDB oracle replays the
+    // ENTIRE trajectory — featurize, 3 GD iterations, score — so every
+    // weight AND every prediction is pinned: one row per feature with
+    // the final weight, plus corpus-census columns (prediction counts,
+    // id sums, flips vs the injected labels, and a min-|logit| flag: the
+    // closest doc to the decision boundary measures 3.2e-6 (sf0.1) /
+    // 1.5e-5 (sf0.01) — the 1e-9 bar asserts every prediction sits a
+    // thousand-fold past it while cross-engine sum-order noise on
+    // identical snapped weights is ~1e-15).
+    "q106_logreg_quality" -> ((s, dir) => {
+      import graft.pipeline.LogReg
+      import org.apache.spark.sql.functions.{abs => fabs, concat_ws, min => fmin}
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val isKeep = pmod(col("doc_id"), lit(2)) === 0
+      val marker = when(isKeep,
+        lit("qkeepa qkeepb qkeepa qkeepb qkeepa qkeepb"))
+        .otherwise(lit("qtossa qtossb qtossa qtossb qtossa qtossb"))
+      val marked = docs.select(
+        col("doc_id"),
+        concat_ws(" ", col("text"), marker).as("text"),
+        when(isKeep, lit(1.0)).otherwise(lit(0.0)).as("graft_y"))
+      val train = marked.where(pmod(col("doc_id"), lit(10)) < 2)
+      val model = LogReg.train(train, "doc_id", "text", "graft_y",
+        dim = 32, iterations = 3, lr = 0.5)
+      val census = LogReg.score(marked, "doc_id", "text", model)
+        .join(marked.select(col("doc_id"), col("graft_y")), Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("predicted") === 1, 1L).otherwise(0L)).as("p1"),
+          coalesce(sum(when(col("predicted") === 1, col("doc_id"))),
+            lit(0L)).as("p1ids"),
+          count(when(col("predicted").cast(DoubleType) =!= col("graft_y"),
+            1)).as("flips"),
+          fmin(fabs(col("logit"))).as("minl"))
+        .collect().head
+      val logitOk = if (census.getDouble(4) >= 1.0e-9) 1.0 else 0.0
+      import s.implicits._
+      model.weights.toSeq.zipWithIndex.map { case (wv, f) =>
+        (f.toDouble, wv, census.getLong(0).toDouble,
+          census.getLong(1).toDouble, census.getLong(2).toDouble,
+          census.getLong(3).toDouble, logitOk)
+      }.toDF("feat", "w", "n_docs", "pred1_docs", "pred1_id_sum",
+        "flipped", "logit_ok")
+    }),
+
+    // q107: incremental k-means state — the q76/q93 persisted-state
+    // convention applied to clustering: per-cell sufficient statistics
+    // (n, Σx, Σ|x|²) under FIXED centroids are a commutative monoid, so
+    // a daily embedding batch computes ONLY its own state, merges with
+    // the persisted history, and re-derives centroids without
+    // rescanning it. The query trains TWO half-corpus states, stages
+    // both through parquet (write + reload), merges, and derives the
+    // stepped centroids; the DuckDB oracle computes the same numbers
+    // from the FULL corpus in one pass — matching outputs prove
+    // merge(state(A), state(B)) == state(A ∪ B) through the oracle
+    // (integer-exact n, grid-snapped means), and an in-query census
+    // additionally pins merged == full row-for-row.
+    "q107_kmeans_state" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val init = Clustering.initMinId(emb, "vec_id", "embedding", 4)
+      val valid = emb.where(col("embedding").isNotNull)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q107").toString
+      Clustering.writeCellState(
+        Clustering.cellState(
+          valid.where(pmod(col("vec_id"), lit(2)) === 0), "embedding", init),
+        s"$tmp/a")
+      Clustering.writeCellState(
+        Clustering.cellState(
+          valid.where(pmod(col("vec_id"), lit(2)) === 1), "embedding", init),
+        s"$tmp/b")
+      val merged = Clustering.mergeCellStates(
+        Clustering.readCellState(s, s"$tmp/a"),
+        Clustering.readCellState(s, s"$tmp/b"))
+      def snapshot(st: org.apache.spark.sql.DataFrame) = st.collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+          r.getSeq[Double](3).toArray))).toMap
+      val m = snapshot(merged)
+      val f = snapshot(Clustering.cellState(valid, "embedding", init))
+      // merged == full: integer-exact counts, vector sums within the
+      // float-order band (1e-6 absolute — 3 orders above the ~1e-9
+      // worst-case reorder noise, 1 order under the output grid)
+      val mergeOk = m.keySet == f.keySet && m.forall { case (c, (n, sq, sm)) =>
+        val (fn, fsq, fsm) = f(c)
+        n == fn && math.abs(sq - fsq) < 1e-6 &&
+          sm.zip(fsm).forall { case (x, y) => math.abs(x - y) < 1e-6 }
+      }
+      val cents = Clustering.centroidsFromState(merged, init, 6)
+      import s.implicits._
+      (0 until 4).map { cell =>
+        val (n, sq, sm) = m.getOrElse(cell, (0L, 0.0, Array.empty[Double]))
+        val sumAll = sm.foldLeft(0.0)(_ + _)
+        val c = cents(cell)
+        val norm2 = c.foldLeft(0.0)((a, x) => a + x * x)
+        (cell.toDouble, n.toDouble,
+          BigDecimal(sumAll).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          BigDecimal(sq).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          BigDecimal(norm2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          if (mergeOk) 1.0 else 0.0)
+      }.toDF("cell", "n_docs", "sum_all_r", "sum_sq_r", "c_norm2_r",
+        "merge_ok")
     })
   )
 
@@ -7163,6 +7274,134 @@ object SparkEntry {
         |FROM b LEFT JOIN (
         |  SELECT cell, count(*) AS k, sum(toks) AS tk,
         |         sum(doc_id) AS ids
-        |  FROM tb GROUP BY 1) t USING (cell)""".stripMargin)
+        |  FROM tb GROUP BY 1) t USING (cell)""".stripMargin),
+
+    // q106: the full GD trajectory replayed — featurize (md5-prefix
+    // hashed, L1-normalized, intercept appended), 3 gradient-descent
+    // iterations with the 1e-6 weight snap, corpus scoring, census.
+    // Iteration CTEs are MATERIALIZED (the q94 lesson: DuckDB inlines
+    // multiply-referenced CTEs, re-evaluating the chain exponentially).
+    "q106_logreg_quality" -> {
+      val iterCtes = (1 to 3).map { i =>
+        s"""m$i AS MATERIALIZED (
+           |  SELECT fx.doc_id, any_value(fx.y) AS y,
+           |    1/(1+exp(-(sum(w${i - 1}.w * fx.x)))) AS p
+           |  FROM fx JOIN w${i - 1} USING (f) GROUP BY fx.doc_id
+           |), g$i AS MATERIALIZED (
+           |  SELECT fx.f, sum((m.p - m.y) * fx.x) AS g
+           |  FROM fx JOIN m$i m USING (doc_id) GROUP BY fx.f
+           |), w$i AS MATERIALIZED (
+           |  SELECT w.f,
+           |    round(w.w - 0.5 * (coalesce(g.g, 0) / (SELECT n FROM ntr)),
+           |          6) AS w
+           |  FROM w${i - 1} w LEFT JOIN g$i g USING (f)
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH marked AS (
+         |  SELECT doc_id,
+         |    concat_ws(' ', text, CASE WHEN doc_id % 2 = 0
+         |      THEN 'qkeepa qkeepb qkeepa qkeepb qkeepa qkeepb'
+         |      ELSE 'qtossa qtossb qtossa qtossb qtossa qtossb' END) AS text,
+         |    CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents WHERE doc_id IS NOT NULL
+         |), tr AS (
+         |  SELECT * FROM marked WHERE doc_id % 10 < 2
+         |), ntr AS (SELECT count(*) AS n FROM tr),
+         |ttok AS (
+         |  SELECT doc_id, y, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+         |  FROM tr
+         |), tcnt AS (
+         |  SELECT doc_id, any_value(y) AS y,
+         |    (('0x' || substr(md5('feat:' || term), 1, 8))::BIGINT % 32)
+         |      AS f,
+         |    count(*) AS c
+         |  FROM ttok GROUP BY doc_id, f
+         |), ttot AS (SELECT doc_id, sum(c) AS tot FROM tcnt GROUP BY 1),
+         |fx AS MATERIALIZED (
+         |  SELECT t.doc_id, t.y, t.f, t.c::DOUBLE / tt.tot AS x
+         |  FROM tcnt t JOIN ttot tt USING (doc_id)
+         |  UNION ALL
+         |  SELECT doc_id, y, 32 AS f, 1.0 AS x FROM tr
+         |), w0 AS (SELECT f, 0.0 AS w FROM range(33) t(f)),
+         |$iterCtes,
+         |stok AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+         |  FROM marked
+         |), scnt AS (
+         |  SELECT doc_id,
+         |    (('0x' || substr(md5('feat:' || term), 1, 8))::BIGINT % 32)
+         |      AS f,
+         |    count(*) AS c
+         |  FROM stok GROUP BY doc_id, f
+         |), stot AS (SELECT doc_id, sum(c) AS tot FROM scnt GROUP BY 1),
+         |sfx AS MATERIALIZED (
+         |  SELECT s.doc_id, s.f, s.c::DOUBLE / st.tot AS x
+         |  FROM scnt s JOIN stot st USING (doc_id)
+         |  UNION ALL
+         |  SELECT doc_id, 32 AS f, 1.0 AS x FROM marked
+         |), sl AS MATERIALIZED (
+         |  SELECT sfx.doc_id, sum(w3.w * sfx.x) AS logit
+         |  FROM sfx JOIN w3 USING (f) GROUP BY 1
+         |), cen AS (
+         |  SELECT count(*) AS n,
+         |    sum(CASE WHEN s.logit >= 0 THEN 1 ELSE 0 END) AS p1,
+         |    coalesce(sum(CASE WHEN s.logit >= 0 THEN s.doc_id END), 0)
+         |      AS p1ids,
+         |    count(CASE WHEN (CASE WHEN s.logit >= 0 THEN 1.0 ELSE 0.0 END)
+         |      <> m.y THEN 1 END) AS flips,
+         |    min(abs(s.logit)) AS minl
+         |  FROM sl s JOIN marked m USING (doc_id))
+         |SELECT w3.f::DOUBLE AS feat, w3.w AS w, cen.n::DOUBLE AS n_docs,
+         |  cen.p1::DOUBLE AS pred1_docs, cen.p1ids::DOUBLE AS pred1_id_sum,
+         |  cen.flips::DOUBLE AS flipped,
+         |  CASE WHEN cen.minl >= 1.0e-9 THEN 1.0 ELSE 0.0 END AS logit_ok
+         |FROM w3 CROSS JOIN cen""".stripMargin
+    },
+
+    // q107: the oracle computes the cell statistics from the FULL corpus
+    // in one pass (assignment under the same min-id init centroids, the
+    // q102 tie convention); Spark's output comes from the disk-staged
+    // half-state merge — a match proves the monoid law through the
+    // oracle. merge_ok mirrors the in-query census (constant 1.0 when
+    // the law holds).
+    "q107_kmeans_state" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), c0 AS MATERIALIZED (
+        |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell,
+        |         embedding::DOUBLE[] AS c
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 4)
+        |), af AS MATERIALIZED (
+        |  SELECT e.vec_id, e.v,
+        |    (SELECT cell FROM c0 ORDER BY
+        |       list_inner_product(e.v, c) - list_inner_product(c, c) / 2
+        |         DESC, cell DESC LIMIT 1) AS cell
+        |  FROM e
+        |), st AS (
+        |  SELECT cell, count(*) AS n,
+        |    round(sum(list_sum(v)), 3) AS sum_all_r,
+        |    round(sum(list_inner_product(v, v)), 3) AS sum_sq_r
+        |  FROM af GROUP BY 1
+        |), md AS (
+        |  SELECT cell, i, round(avg(x), 6) AS mr
+        |  FROM (SELECT cell, generate_subscripts(v, 1) AS i,
+        |          unnest(v) AS x FROM af)
+        |  GROUP BY cell, i
+        |), mn AS (
+        |  SELECT cell, round(sum(mr * mr), 6) AS c_norm2_r FROM md
+        |  GROUP BY 1
+        |)
+        |SELECT c0.cell::DOUBLE AS cell, coalesce(st.n, 0)::DOUBLE AS n_docs,
+        |  coalesce(st.sum_all_r, 0.0) AS sum_all_r,
+        |  coalesce(st.sum_sq_r, 0.0) AS sum_sq_r,
+        |  coalesce(mn.c_norm2_r,
+        |    round(list_inner_product(c0.c, c0.c), 6)) AS c_norm2_r,
+        |  1.0 AS merge_ok
+        |FROM c0 LEFT JOIN st USING (cell) LEFT JOIN mn USING (cell)"""
+        .stripMargin
   )
 }

@@ -311,6 +311,103 @@ object Clustering {
     lloyd(corpus, vecCol,
       initKMeansPlusPlus(corpus, vecCol, k, sampleSize, seed), iterations)
 
+  // -- incremental centroid state (the q76/q93 persisted-state shape) -------
+
+  /** Per-cell sufficient statistics of `corpus` under FIXED centroids —
+    * the production refresh shape: a daily batch computes ONLY its own
+    * state (one scan + the numTasks × k slim-state shuffle), merges with
+    * the persisted history ([[mergeCellStates]] — the stats form a
+    * commutative monoid), and re-derives centroids from counts
+    * ([[centroidsFromState]]) without rescanning history. Output: one
+    * row per non-empty cell — (cell, n, sum_sq, sums).
+    */
+  def cellState(
+      corpus: DataFrame,
+      vecCol: String,
+      centroids: Seq[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "cellState needs at least one centroid")
+    val dim = centroids.head.length
+    val agg = udaf(new VecStatsAggregator, ExpressionEncoder[Seq[Float]]())
+    corpus
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(vecCol).as("graft_v"))
+      .groupBy(assignCell(col("graft_v"), centroids).as("cell"))
+      .agg(agg(col("graft_v")).as("graft_st"))
+      .select(col("cell"),
+        col("graft_st._1").as("n"),
+        col("graft_st._2").as("sum_sq"),
+        col("graft_st._3").as("sums"))
+  }
+
+  /** Persist a cell state to parquet (k slim rows). */
+  def writeCellState(state: DataFrame, path: String): Unit =
+    state.select(col("cell"), col("n"), col("sum_sq"), col("sums"))
+      .write.mode("overwrite").parquet(path)
+
+  def readCellState(spark: org.apache.spark.sql.SparkSession, path: String)
+      : DataFrame =
+    spark.read.parquet(path)
+
+  /** Monoid merge of cell states: integer-exact on counts, element-wise
+    * double sums on the vectors (associative up to float rounding — the
+    * [[centroidsFromState]] decimal grid absorbs the ~1e-13 order
+    * noise). k-row frames; the fold is list-aggregation over at most
+    * one row per state per cell.
+    */
+  def mergeCellStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("cell"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_sq")).as("sum_sq"),
+        // collect ONCE, fold in the next select: two collect_list calls
+        // would be independent aggregate expressions whose collection
+        // orders can disagree, double-counting one vector and dropping
+        // another
+        collect_list(col("sums")).as("graft_ls"))
+      .select(col("cell"), col("n"), col("sum_sq"),
+        // element-wise vector sum: fold the (<= 2 per cell) collected
+        // sum-vectors with zip_with; zero = the first vector's shape
+        aggregate(
+          // exact tail length — slice(_, 2, Int.MaxValue) overflows
+          // start+length inside Slice and yields an EMPTY tail, silently
+          // dropping every vector after the first
+          slice(col("graft_ls"), lit(2),
+            greatest(size(col("graft_ls")) - 1, lit(0))),
+          element_at(col("graft_ls"), 1),
+          (acc, v) => zip_with(acc, v, (x, y) => x + y)).as("sums"))
+
+  /** Re-derive centroids from a (possibly merged) state: mean per cell
+    * snapped to the `roundDecimals` grid; cells absent from the state
+    * (or empty) carry their previous centroid — [[lloyd]] semantics
+    * exactly, so `centroidsFromState(merge(state(A), state(B)))` equals
+    * one distributed Lloyd step over A ∪ B on the same grid.
+    */
+  def centroidsFromState(
+      state: DataFrame,
+      previous: Seq[Array[Double]],
+      roundDecimals: Int = 6): Seq[Array[Double]] = {
+    val dim = previous.head.length
+    val rows = state.select(col("cell"), col("n"), col("sums"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Double](2).toArray)))
+      .toMap
+    previous.zipWithIndex.map { case (old, cell) =>
+      rows.get(cell) match {
+        case Some((n, sums)) if n > 0 =>
+          Array.tabulate(dim) { i =>
+            val mean = sums(i) / n
+            if (roundDecimals >= 0)
+              BigDecimal(mean)
+                .setScale(roundDecimals, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+            else mean
+          }
+        case _ => old
+      }
+    }
+  }
+
   /** Final cluster assignment: `df`'s columns plus `cell` (nearest
     * centroid) and `dist2` (squared L2 to it). Rows whose vector is
     * null or dim-mismatched get null cell/dist2 — they were never

@@ -150,6 +150,53 @@ class ClusteringSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "cellState / mergeCellStates / centroidsFromState" should {
+    "merge to the full-corpus state exactly and step like lloyd" in {
+      val s = spark
+      import s.implicits._
+      val all = points.map { case (id, v) => (id, v.toSeq) }.toDF("id", "vec")
+      val a = all.where(col("id") % 2 === 0)
+      val b = all.where(col("id") % 2 === 1)
+      val init = Clustering.initMinId(all, "id", "vec", 2)
+
+      val merged = Clustering.mergeCellStates(
+        Clustering.cellState(a, "vec", init),
+        Clustering.cellState(b, "vec", init))
+      val full = Clustering.cellState(all, "vec", init)
+      def snapshot(st: org.apache.spark.sql.DataFrame) = st.collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP),
+          r.getSeq[Double](3).map(x => BigDecimal(x).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP)).toList))).toMap
+      snapshot(merged) shouldBe snapshot(full)
+
+      // centroidsFromState over the merged state == one lloyd step on
+      // the same grid
+      val stepped = Clustering.centroidsFromState(merged, init, 6)
+      val viaLloyd = Clustering.lloyd(all, "vec", init,
+        iterations = 1, roundDecimals = 6).centroids
+      stepped.map(_.toSeq) shouldBe viaLloyd.map(_.toSeq)
+    }
+
+    "round-trip through parquet and carry empty cells" in {
+      val s = spark
+      import s.implicits._
+      val all = points.map { case (id, v) => (id, v.toSeq) }.toDF("id", "vec")
+      val init = Clustering.initMinId(all, "id", "vec", 2)
+      // a far-away third centroid claims nothing: absent from the state
+      val far = init :+ Array(100.0, 100.0)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-kmstate").toString
+      Clustering.writeCellState(
+        Clustering.cellState(all, "vec", far), s"$dir/st")
+      val re = Clustering.readCellState(s, s"$dir/st")
+      re.select("cell").collect().map(_.getInt(0)).toSet shouldBe Set(0, 1)
+      val stepped = Clustering.centroidsFromState(re, far, 6)
+      stepped(2).toSeq shouldBe Seq(100.0, 100.0) // carried, not invented
+    }
+  }
+
   "initMinId and initKMeansPlusPlus" should {
     "return k vectors; ++ seeds spread across the groups" in {
       val s = spark
