@@ -3691,6 +3691,29 @@ object SparkEntry {
           if (mergeOk) 1.0 else 0.0)
       }.toDF("cell", "n_docs", "sum_all_r", "sum_sq_r", "c_norm2_r",
         "merge_ok")
+    }),
+
+    // q108: DoReMi-style domain reweighting (Xie et al. 2023, simplified
+    // to a fixed reference loss): exponentiated-gradient ascent on the
+    // source-mixture weights over per-domain EXCESS unigram NLL — one
+    // distributed corpus pass computes the per-domain losses, five K-row
+    // driver iterations reweight (surprising domains gain, a 10% uniform
+    // floor keeps every domain sampled), weights snapped to the 1e-6
+    // grid per iteration. The DuckDB oracle replays the WHOLE thing —
+    // tokenize, corpus-LM NLLs, all five multiplicative updates, the
+    // budget carve — so every weight and budget is pinned.
+    "q108_domain_reweight" -> ((s, dir) => {
+      import graft.pipeline.Mixing
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val res = Mixing.domainReweight(docs, "source", "text",
+        iterations = 5, eta = 0.5, uniformMix = 0.1)
+      val sortedDomains = res.weights.keys.toSeq.sorted
+      val z = sortedDomains.map(res.weights).sum
+      import s.implicits._
+      sortedDomains.map { d =>
+        (d, res.tokens(d).toDouble, res.nll(d), res.weights(d),
+          math.floor(20000.0 * res.weights(d) / z))
+      }.toDF("domain", "tokens", "nll_r", "alpha", "budget")
     })
   )
 
@@ -7402,6 +7425,48 @@ object SparkEntry {
         |    round(list_inner_product(c0.c, c0.c), 6)) AS c_norm2_r,
         |  1.0 AS merge_ok
         |FROM c0 LEFT JOIN st USING (cell) LEFT JOIN mn USING (cell)"""
-        .stripMargin
+        .stripMargin,
+
+    // q108: the full reweighting trajectory replayed — corpus-LM
+    // per-domain NLLs (rounded to the same grid BEFORE the chain, so
+    // distributed float-sum order cannot leak in), five multiplicative-
+    // update iterations with per-iteration snapping, final budget carve.
+    "q108_domain_reweight" -> {
+      val iterCtes = (1 to 5).map { t =>
+        s"""b$t AS MATERIALIZED (
+           |  SELECT d.source, w.a * exp(0.5 * (d.nll -
+           |    (SELECT sum(w2.a * d2.nll)
+           |     FROM w${t - 1} w2 JOIN dn d2 USING (source)))) AS u
+           |  FROM dn d JOIN w${t - 1} w USING (source)
+           |), w$t AS MATERIALIZED (
+           |  SELECT source,
+           |    round(0.9 * u / (SELECT sum(u) FROM b$t)
+           |          + 0.1 / (SELECT k FROM kk), 6) AS a
+           |  FROM b$t
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS (
+         |  SELECT source, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+         |), tf AS (
+         |  SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2
+         |), ct AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+         |tt AS (SELECT sum(cnt) AS t FROM ct),
+         |dn AS MATERIALIZED (
+         |  SELECT tf.source, sum(tf.tf) AS tokens,
+         |    round(sum(tf.tf * -ln(ct.cnt::DOUBLE / (SELECT t FROM tt)))
+         |          / sum(tf.tf), 6) AS nll
+         |  FROM tf JOIN ct USING (term) GROUP BY 1
+         |), kk AS (SELECT count(*) AS k FROM dn),
+         |w0 AS (SELECT source, round(1.0 / (SELECT k FROM kk), 6) AS a
+         |       FROM dn),
+         |$iterCtes
+         |SELECT dn.source AS domain, dn.tokens::DOUBLE AS tokens,
+         |  dn.nll AS nll_r, w5.a AS alpha,
+         |  floor(20000.0 * w5.a / (SELECT sum(a) FROM w5)) AS budget
+         |FROM dn JOIN w5 USING (source)""".stripMargin
+    }
   )
 }

@@ -41,6 +41,17 @@ import org.apache.spark.sql.types._
   */
 object Mixing {
 
+  /** [[domainReweight]]'s outcome: `weights` = the final grid-snapped
+    * mixture weights per domain, `nll` = the snapped per-domain mean
+    * NLLs that drove them, `tokens` = exact per-domain token counts,
+    * `history` = the weight vector after every iteration.
+    */
+  final case class DomainReweightResult(
+      weights: Map[String, Double],
+      nll: Map[String, Double],
+      tokens: Map[String, Long],
+      history: List[Map[String, Double]])
+
   /** 8-hex-char deterministic rank of a row id in [0, 2^32), as a string:
     * `substr(md5("<seed>:<id>"), 1, 8)`. Lowercase hex, so lexicographic
     * order == numeric order at fixed width. Null ids rank null — SQL
@@ -182,6 +193,101 @@ object Mixing {
     else weights.map { case (g, w) =>
       g -> math.floor(totalBudget * w / z).toLong
     }.toMap
+  }
+
+  /** Per-domain corpus statistics for [[domainReweight]]: one row per
+    * (non-null) domain with its exact token count and its mean per-token
+    * negative log-likelihood under the CORPUS-level unigram LM,
+    * `nll_d = Σ_t tf_{d,t}·(−ln(cnt_t / T)) / tokens_d` — the "how
+    * surprising is this domain relative to the whole mixture" signal
+    * that drives the reweighting. Scale shape: one tokenize pass into a
+    * (domain, term, tf) frame (map-side-combinable groupBy), corpus term
+    * totals derived from THAT frame by a second slim groupBy (vocab-
+    * sized, never corpus-sized), one equi-join on term, and a K-row
+    * rollup. Nothing corpus-sized shuffles twice.
+    */
+  def domainNll(
+      df: DataFrame,
+      domainCol: String,
+      textCol: String): DataFrame = {
+    val tf = df.where(col(domainCol).isNotNull)
+      .select(col(domainCol).cast(StringType).as("graft_d"),
+        explode(TextAnalysis.normalizedTokens(col(textCol))).as("graft_t"))
+      .groupBy(col("graft_d"), col("graft_t"))
+      .agg(count(lit(1)).as("graft_tf"))
+      .persist()
+    val totals = tf.groupBy(col("graft_t"))
+      .agg(sum(col("graft_tf")).as("graft_cnt"))
+    val grand = totals
+      .agg(coalesce(sum(col("graft_cnt")), lit(0L)).as("graft_grand"))
+    val out = tf
+      .join(totals, Seq("graft_t"))
+      .crossJoin(broadcast(grand))
+      .groupBy(col("graft_d").as("domain"))
+      .agg(
+        sum(col("graft_tf")).as("tokens"),
+        (sum(col("graft_tf") *
+          -log(col("graft_cnt").cast(DoubleType) / col("graft_grand"))) /
+          sum(col("graft_tf"))).as("nll"))
+    val rows = out.collect()
+    tf.unpersist(blocking = false)
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, arXiv:2305.10429,
+    * simplified to a fixed per-domain reference loss): exponentiated-
+    * gradient ascent on mixture weights over the per-domain EXCESS loss,
+    * `α̃_d ← α_d·exp(η·(nll_d − Σ_e α_e·nll_e))`, then normalize, mix
+    * `c/K` uniform smoothing in, and snap to the `roundDecimals` grid —
+    * so domains more surprising than the current-mixture average gain
+    * weight, the uniform floor keeps every domain sampled, and the whole
+    * trajectory is a pure function of the data (the q102/q106 determinism
+    * convention; per-domain NLLs are snapped to the same grid BEFORE the
+    * chain so distributed float-sum order cannot leak in). The heavy work
+    * is the ONE [[domainNll]] corpus pass; iterations are K-row driver
+    * math. Returns (sorted-domain) final weights, the snapped NLLs, exact
+    * token counts, and the full weight trajectory.
+    */
+  def domainReweight(
+      df: DataFrame,
+      domainCol: String,
+      textCol: String,
+      iterations: Int = 5,
+      eta: Double = 0.5,
+      uniformMix: Double = 0.1,
+      roundDecimals: Int = 6): DomainReweightResult = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(uniformMix >= 0 && uniformMix < 1,
+      s"uniformMix must be in [0, 1), got $uniformMix")
+    require(roundDecimals >= 0, "roundDecimals is the determinism grid")
+    def snap(v: Double): Double =
+      BigDecimal(v).setScale(roundDecimals, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val stats = domainNll(df, domainCol, textCol).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        snap(if (r.isNullAt(2)) 0.0 else r.getDouble(2))))
+      .sortBy(_._1)
+    require(stats.nonEmpty, "domainReweight needs at least one domain")
+    val k = stats.length
+    val nll = stats.map(_._3)
+    var alpha = Array.fill(k)(snap(1.0 / k))
+    var history = List.empty[Array[Double]]
+    for (_ <- 1 to iterations) {
+      val baseline = alpha.zip(nll).map { case (a, l) => a * l }.sum
+      val unnorm = alpha.zip(nll).map { case (a, l) =>
+        a * math.exp(eta * (l - baseline))
+      }
+      val z = unnorm.sum
+      alpha = unnorm.map(u =>
+        snap((1.0 - uniformMix) * u / z + uniformMix / k))
+      history ::= alpha
+    }
+    DomainReweightResult(
+      stats.map(_._1).zip(alpha).toMap,
+      stats.map(s => s._1 -> s._3).toMap,
+      stats.map(s => s._1 -> s._2).toMap,
+      history.reverse.map(a => stats.map(_._1).zip(a).toMap))
   }
 
   /** Rows of `df` forming, per group, the hash-ordered prefix whose

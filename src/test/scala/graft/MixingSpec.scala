@@ -279,4 +279,69 @@ class MixingSpec extends AnyWordSpec with Matchers with SparkSpec {
       }
     }
   }
+
+  "domainReweight" should {
+    "match an independent in-memory replay of the whole chain" in {
+      val s = spark
+      import s.implicits._
+      // two domains with very different surprise under the corpus LM:
+      // 'a' dominates the corpus, so the all-rare domain scores higher NLL
+      val df = Seq(
+        (1L, "common", "a a a a a a a a"),
+        (2L, "common", "a a a a b"),
+        (3L, "rare", "x y z b"),
+        (4L, "rare", "x q r")).toDF("doc_id", "source", "text")
+      val res = Mixing.domainReweight(df, "source", "text",
+        iterations = 3, eta = 0.5, uniformMix = 0.1)
+
+      // in-memory replica sharing no engine code
+      def snap(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val docs = Seq(
+        ("common", "a a a a a a a a"), ("common", "a a a a b"),
+        ("rare", "x y z b"), ("rare", "x q r"))
+      val toks = docs.flatMap { case (d, t) =>
+        t.toLowerCase.split("\\s+").filter(_.nonEmpty).map(d -> _) }
+      val cnt = toks.groupBy(_._2).map { case (t, g) => t -> g.size }
+      val tTot = toks.size.toDouble
+      val nll = toks.groupBy(_._1).map { case (d, g) =>
+        d -> snap(g.map { case (_, t) =>
+          -math.log(cnt(t) / tTot) }.sum / g.size)
+      }
+      val doms = nll.keys.toSeq.sorted
+      var a = doms.map(_ => snap(1.0 / doms.size)).toArray
+      for (_ <- 1 to 3) {
+        val base = doms.zip(a).map { case (d, w) => w * nll(d) }.sum
+        val u = doms.zip(a).map { case (d, w) =>
+          w * math.exp(0.5 * (nll(d) - base)) }
+        val z = u.sum
+        a = u.map(x => snap(0.9 * x / z + 0.1 / doms.size)).toArray
+      }
+      res.nll shouldBe nll
+      doms.zip(a).foreach { case (d, w) =>
+        res.weights(d) shouldBe w +- 1e-12
+      }
+      // the rare domain is more surprising than the mixture -> gains mass
+      res.weights("rare") should be > res.weights("common")
+      res.tokens shouldBe Map("common" -> 13L, "rare" -> 7L)
+      res.history should have length 3
+    }
+
+    "reject empty input and bad parameters loudly" in {
+      val s = spark
+      import s.implicits._
+      val empty = Seq.empty[(Long, String, String)]
+        .toDF("doc_id", "source", "text")
+      intercept[IllegalArgumentException] {
+        Mixing.domainReweight(empty, "source", "text")
+      }.getMessage should include("at least one domain")
+      val one = Seq((1L, "d", "a")).toDF("doc_id", "source", "text")
+      intercept[IllegalArgumentException] {
+        Mixing.domainReweight(one, "source", "text", uniformMix = 1.0)
+      }
+      intercept[IllegalArgumentException] {
+        Mixing.domainReweight(one, "source", "text", iterations = 0)
+      }
+    }
+  }
 }
