@@ -3714,6 +3714,40 @@ object SparkEntry {
         (d, res.tokens(d).toDouble, res.nll(d), res.weights(d),
           math.floor(20000.0 * res.weights(d) / z))
       }.toDF("domain", "tokens", "nll_r", "alpha", "budget")
+    }),
+
+    // q109: count-min-sketch heavy hitters — the bounded-memory frequency
+    // primitive next to KLL/HLL: one scan builds the mergeable 4×2048
+    // counter matrix (map-side-combining Aggregator, 64 KB per task), the
+    // finished sketch rides a map-side filter as closure data (no join),
+    // and only candidates with estimate >= threshold reach the exact-count
+    // groupBy. Because CMS never underestimates, the candidate set is a
+    // SUPERSET of the true above-threshold set — so the exact top-10 and
+    // the above-threshold census are complete, and the oracle verifies
+    // them from a full SQL aggregation. cms_ok additionally pins the
+    // sketch-side properties Spark alone can see: estimate >= exact on
+    // every top term, and max overestimate <= the e·N/width error bound.
+    "q109_cms_heavy_hitters" -> ((s, dir) => {
+      import graft.sketch.CountMin
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val terms = docs.select(
+        explode(TextAnalysis.normalizedTokens(col("text"))).as("term"))
+      val cms = CountMin.sketch(terms, col("term"),
+        depth = 4, width = 2048, seed = 42)
+      val thr = math.max(1L, math.ceil(cms.total * 0.002).toLong)
+      val hits = CountMin.heavyHitters(terms, col("term"), cms, thr)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val top = hits.sortBy { case (t, c) => (-c, t) }.take(10)
+      val bound = math.ceil(math.E * cms.total / 2048.0).toLong
+      val cmsOk = top.forall { case (t, c) =>
+        val e = cms.estimate(t); e >= c && e - c <= bound
+      }
+      import s.implicits._
+      top.zipWithIndex.map { case ((t, c), i) =>
+        ((i + 1).toDouble, t, c.toDouble, cms.total.toDouble, thr.toDouble,
+          hits.length.toDouble, if (cmsOk) 1.0 else 0.0)
+      }.toSeq.toDF("rank", "term", "cnt", "n_tokens", "thr",
+        "n_above_thr", "cms_ok")
     })
   )
 
@@ -7467,6 +7501,30 @@ object SparkEntry {
          |  dn.nll AS nll_r, w5.a AS alpha,
          |  floor(20000.0 * w5.a / (SELECT sum(a) FROM w5)) AS budget
          |FROM dn JOIN w5 USING (source)""".stripMargin
-    }
+    },
+
+    // q109: exact replay of everything the sketch's superset property
+    // makes exact — the above-threshold census and the top-10 with exact
+    // counts; cms_ok mirrors Spark's sketch-side property flags.
+    "q109_cms_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+        |nt AS (SELECT sum(cnt) AS n FROM tc),
+        |th AS (SELECT greatest(1,
+        |         ceil((SELECT n FROM nt) * 0.002))::BIGINT AS thr),
+        |ab AS (SELECT count(*) AS k FROM tc
+        |       WHERE cnt >= (SELECT thr FROM th))
+        |SELECT rank::DOUBLE AS rank, term, cnt::DOUBLE AS cnt,
+        |  (SELECT n FROM nt)::DOUBLE AS n_tokens,
+        |  (SELECT thr FROM th)::DOUBLE AS thr,
+        |  (SELECT k FROM ab)::DOUBLE AS n_above_thr,
+        |  1.0 AS cms_ok
+        |FROM (SELECT term, cnt, row_number() OVER (
+        |        ORDER BY cnt DESC, term ASC) AS rank
+        |      FROM tc WHERE cnt >= (SELECT thr FROM th))
+        |WHERE rank <= 10""".stripMargin
   )
 }
