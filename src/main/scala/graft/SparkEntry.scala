@@ -3748,6 +3748,61 @@ object SparkEntry {
           hits.length.toDouble, if (cmsOk) 1.0 else 0.0)
       }.toSeq.toDF("rank", "term", "cnt", "n_tokens", "thr",
         "n_above_thr", "cms_ok")
+    }),
+
+    // q110: bloom-filter decontamination — q49's semantics through the
+    // large-probe-set scale path: a mergeable Bloom bitset over the
+    // probe gram hashes rides the corpus scan as a one-row broadcast,
+    // might_contain kills non-matching grams map-side, and the exact
+    // verify join (unhinted — only bloom survivors shuffle) removes
+    // every false positive. Census pins are IDENTICAL to q49's by
+    // construction (no false negatives + exact verify) — the oracle
+    // replays the same substring containment; two Spark-side flags pin
+    // the bloom-stage properties: candidates are a superset of true
+    // matches, and the false-positive volume stays under 1% of the
+    // corpus gram stream.
+    "q110_bloom_decontamination" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{concat_ws, size => fsize, slice => fslice}
+      val docs = table(s, dir, "documents")
+      val ntoks = TextAnalysis.normalizedTokens(col("text"))
+      val probes = docs.filter(col("doc_id").isin(20L, 30L, 45L))
+        .filter(fsize(ntoks) >= 18)
+        .select(concat_ws(" ", fslice(ntoks, 6, 13)).as("probe"))
+        .distinct()
+      val probeGrams = TextAnalysis.probeGramHashes(probes, "probe", n = 13)
+        .persist()
+      val cands = TextAnalysis.bloomGramFilter(
+        docs, "doc_id", "text", probeGrams, n = 13, estimatedItems = 1000L)
+        .persist()
+      val nCandRows = cands.count()
+      val matches = cands.join(probeGrams, "graft_gram")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("graft_gram")).as("matched_ngrams"))
+        .persist()
+      val agg = matches
+        .agg(count(lit(1)), coalesce(sum(col("matched_ngrams")), lit(0L)))
+        .collect().head
+      val matchedPairs = cands.join(probeGrams, "graft_gram").count()
+      val nDocs = docs.count()
+      val nProbes = probes.count()
+      // corpus gram volume from token counts alone (no second gram pass):
+      // docs emit max(tokens - 12, 1) grams (whole-text fallback under 13)
+      val corpusGrams = docs
+        .agg(coalesce(sum(org.apache.spark.sql.functions.greatest(
+          fsize(ntoks) - lit(12), lit(1))), lit(0L)))
+        .collect().head.getLong(0)
+      val kept = nDocs - agg.getLong(0)
+      probeGrams.unpersist(blocking = false)
+      cands.unpersist(blocking = false)
+      matches.unpersist(blocking = false)
+      metricRow(s, Seq(
+        "n_probes" -> nProbes.toDouble,
+        "contaminated_docs" -> agg.getLong(0).toDouble,
+        "matched_ngrams" -> agg.getLong(1).toDouble,
+        "kept_docs" -> kept.toDouble,
+        "bloom_superset_ok" -> flag(nCandRows >= matchedPairs),
+        "fp_bound_ok" -> flag(nCandRows - matchedPairs <=
+          math.max(1L, corpusGrams / 100L))))
     })
   )
 
@@ -7525,6 +7580,38 @@ object SparkEntry {
         |FROM (SELECT term, cnt, row_number() OVER (
         |        ORDER BY cnt DESC, term ASC) AS rank
         |      FROM tc WHERE cnt >= (SELECT thr FROM th))
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
+
+    // q110: the q49 census replayed (bloom false positives are removed by
+    // the exact verify, so the numbers are identical by construction);
+    // the two bloom-stage flags are Spark-side properties mirrored as 1.0.
+    "q110_bloom_decontamination" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_filter(string_split_regex(lower(text),
+        |           '\s+'), x -> x <> ''), ' ') AS ntext
+        |  FROM documents
+        |), probes AS (
+        |  SELECT DISTINCT array_to_string(
+        |    (list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> ''))[6:18], ' ') AS probe
+        |  FROM documents
+        |  WHERE doc_id IN (20, 30, 45)
+        |    AND len(list_filter(string_split_regex(lower(text), '\s+'),
+        |          x -> x <> '')) >= 18
+        |), m AS (
+        |  SELECT n.doc_id, count(DISTINCT p.probe) AS matches
+        |  FROM norm n JOIN probes p
+        |    ON contains(' ' || n.ntext || ' ', ' ' || p.probe || ' ')
+        |  GROUP BY n.doc_id
+        |)
+        |SELECT (SELECT count(*) FROM probes)::DOUBLE AS n_probes,
+        |       count(*)::DOUBLE AS contaminated_docs,
+        |       sum(matches)::DOUBLE AS matched_ngrams,
+        |       (SELECT count(*) FROM norm)::DOUBLE - count(*)::DOUBLE
+        |         AS kept_docs,
+        |       1.0::DOUBLE AS bloom_superset_ok,
+        |       1.0::DOUBLE AS fp_bound_ok
+        |FROM m""".stripMargin
   )
 }

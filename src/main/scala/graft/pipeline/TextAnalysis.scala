@@ -395,6 +395,75 @@ object TextAnalysis {
       .agg(countDistinct(col("graft_gram")).as("matched_ngrams"))
   }
 
+  /** The distinct probe-side gram-hash set for decontamination — the
+    * [[contaminationMatches]] probe side exposed for staged pipelines
+    * (bloom prefilter, persisted probe states). Probes shorter than `n`
+    * tokens are excluded (their whole-text fallback gram must not match
+    * short documents wholesale).
+    */
+  def probeGramHashes(
+      probes: DataFrame,
+      probeTextCol: String,
+      n: Int = 13): DataFrame =
+    Dedup.gramHashRows(
+      probes
+        .where(size(normalizedTokens(col(probeTextCol))) >= n)
+        .select(lit(0L).as("graft_pid"), col(probeTextCol)),
+      "graft_pid", probeTextCol, n)
+      .select(col("graft_gram"))
+      .distinct()
+
+  /** Bloom-prefiltered contamination candidates — the decontamination
+    * shape for probe sets too large to broadcast as a hash join: a
+    * [[graft.sketch.Bloom]] bitset over the probe gram hashes (bits, not a
+    * hash table — a 1B-gram benchmark suite fits in ~1.7 GB at 1% fpp
+    * where its 8-byte hash set alone is 8 GB before join overhead) rides
+    * into the corpus scan as a one-row broadcast, and `might_contain`
+    * kills non-matching grams map-side at bitset-lookup cost. NO FALSE
+    * NEGATIVES: the survivors are a guaranteed superset of the truly
+    * matching (id, gram) rows, so an exact verify join on the (tiny)
+    * candidate stream restores exactness — only candidates ever shuffle,
+    * the corpus never does (same contract as [[contaminationMatches]],
+    * cheaper map side at large probe scale).
+    */
+  def bloomGramFilter(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      probeGrams: DataFrame,
+      n: Int = 13,
+      estimatedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val bloom = graft.sketch.Bloom.build(
+      probeGrams, col("graft_gram"), estimatedItems, fpp)
+    Dedup.gramHashRows(corpus, idCol, textCol, n)
+      .where(graft.sketch.Bloom.mightContainCol(bloom)(col("graft_gram")))
+      .select(col(idCol), col("graft_gram"))
+  }
+
+  /** [[contaminationMatches]] semantics through the bloom prefilter:
+    * identical output (the exact verify join removes every bloom false
+    * positive), different scale envelope (see [[bloomGramFilter]]). The
+    * verify join is NOT broadcast-hinted: at production probe scale the
+    * probe gram table shuffles once at its own size and only bloom
+    * survivors shuffle from the corpus side; AQE still picks broadcast
+    * when the probe side is small.
+    */
+  def bloomContaminationMatches(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: DataFrame,
+      probeTextCol: String,
+      n: Int = 13,
+      estimatedItems: Long = 1000000L): DataFrame = {
+    val probeGrams = probeGramHashes(probes, probeTextCol, n)
+    bloomGramFilter(corpus, idCol, textCol, probeGrams, n, estimatedItems)
+      .join(probeGrams, "graft_gram")
+      .groupBy(idCol)
+      .agg(countDistinct(col("graft_gram")).as("matched_ngrams"))
+  }
+
   /** Per-PROBE contamination report: which benchmark items leak into the
     * corpus, not just which documents are contaminated — the view a
     * benchmark owner needs. One row per probe with at least one hit:
