@@ -58,6 +58,22 @@ object SparkEntry {
     "o" -> "r", "a" -> "t", "s" -> "t", "i" -> "n", "in" -> "e",
     "o" -> "w", "u" -> "e")
 
+  /** Demo WordPiece vocabulary for q111: the lowercase alphabet as both
+    * word-initial and `##` continuation pieces (so pure-alpha words
+    * always segment), plus multi-char pieces that exercise the greedy
+    * longest-match choices ("the" beats "th" beats "t"; continuations
+    * "##ing"/"##er"/"##he" beat their single-char tails). Digits and
+    * punctuation are deliberately ABSENT: any word containing them is a
+    * whole-word [UNK] — the census the oracle pins.
+    */
+  val WordPieceDemoVocab: Set[String] = {
+    val alpha = ('a' to 'z').map(_.toString)
+    (alpha ++ alpha.map("##" + _) ++ Seq(
+      "th", "the", "an", "and", "in", "re", "or",
+      "##he", "##er", "##ed", "##ing", "##nd", "##es", "##at", "##on",
+      "##re", "##ti", "##st")).toSet
+  }
+
   /** Demo unigram-tokenizer vocabulary for q94: every ASCII letter at
     * -4.0 plus multi-char pieces chosen to exercise real segmentation
     * choices on the corpus vocabulary — "join" (whole-word piece beats
@@ -3803,6 +3819,50 @@ object SparkEntry {
         "bloom_superset_ok" -> flag(nCandRows >= matchedPairs),
         "fp_bound_ok" -> flag(nCandRows - matchedPairs <=
           math.max(1L, corpusGrams / 100L))))
+    }),
+
+    // q111: WordPiece tokenizer — the third learned-tokenizer family
+    // (BPE q77 = merge-rank replace, unigram q94 = Viterbi, THIS = greedy
+    // longest-match with ## continuations and whole-word [UNK] on any
+    // position failure). Apply runs the fixed demo vocabulary over the
+    // lowercased corpus; the DuckDB oracle replays the greedy walk
+    // word-for-word with a recursive CTE (per (word, pos) step = the
+    // longest matching piece, UNK when the walk dies before the end), so
+    // piece totals, UNK census, and the id-weighted sum are exact.
+    // Training is pinned the q77 way: the highest likelihood-score pair
+    // (count(ab)/(count(a)·count(b)), ties (l, r) asc — exact-rational
+    // ties compare equal in both engines because IEEE division is
+    // correctly rounded) replayed from the same case-preserved histogram.
+    "q111_wordpiece_tokens" -> ((s, dir) => {
+      import graft.pipeline.{Mixing, WordPiece}
+      val docs = table(s, dir, "documents")
+      val model = WordPiece.WordPieceModel(WordPieceDemoVocab)
+      // doc_id % 7 == 0 docs get a digit-bearing word ("x9z") appended —
+      // digits are absent from the demo vocab, so the greedy walk dies at
+      // position 2 and the whole word is [UNK]: a nonzero UNK census the
+      // oracle pins (the corpus itself is pure-alpha after lowering)
+      val lowered = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.concat_ws(" ",
+          org.apache.spark.sql.functions.lower(col("text")),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("x9z"))).as("text"))
+      val r = lowered
+        .select(col("doc_id"),
+          Mixing.tokenCountExpr(col("text")).as("graft_w"),
+          WordPiece.tokenCountCol(model)(col("text")).as("graft_p"),
+          WordPiece.unkCountCol(model)(col("text")).as("graft_u"))
+        .agg(
+          coalesce(sum(col("graft_w")), lit(0L)),
+          coalesce(sum(col("graft_p")), lit(0L)),
+          coalesce(sum(col("graft_u")), lit(0L)),
+          coalesce(sum(col("doc_id") * col("graft_p")), lit(0L)))
+        .collect().head
+      val first = WordPiece.train(docs, "text", numMerges = 1)
+        .merges.headOption.map { case (a, b) => s"$a $b" }.getOrElse("")
+      import s.implicits._
+      Seq((r.getLong(0).toDouble, r.getLong(1).toDouble,
+        r.getLong(2).toDouble, r.getLong(3).toDouble, first))
+        .toDF("ws_tokens", "wp_pieces", "unk_words", "wp_id_weighted",
+          "first_merge")
     })
   )
 
@@ -7612,6 +7672,82 @@ object SparkEntry {
         |         AS kept_docs,
         |       1.0::DOUBLE AS bloom_superset_ok,
         |       1.0::DOUBLE AS fp_bound_ok
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // q111: the greedy WordPiece walk replayed word-for-word — a
+    // recursive CTE where each step consumes the LONGEST matching piece
+    // at (word, pos) (continuations matched with the ## convention), a
+    // walk that dies before the end of the word makes the whole word one
+    // [UNK]; the training first-merge replays the likelihood argmax over
+    // the same case-preserved symbol histogram.
+    "q111_wordpiece_tokens" -> {
+      val vocabValues = WordPieceDemoVocab.toSeq.sorted
+        .map(p => s"('$p')").mkString(", ")
+      s"""WITH RECURSIVE words AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(concat_ws(' ', lower(text),
+         |      CASE WHEN doc_id % 7 = 0 THEN 'x9z' END), '\\s+'),
+         |      x -> x <> '')) AS w
+         |  FROM documents
+         |), dw AS MATERIALIZED (SELECT DISTINCT w FROM words),
+         |vp AS (
+         |  SELECT piece LIKE '##%' AS cont,
+         |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece
+         |      END AS body
+         |  FROM (VALUES $vocabValues) t(piece)
+         |),
+         |seg AS (
+         |  SELECT w, 1 AS pos, 0 AS n FROM dw
+         |  UNION ALL
+         |  SELECT s.w, s.pos + max(len(v.body)), s.n + 1
+         |  FROM seg s JOIN vp v
+         |    ON s.pos <= len(s.w)
+         |    AND v.cont = (s.pos > 1)
+         |    AND substr(s.w, s.pos, len(v.body)) = v.body
+         |  GROUP BY s.w, s.pos, s.n
+         |),
+         |fin AS (
+         |  SELECT s.w, s.pos, s.n
+         |  FROM seg s JOIN (SELECT w, max(pos) AS mp FROM seg GROUP BY 1) m
+         |    ON m.w = s.w AND s.pos = m.mp
+         |), wp AS (
+         |  SELECT w,
+         |    CASE WHEN pos = len(w) + 1 THEN n ELSE 1 END AS pieces,
+         |    CASE WHEN pos = len(w) + 1 THEN 0 ELSE 1 END AS unk
+         |  FROM fin
+         |), dwc AS (
+         |  SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY 1, 2
+         |), pd AS (
+         |  SELECT d.doc_id, sum(p.pieces * d.cnt) AS pieces,
+         |    sum(p.unk * d.cnt) AS unks
+         |  FROM dwc d JOIN wp p USING (w) GROUP BY 1
+         |),
+         |tw AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+         |        x -> x <> '')) AS w FROM documents),
+         |twc AS (SELECT w, count(*) AS c FROM tw GROUP BY 1),
+         |sy AS (
+         |  SELECT w, c, i,
+         |    CASE WHEN i = 1 THEN w[i] ELSE '##' || w[i] END AS sym
+         |  FROM (SELECT w, c, unnest(range(1, len(w) + 1)) AS i FROM twc)
+         |),
+         |sc AS (SELECT sym, sum(c) AS n FROM sy GROUP BY 1),
+         |pc AS (
+         |  SELECT a.sym AS l, b.sym AS r, sum(a.c) AS n
+         |  FROM sy a JOIN sy b ON a.w = b.w AND b.i = a.i + 1
+         |  GROUP BY 1, 2
+         |),
+         |fm AS (
+         |  SELECT p.l || ' ' || p.r AS fm
+         |  FROM pc p JOIN sc la ON la.sym = p.l JOIN sc lb ON lb.sym = p.r
+         |  ORDER BY p.n::DOUBLE / (la.n * lb.n) DESC, p.l, p.r
+         |  LIMIT 1
+         |)
+         |SELECT (SELECT count(*) FROM words)::DOUBLE AS ws_tokens,
+         |  coalesce(sum(pieces), 0)::DOUBLE AS wp_pieces,
+         |  coalesce(sum(unks), 0)::DOUBLE AS unk_words,
+         |  coalesce(sum(doc_id * pieces), 0)::DOUBLE AS wp_id_weighted,
+         |  (SELECT fm FROM fm) AS first_merge
+         |FROM pd""".stripMargin
+    }
   )
 }
