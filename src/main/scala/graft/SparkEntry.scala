@@ -3863,6 +3863,82 @@ object SparkEntry {
         r.getLong(2).toDouble, r.getLong(3).toDouble, first))
         .toDF("ws_tokens", "wp_pieces", "unk_words", "wp_id_weighted",
           "first_merge")
+    }),
+
+    // q112: end-to-end curation v3 — the round-13 operators composed as a
+    // production pipeline and replayed END TO END by one chained oracle:
+    // (1) discriminative quality filter (the q106 logreg, trained on the
+    // 20% marker slice, keep logit >= 0), (2) bloom decontamination of
+    // the survivors against the q49 probes (exact verify — census
+    // identical to the broadcast path), (3) DoReMi domain reweighting
+    // computed ON THE SURVIVING corpus (per-source excess-NLL
+    // multiplicative updates), (4) learned-budget token sampling (floor
+    // carve of 20k tokens by the final weights, hash-prefix selection).
+    // Every stage's pins flow into the next — the oracle replays the GD
+    // trajectory, the containment census, the reweighting chain, and the
+    // running-sum prefix in one SQL program, so per-source kept docs,
+    // kept tokens, and id sums are exact at 3 SFs.
+    "q112_curation_v3" -> ((s, dir) => {
+      import graft.pipeline.{LogReg, Mixing, TextAnalysis}
+      import org.apache.spark.sql.functions.{concat_ws, size => fsize, slice => fslice}
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val isKeep = pmod(col("doc_id"), lit(2)) === 0
+      val marker = when(isKeep,
+        lit("qkeepa qkeepb qkeepa qkeepb qkeepa qkeepb"))
+        .otherwise(lit("qtossa qtossb qtossa qtossb qtossa qtossb"))
+      val marked = docs.select(
+        col("doc_id"), col("source"),
+        concat_ws(" ", col("text"), marker).as("text"),
+        when(isKeep, lit(1.0)).otherwise(lit(0.0)).as("graft_y"))
+      // stage 1: quality filter
+      val model = LogReg.train(
+        marked.where(pmod(col("doc_id"), lit(10)) < 2),
+        "doc_id", "text", "graft_y", dim = 32, iterations = 3, lr = 0.5)
+      val s1 = LogReg.filterByModel(
+          marked.select("doc_id", "source", "text"), "doc_id", "text", model)
+        .persist()
+      val n1 = s1.count()
+      // stage 2: bloom decontamination (q49 probes over the marked text)
+      val ntoks = TextAnalysis.normalizedTokens(col("text"))
+      val probes = marked.filter(col("doc_id").isin(20L, 30L, 45L))
+        .filter(fsize(ntoks) >= 18)
+        .select(concat_ws(" ", fslice(ntoks, 6, 13)).as("probe"))
+        .distinct()
+      val probeGrams = TextAnalysis.probeGramHashes(probes, "probe", n = 13)
+        .persist()
+      val contaminated = TextAnalysis.bloomGramFilter(
+          s1, "doc_id", "text", probeGrams, n = 13, estimatedItems = 1000L)
+        .join(probeGrams, "graft_gram")
+        .select(col("doc_id")).distinct()
+      val s2 = s1.join(contaminated, Seq("doc_id"), "left_anti").persist()
+      val n2 = s2.count()
+      s1.unpersist(blocking = false)
+      // stage 3: reweight the surviving mixture
+      val res = Mixing.domainReweight(s2, "source", "text",
+        iterations = 5, eta = 0.5, uniformMix = 0.1)
+      val sortedDomains = res.weights.keys.toSeq.sorted
+      val z = sortedDomains.map(res.weights).sum
+      val budgets: Map[String, Long] = sortedDomains.map(d =>
+        d -> math.floor(20000.0 * res.weights(d) / z).toLong).toMap
+      // stage 4: learned-budget prefix sampling
+      val stats = Mixing
+        .tokenBudgetSample(s2, "doc_id", "text", "source", budgets)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("graft_k"),
+          sum(Mixing.tokenCountExpr(col("text"))).as("graft_t"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("graft_i"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      s2.unpersist(blocking = false)
+      probeGrams.unpersist(blocking = false)
+      import s.implicits._
+      sortedDomains.map { d =>
+        val (k, t, i) = stats.getOrElse(d, (0L, 0L, 0L))
+        (d, budgets(d).toDouble, k.toDouble, t.toDouble, i.toDouble,
+          n1.toDouble, n2.toDouble)
+      }.toDF("source", "budget", "kept_docs", "kept_tokens", "id_sum",
+        "after_quality", "after_decontam")
     })
   )
 
@@ -7748,6 +7824,153 @@ object SparkEntry {
          |  coalesce(sum(doc_id * pieces), 0)::DOUBLE AS wp_id_weighted,
          |  (SELECT fm FROM fm) AS first_merge
          |FROM pd""".stripMargin
+    },
+
+    // q112: the whole four-stage pipeline replayed in one SQL program —
+    // the q106 GD trajectory scores every doc, logit >= 0 survives; the
+    // q49 containment census removes contaminated survivors; the q108
+    // reweighting chain runs ON THE SURVIVING corpus; the q70 running-sum
+    // prefix carves the learned budgets.
+    "q112_curation_v3" -> {
+      val gdCtes = (1 to 3).map { i =>
+        s"""m$i AS MATERIALIZED (
+           |  SELECT fx.doc_id, any_value(fx.y) AS y,
+           |    1/(1+exp(-(sum(w${i - 1}.w * fx.x)))) AS p
+           |  FROM fx JOIN w${i - 1} USING (f) GROUP BY fx.doc_id
+           |), g$i AS MATERIALIZED (
+           |  SELECT fx.f, sum((m.p - m.y) * fx.x) AS g
+           |  FROM fx JOIN m$i m USING (doc_id) GROUP BY fx.f
+           |), w$i AS MATERIALIZED (
+           |  SELECT w.f,
+           |    round(w.w - 0.5 * (coalesce(g.g, 0) / (SELECT n FROM ntr)),
+           |          6) AS w
+           |  FROM w${i - 1} w LEFT JOIN g$i g USING (f)
+           |)""".stripMargin
+      }.mkString(",\n")
+      val rwCtes = (1 to 5).map { t =>
+        s"""rb$t AS MATERIALIZED (
+           |  SELECT d.source, w.a * exp(0.5 * (d.nll -
+           |    (SELECT sum(w2.a * d2.nll)
+           |     FROM rw${t - 1} w2 JOIN dn2 d2 USING (source)))) AS u
+           |  FROM dn2 d JOIN rw${t - 1} w USING (source)
+           |), rw$t AS MATERIALIZED (
+           |  SELECT source,
+           |    round(0.9 * u / (SELECT sum(u) FROM rb$t)
+           |          + 0.1 / (SELECT k FROM kk2), 6) AS a
+           |  FROM rb$t
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH marked AS (
+         |  SELECT doc_id, source,
+         |    concat_ws(' ', text, CASE WHEN doc_id % 2 = 0
+         |      THEN 'qkeepa qkeepb qkeepa qkeepb qkeepa qkeepb'
+         |      ELSE 'qtossa qtossb qtossa qtossb qtossa qtossb' END) AS text,
+         |    CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents WHERE doc_id IS NOT NULL
+         |), tr AS (
+         |  SELECT * FROM marked WHERE doc_id % 10 < 2
+         |), ntr AS (SELECT count(*) AS n FROM tr),
+         |ttok AS (
+         |  SELECT doc_id, y, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+         |  FROM tr
+         |), tcnt AS (
+         |  SELECT doc_id, any_value(y) AS y,
+         |    (('0x' || substr(md5('feat:' || term), 1, 8))::BIGINT % 32)
+         |      AS f,
+         |    count(*) AS c
+         |  FROM ttok GROUP BY doc_id, f
+         |), ttot AS (SELECT doc_id, sum(c) AS tot FROM tcnt GROUP BY 1),
+         |fx AS MATERIALIZED (
+         |  SELECT t.doc_id, t.y, t.f, t.c::DOUBLE / tt.tot AS x
+         |  FROM tcnt t JOIN ttot tt USING (doc_id)
+         |  UNION ALL
+         |  SELECT doc_id, y, 32 AS f, 1.0 AS x FROM tr
+         |), w0 AS (SELECT f, 0.0 AS w FROM range(33) t(f)),
+         |$gdCtes,
+         |stok AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+         |  FROM marked
+         |), scnt AS (
+         |  SELECT doc_id,
+         |    (('0x' || substr(md5('feat:' || term), 1, 8))::BIGINT % 32)
+         |      AS f,
+         |    count(*) AS c
+         |  FROM stok GROUP BY doc_id, f
+         |), stot AS (SELECT doc_id, sum(c) AS tot FROM scnt GROUP BY 1),
+         |sfx AS MATERIALIZED (
+         |  SELECT s.doc_id, s.f, s.c::DOUBLE / st.tot AS x
+         |  FROM scnt s JOIN stot st USING (doc_id)
+         |  UNION ALL
+         |  SELECT doc_id, 32 AS f, 1.0 AS x FROM marked
+         |), sl AS MATERIALIZED (
+         |  SELECT sfx.doc_id, sum(w3.w * sfx.x) AS logit
+         |  FROM sfx JOIN w3 USING (f) GROUP BY 1
+         |), s1 AS MATERIALIZED (
+         |  SELECT m.doc_id, m.source, m.text,
+         |    array_to_string(list_filter(string_split_regex(lower(m.text),
+         |      '\\s+'), x -> x <> ''), ' ') AS ntext
+         |  FROM marked m JOIN sl ON sl.doc_id = m.doc_id
+         |  WHERE sl.logit >= 0
+         |), probes AS (
+         |  SELECT DISTINCT array_to_string(
+         |    (list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> ''))[6:18], ' ') AS probe
+         |  FROM marked
+         |  WHERE doc_id IN (20, 30, 45)
+         |    AND len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |          x -> x <> '')) >= 18
+         |), s2 AS MATERIALIZED (
+         |  SELECT doc_id, source, text FROM s1
+         |  WHERE NOT EXISTS (SELECT 1 FROM probes p
+         |    WHERE contains(' ' || s1.ntext || ' ', ' ' || p.probe || ' '))
+         |), tok2 AS (
+         |  SELECT source, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+         |  FROM s2
+         |), tf2 AS (
+         |  SELECT source, term, count(*) AS tf FROM tok2 GROUP BY 1, 2
+         |), ct2 AS (SELECT term, sum(tf) AS cnt FROM tf2 GROUP BY 1),
+         |tt2 AS (SELECT sum(cnt) AS t FROM ct2),
+         |dn2 AS MATERIALIZED (
+         |  SELECT tf2.source, sum(tf2.tf) AS tokens,
+         |    round(sum(tf2.tf * -ln(ct2.cnt::DOUBLE / (SELECT t FROM tt2)))
+         |          / sum(tf2.tf), 6) AS nll
+         |  FROM tf2 JOIN ct2 USING (term) GROUP BY 1
+         |), kk2 AS (SELECT count(*) AS k FROM dn2),
+         |rw0 AS (SELECT source, round(1.0 / (SELECT k FROM kk2), 6) AS a
+         |        FROM dn2),
+         |$rwCtes,
+         |bud AS (
+         |  SELECT source,
+         |    floor(20000.0 * a / (SELECT sum(a) FROM rw5))::BIGINT AS budget
+         |  FROM rw5
+         |), h AS (
+         |  SELECT s2.doc_id, s2.source,
+         |    substring(md5('graft:' || s2.doc_id::VARCHAR), 1, 8) AS hh,
+         |    coalesce(len(list_filter(string_split_regex(s2.text, '\\s+'),
+         |      x -> x <> '')), 0) AS toks
+         |  FROM s2
+         |), tb AS (
+         |  SELECT * FROM (
+         |    SELECT h.doc_id, h.source, h.toks, bud.budget,
+         |           sum(h.toks) OVER (PARTITION BY h.source
+         |             ORDER BY h.hh, h.doc_id
+         |             ROWS UNBOUNDED PRECEDING) AS cum
+         |    FROM h JOIN bud USING (source))
+         |  WHERE cum <= budget
+         |)
+         |SELECT bud.source, bud.budget::DOUBLE AS budget,
+         |  coalesce(t.k, 0)::DOUBLE AS kept_docs,
+         |  coalesce(t.tk, 0)::DOUBLE AS kept_tokens,
+         |  coalesce(t.ids, 0)::DOUBLE AS id_sum,
+         |  (SELECT count(*) FROM s1)::DOUBLE AS after_quality,
+         |  (SELECT count(*) FROM s2)::DOUBLE AS after_decontam
+         |FROM bud LEFT JOIN (
+         |  SELECT source, count(*) AS k, sum(toks) AS tk,
+         |         sum(doc_id) AS ids
+         |  FROM tb GROUP BY 1) t USING (source)""".stripMargin
     }
   )
 }
