@@ -3939,6 +3939,50 @@ object SparkEntry {
           n1.toDouble, n2.toDouble)
       }.toDF("source", "budget", "kept_docs", "kept_tokens", "id_sum",
         "after_quality", "after_decontam")
+    }),
+
+    // q113: k-anonymity / l-diversity audit — the re-identification gate
+    // a training-data release runs after PII scrubbing (q39): equivalence
+    // classes over the quasi-identifiers (nation, account-balance band),
+    // class-size histogram, below-k mass, and the sensitive-attribute
+    // (market segment) diversity floor. One map-side-combinable groupBy
+    // + catalog-sized follow-ups; the row-level flag pass must agree with
+    // the aggregate census (parity flag), and the below-k id sum pins the
+    // exact vulnerable-row set through the oracle.
+    "q113_k_anonymity" -> ((s, dir) => {
+      import graft.pipeline.Privacy
+      import org.apache.spark.sql.functions.{floor => ffloor}
+      val cust = table(s, dir, "customer")
+      val qi = cust.select(col("c_custkey"), col("c_nationkey"),
+        ffloor(col("c_acctbal") / 500).as("bal_band"), col("c_mktsegment"))
+      val qiCols = Seq("c_nationkey", "bal_band")
+      val st = Privacy.kAnonymityStats(qi, qiCols, k = 5,
+        sensitiveCol = Some("c_mktsegment")).collect().head
+      val fl = Privacy.flagBelowK(qi, qiCols, k = 5)
+        .agg(
+          sum(when(!col("k_anonymous"), 1L).otherwise(0L)),
+          coalesce(sum(when(!col("k_anonymous"), col("c_custkey"))),
+            lit(0L)))
+        .collect().head
+      val hist = Privacy.kAnonymityHistogram(qi, qiCols).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val parityOk =
+        fl.getLong(0) == st.getAs[Long]("below_k_rows")
+      import s.implicits._
+      hist.map { case (sz, nc, nr) =>
+        (sz.toDouble, nc.toDouble, nr.toDouble,
+          st.getAs[Long]("n_classes").toDouble,
+          st.getAs[Long]("min_class_size").toDouble,
+          st.getAs[Long]("below_k_rows").toDouble,
+          st.getAs[Long]("below_k_classes").toDouble,
+          st.getAs[Long]("min_l").toDouble,
+          st.getAs[Long]("l1_classes").toDouble,
+          fl.getLong(1).toDouble,
+          if (parityOk) 1.0 else 0.0)
+      }.toSeq.toDF("class_size", "n_classes", "n_rows", "total_classes",
+        "min_class_size", "below_k_rows", "below_k_classes", "min_l",
+        "l1_classes", "below_k_id_sum", "parity_ok")
     })
   )
 
@@ -7971,6 +8015,47 @@ object SparkEntry {
          |  SELECT source, count(*) AS k, sum(toks) AS tk,
          |         sum(doc_id) AS ids
          |  FROM tb GROUP BY 1) t USING (source)""".stripMargin
-    }
+    },
+
+    // q113: equivalence classes, histogram, below-k mass, l-diversity and
+    // the vulnerable-row id sum replayed from the same definitions;
+    // parity_ok mirrors the engine's internal flag/aggregate agreement.
+    "q113_k_anonymity" ->
+      """WITH qi AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    floor(c_acctbal / 500) AS bal_band, c_mktsegment
+        |  FROM customer
+        |), cls AS (
+        |  SELECT c_nationkey, bal_band, count(*) AS sz,
+        |    count(DISTINCT c_mktsegment) AS l
+        |  FROM qi GROUP BY 1, 2
+        |), hist AS (
+        |  SELECT sz AS class_size, count(*) AS n_classes,
+        |    sum(sz) AS n_rows
+        |  FROM cls GROUP BY 1
+        |), st AS (
+        |  SELECT count(*) AS total_classes, min(sz) AS min_class_size,
+        |    coalesce(sum(CASE WHEN sz < 5 THEN sz END), 0) AS below_k_rows,
+        |    count(CASE WHEN sz < 5 THEN 1 END) AS below_k_classes,
+        |    min(l) AS min_l,
+        |    count(CASE WHEN l = 1 THEN 1 END) AS l1_classes
+        |  FROM cls
+        |), vul AS (
+        |  SELECT coalesce(sum(q.c_custkey), 0) AS ids
+        |  FROM qi q JOIN cls
+        |    ON cls.c_nationkey IS NOT DISTINCT FROM q.c_nationkey
+        |   AND cls.bal_band IS NOT DISTINCT FROM q.bal_band
+        |  WHERE cls.sz < 5
+        |)
+        |SELECT h.class_size::DOUBLE AS class_size,
+        |  h.n_classes::DOUBLE AS n_classes, h.n_rows::DOUBLE AS n_rows,
+        |  st.total_classes::DOUBLE AS total_classes,
+        |  st.min_class_size::DOUBLE AS min_class_size,
+        |  st.below_k_rows::DOUBLE AS below_k_rows,
+        |  st.below_k_classes::DOUBLE AS below_k_classes,
+        |  st.min_l::DOUBLE AS min_l, st.l1_classes::DOUBLE AS l1_classes,
+        |  (SELECT ids FROM vul)::DOUBLE AS below_k_id_sum,
+        |  1.0::DOUBLE AS parity_ok
+        |FROM hist h CROSS JOIN st""".stripMargin
   )
 }
