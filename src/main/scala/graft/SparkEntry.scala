@@ -3983,6 +3983,56 @@ object SparkEntry {
       }.toSeq.toDF("class_size", "n_classes", "n_rows", "total_classes",
         "min_class_size", "below_k_rows", "below_k_classes", "min_l",
         "l1_classes", "below_k_id_sum", "parity_ok")
+    }),
+
+    // q114: filter-attribution census (Dolma/RefinedWeb-style rule logs):
+    // six curation rules evaluated in ONE map-side pass into a per-doc
+    // reason BITMASK, then one aggregate answers what N ablation re-runs
+    // otherwise would — per-rule removal (fired docs + id sums), UNIQUE
+    // attribution (docs only that rule removes), redundant overlap
+    // (multi-rule docs), and Σ id·mask pinning every document's full
+    // bitmask through one number. Deterministic injections (email every
+    // 11th doc, braces every 13th, lorem every 17th) keep every rule's
+    // census non-vacuous; the oracle replays all six predicates and the
+    // mask arithmetic exactly.
+    "q114_filter_attribution" -> ((s, dir) => {
+      import graft.pipeline.Ablation
+      import org.apache.spark.sql.functions.{concat_ws, size => fsize, length => flength, array_join, lower => flower}
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val injected = docs.select(col("doc_id"), concat_ws(" ",
+        col("text"),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit("contact: user"), col("doc_id").cast(StringType),
+            lit("@example.com"))),
+        when(pmod(col("doc_id"), lit(13)) === 0, lit("{code}")),
+        when(pmod(col("doc_id"), lit(17)) === 0, lit("lorem ipsum filler")))
+        .as("text"))
+      val t = coalesce(col("text"), lit(""))
+      val toks = TextAnalysis.tokens(t)
+      val nw = fsize(toks).cast(LongType)
+      // Σ word lengths without a HOF: joined-token string length
+      val sumLen = flength(array_join(toks, "")).cast(LongType)
+      val rules = Seq(
+        "too_few_words" -> (nw < 30),
+        // mean word length outside [3, 10] as an INTEGER comparison —
+        // no float division to disagree on
+        "word_len_out_of_band" ->
+          (nw > 0 && (sumLen < nw * 3 || sumLen > nw * 10)),
+        "no_terminal_punct" -> !t.rlike("[.!?]\\s*$"),
+        "has_email" ->
+          t.rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+        "has_brace" -> (t.contains("{") || t.contains("}")),
+        "lorem_boilerplate" -> flower(t).contains("lorem ipsum"))
+      Ablation.attributionCensus(injected, "doc_id", rules)
+        .select(col("rule_idx").cast(DoubleType).as("rule_idx"), col("rule"),
+          col("fired_docs").cast(DoubleType).as("fired_docs"),
+          col("fired_id_sum").cast(DoubleType).as("fired_id_sum"),
+          col("unique_docs").cast(DoubleType).as("unique_docs"),
+          col("n_docs").cast(DoubleType).as("n_docs"),
+          col("kept_docs").cast(DoubleType).as("kept_docs"),
+          col("dropped_docs").cast(DoubleType).as("dropped_docs"),
+          col("multi_reason_docs").cast(DoubleType).as("multi_reason_docs"),
+          col("mask_id_weighted").cast(DoubleType).as("mask_id_weighted"))
     })
   )
 
@@ -8056,6 +8106,75 @@ object SparkEntry {
         |  st.min_l::DOUBLE AS min_l, st.l1_classes::DOUBLE AS l1_classes,
         |  (SELECT ids FROM vul)::DOUBLE AS below_k_id_sum,
         |  1.0::DOUBLE AS parity_ok
-        |FROM hist h CROSS JOIN st""".stripMargin
+        |FROM hist h CROSS JOIN st""".stripMargin,
+
+    // q114: the six predicates and the bitmask arithmetic replayed —
+    // injections regenerated, rules as identical expressions (integer
+    // word-length band, identical regexes), mask = Σ 2^i, per-rule and
+    // total censuses from one masked table.
+    "q114_filter_attribution" ->
+      raw"""WITH injected AS (
+        |  SELECT doc_id, concat_ws(' ', text,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN 'contact: user' || doc_id::VARCHAR || '@example.com' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN '{code}' END,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'lorem ipsum filler' END) AS text
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), m AS (
+        |  SELECT doc_id,
+        |    len(toks) AS nw, len(array_to_string(toks, '')) AS sumlen, t
+        |  FROM (
+        |    SELECT doc_id, coalesce(text, '') AS t,
+        |      list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |        x -> x <> '') AS toks
+        |    FROM injected)
+        |), masked AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN nw < 30 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN nw > 0 AND (sumlen < nw * 3 OR sumlen > nw * 10)
+        |         THEN 2 ELSE 0 END)
+        |    + (CASE WHEN NOT regexp_matches(t, '[.!?]\s*$$')
+        |         THEN 4 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(t,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |         THEN 8 ELSE 0 END)
+        |    + (CASE WHEN contains(t, '{') OR contains(t, '}')
+        |         THEN 16 ELSE 0 END)
+        |    + (CASE WHEN contains(lower(t), 'lorem ipsum')
+        |         THEN 32 ELSE 0 END) AS mask
+        |  FROM m
+        |), tot AS (
+        |  SELECT count(*) AS n_docs,
+        |    sum(CASE WHEN mask = 0 THEN 1 ELSE 0 END) AS kept_docs,
+        |    sum(CASE WHEN mask <> 0 THEN 1 ELSE 0 END) AS dropped_docs,
+        |    sum(CASE WHEN bit_count(mask::BIGINT) >= 2 THEN 1 ELSE 0 END)
+        |      AS multi_reason_docs,
+        |    coalesce(sum(doc_id * mask), 0) AS mask_id_weighted
+        |  FROM masked
+        |), names AS (
+        |  SELECT * FROM (VALUES
+        |    (0, 'too_few_words'), (1, 'word_len_out_of_band'),
+        |    (2, 'no_terminal_punct'), (3, 'has_email'),
+        |    (4, 'has_brace'), (5, 'lorem_boilerplate')) t(rule_idx, rule)
+        |), per AS (
+        |  SELECT n.rule_idx, n.rule,
+        |    sum(CASE WHEN (mask // (1 << n.rule_idx)) % 2 = 1
+        |        THEN 1 ELSE 0 END) AS fired_docs,
+        |    coalesce(sum(CASE WHEN (mask // (1 << n.rule_idx)) % 2 = 1
+        |        THEN doc_id END), 0) AS fired_id_sum,
+        |    sum(CASE WHEN mask = (1 << n.rule_idx) THEN 1 ELSE 0 END)
+        |      AS unique_docs
+        |  FROM names n CROSS JOIN masked GROUP BY 1, 2
+        |)
+        |SELECT per.rule_idx::DOUBLE AS rule_idx, per.rule,
+        |  per.fired_docs::DOUBLE AS fired_docs,
+        |  per.fired_id_sum::DOUBLE AS fired_id_sum,
+        |  per.unique_docs::DOUBLE AS unique_docs,
+        |  tot.n_docs::DOUBLE AS n_docs,
+        |  tot.kept_docs::DOUBLE AS kept_docs,
+        |  tot.dropped_docs::DOUBLE AS dropped_docs,
+        |  tot.multi_reason_docs::DOUBLE AS multi_reason_docs,
+        |  tot.mask_id_weighted::DOUBLE AS mask_id_weighted
+        |FROM per CROSS JOIN tot""".stripMargin
   )
 }
