@@ -4033,6 +4033,46 @@ object SparkEntry {
           col("dropped_docs").cast(DoubleType).as("dropped_docs"),
           col("multi_reason_docs").cast(DoubleType).as("multi_reason_docs"),
           col("mask_id_weighted").cast(DoubleType).as("mask_id_weighted"))
+    }),
+
+    // q115: SPAN-level decontamination — the surgical sibling of q49's
+    // drop-the-document: every 13-token span matching a probe is excised
+    // (overlapping spans merge), the rest of the document survives. The
+    // positional gram stream dies in the broadcast probe join; only
+    // matching (id, pos) rows reach the per-doc interval walk. Pins:
+    // token conservation (total = corpus tokens), exact removed mass,
+    // the affected-doc census with id sums, and an md5 of the minimum
+    // affected document's reconstructed text — every excision boundary
+    // shows up in that hash.
+    "q115_span_decontamination" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{concat_ws, size => fsize, slice => fslice, md5 => fmd5}
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val ntoks = TextAnalysis.normalizedTokens(col("text"))
+      val probes = docs.filter(col("doc_id").isin(20L, 30L, 45L))
+        .filter(fsize(ntoks) >= 18)
+        .select(concat_ws(" ", fslice(ntoks, 6, 13)).as("probe"))
+        .distinct()
+      val out = TextAnalysis.removeContaminatedSpans(
+        docs, "doc_id", "text", probes, "probe", n = 13).persist()
+      val g = out.agg(
+        count(lit(1)),
+        coalesce(sum(col("total_tokens")), lit(0L)),
+        coalesce(sum(col("removed_tokens")), lit(0L)),
+        count(when(col("removed_tokens") > 0, 1)),
+        coalesce(sum(when(col("removed_tokens") > 0, col("doc_id"))),
+          lit(0L)))
+        .collect().head
+      val md5Min = out.where(col("removed_tokens") > 0)
+        .orderBy(col("doc_id")).limit(1)
+        .select(fmd5(col("kept_text").cast(BinaryType)))
+        .collect().headOption.map(_.getString(0)).getOrElse("")
+      out.unpersist(blocking = false)
+      import s.implicits._
+      Seq((g.getLong(0).toDouble, g.getLong(1).toDouble,
+        g.getLong(2).toDouble, g.getLong(3).toDouble,
+        g.getLong(4).toDouble, md5Min))
+        .toDF("n_docs", "total_tokens", "removed_tokens", "affected_docs",
+          "affected_id_sum", "kept_md5_min")
     })
   )
 
@@ -8175,6 +8215,54 @@ object SparkEntry {
         |  tot.dropped_docs::DOUBLE AS dropped_docs,
         |  tot.multi_reason_docs::DOUBLE AS multi_reason_docs,
         |  tot.mask_id_weighted::DOUBLE AS mask_id_weighted
-        |FROM per CROSS JOIN tot""".stripMargin
+        |FROM per CROSS JOIN tot""".stripMargin,
+
+    // q115: span excision replayed by token positions — match starts are
+    // the positions whose 13-token slice equals a probe token list,
+    // covered positions fan out from every start, kept text string_aggs
+    // the uncovered positions in order, and the minimum affected doc's
+    // reconstruction is pinned through md5.
+    "q115_span_decontamination" ->
+      raw"""WITH norm AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), probes AS (
+        |  SELECT DISTINCT list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> x <> '')[6:18] AS ptoks
+        |  FROM documents
+        |  WHERE doc_id IN (20, 30, 45)
+        |    AND len(list_filter(string_split_regex(lower(text), '\s+'),
+        |          x -> x <> '')) >= 18
+        |), st AS (
+        |  SELECT n.doc_id, t.p
+        |  FROM norm n, unnest(range(1, len(n.toks) - 11)) t(p), probes
+        |  WHERE n.toks[t.p : t.p + 12] = probes.ptoks
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, p + o.o AS i
+        |  FROM st, unnest(range(0, 13)) o(o)
+        |), rem AS (SELECT doc_id, count(*) AS removed FROM cov GROUP BY 1),
+        |minaff AS (SELECT min(doc_id) AS d FROM rem WHERE removed > 0),
+        |pos AS (
+        |  SELECT doc_id, unnest(toks) AS tok,
+        |    unnest(range(1, len(toks) + 1)) AS i
+        |  FROM norm WHERE doc_id = (SELECT d FROM minaff)
+        |), keptmin AS (
+        |  SELECT md5(coalesce(string_agg(
+        |    CASE WHEN c.i IS NULL THEN p.tok END, ' ' ORDER BY p.i), ''))
+        |    AS h
+        |  FROM pos p LEFT JOIN cov c
+        |    ON c.doc_id = p.doc_id AND c.i = p.i
+        |)
+        |SELECT (SELECT count(*) FROM norm)::DOUBLE AS n_docs,
+        |  (SELECT coalesce(sum(len(toks)), 0) FROM norm)::DOUBLE
+        |    AS total_tokens,
+        |  (SELECT coalesce(sum(removed), 0) FROM rem)::DOUBLE
+        |    AS removed_tokens,
+        |  (SELECT count(*) FROM rem)::DOUBLE AS affected_docs,
+        |  (SELECT coalesce(sum(doc_id), 0) FROM rem)::DOUBLE
+        |    AS affected_id_sum,
+        |  coalesce((SELECT h FROM keptmin), '') AS kept_md5_min"""
+        .stripMargin
   )
 }

@@ -1667,7 +1667,27 @@ object Dedup {
       .where(col(idCol) =!= col("graft_w")(idCol) ||
         col("graft_pos") =!= col("graft_w")("graft_pos"))
       .select(col(idCol), col("graft_pos"))
-    val ivs = dupStarts.groupBy(col(idCol).as("graft_iv_id"))
+    val out = removeSpansAt(df, idCol, textCol, dupStarts, n)
+    CacheLifecycle.releaseOnConsume(out, Seq(grams))
+  }
+
+  /** Remove every n-token span starting at the given (id, graft_pos)
+    * rows — the interval-merging reassembly shared by
+    * [[exactSubstringDedup]] (duplicated-span starts) and
+    * [[TextAnalysis.removeContaminatedSpans]] (probe-matching starts).
+    * Overlapping spans merge; output is one row per input document:
+    * `idCol`, `total_tokens`, `removed_tokens`, `kept_text` (surviving
+    * normalized tokens joined by single spaces). Per-document state is
+    * the sorted start list — bounded by the document's own token count;
+    * reconstruction is one linear walk, no window, no global sort.
+    */
+  private[pipeline] def removeSpansAt(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      starts: DataFrame,
+      n: Int): DataFrame = {
+    val ivs = starts.groupBy(col(idCol).as("graft_iv_id"))
       .agg(array_sort(collect_list(col("graft_pos"))).as("graft_starts"))
     val base = df.select(col(idCol), col(textCol))
     val joined = base
@@ -1681,7 +1701,7 @@ object Dedup {
       StructField("kept_text", StringType, nullable = false)))
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
-    val out = joined.mapPartitions { rows =>
+    joined.mapPartitions { rows =>
       rows.map { r =>
         val toks = scalaTokens(if (r.isNullAt(1)) null else r.getString(1))
         val starts: Array[Int] =
@@ -1708,6 +1728,5 @@ object Dedup {
         org.apache.spark.sql.Row(r.get(0), toks.length, removed, sb.toString)
       }
     }
-    CacheLifecycle.releaseOnConsume(out, Seq(grams))
   }
 }

@@ -464,6 +464,37 @@ object TextAnalysis {
       .agg(countDistinct(col("graft_gram")).as("matched_ngrams"))
   }
 
+  /** SPAN-level decontamination — the surgical alternative to dropping
+    * contaminated documents ([[decontaminate]]): every n-token span of a
+    * document that matches a probe n-gram is removed (overlapping spans
+    * merge), the rest of the document survives — the C4-style "cut the
+    * benchmark sentence, keep the page" behavior that preserves corpus
+    * mass when probes are short relative to documents. Output is the
+    * [[Dedup.exactSubstringDedup]] contract: one row per document with
+    * `total_tokens`, `removed_tokens`, `kept_text` (normalized surviving
+    * tokens).
+    *
+    * Scale shape: the positional gram stream (one slim row per token
+    * position) dies in the broadcast join against the probe gram set —
+    * only matching (id, pos) rows shuffle to the per-doc interval
+    * assembly, whose state is bounded by each document's own token
+    * count. The corpus never shuffles its text; reconstruction is one
+    * linear walk per document.
+    */
+  def removeContaminatedSpans(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: DataFrame,
+      probeTextCol: String,
+      n: Int = 13): DataFrame = {
+    val probeGrams = probeGramHashes(probes, probeTextCol, n)
+    val starts = Dedup.posGramHashRows(corpus, idCol, textCol, n)
+      .join(broadcast(probeGrams), "graft_gram")
+      .select(col(idCol), col("graft_pos"))
+    Dedup.removeSpansAt(corpus, idCol, textCol, starts, n)
+  }
+
   /** Per-PROBE contamination report: which benchmark items leak into the
     * corpus, not just which documents are contaminated — the view a
     * benchmark owner needs. One row per probe with at least one hit:

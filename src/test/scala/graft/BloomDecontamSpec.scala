@@ -56,6 +56,45 @@ class BloomDecontamSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "removeContaminatedSpans" should {
+    "excise exactly the matching spans and keep the rest" in {
+      val docs = fixture
+      val out = TextAnalysis.removeContaminatedSpans(
+        docs, "doc_id", "text", probes, "probe", n = 13)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      // doc 1: 3 prefix tokens + 13 phrase + 3 tail = 19 tokens; the
+      // phrase span [3, 16) is removed, prefix and tail survive
+      out(1L) shouldBe ((19, 13, "prefix words here and a tail"))
+      // doc 2 IS the phrase: everything removed
+      out(2L) shouldBe ((13, 13, ""))
+      // doc 3: untouched
+      out(3L)._2 shouldBe 0
+      out(3L)._3 should include("entirely different content")
+      // doc 4: phrase inside a longer body
+      out(4L)._2 shouldBe 13
+      out(4L)._3 shouldBe "another document carrying inside its body"
+      // null text: empty everything
+      out(5L) shouldBe ((0, 0, ""))
+    }
+
+    "merge overlapping spans from repeated probes" in {
+      val s = spark
+      import s.implicits._
+      val phrase = (1 to 13).map(i => s"w$i").mkString(" ")
+      // phrase twice with a 5-token overlap window between: spans
+      // [2, 15) and [15, 28) are adjacent — removed = 26, no double count
+      val doc = Seq((1L, s"a b $phrase $phrase tail"))
+        .toDF("doc_id", "text")
+      val out = TextAnalysis.removeContaminatedSpans(
+        doc, "doc_id", "text", probes, "probe", n = 13)
+        .collect().head
+      out.getInt(1) shouldBe 29
+      out.getInt(2) shouldBe 26
+      out.getString(3) shouldBe "a b tail"
+    }
+  }
+
   "Bloom" should {
     "merge as a bitwise-OR monoid with no false negatives" in {
       import graft.sketch.Bloom
