@@ -4073,6 +4073,42 @@ object SparkEntry {
         g.getLong(4).toDouble, md5Min))
         .toDF("n_docs", "total_tokens", "removed_tokens", "affected_docs",
           "affected_id_sum", "kept_md5_min")
+    }),
+
+    // q116: embedding-column health audit — the pre-flight every
+    // ANN/dedup/clustering stage assumes: one map-side pass counting the
+    // defect classes that silently poison similarity math (NULL vectors,
+    // wrong dimension, NaN elements, all-zero vectors) plus the norm
+    // census. Defects are injected deterministically (null every 101st,
+    // NaN-element every 97th, zero vector every 89th, truncated every
+    // 83rd — CASE priority order identical in both engines); per-vector
+    // norms are left-to-right folds over identical doubles in BOTH
+    // engines, so even the rounded extremes compare bit-for-bit.
+    "q116_embedding_health" -> ((s, dir) => {
+      import graft.pipeline.Similarity
+      import org.apache.spark.sql.functions.{slice => fslice, transform => ftransform}
+      val emb = table(s, dir, "embeddings")
+      val v = col("embedding")
+      val injected = emb.select(col("vec_id"),
+        when(pmod(col("vec_id"), lit(101)) === 0,
+          lit(null).cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))
+          .when(pmod(col("vec_id"), lit(97)) === 0,
+            concat(array(lit(Float.NaN)), fslice(v, 2, 63)))
+          .when(pmod(col("vec_id"), lit(89)) === 0,
+            ftransform(v, _ => lit(0.0f)))
+          .when(pmod(col("vec_id"), lit(83)) === 0, fslice(v, 1, 63))
+          .otherwise(v).as("embedding"))
+      Similarity.embeddingHealth(injected, "embedding", dim = 64)
+        .select(
+          col("n_rows").cast(DoubleType).as("n_rows"),
+          col("null_vecs").cast(DoubleType).as("null_vecs"),
+          col("wrong_dim_vecs").cast(DoubleType).as("wrong_dim_vecs"),
+          col("nonfinite_vecs").cast(DoubleType).as("nonfinite_vecs"),
+          col("zero_vecs").cast(DoubleType).as("zero_vecs"),
+          col("clean_vecs").cast(DoubleType).as("clean_vecs"),
+          col("unit_norm_vecs").cast(DoubleType).as("unit_norm_vecs"),
+          col("min_norm_r"), col("max_norm_r"), col("sum_norm2_r"))
     })
   )
 
@@ -8263,6 +8299,53 @@ object SparkEntry {
         |  (SELECT coalesce(sum(doc_id), 0) FROM rem)::DOUBLE
         |    AS affected_id_sum,
         |  coalesce((SELECT h FROM keptmin), '') AS kept_md5_min"""
-        .stripMargin
+        .stripMargin,
+
+    // q116: injections regenerated with the same CASE priority, norms as
+    // in-order list_inner_product folds over identical doubles.
+    "q116_embedding_health" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), inj AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 101 = 0 THEN NULL
+        |         WHEN vec_id % 97 = 0 THEN ['nan'::DOUBLE] || v[2:64]
+        |         WHEN vec_id % 89 = 0 THEN list_transform(v, x -> 0.0)
+        |         WHEN vec_id % 83 = 0 THEN v[1:63]
+        |         ELSE v END AS v
+        |  FROM base
+        |), m AS (
+        |  SELECT vec_id, v,
+        |    v IS NULL AS is_null,
+        |    v IS NOT NULL AND len(v) <> 64 AS wrong_dim,
+        |    v IS NOT NULL AND len(v) = 64 AS shaped,
+        |    v IS NOT NULL AND len(v) = 64 AND
+        |      len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0
+        |      AS nonfinite
+        |  FROM inj
+        |), c AS (
+        |  SELECT *,
+        |    shaped AND NOT nonfinite AS clean,
+        |    CASE WHEN shaped AND NOT nonfinite
+        |         THEN list_inner_product(v, v) END AS norm2
+        |  FROM m
+        |)
+        |SELECT count(*)::DOUBLE AS n_rows,
+        |  sum(CASE WHEN is_null THEN 1 ELSE 0 END)::DOUBLE AS null_vecs,
+        |  sum(CASE WHEN wrong_dim THEN 1 ELSE 0 END)::DOUBLE
+        |    AS wrong_dim_vecs,
+        |  sum(CASE WHEN nonfinite THEN 1 ELSE 0 END)::DOUBLE
+        |    AS nonfinite_vecs,
+        |  sum(CASE WHEN clean AND norm2 = 0 THEN 1 ELSE 0 END)::DOUBLE
+        |    AS zero_vecs,
+        |  sum(CASE WHEN clean THEN 1 ELSE 0 END)::DOUBLE AS clean_vecs,
+        |  sum(CASE WHEN clean AND sqrt(norm2) >= 0.99
+        |      AND sqrt(norm2) <= 1.01 THEN 1 ELSE 0 END)::DOUBLE
+        |    AS unit_norm_vecs,
+        |  round(min(CASE WHEN clean THEN sqrt(norm2) END), 6) AS min_norm_r,
+        |  round(max(CASE WHEN clean THEN sqrt(norm2) END), 6) AS max_norm_r,
+        |  round(coalesce(sum(CASE WHEN clean THEN norm2 END), 0), 3)
+        |    AS sum_norm2_r
+        |FROM c""".stripMargin
   )
 }

@@ -1282,4 +1282,45 @@ object Similarity {
     rows.map(r => r.getLong(0) ->
       r.getSeq[Float](1).map(_.toDouble).toArray).toSeq
   }
+
+  /** Embedding-column health audit — the pre-flight every ANN/dedup/
+    * clustering stage in this file assumes has already run: one pure
+    * map-side pass over the vector column counting the defect classes
+    * that silently poison similarity math (NULL vectors, wrong
+    * dimension, NaN/Inf elements, all-zero vectors — an un-normalizable
+    * cosine) plus the norm census (unit-normalized count in [0.99,
+    * 1.01], rounded extreme norms, total squared mass). One codegen
+    * aggregate; nothing shuffles but the single result row.
+    */
+  def embeddingHealth(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val v = col(vecCol)
+    val isNullV = v.isNull
+    val wrongDim = !isNullV && size(v) =!= dim
+    val shaped = !isNullV && size(v) === dim
+    val nonFinite = shaped && exists(v,
+      x => isnan(x.cast(DoubleType)) ||
+        abs(x.cast(DoubleType)) > lit(Double.MaxValue))
+    val clean = shaped && !nonFinite
+    val norm2 = aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+    val isZero = clean && norm2 === 0.0
+    val norm = sqrt(norm2)
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(isNullV, 1L).otherwise(0L)).as("null_vecs"),
+      sum(when(wrongDim, 1L).otherwise(0L)).as("wrong_dim_vecs"),
+      sum(when(nonFinite, 1L).otherwise(0L)).as("nonfinite_vecs"),
+      sum(when(isZero, 1L).otherwise(0L)).as("zero_vecs"),
+      sum(when(clean, 1L).otherwise(0L)).as("clean_vecs"),
+      sum(when(clean && norm >= 0.99 && norm <= 1.01, 1L).otherwise(0L))
+        .as("unit_norm_vecs"),
+      round(min(when(clean, norm)), 6).as("min_norm_r"),
+      round(max(when(clean, norm)), 6).as("max_norm_r"),
+      round(coalesce(sum(when(clean, norm2)), lit(0.0)), 3)
+        .as("sum_norm2_r"))
+  }
 }

@@ -511,6 +511,50 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "bloom gram filter" should {
+    "kill non-matching grams map-side with no corpus-side exchange" in {
+      import graft.pipeline.TextAnalysis
+      val s = spark
+      import s.implicits._
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(col("doc_id") < 100)
+      val probes = Seq((1 to 13).map(i => s"w$i").mkString(" "))
+        .toDF("probe")
+      val pg = TextAnalysis.probeGramHashes(probes, "probe", n = 13)
+      val out = TextAnalysis.bloomGramFilter(
+        docs, "doc_id", "text", pg, n = 13, estimatedItems = 100L)
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString()
+      // the corpus gram stream must reach the bitset filter unshuffled
+      plan should not include "Exchange"
+      plan should not include "Join"
+      plan should not include "Window"
+    }
+  }
+
+  "span-level decontamination" should {
+    "broadcast the probe side and never window" in {
+      import graft.pipeline.TextAnalysis
+      val s = spark
+      import s.implicits._
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(col("doc_id") < 100)
+      val probes = docs.where(col("doc_id") === 20L)
+        .select(concat_ws(" ",
+          slice(TextAnalysis.normalizedTokens(col("text")), 6, 13))
+          .as("probe"))
+      val out = TextAnalysis.removeContaminatedSpans(
+        docs, "doc_id", "text", probes, "probe", n = 13)
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString()
+      plan should include("BroadcastHashJoin")
+      plan should not include "SortMergeJoin"
+      plan should not include "Window"
+    }
+  }
+
   "fuzzy paragraph dedup" should {
     "reassemble without a corpus window or cartesian product" in {
       import graft.pipeline.Dedup
