@@ -4109,6 +4109,51 @@ object SparkEntry {
           col("clean_vecs").cast(DoubleType).as("clean_vecs"),
           col("unit_norm_vecs").cast(DoubleType).as("unit_norm_vecs"),
           col("min_norm_r"), col("max_norm_r"), col("sum_norm2_r"))
+    }),
+
+    // q117: text-encoding health audit — q116's sibling for the text
+    // column: NULL / whitespace-only text, U+FFFD replacement chars,
+    // control chars (C0 minus \t\n\r, DEL, C1), zero-width chars, and
+    // curated mojibake signatures, all counted in one map-side codegen
+    // pass. Defects injected deterministically (null every 101st,
+    // replacement chars every 97th, BELs every 89th, zero-width every
+    // 83rd, mojibake every 79th, blank every 71st — CASE priority order
+    // identical in both engines; the oracle replays the same RE2/Java-
+    // compatible patterns built from explicit code points).
+    "q117_encoding_health" -> ((s, dir) => {
+      import graft.pipeline.TextAnalysis
+      val docs = table(s, dir, "documents")
+      val moji = TextAnalysis.MojibakeSignatures
+      val mojiSample = moji(0) + moji(7) + moji(14) // 3 hits
+      val t = col("text")
+      val injected = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(101)) === 0,
+          lit(null).cast(StringType))
+          .when(pmod(col("doc_id"), lit(97)) === 0,
+            concat(t, lit(" \uFFFD\uFFFD")))
+          .when(pmod(col("doc_id"), lit(89)) === 0,
+            concat(t, lit("\u0007\u0007\u0007")))
+          .when(pmod(col("doc_id"), lit(83)) === 0,
+            concat(lit("\u200B"), t, lit("\uFEFF")))
+          .when(pmod(col("doc_id"), lit(79)) === 0,
+            concat(t, lit(" "), lit(mojiSample)))
+          .when(pmod(col("doc_id"), lit(71)) === 0, lit("   "))
+          .otherwise(t).as("text"))
+      TextAnalysis.encodingHealth(injected, "doc_id", "text")
+        .select(
+          col("n_docs").cast(DoubleType).as("n_docs"),
+          col("null_docs").cast(DoubleType).as("null_docs"),
+          col("blank_docs").cast(DoubleType).as("blank_docs"),
+          col("repl_docs").cast(DoubleType).as("repl_docs"),
+          col("repl_chars").cast(DoubleType).as("repl_chars"),
+          col("ctrl_docs").cast(DoubleType).as("ctrl_docs"),
+          col("ctrl_chars").cast(DoubleType).as("ctrl_chars"),
+          col("zw_docs").cast(DoubleType).as("zw_docs"),
+          col("zw_chars").cast(DoubleType).as("zw_chars"),
+          col("mojibake_docs").cast(DoubleType).as("mojibake_docs"),
+          col("mojibake_hits").cast(DoubleType).as("mojibake_hits"),
+          col("clean_docs").cast(DoubleType).as("clean_docs"),
+          col("defective_id_sum").cast(DoubleType).as("defective_id_sum"))
     })
   )
 
@@ -8346,6 +8391,67 @@ object SparkEntry {
         |  round(max(CASE WHEN clean THEN sqrt(norm2) END), 6) AS max_norm_r,
         |  round(coalesce(sum(CASE WHEN clean THEN norm2 END), 0), 3)
         |    AS sum_norm2_r
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // q117: injections regenerated with the same CASE priority via chr()
+    // code points; the defect-class regexes are interpolated from the SAME
+    // Scala values the engine compiles (explicit code points, RE2/Java-
+    // compatible syntax), so the two engines run byte-identical patterns.
+    "q117_encoding_health" -> {
+      val moji = graft.pipeline.TextAnalysis.MojibakeSignatures
+      val mojiSample = moji(0) + moji(7) + moji(14)
+      val mojiPat = moji.mkString("(", "|", ")")
+      val ctrlPat = graft.pipeline.TextAnalysis.CtrlPattern
+      val zwPat = graft.pipeline.TextAnalysis.ZeroWidthPattern
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 101 = 0 THEN NULL
+         |         WHEN doc_id % 97 = 0
+         |           THEN text || ' ' || chr(65533) || chr(65533)
+         |         WHEN doc_id % 89 = 0
+         |           THEN text || chr(7) || chr(7) || chr(7)
+         |         WHEN doc_id % 83 = 0
+         |           THEN chr(8203) || text || chr(65279)
+         |         WHEN doc_id % 79 = 0 THEN text || ' ' || '$mojiSample'
+         |         WHEN doc_id % 71 = 0 THEN '   '
+         |         ELSE text END AS t
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, t,
+         |    t IS NULL AS is_null,
+         |    t IS NOT NULL AND len(trim(t)) = 0 AS is_blank,
+         |    CASE WHEN t IS NULL THEN 0
+         |         ELSE len(regexp_extract_all(t, '\\x{FFFD}')) END AS repl,
+         |    CASE WHEN t IS NULL THEN 0
+         |         ELSE len(regexp_extract_all(t, '$ctrlPat')) END AS ctrl,
+         |    CASE WHEN t IS NULL THEN 0
+         |         ELSE len(regexp_extract_all(t, '$zwPat')) END AS zw,
+         |    CASE WHEN t IS NULL THEN 0
+         |         ELSE len(regexp_extract_all(t, '$mojiPat')) END AS moji
+         |  FROM inj
+         |), c AS (
+         |  SELECT *,
+         |    is_null OR is_blank OR repl > 0 OR ctrl > 0 OR zw > 0
+         |      OR moji > 0 AS defective
+         |  FROM m
+         |)
+         |SELECT count(*)::DOUBLE AS n_docs,
+         |  sum(CASE WHEN is_null THEN 1 ELSE 0 END)::DOUBLE AS null_docs,
+         |  sum(CASE WHEN is_blank THEN 1 ELSE 0 END)::DOUBLE AS blank_docs,
+         |  sum(CASE WHEN repl > 0 THEN 1 ELSE 0 END)::DOUBLE AS repl_docs,
+         |  sum(repl)::DOUBLE AS repl_chars,
+         |  sum(CASE WHEN ctrl > 0 THEN 1 ELSE 0 END)::DOUBLE AS ctrl_docs,
+         |  sum(ctrl)::DOUBLE AS ctrl_chars,
+         |  sum(CASE WHEN zw > 0 THEN 1 ELSE 0 END)::DOUBLE AS zw_docs,
+         |  sum(zw)::DOUBLE AS zw_chars,
+         |  sum(CASE WHEN moji > 0 THEN 1 ELSE 0 END)::DOUBLE
+         |    AS mojibake_docs,
+         |  sum(moji)::DOUBLE AS mojibake_hits,
+         |  sum(CASE WHEN NOT defective THEN 1 ELSE 0 END)::DOUBLE
+         |    AS clean_docs,
+         |  coalesce(sum(CASE WHEN defective THEN doc_id END), 0)::DOUBLE
+         |    AS defective_id_sum
+         |FROM c""".stripMargin
+    }
   )
 }

@@ -1568,4 +1568,105 @@ object TextAnalysis {
           - (log(col("graft_cr") + 1.0) - logZRaw))).as("log_weight"))
     CacheLifecycle.releaseOnConsume(perDoc, Seq(tf))
   }
+
+  /** Control characters that have no business in training text: C0 minus
+    * tab/newline/carriage-return, DEL, and the C1 block (a classic
+    * byte-level corruption residue).
+    */
+  val CtrlPattern =
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{0080}-\\x{009F}]"
+
+  /** Zero-width / invisible formatting characters (ZWSP, ZWNJ, ZWJ, and a
+    * stray BOM) — invisible to the eye, poison to tokenizers and dedup.
+    */
+  val ZeroWidthPattern =
+    "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+
+  /** Curated mojibake signatures: the characteristic residue of UTF-8 text
+    * mis-decoded as cp1252/Latin-1 (the most common double-encoding
+    * corruption in web corpora). Built from explicit code points so the
+    * same byte-exact alternation can be embedded in any engine's regex;
+    * every entry is a plain multi-char literal (no regex metacharacters),
+    * none a prefix of another, so leftmost-first and leftmost-longest
+    * engines count identically.
+    */
+  val MojibakeSignatures: Seq[String] = Seq(
+    "\u00C3\u00A9", // e-acute  (C3 A9)
+    "\u00C3\u00A8", // e-grave  (C3 A8)
+    "\u00C3\u00BC", // u-uml    (C3 BC)
+    "\u00C3\u00A4", // a-uml    (C3 A4)
+    "\u00C3\u00B6", // o-uml    (C3 B6)
+    "\u00C3\u00B1", // n-tilde  (C3 B1)
+    "\u00C3\u00A7", // c-cedil  (C3 A7)
+    "\u00E2\u20AC\u2122", // right single quote (E2 80 99)
+    "\u00E2\u20AC\u0153", // left double quote  (E2 80 9C)
+    "\u00E2\u20AC\u009D", // right double quote (E2 80 9D)
+    "\u00E2\u20AC\u201C", // en dash            (E2 80 93)
+    "\u00E2\u20AC\u201D", // em dash            (E2 80 94)
+    "\u00E2\u201A\u00AC", // euro sign          (E2 82 AC)
+    "\u00C2\u00B0", // degree   (C2 B0)
+    "\u00C2\u00A9", // copyright(C2 A9)
+    "\u00C2\u00BB", // raquo    (C2 BB)
+    "\u00C2\u00AB") // laquo    (C2 AB)
+
+  private val MojibakePattern =
+    MojibakeSignatures.mkString("(", "|", ")")
+
+  /** Text-encoding health audit — the char-level pre-flight a curation
+    * pipeline runs before any tokenizer/LM/dedup stage trusts the text
+    * column: one pure map-side codegen pass counting the defect classes
+    * that survive parquet's UTF-8 guarantee yet still poison downstream
+    * stages — NULL text, whitespace-only text, U+FFFD replacement chars
+    * (the residue of a lossy upstream decode), control characters,
+    * zero-width characters, and curated mojibake signatures. Nothing
+    * shuffles but the single result row.
+    */
+  def encodingHealth(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    val isNullT = t.isNull
+    val isBlank = !isNullT && length(trim(t)) === 0
+    def hits(pattern: String): Column =
+      when(isNullT, 0).otherwise(
+        size(regexp_extract_all(t, lit(pattern), lit(0))))
+    val repl = hits("\\x{FFFD}")
+    val ctrl = hits(CtrlPattern)
+    val zw = hits(ZeroWidthPattern)
+    val moji = hits(MojibakePattern)
+    val defective = isNullT || isBlank ||
+      repl > 0 || ctrl > 0 || zw > 0 || moji > 0
+    df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(isNullT, 1L).otherwise(0L)).as("null_docs"),
+      sum(when(isBlank, 1L).otherwise(0L)).as("blank_docs"),
+      sum(when(repl > 0, 1L).otherwise(0L)).as("repl_docs"),
+      coalesce(sum(repl.cast(LongType)), lit(0L)).as("repl_chars"),
+      sum(when(ctrl > 0, 1L).otherwise(0L)).as("ctrl_docs"),
+      coalesce(sum(ctrl.cast(LongType)), lit(0L)).as("ctrl_chars"),
+      sum(when(zw > 0, 1L).otherwise(0L)).as("zw_docs"),
+      coalesce(sum(zw.cast(LongType)), lit(0L)).as("zw_chars"),
+      sum(when(moji > 0, 1L).otherwise(0L)).as("mojibake_docs"),
+      coalesce(sum(moji.cast(LongType)), lit(0L)).as("mojibake_hits"),
+      sum(when(!defective, 1L).otherwise(0L)).as("clean_docs"),
+      coalesce(sum(when(defective, col(idCol))), lit(0L))
+        .as("defective_id_sum"))
+  }
+
+  /** Per-document encoding flags for row-level routing (quarantine /
+    * re-decode / drop): same defect classes as [[encodingHealth]], kept as
+    * columns so the caller can filter or bucket without a second scan.
+    */
+  def withEncodingFlags(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val isNullT = t.isNull
+    def hits(pattern: String): Column =
+      when(isNullT, 0).otherwise(
+        size(regexp_extract_all(t, lit(pattern), lit(0))))
+    df.withColumn("enc_null", isNullT)
+      .withColumn("enc_blank", !isNullT && length(trim(t)) === 0)
+      .withColumn("enc_repl_chars", hits("\\x{FFFD}"))
+      .withColumn("enc_ctrl_chars", hits(CtrlPattern))
+      .withColumn("enc_zw_chars", hits(ZeroWidthPattern))
+      .withColumn("enc_mojibake_hits", hits(MojibakePattern))
+  }
 }
