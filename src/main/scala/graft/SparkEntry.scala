@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, element_at, explode, expr, pmod, length, lit, max, md5, min, regexp_replace, round, split, struct, sum, transform, when}
-import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.functions.{array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, element_at, explode, expr, pmod, length, lit, max, md5, min, regexp_replace, round, split, struct, sum, transform, unix_micros, when}
+import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
 import graft.comparison._
@@ -4154,6 +4154,48 @@ object SparkEntry {
           col("mojibake_hits").cast(DoubleType).as("mojibake_hits"),
           col("clean_docs").cast(DoubleType).as("clean_docs"),
           col("defective_id_sum").cast(DoubleType).as("defective_id_sum"))
+    }),
+
+    // q118: as-of join (click -> latest prior-or-equal view by the same
+    // user) — the one-shuffle union/carry-forward operator, censused:
+    // match counts, the exact matched view ids (id-sum pins every match),
+    // staleness mass in whole seconds (integer arithmetic both engines),
+    // decimal-exact matched value, and a 1-hour-tolerance recount.
+    // Right-side ts ties resolve to the largest view_id in BOTH engines
+    // (window tiebreak here, lexicographic struct max in the oracle).
+    "q118_asof_attribution" -> ((s, dir) => {
+      import graft.operators.AsOfJoin
+      val ev = eventsTable(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts"), col("value"))
+      val joined = AsOfJoin.asofJoin(clicks, views, Seq("user_id"), "ts",
+        payloadCols = Seq("view_id", "value"),
+        tiebreakCol = Some("view_id"))
+      // ts arrives TIMESTAMP or TIMESTAMP_NTZ depending on the parquet
+      // generation; lag is a difference, so the cast's zone shift
+      // cancels. Integer `div` keeps the seconds exact (the oracle's //).
+      val lagS = expr(
+        "(unix_micros(cast(ts as timestamp)) - " +
+          "unix_micros(cast(asof_ts as timestamp))) div 1000000")
+      joined.agg(
+        count(lit(1)).cast(DoubleType).as("n_clicks"),
+        sum(when(col("asof_view_id").isNotNull, 1L).otherwise(0L))
+          .cast(DoubleType).as("matched"),
+        sum(when(col("asof_view_id").isNull, 1L).otherwise(0L))
+          .cast(DoubleType).as("unmatched"),
+        coalesce(sum(when(col("asof_view_id").isNull, col("event_id"))),
+          lit(0L)).cast(DoubleType).as("unmatched_id_sum"),
+        coalesce(sum(col("asof_view_id")), lit(0L))
+          .cast(DoubleType).as("matched_view_id_sum"),
+        coalesce(sum(lagS), lit(0L)).cast(DoubleType).as("sum_lag_s"),
+        round(coalesce(sum(col("asof_value").cast(DecimalType(18, 2))),
+          lit(0).cast(DecimalType(18, 2))), 2)
+          .cast(DoubleType).as("matched_value_sum"),
+        sum(when(lagS <= 3600L, 1L).otherwise(0L))
+          .cast(DoubleType).as("matched_1h"))
     })
   )
 
@@ -8452,6 +8494,47 @@ object SparkEntry {
          |  coalesce(sum(CASE WHEN defective THEN doc_id END), 0)::DOUBLE
          |    AS defective_id_sum
          |FROM c""".stripMargin
-    }
+    },
+
+    // q118: the as-of match replayed as a grouped left range join with a
+    // lexicographic struct max — (ts, view_id) ordering reproduces the
+    // engine's window tiebreak exactly; staleness in whole seconds via
+    // int64 epoch arithmetic; value mass through DECIMAL(18,2).
+    "q118_asof_attribution" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'
+        |), views AS (
+        |  SELECT event_id AS view_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'view'
+        |), sel AS (
+        |  SELECT c.event_id, c.user_id, c.ts,
+        |    max(CASE WHEN v.view_id IS NULL THEN NULL
+        |        ELSE struct_pack(ts := v.ts, vid := v.view_id,
+        |                         val := v.value) END) AS best
+        |  FROM clicks c LEFT JOIN views v
+        |    ON v.user_id = c.user_id AND v.ts <= c.ts
+        |  GROUP BY 1, 2, 3
+        |), l AS (
+        |  SELECT *,
+        |    CASE WHEN best IS NULL THEN NULL
+        |         ELSE (epoch_us(ts) - epoch_us(best.ts)) // 1000000
+        |    END AS lag_s
+        |  FROM sel
+        |)
+        |SELECT count(*)::DOUBLE AS n_clicks,
+        |  sum(CASE WHEN best IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    AS matched,
+        |  sum(CASE WHEN best IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    AS unmatched,
+        |  coalesce(sum(CASE WHEN best IS NULL THEN event_id END), 0)
+        |    ::DOUBLE AS unmatched_id_sum,
+        |  coalesce(sum(best.vid), 0)::DOUBLE AS matched_view_id_sum,
+        |  coalesce(sum(lag_s), 0)::DOUBLE AS sum_lag_s,
+        |  round(coalesce(sum(best.val::DECIMAL(18,2)),
+        |    0::DECIMAL(18,2)), 2)::DOUBLE AS matched_value_sum,
+        |  sum(CASE WHEN lag_s <= 3600 THEN 1 ELSE 0 END)::DOUBLE
+        |    AS matched_1h
+        |FROM l""".stripMargin
   )
 }
