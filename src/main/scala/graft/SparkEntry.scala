@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, element_at, explode, expr, pmod, length, lit, max, md5, min, regexp_replace, round, split, struct, sum, transform, unix_micros, when}
+import org.apache.spark.sql.functions.{array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, element_at, explode, expr, pmod, length, lit, max, md5, min, regexp_replace, round, split, struct, sum, sum_distinct, transform, unix_micros, when}
 import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
@@ -4196,6 +4196,102 @@ object SparkEntry {
           .cast(DoubleType).as("matched_value_sum"),
         sum(when(lagS <= 3600L, 1L).otherwise(0L))
           .cast(DoubleType).as("matched_1h"))
+    }),
+
+    // q119: range join (clicks inside per-user 6-hour error-incident
+    // windows) — the bin-bucketed point-in-interval join, censused:
+    // pair volume, distinct matched clicks/intervals with id sums, the
+    // hottest interval, and integer offset mass. Session TZ is UTC, so
+    // epoch arithmetic matches DuckDB's naive epoch_us exactly.
+    "q119_range_join_incidents" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val ev = eventsTable(s, dir)
+      val us = expr("unix_micros(cast(ts as timestamp))")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          us.as("p"))
+      val incidents = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          us.as("lo"), (us + lit(21600L * 1000000L)).as("hi"))
+      val joined = RangeJoin.rangeJoin(clicks, incidents, "p", "lo", "hi",
+        binWidth = 21600L * 1000000L, extraKeyCols = Seq("user_id"),
+        payloadCols = Seq("err_id"))
+      val perInterval = joined.groupBy(col("rj_err_id"))
+        .agg(count(lit(1)).as("hits"))
+        .agg(
+          coalesce(sum(col("hits")), lit(0L))
+            .cast(DoubleType).as("matched_pairs"),
+          count(lit(1)).cast(DoubleType).as("intervals_hit"),
+          coalesce(sum(col("rj_err_id")), lit(0L))
+            .cast(DoubleType).as("hit_err_id_sum"),
+          coalesce(max(col("hits")), lit(0L))
+            .cast(DoubleType).as("max_hits_one_interval"))
+      val perClick = joined.agg(
+        countDistinct(col("click_id")).cast(DoubleType)
+          .as("matched_clicks"),
+        coalesce(sum_distinct(col("click_id")), lit(0L))
+          .cast(DoubleType).as("matched_click_id_sum"),
+        coalesce(sum(expr("(p - rj_lo) div 1000000")), lit(0L))
+          .cast(DoubleType).as("sum_offset_s"))
+      val totals = clicks.agg(count(lit(1)).cast(DoubleType)
+          .as("n_clicks"))
+        .crossJoin(incidents.agg(count(lit(1)).cast(DoubleType)
+          .as("n_incidents")))
+      totals.crossJoin(perInterval).crossJoin(perClick)
+    }),
+
+    // q120: SCD type-2 build over the per-user event-type change stream —
+    // consecutive same-type runs collapse into versions with half-open
+    // [valid_from, valid_to) epoch-micro intervals, then a point-in-time
+    // snapshot at 2024-01-15T00:00:00Z. The surviving-row event_id sum
+    // pins EXACTLY which change rows opened versions; durations are
+    // integer-second mass over closed versions.
+    "q120_scd2_versions" -> ((s, dir) => {
+      import graft.operators.Scd
+      val ev = eventsTable(s, dir)
+      val changes = ev.select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        col("event_type"), col("event_id"))
+      val scd = Scd.scdType2(changes, Seq("user_id"), "ts_us",
+        Seq("event_type"), tiebreakCols = Seq("event_id"))
+      val snapT = 1705276800000000L // 2024-01-15 00:00:00 UTC
+      val snap = Scd.snapshotAt(scd, lit(snapT))
+      val versions = scd.agg(
+        count(lit(1)).cast(DoubleType).as("n_versions"),
+        sum(when(col("is_current"), 1L).otherwise(0L))
+          .cast(DoubleType).as("current_versions"),
+        coalesce(sum(col("event_id")), lit(0L))
+          .cast(DoubleType).as("version_eid_sum"),
+        coalesce(max(col("version")), lit(0))
+          .cast(DoubleType).as("max_versions"),
+        coalesce(sum(expr(
+          "(valid_to - valid_from) div 1000000")), lit(0L))
+          .cast(DoubleType).as("closed_duration_s"))
+      val snapshot = snap.agg(
+        count(lit(1)).cast(DoubleType).as("snap_users"),
+        coalesce(sum(col("user_id")), lit(0L))
+          .cast(DoubleType).as("snap_user_id_sum"),
+        coalesce(sum(col("event_id")), lit(0L))
+          .cast(DoubleType).as("snap_eid_sum"),
+        countDistinct(col("event_type")).cast(DoubleType)
+          .as("snap_distinct_types"))
+      changes.agg(count(lit(1)).cast(DoubleType).as("n_changes"))
+        .crossJoin(versions).crossJoin(snapshot)
+    }),
+
+    // q121: key-skew census on orders.o_custkey with nulls injected every
+    // 97th order — exact per-key-count quantiles, hot-key shares, and
+    // Gini from the sqrt(N)-bounded count-of-counts histogram. The
+    // float ops are pinned to the same order in both engines before the
+    // 6-digit snap.
+    "q121_skew_census" -> ((s, dir) => {
+      import graft.operators.SkewCensus
+      val orders = table(s, dir, "orders")
+      val keyed = orders.select(
+        when(pmod(col("o_orderkey"), lit(97)) === 0,
+          lit(null).cast(LongType))
+          .otherwise(col("o_custkey")).as("k"))
+      SkewCensus.skewCensus(keyed, "k")
     })
   )
 
@@ -8535,6 +8631,134 @@ object SparkEntry {
         |    0::DECIMAL(18,2)), 2)::DOUBLE AS matched_value_sum,
         |  sum(CASE WHEN lag_s <= 3600 THEN 1 ELSE 0 END)::DOUBLE
         |    AS matched_1h
-        |FROM l""".stripMargin
+        |FROM l""".stripMargin,
+
+    // q119: the bin-bucketed range join replayed as a plain inequality
+    // join (DuckDB plans IEJoin); all epoch arithmetic in int64 micros.
+    "q119_range_join_incidents" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS p
+        |  FROM events WHERE event_type = 'click'
+        |), inc AS (
+        |  SELECT event_id AS err_id, user_id, epoch_us(ts) AS lo,
+        |    epoch_us(ts) + 21600000000 AS hi
+        |  FROM events WHERE event_type = 'error'
+        |), pr AS (
+        |  SELECT c.click_id, c.p, i.err_id, i.lo
+        |  FROM clicks c JOIN inc i
+        |    ON c.user_id = i.user_id AND c.p >= i.lo AND c.p <= i.hi
+        |), byint AS (
+        |  SELECT err_id, count(*) AS hits FROM pr GROUP BY 1
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM clicks)::DOUBLE AS n_clicks,
+        |  (SELECT count(*) FROM inc)::DOUBLE AS n_incidents,
+        |  (SELECT coalesce(sum(hits), 0) FROM byint)::DOUBLE
+        |    AS matched_pairs,
+        |  (SELECT count(*) FROM byint)::DOUBLE AS intervals_hit,
+        |  (SELECT coalesce(sum(err_id), 0) FROM byint)::DOUBLE
+        |    AS hit_err_id_sum,
+        |  (SELECT coalesce(max(hits), 0) FROM byint)::DOUBLE
+        |    AS max_hits_one_interval,
+        |  (SELECT count(DISTINCT click_id) FROM pr)::DOUBLE
+        |    AS matched_clicks,
+        |  (SELECT coalesce(sum(DISTINCT click_id), 0) FROM pr)::DOUBLE
+        |    AS matched_click_id_sum,
+        |  (SELECT coalesce(sum((p - lo) // 1000000), 0) FROM pr)::DOUBLE
+        |    AS sum_offset_s""".stripMargin,
+
+    // q120: the SCD2 build replayed with identical window specs;
+    // IS DISTINCT FROM mirrors the engine's null-safe <=> negation.
+    "q120_scd2_versions" ->
+      """WITH ch AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id
+        |  FROM events
+        |), lagged AS (
+        |  SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |  FROM ch
+        |), surv AS (
+        |  SELECT user_id, ts_us, event_type, event_id FROM lagged
+        |  WHERE prev IS DISTINCT FROM event_type
+        |), v AS (
+        |  SELECT *, ts_us AS valid_from,
+        |    lead(ts_us) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to,
+        |    row_number() OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id) AS version
+        |  FROM surv
+        |), snap AS (
+        |  SELECT * FROM v
+        |  WHERE valid_from <= 1705276800000000
+        |    AND (valid_to IS NULL OR valid_to > 1705276800000000)
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM ch)::DOUBLE AS n_changes,
+        |  (SELECT count(*) FROM v)::DOUBLE AS n_versions,
+        |  (SELECT sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+        |   FROM v)::DOUBLE AS current_versions,
+        |  (SELECT coalesce(sum(event_id), 0) FROM v)::DOUBLE
+        |    AS version_eid_sum,
+        |  (SELECT coalesce(max(version), 0) FROM v)::DOUBLE
+        |    AS max_versions,
+        |  (SELECT coalesce(sum((valid_to - valid_from) // 1000000), 0)
+        |   FROM v)::DOUBLE AS closed_duration_s,
+        |  (SELECT count(*) FROM snap)::DOUBLE AS snap_users,
+        |  (SELECT coalesce(sum(user_id), 0) FROM snap)::DOUBLE
+        |    AS snap_user_id_sum,
+        |  (SELECT coalesce(sum(event_id), 0) FROM snap)::DOUBLE
+        |    AS snap_eid_sum,
+        |  (SELECT count(DISTINCT event_type) FROM snap)::DOUBLE
+        |    AS snap_distinct_types""".stripMargin,
+
+    // q121: the census replayed from the same count-of-counts histogram;
+    // integer prefix sums, float ratios in the engine's exact op order.
+    "q121_skew_census" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |              ELSE o_custkey END AS k
+        |  FROM orders
+        |), counts AS (
+        |  SELECT k, count(*) AS cnt FROM base GROUP BY k
+        |), hist AS (
+        |  SELECT cnt, count(*) AS keys,
+        |    sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS nullkeys
+        |  FROM counts GROUP BY cnt
+        |), h AS (
+        |  SELECT *,
+        |    sum(keys) OVER (ORDER BY cnt) AS ckeys,
+        |    sum(keys) OVER (ORDER BY cnt) - keys AS pkeys,
+        |    sum(keys) OVER (ORDER BY cnt DESC) AS tkeys
+        |  FROM hist
+        |), tot AS (
+        |  SELECT coalesce(sum(cnt * keys), 0) AS n_rows,
+        |    coalesce(sum(keys), 0) AS n_keys,
+        |    coalesce(sum(cnt * nullkeys), 0) AS null_rows,
+        |    coalesce(max(cnt), 0) AS max_cnt,
+        |    coalesce(sum(cnt * keys * (2 * pkeys + keys + 1) // 2), 0)
+        |      AS s2
+        |  FROM h
+        |), top10 AS (
+        |  SELECT coalesce(sum(cnt *
+        |    least(keys, greatest(0, 10 - (tkeys - keys)))), 0) AS mass
+        |  FROM h
+        |)
+        |SELECT
+        |  n_rows::DOUBLE AS n_rows,
+        |  n_keys::DOUBLE AS n_keys,
+        |  null_rows::DOUBLE AS null_key_rows,
+        |  max_cnt::DOUBLE AS max_cnt,
+        |  (SELECT min(cnt) FROM h WHERE ckeys >= ceil(0.5 * tot.n_keys))
+        |    ::DOUBLE AS p50_cnt,
+        |  (SELECT min(cnt) FROM h WHERE ckeys >= ceil(0.9 * tot.n_keys))
+        |    ::DOUBLE AS p90_cnt,
+        |  (SELECT min(cnt) FROM h WHERE ckeys >= ceil(0.99 * tot.n_keys))
+        |    ::DOUBLE AS p99_cnt,
+        |  round(max_cnt::DOUBLE / n_rows::DOUBLE, 6) AS top1_share_r,
+        |  round((SELECT mass FROM top10)::DOUBLE / n_rows::DOUBLE, 6)
+        |    AS top10_share_r,
+        |  round(2.0 * s2::DOUBLE / (n_keys::DOUBLE * n_rows::DOUBLE)
+        |    - (n_keys + 1)::DOUBLE / n_keys::DOUBLE, 6) AS gini_r
+        |FROM tot""".stripMargin
   )
 }
