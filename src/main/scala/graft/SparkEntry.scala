@@ -4292,6 +4292,29 @@ object SparkEntry {
           lit(null).cast(LongType))
           .otherwise(col("o_custkey")).as("k"))
       SkewCensus.skewCensus(keyed, "k")
+    }),
+
+    // q122: z-order layout audit on orders (x = o_custkey, y = days since
+    // 1992-01-01, 16 bits each) — the Morton interleave pinned through
+    // global z stats (exact long sums), and the pruning audit showing the
+    // per-bucket y-extent shrinking under z-layout while an x-only sort
+    // keeps the full y-range in every bucket. All bit arithmetic and the
+    // single rounded division replayed identically in the oracle.
+    "q122_zorder_layout" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      import org.apache.spark.sql.functions.datediff
+      val orders = table(s, dir, "orders")
+      val dims = orders.select(
+        col("o_custkey").as("x"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast(LongType)
+          .as("y"))
+      val z = ZOrder.zValue(Seq(col("x"), col("y")), 16)
+      val zStats = dims.agg(
+        coalesce(sum(z), lit(0L)).cast(DoubleType).as("sum_z"),
+        coalesce(min(z), lit(0L)).cast(DoubleType).as("min_z"),
+        coalesce(max(z), lit(0L)).cast(DoubleType).as("max_z"))
+      ZOrder.pruningAudit(dims, "x", "y", bits = 16, nBuckets = 64)
+        .crossJoin(zStats)
     })
   )
 
@@ -8759,6 +8782,51 @@ object SparkEntry {
         |    AS top10_share_r,
         |  round(2.0 * s2::DOUBLE / (n_keys::DOUBLE * n_rows::DOUBLE)
         |    - (n_keys + 1)::DOUBLE / n_keys::DOUBLE, 6) AS gini_r
-        |FROM tot""".stripMargin
+        |FROM tot""".stripMargin,
+
+    // q122: Morton interleave regenerated as the same 32-term
+    // shift/mask/or expression; buckets and extents in pure int64.
+    "q122_zorder_layout" -> {
+      val zTerms = (0 until 16).flatMap(b => Seq(
+        s"(((x >> $b) & 1) << ${2 * b})",
+        s"(((y >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
+      s"""WITH dims AS (
+         |  SELECT (o_custkey & 65535) AS x,
+         |    ((o_orderdate::DATE - DATE '1992-01-01') & 65535) AS y
+         |  FROM orders
+         |), zd AS (
+         |  SELECT x, y, ($zTerms) AS z FROM dims
+         |), bounds AS (
+         |  SELECT min(z) AS zlo, max(z) AS zhi,
+         |    min(x) AS xlo, max(x) AS xhi
+         |  FROM zd
+         |), b AS (
+         |  SELECT x, y, z,
+         |    ((z - zlo) * 64) // (zhi - zlo + 1) AS zb,
+         |    ((x - xlo) * 64) // (xhi - xlo + 1) AS xb
+         |  FROM zd, bounds
+         |), zbx AS (
+         |  SELECT zb, max(x) - min(x) + 1 AS w, max(y) - min(y) + 1 AS h
+         |  FROM b GROUP BY zb
+         |), xbx AS (
+         |  SELECT xb, max(x) - min(x) + 1 AS w, max(y) - min(y) + 1 AS h
+         |  FROM b GROUP BY xb
+         |)
+         |SELECT
+         |  (SELECT count(*) FROM b)::DOUBLE AS n_rows,
+         |  (SELECT count(*) FROM zbx)::DOUBLE AS z_buckets,
+         |  (SELECT round(sum(w)::DOUBLE / count(*)::DOUBLE, 3) FROM zbx)
+         |    AS z_mean_w_r,
+         |  (SELECT round(sum(h)::DOUBLE / count(*)::DOUBLE, 3) FROM zbx)
+         |    AS z_mean_h_r,
+         |  (SELECT count(*) FROM xbx)::DOUBLE AS x_buckets,
+         |  (SELECT round(sum(w)::DOUBLE / count(*)::DOUBLE, 3) FROM xbx)
+         |    AS x_mean_w_r,
+         |  (SELECT round(sum(h)::DOUBLE / count(*)::DOUBLE, 3) FROM xbx)
+         |    AS x_mean_h_r,
+         |  (SELECT coalesce(sum(z), 0) FROM b)::DOUBLE AS sum_z,
+         |  (SELECT coalesce(min(z), 0) FROM b)::DOUBLE AS min_z,
+         |  (SELECT coalesce(max(z), 0) FROM b)::DOUBLE AS max_z""".stripMargin
+    }
   )
 }
