@@ -4315,6 +4315,50 @@ object SparkEntry {
         coalesce(max(z), lit(0L)).cast(DoubleType).as("max_z"))
       ZOrder.pruningAudit(dims, "x", "y", bits = 16, nBuckets = 64)
         .crossJoin(zStats)
+    }),
+
+    // q123: grouped top-k without a window — the bounded-heap TakeOrdered
+    // aggregate exposed as public API (Ranking.topKPerGroup), selecting
+    // the 5 longest documents per source (token count desc, doc_id asc).
+    // Row-level output: the oracle replays with the row_number window the
+    // operator replaces, proving the contract identical.
+    "q123_top_docs_per_source" -> ((s, dir) => {
+      import graft.pipeline.{Ranking, TextAnalysis}
+      val docs = table(s, dir, "documents")
+      val scored = docs.select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(DoubleType).as("ntok"))
+      Ranking.topKPerGroup(scored, "source", "doc_id", "ntok", k = 5)
+        .select(col("source"), col("doc_id"),
+          col("ntok").cast(DoubleType).as("ntok"),
+          col("rank").cast(DoubleType).as("rank"))
+    }),
+
+    // q124: systematic PPS sampling (k=500 evenly spaced probes on the
+    // token-weight cumulative line, ordered by doc_id) — integer-exact,
+    // no probe set ever materialized: each row's hit count is the
+    // closed-form inversion of the probe formula. The census pins total
+    // probe conservation (k_hits == k), exactly which docs were sampled
+    // (id sum), and the heavy-doc multiplicity.
+    "q124_pps_sample" -> ((s, dir) => {
+      import graft.pipeline.{Mixing, TextAnalysis}
+      val docs = table(s, dir, "documents")
+      val weighted = docs.select(col("doc_id"),
+        (TextAnalysis.tokenCount(col("text")) + lit(1))
+          .cast(LongType).as("w"))
+      val pps = Mixing.ppsSystematicSample(weighted, "doc_id", "w",
+        k = 500)
+      pps.agg(
+        count(lit(1)).cast(DoubleType).as("n_rows"),
+        sum(col("weight")).cast(DoubleType).as("total_w"),
+        sum(col("pps_mult")).cast(DoubleType).as("k_hits"),
+        sum(when(col("pps_mult") > 0, 1L).otherwise(0L))
+          .cast(DoubleType).as("sampled_docs"),
+        coalesce(sum(when(col("pps_mult") > 0, col("doc_id"))), lit(0L))
+          .cast(DoubleType).as("sampled_id_sum"),
+        coalesce(max(col("pps_mult")), lit(0L))
+          .cast(DoubleType).as("max_mult"),
+        coalesce(sum(when(col("pps_mult") > 0, col("weight"))), lit(0L))
+          .cast(DoubleType).as("sampled_w_sum"))
     })
   )
 
@@ -8827,6 +8871,61 @@ object SparkEntry {
          |  (SELECT coalesce(sum(z), 0) FROM b)::DOUBLE AS sum_z,
          |  (SELECT coalesce(min(z), 0) FROM b)::DOUBLE AS min_z,
          |  (SELECT coalesce(max(z), 0) FROM b)::DOUBLE AS max_z""".stripMargin
-    }
+    },
+
+    // q123: the heap aggregate's contract replayed with the exact window
+    // it replaces — same rows, same ranks, same (ntok desc, id asc) ties.
+    "q123_top_docs_per_source" ->
+      """WITH scored AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> ''))::DOUBLE AS ntok
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY source ORDER BY ntok DESC, doc_id ASC) AS rk
+        |  FROM scored
+        |)
+        |SELECT source, doc_id, ntok, rk::DOUBLE AS rank
+        |FROM ranked WHERE rk <= 5""".stripMargin,
+
+    // q124: the PPS line replayed with a cumulative window (the oracle
+    // may window; the engine may not) and the same closed-form probe
+    // count — floor(y) < x for integer x iff y < x, so
+    // #{j : (W*(2j+1)) div (2k) < x} = clamp((2kx - W - 1) // (2W) + 1).
+    "q124_pps_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    coalesce(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> ''))::BIGINT + 1, 0) AS w
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id, w,
+        |    coalesce(sum(w) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS strt,
+        |    (SELECT sum(w) FROM w) AS tw
+        |  FROM w
+        |), m AS (
+        |  SELECT doc_id, w, strt,
+        |    (CASE WHEN 1000 * (strt + w) - tw <= 0 THEN 0
+        |          ELSE least(500, (1000 * (strt + w) - tw - 1)
+        |            // (2 * tw) + 1) END)
+        |    - (CASE WHEN 1000 * strt - tw <= 0 THEN 0
+        |          ELSE least(500, (1000 * strt - tw - 1)
+        |            // (2 * tw) + 1) END) AS mult
+        |  FROM c
+        |)
+        |SELECT count(*)::DOUBLE AS n_rows,
+        |  sum(w)::DOUBLE AS total_w,
+        |  sum(mult)::DOUBLE AS k_hits,
+        |  sum(CASE WHEN mult > 0 THEN 1 ELSE 0 END)::DOUBLE
+        |    AS sampled_docs,
+        |  coalesce(sum(CASE WHEN mult > 0 THEN doc_id END), 0)::DOUBLE
+        |    AS sampled_id_sum,
+        |  coalesce(max(mult), 0)::DOUBLE AS max_mult,
+        |  coalesce(sum(CASE WHEN mult > 0 THEN w END), 0)::DOUBLE
+        |    AS sampled_w_sum
+        |FROM m""".stripMargin
   )
 }

@@ -440,4 +440,82 @@ object Mixing {
       .withColumn("shard", shardOf(col(idCol), nShards, seed))
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
+  /** Systematic probability-proportional-to-size sampling (classic PPS
+    * survey design): lay every row's weight on a cumulative line ordered
+    * by id, drop k evenly spaced probes at offsets (W*(2j+1)) div (2k)
+    * for j in 0..k-1, and sample each row once per probe landing inside
+    * its [start, start+w) span. Heavy rows can be hit more than once —
+    * that multiplicity IS the PPS estimate's weighting, reported rather
+    * than hidden.
+    *
+    * Fully deterministic and integer-exact: the prefix line comes from
+    * the [[tokenBudgetSample]] partition-offset machinery (range
+    * repartition + broadcast prefix, no global window), and the per-row
+    * hit count is CLOSED-FORM — #{j : probe_j < x} inverts to one integer
+    * division, so no probe set is ever materialized or joined. One
+    * shuffle (the range partition), then pure map-side arithmetic.
+    *
+    * Returns (idCol, weight, start, pps_mult); rows with weight 0 can
+    * never be hit. Requires 2*k*W to fit a long.
+    */
+  def ppsSystematicSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val idField = df.schema(df.schema.fieldIndex(idCol))
+    val slim = df
+      .where(col(idCol).isNotNull)
+      .select(col(idCol).as("graft_id"),
+        coalesce(col(weightCol).cast(LongType), lit(0L)).as("graft_w"))
+      .repartitionByRange(col("graft_id"))
+      .sortWithinPartitions("graft_id")
+      .rdd.map(r => (r.get(0), r.getLong(1)))
+    slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partTotals: Array[(Int, Long)] = slim
+        .mapPartitionsWithIndex { (i, it) =>
+          Iterator((i, it.foldLeft(0L)(_ + _._2)))
+        }
+        .collect().sortBy(_._1)
+      val offsets = partTotals.map(_._2).scanLeft(0L)(_ + _)
+      val totalW = offsets.last
+      require(totalW > 0, "ppsSystematicSample needs positive total weight")
+      require(totalW <= Long.MaxValue / (2L * k),
+        s"2*k*W overflows a long (W=$totalW, k=$k)")
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      val rows = slim.mapPartitionsWithIndex { (i, it) =>
+        var running = bOffsets.value(i)
+        // #{j in [0,k) : (W*(2j+1)) div (2k) < x} — probes strictly
+        // below x; floor(y) < x for integer x iff y < x
+        def probesBelow(x: Long): Long = {
+          val num = 2L * k * x - totalW
+          if (num <= 0) 0L
+          else math.min(k.toLong, (num - 1) / (2L * totalW) + 1)
+        }
+        it.map { case (id, w) =>
+          val start = running
+          running += w
+          Row(id, w, start, probesBelow(start + w) - probesBelow(start))
+        }
+      }
+      val out = spark.createDataFrame(rows, StructType(Seq(
+        idField.copy(name = idCol),
+        StructField("weight", LongType, nullable = false),
+        StructField("start", LongType, nullable = false),
+        StructField("pps_mult", LongType, nullable = false))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize before the slim cache releases — the frame is lazy,
+      // and re-running the range shuffle would re-sample its bounds
+      out.count()
+      CacheLifecycle.releaseOnConsume(
+        out.select(out.columns.map(col).toSeq: _*), Seq(out))
+    } finally {
+      slim.unpersist(blocking = false)
+      ()
+    }
+  }
 }

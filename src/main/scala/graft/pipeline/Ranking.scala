@@ -171,4 +171,25 @@ object Ranking {
       ()
     }
   }
+
+  /** Exact per-group top-k without a window — the public face of the
+    * bounded-heap selection the ANN tails use ([[Similarity]]'s
+    * TakeOrdered `Aggregator`): identical output contract to
+    * `row_number().over(partitionBy(group).orderBy(score desc, id asc))
+    * <= k`, but every corpus partition contributes at most k candidates
+    * per group to the shuffle (map-side partial combine) and no task
+    * ever sorts more than the aggregated survivors. THE replacement for
+    * the per-group window whenever a group can be a corpus fraction —
+    * top documents per language, per domain, per cluster.
+    *
+    * Returns (group, id, score, rank) with rank 1..k, ties broken by
+    * ascending id; ids must be integral.
+    */
+  def topKPerGroup(
+      scored: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String,
+      k: Int): DataFrame =
+    Similarity.topKPerQuery(scored, groupCol, idCol, scoreCol, k)
 }

@@ -702,7 +702,87 @@ object ScaleProbe {
         timed(fuzzyParaProbe(docs0)), timed(fuzzyParaProbe(docsX))),
       ("connected_components",
         timed(cc(ccEdges(ccComps1))), timed(cc(ccEdges(ccComps1 * mult)))))
-    val results = resultsHead ++ resultsTail
+
+    // -----------------------------------------------------------------
+    // relational/layout operators (q117-q122 engine paths) on an events
+    // corpus replicated with SHIFTED user/event ids — per-key densities
+    // stay constant, so the one-shuffle-per-key operators must scale with
+    // rows while their per-key window state stays fixed (the production
+    // shape: more users, not deeper histories)
+    // -----------------------------------------------------------------
+    val ev0 = graft.SparkEntry.eventsTable(spark, sfDir)
+      .select(col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        col("user_id"), col("event_type"))
+    val evX = (0 until mult).map(k => ev0.select(
+      (col("event_id") + lit(k * 1000000000L)).as("event_id"),
+      col("ts_us"),
+      (col("user_id") + lit(k * 10000000L)).as("user_id"),
+      col("event_type"))).reduce(_ union _)
+
+    def asofProbe(e: DataFrame): Long = {
+      import graft.operators.AsOfJoin
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_us"))
+      val views = e.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts_us"))
+      AsOfJoin.asofJoin(clicks, views, Seq("user_id"), "ts_us",
+        payloadCols = Seq("view_id"), tiebreakCol = Some("view_id"))
+        .where(col("asof_view_id").isNotNull).count()
+    }
+    def rangeProbe(e: DataFrame): Long = {
+      import graft.operators.RangeJoin
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_us").as("p"))
+      val inc = e.where(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts_us").as("lo"),
+          (col("ts_us") + lit(21600L * 1000000L)).as("hi"))
+      RangeJoin.rangeJoin(clicks, inc, "p", "lo", "hi",
+        binWidth = 21600L * 1000000L, extraKeyCols = Seq("user_id"),
+        payloadCols = Seq("err_id")).count()
+    }
+    def scdProbe(e: DataFrame): Long = {
+      import graft.operators.Scd
+      Scd.scdType2(e, Seq("user_id"), "ts_us", Seq("event_type"),
+        tiebreakCols = Seq("event_id")).count()
+    }
+    def encodingProbe(d: DataFrame): Long = {
+      import graft.pipeline.TextAnalysis
+      val r = TextAnalysis.encodingHealth(d, "doc_id", "text")
+        .collect().head
+      r.getLong(r.fieldIndex("clean_docs")) +
+        r.getLong(r.fieldIndex("mojibake_hits"))
+    }
+    def skewProbe(e: DataFrame): Long = {
+      import graft.operators.SkewCensus
+      val r = SkewCensus.skewCensus(e, "user_id").collect().head
+      r.getDouble(r.fieldIndex("n_keys")).toLong +
+        r.getDouble(r.fieldIndex("max_cnt")).toLong
+    }
+    def zorderProbe(e: DataFrame): Long = {
+      import graft.operators.ZOrder
+      val dims = e.select(col("user_id").as("x"),
+        expr("ts_us div 1000000").as("y"))
+      val r = ZOrder.pruningAudit(dims, "x", "y", bits = 16,
+        nBuckets = 64).collect().head
+      r.getDouble(r.fieldIndex("z_buckets")).toLong +
+        math.round(r.getDouble(r.fieldIndex("z_mean_h_r")))
+    }
+
+    val resultsRelational = Seq(
+      ("asof_join", timed(asofProbe(ev0)), timed(asofProbe(evX))),
+      ("range_join", timed(rangeProbe(ev0)), timed(rangeProbe(evX))),
+      ("scd2_build", timed(scdProbe(ev0)), timed(scdProbe(evX))),
+      ("encoding_health",
+        timed(encodingProbe(docs0)), timed(encodingProbe(docsX))),
+      ("skew_census", timed(skewProbe(ev0)), timed(skewProbe(evX))),
+      ("zorder_audit", timed(zorderProbe(ev0)), timed(zorderProbe(evX))))
+
+    val results = resultsHead ++ resultsTail ++ resultsRelational
     // the NB model's cached log-prob table is done after its rows
     nbModel.release()
 
