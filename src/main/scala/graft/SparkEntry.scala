@@ -4359,6 +4359,65 @@ object SparkEntry {
           .cast(DoubleType).as("max_mult"),
         coalesce(sum(when(col("pps_mult") > 0, col("weight"))), lit(0L))
           .cast(DoubleType).as("sampled_w_sum"))
+    }),
+
+    // q125: functional-dependency audit on lineitem — two candidate FDs
+    // from one order key (supplier: heavily violated by design of the
+    // schema; return flag: violated wherever an order's items differ),
+    // each censused with null-safe semantics and the minimal-repair row
+    // count (every group keeps its plurality RHS).
+    "q125_fd_audit" -> ((s, dir) => {
+      import graft.operators.FdAudit
+      val li = table(s, dir, "lineitem")
+      def census(rhs: String, p: String) =
+        FdAudit.fdAudit(li, Seq("l_orderkey"), rhs).select(
+          col("n_rows").cast(DoubleType).as(s"${p}_n_rows"),
+          col("n_groups").cast(DoubleType).as(s"${p}_n_groups"),
+          col("violating_groups").cast(DoubleType)
+            .as(s"${p}_violating_groups"),
+          col("violating_rows").cast(DoubleType)
+            .as(s"${p}_violating_rows"),
+          col("repair_rows").cast(DoubleType).as(s"${p}_repair_rows"))
+      census("l_suppkey", "fd1").crossJoin(census("l_returnflag", "fd2"))
+    }),
+
+    // q126: interval-overlap join — per-user 1-hour view windows against
+    // 6-hour error-incident windows, first-shared-bin responsibility
+    // keeping every intersecting pair exactly once. The census pins pair
+    // volume, both sides' distinct participants with id sums, and the
+    // total overlap duration in whole seconds (integer min/max epoch
+    // arithmetic in both engines).
+    "q126_interval_overlap" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val ev = eventsTable(s, dir)
+      val us = expr("unix_micros(cast(ts as timestamp))")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          us.as("vlo"), (us + lit(3600L * 1000000L)).as("vhi"))
+      val incidents = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          us.as("elo"), (us + lit(21600L * 1000000L)).as("ehi"))
+      val joined = RangeJoin.intervalOverlapJoin(views, incidents,
+        "vlo", "vhi", "elo", "ehi", binWidth = 21600L * 1000000L,
+        extraKeyCols = Seq("user_id"), payloadCols = Seq("err_id"))
+      val overlapS = expr(
+        "(least(vhi, oj_hi) - greatest(vlo, oj_lo)) div 1000000")
+      val pairStats = joined.agg(
+        count(lit(1)).cast(DoubleType).as("overlap_pairs"),
+        countDistinct(col("view_id")).cast(DoubleType)
+          .as("views_in_overlap"),
+        coalesce(sum_distinct(col("view_id")), lit(0L))
+          .cast(DoubleType).as("view_id_sum"),
+        countDistinct(col("oj_err_id")).cast(DoubleType)
+          .as("errs_in_overlap"),
+        coalesce(sum_distinct(col("oj_err_id")), lit(0L))
+          .cast(DoubleType).as("err_id_sum"),
+        coalesce(sum(overlapS), lit(0L)).cast(DoubleType)
+          .as("overlap_s_sum"))
+      views.agg(count(lit(1)).cast(DoubleType).as("n_views"))
+        .crossJoin(incidents.agg(count(lit(1)).cast(DoubleType)
+          .as("n_incidents")))
+        .crossJoin(pairStats)
     })
   )
 
@@ -8926,6 +8985,62 @@ object SparkEntry {
         |  coalesce(max(mult), 0)::DOUBLE AS max_mult,
         |  coalesce(sum(CASE WHEN mult > 0 THEN w END), 0)::DOUBLE
         |    AS sampled_w_sum
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // q125: both FD censuses replayed with the same two-level grouping
+    // (pairs, then per-lhs stats) — null-safe by construction.
+    "q125_fd_audit" -> {
+      def fdCtes(rhs: String, p: String) =
+        s"""${p}_pairs AS (
+           |  SELECT l_orderkey, $rhs AS r, count(*) AS c
+           |  FROM lineitem GROUP BY 1, 2
+           |), ${p}_groups AS (
+           |  SELECT l_orderkey, count(*) AS dv, sum(c) AS rows_,
+           |    max(c) AS maxc
+           |  FROM ${p}_pairs GROUP BY 1
+           |), ${p}_census AS (
+           |  SELECT coalesce(sum(rows_), 0)::DOUBLE AS ${p}_n_rows,
+           |    count(*)::DOUBLE AS ${p}_n_groups,
+           |    sum(CASE WHEN dv > 1 THEN 1 ELSE 0 END)::DOUBLE
+           |      AS ${p}_violating_groups,
+           |    coalesce(sum(CASE WHEN dv > 1 THEN rows_ ELSE 0 END), 0)
+           |      ::DOUBLE AS ${p}_violating_rows,
+           |    coalesce(sum(rows_ - maxc), 0)::DOUBLE AS ${p}_repair_rows
+           |  FROM ${p}_groups
+           |)""".stripMargin
+      s"""WITH ${fdCtes("l_suppkey", "fd1")},
+         |${fdCtes("l_returnflag", "fd2")}
+         |SELECT * FROM fd1_census, fd2_census""".stripMargin
+    },
+
+    // q126: the overlap join replayed as a plain inequality join; whole-
+    // second overlap durations via int64 epoch min/max arithmetic.
+    "q126_interval_overlap" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS vlo,
+        |    epoch_us(ts) + 3600000000 AS vhi
+        |  FROM events WHERE event_type = 'view'
+        |), e AS (
+        |  SELECT event_id AS err_id, user_id, epoch_us(ts) AS elo,
+        |    epoch_us(ts) + 21600000000 AS ehi
+        |  FROM events WHERE event_type = 'error'
+        |), pr AS (
+        |  SELECT v.view_id, e.err_id,
+        |    (least(v.vhi, e.ehi) - greatest(v.vlo, e.elo)) // 1000000
+        |      AS overlap_s
+        |  FROM v JOIN e
+        |    ON v.user_id = e.user_id
+        |    AND v.vlo <= e.ehi AND e.elo <= v.vhi
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM v)::DOUBLE AS n_views,
+        |  (SELECT count(*) FROM e)::DOUBLE AS n_incidents,
+        |  count(*)::DOUBLE AS overlap_pairs,
+        |  count(DISTINCT view_id)::DOUBLE AS views_in_overlap,
+        |  coalesce(sum(DISTINCT view_id), 0)::DOUBLE AS view_id_sum,
+        |  count(DISTINCT err_id)::DOUBLE AS errs_in_overlap,
+        |  coalesce(sum(DISTINCT err_id), 0)::DOUBLE AS err_id_sum,
+        |  coalesce(sum(overlap_s), 0)::DOUBLE AS overlap_s_sum
+        |FROM pr""".stripMargin
   )
 }

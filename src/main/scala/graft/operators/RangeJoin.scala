@@ -82,4 +82,70 @@ object RangeJoin {
         Seq(col("graft_lo").as("rj_lo"), col("graft_hi").as("rj_hi")) ++
         payloadCols.map(c => col(s"rj_$c")): _*)
   }
+
+  /** Interval-overlap join: every (left, right) pair whose inclusive
+    * intervals intersect (and extra keys match). Both sides explode into
+    * covered bins and equi-join; a shared pair would match in EVERY
+    * shared bin, so each pair is emitted only in its FIRST shared bin —
+    * max(bin(left.lo), bin(right.lo)), a responsibility assignment
+    * evaluated as a residual predicate — keeping the exactly-once
+    * contract without a dedup pass.
+    *
+    * Left columns pass through; right columns arrive as `oj_<col>` plus
+    * `oj_lo`/`oj_hi`. Same bin-cap guard as [[rangeJoin]].
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftLo: String,
+      leftHi: String,
+      rightLo: String,
+      rightHi: String,
+      binWidth: Long,
+      extraKeyCols: Seq[String] = Seq.empty,
+      payloadCols: Seq[String] = Seq.empty,
+      maxBinsPerInterval: Int = 10000): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    val lCols = left.columns.toSeq
+    require(!lCols.exists(c => c.startsWith("graft_") || c.startsWith("oj_")),
+      "left side must not contain graft_/oj_-prefixed columns")
+
+    def bin(c: Column): Column = floor(c / binWidth)
+
+    def explodeBins(lo: String, hi: String): Column = {
+      val nBins = bin(col(hi)) - bin(col(lo)) + 1
+      when(nBins > maxBinsPerInterval,
+        raise_error(concat(
+          lit(s"intervalOverlapJoin: interval spans more than " +
+            s"$maxBinsPerInterval bins at binWidth=$binWidth ("),
+          col(lo).cast("string"), lit(".."),
+          col(hi).cast("string"), lit(")"))))
+        .otherwise(sequence(bin(col(lo)), bin(col(hi))))
+    }
+
+    val lSide = left.where(col(leftLo) <= col(leftHi))
+      .withColumn("graft_bin",
+        explode(explodeBins(leftLo, leftHi)))
+    val rSide = right.where(col(rightLo) <= col(rightHi))
+      .select(
+        extraKeyCols.map(col) ++ Seq(
+          col(rightLo).as("oj_lo"),
+          col(rightHi).as("oj_hi")) ++
+          payloadCols.map(c => col(c).as(s"oj_$c")): _*)
+      .withColumn("graft_bin",
+        explode(explodeBins("oj_lo", "oj_hi")))
+
+    lSide.join(rSide,
+        extraKeyCols.map(k => lSide(k) === rSide(k))
+          .foldLeft(lSide("graft_bin") === rSide("graft_bin"))(_ && _) &&
+          lSide(leftLo) <= rSide("oj_hi") &&
+          rSide("oj_lo") <= lSide(leftHi) &&
+          // first-shared-bin responsibility: emit once per pair
+          lSide("graft_bin") ===
+            greatest(bin(lSide(leftLo)), bin(rSide("oj_lo"))))
+      .select(lCols.map(lSide.apply) ++
+        Seq(rSide("oj_lo"), rSide("oj_hi")) ++
+        payloadCols.map(c => rSide(s"oj_$c")): _*)
+  }
 }

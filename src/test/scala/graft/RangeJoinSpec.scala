@@ -87,4 +87,63 @@ class RangeJoinSpec extends AnyWordSpec with Matchers with SparkSpec {
           intervals, "p", "lo", "hi", binWidth = 8)
     }
   }
+
+  "intervalOverlapJoin" should {
+    def leftIv = {
+      val s = spark
+      import s.implicits._
+      Seq(
+        (1L, 0L, 10L),    // overlaps A (touching at 10) and B
+        (2L, 15L, 40L),   // overlaps B, C
+        (3L, 100L, 110L), // overlaps nothing
+        (4L, 60L, 50L))   // inverted: dropped
+        .toDF("lid", "llo", "lhi")
+    }
+    def rightIv = {
+      val s = spark
+      import s.implicits._
+      Seq(
+        (10L, 10L, 20L, "A"),
+        (11L, 5L, 30L, "B"),
+        (12L, 35L, 45L, "C"))
+        .toDF("rid", "rlo", "rhi", "tag")
+    }
+    def overlapPairs(w: Long): Set[(Long, Long)] =
+      RangeJoin.intervalOverlapJoin(leftIv, rightIv,
+          "llo", "lhi", "rlo", "rhi", binWidth = w,
+          payloadCols = Seq("rid"))
+        .collect()
+        .map(r => (r.getLong(r.fieldIndex("lid")),
+          r.getLong(r.fieldIndex("oj_rid")))).toSet
+
+    "emit each intersecting pair exactly once, inclusive bounds" in {
+      val expected = Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+        (2L, 12L))
+      overlapPairs(8) shouldBe expected
+      overlapPairs(1) shouldBe expected
+      overlapPairs(1000) shouldBe expected
+    }
+
+    "never duplicate a pair sharing many bins" in {
+      val s = spark
+      import s.implicits._
+      val l = Seq((1L, 0L, 100L)).toDF("lid", "llo", "lhi")
+      val r = Seq((9L, 0L, 100L)).toDF("rid", "rlo", "rhi")
+      val out = RangeJoin.intervalOverlapJoin(l, r, "llo", "lhi",
+        "rlo", "rhi", binWidth = 3, payloadCols = Seq("rid"))
+      out.count() shouldBe 1
+    }
+
+    "respect extra keys" in {
+      val s = spark
+      import s.implicits._
+      val l = Seq((1L, "u1", 0L, 10L), (2L, "u2", 0L, 10L))
+        .toDF("lid", "user", "llo", "lhi")
+      val r = Seq(("u1", 5L, 15L, 7L)).toDF("user", "rlo", "rhi", "rid")
+      val out = RangeJoin.intervalOverlapJoin(l, r, "llo", "lhi",
+        "rlo", "rhi", binWidth = 8, extraKeyCols = Seq("user"),
+        payloadCols = Seq("rid"))
+      out.collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    }
+  }
 }
