@@ -4418,6 +4418,72 @@ object SparkEntry {
         .crossJoin(incidents.agg(count(lit(1)).cast(DoubleType)
           .as("n_incidents")))
         .crossJoin(pairStats)
+    }),
+
+    // q127: batch sessionization of the per-user event timeline (30-min
+    // strict gap). The per-event session-id sum pins EVERY event's
+    // assignment; durations are integer-second mass over sessions.
+    "q127_sessionize" -> ((s, dir) => {
+      import graft.operators.Sessionize
+      val ev = eventsTable(s, dir)
+      val base = ev.select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        col("event_id"))
+      val sess = Sessionize.sessionize(base, Seq("user_id"), "ts_us",
+        gapThreshold = 1800L * 1000000L, tiebreakCols = Seq("event_id"))
+      val stats = Sessionize.sessionStats(sess, Seq("user_id"), "ts_us")
+      val perSession = stats.agg(
+        count(lit(1)).cast(DoubleType).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .cast(DoubleType).as("singleton_sessions"),
+        coalesce(max(col("n_events")), lit(0L))
+          .cast(DoubleType).as("max_session_events"),
+        coalesce(sum(expr("duration div 1000000")), lit(0L))
+          .cast(DoubleType).as("sum_duration_s"))
+      sess.agg(
+        count(lit(1)).cast(DoubleType).as("n_events"),
+        coalesce(sum(col("session_id")), lit(0L))
+          .cast(DoubleType).as("event_sid_sum"))
+        .crossJoin(perSession)
+    }),
+
+    // q128: ordered funnel signup -> view -> click -> purchase per user,
+    // each step matched at the earliest event STRICTLY after the prior
+    // step's match — n slim per-key aggregations, never a per-user sort
+    // of the raw timeline. Census pins step populations and integer
+    // conversion-lag mass (whole seconds).
+    "q128_funnel" -> ((s, dir) => {
+      import graft.operators.EventAnalytics
+      val ev = eventsTable(s, dir)
+      val base = ev.select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        col("event_type"))
+      val f = EventAnalytics.funnel(base, Seq("user_id"), "ts_us",
+        Seq(col("event_type") === "signup", col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+      val lagSecs = (1 to 3).map(i =>
+        coalesce(sum(expr(s"(t$i - t${i - 1}) div 1000000")), lit(0L))
+          .cast(DoubleType).as(s"step${i}_lag_s"))
+      val steps = (0 to 3).map(i =>
+        sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L))
+          .cast(DoubleType).as(s"step${i}_users"))
+      f.agg((steps ++ lagSecs).head, (steps ++ lagSecs).tail: _*)
+    }),
+
+    // q129: weekly cohort retention — each user bucketed to the epoch
+    // week of their first event, distinct-active counts per (cohort,
+    // offset). Row-level matrix output (weeks x weeks, catalog-sized).
+    "q129_cohort_retention" -> ((s, dir) => {
+      import graft.operators.EventAnalytics
+      val ev = eventsTable(s, dir)
+      val base = ev.select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
+      EventAnalytics.cohortRetention(base, Seq("user_id"), "ts_us",
+          ts => expr("(ts_us div 86400000000) div 7"))
+        .select(col("cohort").cast(DoubleType).as("cohort"),
+          col("offset").cast(DoubleType).as("offset"),
+          col("active_keys").cast(DoubleType).as("active_keys"))
     })
   )
 
@@ -9041,6 +9107,93 @@ object SparkEntry {
         |  count(DISTINCT err_id)::DOUBLE AS errs_in_overlap,
         |  coalesce(sum(DISTINCT err_id), 0)::DOUBLE AS err_id_sum,
         |  coalesce(sum(overlap_s), 0)::DOUBLE AS overlap_s_sum
-        |FROM pr""".stripMargin
+        |FROM pr""".stripMargin,
+
+    // q127: sessionization replayed with identical lag + running-sum
+    // windows; strict-gap semantics, integer-second durations.
+    "q127_sessionize" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+        |), g AS (
+        |  SELECT *, ts_us - lag(ts_us) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+        |  FROM base
+        |), s AS (
+        |  SELECT *, sum(CASE WHEN gap IS NULL OR gap > 1800000000
+        |    THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), st AS (
+        |  SELECT user_id, sid, count(*) AS ne,
+        |    max(ts_us) - min(ts_us) AS dur
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM s)::DOUBLE AS n_events,
+        |  (SELECT coalesce(sum(sid), 0) FROM s)::DOUBLE
+        |    AS event_sid_sum,
+        |  (SELECT count(*) FROM st)::DOUBLE AS n_sessions,
+        |  (SELECT sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) FROM st)
+        |    ::DOUBLE AS singleton_sessions,
+        |  (SELECT coalesce(max(ne), 0) FROM st)::DOUBLE
+        |    AS max_session_events,
+        |  (SELECT coalesce(sum(dur // 1000000), 0) FROM st)::DOUBLE
+        |    AS sum_duration_s""".stripMargin,
+
+    // q128: the funnel recurrence replayed as chained earliest-after
+    // aggregations — textbook ANSI SQL, no window needed.
+    "q128_funnel" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+        |), s0 AS (
+        |  SELECT user_id, min(ts_us) AS t0 FROM base
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), s1 AS (
+        |  SELECT b.user_id, min(b.ts_us) AS t1 FROM base b
+        |  JOIN s0 ON b.user_id = s0.user_id
+        |  WHERE b.event_type = 'view' AND b.ts_us > s0.t0 GROUP BY 1
+        |), s2 AS (
+        |  SELECT b.user_id, min(b.ts_us) AS t2 FROM base b
+        |  JOIN s1 ON b.user_id = s1.user_id
+        |  WHERE b.event_type = 'click' AND b.ts_us > s1.t1 GROUP BY 1
+        |), s3 AS (
+        |  SELECT b.user_id, min(b.ts_us) AS t3 FROM base b
+        |  JOIN s2 ON b.user_id = s2.user_id
+        |  WHERE b.event_type = 'purchase' AND b.ts_us > s2.t2 GROUP BY 1
+        |), f AS (
+        |  SELECT s0.user_id, t0, t1, t2, t3
+        |  FROM s0 LEFT JOIN s1 USING (user_id)
+        |    LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |)
+        |SELECT
+        |  sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    AS step0_users,
+        |  sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    AS step1_users,
+        |  sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    AS step2_users,
+        |  sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    AS step3_users,
+        |  coalesce(sum((t1 - t0) // 1000000), 0)::DOUBLE AS step1_lag_s,
+        |  coalesce(sum((t2 - t1) // 1000000), 0)::DOUBLE AS step2_lag_s,
+        |  coalesce(sum((t3 - t2) // 1000000), 0)::DOUBLE AS step3_lag_s
+        |FROM f""".stripMargin,
+
+    // q129: cohort matrix replayed with the same two slim groupings.
+    "q129_cohort_retention" ->
+      """WITH base AS (
+        |  SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS p
+        |  FROM events
+        |), coh AS (
+        |  SELECT user_id, min(p) AS cohort FROM base GROUP BY 1
+        |), act AS (
+        |  SELECT DISTINCT user_id, p FROM base
+        |)
+        |SELECT coh.cohort::DOUBLE AS cohort,
+        |  (act.p - coh.cohort)::DOUBLE AS offset,
+        |  count(*)::DOUBLE AS active_keys
+        |FROM act JOIN coh ON act.user_id = coh.user_id
+        |GROUP BY 1, 2""".stripMargin
   )
 }
