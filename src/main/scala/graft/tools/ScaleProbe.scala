@@ -773,6 +773,31 @@ object ScaleProbe {
         math.round(r.getDouble(r.fieldIndex("z_mean_h_r")))
     }
 
+    def sessionProbe(e: DataFrame): Long = {
+      import graft.operators.Sessionize
+      Sessionize.sessionStats(
+        Sessionize.sessionize(e, Seq("user_id"), "ts_us",
+          gapThreshold = 1800L * 1000000L,
+          tiebreakCols = Seq("event_id")),
+        Seq("user_id"), "ts_us").count()
+    }
+    def funnelProbe(e: DataFrame): Long = {
+      import graft.operators.EventAnalytics
+      val f = EventAnalytics.funnel(e, Seq("user_id"), "ts_us",
+        Seq(col("event_type") === "signup",
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+      f.agg(sum(when(col("t3").isNotNull, 1L).otherwise(0L)))
+        .collect().head.getLong(0)
+    }
+    def cohortProbe(e: DataFrame): Long = {
+      import graft.operators.EventAnalytics
+      EventAnalytics.cohortRetention(e, Seq("user_id"), "ts_us",
+          _ => expr("(ts_us div 86400000000) div 7"))
+        .agg(sum(col("active_keys"))).collect().head.getLong(0)
+    }
+
     val resultsRelational = Seq(
       ("asof_join", timed(asofProbe(ev0)), timed(asofProbe(evX))),
       ("range_join", timed(rangeProbe(ev0)), timed(rangeProbe(evX))),
@@ -780,7 +805,10 @@ object ScaleProbe {
       ("encoding_health",
         timed(encodingProbe(docs0)), timed(encodingProbe(docsX))),
       ("skew_census", timed(skewProbe(ev0)), timed(skewProbe(evX))),
-      ("zorder_audit", timed(zorderProbe(ev0)), timed(zorderProbe(evX))))
+      ("zorder_audit", timed(zorderProbe(ev0)), timed(zorderProbe(evX))),
+      ("sessionize", timed(sessionProbe(ev0)), timed(sessionProbe(evX))),
+      ("funnel", timed(funnelProbe(ev0)), timed(funnelProbe(evX))),
+      ("cohort", timed(cohortProbe(ev0)), timed(cohortProbe(evX))))
 
     val results = resultsHead ++ resultsTail ++ resultsRelational
     // the NB model's cached log-prob table is done after its rows
