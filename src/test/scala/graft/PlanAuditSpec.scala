@@ -587,4 +587,62 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
       plan should not include "HashAggregate"
     }
   }
+
+  "interval overlap join" should {
+    "plan an equi-join, never a nested loop, cartesian, or window" in {
+      import graft.operators.RangeJoin
+      val s = spark
+      import s.implicits._
+      val l = Seq.tabulate(50)(i => (i.toLong, i * 10L, i * 10L + 25L))
+        .toDF("lid", "llo", "lhi")
+      val r = Seq.tabulate(50)(i => (i.toLong, i * 7L, i * 7L + 9L))
+        .toDF("rid", "rlo", "rhi")
+      val out = RangeJoin.intervalOverlapJoin(l, r, "llo", "lhi",
+        "rlo", "rhi", binWidth = 16, payloadCols = Seq("rid"))
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==").head
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should not include "CartesianProduct"
+      plan should not include "Window"
+    }
+  }
+
+  "ordered funnel" should {
+    "decompose to slim per-key aggregations — no window over raw events" in {
+      import graft.operators.EventAnalytics
+      val s = spark
+      import s.implicits._
+      val ev = Seq.tabulate(200)(i =>
+        (i.toLong % 20, i.toLong, Seq("a", "b", "c")(i % 3)))
+        .toDF("user", "ts", "etype")
+      val out = EventAnalytics.funnel(ev, Seq("user"), "ts",
+        Seq(col("etype") === "a", col("etype") === "b",
+          col("etype") === "c"))
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==").head
+      plan should not include "Window"
+      plan should not include "CartesianProduct"
+      // every step is a partial-combining aggregate before its exchange
+      plan should include("HashAggregate")
+    }
+  }
+
+  "public grouped top-k" should {
+    "use the bounded-heap aggregate, never a WindowExec" in {
+      import graft.pipeline.Ranking
+      val s = spark
+      import s.implicits._
+      val df = Seq.tabulate(500)(i =>
+        (s"g${i % 7}", i.toLong, (i * 37 % 101).toDouble))
+        .toDF("g", "id", "score")
+      val out = Ranking.topKPerGroup(df, "g", "id", "score", k = 3)
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==").head
+      plan should not include "Window"
+      plan should include("ObjectHashAggregate")
+    }
+  }
 }
