@@ -4484,6 +4484,52 @@ object SparkEntry {
         .select(col("cohort").cast(DoubleType).as("cohort"),
           col("offset").cast(DoubleType).as("offset"),
           col("active_keys").cast(DoubleType).as("active_keys"))
+    }),
+
+    // q130: salted join (lineitem x orders on the order key, salt factor
+    // 8 driven by l_partkey) — the hot-key mitigation whose RESULT must
+    // equal the plain inner join exactly; the oracle replays the plain
+    // join, so any row lost or duplicated by the salting fails the hash.
+    "q130_salted_join" -> ((s, dir) => {
+      import graft.operators.JoinOps
+      val li = table(s, dir, "lineitem")
+      val ord = table(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      val joined = JoinOps.saltedJoin(li, ord, Seq("l_orderkey"),
+        saltSourceCol = "l_partkey", saltFactor = 8,
+        rightPayloadCols = Seq("o_custkey"))
+      joined.agg(
+        count(lit(1)).cast(DoubleType).as("n_joined"),
+        coalesce(sum(col("sj_o_custkey")), lit(0L))
+          .cast(DoubleType).as("custkey_sum"),
+        round(coalesce(sum(col("l_quantity").cast(DecimalType(18, 2))),
+          lit(0).cast(DecimalType(18, 2))), 2)
+          .cast(DoubleType).as("qty_sum"),
+        countDistinct(col("l_orderkey")).cast(DoubleType)
+          .as("distinct_orders"))
+    }),
+
+    // q131: bloom-prefiltered semi-join (lineitems of URGENT orders) —
+    // the bitset kills non-members map-side with no false negatives, the
+    // exact verify removes false positives; the oracle replays a plain
+    // EXISTS semi-join, so the technique must not change the answer.
+    "q131_bloom_semijoin" -> ((s, dir) => {
+      import graft.operators.JoinOps
+      val li = table(s, dir, "lineitem")
+      val urgent = table(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"))
+      val semi = JoinOps.bloomSemiJoin(li, urgent, Seq("l_orderkey"),
+        expectedItems = 100000L)
+      semi.agg(
+        count(lit(1)).cast(DoubleType).as("n_rows"),
+        countDistinct(col("l_orderkey")).cast(DoubleType)
+          .as("distinct_orders"),
+        coalesce(sum_distinct(col("l_orderkey")), lit(0L))
+          .cast(DoubleType).as("order_id_sum"),
+        round(coalesce(sum(col("l_extendedprice")
+          .cast(DecimalType(18, 2))), lit(0).cast(DecimalType(18, 2))), 2)
+          .cast(DoubleType).as("price_sum"))
     })
   )
 
@@ -9194,6 +9240,28 @@ object SparkEntry {
         |  (act.p - coh.cohort)::DOUBLE AS offset,
         |  count(*)::DOUBLE AS active_keys
         |FROM act JOIN coh ON act.user_id = coh.user_id
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q130: the salted join's contract IS the plain inner join.
+    "q130_salted_join" ->
+      """SELECT count(*)::DOUBLE AS n_joined,
+        |  coalesce(sum(o.o_custkey), 0)::DOUBLE AS custkey_sum,
+        |  round(coalesce(sum(l.l_quantity::DECIMAL(18,2)),
+        |    0::DECIMAL(18,2)), 2)::DOUBLE AS qty_sum,
+        |  count(DISTINCT l.l_orderkey)::DOUBLE AS distinct_orders
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+        .stripMargin,
+
+    // q131: the bloom semi-join's contract IS the plain EXISTS semi.
+    "q131_bloom_semijoin" ->
+      """SELECT count(*)::DOUBLE AS n_rows,
+        |  count(DISTINCT l_orderkey)::DOUBLE AS distinct_orders,
+        |  coalesce(sum(DISTINCT l_orderkey), 0)::DOUBLE AS order_id_sum,
+        |  round(coalesce(sum(l_extendedprice::DECIMAL(18,2)),
+        |    0::DECIMAL(18,2)), 2)::DOUBLE AS price_sum
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = lineitem.l_orderkey
+        |    AND o.o_orderpriority = '1-URGENT')""".stripMargin
   )
 }
