@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, element_at, explode, expr, pmod, length, lit, max, md5, min, regexp_replace, round, split, struct, sum, sum_distinct, transform, unix_micros, when}
+import org.apache.spark.sql.functions.{array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, element_at, explode, expr, floor, pmod, length, lit, max, md5, min, regexp_replace, round, split, struct, sum, sum_distinct, transform, unix_micros, when}
 import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
@@ -3437,7 +3437,10 @@ object SparkEntry {
     // empty cells carry). Value pins are integers first: per-cell sizes
     // and vec_id sums (one flipped assignment anywhere in 3 iterations
     // shifts both), majority label per cell with count (ties cnt DESC,
-    // label ASC), plus final within-cell inertia rounded to 3 decimals.
+    // label ASC), plus final within-cell inertia snapped to the 1e-3
+    // integer grid (floor(x*1e3+0.5)::BIGINT on both sides — margin-
+    // verified; a rounded DOUBLE from a float reduction is hash-fragile
+    // across oracle-engine versions).
     "q102_kmeans" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val init = Clustering.initMinId(emb, "vec_id", "embedding", 4)
@@ -3449,7 +3452,14 @@ object SparkEntry {
       val perCell = assigned.groupBy(col("cell"))
         .agg(count(lit(1)).as("n"),
           sum(col("vec_id")).as("id_sum"),
-          round(sum(col("dist2")), 3).as("inertia_r"))
+          // integer-grid pin (q121 convention): floor(x*1e3+0.5) as BIGINT
+          // instead of round(x,3) — a rounded DOUBLE from a float reduction
+          // is hash-fragile across DuckDB versions (last-ulp summation-
+          // order drift flips the decimal rendering); the snapped integer
+          // hashes identically everywhere. Boundary margin measured by
+          // scripts/check_margins.py at all three SFs.
+          floor(sum(col("dist2")) * 1000d + 0.5d).cast(LongType)
+            .as("inertia_i"))
       val labTop = assigned.groupBy(col("cell"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("cell"))
@@ -3487,8 +3497,9 @@ object SparkEntry {
           sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contam"),
           coalesce(sum(when(col("contaminated"), col("vec_id"))), lit(0L))
             .as("contam_id_sum"),
-          round(org.apache.spark.sql.functions.max(col("best_cos")), 6)
-            .as("max_cos"))
+          // integer-grid pin, not round(x,6): see q102's inertia_i note
+          floor(org.apache.spark.sql.functions.max(col("best_cos"))
+            * 1000000d + 0.5d).cast(LongType).as("max_cos_i"))
         .orderBy(col("best_probe"))
     }),
 
@@ -4755,7 +4766,7 @@ object SparkEntry {
   private def kmeansOracleSql(k: Int, iterations: Int): String = {
     s"""WITH ${kmeansCtes(k, iterations)}, pc AS (
        |  SELECT cell, count(*) AS n, sum(vec_id) AS id_sum,
-       |    round(sum(dist2), 3) AS inertia_r
+       |    CAST(floor(sum(dist2) * 1000 + 0.5) AS BIGINT) AS inertia_i
        |  FROM af GROUP BY cell
        |), lt AS (
        |  SELECT cell, label, count(*) AS cnt FROM af GROUP BY cell, label
@@ -4766,7 +4777,7 @@ object SparkEntry {
        |        FROM lt) rk
        |  WHERE rn = 1
        |)
-       |SELECT pc.cell, pc.n, pc.id_sum, pc.inertia_r,
+       |SELECT pc.cell, pc.n, pc.id_sum, pc.inertia_i,
        |  tp.top_label, tp.top_label_n
        |FROM pc JOIN tp USING (cell)""".stripMargin
   }
@@ -8035,7 +8046,7 @@ object SparkEntry {
         |  sum(CASE WHEN best_cos >= 0.35 THEN 1 ELSE 0 END) AS n_contam,
         |  coalesce(sum(CASE WHEN best_cos >= 0.35 THEN vec_id END), 0)
         |    AS contam_id_sum,
-        |  round(max(best_cos), 6) AS max_cos
+        |  CAST(floor(max(best_cos) * 1000000 + 0.5) AS BIGINT) AS max_cos_i
         |FROM b GROUP BY best_probe""".stripMargin,
 
     // q104: the q54 injected-break paragraph frame; exact censuses plus
