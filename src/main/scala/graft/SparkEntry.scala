@@ -3181,12 +3181,16 @@ object SparkEntry {
         when(pmod(col("doc_id"), lit(3)) =!= 2,
           concat(col("text"), lit("\nFOOTER "), col("source"),
             lit(" all rights reserved"))).otherwise(col("text")).as("text"))
+      // consumed exactly once (by `marked`, which persists) — no persist:
+      // caching a full text copy here doubled the spill surface under
+      // memory pressure (the r13 driver-box 3-5x variance); the
+      // observation rides into marked's plan and fires on its
+      // materialization
       val cleaned = TextAnalysis
         .removeBoilerplateLines(withFooter, "doc_id", "text", "source",
           maxDocFrac = 0.4, minDocs = 5)
         .observe(obsClean, count(lit(1)).as("n"),
           coalesce(sum(col("removed_lines")), lit(0L)).as("rm"))
-        .persist()
       // stage 2: NB filter (markers post-cleaning)
       val isKeep = pmod(col("doc_id"), lit(2)) === 0
       val marker = when(isKeep,
@@ -3208,25 +3212,31 @@ object SparkEntry {
           .select(col("doc_id"), col("text"),
             when(isKeep, lit("keep")).otherwise(lit("toss")).as("label")),
         "doc_id", "text", "label", alpha = 1.0, seedTf)
-      val nbKept = marked.join(
-        Classify.scoreNaiveBayes(marked, "doc_id", "text", model, fromTfAll)
-          .where(col("predicted") === "keep").select(col("doc_id")),
-        Seq("doc_id"))
+      // SLIM persisted state from here on: only doc_id survivor sets are
+      // cached (ints, not text) — the text frames re-derive lazily as a
+      // cheap join against the one persisted `marked` copy. Before r14
+      // nbKept and perpKept each cached their own full-text subset on top
+      // of cleaned+marked — four overlapping text copies whose serial
+      // spills explained the driver-box 3-5x q96 variance.
+      val nbKeptIds = Classify
+        .scoreNaiveBayes(marked, "doc_id", "text", model, fromTfAll)
+        .where(col("predicted") === "keep").select(col("doc_id"))
         .observe(obsNb, count(lit(1)).as("n"))
         .persist()
+      val nbKept = marked.join(nbKeptIds, Seq("doc_id"))
       // stage 3: perplexity head+middle per source (tf restricted to the
       // NB survivors — identical to re-tokenizing nbKept)
       val tfNb = tfAll
-        .join(nbKept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .join(nbKeptIds, Seq("doc_id"), "left_semi")
         .persist()
-      val perpKept = nbKept.join(
-        TextAnalysis
-          .perplexityBuckets(nbKept, "doc_id", "text", "source", 3,
-            precomputedTf = Some(tfNb))
-          .where(col("bucket") <= 2).select(col("doc_id")),
-        Seq("doc_id"))
+      val perpKeptIds = TextAnalysis
+        .perplexityBuckets(nbKept, "doc_id", "text", "source", 3,
+          precomputedTf = Some(tfNb))
+        .where(col("bucket") <= 2).select(col("doc_id"))
         .observe(obsPerp, count(lit(1)).as("n"))
         .persist()
+      // perpKeptIds ⊆ nbKeptIds, so one join reconstitutes the survivors
+      val perpKept = marked.join(perpKeptIds, Seq("doc_id"))
       // stage 4: canonical-URL dedup (q85 disguises)
       val g = floor(col("doc_id") / 5).cast(LongType)
       val host = concat(lit("s"), pmod(g, lit(20)).cast(StringType),
@@ -3243,7 +3253,8 @@ object SparkEntry {
         .otherwise(concat(lit("https://"), host, path,
           lit("?a=1&utm_medium=y&b=2")))
       // consumed exactly once by the shard aggregate below — no persist
-      // (perpKept IS persisted: the dedup union references it twice)
+      // (the dedup union references perpKept twice, but each reference is
+      // a cheap marked-cache ⋈ perpKeptIds-cache join)
       val dd = Domains.dedupByCanonicalUrl(
         perpKept.withColumn("url", url), "url", "doc_id")
       // stage 5: shards
@@ -3261,12 +3272,11 @@ object SparkEntry {
       val boilerRemoved = obsClean.get("rm").asInstanceOf[Long]
       val nNbKept = obsNb.get("n").asInstanceOf[Long]
       val nPerpKept = obsPerp.get("n").asInstanceOf[Long]
-      cleaned.unpersist(blocking = false)
       marked.unpersist(blocking = false)
       tfAll.unpersist(blocking = false)
       tfNb.unpersist(blocking = false)
-      nbKept.unpersist(blocking = false)
-      perpKept.unpersist(blocking = false)
+      nbKeptIds.unpersist(blocking = false)
+      perpKeptIds.unpersist(blocking = false)
       model.release()
       metricRow(s, Seq(
         "n_input" -> nInput.toDouble,

@@ -386,27 +386,26 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       maxBucketSize: Int): (DataFrame, Seq[DataFrame]) = {
-    // explode to (band, hash(band slice)) — one row per band per doc
+    // explode to (band, hash(band slice)) — one row per band per doc.
+    // persist before capping + the self-join: banded rows are (id, band,
+    // bucket) triples (orders of magnitude smaller than the text) —
+    // without this, the threshold aggregation, the filter join, and both
+    // self-join sides would each recompute the whole
+    // tokenize→shingle→minhash pipeline
     val banded = bandedBuckets(sigs, numHashes, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // cap skewed buckets
-    // hash order: capping must EXCLUDE UNIFORMLY, not systematically drop
-    // the highest ids from every oversized bucket (deterministic either way)
-    val wBucket = Window.partitionBy(col("graft_band"), col("graft_bucket"))
-      .orderBy(xxhash64(col("graft_id")), col("graft_id"))
-    // persist before the self-join: banded rows are (id, band, bucket)
-    // triples (orders of magnitude smaller than the text) — without this,
-    // both join sides recompute the whole tokenize→shingle→minhash pipeline
-    val capped = banded
-      .withColumn("graft_bn", row_number().over(wBucket))
-      // surface what the cap silently drops (same channel pattern as
-      // Similarity.LshCapObservation): nonzero excluded_rows means the
-      // band/cap parameterization is losing recall with no other signal
-      .observe(DedupCapObservation.nextName(),
-        sum(when(col("graft_bn") > maxBucketSize, 1L).otherwise(0L))
-          .as("excluded_rows"),
-        count(lit(1)).as("banded_rows"))
-      .filter(col("graft_bn") <= maxBucketSize)
+    // cap skewed buckets — hash order: capping must EXCLUDE UNIFORMLY,
+    // not systematically drop the highest ids from every oversized
+    // bucket (deterministic either way). De-windowed: a hot bucket is
+    // never sorted in one task (Capping.capBuckets: bounded-heap
+    // thresholds with map-side partial combine). The observation channel
+    // surfaces what the cap silently drops (same pattern as
+    // Similarity.LshCapObservation): nonzero excluded_rows means the
+    // band/cap parameterization is losing recall with no other signal.
+    val capped = Capping.capBuckets(banded,
+        Seq("graft_band", "graft_bucket"), "graft_id", maxBucketSize,
+        DedupCapObservation.nextName())
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val a = capped.select(col("graft_band"), col("graft_bucket"), col("graft_id").as("id_a"))
@@ -416,7 +415,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    (pairs, Seq(capped))
+    (pairs, Seq(capped, banded))
   }
 
   /** Exact-Jaccard verify over a joined candidate frame
@@ -687,16 +686,16 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       maxBucketSize: Int): DataFrame = {
-    val wBucket = Window.partitionBy(col("graft_band"), col("graft_bucket"))
-      .orderBy(xxhash64(col("graft_id")), col("graft_id"))
-    bandedBuckets(sigs, numHashes, bands)
-      .withColumn("graft_bn", row_number().over(wBucket))
-      .observe(DedupCapObservation.nextName(),
-        sum(when(col("graft_bn") > maxBucketSize, 1L).otherwise(0L))
-          .as("excluded_rows"),
-        count(lit(1)).as("banded_rows"))
-      .filter(col("graft_bn") <= maxBucketSize)
-      .drop("graft_bn")
+    // de-windowed cap (Capping.capBuckets): the banded triples persist
+    // so the threshold aggregation and the filter join share one
+    // signature computation; the cache releases when the capped frame
+    // is first consumed
+    val banded = bandedBuckets(sigs, numHashes, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val capped = Capping.capBuckets(banded,
+      Seq("graft_band", "graft_bucket"), "graft_id", maxBucketSize,
+      DedupCapObservation.nextName())
+    CacheLifecycle.releaseOnConsume(capped, Seq(banded))
   }
 
   /** Build [[LshState]] from a corpus (or a batch's survivors, to fold
@@ -1060,19 +1059,16 @@ object Dedup {
         col("col.chunk").as("graft_chunk"), col("col.v").as("graft_chunk_val"))
 
     // cap skewed buckets (e.g. every empty doc hashes to signature 0):
-    // without this the chunk self-join is quadratic in the bucket size
-    val wBucket = Window.partitionBy(col("graft_chunk"), col("graft_chunk_val"))
-      .orderBy(xxhash64(col("graft_id")), col("graft_id"))
-    // persisted: BOTH self-join sides probe it — without the cache the
-    // row_number window (shuffle sort) and everything upstream execute
-    // once per side (the MinHash twin persists at the identical point)
-    val capped = chunked
-      .withColumn("graft_bn", row_number().over(wBucket))
-      .observe(DedupCapObservation.nextName(),
-        sum(when(col("graft_bn") > maxBucketSize, 1L).otherwise(0L))
-          .as("excluded_rows"),
-        count(lit(1)).as("banded_rows"))
-      .filter(col("graft_bn") <= maxBucketSize)
+    // without this the chunk self-join is quadratic in the bucket size.
+    // De-windowed (Capping.capBuckets — a hot chunk bucket is never
+    // sorted in one task); chunked persists so the threshold aggregation
+    // and the filter join share one signature computation, and capped
+    // persists because BOTH self-join sides probe it (the MinHash twin
+    // persists at the identical point)
+    val chunkedCached = chunked.persist(StorageLevel.MEMORY_AND_DISK)
+    val capped = Capping.capBuckets(chunkedCached,
+        Seq("graft_chunk", "graft_chunk_val"), "graft_id", maxBucketSize,
+        DedupCapObservation.nextName())
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val a = capped.select(col("graft_chunk"), col("graft_chunk_val"),
@@ -1086,7 +1082,7 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
-    CacheLifecycle.releaseOnConsume(result, Seq(capped))
+    CacheLifecycle.releaseOnConsume(result, Seq(capped, chunkedCached))
   }
 
   // -------------------------------------------------------------------------

@@ -391,20 +391,19 @@ object Similarity {
           lshSignature(col("graft_vec"), planes, t)): _*)))
       .withColumnRenamed("pos", "graft_table")
       .withColumnRenamed("col", "graft_bucket")
-    // cap skewed buckets, persist before the self-join (both sides probe it)
-    // hash order: uniform, deterministic exclusion under capping
-    val wBucket = Window.partitionBy(col("graft_table"), col("graft_bucket"))
-      .orderBy(xxhash64(col("graft_id")), col("graft_id"))
-    val capped = banded
-      .withColumn("graft_bn", row_number().over(wBucket))
-      // surface what the cap silently drops: a mis-sized `planes` for the
-      // corpus otherwise loses recall with no signal (see LshCapObservation)
-      .observe(LshCapObservation.nextName(),
-        sum(when(col("graft_bn") > maxBucketSize, 1L).otherwise(0L))
-          .as("excluded_rows"),
-        count(lit(1)).as("banded_rows"))
-      .filter(col("graft_bn") <= maxBucketSize)
-      .drop("graft_bn")
+    // cap skewed buckets — de-windowed (Capping.capBuckets: a hot bucket
+    // is never sorted in one task), hash order: uniform, deterministic
+    // exclusion under capping. banded persists so the threshold
+    // aggregation and the filter join share one signature computation;
+    // capped persists because both self-join sides probe it. The
+    // observation surfaces what the cap silently drops: a mis-sized
+    // `planes` for the corpus otherwise loses recall with no signal (see
+    // LshCapObservation).
+    val bandedCached = banded
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = Capping.capBuckets(bandedCached,
+        Seq("graft_table", "graft_bucket"), "graft_id", maxBucketSize,
+        LshCapObservation.nextName())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("graft_table"), col("graft_bucket"),
       col("graft_id").as("id_a"), col("graft_vec").as("vec_a"))
@@ -419,7 +418,7 @@ object Similarity {
     // the only shuffle of pair rows happens on the (small) verified set
     val pairs = cosineVerify(candidates, threshold)
       .dropDuplicates("id_a", "id_b")
-    CacheLifecycle.releaseOnConsume(pairs, Seq(capped))
+    CacheLifecycle.releaseOnConsume(pairs, Seq(capped, bandedCached))
   }
 
   /** (id, vec, sigs: Array[Long]) with one signature per table, computed
@@ -1161,19 +1160,20 @@ object Similarity {
         array_max(centroidDots(col("graft_vec"), unit)).getField("cell"))
     // uniform deterministic exclusion under the cap (hash order, not id
     // order — a capped mega-cluster must not systematically exempt the
-    // highest ids from dedup)
-    val wCell = Window.partitionBy(col("cell"))
-      .orderBy(xxhash64(col("graft_id")), col("graft_id"))
-    val capped = assigned
-      .withColumn("graft_cn", row_number().over(wCell))
-      .observe(LshCapObservation.nextName(),
-        sum(when(col("graft_cn") > maxClusterSize, 1L).otherwise(0L))
-          .as("excluded_rows"),
-        count(lit(1)).as("banded_rows"))
+    // highest ids from dedup). De-windowed (Capping.capBuckets): a
+    // mega-cluster is never sorted in one task. assigned persists
+    // because the threshold aggregation, the filter join, AND the final
+    // kept/dropped census all read it; survivors persist because both
+    // pair-join sides probe them.
+    val assignedCached = assigned
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = capped.where(col("graft_cn") <= maxClusterSize)
+    val survivors = Capping.capBuckets(assignedCached,
+        Seq("cell"), "graft_id", maxClusterSize,
+        LshCapObservation.nextName())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = survivors
       .select(col("cell"), col("graft_id").as("id_a"), col("graft_vec").as("vec_a"))
-    val b = capped.where(col("graft_cn") <= maxClusterSize)
+    val b = survivors
       .select(col("cell"), col("graft_id").as("id_b"), col("graft_vec").as("vec_b"))
     val dropped = cosineVerify(
       a.join(b, Seq("cell"))
@@ -1182,11 +1182,11 @@ object Similarity {
       tau)
       .select(col("id_b").as("graft_id"))
       .distinct()
-    val out = capped
+    val out = assignedCached
       .join(dropped.withColumn("graft_dropped", lit(true)), Seq("graft_id"), "left")
       .select(col("graft_id").as(idCol), col("cell"),
         coalesce(!col("graft_dropped"), lit(true)).as("kept"))
-    CacheLifecycle.releaseOnConsume(out, Seq(capped))
+    CacheLifecycle.releaseOnConsume(out, Seq(assignedCached, survivors))
   }
 
   /** SemDeDup with corpus-trained k-means centroids (the paper's actual

@@ -856,17 +856,26 @@ object TextAnalysis {
       textCol: String,
       n: Int = 13,
       maxGroupsPerGram: Int = 256): DataFrame = {
-    val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("graft_gram"))
-    val capped = Dedup
+    // de-windowed: the per-gram group count is a map-side-combinable
+    // groupBy (never a WindowExec sorting a hot gram's partition); hot
+    // grams — typically a handful, AQE-broadcastable — anti-join the
+    // distinct rows out. Exclusion here is all-or-nothing per gram, so
+    // no threshold machinery is needed.
+    val distinctRows = Dedup
       .gramHashRows(df, groupCol, textCol, n, shortDocFallback = false)
       .distinct()
-      .withColumn("graft_gn", count(lit(1)).over(wG))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hotGrams = distinctRows.groupBy(col("graft_gram"))
+      .agg(count(lit(1)).as("graft_gn"))
       .observe(Dedup.DedupCapObservation.nextName(),
-        sum(when(col("graft_gn") > maxGroupsPerGram, 1L).otherwise(0L))
-          .as("excluded_rows"),
-        count(lit(1)).as("banded_rows"))
-      .where(col("graft_gn") <= maxGroupsPerGram)
-      .drop("graft_gn")
+        coalesce(
+          sum(when(col("graft_gn") > maxGroupsPerGram, col("graft_gn"))),
+          lit(0L)).as("excluded_rows"),
+        coalesce(sum(col("graft_gn")), lit(0L)).as("banded_rows"))
+      .where(col("graft_gn") > maxGroupsPerGram)
+      .select(col("graft_gram"))
+    val capped = distinctRows
+      .join(hotGrams, Seq("graft_gram"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col(groupCol).as("group_a"), col("graft_gram"))
     val b = capped.select(col(groupCol).as("group_b"), col("graft_gram"))
@@ -874,7 +883,7 @@ object TextAnalysis {
       .where(col("group_a") < col("group_b"))
       .groupBy(col("group_a"), col("group_b"))
       .agg(count(lit(1)).as("shared_grams"))
-    CacheLifecycle.releaseOnConsume(out, Seq(capped))
+    CacheLifecycle.releaseOnConsume(out, Seq(capped, distinctRows))
   }
 
   /** Corpus distribution drift between two snapshots — did this month's
