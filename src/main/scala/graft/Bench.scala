@@ -194,12 +194,21 @@ object Bench {
         gaugePoints.minBy { case (p, _) => math.abs(p - (i + 0.5)) }._2 / cleanGauge)
     val normalizedTotal = results.zipWithIndex
       .collect { case ((_, v), i) if v >= 0 => v / contentionRatio(i) }.sum
+    // Per-query normalized medians (median / nearest-gauge contention
+    // ratio) published alongside the raw map: cross-round per-query
+    // comparison becomes a diff instead of forensics over three
+    // artifacts (the r13 q96/q112 adjudication needed exactly that).
+    val normalizedByName: Seq[(String, Double)] = results.zipWithIndex
+      .collect { case ((k, v), i) if v >= 0 => k -> v / contentionRatio(i) }
     val gauges = gaugeTrail.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val errs = failures.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsNorm = normalizedByName
+      .map { case (k, v) => "\"" + shortKey(k) + f"\":$v%.2f" }
+      .mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","normalized_total":$normalizedTotal%.3f,"queries":$qs,"requeried":$rq,"errors":$errs,"calibration":$calibrationStart%.3f,"calibration_mid":$gauges,"calibration_end":$calibrationEnd%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","normalized_total":$normalizedTotal%.3f,"queries":$qs,"queries_normalized":$qsNorm,"requeried":$rq,"errors":$errs,"calibration":$calibrationStart%.3f,"calibration_mid":$gauges,"calibration_end":$calibrationEnd%.3f,"sf":"$sfDir"}"""
     // the JSON to a file first: the stdout line sits in megabytes of
     // sbt/Spark log noise, and downstream tooling that scrapes the tail
     // gets a null parse whenever a WARN lands after it
@@ -217,8 +226,11 @@ object Bench {
     val repsJson = repLog.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val fullQsNorm = normalizedByName
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","normalized_total":$normalizedTotal%.3f,"queries":$fullQs,"requeried":$fullRq,"reps":$repsJson,"errors":$errs,"calibration":$calibrationStart%.3f,"calibration_mid":$gauges,"calibration_end":$calibrationEnd%.3f,"reps_per_query":$reps,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","normalized_total":$normalizedTotal%.3f,"queries":$fullQs,"queries_normalized":$fullQsNorm,"requeried":$fullRq,"reps":$repsJson,"errors":$errs,"calibration":$calibrationStart%.3f,"calibration_mid":$gauges,"calibration_end":$calibrationEnd%.3f,"reps_per_query":$reps,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullLine + "\n").getBytes("UTF-8"))
