@@ -4551,6 +4551,59 @@ object SparkEntry {
         round(coalesce(sum(col("l_extendedprice")
           .cast(DecimalType(18, 2))), lit(0).cast(DecimalType(18, 2))), 2)
           .cast(DoubleType).as("price_sum"))
+    }),
+
+    // q132: INCREMENTAL SCD2 — the persisted-state twin of q120 (the
+    // q76/q93/q107 monoid convention brought to the relational wing):
+    // build the dimension from the first half of the change stream
+    // (ts <= Jan 15), stage it through parquet, fold the second half in
+    // with Scd.applyChanges (closed history passes through untouched —
+    // never re-sorted, never re-windowed), and pin that the merged
+    // dimension equals the full-stream rebuild ROW FOR ROW (merge_ok).
+    // The census columns replay on the full build in the oracle; the
+    // batch_opened column pins exactly which versions the batch opened.
+    "q132_scd2_incremental" -> ((s, dir) => {
+      import graft.operators.Scd
+      val ev = eventsTable(s, dir)
+      val changes = ev.select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        col("event_type"), col("event_id"))
+      val cutUs = 1705276800000000L // 2024-01-15 00:00:00 UTC
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q132").toString
+      Scd.scdType2(changes.where(col("ts_us") <= cutUs), Seq("user_id"),
+          "ts_us", Seq("event_type"), tiebreakCols = Seq("event_id"))
+        .write.mode("overwrite").parquet(tmp)
+      val prior = s.read.parquet(tmp)
+      val merged = Scd.applyChanges(prior,
+        changes.where(col("ts_us") > cutUs), Seq("user_id"), "ts_us",
+        Seq("event_type"), tiebreakCols = Seq("event_id"))
+        .persist()
+      val full = Scd.scdType2(changes, Seq("user_id"), "ts_us",
+        Seq("event_type"), tiebreakCols = Seq("event_id"))
+      // row-for-row: symmetric difference empty over ALL columns
+      val cols = merged.columns.sorted.map(col).toSeq
+      val mergeOk =
+        merged.select(cols: _*).exceptAll(full.select(cols: _*)).isEmpty &&
+        full.select(cols: _*).exceptAll(merged.select(cols: _*)).isEmpty
+      val out = merged.agg(
+        count(lit(1)).cast(DoubleType).as("n_versions"),
+        sum(when(col("is_current"), 1L).otherwise(0L))
+          .cast(DoubleType).as("current_versions"),
+        coalesce(sum(col("event_id")), lit(0L))
+          .cast(DoubleType).as("version_eid_sum"),
+        coalesce(max(col("version")), lit(0))
+          .cast(DoubleType).as("max_versions"),
+        coalesce(sum(expr(
+          "(valid_to - valid_from) div 1000000")), lit(0L))
+          .cast(DoubleType).as("closed_duration_s"),
+        sum(when(col("valid_from") > cutUs, 1L).otherwise(0L))
+          .cast(DoubleType).as("batch_opened"),
+        lit(if (mergeOk) 1.0 else 0.0).as("merge_ok"))
+      val materialized = out.collect()
+      merged.unpersist(blocking = false)
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
     })
   )
 
@@ -9283,6 +9336,42 @@ object SparkEntry {
         |FROM lineitem
         |WHERE EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_orderkey = lineitem.l_orderkey
-        |    AND o.o_orderpriority = '1-URGENT')""".stripMargin
+        |    AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
+    // q132: the incremental build is pinned row-for-row equal to the
+    // full rebuild by the engine-side merge_ok flag (asserted 1.0), so
+    // the oracle replays the FULL-stream SCD2 census with q120's window
+    // specs plus the batch_opened slice.
+    "q132_scd2_incremental" ->
+      """WITH ch AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id
+        |  FROM events
+        |), lagged AS (
+        |  SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |  FROM ch
+        |), surv AS (
+        |  SELECT user_id, ts_us, event_type, event_id FROM lagged
+        |  WHERE prev IS DISTINCT FROM event_type
+        |), v AS (
+        |  SELECT *, ts_us AS valid_from,
+        |    lead(ts_us) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to,
+        |    row_number() OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id) AS version
+        |  FROM surv
+        |)
+        |SELECT
+        |  count(*)::DOUBLE AS n_versions,
+        |  sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    AS current_versions,
+        |  coalesce(sum(event_id), 0)::DOUBLE AS version_eid_sum,
+        |  coalesce(max(version), 0)::DOUBLE AS max_versions,
+        |  coalesce(sum((valid_to - valid_from) // 1000000), 0)::DOUBLE
+        |    AS closed_duration_s,
+        |  sum(CASE WHEN valid_from > 1705276800000000 THEN 1 ELSE 0 END)
+        |    ::DOUBLE AS batch_opened,
+        |  1.0::DOUBLE AS merge_ok
+        |FROM v""".stripMargin
   )
 }

@@ -65,4 +65,64 @@ object Scd {
   def snapshotAt(scd: DataFrame, atTs: Column): DataFrame =
     scd.where(col("valid_from") <= atTs &&
       (col("valid_to").isNull || col("valid_to") > atTs))
+
+  private val MetaCols = Seq("valid_from", "valid_to", "version", "is_current")
+
+  /** Fold a NEW batch of change rows into an existing SCD2 dimension
+    * (the output of [[scdType2]] or a previous `applyChanges`, typically
+    * reloaded from parquet) WITHOUT rescanning history — the persisted-
+    * state shape of [[scdType2]], same contract as the incremental
+    * exact/fuzzy-dedup and NB/k-means state monoids: applying day N's
+    * changes to the accumulated dimension equals rebuilding from the
+    * full change stream, row for row.
+    *
+    * Only three slices of data move:
+    *  1. CLOSED versions (`is_current = false`) pass through untouched —
+    *     at 100 TB the closed history never shuffles, never re-sorts;
+    *  2. current versions of keys NOT in the batch pass through
+    *     untouched (anti-join against the batch's distinct keys — tiny,
+    *     AQE-broadcastable);
+    *  3. current versions of AFFECTED keys seed a mini-rebuild together
+    *     with the batch rows: the seed re-enters as a pseudo-change at
+    *     its own `tsCol`, so an opening batch row with unchanged
+    *     attributes collapses exactly as the full rebuild collapses it,
+    *     the seed's `valid_to`/`is_current` re-derive, and `version`
+    *     renumbering adds the seed's prior offset. Brand-new keys fall
+    *     through with offset 0.
+    *
+    * Ingest contract (the daily-batch shape): every batch row's
+    * (`tsCol`, tiebreak) must order at-or-after its key's current
+    * `valid_from`. Rows ordering INSIDE the closed history would need
+    * versions the closed slice owns — that is a rebuild
+    * ([[scdType2]] over the full stream), not an increment.
+    */
+  def applyChanges(
+      existing: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      attrCols: Seq[String],
+      tiebreakCols: Seq[String] = Seq.empty): DataFrame = {
+    require(MetaCols.forall(existing.columns.contains),
+      s"existing must be an SCD2 dimension with ${MetaCols.mkString("/")}")
+    val closed = existing.where(!col("is_current"))
+    val current = existing.where(col("is_current"))
+    val batchKeys = changes.select(keyCols.map(col): _*).distinct()
+    val untouched = current.join(batchKeys, keyCols, "left_anti")
+    val affected = current.join(batchKeys, keyCols, "left_semi")
+    // the seed re-enters the change stream as the row that opened the
+    // current version (tsCol survives scdType2, so dropping the meta
+    // columns reconstructs it exactly); its prior version number rides
+    // along for the renumbering join
+    val offsets = affected.select(
+      keyCols.map(col) :+ (col("version") - 1).as("graft_voff"): _*)
+    val seed = affected.drop(MetaCols: _*)
+    val mini = scdType2(seed.unionByName(changes), keyCols, tsCol,
+      attrCols, tiebreakCols)
+      .join(offsets, keyCols, "left")
+      .withColumn("version",
+        col("version") + coalesce(col("graft_voff"), lit(0)))
+      .drop("graft_voff")
+    closed.unionByName(untouched).unionByName(mini)
+  }
 }
