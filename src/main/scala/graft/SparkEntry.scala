@@ -4604,6 +4604,93 @@ object SparkEntry {
       merged.unpersist(blocking = false)
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
+    }),
+
+    // q133: INCREMENTAL fuzzy paragraph dedup — q104's packed-id space
+    // composed with the q76 persisted-LSH-state machinery (verdict's
+    // Dolma production shape): paragraph history of docs < 300 staged
+    // through parquet as two merged half-states; the batch is a re-crawl
+    // of docs [250,300) (every paragraph exact-matches history → all
+    // dropped) plus fresh docs [300,350), re-keyed +1e6 so batch pids
+    // order after history pids. At threshold 0.8 the fuzzy machinery
+    // equals shingle-SET-identity dedup on this corpus STRUCTURALLY: the
+    // injected breaks cap paragraphs at 4 tokens, so non-identical
+    // paragraph pairs have Jaccard <= 1/2 < 0.8 (and the history-side
+    // signature-agreement estimator sits >= 4.8 sigma below 0.8), while
+    // identical sets share every band of every bucket — candidacy and
+    // agreement 1.0 are certain. parity_ok pins the engine's fuzzy
+    // result against that exact-identity replay doc-for-doc (text_clean
+    // strings AND kept counts); the oracle replays the identity dedup.
+    "q133_incremental_para_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{array_sort, collect_list, concat_ws, shiftleft, transform => ftransform}
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val paraDocs = docs.select(col("doc_id"),
+        regexp_replace(col("text"), ParaInjectPattern, ParaInjectReplacement)
+          .as("text"))
+      val history = paraDocs.where(col("doc_id") < 300)
+      val batch = paraDocs
+        .where(col("doc_id") >= 250 && col("doc_id") < 350)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft-q133").toString
+      try {
+        Dedup.writeLshState(
+          Dedup.paragraphLshState(
+            history.where(col("doc_id") < 150), "doc_id", "text")
+            .merge(Dedup.paragraphLshState(
+              history.where(col("doc_id") >= 150), "doc_id", "text")),
+          statePath)
+        val state = Dedup.readLshState(s, statePath)
+        val out = Dedup.nearDupParagraphsIncremental(batch, "doc_id",
+          "text", state, threshold = 0.8).persist()
+
+        // exact-identity replay (the structural equal of the fuzzy pass
+        // at this threshold): key = sorted distinct shingle set
+        val key = array_sort(Dedup.shingles(col("graft_para")))
+        val histKeys = Dedup.paragraphOccurrences(history, "doc_id", "text")
+          .select(key.as("graft_key")).distinct()
+        val occB = Dedup.paragraphOccurrences(batch, "doc_id", "text")
+          .select(col("graft_id"), col("graft_pos"), col("graft_para"),
+            key.as("graft_key"),
+            (shiftleft(col("graft_id").cast(LongType), 20) +
+              col("graft_pos")).as("graft_pid"))
+        val firstPid = occB.groupBy(col("graft_key"))
+          .agg(min(col("graft_pid")).as("graft_first"))
+        val kept = occB
+          .join(histKeys, Seq("graft_key"), "left_anti")
+          .join(firstPid, Seq("graft_key"))
+          .where(col("graft_pid") === col("graft_first"))
+        val expPerDoc = kept.groupBy(col("graft_id"))
+          .agg(count(lit(1)).as("e_kept"),
+            concat_ws("\n", ftransform(
+              array_sort(collect_list(struct(
+                col("graft_pos").as("p"), col("graft_para").as("t")))),
+              x => x.getField("t"))).as("e_clean"))
+        val mismatches = out
+          .join(expPerDoc, out("doc_id") === expPerDoc("graft_id"),
+            "left_outer")
+          .where(!(col("n_kept") <=> coalesce(col("e_kept"), lit(0L))) ||
+            !(col("text_clean") <=> coalesce(col("e_clean"), lit(""))))
+          .count()
+        val g = out.agg(
+          count(lit(1)),
+          coalesce(sum(col("n_paras")), lit(0L)),
+          coalesce(sum(col("n_kept")), lit(0L)),
+          coalesce(sum(col("n_removed")), lit(0L)),
+          coalesce(sum(when(col("doc_id") < 1000300L, col("n_kept"))),
+            lit(0L)),
+          coalesce(sum((col("doc_id") - 1000000L) * col("n_kept")),
+            lit(0L))).collect().head
+        out.unpersist(blocking = false)
+        metricRow(s, Seq(
+          "n_batch_docs" -> g.getLong(0).toDouble,
+          "total_paras" -> g.getLong(1).toDouble,
+          "kept_paras" -> g.getLong(2).toDouble,
+          "removed_paras" -> g.getLong(3).toDouble,
+          "recrawl_kept" -> g.getLong(4).toDouble,
+          "kept_id_sum" -> g.getLong(5).toDouble,
+          "parity_ok" -> flag(mismatches == 0L)))
+      } finally rmTree(statePath)
     })
   )
 
@@ -9372,6 +9459,59 @@ object SparkEntry {
         |  sum(CASE WHEN valid_from > 1705276800000000 THEN 1 ELSE 0 END)
         |    ::DOUBLE AS batch_opened,
         |  1.0::DOUBLE AS merge_ok
-        |FROM v""".stripMargin
+        |FROM v""".stripMargin,
+
+    // q133: the engine-side parity flag (asserted 1.0) pins the fuzzy
+    // incremental pass to shingle-set-identity dedup (structural at
+    // threshold 0.8 on <=4-token paragraphs), so the oracle replays the
+    // identity dedup: history keys from docs < 300, batch first-
+    // occurrence election by (doc, pos), census over the kept set.
+    "q133_incremental_para_dedup" ->
+      """WITH pdocs AS (
+        |  SELECT doc_id, string_split_regex(
+        |           regexp_replace(text, '((?:[^ \t\n\x0B\f\r]+ ){3}[^ \t\n\x0B\f\r]+) ',
+        |             '\1' || chr(10), 'g'), '\n+') AS ps
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), occ AS (
+        |  SELECT doc_id, (u).pos AS pos, (u).para AS para FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1),
+        |      i -> {'pos': i, 'para': trim(ps[i])})) AS u
+        |    FROM pdocs)
+        |  WHERE (u).para <> ''
+        |), keyed AS (
+        |  SELECT doc_id, pos,
+        |    list_sort(CASE WHEN len(ts) >= 3 THEN
+        |        list_distinct(list_transform(range(len(ts) - 2),
+        |          i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))
+        |      WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+        |      ELSE []::VARCHAR[] END) AS key
+        |  FROM (SELECT doc_id, pos,
+        |          list_filter(string_split_regex(lower(para), '\s+'),
+        |            x -> x <> '') AS ts
+        |        FROM occ)
+        |), hk AS (
+        |  SELECT DISTINCT key FROM keyed WHERE doc_id < 300
+        |), bk AS (
+        |  SELECT doc_id, pos, key, doc_id * 1048576 + pos AS pk
+        |  FROM keyed WHERE doc_id >= 250 AND doc_id < 350
+        |), firsts AS (
+        |  SELECT key, min(pk) AS f FROM bk GROUP BY key
+        |), kept AS (
+        |  SELECT bk.doc_id, bk.pos FROM bk
+        |  JOIN firsts ON bk.key = firsts.key AND bk.pk = firsts.f
+        |  WHERE NOT EXISTS (SELECT 1 FROM hk WHERE hk.key = bk.key)
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM pdocs
+        |   WHERE doc_id >= 250 AND doc_id < 350)::DOUBLE AS n_batch_docs,
+        |  (SELECT count(*) FROM bk)::DOUBLE AS total_paras,
+        |  (SELECT count(*) FROM kept)::DOUBLE AS kept_paras,
+        |  ((SELECT count(*) FROM bk) - (SELECT count(*) FROM kept))::DOUBLE
+        |    AS removed_paras,
+        |  (SELECT count(*) FROM kept WHERE doc_id < 300)::DOUBLE
+        |    AS recrawl_kept,
+        |  (SELECT coalesce(sum(doc_id), 0) FROM kept)::DOUBLE
+        |    AS kept_id_sum,
+        |  1.0::DOUBLE AS parity_ok""".stripMargin
   )
 }

@@ -1478,24 +1478,9 @@ object Dedup {
       delimRegex: String = "\n+",
       joinSep: String = "\n",
       posBits: Int = 20): DataFrame = {
-    require(posBits >= 1 && posBits <= 40, s"posBits out of range: $posBits")
-    val idType = df.schema(idCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
-      s"nearDupParagraphs needs an integral id column; '$idCol' is " +
-        idType.simpleString)
+    requireParagraphId(df, idCol, posBits, "nearDupParagraphs")
     val occ = paragraphOccurrences(df, idCol, textCol, delimRegex)
-    val posLim = 1L << posBits
-    val maxId = Long.MaxValue >> posBits
-    val idL = col("graft_id").cast(LongType)
-    val pid = when(
-      col("graft_pos") < posLim && idL.between(0L, maxId),
-      shiftleft(idL, posBits) + col("graft_pos"))
-      .otherwise(raise_error(concat(
-        lit(s"nearDupParagraphs: id/pos outside packing range " +
-          s"(posBits=$posBits): "),
-        idL.cast(StringType), lit("/"), col("graft_pos").cast(StringType))))
-    val paras = occ.select(pid.as("graft_pid"), col("graft_id"),
-      col("graft_pos"), col("graft_para"))
+    val paras = packedParagraphs(occ, posBits, "nearDupParagraphs")
     val clustered = nearDuplicateClusters(paras, "graft_pid", "graft_para",
       threshold, numHashes, bands, maxBucketSize)
     val survivors = clustered
@@ -1507,6 +1492,99 @@ object Dedup {
         col("graft_pos").as("graft_pos"),
         col("graft_para").as("graft_para"))
     reassembleSurvivors(df, idCol, occ, survivors, joinSep)
+  }
+
+  private def requireParagraphId(
+      df: DataFrame, idCol: String, posBits: Int, fn: String): Unit = {
+    require(posBits >= 1 && posBits <= 40, s"posBits out of range: $posBits")
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"$fn needs an integral id column; '$idCol' is ${idType.simpleString}")
+  }
+
+  /** (graft_pid, graft_id, graft_pos, graft_para) with the packed key
+    * `id·2^posBits + pos` (`raise_error` on range overflow — never
+    * silent corruption).
+    */
+  private def packedParagraphs(
+      occ: DataFrame, posBits: Int, fn: String): DataFrame = {
+    val posLim = 1L << posBits
+    val maxId = Long.MaxValue >> posBits
+    val idL = col("graft_id").cast(LongType)
+    val pid = when(
+      col("graft_pos") < posLim && idL.between(0L, maxId),
+      shiftleft(idL, posBits) + col("graft_pos"))
+      .otherwise(raise_error(concat(
+        lit(s"$fn: id/pos outside packing range (posBits=$posBits): "),
+        idL.cast(StringType), lit("/"), col("graft_pos").cast(StringType))))
+    occ.select(pid.as("graft_pid"), col("graft_id"),
+      col("graft_pos"), col("graft_para"))
+  }
+
+  /** [[LshState]] at PARAGRAPH granularity — [[lshState]] over the packed
+    * `id·2^posBits + pos` key space, so [[nearDupParagraphsIncremental]]
+    * can dedup a daily batch against the accumulated paragraph history
+    * (the Dolma production shape) exactly as [[nearDedupIncremental]]
+    * does at document granularity. Fold a batch's survivors back with
+    * `state.merge(paragraphLshState(survivingBatch, ...))`; all batches
+    * and the history must share `posBits` and the LSH parameters.
+    */
+  def paragraphLshState(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      maxBucketSize: Int = 1000,
+      delimRegex: String = "\n+",
+      posBits: Int = 20): LshState = {
+    requireParagraphId(df, idCol, posBits, "paragraphLshState")
+    val paras = packedParagraphs(
+      paragraphOccurrences(df, idCol, textCol, delimRegex),
+      posBits, "paragraphLshState")
+      .select(col("graft_pid"), col("graft_para"))
+    lshState(paras, "graft_pid", "graft_para", numHashes, bands,
+      shingleSize, maxBucketSize)
+  }
+
+  /** Incremental FUZZY paragraph dedup — [[nearDupParagraphs]]'s
+    * persisted-state twin, composing the packed-pid paragraph space with
+    * [[nearDedupIncremental]]'s batch-vs-state machinery: dedup `batch`'s
+    * paragraphs within the batch (exact-Jaccard-verified clusters,
+    * min-pid survivor) and against the accumulated
+    * [[paragraphLshState]] of every previous batch (signature-agreement
+    * verified), WITHOUT rescanning the historical corpus. A batch
+    * cluster any of whose paragraphs matches history is dropped whole —
+    * the full-corpus [[nearDupParagraphs]] outcome when history doc ids
+    * precede batch doc ids (packing preserves that order), which is the
+    * required ingest contract.
+    *
+    * Output: the [[dedupParagraphs]] reassembly contract over the BATCH
+    * documents — `idCol`, `text_clean`, `n_paras`, `n_kept`,
+    * `n_removed`.
+    */
+  def nearDupParagraphsIncremental(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      state: LshState,
+      threshold: Double = 0.5,
+      delimRegex: String = "\n+",
+      joinSep: String = "\n",
+      posBits: Int = 20): DataFrame = {
+    requireParagraphId(batch, idCol, posBits, "nearDupParagraphsIncremental")
+    val occ = paragraphOccurrences(batch, idCol, textCol, delimRegex)
+    val paras = packedParagraphs(occ, posBits, "nearDupParagraphsIncremental")
+    val surv = nearDedupIncremental(paras, "graft_pid", "graft_para",
+      state, threshold)
+    val survivors = surv
+      // fresh aliases: same ambiguous-self-join rationale as
+      // nearDupParagraphs — survivors shares occ's lineage
+      .select(col("graft_id").as("graft_id"),
+        col("graft_pos").as("graft_pos"),
+        col("graft_para").as("graft_para"))
+    reassembleSurvivors(batch, idCol, occ, survivors, joinSep)
   }
 
   // -------------------------------------------------------------------------

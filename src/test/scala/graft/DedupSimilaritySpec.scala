@@ -2241,6 +2241,77 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "nearDupParagraphsIncremental" should {
+    val boilerMid = "quick brown fox jumps over lazy dog while seven " +
+      "sailors watch from the old harbor wall under grey november skies " +
+      "counting distant ships and waiting for"
+    val boilerA = s"begin $boilerMid river"
+    val boilerB = s"begin $boilerMid ocean"
+
+    def historyDocs = {
+      val s = spark
+      import s.implicits._
+      Seq(
+        (1L, s"unique alpha text one two three\n$boilerA"),
+        (2L, "standalone history body four five six")).toDF("doc_id", "text")
+    }
+
+    def batchDocs = {
+      val s = spark
+      import s.implicits._
+      Seq(
+        // near-match of history's boilerplate (J≈0.85) + a fresh line
+        (10L, s"$boilerB\nfresh batch content seven eight nine"),
+        // within-batch exact dup of doc 10's fresh line + its own line
+        (11L, "fresh batch content seven eight nine\nanother body ten"),
+        // untouched by anything
+        (12L, "entirely novel text eleven twelve thirteen"))
+        .toDF("doc_id", "text")
+    }
+
+    "match the full rebuild restricted to the batch documents" in {
+      val full = Dedup.nearDupParagraphs(
+        historyDocs.unionByName(batchDocs), "doc_id", "text",
+          threshold = 0.5)
+        .where(col("doc_id") >= 10L).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-para-state").toString
+      Dedup.writeLshState(
+        Dedup.paragraphLshState(historyDocs, "doc_id", "text"), dir)
+      val st = Dedup.readLshState(spark, dir)
+      val inc = Dedup.nearDupParagraphsIncremental(batchDocs, "doc_id",
+          "text", st, threshold = 0.5)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      inc shouldBe full
+      // the history near-match was actually dropped (not a vacuous pass)
+      inc(10L)._4 shouldBe 1L
+      // within-batch exact dup kept only at its first occurrence
+      inc(11L)._4 shouldBe 1L
+      inc(12L)._4 shouldBe 0L
+    }
+
+    "fold batch survivors back into the state for the next batch" in {
+      val s = spark
+      import s.implicits._
+      val st0 = Dedup.paragraphLshState(historyDocs, "doc_id", "text")
+      val st1 = st0.merge(
+        Dedup.paragraphLshState(batchDocs, "doc_id", "text"))
+      // a later batch repeating doc 11's novel line must now match state
+      val batch2 = Seq(
+        (20L, "another body ten\nsecond wave fourteen fifteen"))
+        .toDF("doc_id", "text")
+      val out = Dedup.nearDupParagraphsIncremental(batch2, "doc_id",
+          "text", st1, threshold = 0.5)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(4)))).toMap
+      out(20L) shouldBe (("second wave fourteen fifteen", 1L))
+    }
+  }
+
   "decontaminateByEmbedding" should {
     val probes = Seq(
       100L -> Array(1.0, 0.0, 0.0),
