@@ -58,6 +58,26 @@ object SparkEntry {
     "o" -> "r", "a" -> "t", "s" -> "t", "i" -> "n", "in" -> "e",
     "o" -> "w", "u" -> "e")
 
+  /** Demo BYTE-level merge list for q134/q135 (hex-spelled UTF-8 byte
+    * symbols; see [[graft.pipeline.ByteBpe]]): multi-level merges up
+    * through MULTI-BYTE code-point boundaries — c3 a9 (é) and c3 af (ï)
+    * merge first, then café assembles across a 2-byte character. The
+    * q134/q135 corpus injects "café résumé naïve the stark" into every
+    * document so the multi-byte paths are exercised at every SF; the
+    * DuckDB replace chain is GENERATED from this list. Well-formed by
+    * construction (every compound symbol is an earlier merge's product).
+    */
+  val ByteBpeDemoMerges: Seq[(String, String)] = Seq(
+    "c3" -> "a9", "c3" -> "af", "74" -> "68", "7468" -> "65",
+    "63" -> "61", "6361" -> "66", "636166" -> "c3a9", "72" -> "c3a9",
+    "73" -> "74", "6e" -> "61", "6e61" -> "c3af", "76" -> "65")
+
+  /** The text column q134/q135 run over: every document's text with the
+    * multi-byte demo tail appended (concat_ws skips a null text, so
+    * null-text rows contribute exactly the tail on BOTH engines).
+    */
+  private val ByteBpeInjectTail = "café résumé naïve the stark"
+
   /** Demo WordPiece vocabulary for q111: the lowercase alphabet as both
     * word-initial and `##` continuation pieces (so pure-alpha words
     * always segment), plus multi-char pieces that exercise the greedy
@@ -4691,6 +4711,69 @@ object SparkEntry {
           "kept_id_sum" -> g.getLong(5).toDouble,
           "parity_ok" -> flag(mismatches == 0L)))
       } finally rmTree(statePath)
+    }),
+
+    // q134: BYTE-level BPE (the GPT-2/Llama tokenizer family; q77's
+    // code-point demo completes to the byte alphabet) — every document
+    // with the multi-byte tail injected, counted under the 12-merge demo
+    // model, plus the trainer's FIRST byte merge learned from the corpus
+    // byte-pair histogram. The oracle replays the merges byte for byte —
+    // hex(encode(w)) splits each word into UTF-8 byte symbols, so the
+    // c3a9/c3af merges cross real multi-byte boundaries — and re-derives
+    // the first merge as the weighted argmax byte pair (ties by smallest
+    // bytes, = lexicographic hex).
+    "q134_byte_bpe_tokens" -> ((s, dir) => {
+      import graft.pipeline.{ByteBpe, Mixing}
+      import org.apache.spark.sql.functions.concat_ws
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", col("text"), lit(ByteBpeInjectTail)).as("text"))
+      val model = ByteBpe.ByteBpeModel(ByteBpeDemoMerges)
+      val r = docs
+        .select(col("doc_id"),
+          Mixing.tokenCountExpr(col("text")).as("graft_w"),
+          ByteBpe.tokenCountCol(model)(col("text")).as("graft_b"))
+        .agg(
+          coalesce(sum(col("graft_w")), lit(0L)),
+          coalesce(sum(col("graft_b")), lit(0L)),
+          coalesce(sum(col("doc_id") * col("graft_b")), lit(0L)))
+        .collect().head
+      val first = ByteBpe.train(docs, "text", numMerges = 1)
+        .merges.headOption.map { case (a, b) => s"$a $b" }.getOrElse("")
+      import s.implicits._
+      Seq((r.getLong(0).toDouble, r.getLong(1).toDouble,
+        r.getLong(2).toDouble, first))
+        .toDF("ws_tokens", "bbpe_tokens", "bbpe_id_weighted", "first_merge")
+    }),
+
+    // q135: the q81 mixture machinery budgeted by BYTE-BPE token counts
+    // — tokenCountCol plumbed into temperatureBudgets/tokenBudgetSample
+    // exactly as the char-BPE and unigram counters are. Same pin
+    // structure as q81; budget floor margins measured (see BASELINE.md).
+    "q135_byte_bpe_mixture" -> ((s, dir) => {
+      import graft.pipeline.{ByteBpe, Mixing}
+      import org.apache.spark.sql.functions.concat_ws
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        concat_ws(" ", col("text"), lit(ByteBpeInjectTail)).as("text"))
+      val counter =
+        ByteBpe.tokenCountCol(ByteBpe.ByteBpeModel(ByteBpeDemoMerges))
+      val budgets = Mixing.temperatureBudgets(docs, "source", "text",
+        totalBudget = 10000L, alpha = 0.5, tokenCount = counter)
+      val stats = Mixing
+        .tokenBudgetSample(docs, "doc_id", "text", "source", budgets,
+          tokenCount = counter)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("graft_k"),
+          sum(counter(col("text"))).as("graft_t"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("graft_i"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      import s.implicits._
+      budgets.toSeq.sortBy(_._1).map { case (g, b) =>
+        val (k, t, i) = stats.getOrElse(g, (0L, 0L, 0L))
+        (g, b.toDouble, k.toDouble, t.toDouble, i.toDouble)
+      }.toDF("source", "budget", "kept_docs", "kept_bbpe_tokens", "id_sum")
     })
   )
 
@@ -4832,6 +4915,41 @@ object SparkEntry {
        |init AS (
        |  SELECT w, ' ' || array_to_string(list_transform(range(length(w)),
        |    i -> substring(w, (i + 1)::INT, 1)), ' ') || ' ' AS seg, 0 AS mi
+       |  FROM dw),
+       |bpe AS (
+       |  SELECT w, seg, mi FROM init
+       |  UNION ALL
+       |  SELECT w, nseg,
+       |         CASE WHEN nseg <> seg THEN mi ELSE mi + 1 END AS mi
+       |  FROM (SELECT w, seg, mi, $caseExpr AS nseg
+       |        FROM bpe WHERE mi < $n)),
+       |seg AS (SELECT w, len(string_split(trim(seg), ' ')) AS c
+       |        FROM bpe WHERE mi = $n)""".stripMargin
+  }
+
+  /** The q134/q135 segmentation chain, generated from
+    * [[ByteBpeDemoMerges]] — byte-for-byte: `hex(encode(w))` spells each
+    * word's UTF-8 bytes as the same 2-char lowercase hex symbols the
+    * engine uses, then the per-merge fixpoint replace chain replays the
+    * rank-priority application (the BpeSpec/ByteBpeSpec-pinned
+    * equivalence for well-formed lists).
+    */
+  private def byteBpeSegCtes: String = {
+    val n = ByteBpeDemoMerges.length
+    val caseExpr = ByteBpeDemoMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"WHEN $i THEN replace(seg, ' $a $b ', ' $a$b ')"
+    }.mkString("CASE mi ", " ", " ELSE seg END")
+    s"""w AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(concat_ws(' ', text, '$ByteBpeInjectTail'),
+       |      '\\s+'), x -> x <> '')) AS w
+       |  FROM documents),
+       |dw AS (SELECT DISTINCT w FROM w),
+       |init AS (
+       |  SELECT w, ' ' || array_to_string(list_transform(
+       |    range(octet_length(encode(w))),
+       |    i -> lower(substring(hex(encode(w)), (2 * i + 1)::INT, 2))),
+       |    ' ') || ' ' AS seg, 0 AS mi
        |  FROM dw),
        |bpe AS (
        |  SELECT w, seg, mi FROM init
@@ -9512,6 +9630,62 @@ object SparkEntry {
         |    AS recrawl_kept,
         |  (SELECT coalesce(sum(doc_id), 0) FROM kept)::DOUBLE
         |    AS kept_id_sum,
-        |  1.0::DOUBLE AS parity_ok""".stripMargin
+        |  1.0::DOUBLE AS parity_ok""".stripMargin,
+
+    // q134: byte-level replay — hex(encode(w)) byte symbols through the
+    // generated fixpoint replace chain; first merge re-derived as the
+    // weighted argmax adjacent byte pair (ties by smallest bytes).
+    "q134_byte_bpe_tokens" ->
+      s"""WITH RECURSIVE $byteBpeSegCtes,
+         |bp AS (
+         |  SELECT lower(substring(hx, (2 * i + 1)::INT, 2)) AS a,
+         |         lower(substring(hx, (2 * i + 3)::INT, 2)) AS b,
+         |         count(*) AS c
+         |  FROM (SELECT hex(encode(w)) AS hx,
+         |               unnest(range(octet_length(encode(w)) - 1)) AS i
+         |        FROM w WHERE octet_length(encode(w)) >= 2)
+         |  GROUP BY 1, 2),
+         |fm AS (SELECT a || ' ' || b AS m FROM bp
+         |       ORDER BY c DESC, a, b LIMIT 1)
+         |SELECT (SELECT count(*) FROM w)::DOUBLE AS ws_tokens,
+         |       (SELECT sum(s.c) FROM w JOIN seg s USING (w))::DOUBLE
+         |         AS bbpe_tokens,
+         |       (SELECT sum(w.doc_id * s.c)
+         |        FROM w JOIN seg s USING (w))::DOUBLE AS bbpe_id_weighted,
+         |       (SELECT m FROM fm) AS first_merge""".stripMargin,
+
+    // q135: the q81 mixture replay fed by the byte-BPE segmentation.
+    "q135_byte_bpe_mixture" ->
+      s"""WITH RECURSIVE $byteBpeSegCtes,
+         |dc AS (SELECT w.doc_id, sum(s.c) AS toks
+         |       FROM w JOIN seg s USING (w) GROUP BY 1),
+         |h AS (
+         |  SELECT d.doc_id, d.source,
+         |         substring(md5('graft:' || d.doc_id::VARCHAR), 1, 8) AS hh,
+         |         coalesce(dc.toks, 0) AS toks
+         |  FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id),
+         |ns AS (SELECT source, sum(toks) AS n FROM h
+         |       WHERE source IS NOT NULL GROUP BY 1),
+         |z AS (SELECT sum(sqrt(n)) AS z FROM ns),
+         |b AS (SELECT source,
+         |        floor(10000 * sqrt(n) / (SELECT z FROM z))::BIGINT AS budget
+         |      FROM ns),
+         |tb AS (
+         |  SELECT * FROM (
+         |    SELECT h.doc_id, h.source, h.toks, b.budget,
+         |           sum(h.toks) OVER (PARTITION BY h.source
+         |             ORDER BY h.hh, h.doc_id
+         |             ROWS UNBOUNDED PRECEDING) AS cum
+         |    FROM h JOIN b USING (source))
+         |  WHERE cum <= budget)
+         |SELECT b.source, b.budget::DOUBLE AS budget,
+         |       coalesce(t.k, 0)::DOUBLE AS kept_docs,
+         |       coalesce(t.tk, 0)::DOUBLE AS kept_bbpe_tokens,
+         |       coalesce(t.ids, 0)::DOUBLE AS id_sum
+         |FROM b LEFT JOIN (
+         |  SELECT source, count(*) AS k, sum(toks) AS tk,
+         |         sum(doc_id) AS ids
+         |  FROM tb GROUP BY 1) t USING (source)
+         |ORDER BY b.source""".stripMargin
   )
 }

@@ -41,27 +41,33 @@ object Bpe {
     * sequential-replace pass per merge, which is what the DuckDB oracle
     * replays.
     */
+  /** Code-point symbols of a word (surrogate-pair safe). */
+  private[pipeline] def charSymbols(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   final case class BpeModel(merges: Seq[(String, String)]) {
     @transient lazy val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
 
-    /** Code-point symbols of a word (surrogate-pair safe). */
-    private def charSymbols(w: String): Array[String] = {
-      val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
-      var i = 0
-      while (i < w.length) {
-        val n = Character.charCount(w.codePointAt(i))
-        out += w.substring(i, i + n)
-        i += n
-      }
-      out.toArray
-    }
-
     /** BPE segmentation of one word: repeatedly merge the lowest-rank
       * adjacent pair present (all occurrences, leftmost-first).
       */
-    def encodeWord(word: String): Array[String] = {
-      var syms = charSymbols(word)
+    def encodeWord(word: String): Array[String] =
+      encodeSymbols(Bpe.charSymbols(word))
+
+    /** The merge loop itself, over an arbitrary initial symbol sequence —
+      * [[ByteBpe]] feeds UTF-8 byte symbols through the same machinery.
+      */
+    def encodeSymbols(init: Array[String]): Array[String] = {
+      var syms = init
       while (syms.length >= 2) {
         var bestRank = Int.MaxValue
         var i = 0
@@ -138,7 +144,19 @@ object Bpe {
       df: DataFrame,
       textCol: String,
       numMerges: Int,
-      maxWords: Int = 1000000): BpeModel = {
+      maxWords: Int = 1000000): BpeModel =
+    BpeModel(trainMerges(df, textCol, numMerges, maxWords, charSymbols))
+
+  /** The shared trainer: corpus-side word histogram, then the
+    * driver-side merge loop over `init`-symbol sequences ([[ByteBpe]]
+    * passes UTF-8 byte symbols).
+    */
+  private[pipeline] def trainMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxWords: Int,
+      init: String => Array[String]): Seq[(String, String)] = {
     require(numMerges >= 0, "numMerges must be non-negative")
     val hist: Array[(String, Long)] = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("graft_w"))
@@ -150,9 +168,8 @@ object Bpe {
       .map(r => r.getString(0) -> r.getLong(1))
 
     // driver-side merge loop over (symbols, freq) word entries
-    val base = BpeModel(Nil)
     var words: Array[(Array[String], Long)] =
-      hist.map { case (w, c) => base.encodeWord(w) -> c } // = charSymbols
+      hist.map { case (w, c) => init(w) -> c }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var step = 0
     var done = false
@@ -192,7 +209,7 @@ object Bpe {
         step += 1
       }
     }
-    BpeModel(merges.toSeq)
+    merges.toSeq
   }
 
   /** (idCol, bpe_tokens) per row — one text scan, no shuffle. */
