@@ -4774,6 +4774,69 @@ object SparkEntry {
         val (k, t, i) = stats.getOrElse(g, (0L, 0L, 0L))
         (g, b.toDouble, k.toDouble, t.toDouble, i.toDouble)
       }.toDF("source", "budget", "kept_docs", "kept_bbpe_tokens", "id_sum")
+    }),
+
+    // q136: the PUBLIC Curation.pipeline builder running exactly q96's
+    // stage list (boilerplate → marker MapText → NB quality gate →
+    // perplexity head+middle → canonical-URL dedup → shard census) and
+    // pinned against the IDENTICAL oracle — the builder's fusion
+    // discipline (one tokenize per text epoch, slim id-set persists)
+    // must reproduce the hand-rolled composition number for number.
+    "q136_curation_builder" -> ((s, dir) => {
+      import graft.pipeline.{Curation, Mixing}
+      import org.apache.spark.sql.functions.{concat_ws, floor}
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val withFooter = docs.select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(3)) =!= 2,
+          concat(col("text"), lit("\nFOOTER "), col("source"),
+            lit(" all rights reserved"))).otherwise(col("text")).as("text"))
+      val isKeep = pmod(col("doc_id"), lit(2)) === 0
+      val marker = when(isKeep,
+        lit("qkeepa qkeepb qkeepa qkeepb qkeepa qkeepb"))
+        .otherwise(lit("qtossa qtossb qtossa qtossb qtossa qtossb"))
+      val g = floor(col("doc_id") / 5).cast(LongType)
+      val host = concat(lit("s"), pmod(g, lit(20)).cast(StringType),
+        lit(".example.com"))
+      val path = concat(lit("/p/"), g.cast(StringType))
+      val m5 = pmod(col("doc_id"), lit(5))
+      val idS = col("doc_id").cast(StringType)
+      val url = when(pmod(col("doc_id"), lit(97)) === 0, lit("page moved"))
+        .when(m5 === 0, concat(lit("https://www."), host, path))
+        .when(m5 === 1, concat(lit("HTTPS://"), host, lit(":443"), path, lit("/")))
+        .when(m5 === 2, concat(lit("https://user:pw@"), host, path,
+          lit("?utm_source=x&fbclid="), idS))
+        .when(m5 === 3, concat(lit("https://"), host, path, lit("?b=2&a=1#frag")))
+        .otherwise(concat(lit("https://"), host, path,
+          lit("?a=1&utm_medium=y&b=2")))
+      val r = Curation.pipeline(withFooter, "doc_id", "text", Seq(
+        Curation.RemoveBoilerplate("source", maxDocFrac = 0.4, minDocs = 5),
+        Curation.MapText("mark", concat_ws(" ", col("text"), marker)),
+        Curation.QualityClassifier(
+          labelExpr = when(isKeep, lit("keep")).otherwise(lit("toss")),
+          seedPredicate = pmod(col("doc_id"), lit(10)) < 2),
+        Curation.PerplexityKeep("source", nBuckets = 3, keepMaxBucket = 2),
+        Curation.UrlDedup(url)))
+      val shardAgg = Mixing.shardStats(r.docs, "doc_id", "text", 8)
+        .agg(count(lit(1)),
+          coalesce(sum(col("n_docs")), lit(0L)),
+          coalesce(sum(col("n_tokens")), lit(0L)),
+          coalesce(sum(col("id_sum")), lit(0L)),
+          coalesce(org.apache.spark.sql.functions.max(col("n_docs")), lit(0L)),
+          coalesce(org.apache.spark.sql.functions.min(col("n_docs")), lit(0L)))
+        .collect().head
+      val c = r.censuses.toMap
+      r.release()
+      metricRow(s, Seq(
+        "n_input" -> c("input_docs"),
+        "boiler_removed" -> c("boiler_removed_lines"),
+        "nb_kept" -> c("quality_kept"),
+        "perp_kept" -> c("perplexity_kept"),
+        "final_docs" -> shardAgg.getLong(1).toDouble,
+        "final_tokens" -> shardAgg.getLong(2).toDouble,
+        "final_id_sum" -> shardAgg.getLong(3).toDouble,
+        "shards_nonempty" -> shardAgg.getLong(0).toDouble,
+        "max_shard_docs" -> shardAgg.getLong(4).toDouble,
+        "min_shard_docs" -> shardAgg.getLong(5).toDouble))
     })
   )
 
@@ -5050,7 +5113,13 @@ object SparkEntry {
        |FROM pc JOIN tp USING (cell)""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  // q136 runs the PUBLIC Curation.pipeline builder over exactly the
+  // q96 stage list, so it pins against the identical oracle — sharing
+  // the string means the two replays cannot drift.
+  def oracleSql: Map[String, String] =
+    oracleBase + ("q136_curation_builder" -> oracleBase("q96_curation_v2"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
 
     "q01_size" ->
       """SELECT count(*)::DOUBLE AS size_all,

@@ -1,0 +1,190 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The end-to-end curation pipeline as a PUBLIC, composable surface —
+  * the product face of what q53/q96/q112 hand-roll: a declared list of
+  * standard stages (boilerplate removal, text transforms, quality
+  * classification, perplexity filtering, URL dedup, arbitrary
+  * predicates) executed with the fusion discipline those queries
+  * established, so a caller gets the efficient composition without
+  * hand-managing it:
+  *
+  *  - ONE text scan per tokenization epoch: the (doc, term, tf) frame
+  *    is built once after the latest text-mutating stage and shared by
+  *    every classifier/LM stage that follows (the q96 precomputedTf
+  *    fusion), re-restricted per stage by slim semi-joins;
+  *  - SLIM persisted state: survivor doc-id sets and the tf frame are
+  *    what persists — never a second full-text copy (the r14 q96
+  *    finding: stacked text caches were the spill chain);
+  *  - per-stage censuses come from counts over those cached slim
+  *    frames, so the builder's bookkeeping adds no corpus scans.
+  *
+  * The builder is EAGER (classifier training and censuses run driver
+  * actions as stages execute). `Result.docs` stays lazy over the
+  * internal caches; call `Result.release()` after consuming it.
+  *
+  * 100 TB shape: every stage is map-side-combinable aggregation +
+  * broadcast-model scoring + slim-key semi-joins; nothing shuffles the
+  * text except the boilerplate line rebuild (one line-level exchange,
+  * the same job the hand-rolled pipelines run).
+  */
+object Curation {
+
+  sealed trait Stage
+
+  /** Cross-document boilerplate line removal
+    * ([[TextAnalysis.removeBoilerplateLines]]). NARROWS the frame to
+    * (idCol, groupCol, text, +removed_lines census) and drops null-id
+    * rows — the underlying operator's contract.
+    */
+  final case class RemoveBoilerplate(
+      groupCol: String,
+      maxDocFrac: Double = 0.5,
+      minDocs: Int = 5) extends Stage
+
+  /** Rewrite the text column with `expr` (may reference any frame
+    * column). Invalidates the shared tf frame — later LM/classifier
+    * stages re-tokenize the new text (once).
+    */
+  final case class MapText(name: String, expr: Column) extends Stage
+
+  /** Naive-Bayes quality gate: train on `seedPredicate` rows labeled by
+    * `labelExpr` (a string expression over the frame), keep documents
+    * scored `keepLabel`. Training and scoring share the one tf frame.
+    */
+  final case class QualityClassifier(
+      labelExpr: Column,
+      seedPredicate: Column,
+      keepLabel: String = "keep",
+      alpha: Double = 1.0) extends Stage
+
+  /** CCNet-style perplexity gate: per `groupCol`, unigram-LM
+    * cross-entropy terciles (or `nBuckets`-iles) over the CURRENT
+    * survivors; keep buckets <= `keepMaxBucket` (1-based).
+    */
+  final case class PerplexityKeep(
+      groupCol: String,
+      nBuckets: Int = 3,
+      keepMaxBucket: Int = 2) extends Stage
+
+  /** Canonical-URL dedup ([[Domains.dedupByCanonicalUrl]]): `urlExpr`
+    * evaluates over the frame; smallest `idCol` per canonical URL wins.
+    */
+  final case class UrlDedup(urlExpr: Column) extends Stage
+
+  /** Arbitrary row predicate (Gopher/C4-style rule gates compose here). */
+  final case class KeepWhere(name: String, predicate: Column) extends Stage
+
+  /** `docs`: the lazy surviving frame (consume, then `release()`).
+    * `censuses`: ordered (stage_name, value) rows — doc counts per
+    * stage plus stage-specific extras (boilerplate removed lines).
+    */
+  final case class Result(
+      docs: DataFrame,
+      censuses: Seq[(String, Double)],
+      private[pipeline] val caches: Seq[DataFrame]) {
+    def release(): Unit =
+      caches.foreach(_.unpersist(blocking = false))
+  }
+
+  def pipeline(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stages: Seq[Stage]): Result = {
+    require(stages.nonEmpty, "pipeline needs at least one stage")
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val census = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+    // the one full-text frame; re-persisted only when text mutates
+    var frame = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    caches += frame
+    census += ("input_docs" -> frame.count().toDouble)
+
+    // shared (doc, term, tf) for the CURRENT text + survivor set;
+    // built on first demand, re-restricted per filter stage, dropped on
+    // text mutation
+    var tf: DataFrame = null
+    def sharedTf(): DataFrame = {
+      if (tf == null) {
+        tf = TextAnalysis.termFrequencies(frame, idCol, textCol)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        caches += tf
+      }
+      tf
+    }
+    def applySurvivors(name: String, ids: DataFrame): Unit = {
+      val kept = ids.persist(StorageLevel.MEMORY_AND_DISK)
+      caches += kept
+      census += (name -> kept.count().toDouble)
+      frame = frame.join(kept, Seq(idCol))
+      if (tf != null) {
+        tf = tf.join(kept, Seq(idCol), "left_semi")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        caches += tf
+      }
+    }
+    def mutateText(newFrame: DataFrame): Unit = {
+      frame = newFrame.persist(StorageLevel.MEMORY_AND_DISK)
+      caches += frame
+      tf = null
+    }
+
+    stages.foreach {
+      case RemoveBoilerplate(groupCol, maxDocFrac, minDocs) =>
+        val cleaned = TextAnalysis.removeBoilerplateLines(
+          frame, idCol, textCol, groupCol, maxDocFrac, minDocs)
+        mutateText(cleaned)
+        val g = frame.agg(count(lit(1)),
+          coalesce(sum(col("removed_lines")), lit(0L))).collect().head
+        census += ("boiler_docs" -> g.getLong(0).toDouble)
+        census += ("boiler_removed_lines" -> g.getLong(1).toDouble)
+        frame = frame.drop("removed_lines")
+
+      case MapText(name, expr) =>
+        mutateText(frame.withColumn(textCol, expr))
+        census += (name + "_docs" -> frame.count().toDouble)
+
+      case QualityClassifier(labelExpr, seedPred, keepLabel, alpha) =>
+        val all = sharedTf()
+        val seedIds = frame.where(seedPred).select(col(idCol))
+        val seedTf: Classify.Featurizer =
+          (_, _, _) => all.join(seedIds, Seq(idCol), "left_semi")
+        val allTf: Classify.Featurizer = (_, _, _) => all
+        val model = Classify.trainNaiveBayes(
+          frame.where(seedPred).select(col(idCol), col(textCol),
+            labelExpr.as("graft_label")),
+          idCol, textCol, "graft_label", alpha, seedTf)
+        val keptIds = Classify
+          .scoreNaiveBayes(frame, idCol, textCol, model, allTf)
+          .where(col("predicted") === keepLabel)
+          .select(col(idCol))
+        applySurvivors("quality_kept", keptIds)
+        model.release()
+
+      case PerplexityKeep(groupCol, nBuckets, keepMax) =>
+        val keptIds = TextAnalysis
+          .perplexityBuckets(frame, idCol, textCol, groupCol, nBuckets,
+            precomputedTf = Some(sharedTf()))
+          .where(col("bucket") <= keepMax)
+          .select(col(idCol))
+        applySurvivors("perplexity_kept", keptIds)
+
+      case UrlDedup(urlExpr) =>
+        val keptIds = Domains
+          .dedupByCanonicalUrl(
+            frame.withColumn("graft_curl", urlExpr), "graft_curl", idCol)
+          .select(col(idCol))
+        applySurvivors("url_dedup_kept", keptIds)
+
+      case KeepWhere(name, predicate) =>
+        applySurvivors(name + "_kept",
+          frame.where(predicate).select(col(idCol)))
+    }
+
+    Result(frame, census.toSeq, caches.toSeq)
+  }
+}

@@ -798,6 +798,57 @@ object ScaleProbe {
         .agg(sum(col("active_keys"))).collect().head.getLong(0)
     }
 
+    // incremental SCD2: the prior dimension (first half of the stream)
+    // is parquet-staged UNTIMED; the timed phase applies a FIXED-size
+    // batch (the base corpus's second half) to a 10x-deeper history.
+    // applyChanges never re-windows the closed history, so the timed
+    // cost is the mini rebuild + one pass-through scan of the staged
+    // dimension — expect well under the 10x a full rebuild would pay.
+    val scdCutUs = 1705276800000000L
+    def scdApplySetup(e: DataFrame, path: String): Unit = {
+      import graft.operators.Scd
+      Scd.scdType2(e.where(col("ts_us") <= scdCutUs), Seq("user_id"),
+          "ts_us", Seq("event_type"), tiebreakCols = Seq("event_id"))
+        .write.mode("overwrite").parquet(path)
+    }
+    val scdBatch = ev0.where(col("ts_us") > scdCutUs)
+    def scdApplyProbe(path: String): Long = {
+      import graft.operators.Scd
+      Scd.applyChanges(spark.read.parquet(path), scdBatch,
+        Seq("user_id"), "ts_us", Seq("event_type"),
+        tiebreakCols = Seq("event_id")).count()
+    }
+    scdApplySetup(ev0, s"$work/scd_state_x1")
+    scdApplySetup(evX, s"$work/scd_state_x$mult")
+
+    // incremental paragraph fuzzy dedup: paragraph LSH states staged
+    // UNTIMED at both history sizes; the timed phase dedups a FIXED
+    // 200-doc re-crawl batch against them — probe cost must track the
+    // batch and its collided buckets, not the history
+    def paraStateSetup(d: DataFrame, path: String): Unit =
+      Dedup.writeLshState(
+        Dedup.paragraphLshState(d, "doc_id", "text",
+          maxBucketSize = SkewCap), path)
+    val paraBatch = docs0.orderBy("doc_id").limit(200)
+      .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+    def paraIncProbe(path: String): Long = {
+      val st = Dedup.readLshState(spark, path)
+      Dedup.nearDupParagraphsIncremental(paraBatch, "doc_id", "text",
+          st, threshold = 0.5)
+        .agg(sum(col("n_removed"))).collect().head.getLong(0)
+    }
+    paraStateSetup(docs0, s"$work/para_state_x1")
+    paraStateSetup(docsX, s"$work/para_state_x$mult")
+
+    // byte-level BPE apply: embarrassingly parallel map — the per-row
+    // cost must stay flat at 10x
+    def byteBpeProbe(d: DataFrame): Long = {
+      import graft.pipeline.ByteBpe
+      val model = ByteBpe.ByteBpeModel(graft.SparkEntry.ByteBpeDemoMerges)
+      ByteBpe.tokenCounts(d, "doc_id", "text", model)
+        .agg(sum(col("byte_bpe_tokens"))).collect().head.getLong(0)
+    }
+
     val resultsRelational = Seq(
       ("asof_join", timed(asofProbe(ev0)), timed(asofProbe(evX))),
       ("range_join", timed(rangeProbe(ev0)), timed(rangeProbe(evX))),
@@ -808,7 +859,15 @@ object ScaleProbe {
       ("zorder_audit", timed(zorderProbe(ev0)), timed(zorderProbe(evX))),
       ("sessionize", timed(sessionProbe(ev0)), timed(sessionProbe(evX))),
       ("funnel", timed(funnelProbe(ev0)), timed(funnelProbe(evX))),
-      ("cohort", timed(cohortProbe(ev0)), timed(cohortProbe(evX))))
+      ("cohort", timed(cohortProbe(ev0)), timed(cohortProbe(evX))),
+      ("scd2_apply",
+        timed(scdApplyProbe(s"$work/scd_state_x1")),
+        timed(scdApplyProbe(s"$work/scd_state_x$mult"))),
+      ("para_incremental",
+        timed(paraIncProbe(s"$work/para_state_x1")),
+        timed(paraIncProbe(s"$work/para_state_x$mult"))),
+      ("byte_bpe_tokens",
+        timed(byteBpeProbe(docs0)), timed(byteBpeProbe(docsX))))
 
     val results = resultsHead ++ resultsTail ++ resultsRelational
     // the NB model's cached log-prob table is done after its rows

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.wordspec.AnyWordSpec
+
+import graft.pipeline.Curation
+
+/** The public pipeline builder: stage composition, censuses, tf-epoch
+  * invalidation on text mutation. q136 pins the full five-stage
+  * composition against the q96 oracle; this spec covers the generic
+  * pieces in isolation.
+  */
+class CurationSpec extends AnyWordSpec with Matchers with SparkSpec {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "a", "good solid body of text here"),
+      (2L, "a", "tiny"),
+      (3L, "b", "another good solid body of words"),
+      (4L, "b", "spam spam spam spam spam spam"))
+      .toDF("doc_id", "source", "text")
+  }
+
+  "Curation.pipeline" should {
+    "apply KeepWhere gates in order and report censuses" in {
+      val r = Curation.pipeline(docs, "doc_id", "text", Seq(
+        Curation.KeepWhere("min_len",
+          org.apache.spark.sql.functions.length(col("text")) > 10),
+        Curation.KeepWhere("no_spam", !col("text").contains("spam"))))
+      val kept = r.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+      kept shouldBe Set(1L, 3L)
+      r.censuses shouldBe Seq(
+        "input_docs" -> 4.0, "min_len_kept" -> 3.0, "no_spam_kept" -> 2.0)
+      r.release()
+    }
+
+    "re-tokenize after MapText so later stages see the new text" in {
+      val r = Curation.pipeline(docs, "doc_id", "text", Seq(
+        Curation.MapText("zap", lit("only these four tokens")),
+        // identical texts -> identical cross-entropy; the ntile is
+        // POSITIONAL (rank key ties break on doc_id), so bucket 1 holds
+        // the lower doc id of each source's pair
+        Curation.PerplexityKeep("source", nBuckets = 2, keepMaxBucket = 1)))
+      r.docs.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+        Set(1L, 3L)
+      r.docs.select("text").distinct().collect()
+        .map(_.getString(0)).toSeq shouldBe Seq("only these four tokens")
+      r.release()
+    }
+
+    "dedup by canonical url keeping the smallest id" in {
+      val url = concat(lit("https://x.com/p/"),
+        (col("doc_id") % 2).cast("string"))
+      val r = Curation.pipeline(docs, "doc_id", "text", Seq(
+        Curation.UrlDedup(url)))
+      r.docs.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+        Set(1L, 2L)
+      r.censuses.toMap.apply("url_dedup_kept") shouldBe 2.0
+      r.release()
+    }
+
+    "train and apply the quality gate from seed labels" in {
+      val s = spark
+      import s.implicits._
+      val labeled = (0 until 40).map { i =>
+        val keep = i % 2 == 0
+        (i.toLong, "a",
+          if (keep) "alpha beta alpha beta alpha beta"
+          else "junk garbage junk garbage junk garbage")
+      }.toDF("doc_id", "source", "text")
+      val r = Curation.pipeline(labeled, "doc_id", "text", Seq(
+        Curation.QualityClassifier(
+          labelExpr = when(pmod(col("doc_id"), lit(2)) === 0, lit("keep"))
+            .otherwise(lit("toss")),
+          seedPredicate = col("doc_id") < 10)))
+      val kept = r.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+      kept shouldBe (0L until 40L by 2).toSet
+      r.censuses.toMap.apply("quality_kept") shouldBe 20.0
+      r.release()
+    }
+  }
+}
