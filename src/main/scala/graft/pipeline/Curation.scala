@@ -99,54 +99,56 @@ object Curation {
     val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val census = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
 
-    // the one full-text frame; re-persisted only when text mutates
+    // ONE persisted full-text copy at a time: expensive text-producing
+    // stages (input scan, boilerplate rebuild) persist; cheap
+    // projections (MapText, survivor joins) stay lazy over that cache —
+    // a second full-text persist was measured as the builder's own
+    // spill chain (the same finding that slimmed q96 in r14)
     var frame = docs.persist(StorageLevel.MEMORY_AND_DISK)
     caches += frame
     census += ("input_docs" -> frame.count().toDouble)
 
-    // shared (doc, term, tf) for the CURRENT text + survivor set;
-    // built on first demand, re-restricted per filter stage, dropped on
-    // text mutation
-    var tf: DataFrame = null
+    // shared (doc, term, tf) per text epoch, persisted once; survivor
+    // sets restrict it LAZILY (semi-joins of two caches) — each
+    // restriction is a cheap probe, so nothing re-persists per stage
+    var tfBase: DataFrame = null
+    var tfFilters: List[DataFrame] = Nil
     def sharedTf(): DataFrame = {
-      if (tf == null) {
-        tf = TextAnalysis.termFrequencies(frame, idCol, textCol)
+      if (tfBase == null) {
+        tfBase = TextAnalysis.termFrequencies(frame, idCol, textCol)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        caches += tf
+        caches += tfBase
+        tfFilters = Nil
       }
-      tf
+      tfFilters.foldLeft(tfBase)((t, ids) =>
+        t.join(ids, Seq(idCol), "left_semi"))
     }
     def applySurvivors(name: String, ids: DataFrame): Unit = {
       val kept = ids.persist(StorageLevel.MEMORY_AND_DISK)
       caches += kept
       census += (name -> kept.count().toDouble)
       frame = frame.join(kept, Seq(idCol))
-      if (tf != null) {
-        tf = tf.join(kept, Seq(idCol), "left_semi")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        caches += tf
-      }
-    }
-    def mutateText(newFrame: DataFrame): Unit = {
-      frame = newFrame.persist(StorageLevel.MEMORY_AND_DISK)
-      caches += frame
-      tf = null
+      if (tfBase != null) tfFilters = kept :: tfFilters
     }
 
     stages.foreach {
       case RemoveBoilerplate(groupCol, maxDocFrac, minDocs) =>
         val cleaned = TextAnalysis.removeBoilerplateLines(
-          frame, idCol, textCol, groupCol, maxDocFrac, minDocs)
-        mutateText(cleaned)
-        val g = frame.agg(count(lit(1)),
+            frame, idCol, textCol, groupCol, maxDocFrac, minDocs)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        caches += cleaned
+        tfBase = null
+        val g = cleaned.agg(count(lit(1)),
           coalesce(sum(col("removed_lines")), lit(0L))).collect().head
         census += ("boiler_docs" -> g.getLong(0).toDouble)
         census += ("boiler_removed_lines" -> g.getLong(1).toDouble)
-        frame = frame.drop("removed_lines")
+        frame = cleaned.drop("removed_lines")
 
-      case MapText(name, expr) =>
-        mutateText(frame.withColumn(textCol, expr))
-        census += (name + "_docs" -> frame.count().toDouble)
+      case MapText(_, expr) =>
+        // a projection over the current cache — no new persist, no
+        // action, no census (row count is unchanged by construction)
+        frame = frame.withColumn(textCol, expr)
+        tfBase = null
 
       case QualityClassifier(labelExpr, seedPred, keepLabel, alpha) =>
         val all = sharedTf()
