@@ -4837,6 +4837,59 @@ object SparkEntry {
         "shards_nonempty" -> shardAgg.getLong(0).toDouble,
         "max_shard_docs" -> shardAgg.getLong(4).toDouble,
         "min_shard_docs" -> shardAgg.getLong(5).toDouble))
+    }),
+
+    // q137: INCREMENTAL sessionization — q127's persisted-state twin
+    // (the q132 convention at session granularity): the first half of
+    // the event stream's per-session stats staged through parquet, the
+    // second half folded in with Sessionize.applySessions — only the
+    // batch is windowed; closed sessions pass through, boundary
+    // sessions merge when the first batch event lands within the gap.
+    // merge_ok pins merged == full rebuild row-for-row; the census and
+    // the boundary-spanning/batch-opened counts replay on the full
+    // build in the oracle.
+    "q137_sessionize_incremental" -> ((s, dir) => {
+      import graft.operators.Sessionize
+      val ev = eventsTable(s, dir)
+      val changes = ev.select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        col("event_id"))
+      val cutUs = 1705276800000000L // 2024-01-15 00:00:00 UTC
+      val gapUs = 1800L * 1000000L // 30 minutes
+      def statsOf(e: DataFrame) = Sessionize.sessionStats(
+        Sessionize.sessionize(e, Seq("user_id"), "ts_us", gapUs,
+          tiebreakCols = Seq("event_id")),
+        Seq("user_id"), "ts_us")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q137").toString
+      statsOf(changes.where(col("ts_us") <= cutUs))
+        .write.mode("overwrite").parquet(tmp)
+      val merged = Sessionize.applySessions(s.read.parquet(tmp),
+        changes.where(col("ts_us") > cutUs), Seq("user_id"), "ts_us",
+        gapUs, tiebreakCols = Seq("event_id")).persist()
+      val full = statsOf(changes)
+      val cols = merged.columns.sorted.map(col).toSeq
+      val mergeOk =
+        merged.select(cols: _*).exceptAll(full.select(cols: _*)).isEmpty &&
+        full.select(cols: _*).exceptAll(merged.select(cols: _*)).isEmpty
+      val out = merged.agg(
+        count(lit(1)).cast(DoubleType).as("n_sessions"),
+        coalesce(sum(col("n_events")), lit(0L)).cast(DoubleType)
+          .as("n_events"),
+        coalesce(max(col("session_id")), lit(0L)).cast(DoubleType)
+          .as("max_sessions_per_key"),
+        coalesce(sum(expr("duration div 1000000")), lit(0L))
+          .cast(DoubleType).as("duration_s"),
+        sum(when(col("session_start") <= cutUs &&
+          col("session_end") > cutUs, 1L).otherwise(0L))
+          .cast(DoubleType).as("boundary_spanning"),
+        sum(when(col("session_start") > cutUs, 1L).otherwise(0L))
+          .cast(DoubleType).as("batch_opened"),
+        lit(if (mergeOk) 1.0 else 0.0).as("merge_ok"))
+      val materialized = out.collect()
+      merged.unpersist(blocking = false)
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
     })
   )
 
@@ -9755,6 +9808,40 @@ object SparkEntry {
          |  SELECT source, count(*) AS k, sum(toks) AS tk,
          |         sum(doc_id) AS ids
          |  FROM tb GROUP BY 1) t USING (source)
-         |ORDER BY b.source""".stripMargin
+         |ORDER BY b.source""".stripMargin,
+
+    // q137: the engine-side merge_ok flag (asserted 1.0) pins the
+    // incremental build to the full rebuild, so the oracle replays the
+    // q127 full-stream sessionization and its census plus the
+    // boundary-spanning/batch-opened slices.
+    "q137_sessionize_incremental" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+        |), g AS (
+        |  SELECT *, ts_us - lag(ts_us) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+        |  FROM base
+        |), s AS (
+        |  SELECT *, sum(CASE WHEN gap IS NULL OR gap > 1800000000
+        |    THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), st AS (
+        |  SELECT user_id, sid, count(*) AS ne,
+        |    min(ts_us) AS ss, max(ts_us) AS se
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT
+        |  count(*)::DOUBLE AS n_sessions,
+        |  coalesce(sum(ne), 0)::DOUBLE AS n_events,
+        |  coalesce(max(sid), 0)::DOUBLE AS max_sessions_per_key,
+        |  coalesce(sum((se - ss) // 1000000), 0)::DOUBLE AS duration_s,
+        |  sum(CASE WHEN ss <= 1705276800000000 AND se > 1705276800000000
+        |      THEN 1 ELSE 0 END)::DOUBLE AS boundary_spanning,
+        |  sum(CASE WHEN ss > 1705276800000000 THEN 1 ELSE 0 END)::DOUBLE
+        |    AS batch_opened,
+        |  1.0::DOUBLE AS merge_ok
+        |FROM st""".stripMargin
   )
 }

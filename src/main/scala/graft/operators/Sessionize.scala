@@ -59,4 +59,95 @@ object Sessionize {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         (max(col(tsCol)) - min(col(tsCol))).as("duration"))
+
+  /** Fold a NEW batch of events into a persisted per-session stats
+    * table (the output of `sessionStats(sessionize(...))` or a previous
+    * `applySessions`, typically reloaded from parquet) WITHOUT
+    * rescanning event history — the session-state twin of
+    * [[Scd.applyChanges]]: applying day N's events to the accumulated
+    * stats equals rebuilding from the full event stream, row for row.
+    *
+    * Only the batch is ever windowed. Closed sessions (every session
+    * but each key's last) pass through untouched; unaffected keys'
+    * last sessions anti-join through; each affected key's LAST session
+    * either extends across the batch boundary (first batch session
+    * starts within `gapThreshold` of its end — the two merge: summed
+    * events, original start, new end) or passes through unchanged
+    * while the batch's sessions renumber after it. Brand-new keys fall
+    * through with ids from 1.
+    *
+    * Ingest contract (the daily-batch shape): every batch event's
+    * `tsCol` must be STRICTLY greater than its key's `session_end` in
+    * `existing` — an event ordering inside recorded history needs the
+    * event-level rebuild, not the stats increment.
+    *
+    * Output: the [[sessionStats]] schema.
+    */
+  def applySessions(
+      existing: DataFrame,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      gapThreshold: Long,
+      tiebreakCols: Seq[String] = Seq.empty): DataFrame = {
+    val statsCols =
+      Seq("session_id", "n_events", "session_start", "session_end", "duration")
+    require(statsCols.forall(existing.columns.contains),
+      s"existing must be a sessionStats table with ${statsCols.mkString("/")}")
+    val keyC = keyCols.map(col)
+    val batchKeys = batch.select(keyC: _*).distinct()
+    val untouched = existing.join(batchKeys, keyCols, "left_anti")
+    val affected = existing.join(batchKeys, keyCols, "left_semi")
+    // each affected key's last session as one slim struct row
+    val last = affected
+      .groupBy(keyC: _*)
+      .agg(max(struct(col("session_id"), col("n_events"),
+        col("session_start"), col("session_end"))).as("graft_last"))
+    val closedAffected = affected
+      .join(last, keyCols)
+      .where(col("session_id") =!= col("graft_last.session_id"))
+      .drop("graft_last")
+    // the batch's own sessions (the only windowed work), joined with the
+    // key's prior last session and the boundary-merge decision
+    val mini = sessionStats(
+      sessionize(batch, keyCols, tsCol, gapThreshold, tiebreakCols),
+      keyCols, tsCol)
+    val firstStart = mini.where(col("session_id") === 1L)
+      .select(keyC :+ col("session_start").as("graft_first_start"): _*)
+    val joined = mini
+      .join(last, keyCols, "left")
+      .join(firstStart, keyCols)
+      .withColumn("graft_merge",
+        col("graft_last").isNotNull &&
+          col("graft_first_start") - col("graft_last.session_end")
+            <= gapThreshold)
+    val offset = coalesce(col("graft_last.session_id"), lit(0L))
+      .cast("long") - when(col("graft_merge"), 1L).otherwise(0L)
+    val isMergedFirst = col("graft_merge") && col("session_id") === 1L
+    val outStart = when(isMergedFirst, col("graft_last.session_start"))
+      .otherwise(col("session_start"))
+    val outN = when(isMergedFirst,
+      col("graft_last.n_events") + col("n_events"))
+      .otherwise(col("n_events"))
+    val adjusted = joined.select(
+      keyC ++ Seq(
+        (col("session_id") + offset).as("session_id"),
+        outN.as("n_events"),
+        outStart.as("session_start"),
+        col("session_end"),
+        (col("session_end") - outStart).as("duration")): _*)
+    // an UNMERGED prior last session survives as-is; a merged one was
+    // replaced by the batch's first session above
+    val lastUnmerged = affected
+      .join(last, keyCols)
+      .join(firstStart, keyCols)
+      .where(col("session_id") === col("graft_last.session_id") &&
+        col("graft_first_start") - col("graft_last.session_end")
+          > gapThreshold)
+      .drop("graft_last", "graft_first_start")
+    untouched
+      .unionByName(closedAffected)
+      .unionByName(lastUnmerged)
+      .unionByName(adjusted)
+  }
 }

@@ -53,6 +53,84 @@ class EventOpsSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "applySessions" should {
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect()
+        .map(r => cols.indices.map(r.get).toList).toSet
+    }
+    def statsOf(e: org.apache.spark.sql.DataFrame, gap: Long) =
+      Sessionize.sessionStats(
+        Sessionize.sessionize(e, Seq("user"), "ts", gap,
+          tiebreakCols = Seq("eid")),
+        Seq("user"), "ts").drop("eid")
+
+    "equal the full rebuild: boundary merge, new session, new key" in {
+      val s = spark
+      import s.implicits._
+      val all = Seq(
+        // user 1: batch event at 150 lands within gap 30 of 130 -> MERGE
+        (1L, 100L, 1L), (1L, 130L, 2L), (1L, 150L, 3L), (1L, 400L, 4L),
+        // user 2: batch event far after -> new session
+        (2L, 10L, 5L), (2L, 300L, 6L),
+        // user 3: untouched by the batch
+        (3L, 50L, 7L),
+        // user 4: only in the batch
+        (4L, 200L, 8L), (4L, 260L, 9L))
+        .toDF("user", "ts", "eid")
+      val first = all.where(col("ts") <= 130)
+      val batch = all.where(col("ts") > 130)
+      val merged = Sessionize.applySessions(
+        statsOf(first, 30L), batch, Seq("user"), "ts",
+        gapThreshold = 30L, tiebreakCols = Seq("eid"))
+      rowsOf(merged) shouldBe rowsOf(statsOf(all, 30L))
+      // the merge actually happened: user 1 session 1 spans 100..150
+      merged.where(col("user") === 1L && col("session_id") === 1L)
+        .select("n_events", "session_start", "session_end").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq shouldBe Seq((3L, 100L, 150L))
+    }
+
+    "equal the full rebuild on a randomized stream at every split" in {
+      val s = spark
+      import s.implicits._
+      val rnd = new scala.util.Random(99)
+      val stream = (0 until 400).map { i =>
+        (rnd.nextInt(10).toLong, (rnd.nextInt(300) * 10).toLong, i.toLong)
+      }.distinct.toDF("user", "ts", "eid")
+        // strict-after contract: one event per (user, ts)
+        .groupBy("user", "ts").agg(min(col("eid")).as("eid"))
+      val full = rowsOf(statsOf(stream, 40L))
+      Seq(500L, 1500L, 2500L).foreach { cut =>
+        val merged = Sessionize.applySessions(
+          statsOf(stream.where(col("ts") <= cut), 40L),
+          stream.where(col("ts") > cut),
+          Seq("user"), "ts", gapThreshold = 40L,
+          tiebreakCols = Seq("eid"))
+        withClue(s"cut=$cut: ") { rowsOf(merged) shouldBe full }
+      }
+    }
+
+    "never window the parquet-staged session history" in {
+      val s = spark
+      import s.implicits._
+      val all = Seq((1L, 100L, 1L), (1L, 130L, 2L), (1L, 500L, 3L),
+        (2L, 10L, 4L), (2L, 700L, 5L)).toDF("user", "ts", "eid")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sess-inc").toString
+      statsOf(all.where(col("ts") <= 200), 30L)
+        .write.mode("overwrite").parquet(dir)
+      val merged = Sessionize.applySessions(
+        spark.read.parquet(dir), all.where(col("ts") > 200),
+        Seq("user"), "ts", gapThreshold = 30L, tiebreakCols = Seq("eid"))
+      merged.collect()
+      val plan = merged.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==").head
+      // exactly the batch's own sessionize window — history only joins
+      plan.linesIterator.count(_.trim.startsWith("Window")) should be <= 1
+    }
+  }
+
   "funnel" should {
     def evts = {
       val s = spark
