@@ -4890,6 +4890,55 @@ object SparkEntry {
       merged.unpersist(blocking = false)
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
+    }),
+
+    // q138: INCREMENTAL cohort retention — q129's persisted-state twin,
+    // and the simplest monoid of the incremental family: the activity
+    // state (distinct key×period rows) is a commutative distinct-union,
+    // so the two halves fold with NO ordering contract (the Jan-15 cut
+    // lands mid-week, so keys active the same week on both sides must
+    // dedup across the merge — the case a naive union would double-
+    // count). merge_ok pins merged state == full state row-for-row; the
+    // matrix census replays on the full stream in the oracle.
+    "q138_cohort_incremental" -> ((s, dir) => {
+      import graft.operators.EventAnalytics
+      val ev = eventsTable(s, dir)
+      val base = ev.select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
+      val cutUs = 1705276800000000L
+      val per = (_: Column) => expr("(ts_us div 86400000000) div 7")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q138").toString
+      EventAnalytics.activityState(
+          base.where(col("ts_us") <= cutUs), Seq("user_id"), "ts_us", per)
+        .write.mode("overwrite").parquet(tmp)
+      val merged = EventAnalytics.mergeActivity(
+        s.read.parquet(tmp),
+        EventAnalytics.activityState(
+          base.where(col("ts_us") > cutUs), Seq("user_id"), "ts_us", per))
+        .persist()
+      val full = EventAnalytics.activityState(base, Seq("user_id"),
+        "ts_us", per)
+      val mergeOk =
+        merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty
+      val matrix = EventAnalytics
+        .cohortRetentionFromState(merged, Seq("user_id"))
+      val g = matrix.agg(
+        count(lit(1)),
+        coalesce(sum(col("active_keys")), lit(0L)),
+        coalesce(sum(col("cohort") * col("active_keys")), lit(0L)),
+        coalesce(sum(col("offset") * col("active_keys")), lit(0L)),
+        coalesce(max(col("offset")), lit(0L))).collect().head
+      val stateRows = merged.count()
+      merged.unpersist(blocking = false)
+      metricRow(s, Seq(
+        "matrix_cells" -> g.getLong(0).toDouble,
+        "active_mass" -> g.getLong(1).toDouble,
+        "cohort_mass" -> g.getLong(2).toDouble,
+        "offset_mass" -> g.getLong(3).toDouble,
+        "max_offset" -> g.getLong(4).toDouble,
+        "state_rows" -> stateRows.toDouble,
+        "merge_ok" -> flag(mergeOk)))
     })
   )
 
@@ -9842,6 +9891,35 @@ object SparkEntry {
         |  sum(CASE WHEN ss > 1705276800000000 THEN 1 ELSE 0 END)::DOUBLE
         |    AS batch_opened,
         |  1.0::DOUBLE AS merge_ok
-        |FROM st""".stripMargin
+        |FROM st""".stripMargin,
+
+    // q138: the merged activity state is pinned to the full-stream state
+    // by merge_ok, so the oracle replays the q129 matrix and its masses
+    // from the full stream.
+    "q138_cohort_incremental" ->
+      """WITH base AS (
+        |  SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS p
+        |  FROM events
+        |), act AS (
+        |  SELECT DISTINCT user_id, p FROM base
+        |), coh AS (
+        |  SELECT user_id, min(p) AS cohort FROM act GROUP BY 1
+        |), m AS (
+        |  SELECT coh.cohort, act.p - coh.cohort AS off,
+        |    count(*) AS active_keys
+        |  FROM act JOIN coh ON act.user_id = coh.user_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM m)::DOUBLE AS matrix_cells,
+        |  (SELECT coalesce(sum(active_keys), 0) FROM m)::DOUBLE
+        |    AS active_mass,
+        |  (SELECT coalesce(sum(cohort * active_keys), 0) FROM m)::DOUBLE
+        |    AS cohort_mass,
+        |  (SELECT coalesce(sum(off * active_keys), 0) FROM m)::DOUBLE
+        |    AS offset_mass,
+        |  (SELECT coalesce(max(off), 0) FROM m)::DOUBLE AS max_offset,
+        |  (SELECT count(*) FROM act)::DOUBLE AS state_rows,
+        |  1.0::DOUBLE AS merge_ok""".stripMargin
   )
 }

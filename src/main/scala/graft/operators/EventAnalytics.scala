@@ -73,16 +73,49 @@ object EventAnalytics {
       events: DataFrame,
       keyCols: Seq[String],
       tsCol: String,
+      period: Column => Column): DataFrame =
+    cohortRetentionFromState(
+      activityState(events, keyCols, tsCol, period), keyCols)
+
+  /** The compact, MERGEABLE state behind [[cohortRetention]]: distinct
+    * (key..., period) activity rows — bounded by keys × active periods,
+    * the natural compaction of an unbounded event log. A true
+    * commutative monoid under [[mergeActivity]] (distinct union), so
+    * daily batches fold into a persisted state in any order, with no
+    * ordering contract at all (late-arriving events included) — unlike
+    * the SCD2/sessionization increments, whose last-version/last-session
+    * seams need batch timestamps after history.
+    */
+  def activityState(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
       period: Column => Column): DataFrame = {
-    require(keyCols.nonEmpty, "cohortRetention needs a key column")
-    val keys = keyCols.map(col)
-    val cohorts = events.groupBy(keys: _*)
-      .agg(min(period(col(tsCol))).as("cohort"))
-    val activity = events
-      .select(keys :+ period(col(tsCol)).as("graft_p"): _*)
+    require(keyCols.nonEmpty, "activityState needs a key column")
+    require(!keyCols.contains("period"),
+      "'period' is the state's bucketing column; rename the key")
+    events
+      .select(keyCols.map(col) :+ period(col(tsCol)).as("period"): _*)
       .distinct()
-    activity.join(cohorts, keyCols)
-      .groupBy(col("cohort"), (col("graft_p") - col("cohort")).as("offset"))
+  }
+
+  /** Fold states (or a state and a new batch's state) together. */
+  def mergeActivity(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).dropDuplicates(a.columns.toSeq)
+
+  /** The retention matrix from a (possibly merged, possibly reloaded)
+    * activity state: cohort = each key's earliest period, then distinct
+    * keys active at each (cohort, offset). Two slim aggregations;
+    * output is periods² rows, catalog-sized by construction.
+    */
+  def cohortRetentionFromState(
+      state: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    val cohorts = state.groupBy(keys: _*)
+      .agg(min(col("period")).as("cohort"))
+    state.join(cohorts, keyCols)
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("offset"))
       .agg(count(lit(1)).as("active_keys"))
   }
 }

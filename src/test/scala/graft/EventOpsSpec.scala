@@ -170,6 +170,32 @@ class EventOpsSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "activityState / mergeActivity" should {
+    "fold batches in ANY order into the full-stream retention matrix" in {
+      val s = spark
+      import s.implicits._
+      val all = Seq(
+        (1L, 5L), (1L, 12L), (1L, 13L), (2L, 12L), (2L, 25L), (3L, 30L))
+        .toDF("user", "ts")
+      val per = (_: org.apache.spark.sql.Column) => expr("ts div 10")
+      def st(df: org.apache.spark.sql.DataFrame) =
+        EventAnalytics.activityState(df, Seq("user"), "ts", per)
+      val full = st(all)
+      // split mid-period (user 1 active in period 1 on BOTH sides: the
+      // distinct union must not double-count) and fold LATE batch FIRST
+      // (no ordering contract — commutative monoid)
+      val merged = EventAnalytics.mergeActivity(
+        st(all.where(col("ts") > 12)), st(all.where(col("ts") <= 12)))
+      merged.exceptAll(full).count() shouldBe 0L
+      full.exceptAll(merged).count() shouldBe 0L
+      val m = EventAnalytics.cohortRetentionFromState(merged, Seq("user"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      m shouldBe Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (1L, 0L) -> 1L,
+        (1L, 1L) -> 1L, (3L, 0L) -> 1L)
+    }
+  }
+
   "cohortRetention" should {
     "bucket keys by first period and count activity offsets" in {
       val s = spark
