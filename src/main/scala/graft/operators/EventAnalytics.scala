@@ -21,6 +21,15 @@ object EventAnalytics {
     * per-key sort of the raw timeline; the earliest-after-t recurrence
     * is exactly the textbook funnel semantics and is replayable in ANSI
     * SQL.
+    *
+    * DELIBERATELY batch-only: unlike the SCD2/session/cohort states,
+    * the per-key (t0..tn) vector is NOT a foldable state — a batch
+    * event matching an EARLIER step can re-qualify history events the
+    * previous run discarded (a first signup arriving today makes last
+    * month's views eligible as step 1), so an exact increment needs the
+    * event log, not the funnel output. Incremental funnels therefore
+    * recompute over the retained window; an approximate forward-only
+    * variant would silently under-count re-qualified keys.
     */
   def funnel(
       events: DataFrame,
