@@ -82,12 +82,24 @@ object Curation {
     * `censuses`: ordered (stage_name, value) rows — doc counts per
     * stage plus stage-specific extras (boilerplate removed lines).
     */
-  final case class Result(
-      docs: DataFrame,
-      censuses: Seq[(String, Double)],
-      private[pipeline] val caches: Seq[DataFrame]) {
-    def release(): Unit =
+  /** `censuses` resolves LAZILY from named observations riding the
+    * stage frames (the q96 action-fusion discipline: a census never
+    * adds a job — it fires inside whatever job first materializes its
+    * stage). Read it AFTER consuming `docs` (or any full action over
+    * the result); reading earlier blocks until the pipeline's frames
+    * have materialized once.
+    */
+  final class Result private[Curation] (
+      val docs: DataFrame,
+      names: Seq[String],
+      resolve: String => Double,
+      caches: Seq[DataFrame],
+      releasers: Seq[() => Unit]) {
+    lazy val censuses: Seq[(String, Double)] = names.map(n => n -> resolve(n))
+    def release(): Unit = {
       caches.foreach(_.unpersist(blocking = false))
+      releasers.foreach(_())
+    }
   }
 
   def pipeline(
@@ -97,16 +109,28 @@ object Curation {
       stages: Seq[Stage]): Result = {
     require(stages.nonEmpty, "pipeline needs at least one stage")
     val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val census = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val releasers = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    val thunks = scala.collection.mutable.Map.empty[String, () => Double]
+    def observed(name: String, df: DataFrame, metric: org.apache.spark.sql.Column): DataFrame = {
+      val obs = org.apache.spark.sql.Observation()
+      names += name
+      thunks(name) = () => obs.get("v") match {
+        case l: java.lang.Long => l.toDouble
+        case d: java.lang.Double => d
+        case x => x.toString.toDouble
+      }
+      df.observe(obs, metric.as("v"))
+    }
 
     // ONE persisted full-text copy at a time: expensive text-producing
     // stages (input scan, boilerplate rebuild) persist; cheap
     // projections (MapText, survivor joins) stay lazy over that cache —
     // a second full-text persist was measured as the builder's own
     // spill chain (the same finding that slimmed q96 in r14)
-    var frame = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    var frame = observed("input_docs", docs, count(lit(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     caches += frame
-    census += ("input_docs" -> frame.count().toDouble)
 
     // shared (doc, term, tf) per text epoch, persisted once; survivor
     // sets restrict it LAZILY (semi-joins of two caches) — each
@@ -124,24 +148,22 @@ object Curation {
         t.join(ids, Seq(idCol), "left_semi"))
     }
     def applySurvivors(name: String, ids: DataFrame): Unit = {
-      val kept = ids.persist(StorageLevel.MEMORY_AND_DISK)
+      val kept = observed(name, ids, count(lit(1)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       caches += kept
-      census += (name -> kept.count().toDouble)
       frame = frame.join(kept, Seq(idCol))
       if (tfBase != null) tfFilters = kept :: tfFilters
     }
 
     stages.foreach {
       case RemoveBoilerplate(groupCol, maxDocFrac, minDocs) =>
-        val cleaned = TextAnalysis.removeBoilerplateLines(
-            frame, idCol, textCol, groupCol, maxDocFrac, minDocs)
+        val cleaned = observed("boiler_removed_lines",
+            TextAnalysis.removeBoilerplateLines(
+              frame, idCol, textCol, groupCol, maxDocFrac, minDocs),
+            coalesce(sum(col("removed_lines")), lit(0L)))
           .persist(StorageLevel.MEMORY_AND_DISK)
         caches += cleaned
         tfBase = null
-        val g = cleaned.agg(count(lit(1)),
-          coalesce(sum(col("removed_lines")), lit(0L))).collect().head
-        census += ("boiler_docs" -> g.getLong(0).toDouble)
-        census += ("boiler_removed_lines" -> g.getLong(1).toDouble)
         frame = cleaned.drop("removed_lines")
 
       case MapText(_, expr) =>
@@ -165,7 +187,10 @@ object Curation {
           .where(col("predicted") === keepLabel)
           .select(col(idCol))
         applySurvivors("quality_kept", keptIds)
-        model.release()
+        // the scoring job runs lazily inside a LATER stage's (or the
+        // caller's) materialization — the model's broadcast state must
+        // outlive this stage, so it releases with the Result
+        releasers += (() => model.release())
 
       case PerplexityKeep(groupCol, nBuckets, keepMax) =>
         val keptIds = TextAnalysis
@@ -187,6 +212,7 @@ object Curation {
           frame.where(predicate).select(col(idCol)))
     }
 
-    Result(frame, census.toSeq, caches.toSeq)
+    new Result(frame, names.toSeq, n => thunks(n)(), caches.toSeq,
+      releasers.toSeq)
   }
 }
