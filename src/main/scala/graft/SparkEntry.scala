@@ -4939,6 +4939,43 @@ object SparkEntry {
         "max_offset" -> g.getLong(4).toDouble,
         "state_rows" -> stateRows.toDouble,
         "merge_ok" -> flag(mergeOk)))
+    }),
+
+    // q139: INCREMENTAL key-skew census — q121's persisted-state twin:
+    // the per-key count table is a commutative monoid under per-key sum,
+    // so the census over an unbounded ingest stream folds daily batches
+    // into a parquet state with no ordering contract (the q138
+    // convention on the relational side). Same injected-null key stream
+    // as q121, split mid-history by order date; merge_ok pins merged
+    // state == full state row-for-row, and the census replays q121's
+    // exact integer/ratio formulas on the full stream.
+    "q139_skew_census_incremental" -> ((s, dir) => {
+      import graft.operators.SkewCensus
+      val orders = table(s, dir, "orders")
+      val keyed = orders.select(
+        when(pmod(col("o_orderkey"), lit(97)) === 0,
+          lit(null).cast(LongType))
+          .otherwise(col("o_custkey")).as("k"),
+        col("o_orderdate"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q139").toString
+      SkewCensus.keyCountState(
+          keyed.where(col("o_orderdate") <= lit("1995-01-01"))
+            .select("k"), "k")
+        .write.mode("overwrite").parquet(tmp)
+      val merged = SkewCensus.mergeKeyCounts(
+        s.read.parquet(tmp),
+        SkewCensus.keyCountState(
+          keyed.where(col("o_orderdate") > lit("1995-01-01"))
+            .select("k"), "k"))
+        .persist()
+      val full = SkewCensus.keyCountState(keyed.select("k"), "k")
+      val mergeOk =
+        merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty
+      val out = SkewCensus.censusFromState(merged)
+        .withColumn("merge_ok", lit(if (mergeOk) 1.0 else 0.0))
+      merged.unpersist(blocking = false)
+      out
     })
   )
 
@@ -9920,6 +9957,58 @@ object SparkEntry {
         |    AS offset_mass,
         |  (SELECT coalesce(max(off), 0) FROM m)::DOUBLE AS max_offset,
         |  (SELECT count(*) FROM act)::DOUBLE AS state_rows,
-        |  1.0::DOUBLE AS merge_ok""".stripMargin
+        |  1.0::DOUBLE AS merge_ok""".stripMargin,
+
+    // q139: merged state == full state is pinned engine-side (merge_ok),
+    // so the oracle replays q121's census on the full stream — identical
+    // CTEs and op order — plus the flag.
+    "q139_skew_census_incremental" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |              ELSE o_custkey END AS k
+        |  FROM orders
+        |), counts AS (
+        |  SELECT k, count(*) AS cnt FROM base GROUP BY k
+        |), hist AS (
+        |  SELECT cnt, count(*) AS keys,
+        |    sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS nullkeys
+        |  FROM counts GROUP BY cnt
+        |), h AS (
+        |  SELECT *,
+        |    sum(keys) OVER (ORDER BY cnt) AS ckeys,
+        |    sum(keys) OVER (ORDER BY cnt) - keys AS pkeys,
+        |    sum(keys) OVER (ORDER BY cnt DESC) AS tkeys
+        |  FROM hist
+        |), tot AS (
+        |  SELECT coalesce(sum(cnt * keys), 0) AS n_rows,
+        |    coalesce(sum(keys), 0) AS n_keys,
+        |    coalesce(sum(cnt * nullkeys), 0) AS null_rows,
+        |    coalesce(max(cnt), 0) AS max_cnt,
+        |    coalesce(sum(cnt * keys * (2 * pkeys + keys + 1) // 2), 0)
+        |      AS s2
+        |  FROM h
+        |), top10 AS (
+        |  SELECT coalesce(sum(cnt *
+        |    least(keys, greatest(0, 10 - (tkeys - keys)))), 0) AS mass
+        |  FROM h
+        |)
+        |SELECT
+        |  n_rows::DOUBLE AS n_rows,
+        |  n_keys::DOUBLE AS n_keys,
+        |  null_rows::DOUBLE AS null_key_rows,
+        |  max_cnt::DOUBLE AS max_cnt,
+        |  (SELECT min(cnt) FROM h WHERE ckeys >= ceil(0.5 * tot.n_keys))
+        |    ::DOUBLE AS p50_cnt,
+        |  (SELECT min(cnt) FROM h WHERE ckeys >= ceil(0.9 * tot.n_keys))
+        |    ::DOUBLE AS p90_cnt,
+        |  (SELECT min(cnt) FROM h WHERE ckeys >= ceil(0.99 * tot.n_keys))
+        |    ::DOUBLE AS p99_cnt,
+        |  round(max_cnt::DOUBLE / n_rows::DOUBLE, 6) AS top1_share_r,
+        |  round((SELECT mass FROM top10)::DOUBLE / n_rows::DOUBLE, 6)
+        |    AS top10_share_r,
+        |  round(2.0 * s2::DOUBLE / (n_keys::DOUBLE * n_rows::DOUBLE)
+        |    - (n_keys + 1)::DOUBLE / n_keys::DOUBLE, 6) AS gini_r,
+        |  1.0::DOUBLE AS merge_ok
+        |FROM tot""".stripMargin
   )
 }

@@ -39,10 +39,31 @@ object SkewCensus {
     * `pXX_cnt` is the smallest per-key count c such that at least
     * ceil(q * n_keys) keys have count <= c (disc quantile, lower).
     */
-  def skewCensus(df: DataFrame, keyCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val counts = df.groupBy(col(keyCol).as("graft_key"))
-      .agg(count(lit(1)).as("graft_cnt"))
+  def skewCensus(df: DataFrame, keyCol: String): DataFrame =
+    censusFromState(keyCountState(df, keyCol))
+
+  /** The compact, MERGEABLE state behind [[skewCensus]]: per-key row
+    * counts (`key`, `cnt`) — bounded by the key cardinality, a true
+    * commutative monoid under [[mergeKeyCounts]] (per-key sum), so a
+    * census over an unbounded ingest stream folds daily batches into a
+    * persisted table with no ordering contract and no history rescan.
+    */
+  def keyCountState(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Fold states (or a state and a new batch's state) together. */
+  def mergeKeyCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("key"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** The one-row census from a (possibly merged, possibly reloaded)
+    * key-count state.
+    */
+  def censusFromState(state: DataFrame): DataFrame = {
+    val spark = state.sparkSession
+    val counts = state
+      .select(col("key").as("graft_key"), col("cnt").as("graft_cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val hist = counts.groupBy(col("graft_cnt"))

@@ -58,5 +58,29 @@ class SkewCensusSpec extends AnyWordSpec with Matchers with SparkSpec {
       out("n_keys") shouldBe 0.0
       out("gini_r") shouldBe 0.0
     }
+
+    "fold batches in any order through the key-count state" in {
+      import graft.operators.SkewCensus
+      val s = spark
+      import s.implicits._
+      val all = (Seq.fill(6)(Option(1L)) ++ Seq.fill(3)(Option(2L)) ++
+        Seq(Option(3L)) ++ Seq.fill(2)(Option.empty[Long]))
+        .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "i")
+      def st(df: org.apache.spark.sql.DataFrame) =
+        SkewCensus.keyCountState(df.select("k"), "k")
+      val full = st(all)
+      // late batch folds FIRST (commutative monoid); keys (incl. the
+      // NULL key) split across both batches must sum, not duplicate
+      val merged = SkewCensus.mergeKeyCounts(
+        st(all.where(col("i") >= 6)), st(all.where(col("i") < 6)))
+      merged.exceptAll(full).count() shouldBe 0L
+      full.exceptAll(merged).count() shouldBe 0L
+      val c = SkewCensus.censusFromState(merged).collect().head
+      c.getAs[Double]("n_rows") shouldBe 12.0
+      c.getAs[Double]("n_keys") shouldBe 4.0
+      c.getAs[Double]("null_key_rows") shouldBe 2.0
+      c.getAs[Double]("max_cnt") shouldBe 6.0
+    }
   }
 }
