@@ -5023,6 +5023,45 @@ object SparkEntry {
             .cast(DoubleType) / col("graft_exact") <= 0.01, 1.0)
             .otherwise(0.0).as("merge_close"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // q141: deterministic CONSISTENT sampling state — per source, the 8
+    // documents with the smallest (md5-prefix hash, id) rank (the
+    // mixture family's replayable hash), built as two half-samples
+    // (doc parity) staged through parquet and folded — bottom-k by a
+    // fixed hash is a commutative min-k monoid, so the merged sample
+    // equals the full build's ROW FOR ROW (merge_ok), and the oracle
+    // replays every (source, doc_id, sample_hash, rank) row exactly.
+    "q141_consistent_sample" -> ((s, dir) => {
+      import graft.pipeline.Sampling
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val k = 8
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q141").toString
+      Sampling.bottomKSample(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0), Seq("source"),
+          "doc_id", k)
+        .write.mode("overwrite").parquet(tmp)
+      val merged = Sampling.mergeSamples(
+        s.read.parquet(tmp),
+        Sampling.bottomKSample(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1), Seq("source"),
+          "doc_id", k),
+        Seq("source"), "doc_id", k).persist()
+      val full = Sampling.bottomKSample(docs, Seq("source"), "doc_id", k)
+      val cols = merged.columns.sorted.map(col).toSeq
+      val mergeOk =
+        merged.select(cols: _*).exceptAll(full.select(cols: _*)).isEmpty &&
+        full.select(cols: _*).exceptAll(merged.select(cols: _*)).isEmpty
+      val out = merged
+        .withColumn("merge_ok", lit(if (mergeOk) 1.0 else 0.0))
+        .withColumn("doc_id", col("doc_id").cast(DoubleType))
+        .withColumn("rank", col("rank").cast(DoubleType))
+        .orderBy(col("source"), col("rank"))
+      val materialized = out.collect()
+      merged.unpersist(blocking = false)
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
     })
   )
 
@@ -10065,6 +10104,21 @@ object SparkEntry {
         |  count(DISTINCT o_custkey)::DOUBLE AS exact_distinct,
         |  1.0::DOUBLE AS est_ok,
         |  1.0::DOUBLE AS merge_close
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q141: the sample replayed row-for-row — the same md5-prefix rank
+    // and (hash, id) ordering; merge_ok is the engine-side monoid pin.
+    "q141_consistent_sample" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |    substring(md5('graft:' || doc_id::VARCHAR), 1, 8) AS sample_hash,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substring(md5('graft:' || doc_id::VARCHAR), 1, 8),
+        |        doc_id) AS rank
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |)
+        |SELECT source, doc_id::DOUBLE AS doc_id, sample_hash,
+        |  rank::DOUBLE AS rank, 1.0::DOUBLE AS merge_ok
+        |FROM ranked WHERE rank <= 8""".stripMargin
   )
 }
