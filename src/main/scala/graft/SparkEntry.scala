@@ -5062,6 +5062,65 @@ object SparkEntry {
       merged.unpersist(blocking = false)
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
+    }),
+
+    // q142: theta-sketch snapshot overlap — per source, how many
+    // distinct TEXTS two crawl snapshots (doc_id%3!=0 vs doc_id%2==0)
+    // share, and how many are A-only, WITHOUT joining the corpora: the
+    // A-side state staged through parquet, the B side sketched fresh,
+    // all five set estimates from KB of sketch per source. Exact
+    // distinct-set values replay in DuckDB; the sketch estimates ride
+    // tolerance flags (5% for the direct sets, 10% for the compounded
+    // intersection/difference — theta is exact below 2^12 distincts, so
+    // the flags are equalities at the small SFs).
+    "q142_theta_overlap" -> ((s, dir) => {
+      import graft.sketch.Theta
+      val docs = table(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      val a = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val b = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q142").toString
+      Theta.writeState(
+        Theta.thetaState(a, Seq("source"), Seq("text")), tmp)
+      val ov = Theta.overlap(
+        Theta.readState(s, tmp),
+        Theta.thetaState(b, Seq("source"), Seq("text")))
+      val ta = a.select(col("source"), col("text")).distinct().persist()
+      val tb = b.select(col("source"), col("text")).distinct().persist()
+      val exA = ta.groupBy(col("source")).agg(count(lit(1)).as("x_a"))
+      val exB = tb.groupBy(col("source")).agg(count(lit(1)).as("x_b"))
+      val exU = ta.unionByName(tb).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("x_u"))
+      val exI = ta.join(tb, Seq("source", "text"), "left_semi")
+        .groupBy(col("source")).agg(count(lit(1)).as("x_i"))
+      val exD = ta.join(tb, Seq("source", "text"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("x_d"))
+      def okFlag(est: String, exact: String, tol: Double) =
+        when(abs(col(est) - col(exact)).cast(DoubleType) /
+          greatest(col(exact), lit(1L)).cast(DoubleType) <= tol, 1.0)
+          .otherwise(0.0)
+      val out = ov.join(exA, Seq("source")).join(exB, Seq("source"))
+        .join(exU, Seq("source"))
+        .join(exI, Seq("source"), "left").join(exD, Seq("source"), "left")
+        .na.fill(0L, Seq("x_i", "x_d"))
+        .select(col("source"),
+          col("x_a").cast(DoubleType).as("exact_a"),
+          col("x_b").cast(DoubleType).as("exact_b"),
+          col("x_u").cast(DoubleType).as("exact_union"),
+          col("x_i").cast(DoubleType).as("exact_intersect"),
+          col("x_d").cast(DoubleType).as("exact_a_not_b"),
+          okFlag("est_a", "x_a", 0.05).as("a_ok"),
+          okFlag("est_b", "x_b", 0.05).as("b_ok"),
+          okFlag("est_union", "x_u", 0.05).as("union_ok"),
+          okFlag("est_intersect", "x_i", 0.10).as("intersect_ok"),
+          okFlag("est_a_not_b", "x_d", 0.10).as("diff_ok"))
+        .orderBy(col("source"))
+      val materialized = out.collect()
+      ta.unpersist(blocking = false)
+      tb.unpersist(blocking = false)
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
     })
   )
 
@@ -10105,6 +10164,43 @@ object SparkEntry {
         |  1.0::DOUBLE AS est_ok,
         |  1.0::DOUBLE AS merge_close
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q142: exact per-source distinct-text set algebra; the sketch
+    // estimates are Spark-side tolerance flags, asserted true.
+    "q142_theta_overlap" ->
+      """WITH d AS (
+        |  SELECT source, text, doc_id FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), ta AS (
+        |  SELECT DISTINCT source, text FROM d WHERE doc_id % 3 <> 0
+        |), tb AS (
+        |  SELECT DISTINCT source, text FROM d WHERE doc_id % 2 = 0
+        |)
+        |SELECT ta_g.source,
+        |  ta_g.n::DOUBLE AS exact_a,
+        |  tb_g.n::DOUBLE AS exact_b,
+        |  u_g.n::DOUBLE AS exact_union,
+        |  coalesce(i_g.n, 0)::DOUBLE AS exact_intersect,
+        |  coalesce(d_g.n, 0)::DOUBLE AS exact_a_not_b,
+        |  1.0::DOUBLE AS a_ok, 1.0::DOUBLE AS b_ok,
+        |  1.0::DOUBLE AS union_ok, 1.0::DOUBLE AS intersect_ok,
+        |  1.0::DOUBLE AS diff_ok
+        |FROM (SELECT source, count(*) AS n FROM ta GROUP BY 1) ta_g
+        |JOIN (SELECT source, count(*) AS n FROM tb GROUP BY 1) tb_g
+        |  USING (source)
+        |JOIN (SELECT source, count(*) AS n FROM
+        |        (SELECT source, text FROM ta UNION
+        |         SELECT source, text FROM tb) GROUP BY 1) u_g
+        |  USING (source)
+        |LEFT JOIN (SELECT source, count(*) AS n FROM
+        |        (SELECT source, text FROM ta INTERSECT
+        |         SELECT source, text FROM tb) GROUP BY 1) i_g
+        |  USING (source)
+        |LEFT JOIN (SELECT source, count(*) AS n FROM
+        |        (SELECT source, text FROM ta EXCEPT
+        |         SELECT source, text FROM tb) GROUP BY 1) d_g
+        |  USING (source)
+        |ORDER BY ta_g.source""".stripMargin,
 
     // q141: the sample replayed row-for-row — the same md5-prefix rank
     // and (hash, id) ordering; merge_ok is the engine-side monoid pin.
