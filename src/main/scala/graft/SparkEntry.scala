@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{abs, array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, element_at, explode, expr, floor, pmod, length, lit, max, md5, min, regexp_replace, round, split, struct, sum, sum_distinct, transform, unix_micros, when}
+import org.apache.spark.sql.functions.{abs, array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, element_at, explode, expr, floor, greatest, pmod, length, lit, max, md5, min, regexp_replace, round, split, struct, sum, sum_distinct, transform, unix_micros, when}
 import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
