@@ -3064,6 +3064,7 @@ object SparkEntry {
       // persist→read→merge→derive chain, not just the in-memory monoid
       val stateDir =
         java.nio.file.Files.createTempDirectory("graft_nbstate").toString
+      try {
       Classify.writeCountState(
         Classify.countState(halfA, "doc_id", "text", "label"),
         s"$stateDir/day1")
@@ -3091,6 +3092,7 @@ object SparkEntry {
       val materialized = out.collect()
       model.release()
       s.createDataFrame(java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(stateDir)
     }),
 
     // SentencePiece-style unigram tokenizer (Viterbi apply; Kudo 2018)
@@ -3707,6 +3709,7 @@ object SparkEntry {
       val valid = emb.where(col("embedding").isNotNull)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q107").toString
+      try {
       Clustering.writeCellState(
         Clustering.cellState(
           valid.where(pmod(col("vec_id"), lit(2)) === 0), "embedding", init),
@@ -3748,6 +3751,7 @@ object SparkEntry {
           if (mergeOk) 1.0 else 0.0)
       }.toDF("cell", "n_docs", "sum_all_r", "sum_sq_r", "c_norm2_r",
         "merge_ok")
+      } finally rmTree(tmp)
     }),
 
     // q108: DoReMi-style domain reweighting (Xie et al. 2023, simplified
@@ -4591,6 +4595,7 @@ object SparkEntry {
       val cutUs = 1705276800000000L // 2024-01-15 00:00:00 UTC
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q132").toString
+      try {
       Scd.scdType2(changes.where(col("ts_us") <= cutUs), Seq("user_id"),
           "ts_us", Seq("event_type"), tiebreakCols = Seq("event_id"))
         .write.mode("overwrite").parquet(tmp)
@@ -4624,6 +4629,7 @@ object SparkEntry {
       merged.unpersist(blocking = false)
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
     }),
 
     // q133: INCREMENTAL fuzzy paragraph dedup — q104's packed-id space
@@ -4862,6 +4868,7 @@ object SparkEntry {
         Seq("user_id"), "ts_us")
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q137").toString
+      try {
       statsOf(changes.where(col("ts_us") <= cutUs))
         .write.mode("overwrite").parquet(tmp)
       val merged = Sessionize.applySessions(s.read.parquet(tmp),
@@ -4890,6 +4897,7 @@ object SparkEntry {
       merged.unpersist(blocking = false)
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
     }),
 
     // q138: INCREMENTAL cohort retention — q129's persisted-state twin,
@@ -4909,6 +4917,7 @@ object SparkEntry {
       val per = (_: Column) => expr("(ts_us div 86400000000) div 7")
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q138").toString
+      try {
       EventAnalytics.activityState(
           base.where(col("ts_us") <= cutUs), Seq("user_id"), "ts_us", per)
         .write.mode("overwrite").parquet(tmp)
@@ -4939,6 +4948,7 @@ object SparkEntry {
         "max_offset" -> g.getLong(4).toDouble,
         "state_rows" -> stateRows.toDouble,
         "merge_ok" -> flag(mergeOk)))
+      } finally rmTree(tmp)
     }),
 
     // q139: INCREMENTAL key-skew census — q121's persisted-state twin:
@@ -4959,6 +4969,7 @@ object SparkEntry {
         col("o_orderdate"))
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q139").toString
+      try {
       SkewCensus.keyCountState(
           keyed.where(col("o_orderdate") <= lit("1995-01-01"))
             .select("k"), "k")
@@ -4974,8 +4985,13 @@ object SparkEntry {
         merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty
       val out = SkewCensus.censusFromState(merged)
         .withColumn("merge_ok", lit(if (mergeOk) 1.0 else 0.0))
+      // materialize BEFORE the state dir is deleted — the census frame
+      // reads the parquet state lazily through `merged`
+      val materialized = out.collect()
       merged.unpersist(blocking = false)
-      out
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
     }),
 
     // q140: per-group approximate-distinct state (HLL) — the third
@@ -4996,6 +5012,7 @@ object SparkEntry {
       val orders = table(s, dir, "orders")
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q140").toString
+      try {
       HllState.writeState(
         HllState.distinctState(
           orders.where(col("o_orderdate") <= lit("1995-01-01")),
@@ -5011,7 +5028,8 @@ object SparkEntry {
         orders, Seq("o_orderpriority"), Seq("o_custkey")))
       val exact = orders.groupBy(col("o_orderpriority"))
         .agg(countDistinct(col("o_custkey")).as("graft_exact"))
-      est.join(fullEst.withColumnRenamed("distinct_est", "graft_full"),
+      val out = est
+        .join(fullEst.withColumnRenamed("distinct_est", "graft_full"),
           Seq("o_orderpriority"))
         .join(exact, Seq("o_orderpriority"))
         .select(col("o_orderpriority"),
@@ -5023,6 +5041,12 @@ object SparkEntry {
             .cast(DoubleType) / col("graft_exact") <= 0.01, 1.0)
             .otherwise(0.0).as("merge_close"))
         .orderBy(col("o_orderpriority"))
+      // materialize BEFORE the state dir is deleted — `est` reads the
+      // parquet state lazily through readState
+      val materialized = out.collect()
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
     }),
 
     // q141: deterministic CONSISTENT sampling state — per source, the 8
@@ -5038,6 +5062,7 @@ object SparkEntry {
       val k = 8
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q141").toString
+      try {
       Sampling.bottomKSample(
           docs.where(pmod(col("doc_id"), lit(2)) === 0), Seq("source"),
           "doc_id", k)
@@ -5062,6 +5087,7 @@ object SparkEntry {
       merged.unpersist(blocking = false)
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
     }),
 
     // q142: theta-sketch snapshot overlap — per source, how many
@@ -5081,6 +5107,7 @@ object SparkEntry {
       val b = docs.where(pmod(col("doc_id"), lit(2)) === 0)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q142").toString
+      try {
       Theta.writeState(
         Theta.thetaState(a, Seq("source"), Seq("text")), tmp)
       val ov = Theta.overlap(
@@ -5121,6 +5148,7 @@ object SparkEntry {
       tb.unpersist(blocking = false)
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
     })
   )
 

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.{coalesce, col, count, greatest, lit, sum, udaf, xxhash64}
+import org.apache.spark.sql.functions.{coalesce, col, count, greatest, lit, max, sum, udaf, xxhash64}
 
 /** Scale-safe per-bucket cap enforcement — the de-windowed replacement
   * for `row_number().over(partitionBy(bucket).orderBy(xxhash64(id), id))
@@ -143,19 +143,48 @@ object Capping {
 
   /** Keep at most `cap` rows per bucket — all of `df`'s columns survive
     * untouched; rows of an oversized bucket beyond its threshold are
-    * dropped. `df` is consumed TWICE in the returned plan (threshold
-    * aggregation + the filter join): persist it first when its lineage
-    * is expensive, and persist the result when it is consumed more than
-    * once (the observation fires on first materialization).
+    * dropped. `df` is consumed ONCE EAGERLY at call time (the phase-0
+    * oversized-bucket probe runs a Spark job) and, only when some bucket
+    * binds, TWICE more in the returned plan (threshold aggregation + the
+    * filter join): persist it first — every in-repo call site does — and
+    * persist the result when it is consumed more than once (the
+    * observation fires on first materialization).
+    *
+    * Rows with a NULL `idCol` are dropped outright: xxhash64 skips null
+    * inputs, so every null-id row would tie on BOTH hashes and a bucket
+    * with more than `cap` of them would pass the threshold filter
+    * uncapped — reopening the quadratic self-join blowup the cap exists
+    * to prevent. All in-repo call sites feed a synthesized non-null id.
     */
   def capBuckets(
-      df: DataFrame,
+      dfIn: DataFrame,
       bucketCols: Seq[String],
       idCol: String,
       cap: Int,
       observationName: String): DataFrame = {
+    val df = dfIn.where(col(idCol).isNotNull)
     val h1 = xxhash64(col(idCol))
     val h2 = xxhash64(col(idCol), lit(TieSalt))
+    // Phase 0 — an EAGER probe: one slim count aggregate decides whether
+    // ANY bucket exceeds the cap. The common case for a healthy
+    // parameterization is "none" — then the threshold aggregate and both
+    // filter joins vanish from the returned plan and the cap costs one
+    // hash-count pass over the (caller-persisted) input instead of
+    // three. The observation contract survives: excluded_rows is
+    // provably 0 and banded_rows re-counts on materialization. When some
+    // bucket DOES bind, the probe pass is re-paid once inside the lazy
+    // plan below — a slim codegen count against the cached input,
+    // marginal next to the heap aggregate + joins it gates.
+    val anyOversized = !df
+      .groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("graft_cnt"))
+      .where(col("graft_cnt") > cap)
+      .isEmpty
+    if (!anyOversized) {
+      return df.observe(observationName,
+        coalesce(max(lit(0L)), lit(0L)).as("excluded_rows"),
+        coalesce(sum(lit(1L)), lit(0L)).as("banded_rows"))
+    }
     // Phase 1 — bucket sizes via a plain codegen count aggregate (slim
     // longs, map-side combinable at any key cardinality). Running the
     // HEAP aggregate over every bucket instead was measured 3-5x slower

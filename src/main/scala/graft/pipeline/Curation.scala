@@ -112,7 +112,15 @@ object Curation {
     val releasers = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     val thunks = scala.collection.mutable.Map.empty[String, () => Double]
-    def observed(name: String, df: DataFrame, metric: org.apache.spark.sql.Column): DataFrame = {
+    def observed(nameIn: String, df: DataFrame, metric: org.apache.spark.sql.Column): DataFrame = {
+      // Census names are per-stage-TYPE; two stages of the same type (or
+      // two KeepWhere stages sharing a name) must not overwrite each
+      // other's thunk — uniquify repeats with an occurrence suffix so
+      // `censuses` reports every stage once, in order.
+      val name =
+        if (!thunks.contains(nameIn)) nameIn
+        else Iterator.from(2).map(i => s"${nameIn}_$i")
+          .find(!thunks.contains(_)).get
       val obs = org.apache.spark.sql.Observation()
       names += name
       thunks(name) = () => obs.get("v") match {

@@ -145,6 +145,10 @@ object Sampling {
     val aggFn =
       udaf(new BottomKAggregator(k), ExpressionEncoder[(String, Long)]())
     ranked
+      // Null ids rank null and are never sampled; the input encoder's
+      // Long field is non-nullable, so they must be dropped BEFORE the
+      // aggregate (a null graft_sid would fail AssertNotNull, not skip).
+      .filter(col("graft_sid").isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(aggFn(col("graft_sh"), col("graft_sid")).as("graft_sample"))
       .select(groupCols.map(col) :+

@@ -94,6 +94,51 @@ class CappingSpec extends AnyWordSpec with Matchers with SparkSpec {
         "graft_test_cap_3").count() shouldBe 100L
     }
 
+    "skip the threshold phase entirely when no bucket exceeds the cap" in {
+      val s = spark
+      import s.implicits._
+      val df = (0 until 30).map(i => (s"b${i % 10}", i.toLong)).toDF("bucket", "id")
+      val observed = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.Row]
+      val listener = new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          observed.synchronized { observed ++= qe.observedMetrics }
+        override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        val capped = Capping.capBuckets(df, Seq("bucket"), "id", 5,
+          "graft_test_cap_fast")
+        // phase-0 proved nothing binds: the returned plan has no
+        // threshold join (its graft_thr columns never appear)
+        capped.queryExecution.analyzed.toString() should not include "graft_thr"
+        capped.count() shouldBe 30L
+        def row = observed.synchronized { observed.get("graft_test_cap_fast") }
+        val deadline = System.currentTimeMillis() + 15000
+        while (row.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        row.get.getAs[Long]("excluded_rows") shouldBe 0L
+        row.get.getAs[Long]("banded_rows") shouldBe 30L
+      } finally spark.listenerManager.unregister(listener)
+    }
+
+    "drop null-id rows so an all-tie bucket cannot blow past the cap" in {
+      val s = spark
+      import s.implicits._
+      // 40 null-id rows in one bucket: all tie on both hashes (xxhash64
+      // skips nulls), so keeping them would leave the bucket uncapped —
+      // the quadratic-blowup hole the cap exists to close
+      val rows = (0 until 40).map(_ => ("hot", Option.empty[Long])) ++
+        (0 until 12).map(i => ("hot", Option(i.toLong))) ++
+        (0 until 3).map(i => ("cold", Option(100L + i)))
+      val df = rows.toDF("bucket", "id")
+      val capped = Capping.capBuckets(df, Seq("bucket"), "id", 5,
+        "graft_test_cap_null")
+      val got = capped.collect().map(r => (r.getString(0), r.get(1)))
+      got.count(_._2 == null) shouldBe 0
+      got.count(_._1 == "hot") shouldBe 5
+      got.count(_._1 == "cold") shouldBe 3
+    }
+
     "report excluded_rows/banded_rows on the observation channel" in {
       val s = spark
       import s.implicits._

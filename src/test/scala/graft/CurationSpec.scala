@@ -37,6 +37,20 @@ class CurationSpec extends AnyWordSpec with Matchers with SparkSpec {
       r.release()
     }
 
+    "uniquify censuses when two stages share a name" in {
+      // two KeepWhere stages with the SAME name: both censuses must
+      // survive, in stage order, not overwrite each other's thunk
+      val r = Curation.pipeline(docs, "doc_id", "text", Seq(
+        Curation.KeepWhere("gate",
+          org.apache.spark.sql.functions.length(col("text")) > 10),
+        Curation.KeepWhere("gate", !col("text").contains("spam"))))
+      r.docs.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+        Set(1L, 3L)
+      r.censuses shouldBe Seq(
+        "input_docs" -> 4.0, "gate_kept" -> 3.0, "gate_kept_2" -> 2.0)
+      r.release()
+    }
+
     "re-tokenize after MapText so later stages see the new text" in {
       val r = Curation.pipeline(docs, "doc_id", "text", Seq(
         Curation.MapText("zap", lit("only these four tokens")),

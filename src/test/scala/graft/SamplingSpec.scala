@@ -51,6 +51,20 @@ class SamplingSpec extends AnyWordSpec with Matchers with SparkSpec {
       merged.collect().map(_.toSeq).toSet shouldBe full
     }
 
+    "skip null ids instead of crashing, dropping all-null groups" in {
+      val s = spark
+      import s.implicits._
+      // one group entirely null-id: it must vanish from the sample, not
+      // fail the input encoder's AssertNotNull
+      val df = ((0 until 6).map(i => ("live", Option(i.toLong))) ++
+        (0 until 4).map(_ => ("ghost", Option.empty[Long])))
+        .toDF("src", "id")
+      val got = Sampling.bottomKSample(df, Seq("src"), "id", 3)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      got.map(_._1).toSet shouldBe Set("live")
+      got.length shouldBe 3
+    }
+
     "use the bounded-heap aggregate, never a WindowExec" in {
       val out = Sampling.bottomKSample(docs, Seq("src"), "id", 3)
       out.count()
