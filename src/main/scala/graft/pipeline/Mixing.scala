@@ -129,12 +129,18 @@ object Mixing {
     * rows with the smallest [[sampleHash]] per group — a uniform k-doc
     * holdout per source that never moves when the corpus grows around it
     * (a given id leaves the sample only when k smaller hashes exist in
-    * its group). Null-id rows rank null and are dropped.
+    * its group). Null-id rows rank null and are dropped. Ids must be
+    * integral and unique per group (they are document ids).
     *
-    * Scale shape: one exchange on the group key and a per-group sort for
-    * the row_number window — per-partition state is one counter, the sort
-    * spills for giant groups. Intended for catalog-sized k (eval sets),
-    * not corpus-scale selection (use [[sample]] fractions for that).
+    * Scale shape: delegates the selection to
+    * [[Sampling.bottomKSample]] — the identical k-smallest-(hash, id)
+    * contract as the former `row_number` window, but as a bounded-heap
+    * aggregate (ObjectHashAggregate, map-side partial combine: each
+    * input partition contributes at most k candidates per group), so a
+    * corpus-sized hot group is never sorted inside one window task. The
+    * groups × k picked ids then semi-join the input (null-safe on the
+    * group key — a null group is a group) to recover the full rows;
+    * that pick set is catalog-sized and broadcastable.
     */
   def groupSample(
       df: DataFrame,
@@ -143,14 +149,14 @@ object Mixing {
       k: Int,
       seed: String = "graft"): DataFrame = {
     require(k > 0, "k must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(col("graft_gs_h"), col(idCol))
-    df.withColumn("graft_gs_h", sampleHash(col(idCol), seed))
-      .where(col("graft_gs_h").isNotNull)
-      .withColumn("graft_gs_rn", row_number().over(w))
-      .where(col("graft_gs_rn") <= k)
-      .drop("graft_gs_h", "graft_gs_rn")
+    val picks = Sampling
+      .bottomKSample(df.select(col(groupCol), col(idCol)), Seq(groupCol),
+        idCol, k, seed)
+      .select(col(groupCol).as("graft_gs_g"), col(idCol).as("graft_gs_i"))
+    df.join(picks,
+        col(groupCol) <=> col("graft_gs_g") &&
+          col(idCol) === col("graft_gs_i"),
+        "left_semi")
   }
 
   /** Temperature-weighted token budgets (the mT5 §3.1 / UniMax-style

@@ -184,6 +184,29 @@ class MixingSpec extends AnyWordSpec with Matchers with SparkSpec {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       (grown -- expected).size should be <= 1
     }
+
+    "carve via the bounded heap — no WindowExec, nulls dropped, null groups kept" in {
+      val s = spark
+      import s.implicits._
+      val docs = ((1L to 50L).map(i => (Option(i), Option(s"g${i % 2}"))) ++
+        Seq((Option.empty[Long], Option("g0"))) ++ // null id: dropped
+        (100L to 110L).map(i => (Option(i), Option.empty[String]))) // null group: a group
+        .toDF("doc_id", "grp")
+      val ev = Mixing.groupSample(docs, "doc_id", "grp", k = 3)
+      ev.count() shouldBe 9L
+      val got = ev.collect()
+        .map(r => (r.getAs[String]("grp"), r.getLong(0))).toSet
+      got.count(_._2 == 0L) shouldBe 0 // no null ids survived
+      got.count(_._1 == null) shouldBe 3 // the null group carved too
+      // window-form parity on the non-null groups
+      val expected = (1L to 50L).groupBy(i => s"g${i % 2}").toSeq.flatMap {
+        case (g, ids) =>
+          ids.sortBy(i => (localHash("graft", i), i)).take(3).map(g -> _)
+      }.toSet
+      got.filter(_._1 != null) shouldBe expected
+      ev.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==").head should not include "Window"
+    }
   }
 
   "temperatureBudgets" should {
