@@ -131,36 +131,45 @@ object Curation {
       df.observe(obs, metric.as("v"))
     }
 
-    // ONE persisted full-text copy at a time: expensive text-producing
-    // stages (input scan, boilerplate rebuild) persist; cheap
-    // projections (MapText, survivor joins) stay lazy over that cache —
-    // a second full-text persist was measured as the builder's own
-    // spill chain (the same finding that slimmed q96 in r14)
-    var frame = observed("input_docs", docs, count(lit(1)))
+    // ONE persisted full-text copy per text epoch: expensive
+    // text-producing stages (input scan, boilerplate rebuild) persist as
+    // the epoch BASE; cheap projections (MapText) fold into the base
+    // lazily — a second full-text persist was measured as the builder's
+    // own spill chain (the same finding that slimmed q96 in r14).
+    //
+    // Survivor sets are NESTED by construction (stage n's ids are
+    // computed from a frame already restricted by stage n-1's), so the
+    // current frame is always epochBase ⋈ the LATEST survivor set — ONE
+    // slim join, never a growing join chain (the hand-rolled q96 trick,
+    // generalized).
+    var epochBase: DataFrame = observed("input_docs", docs, count(lit(1)))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    caches += frame
+    caches += epochBase
+    var latestKept: DataFrame = null // slim persisted id set; null = all
+    def frame: DataFrame =
+      if (latestKept == null) epochBase
+      else epochBase.join(latestKept, Seq(idCol))
 
-    // shared (doc, term, tf) per text epoch, persisted once; survivor
-    // sets restrict it LAZILY (semi-joins of two caches) — each
-    // restriction is a cheap probe, so nothing re-persists per stage
+    // shared (doc, term, tf) per text epoch, persisted once; by the
+    // nesting invariant only the LATEST survivor set (if newer than the
+    // tf build) restricts it — a single cache-vs-cache semi-join probe
     var tfBase: DataFrame = null
-    var tfFilters: List[DataFrame] = Nil
+    var tfAtKept: DataFrame = null // survivor set baked into tfBase
     def sharedTf(): DataFrame = {
       if (tfBase == null) {
         tfBase = TextAnalysis.termFrequencies(frame, idCol, textCol)
           .persist(StorageLevel.MEMORY_AND_DISK)
         caches += tfBase
-        tfFilters = Nil
+        tfAtKept = latestKept
       }
-      tfFilters.foldLeft(tfBase)((t, ids) =>
-        t.join(ids, Seq(idCol), "left_semi"))
+      if (latestKept eq tfAtKept) tfBase
+      else tfBase.join(latestKept, Seq(idCol), "left_semi")
     }
     def applySurvivors(name: String, ids: DataFrame): Unit = {
       val kept = observed(name, ids, count(lit(1)))
         .persist(StorageLevel.MEMORY_AND_DISK)
       caches += kept
-      frame = frame.join(kept, Seq(idCol))
-      if (tfBase != null) tfFilters = kept :: tfFilters
+      latestKept = kept
     }
 
     stages.foreach {
@@ -171,18 +180,26 @@ object Curation {
             coalesce(sum(col("removed_lines")), lit(0L)))
           .persist(StorageLevel.MEMORY_AND_DISK)
         caches += cleaned
-        tfBase = null
-        frame = cleaned.drop("removed_lines")
+        tfBase = null; tfAtKept = null
+        // the rebuild consumed the RESTRICTED frame, so the new epoch
+        // base already embeds every prior survivor set
+        epochBase = cleaned.drop("removed_lines")
+        latestKept = null
 
       case MapText(_, expr) =>
-        // a projection over the current cache — no new persist, no
-        // action, no census (row count is unchanged by construction)
-        frame = frame.withColumn(textCol, expr)
-        tfBase = null
+        // a projection folded into the epoch base — no new persist, no
+        // action, no census (row count is unchanged by construction);
+        // restriction commutes with a per-row column rewrite
+        epochBase = epochBase.withColumn(textCol, expr)
+        tfBase = null; tfAtKept = null
 
       case QualityClassifier(labelExpr, seedPred, keepLabel, alpha) =>
         val all = sharedTf()
+        // slim persisted seed set: the featurizer's semi-join build side
+        // must not re-derive from the text cache per consumption
         val seedIds = frame.where(seedPred).select(col(idCol))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        caches += seedIds
         val seedTf: Classify.Featurizer =
           (_, _, _) => all.join(seedIds, Seq(idCol), "left_semi")
         val allTf: Classify.Featurizer = (_, _, _) => all
@@ -201,9 +218,20 @@ object Curation {
         releasers += (() => model.release())
 
       case PerplexityKeep(groupCol, nBuckets, keepMax) =>
+        // persist the restricted tf when a restriction exists: the LM
+        // scorer consumes its tf several times (T/V totals, term
+        // counts, the per-doc rollup) — q96 persists its tfNb for
+        // exactly this reason
+        val tfP = sharedTf() match {
+          case t if t eq tfBase => t
+          case t =>
+            val p = t.persist(StorageLevel.MEMORY_AND_DISK)
+            caches += p
+            p
+        }
         val keptIds = TextAnalysis
           .perplexityBuckets(frame, idCol, textCol, groupCol, nBuckets,
-            precomputedTf = Some(sharedTf()))
+            precomputedTf = Some(tfP))
           .where(col("bucket") <= keepMax)
           .select(col(idCol))
         applySurvivors("perplexity_kept", keptIds)
