@@ -5149,6 +5149,93 @@ object SparkEntry {
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
       } finally rmTree(tmp)
+    }),
+
+    // q143: the persisted-sketch family wired into the CHECK/DQDL
+    // surface — the reference's state → metric → constraint convention
+    // over parquet-staged sketch states: a VerificationSuite Check
+    // (hasApproxCountDistinctFromState / hasSnapshotOverlap) and a DQDL
+    // ruleset evaluate against KB-per-group state tables (per-source
+    // HLL distinct states; q142's two theta snapshot states joined),
+    // the corpus never rescanned at check time. Estimates ride
+    // tolerance flags vs in-query exact replays (the q140/q142
+    // convention); the oracle replays the exacts and asserts the flags.
+    "q143_sketch_state_checks" -> ((s, dir) => {
+      import graft.checks.{Check, CheckLevel, CheckStatus, VerificationSuite}
+      import graft.operators.{ApproxCountDistinctFromState, SnapshotOverlap}
+      import graft.sketch.{HllState, Theta}
+      val docs = table(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      val a = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val b = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q143").toString
+      try {
+      // stage the three states through parquet (the production shape)
+      HllState.writeState(
+        HllState.distinctState(docs, Seq("source"), Seq("text")),
+        s"$tmp/hll")
+      Theta.writeState(
+        Theta.thetaState(a, Seq("source"), Seq("text")), s"$tmp/ta")
+      Theta.writeState(
+        Theta.thetaState(b, Seq("source"), Seq("text")), s"$tmp/tb")
+      val hllState = HllState.readState(s, s"$tmp/hll")
+      val thetaJoined = Theta.readState(s, s"$tmp/ta")
+        .withColumnRenamed("theta", "theta_a")
+        .join(Theta.readState(s, s"$tmp/tb")
+          .withColumnRenamed("theta", "theta_b"), Seq("source"), "full_outer")
+
+      // exact replays (Spark side; the oracle recomputes them in DuckDB)
+      val exactDistinct = docs.select(col("text")).distinct().count()
+      val ta = a.select("text").distinct().persist()
+      val tb = b.select("text").distinct().persist()
+      val exactI = ta.join(tb, Seq("text"), "left_semi").count()
+      val exactU = ta.unionByName(tb).distinct().count()
+      val exactJac = exactI.toDouble / math.max(exactU, 1L).toDouble
+      ta.unpersist(blocking = false)
+      tb.unpersist(blocking = false)
+
+      // from-state estimates via the analyzers' own metric path
+      val estDistinct = ApproxCountDistinctFromState("hll")
+        .calculate(hllState).value.get
+      val estJac = SnapshotOverlap("theta_a", "theta_b")
+        .calculate(thetaJoined).value.get
+
+      // the Check surface over the state tables
+      val hllOk = VerificationSuite().onData(hllState)
+        .addCheck(Check(CheckLevel.Error, "hll state distinct count")
+          .hasApproxCountDistinctFromState("hll",
+            d => math.abs(d - exactDistinct) <= 0.05 * exactDistinct))
+        .run().status == CheckStatus.Success
+      val thetaOk = VerificationSuite().onData(thetaJoined)
+        .addCheck(Check(CheckLevel.Error, "snapshot overlap drift")
+          .hasSnapshotOverlap("theta_a", "theta_b",
+            d => math.abs(d - exactJac) <= 0.05))
+        .run().status == CheckStatus.Success
+
+      // the DQDL surface over the same staged states (the snapshot
+      // overlap sits near 0.4 by the snapshots' construction at any SF)
+      val dqdlPassed =
+        graft.dqdl.EvaluateDataQuality.process(hllState,
+          """Rules = [ ApproxCountDistinctFromState "hll" > 0 ]""")
+          .where(col("outcome") === "Passed").count() +
+        graft.dqdl.EvaluateDataQuality.process(thetaJoined,
+          """Rules = [ SnapshotOverlap "theta_a" "theta_b" between 0.05 and 0.95 ]""")
+          .where(col("outcome") === "Passed").count()
+
+      val stateRows = hllState.count()
+      metricRow(s, Seq(
+        "exact_distinct" -> exactDistinct.toDouble,
+        "exact_intersect" -> exactI.toDouble,
+        "exact_union" -> exactU.toDouble,
+        "state_rows" -> stateRows.toDouble,
+        "hll_est_ok" -> flag(
+          math.abs(estDistinct - exactDistinct) <= 0.05 * exactDistinct),
+        "overlap_est_ok" -> flag(math.abs(estJac - exactJac) <= 0.05),
+        "hll_check_ok" -> flag(hllOk),
+        "theta_check_ok" -> flag(thetaOk),
+        "dqdl_passed" -> dqdlPassed.toDouble))
+      } finally rmTree(tmp)
     })
   )
 
@@ -10243,6 +10330,32 @@ object SparkEntry {
         |)
         |SELECT source, doc_id::DOUBLE AS doc_id, sample_hash,
         |  rank::DOUBLE AS rank, 1.0::DOUBLE AS merge_ok
-        |FROM ranked WHERE rank <= 8""".stripMargin
+        |FROM ranked WHERE rank <= 8""".stripMargin,
+
+    // q143: the exact distinct / snapshot-set replays; every estimate,
+    // check status, and DQDL outcome is a 1.0-pinned flag (the sketch
+    // estimates sit within the asserted tolerances at all three SFs —
+    // theta is exact below 2^12 distincts per side).
+    "q143_sketch_state_checks" ->
+      """WITH d AS (
+        |  SELECT source, text, doc_id FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), ta AS (
+        |  SELECT DISTINCT text FROM d WHERE doc_id % 3 <> 0
+        |), tb AS (
+        |  SELECT DISTINCT text FROM d WHERE doc_id % 2 = 0
+        |)
+        |SELECT
+        |  (SELECT count(DISTINCT text) FROM d)::DOUBLE AS exact_distinct,
+        |  (SELECT count(*) FROM (SELECT text FROM ta INTERSECT
+        |    SELECT text FROM tb))::DOUBLE AS exact_intersect,
+        |  (SELECT count(*) FROM (SELECT text FROM ta UNION
+        |    SELECT text FROM tb))::DOUBLE AS exact_union,
+        |  (SELECT count(DISTINCT source) FROM d)::DOUBLE AS state_rows,
+        |  1.0::DOUBLE AS hll_est_ok,
+        |  1.0::DOUBLE AS overlap_est_ok,
+        |  1.0::DOUBLE AS hll_check_ok,
+        |  1.0::DOUBLE AS theta_check_ok,
+        |  2.0::DOUBLE AS dqdl_passed""".stripMargin
   )
 }

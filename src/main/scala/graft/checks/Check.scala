@@ -240,6 +240,28 @@ case class Check(
     addConstraint(Constraint("CorrelationConstraint", Correlation(columnA, columnB),
       assertion, hint = hint))
 
+  // -- checks over persisted sketch states ------------------------------------
+  // The checked DataFrame IS a state table (per-group sketch binaries
+  // staged through parquet) — the corpus behind it is never rescanned.
+
+  /** Approximate distinct count folded from a per-group HLL state column
+    * ([[graft.sketch.HllState.distinctState]]) — the from-state sibling
+    * of [[hasApproxCountDistinct]].
+    */
+  def hasApproxCountDistinctFromState(sketchColumn: String,
+      assertion: Double => Boolean, hint: Option[String] = None): Check =
+    addConstraint(Constraint("ApproxCountDistinctFromStateConstraint",
+      ApproxCountDistinctFromState(sketchColumn), assertion, hint = hint))
+
+  /** Snapshot-overlap drift from two theta state columns on one frame
+    * (two snapshots' per-group states joined on their group keys):
+    * asserts on the Jaccard overlap estimate |A∩B| / |A∪B| in [0, 1].
+    */
+  def hasSnapshotOverlap(sketchA: String, sketchB: String,
+      assertion: Double => Boolean, hint: Option[String] = None): Check =
+    addConstraint(Constraint("SnapshotOverlapConstraint",
+      SnapshotOverlap(sketchA, sketchB), assertion, hint = hint))
+
   // -- compliance -----------------------------------------------------------
 
   def satisfies(columnCondition: String, constraintName: String,

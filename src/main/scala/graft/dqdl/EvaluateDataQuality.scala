@@ -243,6 +243,10 @@ object EvaluateDataQuality {
       case "columncorrelation" => Correlation(param(0), param(1), where)
       case "columncount" => rejectWhere(); ColumnCount()
       case "customsql" => rejectWhere(); CustomSql(param(0))
+      case "approxcountdistinctfromstate" =>
+        ApproxCountDistinctFromState(param(0), where)
+      case "snapshotoverlap" =>
+        rejectWhere(); SnapshotOverlap(param(0), param(1))
       case other =>
         throw new DqdlTranslationException(s"Unknown analyzer type '$other'")
     }
@@ -364,6 +368,15 @@ object EvaluateDataQuality {
       case "columnexists" =>
         rejectWhere()
         constraint("ColumnExists", ColumnExists(param(0)), _ == 1.0)
+
+      // -- checks over persisted sketch states (the checked frame IS a
+      // state table; the corpus behind it is never rescanned) -----------
+      case "approxcountdistinctfromstate" =>
+        constraintN("ApproxCountDistinctFromState",
+          ApproxCountDistinctFromState(param(0), where))
+      case "snapshotoverlap" =>
+        rejectWhere() // the two sketch columns are already per-group rows
+        constraintN("SnapshotOverlap", SnapshotOverlap(param(0), param(1)))
 
       case "isprimarykey" =>
         val cols = rule.parameters

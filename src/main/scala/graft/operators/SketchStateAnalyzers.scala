@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{SetOperation, Sketches}
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.core._
+import graft.core.Analyzers._
+import graft.core.Preconditions._
+
+/** Analyzers that evaluate FROM persisted sketch states instead of the
+  * corpus — the reference's state → metric → constraint convention
+  * (analyzers/runners/AnalysisRunner.scala runOnAggregatedStates)
+  * extended to the pipeline wing's parquet-staged sketch monoids
+  * ([[graft.sketch.HllState]] q140, [[graft.sketch.Theta]] q142): a
+  * Check runs against KB-per-group state tables with the 100-TB corpus
+  * never rescanned. The input DataFrame IS the state table.
+  */
+
+/** Approximate distinct count folded from a persisted per-group HLL
+  * state table ([[graft.sketch.HllState.distinctState]] parquet): the
+  * binary sketches union into one corpus sketch via codegen'd
+  * `hll_union_agg` — same DataSketches binary and metric contract as
+  * [[ApproxCountDistinct]], no corpus scan. `allowDifferentLgK` folds
+  * states written at mixed precisions instead of failing a pipeline.
+  */
+case class ApproxCountDistinctFromState(column: String, where: Option[String] = None)
+    extends StandardScanShareableAnalyzer[HllState]("ApproxCountDistinctFromState", column) {
+
+  override def preconditions: Seq[StructType => Unit] = hasColumn(column) :: Nil
+
+  override def aggregationFunctions(): Seq[Column] =
+    hll_union_agg(conditionalSelection(col(column), where), lit(true)) :: Nil
+
+  override def fromAggregationResult(result: Row, offset: Int): Option[HllState] =
+    if (result.isNullAt(offset)) None
+    else Some(HllState(result.getAs[Array[Byte]](offset)))
+}
+
+/** Mergeable pair of theta sketches (snapshot A, snapshot B), folded per
+  * side; the metric is the Jaccard overlap estimate |A∩B| / |A∪B| — the
+  * cross-snapshot drift signal ("how much of yesterday's distinct set
+  * does today's crawl share"). Exact below the sketches' exact-mode
+  * bound (2^lgK distincts per side).
+  */
+case class ThetaOverlapState(aBytes: Array[Byte], bBytes: Array[Byte])
+    extends DoubleValuedState[ThetaOverlapState] {
+
+  private def union2(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+    val u = SetOperation.builder().buildUnion()
+    u.union(Sketches.wrapSketch(Memory.wrap(x)))
+    u.union(Sketches.wrapSketch(Memory.wrap(y)))
+    u.getResult.toByteArray
+  }
+
+  override def merge(other: ThetaOverlapState): ThetaOverlapState =
+    ThetaOverlapState(union2(aBytes, other.aBytes), union2(bBytes, other.bBytes))
+
+  override def metricValue(): Double = {
+    val ska = Sketches.wrapSketch(Memory.wrap(aBytes))
+    val skb = Sketches.wrapSketch(Memory.wrap(bBytes))
+    val un = SetOperation.builder().buildUnion()
+    un.union(ska); un.union(skb)
+    val uEst = un.getResult.getEstimate
+    if (uEst <= 0.0) 0.0
+    else {
+      val in = SetOperation.builder().buildIntersection()
+      in.intersect(ska); in.intersect(skb)
+      in.getResult.getEstimate / uEst
+    }
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case ThetaOverlapState(a, b) =>
+      java.util.Arrays.equals(aBytes, a) && java.util.Arrays.equals(bBytes, b)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * java.util.Arrays.hashCode(aBytes) + java.util.Arrays.hashCode(bBytes)
+}
+
+/** Snapshot-overlap drift from two theta state columns on ONE frame
+  * (the per-group states of two snapshots joined on their group keys —
+  * full-outer is fine: a group missing on one side carries a null
+  * sketch, which the union skips). Metric: Jaccard overlap estimate of
+  * the two snapshots' distinct sets, in [0, 1]; assert a floor to catch
+  * a crawl that silently diverged from yesterday's.
+  */
+case class SnapshotOverlap(sketchA: String, sketchB: String)
+    extends StandardScanShareableAnalyzer[ThetaOverlapState](
+      "SnapshotOverlap", s"$sketchA,$sketchB", Entity.Multicolumn) {
+
+  override def preconditions: Seq[StructType => Unit] =
+    hasColumn(sketchA) :: hasColumn(sketchB) :: Nil
+
+  override def aggregationFunctions(): Seq[Column] =
+    Seq(graft.sketch.Theta.unionAggCol(col(sketchA)),
+      graft.sketch.Theta.unionAggCol(col(sketchB)))
+
+  override def fromAggregationResult(result: Row, offset: Int): Option[ThetaOverlapState] =
+    if (result.isNullAt(offset) || result.isNullAt(offset + 1)) None
+    else Some(ThetaOverlapState(
+      result.getAs[Array[Byte]](offset),
+      result.getAs[Array[Byte]](offset + 1)))
+}

@@ -452,8 +452,27 @@ object Dedup {
     }
   }
 
+  /** Per-doc pair budget for the pair-LISTING surfaces: keep at most
+    * `budget` surviving pairs per `id_a` (uniform hash-ordered exclusion
+    * via [[Capping.capBuckets]], exclusions observed on
+    * [[DedupCapObservation]]). Bounds the OUTPUT at rows × budget on
+    * boilerplate-heavy corpora where the TRUE near-dup mass is quadratic
+    * even with healthy banding (the emb_neardup probe's 13× shape) —
+    * under-reports, never blows up. Cluster-building paths (q48-style
+    * connected components over the full pair list) must stay uncapped.
+    */
+  private[pipeline] def budgetPairs(
+      pairs: DataFrame, budget: Int, obsName: String): DataFrame =
+    if (budget == Int.MaxValue) pairs
+    else {
+      val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+      CacheLifecycle.releaseOnConsume(
+        Capping.capBuckets(p, Seq("id_a"), "id_b", budget, obsName), Seq(p))
+    }
+
   /** Near-duplicate pairs with an exact n-gram Jaccard verification pass on
-    * the LSH candidates only.
+    * the LSH candidates only. `maxPairsPerDoc` (default unbounded) is the
+    * pair-budget lever — see [[budgetPairs]].
     */
   def nearDuplicatePairs(
       df: DataFrame,
@@ -462,7 +481,8 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 64,
       bands: Int = 16,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      maxPairsPerDoc: Int = Int.MaxValue): DataFrame = {
     // ONE per-partition pass produces both the minhash signature (for LSH
     // candidate generation) and the shingle-hash set (for exact-jaccard
     // verification); persisted because banding + both pair-join sides
@@ -470,7 +490,8 @@ object Dedup {
     val sf = signatureFrame(df, idCol, textCol, numHashes, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
     CacheLifecycle.releaseOnConsume(
-      nearDuplicatePairsFromSignatures(sf, threshold, numHashes, bands), Seq(sf))
+      nearDuplicatePairsFromSignatures(sf, threshold, numHashes, bands,
+        maxPairsPerDoc = maxPairsPerDoc), Seq(sf))
   }
 
   /** [[nearDuplicatePairs]] over a precomputed (graft_id, graft_hs,
@@ -482,7 +503,8 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 64,
       bands: Int = 16,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      maxPairsPerDoc: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val (candidates, candCaches) = candidatesFromSignatures(
       sigs.select("graft_id", "graft_sig"), numHashes, bands, maxBucketSize)
@@ -494,7 +516,8 @@ object Dedup {
       .join(docs.withColumnRenamed("graft_doc_id", "id_b")
         .withColumnRenamed("graft_shingles", "sh_b"), Seq("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b")
-    val verified = jaccardVerify(joined, threshold)
+    val verified = budgetPairs(jaccardVerify(joined, threshold),
+      maxPairsPerDoc, DedupCapObservation.nextName())
     CacheLifecycle.releaseOnConsume(verified, candCaches)
   }
 
@@ -1020,13 +1043,15 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      maxPairsPerDoc: Int = Int.MaxValue): DataFrame = {
     // per-partition signature pass (same rationale as signatureFrame),
     // persisted before the self-join
     val sigs = simHashSignatures(df, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     CacheLifecycle.releaseOnConsume(
-      simHashPairsFromSignatures(sigs, maxHamming, maxBucketSize), Seq(sigs))
+      simHashPairsFromSignatures(sigs, maxHamming, maxBucketSize,
+        maxPairsPerDoc), Seq(sigs))
   }
 
   /** [[simHashPairs]] over a precomputed (graft_id, graft_sim) frame (see
@@ -1036,7 +1061,8 @@ object Dedup {
   def simHashPairsFromSignatures(
       sigFrame: DataFrame,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      maxPairsPerDoc: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63], got $maxHamming")
     // pigeonhole: maxHamming differing bits cannot touch all chunks
@@ -1076,12 +1102,14 @@ object Dedup {
     val b = capped.select(col("graft_chunk"), col("graft_chunk_val"),
       col("graft_id").as("id_b"), col("graft_sim").as("sim_b"))
 
-    val result = a.join(b, Seq("graft_chunk", "graft_chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", hammingDistance(col("sim_a"), col("sim_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
-      .dropDuplicates("id_a", "id_b")
+    val result = budgetPairs(
+      a.join(b, Seq("graft_chunk", "graft_chunk_val"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", hammingDistance(col("sim_a"), col("sim_b")))
+        .filter(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates("id_a", "id_b"),
+      maxPairsPerDoc, DedupCapObservation.nextName())
     CacheLifecycle.releaseOnConsume(result, Seq(capped, chunkedCached))
   }
 
@@ -1099,8 +1127,10 @@ object Dedup {
       embeddingCol: String,
       threshold: Double = 0.95,
       planes: Int = 16,
-      numTables: Int = 1): DataFrame =
-    Similarity.cosinePairsLsh(df, idCol, embeddingCol, threshold, planes, numTables)
+      numTables: Int = 1,
+      maxPairsPerDoc: Int = Int.MaxValue): DataFrame =
+    Similarity.cosinePairsLsh(df, idCol, embeddingCol, threshold, planes,
+      numTables, maxPairsPerDoc = maxPairsPerDoc)
 
   // -------------------------------------------------------------------------
   // Connected components / cluster dedup — the tail of the dedup pipeline:

@@ -383,7 +383,8 @@ object Similarity {
       threshold: Double,
       planes: Int = 16,
       numTables: Int = 1,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      maxPairsPerDoc: Int = Int.MaxValue): DataFrame = {
     val banded = df
       .select(col(idCol).as("graft_id"), col(vecCol).as("graft_vec"))
       .select(col("graft_id"), col("graft_vec"),
@@ -416,8 +417,9 @@ object Similarity {
     // cheaper per candidate than shuffling vector payloads through a
     // dropDuplicates exchange, and the join pipelines straight into it —
     // the only shuffle of pair rows happens on the (small) verified set
-    val pairs = cosineVerify(candidates, threshold)
-      .dropDuplicates("id_a", "id_b")
+    val pairs = Dedup.budgetPairs(
+      cosineVerify(candidates, threshold).dropDuplicates("id_a", "id_b"),
+      maxPairsPerDoc, LshCapObservation.nextName())
     CacheLifecycle.releaseOnConsume(pairs, Seq(capped, bandedCached))
   }
 

@@ -150,6 +150,13 @@ object Theta {
         col("graft_o._5").as("est_a_not_b")): _*)
   }
 
+  /** Theta-union aggregate over a BINARY sketch column — the scan-side
+    * bridge for analyzers that fold a persisted per-group theta state
+    * into one corpus-level sketch (null sketches skip).
+    */
+  def unionAggCol(c: Column, lgK: Int = 12): Column =
+    udaf(new BytesUnionAggregator(lgK), Encoders.BINARY)(c)
+
   def writeState(state: DataFrame, path: String): Unit =
     state.write.mode("overwrite").parquet(path)
 

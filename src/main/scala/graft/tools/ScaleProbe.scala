@@ -145,6 +145,12 @@ object ScaleProbe {
       Dedup.embeddingNearDuplicates(e, "vec_id", "embedding",
         threshold = 0.42, planes = planes, numTables = tables).count()
     }
+    def embNearDupBudget(e: DataFrame, n: Long): Long = {
+      val (planes, tables) = Similarity.lshParamsFor(n, 0.42, targetRecall = 0.98)
+      Dedup.embeddingNearDuplicates(e, "vec_id", "embedding",
+        threshold = 0.42, planes = planes, numTables = tables,
+        maxPairsPerDoc = 10).count()
+    }
     def topK(e: DataFrame): Long = {
       val queries = e.filter(col("vec_id") < 8L)
       Similarity.lshTopK(e, "vec_id", "embedding",
@@ -644,6 +650,13 @@ object ScaleProbe {
       ("simhash", timed(simhash(docs0)), timed(simhash(docsX))),
       ("emb_neardup", timed(embNearDup(emb0, embN)),
         timed(embNearDup(embX, embN * mult))),
+      // the pair-budget lever on the SAME parameterization: the pair
+      // LIST is bounded at <= 10 per id_a (excluded pairs observed on
+      // the LshCapObservation channel via timed's cap counter), so the
+      // output-bound 13x shape of the uncapped row cannot occur
+      ("emb_neardup_budget",
+        timed(embNearDupBudget(emb0, embN)),
+        timed(embNearDupBudget(embX, embN * mult))),
       ("lsh_topk", timed(topK(emb0)), timed(topK(embX))),
       ("exact_dedup", timed(exactDedup(docs0)), timed(exactDedup(docsX))),
       ("substring_dedup", timed(substrDedup(docs0)), timed(substrDedup(docsX))),
@@ -849,6 +862,58 @@ object ScaleProbe {
         .agg(sum(col("byte_bpe_tokens"))).collect().head.getLong(0)
     }
 
+    // persisted-sketch convention (theta q142 / HLL q140): the STATE is
+    // staged from a 10x corpus while the probed BATCH stays fixed — the
+    // probe cost must track the fixed batch plus KB-of-sketch-per-group,
+    // never the staged corpus. Self-verification rides the returned
+    // estimate sum: the word-suffix-decorrelated copies multiply
+    // distinct texts ~exactly 10x, so the x10 estimate must read ~10x
+    // the x1 one (a broken parquet round-trip or union would not).
+    import graft.sketch.{HllState, Theta}
+    def grouped(d: DataFrame): DataFrame =
+      d.select(pmod(col("doc_id"), lit(4)).as("grp"), col("text"))
+    def thetaStateSetup(d: DataFrame, path: String): Unit =
+      Theta.writeState(
+        Theta.thetaState(grouped(d), Seq("grp"), Seq("text")), path)
+    thetaStateSetup(docs0, s"$work/theta_state_x1")
+    thetaStateSetup(docsX, s"$work/theta_state_x$mult")
+    val sketchBatch = grouped(docs0.orderBy("doc_id").limit(500))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sketchBatch.count()
+    def thetaProbe(path: String): Long =
+      Theta.overlap(Theta.readState(spark, path),
+          Theta.thetaState(sketchBatch, Seq("grp"), Seq("text")))
+        .agg(coalesce(sum(col("est_a")), lit(0L)))
+        .collect().head.getLong(0)
+    def hllStateSetup(d: DataFrame, path: String): Unit =
+      HllState.writeState(
+        HllState.distinctState(grouped(d), Seq("grp"), Seq("text")), path)
+    hllStateSetup(docs0, s"$work/hll_state_x1")
+    hllStateSetup(docsX, s"$work/hll_state_x$mult")
+    def hllProbe(path: String): Long =
+      HllState.estimates(HllState.mergeStates(
+          HllState.readState(spark, path),
+          HllState.distinctState(sketchBatch, Seq("grp"), Seq("text"))))
+        .agg(coalesce(sum(col("distinct_est")), lit(0L)))
+        .collect().head.getLong(0)
+
+    // consistent bottom-k sample (q141): fixed k over a 10x corpus — the
+    // bounded-heap aggregate's cost is one map-side pass; the sampled
+    // row count pins flat at groups x k at both scales
+    def bottomkProbe(d: DataFrame): Long =
+      graft.pipeline.Sampling.bottomKSample(
+        d.select(pmod(col("doc_id"), lit(4)).as("grp"), col("doc_id")),
+        Seq("grp"), "doc_id", k = 8).count()
+
+    // one-group holdout (Mixing.groupSample, the q71 public surface,
+    // post-r15 bounded-heap delegate): EVERY row lands in ONE group —
+    // the exact shape the retired row_number window would have sorted in
+    // a single task; must stay ~flat at 10x with the row count pinned k
+    def groupHoldoutHot(d: DataFrame): Long =
+      graft.pipeline.Mixing.groupSample(
+        d.select(col("doc_id"), lit("g").as("grp"), col("text")),
+        "doc_id", "grp", k = 8).count()
+
     val resultsRelational = Seq(
       ("asof_join", timed(asofProbe(ev0)), timed(asofProbe(evX))),
       ("range_join", timed(rangeProbe(ev0)), timed(rangeProbe(evX))),
@@ -867,7 +932,17 @@ object ScaleProbe {
         timed(paraIncProbe(s"$work/para_state_x1")),
         timed(paraIncProbe(s"$work/para_state_x$mult"))),
       ("byte_bpe_tokens",
-        timed(byteBpeProbe(docs0)), timed(byteBpeProbe(docsX))))
+        timed(byteBpeProbe(docs0)), timed(byteBpeProbe(docsX))),
+      ("theta_overlap",
+        timed(thetaProbe(s"$work/theta_state_x1")),
+        timed(thetaProbe(s"$work/theta_state_x$mult"))),
+      ("hll_state",
+        timed(hllProbe(s"$work/hll_state_x1")),
+        timed(hllProbe(s"$work/hll_state_x$mult"))),
+      ("bottomk_sample",
+        timed(bottomkProbe(docs0)), timed(bottomkProbe(docsX))),
+      ("group_holdout_hot",
+        timed(groupHoldoutHot(docs0)), timed(groupHoldoutHot(docsX))))
 
     val results = resultsHead ++ resultsTail ++ resultsRelational
     // the NB model's cached log-prob table is done after its rows

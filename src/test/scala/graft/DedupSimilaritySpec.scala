@@ -53,6 +53,28 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
       cands.length shouldBe 1
       cands.head.getDouble(2) shouldBe 1.0
     }
+
+    "bound the pair list per doc under maxPairsPerDoc" in {
+      val s = spark
+      import s.implicits._
+      // 30 identical docs -> C(30,2) = 435 true pairs even with healthy
+      // banding (one honest duplicate group): the budget bounds the pair
+      // LIST at <= 3 per id_a (a deterministic hash-ordered subset of
+      // the true pairs), it never invents pairs
+      val dup = (0 until 30).map(i =>
+        (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text")
+      val fullSet = Dedup.nearDuplicatePairs(dup, "doc_id", "text",
+        threshold = 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      fullSet.size shouldBe 435
+      val got = Dedup.nearDuplicatePairs(dup, "doc_id", "text",
+        threshold = 0.9, maxPairsPerDoc = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      got.groupBy(_._1).values.foreach(_.length should be <= 3)
+      got.toSet.subsetOf(fullSet) shouldBe true
+      // id 29 pairs only as id_b (canonical order) — still present
+      got.map(_._1).toSet.size should be >= 20
+    }
   }
 
   "Exact Jaccard pairs (inverted index)" should {

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.wordspec.AnyWordSpec
+
+import graft.checks.{Check, CheckLevel, CheckStatus, VerificationSuite}
+import graft.operators.{ApproxCountDistinctFromState, SnapshotOverlap}
+import graft.sketch.{HllState, Theta}
+
+/** Checks evaluated FROM persisted sketch states (q143): the checked
+  * frame is a per-group state table; the corpus behind it never
+  * rescans. Values are exact here — the fixtures sit far below the
+  * sketches' exact-mode bounds.
+  */
+class SketchStateChecksSpec extends AnyWordSpec with Matchers with SparkSpec {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    (0 until 300).map(i => (i.toLong, s"g${i % 3}", s"text-$i"))
+      .toDF("id", "grp", "text")
+  }
+
+  "ApproxCountDistinctFromState" should {
+    "fold a parquet-staged per-group HLL state to the corpus distinct count" in {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sketchcheck").toString
+      try {
+        HllState.writeState(
+          HllState.distinctState(docs, Seq("grp"), Seq("text")), dir)
+        val state = HllState.readState(spark, dir)
+        state.count() shouldBe 3L
+        val m = ApproxCountDistinctFromState("hll").calculate(state)
+        // 300 distincts, lgK 12: comfortably exact-accurate
+        math.abs(m.value.get - 300.0) should be <= 15.0
+        // the Check surface over the same state
+        val res = VerificationSuite().onData(state)
+          .addCheck(Check(CheckLevel.Error, "state distinct")
+            .hasApproxCountDistinctFromState("hll",
+              d => math.abs(d - 300.0) <= 15.0))
+          .run()
+        res.status shouldBe CheckStatus.Success
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  "SnapshotOverlap" should {
+    def joined = {
+      // A = ids [0, 200), B = ids [100, 300): |A∩B| = 100, |A∪B| = 300
+      val a = Theta.thetaState(docs.where(col("id") < 200),
+        Seq("grp"), Seq("text")).withColumnRenamed("theta", "theta_a")
+      val b = Theta.thetaState(docs.where(col("id") >= 100),
+        Seq("grp"), Seq("text")).withColumnRenamed("theta", "theta_b")
+      a.join(b, Seq("grp"), "full_outer")
+    }
+
+    "report the exact Jaccard overlap below the exact-mode bound" in {
+      val m = SnapshotOverlap("theta_a", "theta_b").calculate(joined)
+      m.value.get shouldBe (100.0 / 300.0) +- 1e-9
+    }
+
+    "merge per-slice states to the full-frame metric (scan-shareable law)" in {
+      val f = joined.persist()
+      val s1 = SnapshotOverlap("theta_a", "theta_b")
+        .computeStateFrom(f.where(col("grp") === "g0")).get
+      val s2 = SnapshotOverlap("theta_a", "theta_b")
+        .computeStateFrom(f.where(col("grp") =!= "g0")).get
+      val full = SnapshotOverlap("theta_a", "theta_b")
+        .computeStateFrom(f).get
+      s1.merge(s2).metricValue() shouldBe full.metricValue() +- 1e-9
+      f.unpersist(blocking = false)
+    }
+
+    "drive the Check and DQDL surfaces from the joined state frame" in {
+      val res = VerificationSuite().onData(joined)
+        .addCheck(Check(CheckLevel.Error, "drift")
+          .hasSnapshotOverlap("theta_a", "theta_b",
+            d => math.abs(d - 1.0 / 3.0) <= 0.01))
+        .run()
+      res.status shouldBe CheckStatus.Success
+      val out = graft.dqdl.EvaluateDataQuality.process(joined,
+        """Rules = [ SnapshotOverlap "theta_a" "theta_b" between 0.2 and 0.5 ]""")
+        .collect()
+      out.length shouldBe 1
+      out.head.getString(1) shouldBe "Passed"
+      out.head.getDouble(3) shouldBe (1.0 / 3.0) +- 0.01
+    }
+
+    "treat a group missing on one side as an empty snapshot side" in {
+      val s = spark
+      import s.implicits._
+      // g9 exists only in A: its rows join with a null theta_b, which
+      // the union must SKIP (not fail) — A's union still counts g9
+      val extra = Theta.thetaState(
+        (0 until 50).map(i => (s"only-$i", "g9")).toDF("text", "grp"),
+        Seq("grp"), Seq("text")).withColumnRenamed("theta", "theta_a")
+      val withMissing = joined.unionByName(
+        extra.withColumn("theta_b",
+          lit(null).cast(org.apache.spark.sql.types.BinaryType)))
+      val m = SnapshotOverlap("theta_a", "theta_b").calculate(withMissing)
+      // |A| grows to 250, |A∪B| to 350, |A∩B| stays 100
+      m.value.get shouldBe (100.0 / 350.0) +- 1e-9
+    }
+  }
+}
