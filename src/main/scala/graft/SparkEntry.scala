@@ -5236,6 +5236,79 @@ object SparkEntry {
         "theta_check_ok" -> flag(thetaOk),
         "dqdl_passed" -> dqdlPassed.toDouble))
       } finally rmTree(tmp)
+    }),
+
+    // q144: per-group KLL quantile state — the QUANTILE member of the
+    // persisted sketch family (CMS q109, Bloom q110, HLL q140, theta
+    // q142): per-l_returnflag sketches of l_quantity built half by ship
+    // date, staged through parquet, folded, and queried for p25/p50/p75
+    // without rescanning the corpus — plus the from-state Check/DQDL
+    // surface folding the merged state to a global median (the q143
+    // convention). Exact quantiles replay in DuckDB; sketch estimates
+    // ride tolerance flags (rank error bounded by the 4096 sketch,
+    // merged-vs-full proximity bounds the merge path).
+    "q144_kll_quantile_state" -> ((s, dir) => {
+      import graft.checks.{Check, CheckLevel, CheckStatus, VerificationSuite}
+      import graft.sketch.KllGroupState
+      val li = table(s, dir, "lineitem")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q144").toString
+      try {
+      val sz = 4096
+      val cut = lit("1995-06-01")
+      KllGroupState.writeState(
+        KllGroupState.quantileState(li.where(col("l_shipdate") <= cut),
+          Seq("l_returnflag"), "l_quantity", sz), tmp)
+      val merged = KllGroupState.mergeStates(
+        KllGroupState.readState(s, tmp),
+        KllGroupState.quantileState(li.where(col("l_shipdate") > cut),
+          Seq("l_returnflag"), "l_quantity", sz), sz).persist()
+      val full = KllGroupState.quantileState(li, Seq("l_returnflag"),
+        "l_quantity", sz)
+      val qs = Seq(0.25, 0.5, 0.75)
+      val m = KllGroupState.quantiles(merged, qs,
+        Seq("m_p25", "m_p50", "m_p75"))
+      val f = KllGroupState.quantiles(full, qs,
+        Seq("f_p25", "f_p50", "f_p75"))
+      val exact = li.groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_quantity, 0.25)").as("e_p25"),
+        expr("percentile(l_quantity, 0.5)").as("e_p50"),
+        expr("percentile(l_quantity, 0.75)").as("e_p75"))
+      // the from-state Check + DQDL surfaces over the merged state
+      val globalExact = li
+        .agg(expr("percentile(l_quantity, 0.5)")).collect().head.getDouble(0)
+      val checkOk = VerificationSuite().onData(merged)
+        .addCheck(Check(CheckLevel.Error, "kll state median")
+          .hasApproxQuantileFromState("kll", 0.5,
+            d => math.abs(d - globalExact) <=
+              math.max(1.0, 0.02 * math.abs(globalExact))))
+        .run().status == CheckStatus.Success
+      val dqdlOk = graft.dqdl.EvaluateDataQuality.process(merged,
+          """Rules = [ ApproxQuantileFromState "kll" "0.5" between 10 and 40 ]""")
+        .where(col("outcome") === "Passed").count() == 1L
+      def tol(est: Column, ex: Column): Column =
+        when(abs(est - ex) <= greatest(lit(1.0), lit(0.02) * abs(ex)), 1.0)
+          .otherwise(0.0)
+      val out = exact.join(m, Seq("l_returnflag")).join(f, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          round(col("e_p25"), 6).as("exact_p25"),
+          round(col("e_p50"), 6).as("exact_p50"),
+          round(col("e_p75"), 6).as("exact_p75"),
+          tol(col("m_p25"), col("e_p25")).as("p25_ok"),
+          tol(col("m_p50"), col("e_p50")).as("p50_ok"),
+          tol(col("m_p75"), col("e_p75")).as("p75_ok"),
+          when(abs(col("m_p25") - col("f_p25")) <= 1.0 &&
+            abs(col("m_p50") - col("f_p50")) <= 1.0 &&
+            abs(col("m_p75") - col("f_p75")) <= 1.0, 1.0)
+            .otherwise(0.0).as("merge_close"),
+          lit(if (checkOk) 1.0 else 0.0).as("check_ok"),
+          lit(if (dqdlOk) 1.0 else 0.0).as("dqdl_ok"))
+        .orderBy(col("l_returnflag"))
+      val materialized = out.collect()
+      merged.unpersist(blocking = false)
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
     })
   )
 
@@ -10356,6 +10429,20 @@ object SparkEntry {
         |  1.0::DOUBLE AS overlap_est_ok,
         |  1.0::DOUBLE AS hll_check_ok,
         |  1.0::DOUBLE AS theta_check_ok,
-        |  2.0::DOUBLE AS dqdl_passed""".stripMargin
+        |  2.0::DOUBLE AS dqdl_passed""".stripMargin,
+
+    // q144: exact per-group quantiles (the same continuous-interpolation
+    // definition both engines share, the q34 pairing); every sketch
+    // estimate, merge-proximity, check and DQDL outcome is a 1.0-pinned
+    // tolerance flag.
+    "q144_kll_quantile_state" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS exact_p25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS exact_p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS exact_p75,
+        |  1.0::DOUBLE AS p25_ok, 1.0::DOUBLE AS p50_ok,
+        |  1.0::DOUBLE AS p75_ok, 1.0::DOUBLE AS merge_close,
+        |  1.0::DOUBLE AS check_ok, 1.0::DOUBLE AS dqdl_ok
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
   )
 }

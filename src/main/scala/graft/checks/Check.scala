@@ -262,6 +262,15 @@ case class Check(
     addConstraint(Constraint("SnapshotOverlapConstraint",
       SnapshotOverlap(sketchA, sketchB), assertion, hint = hint))
 
+  /** Approximate quantile folded from a per-group KLL state column
+    * ([[graft.sketch.KllGroupState.quantileState]]) — the from-state
+    * sibling of [[hasApproxQuantile]].
+    */
+  def hasApproxQuantileFromState(sketchColumn: String, quantile: Double,
+      assertion: Double => Boolean, hint: Option[String] = None): Check =
+    addConstraint(Constraint("ApproxQuantileFromStateConstraint",
+      ApproxQuantileFromState(sketchColumn, quantile), assertion, hint = hint))
+
   // -- compliance -----------------------------------------------------------
 
   def satisfies(columnCondition: String, constraintName: String,

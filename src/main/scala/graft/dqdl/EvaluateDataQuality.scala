@@ -205,6 +205,19 @@ object EvaluateDataQuality {
         StructField("value", DoubleType, nullable = false))))
   }
 
+  /** Quantile parameter of the from-state quantile rules — a quoted
+    * number in [0, 1] (DQDL parameters are strings).
+    */
+  private def parseQuantile(s: String): Double = {
+    val q = try s.toDouble catch {
+      case _: NumberFormatException => throw new DqdlTranslationException(
+        s"quantile parameter must be a number in [0, 1], got '$s'")
+    }
+    if (q < 0.0 || q > 1.0) throw new DqdlTranslationException(
+      s"quantile parameter must be in [0, 1], got '$s'")
+    q
+  }
+
   /** Analyzer for a compute-only declaration (no condition). */
   private def analyzerFor(leaf: LeafRule): AnyAnalyzer = {
     // an assertion on an Analyzers entry would evaluate NOWHERE — the
@@ -247,6 +260,8 @@ object EvaluateDataQuality {
         ApproxCountDistinctFromState(param(0), where)
       case "snapshotoverlap" =>
         rejectWhere(); SnapshotOverlap(param(0), param(1))
+      case "approxquantilefromstate" =>
+        ApproxQuantileFromState(param(0), parseQuantile(param(1)), where)
       case other =>
         throw new DqdlTranslationException(s"Unknown analyzer type '$other'")
     }
@@ -377,6 +392,9 @@ object EvaluateDataQuality {
       case "snapshotoverlap" =>
         rejectWhere() // the two sketch columns are already per-group rows
         constraintN("SnapshotOverlap", SnapshotOverlap(param(0), param(1)))
+      case "approxquantilefromstate" =>
+        constraintN("ApproxQuantileFromState",
+          ApproxQuantileFromState(param(0), parseQuantile(param(1)), where))
 
       case "isprimarykey" =>
         val cols = rule.parameters

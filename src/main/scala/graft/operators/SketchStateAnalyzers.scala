@@ -81,6 +81,33 @@ case class ThetaOverlapState(aBytes: Array[Byte], bBytes: Array[Byte])
     31 * java.util.Arrays.hashCode(aBytes) + java.util.Arrays.hashCode(bBytes)
 }
 
+/** Approximate quantile folded from a persisted per-group KLL state
+  * table ([[graft.sketch.KllGroupState.quantileState]] parquet): the
+  * serialized sketches merge into one corpus sketch; the metric is that
+  * sketch's `quantile(q)` — accurate to KLL's published rank-error
+  * bound, no corpus scan.
+  */
+case class ApproxQuantileFromState(column: String, quantile: Double,
+    where: Option[String] = None)
+    extends DoubleResultScanAnalyzer[graft.sketch.KLLState](
+      "ApproxQuantileFromState", s"$column:$quantile") {
+
+  require(quantile >= 0.0 && quantile <= 1.0,
+    s"quantile must be in [0, 1], got $quantile")
+
+  override def preconditions: Seq[StructType => Unit] = hasColumn(column) :: Nil
+
+  override def aggregationFunctions(): Seq[Column] =
+    graft.sketch.KllGroupState.mergeAggCol(
+      conditionalSelection(col(column), where)) :: Nil
+
+  override def fromAggregationResult(result: Row, offset: Int): Option[graft.sketch.KLLState] =
+    graft.sketch.KLLAggregator.stateAt(result, offset)
+
+  override protected def valueFromState(state: graft.sketch.KLLState): Double =
+    state.sketch.quantile(quantile)
+}
+
 /** Snapshot-overlap drift from two theta state columns on ONE frame
   * (the per-group states of two snapshots joined on their group keys —
   * full-outer is fine: a group missing on one side carries a null

@@ -896,6 +896,28 @@ object ScaleProbe {
           HllState.distinctState(sketchBatch, Seq("grp"), Seq("text"))))
         .agg(coalesce(sum(col("distinct_est")), lit(0L)))
         .collect().head.getLong(0)
+    // KLL quantile state (q144): fixed batch folded into a 10x-staged
+    // state; the probed value is the folded global median of text
+    // length, which must stay ~flat (both corpora share the same length
+    // distribution — the decorrelated copies only suffix words)
+    import graft.sketch.KllGroupState
+    def kllStateSetup(d: DataFrame, path: String): Unit =
+      KllGroupState.writeState(
+        KllGroupState.quantileState(
+          grouped(d).withColumn("len", length(col("text"))),
+          Seq("grp"), "len"), path)
+    kllStateSetup(docs0, s"$work/kll_state_x1")
+    kllStateSetup(docsX, s"$work/kll_state_x$mult")
+    def kllProbe(path: String): Long = {
+      val merged = KllGroupState.mergeStates(
+        KllGroupState.readState(spark, path),
+        KllGroupState.quantileState(
+          sketchBatch.withColumn("len", length(col("text"))),
+          Seq("grp"), "len"))
+      math.round(KllGroupState.quantiles(merged, Seq(0.5), Seq("med"))
+        .agg(coalesce(sum(col("med")), lit(0.0)))
+        .collect().head.getDouble(0))
+    }
 
     // consistent bottom-k sample (q141): fixed k over a 10x corpus — the
     // bounded-heap aggregate's cost is one map-side pass; the sampled
@@ -939,6 +961,9 @@ object ScaleProbe {
       ("hll_state",
         timed(hllProbe(s"$work/hll_state_x1")),
         timed(hllProbe(s"$work/hll_state_x$mult"))),
+      ("kll_state",
+        timed(kllProbe(s"$work/kll_state_x1")),
+        timed(kllProbe(s"$work/kll_state_x$mult"))),
       ("bottomk_sample",
         timed(bottomkProbe(docs0)), timed(bottomkProbe(docsX))),
       ("group_holdout_hot",

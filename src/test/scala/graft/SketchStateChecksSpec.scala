@@ -5,8 +5,8 @@ import org.scalatest.matchers.should.Matchers
 import org.scalatest.wordspec.AnyWordSpec
 
 import graft.checks.{Check, CheckLevel, CheckStatus, VerificationSuite}
-import graft.operators.{ApproxCountDistinctFromState, SnapshotOverlap}
-import graft.sketch.{HllState, Theta}
+import graft.operators.{ApproxCountDistinctFromState, ApproxQuantileFromState, SnapshotOverlap}
+import graft.sketch.{HllState, KllGroupState, Theta}
 
 /** Checks evaluated FROM persisted sketch states (q143): the checked
   * frame is a per-group state table; the corpus behind it never
@@ -86,6 +86,44 @@ class SketchStateChecksSpec extends AnyWordSpec with Matchers with SparkSpec {
       out.length shouldBe 1
       out.head.getString(1) shouldBe "Passed"
       out.head.getDouble(3) shouldBe (1.0 / 3.0) +- 0.01
+    }
+
+    "expose the KLL quantile state family end to end" in {
+      val s = spark
+      import s.implicits._
+      // values 1..1000 split across 4 groups; per-group and folded
+      // quantiles are near-exact at this size
+      val vals = (1 to 1000).map(i => (s"g${i % 4}", i.toDouble))
+        .toDF("grp", "v")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-kllstate").toString
+      try {
+        KllGroupState.writeState(
+          KllGroupState.quantileState(vals.where(col("v") <= 500),
+            Seq("grp"), "v"), dir)
+        val merged = KllGroupState.mergeStates(
+          KllGroupState.readState(spark, dir),
+          KllGroupState.quantileState(vals.where(col("v") > 500),
+            Seq("grp"), "v"))
+        val qs = KllGroupState.quantiles(merged, Seq(0.5), Seq("med"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        qs.keySet shouldBe Set("g0", "g1", "g2", "g3")
+        // per-group median ~500 (each group holds an arithmetic strand)
+        qs.values.foreach(m => math.abs(m - 500.0) should be <= 25.0)
+        // folded-from-state global median via the analyzer + Check + DQDL
+        val m = ApproxQuantileFromState("kll", 0.5).calculate(merged)
+        math.abs(m.value.get - 500.0) should be <= 25.0
+        VerificationSuite().onData(merged)
+          .addCheck(Check(CheckLevel.Error, "median drift")
+            .hasApproxQuantileFromState("kll", 0.5,
+              d => math.abs(d - 500.0) <= 25.0))
+          .run().status shouldBe CheckStatus.Success
+        val out = graft.dqdl.EvaluateDataQuality.process(merged,
+          """Rules = [ ApproxQuantileFromState "kll" "0.5" between 450 and 550 ]""")
+          .collect()
+        out.head.getString(1) shouldBe "Passed"
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
     }
 
     "treat a group missing on one side as an empty snapshot side" in {
