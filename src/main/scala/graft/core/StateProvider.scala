@@ -132,6 +132,11 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
         }
       case HllState(bytes) =>
         withOutput(s"$base.bin") { o => o.writeInt(bytes.length); o.write(bytes) }
+      case graft.operators.ThetaOverlapState(a, b) =>
+        withOutput(s"$base.bin") { o =>
+          o.writeInt(a.length); o.write(a)
+          o.writeInt(b.length); o.write(b)
+        }
       case DataTypeState(a, b, c, d, e) =>
         withOutput(s"$base.bin") { o =>
           o.writeLong(a); o.writeLong(b); o.writeLong(c); o.writeLong(d); o.writeLong(e)
@@ -175,15 +180,22 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
         withInput(s"$base.bin")(i => CorrelationState(
           i.readDouble(), i.readDouble(), i.readDouble(),
           i.readDouble(), i.readDouble(), i.readDouble()))
-      case _: ApproxCountDistinct =>
+      case _: ApproxCountDistinct | _: graft.operators.ApproxCountDistinctFromState =>
         withInput(s"$base.bin") { i =>
           val len = i.readInt(); val bytes = new Array[Byte](len); i.readFully(bytes)
           HllState(bytes)
         }
+      case _: graft.operators.SnapshotOverlap =>
+        withInput(s"$base.bin") { i =>
+          val la = i.readInt(); val a = new Array[Byte](la); i.readFully(a)
+          val lb = i.readInt(); val b = new Array[Byte](lb); i.readFully(b)
+          graft.operators.ThetaOverlapState(a, b)
+        }
       case _: DataTypeAnalyzer =>
         withInput(s"$base.bin")(i => DataTypeState(
           i.readLong(), i.readLong(), i.readLong(), i.readLong(), i.readLong()))
-      case _: graft.sketch.KLLSketchAnalyzer | _: ApproxQuantile | _: ApproxQuantiles =>
+      case _: graft.sketch.KLLSketchAnalyzer | _: ApproxQuantile
+          | _: ApproxQuantiles | _: graft.operators.ApproxQuantileFromState =>
         withInput(s"$base.bin") { i =>
           val len = i.readInt(); val bytes = new Array[Byte](len); i.readFully(bytes)
           graft.sketch.KLLState(graft.sketch.KLLSketch.deserialize(bytes))

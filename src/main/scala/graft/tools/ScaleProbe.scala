@@ -145,12 +145,6 @@ object ScaleProbe {
       Dedup.embeddingNearDuplicates(e, "vec_id", "embedding",
         threshold = 0.42, planes = planes, numTables = tables).count()
     }
-    def embNearDupBudget(e: DataFrame, n: Long): Long = {
-      val (planes, tables) = Similarity.lshParamsFor(n, 0.42, targetRecall = 0.98)
-      Dedup.embeddingNearDuplicates(e, "vec_id", "embedding",
-        threshold = 0.42, planes = planes, numTables = tables,
-        maxPairsPerDoc = 10).count()
-    }
     def topK(e: DataFrame): Long = {
       val queries = e.filter(col("vec_id") < 8L)
       Similarity.lshTopK(e, "vec_id", "embedding",
@@ -650,13 +644,6 @@ object ScaleProbe {
       ("simhash", timed(simhash(docs0)), timed(simhash(docsX))),
       ("emb_neardup", timed(embNearDup(emb0, embN)),
         timed(embNearDup(embX, embN * mult))),
-      // the pair-budget lever on the SAME parameterization: the pair
-      // LIST is bounded at <= 10 per id_a (excluded pairs observed on
-      // the LshCapObservation channel via timed's cap counter), so the
-      // output-bound 13x shape of the uncapped row cannot occur
-      ("emb_neardup_budget",
-        timed(embNearDupBudget(emb0, embN)),
-        timed(embNearDupBudget(embX, embN * mult))),
       ("lsh_topk", timed(topK(emb0)), timed(topK(embX))),
       ("exact_dedup", timed(exactDedup(docs0)), timed(exactDedup(docsX))),
       ("substring_dedup", timed(substrDedup(docs0)), timed(substrDedup(docsX))),
@@ -1048,6 +1035,28 @@ object ScaleProbe {
         "doc_id", "text", st, threshold = 0.5).count()
     }
 
+    // pair-budget skew: MULT EXACT embedding copies make the TRUE pair
+    // mass quadratic per duplicate cluster (C(MULT, 2) per base vector —
+    // ~45x the corpus at x10) even with healthy banding: the boilerplate
+    // shape where the pair LIST itself is the blowup. maxPairsPerDoc
+    // bounds it at <= budget per id_a with the dropped pairs observed on
+    // the LSH cap channel — under-reporting, never a quadratic output.
+    val embDupPath = s"$work/embeddings_dup.parquet"
+    (0 until mult).map(c =>
+        if (c == 0) emb0
+        else emb0.select((col("vec_id") + lit(c * embN)).as("vec_id"),
+          col("embedding")))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(embDupPath)
+    val embDup = spark.read.parquet(embDupPath)
+    val (pbSec, pbPairs, pbExcluded) = timed {
+      val (planes, tables) =
+        Similarity.lshParamsFor(embN * mult, 0.42, targetRecall = 0.98)
+      Dedup.embeddingNearDuplicates(embDup, "vec_id", "embedding",
+        threshold = 0.42, planes = planes, numTables = tables,
+        maxPairsPerDoc = 10).count()
+    }
+
     // fuzzy-para skew: the 20,000×-duplicated doc's paragraphs form
     // identical-signature hot buckets at paragraph granularity — the
     // bucket cap must engage, CC must contract the capped pair list, and
@@ -1062,7 +1071,7 @@ object ScaleProbe {
       f""""$name":{"x1_sec":$s1%.2f,"x${mult}_sec":$sx%.2f,"ratio":$ratio%.2f,"x1_pairs":$n1,"x${mult}_pairs":$nx,"x1_cap_excluded":$c1,"x${mult}_cap_excluded":$cx}"""
     }.mkString(",")
     val line =
-      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"cc_hub":{"sec":$hubSec%.2f,"components":$hubComps,"degree":500000},"para_skew":{"sec":$pskewSec%.2f,"removed":$pskewRemoved,"copies":$SkewCopies},"boiler_skew":{"sec":$bskewSec%.2f,"removed":$bskewRemoved,"copies":$SkewCopies},"substr_skew":{"sec":$sskewSec%.2f,"removed":$sskewRemoved,"copies":$SkewCopies},"source_overlap_skew":{"sec":$soSkewSec%.2f,"shared":$soSkewShared,"cap_excluded_rows":$soSkewExcluded,"cap":10},"sem_skew":{"sec":$semSkewSec%.2f,"dropped":$semSkewDropped,"cap_excluded_rows":$semSkewExcluded,"cap":1000},"fuzzy_state_skew":{"sec":$fskewSec%.2f,"survivors":$fskewSurvivors,"cap_excluded_rows":$fskewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"fuzzy_para_skew":{"sec":$fpSkewSec%.2f,"removed":$fpSkewRemoved,"cap_excluded_rows":$fpSkewExcluded,"copies":$SkewCopies}}"""
+      f"""{"mult":$mult,$probeJson,"skew":{"sec":$skewSec%.2f,"pairs":$skewPairs,"cap_excluded_rows":$skewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"cc_hub":{"sec":$hubSec%.2f,"components":$hubComps,"degree":500000},"para_skew":{"sec":$pskewSec%.2f,"removed":$pskewRemoved,"copies":$SkewCopies},"boiler_skew":{"sec":$bskewSec%.2f,"removed":$bskewRemoved,"copies":$SkewCopies},"substr_skew":{"sec":$sskewSec%.2f,"removed":$sskewRemoved,"copies":$SkewCopies},"source_overlap_skew":{"sec":$soSkewSec%.2f,"shared":$soSkewShared,"cap_excluded_rows":$soSkewExcluded,"cap":10},"sem_skew":{"sec":$semSkewSec%.2f,"dropped":$semSkewDropped,"cap_excluded_rows":$semSkewExcluded,"cap":1000},"fuzzy_state_skew":{"sec":$fskewSec%.2f,"survivors":$fskewSurvivors,"cap_excluded_rows":$fskewExcluded,"cap":$SkewCap,"copies":$SkewCopies},"pair_budget":{"sec":$pbSec%.2f,"pairs":$pbPairs,"cap_excluded_rows":$pbExcluded,"budget":10,"copies":$mult},"fuzzy_para_skew":{"sec":$fpSkewSec%.2f,"removed":$fpSkewRemoved,"cap_excluded_rows":$fpSkewExcluded,"copies":$SkewCopies}}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_probe.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

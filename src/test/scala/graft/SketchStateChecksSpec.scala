@@ -126,6 +126,44 @@ class SketchStateChecksSpec extends AnyWordSpec with Matchers with SparkSpec {
         .deleteQuietly(new java.io.File(dir))
     }
 
+    "round-trip all three from-state analyzer states through HdfsStateProvider" in {
+      val s = spark
+      import s.implicits._
+      val frame = {
+        // one frame carrying an hll column, two theta columns, a kll
+        // column — per "group" row, the state-table shape
+        val hll = HllState.distinctState(docs, Seq("grp"), Seq("text"))
+        val a = Theta.thetaState(docs.where(col("id") < 200), Seq("grp"),
+          Seq("text")).withColumnRenamed("theta", "theta_a")
+        val b = Theta.thetaState(docs.where(col("id") >= 100), Seq("grp"),
+          Seq("text")).withColumnRenamed("theta", "theta_b")
+        val kll = KllGroupState.quantileState(
+          docs.withColumn("v", col("id").cast("double")), Seq("grp"), "v")
+        hll.join(a, Seq("grp")).join(b, Seq("grp")).join(kll, Seq("grp"))
+      }
+      val analyzers: Seq[graft.core.AnyAnalyzer] = Seq(
+        ApproxCountDistinctFromState("hll"),
+        SnapshotOverlap("theta_a", "theta_b"),
+        ApproxQuantileFromState("kll", 0.5))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-fromstate").toString
+      try {
+        val provider = new graft.core.HdfsStateProvider(spark, s"$tmp/state")
+        graft.runners.AnalysisRunner.runStateful(frame, analyzers,
+          saveStatesWith = Some(provider))
+        val restored = graft.runners.AnalysisRunner
+          .runOnAggregatedStates(analyzers, Seq(provider))
+        val direct = graft.runners.AnalysisRunner.run(frame, analyzers)
+        analyzers.foreach { a =>
+          withClue(s"analyzer $a: ") {
+            restored.metric(a).get.value.get.asInstanceOf[Double] shouldBe
+              direct.metric(a).get.value.get.asInstanceOf[Double] +- 1e-9
+          }
+        }
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(tmp))
+    }
+
     "treat a group missing on one side as an empty snapshot side" in {
       val s = spark
       import s.implicits._
