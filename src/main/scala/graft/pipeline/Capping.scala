@@ -181,9 +181,18 @@ object Capping {
       .where(col("graft_cnt") > cap)
       .isEmpty
     if (!anyOversized) {
-      return df.observe(observationName,
-        coalesce(max(lit(0L)), lit(0L)).as("excluded_rows"),
-        coalesce(sum(lit(1L)), lit(0L)).as("banded_rows"))
+      // Repartition on the bucket keys before returning: the capped
+      // frame feeds bucket-keyed self-joins/groupBys at every call
+      // site, and passing through the input's (often few, scan-derived)
+      // partitions lets AQE pick a broadcast self-join whose
+      // parallelism is capped at those few stream partitions — measured
+      // as q32's 14 s single-stage candidate-verify on 2 tasks. One
+      // slim exchange restores 32-way parallelism and key-aligned
+      // partitioning for whatever consumes the frame next.
+      return df.repartition(bucketCols.map(col): _*)
+        .observe(observationName,
+          coalesce(max(lit(0L)), lit(0L)).as("excluded_rows"),
+          coalesce(sum(lit(1L)), lit(0L)).as("banded_rows"))
     }
     // Phase 1 — bucket sizes via a plain codegen count aggregate (slim
     // longs, map-side combinable at any key cardinality). Running the
