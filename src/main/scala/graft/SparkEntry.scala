@@ -4821,7 +4821,10 @@ object SparkEntry {
           labelExpr = when(isKeep, lit("keep")).otherwise(lit("toss")),
           seedPredicate = pmod(col("doc_id"), lit(10)) < 2),
         Curation.PerplexityKeep("source", nBuckets = 3, keepMaxBucket = 2),
-        Curation.UrlDedup(url)))
+        Curation.UrlDedup(url)),
+        // the input is a cheap projection over the source scan — the
+        // same no-input-cache call the hand-rolled q96 makes
+        persistInput = false)
       val shardAgg = Mixing.shardStats(r.docs, "doc_id", "text", 8)
         .agg(count(lit(1)),
           coalesce(sum(col("n_docs")), lit(0L)),

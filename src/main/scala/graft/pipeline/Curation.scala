@@ -102,11 +102,19 @@ object Curation {
     }
   }
 
+  /** `persistInput = false` skips caching the input frame: the right
+    * call when it is a cheap projection over a source scan (the
+    * hand-rolled q96 makes exactly this choice) — the first
+    * text-producing stage re-reads it up to three times instead of
+    * paying a full-text cache write. Leave true for expensive input
+    * lineage.
+    */
   def pipeline(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      stages: Seq[Stage]): Result = {
+      stages: Seq[Stage],
+      persistInput: Boolean = true): Result = {
     require(stages.nonEmpty, "pipeline needs at least one stage")
     val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val releasers = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
@@ -142,9 +150,15 @@ object Curation {
     // current frame is always epochBase ⋈ the LATEST survivor set — ONE
     // slim join, never a growing join chain (the hand-rolled q96 trick,
     // generalized).
-    var epochBase: DataFrame = observed("input_docs", docs, count(lit(1)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    caches += epochBase
+    var epochBase: DataFrame = {
+      val in = observed("input_docs", docs, count(lit(1)))
+      if (!persistInput) in
+      else {
+        val p = in.persist(StorageLevel.MEMORY_AND_DISK)
+        caches += p
+        p
+      }
+    }
     var latestKept: DataFrame = null // slim persisted id set; null = all
     def frame: DataFrame =
       if (latestKept == null) epochBase
