@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{abs, array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, element_at, explode, expr, floor, greatest, pmod, length, lit, max, md5, min, regexp_replace, round, split, struct, sum, sum_distinct, transform, unix_micros, when}
+import org.apache.spark.sql.functions.{abs, aggregate, array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, element_at, explode, expr, floor, greatest, lower, map_values, pmod, length, lit, max, md5, min, regexp_replace, round, split, struct, sum, sum_distinct, transform, unix_micros, when}
 import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
@@ -5312,6 +5312,108 @@ object SparkEntry {
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
       } finally rmTree(tmp)
+    }),
+
+    // q145: per-group Misra-Gries frequent-items state — the FREQUENCY
+    // member of the persisted sketch family (CMS q109 needs a candidate
+    // set; MG's summary IS the candidates): per-source token summaries
+    // built half by doc parity, staged through parquet, folded, and
+    // compared against exact counts. Capacity 64 >= the corpus
+    // vocabulary, so the exact-mode path must match exact counts
+    // IDENTICALLY (the theta exact-mode convention); a capacity-16 state
+    // exercises pruning, whose deterministic guarantees (never
+    // overcounts; undercount <= (n-S)/(k+1); every item above the bound
+    // present) ride flags. Check/DQDL fold the merged state to the
+    // global top token's ratio — exact, because folding exact per-group
+    // summaries sum-only stays exact.
+    "q145_freq_items_state" -> ((s, dir) => {
+      import graft.checks.{Check, CheckLevel, CheckStatus, VerificationSuite}
+      import graft.sketch.FreqItems
+      val toks = table(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("source"), col("doc_id"),
+          explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
+            .as("item"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q145").toString
+      try {
+      val kBig = 64
+      val kSmall = 16
+      val phi = 0.04
+      FreqItems.writeState(FreqItems.freqState(
+        toks.where(pmod(col("doc_id"), lit(2)) === 0),
+        Seq("source"), "item", kBig), tmp)
+      val merged = FreqItems.mergeStates(
+        FreqItems.readState(s, tmp),
+        FreqItems.freqState(toks.where(pmod(col("doc_id"), lit(2)) =!= 0),
+          Seq("source"), "item", kBig), kBig).persist()
+      val small = FreqItems.freqState(toks, Seq("source"), "item", kSmall)
+      val exact = toks.groupBy(col("source"), col("item"))
+        .agg(count(lit(1)).as("cnt")).persist()
+      // exact-mode: the folded capacity-64 state must equal exact counts
+      val estBig = merged.select(col("source"),
+        col("mg.n").as("mg_n"),
+        explode(col("mg.counters")).as(Seq("item", "est")))
+      val exactOk = estBig.join(exact, Seq("source", "item"), "full_outer")
+        .groupBy(col("source")).agg(
+          min(when(col("est") === col("cnt"), 1.0).otherwise(0.0))
+            .as("exact_state_ok"),
+          max(col("mg_n")).as("mg_n"))
+      // pruned-mode: the Misra-Gries guarantees on the capacity-16 state
+      val smallErr = small.select(col("source"),
+        col("mg.n").as("s_n"),
+        ((col("mg.n") - aggregate(map_values(col("mg.counters")), lit(0L),
+          _ + _)).cast("double") / (kSmall + 1.0)).as("err"))
+      val estSmall = small.select(col("source"),
+        explode(col("mg.counters")).as(Seq("item", "s_est")))
+      val boundOk = exact.join(estSmall, Seq("source", "item"), "left_outer")
+        .join(smallErr, Seq("source")).groupBy(col("source")).agg(
+          min(when(coalesce(col("s_est"), lit(0L)) <= col("cnt") &&
+            (col("cnt") - coalesce(col("s_est"), lit(0L))).cast("double")
+              <= col("err") + lit(1e-9), 1.0).otherwise(0.0)).as("bound_ok"))
+      // heavy-hitter guarantee at phi: no true HH missing from the report
+      val hh = FreqItems.heavyHitters(small, phi, kSmall)
+      val trueHH = exact.join(
+        exact.groupBy("source").agg(sum("cnt").as("n_tokens")), Seq("source"))
+        .where(col("cnt") > lit(phi) * col("n_tokens"))
+      val hhMissing = trueHH.join(hh, Seq("source", "item"), "left_anti").count()
+      val nTrueHH = trueHH.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_true_hh"))
+      // Check + DQDL fold the per-source states to the global top ratio
+      val topRow = toks.groupBy(col("item")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("item")).limit(1).collect().head
+      val (topItem, topCnt) = (topRow.getString(0), topRow.getLong(1))
+      val nTotal = toks.count()
+      val exactRatio = topCnt.toDouble / nTotal
+      val checkOk = VerificationSuite().onData(merged)
+        .addCheck(Check(CheckLevel.Error, "mg state top item")
+          .hasApproxItemFrequencyFromState("mg", topItem,
+            d => math.abs(d - exactRatio) <= 1e-9))
+        .run().status == CheckStatus.Success
+      val dqdlOk = graft.dqdl.EvaluateDataQuality.process(merged,
+          s"""Rules = [ ApproxItemFrequencyFromState "mg" "$topItem" between ${exactRatio - 5e-4} and ${exactRatio + 5e-4} ]""")
+        .where(col("outcome") === "Passed").count() == 1L
+      val out = exact.groupBy(col("source")).agg(
+          sum("cnt").as("n_tokens"), max("cnt").as("top_cnt"))
+        .join(exactOk, Seq("source")).join(boundOk, Seq("source"))
+        .join(nTrueHH, Seq("source"), "left_outer")
+        .select(col("source"),
+          col("n_tokens").cast("double").as("n_tokens"),
+          col("top_cnt").cast("double").as("top_cnt"),
+          coalesce(col("n_true_hh"), lit(0L)).cast("double").as("n_true_hh"),
+          col("exact_state_ok"),
+          when(col("mg_n") === col("n_tokens"), 1.0).otherwise(0.0).as("n_ok"),
+          col("bound_ok"),
+          lit(if (hhMissing == 0L) 1.0 else 0.0).as("hh_ok"),
+          lit(if (checkOk) 1.0 else 0.0).as("check_ok"),
+          lit(if (dqdlOk) 1.0 else 0.0).as("dqdl_ok"))
+        .orderBy(col("source"))
+      val materialized = out.collect()
+      merged.unpersist(blocking = false)
+      exact.unpersist(blocking = false)
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
     })
   )
 
@@ -10446,6 +10548,35 @@ object SparkEntry {
         |  1.0::DOUBLE AS p25_ok, 1.0::DOUBLE AS p50_ok,
         |  1.0::DOUBLE AS p75_ok, 1.0::DOUBLE AS merge_close,
         |  1.0::DOUBLE AS check_ok, 1.0::DOUBLE AS dqdl_ok
-        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // q145: exact per-source token tallies (the shared whitespace
+    // tokenizer convention); the capacity-64 state's equality to exact
+    // counts, the capacity-16 state's Misra-Gries guarantees, and the
+    // Check/DQDL outcomes are 1.0-pinned flags (deterministic by the MG
+    // bound, not by luck — see FreqItems.scala).
+    "q145_freq_items_state" ->
+      """WITH tkn AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS item
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), cnt AS (
+        |  SELECT source, item, count(*) AS c FROM tkn GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT source, sum(c) AS n_tokens, max(c) AS top_cnt
+        |  FROM cnt GROUP BY source
+        |), hh AS (
+        |  SELECT cnt.source, count(*) AS n_true_hh
+        |  FROM cnt JOIN tot USING (source)
+        |  WHERE c > 0.04 * n_tokens GROUP BY 1
+        |)
+        |SELECT source, n_tokens::DOUBLE AS n_tokens,
+        |  top_cnt::DOUBLE AS top_cnt,
+        |  coalesce(n_true_hh, 0)::DOUBLE AS n_true_hh,
+        |  1.0::DOUBLE AS exact_state_ok, 1.0::DOUBLE AS n_ok,
+        |  1.0::DOUBLE AS bound_ok, 1.0::DOUBLE AS hh_ok,
+        |  1.0::DOUBLE AS check_ok, 1.0::DOUBLE AS dqdl_ok
+        |FROM tot LEFT JOIN hh USING (source) ORDER BY source""".stripMargin
   )
 }

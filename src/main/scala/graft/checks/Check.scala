@@ -271,6 +271,15 @@ case class Check(
     addConstraint(Constraint("ApproxQuantileFromStateConstraint",
       ApproxQuantileFromState(sketchColumn, quantile), assertion, hint = hint))
 
+  /** Relative frequency of one item folded from a per-group Misra-Gries
+    * state column ([[graft.sketch.FreqItems.freqState]]): never
+    * overcounts, undercounts by at most 1/(capacity+1) of the corpus.
+    */
+  def hasApproxItemFrequencyFromState(stateColumn: String, item: String,
+      assertion: Double => Boolean, hint: Option[String] = None): Check =
+    addConstraint(Constraint("ApproxItemFrequencyFromStateConstraint",
+      ApproxItemFrequencyFromState(stateColumn, item), assertion, hint = hint))
+
   // -- compliance -----------------------------------------------------------
 
   def satisfies(columnCondition: String, constraintName: String,

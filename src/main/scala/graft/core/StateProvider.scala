@@ -137,6 +137,12 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
           o.writeInt(a.length); o.write(a)
           o.writeInt(b.length); o.write(b)
         }
+      case graft.operators.FreqItemsState(counters, n) =>
+        withOutput(s"$base.bin") { o =>
+          o.writeInt(counters.size)
+          counters.foreach { case (k, v) => o.writeUTF(k); o.writeLong(v) }
+          o.writeLong(n)
+        }
       case DataTypeState(a, b, c, d, e) =>
         withOutput(s"$base.bin") { o =>
           o.writeLong(a); o.writeLong(b); o.writeLong(c); o.writeLong(d); o.writeLong(e)
@@ -190,6 +196,12 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
           val la = i.readInt(); val a = new Array[Byte](la); i.readFully(a)
           val lb = i.readInt(); val b = new Array[Byte](lb); i.readFully(b)
           graft.operators.ThetaOverlapState(a, b)
+        }
+      case _: graft.operators.ApproxItemFrequencyFromState =>
+        withInput(s"$base.bin") { i =>
+          val size = i.readInt()
+          val counters = (0 until size).map(_ => i.readUTF() -> i.readLong()).toMap
+          graft.operators.FreqItemsState(counters, i.readLong())
         }
       case _: DataTypeAnalyzer =>
         withInput(s"$base.bin")(i => DataTypeState(

@@ -262,6 +262,8 @@ object EvaluateDataQuality {
         rejectWhere(); SnapshotOverlap(param(0), param(1))
       case "approxquantilefromstate" =>
         ApproxQuantileFromState(param(0), parseQuantile(param(1)), where)
+      case "approxitemfrequencyfromstate" =>
+        ApproxItemFrequencyFromState(param(0), param(1), where)
       case other =>
         throw new DqdlTranslationException(s"Unknown analyzer type '$other'")
     }
@@ -395,6 +397,9 @@ object EvaluateDataQuality {
       case "approxquantilefromstate" =>
         constraintN("ApproxQuantileFromState",
           ApproxQuantileFromState(param(0), parseQuantile(param(1)), where))
+      case "approxitemfrequencyfromstate" =>
+        constraintN("ApproxItemFrequencyFromState",
+          ApproxItemFrequencyFromState(param(0), param(1), where))
 
       case "isprimarykey" =>
         val cols = rule.parameters

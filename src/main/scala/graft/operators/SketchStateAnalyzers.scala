@@ -108,6 +108,52 @@ case class ApproxQuantileFromState(column: String, quantile: Double,
     state.sketch.quantile(quantile)
 }
 
+/** Folded Misra-Gries summary (counter map + total stream weight) —
+  * driver-side merge is the pure pointwise counter sum (no pruning: the
+  * map is already capacity-bounded per side and a sum-only merge only
+  * refines the undercount bound).
+  */
+case class FreqItemsState(counters: Map[String, Long], n: Long)
+    extends State[FreqItemsState] {
+  override def merge(other: FreqItemsState): FreqItemsState = {
+    val merged = (counters.keySet ++ other.counters.keySet).iterator.map { k =>
+      k -> (counters.getOrElse(k, 0L) + other.counters.getOrElse(k, 0L))
+    }.toMap
+    FreqItemsState(merged, n + other.n)
+  }
+}
+
+/** Relative frequency of one item folded from a persisted per-group
+  * Misra-Gries state table ([[graft.sketch.FreqItems.freqState]]
+  * parquet): the counter maps fold into one corpus summary; the metric
+  * is est(item) / n, which NEVER overcounts and undercounts by at most
+  * 1 / (capacity + 1) of the corpus — no corpus scan, no candidate set.
+  * "is this token/domain still under x% of the corpus" from KB of state.
+  */
+case class ApproxItemFrequencyFromState(stateColumn: String, item: String,
+    where: Option[String] = None)
+    extends DoubleResultScanAnalyzer[FreqItemsState](
+      "ApproxItemFrequencyFromState", s"$stateColumn:$item") {
+
+  override def preconditions: Seq[StructType => Unit] = hasColumn(stateColumn) :: Nil
+
+  override def aggregationFunctions(): Seq[Column] =
+    graft.sketch.FreqItems.mergeAggCol(
+      conditionalSelection(col(stateColumn), where)) :: Nil
+
+  override def fromAggregationResult(result: Row, offset: Int): Option[FreqItemsState] =
+    if (result.isNullAt(offset)) None
+    else {
+      val r = result.getStruct(offset)
+      val st = FreqItemsState(
+        r.getAs[Map[String, Long]]("counters"), r.getAs[Long]("n"))
+      if (st.n <= 0L) None else Some(st) // empty fold = empty state
+    }
+
+  override protected def valueFromState(state: FreqItemsState): Double =
+    state.counters.getOrElse(item, 0L).toDouble / state.n
+}
+
 /** Snapshot-overlap drift from two theta state columns on ONE frame
   * (the per-group states of two snapshots joined on their group keys —
   * full-outer is fine: a group missing on one side carries a null

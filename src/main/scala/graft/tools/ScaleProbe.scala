@@ -906,6 +906,30 @@ object ScaleProbe {
         .collect().head.getDouble(0))
     }
 
+    // Misra-Gries frequent-items state (q145): fixed batch folded into
+    // a 10x-staged state; the probed value is the folded total stream
+    // weight n, which must scale ~10x (exact bookkeeping survives the
+    // parquet round-trip and fold) while the fold cost tracks the state
+    // rows, not the staged corpus
+    import graft.sketch.FreqItems
+    def tokenized(d: DataFrame): DataFrame =
+      d.select(col("grp"),
+        explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
+          .as("item"))
+    def freqStateSetup(d: DataFrame, path: String): Unit =
+      FreqItems.writeState(
+        FreqItems.freqState(tokenized(grouped(d)), Seq("grp"), "item", 64),
+        path)
+    freqStateSetup(docs0, s"$work/freq_state_x1")
+    freqStateSetup(docsX, s"$work/freq_state_x$mult")
+    def freqProbe(path: String): Long =
+      FreqItems.mergeStates(
+          FreqItems.readState(spark, path),
+          FreqItems.freqState(tokenized(sketchBatch), Seq("grp"), "item", 64),
+          64)
+        .agg(coalesce(sum(col("mg.n")), lit(0L)))
+        .collect().head.getLong(0)
+
     // consistent bottom-k sample (q141): fixed k over a 10x corpus — the
     // bounded-heap aggregate's cost is one map-side pass; the sampled
     // row count pins flat at groups x k at both scales
@@ -951,6 +975,9 @@ object ScaleProbe {
       ("kll_state",
         timed(kllProbe(s"$work/kll_state_x1")),
         timed(kllProbe(s"$work/kll_state_x$mult"))),
+      ("freq_state",
+        timed(freqProbe(s"$work/freq_state_x1")),
+        timed(freqProbe(s"$work/freq_state_x$mult"))),
       ("bottomk_sample",
         timed(bottomkProbe(docs0)), timed(bottomkProbe(docsX))),
       ("group_holdout_hot",
