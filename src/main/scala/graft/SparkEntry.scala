@@ -5414,6 +5414,86 @@ object SparkEntry {
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
       } finally rmTree(tmp)
+    }),
+
+    // q146: incremental funnel over the bounded per-(key, step) state —
+    // the funnel's own output is not foldable (q128's doc), but the cap
+    // EARLIEST timestamps per (user, step) + exact totals ARE a
+    // commutative monoid, and the greedy replay knows per key whether it
+    // is provably exact. Events split by timestamp PARITY (maximally
+    // order-hostile), staged through parquet, folded; cap 64 covers
+    // every per-(user, step) count at all SFs so the replay must equal
+    // the batch funnel exactly (oracle: the q128 recurrence). A cap-2
+    // state exercises truncation: flagged keys only ever under-count,
+    // exact-flagged keys still match the batch funnel row-for-row.
+    "q146_funnel_incremental" -> ((s, dir) => {
+      import graft.operators.EventAnalytics
+      val ev = eventsTable(s, dir)
+      val base = ev.select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        col("event_type"))
+      val steps = Seq(col("event_type") === "signup",
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q146").toString
+      try {
+      val cap = 64
+      def state(df: DataFrame, c: Int) =
+        EventAnalytics.funnelState(df, Seq("user_id"), "ts_us", steps, c)
+      state(base.where(pmod(col("ts_us"), lit(2)) === 0), cap)
+        .write.mode("overwrite").parquet(tmp)
+      val folded = EventAnalytics.mergeFunnelStates(
+        s.read.parquet(tmp),
+        state(base.where(pmod(col("ts_us"), lit(2)) =!= 0), cap), cap)
+      val rep = EventAnalytics.funnelFromState(folded, 4).persist()
+      val repCore = rep.select(col("user_id"), col("t0"), col("t1"),
+        col("t2"), col("t3"), col("steps_completed"))
+      val full = EventAnalytics.funnelFromState(state(base, cap), 4)
+        .select(col("user_id"), col("t0"), col("t1"), col("t2"), col("t3"),
+          col("steps_completed"))
+      val batch = EventAnalytics.funnel(base, Seq("user_id"), "ts_us", steps)
+        .select(col("user_id"), col("t0"), col("t1"), col("t2"), col("t3"),
+          col("steps_completed")).persist()
+      val allExact = rep.where(!col("exact")).count() == 0L
+      val mergeOk = repCore.exceptAll(full).count() == 0L &&
+        full.exceptAll(repCore).count() == 0L
+      val batchOk = repCore.exceptAll(batch).count() == 0L &&
+        batch.exceptAll(repCore).count() == 0L
+      // the truncating cap: flagged-only under-count, exact rows match
+      val sc = EventAnalytics.funnelFromState(state(base, 2), 4)
+        .join(batch.select(col("user_id"),
+          col("t0").as("b0"), col("t1").as("b1"), col("t2").as("b2"),
+          col("t3").as("b3"), col("steps_completed").as("bn")), Seq("user_id"))
+        .persist()
+      val scNoOvercount =
+        sc.where(col("steps_completed") > col("bn")).count() == 0L
+      val scExactMatch = sc.where(col("exact") &&
+        (col("steps_completed") =!= col("bn") ||
+          !(col("t0") <=> col("b0")) || !(col("t1") <=> col("b1")) ||
+          !(col("t2") <=> col("b2")) || !(col("t3") <=> col("b3"))))
+        .count() == 0L
+      val lagSecs = (1 to 3).map(i =>
+        coalesce(sum(expr(s"(t$i - t${i - 1}) div 1000000")), lit(0L))
+          .cast(DoubleType).as(s"step${i}_lag_s"))
+      val stepUsers = (0 to 3).map(i =>
+        sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L))
+          .cast(DoubleType).as(s"step${i}_users"))
+      val out = rep.agg((stepUsers ++ lagSecs).head,
+          (stepUsers ++ lagSecs).tail: _*)
+        .select(col("*"),
+          lit(if (allExact) 1.0 else 0.0).as("all_exact"),
+          lit(if (mergeOk) 1.0 else 0.0).as("merge_ok"),
+          lit(if (batchOk) 1.0 else 0.0).as("batch_ok"),
+          lit(if (scNoOvercount) 1.0 else 0.0).as("cap2_no_overcount"),
+          lit(if (scExactMatch) 1.0 else 0.0).as("cap2_exact_match"))
+      val materialized = out.collect()
+      rep.unpersist(blocking = false)
+      batch.unpersist(blocking = false)
+      sc.unpersist(blocking = false)
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
     })
   )
 
@@ -10577,6 +10657,50 @@ object SparkEntry {
         |  1.0::DOUBLE AS exact_state_ok, 1.0::DOUBLE AS n_ok,
         |  1.0::DOUBLE AS bound_ok, 1.0::DOUBLE AS hh_ok,
         |  1.0::DOUBLE AS check_ok, 1.0::DOUBLE AS dqdl_ok
-        |FROM tot LEFT JOIN hh USING (source) ORDER BY source""".stripMargin
+        |FROM tot LEFT JOIN hh USING (source) ORDER BY source""".stripMargin,
+
+    // q146: the q128 earliest-after recurrence (cap 64 covers every
+    // per-(user, step) count, so the folded-state replay must equal the
+    // batch funnel); parity-split fold, batch equality, and the cap-2
+    // truncation guarantees are 1.0-pinned flags.
+    "q146_funnel_incremental" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+        |), s0 AS (
+        |  SELECT user_id, min(ts_us) AS t0 FROM base
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), s1 AS (
+        |  SELECT b.user_id, min(b.ts_us) AS t1 FROM base b
+        |  JOIN s0 ON b.user_id = s0.user_id
+        |  WHERE b.event_type = 'view' AND b.ts_us > s0.t0 GROUP BY 1
+        |), s2 AS (
+        |  SELECT b.user_id, min(b.ts_us) AS t2 FROM base b
+        |  JOIN s1 ON b.user_id = s1.user_id
+        |  WHERE b.event_type = 'click' AND b.ts_us > s1.t1 GROUP BY 1
+        |), s3 AS (
+        |  SELECT b.user_id, min(b.ts_us) AS t3 FROM base b
+        |  JOIN s2 ON b.user_id = s2.user_id
+        |  WHERE b.event_type = 'purchase' AND b.ts_us > s2.t2 GROUP BY 1
+        |), f AS (
+        |  SELECT s0.user_id, t0, t1, t2, t3
+        |  FROM s0 LEFT JOIN s1 USING (user_id)
+        |    LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |)
+        |SELECT
+        |  sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    AS step0_users,
+        |  sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    AS step1_users,
+        |  sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    AS step2_users,
+        |  sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    AS step3_users,
+        |  coalesce(sum((t1 - t0) // 1000000), 0)::DOUBLE AS step1_lag_s,
+        |  coalesce(sum((t2 - t1) // 1000000), 0)::DOUBLE AS step2_lag_s,
+        |  coalesce(sum((t3 - t2) // 1000000), 0)::DOUBLE AS step3_lag_s,
+        |  1.0::DOUBLE AS all_exact, 1.0::DOUBLE AS merge_ok,
+        |  1.0::DOUBLE AS batch_ok, 1.0::DOUBLE AS cap2_no_overcount,
+        |  1.0::DOUBLE AS cap2_exact_match
+        |FROM f""".stripMargin
   )
 }

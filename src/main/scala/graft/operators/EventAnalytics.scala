@@ -27,9 +27,11 @@ object EventAnalytics {
     * event matching an EARLIER step can re-qualify history events the
     * previous run discarded (a first signup arriving today makes last
     * month's views eligible as step 1), so an exact increment needs the
-    * event log, not the funnel output. Incremental funnels therefore
-    * recompute over the retained window; an approximate forward-only
-    * variant would silently under-count re-qualified keys.
+    * event log, not the funnel output. [[funnelState]] /
+    * [[funnelFromState]] provide the principled incremental form: a
+    * bounded per-(key, step) earliest-timestamps monoid whose replay
+    * detects (and flags, per key) the rare truncation where it cannot
+    * prove exactness — never silently.
     */
   def funnel(
       events: DataFrame,
@@ -127,4 +129,208 @@ object EventAnalytics {
       .groupBy(col("cohort"), (col("period") - col("cohort")).as("offset"))
       .agg(count(lit(1)).as("active_keys"))
   }
+
+  // -- incremental funnel over a BOUNDED per-(key, step) state --------------
+  //
+  // The exact funnel is not foldable from its own output (see funnel's
+  // doc), but it IS foldable from a bounded compaction of the event log:
+  // per (key, step), the `cap` EARLIEST matching timestamps plus the
+  // total match count. Min-k of a union is the min-k of the parts'
+  // min-k's — a true commutative monoid, so daily batches fold in any
+  // order, late events included. The greedy earliest-after chain then
+  // replays on the kept lists, and the replay KNOWS when it is exact:
+  // a step match found inside a kept list is the true earliest-after
+  // (everything evicted is >= the list's max), and a stall is exact
+  // unless the step's list was truncated at values <= the previous
+  // step's match. Keys flagged inexact never OVERcount: the replay only
+  // stalls early, so steps_completed is a lower bound there.
+
+  /** Bounded min-k over longs with an exact total — the funnel state's
+    * per-(key, step) cell. Max-heap of the k smallest, map-side combine.
+    */
+  final class MinKLong(val k: Int) extends Serializable {
+    var size: Int = 0
+    var total: Long = 0L
+    var ts = new Array[Long](math.min(k, 16))
+    private def swap(i: Int, j: Int): Unit = {
+      val t = ts(i); ts(i) = ts(j); ts(j) = t
+    }
+    private def siftUp(start: Int): Unit = {
+      var i = start
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (ts(p) < ts(i)) { swap(i, p); i = p } else return
+      }
+    }
+    private def siftDown(): Unit = {
+      var i = 0
+      while (true) {
+        val l = 2 * i + 1; val r = l + 1; var m = i
+        if (l < size && ts(m) < ts(l)) m = l
+        if (r < size && ts(m) < ts(r)) m = r
+        if (m == i) return
+        swap(i, m); i = m
+      }
+    }
+    def insert(t: Long): Unit = {
+      total += 1L
+      insertKept(t)
+    }
+    def insertKept(t: Long): Unit = {
+      if (size < k) {
+        if (size == ts.length) {
+          ts = java.util.Arrays.copyOf(ts,
+            math.min(k.toLong, ts.length.toLong * 2).toInt)
+        }
+        ts(size) = t; size += 1; siftUp(size - 1)
+      } else if (t < ts(0)) { ts(0) = t; siftDown() }
+    }
+    def mergeIn(o: MinKLong): MinKLong = {
+      total += o.total
+      var i = 0
+      while (i < o.size) { insertKept(o.ts(i)); i += 1 }
+      this
+    }
+    def sortedAsc: Seq[Long] = {
+      val a = java.util.Arrays.copyOf(ts, size)
+      java.util.Arrays.sort(a)
+      a.toSeq
+    }
+  }
+
+  final class MinKLongAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Long, MinKLong, FunnelCell] {
+    require(k >= 1, s"cap must be >= 1, got $k")
+    override def zero: MinKLong = new MinKLong(k)
+    override def reduce(b: MinKLong, a: java.lang.Long): MinKLong = {
+      if (a != null) b.insert(a)
+      b
+    }
+    override def merge(a: MinKLong, b: MinKLong): MinKLong = a.mergeIn(b)
+    override def finish(b: MinKLong): FunnelCell =
+      FunnelCell(b.sortedAsc, b.total)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[MinKLong] =
+      org.apache.spark.sql.Encoders.kryo[MinKLong]
+    override def outputEncoder: org.apache.spark.sql.Encoder[FunnelCell] =
+      org.apache.spark.sql.Encoders.product[FunnelCell]
+  }
+
+  /** Refolds persisted cells (sorted-merge keep-k; totals add). */
+  final class CellMergeAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        FunnelCellIn, MinKLong, FunnelCell] {
+    override def zero: MinKLong = new MinKLong(k)
+    override def reduce(b: MinKLong, a: FunnelCellIn): MinKLong = {
+      if (a != null && a.ts != null && a.total != null) {
+        b.total += a.total
+        a.ts.foreach(b.insertKept)
+      }
+      b
+    }
+    override def merge(a: MinKLong, b: MinKLong): MinKLong = a.mergeIn(b)
+    override def finish(b: MinKLong): FunnelCell =
+      FunnelCell(b.sortedAsc, b.total)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[MinKLong] =
+      org.apache.spark.sql.Encoders.kryo[MinKLong]
+    override def outputEncoder: org.apache.spark.sql.Encoder[FunnelCell] =
+      org.apache.spark.sql.Encoders.product[FunnelCell]
+  }
+
+  /** (keyCols..., step, cell: struct&lt;ts: array&lt;long&gt; asc, total: long&gt;) —
+    * the `cap` earliest timestamps of each (key, step) plus the exact
+    * match count. An event matching several step predicates contributes
+    * to each (the batch funnel filters each step independently). One
+    * scan, one slim shuffle of bounded cells.
+    */
+  def funnelState(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      steps: Seq[Column],
+      cap: Int): DataFrame = {
+    require(keyCols.nonEmpty, "funnelState needs at least one key column")
+    require(steps.nonEmpty, "funnelState needs at least one step predicate")
+    val flags = array(steps.zipWithIndex.map {
+      case (p, i) => when(p, lit(i)) }: _*)
+    val agg = udaf(new MinKLongAggregator(cap),
+      org.apache.spark.sql.Encoders.LONG)
+    events
+      .select(keyCols.map(col) ++ Seq(col(tsCol).cast("long").as("graft_ts"),
+        explode(filter(flags, _.isNotNull)).as("step")): _*)
+      .groupBy((keyCols :+ "step").map(col): _*)
+      .agg(agg(col("graft_ts")).as("cell"))
+  }
+
+  /** Fold states (or a state and a new batch's state): per-(key, step)
+    * sorted-merge keeping the `cap` earliest; totals add. Any order.
+    */
+  def mergeFunnelStates(a: DataFrame, b: DataFrame, cap: Int): DataFrame = {
+    val groupCols = a.columns.filterNot(_ == "cell").toSeq
+    val agg = udaf(new CellMergeAggregator(cap),
+      org.apache.spark.sql.Encoders.product[FunnelCellIn])
+    a.unionByName(b)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col("cell.ts"), col("cell.total")).as("cell"))
+  }
+
+  /** The funnel replayed from a (possibly merged, possibly reloaded)
+    * state: same output contract as [[funnel]] (one row per key with a
+    * step-0 match; t0..t(n-1), steps_completed) plus `exact` — false
+    * only when a stalled step's list was truncated at values at or
+    * below the previous match, i.e. the ONLY case where the true chain
+    * might continue where the replay cannot see. steps_completed never
+    * overcounts.
+    */
+  def funnelFromState(state: DataFrame, nSteps: Int): DataFrame = {
+    require(nSteps >= 1, "nSteps must be >= 1")
+    val groupCols = state.columns.filterNot(c => c == "cell" || c == "step").toSeq
+    val replay = udf((cells: Map[Int, (Seq[Long], Long)]) => {
+      val ts = new Array[java.lang.Long](nSteps)
+      var prev = Long.MinValue
+      var completed = 0
+      var exact = true
+      var k = 0
+      var stalled = false
+      while (k < nSteps && !stalled) {
+        cells.get(k) match {
+          case Some((kept, total)) =>
+            val hit = kept.find(_ > prev)
+            hit match {
+              case Some(t) =>
+                ts(k) = t; prev = t; completed += 1
+              case None =>
+                stalled = true
+                if (total > kept.size) exact = false
+            }
+          case None => stalled = true
+        }
+        k += 1
+      }
+      (ts.toSeq, completed, exact)
+    })
+    state
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("step"),
+        struct(col("cell.ts").as("_1"), col("cell.total").as("_2")))))
+        .as("graft_cells"))
+      .where(element_at(col("graft_cells"), 0).isNotNull)
+      .withColumn("graft_f", replay(col("graft_cells")))
+      .select(groupCols.map(col) ++
+        (0 until nSteps).map(i =>
+          element_at(col("graft_f._1"), i + 1).as(s"t$i")) ++
+        Seq(col("graft_f._2").cast("long").as("steps_completed"),
+          col("graft_f._3").as("exact")): _*)
+  }
 }
+
+/** One funnel-state cell: the earliest kept timestamps (ascending) and
+  * the exact total match count — truncated iff total > ts.length.
+  */
+case class FunnelCell(ts: Seq[Long], total: Long)
+
+/** Boxed mirror of [[FunnelCell]] for the merge aggregator's input side
+  * (a null state row decodes as nulls; a primitive Long would throw in
+  * the encoder before any guard).
+  */
+case class FunnelCellIn(ts: Seq[Long], total: java.lang.Long)

@@ -821,6 +821,33 @@ object ScaleProbe {
     scdApplySetup(ev0, s"$work/scd_state_x1")
     scdApplySetup(evX, s"$work/scd_state_x$mult")
 
+    // incremental funnel (q146): per-(user, step) bounded-cell states
+    // staged UNTIMED at both history sizes; the timed phase folds a
+    // FIXED batch (the base corpus's post-cut events) and replays the
+    // chain — fold cost tracks the state rows (users x steps), the
+    // replay output users, never the staged event volume
+    val funnelSteps = Seq(col("event_type") === "signup",
+      col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase")
+    def funnelStateSetup(e: DataFrame, path: String): Unit =
+      graft.operators.EventAnalytics.funnelState(
+        e.where(col("ts_us") <= scdCutUs), Seq("user_id"), "ts_us",
+        funnelSteps, cap = 64)
+        .write.mode("overwrite").parquet(path)
+    funnelStateSetup(ev0, s"$work/funnel_state_x1")
+    funnelStateSetup(evX, s"$work/funnel_state_x$mult")
+    val funnelBatch = ev0.where(col("ts_us") > scdCutUs)
+    def funnelStateProbe(path: String): Long = {
+      import graft.operators.EventAnalytics
+      EventAnalytics.funnelFromState(
+        EventAnalytics.mergeFunnelStates(
+          spark.read.parquet(path),
+          EventAnalytics.funnelState(funnelBatch, Seq("user_id"), "ts_us",
+            funnelSteps, cap = 64), cap = 64), 4)
+        .agg(coalesce(sum(col("steps_completed")), lit(0L)))
+        .collect().head.getLong(0)
+    }
+
     // incremental paragraph fuzzy dedup: paragraph LSH states staged
     // UNTIMED at both history sizes; the timed phase dedups a FIXED
     // 200-doc re-crawl batch against them — probe cost must track the
@@ -978,6 +1005,9 @@ object ScaleProbe {
       ("freq_state",
         timed(freqProbe(s"$work/freq_state_x1")),
         timed(freqProbe(s"$work/freq_state_x$mult"))),
+      ("funnel_state",
+        timed(funnelStateProbe(s"$work/funnel_state_x1")),
+        timed(funnelStateProbe(s"$work/funnel_state_x$mult"))),
       ("bottomk_sample",
         timed(bottomkProbe(docs0)), timed(bottomkProbe(docsX))),
       ("group_holdout_hot",
