@@ -5494,6 +5494,55 @@ object SparkEntry {
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
       } finally rmTree(tmp)
+    }),
+
+    // q147: the persisted dedup state maintained by a REAL Structured
+    // Streaming query — documents land as four parquet files, a file
+    // stream (maxFilesPerTrigger=1) ingests them micro-batch by
+    // micro-batch, and foreachBatch appends one slim (text-hash, min id)
+    // state part per batch. (hash → min id) is a commutative monoid, so
+    // the folded survivor set equals the batch exact dedup (q21's
+    // convention) NO MATTER how the stream chopped the corpus — pinned
+    // row-for-row against Dedup.exact and replayed exactly in DuckDB.
+    "q147_streaming_dedup_ingest" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val docs = table(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q147").toString
+      try {
+      val in = s"$tmp/in"
+      val statePath = s"$tmp/state"
+      (0 until 4).foreach { p =>
+        docs.where(pmod(col("doc_id"), lit(4)) === p)
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val ingest = new StreamingOps.DedupIngest(statePath, "text", "doc_id")
+      val query = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch(ingest.asForeachBatch())
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      val surv = ingest.survivors(s).persist()
+      val survIds = surv.select(col("graft_min_id").as("doc_id"))
+      val batchIds = graft.pipeline.Dedup.exact(docs, Seq("text"), "doc_id")
+        .select(col("doc_id"))
+      val parityOk = survIds.exceptAll(batchIds).count() == 0L &&
+        batchIds.exceptAll(survIds).count() == 0L
+      val out = surv.agg(
+          count(lit(1)).cast(DoubleType).as("n_survivors"),
+          sum(col("graft_min_id")).cast(DoubleType).as("id_sum"))
+        .select(lit(docs.count().toDouble).as("n_docs"),
+          col("n_survivors"), col("id_sum"),
+          lit(if (parityOk) 1.0 else 0.0).as("parity_ok"))
+      val materialized = out.collect()
+      surv.unpersist(blocking = false)
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
     })
   )
 
@@ -10701,6 +10750,23 @@ object SparkEntry {
         |  1.0::DOUBLE AS all_exact, 1.0::DOUBLE AS merge_ok,
         |  1.0::DOUBLE AS batch_ok, 1.0::DOUBLE AS cap2_no_overcount,
         |  1.0::DOUBLE AS cap2_exact_match
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // q147: exact-dedup survivor election (min doc_id per distinct text)
+    // — the streaming ingest's folded state must land on exactly this,
+    // whatever the micro-batch boundaries; the row-level parity against
+    // the in-engine batch dedup is a 1.0-pinned flag.
+    "q147_streaming_dedup_ingest" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), surv AS (
+        |  SELECT min(doc_id) AS sid FROM d GROUP BY text
+        |)
+        |SELECT (SELECT count(*) FROM d)::DOUBLE AS n_docs,
+        |  count(*)::DOUBLE AS n_survivors,
+        |  sum(sid)::DOUBLE AS id_sum,
+        |  1.0::DOUBLE AS parity_ok
+        |FROM surv""".stripMargin
   )
 }

@@ -195,6 +195,46 @@ object StreamingOps {
       .drop("graft_fp")
   }
 
+  /** Streaming ingest that maintains the PERSISTED exact-dedup state
+    * ([[graft.pipeline.Dedup.seenTextKeys]]'s family) from a real
+    * Structured Streaming query: attach [[DedupIngest.processBatch]] via
+    * `foreachBatch`, and each micro-batch appends one slim
+    * (graft_kh, graft_min_id) part under `statePath/batch=<id>` —
+    * 128-bit text hash, smallest id seen for it in that batch. Because
+    * (hash → min id) is a commutative monoid, the parts fold at READ
+    * time ([[DedupIngest.survivors]]) to the global smallest id per
+    * distinct text REGARDLESS of micro-batch boundaries or file
+    * ordering — the emit-on-first-sight alternative would make survivor
+    * election depend on whichever batch arrived first. Idempotent under
+    * foreachBatch's at-least-once contract: a replayed batchId
+    * overwrites its own part. Parts can be compacted offline by folding
+    * them into one (the monoid again); the state never stores text.
+    */
+  final class DedupIngest(
+      statePath: String, textCol: String, idCol: String) extends Serializable {
+
+    /** The foreachBatch hook. Null texts/ids are not represented: they
+      * can never win a survivor election.
+      */
+    def processBatch(batch: DataFrame, batchId: Long): Unit = {
+      batch
+        .where(col(textCol).isNotNull && col(idCol).isNotNull)
+        .groupBy(md5(col(textCol).cast("binary")).as("graft_kh"))
+        .agg(min(col(idCol)).as("graft_min_id"))
+        .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+    }
+
+    def asForeachBatch(): (DataFrame, Long) => Unit = processBatch
+
+    /** (graft_kh, graft_min_id) folded across every ingested part: the
+      * exact-dedup survivor ids of the whole stream so far.
+      */
+    def survivors(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      spark.read.parquet(statePath)
+        .groupBy(col("graft_kh"))
+        .agg(min(col("graft_min_id")).as("graft_min_id"))
+  }
+
   /** Data freshness: fraction of rows within `maxAgeSeconds` of `nowEpoch`
     * (batch analog of the reference's DataFreshness DQDL rule,
     * dqdl/execution/executors/DataFreshnessExecutor.scala:27).

@@ -138,6 +138,27 @@ class StreamingIntegrationSpec extends AnyWordSpec with Matchers with SparkSpec 
     }
   }
 
+  "DedupIngest over foreachBatch" should {
+    "elect the global min-id survivors regardless of batch order and replays" in {
+      val s = spark
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+      try {
+        val ingest = new StreamingOps.DedupIngest(s"$dir/state", "text", "id")
+        val b1 = Seq((7L, "a"), (9L, "b"), (11L, null: String)).toDF("id", "text")
+        val b2 = Seq((3L, "a"), (8L, "c")).toDF("id", "text")
+        // batches arrive OUT of corpus order; b2 replays (at-least-once)
+        ingest.processBatch(b2, 0L)
+        ingest.processBatch(b1, 1L)
+        ingest.processBatch(b2, 0L)
+        val surv = ingest.survivors(s)
+          .select(col("graft_min_id")).as[Long].collect().sorted
+        surv shouldBe Seq(3L, 8L, 9L) // min id per text; null text skipped
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   "windowed aggregation with watermark on a real stream" should {
     "produce closed windows downstream" in {
       val s = spark
