@@ -153,6 +153,24 @@ object FreqItems {
       .agg(sketchAggCol(col(itemCol), capacity).as("mg"))
   }
 
+  /** [[freqState]] over PRE-AGGREGATED (item, weight) rows — the shape a
+    * tokenizer or upstream groupBy hands over. Each row is treated as a
+    * one-item summary of `weight` occurrences and folded through the
+    * merge aggregator, so the Misra-Gries bound holds with n = the total
+    * weight. Null items or null/non-positive weights skip.
+    */
+  def freqStateWeighted(df: DataFrame, groupCols: Seq[String],
+      itemCol: String, weightCol: String,
+      capacity: Int = DefaultCapacity): DataFrame = {
+    require(groupCols.nonEmpty, "freqStateWeighted needs a group column")
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val w = col(weightCol).cast("long")
+    val asCell = when(col(itemCol).isNotNull && w > 0L,
+      struct(map(col(itemCol), w).as("counters"), w.as("n")))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(mergeAggCol(asCell, capacity).as("mg"))
+  }
+
   /** Fold states (or a state and a new batch's state) — per-group
     * summary merge, any batch order within the Misra-Gries bound.
     */

@@ -233,6 +233,26 @@ object StreamingOps {
       spark.read.parquet(statePath)
         .groupBy(col("graft_kh"))
         .agg(min(col("graft_min_id")).as("graft_min_id"))
+
+    /** Folds every per-batch part into ONE compacted part (the monoid
+      * again) so a long-lived ingest does not accumulate unbounded
+      * small-file state. Safe between (not during) triggers; the
+      * compacted part reserves batch id Long.MaxValue, past any real
+      * batchId, so later batches never overwrite it and a re-compaction
+      * folds it like any other part.
+      */
+    def compact(spark: org.apache.spark.sql.SparkSession): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(s"$statePath-compacting")
+      // distributed fold to a sibling dir, then an atomic-per-dir swap —
+      // never a read-overwrite of the path being read
+      survivors(spark).write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(statePath))
+      fs.rename(tmp,
+        new org.apache.hadoop.fs.Path(s"$statePath/batch=${Long.MaxValue}"))
+    }
   }
 
   /** Data freshness: fraction of rows within `maxAgeSeconds` of `nowEpoch`

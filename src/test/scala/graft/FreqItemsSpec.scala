@@ -89,6 +89,32 @@ class FreqItemsSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "FreqItems.freqStateWeighted" should {
+    "equal the unweighted build on pre-aggregated counts" in {
+      val s = spark
+      import s.implicits._
+      val items = stream(6000, 18, seed = 53)
+      val exact = exactCounts(items)
+      val weighted = exact.toSeq.map { case (k, c) => ("g", k, c) }
+        .toDF("grp", "item", "w")
+      val (mg, n) = summaryOf(
+        FreqItems.freqStateWeighted(weighted, Seq("grp"), "item", "w", 64))
+      n shouldBe 6000L
+      mg shouldBe exact // capacity >= vocab: exact
+      // null items and non-positive weights skip
+      val dirty = (weighted.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2))).toSeq ++
+        Seq(("g", null, 5L), ("g", "wx", 0L), ("g", "wy", -3L)))
+        .toDF("grp", "item", "w")
+      val (mg2, n2) = FreqItems.freqStateWeighted(
+        dirty, Seq("grp"), "item", "w", 64) match {
+        case df => summaryOf(df)
+      }
+      n2 shouldBe 6000L
+      mg2 shouldBe exact
+    }
+  }
+
   "FreqItems.mergeStates" should {
     "fold parquet-staged batch states with the bound intact" in {
       val s = spark

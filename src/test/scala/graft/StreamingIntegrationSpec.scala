@@ -154,6 +154,15 @@ class StreamingIntegrationSpec extends AnyWordSpec with Matchers with SparkSpec 
         val surv = ingest.survivors(s)
           .select(col("graft_min_id")).as[Long].collect().sorted
         surv shouldBe Seq(3L, 8L, 9L) // min id per text; null text skipped
+
+        // compaction folds the parts into one and changes nothing; later
+        // batches keep folding against the compacted part
+        ingest.compact(s)
+        ingest.survivors(s).select(col("graft_min_id"))
+          .as[Long].collect().sorted shouldBe Seq(3L, 8L, 9L)
+        ingest.processBatch(Seq((1L, "a"), (4L, "d")).toDF("id", "text"), 2L)
+        ingest.survivors(s).select(col("graft_min_id"))
+          .as[Long].collect().sorted shouldBe Seq(1L, 4L, 8L, 9L)
       } finally org.apache.commons.io.FileUtils
         .deleteQuietly(new java.io.File(dir))
     }
