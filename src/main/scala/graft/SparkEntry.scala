@@ -5543,6 +5543,67 @@ object SparkEntry {
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
       } finally rmTree(tmp)
+    }),
+
+    // q148: incremental IVF index maintenance — the production ANN shape:
+    // the coarse quantizer is trained ONCE, staged as parquet, and
+    // FROZEN; each batch's postings are a map-side assignment appended
+    // under it. Postings are a commutative monoid (bag union), so the
+    // parity-split staged index must equal the one-shot build
+    // row-for-row (pinned), the model must survive its parquet round
+    // trip bit-exactly (pinned), and serving from the staged state keeps
+    // q27's completeness/recall bars against exact brute force.
+    "q148_ivf_index_state" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q148").toString
+      try {
+      val trained = Similarity.trainIvfCentroids(emb, "embedding", nlist = 8)
+      Similarity.ivfModelFrame(s, trained)
+        .write.mode("overwrite").parquet(s"$tmp/model")
+      val centroids = Similarity.readIvfModel(s, s"$tmp/model")
+      val modelOk = trained.length == centroids.length &&
+        trained.zip(centroids).forall { case (a, b) =>
+          java.util.Arrays.equals(a, b) }
+      // batches by vec_id parity, staged OUT of order
+      Similarity.ivfIndexState(emb.where(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", centroids)
+        .write.mode("overwrite").parquet(s"$tmp/post/batch=1")
+      Similarity.ivfIndexState(emb.where(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", centroids)
+        .write.mode("overwrite").parquet(s"$tmp/post/batch=0")
+      val state = s.read.parquet(s"$tmp/post")
+        .select(col("graft_cell"), col("neighbor_id"), col("graft_cv"))
+        .persist()
+      val oneShot = Similarity.ivfIndexState(emb, "vec_id", "embedding",
+        centroids).select(col("graft_cell"), col("neighbor_id"), col("graft_cv"))
+      val slim = state.select(col("graft_cell"), col("neighbor_id"))
+      val slimOne = oneShot.select(col("graft_cell"), col("neighbor_id"))
+      val parityOk = slim.exceptAll(slimOne).count() == 0L &&
+        slimOne.exceptAll(slim).count() == 0L
+      val queries = emb.filter(col("vec_id") < 5)
+      val nQueries = queries.count()
+      val ivf = annTop4(Similarity.ivfTopKFromState(state, centroids,
+        queries, "vec_id", "embedding", k = 5, nprobe = 6))
+        .select("query_id", "neighbor_id").persist()
+      val bf = annTop4(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5))
+        .select("query_id", "neighbor_id").persist()
+      val nBf = bf.count()
+      val matched = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val nIvf = ivf.count()
+      val nVectors = emb.count()
+      state.unpersist(blocking = false)
+      ivf.unpersist(blocking = false)
+      bf.unpersist(blocking = false)
+      metricRow(s, Seq(
+        "n_vectors" -> nVectors.toDouble,
+        "n_queries" -> nQueries.toDouble,
+        "model_roundtrip_ok" -> flag(modelOk),
+        "state_parity_ok" -> flag(parityOk),
+        "ivf_complete_ok" -> flag(nIvf == nBf),
+        "ivf_recall_ok" -> flag(nBf == 0 || matched.toDouble / nBf >= 0.8)))
+      } finally rmTree(tmp)
     })
   )
 
@@ -10767,6 +10828,18 @@ object SparkEntry {
         |  count(*)::DOUBLE AS n_survivors,
         |  sum(sid)::DOUBLE AS id_sum,
         |  1.0::DOUBLE AS parity_ok
-        |FROM surv""".stripMargin
+        |FROM surv""".stripMargin,
+
+    // q148: exact corpus/query counts; the staged-vs-one-shot postings
+    // parity, the model parquet round trip, and the q27
+    // completeness/recall bars are 1.0-pinned flags.
+    "q148_ivf_index_state" ->
+      """SELECT (SELECT count(*) FROM embeddings)::DOUBLE AS n_vectors,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id < 5)::DOUBLE
+        |    AS n_queries,
+        |  1.0::DOUBLE AS model_roundtrip_ok,
+        |  1.0::DOUBLE AS state_parity_ok,
+        |  1.0::DOUBLE AS ivf_complete_ok,
+        |  1.0::DOUBLE AS ivf_recall_ok""".stripMargin
   )
 }

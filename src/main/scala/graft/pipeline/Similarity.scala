@@ -718,20 +718,92 @@ object Similarity {
       sampleSize: Int = 2048,
       iterations: Int = 5): DataFrame = {
     val centroids = trainCentroids(corpus, corpusVec, nlist, sampleSize, iterations)
-    val probes = math.min(nprobe, centroids.length)
+    ivfTopKFromState(ivfIndexState(corpus, corpusId, corpusVec, centroids),
+      centroids, queries, queryId, queryVec, k, nprobe)
+  }
 
-    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("graft_cv"))
+  // -------------------------------------------------------------------------
+  // Incremental IVF index state — the maintained-index production shape
+  // -------------------------------------------------------------------------
+  //
+  // A 100-TB ANN index is not rebuilt per ingest: the coarse quantizer is
+  // trained ONCE (on a representative sample) and FROZEN, and each new
+  // batch is assigned to its nearest frozen centroid and APPENDED to the
+  // postings — a pure map-side job plus a write; the postings table is a
+  // commutative monoid under bag union, so staged batches fold in any
+  // order to byte-identical postings of a one-shot build with the same
+  // quantizer. Queries never touch raw corpus rows outside the probed
+  // cells. (Re-training the quantizer = building a NEW index; the frozen
+  // contract is what makes the increment exact.)
+
+  /** Trains the frozen coarse quantizer — [[trainCentroids]] made public
+    * for index-state callers. Deterministic for fixed data +
+    * partitioning + seed.
+    */
+  def trainIvfCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      sampleSize: Int = 2048,
+      iterations: Int = 5,
+      seed: Long = 42L): Seq[Array[Double]] =
+    trainCentroids(corpus, vecCol, nlist, sampleSize, iterations, seed)
+
+  /** (cell int, w array&lt;double&gt;) — the frozen quantizer as a frame, for
+    * parquet staging next to the postings.
+    */
+  def ivfModelFrame(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[Array[Double]]): DataFrame = {
+    val rows = centroids.zipWithIndex.map { case (w, i) =>
+      org.apache.spark.sql.Row(i, w.toSeq) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.ArrayType(DoubleType)))))
+  }
+
+  def readIvfModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Array[Double]] =
+    spark.read.parquet(path).orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toArray).toSeq
+
+  /** One batch's postings under the FROZEN quantizer:
+    * (graft_cell, neighbor_id, graft_cv) — assignment is argmax dot, a
+    * map-side expression, no shuffle. Append batches in any order; the
+    * union IS the index.
+    */
+  def ivfIndexState(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "ivfIndexState needs a trained quantizer")
+    batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("graft_cv"))
       .withColumn("graft_cell",
         array_max(centroidDots(col("graft_cv"), centroids)).getField("cell"))
+  }
 
-    // query probes: top-nprobe cells by centroid dot
+  /** IVF top-k served FROM a staged postings state (the query half of
+    * [[ivfTopK]] — same probe/join/re-rank plan, no corpus assignment
+    * pass, no quantizer retraining).
+    */
+  def ivfTopKFromState(
+      state: DataFrame,
+      centroids: Seq[Array[Double]],
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val probes = math.min(nprobe, centroids.length)
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("graft_qv"))
       .withColumn("graft_probes",
         slice(reverse(array_sort(centroidDots(col("graft_qv"), centroids))), 1, probes))
       .withColumn("graft_cell", explode(transform(col("graft_probes"), p => p.getField("cell"))))
       .drop("graft_probes")
-
-    val scored = c.join(broadcast(q), Seq("graft_cell"))
+    val scored = state.join(broadcast(q), Seq("graft_cell"))
       .withColumn("similarity", cosine(col("graft_cv"), col("graft_qv")))
     topKPerQuery(scored, "query_id", "neighbor_id", "similarity", k)
   }

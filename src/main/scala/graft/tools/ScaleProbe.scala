@@ -957,6 +957,33 @@ object ScaleProbe {
         .agg(coalesce(sum(col("mg.n")), lit(0L)))
         .collect().head.getLong(0)
 
+    // incremental IVF index state (q148): a FROZEN quantizer, postings
+    // staged UNTIMED at both corpus sizes. ivf_state_append assigns and
+    // counts a FIXED 500-vector batch — pure map-side under the frozen
+    // centroids, must stay flat however large the staged index is.
+    // ivf_state_serve answers a fixed 8-query top-k from the staged
+    // postings — candidates grow with corpus/nlist, the bounded heap
+    // keeps the output at queries x k.
+    val ivfCentroids = Similarity.trainIvfCentroids(
+      emb0, "embedding", nlist = 16)
+    def ivfStateSetup(e: DataFrame, path: String): Unit =
+      Similarity.ivfIndexState(e, "vec_id", "embedding", ivfCentroids)
+        .write.mode("overwrite").parquet(path)
+    ivfStateSetup(emb0, s"$work/ivf_state_x1")
+    ivfStateSetup(embX, s"$work/ivf_state_x$mult")
+    val ivfBatch = emb0.orderBy("vec_id").limit(500)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfBatch.count()
+    def ivfAppendProbe(): Long =
+      Similarity.ivfIndexState(ivfBatch, "vec_id", "embedding", ivfCentroids)
+        .count()
+    val ivfQueries = emb0.where(col("vec_id") < 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfQueries.count()
+    def ivfServeProbe(path: String): Long =
+      Similarity.ivfTopKFromState(spark.read.parquet(path), ivfCentroids,
+        ivfQueries, "vec_id", "embedding", k = 10, nprobe = 4).count()
+
     // consistent bottom-k sample (q141): fixed k over a 10x corpus — the
     // bounded-heap aggregate's cost is one map-side pass; the sampled
     // row count pins flat at groups x k at both scales
@@ -1008,6 +1035,11 @@ object ScaleProbe {
       ("funnel_state",
         timed(funnelStateProbe(s"$work/funnel_state_x1")),
         timed(funnelStateProbe(s"$work/funnel_state_x$mult"))),
+      ("ivf_state_append",
+        timed(ivfAppendProbe()), timed(ivfAppendProbe())),
+      ("ivf_state_serve",
+        timed(ivfServeProbe(s"$work/ivf_state_x1")),
+        timed(ivfServeProbe(s"$work/ivf_state_x$mult"))),
       ("bottomk_sample",
         timed(bottomkProbe(docs0)), timed(bottomkProbe(docsX))),
       ("group_holdout_hot",

@@ -303,6 +303,58 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "incremental IVF index state" should {
+    "fold staged batches to the one-shot postings and serve identically" in {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(11)
+      val centers = (0 until 8).map(_ => Array.fill(16)(rng.nextGaussian().toFloat))
+      val corpus = (0 until 200).map { i =>
+        val c = centers(i % 8)
+        (i.toLong, c.map(x => x + 0.05f * rng.nextGaussian().toFloat))
+      }.toDF("vec_id", "embedding")
+      val queries = corpus.filter(col("vec_id") < 8L)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      try {
+        val trained = Similarity.trainIvfCentroids(corpus, "embedding",
+          nlist = 8, sampleSize = 200)
+        Similarity.ivfModelFrame(s, trained)
+          .write.mode("overwrite").parquet(s"$dir/model")
+        val centroids = Similarity.readIvfModel(s, s"$dir/model")
+        centroids.length shouldBe trained.length
+        centroids.zip(trained).foreach { case (a, b) =>
+          a.toSeq shouldBe b.toSeq } // bit-exact parquet round trip
+        // three out-of-order staged batches == one-shot build
+        Seq(2, 0, 1).foreach { p =>
+          Similarity.ivfIndexState(
+              corpus.where(pmod(col("vec_id"), lit(3)) === p),
+              "vec_id", "embedding", centroids)
+            .write.mode("overwrite").parquet(s"$dir/post/batch=$p")
+        }
+        val state = s.read.parquet(s"$dir/post")
+          .select(col("graft_cell"), col("neighbor_id"), col("graft_cv"))
+        val oneShot = Similarity.ivfIndexState(corpus, "vec_id", "embedding",
+          centroids).select(col("graft_cell"), col("neighbor_id"))
+        state.select(col("graft_cell"), col("neighbor_id"))
+          .exceptAll(oneShot).count() shouldBe 0L
+        oneShot.exceptAll(state.select(col("graft_cell"), col("neighbor_id")))
+          .count() shouldBe 0L
+        // serving from the staged state == the one-shot ivfTopK plan on
+        // the same frozen quantizer
+        def sets(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+            .view.mapValues(_.map(_._2).toSet).toMap
+        val served = sets(Similarity.ivfTopKFromState(state, centroids,
+          queries, "vec_id", "embedding", k = 10, nprobe = 2))
+        val direct = sets(Similarity.ivfTopKFromState(
+          Similarity.ivfIndexState(corpus, "vec_id", "embedding", centroids),
+          centroids, queries, "vec_id", "embedding", k = 10, nprobe = 2))
+        served shouldBe direct
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   "int8 quantization" should {
     "round-trip embeddings with high cosine fidelity and bounded codes" in {
       val s = spark
