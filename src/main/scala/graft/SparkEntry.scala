@@ -5604,6 +5604,72 @@ object SparkEntry {
         "ivf_complete_ok" -> flag(nIvf == nBf),
         "ivf_recall_ok" -> flag(nBf == 0 || matched.toDouble / nBf >= 0.8)))
       } finally rmTree(tmp)
+    }),
+
+    // q149: incremental PQ index maintenance — the compressed sibling of
+    // q148: codebooks trained once, staged as parquet, FROZEN; each
+    // batch's m-byte code rows are a map-side encode appended under them
+    // (bag-union monoid). Staged-vs-one-shot code parity and the model
+    // round trip are pinned exactly; serving from the staged codes must
+    // return the IDENTICAL top-k sets as the one-shot pqTopK on the same
+    // model, and q80's completeness/recall bars hold against exact brute
+    // force.
+    "q149_pq_index_state" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8L)
+      val k = 10
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q149").toString
+      try {
+      val trained = Similarity.trainPq(emb, "embedding", m = 16, ksub = 64)
+      Similarity.pqModelFrame(s, trained)
+        .write.mode("overwrite").parquet(s"$tmp/model")
+      val model = Similarity.readPqModel(s, s"$tmp/model")
+      val modelOk = model.m == trained.m && model.dsub == trained.dsub &&
+        model.codebooks.indices.forall(j =>
+          model.codebooks(j).length == trained.codebooks(j).length &&
+            model.codebooks(j).indices.forall(c => java.util.Arrays.equals(
+              model.codebooks(j)(c), trained.codebooks(j)(c))))
+      Similarity.pqCodesState(emb.where(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", model)
+        .write.mode("overwrite").parquet(s"$tmp/codes/batch=1")
+      Similarity.pqCodesState(emb.where(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", model)
+        .write.mode("overwrite").parquet(s"$tmp/codes/batch=0")
+      val codes = s.read.parquet(s"$tmp/codes")
+        .select(col("neighbor_id"), col("graft_codes")).persist()
+      val oneShot = Similarity.pqCodesState(emb, "vec_id", "embedding", model)
+      val parityOk = codes.exceptAll(oneShot).count() == 0L &&
+        oneShot.exceptAll(codes).count() == 0L
+      val served = Similarity.pqTopKFromCodes(codes, model,
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = k, rerank = 120)
+        .select("query_id", "neighbor_id").persist()
+      val direct = Similarity.pqTopKFromCodes(oneShot, model,
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = k, rerank = 120)
+        .select("query_id", "neighbor_id")
+      val serveOk = served.exceptAll(direct).count() == 0L &&
+        direct.exceptAll(served).count() == 0L
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = k)
+        .select("query_id", "neighbor_id").persist()
+      val nBf = bf.count()
+      val matched = bf.join(served, Seq("query_id", "neighbor_id"),
+        "left_semi").count()
+      val nServed = served.count()
+      codes.unpersist(blocking = false)
+      served.unpersist(blocking = false)
+      bf.unpersist(blocking = false)
+      metricRow(s, Seq(
+        "n_vectors" -> emb.count().toDouble,
+        "n_queries" -> queries.count().toDouble,
+        "model_roundtrip_ok" -> flag(modelOk),
+        "codes_parity_ok" -> flag(parityOk),
+        "serve_parity_ok" -> flag(serveOk),
+        "pq_complete_ok" -> flag(nServed == nBf),
+        "pq_recall_ok" -> flag(nBf == 0 || matched.toDouble / nBf >= 0.8)))
+      } finally rmTree(tmp)
     })
   )
 
@@ -10840,6 +10906,19 @@ object SparkEntry {
         |  1.0::DOUBLE AS model_roundtrip_ok,
         |  1.0::DOUBLE AS state_parity_ok,
         |  1.0::DOUBLE AS ivf_complete_ok,
-        |  1.0::DOUBLE AS ivf_recall_ok""".stripMargin
+        |  1.0::DOUBLE AS ivf_recall_ok""".stripMargin,
+
+    // q149: exact corpus/query counts; model round trip, staged code
+    // parity, staged-vs-one-shot serve parity, and q80's bars are
+    // 1.0-pinned flags.
+    "q149_pq_index_state" ->
+      """SELECT (SELECT count(*) FROM embeddings)::DOUBLE AS n_vectors,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id < 8)::DOUBLE
+        |    AS n_queries,
+        |  1.0::DOUBLE AS model_roundtrip_ok,
+        |  1.0::DOUBLE AS codes_parity_ok,
+        |  1.0::DOUBLE AS serve_parity_ok,
+        |  1.0::DOUBLE AS pq_complete_ok,
+        |  1.0::DOUBLE AS pq_recall_ok""".stripMargin
   )
 }

@@ -927,11 +927,67 @@ object Similarity {
       rerank: Int = 0,
       sampleSize: Int = 2048,
       iterations: Int = 8): DataFrame = {
-    val pool = if (rerank > 0) math.max(rerank, k) else math.max(4 * k, k)
+    // the slim code table is the only corpus-sized frame the ADC scan
+    // touches; the top-`pool` selection inside pqTopKFromCodes is the
+    // bounded-heap aggregate, NOT a per-query window — a window would
+    // funnel the WHOLE scored corpus through one task per query (the one
+    // 100-TB scale-killer the r12 verdict flagged)
     val model = trainPq(corpus, corpusVec, m, ksub, sampleSize, iterations)
-    val spark = corpus.sparkSession
-    val bModel = spark.sparkContext.broadcast(model)
+    pqTopKFromCodes(pqCodesState(corpus, corpusId, corpusVec, model), model,
+      corpus, corpusId, corpusVec, queries, queryId, queryVec, k, rerank)
+  }
 
+  // -------------------------------------------------------------------------
+  // Incremental PQ index state — the compressed sibling of the IVF state
+  // -------------------------------------------------------------------------
+  //
+  // Same frozen-model contract as [[ivfIndexState]]: codebooks are
+  // trained once and staged as parquet; each batch's m-byte code rows
+  // are a pure map-side encode appended under them (bag-union monoid).
+  // The ADC scan then serves from the slim staged code table; only the
+  // re-rank pool ever rejoins the full vectors in the lake.
+
+  /** (j, c, w) — the frozen codebooks as a frame for parquet staging;
+    * m/dsub reconstruct from the rows.
+    */
+  def pqModelFrame(spark: org.apache.spark.sql.SparkSession,
+      model: PqModel): DataFrame = {
+    val rows = for {
+      j <- model.codebooks.indices
+      c <- model.codebooks(j).indices
+    } yield org.apache.spark.sql.Row(j, c, model.codebooks(j)(c).toSeq)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("j",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.ArrayType(DoubleType)))))
+  }
+
+  def readPqModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqModel = {
+    val rows = spark.read.parquet(path).orderBy(col("j"), col("c")).collect()
+    require(rows.nonEmpty, s"empty PQ model at $path")
+    val m = rows.map(_.getInt(0)).max + 1
+    val codebooks = Array.tabulate(m) { j =>
+      rows.filter(_.getInt(0) == j).map(_.getSeq[Double](2).toArray)
+    }
+    PqModel(m, codebooks.head.head.length, codebooks)
+  }
+
+  /** One batch's code rows under the FROZEN codebooks:
+    * (neighbor_id, graft_codes) — encode is per-row imperative work over
+    * the broadcast model, no shuffle. Null vectors are skipped. Append
+    * batches in any order; the union IS the index.
+    */
+  def pqCodesState(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: PqModel): DataFrame = {
+    val bModel = batch.sparkSession.sparkContext.broadcast(model)
     val toUnit = (v: Seq[Float]) => {
       val a = v.map(_.toDouble).toArray
       val n = math.sqrt(a.map(x => x * x).sum)
@@ -939,26 +995,40 @@ object Similarity {
     }
     val encodeUdf = udf((v: Seq[Float]) =>
       if (v == null) null else bModel.value.encode(toUnit(v)))
+    batch.select(col(idCol).as("neighbor_id"),
+        encodeUdf(col(vecCol)).as("graft_codes"))
+      .where(col("graft_codes").isNotNull)
+  }
+
+  /** PQ top-k served FROM a staged code table (the scan half of
+    * [[pqTopK]]): ADC scores the slim codes against broadcast query
+    * LUTs, the bounded heap takes the rerank pool, and ONLY the pool
+    * rejoins the full vectors in `corpus` for exact-cosine re-ranking —
+    * PQ error can cost recall, never score accuracy.
+    */
+  def pqTopKFromCodes(
+      codes: DataFrame,
+      model: PqModel,
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      rerank: Int = 0): DataFrame = {
+    val pool = if (rerank > 0) math.max(rerank, k) else math.max(4 * k, k)
+    val bModel = codes.sparkSession.sparkContext.broadcast(model)
+    val toUnit = (v: Seq[Float]) => {
+      val a = v.map(_.toDouble).toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0.0) a else a.map(_ / n)
+    }
     val lutUdf = udf((v: Seq[Float]) =>
       if (v == null) null else bModel.value.lookupTable(toUnit(v)))
-
-    // the slim code table: id + m small ints — the only corpus-sized
-    // frame the ADC scan touches
-    val codes = corpus
-      .select(col(corpusId).as("neighbor_id"),
-        encodeUdf(col(corpusVec)).as("graft_codes"))
-      .where(col("graft_codes").isNotNull)
     val luts = queries
       .select(col(queryId).as("query_id"), lutUdf(col(queryVec)).as("graft_lut"))
       .where(col("graft_lut").isNotNull)
-
-    // ADC scan: broadcast nested-loop against the bounded query set;
-    // score = m array lookups, pure map-side expressions over the codes.
-    // The top-`pool` selection is the bounded-heap aggregate, NOT a
-    // per-query window — a window would funnel the WHOLE scored corpus
-    // through one task per query (the one 100-TB scale-killer the r12
-    // verdict flagged); the heap keeps `pool` candidates of state per
-    // (partition, query) and partial-combines before the shuffle.
     val approx = aggregate(
       zip_with(col("graft_codes"), col("graft_lut"),
         (c, row) => element_at(row, c + 1)),
@@ -967,7 +1037,6 @@ object Similarity {
         codes.crossJoin(broadcast(luts)).withColumn("graft_approx", approx),
         "query_id", "neighbor_id", "graft_approx", pool)
       .select("query_id", "neighbor_id")
-
     exactRerank(candidates, corpus, corpusId, corpusVec,
       queries, queryId, queryVec, k)
   }

@@ -355,6 +355,59 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "incremental PQ index state" should {
+    "round-trip the model, fold staged codes, and serve identically" in {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(29)
+      val centers = (0 until 8).map(_ => Array.fill(16)(rng.nextGaussian().toFloat))
+      val corpus = (0 until 200).map { i =>
+        val c = centers(i % 8)
+        (i.toLong, c.map(x => x + 0.05f * rng.nextGaussian().toFloat))
+      }.toDF("vec_id", "embedding")
+      val queries = corpus.filter(col("vec_id") < 8L)
+      val dir = java.nio.file.Files.createTempDirectory("graft-pqstate").toString
+      try {
+        val trained = Similarity.trainPq(corpus, "embedding",
+          m = 4, ksub = 8, sampleSize = 200)
+        Similarity.pqModelFrame(s, trained)
+          .write.mode("overwrite").parquet(s"$dir/model")
+        val model = Similarity.readPqModel(s, s"$dir/model")
+        model.m shouldBe trained.m
+        model.dsub shouldBe trained.dsub
+        model.codebooks.indices.foreach { j =>
+          model.codebooks(j).indices.foreach { c =>
+            model.codebooks(j)(c).toSeq shouldBe trained.codebooks(j)(c).toSeq
+          }
+        }
+        Seq(1, 0).foreach { p =>
+          Similarity.pqCodesState(
+              corpus.where(pmod(col("vec_id"), lit(2)) === p),
+              "vec_id", "embedding", model)
+            .write.mode("overwrite").parquet(s"$dir/codes/batch=$p")
+        }
+        val codes = s.read.parquet(s"$dir/codes")
+          .select(col("neighbor_id"), col("graft_codes"))
+        val oneShot = Similarity.pqCodesState(corpus, "vec_id", "embedding",
+          model)
+        codes.exceptAll(oneShot).count() shouldBe 0L
+        oneShot.exceptAll(codes).count() shouldBe 0L
+        def sets(df: org.apache.spark.sql.DataFrame) =
+          df.select("query_id", "neighbor_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+            .view.mapValues(_.map(_._2).toSet).toMap
+        val served = sets(Similarity.pqTopKFromCodes(codes, model,
+          corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = 10, rerank = 40))
+        val direct = sets(Similarity.pqTopKFromCodes(oneShot, model,
+          corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = 10, rerank = 40))
+        served shouldBe direct
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   "int8 quantization" should {
     "round-trip embeddings with high cosine fidelity and bounded codes" in {
       val s = spark
