@@ -5329,11 +5329,15 @@ object SparkEntry {
     "q145_freq_items_state" -> ((s, dir) => {
       import graft.checks.{Check, CheckLevel, CheckStatus, VerificationSuite}
       import graft.sketch.FreqItems
+      // slim (source, doc_id, item) rows feed five downstream passes
+      // (two half-states, the pruned state, exact counts, the global
+      // top) — one tokenize, cached
       val toks = table(s, dir, "documents")
         .where(col("doc_id").isNotNull && col("text").isNotNull)
         .select(col("source"), col("doc_id"),
           explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
             .as("item"))
+        .persist()
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q145").toString
       try {
@@ -5411,6 +5415,7 @@ object SparkEntry {
       val materialized = out.collect()
       merged.unpersist(blocking = false)
       exact.unpersist(blocking = false)
+      toks.unpersist(blocking = false)
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
       } finally rmTree(tmp)
