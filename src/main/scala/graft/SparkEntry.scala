@@ -5675,6 +5675,80 @@ object SparkEntry {
         "pq_complete_ok" -> flag(nServed == nBf),
         "pq_recall_ok" -> flag(nBf == 0 || matched.toDouble / nBf >= 0.8)))
       } finally rmTree(tmp)
+    }),
+
+    // q150: the composed IVF-PQ index as a persisted state — coarse
+    // quantizer AND residual codebooks staged as parquet and frozen;
+    // each batch's (cell, residual-codes) rows append map-side. Same
+    // pins as q148/q149: both models round-trip bit-exactly, staged
+    // postings equal the one-shot encode row-for-row, staged serving
+    // equals one-shot serving set-for-set, and q82's completeness/recall
+    // bars hold against exact brute force.
+    "q150_ivfpq_index_state" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8L)
+      val k = 10
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q150").toString
+      try {
+      val (coarse0, pq0) = Similarity.trainIvfPq(emb, "embedding",
+        nlist = 16, m = 16, ksub = 64)
+      Similarity.ivfModelFrame(s, coarse0)
+        .write.mode("overwrite").parquet(s"$tmp/coarse")
+      Similarity.pqModelFrame(s, pq0)
+        .write.mode("overwrite").parquet(s"$tmp/pq")
+      val coarse = Similarity.readIvfModel(s, s"$tmp/coarse")
+      val pq = Similarity.readPqModel(s, s"$tmp/pq")
+      val modelOk = coarse.length == coarse0.length &&
+        coarse.zip(coarse0).forall { case (a, b) =>
+          java.util.Arrays.equals(a, b) } &&
+        pq.m == pq0.m && pq.dsub == pq0.dsub &&
+        pq.codebooks.indices.forall(j =>
+          pq.codebooks(j).length == pq0.codebooks(j).length &&
+            pq.codebooks(j).indices.forall(c => java.util.Arrays.equals(
+              pq.codebooks(j)(c), pq0.codebooks(j)(c))))
+      Similarity.ivfPqCodesState(emb.where(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", coarse, pq)
+        .write.mode("overwrite").parquet(s"$tmp/codes/batch=1")
+      Similarity.ivfPqCodesState(emb.where(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", coarse, pq)
+        .write.mode("overwrite").parquet(s"$tmp/codes/batch=0")
+      val codes = s.read.parquet(s"$tmp/codes")
+        .select(col("neighbor_id"), col("graft_cell"), col("graft_codes"))
+        .persist()
+      val oneShot = Similarity.ivfPqCodesState(emb, "vec_id", "embedding",
+        coarse, pq)
+      val parityOk = codes.exceptAll(oneShot).count() == 0L &&
+        oneShot.exceptAll(codes).count() == 0L
+      val served = Similarity.ivfPqTopKFromCodes(codes, coarse, pq,
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = k, nprobe = 14, rerank = 120)
+        .select("query_id", "neighbor_id").persist()
+      val direct = Similarity.ivfPqTopKFromCodes(oneShot, coarse, pq,
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = k, nprobe = 14, rerank = 120)
+        .select("query_id", "neighbor_id")
+      val serveOk = served.exceptAll(direct).count() == 0L &&
+        direct.exceptAll(served).count() == 0L
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = k)
+        .select("query_id", "neighbor_id").persist()
+      val nBf = bf.count()
+      val matched = bf.join(served, Seq("query_id", "neighbor_id"),
+        "left_semi").count()
+      val nServed = served.count()
+      codes.unpersist(blocking = false)
+      served.unpersist(blocking = false)
+      bf.unpersist(blocking = false)
+      metricRow(s, Seq(
+        "n_vectors" -> emb.count().toDouble,
+        "n_queries" -> queries.count().toDouble,
+        "model_roundtrip_ok" -> flag(modelOk),
+        "codes_parity_ok" -> flag(parityOk),
+        "serve_parity_ok" -> flag(serveOk),
+        "ivfpq_complete_ok" -> flag(nServed == nBf),
+        "ivfpq_recall_ok" -> flag(nBf == 0 || matched.toDouble / nBf >= 0.9)))
+      } finally rmTree(tmp)
     })
   )
 
@@ -10924,6 +10998,18 @@ object SparkEntry {
         |  1.0::DOUBLE AS codes_parity_ok,
         |  1.0::DOUBLE AS serve_parity_ok,
         |  1.0::DOUBLE AS pq_complete_ok,
-        |  1.0::DOUBLE AS pq_recall_ok""".stripMargin
+        |  1.0::DOUBLE AS pq_recall_ok""".stripMargin,
+
+    // q150: exact corpus/query counts; both model round trips, staged
+    // code parity, serve parity, and q82's bars are 1.0-pinned flags.
+    "q150_ivfpq_index_state" ->
+      """SELECT (SELECT count(*) FROM embeddings)::DOUBLE AS n_vectors,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id < 8)::DOUBLE
+        |    AS n_queries,
+        |  1.0::DOUBLE AS model_roundtrip_ok,
+        |  1.0::DOUBLE AS codes_parity_ok,
+        |  1.0::DOUBLE AS serve_parity_ok,
+        |  1.0::DOUBLE AS ivfpq_complete_ok,
+        |  1.0::DOUBLE AS ivfpq_recall_ok""".stripMargin
   )
 }

@@ -1093,13 +1093,30 @@ object Similarity {
       rerank: Int = 0,
       sampleSize: Int = 2048,
       iterations: Int = 8): DataFrame = {
-    val pool = if (rerank > 0) math.max(rerank, k) else math.max(4 * k, k)
-    val spark = corpus.sparkSession
-    val coarse = trainCentroids(corpus, corpusVec, nlist, sampleSize, iterations)
+    val (coarse, pq) = trainIvfPq(corpus, corpusVec, nlist, m, ksub,
+      sampleSize, iterations)
+    ivfPqTopKFromCodes(
+      ivfPqCodesState(corpus, corpusId, corpusVec, coarse, pq), coarse, pq,
+      corpus, corpusId, corpusVec, queries, queryId, queryVec, k, nprobe,
+      rerank)
+  }
+
+  /** Trains the composed IVF-PQ model: coarse centroids plus PQ
+    * codebooks over the sample's RESIDUALS under the coarse assignment —
+    * the same one corpus pass supplies both training sets. Deterministic
+    * for fixed data + partitioning + seed.
+    */
+  def trainIvfPq(
+      corpus: DataFrame,
+      vecCol: String,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      sampleSize: Int = 2048,
+      iterations: Int = 8): (Seq[Array[Double]], PqModel) = {
+    val coarse = trainCentroids(corpus, vecCol, nlist, sampleSize, iterations)
       .toArray
-    // PQ codebooks trained on the sample's RESIDUALS under the coarse
-    // assignment — the same one corpus pass supplies both training sets
-    val sample = sampleVectors(corpus, corpusVec, sampleSize, seed = 42L)
+    val sample = sampleVectors(corpus, vecCol, sampleSize, seed = 42L)
       .map { v =>
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n == 0.0) v else v.map(_ / n)
@@ -1126,11 +1143,23 @@ object Similarity {
       while (j < dim) { r(j) = u(j) - c(j); j += 1 }
       r
     }
-    val residualSample = sample.map(residual)
-    val pq = trainPqOnPoints(residualSample, m, ksub)
-    val bCoarse = spark.sparkContext.broadcast(coarse)
-    val bPq = spark.sparkContext.broadcast(pq)
+    (coarse.toSeq, trainPqOnPoints(sample.map(residual), m, ksub))
+  }
 
+  /** One batch's IVF-PQ postings under the FROZEN model:
+    * (neighbor_id, graft_cell, graft_codes) — cell assignment plus
+    * residual PQ encode in one per-row pass over the broadcast model, no
+    * shuffle. Append batches in any order; the union IS the index.
+    */
+  def ivfPqCodesState(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Seq[Array[Double]],
+      pq: PqModel): DataFrame = {
+    val spark = batch.sparkSession
+    val bCoarse = spark.sparkContext.broadcast(coarse.toArray)
+    val bPq = spark.sparkContext.broadcast(pq)
     val toUnit = (v: Seq[Float]) => {
       val a = v.map(_.toDouble).toArray
       val n = math.sqrt(a.map(x => x * x).sum)
@@ -1157,6 +1186,40 @@ object Similarity {
         (best, bPq.value.encode(r))
       }
     }
+    batch
+      .select(col(idCol).as("neighbor_id"), encodeUdf(col(vecCol)).as("graft_e"))
+      .where(col("graft_e").isNotNull)
+      .select(col("neighbor_id"), col("graft_e._1").as("graft_cell"),
+        col("graft_e._2").as("graft_codes"))
+  }
+
+  /** IVF-PQ top-k served FROM a staged postings state (the query half of
+    * [[ivfPqTopK]]): approximate dot decomposes as q·c_cell +
+    * Σ_j LUT_q[j][code_j]; the bounded heap takes the rerank pool and
+    * ONLY the pool rejoins the full vectors in `corpus`.
+    */
+  def ivfPqTopKFromCodes(
+      codes: DataFrame,
+      coarse: Seq[Array[Double]],
+      pq: PqModel,
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nprobe: Int = 4,
+      rerank: Int = 0): DataFrame = {
+    val pool = if (rerank > 0) math.max(rerank, k) else math.max(4 * k, k)
+    val spark = codes.sparkSession
+    val bCoarse = spark.sparkContext.broadcast(coarse.toArray)
+    val bPq = spark.sparkContext.broadcast(pq)
+    val toUnit = (v: Seq[Float]) => {
+      val a = v.map(_.toDouble).toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0.0) a else a.map(_ / n)
+    }
     // query side: nprobe nearest cells (with q·c per cell) + the ADC LUT
     val probes = math.min(nprobe, coarse.length)
     val queryUdf = udf { (v: Seq[Float]) =>
@@ -1174,11 +1237,6 @@ object Similarity {
           bPq.value.lookupTable(u))
       }
     }
-    val codes = corpus
-      .select(col(corpusId).as("neighbor_id"), encodeUdf(col(corpusVec)).as("graft_e"))
-      .where(col("graft_e").isNotNull)
-      .select(col("neighbor_id"), col("graft_e._1").as("graft_cell"),
-        col("graft_e._2").as("graft_codes"))
     val luts = queries
       .select(col(queryId).as("query_id"), queryUdf(col(queryVec)).as("graft_q"))
       .where(col("graft_q").isNotNull)
