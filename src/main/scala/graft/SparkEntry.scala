@@ -5749,6 +5749,62 @@ object SparkEntry {
         "ivfpq_complete_ok" -> flag(nServed == nBf),
         "ivfpq_recall_ok" -> flag(nBf == 0 || matched.toDouble / nBf >= 0.9)))
       } finally rmTree(tmp)
+    }),
+
+    // q151: the Curation builder's DedupAgainstState stage — the public
+    // pipeline running the daily-ingest shape: batch 1 (odd ids) flows
+    // through a KeepWhere gate + the state dedup stage, its new keys
+    // land as parquet state; batch 2 (even ids) dedups against that
+    // history WITHOUT rescanning it. Survivor election is replayable
+    // exactly: per text, the min id of the FIRST batch containing it.
+    "q151_curation_state_dedup" -> ((s, dir) => {
+      import graft.pipeline.Curation
+      val docs = table(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q151").toString
+      try {
+      val state = s"$tmp/seen"
+      val gate = Curation.KeepWhere("nonempty", length(col("text")) > 0)
+      def run(batch: DataFrame, id: String) = {
+        val r = Curation.pipeline(batch, "doc_id", "text",
+          Seq(gate, Curation.DedupAgainstState(state, id)),
+          persistInput = false)
+        val ids = r.docs.select(col("doc_id")).persist()
+        val n = ids.count()
+        val census = r.censuses.toMap
+        r.release()
+        (ids, n, census)
+      }
+      val (ids1, n1, c1) = run(docs.where(pmod(col("doc_id"), lit(2)) === 1), "b1")
+      val (ids2, n2, c2) = run(docs.where(pmod(col("doc_id"), lit(2)) === 0), "b2")
+      val survivors = ids1.unionByName(ids2).persist()
+      val idSum = survivors.agg(coalesce(sum(col("doc_id")), lit(0L)))
+        .collect().head.getLong(0)
+      // hand-rolled replay of the same two-batch incremental dedup
+      val b1 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      val b2 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val s1 = graft.pipeline.Dedup.exact(b1, Seq("text"), "doc_id")
+      val hand = s1.select(col("doc_id")).unionByName(
+        graft.pipeline.Dedup.exactDedupIncremental(b2, "text", "doc_id",
+          graft.pipeline.Dedup.seenTextKeys(b1, "text"))
+          .select(col("doc_id")))
+      val parityOk = survivors.exceptAll(hand).count() == 0L &&
+        hand.exceptAll(survivors).count() == 0L
+      val censusOk = c1("state_dedup_kept") == n1.toDouble &&
+        c2("state_dedup_kept") == n2.toDouble
+      val out = metricRow(s, Seq(
+        "b1_kept" -> n1.toDouble,
+        "b2_kept" -> n2.toDouble,
+        "id_sum" -> idSum.toDouble,
+        "parity_ok" -> flag(parityOk),
+        "census_ok" -> flag(censusOk)))
+      ids1.unpersist(blocking = false)
+      ids2.unpersist(blocking = false)
+      survivors.unpersist(blocking = false)
+      out
+      } finally rmTree(tmp)
     })
   )
 
@@ -11010,6 +11066,26 @@ object SparkEntry {
         |  1.0::DOUBLE AS codes_parity_ok,
         |  1.0::DOUBLE AS serve_parity_ok,
         |  1.0::DOUBLE AS ivfpq_complete_ok,
-        |  1.0::DOUBLE AS ivfpq_recall_ok""".stripMargin
+        |  1.0::DOUBLE AS ivfpq_recall_ok""".stripMargin,
+
+    // q151: two-batch incremental dedup replayed exactly — per text, the
+    // min id of the FIRST batch (odd ids before even ids) containing it;
+    // builder-vs-hand-rolled parity and census consistency are flags.
+    "q151_curation_state_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), b1 AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+        |b2 AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+        |s1 AS (SELECT text, min(doc_id) AS sid FROM b1 GROUP BY text),
+        |s2 AS (
+        |  SELECT b.text, min(b.doc_id) AS sid FROM b2 b
+        |  LEFT JOIN s1 USING (text) WHERE s1.sid IS NULL GROUP BY b.text
+        |)
+        |SELECT (SELECT count(*) FROM s1)::DOUBLE AS b1_kept,
+        |  (SELECT count(*) FROM s2)::DOUBLE AS b2_kept,
+        |  ((SELECT coalesce(sum(sid), 0) FROM s1) +
+        |   (SELECT coalesce(sum(sid), 0) FROM s2))::DOUBLE AS id_sum,
+        |  1.0::DOUBLE AS parity_ok, 1.0::DOUBLE AS census_ok""".stripMargin
   )
 }

@@ -78,6 +78,18 @@ object Curation {
   /** Arbitrary row predicate (Gopher/C4-style rule gates compose here). */
   final case class KeepWhere(name: String, predicate: Column) extends Stage
 
+  /** Incremental exact dedup against a persisted seen-state — the
+    * daily-ingest stage: drops frame rows whose text was seen by ANY
+    * previous ingest under `statePath` (and dedups within the frame,
+    * smallest id per text — [[Dedup.exactDedupIncremental]]), then
+    * EAGERLY appends this batch's new keys as
+    * `statePath/batch=batchId` (a replayed batchId overwrites its own
+    * part — idempotent under re-runs). The whole history participates
+    * as 128-bit hashed keys only; the corpus behind it never rescans.
+    */
+  final case class DedupAgainstState(statePath: String, batchId: String)
+      extends Stage
+
   /** `docs`: the lazy surviving frame (consume, then `release()`).
     * `censuses`: ordered (stage_name, value) rows — doc counts per
     * stage plus stage-specific extras (boilerplate removed lines).
@@ -260,6 +272,38 @@ object Curation {
       case KeepWhere(name, predicate) =>
         applySurvivors(name + "_kept",
           frame.where(predicate).select(col(idCol)))
+
+      case DedupAgainstState(statePath, batchId) =>
+        val spark = epochBase.sparkSession
+        val statePathH = new org.apache.hadoop.fs.Path(statePath)
+        val fs = statePathH
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // pin the HISTORY part list now: the survivors evaluate lazily,
+        // and a root-dir read would re-list the directory AFTER this
+        // stage's own part lands (or a replayed run's leftover) and drop
+        // the whole batch as already-seen
+        val history: Array[String] =
+          if (!fs.exists(statePathH)) Array.empty
+          else fs.listStatus(statePathH)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName != s"batch=$batchId")
+            .map(_.getPath.toString)
+        val seen: DataFrame =
+          if (history.nonEmpty)
+            spark.read.parquet(history.toIndexedSeq: _*).select(col("graft_kh"))
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("graft_kh",
+                org.apache.spark.sql.types.StringType))))
+        // the batch's NEW keys append eagerly (replays overwrite their
+        // own part); survivors restrict the frame like any other stage
+        Dedup.seenTextKeys(frame, textCol)
+          .join(seen, Seq("graft_kh"), "left_anti")
+          .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+        applySurvivors("state_dedup_kept",
+          Dedup.exactDedupIncremental(frame, textCol, idCol, seen)
+            .select(col(idCol)))
     }
 
     new Result(frame, names.toSeq, n => thunks(n)(), caches.toSeq,

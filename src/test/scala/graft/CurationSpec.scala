@@ -37,6 +37,36 @@ class CurationSpec extends AnyWordSpec with Matchers with SparkSpec {
       r.release()
     }
 
+    "dedup each ingest batch against the persisted seen-state" in {
+      val s = spark
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-curstate").toString
+      try {
+        val state = s"$dir/seen"
+        val b1 = Seq((5L, "alpha"), (9L, "alpha"), (7L, "beta"))
+          .toDF("doc_id", "text")
+        val b2 = Seq((2L, "alpha"), (4L, "gamma"), (6L, "gamma"))
+          .toDF("doc_id", "text")
+        val r1 = Curation.pipeline(b1, "doc_id", "text",
+          Seq(Curation.DedupAgainstState(state, "b1")), persistInput = false)
+        r1.docs.select("doc_id").as[Long].collect().sorted shouldBe
+          Seq(5L, 7L) // within-batch min-id election
+        r1.censuses shouldBe Seq("input_docs" -> 3.0, "state_dedup_kept" -> 2.0)
+        r1.release()
+        val r2 = Curation.pipeline(b2, "doc_id", "text",
+          Seq(Curation.DedupAgainstState(state, "b2")), persistInput = false)
+        // "alpha" was seen by b1; "gamma" dedups within b2
+        r2.docs.select("doc_id").as[Long].collect().sorted shouldBe Seq(4L)
+        r2.release()
+        // replaying b2 must not see its own keys (idempotent part name)
+        val r2b = Curation.pipeline(b2, "doc_id", "text",
+          Seq(Curation.DedupAgainstState(state, "b2")), persistInput = false)
+        r2b.docs.select("doc_id").as[Long].collect().sorted shouldBe Seq(4L)
+        r2b.release()
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
+    }
+
     "uniquify censuses when two stages share a name" in {
       // two KeepWhere stages with the SAME name: both censuses must
       // survive, in stage order, not overwrite each other's thunk
