@@ -5805,6 +5805,80 @@ object SparkEntry {
       survivors.unpersist(blocking = false)
       out
       } finally rmTree(tmp)
+    }),
+
+    // q152: the snapshot drift report composed from the persisted sketch
+    // family — two crawls' per-source states (HLL distincts, KLL length
+    // quantiles, Misra-Gries token frequencies) staged through parquet,
+    // then StateDrift answers "what changed" with the corpora never
+    // rescanned. The MG side runs in exact mode (capacity >= the corpus
+    // vocabulary), so the L1 distance and item churn are pinned as exact
+    // values; HLL/KLL estimates ride tolerance flags vs exact replays.
+    "q152_state_drift_report" -> ((s, dir) => {
+      import graft.sketch.{FreqItems, HllState, KllGroupState, StateDrift}
+      val docs = table(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      // both snapshots cover every source at all SFs (doc_id parity
+      // correlates with source in this corpus — %2 would drop half the
+      // groups from one side); ids ≡ 2 (mod 3) land in both
+      val snapA = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val snapB = docs.where(pmod(col("doc_id"), lit(3)) =!= 1)
+      def toks(d: DataFrame) = d.select(col("source"),
+        explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
+          .as("item"))
+      def lens(d: DataFrame) = d.select(col("source"),
+        length(col("text")).cast(DoubleType).as("len"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q152").toString
+      try {
+      def stage(name: String, df: DataFrame): DataFrame = {
+        df.write.mode("overwrite").parquet(s"$tmp/$name")
+        s.read.parquet(s"$tmp/$name")
+      }
+      val kMg = 64
+      val hllA = stage("hll_a", HllState.distinctState(snapA, Seq("source"), Seq("text")))
+      val hllB = stage("hll_b", HllState.distinctState(snapB, Seq("source"), Seq("text")))
+      val kllA = stage("kll_a", KllGroupState.quantileState(lens(snapA), Seq("source"), "len"))
+      val kllB = stage("kll_b", KllGroupState.quantileState(lens(snapB), Seq("source"), "len"))
+      val mgA = stage("mg_a", FreqItems.freqState(toks(snapA), Seq("source"), "item", kMg))
+      val mgB = stage("mg_b", FreqItems.freqState(toks(snapB), Seq("source"), "item", kMg))
+      val dd = StateDrift.distinctDrift(hllA, hllB)
+      val qd = StateDrift.quantileDrift(kllA, kllB, Seq(0.5), Seq("p50"))
+      val fd = StateDrift.frequencyDrift(mgA, mgB, kMg)
+      // exact replays
+      val exD = snapA.groupBy(col("source"))
+        .agg(countDistinct(col("text")).as("exact_distinct_a"))
+        .join(snapB.groupBy(col("source"))
+          .agg(countDistinct(col("text")).as("exact_distinct_b")),
+          Seq("source"), "full_outer")
+        .na.fill(0L, Seq("exact_distinct_a", "exact_distinct_b"))
+      def tol(est: Column, ex: Column): Column =
+        when(abs(est - ex) <= greatest(lit(1.0), lit(0.05) * abs(ex)), 1.0)
+          .otherwise(0.0)
+      // per-source counts sit far under the sketch size at every SF, so
+      // the KLL stores all values and its quantile rule (smallest v with
+      // cum weight >= q*n) IS quantile_disc — p50s pin as exact VALUES
+      val out = exD
+        .join(dd, Seq("source")).join(qd, Seq("source"))
+        .join(fd, Seq("source"))
+        .select(col("source"),
+          col("exact_distinct_a").cast(DoubleType).as("exact_distinct_a"),
+          col("exact_distinct_b").cast(DoubleType).as("exact_distinct_b"),
+          tol(col("distinct_a"), col("exact_distinct_a")).as("dd_a_ok"),
+          tol(col("distinct_b"), col("exact_distinct_b")).as("dd_b_ok"),
+          col("p50_a"), col("p50_b"),
+          (col("p50_b") - col("p50_a")).as("p50_shift"),
+          col("n_a").cast(DoubleType).as("n_tokens_a"),
+          col("n_b").cast(DoubleType).as("n_tokens_b"),
+          round(col("l1_est"), 6).as("l1_exact"),
+          when(col("l1_err") === 0.0, 1.0).otherwise(0.0).as("mg_exact_mode"),
+          col("new_items").cast(DoubleType).as("new_items"),
+          col("lost_items").cast(DoubleType).as("lost_items"))
+        .orderBy(col("source"))
+      val materialized = out.collect()
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
     })
   )
 
@@ -11086,6 +11160,64 @@ object SparkEntry {
         |  (SELECT count(*) FROM s2)::DOUBLE AS b2_kept,
         |  ((SELECT coalesce(sum(sid), 0) FROM s1) +
         |   (SELECT coalesce(sum(sid), 0) FROM s2))::DOUBLE AS id_sum,
-        |  1.0::DOUBLE AS parity_ok, 1.0::DOUBLE AS census_ok""".stripMargin
+        |  1.0::DOUBLE AS parity_ok, 1.0::DOUBLE AS census_ok""".stripMargin,
+
+    // q152: exact per-source replays of both snapshots (distincts, token
+    // tallies, the full-universe L1 — the MG side runs in exact mode —
+    // and item churn); every sketch estimate is a tolerance flag.
+    "q152_state_drift_report" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), a AS (SELECT * FROM d WHERE doc_id % 3 <> 0),
+        |b AS (SELECT * FROM d WHERE doc_id % 3 <> 1),
+        |ta AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS item FROM a
+        |), tb AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS item FROM b
+        |), ca AS (SELECT source, item, count(*) AS c FROM ta GROUP BY 1, 2),
+        |cb AS (SELECT source, item, count(*) AS c FROM tb GROUP BY 1, 2),
+        |na AS (SELECT source, sum(c) AS n FROM ca GROUP BY 1),
+        |nb AS (SELECT source, sum(c) AS n FROM cb GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ca.source, cb.source) AS source,
+        |    ca.c AS c_a, cb.c AS c_b
+        |  FROM ca FULL JOIN cb ON ca.source = cb.source AND ca.item = cb.item
+        |), l1 AS (
+        |  SELECT j.source,
+        |    sum(abs(coalesce(c_a, 0)::DOUBLE / na.n -
+        |            coalesce(c_b, 0)::DOUBLE / nb.n)) AS l1_exact,
+        |    sum(CASE WHEN c_a IS NULL THEN 1 ELSE 0 END) AS new_items,
+        |    sum(CASE WHEN c_b IS NULL THEN 1 ELSE 0 END) AS lost_items
+        |  FROM j JOIN na ON na.source = j.source
+        |    JOIN nb ON nb.source = j.source
+        |  GROUP BY 1
+        |), dist AS (
+        |  SELECT a.source, count(DISTINCT a.text) AS da FROM a GROUP BY 1
+        |), distb AS (
+        |  SELECT b.source, count(DISTINCT b.text) AS db FROM b GROUP BY 1
+        |), pa AS (
+        |  SELECT source, quantile_disc(length(text), 0.5)::DOUBLE AS p50_a
+        |  FROM a GROUP BY 1
+        |), pb AS (
+        |  SELECT source, quantile_disc(length(text), 0.5)::DOUBLE AS p50_b
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT source,
+        |  da::DOUBLE AS exact_distinct_a, db::DOUBLE AS exact_distinct_b,
+        |  1.0::DOUBLE AS dd_a_ok, 1.0::DOUBLE AS dd_b_ok,
+        |  p50_a, p50_b, (p50_b - p50_a) AS p50_shift,
+        |  na.n::DOUBLE AS n_tokens_a, nb.n::DOUBLE AS n_tokens_b,
+        |  round(l1_exact, 6) AS l1_exact,
+        |  1.0::DOUBLE AS mg_exact_mode,
+        |  new_items::DOUBLE AS new_items, lost_items::DOUBLE AS lost_items
+        |FROM dist JOIN distb USING (source) JOIN na USING (source)
+        |  JOIN nb USING (source) JOIN l1 USING (source)
+        |  JOIN pa USING (source) JOIN pb USING (source)
+        |ORDER BY source""".stripMargin
   )
 }
