@@ -5879,6 +5879,89 @@ object SparkEntry {
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
       } finally rmTree(tmp)
+    }),
+
+    // q153: drift as a CHECK — the q152 report's signals evaluated by
+    // the constraint surface FROM one joined state frame (two snapshots'
+    // per-source MG + KLL states, full-outer on source): an
+    // ItemFrequencyDrift ceiling and a QuantileShift band, on the Check
+    // builder and as DQDL rules, the corpora never rescanned. The L1
+    // metric is EXACT here (every fold stays under capacity), pinned as
+    // a value against the full corpus-tally replay; the p50 shift rides
+    // a tolerance flag (the corpus sketch compacts at this scale).
+    "q153_drift_checks" -> ((s, dir) => {
+      import graft.checks.{Check, CheckLevel, CheckStatus, VerificationSuite}
+      import graft.operators.{ItemFrequencyDrift, QuantileShift}
+      import graft.sketch.{FreqItems, KllGroupState}
+      val docs = table(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      val snapA = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val snapB = docs.where(pmod(col("doc_id"), lit(3)) =!= 1)
+      def toks(d: DataFrame) = d.select(col("source"),
+        explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
+          .as("item"))
+      def lens(d: DataFrame) = d.select(col("source"),
+        length(col("text")).cast(DoubleType).as("len"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q153").toString
+      try {
+      def stage(name: String, df: DataFrame): DataFrame = {
+        df.write.mode("overwrite").parquet(s"$tmp/$name")
+        s.read.parquet(s"$tmp/$name")
+      }
+      val joined = stage("mg_a",
+          FreqItems.freqState(toks(snapA), Seq("source"), "item", 64))
+        .withColumnRenamed("mg", "mg_a")
+        .join(stage("mg_b",
+          FreqItems.freqState(toks(snapB), Seq("source"), "item", 64))
+          .withColumnRenamed("mg", "mg_b"), Seq("source"), "full_outer")
+        .join(stage("kll_a",
+          KllGroupState.quantileState(lens(snapA), Seq("source"), "len"))
+          .withColumnRenamed("kll", "kll_a"), Seq("source"), "full_outer")
+        .join(stage("kll_b",
+          KllGroupState.quantileState(lens(snapB), Seq("source"), "len"))
+          .withColumnRenamed("kll", "kll_b"), Seq("source"), "full_outer")
+        .persist()
+      val l1 = ItemFrequencyDrift("mg_a", "mg_b").calculate(joined)
+        .value.get
+      val shift = QuantileShift("kll_a", "kll_b", 0.5).calculate(joined)
+        .value.get
+      // exact corpus replays
+      def tallies(d: DataFrame) = toks(d).groupBy(col("item"))
+        .agg(count(lit(1)).as("c"))
+      val ta = tallies(snapA).withColumnRenamed("c", "ca")
+      val tb = tallies(snapB).withColumnRenamed("c", "cb")
+      val na = toks(snapA).count().toDouble
+      val nb = toks(snapB).count().toDouble
+      val exactL1 = ta.join(tb, Seq("item"), "full_outer")
+        .agg(sum(abs(coalesce(col("ca"), lit(0L)).cast(DoubleType) / na -
+          coalesce(col("cb"), lit(0L)).cast(DoubleType) / nb)))
+        .collect().head.getDouble(0)
+      val exactP50A = snapA.select(length(col("text")).cast(DoubleType).as("l"))
+        .agg(expr("percentile(l, 0.5)")).collect().head.getDouble(0)
+      val exactP50B = snapB.select(length(col("text")).cast(DoubleType).as("l"))
+        .agg(expr("percentile(l, 0.5)")).collect().head.getDouble(0)
+      val exactShift = exactP50B - exactP50A
+      val shiftOk = math.abs(shift - exactShift) <=
+        math.max(2.0, 0.02 * math.max(math.abs(exactP50A), math.abs(exactP50B)))
+      val checkOk = VerificationSuite().onData(joined)
+        .addCheck(Check(CheckLevel.Error, "snapshot drift")
+          .hasItemFrequencyDrift("mg_a", "mg_b", _ <= 0.5)
+          .hasQuantileShift("kll_a", "kll_b", 0.5,
+            d => math.abs(d) <= math.max(20.0, 0.2 * math.abs(exactP50A))))
+        .run().status == CheckStatus.Success
+      val dqdlOk = graft.dqdl.EvaluateDataQuality.process(joined,
+          """Rules = [ ItemFrequencyDrift "mg_a" "mg_b" <= 0.5, QuantileShift "kll_a" "kll_b" "0.5" between -100 and 100 ]""")
+        .where(col("outcome") === "Passed").count() == 2L
+      joined.unpersist(blocking = false)
+      metricRow(s, Seq(
+        "l1_exact" -> BigDecimal(l1)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        "l1_is_exact" -> flag(math.abs(l1 - exactL1) <= 1e-9),
+        "shift_ok" -> flag(shiftOk),
+        "check_ok" -> flag(checkOk),
+        "dqdl_ok" -> flag(dqdlOk)))
+      } finally rmTree(tmp)
     })
   )
 
@@ -11218,6 +11301,36 @@ object SparkEntry {
         |FROM dist JOIN distb USING (source) JOIN na USING (source)
         |  JOIN nb USING (source) JOIN l1 USING (source)
         |  JOIN pa USING (source) JOIN pb USING (source)
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    // q153: the exact corpus-level token-distribution L1 between the two
+    // snapshots (the drift CHECK's metric is exact — every fold stays
+    // under capacity); the quantile-shift tolerance and the Check/DQDL
+    // outcomes are 1.0-pinned flags.
+    "q153_drift_checks" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), a AS (SELECT * FROM d WHERE doc_id % 3 <> 0),
+        |b AS (SELECT * FROM d WHERE doc_id % 3 <> 1),
+        |ta AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '')) AS item FROM a
+        |), tb AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '')) AS item FROM b
+        |), ca AS (SELECT item, count(*) AS c FROM ta GROUP BY 1),
+        |cb AS (SELECT item, count(*) AS c FROM tb GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ca.c, 0)::DOUBLE AS c_a,
+        |    coalesce(cb.c, 0)::DOUBLE AS c_b
+        |  FROM ca FULL JOIN cb USING (item)
+        |)
+        |SELECT round(sum(abs(
+        |    c_a / (SELECT count(*) FROM ta) -
+        |    c_b / (SELECT count(*) FROM tb))), 6) AS l1_exact,
+        |  1.0::DOUBLE AS l1_is_exact, 1.0::DOUBLE AS shift_ok,
+        |  1.0::DOUBLE AS check_ok, 1.0::DOUBLE AS dqdl_ok
+        |FROM j""".stripMargin
   )
 }

@@ -280,6 +280,23 @@ case class Check(
     addConstraint(Constraint("ApproxItemFrequencyFromStateConstraint",
       ApproxItemFrequencyFromState(stateColumn, item), assertion, hint = hint))
 
+  /** Item-distribution drift between two Misra-Gries state columns on
+    * one frame (two snapshots' per-group states joined on their group
+    * keys): asserts on the visible-mass L1 distance in [0, 2].
+    */
+  def hasItemFrequencyDrift(mgA: String, mgB: String,
+      assertion: Double => Boolean, hint: Option[String] = None): Check =
+    addConstraint(Constraint("ItemFrequencyDriftConstraint",
+      ItemFrequencyDrift(mgA, mgB), assertion, hint = hint))
+
+  /** Quantile shift between two KLL state columns on one frame:
+    * asserts on quantile_B(q) − quantile_A(q) of the folded sketches.
+    */
+  def hasQuantileShift(kllA: String, kllB: String, quantile: Double,
+      assertion: Double => Boolean, hint: Option[String] = None): Check =
+    addConstraint(Constraint("QuantileShiftConstraint",
+      QuantileShift(kllA, kllB, quantile), assertion, hint = hint))
+
   // -- compliance -----------------------------------------------------------
 
   def satisfies(columnCondition: String, constraintName: String,

@@ -143,6 +143,21 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
           counters.foreach { case (k, v) => o.writeUTF(k); o.writeLong(v) }
           o.writeLong(n)
         }
+      case graft.operators.FreqDriftState(a, b) =>
+        withOutput(s"$base.bin") { o =>
+          Seq(a, b).foreach { s =>
+            o.writeInt(s.counters.size)
+            s.counters.foreach { case (k, v) => o.writeUTF(k); o.writeLong(v) }
+            o.writeLong(s.n)
+          }
+        }
+      case graft.operators.QuantileShiftState(a, b) =>
+        withOutput(s"$base.bin") { o =>
+          Seq(a, b).foreach { s =>
+            val bytes = s.sketch.serialize()
+            o.writeInt(bytes.length); o.write(bytes)
+          }
+        }
       case DataTypeState(a, b, c, d, e) =>
         withOutput(s"$base.bin") { o =>
           o.writeLong(a); o.writeLong(b); o.writeLong(c); o.writeLong(d); o.writeLong(e)
@@ -202,6 +217,24 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
           val size = i.readInt()
           val counters = (0 until size).map(_ => i.readUTF() -> i.readLong()).toMap
           graft.operators.FreqItemsState(counters, i.readLong())
+        }
+      case _: graft.operators.ItemFrequencyDrift =>
+        withInput(s"$base.bin") { i =>
+          def one() = {
+            val size = i.readInt()
+            val counters = (0 until size).map(_ => i.readUTF() -> i.readLong()).toMap
+            graft.operators.FreqItemsState(counters, i.readLong())
+          }
+          graft.operators.FreqDriftState(one(), one())
+        }
+      case _: graft.operators.QuantileShift =>
+        withInput(s"$base.bin") { i =>
+          def one() = {
+            val len = i.readInt(); val bytes = new Array[Byte](len)
+            i.readFully(bytes)
+            graft.sketch.KLLState(graft.sketch.KLLSketch.deserialize(bytes))
+          }
+          graft.operators.QuantileShiftState(one(), one())
         }
       case _: DataTypeAnalyzer =>
         withInput(s"$base.bin")(i => DataTypeState(

@@ -264,6 +264,10 @@ object EvaluateDataQuality {
         ApproxQuantileFromState(param(0), parseQuantile(param(1)), where)
       case "approxitemfrequencyfromstate" =>
         ApproxItemFrequencyFromState(param(0), param(1), where)
+      case "itemfrequencydrift" =>
+        rejectWhere(); ItemFrequencyDrift(param(0), param(1))
+      case "quantileshift" =>
+        rejectWhere(); QuantileShift(param(0), param(1), parseQuantile(param(2)))
       case other =>
         throw new DqdlTranslationException(s"Unknown analyzer type '$other'")
     }
@@ -400,6 +404,13 @@ object EvaluateDataQuality {
       case "approxitemfrequencyfromstate" =>
         constraintN("ApproxItemFrequencyFromState",
           ApproxItemFrequencyFromState(param(0), param(1), where))
+      case "itemfrequencydrift" =>
+        rejectWhere() // the two state columns are already per-group rows
+        constraintN("ItemFrequencyDrift", ItemFrequencyDrift(param(0), param(1)))
+      case "quantileshift" =>
+        rejectWhere()
+        constraintN("QuantileShift",
+          QuantileShift(param(0), param(1), parseQuantile(param(2))))
 
       case "isprimarykey" =>
         val cols = rule.parameters

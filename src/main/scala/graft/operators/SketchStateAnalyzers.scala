@@ -154,6 +154,94 @@ case class ApproxItemFrequencyFromState(stateColumn: String, item: String,
     state.counters.getOrElse(item, 0L).toDouble / state.n
 }
 
+/** Two folded Misra-Gries summaries (snapshot A, snapshot B); the
+  * metric is the visible-mass L1 distance between their item
+  * distributions — Σ over the union of kept items of |p̂_a − p̂_b| —
+  * EXACT when both sides ran in exact mode (capacity >= vocabulary),
+  * within each side's (n−S)/((k+1)·n) slack otherwise.
+  */
+case class FreqDriftState(a: FreqItemsState, b: FreqItemsState)
+    extends DoubleValuedState[FreqDriftState] {
+  override def merge(other: FreqDriftState): FreqDriftState =
+    FreqDriftState(a.merge(other.a), b.merge(other.b))
+  override def metricValue(): Double = {
+    if (a.n <= 0L && b.n <= 0L) return 0.0
+    (a.counters.keySet ++ b.counters.keySet).iterator.map { k =>
+      val pa = if (a.n > 0L) a.counters.getOrElse(k, 0L).toDouble / a.n else 0.0
+      val pb = if (b.n > 0L) b.counters.getOrElse(k, 0L).toDouble / b.n else 0.0
+      math.abs(pa - pb)
+    }.sum
+  }
+}
+
+/** Item-distribution drift between two Misra-Gries state columns on ONE
+  * frame (two snapshots' per-group states joined on their group keys —
+  * full-outer is fine: a side's null rows skip its fold). Metric: the
+  * visible-mass L1 distance in [0, 2]; assert a ceiling to catch a
+  * crawl whose token/domain mix silently shifted.
+  */
+case class ItemFrequencyDrift(mgA: String, mgB: String)
+    extends StandardScanShareableAnalyzer[FreqDriftState](
+      "ItemFrequencyDrift", s"$mgA,$mgB", Entity.Multicolumn) {
+
+  override def preconditions: Seq[StructType => Unit] =
+    hasColumn(mgA) :: hasColumn(mgB) :: Nil
+
+  override def aggregationFunctions(): Seq[Column] =
+    Seq(graft.sketch.FreqItems.mergeAggCol(col(mgA)),
+      graft.sketch.FreqItems.mergeAggCol(col(mgB)))
+
+  private def stateAt(result: Row, offset: Int): Option[FreqItemsState] =
+    if (result.isNullAt(offset)) None
+    else {
+      val r = result.getStruct(offset)
+      Some(FreqItemsState(
+        r.getAs[Map[String, Long]]("counters"), r.getAs[Long]("n")))
+    }
+
+  override def fromAggregationResult(result: Row, offset: Int): Option[FreqDriftState] =
+    for {
+      a <- stateAt(result, offset)
+      b <- stateAt(result, offset + 1)
+    } yield FreqDriftState(a, b)
+}
+
+/** Quantile shift between two KLL state columns on ONE frame: the
+  * metric is quantile_B(q) − quantile_A(q) of the two folded corpus
+  * sketches — the "did p95 document length move" alarm, each side
+  * accurate to KLL's rank-error bound.
+  */
+case class QuantileShift(kllA: String, kllB: String, quantile: Double)
+    extends DoubleResultScanAnalyzer[QuantileShiftState](
+      "QuantileShift", s"$kllA,$kllB:$quantile", Entity.Multicolumn) {
+
+  require(quantile >= 0.0 && quantile <= 1.0,
+    s"quantile must be in [0, 1], got $quantile")
+
+  override def preconditions: Seq[StructType => Unit] =
+    hasColumn(kllA) :: hasColumn(kllB) :: Nil
+
+  override def aggregationFunctions(): Seq[Column] =
+    Seq(graft.sketch.KllGroupState.mergeAggCol(col(kllA)),
+      graft.sketch.KllGroupState.mergeAggCol(col(kllB)))
+
+  override def fromAggregationResult(result: Row, offset: Int): Option[QuantileShiftState] =
+    for {
+      a <- graft.sketch.KLLAggregator.stateAt(result, offset)
+      b <- graft.sketch.KLLAggregator.stateAt(result, offset + 1)
+    } yield QuantileShiftState(a, b)
+
+  override protected def valueFromState(state: QuantileShiftState): Double =
+    state.b.sketch.quantile(quantile) - state.a.sketch.quantile(quantile)
+}
+
+/** Pair of folded KLL sketches (snapshot A, snapshot B). */
+case class QuantileShiftState(a: graft.sketch.KLLState, b: graft.sketch.KLLState)
+    extends State[QuantileShiftState] {
+  override def merge(other: QuantileShiftState): QuantileShiftState =
+    QuantileShiftState(a.merge(other.a), b.merge(other.b))
+}
+
 /** Snapshot-overlap drift from two theta state columns on ONE frame
   * (the per-group states of two snapshots joined on their group keys —
   * full-outer is fine: a group missing on one side carries a null

@@ -164,6 +164,58 @@ class SketchStateChecksSpec extends AnyWordSpec with Matchers with SparkSpec {
         .deleteQuietly(new java.io.File(tmp))
     }
 
+    "evaluate drift checks from two state columns and round-trip them" in {
+      val s = spark
+      import s.implicits._
+      import graft.operators.{ItemFrequencyDrift, QuantileShift}
+      import graft.sketch.FreqItems
+      // A: x,x,y per group; B: x,z,z — exact-mode MG, L1 = 4/3
+      val a = (0 until 3).flatMap(g =>
+        Seq((s"g$g", "x", 1.0), (s"g$g", "x", 2.0), (s"g$g", "y", 3.0)))
+        .toDF("grp", "item", "v")
+      val b = (0 until 3).flatMap(g =>
+        Seq((s"g$g", "x", 11.0), (s"g$g", "z", 12.0), (s"g$g", "z", 13.0)))
+        .toDF("grp", "item", "v")
+      val frame = FreqItems.freqState(a, Seq("grp"), "item", 16)
+        .withColumnRenamed("mg", "mg_a")
+        .join(FreqItems.freqState(b, Seq("grp"), "item", 16)
+          .withColumnRenamed("mg", "mg_b"), Seq("grp"))
+        .join(KllGroupState.quantileState(a, Seq("grp"), "v")
+          .withColumnRenamed("kll", "kll_a"), Seq("grp"))
+        .join(KllGroupState.quantileState(b, Seq("grp"), "v")
+          .withColumnRenamed("kll", "kll_b"), Seq("grp"))
+      val drift = ItemFrequencyDrift("mg_a", "mg_b")
+      val shiftA = QuantileShift("kll_a", "kll_b", 0.5)
+      drift.calculate(frame).value.get shouldBe (4.0 / 3.0) +- 1e-12
+      shiftA.calculate(frame).value.get shouldBe 10.0 +- 1e-12 // 12 - 2
+      val res = VerificationSuite().onData(frame)
+        .addCheck(Check(CheckLevel.Error, "drift")
+          .hasItemFrequencyDrift("mg_a", "mg_b", _ <= 1.5)
+          .hasQuantileShift("kll_a", "kll_b", 0.5, _ == 10.0))
+        .run()
+      res.status shouldBe CheckStatus.Success
+      val dq = graft.dqdl.EvaluateDataQuality.process(frame,
+        """Rules = [ ItemFrequencyDrift "mg_a" "mg_b" <= 1.5, QuantileShift "kll_a" "kll_b" "0.5" between 9 and 11 ]""")
+      dq.where(org.apache.spark.sql.functions.col("outcome") === "Passed")
+        .count() shouldBe 2L
+      // provider round trip
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-driftstate").toString
+      try {
+        val provider = new graft.core.HdfsStateProvider(spark, s"$tmp/st")
+        val analyzers: Seq[graft.core.AnyAnalyzer] = Seq(drift, shiftA)
+        graft.runners.AnalysisRunner.runStateful(
+          frame, analyzers, saveStatesWith = Some(provider))
+        val restored = graft.runners.AnalysisRunner
+          .runOnAggregatedStates(analyzers, Seq(provider))
+        restored.metric(drift).get.value.get
+          .asInstanceOf[Double] shouldBe (4.0 / 3.0) +- 1e-12
+        restored.metric(shiftA).get.value.get
+          .asInstanceOf[Double] shouldBe 10.0 +- 1e-12
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(tmp))
+    }
+
     "treat a group missing on one side as an empty snapshot side" in {
       val s = spark
       import s.implicits._
