@@ -984,6 +984,30 @@ object ScaleProbe {
       Similarity.ivfTopKFromState(spark.read.parquet(path), ivfCentroids,
         ivfQueries, "vec_id", "embedding", k = 10, nprobe = 4).count()
 
+    // snapshot drift report (q152): the frequency-drift join over two
+    // staged snapshots' per-group MG states — cost tracks STATE rows
+    // (groups x kept items, capacity-bounded), never the corpora behind
+    // them, so the wall must stay ~flat however large the staged corpus
+    // was; the probed value is the summed new+lost churn (corpus-
+    // dependent: the x10 copies suffix words, so kept sets differ)
+    def driftProbe(aPath: String, bPath: String): Long = {
+      import graft.sketch.StateDrift
+      val fd = StateDrift.frequencyDrift(
+        spark.read.parquet(aPath), spark.read.parquet(bPath), 64)
+      fd.agg(coalesce(sum(col("new_items") + col("lost_items")), lit(0L)))
+        .collect().head.getLong(0)
+    }
+    def driftStateSetup(d: DataFrame, tag: String, path: String): Unit =
+      graft.sketch.FreqItems.writeState(
+        graft.sketch.FreqItems.freqState(
+          tokenized(grouped(d).where(
+            if (tag == "a") pmod(col("grp"), lit(2)) === 0 else lit(true))),
+          Seq("grp"), "item", 64), path)
+    driftStateSetup(docs0, "a", s"$work/drift_a_x1")
+    driftStateSetup(docs0, "b", s"$work/drift_b_x1")
+    driftStateSetup(docsX, "a", s"$work/drift_a_x$mult")
+    driftStateSetup(docsX, "b", s"$work/drift_b_x$mult")
+
     // consistent bottom-k sample (q141): fixed k over a 10x corpus — the
     // bounded-heap aggregate's cost is one map-side pass; the sampled
     // row count pins flat at groups x k at both scales
@@ -1040,6 +1064,9 @@ object ScaleProbe {
       ("ivf_state_serve",
         timed(ivfServeProbe(s"$work/ivf_state_x1")),
         timed(ivfServeProbe(s"$work/ivf_state_x$mult"))),
+      ("state_drift",
+        timed(driftProbe(s"$work/drift_a_x1", s"$work/drift_b_x1")),
+        timed(driftProbe(s"$work/drift_a_x$mult", s"$work/drift_b_x$mult"))),
       ("bottomk_sample",
         timed(bottomkProbe(docs0)), timed(bottomkProbe(docsX))),
       ("group_holdout_hot",
