@@ -5962,6 +5962,68 @@ object SparkEntry {
         "check_ok" -> flag(checkOk),
         "dqdl_ok" -> flag(dqdlOk)))
       } finally rmTree(tmp)
+    }),
+
+    // q154: the drift-ALARM loop end to end — four daily snapshots'
+    // corpus-level MG states, consecutive-day drift metrics recorded
+    // into a metrics repository, and isNewestPointNonAnomalous judging
+    // the newest drift against history: days 1-3 drift mildly (subset
+    // resampling noise), day 4 carries a DETERMINISTIC injected token
+    // shift (every text gains a marker token — the q39 injection
+    // convention) that the absolute-change strategy must flag. All L1
+    // values are exact (exact-mode MG), so every outcome is pinned.
+    "q154_drift_alarm" -> ((s, dir) => {
+      import graft.anomaly.AbsoluteChangeStrategy
+      import graft.checks.{Check, CheckLevel, CheckStatus, VerificationSuite}
+      import graft.operators.ItemFrequencyDrift
+      import graft.repository.{InMemoryMetricsRepository, ResultKey}
+      import graft.sketch.FreqItems
+      val docs = table(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      def snap(i: Int): DataFrame = {
+        val base = docs.where(pmod(col("doc_id"), lit(5)) =!= i)
+        if (i < 3) base
+        else base.withColumn("text",
+          concat(col("text"), lit(" driftmarker driftmarker")))
+      }
+      def state(d: DataFrame): DataFrame =
+        FreqItems.freqState(
+          d.select(lit(1).as("g"),
+            explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
+              .as("item")),
+          Seq("g"), "item", 64)
+      def pairFrame(prev: DataFrame, cur: DataFrame): DataFrame =
+        state(prev).withColumnRenamed("mg", "mg_a")
+          .join(state(cur).withColumnRenamed("mg", "mg_b"), Seq("g"))
+      val drift = ItemFrequencyDrift("mg_a", "mg_b")
+      val pair1 = pairFrame(snap(0), snap(1))
+      val pair2 = pairFrame(snap(1), snap(2))
+      val pair3 = pairFrame(snap(2), snap(3))
+      val d1 = drift.calculate(pair1).value.get
+      val d2 = drift.calculate(pair2).value.get
+      val d3 = drift.calculate(pair3).value.get
+      val repo = new InMemoryMetricsRepository
+      repo.save(ResultKey(1L),
+        graft.runners.AnalysisRunner.run(pair1, Seq(drift)))
+      val strategy = AbsoluteChangeStrategy(Some(-0.015), Some(0.015))
+      // clean day: day-2 drift vs day-1 history — within the band
+      val cleanOk = VerificationSuite().onData(pair2)
+        .addCheck(Check(CheckLevel.Error, "drift history")
+          .isNewestPointNonAnomalous(repo, strategy, drift))
+        .run().status == CheckStatus.Success
+      // record day 2, then the injected day must alarm
+      repo.save(ResultKey(2L),
+        graft.runners.AnalysisRunner.run(pair2, Seq(drift)))
+      val alarmOk = VerificationSuite().onData(pair3)
+        .addCheck(Check(CheckLevel.Error, "drift history")
+          .isNewestPointNonAnomalous(repo, strategy, drift))
+        .run().status == CheckStatus.Error
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      metricRow(s, Seq(
+        "l1_d1" -> r6(d1), "l1_d2" -> r6(d2), "l1_d3" -> r6(d3),
+        "clean_ok" -> flag(cleanOk),
+        "alarm_ok" -> flag(alarmOk)))
     })
   )
 
@@ -11331,6 +11393,45 @@ object SparkEntry {
         |    c_b / (SELECT count(*) FROM tb))), 6) AS l1_exact,
         |  1.0::DOUBLE AS l1_is_exact, 1.0::DOUBLE AS shift_ok,
         |  1.0::DOUBLE AS check_ok, 1.0::DOUBLE AS dqdl_ok
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+
+    // q154: the three consecutive-day exact L1 drifts (day 4's snapshot
+    // carries the injected double marker token, mirrored here); the
+    // clean-day pass and injected-day alarm are 1.0-pinned flags
+    // (deterministic: exact-mode MG metrics, fixed strategy band).
+    "q154_drift_alarm" -> {
+      def toks(filter: String, marked: Boolean): String = {
+        val extra =
+          if (!marked) ""
+          else s""" UNION ALL SELECT m.item FROM documents,
+             | (SELECT unnest(['driftmarker', 'driftmarker']) AS item) m
+             | WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             |   AND $filter""".stripMargin
+        s"""SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+           |    x -> x <> '')) AS item
+           |  FROM documents
+           |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND $filter$extra"""
+          .stripMargin
+      }
+      def l1(tag: String, fa: String, fb: String, markedB: Boolean): String =
+        s"""t${tag}a AS (${toks(fa, marked = false)}),
+           |t${tag}b AS (${toks(fb, markedB)}),
+           |c${tag}a AS (SELECT item, count(*) AS c FROM t${tag}a GROUP BY 1),
+           |c${tag}b AS (SELECT item, count(*) AS c FROM t${tag}b GROUP BY 1),
+           |l$tag AS (
+           |  SELECT sum(abs(
+           |    coalesce(c${tag}a.c, 0)::DOUBLE / (SELECT count(*) FROM t${tag}a) -
+           |    coalesce(c${tag}b.c, 0)::DOUBLE / (SELECT count(*) FROM t${tag}b)))
+           |    AS v
+           |  FROM c${tag}a FULL JOIN c${tag}b USING (item)
+           |)""".stripMargin
+      s"""WITH ${l1("1", "doc_id % 5 <> 0", "doc_id % 5 <> 1", markedB = false)},
+         |${l1("2", "doc_id % 5 <> 1", "doc_id % 5 <> 2", markedB = false)},
+         |${l1("3", "doc_id % 5 <> 2", "doc_id % 5 <> 3", markedB = true)}
+         |SELECT round(l1.v, 6) AS l1_d1, round(l2.v, 6) AS l1_d2,
+         |  round(l3.v, 6) AS l1_d3,
+         |  1.0::DOUBLE AS clean_ok, 1.0::DOUBLE AS alarm_ok
+         |FROM l1, l2, l3""".stripMargin
+    }
   )
 }
