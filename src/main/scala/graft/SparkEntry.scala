@@ -5921,6 +5921,12 @@ object SparkEntry {
         .join(stage("kll_b",
           KllGroupState.quantileState(lens(snapB), Seq("source"), "len"))
           .withColumnRenamed("kll", "kll_b"), Seq("source"), "full_outer")
+        .join(stage("hll_a",
+          graft.sketch.HllState.distinctState(snapA, Seq("source"), Seq("text")))
+          .withColumnRenamed("hll", "hll_a"), Seq("source"), "full_outer")
+        .join(stage("hll_b",
+          graft.sketch.HllState.distinctState(snapB, Seq("source"), Seq("text")))
+          .withColumnRenamed("hll", "hll_b"), Seq("source"), "full_outer")
         .persist()
       val l1 = ItemFrequencyDrift("mg_a", "mg_b").calculate(joined)
         .value.get
@@ -5948,11 +5954,13 @@ object SparkEntry {
         .addCheck(Check(CheckLevel.Error, "snapshot drift")
           .hasItemFrequencyDrift("mg_a", "mg_b", _ <= 0.5)
           .hasQuantileShift("kll_a", "kll_b", 0.5,
-            d => math.abs(d) <= math.max(20.0, 0.2 * math.abs(exactP50A))))
+            d => math.abs(d) <= math.max(20.0, 0.2 * math.abs(exactP50A)))
+          .hasDistinctCountRatio("hll_a", "hll_b",
+            r => r >= 0.5 && r <= 2.0))
         .run().status == CheckStatus.Success
       val dqdlOk = graft.dqdl.EvaluateDataQuality.process(joined,
-          """Rules = [ ItemFrequencyDrift "mg_a" "mg_b" <= 0.5, QuantileShift "kll_a" "kll_b" "0.5" between -100 and 100 ]""")
-        .where(col("outcome") === "Passed").count() == 2L
+          """Rules = [ ItemFrequencyDrift "mg_a" "mg_b" <= 0.5, QuantileShift "kll_a" "kll_b" "0.5" between -100 and 100, DistinctCountRatio "hll_a" "hll_b" between 0.5 and 2.0 ]""")
+        .where(col("outcome") === "Passed").count() == 3L
       joined.unpersist(blocking = false)
       metricRow(s, Seq(
         "l1_exact" -> BigDecimal(l1)

@@ -297,6 +297,15 @@ case class Check(
     addConstraint(Constraint("QuantileShiftConstraint",
       QuantileShift(kllA, kllB, quantile), assertion, hint = hint))
 
+  /** Distinct-count growth between two HLL state columns on one frame:
+    * asserts on |B| / |A| of the folded sketches (+∞ when only A holds
+    * values; 1.0 when both sides are empty).
+    */
+  def hasDistinctCountRatio(hllA: String, hllB: String,
+      assertion: Double => Boolean, hint: Option[String] = None): Check =
+    addConstraint(Constraint("DistinctCountRatioConstraint",
+      DistinctCountRatio(hllA, hllB), assertion, hint = hint))
+
   // -- compliance -----------------------------------------------------------
 
   def satisfies(columnCondition: String, constraintName: String,

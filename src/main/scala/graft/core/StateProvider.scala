@@ -158,6 +158,12 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
             o.writeInt(bytes.length); o.write(bytes)
           }
         }
+      case graft.operators.DistinctRatioState(a, b) =>
+        withOutput(s"$base.bin") { o =>
+          Seq(a, b).foreach { s =>
+            o.writeInt(s.sketchBytes.length); o.write(s.sketchBytes)
+          }
+        }
       case DataTypeState(a, b, c, d, e) =>
         withOutput(s"$base.bin") { o =>
           o.writeLong(a); o.writeLong(b); o.writeLong(c); o.writeLong(d); o.writeLong(e)
@@ -235,6 +241,15 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
             graft.sketch.KLLState(graft.sketch.KLLSketch.deserialize(bytes))
           }
           graft.operators.QuantileShiftState(one(), one())
+        }
+      case _: graft.operators.DistinctCountRatio =>
+        withInput(s"$base.bin") { i =>
+          def one() = {
+            val len = i.readInt(); val bytes = new Array[Byte](len)
+            i.readFully(bytes)
+            HllState(bytes)
+          }
+          graft.operators.DistinctRatioState(one(), one())
         }
       case _: DataTypeAnalyzer =>
         withInput(s"$base.bin")(i => DataTypeState(

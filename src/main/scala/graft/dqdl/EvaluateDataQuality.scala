@@ -268,6 +268,8 @@ object EvaluateDataQuality {
         rejectWhere(); ItemFrequencyDrift(param(0), param(1))
       case "quantileshift" =>
         rejectWhere(); QuantileShift(param(0), param(1), parseQuantile(param(2)))
+      case "distinctcountratio" =>
+        rejectWhere(); DistinctCountRatio(param(0), param(1))
       case other =>
         throw new DqdlTranslationException(s"Unknown analyzer type '$other'")
     }
@@ -411,6 +413,9 @@ object EvaluateDataQuality {
         rejectWhere()
         constraintN("QuantileShift",
           QuantileShift(param(0), param(1), parseQuantile(param(2))))
+      case "distinctcountratio" =>
+        rejectWhere()
+        constraintN("DistinctCountRatio", DistinctCountRatio(param(0), param(1)))
 
       case "isprimarykey" =>
         val cols = rule.parameters

@@ -206,6 +206,48 @@ case class ItemFrequencyDrift(mgA: String, mgB: String)
     } yield FreqDriftState(a, b)
 }
 
+/** Pair of folded HLL sketches (snapshot A, snapshot B); the metric is
+  * |B| / |A| — the distinct-count growth ratio (1.0 when both sides are
+  * empty, +∞ when only A is — assertions see the divergence instead of
+  * a masked 0).
+  */
+case class DistinctRatioState(a: HllState, b: HllState)
+    extends DoubleValuedState[DistinctRatioState] {
+  override def merge(other: DistinctRatioState): DistinctRatioState =
+    DistinctRatioState(a.merge(other.a), b.merge(other.b))
+  override def metricValue(): Double = {
+    val ea = a.metricValue()
+    val eb = b.metricValue()
+    if (ea > 0.0) eb / ea
+    else if (eb == 0.0) 1.0
+    else Double.PositiveInfinity
+  }
+}
+
+/** Distinct-count drift between two HLL state columns on ONE frame (two
+  * snapshots' per-group states joined on their group keys): metric
+  * |B| / |A| of the folded corpus sketches — the "did today's crawl
+  * shrink/explode" alarm, each side at HLL accuracy. Null sketches skip
+  * their side's union.
+  */
+case class DistinctCountRatio(hllA: String, hllB: String)
+    extends StandardScanShareableAnalyzer[DistinctRatioState](
+      "DistinctCountRatio", s"$hllA,$hllB", Entity.Multicolumn) {
+
+  override def preconditions: Seq[StructType => Unit] =
+    hasColumn(hllA) :: hasColumn(hllB) :: Nil
+
+  override def aggregationFunctions(): Seq[Column] =
+    Seq(hll_union_agg(col(hllA), lit(true)),
+      hll_union_agg(col(hllB), lit(true)))
+
+  override def fromAggregationResult(result: Row, offset: Int): Option[DistinctRatioState] =
+    if (result.isNullAt(offset) || result.isNullAt(offset + 1)) None
+    else Some(DistinctRatioState(
+      HllState(result.getAs[Array[Byte]](offset)),
+      HllState(result.getAs[Array[Byte]](offset + 1))))
+}
+
 /** Quantile shift between two KLL state columns on ONE frame: the
   * metric is quantile_B(q) − quantile_A(q) of the two folded corpus
   * sketches — the "did p95 document length move" alarm, each side

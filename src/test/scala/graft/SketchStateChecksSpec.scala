@@ -184,10 +184,16 @@ class SketchStateChecksSpec extends AnyWordSpec with Matchers with SparkSpec {
           .withColumnRenamed("kll", "kll_a"), Seq("grp"))
         .join(KllGroupState.quantileState(b, Seq("grp"), "v")
           .withColumnRenamed("kll", "kll_b"), Seq("grp"))
+        .join(HllState.distinctState(a, Seq("grp"), Seq("item"))
+          .withColumnRenamed("hll", "hll_a"), Seq("grp"))
+        .join(HllState.distinctState(b, Seq("grp"), Seq("item"))
+          .withColumnRenamed("hll", "hll_b"), Seq("grp"))
       val drift = ItemFrequencyDrift("mg_a", "mg_b")
       val shiftA = QuantileShift("kll_a", "kll_b", 0.5)
+      val ratio = graft.operators.DistinctCountRatio("hll_a", "hll_b")
       drift.calculate(frame).value.get shouldBe (4.0 / 3.0) +- 1e-12
       shiftA.calculate(frame).value.get shouldBe 10.0 +- 1e-12 // 12 - 2
+      ratio.calculate(frame).value.get shouldBe 1.0 +- 1e-9 // {x,y} vs {x,z}
       val res = VerificationSuite().onData(frame)
         .addCheck(Check(CheckLevel.Error, "drift")
           .hasItemFrequencyDrift("mg_a", "mg_b", _ <= 1.5)
@@ -203,7 +209,7 @@ class SketchStateChecksSpec extends AnyWordSpec with Matchers with SparkSpec {
         .createTempDirectory("graft-driftstate").toString
       try {
         val provider = new graft.core.HdfsStateProvider(spark, s"$tmp/st")
-        val analyzers: Seq[graft.core.AnyAnalyzer] = Seq(drift, shiftA)
+        val analyzers: Seq[graft.core.AnyAnalyzer] = Seq(drift, shiftA, ratio)
         graft.runners.AnalysisRunner.runStateful(
           frame, analyzers, saveStatesWith = Some(provider))
         val restored = graft.runners.AnalysisRunner
@@ -212,6 +218,8 @@ class SketchStateChecksSpec extends AnyWordSpec with Matchers with SparkSpec {
           .asInstanceOf[Double] shouldBe (4.0 / 3.0) +- 1e-12
         restored.metric(shiftA).get.value.get
           .asInstanceOf[Double] shouldBe 10.0 +- 1e-12
+        restored.metric(ratio).get.value.get
+          .asInstanceOf[Double] shouldBe 1.0 +- 1e-9
       } finally org.apache.commons.io.FileUtils
         .deleteQuietly(new java.io.File(tmp))
     }
