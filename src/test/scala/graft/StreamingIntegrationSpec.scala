@@ -168,6 +168,47 @@ class StreamingIntegrationSpec extends AnyWordSpec with Matchers with SparkSpec 
     }
   }
 
+  "IVF index state under streaming ingest" should {
+    "append postings per micro-batch to the one-shot index" in {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.pipeline.Similarity
+      val rnd = new scala.util.Random(31)
+      val corpus = (0 until 120).map { i =>
+        (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+      }
+      val corpusDf = corpus.toDF("vec_id", "embedding")
+      val centroids = Similarity.trainIvfCentroids(corpusDf, "embedding",
+        nlist = 4, sampleSize = 120)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfstream").toString
+      try {
+        val input = MemoryStream[(Long, Array[Float])]
+        val query = input.toDF().toDF("vec_id", "embedding")
+          .writeStream
+          .option("checkpointLocation", s"$dir/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            Similarity.ivfIndexState(batch, "vec_id", "embedding", centroids)
+              .write.mode("overwrite").parquet(s"$dir/post/batch=$id")
+          }
+          .start()
+        try {
+          corpus.grouped(40).foreach { g =>
+            input.addData(g: _*)
+            query.processAllAvailable()
+          }
+        } finally query.stop()
+        val streamed = s.read.parquet(s"$dir/post")
+          .select(col("graft_cell"), col("neighbor_id"))
+        val oneShot = Similarity.ivfIndexState(corpusDf, "vec_id",
+          "embedding", centroids).select(col("graft_cell"), col("neighbor_id"))
+        streamed.exceptAll(oneShot).count() shouldBe 0L
+        oneShot.exceptAll(streamed).count() shouldBe 0L
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   "windowed aggregation with watermark on a real stream" should {
     "produce closed windows downstream" in {
       val s = spark
