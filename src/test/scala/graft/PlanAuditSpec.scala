@@ -323,6 +323,29 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
         "embedding", queries, "vec_id", "embedding", k = 3))
     }
 
+    "the state-served ANN paths and funnel replay stay window-free" in {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 2L)
+      val centroids = graft.pipeline.Similarity.trainIvfCentroids(
+        emb, "embedding", nlist = 4)
+      auditNoWindow(graft.pipeline.Similarity.ivfTopKFromState(
+        graft.pipeline.Similarity.ivfIndexState(emb, "vec_id", "embedding",
+          centroids),
+        centroids, queries, "vec_id", "embedding", k = 3, nprobe = 2))
+      // funnel replay: bounded cells -> groupBy + map_from_entries + a
+      // per-key scalar UDF; a per-key WINDOW here would re-introduce the
+      // hot-key sort the state design exists to avoid
+      val s = spark
+      import s.implicits._
+      val ev = (0 until 200).map(i => (s"u${i % 10}", i.toLong,
+        s"s${i % 3}")).toDF("user", "ts", "et")
+      val rep = graft.operators.EventAnalytics.funnelFromState(
+        graft.operators.EventAnalytics.funnelState(ev, Seq("user"), "ts",
+          Seq(col("et") === "s0", col("et") === "s1"), cap = 8), 2)
+      rep.count()
+      rep.queryExecution.executedPlan.toString() should not include "Window"
+    }
+
     "lshTopK ranks bucket candidates with the heap aggregate" in {
       val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       val queries = emb.filter(col("vec_id") < 2L)
