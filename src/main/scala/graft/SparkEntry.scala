@@ -6032,6 +6032,54 @@ object SparkEntry {
         "l1_d1" -> r6(d1), "l1_d2" -> r6(d2), "l1_d3" -> r6(d3),
         "clean_ok" -> flag(cleanOk),
         "alarm_ok" -> flag(alarmOk)))
+    }),
+
+    // q155: the weighted frequent-items build — the shape an upstream
+    // tokenize-and-count batch hands over. A state built from
+    // PRE-AGGREGATED (source, item, count) rows must equal one built
+    // from the raw token stream (exact mode), and the two BUILD PATHS
+    // must interoperate under the fold: a weighted half merged with a
+    // raw-built half equals the full build count-for-count.
+    "q155_weighted_freq_state" -> ((s, dir) => {
+      import graft.sketch.FreqItems
+      val toks = table(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("source"), col("doc_id"),
+          explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
+            .as("item"))
+        .persist()
+      val kBig = 64
+      val even = toks.where(pmod(col("doc_id"), lit(2)) === 0)
+      val odd = toks.where(pmod(col("doc_id"), lit(2)) =!= 0)
+      // weighted build from pre-aggregated tallies of the even half
+      val evenTallies = even.groupBy(col("source"), col("item"))
+        .agg(count(lit(1)).as("w"))
+      val weightedHalf = FreqItems.freqStateWeighted(
+        evenTallies, Seq("source"), "item", "w", kBig)
+      val mixed = FreqItems.mergeStates(weightedHalf,
+        FreqItems.freqState(odd, Seq("source"), "item", kBig), kBig)
+      val full = FreqItems.freqState(toks, Seq("source"), "item", kBig)
+      def explodeState(st: DataFrame, tag: String) = st.select(col("source"),
+        col("mg.n").as(s"n_$tag"),
+        explode(col("mg.counters")).as(Seq("item", s"est_$tag")))
+      val cmp = explodeState(mixed, "m")
+        .join(explodeState(full, "f"), Seq("source", "item"), "full_outer")
+      val exact = toks.groupBy(col("source"), col("item"))
+        .agg(count(lit(1)).as("cnt"))
+      val out = cmp.join(exact, Seq("source", "item"), "full_outer")
+        .groupBy(col("source")).agg(
+          sum(col("cnt")).cast(DoubleType).as("n_tokens"),
+          count(lit(1)).cast(DoubleType).as("vocab"),
+          min(when(col("est_m") === col("cnt") &&
+            col("est_f") === col("cnt"), 1.0).otherwise(0.0))
+            .as("exact_ok"),
+          min(when(col("n_m") === col("n_f"), 1.0).otherwise(0.0))
+            .as("n_ok"))
+        .orderBy(col("source"))
+      val materialized = out.collect()
+      toks.unpersist(blocking = false)
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
     })
   )
 
@@ -11440,6 +11488,23 @@ object SparkEntry {
          |  round(l3.v, 6) AS l1_d3,
          |  1.0::DOUBLE AS clean_ok, 1.0::DOUBLE AS alarm_ok
          |FROM l1, l2, l3""".stripMargin
-    }
+    },
+
+    // q155: exact per-source token totals and vocabulary; the
+    // weighted-build equality and mixed-path fold parity are 1.0-pinned
+    // flags (exact-mode MG, deterministic).
+    "q155_weighted_freq_state" ->
+      """WITH tkn AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS item
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), cnt AS (
+        |  SELECT source, item, count(*) AS c FROM tkn GROUP BY 1, 2
+        |)
+        |SELECT source, sum(c)::DOUBLE AS n_tokens,
+        |  count(*)::DOUBLE AS vocab,
+        |  1.0::DOUBLE AS exact_ok, 1.0::DOUBLE AS n_ok
+        |FROM cnt GROUP BY source ORDER BY source""".stripMargin
   )
 }
