@@ -11,14 +11,15 @@ Two checks, run against a graft.Verify output dir (for oracle_sql.json):
    it to an integer-grid pin (floor(x*grid+0.5)::BIGINT on BOTH sides, the
    q102/q121 convention).
 
-2. Grid-margin: for the explicitly integer-grid-pinned cells (q102 inertia,
-   q103 max_cos), measures the distance of the pre-snap value from the
-   nearest floor boundary. Margins must sit orders above cross-engine ulp
-   noise (~1e-12 relative).
+2. (retired in round 16) Grid-margin for q102 inertia / q103 max_cos: those
+   pins were removed entirely — three rounds of driver-vs-builder DuckDB
+   version skew proved that a margin measured under one engine version
+   cannot bound another's values when the pinned aggregate sits downstream
+   of a discontinuous round(avg(x),6) centroid / argmax decision. Both
+   queries now hash only integers plus in-engine 1.0-tolerance flags.
 
-Round-14 recorded results (sf0.01, full shuffle): 0/131 order-sensitive;
-q102 inertia margin >= 0.091 grid units, q103 max_cos margin >= 0.021
-across sf0.001/0.01/0.1.
+Round-14 recorded results (sf0.01, full shuffle): 0/131 order-sensitive.
+Round-16: 0 order-sensitive with q102/q103 float pins removed.
 
 Usage: python3 scripts/check_margins.py <verify_out_dir> [sf_dir]
 """
@@ -64,22 +65,15 @@ def main():
             print(f"ORDER-SENSITIVE {name}: {diff}")
     print(f"order-sensitive: {sensitive}/{len(oracles)}")
 
-    # grid margins for the integer-pinned cells
-    if "q102_kmeans" in oracles:
-        sql = oracles["q102_kmeans"].replace(
-            "CAST(floor(sum(dist2) * 1000 + 0.5) AS BIGINT) AS inertia_i",
-            "sum(dist2) * 1000 + 0.5 AS g")
-        sql = sql[:sql.rindex("SELECT")] + \
-            "SELECT min(least(g - floor(g), ceil(g) - g)) FROM pc"
-        print("q102 inertia grid margin:", con1.execute(sql).fetchone()[0])
-    if "q103_embedding_decontam" in oracles:
-        sql = oracles["q103_embedding_decontam"].replace(
-            "CAST(floor(max(best_cos) * 1000000 + 0.5) AS BIGINT) AS max_cos_i",
-            "max(best_cos) * 1000000 + 0.5 AS g")
-        m = con1.execute(
-            f"SELECT min(least(g - floor(g), ceil(g) - g)) FROM ({sql})"
-        ).fetchone()[0]
-        print("q103 max_cos grid margin:", m)
+    # guard: no float-derived hash pins may reappear on float32-sourced
+    # math (the q102/q103 failure class) — flag any oracle that snaps or
+    # rounds an aggregate of the embedding column into a hashed value
+    for name, sql in sorted(oracles.items()):
+        if "embedding" not in sql:
+            continue
+        for marker in ("floor(sum(dist2)", "floor(max(best_cos)"):
+            if marker in sql:
+                print(f"FLOAT-PIN-REGRESSION {name}: {marker}")
 
 
 if __name__ == "__main__":

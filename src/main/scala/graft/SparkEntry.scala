@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{abs, aggregate, array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, element_at, explode, expr, floor, greatest, lower, map_values, pmod, length, lit, max, md5, min, regexp_replace, round, split, struct, sum, sum_distinct, transform, unix_micros, when}
+import org.apache.spark.sql.functions.{abs, aggregate, array, array_join, avg, broadcast, coalesce, col, concat, count, countDistinct, element_at, explode, expr, floor, greatest, lower, map_values, pmod, length, lit, max, md5, min, regexp_replace, round, split, struct, sum, sum_distinct, transform, typedLit, unix_micros, when, zip_with}
 import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.checks._
@@ -3481,17 +3481,36 @@ object SparkEntry {
       val assigned = Clustering.assign(
         emb.where(col("embedding").isNotNull), "embedding", model.centroids)
         .persist()
-      val perCell = assigned.groupBy(col("cell"))
+      // inertia is NOT hashed (r13/r15 lesson: any pin derived from a
+      // float reduction — round(), or even an integer grid snap — sits
+      // downstream of round(avg(x),6) centroid decisions that are
+      // discontinuous in last-ulp oracle-library noise, so a margin
+      // measured against one DuckDB version cannot bound another's).
+      // Each engine instead validates its OWN inertia (q34/q09 flag
+      // convention): here, sum(dist2) from the score formula
+      // |v|^2 - 2*max_score must equal a directly recomputed
+      // sum(|v - c_assigned|^2) within relative 1e-6 and be >= 0.
+      val directDist2 = {
+        val cases = model.centroids.zipWithIndex.map { case (c, i) =>
+          val d = aggregate(
+            zip_with(col("embedding"), typedLit(c.toSeq),
+              (x, w) => (x.cast(DoubleType) - w) * (x.cast(DoubleType) - w)),
+            lit(0.0), (acc, v) => acc + v)
+          (i, d)
+        }
+        cases.foldLeft(lit(Double.NaN)) { case (acc, (i, d)) =>
+          when(col("cell") === i, d).otherwise(acc)
+        }
+      }
+      val perCell = assigned.withColumn("graft_direct_d2", directDist2)
+        .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"),
           sum(col("vec_id")).as("id_sum"),
-          // integer-grid pin (q121 convention): floor(x*1e3+0.5) as BIGINT
-          // instead of round(x,3) — a rounded DOUBLE from a float reduction
-          // is hash-fragile across DuckDB versions (last-ulp summation-
-          // order drift flips the decimal rendering); the snapped integer
-          // hashes identically everywhere. Boundary margin measured by
-          // scripts/check_margins.py at all three SFs.
-          floor(sum(col("dist2")) * 1000d + 0.5d).cast(LongType)
-            .as("inertia_i"))
+          when(
+            sum(col("dist2")) >= -1e-9 &&
+              abs(sum(col("dist2")) - sum(col("graft_direct_d2"))) <=
+                greatest(lit(1e-6), sum(col("graft_direct_d2")) * 1e-9),
+            1.0d).otherwise(0.0d).as("inertia_ok"))
       val labTop = assigned.groupBy(col("cell"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("cell"))
@@ -3508,12 +3527,12 @@ object SparkEntry {
     // q103: embedding-space decontamination — the semantic sibling of the
     // q49 13-gram text decontamination. Probe (eval) set = vec_id % 29
     // rows, broadcast into the scan as literals; corpus = the rest; a row
-    // is contaminated when its best probe cosine >= 0.35. Margins
-    // measured at all three SFs: best_cos sits >= 4.2e-5 from tau and
-    // probe-argmax gaps >= 2.3e-6 — orders above double noise for a
-    // formula the oracle mirrors term for term. Pins: per-probe row
-    // counts, contaminated counts and id sums (integers), max cosine on
-    // the 1e-6 grid.
+    // is contaminated when its best probe cosine >= 0.35. Hashed pins are
+    // all integers (per-probe row counts, contaminated counts, id sums) —
+    // a single flipped assignment anywhere still shifts them. max cosine
+    // is NOT hashed (r13/r15 lesson — see q102's inertia note): each
+    // engine validates its own value via the q34/q09 flag convention
+    // (Cauchy-Schwarz bound + consistency with the contaminated counts).
     "q103_embedding_decontam" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val probes = Similarity.collectProbes(
@@ -3529,9 +3548,16 @@ object SparkEntry {
           sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contam"),
           coalesce(sum(when(col("contaminated"), col("vec_id"))), lit(0L))
             .as("contam_id_sum"),
-          // integer-grid pin, not round(x,6): see q102's inertia_i note
-          floor(org.apache.spark.sql.functions.max(col("best_cos"))
-            * 1000000d + 0.5d).cast(LongType).as("max_cos_i"))
+          when(
+            org.apache.spark.sql.functions.max(col("best_cos")) <=
+              1.0 + 1e-9 &&
+              org.apache.spark.sql.functions.min(col("best_cos")) >=
+                -(1.0 + 1e-9) &&
+              (sum(when(col("contaminated"), 1L).otherwise(0L)) === 0L ||
+                org.apache.spark.sql.functions.max(col("best_cos")) >= 0.35) &&
+              (sum(when(col("contaminated"), 0L).otherwise(1L)) === 0L ||
+                org.apache.spark.sql.functions.min(col("best_cos")) < 0.35),
+            1.0d).otherwise(0.0d).as("max_cos_ok"))
         .orderBy(col("best_probe"))
     }),
 
@@ -6080,6 +6106,189 @@ object SparkEntry {
       toks.unpersist(blocking = false)
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
+    }),
+
+    // q156: streaming maintenance for the drift-state families — the
+    // q147 dedup-ingest convention applied to the per-group sketch
+    // states (the two state families that had no streaming twin): four
+    // parity micro-batches stream through ONE foreachBatch feeding
+    // three SketchStateIngest hooks (MG frequent items / KLL quantiles
+    // / HLL distincts, each appending per-batch per-source state parts);
+    // the read-time folds must equal one-shot full-corpus builds — MG in
+    // exact mode count-for-count, KLL p50 in the store-all regime as
+    // exact VALUES (the q152 pin), HLL within its estimate tolerance —
+    // and the crash-safe compaction (rename-into-live-dir before any
+    // delete) must preserve all three.
+    "q156_streaming_sketch_ingest" -> ((s, dir) => {
+      import graft.sketch.{FreqItems, HllState, KllGroupState}
+      import graft.streaming.StreamingOps
+      val docs = table(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("source"), col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q156").toString
+      try {
+      val in = s"$tmp/in"
+      (0 until 4).foreach { p =>
+        docs.where(pmod(col("doc_id"), lit(4)) === p)
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      def toks(d: DataFrame) = d.select(col("source"),
+        explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
+          .as("item"))
+      def lens(d: DataFrame) = d.select(col("source"),
+        length(col("text")).cast(DoubleType).as("len"))
+      val kMg = 64 // exact mode: capacity >= per-source vocabulary (q152)
+      val mgIngest = new StreamingOps.SketchStateIngest(s"$tmp/mg",
+        b => FreqItems.freqState(toks(b), Seq("source"), "item", kMg),
+        parts => FreqItems.foldState(parts, kMg))
+      val kllIngest = new StreamingOps.SketchStateIngest(s"$tmp/kll",
+        b => KllGroupState.quantileState(lens(b), Seq("source"), "len"),
+        parts => KllGroupState.foldState(parts))
+      val hllIngest = new StreamingOps.SketchStateIngest(s"$tmp/hll",
+        b => HllState.distinctState(b, Seq("source"), Seq("text")),
+        parts => HllState.foldState(parts))
+      val query = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          mgIngest.processBatch(b, id)
+          kllIngest.processBatch(b, id)
+          hllIngest.processBatch(b, id)
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+
+      def mgCells(st: DataFrame, tag: String) = st.select(col("source"),
+        col("mg.n").as(s"n_$tag"),
+        explode(col("mg.counters")).as(Seq("item", s"est_$tag")))
+      def mgParity(folded: DataFrame): Boolean = {
+        val oneShot = FreqItems.freqState(toks(docs), Seq("source"), "item", kMg)
+        mgCells(folded, "a").join(mgCells(oneShot, "b"),
+            Seq("source", "item"), "full_outer")
+          .where(!(col("est_a") <=> col("est_b")) ||
+            !(col("n_a") <=> col("n_b")))
+          .isEmpty
+      }
+      def p50Sum(folded: DataFrame): Double =
+        KllGroupState.quantiles(folded, Seq(0.5), Seq("p50"))
+          .agg(coalesce(sum(col("p50")), lit(0.0)))
+          .collect().head.getDouble(0)
+      val exactDistinct = docs.groupBy(col("source"))
+        .agg(countDistinct(col("text")).as("ex"))
+      def hllOk(folded: DataFrame): Boolean =
+        HllState.estimates(folded)
+          .join(exactDistinct, Seq("source"), "full_outer")
+          .where(col("distinct_est").isNull || col("ex").isNull ||
+            abs(col("distinct_est") - col("ex")) >
+              greatest(lit(1.0), col("ex") * 0.05))
+          .isEmpty
+      val foldedMg = mgIngest.state(s).persist()
+      val totals = foldedMg.agg(
+        coalesce(sum(col("mg.n")), lit(0L)),
+        count(lit(1))).collect().head
+      val totalTokens = totals.getLong(0)
+      val nSources = totals.getLong(1)
+      val vocab = foldedMg.select(explode(col("mg.counters"))).count()
+      val mgOk = mgParity(foldedMg)
+      val p50Pre = p50Sum(kllIngest.state(s))
+      val hllPre = hllOk(hllIngest.state(s))
+      foldedMg.unpersist(blocking = false)
+      // compaction folds every part into one under the crash-safe
+      // ordering; all three folded states must survive it unchanged
+      mgIngest.compact(s); kllIngest.compact(s); hllIngest.compact(s)
+      val postOk = mgParity(mgIngest.state(s)) &&
+        p50Sum(kllIngest.state(s)) == p50Pre &&
+        hllOk(hllIngest.state(s))
+      metricRow(s, Seq(
+        "n_docs" -> docs.count().toDouble,
+        "n_sources" -> nSources.toDouble,
+        "total_tokens" -> totalTokens.toDouble,
+        "vocab" -> vocab.toDouble,
+        "p50_sum" -> p50Pre,
+        "mg_parity_ok" -> flag(mgOk),
+        "hll_ok" -> flag(hllPre),
+        "post_compact_ok" -> flag(postOk)))
+      } finally rmTree(tmp)
+    }),
+
+    // q157: the drift-alarm HISTORY on the constraint surface — where
+    // q154's isNewestPointNonAnomalous judges only today against
+    // history, hasNonAnomalousDriftHistory re-judges the WHOLE recorded
+    // series: five daily snapshots, days 0-2 clean, day 3 carries the
+    // injected token shift (the q154 convention), day 4 clean-after-
+    // anomaly. Under a one-sided increase band the newest point (day
+    // 4's big NEGATIVE change) is non-anomalous — but the day-3 spike is
+    // still in the window, so the history check must alarm until the
+    // bar is loosened (maxAnomalies = 1) or the date window excludes
+    // the spike (afterDate). The DQDL twin (NonAnomalousDriftHistory,
+    // repository-fed) must alarm and clear on the same series. All L1
+    // values are exact (exact-mode MG), so every outcome is pinned.
+    "q157_drift_history_check" -> ((s, dir) => {
+      import graft.anomaly.AbsoluteChangeStrategy
+      import graft.checks.{Check, CheckLevel, CheckStatus, VerificationSuite}
+      import graft.operators.ItemFrequencyDrift
+      import graft.repository.{InMemoryMetricsRepository, ResultKey}
+      import graft.sketch.FreqItems
+      val docs = table(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      def snap(i: Int): DataFrame = {
+        val base = docs.where(pmod(col("doc_id"), lit(5)) =!= i)
+        if (i < 3) base
+        else base.withColumn("text",
+          concat(col("text"), lit(" driftmarker driftmarker")))
+      }
+      def state(d: DataFrame): DataFrame =
+        FreqItems.freqState(
+          d.select(lit(1).as("g"),
+            explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
+              .as("item")),
+          Seq("g"), "item", 64)
+      def pairFrame(prev: DataFrame, cur: DataFrame): DataFrame =
+        state(prev).withColumnRenamed("mg", "mg_a")
+          .join(state(cur).withColumnRenamed("mg", "mg_b"), Seq("g"))
+      val drift = ItemFrequencyDrift("mg_a", "mg_b")
+      val pairs = (1 to 4).map(i => pairFrame(snap(i - 1), snap(i)))
+      val ds = pairs.map(p => drift.calculate(p).value.get)
+      val repo = new InMemoryMetricsRepository
+      (1 to 3).foreach(i => repo.save(ResultKey(i.toLong),
+        graft.runners.AnalysisRunner.run(pairs(i - 1), Seq(drift))))
+      // one-sided: only drift INCREASES beyond 0.015 are anomalous, so
+      // day 4's big negative change is clean for the newest-point check
+      val up = AbsoluteChangeStrategy(None, Some(0.015))
+      def run(check: Check): CheckStatus =
+        VerificationSuite().onData(pairs(3)).addCheck(check).run().status
+      val newestOk = run(Check(CheckLevel.Error, "newest")
+        .isNewestPointNonAnomalous(repo, up, drift)) == CheckStatus.Success
+      val historyAlarms = run(Check(CheckLevel.Error, "history")
+        .hasNonAnomalousDriftHistory(repo, up, drift)) == CheckStatus.Error
+      val loosenedOk = run(Check(CheckLevel.Error, "loosened")
+        .hasNonAnomalousDriftHistory(repo, up, drift, maxAnomalies = 1)) ==
+        CheckStatus.Success
+      val windowedOk = run(Check(CheckLevel.Error, "windowed")
+        .hasNonAnomalousDriftHistory(repo, up, drift,
+          afterDate = Some(4L))) == CheckStatus.Success
+      val dqdlAlarm = graft.dqdl.EvaluateDataQuality.process(pairs(3),
+          """Rules = [ NonAnomalousDriftHistory "mg_a" "mg_b" <= 0.015 ]""",
+          repository = Some(repo))
+        .where(col("outcome") === "Failed").count() == 1L
+      val repoClean = new InMemoryMetricsRepository
+      repoClean.save(ResultKey(1L),
+        graft.runners.AnalysisRunner.run(pairs(0), Seq(drift)))
+      val dqdlClean = graft.dqdl.EvaluateDataQuality.process(pairs(1),
+          """Rules = [ NonAnomalousDriftHistory "mg_a" "mg_b" <= 0.015 ]""",
+          repository = Some(repoClean))
+        .where(col("outcome") === "Passed").count() == 1L
+      metricRow(s, Seq(
+        "l1_d1" -> r6(ds(0)), "l1_d2" -> r6(ds(1)),
+        "l1_d3" -> r6(ds(2)), "l1_d4" -> r6(ds(3)),
+        "newest_ok" -> flag(newestOk),
+        "history_alarm_ok" -> flag(historyAlarms),
+        "loosened_ok" -> flag(loosenedOk),
+        "windowed_ok" -> flag(windowedOk),
+        "dqdl_alarm_ok" -> flag(dqdlAlarm),
+        "dqdl_clean_ok" -> flag(dqdlClean)))
     })
   )
 
@@ -6338,9 +6547,14 @@ object SparkEntry {
   }
 
   private def kmeansOracleSql(k: Int, iterations: Int): String = {
+    // inertia is validated, not hashed: the oracle checks ITS OWN
+    // sum(dist2) is non-negative and emits the 1.0 flag (q34 convention);
+    // the engine side independently recomputes |v-c|^2 and flags its own
+    // value. No float-derived pin survives into the hash (r13/r15 lesson:
+    // margins measured under one DuckDB version cannot bound another's).
     s"""WITH ${kmeansCtes(k, iterations)}, pc AS (
        |  SELECT cell, count(*) AS n, sum(vec_id) AS id_sum,
-       |    CAST(floor(sum(dist2) * 1000 + 0.5) AS BIGINT) AS inertia_i
+       |    CASE WHEN sum(dist2) >= -1e-9 THEN 1.0 ELSE 0.0 END AS inertia_ok
        |  FROM af GROUP BY cell
        |), lt AS (
        |  SELECT cell, label, count(*) AS cnt FROM af GROUP BY cell, label
@@ -6351,7 +6565,7 @@ object SparkEntry {
        |        FROM lt) rk
        |  WHERE rn = 1
        |)
-       |SELECT pc.cell, pc.n, pc.id_sum, pc.inertia_i,
+       |SELECT pc.cell, pc.n, pc.id_sum, pc.inertia_ok,
        |  tp.top_label, tp.top_label_n
        |FROM pc JOIN tp USING (cell)""".stripMargin
   }
@@ -9626,7 +9840,13 @@ object SparkEntry {
         |  sum(CASE WHEN best_cos >= 0.35 THEN 1 ELSE 0 END) AS n_contam,
         |  coalesce(sum(CASE WHEN best_cos >= 0.35 THEN vec_id END), 0)
         |    AS contam_id_sum,
-        |  CAST(floor(max(best_cos) * 1000000 + 0.5) AS BIGINT) AS max_cos_i
+        |  CASE WHEN max(best_cos) <= 1.000000001
+        |        AND min(best_cos) >= -1.000000001
+        |        AND (sum(CASE WHEN best_cos >= 0.35 THEN 1 ELSE 0 END) = 0
+        |             OR max(best_cos) >= 0.35)
+        |        AND (sum(CASE WHEN best_cos < 0.35 THEN 1 ELSE 0 END) = 0
+        |             OR min(best_cos) < 0.35)
+        |       THEN 1.0 ELSE 0.0 END AS max_cos_ok
         |FROM b GROUP BY best_probe""".stripMargin,
 
     // q104: the q54 injected-break paragraph frame; exact censuses plus
@@ -11505,6 +11725,77 @@ object SparkEntry {
         |SELECT source, sum(c)::DOUBLE AS n_tokens,
         |  count(*)::DOUBLE AS vocab,
         |  1.0::DOUBLE AS exact_ok, 1.0::DOUBLE AS n_ok
-        |FROM cnt GROUP BY source ORDER BY source""".stripMargin
+        |FROM cnt GROUP BY source ORDER BY source""".stripMargin,
+
+    // q156: exact corpus census (docs, sources, token totals from the
+    // folded exact-mode MG state, vocabulary, per-source median lengths
+    // — the q152 store-all-regime pin summed); the fold-vs-one-shot
+    // parities and the post-compaction re-check are 1.0-pinned flags.
+    "q156_streaming_sketch_ingest" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), t AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS item FROM d
+        |)
+        |SELECT (SELECT count(*) FROM d)::DOUBLE AS n_docs,
+        |  (SELECT count(DISTINCT source) FROM d)::DOUBLE AS n_sources,
+        |  (SELECT count(*) FROM t)::DOUBLE AS total_tokens,
+        |  (SELECT count(*) FROM (SELECT DISTINCT source, item FROM t))::DOUBLE
+        |    AS vocab,
+        |  (SELECT sum(m)::DOUBLE FROM (
+        |     SELECT quantile_disc(length(text), 0.5) AS m
+        |     FROM d GROUP BY source)) AS p50_sum,
+        |  1.0::DOUBLE AS mg_parity_ok, 1.0::DOUBLE AS hll_ok,
+        |  1.0::DOUBLE AS post_compact_ok""".stripMargin,
+
+    // q157: the four consecutive-day exact L1 drifts (days >= 3 carry
+    // the injected double marker token on BOTH sides where applicable,
+    // mirrored here); every check/DQDL outcome is a 1.0-pinned flag
+    // (deterministic: exact-mode MG metrics, fixed strategy band).
+    "q157_drift_history_check" -> {
+      def toks(filter: String, marked: Boolean): String = {
+        val extra =
+          if (!marked) ""
+          else s""" UNION ALL SELECT m.item FROM documents,
+             | (SELECT unnest(['driftmarker', 'driftmarker']) AS item) m
+             | WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             |   AND $filter""".stripMargin
+        s"""SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+           |    x -> x <> '')) AS item
+           |  FROM documents
+           |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND $filter$extra"""
+          .stripMargin
+      }
+      def l1(tag: String, fa: String, fb: String,
+          markedA: Boolean, markedB: Boolean): String =
+        s"""t${tag}a AS (${toks(fa, markedA)}),
+           |t${tag}b AS (${toks(fb, markedB)}),
+           |c${tag}a AS (SELECT item, count(*) AS c FROM t${tag}a GROUP BY 1),
+           |c${tag}b AS (SELECT item, count(*) AS c FROM t${tag}b GROUP BY 1),
+           |l$tag AS (
+           |  SELECT sum(abs(
+           |    coalesce(c${tag}a.c, 0)::DOUBLE / (SELECT count(*) FROM t${tag}a) -
+           |    coalesce(c${tag}b.c, 0)::DOUBLE / (SELECT count(*) FROM t${tag}b)))
+           |    AS v
+           |  FROM c${tag}a FULL JOIN c${tag}b USING (item)
+           |)""".stripMargin
+      s"""WITH ${l1("1", "doc_id % 5 <> 0", "doc_id % 5 <> 1",
+           markedA = false, markedB = false)},
+         |${l1("2", "doc_id % 5 <> 1", "doc_id % 5 <> 2",
+           markedA = false, markedB = false)},
+         |${l1("3", "doc_id % 5 <> 2", "doc_id % 5 <> 3",
+           markedA = false, markedB = true)},
+         |${l1("4", "doc_id % 5 <> 3", "doc_id % 5 <> 4",
+           markedA = true, markedB = true)}
+         |SELECT round(l1.v, 6) AS l1_d1, round(l2.v, 6) AS l1_d2,
+         |  round(l3.v, 6) AS l1_d3, round(l4.v, 6) AS l1_d4,
+         |  1.0::DOUBLE AS newest_ok, 1.0::DOUBLE AS history_alarm_ok,
+         |  1.0::DOUBLE AS loosened_ok, 1.0::DOUBLE AS windowed_ok,
+         |  1.0::DOUBLE AS dqdl_alarm_ok, 1.0::DOUBLE AS dqdl_clean_ok
+         |FROM l1, l2, l3, l4""".stripMargin
+    }
   )
 }

@@ -298,8 +298,8 @@ case class Check(
       QuantileShift(kllA, kllB, quantile), assertion, hint = hint))
 
   /** Distinct-count growth between two HLL state columns on one frame:
-    * asserts on |B| / |A| of the folded sketches (+∞ when only A holds
-    * values; 1.0 when both sides are empty).
+    * asserts on |B| / |A| of the folded sketches (0.0 when only A holds
+    * values, +∞ when only B does, 1.0 when both sides are empty).
     */
   def hasDistinctCountRatio(hllA: String, hllB: String,
       assertion: Double => Boolean, hint: Option[String] = None): Check =
@@ -418,6 +418,32 @@ case class Check(
         withTagValues, afterDate, beforeDate),
       hint = hint))
 
+  /** Puts the WHOLE alarm-loop history on the constraint surface:
+    * asserts the analyzer's ENTIRE repository series (tag/date-window
+    * filtered, plus the value computed on the data at hand as the
+    * newest point) contains at most `maxAnomalies` anomalous points
+    * under the strategy — where [[isNewestPointNonAnomalous]] judges
+    * only today against history, this fails as long as ANY unresolved
+    * anomaly sits in the assessed window (a drift spike three days ago
+    * still fails today's run until the window excludes it or the bar is
+    * loosened). Beyond-reference extension of the q154 drift-alarm
+    * loop; typical analyzer: a drift metric such as
+    * `ItemFrequencyDrift` over two persisted snapshot states.
+    */
+  def hasNonAnomalousDriftHistory(
+      metricsRepository: graft.repository.MetricsRepository,
+      strategy: graft.anomaly.AnomalyDetectionStrategy,
+      analyzer: AnyAnalyzer,
+      maxAnomalies: Int = 0,
+      withTagValues: Map[String, String] = Map.empty,
+      afterDate: Option[Long] = None,
+      beforeDate: Option[Long] = None,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("DriftHistoryConstraint", analyzer,
+      Check.hasNonAnomalousHistory(metricsRepository, strategy, analyzer,
+        maxAnomalies, withTagValues, afterDate, beforeDate),
+      hint = hint))
+
   // -- dataset comparison ----------------------------------------------------
 
   /** Ratio of rows with a matching row in `otherDataset` under the key
@@ -506,6 +532,29 @@ object Check {
       .timeSeriesOf(analyzer).map(_._2)
     val series = (history :+ currentValue).toVector
     strategy.detect(series, (series.length - 1, series.length)).isEmpty
+  }
+
+  /** The whole-history assertion behind [[Check.hasNonAnomalousDriftHistory]]:
+    * loads the analyzer's full metric history (tag/date-window filtered),
+    * appends the current value, and searches the ENTIRE series — passes
+    * iff the strategy flags at most `maxAnomalies` points anywhere in it.
+    */
+  def hasNonAnomalousHistory(
+      metricsRepository: graft.repository.MetricsRepository,
+      strategy: graft.anomaly.AnomalyDetectionStrategy,
+      analyzer: AnyAnalyzer,
+      maxAnomalies: Int,
+      withTagValues: Map[String, String],
+      afterDate: Option[Long],
+      beforeDate: Option[Long]): Double => Boolean = { currentValue =>
+    var loader = metricsRepository.load()
+    if (withTagValues.nonEmpty) loader = loader.withTagValues(withTagValues)
+    afterDate.foreach(d => loader = loader.after(d))
+    beforeDate.foreach(d => loader = loader.before(d))
+    val history = loader.forAnalyzers(Seq(analyzer))
+      .timeSeriesOf(analyzer).map(_._2)
+    val series = (history :+ currentValue).toVector
+    strategy.detect(series, (0, series.length)).size <= maxAnomalies
   }
 
   private def and(existing: Option[String], filter: String): Option[String] =

@@ -82,6 +82,29 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
     try Some(f(in)) finally in.close()
   }
 
+  // counter keys serialize as writeInt(length) + utf8 bytes, the same
+  // length-prefixed scheme as the sketch-bytes states — writeUTF caps a
+  // key at 65535 UTF-8 bytes and a long token/URL item would poison the
+  // persist with UTFDataFormatException
+  private def writeFreqCounters(
+      o: DataOutputStream, counters: Map[String, Long], n: Long): Unit = {
+    o.writeInt(counters.size)
+    counters.foreach { case (k, v) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      o.writeInt(kb.length); o.write(kb); o.writeLong(v)
+    }
+    o.writeLong(n)
+  }
+
+  private def readFreqState(i: DataInputStream): graft.operators.FreqItemsState = {
+    val size = i.readInt()
+    val counters = (0 until size).map { _ =>
+      val kl = i.readInt(); val kb = new Array[Byte](kl); i.readFully(kb)
+      new String(kb, java.nio.charset.StandardCharsets.UTF_8) -> i.readLong()
+    }.toMap
+    graft.operators.FreqItemsState(counters, i.readLong())
+  }
+
   override def persist[S <: State[_]](analyzer: Analyzer[S, _], state: S): Unit = {
     // the persist would succeed but no later run could ever compute the
     // same file name to load it back; fail LOUDLY instead of silently
@@ -138,18 +161,10 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
           o.writeInt(b.length); o.write(b)
         }
       case graft.operators.FreqItemsState(counters, n) =>
-        withOutput(s"$base.bin") { o =>
-          o.writeInt(counters.size)
-          counters.foreach { case (k, v) => o.writeUTF(k); o.writeLong(v) }
-          o.writeLong(n)
-        }
+        withOutput(s"$base.bin") { o => writeFreqCounters(o, counters, n) }
       case graft.operators.FreqDriftState(a, b) =>
         withOutput(s"$base.bin") { o =>
-          Seq(a, b).foreach { s =>
-            o.writeInt(s.counters.size)
-            s.counters.foreach { case (k, v) => o.writeUTF(k); o.writeLong(v) }
-            o.writeLong(s.n)
-          }
+          Seq(a, b).foreach(s => writeFreqCounters(o, s.counters, s.n))
         }
       case graft.operators.QuantileShiftState(a, b) =>
         withOutput(s"$base.bin") { o =>
@@ -219,19 +234,10 @@ class HdfsStateProvider(spark: SparkSession, locationPrefix: String)
           graft.operators.ThetaOverlapState(a, b)
         }
       case _: graft.operators.ApproxItemFrequencyFromState =>
-        withInput(s"$base.bin") { i =>
-          val size = i.readInt()
-          val counters = (0 until size).map(_ => i.readUTF() -> i.readLong()).toMap
-          graft.operators.FreqItemsState(counters, i.readLong())
-        }
+        withInput(s"$base.bin")(readFreqState)
       case _: graft.operators.ItemFrequencyDrift =>
         withInput(s"$base.bin") { i =>
-          def one() = {
-            val size = i.readInt()
-            val counters = (0 until size).map(_ => i.readUTF() -> i.readLong()).toMap
-            graft.operators.FreqItemsState(counters, i.readLong())
-          }
-          graft.operators.FreqDriftState(one(), one())
+          graft.operators.FreqDriftState(readFreqState(i), readFreqState(i))
         }
       case _: graft.operators.QuantileShift =>
         withInput(s"$base.bin") { i =>

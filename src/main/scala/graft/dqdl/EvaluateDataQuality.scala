@@ -416,6 +416,27 @@ object EvaluateDataQuality {
       case "distinctcountratio" =>
         rejectWhere()
         constraintN("DistinctCountRatio", DistinctCountRatio(param(0), param(1)))
+      // the whole drift-alarm loop as ONE rule: the ItemFrequencyDrift
+      // metric's full repository history (oldest first) plus the value
+      // computed on the data at hand, judged change-by-change — the rule
+      // passes iff EVERY consecutive change in that series satisfies the
+      // numeric condition (the zero-anomaly AbsoluteChangeStrategy form
+      // of Check.hasNonAnomalousDriftHistory). Needs a MetricsRepository
+      // passed to process(); pair with saveResultsKey so each run
+      // appends today's drift to the history the next run judges.
+      case "nonanomalousdrifthistory" =>
+        rejectWhere()
+        val analyzer = ItemFrequencyDrift(param(0), param(1))
+        val cond = rule.condition.getOrElse(throw new DqdlTranslationException(
+          "NonAnomalousDriftHistory requires a numeric condition " +
+            "(the allowed per-step change band, e.g. between -0.015 and 0.015)"))
+        val h = history.getOrElse(throw new DqdlTranslationException(
+          s"Rule '$rendered' evaluates a metric history; pass a MetricsRepository"))
+        val bandOk = DqdlParser.assertion(cond)
+        constraint("NonAnomalousDriftHistory", analyzer, { current =>
+          val series = h(analyzer) :+ current
+          series.zip(series.tail).forall { case (p, c) => bandOk(c - p) }
+        })
 
       case "isprimarykey" =>
         val cols = rule.parameters

@@ -208,8 +208,8 @@ case class ItemFrequencyDrift(mgA: String, mgB: String)
 
 /** Pair of folded HLL sketches (snapshot A, snapshot B); the metric is
   * |B| / |A| — the distinct-count growth ratio (1.0 when both sides are
-  * empty, +∞ when only A is — assertions see the divergence instead of
-  * a masked 0).
+  * empty, 0.0 when only A holds values, +∞ when only B does —
+  * assertions see the divergence direction instead of a masked value).
   */
 case class DistinctRatioState(a: HllState, b: HllState)
     extends DoubleValuedState[DistinctRatioState] {

@@ -171,24 +171,35 @@ object FreqItems {
       .agg(mergeAggCol(asCell, capacity).as("mg"))
   }
 
+  /** N-way fold of a frame holding MANY summaries per group (e.g. every
+    * per-micro-batch part of a streaming ingest read as one frame) —
+    * per-group summary merge, any batch order within the Misra-Gries
+    * bound. Every non-`mg` column is a group key.
+    */
+  def foldState(parts: DataFrame, capacity: Int = DefaultCapacity): DataFrame = {
+    val groupCols = parts.columns.filterNot(_ == "mg").toSeq
+    parts.groupBy(groupCols.map(col): _*)
+      .agg(mergeAggCol(col("mg"), capacity).as("mg"))
+  }
+
   /** Fold states (or a state and a new batch's state) — per-group
     * summary merge, any batch order within the Misra-Gries bound.
     */
   def mergeStates(a: DataFrame, b: DataFrame,
-      capacity: Int = DefaultCapacity): DataFrame = {
-    val groupCols = a.columns.filterNot(_ == "mg").toSeq
-    a.unionByName(b)
-      .groupBy(groupCols.map(col): _*)
-      .agg(mergeAggCol(col("mg"), capacity).as("mg"))
-  }
+      capacity: Int = DefaultCapacity): DataFrame =
+    foldState(a.unionByName(b), capacity)
 
   /** (groupCols..., item, est, n, err) — every summary item whose upper
     * bound est + err reaches phi×n, where err = (n - S)/(capacity + 1)
     * is the group's deterministic undercount bound. GUARANTEED to
-    * contain every item with true frequency > phi×n; may contain items
-    * below it (est alone never overcounts). `capacity` must be >= the
-    * capacity the summaries were built/folded at (a larger value only
-    * widens err — still sound, less precise).
+    * contain every item with true frequency > phi×n PROVIDED `capacity`
+    * is <= the smallest capacity the summaries were built/folded at:
+    * err shrinks as capacity grows, so passing a LARGER value than the
+    * build capacity understates the undercount bound and can silently
+    * drop a guaranteed item. (A smaller value only widens err — sound,
+    * less precise.) The guarantee is also vacuous for items the summary
+    * evicted entirely when phi×n < err — choose capacity > 1/phi at
+    * build time so phi×n >= err always holds.
     */
   def heavyHitters(state: DataFrame, phi: Double,
       capacity: Int = DefaultCapacity): DataFrame = {

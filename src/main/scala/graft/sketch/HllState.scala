@@ -49,17 +49,24 @@ object HllState {
         .as("hll"))
   }
 
-  /** Fold states (or a state and a new batch's state) together —
+  /** N-way fold of a frame holding MANY sketches per group (e.g. every
+    * per-micro-batch part of a streaming ingest read as one frame) —
     * commutative and associative (per-register max), any batch order.
+    * Every non-`hll` column is a group key.
     */
-  def mergeStates(a: DataFrame, b: DataFrame): DataFrame = {
-    val groupCols = a.columns.filterNot(_ == "hll").toSeq
-    a.unionByName(b)
-      .groupBy(groupCols.map(col): _*)
+  def foldState(parts: DataFrame): DataFrame = {
+    val groupCols = parts.columns.filterNot(_ == "hll").toSeq
+    parts.groupBy(groupCols.map(col): _*)
       // allowDifferentLgConfigK: a state written at a larger K folds
       // into a smaller one rather than failing a daily pipeline
       .agg(hll_union_agg(col("hll"), lit(true)).as("hll"))
   }
+
+  /** Fold states (or a state and a new batch's state) together —
+    * commutative and associative (per-register max), any batch order.
+    */
+  def mergeStates(a: DataFrame, b: DataFrame): DataFrame =
+    foldState(a.unionByName(b))
 
   /** (groupCols..., distinct_est: long) from a (possibly merged,
     * possibly parquet-reloaded) state.

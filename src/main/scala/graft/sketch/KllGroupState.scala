@@ -65,18 +65,27 @@ object KllGroupState {
         sketchSize).as("kll"))
   }
 
+  /** N-way fold of a frame holding MANY sketches per group (e.g. every
+    * per-micro-batch part of a streaming ingest read as one frame) —
+    * per-group sketch merge, any batch order within the rank-error
+    * bound. Every non-`kll` column is a group key.
+    */
+  def foldState(
+      parts: DataFrame,
+      sketchSize: Int = KLLSketch.DefaultSketchSize): DataFrame = {
+    val groupCols = parts.columns.filterNot(_ == "kll").toSeq
+    parts.groupBy(groupCols.map(col): _*)
+      .agg(mergeAggCol(col("kll"), sketchSize).as("kll"))
+  }
+
   /** Fold states (or a state and a new batch's state) — per-group sketch
     * merge, any batch order within the rank-error bound.
     */
   def mergeStates(
       a: DataFrame,
       b: DataFrame,
-      sketchSize: Int = KLLSketch.DefaultSketchSize): DataFrame = {
-    val groupCols = a.columns.filterNot(_ == "kll").toSeq
-    a.unionByName(b)
-      .groupBy(groupCols.map(col): _*)
-      .agg(mergeAggCol(col("kll"), sketchSize).as("kll"))
-  }
+      sketchSize: Int = KLLSketch.DefaultSketchSize): DataFrame =
+    foldState(a.unionByName(b), sketchSize)
 
   /** (groupCols..., q_1..q_n) — the requested quantiles per group from a
     * (possibly merged, possibly parquet-reloaded) state; column names

@@ -65,11 +65,16 @@ object StateDrift {
     *  - `l1_est`: Σ over the UNION of kept items of
     *    |est_a/n_a − est_b/n_b| — the visible-mass L1 distance between
     *    the two snapshots' item distributions;
-    *  - `l1_err`: the deterministic slack — each side's per-item
-    *    undercount bound (n−S)/((capacity+1)·n) can move every term by
-    *    at most errA + errB, and items invisible on BOTH sides each
-    *    carry below-bound mass. EXACT (l1_err = 0) when both summaries
-    *    ran in exact mode (capacity >= vocabulary);
+    *  - `l1_err`: a deterministic TOTAL error bound on l1_est — the
+    *    true (full-vocabulary) L1 distance lies within l1_est ± l1_err.
+    *    Built from the per-item undercount bounds err_x =
+    *    (n−S)/((capacity+1)·n): each of the U union items can move by
+    *    at most errA + errB, and items invisible on BOTH summaries
+    *    carry total mass at most each side's global undercount
+    *    err_x·(capacity+1), so l1_err = (errA+errB)·(U + capacity + 1).
+    *    EXACT (l1_err = 0) when both summaries ran in exact mode
+    *    (capacity >= vocabulary) — the `l1_err === 0` flag is the
+    *    exact-mode signal;
     *  - `new_items` / `lost_items`: kept items present in only one
     *    snapshot's summary — the qualitative churn signal.
     *
@@ -109,8 +114,11 @@ object StateDrift {
         max(coalesce(col("n_a"), lit(0L))).as("n_a"),
         max(coalesce(col("n_b"), lit(0L))).as("n_b"),
         sum(abs(col("p_a") - col("p_b"))).as("l1_est"),
-        (max(coalesce(col("err_a"), lit(0.0))) +
-          max(coalesce(col("err_b"), lit(0.0)))).as("l1_err"),
+        // total bound, not per-item slack: (errA+errB) × (union items +
+        // capacity+1) — the second term covers both-side-invisible mass
+        ((max(coalesce(col("err_a"), lit(0.0))) +
+          max(coalesce(col("err_b"), lit(0.0)))) *
+          (count(lit(1)) + lit(capacity + 1.0))).as("l1_err"),
         sum(when(col("est_a").isNull, 1L).otherwise(0L)).as("new_items"),
         sum(when(col("est_b").isNull, 1L).otherwise(0L)).as("lost_items"))
   }

@@ -236,23 +236,100 @@ object StreamingOps {
 
     /** Folds every per-batch part into ONE compacted part (the monoid
       * again) so a long-lived ingest does not accumulate unbounded
-      * small-file state. Safe between (not during) triggers; the
-      * compacted part reserves batch id Long.MaxValue, past any real
-      * batchId, so later batches never overwrite it and a re-compaction
-      * folds it like any other part.
+      * small-file state. Safe between (not during) triggers; crash
+      * safety per [[StreamingOps.compactStateDir]].
       */
-    def compact(spark: org.apache.spark.sql.SparkSession): Unit = {
-      val fs = new org.apache.hadoop.fs.Path(statePath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tmp = new org.apache.hadoop.fs.Path(s"$statePath-compacting")
-      // distributed fold to a sibling dir, then an atomic-per-dir swap —
-      // never a read-overwrite of the path being read
-      survivors(spark).write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(statePath))
-      fs.rename(tmp,
-        new org.apache.hadoop.fs.Path(s"$statePath/batch=${Long.MaxValue}"))
-    }
+    def compact(spark: org.apache.spark.sql.SparkSession): Unit =
+      compactStateDir(spark, statePath, parts =>
+        parts.groupBy(col("graft_kh"))
+          .agg(min(col("graft_min_id")).as("graft_min_id")))
+  }
+
+  /** Crash-safe compaction shared by the streaming state ingests: the
+    * pinned input parts are folded into a sibling dir, the fold is
+    * renamed INTO the live dir under a fresh compaction id (counting
+    * down from Long.MaxValue, past any real batchId, so ingest never
+    * overwrites it and each re-compaction picks an unused id), and only
+    * THEN are the superseded parts deleted. At every instant the live
+    * dir's parts cover the full history — a crash anywhere leaves at
+    * worst harmless duplicate parts, which the commutative fold absorbs
+    * on the next read (never an empty/missing state, the pre-r16
+    * delete-then-rename window).
+    */
+  private def compactStateDir(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      fold: DataFrame => DataFrame): Unit = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    // pin the part list BEFORE writing anything (lazy-read-after-write
+    // rule): the fold must not see the part it is about to create
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    if (parts.size <= 1) return
+    val usedIds = parts.flatMap(st =>
+      scala.util.Try(st.getPath.getName.stripPrefix("batch=").toLong).toOption)
+    // fresh id below any prior compaction id, still above real batches
+    val priorCompactions = usedIds.filter(_ > Long.MaxValue - 1000000L)
+    val compactId =
+      if (priorCompactions.isEmpty) Long.MaxValue
+      else priorCompactions.min - 1L
+    val tmp = new org.apache.hadoop.fs.Path(s"$statePath-compacting")
+    fold(spark.read.parquet(parts.map(_.getPath.toString): _*))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.rename(tmp,
+      new org.apache.hadoop.fs.Path(s"$statePath/batch=$compactId"))
+    parts.foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Streaming maintenance for the persisted per-group sketch-state
+    * families ([[graft.sketch.FreqItems]] Misra-Gries frequent items,
+    * [[graft.sketch.KllGroupState]] quantiles, [[graft.sketch.HllState]]
+    * distincts — any per-group commutative state frame): attach
+    * [[asForeachBatch]] to a Structured Streaming query and each
+    * micro-batch writes ONE slim per-group state part under
+    * `statePath/batch=<id>` via `buildBatchState` (e.g.
+    * `FreqItems.freqState(_, ...)`). Because every family is a
+    * commutative monoid, the parts fold at READ time ([[state]], via the
+    * family's `foldState`) to the same frame a one-shot full-corpus
+    * build produces, REGARDLESS of micro-batch boundaries or file
+    * ordering — this is the q152/q153 drift family's missing streaming
+    * twin: two long-lived ingests (yesterday's crawl, today's) feed
+    * StateDrift / the drift checks directly, the corpora never
+    * rescanned. Idempotent under foreachBatch's at-least-once contract:
+    * a replayed batchId overwrites its own part. Multiple ingests
+    * compose in one query (`(b, id) => { mg.processBatch(b, id);
+    * kll.processBatch(b, id) }`): each maintains its own state dir.
+    */
+  final class SketchStateIngest(
+      statePath: String,
+      buildBatchState: DataFrame => DataFrame,
+      foldParts: DataFrame => DataFrame) extends Serializable {
+
+    /** The foreachBatch hook: builds the micro-batch's per-group state
+      * frame and stages it as this batch's part.
+      */
+    def processBatch(batch: DataFrame, batchId: Long): Unit =
+      buildBatchState(batch).write.mode("overwrite")
+        .parquet(s"$statePath/batch=$batchId")
+
+    def asForeachBatch(): (DataFrame, Long) => Unit = processBatch
+
+    /** The folded per-group state across every ingested part — equal to
+      * a one-shot build over the whole stream so far (monoid law). The
+      * `batch` partition column is dropped before the fold: it is
+      * ingest bookkeeping, not a group key.
+      */
+    def state(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      foldParts(spark.read.parquet(statePath).drop("batch"))
+
+    /** Folds every per-batch part into ONE compacted part — crash
+      * safety per [[StreamingOps.compactStateDir]]. Safe between (not
+      * during) triggers.
+      */
+    def compact(spark: org.apache.spark.sql.SparkSession): Unit =
+      compactStateDir(spark, statePath, foldParts)
   }
 
   /** Data freshness: fraction of rows within `maxAgeSeconds` of `nowEpoch`

@@ -957,6 +957,30 @@ object ScaleProbe {
         .agg(coalesce(sum(col("mg.n")), lit(0L)))
         .collect().head.getLong(0)
 
+    // weighted pre-aggregated build (q155): the same MG family fed
+    // (item, weight) rows — a fixed weighted batch folds into the
+    // 10x-staged state, so the fold cost must track state rows exactly
+    // like its raw-stream twin above; the probed value is the folded
+    // total weight n (exact bookkeeping through the round-trip)
+    def weightedItems(d: DataFrame): DataFrame =
+      tokenized(d).groupBy(col("grp"), col("item"))
+        .agg(count(lit(1)).as("w"))
+    def freqWeightedSetup(d: DataFrame, path: String): Unit =
+      FreqItems.writeState(
+        FreqItems.freqStateWeighted(
+          weightedItems(grouped(d)), Seq("grp"), "item", "w", 64),
+        path)
+    freqWeightedSetup(docs0, s"$work/freqw_state_x1")
+    freqWeightedSetup(docsX, s"$work/freqw_state_x$mult")
+    def freqWeightedProbe(path: String): Long =
+      FreqItems.mergeStates(
+          FreqItems.readState(spark, path),
+          FreqItems.freqStateWeighted(
+            weightedItems(sketchBatch), Seq("grp"), "item", "w", 64),
+          64)
+        .agg(coalesce(sum(col("mg.n")), lit(0L)))
+        .collect().head.getLong(0)
+
     // incremental IVF index state (q148): a FROZEN quantizer, postings
     // staged UNTIMED at both corpus sizes. ivf_state_append assigns and
     // counts a FIXED 500-vector batch — pure map-side under the frozen
@@ -1056,6 +1080,9 @@ object ScaleProbe {
       ("freq_state",
         timed(freqProbe(s"$work/freq_state_x1")),
         timed(freqProbe(s"$work/freq_state_x$mult"))),
+      ("freq_state_weighted",
+        timed(freqWeightedProbe(s"$work/freqw_state_x1")),
+        timed(freqWeightedProbe(s"$work/freqw_state_x$mult"))),
       ("funnel_state",
         timed(funnelStateProbe(s"$work/funnel_state_x1")),
         timed(funnelStateProbe(s"$work/funnel_state_x$mult"))),

@@ -1,0 +1,275 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.wordspec.AnyWordSpec
+
+import graft.anomaly.AbsoluteChangeStrategy
+import graft.checks.{Check, CheckLevel, CheckStatus, VerificationSuite}
+import graft.operators.{ItemFrequencyDrift, Size}
+import graft.repository.{InMemoryMetricsRepository, ResultKey}
+import graft.sketch.FreqItems
+import graft.streaming.StreamingOps
+
+/** Round-16 additions: the streaming sketch-state ingest (per-batch
+  * parts + read-time fold + crash-safe compaction), the whole-history
+  * drift check (Check builder + DQDL rule), the N-way foldState fold,
+  * the length-prefixed FreqItems state serde, and the l1_err total
+  * bound.
+  */
+class R16FeaturesSpec extends AnyWordSpec with Matchers with SparkSpec {
+
+  private def docs(rows: Seq[(String, Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("source", "doc_id", "text")
+  }
+
+  private val corpus = docs(Seq(
+    ("s1", 1L, "a b a"), ("s1", 2L, "b c"), ("s1", 3L, "a a"),
+    ("s2", 4L, "x y"), ("s2", 5L, "y y z"), ("s2", 6L, "x")))
+
+  private def toks(d: DataFrame): DataFrame =
+    d.select(col("source"),
+      explode(split(col("text"), " ")).as("item"))
+
+  private def mgCells(st: DataFrame): Set[(String, String, Long, Long)] =
+    st.select(col("source"), col("mg.n").as("n"),
+        explode(col("mg.counters")).as(Seq("item", "est")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3), r.getLong(1)))
+      .toSet
+
+  "SketchStateIngest" should {
+    "fold per-batch parts to the one-shot state and survive compaction" in {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-r16-ingest").toString
+      try {
+        val ingest = new StreamingOps.SketchStateIngest(s"$tmp/mg",
+          b => FreqItems.freqState(toks(b), Seq("source"), "item", 16),
+          parts => FreqItems.foldState(parts, 16))
+        // three uneven batches, written out of order
+        ingest.processBatch(corpus.where(col("doc_id") > 4), 2L)
+        ingest.processBatch(corpus.where(col("doc_id") <= 2), 0L)
+        ingest.processBatch(
+          corpus.where(col("doc_id") > 2 && col("doc_id") <= 4), 1L)
+        val oneShot = FreqItems.freqState(toks(corpus), Seq("source"), "item", 16)
+        mgCells(ingest.state(spark)) shouldBe mgCells(oneShot)
+
+        // a replayed batchId overwrites its own part — no double count
+        ingest.processBatch(corpus.where(col("doc_id") <= 2), 0L)
+        mgCells(ingest.state(spark)) shouldBe mgCells(oneShot)
+
+        // compaction: one part left, fold unchanged
+        ingest.compact(spark)
+        val fs = new org.apache.hadoop.fs.Path(s"$tmp/mg")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/mg"))
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        parts.length shouldBe 1
+        mgCells(ingest.state(spark)) shouldBe mgCells(oneShot)
+        // re-compaction with a single part is a no-op
+        ingest.compact(spark)
+        mgCells(ingest.state(spark)) shouldBe mgCells(oneShot)
+        // a further ingest after compaction still folds correctly
+        ingest.processBatch(
+          docs(Seq(("s1", 7L, "c c"))), 3L)
+        val extended = FreqItems.freqState(
+          toks(corpus.unionByName(docs(Seq(("s1", 7L, "c c"))))),
+          Seq("source"), "item", 16)
+        mgCells(ingest.state(spark)) shouldBe mgCells(extended)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+  }
+
+  "DedupIngest.compact" should {
+    "leave one covering part and identical survivors" in {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-r16-dedup").toString
+      try {
+        val ingest = new StreamingOps.DedupIngest(s"$tmp/state", "text", "doc_id")
+        ingest.processBatch(corpus.where(col("doc_id") % 2 === 0), 0L)
+        ingest.processBatch(corpus.where(col("doc_id") % 2 === 1), 1L)
+        val before = ingest.survivors(spark).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        ingest.compact(spark)
+        val fs = new org.apache.hadoop.fs.Path(s"$tmp/state")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/state"))
+          .count(st => st.isDirectory && st.getPath.getName.startsWith("batch=")) shouldBe 1
+        val after = ingest.survivors(spark).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        after shouldBe before
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+  }
+
+  "hasNonAnomalousDriftHistory" should {
+    val strategy = AbsoluteChangeStrategy(Some(-5.0), Some(5.0))
+    def sized(n: Int): DataFrame =
+      spark.range(n).toDF("id")
+    def repoWith(sizes: Seq[Long]): InMemoryMetricsRepository = {
+      val repo = new InMemoryMetricsRepository
+      sizes.zipWithIndex.foreach { case (n, i) =>
+        repo.save(ResultKey(i + 1L),
+          graft.runners.AnalysisRunner.run(sized(n.toInt), Seq(Size())))
+      }
+      repo
+    }
+
+    "pass on a clean history" in {
+      val status = VerificationSuite().onData(sized(12))
+        .addCheck(Check(CheckLevel.Error, "h")
+          .hasNonAnomalousDriftHistory(repoWith(Seq(10L, 11L)), strategy, Size()))
+        .run().status
+      status shouldBe CheckStatus.Success
+    }
+
+    "alarm on an OLD anomaly the newest-point check misses" in {
+      // 10 -> 50 spike two days ago; today's change is small
+      val repo = repoWith(Seq(10L, 50L))
+      val newest = VerificationSuite().onData(sized(51))
+        .addCheck(Check(CheckLevel.Error, "n")
+          .isNewestPointNonAnomalous(repo, strategy, Size()))
+        .run().status
+      newest shouldBe CheckStatus.Success
+      val history = VerificationSuite().onData(sized(51))
+        .addCheck(Check(CheckLevel.Error, "h")
+          .hasNonAnomalousDriftHistory(repo, strategy, Size()))
+        .run().status
+      history shouldBe CheckStatus.Error
+    }
+
+    "loosen with maxAnomalies and narrow with afterDate" in {
+      val repo = repoWith(Seq(10L, 50L))
+      VerificationSuite().onData(sized(51))
+        .addCheck(Check(CheckLevel.Error, "h")
+          .hasNonAnomalousDriftHistory(repo, strategy, Size(), maxAnomalies = 1))
+        .run().status shouldBe CheckStatus.Success
+      // afterDate is inclusive >=; date 2 alone leaves one change (50->51)
+      VerificationSuite().onData(sized(51))
+        .addCheck(Check(CheckLevel.Error, "h")
+          .hasNonAnomalousDriftHistory(repo, strategy, Size(),
+            afterDate = Some(2L)))
+        .run().status shouldBe CheckStatus.Success
+    }
+  }
+
+  "DQDL NonAnomalousDriftHistory" should {
+    def mgPair(a: DataFrame, b: DataFrame): DataFrame =
+      FreqItems.freqState(toks(a).withColumn("source", lit("g")),
+          Seq("source"), "item", 16)
+        .withColumnRenamed("mg", "mg_a")
+        .join(FreqItems.freqState(toks(b).withColumn("source", lit("g")),
+          Seq("source"), "item", 16)
+          .withColumnRenamed("mg", "mg_b"), Seq("source"))
+
+    val day1 = docs(Seq(("s1", 1L, "a b a b")))
+    val day2 = docs(Seq(("s1", 2L, "a b a b")))
+    val day3 = docs(Seq(("s1", 3L, "z z z z")))
+
+    "pass on a stable series and fail when a step blows the band" in {
+      val drift = ItemFrequencyDrift("mg_a", "mg_b")
+      val repo = new InMemoryMetricsRepository
+      repo.save(ResultKey(1L),
+        graft.runners.AnalysisRunner.run(mgPair(day1, day2), Seq(drift)))
+      val clean = graft.dqdl.EvaluateDataQuality.process(mgPair(day1, day2),
+        """Rules = [ NonAnomalousDriftHistory "mg_a" "mg_b" <= 0.1 ]""",
+        repository = Some(repo))
+      clean.select("outcome").collect().head.getString(0) shouldBe "Passed"
+      val spiked = graft.dqdl.EvaluateDataQuality.process(mgPair(day2, day3),
+        """Rules = [ NonAnomalousDriftHistory "mg_a" "mg_b" <= 0.1 ]""",
+        repository = Some(repo))
+      spiked.select("outcome").collect().head.getString(0) shouldBe "Failed"
+    }
+
+    "reject a run without a repository" in {
+      val out = graft.dqdl.EvaluateDataQuality.process(mgPair(day1, day2),
+        """Rules = [ NonAnomalousDriftHistory "mg_a" "mg_b" <= 0.1 ]""")
+      out.select("outcome").collect().head.getString(0) shouldBe "Failed"
+    }
+  }
+
+  "FreqItems.foldState" should {
+    "equal chained mergeStates over many parts" in {
+      val parts = Seq(
+        corpus.where(col("doc_id") <= 2),
+        corpus.where(col("doc_id") > 2 && col("doc_id") <= 4),
+        corpus.where(col("doc_id") > 4))
+        .map(d => FreqItems.freqState(toks(d), Seq("source"), "item", 16))
+      val folded = FreqItems.foldState(
+        parts.reduce(_ unionByName _), 16)
+      val chained = parts.reduce(FreqItems.mergeStates(_, _, 16))
+      mgCells(folded) shouldBe mgCells(chained)
+    }
+  }
+
+  "FreqItems state persistence" should {
+    "round-trip counter keys longer than 65535 UTF-8 bytes" in {
+      val longKey = "k" * 70000
+      val s = spark
+      import s.implicits._
+      val frame = FreqItems.freqState(
+        Seq.fill(5)(("g", longKey)).appendedAll(Seq(("g", "x")))
+          .toDF("source", "item"),
+        Seq("source"), "item", 8)
+        .withColumnRenamed("mg", "mg_state")
+      val analyzer = graft.operators.ApproxItemFrequencyFromState(
+        "mg_state", longKey)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-r16-serde").toString
+      try {
+        val provider = new graft.core.HdfsStateProvider(spark, s"$tmp/state")
+        graft.runners.AnalysisRunner.runStateful(frame, Seq(analyzer),
+          saveStatesWith = Some(provider))
+        val restored = graft.runners.AnalysisRunner
+          .runOnAggregatedStates(Seq(analyzer), Seq(provider))
+        val direct = graft.runners.AnalysisRunner.run(frame, Seq(analyzer))
+        restored.metric(analyzer).get.value.get.asInstanceOf[Double] shouldBe
+          direct.metric(analyzer).get.value.get.asInstanceOf[Double]
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+  }
+
+  "frequencyDrift l1_err" should {
+    "bound |l1_est - exact L1| under a bounded capacity" in {
+      val s = spark
+      import s.implicits._
+      // 40-item vocab per side, capacity 4: heavy eviction on both sides
+      val a = (1 to 40).flatMap(i => Seq.fill(i % 5 + 1)(("g", s"a$i")))
+        .toDF("grp", "item")
+      val b = (1 to 40).flatMap(i => Seq.fill((i + 2) % 7 + 1)(("g", s"b${i % 20}")))
+        .toDF("grp", "item")
+      def tally(d: DataFrame) = d.groupBy(col("item"))
+        .agg(count(lit(1)).as("c"))
+      val na = a.count().toDouble
+      val nb = b.count().toDouble
+      val exactL1 = tally(a).withColumnRenamed("c", "ca")
+        .join(tally(b).withColumnRenamed("c", "cb"), Seq("item"), "full_outer")
+        .agg(sum(abs(coalesce(col("ca"), lit(0L)).cast("double") / na -
+          coalesce(col("cb"), lit(0L)).cast("double") / nb)))
+        .collect().head.getDouble(0)
+      val cap = 4
+      val drift = graft.sketch.StateDrift.frequencyDrift(
+        FreqItems.freqState(a, Seq("grp"), "item", cap),
+        FreqItems.freqState(b, Seq("grp"), "item", cap), cap)
+        .collect().head
+      val l1Est = drift.getAs[Double]("l1_est")
+      val l1Err = drift.getAs[Double]("l1_err")
+      math.abs(l1Est - exactL1) should be <= l1Err
+      // and exact mode still reports a zero bound
+      val exactDrift = graft.sketch.StateDrift.frequencyDrift(
+        FreqItems.freqState(a, Seq("grp"), "item", 4096),
+        FreqItems.freqState(b, Seq("grp"), "item", 4096), 4096)
+        .collect().head
+      exactDrift.getAs[Double]("l1_err") shouldBe 0.0
+    }
+  }
+}
