@@ -6163,20 +6163,23 @@ object SparkEntry {
       def mgCells(st: DataFrame, tag: String) = st.select(col("source"),
         col("mg.n").as(s"n_$tag"),
         explode(col("mg.counters")).as(Seq("item", s"est_$tag")))
-      def mgParity(folded: DataFrame): Boolean = {
-        val oneShot = FreqItems.freqState(toks(docs), Seq("source"), "item", kMg)
+      // one-shot comparison frames are ~20 rows each and probed twice
+      // (pre- and post-compaction) — build them once and cache
+      val oneShot = FreqItems.freqState(toks(docs), Seq("source"), "item", kMg)
+        .persist()
+      def mgParity(folded: DataFrame): Boolean =
         mgCells(folded, "a").join(mgCells(oneShot, "b"),
             Seq("source", "item"), "full_outer")
           .where(!(col("est_a") <=> col("est_b")) ||
             !(col("n_a") <=> col("n_b")))
           .isEmpty
-      }
       def p50Sum(folded: DataFrame): Double =
         KllGroupState.quantiles(folded, Seq(0.5), Seq("p50"))
           .agg(coalesce(sum(col("p50")), lit(0.0)))
           .collect().head.getDouble(0)
       val exactDistinct = docs.groupBy(col("source"))
         .agg(countDistinct(col("text")).as("ex"))
+        .persist()
       def hllOk(folded: DataFrame): Boolean =
         HllState.estimates(folded)
           .join(exactDistinct, Seq("source"), "full_outer")
@@ -6201,6 +6204,8 @@ object SparkEntry {
       val postOk = mgParity(mgIngest.state(s)) &&
         p50Sum(kllIngest.state(s)) == p50Pre &&
         hllOk(hllIngest.state(s))
+      oneShot.unpersist(blocking = false)
+      exactDistinct.unpersist(blocking = false)
       metricRow(s, Seq(
         "n_docs" -> docs.count().toDouble,
         "n_sources" -> nSources.toDouble,
@@ -6245,15 +6250,22 @@ object SparkEntry {
             explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
               .as("item")),
           Seq("g"), "item", 64)
+      // the five daily states are ONE ROW each — build and cache them
+      // once; every pair frame, repository save, suite run, and DQDL run
+      // below joins cached single-row frames instead of re-exploding the
+      // corpus (26 token passes before this trim)
+      val states = (0 to 4).map(i => state(snap(i)).persist())
+      states.foreach(_.count())
       def pairFrame(prev: DataFrame, cur: DataFrame): DataFrame =
-        state(prev).withColumnRenamed("mg", "mg_a")
-          .join(state(cur).withColumnRenamed("mg", "mg_b"), Seq("g"))
+        prev.withColumnRenamed("mg", "mg_a")
+          .join(cur.withColumnRenamed("mg", "mg_b"), Seq("g"))
       val drift = ItemFrequencyDrift("mg_a", "mg_b")
-      val pairs = (1 to 4).map(i => pairFrame(snap(i - 1), snap(i)))
-      val ds = pairs.map(p => drift.calculate(p).value.get)
+      val pairs = (1 to 4).map(i => pairFrame(states(i - 1), states(i)))
+      val ctxs = (1 to 4).map(i =>
+        graft.runners.AnalysisRunner.run(pairs(i - 1), Seq(drift)))
+      val ds = ctxs.map(_.metric(drift).get.value.get.asInstanceOf[Double])
       val repo = new InMemoryMetricsRepository
-      (1 to 3).foreach(i => repo.save(ResultKey(i.toLong),
-        graft.runners.AnalysisRunner.run(pairs(i - 1), Seq(drift))))
+      (1 to 3).foreach(i => repo.save(ResultKey(i.toLong), ctxs(i - 1)))
       // one-sided: only drift INCREASES beyond 0.015 are anomalous, so
       // day 4's big negative change is clean for the newest-point check
       val up = AbsoluteChangeStrategy(None, Some(0.015))
@@ -6280,6 +6292,7 @@ object SparkEntry {
           """Rules = [ NonAnomalousDriftHistory "mg_a" "mg_b" <= 0.015 ]""",
           repository = Some(repoClean))
         .where(col("outcome") === "Passed").count() == 1L
+      states.foreach(_.unpersist(blocking = false))
       metricRow(s, Seq(
         "l1_d1" -> r6(ds(0)), "l1_d2" -> r6(ds(1)),
         "l1_d3" -> r6(ds(2)), "l1_d4" -> r6(ds(3)),

@@ -163,6 +163,16 @@ object Capping {
       cap: Int,
       observationName: String): DataFrame = {
     val df = dfIn.where(col(idCol).isNotNull)
+    // "no cap": skip the eager probe outright — it costs a full pass to
+    // learn nothing (no bucket can bind), and uncapped audit call sites
+    // (exact ground-truth paths) pay it per invocation. The fast path's
+    // contract survives: bucket-keyed repartition + the observation.
+    if (cap == Int.MaxValue) {
+      return df.repartition(bucketCols.map(col): _*)
+        .observe(observationName,
+          coalesce(max(lit(0L)), lit(0L)).as("excluded_rows"),
+          coalesce(sum(lit(1L)), lit(0L)).as("banded_rows"))
+    }
     val h1 = xxhash64(col(idCol))
     val h2 = xxhash64(col(idCol), lit(TieSalt))
     // Phase 0 — an EAGER probe: one slim count aggregate decides whether

@@ -94,6 +94,25 @@ class CappingSpec extends AnyWordSpec with Matchers with SparkSpec {
         "graft_test_cap_3").count() shouldBe 100L
     }
 
+    "repartition on the bucket keys on BOTH fast paths" in {
+      // the r15 q32 failure mode: without this exchange the capped frame
+      // passes through the scan's (often few) partitions and AQE picks a
+      // broadcast self-join whose parallelism is capped at those few
+      // stream partitions — a near-serial candidate-verify stage. Pin it
+      // so the fast paths can't silently lose the exchange again.
+      val s = spark
+      import s.implicits._
+      val df = (0 until 100).map(i => (s"b${i % 10}", i.toLong))
+        .toDF("bucket", "id")
+      Seq(Int.MaxValue, 1000).foreach { cap =>
+        val plan = Capping.capBuckets(df, Seq("bucket"), "id", cap,
+          s"graft_test_cap_rp_$cap").queryExecution.optimizedPlan.toString()
+        withClue(s"cap=$cap: ") {
+          plan.toLowerCase should include("repartitionbyexpression")
+        }
+      }
+    }
+
     "skip the threshold phase entirely when no bucket exceeds the cap" in {
       val s = spark
       import s.implicits._
