@@ -85,6 +85,32 @@ class R16FeaturesSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "SketchStateIngest.compact crash recovery" should {
+    "fold correctly over a stale -compacting dir from a crashed run" in {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-r16-crash").toString
+      try {
+        val ingest = new StreamingOps.SketchStateIngest(s"$tmp/mg",
+          b => FreqItems.freqState(toks(b), Seq("source"), "item", 16),
+          parts => FreqItems.foldState(parts, 16))
+        ingest.processBatch(corpus.where(col("doc_id") <= 3), 0L)
+        ingest.processBatch(corpus.where(col("doc_id") > 3), 1L)
+        // simulate a crash mid-compaction: a stale sibling fold exists but
+        // was never renamed in — the live dir still covers full history
+        FreqItems.freqState(toks(corpus.where(col("doc_id") <= 3)),
+            Seq("source"), "item", 16)
+          .write.mode("overwrite").parquet(s"$tmp/mg-compacting")
+        val oneShot = FreqItems.freqState(toks(corpus), Seq("source"), "item", 16)
+        mgCells(ingest.state(spark)) shouldBe mgCells(oneShot)
+        // a re-run compaction overwrites the stale dir and converges
+        ingest.compact(spark)
+        mgCells(ingest.state(spark)) shouldBe mgCells(oneShot)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+  }
+
   "DedupIngest.compact" should {
     "leave one covering part and identical survivors" in {
       val tmp = java.nio.file.Files
