@@ -6302,6 +6302,93 @@ object SparkEntry {
         "windowed_ok" -> flag(windowedOk),
         "dqdl_alarm_ok" -> flag(dqdlAlarm),
         "dqdl_clean_ok" -> flag(dqdlClean)))
+    }),
+
+    // q158: streaming maintenance for the ANN index state — q148's IVF
+    // postings staged by a REAL Structured Streaming query through the
+    // q156 ingest machinery with an IDENTITY fold (postings are an
+    // append-only bag under the frozen quantizer; the union IS the
+    // index, no per-group merge). Pins: the streamed state equals the
+    // one-shot build row-for-row, the model survives its parquet round
+    // trip bit-exactly, serving from the streamed state keeps q148's
+    // completeness/recall bars against exact brute force, and a
+    // compaction cycle (crash-safe rename-before-delete) preserves the
+    // index and the serve results.
+    "q158_streaming_ivf_ingest" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val emb = table(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q158").toString
+      try {
+      val trained = Similarity.trainIvfCentroids(emb, "embedding", nlist = 8)
+      Similarity.ivfModelFrame(s, trained)
+        .write.mode("overwrite").parquet(s"$tmp/model")
+      val centroids = Similarity.readIvfModel(s, s"$tmp/model")
+      val modelOk = trained.length == centroids.length &&
+        trained.zip(centroids).forall { case (a, b) =>
+          java.util.Arrays.equals(a, b) }
+      val src = emb.select(col("vec_id"), col("embedding"))
+      (0 until 4).foreach { p =>
+        src.where(pmod(col("vec_id"), lit(4)) === p)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      }
+      val ingest = new StreamingOps.SketchStateIngest(s"$tmp/post",
+        b => Similarity.ivfIndexState(b, "vec_id", "embedding", centroids),
+        parts => parts) // bag union: the fold is identity
+      val query = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch(ingest.asForeachBatch())
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      val slimOne = Similarity
+        .ivfIndexState(src, "vec_id", "embedding", centroids)
+        .select(col("graft_cell"), col("neighbor_id")).persist()
+      def parity(state: DataFrame): Boolean = {
+        val slim = state.select(col("graft_cell"), col("neighbor_id"))
+        slim.exceptAll(slimOne).count() == 0L &&
+          slimOne.exceptAll(slim).count() == 0L
+      }
+      val state = ingest.state(s)
+        .select(col("graft_cell"), col("neighbor_id"), col("graft_cv"))
+        .persist()
+      val parityOk = parity(state)
+      val queries = emb.filter(col("vec_id") < 5)
+      val nQueries = queries.count()
+      val ivf = annTop4(Similarity.ivfTopKFromState(state, centroids,
+        queries, "vec_id", "embedding", k = 5, nprobe = 6))
+        .select("query_id", "neighbor_id").persist()
+      val bf = annTop4(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5))
+        .select("query_id", "neighbor_id").persist()
+      val nBf = bf.count()
+      val matched = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val nIvf = ivf.count()
+      // compaction folds the per-batch parts into one; the index and the
+      // served neighbors must survive byte-for-byte
+      ingest.compact(s)
+      val state2 = ingest.state(s)
+        .select(col("graft_cell"), col("neighbor_id"), col("graft_cv"))
+      val ivf2 = annTop4(Similarity.ivfTopKFromState(state2, centroids,
+        queries, "vec_id", "embedding", k = 5, nprobe = 6))
+        .select("query_id", "neighbor_id")
+      val postCompactOk = parity(state2) &&
+        ivf2.exceptAll(ivf).count() == 0L && ivf.exceptAll(ivf2).count() == 0L
+      val nVectors = emb.count()
+      state.unpersist(blocking = false)
+      ivf.unpersist(blocking = false)
+      bf.unpersist(blocking = false)
+      slimOne.unpersist(blocking = false)
+      metricRow(s, Seq(
+        "n_vectors" -> nVectors.toDouble,
+        "n_queries" -> nQueries.toDouble,
+        "model_roundtrip_ok" -> flag(modelOk),
+        "state_parity_ok" -> flag(parityOk),
+        "ivf_complete_ok" -> flag(nIvf == nBf),
+        "ivf_recall_ok" -> flag(nBf == 0 || matched.toDouble / nBf >= 0.8),
+        "post_compact_ok" -> flag(postCompactOk)))
+      } finally rmTree(tmp)
     })
   )
 
@@ -11809,6 +11896,19 @@ object SparkEntry {
          |  1.0::DOUBLE AS loosened_ok, 1.0::DOUBLE AS windowed_ok,
          |  1.0::DOUBLE AS dqdl_alarm_ok, 1.0::DOUBLE AS dqdl_clean_ok
          |FROM l1, l2, l3, l4""".stripMargin
-    }
+    },
+
+    // q158: exact corpus/query counts; the streamed-vs-one-shot postings
+    // parity, the model round trip, q148's completeness/recall bars, and
+    // the post-compaction parity are 1.0-pinned flags.
+    "q158_streaming_ivf_ingest" ->
+      """SELECT (SELECT count(*) FROM embeddings)::DOUBLE AS n_vectors,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id < 5)::DOUBLE
+        |    AS n_queries,
+        |  1.0::DOUBLE AS model_roundtrip_ok,
+        |  1.0::DOUBLE AS state_parity_ok,
+        |  1.0::DOUBLE AS ivf_complete_ok,
+        |  1.0::DOUBLE AS ivf_recall_ok,
+        |  1.0::DOUBLE AS post_compact_ok""".stripMargin
   )
 }
