@@ -111,6 +111,55 @@ class R16FeaturesSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "SketchStateIngest edge cases" should {
+    "absorb empty micro-batches and fold them as identities" in {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-r16-empty").toString
+      try {
+        val ingest = new StreamingOps.SketchStateIngest(s"$tmp/mg",
+          b => FreqItems.freqState(toks(b), Seq("source"), "item", 16),
+          parts => FreqItems.foldState(parts, 16))
+        ingest.processBatch(corpus.limit(0), 0L) // empty trigger
+        ingest.processBatch(corpus, 1L)
+        ingest.processBatch(corpus.limit(0), 2L) // empty trigger
+        val oneShot = FreqItems.freqState(toks(corpus), Seq("source"), "item", 16)
+        mgCells(ingest.state(spark)) shouldBe mgCells(oneShot)
+        ingest.compact(spark)
+        mgCells(ingest.state(spark)) shouldBe mgCells(oneShot)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+
+    "no-op compaction on a missing or single-part state dir" in {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-r16-noop").toString
+      try {
+        val ingest = new StreamingOps.SketchStateIngest(s"$tmp/absent",
+          b => FreqItems.freqState(toks(b), Seq("source"), "item", 16),
+          parts => FreqItems.foldState(parts, 16))
+        noException should be thrownBy ingest.compact(spark) // dir missing
+        ingest.processBatch(corpus, 0L)
+        val before = mgCells(ingest.state(spark))
+        ingest.compact(spark) // one part: nothing to fold
+        mgCells(ingest.state(spark)) shouldBe before
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+  }
+
+  "hasNonAnomalousDriftHistory edge cases" should {
+    "pass with an empty repository (no changes to judge)" in {
+      val strategy = AbsoluteChangeStrategy(Some(-5.0), Some(5.0))
+      VerificationSuite().onData(spark.range(10).toDF("id"))
+        .addCheck(Check(CheckLevel.Error, "h")
+          .hasNonAnomalousDriftHistory(new InMemoryMetricsRepository,
+            strategy, Size()))
+        .run().status shouldBe CheckStatus.Success
+    }
+  }
+
   "DedupIngest.compact" should {
     "leave one covering part and identical survivors" in {
       val tmp = java.nio.file.Files
