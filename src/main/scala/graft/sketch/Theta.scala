@@ -100,14 +100,21 @@ object Theta {
       .agg(aggFn(xxhash64(valueCols.map(col): _*)).as("theta"))
   }
 
-  /** Fold states together (distinct union per group — commutative). */
-  def mergeStates(a: DataFrame, b: DataFrame, lgK: Int = 12): DataFrame = {
-    val groupCols = a.columns.filterNot(_ == "theta").toSeq
+  /** N-way fold of a frame holding MANY sketches per group (e.g. every
+    * per-micro-batch part of a streaming ingest read as one frame) —
+    * distinct union per group, commutative. Every non-`theta` column is
+    * a group key.
+    */
+  def foldState(parts: DataFrame, lgK: Int = 12): DataFrame = {
+    val groupCols = parts.columns.filterNot(_ == "theta").toSeq
     val aggFn = udaf(new BytesUnionAggregator(lgK))
-    a.unionByName(b)
-      .groupBy(groupCols.map(col): _*)
+    parts.groupBy(groupCols.map(col): _*)
       .agg(aggFn(col("theta")).as("theta"))
   }
+
+  /** Fold states together (distinct union per group — commutative). */
+  def mergeStates(a: DataFrame, b: DataFrame, lgK: Int = 12): DataFrame =
+    foldState(a.unionByName(b), lgK)
 
   /** Per-group set-operation estimates between two states (FULL outer
     * on the group keys — a group present on one side reports the other

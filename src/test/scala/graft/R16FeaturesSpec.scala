@@ -111,6 +111,31 @@ class R16FeaturesSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "SketchStateIngest with theta states" should {
+    "fold streamed theta parts to the one-shot snapshot (exact regime)" in {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-r16-theta").toString
+      try {
+        import graft.sketch.Theta
+        val ingest = new StreamingOps.SketchStateIngest(s"$tmp/theta",
+          b => Theta.thetaState(b, Seq("source"), Seq("text")),
+          parts => Theta.foldState(parts))
+        ingest.processBatch(corpus.where(col("doc_id") % 2 === 0), 0L)
+        ingest.processBatch(corpus.where(col("doc_id") % 2 === 1), 1L)
+        def estimates(st: DataFrame): Map[String, Long] =
+          Theta.overlap(st, st).select(col("source"), col("est_a"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val oneShot = Theta.thetaState(corpus, Seq("source"), Seq("text"))
+        // far below 2^lgK: theta estimates are exact distinct counts
+        estimates(ingest.state(spark)) shouldBe estimates(oneShot)
+        ingest.compact(spark)
+        estimates(ingest.state(spark)) shouldBe estimates(oneShot)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+  }
+
   "SketchStateIngest edge cases" should {
     "absorb empty micro-batches and fold them as identities" in {
       val tmp = java.nio.file.Files
