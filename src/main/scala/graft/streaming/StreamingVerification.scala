@@ -319,7 +319,10 @@ object StreamingOps {
     /** The folded per-group state across every ingested part — equal to
       * a one-shot build over the whole stream so far (monoid law). The
       * `batch` partition column is dropped before the fold: it is
-      * ingest bookkeeping, not a group key.
+      * ingest bookkeeping, not a group key. Throws PATH_NOT_FOUND before
+      * the first batch has ever fired (same contract as
+      * [[DedupIngest.survivors]]) — an ingest with no history has no
+      * schema to fabricate an empty state from.
       */
     def state(spark: org.apache.spark.sql.SparkSession): DataFrame =
       foldParts(spark.read.parquet(statePath).drop("batch"))
