@@ -136,6 +136,33 @@ class R16FeaturesSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "streamed sketch states" should {
+    "feed the drift checks directly — the full streaming drift loop" in {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-r16-loop").toString
+      try {
+        def ingestFor(path: String) = new StreamingOps.SketchStateIngest(path,
+          b => FreqItems.freqState(toks(b), Seq("source"), "item", 16),
+          parts => FreqItems.foldState(parts, 16))
+        // yesterday's crawl and today's, each maintained by its own ingest
+        val yA = ingestFor(s"$tmp/a")
+        val yB = ingestFor(s"$tmp/b")
+        yA.processBatch(corpus.where(col("doc_id") % 2 === 0), 0L)
+        yA.processBatch(corpus.where(col("doc_id") % 2 === 1), 1L)
+        yB.processBatch(corpus, 0L) // same corpus: drift must be ~zero
+        val joined = yA.state(spark).withColumnRenamed("mg", "mg_a")
+          .join(yB.state(spark).withColumnRenamed("mg", "mg_b"), Seq("source"))
+        val result = VerificationSuite().onData(joined)
+          .addCheck(Check(CheckLevel.Error, "streamed drift")
+            .hasItemFrequencyDrift("mg_a", "mg_b", _ <= 1e-9))
+          .run()
+        result.status shouldBe CheckStatus.Success
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+  }
+
   "SketchStateIngest edge cases" should {
     "absorb empty micro-batches and fold them as identities" in {
       val tmp = java.nio.file.Files
