@@ -163,6 +163,37 @@ class R16FeaturesSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "SketchStateIngest with PQ code states" should {
+    "stage streamed code batches identical to the one-shot encode" in {
+      val s = spark
+      import s.implicits._
+      import graft.pipeline.Similarity
+      val vecs = (0 until 64).map(i => (i.toLong,
+          Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat)))
+        .toDF("vec_id", "vec")
+      val model = Similarity.trainPq(vecs, "vec", m = 4, ksub = 4,
+        sampleSize = 64, iterations = 4)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-r16-pq").toString
+      try {
+        val ingest = new StreamingOps.SketchStateIngest(s"$tmp/codes",
+          b => Similarity.pqCodesState(b, "vec_id", "vec", model),
+          parts => parts) // code rows are a bag under the frozen codebooks
+        ingest.processBatch(vecs.where(col("vec_id") % 2 === 0), 0L)
+        ingest.processBatch(vecs.where(col("vec_id") % 2 === 1), 1L)
+        val oneShot = Similarity.pqCodesState(vecs, "vec_id", "vec", model)
+        def parity(st: DataFrame): Boolean =
+          st.exceptAll(oneShot).count() == 0L &&
+            oneShot.exceptAll(st).count() == 0L
+        parity(ingest.state(spark)) shouldBe true
+        ingest.compact(spark)
+        parity(ingest.state(spark)) shouldBe true
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+  }
+
   "SketchStateIngest edge cases" should {
     "absorb empty micro-batches and fold them as identities" in {
       val tmp = java.nio.file.Files
