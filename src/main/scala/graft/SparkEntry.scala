@@ -6389,6 +6389,46 @@ object SparkEntry {
         "ivf_recall_ok" -> flag(nBf == 0 || matched.toDouble / nBf >= 0.8),
         "post_compact_ok" -> flag(postCompactOk)))
       } finally rmTree(tmp)
+    }),
+
+    // q159: dataset release manifest — the reproducibility primitive: a
+    // per-shard (n_rows, id_sum, 60-bit-xor content fingerprint) table
+    // built in ONE map-side pass, diffed release-to-release without
+    // rescanning matching shards. A tampered copy (one mutated text, one
+    // dropped row, one duplicated row, one text nulled — the null-vs-
+    // empty sentinel canary) must flag EXACTLY its four shards as
+    // changed; the self-diff must be empty. Every manifest cell is an
+    // integer the DuckDB oracle reproduces bit-for-bit (md5 prefix →
+    // BIGINT, XOR — no float, no overflow semantics to drift).
+    "q159_dataset_manifest" -> ((s, dir) => {
+      import graft.pipeline.DatasetManifest
+      val base = table(s, dir, "documents")
+        .where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"))
+      val m1 = DatasetManifest.build(base, "doc_id", Seq("source", "text"),
+        shards = 16).persist()
+      val tampered = base
+        .where(col("doc_id") =!= 20) // dropped row
+        .withColumn("text",
+          when(col("doc_id") === 7, concat(col("text"), lit("X"))) // mutation
+            .when(col("doc_id") === 41, lit(null: String)) // nulled text
+            .otherwise(col("text")))
+        .unionByName(base.where(col("doc_id") === 33)) // duplicated row
+      val m2 = DatasetManifest.build(tampered, "doc_id", Seq("source", "text"),
+        shards = 16)
+      val d = DatasetManifest.diff(m1, m2)
+        .select(col("shard"), col("status"))
+      val selfClean = DatasetManifest.diff(m1, m1).isEmpty
+      val out = m1.join(d, Seq("shard"), "left_outer")
+        .select(col("shard"), col("n_rows"), col("id_sum"),
+          col("content_fp"),
+          coalesce(col("status"), lit("ok")).as("status"),
+          lit(if (selfClean) 1.0 else 0.0).as("self_diff_empty"))
+        .orderBy(col("shard"))
+      val materialized = out.collect()
+      m1.unpersist(blocking = false)
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
     })
   )
 
@@ -11909,6 +11949,63 @@ object SparkEntry {
         |  1.0::DOUBLE AS state_parity_ok,
         |  1.0::DOUBLE AS ivf_complete_ok,
         |  1.0::DOUBLE AS ivf_recall_ok,
-        |  1.0::DOUBLE AS post_compact_ok""".stripMargin
+        |  1.0::DOUBLE AS post_compact_ok""".stripMargin,
+
+    // q159: the whole manifest replayed bit-for-bit — the canonical row
+    // encoding (chr(31) separators, chr(1)||'NULL' null sentinel), the
+    // 60-bit md5-prefix fingerprint as a BIGINT, the per-shard XOR, the
+    // tamper replay, and the diff statuses. All integers; the self-diff
+    // flag is 1.0-pinned.
+    "q159_dataset_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |), enc1 AS (
+        |  SELECT doc_id % 16 AS shard, doc_id,
+        |    CAST(('0x' || substr(md5(concat_ws(chr(31),
+        |      CAST(doc_id AS VARCHAR),
+        |      coalesce(CAST(source AS VARCHAR), chr(1) || 'NULL'),
+        |      coalesce(text, chr(1) || 'NULL'))), 1, 15)) AS BIGINT) AS fp
+        |  FROM d
+        |), m1 AS (
+        |  SELECT shard, count(*) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    bit_xor(fp) AS content_fp
+        |  FROM enc1 GROUP BY shard
+        |), t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id = 7 THEN text || 'X'
+        |         WHEN doc_id = 41 THEN NULL
+        |         ELSE text END AS text
+        |  FROM d WHERE doc_id <> 20
+        |  UNION ALL
+        |  SELECT doc_id, source, text FROM d WHERE doc_id = 33
+        |), enc2 AS (
+        |  SELECT doc_id % 16 AS shard, doc_id,
+        |    CAST(('0x' || substr(md5(concat_ws(chr(31),
+        |      CAST(doc_id AS VARCHAR),
+        |      coalesce(CAST(source AS VARCHAR), chr(1) || 'NULL'),
+        |      coalesce(text, chr(1) || 'NULL'))), 1, 15)) AS BIGINT) AS fp
+        |  FROM t
+        |), m2 AS (
+        |  SELECT shard, count(*) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    bit_xor(fp) AS content_fp
+        |  FROM enc2 GROUP BY shard
+        |), df AS (
+        |  SELECT coalesce(m1.shard, m2.shard) AS shard,
+        |    CASE WHEN m2.shard IS NULL THEN 'removed'
+        |         WHEN m1.shard IS NULL THEN 'added'
+        |         WHEN m1.n_rows IS DISTINCT FROM m2.n_rows
+        |           OR m1.id_sum IS DISTINCT FROM m2.id_sum
+        |           OR m1.content_fp IS DISTINCT FROM m2.content_fp
+        |           THEN 'changed' END AS status
+        |  FROM m1 FULL JOIN m2 ON m1.shard = m2.shard
+        |)
+        |SELECT m1.shard, m1.n_rows, m1.id_sum, m1.content_fp,
+        |  coalesce(df.status, 'ok') AS status,
+        |  1.0::DOUBLE AS self_diff_empty
+        |FROM m1 LEFT JOIN df ON m1.shard = df.shard AND df.status IS NOT NULL
+        |ORDER BY m1.shard""".stripMargin
   )
 }

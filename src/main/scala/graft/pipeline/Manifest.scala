@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Dataset release manifests — the reproducibility primitive of a
+  * training-data pipeline: after a curation run ships a dataset, a slim
+  * per-shard fingerprint table pins WHAT shipped, and any later rescan
+  * (or the next release) diffs against it without re-reading matching
+  * shards' bytes anywhere else.
+  *
+  * Shape per shard: `(shard, n_rows, id_sum, content_fp)` —
+  *  - `n_rows` / `id_sum`: membership census (catches drops, additions,
+  *    and duplications);
+  *  - `content_fp`: bit_xor of per-row 60-bit fingerprints — an
+  *    ORDER-INDEPENDENT content hash with no overflow semantics to
+  *    drift across engines (a sum of 2^60-scale values overflows a
+  *    signed 64-bit accumulator at ~16 rows; XOR never carries). XOR
+  *    cancels identical rows pairwise, which is why the census columns
+  *    ride alongside: a row duplicated twice flips `n_rows`, a
+  *    mutation flips `content_fp`, a swap between shards flips both
+  *    shards' triples.
+  *
+  * Row fingerprint: the first 15 hex digits (60 bits) of
+  * `md5(id <US> canon(col1) <US> canon(col2) ...)` where `canon` is
+  * cast-to-string with an explicit -prefixed null sentinel (a
+  * NULL must not collide with the empty string — both engines'
+  * concat_ws would otherwise silently skip it).
+  *
+  * Scale shape: ONE map-side-combinable pass over the dataset builds
+  * the manifest (groupBy on the shard key — thousands of slim rows at
+  * 100 TB); [[diff]] is a manifest-vs-manifest FULL OUTER join, KB in,
+  * KB out — release-to-release audits never touch the corpus.
+  */
+object DatasetManifest {
+
+  private def canon(c: Column): Column =
+    coalesce(c.cast("string"), lit("NULL"))
+
+  /** Per-row 60-bit fingerprint of (id, contentCols...) — cross-engine
+    * reproducible (DuckDB: `CAST('0x' || substr(md5(...), 1, 15) AS
+    * BIGINT)` of the identical canonical encoding).
+    */
+  def rowFingerprint(idCol: Column, contentCols: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("",
+      (canon(idCol) +: contentCols.map(canon)): _*).cast("binary")), 1, 15),
+      16, 10).cast(LongType)
+
+  /** The manifest: one row per shard (`pmod(id, shards)` — deterministic
+    * and replayable by any engine; pass a pre-computed shard column via
+    * `shardCol` to pin a custom layout). Null ids land in shard NULL —
+    * visible in the manifest rather than silently skipped.
+    */
+  def build(
+      df: DataFrame,
+      idCol: String,
+      contentCols: Seq[String],
+      shards: Int = 64): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(contentCols.nonEmpty, "build needs at least one content column")
+    df.groupBy(pmod(col(idCol), lit(shards)).as("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(idCol).cast(LongType)).as("id_sum"),
+        bit_xor(rowFingerprint(col(idCol), contentCols.map(col)))
+          .as("content_fp"))
+  }
+
+  /** Shards that drifted between two manifests: FULL OUTER on the shard
+    * key (a shard present on one side IS drift), one row per differing
+    * shard with a status — `added` (only in `b`), `removed` (only in
+    * `a`), `changed` (any of the triple differs). Matching shards are
+    * absent from the output: an empty diff IS the release-parity proof.
+    */
+  def diff(a: DataFrame, b: DataFrame): DataFrame = {
+    val la = a.select(col("shard"), col("n_rows").as("n_rows_a"),
+      col("id_sum").as("id_sum_a"), col("content_fp").as("content_fp_a"))
+    val lb = b.select(col("shard"), col("n_rows").as("n_rows_b"),
+      col("id_sum").as("id_sum_b"), col("content_fp").as("content_fp_b"))
+    la.join(lb, Seq("shard"), "full_outer")
+      .withColumn("status",
+        when(col("n_rows_b").isNull, "removed")
+          .when(col("n_rows_a").isNull, "added")
+          .when(!(col("n_rows_a") <=> col("n_rows_b")) ||
+            !(col("id_sum_a") <=> col("id_sum_b")) ||
+            !(col("content_fp_a") <=> col("content_fp_b")), "changed"))
+      .where(col("status").isNotNull)
+  }
+
+  def writeManifest(manifest: DataFrame, path: String): Unit =
+    manifest.write.mode("overwrite").parquet(path)
+
+  def readManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+}

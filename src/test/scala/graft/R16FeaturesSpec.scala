@@ -396,6 +396,52 @@ class R16FeaturesSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "DatasetManifest" should {
+    import graft.pipeline.DatasetManifest
+    def frame(rows: Seq[(Long, String)]) = {
+      val s = spark
+      import s.implicits._
+      rows.toDF("id", "text")
+    }
+    val base = frame((0L until 20L).map(i => (i, s"text$i")))
+
+    "self-diff empty; detect mutation, drop, duplication, and null-vs-empty" in {
+      val m = DatasetManifest.build(base, "id", Seq("text"), shards = 4)
+      DatasetManifest.diff(m, m).isEmpty shouldBe true
+      val tampered = frame(
+        (0L until 20L).filter(_ != 5L).map { i =>
+          (i, if (i == 2L) "textX"
+              else if (i == 7L) null
+              else s"text$i")
+        } :+ (8L, "text8"))
+      val d = DatasetManifest.diff(m,
+        DatasetManifest.build(tampered, "id", Seq("text"), shards = 4))
+        .select("shard", "status").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // ids 2, 5, 7, 8 -> shards 2, 1, 3, 0: all four flagged, nothing else
+      d shouldBe Map(0L -> "changed", 1L -> "changed",
+        2L -> "changed", 3L -> "changed")
+      // null text and empty text must fingerprint differently (sentinel)
+      val withNull = DatasetManifest.build(
+        frame(Seq((1L, null))), "id", Seq("text"), shards = 1)
+      val withEmpty = DatasetManifest.build(
+        frame(Seq((1L, ""))), "id", Seq("text"), shards = 1)
+      DatasetManifest.diff(withNull, withEmpty).count() shouldBe 1L
+    }
+
+    "flag added and removed shards on a layout change" in {
+      val m4 = DatasetManifest.build(base, "id", Seq("text"), shards = 4)
+      val m2 = DatasetManifest.build(
+        base.where(col("id") % 4 < 2), "id", Seq("text"), shards = 4)
+      val d = DatasetManifest.diff(m4, m2).select("shard", "status")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      d shouldBe Map(2L -> "removed", 3L -> "removed")
+      val dRev = DatasetManifest.diff(m2, m4).select("shard", "status")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      dRev shouldBe Map(2L -> "added", 3L -> "added")
+    }
+  }
+
   "frequencyDrift l1_err" should {
     "bound |l1_est - exact L1| under a bounded capacity" in {
       val s = spark
