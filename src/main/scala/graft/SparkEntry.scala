@@ -3462,55 +3462,30 @@ object SparkEntry {
     }),
 
     // q102: distributed k-means (Lloyd) over the embeddings table —
-    // k = 4 cells, 3 iterations from the 4 lowest-vec_id embeddings,
-    // recomputed means snapped to the 6-decimal grid so DuckDB replays
-    // the full trajectory iteration by iteration (assignment = squared-L2
-    // argmin via the shared x·c − |c|²/2 score, ties to the higher cell;
-    // empty cells carry). Value pins are integers first: per-cell sizes
-    // and vec_id sums (one flipped assignment anywhere in 3 iterations
-    // shifts both), majority label per cell with count (ties cnt DESC,
-    // label ASC), plus final within-cell inertia snapped to the 1e-3
-    // integer grid (floor(x*1e3+0.5)::BIGINT on both sides — margin-
-    // verified; a rounded DOUBLE from a float reduction is hash-fragile
-    // across oracle-engine versions).
+    // k = 4 cells, 3 iterations from the 4 lowest-vec_id embeddings, on
+    // the 1/1000 INTEGER GRID (Clustering.lloydQuantized): vectors snap
+    // to vq = floor(x*1000 + 0.5), centroids live at scale 1e6 as
+    // floor-division exact integers, assignment is the exact Long argmax
+    // of 2M·(vq·cq) − |cq|² (ties to the higher cell; empty cells
+    // carry). EVERY hashed value — per-cell sizes, vec_id sums, the
+    // exact integer inertia numerator Σ|M·vq − cq|², majority label with
+    // count (ties cnt DESC, label ASC) — is the result of pure 64-bit
+    // integer arithmetic on both engines, so no oracle-engine version
+    // can evaluate a decision differently (the r13-r16 lesson: rounded
+    // DOUBLE trajectories are discontinuous in last-ulp library noise;
+    // integer trajectories have no boundaries at all).
     "q102_kmeans" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      val init = Clustering.initMinId(emb, "vec_id", "embedding", 4)
-      val model = Clustering.lloyd(emb, "embedding", init,
-        iterations = 3, roundDecimals = 6)
-      val assigned = Clustering.assign(
-        emb.where(col("embedding").isNotNull), "embedding", model.centroids)
-        .persist()
-      // inertia is NOT hashed (r13/r15 lesson: any pin derived from a
-      // float reduction — round(), or even an integer grid snap — sits
-      // downstream of round(avg(x),6) centroid decisions that are
-      // discontinuous in last-ulp oracle-library noise, so a margin
-      // measured against one DuckDB version cannot bound another's).
-      // Each engine instead validates its OWN inertia (q34/q09 flag
-      // convention): here, sum(dist2) from the score formula
-      // |v|^2 - 2*max_score must equal a directly recomputed
-      // sum(|v - c_assigned|^2) within relative 1e-6 and be >= 0.
-      val directDist2 = {
-        val cases = model.centroids.zipWithIndex.map { case (c, i) =>
-          val d = aggregate(
-            zip_with(col("embedding"), typedLit(c.toSeq),
-              (x, w) => (x.cast(DoubleType) - w) * (x.cast(DoubleType) - w)),
-            lit(0.0), (acc, v) => acc + v)
-          (i, d)
-        }
-        cases.foldLeft(lit(Double.NaN)) { case (acc, (i, d)) =>
-          when(col("cell") === i, d).otherwise(acc)
-        }
-      }
-      val perCell = assigned.withColumn("graft_direct_d2", directDist2)
+      val init = Clustering.initMinIdQuantized(emb, "vec_id", "embedding", 4)
+      val model = Clustering.lloydQuantized(emb, "embedding", init,
+        iterations = 3)
+      val assigned = Clustering.assignQuantized(
+        emb.where(col("embedding").isNotNull), "embedding", model)
+      val perCell = assigned
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"),
           sum(col("vec_id")).as("id_sum"),
-          when(
-            sum(col("dist2")) >= -1e-9 &&
-              abs(sum(col("dist2")) - sum(col("graft_direct_d2"))) <=
-                greatest(lit(1e-6), sum(col("graft_direct_d2")) * 1e-9),
-            1.0d).otherwise(0.0d).as("inertia_ok"))
+          sum(col("dist2num")).as("inertia_num"))
       val labTop = assigned.groupBy(col("cell"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("cell"))
@@ -3518,46 +3493,38 @@ object SparkEntry {
           struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("cell"), (-col("m.nl")).as("top_label"),
           col("m.cnt").as("top_label_n"))
-      val out = perCell.join(labTop, Seq("cell")).orderBy(col("cell"))
-      val materialized = out.collect()
-      assigned.unpersist(blocking = false)
-      s.createDataFrame(java.util.Arrays.asList(materialized: _*), out.schema)
+      perCell.join(labTop, Seq("cell")).orderBy(col("cell"))
     }),
 
     // q103: embedding-space decontamination — the semantic sibling of the
-    // q49 13-gram text decontamination. Probe (eval) set = vec_id % 29
-    // rows, broadcast into the scan as literals; corpus = the rest; a row
-    // is contaminated when its best probe cosine >= 0.35. Hashed pins are
-    // all integers (per-probe row counts, contaminated counts, id sums) —
-    // a single flipped assignment anywhere still shifts them. max cosine
-    // is NOT hashed (r13/r15 lesson — see q102's inertia note): each
-    // engine validates its own value via the q34/q09 flag convention
-    // (Cauchy-Schwarz bound + consistency with the contaminated counts).
+    // q49 13-gram text decontamination, on the 1/1000 INTEGER GRID
+    // (Similarity.decontaminateByEmbeddingGrid). Probe (eval) set =
+    // vec_id % 29 rows, broadcast into the scan as literals; corpus =
+    // the rest. Contamination is the exact cross-multiplied-squares
+    // test 400·dq² >= 49·|vq|²·|pq|² (tau = 0.35, tau² = 49/400
+    // exactly); probe ranking is the exact integer key
+    // sign(dq)·floorDiv(dq²·1000, |pq|²), ties to the higher probe id.
+    // Every hashed value — per-probe row counts, contaminated counts,
+    // id sums, AND the summed ranking key — is pure 64-bit integer
+    // arithmetic on both engines (see the q102 note: integer
+    // trajectories have no decision boundaries an engine version can
+    // sit on either side of).
     "q103_embedding_decontam" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      val probes = Similarity.collectProbes(
-        emb.where(pmod(col("vec_id"), lit(29)) === 0), "vec_id", "embedding")
+      val probes = Similarity.quantizeProbes(Similarity.collectProbes(
+        emb.where(pmod(col("vec_id"), lit(29)) === 0), "vec_id", "embedding"))
       val corpus = emb.where(
         pmod(col("vec_id"), lit(29)) =!= 0 && col("embedding").isNotNull)
       Similarity
-        .decontaminateByEmbedding(corpus, "vec_id", "embedding", probes,
-          tau = 0.35)
+        .decontaminateByEmbeddingGrid(corpus, "vec_id", "embedding", probes,
+          tau2Num = 49L, tau2Den = 400L)
         .groupBy(col("best_probe"))
         .agg(
           count(lit(1)).as("n_rows"),
           sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contam"),
           coalesce(sum(when(col("contaminated"), col("vec_id"))), lit(0L))
             .as("contam_id_sum"),
-          when(
-            org.apache.spark.sql.functions.max(col("best_cos")) <=
-              1.0 + 1e-9 &&
-              org.apache.spark.sql.functions.min(col("best_cos")) >=
-                -(1.0 + 1e-9) &&
-              (sum(when(col("contaminated"), 1L).otherwise(0L)) === 0L ||
-                org.apache.spark.sql.functions.max(col("best_cos")) >= 0.35) &&
-              (sum(when(col("contaminated"), 0L).otherwise(1L)) === 0L ||
-                org.apache.spark.sql.functions.min(col("best_cos")) < 0.35),
-            1.0d).otherwise(0.0d).as("max_cos_ok"))
+          sum(col("best_key")).as("key_sum"))
         .orderBy(col("best_probe"))
     }),
 
@@ -3640,11 +3607,11 @@ object SparkEntry {
       import graft.pipeline.Mixing
       val emb = table(s, dir, "embeddings")
       val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
-      val init = Clustering.initMinId(emb, "vec_id", "embedding", 4)
-      val model = Clustering.lloyd(emb, "embedding", init,
-        iterations = 3, roundDecimals = 6)
-      val cells = Clustering.assign(
-        emb.where(col("embedding").isNotNull), "embedding", model.centroids)
+      val init = Clustering.initMinIdQuantized(emb, "vec_id", "embedding", 4)
+      val model = Clustering.lloydQuantized(emb, "embedding", init,
+        iterations = 3)
+      val cells = Clustering.assignQuantized(
+        emb.where(col("embedding").isNotNull), "embedding", model)
         .select(col("vec_id").as("doc_id"), col("cell"))
       val corpus = docs.select(col("doc_id"), col("text"))
         .join(cells, Seq("doc_id")).persist()
@@ -6640,61 +6607,94 @@ object SparkEntry {
   // -------------------------------------------------------------------------
 
   /** The q102 oracle, GENERATED per iteration: DuckDB replays the exact
-    * Lloyd trajectory — assignment by the engine's score formula
-    * (list_inner_product(v,c) − |c|²/2, ties cell DESC = the max-struct
-    * convention), means re-snapped to the same 6-decimal grid, empty
-    * cells carried via LEFT JOIN coalesce — then reproduces the final
-    * per-cell size/id-sum/inertia/majority-label frame.
+    * quantized Lloyd trajectory in BORING SCALAR SQL — one unnest into
+    * explicit (vec_id, i, x) rows up front (no zip-unnest, no
+    * generate_subscripts), dots via SUM(x*c) GROUP BY joins (no
+    * list_inner_product), argmax via a plain row_number window (no
+    * correlated ORDER-BY-LIMIT subquery) — and, because the vectors are
+    * snapped to the 1/1000 integer grid inside the query definition,
+    * every downstream decision (assignment keys 2M·(vq·cq) − |cq|²,
+    * floor-division centroid updates, the inertia numerator) is exact
+    * integer math no engine version can flip. Mirrors
+    * Clustering.lloydQuantized / assignQuantized bit-for-bit.
     */
   private def kmeansCtes(k: Int, iterations: Int): String = {
-    def assignExpr(cTable: String): String =
-      s"(SELECT cell FROM $cTable ORDER BY " +
-        s"list_inner_product(e.v, c) - list_inner_product(c, c) / 2 DESC, " +
-        "cell DESC LIMIT 1)"
+    // floorDiv(a, b) for b > 0 via the canonical non-negative modulo —
+    // identical semantics in every SQL engine and in Math.floorDiv
+    def floorDiv(a: String, b: String): String =
+      s"CAST(($a - ((($a) % ($b) + ($b)) % ($b))) / ($b) AS BIGINT)"
     val iters = (1 to iterations).map { t =>
-      s"""a$t AS MATERIALIZED (
-         |  SELECT e.vec_id, e.v, ${assignExpr(s"c${t - 1}")} AS cell FROM e
+      s"""s$t AS (
+         |  SELECT ex.vec_id, c.cell,
+         |    2000 * sum(ex.x * c.c) - sum(c.c * c.c) AS key
+         |  FROM ex JOIN c${t - 1} c USING (i)
+         |  GROUP BY ex.vec_id, c.cell
+         |), a$t AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY key DESC, cell DESC) AS rn
+         |    FROM s$t) rk
+         |  WHERE rn = 1
          |), m$t AS (
-         |  SELECT cell, i, round(avg(x), 6) AS m
-         |  FROM (SELECT cell, generate_subscripts(v, 1) AS i,
-         |          unnest(v) AS x FROM a$t)
-         |  GROUP BY cell, i
+         |  SELECT a.cell, ex.i,
+         |    ${floorDiv("1000 * sum(ex.x)", "count(*)")} AS c
+         |  FROM a$t a JOIN ex USING (vec_id)
+         |  GROUP BY a.cell, ex.i
          |), c$t AS MATERIALIZED (
-         |  SELECT p.cell, coalesce(n.c, p.c) AS c
-         |  FROM c${t - 1} p LEFT JOIN
-         |    (SELECT cell, list(m ORDER BY i) AS c FROM m$t GROUP BY cell) n
-         |    ON n.cell = p.cell
+         |  SELECT p.cell, p.i, coalesce(n.c, p.c) AS c
+         |  FROM c${t - 1} p LEFT JOIN m$t n ON n.cell = p.cell AND n.i = p.i
          |)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v, label
-       |  FROM embeddings WHERE embedding IS NOT NULL
+    s"""ex AS MATERIALIZED (
+       |  SELECT vec_id, (u).i AS i, (u).x AS x FROM (
+       |    SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+       |      j -> {'i': j, 'x': CAST(floor(v[j] * 1000 + 0.5) AS BIGINT)}))
+       |      AS u
+       |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |          WHERE embedding IS NOT NULL) vv)
+       |), el AS (
+       |  SELECT vec_id, label FROM embeddings WHERE embedding IS NOT NULL
+       |), ids0 AS (
+       |  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::INT
+       |    AS cell
+       |  FROM (SELECT vec_id FROM el ORDER BY vec_id LIMIT $k) kk
        |), c0 AS MATERIALIZED (
-       |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell,
-       |         embedding::DOUBLE[] AS c
-       |  FROM (SELECT vec_id, embedding FROM embeddings
-       |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $k)
+       |  SELECT ids0.cell, ex.i, ex.x * 1000 AS c
+       |  FROM ids0 JOIN ex USING (vec_id)
        |),
        |$iters,
-       |af AS MATERIALIZED (
-       |  SELECT e.vec_id, e.label, ${assignExpr(s"c$iterations")} AS cell,
-       |    list_inner_product(e.v, e.v) - 2 * (
-       |      SELECT max(list_inner_product(e.v, c)
-       |                 - list_inner_product(c, c) / 2)
-       |      FROM c$iterations) AS dist2
-       |  FROM e
+       |sfin AS (
+       |  SELECT ex.vec_id, c.cell,
+       |    2000 * sum(ex.x * c.c) - sum(c.c * c.c) AS key
+       |  FROM ex JOIN c$iterations c USING (i)
+       |  GROUP BY ex.vec_id, c.cell
+       |), afin AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY key DESC, cell DESC) AS rn
+       |    FROM sfin) rk
+       |  WHERE rn = 1
+       |), ad AS (
+       |  SELECT a.vec_id, a.cell,
+       |    sum((1000 * ex.x - c.c) * (1000 * ex.x - c.c)) AS d2
+       |  FROM afin a JOIN ex USING (vec_id)
+       |  JOIN c$iterations c ON c.cell = a.cell AND c.i = ex.i
+       |  GROUP BY a.vec_id, a.cell
+       |), af AS MATERIALIZED (
+       |  SELECT ad.vec_id, el.label, ad.cell, ad.d2
+       |  FROM ad JOIN el ON el.vec_id = ad.vec_id
        |)""".stripMargin
   }
 
   private def kmeansOracleSql(k: Int, iterations: Int): String = {
-    // inertia is validated, not hashed: the oracle checks ITS OWN
-    // sum(dist2) is non-negative and emits the 1.0 flag (q34 convention);
-    // the engine side independently recomputes |v-c|^2 and flags its own
-    // value. No float-derived pin survives into the hash (r13/r15 lesson:
-    // margins measured under one DuckDB version cannot bound another's).
+    // every pin is exact integer math on the quantized grid — sizes,
+    // id sums, the inertia NUMERATOR Σ|M·vq − cq|² (back in the hash
+    // after two rounds out: integers have no rounding boundary for an
+    // oracle-engine version to sit on the other side of), and the
+    // majority label (ties cnt DESC, label ASC)
     s"""WITH ${kmeansCtes(k, iterations)}, pc AS (
-       |  SELECT cell, count(*) AS n, sum(vec_id) AS id_sum,
-       |    CASE WHEN sum(dist2) >= -1e-9 THEN 1.0 ELSE 0.0 END AS inertia_ok
+       |  SELECT cell, count(*) AS n, sum(vec_id)::BIGINT AS id_sum,
+       |    sum(d2)::BIGINT AS inertia_num
        |  FROM af GROUP BY cell
        |), lt AS (
        |  SELECT cell, label, count(*) AS cnt FROM af GROUP BY cell, label
@@ -6705,7 +6705,7 @@ object SparkEntry {
        |        FROM lt) rk
        |  WHERE rn = 1
        |)
-       |SELECT pc.cell, pc.n, pc.id_sum, pc.inertia_ok,
+       |SELECT pc.cell, pc.n, pc.id_sum, pc.inertia_num,
        |  tp.top_label, tp.top_label_n
        |FROM pc JOIN tp USING (cell)""".stripMargin
   }
@@ -9950,44 +9950,60 @@ object SparkEntry {
 
     "q102_kmeans" -> kmeansOracleSql(k = 4, iterations = 3),
 
-    // q103: the probe-normalized-dot argmax (s = v·c / |c|, ties pid
-    // DESC) then ONE division by the row norm — the engine's exact
-    // two-step formula, so best_cos is the same double on both sides.
+    // q103: boring scalar SQL on the 1/1000 integer grid — one unnest
+    // into explicit (id, i, x) rows per side, dots/norms via SUM(x*x)
+    // GROUP BY joins (no list_inner_product), argmax via a plain
+    // row_number window over the exact integer ranking key
+    // sign(dq)·floorDiv(dq²·1000, |pq|²) (ties pid DESC), contamination
+    // via the exact cross-multiplied-squares test 400·dq² >= 49·n2v·n2p
+    // (tau² = 0.35² = 49/400 exactly). Every hashed value is 64-bit
+    // integer arithmetic — bit-identical to
+    // Similarity.decontaminateByEmbeddingGrid on any engine version.
     "q103_embedding_decontam" ->
-      """WITH p AS (
-        |  SELECT vec_id AS pid, embedding::DOUBLE[] AS c,
-        |    sqrt(list_inner_product(embedding::DOUBLE[],
-        |                            embedding::DOUBLE[])) AS pn
-        |  FROM embeddings WHERE vec_id % 29 = 0
-        |), e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v,
-        |    sqrt(list_inner_product(embedding::DOUBLE[],
-        |                            embedding::DOUBLE[])) AS vn
-        |  FROM embeddings
-        |  WHERE vec_id % 29 <> 0 AND embedding IS NOT NULL
+      """WITH pe AS MATERIALIZED (
+        |  SELECT pid, (u).i AS i, (u).x AS x FROM (
+        |    SELECT vec_id AS pid, unnest(list_transform(range(1, len(v) + 1),
+        |      j -> {'i': j, 'x': CAST(floor(v[j] * 1000 + 0.5) AS BIGINT)}))
+        |      AS u
+        |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |          WHERE vec_id % 29 = 0 AND embedding IS NOT NULL) pv)
+        |), ce AS MATERIALIZED (
+        |  SELECT vec_id, (u).i AS i, (u).x AS x FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+        |      j -> {'i': j, 'x': CAST(floor(v[j] * 1000 + 0.5) AS BIGINT)}))
+        |      AS u
+        |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |          WHERE vec_id % 29 <> 0 AND embedding IS NOT NULL) cv)
+        |), pn AS (
+        |  SELECT pid, sum(x * x)::BIGINT AS n2p FROM pe GROUP BY pid
+        |), vn AS (
+        |  SELECT vec_id, sum(x * x)::BIGINT AS n2v FROM ce GROUP BY vec_id
+        |), d AS (
+        |  SELECT ce.vec_id, pe.pid, sum(ce.x * pe.x)::BIGINT AS dq
+        |  FROM ce JOIN pe USING (i)
+        |  GROUP BY ce.vec_id, pe.pid
         |), sc AS (
-        |  SELECT e.vec_id, e.vn, p.pid,
-        |    list_inner_product(e.v, p.c) / p.pn AS s
-        |  FROM e, p
+        |  SELECT d.vec_id, d.pid, d.dq, pn.n2p,
+        |    CASE WHEN d.dq >= 0 THEN (d.dq * d.dq * 1000) // pn.n2p
+        |         ELSE -((d.dq * d.dq * 1000) // pn.n2p) END AS skey
+        |  FROM d JOIN pn USING (pid)
         |), b AS (
-        |  SELECT vec_id, pid AS best_probe, s / vn AS best_cos
+        |  SELECT vec_id, pid AS best_probe, dq, n2p, skey
         |  FROM (SELECT sc.*, row_number() OVER (
-        |          PARTITION BY vec_id ORDER BY s DESC, pid DESC) AS rn
+        |          PARTITION BY vec_id ORDER BY skey DESC, pid DESC) AS rn
         |        FROM sc) rk
         |  WHERE rn = 1
         |)
-        |SELECT best_probe, count(*) AS n_rows,
-        |  sum(CASE WHEN best_cos >= 0.35 THEN 1 ELSE 0 END) AS n_contam,
-        |  coalesce(sum(CASE WHEN best_cos >= 0.35 THEN vec_id END), 0)
-        |    AS contam_id_sum,
-        |  CASE WHEN max(best_cos) <= 1.000000001
-        |        AND min(best_cos) >= -1.000000001
-        |        AND (sum(CASE WHEN best_cos >= 0.35 THEN 1 ELSE 0 END) = 0
-        |             OR max(best_cos) >= 0.35)
-        |        AND (sum(CASE WHEN best_cos < 0.35 THEN 1 ELSE 0 END) = 0
-        |             OR min(best_cos) < 0.35)
-        |       THEN 1.0 ELSE 0.0 END AS max_cos_ok
-        |FROM b GROUP BY best_probe""".stripMargin,
+        |SELECT b.best_probe, count(*) AS n_rows,
+        |  sum(CASE WHEN b.dq >= 0
+        |            AND 400 * b.dq * b.dq >= 49 * vn.n2v * b.n2p
+        |           THEN 1 ELSE 0 END)::BIGINT AS n_contam,
+        |  coalesce(sum(CASE WHEN b.dq >= 0
+        |                     AND 400 * b.dq * b.dq >= 49 * vn.n2v * b.n2p
+        |                    THEN b.vec_id END), 0)::BIGINT AS contam_id_sum,
+        |  sum(b.skey)::BIGINT AS key_sum
+        |FROM b JOIN vn USING (vec_id)
+        |GROUP BY b.best_probe""".stripMargin,
 
     // q104: the q54 injected-break paragraph frame; exact censuses plus
     // the q24-convention shingle-Jaccard pair audit on the doc_id<60

@@ -311,6 +311,245 @@ object Clustering {
     lloyd(corpus, vecCol,
       initKMeansPlusPlus(corpus, vecCol, k, sampleSize, seed), iterations)
 
+  // -- integer-grid (quantized) Lloyd — the cross-engine-replay variant -----
+
+  /** Snap a float/double vector column to the 1/`scale` integer grid:
+    * q_i = floor(x_i * scale + 0.5) as LONG. `floor(x*s + 0.5)`
+    * (round-half-up toward +inf) is the one rounding rule every engine
+    * evaluates identically — `round()` tie conventions vary across
+    * engines and versions, and FLOAT→DOUBLE widening plus one multiply
+    * and one add are exact IEEE operations everywhere. All downstream
+    * k-means / cosine math on the grid is EXACT 64-bit integer
+    * arithmetic, so an independent engine replaying the same definition
+    * (the DuckDB oracle) lands on bit-identical decisions regardless of
+    * engine version, kernel precision, or summation order — the
+    * cross-version determinism that rounded-double trajectories
+    * (r13-r16) could not deliver.
+    */
+  def quantizeVec(vec: Column, scale: Long = 1000L): Column =
+    transform(vec, x => floor(x.cast(DoubleType) * scale + lit(0.5)))
+
+  /** Per-cell assignment scores on the integer grid, as one struct-array
+    * column. With vectors at scale S (vq = S·v) and centroids at scale
+    * S·M (cq = S·M·c), the squared-L2 argmin over cells equals the
+    * argmax of key(c) = 2·M·(vq·cq) − |cq|² — the usual score
+    * s = v·c − |c|²/2 scaled by the positive constant 2·S²·M², in exact
+    * Long math end to end. Ties break to the HIGHER cell (max-struct
+    * semantics, same as [[cellScores]]). Envelope: for unit-norm-ish
+    * vectors and S = M = 1000 the key is ~3e12, five orders under Long;
+    * genuinely unbounded inputs would fail loudly under ANSI overflow.
+    */
+  private def quantCellScores(
+      vecQ: Column, centroids: Seq[Array[Long]], m: Long): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
+      val dot = aggregate(
+        zip_with(vecQ, typedLit(c.toSeq), (x, w) => x * w),
+        lit(0L), (acc, v) => acc + v)
+      val norm2 = c.foldLeft(0L)((a, x) => a + x * x)
+      struct((lit(2L * m) * dot - lit(norm2)).as("s"), lit(i).as("cell"))
+    }: _*)
+
+  /** Nearest-centroid cell on the integer grid (see [[quantCellScores]]);
+    * pure map-side expression, whole-stage codegen.
+    */
+  def assignCellQuantized(
+      vecQ: Column, centroids: Seq[Array[Long]], m: Long = 1000L): Column = {
+    require(centroids.nonEmpty, "assignCellQuantized needs >= 1 centroid")
+    array_max(quantCellScores(vecQ, centroids, m)).getField("cell")
+  }
+
+  /** Mergeable integer vector statistics: count, element-wise Σvq, Σ|vq|²
+    * — all Long, so the per-cell fold is exact and order-free (a true
+    * commutative monoid, not just one up to float rounding).
+    */
+  final class QuantVecStatsState(
+      var n: Long,
+      var sumSq: Long,
+      var sums: Array[Long]) extends Serializable {
+
+    def add(v: Seq[Long]): QuantVecStatsState = {
+      if (sums == null) sums = new Array[Long](v.length)
+      require(v.length == sums.length,
+        s"inconsistent vector dims: ${v.length} vs ${sums.length}")
+      var i = 0
+      while (i < sums.length) {
+        val x = v(i)
+        sums(i) += x
+        sumSq += x * x
+        i += 1
+      }
+      n += 1
+      this
+    }
+
+    def mergeIn(o: QuantVecStatsState): QuantVecStatsState = {
+      if (o.sums == null) return this
+      if (sums == null) { sums = o.sums; n = o.n; sumSq = o.sumSq; return this }
+      require(o.sums.length == sums.length,
+        s"inconsistent vector dims: ${o.sums.length} vs ${sums.length}")
+      var i = 0
+      while (i < sums.length) { sums(i) += o.sums(i); i += 1 }
+      n += o.n
+      sumSq += o.sumSq
+      this
+    }
+  }
+
+  /** [[QuantVecStatsState]] as a typed `Aggregator` — map-side
+    * combinable, so groupBy(cell) ships ≤ k slim states per task
+    * (the [[VecStatsAggregator]] scale shape, integer-exact).
+    */
+  final class QuantVecStatsAggregator
+      extends Aggregator[Seq[Long], QuantVecStatsState, (Long, Long, Seq[Long])] {
+    override def zero: QuantVecStatsState = new QuantVecStatsState(0L, 0L, null)
+    override def reduce(b: QuantVecStatsState, a: Seq[Long]): QuantVecStatsState =
+      if (a == null) b else b.add(a)
+    override def merge(b1: QuantVecStatsState, b2: QuantVecStatsState): QuantVecStatsState =
+      b1.mergeIn(b2)
+    override def finish(b: QuantVecStatsState): (Long, Long, Seq[Long]) =
+      (b.n, b.sumSq, if (b.sums == null) Seq.empty else b.sums.toSeq)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[QuantVecStatsState] =
+      org.apache.spark.sql.Encoders.kryo[QuantVecStatsState]
+    override def outputEncoder
+        : org.apache.spark.sql.Encoder[(Long, Long, Seq[Long])] =
+      ExpressionEncoder[(Long, Long, Seq[Long])]()
+  }
+
+  /** One quantized Lloyd iteration's outcome. `inertiaNum` is the EXACT
+    * integer inertia numerator Σ over rows of |M·vq − cq|² (real inertia
+    * × (S·M)²) under the ASSIGNING centroids — derived from the slim
+    * states as M²·Σ|vq|² − 2M·(Σvq)·cq + n·|cq|², all Long.
+    */
+  case class QuantIterationStats(cellSizes: Map[Int, Long], inertiaNum: Long)
+
+  /** Quantized k-means model: centroids as Long vectors at scale
+    * `scale * m` (components = floor-div exact integers), so any engine
+    * can replay assignment bit-for-bit.
+    */
+  case class QuantKMeansModel(
+      centroids: Seq[Array[Long]],
+      scale: Long,
+      m: Long,
+      history: Seq[QuantIterationStats])
+
+  /** Deterministic, SQL-replayable init for [[lloydQuantized]]: the
+    * quantized vectors of the k lowest `idCol` rows, pre-scaled by `m`
+    * to centroid scale. Bounded k-row collect.
+    */
+  def initMinIdQuantized(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      scale: Long = 1000L,
+      m: Long = 1000L): Seq[Array[Long]] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rows = corpus
+      .where(col(vecCol).isNotNull)
+      .orderBy(col(idCol))
+      .select(quantizeVec(col(vecCol), scale))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Long](0).map(_ * m).toArray)
+      .toSeq
+    require(rows.length == k,
+      s"corpus has only ${rows.length} valid vectors, need $k")
+    rows
+  }
+
+  /** `iterations` Lloyd steps on the 1/`scale` integer grid — the same
+    * distribution shape as [[lloyd]] (map-side assignment expressions,
+    * one groupBy over slim mergeable states per iteration, k-row driver
+    * collect), but with EVERY arithmetic decision in exact 64-bit
+    * integer math: assignment keys, centroid updates (floor-division
+    * cq_i = floorDiv(M·Σvq_i, n) — `Math.floorDiv`, which equals the
+    * SQL-replayable `(a - ((a % b + b) % b)) / b`), and the inertia
+    * numerator. Two engines implementing this definition agree
+    * bit-for-bit with no rounding-grid or margin argument at all.
+    * Empty cells carry their previous centroid ([[lloyd]] semantics).
+    */
+  def lloydQuantized(
+      corpus: DataFrame,
+      vecCol: String,
+      initial: Seq[Array[Long]],
+      iterations: Int,
+      scale: Long = 1000L,
+      m: Long = 1000L): QuantKMeansModel = {
+    require(initial.nonEmpty, "lloydQuantized needs at least one centroid")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val dim = initial.head.length
+    require(initial.forall(_.length == dim), "initial centroids disagree on dim")
+
+    val vecs = corpus
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(quantizeVec(col(vecCol), scale).as("graft_vq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val agg = udaf(new QuantVecStatsAggregator, ExpressionEncoder[Seq[Long]]())
+      var centroids = initial.map(_.clone())
+      val history = Seq.newBuilder[QuantIterationStats]
+      var iter = 0
+      while (iter < iterations) {
+        val states = vecs
+          .groupBy(
+            assignCellQuantized(col("graft_vq"), centroids, m).as("graft_cell"))
+          .agg(agg(col("graft_vq")).as("graft_st"))
+          .select(col("graft_cell"),
+            col("graft_st._1").as("n"),
+            col("graft_st._2").as("sumSq"),
+            col("graft_st._3").as("sums"))
+          .collect()
+          .map(r => r.getInt(0) ->
+            ((r.getLong(1), r.getLong(2), r.getSeq[Long](3).toArray)))
+          .toMap
+        // exact inertia numerator under the ASSIGNING centroids:
+        // Σ|M·vq − cq|² = M²·Σ|vq|² − 2M·(Σvq)·cq + n·|cq|²
+        val inertiaNum = states.map { case (cell, (n, sumSq, sums)) =>
+          val c = centroids(cell)
+          var dot = 0L
+          var cn = 0L
+          var i = 0
+          while (i < dim) { dot += sums(i) * c(i); cn += c(i) * c(i); i += 1 }
+          m * m * sumSq - 2L * m * dot + n * cn
+        }.sum
+        history += QuantIterationStats(
+          states.map { case (cell, (n, _, _)) => cell -> n }, inertiaNum)
+        centroids = centroids.zipWithIndex.map { case (old, cell) =>
+          states.get(cell) match {
+            case Some((n, _, sums)) if n > 0 =>
+              Array.tabulate(dim)(i => Math.floorDiv(m * sums(i), n))
+            case _ => old // empty cell: carry the previous centroid
+          }
+        }
+        iter += 1
+      }
+      QuantKMeansModel(centroids.toSeq, scale, m, history.result())
+    } finally vecs.unpersist(blocking = false)
+  }
+
+  /** Final quantized assignment: `df`'s columns plus `cell` (exact
+    * integer argmin) and `dist2num` (EXACT integer squared distance
+    * numerator |M·vq − cq|² = M²·|vq|² − key, at real-distance scale
+    * (S·M)²). Rows with null or dim-mismatched vectors get null
+    * cell/dist2num ([[assign]] semantics). Pure map-side, one codegen
+    * stage — the score array is shared between the argmax and the
+    * distance.
+    */
+  def assignQuantized(
+      df: DataFrame, vecCol: String, model: QuantKMeansModel): DataFrame = {
+    require(model.centroids.nonEmpty, "assignQuantized needs >= 1 centroid")
+    val dim = model.centroids.head.length
+    val valid = col(vecCol).isNotNull && size(col(vecCol)) === dim
+    val vq = quantizeVec(col(vecCol), model.scale)
+    val best = array_max(quantCellScores(vq, model.centroids, model.m))
+    val n2v = aggregate(
+      zip_with(vq, vq, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    df.withColumn("cell", when(valid, best.getField("cell")))
+      .withColumn("dist2num",
+        when(valid,
+          lit(model.m * model.m) * n2v - best.getField("s")))
+  }
+
   // -- incremental centroid state (the q76/q93 persisted-state shape) -------
 
   /** Per-cell sufficient statistics of `corpus` under FIXED centroids —

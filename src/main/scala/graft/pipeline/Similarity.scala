@@ -1484,6 +1484,94 @@ object Similarity {
       r.getSeq[Float](1).map(_.toDouble).toArray).toSeq
   }
 
+  /** [[collectProbes]] output snapped to the 1/`scale` integer grid —
+    * the [[Clustering.quantizeVec]] rule, floor(x·scale + 0.5) per
+    * component, applied with the same IEEE double ops the engine-side
+    * expression uses — the probe shape
+    * [[decontaminateByEmbeddingGrid]] consumes.
+    */
+  def quantizeProbes(
+      probes: Seq[(Long, Array[Double])],
+      scale: Long = 1000L): Seq[(Long, Array[Long])] =
+    probes.map { case (pid, v) =>
+      pid -> v.map(x => math.floor(x * scale + 0.5).toLong)
+    }
+
+  /** Embedding-space decontamination with EXACT integer decisions — the
+    * cross-engine-replayable variant of [[decontaminateByEmbedding]].
+    * Vectors are snapped to the 1/`scale` integer grid
+    * ([[Clustering.quantizeVec]]); from there every decision is 64-bit
+    * integer math no engine version can evaluate differently:
+    *
+    *  - the threshold test is cross-multiplied squares — contaminated ⟺
+    *    dq ≥ 0 ∧ tau2Den·dq² ≥ tau2Num·|vq|²·|pq|², where tau² =
+    *    tau2Num/tau2Den exactly (0.35² = 49/400);
+    *  - probe ranking uses the integer key
+    *    skey = sign(dq) · floorDiv(dq²·keyScale, |pq|²) — a deterministic
+    *    total preorder that orders probes by cos² at 1/keyScale
+    *    resolution on cos²·|vq|²; key collisions (astronomically
+    *    unlikely, and exactly reproducible when they happen) break to
+    *    the HIGHER probe id, so both engines pick the same best probe
+    *    bit-for-bit.
+    *
+    * Scale shape: identical to [[decontaminateByEmbedding]] — the probe
+    * matrix rides into every task as literals, pure map-side codegen
+    * expression work, no shuffle, no join. Envelope: |dq| must stay ≤
+    * ~3e6·(1000/√keyScale) so dq²·keyScale < 2⁵³ (the floor-div below is
+    * evaluated as an exact double quotient); unit-norm embeddings at
+    * scale 1000 sit at |dq| ≲ 1.1e6, a 3× margin, and the
+    * [[embeddingHealth]] audit is the pre-flight that asserts the norm
+    * envelope.
+    *
+    * Per row: `best_probe`, `best_key` (the integer ranking key — exact,
+    * hash-pinnable), `n2v` (|vq|², exact), `contaminated`.
+    */
+  def decontaminateByEmbeddingGrid(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probes: Seq[(Long, Array[Long])],
+      tau2Num: Long = 49L,
+      tau2Den: Long = 400L,
+      scale: Long = 1000L,
+      keyScale: Long = 1000L,
+      maxProbes: Int = 2048): DataFrame = {
+    require(probes.nonEmpty,
+      "decontaminateByEmbeddingGrid needs at least one probe")
+    require(probes.length <= maxProbes,
+      s"${probes.length} probes exceed the literal-broadcast bound " +
+        s"$maxProbes — use cosinePairsLsh for corpus-sized probe sets")
+    val n2ps = probes.map { case (_, p) => p.foldLeft(0L)((a, x) => a + x * x) }
+    require(n2ps.forall(_ > 0L), "probe vectors must be non-zero on the grid")
+    val vq = Clustering.quantizeVec(col(vecCol), scale)
+    val n2v = aggregate(
+      zip_with(vq, vq, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val scored = array(probes.zip(n2ps).map { case ((pid, p), n2p) =>
+      val dq = aggregate(
+        zip_with(vq, typedLit(p.toSeq), (x, w) => x * w),
+        lit(0L), (acc, v) => acc + v)
+      // floorDiv for non-negative a, positive b: (a − a mod b) / b is an
+      // exact integer multiple ≤ a < 2^53, so the double quotient is the
+      // exact integer (IEEE division is correctly rounded)
+      val mag = dq * dq * lit(keyScale)
+      val fd = ((mag - pmod(mag, lit(n2p))) / lit(n2p)).cast(LongType)
+      val skey = when(dq >= 0L, fd).otherwise(-fd)
+      struct(skey.as("s"), lit(pid).as("pid"), dq.as("dq"), lit(n2p).as("n2p"))
+    }: _*)
+    val best = array_max(scored)
+    val valid = col(vecCol).isNotNull && n2v > 0L
+    corpus
+      .withColumn("best_probe", when(valid, best.getField("pid")))
+      .withColumn("best_key", when(valid, best.getField("s")))
+      .withColumn("n2v", when(valid, n2v))
+      .withColumn("contaminated",
+        coalesce(
+          valid && best.getField("dq") >= 0L &&
+            lit(tau2Den) * best.getField("dq") * best.getField("dq") >=
+              lit(tau2Num) * n2v * best.getField("n2p"),
+          lit(false)))
+  }
+
   /** Embedding-column health audit — the pre-flight every ANN/dedup/
     * clustering stage in this file assumes has already run: one pure
     * map-side pass over the vector column counting the defect classes

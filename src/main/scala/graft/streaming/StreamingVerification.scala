@@ -230,7 +230,7 @@ object StreamingOps {
       * exact-dedup survivor ids of the whole stream so far.
       */
     def survivors(spark: org.apache.spark.sql.SparkSession): DataFrame =
-      spark.read.parquet(statePath)
+      spark.read.parquet(livePartPaths(spark, statePath): _*)
         .groupBy(col("graft_kh"))
         .agg(min(col("graft_min_id")).as("graft_min_id"))
 
@@ -245,31 +245,55 @@ object StreamingOps {
           .agg(min(col("graft_min_id")).as("graft_min_id")))
   }
 
-  /** Crash-safe compaction shared by the streaming state ingests: the
-    * pinned input parts are folded into a sibling dir, the fold is
-    * renamed INTO the live dir under a fresh compaction id (counting
-    * down from Long.MaxValue, past any real batchId, so ingest never
-    * overwrites it and each re-compaction picks an unused id), and only
-    * THEN are the superseded parts deleted. At every instant the live
-    * dir's parts cover the full history — a crash anywhere leaves at
-    * worst harmless duplicate parts, which the commutative fold absorbs
-    * on the next read (never an empty/missing state, the pre-r16
-    * delete-then-rename window).
+  /** Crash-safe compaction shared by the streaming state ingests.
+    *
+    * Protocol (every step leaves a readable, NON-duplicated state):
+    *  1. pin the live part list (excluding parts an earlier manifest
+    *     already superseded);
+    *  2. fold them into a sibling `-compacting` dir;
+    *  3. write a SUPERSESSION MANIFEST `_superseded_<compactId>` naming
+    *     the covered parts;
+    *  4. rename the fold INTO the live dir as `batch=<compactId>`
+    *     (counting down from Long.MaxValue, past any real batchId, so
+    *     ingest never overwrites it and each re-compaction picks an
+    *     unused id) — the rename's boolean result IS checked: Hadoop
+    *     FileSystems report dest-exists/source-missing/object-store
+    *     failures by returning false, not throwing, and deleting the
+    *     sources after a failed rename would destroy the state;
+    *  5. delete the covered parts, then the manifest.
+    *
+    * Readers ([[livePartPaths]]) honor a manifest ONLY when its
+    * `batch=<compactId>` part exists, and then exclude every part it
+    * names. So: a crash before step 4 leaves the original parts live
+    * (the orphan manifest is inert and swept later); a crash between
+    * steps 4 and 5 leaves the compacted part PLUS its sources, but the
+    * manifest excludes the sources from every read — this matters
+    * because NOT every state fold is idempotent: Misra-Gries counters
+    * and KLL weights merge by SUMMING, so "harmless duplicate parts"
+    * (the pre-r17 doc's claim) would silently double every count. Only
+    * idempotent folds (min-id dedup, HLL register-max, theta union)
+    * absorb duplicates; the manifest makes the guarantee uniform.
     */
-  private def compactStateDir(
+  private[graft] def compactStateDir(
       spark: org.apache.spark.sql.SparkSession,
       statePath: String,
-      fold: DataFrame => DataFrame): Unit = {
+      fold: DataFrame => DataFrame,
+      skipDeletesForCrashTest: Boolean = false): Unit = {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
+    // self-heal first: finish any interrupted prior compaction (delete
+    // parts a live manifest covers, then the manifest), drop orphan
+    // manifests (no compacted part -> the rename never happened)
+    sweepSuperseded(fs, root)
     // pin the part list BEFORE writing anything (lazy-read-after-write
     // rule): the fold must not see the part it is about to create
-    val parts = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    val parts = livePartStatuses(fs, root)
     if (parts.size <= 1) return
-    val usedIds = parts.flatMap(st =>
-      scala.util.Try(st.getPath.getName.stripPrefix("batch=").toLong).toOption)
+    val usedIds = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .flatMap(st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("batch=").toLong).toOption)
     // fresh id below any prior compaction id, still above real batches
     val priorCompactions = usedIds.filter(_ > Long.MaxValue - 1000000L)
     val compactId =
@@ -278,9 +302,105 @@ object StreamingOps {
     val tmp = new org.apache.hadoop.fs.Path(s"$statePath-compacting")
     fold(spark.read.parquet(parts.map(_.getPath.toString): _*))
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.rename(tmp,
-      new org.apache.hadoop.fs.Path(s"$statePath/batch=$compactId"))
-    parts.foreach(st => fs.delete(st.getPath, true))
+    val manifest = new org.apache.hadoop.fs.Path(
+      s"$statePath/${SupersededPrefix}$compactId")
+    val out = fs.create(manifest, true)
+    try out.write(
+      parts.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(s"$statePath/batch=$compactId")
+    if (!fs.rename(tmp, dest) || !fs.exists(dest)) {
+      // failed rename: leave the original parts untouched, remove the
+      // now-inert manifest and the staged fold, and fail LOUDLY
+      fs.delete(manifest, false)
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"compactStateDir: rename $tmp -> $dest failed; " +
+          "state left as-is (no parts were deleted)")
+    }
+    if (!skipDeletesForCrashTest) {
+      parts.foreach(st => fs.delete(st.getPath, true))
+      fs.delete(manifest, false)
+    }
+  }
+
+  private val SupersededPrefix = "_superseded_"
+
+  /** Part dirs that are LIVE: `batch=` dirs minus any part a completed
+    * compaction's manifest covers (manifests whose compacted part is
+    * absent never completed their rename and are ignored).
+    */
+  private def livePartStatuses(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val all = fs.listStatus(root).toSeq
+    val parts = all.filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch="))
+    val names = parts.map(_.getPath.getName).toSet
+    val covered = all
+      .filter(st => st.isFile &&
+        st.getPath.getName.startsWith(SupersededPrefix))
+      .flatMap { mf =>
+        val cid = mf.getPath.getName.stripPrefix(SupersededPrefix)
+        if (names.contains(s"batch=$cid")) readManifest(fs, mf.getPath)
+        else Seq.empty
+      }
+      .toSet
+    parts.filterNot(st => covered.contains(st.getPath.getName))
+  }
+
+  /** The live parquet part paths of a state dir — what [[SketchStateIngest.state]]
+    * and [[DedupIngest.survivors]] actually read. Throws the reader's
+    * PATH_NOT_FOUND when the dir has never been written (contract
+    * unchanged).
+    */
+  private[graft] def livePartPaths(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq(statePath) // let the reader throw
+    livePartStatuses(fs, root).map(_.getPath.toString)
+  }
+
+  private def readManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(path)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8").split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  /** Finish interrupted compactions: for every manifest whose compacted
+    * part exists, delete any still-present covered parts and then the
+    * manifest; drop manifests whose compacted part never appeared.
+    */
+  private def sweepSuperseded(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val all = fs.listStatus(root).toSeq
+    val partNames = all.filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName).toSet
+    all.filter(st => st.isFile &&
+        st.getPath.getName.startsWith(SupersededPrefix))
+      .foreach { mf =>
+        val cid = mf.getPath.getName.stripPrefix(SupersededPrefix)
+        if (partNames.contains(s"batch=$cid")) {
+          readManifest(fs, mf.getPath).foreach { covered =>
+            val p = new org.apache.hadoop.fs.Path(root, covered)
+            if (fs.exists(p)) fs.delete(p, true)
+          }
+        }
+        fs.delete(mf.getPath, false)
+      }
   }
 
   /** Streaming maintenance for the persisted per-group sketch-state
@@ -325,7 +445,8 @@ object StreamingOps {
       * schema to fabricate an empty state from.
       */
     def state(spark: org.apache.spark.sql.SparkSession): DataFrame =
-      foldParts(spark.read.parquet(statePath).drop("batch"))
+      foldParts(
+        spark.read.parquet(livePartPaths(spark, statePath): _*).drop("batch"))
 
     /** Folds every per-batch part into ONE compacted part — crash
       * safety per [[StreamingOps.compactStateDir]]. Safe between (not
