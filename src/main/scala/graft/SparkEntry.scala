@@ -299,6 +299,63 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // q000: oracle-DIALECT canary — one row per exotic-construct the
+    // suite's oracles have ever leaned on (zip-unnest pairing, struct
+    // unnest, list_inner_product kernel precision, correlated
+    // ORDER-BY-LIMIT scalar subqueries, window tie order, round-half
+    // conventions, negative modulo, non-negative integer division, the
+    // floor(x*1000+0.5) quantization rule, regex split), each pinned to
+    // ONE integer. When a driver-environment DuckDB-version skew
+    // appears, the red lands HERE and the differing row NAMES the
+    // construct — instead of a blind hash red on a 60-line trajectory
+    // oracle (the r13-r16 q102/q103 failure mode). The Spark side
+    // computes each value with its own native expression (posexplode,
+    // indexed transform, zip_with folds, max-struct, row_number) — both
+    // engines derive, neither copies.
+    "q000_dialect_canary" -> ((s, dir) => {
+      import s.implicits._
+      val one = s.range(1)
+      def scalarLong(c: Column): Long =
+        one.select(c.cast(LongType)).head.getLong(0)
+      val xs = typedLit(Seq(3L, 1L, 4L, 1L, 5L))
+      val zipPair = one.select(org.apache.spark.sql.functions.posexplode(xs))
+        .agg(sum((col("pos") + 1L) * col("col"))).head.getLong(0)
+      val structPair = scalarLong(aggregate(
+        transform(xs, (x, i) => x * (i.cast(LongType) + 1L)),
+        lit(0L), (acc, v) => acc + v))
+      val dot = aggregate(
+        zip_with(typedLit(Seq(0.1, 0.2, 0.3)), typedLit(Seq(0.4, 0.5, 0.6)),
+          (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      val innerProd = scalarLong(floor(dot * 1073741824L + 0.5))
+      val fix = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 5L, 300L))
+        .toDF("id", "s", "v")
+      val corrLimit = fix.agg(max(struct(col("s"), col("v"))).as("m"))
+        .select(col("m.v")).head.getLong(0)
+      val winTies = fix.selectExpr(
+          "id", "row_number() over (order by s desc, id desc) as rn")
+        .agg(sum(col("id") * col("rn"))).head.getLong(0)
+      val rows = Seq(
+        "zip_unnest_pair" -> zipPair,
+        "struct_unnest_pair" -> structPair,
+        "inner_product_2pow30" -> innerProd,
+        "corr_limit_subquery" -> corrLimit,
+        "win_rownum_ties" -> winTies,
+        "round_half_pos" -> scalarLong(round(lit(2.5d)) + round(lit(3.5d))),
+        "round_half_neg" -> scalarLong(round(lit(-2.5d))),
+        "floor_quant_half" ->
+          scalarLong(floor(lit(0.0625f).cast(DoubleType) * 1000L + 0.5)),
+        "neg_mod" -> scalarLong(lit(-7L) % lit(3L)),
+        "pmod_canon" -> scalarLong(pmod(lit(-7L), lit(3L))),
+        "intdiv_nonneg" -> scalarLong(expr("(46L * 46L * 1000L) div 999L")),
+        "sum_bigint" -> one.select(explode(typedLit(Seq(1L, 2L, 3L))).as("x"))
+          .agg(sum(col("x"))).head.getLong(0),
+        "split_regex_len" ->
+          scalarLong(org.apache.spark.sql.functions.size(
+            split(lit("a  b c"), "\\s+"))))
+      rows.toDF("construct", "value").orderBy(col("construct"))
+    }),
+
     "q01_size" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       metricRow(s, runAnalyzers(li, Seq[(String, AnyAnalyzer)](
@@ -873,16 +930,24 @@ object SparkEntry {
       val q = Similarity.quantizeInt8(col("embedding"))
       val staged = emb.select(col("vec_id"), col("embedding"), q.as("graft_q"))
         .withColumn("graft_deq", Similarity.dequantizeInt8(col("graft_q")))
+      // hashed norm mass on the integer grid (q102 convention); the
+      // float mean norm rides a tolerance flag, never the hash
+      val vq40 = Clustering.quantizeVec(col("embedding"))
+      val n2q40 = aggregate(
+        zip_with(vq40, vq40, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
       val agg = staged.agg(
         fcount(lit(1)).cast(DoubleType),
         fround(avg(Similarity.norm(col("embedding"))), 6),
         fmin(Similarity.cosine(col("embedding"), col("graft_deq"))),
         fmax(org.apache.spark.sql.functions.array_max(
           org.apache.spark.sql.functions.transform(col("graft_q.codes"),
-            c => fabs(c.cast(DoubleType)))))).collect().head
+            c => fabs(c.cast(DoubleType))))),
+        coalesce(fsum(n2q40), lit(0L)).cast(DoubleType)).collect().head
       metricRow(s, Seq(
         "n_vectors" -> agg.getDouble(0),
-        "mean_norm" -> agg.getDouble(1),
+        "norm2_grid_sum" -> agg.getDouble(4),
+        "mean_norm_ok" ->
+          flag(agg.getDouble(1) >= 0.9 && agg.getDouble(1) <= 1.1),
         "quant_cos_ok" -> flag(agg.getDouble(2) >= 0.999),
         "codes_in_range_ok" -> flag(agg.getDouble(3) <= 127.0)))
     }),
@@ -3696,53 +3761,51 @@ object SparkEntry {
     // merge(state(A), state(B)) == state(A ∪ B) through the oracle
     // (integer-exact n, grid-snapped means), and an in-query census
     // additionally pins merged == full row-for-row.
+    // q107: incremental k-means cell state, on the integer grid (the
+    // q102 convention, applied to the PERSISTED-state twin): the
+    // quantized state is a TRUE Long monoid, so disk-staged half-state
+    // merge == full-corpus single pass holds with integer EQUALITY (no
+    // epsilon band), and every pin — counts, vector-sum totals, Σ|vq|²,
+    // derived-centroid |cq|² — is exact integer math both engines
+    // replay bit-for-bit.
     "q107_kmeans_state" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      val init = Clustering.initMinId(emb, "vec_id", "embedding", 4)
+      val init = Clustering.initMinIdQuantized(emb, "vec_id", "embedding", 4)
       val valid = emb.where(col("embedding").isNotNull)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q107").toString
       try {
       Clustering.writeCellState(
-        Clustering.cellState(
+        Clustering.cellStateQuantized(
           valid.where(pmod(col("vec_id"), lit(2)) === 0), "embedding", init),
         s"$tmp/a")
       Clustering.writeCellState(
-        Clustering.cellState(
+        Clustering.cellStateQuantized(
           valid.where(pmod(col("vec_id"), lit(2)) === 1), "embedding", init),
         s"$tmp/b")
-      val merged = Clustering.mergeCellStates(
+      val merged = Clustering.mergeCellStatesQuantized(
         Clustering.readCellState(s, s"$tmp/a"),
         Clustering.readCellState(s, s"$tmp/b"))
       def snapshot(st: org.apache.spark.sql.DataFrame) = st.collect()
-        .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
-          r.getSeq[Double](3).toArray))).toMap
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3).toArray))).toMap
       val m = snapshot(merged)
-      val f = snapshot(Clustering.cellState(valid, "embedding", init))
-      // merged == full: integer-exact counts, vector sums within the
-      // float-order band (1e-6 absolute — 3 orders above the ~1e-9
-      // worst-case reorder noise, 1 order under the output grid)
+      val f = snapshot(
+        Clustering.cellStateQuantized(valid, "embedding", init))
+      // merged == full: EXACT integer equality — the monoid law itself
       val mergeOk = m.keySet == f.keySet && m.forall { case (c, (n, sq, sm)) =>
         val (fn, fsq, fsm) = f(c)
-        n == fn && math.abs(sq - fsq) < 1e-6 &&
-          sm.zip(fsm).forall { case (x, y) => math.abs(x - y) < 1e-6 }
+        n == fn && sq == fsq && sm.sameElements(fsm)
       }
-      val cents = Clustering.centroidsFromState(merged, init, 6)
+      val cents = Clustering.centroidsFromStateQuantized(merged, init)
       import s.implicits._
       (0 until 4).map { cell =>
-        val (n, sq, sm) = m.getOrElse(cell, (0L, 0.0, Array.empty[Double]))
-        val sumAll = sm.foldLeft(0.0)(_ + _)
+        val (n, sq, sm) = m.getOrElse(cell, (0L, 0L, Array.empty[Long]))
+        val sumAll = sm.foldLeft(0L)(_ + _)
         val c = cents(cell)
-        val norm2 = c.foldLeft(0.0)((a, x) => a + x * x)
-        (cell.toDouble, n.toDouble,
-          BigDecimal(sumAll).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-            .toDouble,
-          BigDecimal(sq).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-            .toDouble,
-          BigDecimal(norm2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-            .toDouble,
-          if (mergeOk) 1.0 else 0.0)
-      }.toDF("cell", "n_docs", "sum_all_r", "sum_sq_r", "c_norm2_r",
+        val norm2 = c.foldLeft(0L)((a, x) => a + x * x)
+        (cell, n, sumAll, sq, norm2, if (mergeOk) 1L else 0L)
+      }.toDF("cell", "n_docs", "sum_all", "sum_sq", "c_norm2",
         "merge_ok")
       } finally rmTree(tmp)
     }),
@@ -4137,7 +4200,25 @@ object SparkEntry {
             ftransform(v, _ => lit(0.0f)))
           .when(pmod(col("vec_id"), lit(83)) === 0, fslice(v, 1, 63))
           .otherwise(v).as("embedding"))
+      // hashed norm census on the integer grid (the q102 convention —
+      // the operator's own rounded float norms ride a tolerance flag,
+      // never the hash): min/max/sum of Σvq² over clean vectors, exact
+      // BIGINT both engines
+      val vi = col("embedding")
+      val cleanPred = vi.isNotNull &&
+        org.apache.spark.sql.functions.size(vi) === 64 &&
+        !org.apache.spark.sql.functions.exists(vi,
+          x => org.apache.spark.sql.functions.isnan(x.cast(DoubleType)) ||
+            abs(x.cast(DoubleType)) > lit(Double.MaxValue))
+      val vq = when(cleanPred, Clustering.quantizeVec(vi))
+      val n2q = aggregate(
+        zip_with(vq, vq, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      val grid = injected.agg(
+        min(n2q).as("min_n2q"),
+        max(n2q).as("max_n2q"),
+        coalesce(sum(n2q), lit(0L)).as("sum_n2q"))
       Similarity.embeddingHealth(injected, "embedding", dim = 64)
+        .crossJoin(grid)
         .select(
           col("n_rows").cast(DoubleType).as("n_rows"),
           col("null_vecs").cast(DoubleType).as("null_vecs"),
@@ -4146,7 +4227,15 @@ object SparkEntry {
           col("zero_vecs").cast(DoubleType).as("zero_vecs"),
           col("clean_vecs").cast(DoubleType).as("clean_vecs"),
           col("unit_norm_vecs").cast(DoubleType).as("unit_norm_vecs"),
-          col("min_norm_r"), col("max_norm_r"), col("sum_norm2_r"))
+          col("min_n2q"), col("max_n2q"), col("sum_n2q"),
+          when(
+            abs(col("min_norm_r") * col("min_norm_r")
+              - col("min_n2q") / 1e6) <= 0.02 &&
+              abs(col("max_norm_r") * col("max_norm_r")
+                - col("max_n2q") / 1e6) <= 0.02 &&
+              abs(col("sum_norm2_r") - col("sum_n2q") / 1e6) <=
+                col("sum_norm2_r") * 0.01 + 1.0,
+            1.0d).otherwise(0.0d).as("norms_ok"))
     }),
 
     // q117: text-encoding health audit — q116's sibling for the text
@@ -6718,6 +6807,44 @@ object SparkEntry {
 
   private lazy val oracleBase: Map[String, String] = Map(
 
+    // the dialect canary: one integer pin per exotic construct — a
+    // driver-environment engine skew reds THIS query and the differing
+    // row names the construct (see the q000 query comment)
+    "q000_dialect_canary" ->
+      raw"""WITH lst AS (SELECT [3,1,4,1,5]::BIGINT[] AS v),
+        |fix(id, s, v) AS (VALUES (1, 10, 100), (2, 10, 200), (3, 5, 300))
+        |SELECT 'zip_unnest_pair' AS construct,
+        |  (SELECT sum(i * x)::BIGINT FROM (
+        |     SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x
+        |     FROM lst) z) AS value
+        |UNION ALL SELECT 'struct_unnest_pair',
+        |  (SELECT sum((u).i * (u).x)::BIGINT FROM (
+        |     SELECT unnest(list_transform(range(1, len(v) + 1),
+        |        j -> {'i': j, 'x': v[j]})) AS u FROM lst) z)
+        |UNION ALL SELECT 'inner_product_2pow30',
+        |  CAST(floor(list_inner_product([0.1,0.2,0.3]::DOUBLE[],
+        |     [0.4,0.5,0.6]::DOUBLE[]) * 1073741824 + 0.5) AS BIGINT)
+        |UNION ALL SELECT 'corr_limit_subquery',
+        |  (SELECT v FROM fix ORDER BY s DESC, v DESC LIMIT 1)::BIGINT
+        |UNION ALL SELECT 'win_rownum_ties',
+        |  (SELECT sum(id * rn)::BIGINT FROM (
+        |     SELECT id, row_number() OVER (ORDER BY s DESC, id DESC) AS rn
+        |     FROM fix) w)
+        |UNION ALL SELECT 'round_half_pos',
+        |  CAST(round(2.5) + round(3.5) AS BIGINT)
+        |UNION ALL SELECT 'round_half_neg', CAST(round(-2.5) AS BIGINT)
+        |UNION ALL SELECT 'floor_quant_half',
+        |  CAST(floor(CAST(0.0625::FLOAT AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+        |UNION ALL SELECT 'neg_mod', CAST(-7 % 3 AS BIGINT)
+        |UNION ALL SELECT 'pmod_canon', CAST(((-7 % 3) + 3) % 3 AS BIGINT)
+        |UNION ALL SELECT 'intdiv_nonneg',
+        |  CAST((46 * 46 * 1000) // 999 AS BIGINT)
+        |UNION ALL SELECT 'sum_bigint',
+        |  (SELECT sum(x)::BIGINT
+        |   FROM (SELECT unnest([1,2,3]::BIGINT[]) AS x) s1)
+        |UNION ALL SELECT 'split_regex_len',
+        |  CAST(len(string_split_regex('a  b c', '\s+')) AS BIGINT)""".stripMargin,
+
     "q01_size" ->
       """SELECT count(*)::DOUBLE AS size_all,
         |       sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)::DOUBLE AS size_filtered
@@ -7010,12 +7137,15 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY win_start""".stripMargin,
 
-    // q40: count + mean L2 norm exact in DuckDB; quantization fidelity
-    // flags asserted true
+    // q40: count + exact integer-grid norm mass (the q102 convention);
+    // mean-norm / quantization fidelity flags asserted true
     "q40_embedding_quant" ->
       """SELECT count(*)::DOUBLE AS n_vectors,
-        |       round(avg(sqrt(list_sum(list_transform(embedding,
-        |         x -> x::DOUBLE * x::DOUBLE)))), 6) AS mean_norm,
+        |       coalesce(sum(list_sum(list_transform(embedding::DOUBLE[],
+        |         x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)
+        |              * CAST(floor(x * 1000 + 0.5) AS BIGINT)))), 0)::DOUBLE
+        |         AS norm2_grid_sum,
+        |       1.0::DOUBLE AS mean_norm_ok,
         |       1.0::DOUBLE AS quant_cos_ok,
         |       1.0::DOUBLE AS codes_in_range_ok
         |FROM embeddings""".stripMargin,
@@ -10172,42 +10302,62 @@ object SparkEntry {
     // half-state merge — a match proves the monoid law through the
     // oracle. merge_ok mirrors the in-query census (constant 1.0 when
     // the law holds).
+    // q107: boring scalar SQL on the integer grid — one unnest into
+    // (vec_id, i, x), assignment keys via SUM(x*c) joins + a row_number
+    // window, centroid components via the canonical floor-division,
+    // every output column exact BIGINT (the q102 convention).
     "q107_kmeans_state" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v
-        |  FROM embeddings WHERE embedding IS NOT NULL
+      """WITH ex AS MATERIALIZED (
+        |  SELECT vec_id, (u).i AS i, (u).x AS x FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+        |      j -> {'i': j, 'x': CAST(floor(v[j] * 1000 + 0.5) AS BIGINT)}))
+        |      AS u
+        |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |          WHERE embedding IS NOT NULL) vv)
+        |), ids0 AS (
+        |  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::INT
+        |    AS cell
+        |  FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
+        |        ORDER BY vec_id LIMIT 4) kk
         |), c0 AS MATERIALIZED (
-        |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell,
-        |         embedding::DOUBLE[] AS c
-        |  FROM (SELECT vec_id, embedding FROM embeddings
-        |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 4)
-        |), af AS MATERIALIZED (
-        |  SELECT e.vec_id, e.v,
-        |    (SELECT cell FROM c0 ORDER BY
-        |       list_inner_product(e.v, c) - list_inner_product(c, c) / 2
-        |         DESC, cell DESC LIMIT 1) AS cell
-        |  FROM e
+        |  SELECT ids0.cell, ex.i, ex.x * 1000 AS c
+        |  FROM ids0 JOIN ex USING (vec_id)
+        |), s1 AS (
+        |  SELECT ex.vec_id, c.cell,
+        |    2000 * sum(ex.x * c.c) - sum(c.c * c.c) AS key
+        |  FROM ex JOIN c0 c USING (i)
+        |  GROUP BY ex.vec_id, c.cell
+        |), a1 AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY key DESC, cell DESC) AS rn
+        |    FROM s1) rk
+        |  WHERE rn = 1
+        |), pv AS (
+        |  SELECT vec_id, sum(x)::BIGINT AS sall, sum(x * x)::BIGINT AS n2v
+        |  FROM ex GROUP BY vec_id
         |), st AS (
-        |  SELECT cell, count(*) AS n,
-        |    round(sum(list_sum(v)), 3) AS sum_all_r,
-        |    round(sum(list_inner_product(v, v)), 3) AS sum_sq_r
-        |  FROM af GROUP BY 1
+        |  SELECT a1.cell, count(*) AS n, sum(pv.sall)::BIGINT AS sum_all,
+        |    sum(pv.n2v)::BIGINT AS sum_sq
+        |  FROM a1 JOIN pv USING (vec_id) GROUP BY a1.cell
         |), md AS (
-        |  SELECT cell, i, round(avg(x), 6) AS mr
-        |  FROM (SELECT cell, generate_subscripts(v, 1) AS i,
-        |          unnest(v) AS x FROM af)
-        |  GROUP BY cell, i
+        |  SELECT a.cell, ex.i,
+        |    CAST((1000 * sum(ex.x)
+        |          - (((1000 * sum(ex.x)) % count(*) + count(*)) % count(*)))
+        |         / count(*) AS BIGINT) AS c
+        |  FROM a1 a JOIN ex USING (vec_id)
+        |  GROUP BY a.cell, ex.i
         |), mn AS (
-        |  SELECT cell, round(sum(mr * mr), 6) AS c_norm2_r FROM md
-        |  GROUP BY 1
+        |  SELECT cell, sum(c * c)::BIGINT AS c_norm2 FROM md GROUP BY cell
+        |), cn0 AS (
+        |  SELECT cell, sum(c * c)::BIGINT AS c_norm2 FROM c0 GROUP BY cell
         |)
-        |SELECT c0.cell::DOUBLE AS cell, coalesce(st.n, 0)::DOUBLE AS n_docs,
-        |  coalesce(st.sum_all_r, 0.0) AS sum_all_r,
-        |  coalesce(st.sum_sq_r, 0.0) AS sum_sq_r,
-        |  coalesce(mn.c_norm2_r,
-        |    round(list_inner_product(c0.c, c0.c), 6)) AS c_norm2_r,
-        |  1.0 AS merge_ok
-        |FROM c0 LEFT JOIN st USING (cell) LEFT JOIN mn USING (cell)"""
+        |SELECT cn0.cell, coalesce(st.n, 0)::BIGINT AS n_docs,
+        |  coalesce(st.sum_all, 0)::BIGINT AS sum_all,
+        |  coalesce(st.sum_sq, 0)::BIGINT AS sum_sq,
+        |  coalesce(mn.c_norm2, cn0.c_norm2)::BIGINT AS c_norm2,
+        |  1::BIGINT AS merge_ok
+        |FROM cn0 LEFT JOIN st USING (cell) LEFT JOIN mn USING (cell)"""
         .stripMargin,
 
     // q108: the full reweighting trajectory replayed — corpus-LM
@@ -10715,7 +10865,12 @@ object SparkEntry {
         |  SELECT *,
         |    shaped AND NOT nonfinite AS clean,
         |    CASE WHEN shaped AND NOT nonfinite
-        |         THEN list_inner_product(v, v) END AS norm2
+        |         THEN list_sum(list_transform(v, x -> x * x)) END AS norm2,
+        |    CASE WHEN shaped AND NOT nonfinite
+        |         THEN list_sum(list_transform(v,
+        |           x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)
+        |                * CAST(floor(x * 1000 + 0.5) AS BIGINT)))::BIGINT
+        |         END AS n2q
         |  FROM m
         |)
         |SELECT count(*)::DOUBLE AS n_rows,
@@ -10730,10 +10885,10 @@ object SparkEntry {
         |  sum(CASE WHEN clean AND sqrt(norm2) >= 0.99
         |      AND sqrt(norm2) <= 1.01 THEN 1 ELSE 0 END)::DOUBLE
         |    AS unit_norm_vecs,
-        |  round(min(CASE WHEN clean THEN sqrt(norm2) END), 6) AS min_norm_r,
-        |  round(max(CASE WHEN clean THEN sqrt(norm2) END), 6) AS max_norm_r,
-        |  round(coalesce(sum(CASE WHEN clean THEN norm2 END), 0), 3)
-        |    AS sum_norm2_r
+        |  min(n2q)::BIGINT AS min_n2q,
+        |  max(n2q)::BIGINT AS max_n2q,
+        |  coalesce(sum(n2q), 0)::BIGINT AS sum_n2q,
+        |  1.0::DOUBLE AS norms_ok
         |FROM c""".stripMargin,
 
     // q117: injections regenerated with the same CASE priority via chr()

@@ -550,6 +550,74 @@ object Clustering {
           lit(model.m * model.m) * n2v - best.getField("s")))
   }
 
+  // -- incremental QUANTIZED cell state: the exact-integer twin of the
+  // double path below — same scale shape (one scan, numTasks × k slim
+  // states), but the state is a TRUE monoid (Long counts, Long vector
+  // sums, Long Σ|vq|²), so merged == full holds with integer equality,
+  // not an epsilon band, and an independent engine replays it exactly.
+
+  /** Per-cell exact-integer sufficient statistics of `corpus` under
+    * FIXED quantized centroids — (cell, n, sum_sq, sums), all Long.
+    */
+  def cellStateQuantized(
+      corpus: DataFrame,
+      vecCol: String,
+      centroids: Seq[Array[Long]],
+      scale: Long = 1000L,
+      m: Long = 1000L): DataFrame = {
+    require(centroids.nonEmpty, "cellStateQuantized needs >= 1 centroid")
+    val dim = centroids.head.length
+    val agg = udaf(new QuantVecStatsAggregator, ExpressionEncoder[Seq[Long]]())
+    corpus
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(quantizeVec(col(vecCol), scale).as("graft_vq"))
+      .groupBy(assignCellQuantized(col("graft_vq"), centroids, m).as("cell"))
+      .agg(agg(col("graft_vq")).as("graft_st"))
+      .select(col("cell"),
+        col("graft_st._1").as("n"),
+        col("graft_st._2").as("sum_sq"),
+        col("graft_st._3").as("sums"))
+  }
+
+  /** Exact monoid merge of quantized cell states — integer addition
+    * end to end (contrast [[mergeCellStates]]' float-order band).
+    */
+  def mergeCellStatesQuantized(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("cell"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_sq")).as("sum_sq"),
+        collect_list(col("sums")).as("graft_ls"))
+      .select(col("cell"), col("n"), col("sum_sq"),
+        aggregate(
+          slice(col("graft_ls"), lit(2),
+            greatest(size(col("graft_ls")) - 1, lit(0))),
+          element_at(col("graft_ls"), 1),
+          (acc, v) => zip_with(acc, v, (x, y) => x + y)).as("sums"))
+
+  /** Centroids from a (possibly merged) quantized state: the
+    * [[lloydQuantized]] update rule — cq_i = floorDiv(m·Σvq_i, n),
+    * empty/absent cells carry `previous`.
+    */
+  def centroidsFromStateQuantized(
+      state: DataFrame,
+      previous: Seq[Array[Long]],
+      m: Long = 1000L): Seq[Array[Long]] = {
+    val dim = previous.head.length
+    val rows = state.select(col("cell"), col("n"), col("sums"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Long](2).toArray)))
+      .toMap
+    previous.zipWithIndex.map { case (old, cell) =>
+      rows.get(cell) match {
+        case Some((n, sums)) if n > 0 =>
+          Array.tabulate(dim)(i => Math.floorDiv(m * sums(i), n))
+        case _ => old
+      }
+    }
+  }
+
   // -- incremental centroid state (the q76/q93 persisted-state shape) -------
 
   /** Per-cell sufficient statistics of `corpus` under FIXED centroids —
