@@ -76,7 +76,35 @@ object Bench {
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     // every successful rep time (sorted asc), for the full-fidelity sidecar
     val repLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    def medianOf(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Per-job decomposition capture (r17): four rounds of builder-green /
+    // driver-red on the same queries say stop re-measuring — the REQUERY
+    // pass now records each query's per-job wall times (last rep), so a
+    // slow driver-box reading carries its own diagnosis: the jobs field
+    // names whether one serialized stage or uniform contention ate the
+    // time. Top job seconds go into the one-line JSON; full
+    // (jobId, sec, description) rows go to the sidecar.
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobRows = new java.util.concurrent.CopyOnWriteArrayList[(Int, Double, String)]()
+    @volatile var capturingJobs = false
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (capturingJobs) {
+          val shape = s"stages=${js.stageInfos.length} " +
+            s"tasks=${js.stageInfos.map(_.numTasks).sum}"
+          val site = Option(js.properties.getProperty("callSite.short"))
+            .getOrElse(js.stageInfos.map(_.name).mkString("|").take(80))
+          jobStarts.put(js.jobId, (System.nanoTime(), s"$shape $site"))
+        }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s = jobStarts.remove(je.jobId)
+        if (capturingJobs && s != null)
+          jobRows.add((je.jobId, (System.nanoTime() - s._1) / 1e9, s._2))
+      }
+    })
+    val jobProfiles =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Int, Double, String)]]
+    def medianOf(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        captureJobsAs: Option[String] = None): Double = {
       // Untimed GC between queries: with a 128 GiB heap, collections are
       // rare, so broadcast/cache refuse from earlier queries piles up and
       // the ContextCleaner (which acts on weak refs, i.e. AFTER a GC)
@@ -85,17 +113,30 @@ object Bench {
       // here moves that cost into untimed space and lets the cleaner drop
       // stale broadcasts before the next query runs.
       System.gc()
-      val times = (1 to reps).flatMap { _ =>
+      val times = (1 to reps).flatMap { rep =>
+        val capture = captureJobsAs.isDefined && rep == reps
+        if (capture) { jobRows.clear(); capturingJobs = true }
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (capture) {
+            // listener events post asynchronously; give the bus a beat
+            // (untimed) before snapshotting the last rep's decomposition
+            Thread.sleep(300)
+            capturingJobs = false
+            jobProfiles(captureJobsAs.get) =
+              scala.jdk.CollectionConverters.ListHasAsScala(jobRows)
+                .asScala.toSeq
+          }
+          Some(dt)
         } catch {
           // NonFatal only: after an OutOfMemoryError (or other VirtualMachine
           // error) every subsequent timing is unreliable but would look
           // clean — let fatal errors kill the suite with a non-zero rc
           // instead of polluting the round's numbers.
           case scala.util.control.NonFatal(t) =>
+            capturingJobs = false
             failures.updateWith(name) { c => Some(c.getOrElse(0) + 1) }
             val elapsed = (System.nanoTime() - t0) / 1e9
             System.err.println(
@@ -157,9 +198,21 @@ object Bench {
     // query with zero successful reps would only re-fail it, and its
     // requery failures would conflate with the in-suite counts. Requery
     // failures that DO happen are recorded under a distinct _requery key.
+    // Requery set (r17): the slowest 3 PLUS the q96/q136 pair pinned
+    // back-to-back at the end — the q136-vs-q96 ratio bar is only
+    // meaningful same-conditions, and in-suite positions are 40 queries
+    // apart. Each requery's last rep records its per-job decomposition
+    // (the `jobs` field) so a driver-box slow reading names its own
+    // serializing stage instead of demanding another round of
+    // re-measurement.
+    val pinnedPair = Seq("q96_curation_v2", "q136_curation_builder")
+      .filter(SparkEntry.queries.contains)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(3)
-    val requeried = slowest.map { case (name, _) =>
-      name -> medianOf(name + "_requery", SparkEntry.queries(name))
+    val requeryNames =
+      slowest.map(_._1).filterNot(pinnedPair.contains) ++ pinnedPair
+    val requeried = requeryNames.map { name =>
+      name -> medianOf(name + "_requery", SparkEntry.queries(name),
+        captureJobsAs = Some(name))
     }
     // Per-query keys are shortened to the unambiguous qNN prefix: with
     // full operator names the one-line JSON runs ~2.7 KB and downstream
@@ -207,8 +260,17 @@ object Bench {
     val qsNorm = normalizedByName
       .map { case (k, v) => "\"" + shortKey(k) + f"\":$v%.2f" }
       .mkString("{", ",", "}")
+    // compact jobs field: each requeried query's top-5 job wall times
+    // (last requery rep, desc order) — enough to distinguish "one
+    // serialized stage ate it" from "uniform contention" in the one-line
+    // artifact; full (jobId, sec, description) rows are in the sidecar
+    val jobsCompact = jobProfiles.map { case (k, rows) =>
+      "\"" + shortKey(k) + "\":[" +
+        rows.map(_._2).sorted.reverse.take(5).map(t => f"$t%.2f")
+          .mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","normalized_total":$normalizedTotal%.3f,"queries":$qs,"queries_normalized":$qsNorm,"requeried":$rq,"errors":$errs,"calibration":$calibrationStart%.3f,"calibration_mid":$gauges,"calibration_end":$calibrationEnd%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","normalized_total":$normalizedTotal%.3f,"queries":$qs,"queries_normalized":$qsNorm,"requeried":$rq,"jobs":$jobsCompact,"errors":$errs,"calibration":$calibrationStart%.3f,"calibration_mid":$gauges,"calibration_end":$calibrationEnd%.3f,"sf":"$sfDir"}"""
     // the JSON to a file first: the stdout line sits in megabytes of
     // sbt/Spark log noise, and downstream tooling that scrapes the tail
     // gets a null parse whenever a WARN lands after it
@@ -229,8 +291,16 @@ object Bench {
     val fullQsNorm = normalizedByName
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\r\\n\\t]", " ") + "\""
+    val jobsFull = jobProfiles.map { case (k, rows) =>
+      "\"" + k + "\":[" + rows.sortBy(-_._2).map { case (id, t, d) =>
+        f"""{"job":$id,"sec":$t%.3f,"desc":${jstr(d.take(120))}}"""
+      }.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","normalized_total":$normalizedTotal%.3f,"queries":$fullQs,"queries_normalized":$fullQsNorm,"requeried":$fullRq,"reps":$repsJson,"errors":$errs,"calibration":$calibrationStart%.3f,"calibration_mid":$gauges,"calibration_end":$calibrationEnd%.3f,"reps_per_query":$reps,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","normalized_total":$normalizedTotal%.3f,"queries":$fullQs,"queries_normalized":$fullQsNorm,"requeried":$fullRq,"jobs":$jobsFull,"reps":$repsJson,"errors":$errs,"calibration":$calibrationStart%.3f,"calibration_mid":$gauges,"calibration_end":$calibrationEnd%.3f,"reps_per_query":$reps,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullLine + "\n").getBytes("UTF-8"))

@@ -3606,30 +3606,31 @@ object SparkEntry {
     // the J>=0.5 set (16-band LSH at J≈0.5 is probabilistic by design;
     // the hash family is fixed, so the flag is deterministic per corpus).
     "q104_fuzzy_para_dedup" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.shiftleft
       val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
       val paraDocs = docs.select(col("doc_id"),
         regexp_replace(col("text"), ParaInjectPattern, ParaInjectReplacement)
           .as("text"))
-      val fuzzy = Dedup.nearDupParagraphs(paraDocs, "doc_id", "text",
-        threshold = 0.5)
+      // ONE tokenize+hash scan for everything (r17): the occurrence and
+      // signature frames are computed once, persisted, and shared by the
+      // engine pass, the exact-dedup census, AND the doc_id<60 audit
+      // (which previously re-tokenized its subset from the raw text)
+      val occ = Dedup.paragraphOccurrences(paraDocs, "doc_id", "text")
+        .persist()
+      val sigsFull = Dedup.paragraphSignatureFrame(occ).persist()
+      val fuzzy = Dedup.nearDupParagraphsFromSignatures(
+        paraDocs, "doc_id", occ, sigsFull, threshold = 0.5)
       val g = fuzzy.agg(
         count(lit(1)),
         coalesce(sum(col("n_paras")), lit(0L)),
         coalesce(sum(col("n_removed")), lit(0L))).collect().head
       val (nDocs, totalParas, fuzzyRemoved) =
         (g.getLong(0), g.getLong(1), g.getLong(2))
-      val distinctParas = Dedup.paragraphOccurrences(paraDocs, "doc_id", "text")
+      val distinctParas = occ
         .agg(countDistinct(col("graft_para"))).collect().head.getLong(0)
       val exactRemoved = totalParas - distinctParas
 
-      val subOcc = Dedup.paragraphOccurrences(
-        paraDocs.where(col("doc_id") < 60), "doc_id", "text")
-      val subParas = subOcc.select(
-        (shiftleft(col("graft_id").cast(LongType), 20) + col("graft_pos"))
-          .as("pid"),
-        col("graft_para").as("text"))
-      val sigs = Dedup.textSignatures(subParas, "pid", "text").persist()
+      // audit subset = the SHARED signature frame filtered by packed id
+      val sigs = sigsFull.where(col("graft_id") < (60L << 20))
       val exact = Dedup.exactJaccardPairsFromSignatures(sigs, threshold = 0.5)
         .withColumn("graft_ident", when(col("jaccard") >= 1.0, 1L))
         .select(col("id_a"), col("id_b"), lit(1L).as("graft_e"),
@@ -3643,7 +3644,8 @@ object SparkEntry {
         sum(when(col("graft_mh").isNotNull, 1L).otherwise(0L)).as("mh_found"),
         sum(when(col("graft_ident").isNotNull && col("graft_mh").isNotNull,
           1L).otherwise(0L)).as("ident_found")).collect().head
-      sigs.unpersist(blocking = false)
+      sigsFull.unpersist(blocking = false)
+      occ.unpersist(blocking = false)
       def longAt(i: Int): Long = if (a.isNullAt(i)) 0L else a.getLong(i)
       val (nExact, nIdent, mhFound, identFound) =
         (longAt(0), longAt(1), longAt(2), longAt(3))
@@ -6485,6 +6487,116 @@ object SparkEntry {
       m1.unpersist(blocking = false)
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
+    }),
+
+    // q160: STREAMING manifest maintenance — q159's streaming twin,
+    // completing the "every persisted-state family has a streaming
+    // twin" claim for the newest family. The manifest triple is a
+    // per-shard commutative monoid (Long sums + XOR), so per-micro-batch
+    // manifests staged by a REAL Structured Streaming query fold at read
+    // to the one-shot whole-release manifest EXACTLY; compaction
+    // preserves it byte-for-byte; and the next release's diff runs
+    // manifest-vs-manifest without rescanning either corpus. Every pin
+    // is an exact integer (counts, id sums, XOR'd 60-bit md5
+    // fingerprints) the oracle replays.
+    "q160_streaming_manifest" -> ((s, dir) => {
+      import graft.pipeline.DatasetManifest
+      import graft.streaming.StreamingOps
+      val base = table(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q160").toString
+      try {
+      (0 until 4).foreach { p =>
+        base.where(pmod(col("doc_id"), lit(4)) === p)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      }
+      val ingest = new StreamingOps.SketchStateIngest(s"$tmp/m",
+        b => DatasetManifest.build(b, "doc_id", Seq("source", "text"),
+          shards = 16),
+        parts => DatasetManifest.foldManifests(parts))
+      val query = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch(ingest.asForeachBatch()).start()
+      try query.processAllAvailable() finally query.stop()
+      val oneShot = DatasetManifest.build(
+        base, "doc_id", Seq("source", "text"), shards = 16).persist()
+      val streamed = ingest.state(s).persist()
+      val streamedOk = DatasetManifest.diff(streamed, oneShot).isEmpty
+      ingest.compact(s)
+      val compactedOk =
+        DatasetManifest.diff(ingest.state(s), oneShot).isEmpty
+      // release N+1 drops a doc class; the audit is manifest-vs-manifest
+      val rel2 = base.where(pmod(col("doc_id"), lit(7)) =!= 3)
+      val m2 = DatasetManifest.build(
+        rel2, "doc_id", Seq("source", "text"), shards = 16)
+      val d = DatasetManifest.diff(streamed, m2)
+        .select(col("shard"), col("status"))
+      val out = streamed.join(d, Seq("shard"), "left_outer")
+        .select(col("shard"), col("n_rows"), col("id_sum"),
+          col("content_fp"),
+          coalesce(col("status"), lit("ok")).as("status"),
+          lit(if (streamedOk) 1.0 else 0.0).as("streamed_eq_oneshot"),
+          lit(if (compactedOk) 1.0 else 0.0).as("compacted_eq_oneshot"))
+        .orderBy(col("shard"))
+      val materialized = out.collect()
+      streamed.unpersist(blocking = false)
+      oneShot.unpersist(blocking = false)
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
+    }),
+
+    // q161: dataset-release parity on the CONSTRAINT surface — the
+    // ManifestParity analyzer (Check.hasManifestParity + the DQDL
+    // ManifestParity rule) over two manifests joined on the shard key:
+    // the self-join proves parity 1.0 and the check passes; the q159
+    // tamper set (drop/mutate/null/duplicate — four distinct shards)
+    // yields exactly 12/16 parity, the strict rule fails, a 0.5-floor
+    // rule passes. Parity fractions are exact (n/16 is binary-exact).
+    "q161_manifest_parity" -> ((s, dir) => {
+      import graft.pipeline.DatasetManifest
+      import graft.checks.{Check, CheckLevel, CheckStatus, VerificationSuite}
+      import graft.operators.ManifestParity
+      val base = table(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"))
+      val m1 = DatasetManifest.build(
+        base, "doc_id", Seq("source", "text"), shards = 16).persist()
+      val tampered = base
+        .where(col("doc_id") =!= 20)
+        .withColumn("text",
+          when(col("doc_id") === 7, concat(col("text"), lit("X")))
+            .when(col("doc_id") === 41, lit(null: String))
+            .otherwise(col("text")))
+        .unionByName(base.where(col("doc_id") === 33))
+      val m2 = DatasetManifest.build(
+        tampered, "doc_id", Seq("source", "text"), shards = 16)
+      val selfJ = DatasetManifest.joined(m1, m1)
+      val tampJ = DatasetManifest.joined(m1, m2).persist()
+      val paritySelf = ManifestParity().calculate(selfJ).value.get
+      val parityTamp = ManifestParity().calculate(tampJ).value.get
+      val passStatus = VerificationSuite().onData(selfJ)
+        .addCheck(Check(CheckLevel.Error, "release parity")
+          .hasManifestParity()).run().status
+      val failStatus = VerificationSuite().onData(tampJ)
+        .addCheck(Check(CheckLevel.Error, "release parity")
+          .hasManifestParity()).run().status
+      val dqdl = graft.dqdl.EvaluateDataQuality.process(tampJ,
+        """Rules = [ ManifestParity "a" "b" >= 1.0, ManifestParity "a" "b" >= 0.5 ]""")
+        .persist()
+      val dqdlFail = dqdl.where(col("outcome") === "Failed").count()
+      val dqdlPass = dqdl.where(col("outcome") === "Passed").count()
+      dqdl.unpersist(blocking = false)
+      tampJ.unpersist(blocking = false)
+      m1.unpersist(blocking = false)
+      metricRow(s, Seq(
+        "parity_self" -> paritySelf,
+        "parity_tampered" -> parityTamp,
+        "self_check_pass" -> flag(passStatus == CheckStatus.Success),
+        "tampered_check_fails" -> flag(failStatus == CheckStatus.Error),
+        "dqdl_strict_fails" -> flag(dqdlFail == 1L),
+        "dqdl_floor_passes" -> flag(dqdlPass == 1L)))
     })
   )
 
@@ -12177,6 +12289,103 @@ object SparkEntry {
         |  coalesce(df.status, 'ok') AS status,
         |  1.0::DOUBLE AS self_diff_empty
         |FROM m1 LEFT JOIN df ON m1.shard = df.shard AND df.status IS NOT NULL
-        |ORDER BY m1.shard""".stripMargin
+        |ORDER BY m1.shard""".stripMargin,
+
+    // q160: the streamed-and-folded manifest equals the one-shot replay
+    // (monoid law — asserted in-engine via the two equality flags and
+    // pinned here by replaying the one-shot triple); release N+1's diff
+    // statuses replay from the same md5/XOR integer arithmetic.
+    "q160_streaming_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |), enc1 AS (
+        |  SELECT doc_id % 16 AS shard, doc_id,
+        |    CAST(('0x' || substr(md5(concat_ws(chr(31),
+        |      CAST(doc_id AS VARCHAR),
+        |      coalesce(CAST(source AS VARCHAR), chr(1) || 'NULL'),
+        |      coalesce(text, chr(1) || 'NULL'))), 1, 15)) AS BIGINT) AS fp
+        |  FROM d
+        |), m1 AS (
+        |  SELECT shard, count(*) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    bit_xor(fp) AS content_fp
+        |  FROM enc1 GROUP BY shard
+        |), m2 AS (
+        |  SELECT shard, count(*) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    bit_xor(fp) AS content_fp
+        |  FROM enc1 WHERE doc_id % 7 <> 3 GROUP BY shard
+        |), df AS (
+        |  SELECT coalesce(m1.shard, m2.shard) AS shard,
+        |    CASE WHEN m2.shard IS NULL THEN 'removed'
+        |         WHEN m1.shard IS NULL THEN 'added'
+        |         WHEN m1.n_rows IS DISTINCT FROM m2.n_rows
+        |           OR m1.id_sum IS DISTINCT FROM m2.id_sum
+        |           OR m1.content_fp IS DISTINCT FROM m2.content_fp
+        |           THEN 'changed' END AS status
+        |  FROM m1 FULL JOIN m2 ON m1.shard = m2.shard
+        |)
+        |SELECT m1.shard, m1.n_rows, m1.id_sum, m1.content_fp,
+        |  coalesce(df.status, 'ok') AS status,
+        |  1.0::DOUBLE AS streamed_eq_oneshot,
+        |  1.0::DOUBLE AS compacted_eq_oneshot
+        |FROM m1 LEFT JOIN df ON m1.shard = df.shard AND df.status IS NOT NULL
+        |ORDER BY m1.shard""".stripMargin,
+
+    // q161: the parity fraction replays as exact integer counting over
+    // the same md5/XOR census (n/16 is binary-exact in double); check
+    // and DQDL outcomes asserted via flags.
+    "q161_manifest_parity" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |), enc1 AS (
+        |  SELECT doc_id % 16 AS shard, doc_id,
+        |    CAST(('0x' || substr(md5(concat_ws(chr(31),
+        |      CAST(doc_id AS VARCHAR),
+        |      coalesce(CAST(source AS VARCHAR), chr(1) || 'NULL'),
+        |      coalesce(text, chr(1) || 'NULL'))), 1, 15)) AS BIGINT) AS fp
+        |  FROM d
+        |), m1 AS (
+        |  SELECT shard, count(*) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    bit_xor(fp) AS content_fp
+        |  FROM enc1 GROUP BY shard
+        |), t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id = 7 THEN text || 'X'
+        |         WHEN doc_id = 41 THEN NULL
+        |         ELSE text END AS text
+        |  FROM d WHERE doc_id <> 20
+        |  UNION ALL
+        |  SELECT doc_id, source, text FROM d WHERE doc_id = 33
+        |), enc2 AS (
+        |  SELECT doc_id % 16 AS shard, doc_id,
+        |    CAST(('0x' || substr(md5(concat_ws(chr(31),
+        |      CAST(doc_id AS VARCHAR),
+        |      coalesce(CAST(source AS VARCHAR), chr(1) || 'NULL'),
+        |      coalesce(text, chr(1) || 'NULL'))), 1, 15)) AS BIGINT) AS fp
+        |  FROM t
+        |), m2 AS (
+        |  SELECT shard, count(*) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    bit_xor(fp) AS content_fp
+        |  FROM enc2 GROUP BY shard
+        |), j AS (
+        |  SELECT coalesce(m1.shard, m2.shard) AS shard,
+        |    CASE WHEN m1.shard IS NOT NULL AND m2.shard IS NOT NULL
+        |          AND m1.n_rows IS NOT DISTINCT FROM m2.n_rows
+        |          AND m1.id_sum IS NOT DISTINCT FROM m2.id_sum
+        |          AND m1.content_fp IS NOT DISTINCT FROM m2.content_fp
+        |         THEN 1 ELSE 0 END AS ok
+        |  FROM m1 FULL JOIN m2 ON m1.shard = m2.shard
+        |)
+        |SELECT 1.0::DOUBLE AS parity_self,
+        |  (SELECT sum(ok)::DOUBLE / count(*) FROM j) AS parity_tampered,
+        |  1.0::DOUBLE AS self_check_pass,
+        |  1.0::DOUBLE AS tampered_check_fails,
+        |  1.0::DOUBLE AS dqdl_strict_fails,
+        |  1.0::DOUBLE AS dqdl_floor_passes""".stripMargin
   )
 }

@@ -306,6 +306,18 @@ case class Check(
     addConstraint(Constraint("DistinctCountRatioConstraint",
       DistinctCountRatio(hllA, hllB), assertion, hint = hint))
 
+  /** Dataset-release parity from two manifests joined on the shard key
+    * ([[graft.pipeline.DatasetManifest.joined]]): asserts on the
+    * fraction of shards whose (n_rows, id_sum, content_fp) census
+    * matches exactly — 1.0 (the default assertion) is the
+    * release-parity proof, a floor tolerates a bounded drift surface.
+    */
+  def hasManifestParity(sideA: String = "a", sideB: String = "b",
+      assertion: Double => Boolean = isOne,
+      hint: Option[String] = None): Check =
+    addConstraint(Constraint("ManifestParityConstraint",
+      ManifestParity(sideA, sideB), assertion, hint = hint))
+
   // -- compliance -----------------------------------------------------------
 
   def satisfies(columnCondition: String, constraintName: String,

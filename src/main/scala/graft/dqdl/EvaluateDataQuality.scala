@@ -270,6 +270,8 @@ object EvaluateDataQuality {
         rejectWhere(); QuantileShift(param(0), param(1), parseQuantile(param(2)))
       case "distinctcountratio" =>
         rejectWhere(); DistinctCountRatio(param(0), param(1))
+      case "manifestparity" =>
+        rejectWhere(); ManifestParity(param(0), param(1))
       case other =>
         throw new DqdlTranslationException(s"Unknown analyzer type '$other'")
     }
@@ -416,6 +418,12 @@ object EvaluateDataQuality {
       case "distinctcountratio" =>
         rejectWhere()
         constraintN("DistinctCountRatio", DistinctCountRatio(param(0), param(1)))
+      // dataset-release parity: the checked frame is two manifests
+      // FULL OUTER joined on the shard key (DatasetManifest.joined);
+      // the rule value is the exact-parity shard fraction
+      case "manifestparity" =>
+        rejectWhere()
+        constraintN("ManifestParity", ManifestParity(param(0), param(1)))
       // the whole drift-alarm loop as ONE rule: the ItemFrequencyDrift
       // metric's full repository history (oldest first) plus the value
       // computed on the data at hand, judged change-by-change — the rule

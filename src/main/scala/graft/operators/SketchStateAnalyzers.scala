@@ -308,3 +308,50 @@ case class SnapshotOverlap(sketchA: String, sketchB: String)
       result.getAs[Array[Byte]](offset),
       result.getAs[Array[Byte]](offset + 1)))
 }
+
+/** Mergeable release-parity census: shards in exact parity vs all shards
+  * seen (Long pair — a true monoid).
+  */
+case class ManifestParityState(matched: Long, total: Long)
+    extends DoubleValuedState[ManifestParityState] {
+  override def merge(other: ManifestParityState): ManifestParityState =
+    ManifestParityState(matched + other.matched, total + other.total)
+  // two empty manifests ARE in parity — 1.0, not a masked 0/0
+  override def metricValue(): Double =
+    if (total == 0L) 1.0 else matched.toDouble / total
+}
+
+/** Dataset-release parity on the constraint surface: the analyzed frame
+  * is two manifests FULL OUTER joined on the shard key
+  * ([[graft.pipeline.DatasetManifest.joined]] — `n_rows_<side>`,
+  * `id_sum_<side>`, `content_fp_<side>` per side), and the metric is the
+  * fraction of shards whose whole census triple matches EXACTLY (a shard
+  * present on only one side is a mismatch). 1.0 ⟺ the release-parity
+  * proof ([[graft.pipeline.DatasetManifest.diff]] empty); assert `isOne`
+  * via `Check.hasManifestParity` to gate a ship on byte-census identity,
+  * or a floor (e.g. >= 0.95) to tolerate a bounded drift surface. KB-in:
+  * the manifests are per-shard fingerprints, the corpus is never read.
+  */
+case class ManifestParity(sideA: String = "a", sideB: String = "b")
+    extends StandardScanShareableAnalyzer[ManifestParityState](
+      "ManifestParity", s"$sideA,$sideB", Entity.Multicolumn) {
+
+  private def sideCols(s: String): Seq[String] =
+    Seq(s"n_rows_$s", s"id_sum_$s", s"content_fp_$s")
+
+  override def preconditions: Seq[StructType => Unit] =
+    (sideCols(sideA) ++ sideCols(sideB)).map(hasColumn).toList
+
+  override def aggregationFunctions(): Seq[Column] = {
+    val eq = sideCols(sideA).zip(sideCols(sideB)).map { case (ca, cb) =>
+      col(ca).isNotNull && col(cb).isNotNull && (col(ca) <=> col(cb))
+    }.reduce(_ && _)
+    Seq(sum(when(eq, 1L).otherwise(0L)), count(lit(1)))
+  }
+
+  override def fromAggregationResult(result: Row, offset: Int): Option[ManifestParityState] =
+    if (result.isNullAt(offset + 1)) None
+    else Some(ManifestParityState(
+      if (result.isNullAt(offset)) 0L else result.getLong(offset),
+      result.getLong(offset + 1)))
+}

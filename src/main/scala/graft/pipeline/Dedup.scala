@@ -1524,6 +1524,58 @@ object Dedup {
     reassembleSurvivors(df, idCol, occ, survivors, joinSep)
   }
 
+  /** The packed per-paragraph signature frame [[nearDupParagraphs]]
+    * computes internally, as a caller-owned shareable artifact:
+    * (graft_id = id·2^posBits + pos, graft_hs shingle-hash set,
+    * graft_sig minhash). Build it ONCE from [[paragraphOccurrences]],
+    * persist it, and feed BOTH the engine pass
+    * ([[nearDupParagraphsFromSignatures]]) and any exact-Jaccard audit
+    * ([[exactJaccardPairsFromSignatures]] /
+    * [[nearDuplicatePairsFromSignatures]] on a filtered subset) — the
+    * tokenize+hash scan over the paragraph text is the dominant cost and
+    * this pays it once instead of per consumer.
+    */
+  def paragraphSignatureFrame(
+      occ: DataFrame,
+      numHashes: Int = 64,
+      shingleSize: Int = 3,
+      posBits: Int = 20): DataFrame = {
+    val paras = packedParagraphs(occ, posBits, "paragraphSignatureFrame")
+      .select(col("graft_pid"), col("graft_para"))
+    signatureFrame(paras, "graft_pid", "graft_para", numHashes, shingleSize)
+  }
+
+  /** [[nearDupParagraphs]] over a precomputed occurrence frame
+    * ([[paragraphOccurrences]]) and signature frame
+    * ([[paragraphSignatureFrame]]) — caller-owned persistence, shared
+    * text scan. Same output contract and survivor election as
+    * [[nearDupParagraphs]]; `occ`/`sigs` must come from the same
+    * `df`/`posBits`/`shingleSize`.
+    */
+  def nearDupParagraphsFromSignatures(
+      df: DataFrame,
+      idCol: String,
+      occ: DataFrame,
+      sigs: DataFrame,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000,
+      joinSep: String = "\n",
+      posBits: Int = 20): DataFrame = {
+    requireParagraphId(df, idCol, posBits, "nearDupParagraphsFromSignatures")
+    val paras = packedParagraphs(occ, posBits, "nearDupParagraphsFromSignatures")
+    val pairs = nearDuplicatePairsFromSignatures(
+      sigs, threshold, numHashes, bands, maxBucketSize)
+    val clustered = clustersFromPairs(paras, "graft_pid", pairs)
+    val survivors = clustered
+      .where(col("cluster") === col("graft_pid"))
+      .select(col("graft_id").as("graft_id"),
+        col("graft_pos").as("graft_pos"),
+        col("graft_para").as("graft_para"))
+    reassembleSurvivors(df, idCol, occ, survivors, joinSep)
+  }
+
   private def requireParagraphId(
       df: DataFrame, idCol: String, posBits: Int, fn: String): Unit = {
     require(posBits >= 1 && posBits <= 40, s"posBits out of range: $posBits")

@@ -23,8 +23,8 @@ import org.apache.spark.sql.types.LongType
   *    shards' triples.
   *
   * Row fingerprint: the first 15 hex digits (60 bits) of
-  * `md5(id <US> canon(col1) <US> canon(col2) ...)` where `canon` is
-  * cast-to-string with an explicit -prefixed null sentinel (a
+  * `md5(id <U+001F> canon(col1) <U+001F> canon(col2) ...)` where `canon` is
+  * cast-to-string with an explicit U+0001-prefixed null sentinel ("\u0001NULL" — a
   * NULL must not collide with the empty string — both engines'
   * concat_ws would otherwise silently skip it).
   *
@@ -36,14 +36,14 @@ import org.apache.spark.sql.types.LongType
 object DatasetManifest {
 
   private def canon(c: Column): Column =
-    coalesce(c.cast("string"), lit("NULL"))
+    coalesce(c.cast("string"), lit("\u0001NULL"))
 
   /** Per-row 60-bit fingerprint of (id, contentCols...) — cross-engine
     * reproducible (DuckDB: `CAST('0x' || substr(md5(...), 1, 15) AS
     * BIGINT)` of the identical canonical encoding).
     */
   def rowFingerprint(idCol: Column, contentCols: Seq[Column]): Column =
-    conv(substring(md5(concat_ws("",
+    conv(substring(md5(concat_ws("\u001f",
       (canon(idCol) +: contentCols.map(canon)): _*).cast("binary")), 1, 15),
       16, 10).cast(LongType)
 
@@ -67,18 +67,52 @@ object DatasetManifest {
           .as("content_fp"))
   }
 
+  /** The manifest triple is a per-shard COMMUTATIVE MONOID (Long sums +
+    * XOR — no float, no order sensitivity, no overflow in the fp lane),
+    * so per-batch manifests fold to the whole-dataset manifest exactly:
+    * every row lands in exactly one batch, sums add, and the per-row
+    * fingerprints XOR together regardless of which batch carried them.
+    * This is what makes the manifest family streamable
+    * ([[graft.streaming.StreamingOps.SketchStateIngest]] with
+    * `build(batch, ...)` as the batch state and this fold at read):
+    * release N+1's manifest accretes from micro-batch manifests while
+    * the release ships, the corpus never rescanned.
+    */
+  def foldManifests(parts: DataFrame): DataFrame =
+    parts.groupBy(col("shard"))
+      .agg(
+        sum(col("n_rows")).cast(LongType).as("n_rows"),
+        sum(col("id_sum")).cast(LongType).as("id_sum"),
+        bit_xor(col("content_fp")).as("content_fp"))
+
+  /** Monoid merge of two manifests (a persisted release-so-far and a new
+    * batch's manifest) — [[foldManifests]] over the union.
+    */
+  def mergeManifests(a: DataFrame, b: DataFrame): DataFrame =
+    foldManifests(a.unionByName(b))
+
+  /** Two manifests FULL OUTER joined on the shard key with `_a`/`_b`
+    * suffixed census columns — the input shape of [[diff]] and of the
+    * [[graft.operators.ManifestParity]] analyzer
+    * (`Check.hasManifestParity`), which puts release parity on the
+    * constraint surface.
+    */
+  def joined(a: DataFrame, b: DataFrame): DataFrame = {
+    val la = a.select(col("shard"), col("n_rows").as("n_rows_a"),
+      col("id_sum").as("id_sum_a"), col("content_fp").as("content_fp_a"))
+    val lb = b.select(col("shard"), col("n_rows").as("n_rows_b"),
+      col("id_sum").as("id_sum_b"), col("content_fp").as("content_fp_b"))
+    la.join(lb, Seq("shard"), "full_outer")
+  }
+
   /** Shards that drifted between two manifests: FULL OUTER on the shard
     * key (a shard present on one side IS drift), one row per differing
     * shard with a status — `added` (only in `b`), `removed` (only in
     * `a`), `changed` (any of the triple differs). Matching shards are
     * absent from the output: an empty diff IS the release-parity proof.
     */
-  def diff(a: DataFrame, b: DataFrame): DataFrame = {
-    val la = a.select(col("shard"), col("n_rows").as("n_rows_a"),
-      col("id_sum").as("id_sum_a"), col("content_fp").as("content_fp_a"))
-    val lb = b.select(col("shard"), col("n_rows").as("n_rows_b"),
-      col("id_sum").as("id_sum_b"), col("content_fp").as("content_fp_b"))
-    la.join(lb, Seq("shard"), "full_outer")
+  def diff(a: DataFrame, b: DataFrame): DataFrame =
+    joined(a, b)
       .withColumn("status",
         when(col("n_rows_b").isNull, "removed")
           .when(col("n_rows_a").isNull, "added")
@@ -86,7 +120,6 @@ object DatasetManifest {
             !(col("id_sum_a") <=> col("id_sum_b")) ||
             !(col("content_fp_a") <=> col("content_fp_b")), "changed"))
       .where(col("status").isNotNull)
-  }
 
   def writeManifest(manifest: DataFrame, path: String): Unit =
     manifest.write.mode("overwrite").parquet(path)
