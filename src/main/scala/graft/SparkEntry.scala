@@ -6597,6 +6597,50 @@ object SparkEntry {
         "tampered_check_fails" -> flag(failStatus == CheckStatus.Error),
         "dqdl_strict_fails" -> flag(dqdlFail == 1L),
         "dqdl_floor_passes" -> flag(dqdlPass == 1L)))
+    }),
+
+    // q162: the full release-audit LOOP at row granularity — the diff
+    // names drifted shards from KB-sized manifests (q159), then
+    // DatasetManifest.drillDown scans ONLY those shards of the two
+    // releases and names the exact rows that differ (the 100-TB story:
+    // matching shards' bytes are never re-read; the shard predicate
+    // prunes them at the scan). The q159 tamper set resolves to its four
+    // row-level verdicts — doc 20 removed, docs 7/41 changed (mutation /
+    // nulled text), doc 33 changed (duplicated occurrence) — and a
+    // completeness flag pins drilldown-over-named-shards ==
+    // drilldown-over-all-shards (nothing outside the named shards
+    // drifted, by the manifest's own construction).
+    "q162_manifest_drilldown" -> ((s, dir) => {
+      import graft.pipeline.DatasetManifest
+      val base = table(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"))
+      val tampered = base
+        .where(col("doc_id") =!= 20)
+        .withColumn("text",
+          when(col("doc_id") === 7, concat(col("text"), lit("X")))
+            .when(col("doc_id") === 41, lit(null: String))
+            .otherwise(col("text")))
+        .unionByName(base.where(col("doc_id") === 33))
+      val m1 = DatasetManifest.build(
+        base, "doc_id", Seq("source", "text"), shards = 16)
+      val m2 = DatasetManifest.build(
+        tampered, "doc_id", Seq("source", "text"), shards = 16)
+      val drifted = DatasetManifest.diff(m1, m2)
+        .select(col("shard")).collect().map(_.getLong(0)).toSeq
+      val named = DatasetManifest.drillDown(base, tampered,
+        "doc_id", Seq("source", "text"), 16, drifted).persist()
+      val everywhere = DatasetManifest.drillDown(base, tampered,
+        "doc_id", Seq("source", "text"), 16, 0L until 16L)
+      val completeOk = named.exceptAll(everywhere).isEmpty &&
+        everywhere.exceptAll(named).isEmpty
+      val out = named
+        .select(col("id"), col("status"),
+          lit(if (completeOk) 1.0 else 0.0).as("complete_ok"))
+        .orderBy(col("id"))
+      val materialized = out.collect()
+      named.unpersist(blocking = false)
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
     })
   )
 
@@ -12386,6 +12430,70 @@ object SparkEntry {
         |  1.0::DOUBLE AS self_check_pass,
         |  1.0::DOUBLE AS tampered_check_fails,
         |  1.0::DOUBLE AS dqdl_strict_fails,
-        |  1.0::DOUBLE AS dqdl_floor_passes""".stripMargin
+        |  1.0::DOUBLE AS dqdl_floor_passes""".stripMargin,
+
+    // q162: the drifted-shard set and the per-id row census replay from
+    // the same md5/XOR integer arithmetic; completeness asserted as a
+    // flag (both engines restrict the row scan to the named shards).
+    "q162_manifest_drilldown" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |), enc1 AS (
+        |  SELECT doc_id % 16 AS shard, doc_id,
+        |    CAST(('0x' || substr(md5(concat_ws(chr(31),
+        |      CAST(doc_id AS VARCHAR),
+        |      coalesce(CAST(source AS VARCHAR), chr(1) || 'NULL'),
+        |      coalesce(text, chr(1) || 'NULL'))), 1, 15)) AS BIGINT) AS fp
+        |  FROM d
+        |), m1 AS (
+        |  SELECT shard, count(*) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    bit_xor(fp) AS content_fp
+        |  FROM enc1 GROUP BY shard
+        |), t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id = 7 THEN text || 'X'
+        |         WHEN doc_id = 41 THEN NULL
+        |         ELSE text END AS text
+        |  FROM d WHERE doc_id <> 20
+        |  UNION ALL
+        |  SELECT doc_id, source, text FROM d WHERE doc_id = 33
+        |), enc2 AS (
+        |  SELECT doc_id % 16 AS shard, doc_id,
+        |    CAST(('0x' || substr(md5(concat_ws(chr(31),
+        |      CAST(doc_id AS VARCHAR),
+        |      coalesce(CAST(source AS VARCHAR), chr(1) || 'NULL'),
+        |      coalesce(text, chr(1) || 'NULL'))), 1, 15)) AS BIGINT) AS fp
+        |  FROM t
+        |), m2 AS (
+        |  SELECT shard, count(*) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    bit_xor(fp) AS content_fp
+        |  FROM enc2 GROUP BY shard
+        |), sh AS (
+        |  SELECT coalesce(m1.shard, m2.shard) AS shard
+        |  FROM m1 FULL JOIN m2 ON m1.shard = m2.shard
+        |  WHERE m1.shard IS NULL OR m2.shard IS NULL
+        |    OR m1.n_rows IS DISTINCT FROM m2.n_rows
+        |    OR m1.id_sum IS DISTINCT FROM m2.id_sum
+        |    OR m1.content_fp IS DISTINCT FROM m2.content_fp
+        |), ra AS (
+        |  SELECT doc_id AS id, count(*) AS n_a, bit_xor(fp) AS fp_a
+        |  FROM enc1 WHERE shard IN (SELECT shard FROM sh) GROUP BY doc_id
+        |), rb AS (
+        |  SELECT doc_id AS id, count(*) AS n_b, bit_xor(fp) AS fp_b
+        |  FROM enc2 WHERE shard IN (SELECT shard FROM sh) GROUP BY doc_id
+        |)
+        |SELECT coalesce(ra.id, rb.id) AS id,
+        |  CASE WHEN rb.id IS NULL THEN 'removed'
+        |       WHEN ra.id IS NULL THEN 'added'
+        |       ELSE 'changed' END AS status,
+        |  1.0::DOUBLE AS complete_ok
+        |FROM ra FULL JOIN rb ON ra.id = rb.id
+        |WHERE ra.id IS NULL OR rb.id IS NULL
+        |  OR ra.n_a IS DISTINCT FROM rb.n_b
+        |  OR ra.fp_a IS DISTINCT FROM rb.fp_b
+        |ORDER BY id""".stripMargin
   )
 }

@@ -74,6 +74,32 @@ class R17FeaturesSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "DatasetManifest.drillDown" should {
+    "name the differing rows inside the drifted shards only" in {
+      // shard layout at shards=4: id%4. Tamper: mutate id 2 (shard 2),
+      // drop id 3 (shard 3), duplicate id 4 (shard 0) -> shard 1 clean
+      val tampered = base
+        .where(col("id") =!= 3)
+        .withColumn("text",
+          when(col("id") === 2, lit("GAMMA")).otherwise(col("text")))
+        .unionByName(base.where(col("id") === 4))
+      val drifted = DatasetManifest.diff(
+        DatasetManifest.build(base, "id", Seq("src", "text"), 4),
+        DatasetManifest.build(tampered, "id", Seq("src", "text"), 4))
+        .select(col("shard")).collect().map(_.getLong(0)).toSeq
+      drifted.sorted shouldBe Seq(0L, 2L, 3L)
+      val rows = DatasetManifest.drillDown(
+          base, tampered, "id", Seq("src", "text"), 4, drifted)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      rows shouldBe Set(
+        (2L, "changed"), (3L, "removed"), (4L, "changed"))
+      // an empty drifted-shard list scans nothing and names nothing
+      DatasetManifest.drillDown(
+        base, tampered, "id", Seq("src", "text"), 4, Seq.empty)
+        .isEmpty shouldBe true
+    }
+  }
+
   "hasManifestParity / DQDL ManifestParity" should {
     "gate a release on census identity" in {
       val m1 = DatasetManifest.build(base, "id", Seq("src", "text"), 4)
