@@ -540,14 +540,20 @@ object Clustering {
     require(model.centroids.nonEmpty, "assignQuantized needs >= 1 centroid")
     val dim = model.centroids.head.length
     val valid = col(vecCol).isNotNull && size(col(vecCol)) === dim
-    val vq = quantizeVec(col(vecCol), model.scale)
+    // quantize into a NAMED column so the k per-cell score folds and the
+    // norm fold reference one computed array instead of re-inlining the
+    // quantization transform per use (the q103 expression-shape lesson)
+    val vqCol = "graft_vq_assign"
+    val vq = col(vqCol)
     val best = array_max(quantCellScores(vq, model.centroids, model.m))
     val n2v = aggregate(
       zip_with(vq, vq, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-    df.withColumn("cell", when(valid, best.getField("cell")))
+    df.withColumn(vqCol, when(valid, quantizeVec(col(vecCol), model.scale)))
+      .withColumn("cell", when(valid, best.getField("cell")))
       .withColumn("dist2num",
         when(valid,
           lit(model.m * model.m) * n2v - best.getField("s")))
+      .drop(vqCol)
   }
 
   // -- incremental QUANTIZED cell state: the exact-integer twin of the
