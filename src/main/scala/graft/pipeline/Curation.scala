@@ -200,16 +200,20 @@ object Curation {
 
     stages.foreach {
       case RemoveBoilerplate(groupCol, maxDocFrac, minDocs) =>
+        // drop the census column BEFORE the persist: the cache is the
+        // pipeline's one full-text copy and every later stage scans it —
+        // the observation only needs the column inside its own plan
         val cleaned = observed("boiler_removed_lines",
             TextAnalysis.removeBoilerplateLines(
               frame, idCol, textCol, groupCol, maxDocFrac, minDocs),
             coalesce(sum(col("removed_lines")), lit(0L)))
+          .drop("removed_lines")
           .persist(StorageLevel.MEMORY_AND_DISK)
         caches += cleaned
         tfBase = null; tfAtKept = null
         // the rebuild consumed the RESTRICTED frame, so the new epoch
         // base already embeds every prior survivor set
-        epochBase = cleaned.drop("removed_lines")
+        epochBase = cleaned
         latestKept = null
 
       case MapText(_, expr) =>

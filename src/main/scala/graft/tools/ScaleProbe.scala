@@ -1049,6 +1049,21 @@ object ScaleProbe {
         d.select(col("doc_id"), lit("g").as("grp"), col("text")),
         "doc_id", "grp", k = 8).count()
 
+    def manifestBuildProbe(d: DataFrame): Long =
+      graft.pipeline.DatasetManifest
+        .build(d, "doc_id", Seq("text"), shards = 64).count()
+
+    // a sparse tamper (one of 64 shards, every 5th row in it mutated):
+    // the drill-down names the rows of THAT shard only
+    def manifestDrillProbe(d: DataFrame): Long = {
+      val t = d.withColumn("text",
+        when(pmod(col("doc_id"), lit(64)) === 7 &&
+          pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit("X"))).otherwise(col("text")))
+      graft.pipeline.DatasetManifest
+        .drillDown(d, t, "doc_id", Seq("text"), 64, Seq(7L)).count()
+    }
+
     val resultsRelational = Seq(
       ("asof_join", timed(asofProbe(ev0)), timed(asofProbe(evX))),
       ("range_join", timed(rangeProbe(ev0)), timed(rangeProbe(evX))),
@@ -1097,7 +1112,16 @@ object ScaleProbe {
       ("bottomk_sample",
         timed(bottomkProbe(docs0)), timed(bottomkProbe(docsX))),
       ("group_holdout_hot",
-        timed(groupHoldoutHot(docs0)), timed(groupHoldoutHot(docsX))))
+        timed(groupHoldoutHot(docs0)), timed(groupHoldoutHot(docsX))),
+      // r17: the manifest family — build is ONE map-side-combinable pass
+      // (cost tracks the scan, output stays 64 slim rows at any scale);
+      // drill-down's join/shuffle work tracks only the DRIFTED shard's
+      // rows (the scan is linear here because pmod isn't a parquet
+      // partition key — with shard-partitioned layout it prunes too)
+      ("manifest_build",
+        timed(manifestBuildProbe(docs0)), timed(manifestBuildProbe(docsX))),
+      ("manifest_drilldown",
+        timed(manifestDrillProbe(docs0)), timed(manifestDrillProbe(docsX))))
 
     val results = resultsHead ++ resultsTail ++ resultsRelational
     // the NB model's cached log-prob table is done after its rows
