@@ -6641,6 +6641,60 @@ object SparkEntry {
       named.unpersist(blocking = false)
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
+    }),
+
+    // q163: the release audit with PHYSICAL pruning — both releases ship
+    // shard-partitioned (DatasetManifest.writeSharded: path/shard=<s>/),
+    // so the row-level drill-down opens ONLY the drifted shards'
+    // directories (drillDownSharded reads explicit subdir paths — the
+    // deterministic pruning no optimizer has to prove; at 100 TB the
+    // matching shards' files are never listed or read). Pins: the q162
+    // row verdicts, a pruning audit (every input file of the pruned read
+    // lives under a drifted shard=<s>/ dir), and parity with the
+    // in-memory drillDown.
+    "q163_sharded_release_audit" -> ((s, dir) => {
+      import graft.pipeline.DatasetManifest
+      val base = table(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"))
+      val tampered = base
+        .where(col("doc_id") =!= 20)
+        .withColumn("text",
+          when(col("doc_id") === 7, concat(col("text"), lit("X")))
+            .when(col("doc_id") === 41, lit(null: String))
+            .otherwise(col("text")))
+        .unionByName(base.where(col("doc_id") === 33))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q163").toString
+      try {
+      DatasetManifest.writeSharded(base, s"$tmp/rel1", "doc_id", 16)
+      DatasetManifest.writeSharded(tampered, s"$tmp/rel2", "doc_id", 16)
+      val r1 = s.read.parquet(s"$tmp/rel1")
+      val r2 = s.read.parquet(s"$tmp/rel2")
+      val m1 = DatasetManifest.build(r1, "doc_id", Seq("source", "text"), 16)
+      val m2 = DatasetManifest.build(r2, "doc_id", Seq("source", "text"), 16)
+      val drifted = DatasetManifest.diff(m1, m2)
+        .select(col("shard")).collect().map(_.getLong(0)).toSeq
+      val named = DatasetManifest.drillDownSharded(s,
+        s"$tmp/rel1", s"$tmp/rel2", "doc_id", Seq("source", "text"),
+        drifted).persist()
+      val prunedFiles =
+        DatasetManifest.readShards(s, s"$tmp/rel1", drifted).inputFiles
+      val prunedOk = prunedFiles.nonEmpty && prunedFiles.forall(f =>
+        drifted.exists(sh => f.contains(s"shard=$sh/")))
+      val mem = DatasetManifest.drillDown(base, tampered,
+        "doc_id", Seq("source", "text"), 16, drifted)
+      val sameOk = named.exceptAll(mem).isEmpty &&
+        mem.exceptAll(named).isEmpty
+      val out = named
+        .select(col("id"), col("status"),
+          lit(if (prunedOk) 1.0 else 0.0).as("pruned_ok"),
+          lit(if (sameOk) 1.0 else 0.0).as("matches_unsharded"))
+        .orderBy(col("id"))
+      val materialized = out.collect()
+      named.unpersist(blocking = false)
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
     })
   )
 
@@ -12490,6 +12544,70 @@ object SparkEntry {
         |       WHEN ra.id IS NULL THEN 'added'
         |       ELSE 'changed' END AS status,
         |  1.0::DOUBLE AS complete_ok
+        |FROM ra FULL JOIN rb ON ra.id = rb.id
+        |WHERE ra.id IS NULL OR rb.id IS NULL
+        |  OR ra.n_a IS DISTINCT FROM rb.n_b
+        |  OR ra.fp_a IS DISTINCT FROM rb.fp_b
+        |ORDER BY id""".stripMargin,
+
+    // q163: identical row verdicts (the physical shard layout cannot
+    // change values); pruning and parity asserted as engine-side flags
+    "q163_sharded_release_audit" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |), enc1 AS (
+        |  SELECT doc_id % 16 AS shard, doc_id,
+        |    CAST(('0x' || substr(md5(concat_ws(chr(31),
+        |      CAST(doc_id AS VARCHAR),
+        |      coalesce(CAST(source AS VARCHAR), chr(1) || 'NULL'),
+        |      coalesce(text, chr(1) || 'NULL'))), 1, 15)) AS BIGINT) AS fp
+        |  FROM d
+        |), m1 AS (
+        |  SELECT shard, count(*) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    bit_xor(fp) AS content_fp
+        |  FROM enc1 GROUP BY shard
+        |), t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id = 7 THEN text || 'X'
+        |         WHEN doc_id = 41 THEN NULL
+        |         ELSE text END AS text
+        |  FROM d WHERE doc_id <> 20
+        |  UNION ALL
+        |  SELECT doc_id, source, text FROM d WHERE doc_id = 33
+        |), enc2 AS (
+        |  SELECT doc_id % 16 AS shard, doc_id,
+        |    CAST(('0x' || substr(md5(concat_ws(chr(31),
+        |      CAST(doc_id AS VARCHAR),
+        |      coalesce(CAST(source AS VARCHAR), chr(1) || 'NULL'),
+        |      coalesce(text, chr(1) || 'NULL'))), 1, 15)) AS BIGINT) AS fp
+        |  FROM t
+        |), m2 AS (
+        |  SELECT shard, count(*) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    bit_xor(fp) AS content_fp
+        |  FROM enc2 GROUP BY shard
+        |), sh AS (
+        |  SELECT coalesce(m1.shard, m2.shard) AS shard
+        |  FROM m1 FULL JOIN m2 ON m1.shard = m2.shard
+        |  WHERE m1.shard IS NULL OR m2.shard IS NULL
+        |    OR m1.n_rows IS DISTINCT FROM m2.n_rows
+        |    OR m1.id_sum IS DISTINCT FROM m2.id_sum
+        |    OR m1.content_fp IS DISTINCT FROM m2.content_fp
+        |), ra AS (
+        |  SELECT doc_id AS id, count(*) AS n_a, bit_xor(fp) AS fp_a
+        |  FROM enc1 WHERE shard IN (SELECT shard FROM sh) GROUP BY doc_id
+        |), rb AS (
+        |  SELECT doc_id AS id, count(*) AS n_b, bit_xor(fp) AS fp_b
+        |  FROM enc2 WHERE shard IN (SELECT shard FROM sh) GROUP BY doc_id
+        |)
+        |SELECT coalesce(ra.id, rb.id) AS id,
+        |  CASE WHEN rb.id IS NULL THEN 'removed'
+        |       WHEN ra.id IS NULL THEN 'added'
+        |       ELSE 'changed' END AS status,
+        |  1.0::DOUBLE AS pruned_ok,
+        |  1.0::DOUBLE AS matches_unsharded
         |FROM ra FULL JOIN rb ON ra.id = rb.id
         |WHERE ra.id IS NULL OR rb.id IS NULL
         |  OR ra.n_a IS DISTINCT FROM rb.n_b

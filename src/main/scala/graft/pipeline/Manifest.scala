@@ -142,16 +142,29 @@ object DatasetManifest {
       driftedShards: Seq[Long]): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     require(contentCols.nonEmpty, "drillDown needs at least one content column")
-    def side(df: DataFrame, suffix: String): DataFrame = {
+    def restrict(df: DataFrame): DataFrame = {
       val pred =
         if (driftedShards.isEmpty) lit(false)
         else pmod(col(idCol), lit(shards)).isin(driftedShards: _*)
       df.where(pred)
-        .groupBy(col(idCol).cast(LongType).as("id"))
+    }
+    rowCensusDiff(restrict(a), restrict(b), idCol, contentCols)
+  }
+
+  /** The per-id census diff shared by [[drillDown]] and
+    * [[drillDownSharded]]: (occurrences, fingerprint XOR) per id, FULL
+    * OUTER on id, one (id, status) row per differing id.
+    */
+  private def rowCensusDiff(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, suffix: String): DataFrame =
+      df.groupBy(col(idCol).cast(LongType).as("id"))
         .agg(count(lit(1)).as(s"n_$suffix"),
           bit_xor(rowFingerprint(col(idCol), contentCols.map(col)))
             .as(s"fp_$suffix"))
-    }
     side(a, "a").join(side(b, "b"), Seq("id"), "full_outer")
       .withColumn("status",
         when(col("n_b").isNull, "removed")
@@ -160,6 +173,60 @@ object DatasetManifest {
             !(col("fp_a") <=> col("fp_b")), "changed"))
       .where(col("status").isNotNull)
       .select(col("id"), col("status"))
+  }
+
+  /** Ship a release LAID OUT BY SHARD (`path/shard=<s>/…`, the manifest's
+    * own `pmod(id, shards)` key) so release audits are partition-pruned
+    * at the SOURCE: [[drillDownSharded]] opens only the drifted shards'
+    * directories — at 100 TB the matching shards' files are never
+    * listed, opened, or read, which is the physical guarantee the
+    * in-memory [[drillDown]]'s post-scan filter can only approximate.
+    */
+  def writeSharded(
+      df: DataFrame,
+      path: String,
+      idCol: String,
+      shards: Int = 64): Unit = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    df.withColumn("shard", pmod(col(idCol), lit(shards)))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+  }
+
+  /** Read ONLY the named shards of a [[writeSharded]] release — explicit
+    * subdirectory paths (the deterministic pruning no optimizer has to
+    * prove), with `basePath` so the shard partition column survives.
+    */
+  def readShards(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      shards: Seq[Long]): DataFrame = {
+    require(shards.nonEmpty, "readShards needs at least one shard")
+    spark.read.option("basePath", path)
+      .parquet(shards.map(s => s"$path/shard=$s"): _*)
+  }
+
+  /** [[drillDown]] over two [[writeSharded]] releases: the row-level
+    * audit touches ONLY the drifted shards' files on both sides.
+    */
+  def drillDownSharded(
+      spark: org.apache.spark.sql.SparkSession,
+      pathA: String,
+      pathB: String,
+      idCol: String,
+      contentCols: Seq[String],
+      driftedShards: Seq[Long]): DataFrame = {
+    require(contentCols.nonEmpty,
+      "drillDownSharded needs at least one content column")
+    if (driftedShards.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", LongType),
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.StringType))))
+    rowCensusDiff(
+      readShards(spark, pathA, driftedShards),
+      readShards(spark, pathB, driftedShards), idCol, contentCols)
   }
 
   def writeManifest(manifest: DataFrame, path: String): Unit =

@@ -100,6 +100,36 @@ class R17FeaturesSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "DatasetManifest sharded layout" should {
+    "prune the drill-down to the drifted shard directories" in {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-sharded").toString
+      try {
+        val tampered = base
+          .where(col("id") =!= 3)
+          .withColumn("text",
+            when(col("id") === 2, lit("GAMMA")).otherwise(col("text")))
+        DatasetManifest.writeSharded(base, s"$tmp/r1", "id", 4)
+        DatasetManifest.writeSharded(tampered, s"$tmp/r2", "id", 4)
+        val drifted = Seq(2L, 3L)
+        val rows = DatasetManifest.drillDownSharded(spark,
+            s"$tmp/r1", s"$tmp/r2", "id", Seq("src", "text"), drifted)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        rows shouldBe Set((2L, "changed"), (3L, "removed"))
+        // the pruned read's files all live under drifted shard dirs
+        val files = DatasetManifest.readShards(spark, s"$tmp/r1", drifted)
+          .inputFiles
+        files should not be empty
+        all(files.toSeq) should (include("shard=2/") or include("shard=3/"))
+        // and an empty drift list reads NOTHING
+        DatasetManifest.drillDownSharded(spark,
+          s"$tmp/r1", s"$tmp/r2", "id", Seq("src", "text"), Seq.empty)
+          .isEmpty shouldBe true
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   "hasManifestParity / DQDL ManifestParity" should {
     "gate a release on census identity" in {
       val m1 = DatasetManifest.build(base, "id", Seq("src", "text"), 4)
