@@ -933,8 +933,7 @@ object SparkEntry {
       // hashed norm mass on the integer grid (q102 convention); the
       // float mean norm rides a tolerance flag, never the hash
       val vq40 = Clustering.quantizeVec(col("embedding"))
-      val n2q40 = aggregate(
-        zip_with(vq40, vq40, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      val n2q40 = graft.expressions.GraftFunctions.dot_long(vq40, vq40)
       val agg = staged.agg(
         fcount(lit(1)).cast(DoubleType),
         fround(avg(Similarity.norm(col("embedding"))), 6),
@@ -4213,8 +4212,7 @@ object SparkEntry {
           x => org.apache.spark.sql.functions.isnan(x.cast(DoubleType)) ||
             abs(x.cast(DoubleType)) > lit(Double.MaxValue))
       val vq = when(cleanPred, Clustering.quantizeVec(vi))
-      val n2q = aggregate(
-        zip_with(vq, vq, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      val n2q = graft.expressions.GraftFunctions.dot_long(vq, vq)
       val grid = injected.agg(
         min(n2q).as("min_n2q"),
         max(n2q).as("max_n2q"),

@@ -342,9 +342,11 @@ object Clustering {
   private def quantCellScores(
       vecQ: Column, centroids: Seq[Array[Long]], m: Long): Column =
     array(centroids.zipWithIndex.map { case (c, i) =>
-      val dot = aggregate(
-        zip_with(vecQ, typedLit(c.toSeq), (x, w) => x * w),
-        lit(0L), (acc, v) => acc + v)
+      // native codegen'd kernel (graft.expressions.LongDotProduct) — a
+      // tight primitive loop inside whole-stage codegen, vs the HOF
+      // aggregate(zip_with(...)) fallback interpreter
+      val dot = graft.expressions.GraftFunctions
+        .dot_long(vecQ, typedLit(c.toSeq))
       val norm2 = c.foldLeft(0L)((a, x) => a + x * x)
       struct((lit(2L * m) * dot - lit(norm2)).as("s"), lit(i).as("cell"))
     }: _*)
@@ -546,8 +548,7 @@ object Clustering {
     val vqCol = "graft_vq_assign"
     val vq = col(vqCol)
     val best = array_max(quantCellScores(vq, model.centroids, model.m))
-    val n2v = aggregate(
-      zip_with(vq, vq, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val n2v = graft.expressions.GraftFunctions.dot_long(vq, vq)
     df.withColumn(vqCol, when(valid, quantizeVec(col(vecCol), model.scale)))
       .withColumn("cell", when(valid, best.getField("cell")))
       .withColumn("dist2num",

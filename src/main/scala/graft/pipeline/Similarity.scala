@@ -1555,8 +1555,7 @@ object Similarity {
     val probeMeta = typedLit(probes.map(_._1).zip(n2ps))
     val scoredCol = {
       val dqs = transform(probeVecs, p =>
-        aggregate(zip_with(col("graft_vq"), p, (x, w) => x * w),
-          lit(0L), (acc, v) => acc + v))
+        graft.expressions.GraftFunctions.dot_long(col("graft_vq"), p))
       zip_with(dqs, probeMeta, (dq, m) => {
         val pid = m.getField("_1")
         val n2p = m.getField("_2")
@@ -1569,9 +1568,8 @@ object Similarity {
           dq.as("dq"), n2p.as("n2p"))
       })
     }
-    val n2vQ = aggregate(
-      zip_with(col("graft_vq"), col("graft_vq"), (x, y) => x * y),
-      lit(0L), (acc, v) => acc + v)
+    val n2vQ = graft.expressions.GraftFunctions
+      .dot_long(col("graft_vq"), col("graft_vq"))
     val withBest = corpus
       .withColumn("graft_vq", Clustering.quantizeVec(col(vecCol), scale))
       .withColumn("n2v", n2vQ)
