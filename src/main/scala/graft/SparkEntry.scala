@@ -801,8 +801,12 @@ object SparkEntry {
         .select("id_a", "id_b").distinct().withColumn("graft_lsh", lit(1L))
       val sub = emb.filter(col("vec_id") < subN)
       // both audit counts in ONE action (LSH pipeline and brute-force audit
-      // run as concurrent stages of a single job)
-      val r = Similarity.cosinePairsBrute(sub, "vec_id", "embedding", thr)
+      // run as concurrent stages of a single job); the exact census runs
+      // on the INTEGER GRID (0.42^2 = 441/2500 exactly — the q102/q103
+      // convention), so the hashed pair count has no float threshold any
+      // oracle-engine version can flip
+      val r = Similarity.cosinePairsBruteGrid(sub, "vec_id", "embedding",
+          tau2Num = 441L, tau2Den = 2500L)
         .select("id_a", "id_b")
         .join(engine, Seq("id_a", "id_b"), "left_outer")
         .agg(count(lit(1)).as("n_exact"),
@@ -7418,17 +7422,34 @@ object SparkEntry {
         |       1.0::DOUBLE AS ivf_complete_ok,
         |       1.0::DOUBLE AS ivf_recall_ok""".stripMargin,
 
-    // q32: exact cosine pair count at threshold 0.42 on vec_id < 500
-    // (complete table at sf0.01); LSH recall flag asserted true
+    // q32: exact cosine pair census at tau = 0.42 on vec_id < 500, on
+    // the INTEGER GRID (tau^2 = 441/2500 exactly; quantize then the
+    // cross-multiplied-squares test — no float threshold decision
+    // remains anywhere in the embedding oracles); LSH recall flag
+    // asserted true
     "q32_embedding_neardup" ->
-      """WITH p AS (
-        |  SELECT list_sum(list_transform(range(len(a.embedding)),
-        |           i -> a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
-        |         / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
-        |            * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE a.vec_id < 500 AND b.vec_id < 500)
-        |SELECT (SELECT count(*) FROM p WHERE cos >= 0.42)::DOUBLE AS exact_cos_pairs,
+      """WITH ce AS MATERIALIZED (
+        |  SELECT vec_id, (u).i AS i, (u).x AS x FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+        |      j -> {'i': j, 'x': CAST(floor(v[j] * 1000 + 0.5) AS BIGINT)}))
+        |      AS u
+        |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |          WHERE vec_id < 500 AND embedding IS NOT NULL) vv)
+        |), n2 AS (
+        |  SELECT vec_id, sum(x * x)::BIGINT AS n2 FROM ce GROUP BY vec_id
+        |), d AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    sum(a.x * b.x)::BIGINT AS dq
+        |  FROM ce a JOIN ce b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT (SELECT count(*)
+        |        FROM d
+        |        JOIN n2 na ON na.vec_id = d.id_a
+        |        JOIN n2 nb ON nb.vec_id = d.id_b
+        |        WHERE d.dq > 0
+        |          AND 2500 * d.dq * d.dq >= 441 * na.n2 * nb.n2)::DOUBLE
+        |         AS exact_cos_pairs,
         |       1.0::DOUBLE AS lsh_recall_ok""".stripMargin,
 
     "q26_dqdl" ->

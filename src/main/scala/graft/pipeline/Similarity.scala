@@ -88,6 +88,42 @@ object Similarity {
     cosineVerify(a.crossJoin(b).filter(col("id_a") < col("id_b")), threshold)
   }
 
+  /** Exact all-pairs cosine-threshold census on the 1/`scale` INTEGER
+    * GRID — the cross-engine-proof ground truth for LSH recall audits:
+    * a pair is counted iff its grid cosine clears τ with τ² =
+    * tau2Num/tau2Den exactly (0.42² = 441/2500), decided by the exact
+    * cross-multiplied-squares test dq > 0 ∧ tau2Den·dq² ≥
+    * tau2Num·|a|²·|b|² — 64-bit integer arithmetic end to end (the
+    * [[decontaminateByEmbeddingGrid]] convention; dots via the native
+    * codegen'd [[graft.expressions.LongDotProduct]] kernel). Same
+    * bounded-audit scale contract as [[cosinePairsBrute]]: O(n²), for
+    * id-restricted subsets only.
+    */
+  def cosinePairsBruteGrid(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau2Num: Long,
+      tau2Den: Long,
+      scale: Long = 1000L): DataFrame = {
+    import graft.expressions.GraftFunctions.dot_long
+    val q = df
+      .where(col(vecCol).isNotNull)
+      .select(col(idCol).as("graft_id"),
+        Clustering.quantizeVec(col(vecCol), scale).as("graft_vq"))
+      .withColumn("graft_n2", dot_long(col("graft_vq"), col("graft_vq")))
+    val a = q.select(col("graft_id").as("id_a"),
+      col("graft_vq").as("graft_vqa"), col("graft_n2").as("graft_n2a"))
+    val b = q.select(col("graft_id").as("id_b"),
+      col("graft_vq").as("graft_vqb"), col("graft_n2").as("graft_n2b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("graft_dq", dot_long(col("graft_vqa"), col("graft_vqb")))
+      .filter(col("graft_dq") > 0L &&
+        lit(tau2Den) * col("graft_dq") * col("graft_dq") >=
+          lit(tau2Num) * col("graft_n2a") * col("graft_n2b"))
+      .select("id_a", "id_b")
+  }
+
   // -- embedding storage transforms ------------------------------------------
 
   /** Evaluates `scalar` ONCE per row and hands it to `f` as a bound lambda
