@@ -6697,6 +6697,44 @@ object SparkEntry {
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
       } finally rmTree(tmp)
+    }),
+
+    // q164: COLUMN-level drift localization from KB manifests — the
+    // columnar manifest carries one XOR'd fingerprint lane per content
+    // column, so the release diff names shard AND field without touching
+    // rows (the shard → column → row pyramid: q159 diff → q164 column
+    // lanes → q162/q163 drill-down). The q159 tamper resolves exactly:
+    // text mutation / nulled text drift the text lane alone; a removed
+    // or odd-multiplicity-duplicated row drifts both lanes plus the
+    // membership census. All pins exact integers/strings.
+    "q164_columnar_manifest" -> ((s, dir) => {
+      import graft.pipeline.DatasetManifest
+      val base = table(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"))
+      val tampered = base
+        .where(col("doc_id") =!= 20)
+        .withColumn("text",
+          when(col("doc_id") === 7, concat(col("text"), lit("X")))
+            .when(col("doc_id") === 41, lit(null: String))
+            .otherwise(col("text")))
+        .unionByName(base.where(col("doc_id") === 33))
+      val cols = Seq("source", "text")
+      val m1 = DatasetManifest.buildColumnar(base, "doc_id", cols, 16)
+        .persist()
+      val m2 = DatasetManifest.buildColumnar(tampered, "doc_id", cols, 16)
+      val d = DatasetManifest.diffColumnar(m1, m2, cols)
+      val selfClean = DatasetManifest.diffColumnar(m1, m1, cols).isEmpty
+      val out = m1.join(d, Seq("shard"), "left_outer")
+        .select(col("shard"), col("n_rows"), col("id_sum"),
+          col("content_fp"), col("fp_source"), col("fp_text"),
+          coalesce(col("status"), lit("ok")).as("status"),
+          coalesce(col("drifted_columns"), lit("")).as("drifted_columns"),
+          lit(if (selfClean) 1.0 else 0.0).as("self_diff_empty"))
+        .orderBy(col("shard"))
+      val materialized = out.collect()
+      m1.unpersist(blocking = false)
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
     })
   )
 
@@ -12631,6 +12669,87 @@ object SparkEntry {
         |WHERE ra.id IS NULL OR rb.id IS NULL
         |  OR ra.n_a IS DISTINCT FROM rb.n_b
         |  OR ra.fp_a IS DISTINCT FROM rb.fp_b
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    // q164: the per-column lanes replay from the same md5/XOR integer
+    // arithmetic, one encoding per (id, column) pair; drifted_columns
+    // via null-skipping concat_ws, matching the engine's
+    // array_join(filter(...)).
+    "q164_columnar_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |), enc1 AS (
+        |  SELECT doc_id % 16 AS shard, doc_id,
+        |    CAST(('0x' || substr(md5(concat_ws(chr(31),
+        |      CAST(doc_id AS VARCHAR),
+        |      coalesce(CAST(source AS VARCHAR), chr(1) || 'NULL'),
+        |      coalesce(text, chr(1) || 'NULL'))), 1, 15)) AS BIGINT) AS fp,
+        |    CAST(('0x' || substr(md5(concat_ws(chr(31),
+        |      CAST(doc_id AS VARCHAR),
+        |      coalesce(CAST(source AS VARCHAR), chr(1) || 'NULL'))), 1, 15))
+        |      AS BIGINT) AS fps,
+        |    CAST(('0x' || substr(md5(concat_ws(chr(31),
+        |      CAST(doc_id AS VARCHAR),
+        |      coalesce(text, chr(1) || 'NULL'))), 1, 15)) AS BIGINT) AS fpt
+        |  FROM d
+        |), m1 AS (
+        |  SELECT shard, count(*) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    bit_xor(fp) AS content_fp,
+        |    bit_xor(fps) AS fp_source, bit_xor(fpt) AS fp_text
+        |  FROM enc1 GROUP BY shard
+        |), t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id = 7 THEN text || 'X'
+        |         WHEN doc_id = 41 THEN NULL
+        |         ELSE text END AS text
+        |  FROM d WHERE doc_id <> 20
+        |  UNION ALL
+        |  SELECT doc_id, source, text FROM d WHERE doc_id = 33
+        |), enc2 AS (
+        |  SELECT doc_id % 16 AS shard, doc_id,
+        |    CAST(('0x' || substr(md5(concat_ws(chr(31),
+        |      CAST(doc_id AS VARCHAR),
+        |      coalesce(CAST(source AS VARCHAR), chr(1) || 'NULL'),
+        |      coalesce(text, chr(1) || 'NULL'))), 1, 15)) AS BIGINT) AS fp,
+        |    CAST(('0x' || substr(md5(concat_ws(chr(31),
+        |      CAST(doc_id AS VARCHAR),
+        |      coalesce(CAST(source AS VARCHAR), chr(1) || 'NULL'))), 1, 15))
+        |      AS BIGINT) AS fps,
+        |    CAST(('0x' || substr(md5(concat_ws(chr(31),
+        |      CAST(doc_id AS VARCHAR),
+        |      coalesce(text, chr(1) || 'NULL'))), 1, 15)) AS BIGINT) AS fpt
+        |  FROM t
+        |), m2 AS (
+        |  SELECT shard, count(*) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    bit_xor(fp) AS content_fp,
+        |    bit_xor(fps) AS fp_source, bit_xor(fpt) AS fp_text
+        |  FROM enc2 GROUP BY shard
+        |), df AS (
+        |  SELECT coalesce(m1.shard, m2.shard) AS shard,
+        |    CASE WHEN m2.shard IS NULL THEN 'removed'
+        |         WHEN m1.shard IS NULL THEN 'added'
+        |         WHEN m1.n_rows IS DISTINCT FROM m2.n_rows
+        |           OR m1.id_sum IS DISTINCT FROM m2.id_sum
+        |           OR m1.content_fp IS DISTINCT FROM m2.content_fp
+        |           THEN 'changed' END AS status,
+        |    CASE WHEN m1.shard IS NULL OR m2.shard IS NULL
+        |         THEN 'source,text'
+        |         ELSE concat_ws(',',
+        |           CASE WHEN m1.fp_source IS DISTINCT FROM m2.fp_source
+        |                THEN 'source' END,
+        |           CASE WHEN m1.fp_text IS DISTINCT FROM m2.fp_text
+        |                THEN 'text' END) END AS drifted_columns
+        |  FROM m1 FULL JOIN m2 ON m1.shard = m2.shard
+        |)
+        |SELECT m1.shard, m1.n_rows, m1.id_sum, m1.content_fp,
+        |  m1.fp_source, m1.fp_text,
+        |  coalesce(df.status, 'ok') AS status,
+        |  coalesce(df.drifted_columns, '') AS drifted_columns,
+        |  1.0::DOUBLE AS self_diff_empty
+        |FROM m1 LEFT JOIN df ON m1.shard = df.shard AND df.status IS NOT NULL
+        |ORDER BY m1.shard""".stripMargin
   )
 }

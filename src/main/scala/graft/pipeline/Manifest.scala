@@ -175,6 +175,72 @@ object DatasetManifest {
       .select(col("id"), col("status"))
   }
 
+  /** Manifest with PER-COLUMN fingerprint lanes: the [[build]] census
+    * plus one XOR'd fingerprint per content column (the row fingerprint
+    * of `(id, that column alone)`), so a release-to-release diff names
+    * WHICH FIELD drifted per shard — the shard → column → row
+    * localization pyramid runs entirely on KB manifests until the final
+    * [[drillDown]] step. XOR semantics per lane match the whole-row
+    * lane: membership changes flip every lane, a single-column mutation
+    * flips exactly its lane.
+    */
+  def buildColumnar(
+      df: DataFrame,
+      idCol: String,
+      contentCols: Seq[String],
+      shards: Int = 64): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(contentCols.nonEmpty,
+      "buildColumnar needs at least one content column")
+    val lanes = contentCols.map(c =>
+      bit_xor(rowFingerprint(col(idCol), Seq(col(c)))).as(s"fp_$c"))
+    val aggs = Seq(
+      sum(col(idCol).cast(LongType)).as("id_sum"),
+      bit_xor(rowFingerprint(col(idCol), contentCols.map(col)))
+        .as("content_fp")) ++ lanes
+    df.groupBy(pmod(col(idCol), lit(shards)).as("shard"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Column-level diff of two [[buildColumnar]] manifests: one row per
+    * drifted shard with the membership status ([[diff]] semantics) and
+    * `drifted_columns` — the comma-joined content columns whose lane
+    * differs (all of them for added/removed shards). A `changed` shard
+    * can carry an EMPTY column list: even-multiplicity duplication
+    * cancels in every XOR lane while the `n_rows` census still flips —
+    * that combination reads "membership drift, no field-content drift",
+    * which is exactly right.
+    */
+  def diffColumnar(
+      a: DataFrame,
+      b: DataFrame,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty,
+      "diffColumnar needs at least one content column")
+    val laneCols = contentCols.map(c => s"fp_$c")
+    val la = a.select((Seq(col("shard"), col("n_rows").as("n_rows_a"),
+      col("id_sum").as("id_sum_a"), col("content_fp").as("content_fp_a")) ++
+      laneCols.map(c => col(c).as(s"${c}_a"))): _*)
+    val lb = b.select((Seq(col("shard"), col("n_rows").as("n_rows_b"),
+      col("id_sum").as("id_sum_b"), col("content_fp").as("content_fp_b")) ++
+      laneCols.map(c => col(c).as(s"${c}_b"))): _*)
+    val laneDrift = array(contentCols.map(c =>
+      when(!(col(s"fp_${c}_a") <=> col(s"fp_${c}_b")), lit(c))): _*)
+    la.join(lb, Seq("shard"), "full_outer")
+      .withColumn("status",
+        when(col("n_rows_b").isNull, "removed")
+          .when(col("n_rows_a").isNull, "added")
+          .when(!(col("n_rows_a") <=> col("n_rows_b")) ||
+            !(col("id_sum_a") <=> col("id_sum_b")) ||
+            !(col("content_fp_a") <=> col("content_fp_b")), "changed"))
+      .where(col("status").isNotNull)
+      .withColumn("drifted_columns",
+        when(col("status") === "changed",
+          array_join(filter(laneDrift, x => x.isNotNull), ","))
+          .otherwise(lit(contentCols.mkString(","))))
+      .select(col("shard"), col("status"), col("drifted_columns"))
+  }
+
   /** Ship a release LAID OUT BY SHARD (`path/shard=<s>/…`, the manifest's
     * own `pmod(id, shards)` key) so release audits are partition-pruned
     * at the SOURCE: [[drillDownSharded]] opens only the drifted shards'

@@ -100,6 +100,46 @@ class R17FeaturesSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "DatasetManifest.buildColumnar / diffColumnar" should {
+    "name the drifted column lanes per shard" in {
+      val cols = Seq("src", "text")
+      val m1 = DatasetManifest.buildColumnar(base, "id", cols, 4)
+      // shard 2: text-only mutation; shard 3: row removed; shard 0:
+      // src-only mutation on id 4
+      val tampered = base
+        .where(col("id") =!= 3)
+        .withColumn("text",
+          when(col("id") === 2, lit("GAMMA")).otherwise(col("text")))
+        .withColumn("src",
+          when(col("id") === 4, lit("Z")).otherwise(col("src")))
+      val m2 = DatasetManifest.buildColumnar(tampered, "id", cols, 4)
+      DatasetManifest.diffColumnar(m1, m1, cols).isEmpty shouldBe true
+      val d = DatasetManifest.diffColumnar(m1, m2, cols)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getString(2)))).toMap
+      d(2L) shouldBe (("changed", "text"))
+      d(3L) shouldBe (("changed", "src,text"))
+      d(0L) shouldBe (("changed", "src"))
+      d.size shouldBe 3
+    }
+
+    "report membership-only drift with an empty column list (even-multiplicity XOR cancellation)" in {
+      val cols = Seq("src", "text")
+      val m1 = DatasetManifest.buildColumnar(base, "id", cols, 4)
+      // id 0 appears THREE times in release B: every XOR lane cancels
+      // back to its original value while n_rows flips
+      val tripled = base
+        .unionByName(base.where(col("id") === 0))
+        .unionByName(base.where(col("id") === 0))
+      val m2 = DatasetManifest.buildColumnar(tripled, "id", cols, 4)
+      val d = DatasetManifest.diffColumnar(m1, m2, cols)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getString(2)))).toMap
+      d(0L) shouldBe (("changed", ""))
+      d.size shouldBe 1
+    }
+  }
+
   "DatasetManifest sharded layout" should {
     "prune the drill-down to the drifted shard directories" in {
       val tmp = java.nio.file.Files
