@@ -352,7 +352,33 @@ object SparkEntry {
           .agg(sum(col("x"))).head.getLong(0),
         "split_regex_len" ->
           scalarLong(org.apache.spark.sql.functions.size(
-            split(lit("a  b c"), "\\s+"))))
+            split(lit("a  b c"), "\\s+"))),
+        // r17-vintage constructs now load-bearing in the oracles (q104's
+        // paragraph split, the integer-grid floor-div family): pin each
+        // before a driver-DuckDB skew can bite a trajectory oracle.
+        // split of the EMPTY string yields one empty element (not zero)
+        "split_regex_empty" ->
+          scalarLong(org.apache.spark.sql.functions.size(
+            split(lit(""), "\n+"))),
+        // leading AND trailing delimiters both yield empty elements
+        // (Spark's split defaults to limit -1 — trailing empties KEPT)
+        "split_regex_edges" ->
+          scalarLong(org.apache.spark.sql.functions.size(
+            split(lit("\n\nx\ny\n"), "\n+"))),
+        // negative floor-div via the pmod-canonical identity
+        // (a - pmod(a, b)) / b — the only negative-operand division
+        // idiom the oracles are allowed to use (DuckDB // truncates)
+        "floordiv_neg_canon" ->
+          scalarLong(((lit(-7L) - pmod(lit(-7L), lit(3L))) / lit(3L))
+            .cast(LongType)),
+        // the exact-integer-quotient-via-double envelope at its edge:
+        // numerator (2^53-1) - pmod(...) is an exact multiple of 999
+        // below 2^53, so the IEEE double quotient is the exact integer
+        // (the decontaminateByEmbeddingGrid ranking-key construction)
+        "intdiv_double_envelope" ->
+          scalarLong(((lit(9007199254740991L) -
+            pmod(lit(9007199254740991L), lit(999L))) / lit(999L))
+            .cast(LongType)))
       rows.toDF("construct", "value").orderBy(col("construct"))
     }),
 
@@ -3586,6 +3612,12 @@ object SparkEntry {
       Similarity
         .decontaminateByEmbeddingGrid(corpus, "vec_id", "embedding", probes,
           tau2Num = 49L, tau2Den = 400L)
+        // zero-grid-norm rows (n2v = 0) are invalid on the engine side
+        // (null best_probe) and excluded from the oracle's vn CTE via
+        // HAVING n2v > 0 — drop them HERE too so both sides agree even
+        // if a future embeddings generation contains a sub-half-grid
+        // vector (today's tables have none)
+        .where(col("best_probe").isNotNull)
         .groupBy(col("best_probe"))
         .agg(
           count(lit(1)).as("n_rows"),
@@ -7093,7 +7125,17 @@ object SparkEntry {
         |  (SELECT sum(x)::BIGINT
         |   FROM (SELECT unnest([1,2,3]::BIGINT[]) AS x) s1)
         |UNION ALL SELECT 'split_regex_len',
-        |  CAST(len(string_split_regex('a  b c', '\s+')) AS BIGINT)""".stripMargin,
+        |  CAST(len(string_split_regex('a  b c', '\s+')) AS BIGINT)
+        |UNION ALL SELECT 'split_regex_empty',
+        |  CAST(len(string_split_regex('', '\n+')) AS BIGINT)
+        |UNION ALL SELECT 'split_regex_edges',
+        |  CAST(len(string_split_regex(
+        |    chr(10) || chr(10) || 'x' || chr(10) || 'y' || chr(10),
+        |    '\n+')) AS BIGINT)
+        |UNION ALL SELECT 'floordiv_neg_canon',
+        |  CAST((-7 - ((-7 % 3) + 3) % 3) / 3 AS BIGINT)
+        |UNION ALL SELECT 'intdiv_double_envelope',
+        |  CAST((9007199254740991 - 9007199254740991 % 999) / 999 AS BIGINT)""".stripMargin,
 
     "q01_size" ->
       """SELECT count(*)::DOUBLE AS size_all,
@@ -10375,6 +10417,7 @@ object SparkEntry {
         |  SELECT pid, sum(x * x)::BIGINT AS n2p FROM pe GROUP BY pid
         |), vn AS (
         |  SELECT vec_id, sum(x * x)::BIGINT AS n2v FROM ce GROUP BY vec_id
+        |  HAVING sum(x * x) > 0
         |), d AS (
         |  SELECT ce.vec_id, pe.pid, sum(ce.x * pe.x)::BIGINT AS dq
         |  FROM ce JOIN pe USING (i)

@@ -189,7 +189,8 @@ object Dedup {
       StructField("graft_sig", ArrayType(LongType), nullable = false)))
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
-    df.select(col(idCol), col(textCol)).mapPartitions { rows =>
+    graft.core.Parallelism.floor(df.select(col(idCol), col(textCol)))
+      .mapPartitions { rows =>
       rows.map { r =>
         val hs = scalaShingleHashes(
           scalaTokenHashes(if (r.isNullAt(1)) null else r.getString(1)), shingleSize)
@@ -220,7 +221,8 @@ object Dedup {
       StructField("graft_sim", LongType, nullable = false)))
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
-    df.select(col(idCol), col(textCol)).mapPartitions { rows =>
+    graft.core.Parallelism.floor(df.select(col(idCol), col(textCol)))
+      .mapPartitions { rows =>
       rows.map { r =>
         val th = scalaTokenHashes(if (r.isNullAt(1)) null else r.getString(1))
         val hs = scalaShingleHashes(th, shingleSize)
@@ -255,7 +257,8 @@ object Dedup {
       StructField("graft_gram", LongType, nullable = false)))
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
-    df.select(col(idCol), col(textCol)).mapPartitions { rows =>
+    graft.core.Parallelism.floor(df.select(col(idCol), col(textCol)))
+      .mapPartitions { rows =>
       rows.flatMap { r =>
         val th = scalaTokenHashes(if (r.isNullAt(1)) null else r.getString(1))
         if (!shortDocFallback && th.length < n) Iterator.empty
@@ -1384,7 +1387,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       delimRegex: String = "\n+"): DataFrame =
-    df.select(col(idCol).as("graft_id"),
+    // parallelism floor on the SLIM (id, text) rows before the split map:
+    // a single-file scan yields one partition, and every derivation of
+    // this frame (signatures, censuses) would serialize into one task
+    graft.core.Parallelism.floor(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("graft_id"),
         posexplode(split(coalesce(col(textCol), lit("")), delimRegex)))
       .select(col("graft_id"), col("pos").cast(LongType).as("graft_pos"),
         trim(col("col")).as("graft_para"))

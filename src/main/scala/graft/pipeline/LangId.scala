@@ -71,7 +71,7 @@ object LangId {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
       val lo = minN
       val hi = maxN
-      withNorm.mapPartitions { rows =>
+      graft.core.Parallelism.floor(withNorm).mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.get(0)
           // gram by CODE POINTS, not UTF-16 units — Spark's substr and

@@ -88,7 +88,8 @@ object Repetition {
     val outSchema = StructType(fields.toSeq)
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
-    df.select(col(idCol), col(textCol)).mapPartitions { rows =>
+    graft.core.Parallelism.floor(df.select(col(idCol), col(textCol)))
+      .mapPartitions { rows =>
       rows.map { r =>
         val text = if (r.isNullAt(1)) null else r.getString(1)
         val vals = new scala.collection.mutable.ArrayBuffer[Any](outSchema.length)

@@ -480,8 +480,8 @@ object Similarity {
     // top-k count past the brute-force completeness fallback's trigger
     // (the declarative lshSignature form got this for free — a null
     // signature fell out of the inner bucket join)
-    val projected = df.select(col(idCol), col(vecCol))
-      .filter(col(vecCol).isNotNull)
+    val projected = graft.core.Parallelism.floor(
+      df.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull))
     val out = StructType(Seq(
       StructField("graft_id", projected.schema.head.dataType, nullable = true),
       StructField("graft_vec", projected.schema(1).dataType, nullable = true),
@@ -1552,12 +1552,16 @@ object Similarity {
     *
     * Scale shape: identical to [[decontaminateByEmbedding]] — the probe
     * matrix rides into every task as literals, pure map-side codegen
-    * expression work, no shuffle, no join. Envelope: |dq| must stay ≤
-    * ~3e6·(1000/√keyScale) so dq²·keyScale < 2⁵³ (the floor-div below is
-    * evaluated as an exact double quotient); unit-norm embeddings at
-    * scale 1000 sit at |dq| ≲ 1.1e6, a 3× margin, and the
-    * [[embeddingHealth]] audit is the pre-flight that asserts the norm
-    * envelope.
+    * expression work, no shuffle, no join. Envelope: |dq| must stay <
+    * √(2⁵³/keyScale) = ~9.5e7/√keyScale (≈3.0e6 at the default
+    * keyScale = 1000) so dq²·keyScale < 2⁵³ and the floor-div below is
+    * an exact double quotient; unit-norm embeddings at scale 1000 sit at
+    * |dq| ≲ 1.1e6, a ~3× margin. The envelope is ENFORCED at runtime,
+    * not assumed: by Cauchy-Schwarz dq² ≤ |vq|²·|pq|², so each row
+    * checks |vq|²·max|pq|²·keyScale < 2⁵³ once (one comparison against a
+    * driver-computed bound) and `raise_error`s on violation — an
+    * out-of-envelope input fails loudly instead of silently corrupting
+    * the ranking key.
     *
     * Per row: `best_probe`, `best_key` (the integer ranking key — exact,
     * hash-pinnable), `n2v` (|vq|², exact), `contaminated`.
@@ -1579,6 +1583,18 @@ object Similarity {
         s"$maxProbes — use cosinePairsLsh for corpus-sized probe sets")
     val n2ps = probes.map { case (_, p) => p.foldLeft(0L)((a, x) => a + x * x) }
     require(n2ps.forall(_ > 0L), "probe vectors must be non-zero on the grid")
+    // exactness envelope (see scaladoc): dq² ≤ |vq|²·|pq|² (Cauchy-
+    // Schwarz), so |vq|² ≤ n2vBound guarantees dq²·keyScale < 2^53 for
+    // every probe. Computed with BigInt so pathological probe norms
+    // can't overflow the bound itself.
+    val n2vBound: Long = {
+      val b = (BigInt(1) << 53) / (BigInt(n2ps.max) * BigInt(keyScale))
+      require(b > 0,
+        s"probe grid norms (max |pq|^2 = ${n2ps.max}) x keyScale=$keyScale " +
+          "leave no exactness envelope (dq^2*keyScale would exceed 2^53 " +
+          "for any non-trivial corpus vector) — reduce scale or keyScale")
+      b.min(BigInt(Long.MaxValue)).toLong
+    }
     // Expression SHAPE matters as much as the math: the probe loop is an
     // array-lambda pipeline over ONE named quantized column, not k
     // per-probe expression trees — a literal-per-probe formulation
@@ -1606,9 +1622,18 @@ object Similarity {
     }
     val n2vQ = graft.expressions.GraftFunctions
       .dot_long(col("graft_vq"), col("graft_vq"))
+    // one comparison per row enforces the 2^53 exactness envelope; the
+    // raise_error branch is dead code on any in-envelope corpus (unit-norm
+    // grid vectors sit ~9x under the default bound)
+    val n2vChecked = when(col(vecCol).isNull || n2vQ <= lit(n2vBound), n2vQ)
+      .otherwise(raise_error(concat(
+        lit("decontaminateByEmbeddingGrid: corpus vector outside the " +
+          s"integer exactness envelope (|vq|^2 > $n2vBound; " +
+          "dq^2*keyScale could exceed 2^53) at row id="),
+        col(idCol).cast("string"))).cast(LongType))
     val withBest = corpus
       .withColumn("graft_vq", Clustering.quantizeVec(col(vecCol), scale))
-      .withColumn("n2v", n2vQ)
+      .withColumn("n2v", n2vChecked)
       .withColumn("graft_best", array_max(scoredCol))
     val best = col("graft_best")
     val valid = col(vecCol).isNotNull && col("n2v") > 0L

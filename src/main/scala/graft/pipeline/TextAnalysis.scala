@@ -141,7 +141,7 @@ object TextAnalysis {
       StructField("cnt", LongType, nullable = false)))
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
-    df.select(col(textCol)).mapPartitions { rows =>
+    graft.core.Parallelism.floor(df.select(col(textCol))).mapPartitions { rows =>
       val partial = new java.util.HashMap[String, Long]()
       val counts = new Array[Int](nLangs)
       rows.foreach { row =>

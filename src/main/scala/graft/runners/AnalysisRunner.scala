@@ -322,55 +322,11 @@ object AnalysisRunner {
 
   /** Heavy per-row aggregations (exact-percentile buffers, per-row regex
     * type inference, KLL sketch updates) are dominated by per-row CPU, not
-    * scan I/O. When the source's scan parallelism is degenerate relative to
-    * the cluster — a single-row-group parquet file, a coalesced upstream —
-    * ONE narrow shuffle to `defaultParallelism` converts the aggregation
-    * from single-core to cluster-wide, and Catalyst still prunes columns
-    * below the exchange. On a healthy layout (100 TB = tens of thousands of
-    * row groups) the partition count already exceeds the parallelism and
-    * this is a no-op; the check itself is plan-time only (no Spark job).
+    * scan I/O — the shared [[graft.core.Parallelism.floor]] guard applies
+    * (see its scaladoc for the sizing rationale).
     */
-  private[graft] def ensureParallelism(data: DataFrame): DataFrame = {
-    val target = data.sparkSession.sparkContext.defaultParallelism
-    if (scanPartitionEstimate(data) * 2 <= target) data.repartition(target) else data
-  }
-
-  /** Scan-parallelism estimate WITHOUT `data.rdd` — which builds the full
-    * physical RDD DAG on every call just to read a partition count. For
-    * pure file-source plans the estimate replicates Spark's FilePartition
-    * sizing (maxSplitBytes = min(maxPartitionBytes, max(openCost,
-    * bytesPerCore))) from the relation's plan-time byte size; plans with
-    * any non-file leaf (local/in-memory relations, v2 sources) fall back
-    * to the RDD partition count.
-    */
-  private def scanPartitionEstimate(data: DataFrame): Long = {
-    import org.apache.spark.sql.catalyst.plans.logical.{RebalancePartitions, Repartition, RepartitionByExpression}
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val plan = data.queryExecution.optimizedPlan
-    // an explicit repartition/coalesce/rebalance overrides the scan's
-    // partitioning — the file-based estimate would miss a .coalesce(1)
-    // upstream, so those plans keep the (accurate) RDD fallback
-    val repartitioned = plan.collectFirst {
-      case r: Repartition => r
-      case r: RepartitionByExpression => r
-      case r: RebalancePartitions => r
-    }.nonEmpty
-    val leaves = plan.collectLeaves()
-    val fileRelations = leaves
-      .collect { case l: LogicalRelation => l.relation }
-      .collect { case fs: HadoopFsRelation => fs }
-    if (!repartitioned && fileRelations.nonEmpty &&
-        fileRelations.length == leaves.length) {
-      val conf = data.sparkSession.sessionState.conf
-      val openCost = math.max(conf.filesOpenCostInBytes, 1L)
-      val cores = math.max(data.sparkSession.sparkContext.defaultParallelism, 1)
-      val totalBytes = fileRelations.map(fs =>
-        fs.location.sizeInBytes + fs.location.inputFiles.length.toLong * openCost).sum
-      val maxSplitBytes = math.min(math.max(conf.filesMaxPartitionBytes, 1L),
-        math.max(openCost, totalBytes / cores))
-      math.max(1L, (totalBytes + maxSplitBytes - 1) / maxSplitBytes)
-    } else data.rdd.getNumPartitions.toLong
-  }
+  private[graft] def ensureParallelism(data: DataFrame): DataFrame =
+    graft.core.Parallelism.floor(data)
 
   /** All scan-shareable analyzers → one `df.agg(...)`; each analyzer
     * decodes its slice of the single result row via offsets.

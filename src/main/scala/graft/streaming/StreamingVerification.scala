@@ -361,7 +361,11 @@ object StreamingOps {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq(statePath) // let the reader throw
-    livePartStatuses(fs, root).map(_.getPath.toString)
+    val live = livePartStatuses(fs, root).map(_.getPath.toString)
+    // an existing dir with zero live batch= parts (e.g. created empty, or
+    // every part superseded and swept) must surface the reader's own
+    // documented error, not a zero-path schema-inference failure
+    if (live.isEmpty) Seq(statePath) else live
   }
 
   private def readManifest(

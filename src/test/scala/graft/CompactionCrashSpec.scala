@@ -146,4 +146,21 @@ class CompactionCrashSpec extends AnyWordSpec with Matchers with SparkSpec {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
   }
+
+  "livePartPaths" should {
+    "fall back to the state path for an existing dir with zero live parts" in {
+      // an existing-but-empty state dir must surface the parquet reader's
+      // own error (like a missing dir does), not a zero-path
+      // schema-inference failure from spark.read.parquet(Seq.empty)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-liveparts-empty").toString
+      try {
+        StreamingOps.livePartPaths(spark, tmp) shouldBe Seq(tmp)
+        an[Exception] should be thrownBy
+          spark.read.parquet(StreamingOps.livePartPaths(spark, tmp): _*)
+            .count()
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
 }

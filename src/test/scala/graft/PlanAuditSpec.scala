@@ -114,13 +114,26 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
       val plan = m.queryExecution.executedPlan.toString()
       plan should include("BroadcastHashJoin")
       plan should not include "SortMergeJoin"
-      // the corpus (streamed) side must reach the join without an exchange:
-      // scan → narrow explode → join. In the printed tree the streamed
-      // branch sits between the BroadcastHashJoin line and the
+      // the corpus (streamed) side must reach the join with no exchange of
+      // GRAM rows: scan → [parallelism-floor round-robin of the slim
+      // (id, text) rows — fires here because the sf0.001 single-file scan
+      // is 1 partition] → narrow gram map → join. In the printed tree the
+      // streamed branch sits between the BroadcastHashJoin line and the
       // BroadcastExchange that starts the build side.
       val corpusSide = plan.substring(
         plan.indexOf("BroadcastHashJoin"), plan.indexOf("BroadcastExchange"))
-      corpusSide.linesIterator.count(_.contains("Exchange")) shouldBe 0
+      val exchanges = corpusSide.linesIterator.zipWithIndex
+        .filter(_._1.contains("Exchange")).toSeq
+      val gramMap = corpusSide.linesIterator.zipWithIndex
+        .find(_._1.contains("MapPartitions"))
+      gramMap should not be empty
+      // any exchange is the floor's pre-tokenize round-robin, BELOW the
+      // gram-generating map (deeper = later printed line) — never a
+      // shuffle of the exploded gram stream
+      exchanges.foreach { case (line, idx) =>
+        line should include("RoundRobinPartitioning")
+        idx should be > gramMap.get._2
+      }
       corpusSide should include("FileScan")
     }
   }
@@ -549,8 +562,17 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
         docs, "doc_id", "text", pg, n = 13, estimatedItems = 100L)
       out.count()
       val plan = out.queryExecution.executedPlan.toString()
-      // the corpus gram stream must reach the bitset filter unshuffled
-      plan should not include "Exchange"
+      // the corpus GRAM stream must reach the bitset filter unshuffled —
+      // the only exchange allowed is the parallelism floor's pre-tokenize
+      // round-robin of slim (id, text) rows (fires here: 1-partition scan)
+      val lines = plan.linesIterator.zipWithIndex.toSeq
+      val exchanges = lines.filter(_._1.contains("Exchange"))
+      val gramMap = lines.find(_._1.contains("MapPartitions"))
+      gramMap should not be empty
+      exchanges.foreach { case (line, idx) =>
+        line should include("RoundRobinPartitioning")
+        idx should be > gramMap.get._2
+      }
       plan should not include "Join"
       plan should not include "Window"
     }
@@ -666,6 +688,61 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
         .split("== Initial Plan ==").head
       plan should not include "Window"
       plan should include("ObjectHashAggregate")
+    }
+  }
+
+  "the parallelism floor" should {
+    // the q104/r17 defect class: a single small parquet file scans as ONE
+    // partition, and a CPU-heavy map persisted off it serializes the whole
+    // corpus into one task. The floor must restore defaultParallelism-wide
+    // plans for those — and must be a NO-OP for healthy inputs (a real
+    // 100 TB scan never pays an extra corpus shuffle).
+    lazy val tinyDir = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-planaudit-floor").toString
+      val s = spark
+      import s.implicits._
+      Seq.tabulate(200)(i => (i.toLong, s"alpha beta gamma delta text $i\n\npara two of $i"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+    "run the tokenize+MinHash signature map at >= defaultParallelism tasks over a 1-partition scan" in {
+      val docs = spark.read.parquet(tinyDir)
+      val target = spark.sparkContext.defaultParallelism
+      docs.rdd.getNumPartitions shouldBe 1 // the degenerate premise
+      val occ = graft.pipeline.Dedup.paragraphOccurrences(docs, "doc_id", "text")
+      val sigs = graft.pipeline.Dedup.paragraphSignatureFrame(occ)
+      sigs.rdd.getNumPartitions should be >= target
+      // and the result is unaffected by the exchange
+      sigs.count() shouldBe occ.count()
+    }
+
+    "be a no-op for an input already at or above defaultParallelism" in {
+      val docs = spark.read.parquet(tinyDir)
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+      val floored = graft.core.Parallelism.floor(docs)
+      // plan-time decision: the declared repartition governs, no second
+      // exchange is stacked on top
+      floored.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+      }.length shouldBe 1
+    }
+
+    "size pure file scans plan-time (no RDD build) and declared repartitions by their count" in {
+      val cores = spark.sparkContext.defaultParallelism
+      // the file estimate replicates FilePartition sizing — for a KB-sized
+      // single file it lands within a couple of open-cost quanta of 1, and
+      // any value in that band keeps the floor armed (estimate*2 <= cores)
+      val est = graft.core.Parallelism.partitionEstimate(
+        spark.read.parquet(tinyDir), cores)
+      est should be >= 1L
+      (est * 2) should be <= cores.toLong
+      graft.core.Parallelism.partitionEstimate(
+        spark.read.parquet(tinyDir).coalesce(1), cores) shouldBe 1L
+      graft.core.Parallelism.partitionEstimate(
+        spark.read.parquet(tinyDir).repartition(16), cores) shouldBe 16L
     }
   }
 }

@@ -191,5 +191,28 @@ class QuantGridSpec extends AnyWordSpec with Matchers with SparkSpec {
           corpus, "id", "vec", probes).collect().head
       out.getAs[Long]("best_probe") shouldBe 9L
     }
+
+    "fail loudly on corpus vectors outside the 2^53 exactness envelope" in {
+      val s = spark
+      import s.implicits._
+      val corpus = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+      val probes = Seq(1L -> Array(1000L, 0L))
+      // keyScale 2^33 shrinks the |vq|^2 bound to ~1; the unit vector's
+      // n2v = 1e6 must trip the runtime guard, not corrupt the key
+      val ex = intercept[Exception] {
+        Similarity.decontaminateByEmbeddingGrid(
+          corpus, "id", "vec", probes, keyScale = 1L << 33).collect()
+      }
+      val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(String.valueOf(_)).mkString("\n")
+      messages should include("exactness envelope")
+      // and a keyScale so large even an EMPTY envelope remains is
+      // rejected at the driver, before any job runs
+      val ex2 = intercept[IllegalArgumentException] {
+        Similarity.decontaminateByEmbeddingGrid(
+          corpus, "id", "vec", probes, keyScale = 1L << 60)
+      }
+      ex2.getMessage should include("no exactness envelope")
+    }
   }
 }
