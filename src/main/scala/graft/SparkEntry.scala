@@ -6767,6 +6767,76 @@ object SparkEntry {
       m1.unpersist(blocking = false)
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
+    }),
+
+    // q165: streaming twin for the LAST persisted-state family without
+    // one — k-means cell states (q107's exact-integer monoid). A live
+    // 4-trigger Structured Streaming ingest maintains per-batch
+    // cellStateQuantized parts under fixed centroids (the generic
+    // SketchStateIngest shape of q156); the read-time fold
+    // (foldCellStatesQuantized — integer addition end to end) must equal
+    // the one-shot full-corpus state with EXACT equality (the monoid law
+    // on the integer grid: no tolerance machinery), survive the
+    // crash-safe compaction unchanged (cell counts SUM — non-idempotent,
+    // so the supersession manifest is load-bearing here), and re-derive
+    // the same floorDiv centroids. Hashed columns replicate the q107
+    // oracle exactly; the streaming/compaction parity rides as pinned
+    // 0/1 flags.
+    "q165_streaming_kmeans_state" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val emb = table(s, dir, "embeddings")
+      val init = Clustering.initMinIdQuantized(emb, "vec_id", "embedding", 4)
+      val valid = emb.where(col("embedding").isNotNull)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q165").toString
+      try {
+      val in = s"$tmp/in"
+      (0 until 4).foreach { p =>
+        valid.where(pmod(col("vec_id"), lit(4)) === p)
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val ingest = new StreamingOps.SketchStateIngest(s"$tmp/cells",
+        b => Clustering.cellStateQuantized(b, "embedding", init),
+        parts => Clustering.foldCellStatesQuantized(parts))
+      val query = s.readStream.schema(valid.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch(ingest.asForeachBatch())
+        .start()
+      try query.processAllAvailable() finally query.stop()
+
+      def snapshot(st: org.apache.spark.sql.DataFrame) = st.collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3).toArray))).toMap
+      def sameState(
+          a: Map[Int, (Long, Long, Array[Long])],
+          b: Map[Int, (Long, Long, Array[Long])]): Boolean =
+        a.keySet == b.keySet && a.forall { case (c, (n, sq, sm)) =>
+          val (bn, bsq, bsm) = b(c)
+          n == bn && sq == bsq && sm.sameElements(bsm)
+        }
+      val oneShot = snapshot(
+        Clustering.cellStateQuantized(valid, "embedding", init))
+      val streamed = snapshot(ingest.state(s))
+      val streamOk = sameState(streamed, oneShot)
+      // compaction folds the 4 per-trigger parts into one; the folded
+      // state (and the centroids derived from it) must be unchanged
+      ingest.compact(s)
+      val compacted = snapshot(ingest.state(s))
+      val postOk = sameState(compacted, oneShot)
+      val cents = Clustering.centroidsFromStateQuantized(
+        ingest.state(s), init)
+      import s.implicits._
+      (0 until 4).map { cell =>
+        val (n, sq, sm) = compacted.getOrElse(cell, (0L, 0L, Array.empty[Long]))
+        val c = cents(cell)
+        (cell, n, sm.foldLeft(0L)(_ + _), sq,
+          c.foldLeft(0L)((a, x) => a + x * x),
+          if (streamOk) 1L else 0L, if (postOk) 1L else 0L)
+      }.toDF("cell", "n_docs", "sum_all", "sum_sq", "c_norm2",
+        "stream_ok", "post_compact_ok")
+      } finally rmTree(tmp)
     })
   )
 
@@ -12793,6 +12863,67 @@ object SparkEntry {
         |  coalesce(df.drifted_columns, '') AS drifted_columns,
         |  1.0::DOUBLE AS self_diff_empty
         |FROM m1 LEFT JOIN df ON m1.shard = df.shard AND df.status IS NOT NULL
-        |ORDER BY m1.shard""".stripMargin
+        |ORDER BY m1.shard""".stripMargin,
+
+    // q165: the q107 cell-state replay verbatim (same init, same
+    // integer assignment keys, same floorDiv centroid update) — the
+    // streaming ingest and its compaction are pure engine-side
+    // machinery whose parity with this one-shot state is pinned by the
+    // stream_ok / post_compact_ok flags (1 when the folded streamed
+    // state equals the one-shot build with exact integer equality).
+    "q165_streaming_kmeans_state" ->
+      """WITH ex AS MATERIALIZED (
+        |  SELECT vec_id, (u).i AS i, (u).x AS x FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+        |      j -> {'i': j, 'x': CAST(floor(v[j] * 1000 + 0.5) AS BIGINT)}))
+        |      AS u
+        |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |          WHERE embedding IS NOT NULL) vv)
+        |), ids0 AS (
+        |  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::INT
+        |    AS cell
+        |  FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
+        |        ORDER BY vec_id LIMIT 4) kk
+        |), c0 AS MATERIALIZED (
+        |  SELECT ids0.cell, ex.i, ex.x * 1000 AS c
+        |  FROM ids0 JOIN ex USING (vec_id)
+        |), s1 AS (
+        |  SELECT ex.vec_id, c.cell,
+        |    2000 * sum(ex.x * c.c) - sum(c.c * c.c) AS key
+        |  FROM ex JOIN c0 c USING (i)
+        |  GROUP BY ex.vec_id, c.cell
+        |), a1 AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY key DESC, cell DESC) AS rn
+        |    FROM s1) rk
+        |  WHERE rn = 1
+        |), pv AS (
+        |  SELECT vec_id, sum(x)::BIGINT AS sall, sum(x * x)::BIGINT AS n2v
+        |  FROM ex GROUP BY vec_id
+        |), st AS (
+        |  SELECT a1.cell, count(*) AS n, sum(pv.sall)::BIGINT AS sum_all,
+        |    sum(pv.n2v)::BIGINT AS sum_sq
+        |  FROM a1 JOIN pv USING (vec_id) GROUP BY a1.cell
+        |), md AS (
+        |  SELECT a.cell, ex.i,
+        |    CAST((1000 * sum(ex.x)
+        |          - (((1000 * sum(ex.x)) % count(*) + count(*)) % count(*)))
+        |         / count(*) AS BIGINT) AS c
+        |  FROM a1 a JOIN ex USING (vec_id)
+        |  GROUP BY a.cell, ex.i
+        |), mn AS (
+        |  SELECT cell, sum(c * c)::BIGINT AS c_norm2 FROM md GROUP BY cell
+        |), cn0 AS (
+        |  SELECT cell, sum(c * c)::BIGINT AS c_norm2 FROM c0 GROUP BY cell
+        |)
+        |SELECT cn0.cell, coalesce(st.n, 0)::BIGINT AS n_docs,
+        |  coalesce(st.sum_all, 0)::BIGINT AS sum_all,
+        |  coalesce(st.sum_sq, 0)::BIGINT AS sum_sq,
+        |  coalesce(mn.c_norm2, cn0.c_norm2)::BIGINT AS c_norm2,
+        |  1::BIGINT AS stream_ok,
+        |  1::BIGINT AS post_compact_ok
+        |FROM cn0 LEFT JOIN st USING (cell) LEFT JOIN mn USING (cell)"""
+        .stripMargin
   )
 }

@@ -590,7 +590,17 @@ object Clustering {
     * end to end (contrast [[mergeCellStates]]' float-order band).
     */
   def mergeCellStatesQuantized(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b)
+    foldCellStatesQuantized(a.unionByName(b))
+
+  /** [[mergeCellStatesQuantized]] over ONE frame holding any number of
+    * stacked state parts — the N-ary fold a streaming ingest
+    * ([[graft.streaming.StreamingOps.SketchStateIngest]]) applies at
+    * read and compaction time. Counts and sums ADD (non-idempotent):
+    * duplicate parts would double them, which is exactly what the
+    * ingest's supersession-manifest compaction protocol prevents.
+    */
+  def foldCellStatesQuantized(parts: DataFrame): DataFrame =
+    parts
       .groupBy(col("cell"))
       .agg(
         sum(col("n")).as("n"),

@@ -113,6 +113,45 @@ class CompactionCrashSpec extends AnyWordSpec with Matchers with SparkSpec {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
 
+    "not double k-means cell counts (sum-merged, NON-idempotent)" in {
+      import graft.pipeline.Clustering
+      val s = spark
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-crash-cells").toString
+      try {
+        val vecs = Seq(
+          (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)),
+          (4L, Seq(0.1f, 0.9f)), (5L, Seq(-1.0f, 0.0f)), (6L, Seq(0.8f, 0.2f)))
+          .toDF("id", "vec")
+        val cents = Seq(Array(1000000L, 0L), Array(0L, 1000000L))
+        val fold = (parts: DataFrame) =>
+          Clustering.foldCellStatesQuantized(parts)
+        val ingest = new StreamingOps.SketchStateIngest(s"$tmp/cells",
+          b => Clustering.cellStateQuantized(b, "vec", cents), fold)
+        ingest.processBatch(vecs.where(col("id") <= 2), 0L)
+        ingest.processBatch(vecs.where(col("id") > 2 && col("id") <= 4), 1L)
+        ingest.processBatch(vecs.where(col("id") > 4), 2L)
+        def cells(st: DataFrame): Map[Int, (Long, Long, Seq[Long])] =
+          st.collect().map(r => r.getInt(0) ->
+            ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+        val oneShot = cells(
+          Clustering.cellStateQuantized(vecs, "vec", cents))
+        oneShot.values.map(_._1).sum shouldBe 6L
+
+        // crash window: compacted part + sources both on disk, but the
+        // manifest keeps the read single-counted (counts SUM — doubled
+        // parts would double every n and vector sum)
+        StreamingOps.compactStateDir(spark, s"$tmp/cells", fold,
+          skipDeletesForCrashTest = true)
+        cells(ingest.state(spark)) shouldBe oneShot
+
+        ingest.compact(spark)
+        cells(ingest.state(spark)) shouldBe oneShot
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+
     "leave originals intact and fail loudly when the rename fails" in {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-crash-rename").toString
