@@ -6837,6 +6837,104 @@ object SparkEntry {
       }.toDF("cell", "n_docs", "sum_all", "sum_sq", "c_norm2",
         "stream_ok", "post_compact_ok")
       } finally rmTree(tmp)
+    }),
+
+    // q166: cross-release manifest LINEAGE — "which release introduced
+    // this shard's drift", answered from the manifest chain ALONE
+    // (DatasetManifest.lineage): four staged releases of the documents
+    // table (r1 base; r2 mutates doc 7's text — shard 7 content-only;
+    // r3 removes doc 20 and duplicates doc 33 — shards 4 and 1, census
+    // AND content; r4 mutates doc 23 — shard 7 drifts AGAIN), each
+    // release reduced to its 16-shard manifest, and the lineage window
+    // names every (shard, release) transition with the cause split into
+    // census vs content lanes. No corpus bytes are read after the four
+    // manifest builds — the 100 TB story is that release archaeology
+    // costs KB, and the oracle replays the same md5/XOR integer
+    // arithmetic plus three pairwise manifest diffs.
+    "q166_manifest_lineage" -> ((s, dir) => {
+      import graft.pipeline.DatasetManifest
+      val base = table(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"))
+      val r2 = base.withColumn("text",
+        when(col("doc_id") === 7, concat(col("text"), lit("X")))
+          .otherwise(col("text")))
+      val r3 = r2.where(col("doc_id") =!= 20)
+        .unionByName(r2.where(col("doc_id") === 33))
+      val r4 = r3.withColumn("text",
+        when(col("doc_id") === 23, concat(lit("Y"), col("text")))
+          .otherwise(col("text")))
+      val cols = Seq("source", "text")
+      def m(df: DataFrame) = DatasetManifest.build(df, "doc_id", cols, 16)
+      DatasetManifest
+        .lineage(Seq(1L -> m(base), 2L -> m(r2), 3L -> m(r3), 4L -> m(r4)))
+        .orderBy(col("shard"), col("release"))
+    }),
+
+    // q167: embedding-space drift as a persisted-state CHECK — q107's
+    // integer cell states composed with the q152 drift-report shape.
+    // Snapshot A = the whole corpus; snapshot B = the half-space with
+    // non-positive first grid coordinate (floor(v1*1000+0.5) <= 0 — the
+    // only floor form embedding oracles may use), both reduced to
+    // parquet-staged cellStateQuantized frames under the SAME min-id
+    // centroids. Clustering.cellPopulationDrift joins the two k-row
+    // states into exact integer lanes (n_a, n_b, l1_num = |n_a·tot_b −
+    // n_b·tot_a|), the drift ALARM is the cross-multiplied integer
+    // decision 20·Σl1_num >= tot_a·tot_b (L1 >= 0.05 — exact integer
+    // comparison in both engines, no float threshold to sit on), and
+    // the constraint surface rides as pinned flags:
+    // Check.hasCellPopulationDrift / DQDL CellPopulationDrift must
+    // alarm at a 0.02 ceiling and clear at 1.0 (the measured L1 is
+    // 0.09-0.16 across the three SFs — >= 1.8x margin on every
+    // decision). No corpus bytes are read after the two state builds.
+    "q167_embedding_drift_state" -> ((s, dir) => {
+      import graft.checks.{Check, CheckLevel, CheckStatus, VerificationSuite}
+      val emb = table(s, dir, "embeddings")
+      val init = Clustering.initMinIdQuantized(emb, "vec_id", "embedding", 4)
+      val valid = emb.where(col("embedding").isNotNull)
+      val half = valid.where(
+        floor(element_at(col("embedding"), 1).cast(DoubleType) * 1000 + 0.5)
+          <= 0)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q167").toString
+      try {
+      Clustering.writeCellState(
+        Clustering.cellStateQuantized(valid, "embedding", init), s"$tmp/a")
+      Clustering.writeCellState(
+        Clustering.cellStateQuantized(half, "embedding", init), s"$tmp/b")
+      val drift = Clustering.cellPopulationDrift(
+        Clustering.readCellState(s, s"$tmp/a"),
+        Clustering.readCellState(s, s"$tmp/b")).persist()
+      val t = drift.agg(
+        coalesce(sum(col("l1_num")), lit(0L)),
+        max(col("tot_a")), max(col("tot_b"))).collect().head
+      val (l1Sum, totA, totB) = (t.getLong(0), t.getLong(1), t.getLong(2))
+      val alarm = 20L * l1Sum >= totA * totB
+      def gate(ceiling: Double): CheckStatus =
+        VerificationSuite().onData(drift)
+          .addCheck(Check(CheckLevel.Error, "embedding drift")
+            .hasCellPopulationDrift()(_ <= ceiling))
+          .run().status
+      val checkGate = gate(0.02) == CheckStatus.Error &&
+        gate(1.0) == CheckStatus.Success
+      val dq = graft.dqdl.EvaluateDataQuality.process(drift,
+        """Rules = [ CellPopulationDrift "cell" "n_a" "n_b" <= 0.02,
+          |          CellPopulationDrift "cell" "n_a" "n_b" <= 1.0 ]"""
+          .stripMargin)
+      val dqdlGate =
+        dq.where(col("outcome") === "Failed").count() == 1L &&
+          dq.where(col("outcome") === "Passed").count() == 1L
+      val out = drift
+        .select(col("cell").cast(LongType).as("cell"), col("n_a"),
+          col("n_b"), col("l1_num"), col("tot_a"), col("tot_b"),
+          lit(if (alarm) 1L else 0L).as("alarm"),
+          lit(if (checkGate) 1L else 0L).as("check_gate"),
+          lit(if (dqdlGate) 1L else 0L).as("dqdl_gate"))
+        .orderBy(col("cell"))
+      val materialized = out.collect()
+      drift.unpersist(blocking = false)
+      s.createDataFrame(
+        java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
     })
   )
 
@@ -12924,6 +13022,134 @@ object SparkEntry {
         |  1::BIGINT AS stream_ok,
         |  1::BIGINT AS post_compact_ok
         |FROM cn0 LEFT JOIN st USING (cell) LEFT JOIN mn USING (cell)"""
-        .stripMargin
+        .stripMargin,
+
+    // q166: the four staged releases rebuilt in SQL, each reduced to the
+    // same md5/XOR 16-shard manifest as the engine, then three pairwise
+    // FULL-OUTER manifest diffs tagged with the introducing release —
+    // the SQL form of the lineage window (equivalent because a dense
+    // per-shard timeline's consecutive-row comparison IS the chain of
+    // pairwise release diffs).
+    "q166_manifest_lineage" -> {
+      def manifestCte(name: String, src: String): String =
+        s"""$name AS MATERIALIZED (
+           |  SELECT doc_id % 16 AS shard, count(*) AS n_rows,
+           |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           |    bit_xor(CAST(('0x' || substr(md5(concat_ws(chr(31),
+           |      CAST(doc_id AS VARCHAR),
+           |      coalesce(CAST(source AS VARCHAR), chr(1) || 'NULL'),
+           |      coalesce(text, chr(1) || 'NULL'))), 1, 15)) AS BIGINT))
+           |      AS content_fp
+           |  FROM $src GROUP BY shard
+           |)""".stripMargin
+      def transitionSelect(a: String, b: String, rel: Int): String =
+        s"""SELECT coalesce(a.shard, b.shard) AS shard,
+           |    $rel::BIGINT AS release,
+           |    CASE WHEN b.shard IS NULL THEN 'removed'
+           |         WHEN a.shard IS NULL THEN 'added'
+           |         WHEN a.n_rows IS DISTINCT FROM b.n_rows
+           |           OR a.id_sum IS DISTINCT FROM b.id_sum
+           |           OR a.content_fp IS DISTINCT FROM b.content_fp
+           |           THEN 'changed' END AS status,
+           |    CASE WHEN a.shard IS NOT NULL AND b.shard IS NOT NULL
+           |           AND (a.n_rows IS DISTINCT FROM b.n_rows
+           |                OR a.id_sum IS DISTINCT FROM b.id_sum)
+           |         THEN 1 ELSE 0 END::BIGINT AS census_changed,
+           |    CASE WHEN a.shard IS NOT NULL AND b.shard IS NOT NULL
+           |           AND a.content_fp IS DISTINCT FROM b.content_fp
+           |         THEN 1 ELSE 0 END::BIGINT AS content_changed
+           |  FROM $a a FULL JOIN $b b ON a.shard = b.shard""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  WHERE doc_id IS NOT NULL
+         |), r2 AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id = 7 THEN text || 'X' ELSE text END AS text
+         |  FROM d
+         |), r3 AS (
+         |  SELECT * FROM r2 WHERE doc_id <> 20
+         |  UNION ALL SELECT * FROM r2 WHERE doc_id = 33
+         |), r4 AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id = 23 THEN 'Y' || text ELSE text END AS text
+         |  FROM r3
+         |), ${manifestCte("m1", "d")},
+         |${manifestCte("m2", "r2")},
+         |${manifestCte("m3", "r3")},
+         |${manifestCte("m4", "r4")},
+         |tr AS (
+         |  ${transitionSelect("m1", "m2", 2)}
+         |  UNION ALL
+         |  ${transitionSelect("m2", "m3", 3)}
+         |  UNION ALL
+         |  ${transitionSelect("m3", "m4", 4)}
+         |)
+         |SELECT shard, release, status, census_changed, content_changed
+         |FROM tr WHERE status IS NOT NULL
+         |ORDER BY shard, release""".stripMargin
+    },
+
+    // q167: the q107 assignment replay (same grid, same integer keys),
+    // then per-cell counts of the full corpus vs the non-positive-
+    // first-coordinate half-space, the cross-multiplied L1 lanes, and
+    // the integer alarm decision. The check/DQDL gates are engine-side
+    // machinery pinned at 1 (decade-wide margins around the measured
+    // L1 ≈ 0.5 vs the 0.05 / 1.99 ceilings).
+    "q167_embedding_drift_state" ->
+      """WITH ex AS MATERIALIZED (
+        |  SELECT vec_id, (u).i AS i, (u).x AS x FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+        |      j -> {'i': j, 'x': CAST(floor(v[j] * 1000 + 0.5) AS BIGINT)}))
+        |      AS u
+        |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |          WHERE embedding IS NOT NULL) vv)
+        |), ids0 AS (
+        |  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::INT
+        |    AS cell
+        |  FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
+        |        ORDER BY vec_id LIMIT 4) kk
+        |), c0 AS MATERIALIZED (
+        |  SELECT ids0.cell, ex.i, ex.x * 1000 AS c
+        |  FROM ids0 JOIN ex USING (vec_id)
+        |), s1 AS (
+        |  SELECT ex.vec_id, c.cell,
+        |    2000 * sum(ex.x * c.c) - sum(c.c * c.c) AS key
+        |  FROM ex JOIN c0 c USING (i)
+        |  GROUP BY ex.vec_id, c.cell
+        |), a1 AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY key DESC, cell DESC) AS rn
+        |    FROM s1) rk
+        |  WHERE rn = 1
+        |), hv AS (
+        |  SELECT vec_id FROM (
+        |    SELECT vec_id, CAST(floor(v[1] * 1000 + 0.5) AS BIGINT) AS g1
+        |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |          WHERE embedding IS NOT NULL) q) h
+        |  WHERE g1 <= 0
+        |), cnt AS (
+        |  SELECT a1.cell, count(*)::BIGINT AS n_a,
+        |    sum(CASE WHEN hv.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_b
+        |  FROM a1 LEFT JOIN hv USING (vec_id)
+        |  GROUP BY a1.cell
+        |), tt AS (
+        |  SELECT sum(n_a)::BIGINT AS tot_a, sum(n_b)::BIGINT AS tot_b
+        |  FROM cnt
+        |), l AS (
+        |  SELECT cnt.cell, cnt.n_a, cnt.n_b,
+        |    abs(cnt.n_a * tt.tot_b - cnt.n_b * tt.tot_a)::BIGINT AS l1_num,
+        |    tt.tot_a, tt.tot_b
+        |  FROM cnt, tt
+        |), al AS (
+        |  SELECT CASE WHEN 20 * sum(l1_num) >= max(tot_a) * max(tot_b)
+        |              THEN 1 ELSE 0 END::BIGINT AS alarm
+        |  FROM l
+        |)
+        |SELECT l.cell::BIGINT AS cell, l.n_a, l.n_b, l.l1_num,
+        |  l.tot_a, l.tot_b, al.alarm,
+        |  1::BIGINT AS check_gate, 1::BIGINT AS dqdl_gate
+        |FROM l, al ORDER BY cell""".stripMargin
   )
 }

@@ -289,6 +289,19 @@ case class Check(
     addConstraint(Constraint("ItemFrequencyDriftConstraint",
       ItemFrequencyDrift(mgA, mgB), assertion, hint = hint))
 
+  /** Embedding-space population drift between two k-means cell-state
+    * snapshots joined on the cell key
+    * ([[graft.pipeline.Clustering.cellPopulationDrift]]): asserts on
+    * the population L1 distance Σ|n_a/tot_a − n_b/tot_b| ∈ [0, 2] —
+    * a ceiling catches a corpus whose embedding geometry shifted
+    * between crawls, from two KB-scale states, no corpus rescan.
+    */
+  def hasCellPopulationDrift(cellCol: String = "cell",
+      nA: String = "n_a", nB: String = "n_b")(
+      assertion: Double => Boolean, hint: Option[String] = None): Check =
+    addConstraint(Constraint("CellPopulationDriftConstraint",
+      CellPopulationDrift(cellCol, nA, nB), assertion, hint = hint))
+
   /** Quantile shift between two KLL state columns on one frame:
     * asserts on quantile_B(q) − quantile_A(q) of the folded sketches.
     */

@@ -272,6 +272,8 @@ object EvaluateDataQuality {
         rejectWhere(); DistinctCountRatio(param(0), param(1))
       case "manifestparity" =>
         rejectWhere(); ManifestParity(param(0), param(1))
+      case "cellpopulationdrift" =>
+        rejectWhere(); CellPopulationDrift(param(0), param(1), param(2))
       case other =>
         throw new DqdlTranslationException(s"Unknown analyzer type '$other'")
     }
@@ -424,6 +426,14 @@ object EvaluateDataQuality {
       case "manifestparity" =>
         rejectWhere()
         constraintN("ManifestParity", ManifestParity(param(0), param(1)))
+      // embedding-space population drift: the checked frame is two
+      // cell-state snapshots joined on the cell key
+      // (Clustering.cellPopulationDrift); the rule value is the
+      // population L1 distance in [0, 2]
+      case "cellpopulationdrift" =>
+        rejectWhere()
+        constraintN("CellPopulationDrift",
+          CellPopulationDrift(param(0), param(1), param(2)))
       // the whole drift-alarm loop as ONE rule: the ItemFrequencyDrift
       // metric's full repository history (oldest first) plus the value
       // computed on the data at hand, judged change-by-change — the rule

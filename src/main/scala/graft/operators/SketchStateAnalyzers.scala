@@ -355,3 +355,75 @@ case class ManifestParity(sideA: String = "a", sideB: String = "b")
       if (result.isNullAt(offset)) 0L else result.getLong(offset),
       result.getLong(offset + 1)))
 }
+
+/** Per-cell population census of two k-means cell-state snapshots —
+  * cell → (n_a, n_b) count pairs, a true Long monoid (counts ADD).
+  * Metric: the population L1 distance Σ_cell |n_a/tot_a − n_b/tot_b|
+  * in [0, 2] — 0 when the two snapshots distribute embeddings across
+  * the cells identically, 2 when they occupy disjoint cells. The L1
+  * form (not PSI) is deliberate: it needs no smoothing constant for
+  * empty cells and its integer numerator Σ|n_a·tot_b − n_b·tot_a| is
+  * exactly replayable by any engine (the PSI's per-cell ln() is not —
+  * the q102/q103 integer-grid lesson applied to the drift surface).
+  */
+case class CellPopDriftState(counts: Map[Int, (Long, Long)])
+    extends DoubleValuedState[CellPopDriftState] {
+  override def merge(other: CellPopDriftState): CellPopDriftState =
+    CellPopDriftState(
+      (counts.keySet ++ other.counts.keySet).iterator.map { c =>
+        val (a1, b1) = counts.getOrElse(c, (0L, 0L))
+        val (a2, b2) = other.counts.getOrElse(c, (0L, 0L))
+        c -> ((a1 + a2, b1 + b2))
+      }.toMap)
+  override def metricValue(): Double = {
+    val totA = counts.valuesIterator.map(_._1).sum
+    val totB = counts.valuesIterator.map(_._2).sum
+    if (totA == 0L && totB == 0L) return 0.0
+    // exact integer numerator, divided once — no per-cell float sums
+    val num = counts.valuesIterator.map { case (na, nb) =>
+      (BigInt(na) * totB - BigInt(nb) * totA).abs
+    }.sum
+    if (totA == 0L || totB == 0L) 2.0
+    else (BigDecimal(num) /
+      (BigDecimal(totA) * BigDecimal(totB))).toDouble
+  }
+}
+
+/** Embedding-space population drift on the constraint surface: the
+  * analyzed frame is two cell-state snapshots joined on the cell key
+  * ([[graft.pipeline.Clustering.cellPopulationDrift]] — `cell`, `n_a`,
+  * `n_b`; full-outer, a cell missing on one side counts 0 there), and
+  * the metric is the population L1 distance of the two snapshots'
+  * cell-occupancy distributions. Assert a ceiling
+  * (`Check.hasCellPopulationDrift`) to catch a corpus whose embedding
+  * geometry silently shifted between crawls — computed entirely from
+  * two KB-scale persisted states, the corpora never rescanned.
+  */
+case class CellPopulationDrift(
+    cellCol: String = "cell", nA: String = "n_a", nB: String = "n_b")
+    extends StandardScanShareableAnalyzer[CellPopDriftState](
+      "CellPopulationDrift", s"$cellCol:$nA,$nB", Entity.Multicolumn) {
+
+  override def preconditions: Seq[StructType => Unit] =
+    hasColumn(cellCol) :: hasColumn(nA) :: hasColumn(nB) :: Nil
+
+  override def aggregationFunctions(): Seq[Column] =
+    // cell states are k slim rows — a collected list IS the sufficient
+    // statistic, same size class as the k-row centroid collects
+    Seq(collect_list(struct(
+      col(cellCol).cast("int").as("c"),
+      coalesce(col(nA).cast("long"), lit(0L)).as("na"),
+      coalesce(col(nB).cast("long"), lit(0L)).as("nb"))))
+
+  override def fromAggregationResult(result: Row, offset: Int): Option[CellPopDriftState] =
+    if (result.isNullAt(offset)) None
+    else {
+      val rows = result.getSeq[Row](offset)
+      if (rows.isEmpty) None
+      // duplicate cell rows (a pre-joined frame fed twice) SUM, the
+      // monoid semantics — a plain toMap would silently drop counts
+      else Some(rows.iterator.map { r =>
+        CellPopDriftState(Map(r.getInt(0) -> ((r.getLong(1), r.getLong(2)))))
+      }.reduce(_ merge _))
+    }
+}

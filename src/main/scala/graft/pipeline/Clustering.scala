@@ -613,6 +613,44 @@ object Clustering {
           element_at(col("graft_ls"), 1),
           (acc, v) => zip_with(acc, v, (x, y) => x + y)).as("sums"))
 
+  /** Embedding-space population drift between two cell-state snapshots
+    * (the [[cellStateQuantized]] family, FIXED shared centroids): the
+    * per-cell occupancy census of both sides FULL OUTER joined on the
+    * cell key, with EXACT integer drift lanes —
+    *
+    *  - `n_a` / `n_b`: the cell's population in each snapshot (0 when
+    *    the cell is empty on that side);
+    *  - `tot_a` / `tot_b`: whole-snapshot totals (identical on every
+    *    row — they ride along so every row is self-contained);
+    *  - `l1_num`: |n_a·tot_b − n_b·tot_a| — the cell's contribution to
+    *    the population L1 distance at scale tot_a·tot_b.
+    *    Σ(l1_num)/(tot_a·tot_b) = Σ|n_a/tot_a − n_b/tot_b| ∈ [0, 2],
+    *    and any drift DECISION (alarm thresholds) can be taken on the
+    *    cross-multiplied integers — exact on every engine, the same
+    *    construction as the integer-grid contamination threshold.
+    *
+    * This is the q152 drift-report shape applied to embedding geometry:
+    * two persisted KB-scale states in, a k-row frame out, the corpora
+    * never rescanned. For the CONSTRAINT surface, feed this frame to
+    * [[graft.operators.CellPopulationDrift]]
+    * (`Check.hasCellPopulationDrift` / DQDL `CellPopulationDrift`).
+    */
+  def cellPopulationDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(col("cell"), col("n").as(s"n_$tag"))
+    val joined = side(a, "a").join(side(b, "b"), Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    // k-row inputs: the totals frame is 1 row and the join is a k×1
+    // broadcast — nothing here scales with the corpus behind the states
+    val totals = joined.agg(
+      sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("l1_num",
+        abs(col("n_a") * col("tot_b") - col("n_b") * col("tot_a")))
+  }
+
   /** Centroids from a (possibly merged) quantized state: the
     * [[lloydQuantized]] update rule — cq_i = floorDiv(m·Σvq_i, n),
     * empty/absent cells carry `previous`.

@@ -91,6 +91,67 @@ object DatasetManifest {
   def mergeManifests(a: DataFrame, b: DataFrame): DataFrame =
     foldManifests(a.unionByName(b))
 
+  /** Cross-release LINEAGE over an ordered chain of release manifests:
+    * for every shard, which release introduced each drift — answered
+    * from the manifests alone (KB-scale frames), no corpus read
+    * anywhere. Output: one row per (shard, release) TRANSITION where
+    * the shard's triple changed vs the previous release —
+    * `status` ∈ added/removed/changed plus two 0/1 lanes splitting the
+    * cause: `census_changed` (n_rows or id_sum moved — membership) and
+    * `content_changed` (content_fp moved — bytes). A shard absent from
+    * a middle release yields `removed` there and `added` where it
+    * reappears. Release ids must be strictly increasing; the first
+    * release is the baseline (no transition rows).
+    *
+    * Scale shape: manifests are thousands of rows at 100 TB and the
+    * release chain is tens long, so the dense (shard × release) grid
+    * this builds is ~10⁵ slim rows; the per-shard window orders a
+    * handful of rows per partition. Nothing here ever touches the
+    * datasets the manifests describe — that is the point.
+    */
+  def lineage(releases: Seq[(Long, DataFrame)]): DataFrame = {
+    require(releases.length >= 2, "lineage needs at least two releases")
+    require(releases.map(_._1) == releases.map(_._1).sorted &&
+      releases.map(_._1).distinct.length == releases.length,
+      "release ids must be strictly increasing")
+    val tagged = releases.map { case (rid, m) =>
+      m.select(lit(rid).as("release"), col("shard"), col("n_rows"),
+        col("id_sum"), col("content_fp"))
+    }.reduce(_ unionByName _)
+    // dense grid: every shard ever seen × every release, so absence is a
+    // comparable state (a LEFT-JOIN null), not a missing row the window
+    // would silently skip over
+    val grid = tagged.select(col("shard")).distinct()
+      .select(col("shard"),
+        explode(typedLit(releases.map(_._1))).as("release"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("release"))
+    val firstRelease = releases.head._1
+    val dense = grid.join(tagged, Seq("shard", "release"), "left_outer")
+      .withColumn("graft_prev_n", lag(col("n_rows"), 1).over(w))
+      .withColumn("graft_prev_ids", lag(col("id_sum"), 1).over(w))
+      .withColumn("graft_prev_fp", lag(col("content_fp"), 1).over(w))
+      .withColumn("graft_prev_present",
+        lag(col("n_rows").isNotNull, 1).over(w))
+    val present = col("n_rows").isNotNull
+    val censusMoved = !(col("n_rows") <=> col("graft_prev_n")) ||
+      !(col("id_sum") <=> col("graft_prev_ids"))
+    val contentMoved = !(col("content_fp") <=> col("graft_prev_fp"))
+    dense
+      .where(col("release") =!= firstRelease)
+      .withColumn("status",
+        when(present && !col("graft_prev_present"), "added")
+          .when(!present && col("graft_prev_present"), "removed")
+          .when(present && col("graft_prev_present") &&
+            (censusMoved || contentMoved), "changed"))
+      .where(col("status").isNotNull)
+      .select(col("shard"), col("release"), col("status"),
+        when(col("status") === "changed" && censusMoved, 1L).otherwise(0L)
+          .as("census_changed"),
+        when(col("status") === "changed" && contentMoved, 1L).otherwise(0L)
+          .as("content_changed"))
+  }
+
   /** Two manifests FULL OUTER joined on the shard key with `_a`/`_b`
     * suffixed census columns — the input shape of [[diff]] and of the
     * [[graft.operators.ManifestParity]] analyzer

@@ -1064,6 +1064,29 @@ object ScaleProbe {
         .drillDown(d, t, "doc_id", Seq("text"), 64, Seq(7L)).count()
     }
 
+    // r18 adversarial manifest shapes:
+    // (a) a columnar manifest with 100 content lanes — the lane-explosion
+    // failure mode; cost must track rows x lanes ONCE (one wide codegen
+    // projection + one shard aggregate), output stays 64 slim rows
+    val wideLaneCols = (0 until 100).map(i => s"c$i")
+    def manifestColumnarWideProbe(d: DataFrame): Long = {
+      val wide = d.select(col("doc_id") +: wideLaneCols.zipWithIndex.map {
+        case (c, i) => xxhash64(col("text"), lit(i)).cast("string").as(c)
+      }: _*)
+      graft.pipeline.DatasetManifest
+        .buildColumnar(wide, "doc_id", wideLaneCols, 64).count()
+    }
+    // (b) a drill-down where EVERY shard drifted — the restriction prunes
+    // nothing, so the path must degrade to ONE full row-census diff
+    // (linear in rows, like manifest_build), never anything quadratic
+    def manifestDrillAllProbe(d: DataFrame): Long = {
+      val t = d.withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit("X"))).otherwise(col("text")))
+      graft.pipeline.DatasetManifest
+        .drillDown(d, t, "doc_id", Seq("text"), 64, 0L until 64L).count()
+    }
+
     val resultsRelational = Seq(
       ("asof_join", timed(asofProbe(ev0)), timed(asofProbe(evX))),
       ("range_join", timed(rangeProbe(ev0)), timed(rangeProbe(evX))),
@@ -1121,7 +1144,13 @@ object ScaleProbe {
       ("manifest_build",
         timed(manifestBuildProbe(docs0)), timed(manifestBuildProbe(docsX))),
       ("manifest_drilldown",
-        timed(manifestDrillProbe(docs0)), timed(manifestDrillProbe(docsX))))
+        timed(manifestDrillProbe(docs0)), timed(manifestDrillProbe(docsX))),
+      ("manifest_columnar_wide",
+        timed(manifestColumnarWideProbe(docs0)),
+        timed(manifestColumnarWideProbe(docsX))),
+      ("manifest_drill_all_shards",
+        timed(manifestDrillAllProbe(docs0)),
+        timed(manifestDrillAllProbe(docsX))))
 
     val results = resultsHead ++ resultsTail ++ resultsRelational
     // the NB model's cached log-prob table is done after its rows
