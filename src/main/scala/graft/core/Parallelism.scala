@@ -31,6 +31,9 @@ object Parallelism {
     * CPU-heavy map, before the map.
     */
   def floor(df: DataFrame): DataFrame = {
+    // a streaming frame has no static partition count to inspect (and
+    // .rdd would throw); micro-batch parallelism is the source's concern
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (partitionEstimate(df, target) * 2 <= target) df.repartition(target)
     else df
