@@ -6935,6 +6935,69 @@ object SparkEntry {
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
       } finally rmTree(tmp)
+    }),
+
+    // q168: the embedding-drift ALARM LOOP — q154's repository pattern
+    // composed with q167's cell-population drift: four daily embedding
+    // snapshots (drop vec_id%31 == day — resample noise), each reduced
+    // to a cell state under FIXED shared centroids; consecutive-day
+    // CellPopulationDrift metrics recorded into a metrics repository;
+    // isNewestPointNonAnomalous judges the newest drift against
+    // history. Day 3 carries a deterministic SIGN-FLIP corruption
+    // (every embedding negated — the "upstream normalization flipped
+    // its convention" pipeline bug), which scatters vectors to opposite
+    // cells and must alarm under a ±0.012 absolute-change band
+    // (measured day-over-day change: clean <= 0.004, injected >= 0.029
+    // across the three SFs — >= 2.4x margins both sides). Hashed lanes
+    // are the exact integer L1 numerators and totals per pair; the
+    // float L1 values live only in engine-side flags.
+    "q168_embedding_drift_alarm" -> ((s, dir) => {
+      import graft.anomaly.AbsoluteChangeStrategy
+      import graft.checks.{Check, CheckLevel, CheckStatus, VerificationSuite}
+      import graft.operators.CellPopulationDrift
+      import graft.repository.{InMemoryMetricsRepository, ResultKey}
+      val emb = table(s, dir, "embeddings")
+      val init = Clustering.initMinIdQuantized(emb, "vec_id", "embedding", 4)
+      val valid = emb.where(col("embedding").isNotNull)
+      def day(i: Int): DataFrame = {
+        val base = valid.where(pmod(col("vec_id"), lit(31)) =!= i)
+        if (i < 3) base
+        else base.withColumn("embedding",
+          transform(col("embedding"), x => -x))
+      }
+      def st(i: Int): DataFrame =
+        Clustering.cellStateQuantized(day(i), "embedding", init)
+      val pairs = (0 until 3).map(i =>
+        Clustering.cellPopulationDrift(st(i), st(i + 1)).persist())
+      val lanes = pairs.zipWithIndex.map { case (p, i) =>
+        val t = p.agg(
+          coalesce(sum(col("l1_num")), lit(0L)),
+          max(col("tot_a")), max(col("tot_b"))).collect().head
+        (i + 1L, t.getLong(0), t.getLong(1), t.getLong(2))
+      }
+      val drift = CellPopulationDrift()
+      val repo = new InMemoryMetricsRepository
+      val strategy = AbsoluteChangeStrategy(Some(-0.012), Some(0.012))
+      repo.save(ResultKey(1L),
+        graft.runners.AnalysisRunner.run(pairs(0), Seq(drift)))
+      val cleanOk = VerificationSuite().onData(pairs(1))
+        .addCheck(Check(CheckLevel.Error, "embedding drift history")
+          .isNewestPointNonAnomalous(repo, strategy, drift))
+        .run().status == CheckStatus.Success
+      repo.save(ResultKey(2L),
+        graft.runners.AnalysisRunner.run(pairs(1), Seq(drift)))
+      val alarmOk = VerificationSuite().onData(pairs(2))
+        .addCheck(Check(CheckLevel.Error, "embedding drift history")
+          .isNewestPointNonAnomalous(repo, strategy, drift))
+        .run().status == CheckStatus.Error
+      pairs.foreach(_.unpersist(blocking = false))
+      import s.implicits._
+      lanes.map { case (pair, l1Num, totA, totB) =>
+        (pair, l1Num, totA, totB,
+          if (cleanOk) 1L else 0L, if (alarmOk) 1L else 0L)
+      }.toDF("pair", "l1_num_sum", "tot_a", "tot_b",
+        "clean_ok", "alarm_ok")
+        .orderBy(col("pair"))
     })
   )
 
@@ -13150,6 +13213,76 @@ object SparkEntry {
         |SELECT l.cell::BIGINT AS cell, l.n_a, l.n_b, l.l1_num,
         |  l.tot_a, l.tot_b, al.alarm,
         |  1::BIGINT AS check_gate, 1::BIGINT AS dqdl_gate
-        |FROM l, al ORDER BY cell""".stripMargin
+        |FROM l, al ORDER BY cell""".stripMargin,
+
+    // q168: assignments under BOTH the original and the negated grid
+    // vectors (xn = floor(-v*1000+0.5) — the same formula both engines
+    // apply to the negated values), four day counts, and the exact
+    // integer L1 lanes of the three consecutive-day pairs. The
+    // repository alarm flags are engine-side machinery pinned at 1
+    // (clean changes <= 0.004 vs the ±0.012 band vs injected >= 0.029).
+    "q168_embedding_drift_alarm" -> {
+      def dayCte(i: Int): String = {
+        val cellCol = if (i == 3) "cell_n" else "cell_p"
+        s"""d$i AS (
+           |  SELECT $cellCol AS cell, count(*)::BIGINT AS n FROM av
+           |  WHERE vec_id % 31 <> $i GROUP BY 1
+           |)""".stripMargin
+      }
+      def pairCte(n: Int, a: String, b: String): String =
+        s"""p$n AS (
+           |  SELECT $n::BIGINT AS pair,
+           |    sum(abs(coalesce(a.n, 0) * tb.t - coalesce(b.n, 0) * ta.t))
+           |      ::BIGINT AS l1_num_sum,
+           |    max(ta.t) AS tot_a, max(tb.t) AS tot_b
+           |  FROM $a a FULL JOIN $b b USING (cell),
+           |    (SELECT sum(n)::BIGINT AS t FROM $a) ta,
+           |    (SELECT sum(n)::BIGINT AS t FROM $b) tb
+           |)""".stripMargin
+      s"""WITH ex AS MATERIALIZED (
+         |  SELECT vec_id, (u).i AS i, (u).x AS x, (u).xn AS xn FROM (
+         |    SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+         |      j -> {'i': j, 'x': CAST(floor(v[j] * 1000 + 0.5) AS BIGINT),
+         |            'xn': CAST(floor(-v[j] * 1000 + 0.5) AS BIGINT)}))
+         |      AS u
+         |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |          WHERE embedding IS NOT NULL) vv)
+         |), ids0 AS (
+         |  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::INT
+         |    AS cell
+         |  FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
+         |        ORDER BY vec_id LIMIT 4) kk
+         |), c0 AS MATERIALIZED (
+         |  SELECT ids0.cell, ex.i, ex.x * 1000 AS c
+         |  FROM ids0 JOIN ex USING (vec_id)
+         |), s1 AS MATERIALIZED (
+         |  SELECT ex.vec_id, c.cell,
+         |    2000 * sum(ex.x * c.c) - sum(c.c * c.c) AS key,
+         |    2000 * sum(ex.xn * c.c) - sum(c.c * c.c) AS keyn
+         |  FROM ex JOIN c0 c USING (i)
+         |  GROUP BY ex.vec_id, c.cell
+         |), ap AS (
+         |  SELECT vec_id, cell AS cell_p FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY key DESC, cell DESC) AS rn
+         |    FROM s1) r WHERE rn = 1
+         |), an AS (
+         |  SELECT vec_id, cell AS cell_n FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY keyn DESC, cell DESC) AS rn
+         |    FROM s1) r WHERE rn = 1
+         |), av AS MATERIALIZED (
+         |  SELECT ap.vec_id, ap.cell_p, an.cell_n
+         |  FROM ap JOIN an USING (vec_id)
+         |), ${dayCte(0)}, ${dayCte(1)}, ${dayCte(2)}, ${dayCte(3)},
+         |${pairCte(1, "d0", "d1")},
+         |${pairCte(2, "d1", "d2")},
+         |${pairCte(3, "d2", "d3")}
+         |SELECT pair, l1_num_sum, tot_a, tot_b,
+         |  1::BIGINT AS clean_ok, 1::BIGINT AS alarm_ok
+         |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+         |      UNION ALL SELECT * FROM p3) u
+         |ORDER BY pair""".stripMargin
+    }
   )
 }
