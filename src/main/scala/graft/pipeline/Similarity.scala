@@ -1623,9 +1623,14 @@ object Similarity {
     val n2vQ = graft.expressions.GraftFunctions
       .dot_long(col("graft_vq"), col("graft_vq"))
     // one comparison per row enforces the 2^53 exactness envelope; the
-    // raise_error branch is dead code on any in-envelope corpus (unit-norm
-    // grid vectors sit ~9x under the default bound)
-    val n2vChecked = when(col(vecCol).isNull || n2vQ <= lit(n2vBound), n2vQ)
+    // raise_error branch is dead code on any in-envelope corpus
+    // (unit-norm grid vectors sit ~9x under the default bound). The
+    // check REFERENCES the already-named n2v column instead of
+    // re-inlining the norm fold into the condition — the inlined form
+    // computed the 64-element dot twice per row (measured ~2.9x on the
+    // q103 scan, the same expression-shape lesson as the probe loop).
+    val n2vChecked = when(
+      col(vecCol).isNull || col("n2v") <= lit(n2vBound), col("n2v"))
       .otherwise(raise_error(concat(
         lit("decontaminateByEmbeddingGrid: corpus vector outside the " +
           s"integer exactness envelope (|vq|^2 > $n2vBound; " +
@@ -1633,6 +1638,7 @@ object Similarity {
         col(idCol).cast("string"))).cast(LongType))
     val withBest = corpus
       .withColumn("graft_vq", Clustering.quantizeVec(col(vecCol), scale))
+      .withColumn("n2v", n2vQ)
       .withColumn("n2v", n2vChecked)
       .withColumn("graft_best", array_max(scoredCol))
     val best = col("graft_best")

@@ -694,9 +694,11 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
   "the parallelism floor" should {
     // the q104/r17 defect class: a single small parquet file scans as ONE
     // partition, and a CPU-heavy map persisted off it serializes the whole
-    // corpus into one task. The floor must restore defaultParallelism-wide
-    // plans for those — and must be a NO-OP for healthy inputs (a real
-    // 100 TB scan never pays an extra corpus shuffle).
+    // corpus into one task. The floor must spread those plans — SCALED BY
+    // SOURCE BYTES (~64 KB/task, capped at defaultParallelism), so a
+    // KB-sized frame stays narrow (measured: blanket 32-way repartition of
+    // tiny frames taxed signature pipelines 30-60%) — and must be a NO-OP
+    // for healthy inputs (a real 100 TB scan never pays a corpus shuffle).
     lazy val tinyDir = {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-planaudit-floor").toString
@@ -707,9 +709,31 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
         .coalesce(1).write.mode("overwrite").parquet(dir)
       dir
     }
+    // big enough that rawBytes >= defaultParallelism * BytesPerTask even
+    // compressed: index-seeded alphanumeric noise defeats snappy
+    lazy val midDir = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-planaudit-floor-mid").toString
+      val s = spark
+      import s.implicits._
+      def noise(seed: Int): String = {
+        val rnd = new scala.util.Random(seed)
+        val sb = new StringBuilder
+        var w = 0
+        while (w < 300) { // ~2 KB of incompressible words per row
+          sb.append(rnd.alphanumeric.take(6).mkString).append(' ')
+          w += 1
+        }
+        sb.toString
+      }
+      Seq.tabulate(400)(i => (i.toLong, s"${noise(i)}\n\npara two of ${noise(i + 100000)}"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    }
 
-    "run the tokenize+MinHash signature map at >= defaultParallelism tasks over a 1-partition scan" in {
-      val docs = spark.read.parquet(tinyDir)
+    "run the tokenize+MinHash signature map at >= defaultParallelism tasks over a 1-partition scan of a big-enough file" in {
+      val docs = spark.read.parquet(midDir)
       val target = spark.sparkContext.defaultParallelism
       docs.rdd.getNumPartitions shouldBe 1 // the degenerate premise
       val occ = graft.pipeline.Dedup.paragraphOccurrences(docs, "doc_id", "text")
@@ -717,6 +741,17 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
       sigs.rdd.getNumPartitions should be >= target
       // and the result is unaffected by the exchange
       sigs.count() shouldBe occ.count()
+    }
+
+    "leave a KB-sized frame narrow (size-scaled target, not blanket width)" in {
+      val docs = spark.read.parquet(tinyDir)
+      docs.rdd.getNumPartitions shouldBe 1
+      // raw bytes of the tiny file are a few KB -> target rounds to 1-2
+      // partitions and the floor stays un-armed: no exchange at all
+      val floored = graft.core.Parallelism.floor(docs)
+      floored.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+      }.length shouldBe 0
     }
 
     "be a no-op for an input already at or above defaultParallelism" in {
@@ -733,8 +768,8 @@ class PlanAuditSpec extends AnyWordSpec with Matchers with SparkSpec {
     "size pure file scans plan-time (no RDD build) and declared repartitions by their count" in {
       val cores = spark.sparkContext.defaultParallelism
       // the file estimate replicates FilePartition sizing — for a KB-sized
-      // single file it lands within a couple of open-cost quanta of 1, and
-      // any value in that band keeps the floor armed (estimate*2 <= cores)
+      // single file it lands within a couple of open-cost quanta of 1
+      // (arming now compares against the size-scaled target, not cores)
       val est = graft.core.Parallelism.partitionEstimate(
         spark.read.parquet(tinyDir), cores)
       est should be >= 1L
