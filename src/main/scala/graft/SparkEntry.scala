@@ -378,7 +378,14 @@ object SparkEntry {
         "intdiv_double_envelope" ->
           scalarLong(((lit(9007199254740991L) -
             pmod(lit(9007199254740991L), lit(999L))) / lit(999L))
-            .cast(LongType)))
+            .cast(LongType)),
+        // r18: the curriculum permutation's xorshift pre-mix
+        // (x XOR (x >> 15)) — pins BOTH engines' xor and arithmetic
+        // right-shift on non-negative BIGINTs (q169)
+        "xorshift_mix" ->
+          scalarLong(lit(1234567891L)
+            .bitwiseXOR(org.apache.spark.sql.functions
+              .shiftright(lit(1234567891L), 15))))
       rows.toDF("construct", "value").orderBy(col("construct"))
     }),
 
@@ -6998,6 +7005,28 @@ object SparkEntry {
       }.toDF("pair", "l1_num_sum", "tot_a", "tot_b",
         "clean_ok", "alarm_ok")
         .orderBy(col("pair"))
+    }),
+
+    // q169: deterministic training-order CURRICULUM — per-epoch document
+    // order derived from (id, epoch) alone (xorshift pre-mix + per-epoch
+    // affine keys mod the Mersenne prime 2^31−1 with MINSTD-power
+    // multipliers, shard = high key bits, total order = key·2^31 +
+    // id-residue), so any worker reconstructs any slice of any epoch
+    // with no RNG state and no partition-order dependence.
+    // The audit is the release gate's view: per (epoch, shard, source)
+    // — exact doc counts (every shard a representative mix, every
+    // epoch), the exact key span, and the ord-minimal first_doc as a
+    // hash-pinnable witness that the ORDER itself reproduces. One
+    // corpus scan (epoch fan-out is a narrow explode), map-side partial
+    // aggregation, output rows corpus-size-independent.
+    "q169_curriculum_order" -> ((s, dir) => {
+      import graft.pipeline.Mixing
+      Mixing.curriculumAudit(
+        table(s, dir, "documents"), "doc_id", "source",
+        epochs = 2, nShards = 8)
+        .select(col("epoch"), col("shard"), col("source"),
+          col("n_docs"), col("min_key"), col("max_key"), col("first_doc"))
+        .orderBy(col("epoch"), col("shard"), col("source"))
     })
   )
 
@@ -7366,7 +7395,9 @@ object SparkEntry {
         |UNION ALL SELECT 'floordiv_neg_canon',
         |  CAST((-7 - ((-7 % 3) + 3) % 3) / 3 AS BIGINT)
         |UNION ALL SELECT 'intdiv_double_envelope',
-        |  CAST((9007199254740991 - 9007199254740991 % 999) / 999 AS BIGINT)""".stripMargin,
+        |  CAST((9007199254740991 - 9007199254740991 % 999) / 999 AS BIGINT)
+        |UNION ALL SELECT 'xorshift_mix',
+        |  CAST(xor(1234567891, 1234567891 >> 15) AS BIGINT)""".stripMargin,
 
     "q01_size" ->
       """SELECT count(*)::DOUBLE AS size_all,
@@ -13283,6 +13314,37 @@ object SparkEntry {
          |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
          |      UNION ALL SELECT * FROM p3) u
          |ORDER BY pair""".stripMargin
+    },
+
+    // q169: pure-integer permutation keys — exact in any engine. The
+    // per-epoch (mul, add) constants and the engine columns are BOTH
+    // generated from Mixing.curriculumConstants, so the replays cannot
+    // drift; the xorshift pre-mix replays as xor(x, x >> 15) and the
+    // high-bit shard as BIGINT floor-div (all values non-negative,
+    // everything under 2^62).
+    "q169_curriculum_order" -> {
+      val consts = graft.pipeline.Mixing.curriculumConstants(2)
+        .map { case (e, a, b) =>
+          s"(CAST($e AS BIGINT), CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+        .mkString(", ")
+      val p = graft.pipeline.Mixing.CurriculumP
+      val w = (p + 7) / 8 // nShards = 8
+      s"""WITH e AS (SELECT * FROM (VALUES $consts) t(epoch, mul, add)),
+         |a AS (
+         |  SELECT e.epoch, d.doc_id, d.source,
+         |    (e.mul * xor(d.doc_id % $p, (d.doc_id % $p) >> 15)
+         |      + e.add) % $p AS sort_key
+         |  FROM documents d CROSS JOIN e
+         |  WHERE d.doc_id IS NOT NULL)
+         |SELECT epoch, sort_key // $w AS shard, source,
+         |  count(*) AS n_docs,
+         |  min(sort_key) AS min_key,
+         |  max(sort_key) AS max_key,
+         |  min_by(doc_id,
+         |    sort_key * 2147483648 + (doc_id % $p)) AS first_doc
+         |FROM a
+         |GROUP BY 1, 2, 3
+         |ORDER BY epoch, shard, source""".stripMargin
     }
   )
 }

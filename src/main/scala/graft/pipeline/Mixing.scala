@@ -524,4 +524,131 @@ object Mixing {
       ()
     }
   }
+
+  // -- deterministic training-order curriculum (epoch shuffle) ---------------
+
+  /** Modulus for the curriculum permutation keys: 2^31 − 1 (Mersenne
+    * prime). Prime so every non-zero multiplier is invertible — each
+    * epoch's affine stage is a bijection on [0, p) and ids never
+    * collapse onto one key by the arithmetic itself.
+    */
+  val CurriculumP: Long = 2147483647L
+
+  /** MINSTD generator — epoch `e`'s multiplier is `MulA^(e+1) mod p`, a
+    * full-size (~p) pseudo-random constant per epoch, so consecutive
+    * epochs draw unrelated permutations. A SMALL multiplier here is a
+    * real defect, not a style choice: with `a = 48272` the key map of
+    * consecutive ids is locally monotonic (no shuffle at all for id
+    * ranges under p/a) — caught by MixingSpec's distinct-permutation
+    * case. */
+  val CurriculumMulA: Long = 48271L
+
+  /** Knuth's 2^32 golden-ratio constant reduced mod [[CurriculumP]];
+    * scaled by the epoch it decorrelates the additive lane. */
+  val CurriculumAddB: Long = 2654435761L % 2147483647L
+
+  /** The per-epoch affine constants, one row per epoch `e` in
+    * `[1, epochs]`: `(e, MulA^(e+1) mod p, AddB·e mod p)`. Driver-side
+    * BigInt powmod — the engine columns and the oracle SQL are BOTH
+    * generated from this one sequence, so the two replays cannot
+    * drift. */
+  def curriculumConstants(epochs: Int): Seq[(Long, Long, Long)] =
+    (1 to epochs).map { e =>
+      val a = BigInt(CurriculumMulA)
+        .modPow(BigInt(e + 1), BigInt(CurriculumP)).toLong
+      val b = (BigInt(CurriculumAddB) * e % BigInt(CurriculumP)).toLong
+      (e.toLong, a, b)
+    }
+
+  /** Per-row, per-epoch deterministic training order. Each epoch `e`
+    * ranks every document by
+    * `key = (mul_e · mix(id mod p) + add_e) mod p` where
+    * `mix(x) = x XOR (x >> 15)` (an xorshift pre-mix — breaks the
+    * id-locality a bare affine map preserves) and `(mul_e, add_e)` come
+    * from [[curriculumConstants]]; lands it in shard
+    * `key div ceil(p/nShards)` (HIGH key bits — low-bit `mod` inherits
+    * any common factor between a multiplier and the shard count, which
+    * once put an entire epoch in one shard); and totally orders it by
+    * `ord = key·2^31 + (id mod p)` (unique per epoch while ids are
+    * distinct mod p — the id lane breaks exact key ties
+    * deterministically). Pure integer expressions, exact in any
+    * engine: a re-run, another cluster, or the DuckDB oracle
+    * reproduces every position bit-for-bit; no RNG state or
+    * partition-order dependence — the property [[sampleHash]] gives
+    * keep/drop decisions, extended to a total order.
+    *
+    * Why an engine needs this: training wants a different document
+    * order every epoch, but a SHUFFLED-ONCE corpus re-read N times
+    * repeats its order and a runtime `rand()` shuffle is neither
+    * reproducible nor resumable. Deriving epoch order from (id, epoch)
+    * alone means any worker can reconstruct any slice of any epoch
+    * independently — the property loaders like webdataset/Megatron
+    * sample-index builders rely on.
+    *
+    * Scale shape: ONE corpus scan; the epoch fan-out is a narrow
+    * `explode(sequence(…))` (no join, no second scan), every key is a
+    * map-side expression, and the arithmetic stays under 2^62
+    * everywhere on the Long lane (multiplier < p < 2^31, mixed residue
+    * < 2^31, `ord` < 2^62) — no overflow. Writing the actual epoch
+    * files is `repartition(epoch, shard)` + `sortWithinPartitions(ord)`
+    * on top of this frame; the audit over it is [[curriculumAudit]].
+    *
+    * Output: the input columns plus `epoch`, `sort_key`, `shard`,
+    * `ord`. Null ids are dropped (a keyless row has no deterministic
+    * position by construction).
+    */
+  def curriculumAssign(
+      df: DataFrame,
+      idCol: String,
+      epochs: Int,
+      nShards: Int): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(epochs <= 10000,
+      s"epochs=$epochs — the constants table is a literal array column; "
+        + "thousands of epochs is a misuse of the API")
+    val consts = curriculumConstants(epochs)
+    val mulArr = typedLit(consts.map(_._2))
+    val addArr = typedLit(consts.map(_._3))
+    val shardWidth = (CurriculumP + nShards - 1) / nShards
+    val p = lit(CurriculumP)
+    val idm = pmod(col(idCol).cast(LongType), p)
+    val mixed = idm.bitwiseXOR(shiftright(idm, 15))
+    val key = col("sort_key")
+    df.where(col(idCol).isNotNull)
+      .withColumn("epoch", explode(sequence(lit(1L), lit(epochs.toLong))))
+      .withColumn("sort_key",
+        pmod(element_at(mulArr, col("epoch").cast("int")) * mixed
+          + element_at(addArr, col("epoch").cast("int")), p))
+      // exact floor-div of non-negatives: key − (key mod w) is an exact
+      // integer multiple ≤ key < 2^53, so the double quotient is exact
+      .withColumn("shard",
+        ((key - pmod(key, lit(shardWidth))) / lit(shardWidth))
+          .cast(LongType))
+      .withColumn("ord", key * lit(1L << 31) + idm)
+  }
+
+  /** The curriculum audit a release gate reads: per (epoch, shard,
+    * stratum) — `n_docs` (is every shard a representative mix of every
+    * stratum, every epoch?), the exact `min_key`/`max_key` span, and
+    * `first_doc` = the id that leads the (epoch, shard, stratum) slice
+    * in training order (`min_by` over the total-order `ord` lane — a
+    * deterministic, hash-pinnable witness that the ORDER itself, not
+    * just the membership, is reproducible). One `groupBy` with
+    * map-side partial aggregation; output rows = epochs · nShards ·
+    * |strata|, corpus-size-independent.
+    */
+  def curriculumAudit(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      epochs: Int,
+      nShards: Int): DataFrame =
+    curriculumAssign(df, idCol, epochs, nShards)
+      .groupBy(col("epoch"), col("shard"), col(stratumCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("sort_key")).as("min_key"),
+        max(col("sort_key")).as("max_key"),
+        min_by(col(idCol), col("ord")).as("first_doc"))
 }

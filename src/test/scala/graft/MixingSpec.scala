@@ -367,4 +367,99 @@ class MixingSpec extends AnyWordSpec with Matchers with SparkSpec {
       }
     }
   }
+
+  "curriculum shuffle" should {
+    def docs = {
+      val s = spark
+      import s.implicits._
+      (0L until 800L).map(i => (i, s"src${i % 5}")).toDF("doc_id", "source")
+    }
+
+    /** Local replay of the key arithmetic — the oracle's view. */
+    def localKey(epoch: Int, id: Long): Long = {
+      val (_, a, b) = Mixing.curriculumConstants(epoch)(epoch - 1)
+      val idm = id % Mixing.CurriculumP
+      (a * (idm ^ (idm >> 15)) + b) % Mixing.CurriculumP
+    }
+
+    "reproduce every key, shard, and ord bit-for-bit from (id, epoch)" in {
+      val shardWidth = (Mixing.CurriculumP + 7) / 8
+      val out = Mixing.curriculumAssign(docs, "doc_id", epochs = 2, nShards = 8)
+        .select("doc_id", "epoch", "sort_key", "shard", "ord")
+        .collect()
+      out should have length 1600
+      out.foreach { r =>
+        val (id, e) = (r.getLong(0), r.getLong(1))
+        val k = localKey(e.toInt, id)
+        r.getLong(2) shouldBe k
+        r.getLong(3) shouldBe k / shardWidth
+        r.getLong(4) shouldBe k * (1L << 31) + (id % Mixing.CurriculumP)
+      }
+    }
+
+    "give every epoch a distinct permutation with unique ord positions" in {
+      val out = Mixing.curriculumAssign(docs, "doc_id", epochs = 3, nShards = 8)
+        .select("epoch", "doc_id", "ord").collect()
+        .groupBy(_.getLong(0))
+        .map { case (e, rs) => e -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+      out.values.foreach(m => m.values.toSet.size shouldBe m.size) // unique ord
+      // the epoch-2 order of any two docs disagrees with epoch 1 somewhere
+      val ids = (0L until 800L).toSeq
+      def order(e: Long) = ids.sortBy(out(e))
+      order(1L) should not equal order(2L)
+      order(2L) should not equal order(3L)
+    }
+
+    "spread every stratum across every shard, every epoch (the audit)" in {
+      val audit = Mixing.curriculumAudit(
+        docs, "doc_id", "source", epochs = 2, nShards = 8).collect()
+      audit should have length (2 * 8 * 5)
+      val counts = audit.map(_.getLong(3))
+      all(counts) should be >= 5L   // 20 expected; >3σ band — the mixer
+      all(counts) should be <= 45L  // must leave no empty/hot cell
+      // first_doc really is the ord-minimal member of its slice
+      val byKey = Mixing.curriculumAssign(docs, "doc_id", 2, 8)
+        .select("epoch", "shard", "source", "doc_id", "ord").collect()
+        .groupBy(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      audit.foreach { r =>
+        val slice = byKey((r.getLong(0), r.getLong(1), r.getString(2)))
+        r.getLong(6) shouldBe slice.minBy(_.getLong(4)).getLong(3)
+      }
+    }
+
+    "fan out epochs from ONE scan with no join and no window" in {
+      val s = spark
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-curriculum-plan").toString
+      try {
+        docs.write.mode("overwrite").parquet(dir)
+        val audit = Mixing.curriculumAudit(
+          s.read.parquet(dir), "doc_id", "source", epochs = 4, nShards = 8)
+        audit.count()
+        val plan = audit.queryExecution.executedPlan.toString()
+        plan.linesIterator.count(_.contains("FileScan")) shouldBe 1
+        plan should not include "Join"
+        plan should not include "Window"
+        plan should include("partial_count") // map-side combine
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        ()
+      }
+    }
+
+    "drop null ids and reject bad parameters" in {
+      val s = spark
+      import s.implicits._
+      val withNull = Seq(Some(1L), None, Some(2L))
+        .map(Tuple1(_)).toDF("doc_id")
+      Mixing.curriculumAssign(withNull, "doc_id", 1, 4)
+        .count() shouldBe 2L
+      intercept[IllegalArgumentException] {
+        Mixing.curriculumAssign(docs, "doc_id", 0, 4)
+      }
+      intercept[IllegalArgumentException] {
+        Mixing.curriculumAssign(docs, "doc_id", 1, 0)
+      }
+    }
+  }
 }
