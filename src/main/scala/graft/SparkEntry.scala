@@ -7027,6 +7027,77 @@ object SparkEntry {
         .select(col("epoch"), col("shard"), col("source"),
           col("n_docs"), col("min_key"), col("max_key"), col("first_doc"))
         .orderBy(col("epoch"), col("shard"), col("source"))
+    }),
+
+    // q170: the lineage family's STREAMING twin — the q166 release
+    // chain arriving as a live multi-release stream. Six input files
+    // each slice ALL FOUR releases by doc_id residue, so every trigger
+    // carries fragments of several releases at once; the per-batch
+    // state is the keyed (release, shard) manifest monoid
+    // (DatasetManifest.buildKeyed), parts fold at read
+    // (foldKeyedManifests), and lineageFromKeyed answers "which release
+    // introduced this shard's drift" from the folded state alone —
+    // corpus scanned exactly once, at ingest. The engine pins streamed
+    // == one-shot lineage AND post-compaction == one-shot as set
+    // equality (exact integer/string lanes — no tolerance), surfaced as
+    // the two flag columns the oracle expects at 1.
+    "q170_streaming_lineage" -> ((s, dir) => {
+      import graft.pipeline.DatasetManifest
+      import graft.streaming.StreamingOps
+      val base = table(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"))
+      val r2 = base.withColumn("text",
+        when(col("doc_id") === 7, concat(col("text"), lit("X")))
+          .otherwise(col("text")))
+      val r3 = r2.where(col("doc_id") =!= 20)
+        .unionByName(r2.where(col("doc_id") === 33))
+      val r4 = r3.withColumn("text",
+        when(col("doc_id") === 23, concat(lit("Y"), col("text")))
+          .otherwise(col("text")))
+      val chain = Seq(1L -> base, 2L -> r2, 3L -> r3, 4L -> r4)
+      val tagged = chain.map { case (rid, df) =>
+        df.withColumn("release", lit(rid))
+      }.reduce(_ unionByName _)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q170").toString
+      try {
+        (0 until 6).foreach { p =>
+          tagged.where(pmod(col("doc_id"), lit(6)) === p)
+            .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+        }
+        val ingest = new StreamingOps.SketchStateIngest(s"$tmp/m",
+          b => DatasetManifest.buildKeyed(
+            b, "release", "doc_id", Seq("source", "text"), shards = 16),
+          parts => DatasetManifest.foldKeyedManifests(parts))
+        val query = s.readStream.schema(tagged.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+          .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch(ingest.asForeachBatch()).start()
+        try query.processAllAvailable() finally query.stop()
+        val streamed = DatasetManifest
+          .lineageFromKeyed(ingest.state(s)).persist()
+        val oneShot = DatasetManifest.lineage(chain.map { case (rid, df) =>
+          rid -> DatasetManifest.build(
+            df, "doc_id", Seq("source", "text"), shards = 16)
+        }).persist()
+        def setEq(a: DataFrame, b: DataFrame): Boolean =
+          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        val streamedOk = setEq(streamed, oneShot)
+        ingest.compact(s)
+        val compactedOk =
+          setEq(DatasetManifest.lineageFromKeyed(ingest.state(s)), oneShot)
+        val out = streamed
+          .withColumn("streamed_eq_oneshot",
+            lit(if (streamedOk) 1L else 0L))
+          .withColumn("compacted_eq_oneshot",
+            lit(if (compactedOk) 1L else 0L))
+          .orderBy(col("shard"), col("release"))
+        val materialized = out.collect()
+        streamed.unpersist(blocking = false)
+        oneShot.unpersist(blocking = false)
+        s.createDataFrame(
+          java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
     })
   )
 
@@ -7339,6 +7410,79 @@ object SparkEntry {
        |SELECT pc.cell, pc.n, pc.id_sum, pc.inertia_num,
        |  tp.top_label, tp.top_label_n
        |FROM pc JOIN tp USING (cell)""".stripMargin
+  }
+
+  /** The q166/q170 lineage oracle: the four staged releases rebuilt in
+    * SQL, each reduced to the same md5/XOR 16-shard manifest as the
+    * engine, then three pairwise FULL-OUTER manifest diffs tagged with
+    * the introducing release — the SQL form of the lineage window
+    * (equivalent because a dense per-shard timeline's consecutive-row
+    * comparison IS the chain of pairwise release diffs). q170 adds the
+    * two streaming-parity flag lanes, pinned 1: the engine asserts
+    * streamed == one-shot == post-compaction set equality itself.
+    */
+  private def lineageOracleSql(withStreamFlags: Boolean): String = {
+    def manifestCte(name: String, src: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT doc_id % 16 AS shard, count(*) AS n_rows,
+         |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |    bit_xor(CAST(('0x' || substr(md5(concat_ws(chr(31),
+         |      CAST(doc_id AS VARCHAR),
+         |      coalesce(CAST(source AS VARCHAR), chr(1) || 'NULL'),
+         |      coalesce(text, chr(1) || 'NULL'))), 1, 15)) AS BIGINT))
+         |      AS content_fp
+         |  FROM $src GROUP BY shard
+         |)""".stripMargin
+    def transitionSelect(a: String, b: String, rel: Int): String =
+      s"""SELECT coalesce(a.shard, b.shard) AS shard,
+         |    $rel::BIGINT AS release,
+         |    CASE WHEN b.shard IS NULL THEN 'removed'
+         |         WHEN a.shard IS NULL THEN 'added'
+         |         WHEN a.n_rows IS DISTINCT FROM b.n_rows
+         |           OR a.id_sum IS DISTINCT FROM b.id_sum
+         |           OR a.content_fp IS DISTINCT FROM b.content_fp
+         |           THEN 'changed' END AS status,
+         |    CASE WHEN a.shard IS NOT NULL AND b.shard IS NOT NULL
+         |           AND (a.n_rows IS DISTINCT FROM b.n_rows
+         |                OR a.id_sum IS DISTINCT FROM b.id_sum)
+         |         THEN 1 ELSE 0 END::BIGINT AS census_changed,
+         |    CASE WHEN a.shard IS NOT NULL AND b.shard IS NOT NULL
+         |           AND a.content_fp IS DISTINCT FROM b.content_fp
+         |         THEN 1 ELSE 0 END::BIGINT AS content_changed
+         |  FROM $a a FULL JOIN $b b ON a.shard = b.shard""".stripMargin
+    val flagCols =
+      if (withStreamFlags)
+        ",\n  1::BIGINT AS streamed_eq_oneshot," +
+          "\n  1::BIGINT AS compacted_eq_oneshot"
+      else ""
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE doc_id IS NOT NULL
+       |), r2 AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id = 7 THEN text || 'X' ELSE text END AS text
+       |  FROM d
+       |), r3 AS (
+       |  SELECT * FROM r2 WHERE doc_id <> 20
+       |  UNION ALL SELECT * FROM r2 WHERE doc_id = 33
+       |), r4 AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id = 23 THEN 'Y' || text ELSE text END AS text
+       |  FROM r3
+       |), ${manifestCte("m1", "d")},
+       |${manifestCte("m2", "r2")},
+       |${manifestCte("m3", "r3")},
+       |${manifestCte("m4", "r4")},
+       |tr AS (
+       |  ${transitionSelect("m1", "m2", 2)}
+       |  UNION ALL
+       |  ${transitionSelect("m2", "m3", 3)}
+       |  UNION ALL
+       |  ${transitionSelect("m3", "m4", 4)}
+       |)
+       |SELECT shard, release, status, census_changed, content_changed$flagCols
+       |FROM tr WHERE status IS NOT NULL
+       |ORDER BY shard, release""".stripMargin
   }
 
   // q136 runs the PUBLIC Curation.pipeline builder over exactly the
@@ -13123,65 +13267,12 @@ object SparkEntry {
     // FULL-OUTER manifest diffs tagged with the introducing release —
     // the SQL form of the lineage window (equivalent because a dense
     // per-shard timeline's consecutive-row comparison IS the chain of
-    // pairwise release diffs).
-    "q166_manifest_lineage" -> {
-      def manifestCte(name: String, src: String): String =
-        s"""$name AS MATERIALIZED (
-           |  SELECT doc_id % 16 AS shard, count(*) AS n_rows,
-           |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
-           |    bit_xor(CAST(('0x' || substr(md5(concat_ws(chr(31),
-           |      CAST(doc_id AS VARCHAR),
-           |      coalesce(CAST(source AS VARCHAR), chr(1) || 'NULL'),
-           |      coalesce(text, chr(1) || 'NULL'))), 1, 15)) AS BIGINT))
-           |      AS content_fp
-           |  FROM $src GROUP BY shard
-           |)""".stripMargin
-      def transitionSelect(a: String, b: String, rel: Int): String =
-        s"""SELECT coalesce(a.shard, b.shard) AS shard,
-           |    $rel::BIGINT AS release,
-           |    CASE WHEN b.shard IS NULL THEN 'removed'
-           |         WHEN a.shard IS NULL THEN 'added'
-           |         WHEN a.n_rows IS DISTINCT FROM b.n_rows
-           |           OR a.id_sum IS DISTINCT FROM b.id_sum
-           |           OR a.content_fp IS DISTINCT FROM b.content_fp
-           |           THEN 'changed' END AS status,
-           |    CASE WHEN a.shard IS NOT NULL AND b.shard IS NOT NULL
-           |           AND (a.n_rows IS DISTINCT FROM b.n_rows
-           |                OR a.id_sum IS DISTINCT FROM b.id_sum)
-           |         THEN 1 ELSE 0 END::BIGINT AS census_changed,
-           |    CASE WHEN a.shard IS NOT NULL AND b.shard IS NOT NULL
-           |           AND a.content_fp IS DISTINCT FROM b.content_fp
-           |         THEN 1 ELSE 0 END::BIGINT AS content_changed
-           |  FROM $a a FULL JOIN $b b ON a.shard = b.shard""".stripMargin
-      s"""WITH d AS (
-         |  SELECT doc_id, source, text FROM documents
-         |  WHERE doc_id IS NOT NULL
-         |), r2 AS (
-         |  SELECT doc_id, source,
-         |    CASE WHEN doc_id = 7 THEN text || 'X' ELSE text END AS text
-         |  FROM d
-         |), r3 AS (
-         |  SELECT * FROM r2 WHERE doc_id <> 20
-         |  UNION ALL SELECT * FROM r2 WHERE doc_id = 33
-         |), r4 AS (
-         |  SELECT doc_id, source,
-         |    CASE WHEN doc_id = 23 THEN 'Y' || text ELSE text END AS text
-         |  FROM r3
-         |), ${manifestCte("m1", "d")},
-         |${manifestCte("m2", "r2")},
-         |${manifestCte("m3", "r3")},
-         |${manifestCte("m4", "r4")},
-         |tr AS (
-         |  ${transitionSelect("m1", "m2", 2)}
-         |  UNION ALL
-         |  ${transitionSelect("m2", "m3", 3)}
-         |  UNION ALL
-         |  ${transitionSelect("m3", "m4", 4)}
-         |)
-         |SELECT shard, release, status, census_changed, content_changed
-         |FROM tr WHERE status IS NOT NULL
-         |ORDER BY shard, release""".stripMargin
-    },
+    // pairwise release diffs). The same chain backs q170 (the streaming
+    // twin): its engine result is pinned equal to the one-shot lineage
+    // by construction, so the oracle only adds the two 0/1 parity flags.
+    "q166_manifest_lineage" -> lineageOracleSql(withStreamFlags = false),
+
+    "q170_streaming_lineage" -> lineageOracleSql(withStreamFlags = true),
 
     // q167: the q107 assignment replay (same grid, same integer keys),
     // then per-cell counts of the full corpus vs the non-positive-

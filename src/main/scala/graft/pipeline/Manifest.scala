@@ -91,6 +91,57 @@ object DatasetManifest {
   def mergeManifests(a: DataFrame, b: DataFrame): DataFrame =
     foldManifests(a.unionByName(b))
 
+  /** Per-(release, shard) manifest of a frame whose rows carry a release
+    * tag — the streaming form of [[build]] for a MULTI-RELEASE stream:
+    * micro-batches may slice releases arbitrarily (a trigger can carry
+    * the tail of release N and the head of N+1), and the triple is the
+    * same commutative monoid per (release, shard), so per-batch keyed
+    * manifests fold ([[foldKeyedManifests]]) to exactly the manifests a
+    * one-shot per-release [[build]] produces. This is how lineage gets
+    * its streaming twin: the release CHAIN accretes while releases
+    * ship, and [[lineageFromKeyed]] answers "which release introduced
+    * this shard's drift" from the folded state alone.
+    */
+  def buildKeyed(
+      df: DataFrame,
+      releaseCol: String,
+      idCol: String,
+      contentCols: Seq[String],
+      shards: Int = 64): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(contentCols.nonEmpty, "buildKeyed needs a content column")
+    df.groupBy(col(releaseCol).cast(LongType).as("release"),
+        pmod(col(idCol), lit(shards)).as("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(idCol).cast(LongType)).as("id_sum"),
+        bit_xor(rowFingerprint(col(idCol), contentCols.map(col)))
+          .as("content_fp"))
+  }
+
+  /** [[foldManifests]] with the release key kept — the read-time fold
+    * for [[buildKeyed]] parts. */
+  def foldKeyedManifests(parts: DataFrame): DataFrame =
+    parts.groupBy(col("release"), col("shard"))
+      .agg(
+        sum(col("n_rows")).cast(LongType).as("n_rows"),
+        sum(col("id_sum")).cast(LongType).as("id_sum"),
+        bit_xor(col("content_fp")).as("content_fp"))
+
+  /** [[lineage]] over a keyed manifest frame (the [[buildKeyed]] /
+    * [[foldKeyedManifests]] shape). Only the DISTINCT RELEASE IDS are
+    * collected to the driver — tens of longs for a real chain; the
+    * manifests themselves stay distributed.
+    */
+  def lineageFromKeyed(keyed: DataFrame): DataFrame = {
+    val rids = keyed.select(col("release").cast(LongType))
+      .distinct().collect().map(_.getLong(0)).sorted
+    require(rids.length >= 2,
+      s"lineage needs at least two releases, found ${rids.length}")
+    lineage(rids.toSeq.map(r =>
+      r -> keyed.where(col("release") === r).drop("release")))
+  }
+
   /** Cross-release LINEAGE over an ordered chain of release manifests:
     * for every shard, which release introduced each drift — answered
     * from the manifests alone (KB-scale frames), no corpus read

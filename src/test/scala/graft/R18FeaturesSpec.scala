@@ -60,6 +60,47 @@ class R18FeaturesSpec extends AnyWordSpec with Matchers with SparkSpec {
     }
   }
 
+  "keyed manifests" should {
+    def tagged(rel: Long, rows: Seq[(Long, String)]): DataFrame =
+      release(rows).withColumn("release", lit(rel))
+
+    "fold arbitrary batch slices to the per-release one-shot manifests" in {
+      val r1 = Seq(0L -> "a", 1L -> "b", 2L -> "c", 5L -> "d")
+      val r2 = Seq(0L -> "a!", 1L -> "b", 9L -> "e")
+      val all = tagged(1L, r1).unionByName(tagged(2L, r2))
+      // three slices that each span BOTH releases — batch boundaries
+      // must not matter (per-(release, shard) monoid law)
+      val parts = (0 until 3).map(p =>
+        DatasetManifest.buildKeyed(
+          all.where(pmod(col("id"), lit(3)) === p),
+          "release", "id", Seq("text"), shards = 4))
+      val folded = DatasetManifest
+        .foldKeyedManifests(parts.reduce(_ unionByName _))
+      val oneShot = Seq(1L -> r1, 2L -> r2).map { case (rid, rows) =>
+        DatasetManifest.build(release(rows), "id", Seq("text"), 4)
+          .select(lit(rid).as("release"), col("shard"), col("n_rows"),
+            col("id_sum"), col("content_fp"))
+      }.reduce(_ unionByName _)
+      folded.exceptAll(oneShot).isEmpty shouldBe true
+      oneShot.exceptAll(folded).isEmpty shouldBe true
+    }
+
+    "answer lineage from the keyed frame and reject a one-release frame" in {
+      val r1 = Seq(0L -> "a", 1L -> "b")
+      val r2 = Seq(0L -> "a!", 1L -> "b")
+      val keyed = DatasetManifest.buildKeyed(
+        tagged(5L, r1).unionByName(tagged(9L, r2)),
+        "release", "id", Seq("text"), shards = 4)
+      val out = DatasetManifest.lineageFromKeyed(keyed).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+      out shouldBe Set((0L, 9L, "changed"))
+      an[IllegalArgumentException] should be thrownBy
+        DatasetManifest.lineageFromKeyed(
+          keyed.where(col("release") === 5L))
+    }
+  }
+
   "cell-population drift" should {
     import graft.pipeline.Clustering
 
