@@ -1053,6 +1053,15 @@ object ScaleProbe {
       graft.pipeline.DatasetManifest
         .build(d, "doc_id", Seq("text"), shards = 64).count()
 
+    // r18: the curriculum audit — one scan, epoch fan-out as a narrow
+    // explode, map-side partial agg; cost must track the scan and the
+    // output stays epochs x shards x strata rows at any corpus size
+    def curriculumProbe(d: DataFrame): Long =
+      graft.pipeline.Mixing
+        .curriculumAudit(d, "doc_id", "source", epochs = 2, nShards = 8)
+        .agg(coalesce(sum(col("n_docs")), lit(0L)))
+        .collect().head.getLong(0)
+
     // a sparse tamper (one of 64 shards, every 5th row in it mutated):
     // the drill-down names the rows of THAT shard only
     def manifestDrillProbe(d: DataFrame): Long = {
@@ -1150,7 +1159,9 @@ object ScaleProbe {
         timed(manifestColumnarWideProbe(docsX))),
       ("manifest_drill_all_shards",
         timed(manifestDrillAllProbe(docs0)),
-        timed(manifestDrillAllProbe(docsX))))
+        timed(manifestDrillAllProbe(docsX))),
+      ("curriculum_audit",
+        timed(curriculumProbe(docs0)), timed(curriculumProbe(docsX))))
 
     val results = resultsHead ++ resultsTail ++ resultsRelational
     // the NB model's cached log-prob table is done after its rows
