@@ -7098,6 +7098,93 @@ object SparkEntry {
         s.createDataFrame(
           java.util.Arrays.asList(materialized: _*), out.schema)
       } finally rmTree(tmp)
+    }),
+
+    // q171: eval-suite x shard contamination census from PERSISTED
+    // per-shard gram-bloom states — the manifest family's two-stage
+    // discipline applied to decontamination: stage 1 probes the KB-per-
+    // shard bloom state table with each suite's gram hashes (corpus
+    // never read; no false negatives by the bloom guarantee), stage 2
+    // runs the exact gram join over ONLY the flagged shards. The query
+    // also runs the full-corpus exact census as the proof pass and pins
+    // three properties as flags: every truly contaminated pair was
+    // flagged, the false-positive pair count is bounded, and the
+    // restricted stage-2 census equals the full one. Suites follow the
+    // q110 convention (13-token probe windows sliced from named docs →
+    // one gram per probe, so the hash census IS the string census the
+    // oracle replays); suite 3 is a synthetic absent probe.
+    "q171_shard_contamination" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{concat_ws, size => fsize, slice => fslice, greatest => fgreatest}
+      import s.implicits._
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+      val ntoks = TextAnalysis.normalizedTokens(col("text"))
+      def suiteProbes(ids: Seq[Long]): DataFrame =
+        docs.filter(col("doc_id").isin(ids: _*))
+          .filter(fsize(ntoks) >= 18)
+          .select(concat_ws(" ", fslice(ntoks, 6, 13)).as("probe"))
+          .distinct()
+      val suites = Seq(
+        1L -> suiteProbes(Seq(20L, 30L, 45L)),
+        2L -> suiteProbes(Seq(8L, 15L, 62L)),
+        3L -> Seq((1 to 13).map(i => s"qq$i").mkString(" "))
+          .toDF("probe"))
+      val suiteGramsDf = suites.map { case (sid, p) =>
+        TextAnalysis.probeGramHashes(p, "probe", n = 13)
+          .select(lit(sid).as("suite"), col("graft_gram"))
+      }.reduce(_ unionByName _).persist()
+      val suiteGramLists = suiteGramsDf.collect()
+        .groupBy(_.getLong(0))
+        .map { case (sid, rows) => sid -> rows.map(_.getLong(1)).toSeq }
+        .toSeq.sortBy(_._1)
+      val shards = 16
+      val corpusGrams = docs
+        .agg(coalesce(sum(fgreatest(fsize(ntoks) - lit(12), lit(1))),
+          lit(0L))).collect().head.getLong(0)
+      val (bits, k) = graft.sketch.Bloom.sizeFor(
+        math.max(64L, corpusGrams / shards), 0.01)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q171").toString
+      try {
+        TextAnalysis.shardGramBloomStates(
+          docs, "doc_id", "text", shards, bits, k)
+          .write.parquet(s"$tmp/st")
+        val states = s.read.parquet(s"$tmp/st")
+        val cand = TextAnalysis.shardContaminationCandidates(
+          states, suiteGramLists, bits, k).persist()
+        val flaggedShards = cand.where(col("cand_hits") > 0)
+          .select(col("shard")).distinct().collect()
+          .map(_.getLong(0)).toSeq
+        val full = TextAnalysis.shardContaminationCensus(
+          docs, "doc_id", "text", suiteGramsDf, "suite", shards).persist()
+        val restricted = TextAnalysis.shardContaminationCensus(
+          docs.where(pmod(col("doc_id"), lit(shards))
+            .isin(flaggedShards: _*)),
+          "doc_id", "text", suiteGramsDf, "suite", shards)
+        val flaggedPairs = cand.where(col("cand_hits") > 0)
+          .select(col("shard"), col("suite"))
+        val exactPairs = full.select(col("shard"), col("suite"))
+        val noFalseNeg = exactPairs.exceptAll(flaggedPairs).isEmpty
+        val fpPairs = flaggedPairs.exceptAll(exactPairs).count()
+        val restrictedOk = restricted.exceptAll(full).isEmpty &&
+          full.exceptAll(restricted).isEmpty
+        val grid = (for { sh <- 0 until shards; su <- 1 to 3 }
+          yield (sh.toLong, su.toLong)).toDF("shard", "suite")
+        val out = grid.join(full, Seq("shard", "suite"), "left_outer")
+          .select(col("shard"), col("suite"),
+            coalesce(col("matched_grams"), lit(0L)).as("matched_grams"),
+            coalesce(col("contaminated_docs"), lit(0L))
+              .as("contaminated_docs"),
+            lit(if (noFalseNeg) 1L else 0L).as("no_false_neg"),
+            lit(if (fpPairs <= shards) 1L else 0L).as("fp_bounded"),
+            lit(if (restrictedOk) 1L else 0L).as("restricted_eq_full"))
+          .orderBy(col("shard"), col("suite"))
+        val materialized = out.collect()
+        suiteGramsDf.unpersist(blocking = false)
+        cand.unpersist(blocking = false)
+        full.unpersist(blocking = false)
+        s.createDataFrame(
+          java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
     })
   )
 
@@ -13436,6 +13523,60 @@ object SparkEntry {
          |FROM a
          |GROUP BY 1, 2, 3
          |ORDER BY epoch, shard, source""".stripMargin
+    },
+
+    // q171: the exact (shard, suite) contamination census replayed as
+    // the q110 string-census (13-token probes with space guards — one
+    // gram per probe makes the engine's hash census identical); the
+    // bloom stage's properties ride as flags the engine pins.
+    "q171_shard_contamination" -> {
+      val syntheticProbe = (1 to 13).map(i => s"qq$i").mkString(" ")
+      s"""WITH norm AS MATERIALIZED (
+         |  SELECT doc_id, array_to_string(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' ')
+         |    AS ntext
+         |  FROM documents WHERE doc_id IS NOT NULL
+         |), probes AS MATERIALIZED (
+         |  SELECT DISTINCT 1 AS suite, array_to_string(
+         |    (list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> ''))[6:18], ' ') AS probe
+         |  FROM documents
+         |  WHERE doc_id IN (20, 30, 45)
+         |    AND len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |          x -> x <> '')) >= 18
+         |  UNION
+         |  SELECT DISTINCT 2 AS suite, array_to_string(
+         |    (list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> ''))[6:18], ' ') AS probe
+         |  FROM documents
+         |  WHERE doc_id IN (8, 15, 62)
+         |    AND len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |          x -> x <> '')) >= 18
+         |  UNION
+         |  SELECT 3 AS suite, '$syntheticProbe' AS probe
+         |), m AS (
+         |  SELECT n.doc_id % 16 AS shard, p.suite, p.probe, n.doc_id
+         |  FROM norm n JOIN probes p
+         |    ON contains(' ' || n.ntext || ' ', ' ' || p.probe || ' ')
+         |), agg AS (
+         |  SELECT shard, suite,
+         |    count(DISTINCT probe) AS matched_grams,
+         |    count(DISTINCT doc_id) AS contaminated_docs
+         |  FROM m GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT sh.shard, su.suite
+         |  FROM (SELECT unnest(range(0, 16)) AS shard) sh
+         |  CROSS JOIN (SELECT 1 AS suite UNION ALL SELECT 2
+         |              UNION ALL SELECT 3) su
+         |)
+         |SELECT g.shard::BIGINT AS shard, g.suite::BIGINT AS suite,
+         |  coalesce(a.matched_grams, 0)::BIGINT AS matched_grams,
+         |  coalesce(a.contaminated_docs, 0)::BIGINT AS contaminated_docs,
+         |  1::BIGINT AS no_false_neg,
+         |  1::BIGINT AS fp_bounded,
+         |  1::BIGINT AS restricted_eq_full
+         |FROM grid g LEFT JOIN agg a USING (shard, suite)
+         |ORDER BY shard, suite""".stripMargin
     }
   )
 }

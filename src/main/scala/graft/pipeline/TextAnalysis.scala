@@ -549,6 +549,98 @@ object TextAnalysis {
         .select(idCol),
       Seq(idCol), "left_anti")
 
+  // -- persisted per-shard gram-bloom states (release contamination) --------
+
+  /** Per-SHARD n-gram Bloom states — the persisted-index direction of
+    * [[bloomGramFilter]] (which blooms the PROBES and rescans the
+    * corpus): the release is reduced ONCE, at ship time, to one bloom
+    * bitset per shard over its documents' token n-gram hashes, and every
+    * later "is eval suite X leaking into this release, and into which
+    * shards" audit runs against the KB-per-shard state table alone — the
+    * same two-stage discipline as the manifest family (diff names
+    * shards, drillDown reads only those): the bloom stage names
+    * candidate (shard, suite) pairs with NO FALSE NEGATIVES, and the
+    * exact gram join then reads only flagged shards. Bitset OR is a
+    * commutative monoid (same-parameter states merge by element-wise
+    * OR), so per-batch states fold like every other persisted family.
+    *
+    * Scale shape: one gram pass (the [[Dedup.gramHashRows]] machinery —
+    * no gram string is ever built), map-side partial bloom buffers, one
+    * K-row shuffle (K = shards); the state is `bits/8` bytes per shard
+    * regardless of corpus size.
+    */
+  def shardGramBloomStates(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shards: Int,
+      bitsPerShard: Int,
+      numHashes: Int,
+      n: Int = 13,
+      seed: Int = 42): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val agg = udaf(
+      new graft.sketch.Bloom.BloomAggregator(bitsPerShard, numHashes, seed),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[java.lang.Long]())
+    Dedup.gramHashRows(
+        corpus.where(col(idCol).isNotNull), idCol, textCol, n)
+      .groupBy(pmod(col(idCol), lit(shards)).as("shard"))
+      .agg(
+        count(lit(1)).as("n_gram_rows"),
+        agg(col("graft_gram")).as("bloom_bits"))
+  }
+
+  /** The states-only candidate matrix: for every (shard, suite) pair,
+    * how many of the suite's probe-gram hashes the shard's bloom admits.
+    * `cand_hits > 0` flags the pair for exact verification; a truly
+    * contaminated pair is ALWAYS flagged (bloom guarantee), a flagged
+    * pair may be clean (bounded false-positive rate). The corpus is
+    * never touched — input is the K-row state table and the broadcast
+    * suite gram lists (eval suites are KBs).
+    */
+  def shardContaminationCandidates(
+      states: DataFrame,
+      suiteGrams: Seq[(Long, Seq[Long])],
+      bitsPerShard: Int,
+      numHashes: Int,
+      seed: Int = 42): DataFrame = {
+    require(suiteGrams.nonEmpty, "need at least one suite")
+    val hits = udf((words: Seq[Long], grams: Seq[Long]) => {
+      val f = graft.sketch.Bloom.BloomFilter(
+        bitsPerShard, numHashes, seed, words.toArray)
+      grams.count(f.mightContain).toLong
+    })
+    states
+      .withColumn("graft_suite", explode(typedLit(suiteGrams)))
+      .select(col("shard"),
+        col("graft_suite._1").as("suite"),
+        hits(col("bloom_bits"), col("graft_suite._2")).as("cand_hits"))
+  }
+
+  /** The exact (shard, suite) contamination census — stage two of the
+    * audit, run over ONLY the shards the candidate matrix flagged
+    * (restrict `corpus` before calling; at 100 TB with the
+    * [[DatasetManifest.writeSharded]] layout the un-flagged shards'
+    * bytes are never read). Per pair: distinct matched suite grams and
+    * distinct contaminated documents.
+    */
+  def shardContaminationCensus(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      suiteGrams: DataFrame,
+      suiteCol: String,
+      shards: Int,
+      n: Int = 13): DataFrame =
+    Dedup.gramHashRows(
+        corpus.where(col(idCol).isNotNull), idCol, textCol, n)
+      .join(broadcast(suiteGrams), "graft_gram")
+      .groupBy(pmod(col(idCol), lit(shards)).as("shard"), col(suiteCol))
+      .agg(
+        countDistinct(col("graft_gram")).as("matched_grams"),
+        countDistinct(col(idCol)).as("contaminated_docs"))
+
   // -- TF-IDF keyword extraction --------------------------------------------
   // Corpus-level term weighting over the canonical lowercase-whitespace
   // tokens: tf(d, t) = occurrences of t in d, df(t) = documents containing

@@ -1058,7 +1058,10 @@ object ScaleProbe {
     // output stays epochs x shards x strata rows at any corpus size
     def curriculumProbe(d: DataFrame): Long =
       graft.pipeline.Mixing
-        .curriculumAudit(d, "doc_id", "source", epochs = 2, nShards = 8)
+        .curriculumAudit(
+          d.withColumn("graft_src",
+            pmod(col("doc_id"), lit(5)).cast("string")),
+          "doc_id", "graft_src", epochs = 2, nShards = 8)
         .agg(coalesce(sum(col("n_docs")), lit(0L)))
         .collect().head.getLong(0)
 

@@ -115,4 +115,50 @@ class BloomDecontamSpec extends AnyWordSpec with Matchers with SparkSpec {
       }
     }
   }
+
+  "per-shard gram-bloom states" should {
+    val (bits, k) = graft.sketch.Bloom.sizeFor(200L, 0.01)
+
+    "flag every truly contaminated (shard, suite) pair and verify exactly" in {
+      val docs = fixture // ids 1,2,4 carry the phrase; shards = id % 2
+      val states = TextAnalysis.shardGramBloomStates(
+        docs, "doc_id", "text", shards = 2,
+        bitsPerShard = bits, numHashes = k)
+      states.count() shouldBe 2 // null-id rows dropped, two shards
+      val suiteGrams = TextAnalysis
+        .probeGramHashes(probes, "probe", n = 13)
+        .collect().map(_.getLong(0)).toSeq
+      val cand = TextAnalysis.shardContaminationCandidates(
+        states, Seq(1L -> suiteGrams), bits, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      // phrase docs 1 and 2 land in shards 1 and 0 and 4 in 0: both
+      // shards must be flagged (no false negatives)
+      cand((0L, 1L)) should be >= 1L
+      cand((1L, 1L)) should be >= 1L
+      val census = TextAnalysis.shardContaminationCensus(
+        docs, "doc_id", "text",
+        TextAnalysis.probeGramHashes(probes, "probe", n = 13)
+          .select(lit(1L).as("suite"), col("graft_gram")),
+        "suite", shards = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      census((0L, 1L)) shouldBe ((1L, 2L)) // docs 2, 4
+      census((1L, 1L)) shouldBe ((1L, 1L)) // doc 1
+    }
+
+    "admit nothing for an absent suite beyond the designed fp rate" in {
+      val docs = fixture
+      val states = TextAnalysis.shardGramBloomStates(
+        docs, "doc_id", "text", shards = 2,
+        bitsPerShard = bits, numHashes = k)
+      // 200 absent grams against each shard: expect ~1% admitted
+      val absent = (1L to 200L).map(_ * 104729L + 17L)
+      val cand = TextAnalysis.shardContaminationCandidates(
+        states, Seq(9L -> absent), bits, k)
+        .collect().map(_.getLong(2))
+      all(cand) should be <= 12L // 3x the 1% design point, 2 shards
+    }
+  }
 }
