@@ -7185,6 +7185,82 @@ object SparkEntry {
         s.createDataFrame(
           java.util.Arrays.asList(materialized: _*), out.schema)
       } finally rmTree(tmp)
+    }),
+
+    // q172: the bloom-state family's STREAMING twin, closing the loop
+    // q171 opened: per-micro-batch shard bloom states staged by a live
+    // foreachBatch ingest fold at read (count lanes add, bitsets OR) to
+    // BYTE-FOR-BYTE the one-shot whole-release state — the bitset is a
+    // pure function of the key set, so streamed == one-shot ==
+    // post-compaction is EXACT equality, and the candidate matrix
+    // served off the streamed state must match the one-shot serve
+    // row-for-row. The oracle replays the per-shard distinct-gram
+    // census (dedup within doc, whole-text fallback under 13 tokens)
+    // and pins the three parities at 1.
+    "q172_streaming_bloom_states" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      import org.apache.spark.sql.functions.{concat_ws, size => fsize, slice => fslice, greatest => fgreatest}
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val ntoks = TextAnalysis.normalizedTokens(col("text"))
+      val shards = 16
+      val corpusGrams = docs
+        .agg(coalesce(sum(fgreatest(fsize(ntoks) - lit(12), lit(1))),
+          lit(0L))).collect().head.getLong(0)
+      val (bits, k) = graft.sketch.Bloom.sizeFor(
+        math.max(64L, corpusGrams / shards), 0.01)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q172").toString
+      try {
+        (0 until 4).foreach { p =>
+          docs.where(pmod(col("doc_id"), lit(4)) === p)
+            .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+        }
+        val ingest = new StreamingOps.SketchStateIngest(s"$tmp/st",
+          b => TextAnalysis.shardGramBloomStates(
+            b, "doc_id", "text", shards, bits, k),
+          parts => TextAnalysis.foldShardGramBlooms(parts))
+        val query = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+          .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch(ingest.asForeachBatch()).start()
+        try query.processAllAvailable() finally query.stop()
+        val streamed = ingest.state(s).persist()
+        val oneShot = TextAnalysis.shardGramBloomStates(
+          docs, "doc_id", "text", shards, bits, k).persist()
+        def setEq(a: DataFrame, b: DataFrame): Boolean =
+          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        // materialize the streamed rows BEFORE compaction rewrites parts
+        val streamedRows = streamed
+          .select(col("shard"), col("n_gram_rows"))
+          .orderBy(col("shard")).collect()
+        val streamedOk = setEq(streamed, oneShot)
+        val probes = docs
+          .filter(col("doc_id").isin(20L, 30L, 45L))
+          .filter(fsize(ntoks) >= 18)
+          .select(concat_ws(" ", fslice(ntoks, 6, 13)).as("probe"))
+          .distinct()
+        val grams = TextAnalysis.probeGramHashes(probes, "probe", n = 13)
+          .collect().map(_.getLong(0)).toSeq
+        def cands(st: DataFrame) = TextAnalysis
+          .shardContaminationCandidates(st, Seq(1L -> grams), bits, k)
+        val serveOk = setEq(cands(streamed), cands(oneShot))
+        ingest.compact(s)
+        val compactedOk = setEq(ingest.state(s), oneShot)
+        import s.implicits._
+        val out = streamedRows.map(r => (r.getLong(0), r.getLong(1),
+            if (streamedOk) 1L else 0L,
+            if (compactedOk) 1L else 0L,
+            if (serveOk) 1L else 0L))
+          .toSeq.toDF("shard", "n_gram_rows", "streamed_eq_oneshot",
+            "compacted_eq_oneshot", "serve_parity")
+          .orderBy(col("shard"))
+        streamed.unpersist(blocking = false)
+        oneShot.unpersist(blocking = false)
+        val materialized = out.collect()
+        s.createDataFrame(
+          java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
     })
   )
 
@@ -13577,6 +13653,36 @@ object SparkEntry {
          |  1::BIGINT AS restricted_eq_full
          |FROM grid g LEFT JOIN agg a USING (shard, suite)
          |ORDER BY shard, suite""".stripMargin
-    }
+    },
+
+    // q172: the per-shard gram-row census replayed exactly — grams
+    // DEDUP within a document (the engine's shingle-set semantics), a
+    // 1..12-token document contributes its single whole-text fallback
+    // gram, an empty or null text contributes none; the three streaming
+    // parities are engine-pinned flags.
+    "q172_streaming_bloom_states" ->
+      """WITH toks AS (
+        |  SELECT doc_id, coalesce(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |    []::VARCHAR[]) AS tk
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) = 0 THEN 0
+        |         WHEN len(tk) < 13 THEN 1
+        |         ELSE len(list_distinct(list_transform(
+        |           range(1, len(tk) - 11),
+        |           i -> array_to_string(tk[i:i+12], ' '))))
+        |    END AS n_grams
+        |  FROM toks
+        |)
+        |SELECT (doc_id % 16)::BIGINT AS shard,
+        |  sum(n_grams)::BIGINT AS n_gram_rows,
+        |  1::BIGINT AS streamed_eq_oneshot,
+        |  1::BIGINT AS compacted_eq_oneshot,
+        |  1::BIGINT AS serve_parity
+        |FROM g GROUP BY 1
+        |HAVING sum(n_grams) > 0
+        |ORDER BY shard""".stripMargin
   )
 }

@@ -591,6 +591,28 @@ object TextAnalysis {
         agg(col("graft_gram")).as("bloom_bits"))
   }
 
+  /** Read-time fold for [[shardGramBloomStates]] parts: per shard,
+    * gram-row counts add and same-parameter bitsets OR — the bloom
+    * monoid, so per-micro-batch states staged by a streaming ingest
+    * ([[graft.streaming.StreamingOps.SketchStateIngest]] with
+    * `shardGramBloomStates(batch, …)` as the batch state) fold to
+    * BYTE-FOR-BYTE the one-shot whole-release state: the bitset is a
+    * pure function of the key set (OR over any partition of the rows
+    * lands the same bits), so equality here is exact, not approximate.
+    * The bitset lane is additionally IDEMPOTENT (a ∨ a = a) — only the
+    * count lane relies on the replay-overwrite / supersession-manifest
+    * machinery.
+    */
+  def foldShardGramBlooms(parts: DataFrame): DataFrame = {
+    val orWords = udaf(new graft.sketch.Bloom.OrWordsAggregator(),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[Long]]())
+    parts.groupBy(col("shard"))
+      .agg(
+        sum(col("n_gram_rows")).cast(LongType).as("n_gram_rows"),
+        orWords(col("bloom_bits")).as("bloom_bits"))
+  }
+
   /** The states-only candidate matrix: for every (shard, suite) pair,
     * how many of the suite's probe-gram hashes the shard's bloom admits.
     * `cand_hits > 0` flags the pair for exact verification; a truly

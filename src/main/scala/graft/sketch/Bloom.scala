@@ -96,6 +96,36 @@ object Bloom {
   /** Bits sized for `expectedItems` at `fpp`: m = −n·ln(p)/ln(2)², k =
     * m/n·ln(2) — the standard optimum, rounded up to whole words.
     */
+  /** Element-wise OR of same-length word arrays — the bitset-lane merge
+    * of the bloom monoid as a groupable aggregator (the read-time fold
+    * for per-batch bloom state parts). Null inputs are ignored; a
+    * length mismatch (two states built with different `numBits`) fails
+    * loudly instead of silently corrupting the filter.
+    */
+  final class OrWordsAggregator
+      extends org.apache.spark.sql.expressions
+        .Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.empty
+    override def reduce(b: Array[Long], in: Seq[Long]): Array[Long] = {
+      if (in == null) b
+      else if (b.isEmpty) in.toArray
+      else {
+        require(b.length == in.length,
+          s"incompatible bloom states: ${b.length} vs ${in.length} words")
+        var i = 0
+        while (i < b.length) { b(i) |= in(i); i += 1 }
+        b
+      }
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b else reduce(a, b.toSeq)
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   def sizeFor(expectedItems: Long, fpp: Double): (Int, Int) = {
     require(expectedItems >= 1, "expectedItems must be >= 1")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")

@@ -148,6 +148,37 @@ class BloomDecontamSpec extends AnyWordSpec with Matchers with SparkSpec {
       census((1L, 1L)) shouldBe ((1L, 1L)) // doc 1
     }
 
+    "fold batch-sliced states to the one-shot state byte-for-byte" in {
+      val docs = fixture
+      def st(d: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.shardGramBloomStates(
+          d, "doc_id", "text", shards = 2,
+          bitsPerShard = bits, numHashes = k)
+      val parts = Seq(0, 1, 2).map(p =>
+        st(docs.where(pmod(col("doc_id"), lit(3)) === p)))
+      val folded = TextAnalysis
+        .foldShardGramBlooms(parts.reduce(_ unionByName _))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2))))
+        .toMap
+      val oneShot = st(docs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2))))
+        .toMap
+      folded shouldBe oneShot
+    }
+
+    "refuse to fold states built with different parameters" in {
+      val docs = fixture
+      val a = TextAnalysis.shardGramBloomStates(
+        docs, "doc_id", "text", 2, bits, k)
+      val b = TextAnalysis.shardGramBloomStates(
+        docs, "doc_id", "text", 2, bits + 64, k)
+      val ex = intercept[org.apache.spark.SparkException] {
+        TextAnalysis.foldShardGramBlooms(a.unionByName(b)).collect()
+      }
+      ex.getMessage should include("incompatible bloom states")
+    }
+
     "admit nothing for an absent suite beyond the designed fp rate" in {
       val docs = fixture
       val states = TextAnalysis.shardGramBloomStates(
