@@ -7261,6 +7261,57 @@ object SparkEntry {
         s.createDataFrame(
           java.util.Arrays.asList(materialized: _*), out.schema)
       } finally rmTree(tmp)
+    }),
+
+    // q173: the curriculum RELEASE — q169's deterministic epoch order
+    // shipped as a physical artifact and pinned by the manifest family:
+    // epoch 1's assignment is written shard-partitioned (the curriculum
+    // shard IS the layout, so a training loader addresses
+    // path/shard=s/ directly), read back, and reduced to (a) the
+    // round-trip parity pin, (b) a DatasetManifest.buildAt manifest
+    // KEYED BY THE CURRICULUM SHARD over the written bytes — the
+    // reproducibility receipt a release ships with — and (c) per-shard
+    // order witnesses (ord-minimal/maximal docs, exact key span). Every
+    // lane is exact integer/fingerprint math the oracle replays from
+    // the same curriculumConstants + md5/XOR arithmetic; nothing about
+    // the release needs the corpus re-read once the receipt exists.
+    "q173_curriculum_release" -> ((s, dir) => {
+      import graft.pipeline.{DatasetManifest, Mixing}
+      import org.apache.spark.sql.functions.{min_by => fminBy, max_by => fmaxBy}
+      val docs = table(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"))
+      val assigned = Mixing
+        .curriculumAssign(docs, "doc_id", epochs = 1, nShards = 8)
+        .persist()
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q173").toString
+      try {
+        assigned.write.partitionBy("shard").mode("overwrite")
+          .parquet(s"$tmp/rel")
+        val back = s.read.parquet(s"$tmp/rel").persist()
+        def key(df: DataFrame) = df.select(
+          col("shard").cast(LongType), col("doc_id"), col("sort_key"),
+          col("ord"))
+        val roundtripOk = key(back).exceptAll(key(assigned)).isEmpty &&
+          key(assigned).exceptAll(key(back)).isEmpty
+        val manifest = DatasetManifest.buildAt(
+          back, col("shard"), "doc_id", Seq("source", "text"))
+        val witness = back
+          .groupBy(col("shard").cast(LongType).as("shard"))
+          .agg(
+            fminBy(col("doc_id"), col("ord")).as("first_doc"),
+            fmaxBy(col("doc_id"), col("ord")).as("last_doc"),
+            min(col("sort_key")).as("min_key"),
+            max(col("sort_key")).as("max_key"))
+        val out = manifest.join(witness, Seq("shard"))
+          .withColumn("roundtrip_ok", lit(if (roundtripOk) 1L else 0L))
+          .orderBy(col("shard"))
+        val materialized = out.collect()
+        assigned.unpersist(blocking = false)
+        back.unpersist(blocking = false)
+        s.createDataFrame(
+          java.util.Arrays.asList(materialized: _*), out.schema)
+      } finally rmTree(tmp)
     })
   )
 
@@ -13683,6 +13734,38 @@ object SparkEntry {
         |  1::BIGINT AS serve_parity
         |FROM g GROUP BY 1
         |HAVING sum(n_grams) > 0
-        |ORDER BY shard""".stripMargin
+        |ORDER BY shard""".stripMargin,
+
+    // q173: the epoch-1 curriculum keys replayed from the SAME
+    // curriculumConstants, the written layout's manifest lanes from the
+    // same md5/XOR arithmetic as q159/q166, and the ord-extremal order
+    // witnesses via the combined integer argmin/argmax keys; the
+    // round-trip parity is an engine-pinned flag.
+    "q173_curriculum_release" -> {
+      val (_, a1, b1) = graft.pipeline.Mixing.curriculumConstants(1).head
+      val p = graft.pipeline.Mixing.CurriculumP
+      val w = (p + 7) / 8
+      s"""WITH a AS MATERIALIZED (
+         |  SELECT doc_id, source, text,
+         |    ($a1 * xor(doc_id % $p, (doc_id % $p) >> 15) + $b1) % $p
+         |      AS sort_key
+         |  FROM documents WHERE doc_id IS NOT NULL)
+         |SELECT sort_key // $w AS shard,
+         |  count(*) AS n_rows,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  bit_xor(CAST(('0x' || substr(md5(concat_ws(chr(31),
+         |    CAST(doc_id AS VARCHAR),
+         |    coalesce(CAST(source AS VARCHAR), chr(1) || 'NULL'),
+         |    coalesce(text, chr(1) || 'NULL'))), 1, 15)) AS BIGINT))
+         |    AS content_fp,
+         |  min_by(doc_id,
+         |    sort_key * 2147483648 + (doc_id % $p)) AS first_doc,
+         |  max_by(doc_id,
+         |    sort_key * 2147483648 + (doc_id % $p)) AS last_doc,
+         |  min(sort_key) AS min_key,
+         |  max(sort_key) AS max_key,
+         |  1::BIGINT AS roundtrip_ok
+         |FROM a GROUP BY 1 ORDER BY shard""".stripMargin
+    }
   )
 }

@@ -67,6 +67,26 @@ object DatasetManifest {
           .as("content_fp"))
   }
 
+  /** [[build]] with a caller-supplied shard key: manifests a frame laid
+    * out by something OTHER than `pmod(id, shards)` — a curriculum
+    * shard, a z-order bucket, an externally assigned partition. Same
+    * lanes, same per-shard monoid; [[diff]]/[[joined]]/[[lineage]]
+    * compose unchanged because they only see the (shard, triple) shape.
+    */
+  def buildAt(
+      df: DataFrame,
+      shardCol: Column,
+      idCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "buildAt needs at least one content column")
+    df.groupBy(shardCol.cast(LongType).as("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(idCol).cast(LongType)).as("id_sum"),
+        bit_xor(rowFingerprint(col(idCol), contentCols.map(col)))
+          .as("content_fp"))
+  }
+
   /** The manifest triple is a per-shard COMMUTATIVE MONOID (Long sums +
     * XOR — no float, no order sensitivity, no overflow in the fp lane),
     * so per-batch manifests fold to the whole-dataset manifest exactly:

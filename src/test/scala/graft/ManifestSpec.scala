@@ -21,7 +21,7 @@ import org.scalatest.wordspec.AnyWordSpec
   */
 class ManifestSpec extends AnyWordSpec with Matchers with SparkSpec {
 
-  private val ExpectedQueryCount = 173
+  private val ExpectedQueryCount = 174
   private val smokeSf = "/root/testdata/sf0.001"
 
   "the oracle suite manifest" should {

@@ -85,6 +85,23 @@ class R18FeaturesSpec extends AnyWordSpec with Matchers with SparkSpec {
       oneShot.exceptAll(folded).isEmpty shouldBe true
     }
 
+    "manifest a custom layout via buildAt, matching build on the pmod key" in {
+      val r = release(Seq(0L -> "a", 1L -> "b", 2L -> "c", 5L -> "d"))
+      val viaAt = DatasetManifest
+        .buildAt(r, pmod(col("id"), lit(4)), "id", Seq("text"))
+        .collect().map(x => x.getLong(0) ->
+          ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+      val viaBuild = DatasetManifest.build(r, "id", Seq("text"), 4)
+        .collect().map(x => x.getLong(0) ->
+          ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+      viaAt shouldBe viaBuild
+      // and a genuinely different layout produces a different census
+      val custom = DatasetManifest
+        .buildAt(r, when(col("id") < 2, 0L).otherwise(1L), "id", Seq("text"))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      custom shouldBe Map(0L -> 2L, 1L -> 2L)
+    }
+
     "answer lineage from the keyed frame and reject a one-release frame" in {
       val r1 = Seq(0L -> "a", 1L -> "b")
       val r2 = Seq(0L -> "a!", 1L -> "b")
