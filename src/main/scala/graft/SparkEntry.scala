@@ -189,6 +189,37 @@ object SparkEntry {
 
   private def flag(b: Boolean): Double = if (b) 1.0 else 0.0
 
+  /** One-job bag (multiset) difference counts:
+    * `(a.exceptAll(b).count, b.exceptAll(a).count)` — the exact values
+    * the parity pins compare — computed as a SINGLE signed-count
+    * aggregate instead of two exceptAll plans. The two-exceptAll form
+    * costs four computations of the inputs (each exceptAll evaluates
+    * both sides) plus two shuffled aggregate jobs; this form evaluates
+    * each input ONCE, shuffles once (map-side partial aggregation on
+    * the slim key columns), and runs one job (guide §2.4 "remove
+    * shuffles outright" / §1.2 "don't compute things twice").
+    * Columns align by POSITION, exceptAll's own resolution rule; null
+    * and NaN grouping semantics match exceptAll's null-safe equality.
+    */
+  private def bagDiffCounts(a: DataFrame, b: DataFrame): (Long, Long) = {
+    val keyCols = a.columns.toSeq.map(col)
+    val r = a.withColumn("graft_bag_w", lit(1L))
+      .unionByName(b.toDF(a.columns: _*).withColumn("graft_bag_w", lit(-1L)))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("graft_bag_w")).as("graft_bag_d"))
+      .agg(
+        coalesce(sum(greatest(col("graft_bag_d"), lit(0L))), lit(0L)),
+        coalesce(sum(greatest(-col("graft_bag_d"), lit(0L))), lit(0L)))
+      .collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** TRUE iff `a` and `b` are equal as bags — exactly
+    * `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty`, in one job.
+    */
+  private def bagEq(a: DataFrame, b: DataFrame): Boolean =
+    bagDiffCounts(a, b) == ((0L, 0L))
+
   /** Post-process a top-k=5 ANN result (which includes the query row itself
     * at cosine 1.0) into the 4 nearest OTHER vectors, re-ranked 1..4.
     * Robust to identical-vector ties: whether or not the self row survived
@@ -4733,9 +4764,7 @@ object SparkEntry {
         Seq("event_type"), tiebreakCols = Seq("event_id"))
       // row-for-row: symmetric difference empty over ALL columns
       val cols = merged.columns.sorted.map(col).toSeq
-      val mergeOk =
-        merged.select(cols: _*).exceptAll(full.select(cols: _*)).isEmpty &&
-        full.select(cols: _*).exceptAll(merged.select(cols: _*)).isEmpty
+      val mergeOk = bagEq(merged.select(cols: _*), full.select(cols: _*))
       val out = merged.agg(
         count(lit(1)).cast(DoubleType).as("n_versions"),
         sum(when(col("is_current"), 1L).otherwise(0L))
@@ -5004,9 +5033,7 @@ object SparkEntry {
         gapUs, tiebreakCols = Seq("event_id")).persist()
       val full = statsOf(changes)
       val cols = merged.columns.sorted.map(col).toSeq
-      val mergeOk =
-        merged.select(cols: _*).exceptAll(full.select(cols: _*)).isEmpty &&
-        full.select(cols: _*).exceptAll(merged.select(cols: _*)).isEmpty
+      val mergeOk = bagEq(merged.select(cols: _*), full.select(cols: _*))
       val out = merged.agg(
         count(lit(1)).cast(DoubleType).as("n_sessions"),
         coalesce(sum(col("n_events")), lit(0L)).cast(DoubleType)
@@ -5056,8 +5083,7 @@ object SparkEntry {
         .persist()
       val full = EventAnalytics.activityState(base, Seq("user_id"),
         "ts_us", per)
-      val mergeOk =
-        merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty
+      val mergeOk = bagEq(merged, full)
       val matrix = EventAnalytics
         .cohortRetentionFromState(merged, Seq("user_id"))
       val g = matrix.agg(
@@ -5109,8 +5135,7 @@ object SparkEntry {
             .select("k"), "k"))
         .persist()
       val full = SkewCensus.keyCountState(keyed.select("k"), "k")
-      val mergeOk =
-        merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty
+      val mergeOk = bagEq(merged, full)
       val out = SkewCensus.censusFromState(merged)
         .withColumn("merge_ok", lit(if (mergeOk) 1.0 else 0.0))
       // materialize BEFORE the state dir is deleted — the census frame
@@ -5203,9 +5228,7 @@ object SparkEntry {
         Seq("source"), "doc_id", k).persist()
       val full = Sampling.bottomKSample(docs, Seq("source"), "doc_id", k)
       val cols = merged.columns.sorted.map(col).toSeq
-      val mergeOk =
-        merged.select(cols: _*).exceptAll(full.select(cols: _*)).isEmpty &&
-        full.select(cols: _*).exceptAll(merged.select(cols: _*)).isEmpty
+      val mergeOk = bagEq(merged.select(cols: _*), full.select(cols: _*))
       val out = merged
         .withColumn("merge_ok", lit(if (mergeOk) 1.0 else 0.0))
         .withColumn("doc_id", col("doc_id").cast(DoubleType))
@@ -5586,10 +5609,8 @@ object SparkEntry {
         .select(col("user_id"), col("t0"), col("t1"), col("t2"), col("t3"),
           col("steps_completed")).persist()
       val allExact = rep.where(!col("exact")).count() == 0L
-      val mergeOk = repCore.exceptAll(full).count() == 0L &&
-        full.exceptAll(repCore).count() == 0L
-      val batchOk = repCore.exceptAll(batch).count() == 0L &&
-        batch.exceptAll(repCore).count() == 0L
+      val mergeOk = bagEq(repCore, full)
+      val batchOk = bagEq(repCore, batch)
       // the truncating cap: flagged-only under-count, exact rows match
       val sc = EventAnalytics.funnelFromState(state(base, 2), 4)
         .join(batch.select(col("user_id"),
@@ -5644,10 +5665,11 @@ object SparkEntry {
       try {
       val in = s"$tmp/in"
       val statePath = s"$tmp/state"
-      (0 until 4).foreach { p =>
-        docs.where(pmod(col("doc_id"), lit(4)) === p)
-          .coalesce(1).write.mode("append").parquet(in)
-      }
+      // ONE staging job writing 4 part files (round-robin) instead of 4
+      // filtered passes over the corpus: the ingest fold is a commutative
+      // monoid pinned streamed == one-shot, so batch membership is
+      // immaterial — only that several micro-batches exist.
+      docs.repartition(4).write.parquet(in)
       val ingest = new StreamingOps.DedupIngest(statePath, "text", "doc_id")
       val query = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
@@ -5660,8 +5682,7 @@ object SparkEntry {
       val survIds = surv.select(col("graft_min_id").as("doc_id"))
       val batchIds = graft.pipeline.Dedup.exact(docs, Seq("text"), "doc_id")
         .select(col("doc_id"))
-      val parityOk = survIds.exceptAll(batchIds).count() == 0L &&
-        batchIds.exceptAll(survIds).count() == 0L
+      val parityOk = bagEq(survIds, batchIds)
       val out = surv.agg(
           count(lit(1)).cast(DoubleType).as("n_survivors"),
           sum(col("graft_min_id")).cast(DoubleType).as("id_sum"))
@@ -5709,8 +5730,7 @@ object SparkEntry {
         centroids).select(col("graft_cell"), col("neighbor_id"), col("graft_cv"))
       val slim = state.select(col("graft_cell"), col("neighbor_id"))
       val slimOne = oneShot.select(col("graft_cell"), col("neighbor_id"))
-      val parityOk = slim.exceptAll(slimOne).count() == 0L &&
-        slimOne.exceptAll(slim).count() == 0L
+      val parityOk = bagEq(slim, slimOne)
       val queries = emb.filter(col("vec_id") < 5)
       val nQueries = queries.count()
       val ivf = annTop4(Similarity.ivfTopKFromState(state, centroids,
@@ -5768,9 +5788,11 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$tmp/codes/batch=0")
       val codes = s.read.parquet(s"$tmp/codes")
         .select(col("neighbor_id"), col("graft_codes")).persist()
+      // persisted: consumed by the parity pin AND the one-shot serve —
+      // without it the PQ encode map runs once per consumer
       val oneShot = Similarity.pqCodesState(emb, "vec_id", "embedding", model)
-      val parityOk = codes.exceptAll(oneShot).count() == 0L &&
-        oneShot.exceptAll(codes).count() == 0L
+        .persist()
+      val parityOk = bagEq(codes, oneShot)
       val served = Similarity.pqTopKFromCodes(codes, model,
           emb, "vec_id", "embedding", queries, "vec_id", "embedding",
           k = k, rerank = 120)
@@ -5779,8 +5801,8 @@ object SparkEntry {
           emb, "vec_id", "embedding", queries, "vec_id", "embedding",
           k = k, rerank = 120)
         .select("query_id", "neighbor_id")
-      val serveOk = served.exceptAll(direct).count() == 0L &&
-        direct.exceptAll(served).count() == 0L
+      val serveOk = bagEq(served, direct)
+      oneShot.unpersist(blocking = false)
       val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = k)
         .select("query_id", "neighbor_id").persist()
@@ -5841,10 +5863,11 @@ object SparkEntry {
       val codes = s.read.parquet(s"$tmp/codes")
         .select(col("neighbor_id"), col("graft_cell"), col("graft_codes"))
         .persist()
+      // persisted: consumed by the parity pin AND the one-shot serve —
+      // without it the IVF-PQ encode map runs once per consumer
       val oneShot = Similarity.ivfPqCodesState(emb, "vec_id", "embedding",
-        coarse, pq)
-      val parityOk = codes.exceptAll(oneShot).count() == 0L &&
-        oneShot.exceptAll(codes).count() == 0L
+        coarse, pq).persist()
+      val parityOk = bagEq(codes, oneShot)
       val served = Similarity.ivfPqTopKFromCodes(codes, coarse, pq,
           emb, "vec_id", "embedding", queries, "vec_id", "embedding",
           k = k, nprobe = 14, rerank = 120)
@@ -5853,8 +5876,8 @@ object SparkEntry {
           emb, "vec_id", "embedding", queries, "vec_id", "embedding",
           k = k, nprobe = 14, rerank = 120)
         .select("query_id", "neighbor_id")
-      val serveOk = served.exceptAll(direct).count() == 0L &&
-        direct.exceptAll(served).count() == 0L
+      val serveOk = bagEq(served, direct)
+      oneShot.unpersist(blocking = false)
       val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = k)
         .select("query_id", "neighbor_id").persist()
@@ -5915,8 +5938,7 @@ object SparkEntry {
         graft.pipeline.Dedup.exactDedupIncremental(b2, "text", "doc_id",
           graft.pipeline.Dedup.seenTextKeys(b1, "text"))
           .select(col("doc_id")))
-      val parityOk = survivors.exceptAll(hand).count() == 0L &&
-        hand.exceptAll(survivors).count() == 0L
+      val parityOk = bagEq(survivors, hand)
       val censusOk = c1("state_dedup_kept") == n1.toDouble &&
         c2("state_dedup_kept") == n2.toDouble
       val out = metricRow(s, Seq(
@@ -5948,9 +5970,6 @@ object SparkEntry {
       // groups from one side); ids ≡ 2 (mod 3) land in both
       val snapA = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
       val snapB = docs.where(pmod(col("doc_id"), lit(3)) =!= 1)
-      def toks(d: DataFrame) = d.select(col("source"),
-        explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
-          .as("item"))
       def lens(d: DataFrame) = d.select(col("source"),
         length(col("text")).cast(DoubleType).as("len"))
       val tmp = java.nio.file.Files
@@ -5961,12 +5980,32 @@ object SparkEntry {
         s.read.parquet(s"$tmp/$name")
       }
       val kMg = 64
+      // ONE tokenize pass (guide §1.2): both snapshots' per-(source,
+      // item) token counts pivot out of the SAME codegen aggregation as
+      // weight columns (snapshot A excludes residue 0, B excludes 1).
+      // The MG states fold from these slim weighted rows
+      // (freqStateWeighted skips zero weights) — in exact mode
+      // (capacity >= the per-source vocabulary, pinned by mg_exact_mode
+      // below) the MG counters ARE the exact counts, so the built state
+      // is IDENTICAL to a raw-stream build; previously each snapshot
+      // re-tokenized the corpus through the heap-buffer UDAF.
+      val graftR = pmod(col("doc_id"), lit(3))
+      val tokCounts = docs.select(graftR.as("graft_r"), col("source"),
+          explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
+            .as("item"))
+        .groupBy(col("source"), col("item"))
+        .agg(
+          sum(when(col("graft_r") =!= 0, 1L).otherwise(0L)).as("graft_wa"),
+          sum(when(col("graft_r") =!= 1, 1L).otherwise(0L)).as("graft_wb"))
+        .persist()
       val hllA = stage("hll_a", HllState.distinctState(snapA, Seq("source"), Seq("text")))
       val hllB = stage("hll_b", HllState.distinctState(snapB, Seq("source"), Seq("text")))
       val kllA = stage("kll_a", KllGroupState.quantileState(lens(snapA), Seq("source"), "len"))
       val kllB = stage("kll_b", KllGroupState.quantileState(lens(snapB), Seq("source"), "len"))
-      val mgA = stage("mg_a", FreqItems.freqState(toks(snapA), Seq("source"), "item", kMg))
-      val mgB = stage("mg_b", FreqItems.freqState(toks(snapB), Seq("source"), "item", kMg))
+      val mgA = stage("mg_a", FreqItems.freqStateWeighted(
+        tokCounts, Seq("source"), "item", "graft_wa", kMg))
+      val mgB = stage("mg_b", FreqItems.freqStateWeighted(
+        tokCounts, Seq("source"), "item", "graft_wb", kMg))
       val dd = StateDrift.distinctDrift(hllA, hllB)
       val qd = StateDrift.quantileDrift(kllA, kllB, Seq(0.5), Seq("p50"))
       val fd = StateDrift.frequencyDrift(mgA, mgB, kMg)
@@ -6001,6 +6040,7 @@ object SparkEntry {
           col("lost_items").cast(DoubleType).as("lost_items"))
         .orderBy(col("source"))
       val materialized = out.collect()
+      tokCounts.unpersist(blocking = false)
       s.createDataFrame(
         java.util.Arrays.asList(materialized: _*), out.schema)
       } finally rmTree(tmp)
@@ -6022,9 +6062,6 @@ object SparkEntry {
         .where(col("doc_id").isNotNull && col("text").isNotNull)
       val snapA = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
       val snapB = docs.where(pmod(col("doc_id"), lit(3)) =!= 1)
-      def toks(d: DataFrame) = d.select(col("source"),
-        explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
-          .as("item"))
       def lens(d: DataFrame) = d.select(col("source"),
         length(col("text")).cast(DoubleType).as("len"))
       val tmp = java.nio.file.Files
@@ -6034,11 +6071,29 @@ object SparkEntry {
         df.write.mode("overwrite").parquet(s"$tmp/$name")
         s.read.parquet(s"$tmp/$name")
       }
+      // ONE tokenize pass feeding both MG states AND the exact corpus
+      // replay (the q152 pivot trim): per-(source, item) counts with one
+      // weight column per snapshot out of a single codegen aggregation;
+      // the exact-mode weighted fold builds identical states, and the
+      // tally tables / token totals below are sums over the same counts
+      // — previously 6 corpus tokenize passes (2 MG builds, 2 tallies,
+      // 2 bare token counts).
+      val graftR = pmod(col("doc_id"), lit(3))
+      val tokCounts = docs.select(graftR.as("graft_r"), col("source"),
+          explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
+            .as("item"))
+        .groupBy(col("source"), col("item"))
+        .agg(
+          sum(when(col("graft_r") =!= 0, 1L).otherwise(0L)).as("graft_wa"),
+          sum(when(col("graft_r") =!= 1, 1L).otherwise(0L)).as("graft_wb"))
+        .persist()
       val joined = stage("mg_a",
-          FreqItems.freqState(toks(snapA), Seq("source"), "item", 64))
+          FreqItems.freqStateWeighted(
+            tokCounts, Seq("source"), "item", "graft_wa", 64))
         .withColumnRenamed("mg", "mg_a")
         .join(stage("mg_b",
-          FreqItems.freqState(toks(snapB), Seq("source"), "item", 64))
+          FreqItems.freqStateWeighted(
+            tokCounts, Seq("source"), "item", "graft_wb", 64))
           .withColumnRenamed("mg", "mg_b"), Seq("source"), "full_outer")
         .join(stage("kll_a",
           KllGroupState.quantileState(lens(snapA), Seq("source"), "len"))
@@ -6057,17 +6112,25 @@ object SparkEntry {
         .value.get
       val shift = QuantileShift("kll_a", "kll_b", 0.5).calculate(joined)
         .value.get
-      // exact corpus replays
-      def tallies(d: DataFrame) = toks(d).groupBy(col("item"))
-        .agg(count(lit(1)).as("c"))
-      val ta = tallies(snapA).withColumnRenamed("c", "ca")
-      val tb = tallies(snapB).withColumnRenamed("c", "cb")
-      val na = toks(snapA).count().toDouble
-      val nb = toks(snapB).count().toDouble
-      val exactL1 = ta.join(tb, Seq("item"), "full_outer")
-        .agg(sum(abs(coalesce(col("ca"), lit(0L)).cast(DoubleType) / na -
-          coalesce(col("cb"), lit(0L)).cast(DoubleType) / nb)))
+      // exact corpus replays — sums over the SAME one-pass counts (the
+      // bare token totals and the L1 both come from one tiny aggregate
+      // each over the cached per-item counts; no extra corpus scan, no
+      // tally join — the pivot already aligned the two snapshots per
+      // item with 0 weights where absent, exactly what the old
+      // full-outer join's coalesce(0) reconstructed)
+      val perItem = tokCounts.groupBy(col("item"))
+        .agg(sum(col("graft_wa")).as("ca"), sum(col("graft_wb")).as("cb"))
+        .persist()
+      val totals = perItem.agg(
+          coalesce(sum(col("ca")), lit(0L)),
+          coalesce(sum(col("cb")), lit(0L))).collect().head
+      val na = totals.getLong(0).toDouble
+      val nb = totals.getLong(1).toDouble
+      val exactL1 = perItem
+        .agg(sum(abs(col("ca").cast(DoubleType) / na -
+          col("cb").cast(DoubleType) / nb)))
         .collect().head.getDouble(0)
+      perItem.unpersist(blocking = false)
       val exactP50A = snapA.select(length(col("text")).cast(DoubleType).as("l"))
         .agg(expr("percentile(l, 0.5)")).collect().head.getDouble(0)
       val exactP50B = snapB.select(length(col("text")).cast(DoubleType).as("l"))
@@ -6087,6 +6150,7 @@ object SparkEntry {
           """Rules = [ ItemFrequencyDrift "mg_a" "mg_b" <= 0.5, QuantileShift "kll_a" "kll_b" "0.5" between -100 and 100, DistinctCountRatio "hll_a" "hll_b" between 0.5 and 2.0 ]""")
         .where(col("outcome") === "Passed").count() == 3L
       joined.unpersist(blocking = false)
+      tokCounts.unpersist(blocking = false)
       metricRow(s, Seq(
         "l1_exact" -> BigDecimal(l1)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
@@ -6113,25 +6177,52 @@ object SparkEntry {
       import graft.sketch.FreqItems
       val docs = table(s, dir, "documents")
         .where(col("doc_id").isNotNull && col("text").isNotNull)
-      def snap(i: Int): DataFrame = {
-        val base = docs.where(pmod(col("doc_id"), lit(5)) =!= i)
-        if (i < 3) base
-        else base.withColumn("text",
-          concat(col("text"), lit(" driftmarker driftmarker")))
+      import s.implicits._
+      // ONE tokenize pass (the q152/q153 pivot trim): per-item counts
+      // with one weight column per daily snapshot out of a single
+      // codegen aggregation; each snapshot's exact-mode MG state folds
+      // from its weighted column, with the injected day-i>=3 marker
+      // entering as one weighted row (2 tokens per snapshot doc —
+      // exactly what the per-text concat appended). Each pair is ONE
+      // ROW — persist them: pair2 alone was previously re-tokenizing
+      // two snapshots for each of its three consumers (the drift value,
+      // the clean-day suite run, the repository save).
+      val graftR = pmod(col("doc_id"), lit(5))
+      val tokCounts = docs.select(graftR.as("graft_r"),
+          explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
+            .as("item"))
+        .groupBy(col("item"))
+        .agg(
+          sum(when(col("graft_r") =!= 0, 1L).otherwise(0L)).as("graft_w0"),
+          (1 to 4).map(i =>
+            sum(when(col("graft_r") =!= i, 1L).otherwise(0L))
+              .as(s"graft_w$i")): _*)
+        .persist()
+      val resDocs = docs
+        .groupBy(graftR.as("graft_r"))
+        .agg(count(lit(1)).as("nd")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val totalDocs = resDocs.values.sum
+      def state(i: Int): DataFrame = {
+        val base = tokCounts
+          .select(col("item"), col(s"graft_w$i").as("graft_w"))
+        val withMarker =
+          if (i < 3) base
+          else base.unionByName(Seq(("driftmarker",
+            2L * (totalDocs - resDocs.getOrElse(i.toLong, 0L))))
+            .toDF("item", "graft_w"))
+        FreqItems.freqStateWeighted(
+          withMarker.select(lit(1).as("g"), col("item"), col("graft_w")),
+          Seq("g"), "item", "graft_w", 64)
       }
-      def state(d: DataFrame): DataFrame =
-        FreqItems.freqState(
-          d.select(lit(1).as("g"),
-            explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
-              .as("item")),
-          Seq("g"), "item", 64)
-      def pairFrame(prev: DataFrame, cur: DataFrame): DataFrame =
+      def pairFrame(prev: Int, cur: Int): DataFrame =
         state(prev).withColumnRenamed("mg", "mg_a")
           .join(state(cur).withColumnRenamed("mg", "mg_b"), Seq("g"))
+          .persist()
       val drift = ItemFrequencyDrift("mg_a", "mg_b")
-      val pair1 = pairFrame(snap(0), snap(1))
-      val pair2 = pairFrame(snap(1), snap(2))
-      val pair3 = pairFrame(snap(2), snap(3))
+      val pair1 = pairFrame(0, 1)
+      val pair2 = pairFrame(1, 2)
+      val pair3 = pairFrame(2, 3)
       val d1 = drift.calculate(pair1).value.get
       val d2 = drift.calculate(pair2).value.get
       val d3 = drift.calculate(pair3).value.get
@@ -6151,6 +6242,8 @@ object SparkEntry {
         .addCheck(Check(CheckLevel.Error, "drift history")
           .isNewestPointNonAnomalous(repo, strategy, drift))
         .run().status == CheckStatus.Error
+      Seq(pair1, pair2, pair3, tokCounts)
+        .foreach(_.unpersist(blocking = false))
       def r6(x: Double): Double =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       metricRow(s, Seq(
@@ -6228,10 +6321,8 @@ object SparkEntry {
         .createTempDirectory("graft-q156").toString
       try {
       val in = s"$tmp/in"
-      (0 until 4).foreach { p =>
-        docs.where(pmod(col("doc_id"), lit(4)) === p)
-          .coalesce(1).write.mode("append").parquet(in)
-      }
+      // one staging job, 4 files (see q147: folds are batch-agnostic)
+      docs.repartition(4).write.parquet(in)
       def toks(d: DataFrame) = d.select(col("source"),
         explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
           .as("item"))
@@ -6337,24 +6428,46 @@ object SparkEntry {
       import graft.sketch.FreqItems
       val docs = table(s, dir, "documents")
         .where(col("doc_id").isNotNull && col("text").isNotNull)
-      def snap(i: Int): DataFrame = {
-        val base = docs.where(pmod(col("doc_id"), lit(5)) =!= i)
-        if (i < 3) base
-        else base.withColumn("text",
-          concat(col("text"), lit(" driftmarker driftmarker")))
+      import s.implicits._
+      // ONE tokenize pass for all five daily states (the q152/q153/q154
+      // pivot trim): per-item counts with one weight column per
+      // snapshot out of a single codegen aggregation; each snapshot's
+      // exact-mode MG state folds from its weighted column (the day>=3
+      // marker enters as one weighted row: 2 tokens per snapshot doc,
+      // exactly what the per-text concat appended). The five states stay
+      // ONE ROW each and cached, as before (was 5 corpus tokenize
+      // passes after the r17 trim from 26).
+      val graftR = pmod(col("doc_id"), lit(5))
+      val tokCounts = docs.select(graftR.as("graft_r"),
+          explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
+            .as("item"))
+        .groupBy(col("item"))
+        .agg(
+          sum(when(col("graft_r") =!= 0, 1L).otherwise(0L)).as("graft_w0"),
+          (1 to 4).map(i =>
+            sum(when(col("graft_r") =!= i, 1L).otherwise(0L))
+              .as(s"graft_w$i")): _*)
+        .persist()
+      val resDocs = docs
+        .groupBy(graftR.as("graft_r"))
+        .agg(count(lit(1)).as("nd")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val totalDocs = resDocs.values.sum
+      def state(i: Int): DataFrame = {
+        val base = tokCounts
+          .select(col("item"), col(s"graft_w$i").as("graft_w"))
+        val withMarker =
+          if (i < 3) base
+          else base.unionByName(Seq(("driftmarker",
+            2L * (totalDocs - resDocs.getOrElse(i.toLong, 0L))))
+            .toDF("item", "graft_w"))
+        FreqItems.freqStateWeighted(
+          withMarker.select(lit(1).as("g"), col("item"), col("graft_w")),
+          Seq("g"), "item", "graft_w", 64)
       }
-      def state(d: DataFrame): DataFrame =
-        FreqItems.freqState(
-          d.select(lit(1).as("g"),
-            explode(graft.pipeline.TextAnalysis.tokens(lower(col("text"))))
-              .as("item")),
-          Seq("g"), "item", 64)
-      // the five daily states are ONE ROW each — build and cache them
-      // once; every pair frame, repository save, suite run, and DQDL run
-      // below joins cached single-row frames instead of re-exploding the
-      // corpus (26 token passes before this trim)
-      val states = (0 to 4).map(i => state(snap(i)).persist())
+      val states = (0 to 4).map(i => state(i).persist())
       states.foreach(_.count())
+      tokCounts.unpersist(blocking = false)
       def pairFrame(prev: DataFrame, cur: DataFrame): DataFrame =
         prev.withColumnRenamed("mg", "mg_a")
           .join(cur.withColumnRenamed("mg", "mg_b"), Seq("g"))
@@ -6427,10 +6540,8 @@ object SparkEntry {
         trained.zip(centroids).forall { case (a, b) =>
           java.util.Arrays.equals(a, b) }
       val src = emb.select(col("vec_id"), col("embedding"))
-      (0 until 4).foreach { p =>
-        src.where(pmod(col("vec_id"), lit(4)) === p)
-          .coalesce(1).write.mode("append").parquet(s"$tmp/in")
-      }
+      // one staging job, 4 files (see q147: folds are batch-agnostic)
+      src.repartition(4).write.parquet(s"$tmp/in")
       val ingest = new StreamingOps.SketchStateIngest(s"$tmp/post",
         b => Similarity.ivfIndexState(b, "vec_id", "embedding", centroids),
         parts => parts) // bag union: the fold is identity
@@ -6444,11 +6555,8 @@ object SparkEntry {
       val slimOne = Similarity
         .ivfIndexState(src, "vec_id", "embedding", centroids)
         .select(col("graft_cell"), col("neighbor_id")).persist()
-      def parity(state: DataFrame): Boolean = {
-        val slim = state.select(col("graft_cell"), col("neighbor_id"))
-        slim.exceptAll(slimOne).count() == 0L &&
-          slimOne.exceptAll(slim).count() == 0L
-      }
+      def parity(state: DataFrame): Boolean =
+        bagEq(state.select(col("graft_cell"), col("neighbor_id")), slimOne)
       val state = ingest.state(s)
         .select(col("graft_cell"), col("neighbor_id"), col("graft_cv"))
         .persist()
@@ -6472,8 +6580,7 @@ object SparkEntry {
       val ivf2 = annTop4(Similarity.ivfTopKFromState(state2, centroids,
         queries, "vec_id", "embedding", k = 5, nprobe = 6))
         .select("query_id", "neighbor_id")
-      val postCompactOk = parity(state2) &&
-        ivf2.exceptAll(ivf).count() == 0L && ivf.exceptAll(ivf2).count() == 0L
+      val postCompactOk = parity(state2) && bagEq(ivf2, ivf)
       val nVectors = emb.count()
       state.unpersist(blocking = false)
       ivf.unpersist(blocking = false)
@@ -6548,10 +6655,8 @@ object SparkEntry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q160").toString
       try {
-      (0 until 4).foreach { p =>
-        base.where(pmod(col("doc_id"), lit(4)) === p)
-          .coalesce(1).write.mode("append").parquet(s"$tmp/in")
-      }
+      // one staging job, 4 files (see q147: folds are batch-agnostic)
+      base.repartition(4).write.parquet(s"$tmp/in")
       val ingest = new StreamingOps.SketchStateIngest(s"$tmp/m",
         b => DatasetManifest.build(b, "doc_id", Seq("source", "text"),
           shards = 16),
@@ -6672,8 +6777,7 @@ object SparkEntry {
         "doc_id", Seq("source", "text"), 16, drifted).persist()
       val everywhere = DatasetManifest.drillDown(base, tampered,
         "doc_id", Seq("source", "text"), 16, 0L until 16L)
-      val completeOk = named.exceptAll(everywhere).isEmpty &&
-        everywhere.exceptAll(named).isEmpty
+      val completeOk = bagEq(named, everywhere)
       val out = named
         .select(col("id"), col("status"),
           lit(if (completeOk) 1.0 else 0.0).as("complete_ok"))
@@ -6724,8 +6828,7 @@ object SparkEntry {
         drifted.exists(sh => f.contains(s"shard=$sh/")))
       val mem = DatasetManifest.drillDown(base, tampered,
         "doc_id", Seq("source", "text"), 16, drifted)
-      val sameOk = named.exceptAll(mem).isEmpty &&
-        mem.exceptAll(named).isEmpty
+      val sameOk = bagEq(named, mem)
       val out = named
         .select(col("id"), col("status"),
           lit(if (prunedOk) 1.0 else 0.0).as("pruned_ok"),
@@ -6798,10 +6901,8 @@ object SparkEntry {
         .createTempDirectory("graft-q165").toString
       try {
       val in = s"$tmp/in"
-      (0 until 4).foreach { p =>
-        valid.where(pmod(col("vec_id"), lit(4)) === p)
-          .coalesce(1).write.mode("append").parquet(in)
-      }
+      // one staging job, 4 files (see q147: folds are batch-agnostic)
+      valid.repartition(4).write.parquet(in)
       val ingest = new StreamingOps.SketchStateIngest(s"$tmp/cells",
         b => Clustering.cellStateQuantized(b, "embedding", init),
         parts => Clustering.foldCellStatesQuantized(parts))
@@ -7061,10 +7162,9 @@ object SparkEntry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q170").toString
       try {
-        (0 until 6).foreach { p =>
-          tagged.where(pmod(col("doc_id"), lit(6)) === p)
-            .coalesce(1).write.mode("append").parquet(s"$tmp/in")
-        }
+        // one staging job, 6 files (see q147: the keyed-manifest fold is
+        // batch-agnostic) — was 6 filtered passes over the 4-release union
+        tagged.repartition(6).write.parquet(s"$tmp/in")
         val ingest = new StreamingOps.SketchStateIngest(s"$tmp/m",
           b => DatasetManifest.buildKeyed(
             b, "release", "doc_id", Seq("source", "text"), shards = 16),
@@ -7080,12 +7180,10 @@ object SparkEntry {
           rid -> DatasetManifest.build(
             df, "doc_id", Seq("source", "text"), shards = 16)
         }).persist()
-        def setEq(a: DataFrame, b: DataFrame): Boolean =
-          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
-        val streamedOk = setEq(streamed, oneShot)
+        val streamedOk = bagEq(streamed, oneShot)
         ingest.compact(s)
         val compactedOk =
-          setEq(DatasetManifest.lineageFromKeyed(ingest.state(s)), oneShot)
+          bagEq(DatasetManifest.lineageFromKeyed(ingest.state(s)), oneShot)
         val out = streamed
           .withColumn("streamed_eq_oneshot",
             lit(if (streamedOk) 1L else 0L))
@@ -7163,10 +7261,12 @@ object SparkEntry {
         val flaggedPairs = cand.where(col("cand_hits") > 0)
           .select(col("shard"), col("suite"))
         val exactPairs = full.select(col("shard"), col("suite"))
-        val noFalseNeg = exactPairs.exceptAll(flaggedPairs).isEmpty
-        val fpPairs = flaggedPairs.exceptAll(exactPairs).count()
-        val restrictedOk = restricted.exceptAll(full).isEmpty &&
-          full.exceptAll(restricted).isEmpty
+        // ONE signed-count job yields BOTH pins: rows the exact census
+        // has beyond the flags (false negatives) and the flagged excess
+        // (false positives) are the two sides of the same bag diff
+        val (falseNegPairs, fpPairs) = bagDiffCounts(exactPairs, flaggedPairs)
+        val noFalseNeg = falseNegPairs == 0L
+        val restrictedOk = bagEq(restricted, full)
         val grid = (for { sh <- 0 until shards; su <- 1 to 3 }
           yield (sh.toLong, su.toLong)).toDF("shard", "suite")
         val out = grid.join(full, Seq("shard", "suite"), "left_outer")
@@ -7212,10 +7312,9 @@ object SparkEntry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q172").toString
       try {
-        (0 until 4).foreach { p =>
-          docs.where(pmod(col("doc_id"), lit(4)) === p)
-            .coalesce(1).write.mode("append").parquet(s"$tmp/in")
-        }
+        // one staging job, 4 files (see q147: the bloom OR-fold is
+        // batch-agnostic)
+        docs.repartition(4).write.parquet(s"$tmp/in")
         val ingest = new StreamingOps.SketchStateIngest(s"$tmp/st",
           b => TextAnalysis.shardGramBloomStates(
             b, "doc_id", "text", shards, bits, k),
@@ -7228,13 +7327,11 @@ object SparkEntry {
         val streamed = ingest.state(s).persist()
         val oneShot = TextAnalysis.shardGramBloomStates(
           docs, "doc_id", "text", shards, bits, k).persist()
-        def setEq(a: DataFrame, b: DataFrame): Boolean =
-          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
         // materialize the streamed rows BEFORE compaction rewrites parts
         val streamedRows = streamed
           .select(col("shard"), col("n_gram_rows"))
           .orderBy(col("shard")).collect()
-        val streamedOk = setEq(streamed, oneShot)
+        val streamedOk = bagEq(streamed, oneShot)
         val probes = docs
           .filter(col("doc_id").isin(20L, 30L, 45L))
           .filter(fsize(ntoks) >= 18)
@@ -7244,9 +7341,9 @@ object SparkEntry {
           .collect().map(_.getLong(0)).toSeq
         def cands(st: DataFrame) = TextAnalysis
           .shardContaminationCandidates(st, Seq(1L -> grams), bits, k)
-        val serveOk = setEq(cands(streamed), cands(oneShot))
+        val serveOk = bagEq(cands(streamed), cands(oneShot))
         ingest.compact(s)
-        val compactedOk = setEq(ingest.state(s), oneShot)
+        val compactedOk = bagEq(ingest.state(s), oneShot)
         import s.implicits._
         val out = streamedRows.map(r => (r.getLong(0), r.getLong(1),
             if (streamedOk) 1L else 0L,
@@ -7292,8 +7389,7 @@ object SparkEntry {
         def key(df: DataFrame) = df.select(
           col("shard").cast(LongType), col("doc_id"), col("sort_key"),
           col("ord"))
-        val roundtripOk = key(back).exceptAll(key(assigned)).isEmpty &&
-          key(assigned).exceptAll(key(back)).isEmpty
+        val roundtripOk = bagEq(key(back), key(assigned))
         val manifest = DatasetManifest.buildAt(
           back, col("shard"), "doc_id", Seq("source", "text"))
         val witness = back
