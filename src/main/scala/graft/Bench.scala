@@ -17,6 +17,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The generated-code cache defaults to 100 entries; one rep of a
+      // five-stage chain query emits several hundred distinct codegen
+      // fragments, so every rep (and every requery) recompiled its whole
+      // plan through janino. Scale-neutral JVM tuning (more fragments
+      // cached, nothing about plans or data changes); env-overridable.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Scoped quieting of two benign WARN sources that echo on every q43

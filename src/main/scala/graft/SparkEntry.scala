@@ -4814,22 +4814,31 @@ object SparkEntry {
       val statePath = java.nio.file.Files
         .createTempDirectory("graft-q133").toString
       try {
+        // ONE tokenize pass per corpus side (guide §1.2): the history
+        // occurrences feed both half-state builds AND the exact-replay
+        // key set; the batch occurrences feed the incremental engine
+        // pass AND the replay. Previously history was tokenized 3x
+        // (two half-states + histKeys) and the batch 2x.
+        val occHist = Dedup.paragraphOccurrences(history, "doc_id", "text")
+          .persist()
+        val occBatch = Dedup.paragraphOccurrences(batch, "doc_id", "text")
+          .persist()
         Dedup.writeLshState(
-          Dedup.paragraphLshState(
-            history.where(col("doc_id") < 150), "doc_id", "text")
-            .merge(Dedup.paragraphLshState(
-              history.where(col("doc_id") >= 150), "doc_id", "text")),
+          Dedup.paragraphLshStateFromOccurrences(
+            occHist.where(col("graft_id") < 150))
+            .merge(Dedup.paragraphLshStateFromOccurrences(
+              occHist.where(col("graft_id") >= 150))),
           statePath)
         val state = Dedup.readLshState(s, statePath)
-        val out = Dedup.nearDupParagraphsIncremental(batch, "doc_id",
-          "text", state, threshold = 0.8).persist()
+        val out = Dedup.nearDupParagraphsIncrementalFromOccurrences(
+          batch, "doc_id", occBatch, state, threshold = 0.8).persist()
 
         // exact-identity replay (the structural equal of the fuzzy pass
         // at this threshold): key = sorted distinct shingle set
         val key = array_sort(Dedup.shingles(col("graft_para")))
-        val histKeys = Dedup.paragraphOccurrences(history, "doc_id", "text")
+        val histKeys = occHist
           .select(key.as("graft_key")).distinct()
-        val occB = Dedup.paragraphOccurrences(batch, "doc_id", "text")
+        val occB = occBatch
           .select(col("graft_id"), col("graft_pos"), col("graft_para"),
             key.as("graft_key"),
             (shiftleft(col("graft_id").cast(LongType), 20) +
@@ -4862,6 +4871,8 @@ object SparkEntry {
           coalesce(sum((col("doc_id") - 1000000L) * col("n_kept")),
             lit(0L))).collect().head
         out.unpersist(blocking = false)
+        occHist.unpersist(blocking = false)
+        occBatch.unpersist(blocking = false)
         metricRow(s, Seq(
           "n_batch_docs" -> g.getLong(0).toDouble,
           "total_paras" -> g.getLong(1).toDouble,

@@ -1627,11 +1627,27 @@ object Dedup {
       shingleSize: Int = 3,
       maxBucketSize: Int = 1000,
       delimRegex: String = "\n+",
-      posBits: Int = 20): LshState = {
-    requireParagraphId(df, idCol, posBits, "paragraphLshState")
-    val paras = packedParagraphs(
+      posBits: Int = 20): LshState =
+    paragraphLshStateFromOccurrences(
       paragraphOccurrences(df, idCol, textCol, delimRegex),
-      posBits, "paragraphLshState")
+      numHashes, bands, shingleSize, maxBucketSize, posBits)
+
+  /** [[paragraphLshState]] over a precomputed occurrence frame
+    * ([[paragraphOccurrences]]) — caller-owned persistence, shared text
+    * scan (the [[nearDupParagraphsFromSignatures]] convention: a caller
+    * that also needs the occurrences, e.g. for an exact replay or to
+    * build several sub-states of one corpus, tokenizes ONCE). `occ` must
+    * come from the same `df`/`delimRegex`/`posBits`.
+    */
+  def paragraphLshStateFromOccurrences(
+      occ: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      maxBucketSize: Int = 1000,
+      posBits: Int = 20): LshState = {
+    val paras = packedParagraphs(
+      occ, posBits, "paragraphLshStateFromOccurrences")
       .select(col("graft_pid"), col("graft_para"))
     lshState(paras, "graft_pid", "graft_para", numHashes, bands,
       shingleSize, maxBucketSize)
@@ -1661,10 +1677,29 @@ object Dedup {
       threshold: Double = 0.5,
       delimRegex: String = "\n+",
       joinSep: String = "\n",
+      posBits: Int = 20): DataFrame =
+    nearDupParagraphsIncrementalFromOccurrences(batch, idCol,
+      paragraphOccurrences(batch, idCol, textCol, delimRegex),
+      state, threshold, joinSep, posBits)
+
+  /** [[nearDupParagraphsIncremental]] over a precomputed occurrence
+    * frame ([[paragraphOccurrences]]) — caller-owned persistence, shared
+    * text scan (a caller that also needs the occurrences, e.g. for an
+    * exact replay, tokenizes the batch ONCE). `occ` must come from the
+    * same `batch`/`delimRegex`/`posBits`.
+    */
+  def nearDupParagraphsIncrementalFromOccurrences(
+      batch: DataFrame,
+      idCol: String,
+      occ: DataFrame,
+      state: LshState,
+      threshold: Double = 0.5,
+      joinSep: String = "\n",
       posBits: Int = 20): DataFrame = {
-    requireParagraphId(batch, idCol, posBits, "nearDupParagraphsIncremental")
-    val occ = paragraphOccurrences(batch, idCol, textCol, delimRegex)
-    val paras = packedParagraphs(occ, posBits, "nearDupParagraphsIncremental")
+    requireParagraphId(batch, idCol, posBits,
+      "nearDupParagraphsIncrementalFromOccurrences")
+    val paras = packedParagraphs(occ, posBits,
+      "nearDupParagraphsIncrementalFromOccurrences")
     val surv = nearDedupIncremental(paras, "graft_pid", "graft_para",
       state, threshold)
     val survivors = surv

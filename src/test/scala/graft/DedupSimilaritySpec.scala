@@ -2437,6 +2437,26 @@ class DedupSimilaritySpec extends AnyWordSpec with Matchers with SparkSpec {
           ((r.getString(1), r.getLong(4)))).toMap
       out(20L) shouldBe (("second wave fourteen fifteen", 1L))
     }
+
+    "FromOccurrences variants equal the text-scanning forms" in {
+      // the shared-tokenize-scan hooks (q133's one-pass-per-side shape):
+      // state built from a precomputed occurrence frame and the
+      // incremental pass fed the same frame must reproduce the plain
+      // variants row-for-row
+      val occHist = Dedup.paragraphOccurrences(historyDocs, "doc_id", "text")
+      val occBatch = Dedup.paragraphOccurrences(batchDocs, "doc_id", "text")
+      val plain = Dedup.nearDupParagraphsIncremental(batchDocs, "doc_id",
+          "text", Dedup.paragraphLshState(historyDocs, "doc_id", "text"),
+          threshold = 0.5)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      val shared = Dedup.nearDupParagraphsIncrementalFromOccurrences(
+          batchDocs, "doc_id", occBatch,
+          Dedup.paragraphLshStateFromOccurrences(occHist), threshold = 0.5)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      shared shouldBe plain
+    }
   }
 
   "decontaminateByEmbedding" should {
