@@ -1109,7 +1109,11 @@ object TextAnalysis {
       posexplode(split(col(textCol), "\n")).as(Seq("graft_pos", "graft_line")))
       .withColumn("graft_lh", xxhash64(col("graft_line")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val groupDocs = withText.groupBy(col(groupCol))
+    // per-group doc counts from the PERSISTED lines frame, not a second
+    // corpus scan: posexplode(split(text, "\n")) emits at least one row
+    // per non-null-text document (split never returns an empty array),
+    // so the distinct (group, id) set of `lines` IS withText's doc set
+    val groupDocs = lines.groupBy(col(groupCol))
       .agg(countDistinct(col(idCol)).as("graft_gd"))
     val boiler = lines
       .where(trim(col("graft_line")) =!= "")
