@@ -3350,14 +3350,20 @@ object SparkEntry {
       val marker = when(isKeep,
         lit("qkeepa qkeepb qkeepa qkeepb qkeepa qkeepb"))
         .otherwise(lit("qtossa qtossb qtossa qtossb qtossa qtossb"))
-      val marked = cleaned.select(col("doc_id"), col("source"),
-        concat_ws(" ", col("text"), marker).as("text")).persist()
+      // truncate (localCheckpoint), not persist, for every cached frame
+      // in this chain: a persist dedups execution but each reference
+      // re-inlines the frame's whole analyzed lineage, and the trees
+      // multiply stage over stage until driver-side PLANNING dominates
+      // (the r19 sampling finding; same discipline as Curation.pipeline)
+      val marked = graft.pipeline.CacheLifecycle.truncate(
+        cleaned.select(col("doc_id"), col("source"),
+          concat_ws(" ", col("text"), marker).as("text")))
       // ONE tokenize for stages 2+3: NB training (the seed subset), NB
       // scoring (the whole corpus), and the LM ranking all consume the
       // same persisted (doc, term, tf) frame — the featurizer/
       // precomputedTf fusion hooks; previously each pass re-tokenized
-      val tfAll = TextAnalysis.termFrequencies(marked, "doc_id", "text")
-        .persist()
+      val tfAll = graft.pipeline.CacheLifecycle.truncate(
+        TextAnalysis.termFrequencies(marked, "doc_id", "text"))
       val fromTfAll: Classify.Featurizer = (_, _, _) => tfAll
       val seedTf: Classify.Featurizer =
         (_, _, _) => tfAll.where(pmod(col("doc_id"), lit(10)) < 2)
@@ -3372,23 +3378,20 @@ object SparkEntry {
       // nbKept and perpKept each cached their own full-text subset on top
       // of cleaned+marked — four overlapping text copies whose serial
       // spills explained the driver-box 3-5x q96 variance.
-      val nbKeptIds = Classify
+      val nbKeptIds = graft.pipeline.CacheLifecycle.truncate(Classify
         .scoreNaiveBayes(marked, "doc_id", "text", model, fromTfAll)
         .where(col("predicted") === "keep").select(col("doc_id"))
-        .observe(obsNb, count(lit(1)).as("n"))
-        .persist()
+        .observe(obsNb, count(lit(1)).as("n")))
       val nbKept = marked.join(nbKeptIds, Seq("doc_id"))
       // stage 3: perplexity head+middle per source (tf restricted to the
       // NB survivors — identical to re-tokenizing nbKept)
-      val tfNb = tfAll
-        .join(nbKeptIds, Seq("doc_id"), "left_semi")
-        .persist()
-      val perpKeptIds = TextAnalysis
+      val tfNb = graft.pipeline.CacheLifecycle.truncate(tfAll
+        .join(nbKeptIds, Seq("doc_id"), "left_semi"))
+      val perpKeptIds = graft.pipeline.CacheLifecycle.truncate(TextAnalysis
         .perplexityBuckets(nbKept, "doc_id", "text", "source", 3,
           precomputedTf = Some(tfNb))
         .where(col("bucket") <= 2).select(col("doc_id"))
-        .observe(obsPerp, count(lit(1)).as("n"))
-        .persist()
+        .observe(obsPerp, count(lit(1)).as("n")))
       // perpKeptIds ⊆ nbKeptIds, so one join reconstitutes the survivors
       val perpKept = marked.join(perpKeptIds, Seq("doc_id"))
       // stage 4: canonical-URL dedup (q85 disguises)
@@ -3426,11 +3429,8 @@ object SparkEntry {
       val boilerRemoved = obsClean.get("rm").asInstanceOf[Long]
       val nNbKept = obsNb.get("n").asInstanceOf[Long]
       val nPerpKept = obsPerp.get("n").asInstanceOf[Long]
-      marked.unpersist(blocking = false)
-      tfAll.unpersist(blocking = false)
-      tfNb.unpersist(blocking = false)
-      nbKeptIds.unpersist(blocking = false)
-      perpKeptIds.unpersist(blocking = false)
+      Seq(marked, tfAll, tfNb, nbKeptIds, perpKeptIds)
+        .foreach(graft.pipeline.CacheLifecycle.releaseTruncated)
       model.release()
       metricRow(s, Seq(
         "n_input" -> nInput.toDouble,

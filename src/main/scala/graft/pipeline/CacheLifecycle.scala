@@ -29,6 +29,35 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object CacheLifecycle {
 
+  /** Materialize `df` NOW and truncate its logical plan to the computed
+    * result (`localCheckpoint`): the same single evaluation a persist
+    * would buy, but downstream consumers see a `LogicalRDD` leaf instead
+    * of the full re-inlined lineage. In the deep curation chains the
+    * analyzed tree behind each cached frame multiplies at every
+    * reference (execution is deduped by the cache; PLAN SIZE is not),
+    * and analysis + cache-lookup canonicalization of those trees — not
+    * execution — was the measured dominant driver cost (r19 sampling:
+    * ~5 s of a 13 s q136). Pair with [[releaseTruncated]]; semantics are
+    * persist-identical (one deterministic evaluation, downstream reads
+    * the materialized rows). In-query lifetime only — nothing outlives
+    * the query or keys on the input path.
+    */
+  def truncate(df: DataFrame): DataFrame = df.localCheckpoint()
+
+  /** Release a frame produced by [[truncate]] (the blocks hang off the
+    * checkpointed RDD, which Dataset.unpersist does not reach); falls
+    * back to a plain unpersist for non-truncated frames, so release
+    * lists may mix both kinds.
+    */
+  def releaseTruncated(df: DataFrame): Unit = {
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist(blocking = false)
+    }
+    ()
+  }
+
   /** Actions (with or without the tag) after which an unconsumed result's
     * caches are released anyway — a safety valve for results that are
     * abandoned, or whose tagged subtree an optimization pruned away (e.g.

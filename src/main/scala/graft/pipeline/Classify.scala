@@ -47,10 +47,7 @@ object Classify {
       * by every scoring pass); call this when done with the model to
       * release the cache.
       */
-    def release(): Unit = {
-      termLogProb.unpersist(blocking = false)
-      ()
-    }
+    def release(): Unit = CacheLifecycle.releaseTruncated(termLogProb)
   }
 
   /** The model's sufficient statistics — plain integer counts, so the
@@ -176,7 +173,12 @@ object Classify {
     // alone with no per-term penalty. Build sides are seed-bounded by
     // construction — broadcast-hinted explicitly so the plan never
     // depends on cache-stats timing.
-    val termLogProb = vocab
+    // truncate, not persist: every scoring pass embeds this frame (via
+    // broadcast) in its plan, and the dense table's lineage re-inlines
+    // the whole seed tokenize tree at each reference — the checkpoint
+    // materializes once (before the counts cache drops, as the persist+
+    // count did) and hands consumers a leaf-sized plan
+    val termLogProb = CacheLifecycle.truncate(vocab
       .crossJoin(labels.select(col("label")))
       .join(broadcast(counts), Seq("term", "label"), "left_outer")
       .join(broadcast(classTotals), Seq("label"), "left_outer")
@@ -185,9 +187,7 @@ object Classify {
         log((coalesce(col("graft_c"), lit(0L)) + lit(alpha)) /
           (coalesce(col("graft_tot"), lit(0L)) +
             lit(alpha) * lit(v.toDouble)))
-          .as("log_cond"))
-      .persist()
-    termLogProb.count() // materialize before the counts cache is dropped
+          .as("log_cond")))
     counts.unpersist(blocking = false)
     val classLogPrior = labels
       .select(col("label"),

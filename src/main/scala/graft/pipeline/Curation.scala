@@ -109,7 +109,7 @@ object Curation {
       releasers: Seq[() => Unit]) {
     lazy val censuses: Seq[(String, Double)] = names.map(n => n -> resolve(n))
     def release(): Unit = {
-      caches.foreach(_.unpersist(blocking = false))
+      caches.foreach(CacheLifecycle.releaseTruncated)
       releasers.foreach(_())
     }
   }
@@ -162,11 +162,19 @@ object Curation {
     // current frame is always epochBase ⋈ the LATEST survivor set — ONE
     // slim join, never a growing join chain (the hand-rolled q96 trick,
     // generalized).
+    // caches are TRUNCATING (localCheckpoint, CacheLifecycle.truncate),
+    // not plain persists: a persist dedups execution but every reference
+    // still re-inlines the frame's whole analyzed lineage, and in this
+    // chain the trees multiply stage over stage until PLANNING (analysis
+    // + cache-lookup canonicalization) dominates the driver (r19
+    // sampling: ~5 s of q136's 13 s). The checkpoint materializes at the
+    // same point the first consuming action would and hands every later
+    // stage a leaf-sized plan. In-query lifetime; released with Result.
     var epochBase: DataFrame = {
       val in = observed("input_docs", docs, count(lit(1)))
       if (!persistInput) in
       else {
-        val p = in.persist(StorageLevel.MEMORY_AND_DISK)
+        val p = CacheLifecycle.truncate(in)
         caches += p
         p
       }
@@ -183,8 +191,8 @@ object Curation {
     var tfAtKept: DataFrame = null // survivor set baked into tfBase
     def sharedTf(): DataFrame = {
       if (tfBase == null) {
-        tfBase = TextAnalysis.termFrequencies(frame, idCol, textCol)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        tfBase = CacheLifecycle.truncate(
+          TextAnalysis.termFrequencies(frame, idCol, textCol))
         caches += tfBase
         tfAtKept = latestKept
       }
@@ -192,8 +200,8 @@ object Curation {
       else tfBase.join(latestKept, Seq(idCol), "left_semi")
     }
     def applySurvivors(name: String, ids: DataFrame): Unit = {
-      val kept = observed(name, ids, count(lit(1)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val kept = CacheLifecycle.truncate(
+        observed(name, ids, count(lit(1))))
       caches += kept
       latestKept = kept
     }
@@ -203,12 +211,12 @@ object Curation {
         // drop the census column BEFORE the persist: the cache is the
         // pipeline's one full-text copy and every later stage scans it —
         // the observation only needs the column inside its own plan
-        val cleaned = observed("boiler_removed_lines",
+        val cleaned = CacheLifecycle.truncate(
+          observed("boiler_removed_lines",
             TextAnalysis.removeBoilerplateLines(
               frame, idCol, textCol, groupCol, maxDocFrac, minDocs),
             coalesce(sum(col("removed_lines")), lit(0L)))
-          .drop("removed_lines")
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .drop("removed_lines"))
         caches += cleaned
         tfBase = null; tfAtKept = null
         // the rebuild consumed the RESTRICTED frame, so the new epoch
@@ -227,8 +235,8 @@ object Curation {
         val all = sharedTf()
         // slim persisted seed set: the featurizer's semi-join build side
         // must not re-derive from the text cache per consumption
-        val seedIds = frame.where(seedPred).select(col(idCol))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val seedIds = CacheLifecycle.truncate(
+          frame.where(seedPred).select(col(idCol)))
         caches += seedIds
         val seedTf: Classify.Featurizer =
           (_, _, _) => all.join(seedIds, Seq(idCol), "left_semi")
@@ -255,7 +263,7 @@ object Curation {
         val tfP = sharedTf() match {
           case t if t eq tfBase => t
           case t =>
-            val p = t.persist(StorageLevel.MEMORY_AND_DISK)
+            val p = CacheLifecycle.truncate(t)
             caches += p
             p
         }

@@ -83,9 +83,18 @@ object Ranking {
     // persisted is used as-is (and not released).
     val callerCached =
       df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    // localCheckpoint, not persist: beyond the cache (both evaluate the
+    // upstream once), the checkpoint TRUNCATES the logical plan to a
+    // LogicalRDD leaf. The `.rdd` conversion below and the count/assign
+    // passes each re-plan this subtree, and in the curation chains the
+    // analyzed tree behind `df` is huge (every cached frame's full
+    // lineage re-inlined at each reference) — planning, not execution,
+    // was the measured cost (~3 s of driver RUNNABLE time in q136's
+    // perplexity stage). The checkpointed blocks release with the RDD
+    // via the ContextCleaner once the returned frame's cache drops.
     val input =
       if (callerCached) df
-      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df.localCheckpoint()
     val sorted = input
       .repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -167,7 +176,14 @@ object Ranking {
         cached.select(cached.columns.map(col).toSeq: _*), Seq(cached))
     } finally {
       sorted.unpersist(blocking = false)
-      if (!callerCached) input.unpersist(blocking = false)
+      // a localCheckpointed frame's blocks hang off the RDD, not the
+      // CacheManager — unpersist the RDD itself (Dataset.unpersist would
+      // be a no-op and the blocks would wait for the ContextCleaner)
+      if (!callerCached) input.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => input.unpersist(blocking = false)
+      }
       ()
     }
   }
